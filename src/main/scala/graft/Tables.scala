@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated testdata (TESTDATA.md). One parquet per
+  * table; `events.ts` is nanosecond-precision and needs an explicit cast.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS); with
+    * spark.sql.legacy.parquet.nanosAsLong=true it surfaces as Long. Convert
+    * to a µs timestamp — identical to what DuckDB's reader produces (floor
+    * division), so oracle comparisons line up exactly.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Register every table as a temp view so shared ANSI SQL (run by both
+    * spark.sql and the DuckDB oracle) resolves the same relations.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,393 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+
+/** Relational query surface (SURVEY §2b): projection/filter, joins of every
+  * flavor, hash/sort aggregation, windows, set ops, rollup/cube/grouping
+  * sets, subqueries, string/date/JSON functions — all Catalyst built-ins,
+  * declared via DataFrame API or ANSI SQL and left to the optimizer.
+  *
+  * Scale posture: dimension joins use explicit `broadcast()`; fact-fact
+  * joins shuffle on their keys with AQE skew handling; aggregations are
+  * partial+final by construction (groupBy). All plans survive a 100× data
+  * scale-up because nothing materializes on the driver.
+  */
+object Relational {
+
+  /** Exact, order-independent sum of a double column: accumulate in
+    * decimal(18,6) (sum type decimal(28,6)) so Spark and DuckDB agree
+    * bit-for-bit.
+    */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast(DecimalType(28, 6))
+  private def davg(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double") / count(lit(1))
+  private val SUM = "CAST(sum(CAST(%s AS DECIMAL(18,6))) AS DECIMAL(28,6))"
+  private def dsumSql(e: String) = SUM.format(e)
+
+  val defs: Seq[QueryDef] = Seq(
+    // ───── q01: TPC-H Q1 shape — scan-heavy partial+final aggregation ────
+    QueryDef.df(
+      "q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_disc_price,
+        |  CAST(sum(CAST((l_extendedprice*(1-l_discount))*(1+l_tax) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)/count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)/count(*) AS avg_disc,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          dsum((col("l_extendedprice") * (lit(1) - col("l_discount"))) * (lit(1) + col("l_tax")))
+            .as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ───── q02: projection + filter — must push to the parquet scan ──────
+    QueryDef.df(
+      "q02_filter_project",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+        |FROM lineitem WHERE l_discount > 0.06 AND l_quantity < 5
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_discount") > 0.06 && col("l_quantity") < 5)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ───── q03: 3-way join + agg + top-k (TPC-H Q3 shape) ────────────────
+    QueryDef.df(
+      "q03_topk_revenue",
+      """SELECT o_orderkey, CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS revenue, o_orderdate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      // customer is the small side at any SF (150 rows/SF vs 6M lineitem) —
+      // broadcast it; orders⋈lineitem shuffles on the order key.
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate")
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // ───── q04: EXISTS / left-semi join (TPC-H Q4 shape) ─────────────────
+    QueryDef.df(
+      "q04_priority_semijoin",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders").filter(
+        col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      val l = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ───── q05: 6-way join through dims (TPC-H Q5 shape) ─────────────────
+    QueryDef.df(
+      "q05_nation_revenue",
+      """SELECT n_name, CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders").filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+      val supp = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      // Fact side shuffles once on orderkey; every dimension broadcasts.
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(
+          broadcast(supp),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // ───── q06: filter + global sum (TPC-H Q6 shape) ─────────────────────
+    QueryDef.df(
+      "q06_revenue_delta",
+      """SELECT CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+            col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+    },
+
+    // ───── q07: window functions — rank within partition ─────────────────
+    QueryDef.df(
+      "q07_supplier_part_rank",
+      """SELECT l_suppkey, l_partkey, revenue, rnk FROM (
+        |  SELECT l_suppkey, l_partkey, revenue,
+        |    CAST(row_number() OVER (PARTITION BY l_suppkey ORDER BY revenue DESC, l_partkey) AS INT) AS rnk
+        |  FROM (SELECT l_suppkey, l_partkey,
+        |          CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS revenue
+        |        FROM lineitem GROUP BY l_suppkey, l_partkey) agg
+        |) ranked WHERE rnk <= 3 ORDER BY l_suppkey, rnk""".stripMargin) { (s, dir) =>
+      val agg = t(s, dir, "lineitem")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      val w = Window.partitionBy("l_suppkey").orderBy(col("revenue").desc, col("l_partkey"))
+      agg
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .orderBy("l_suppkey", "rnk")
+    },
+
+    // ───── q08: distinct aggregation ─────────────────────────────────────
+    QueryDef.df(
+      "q08_distinct_counts",
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    },
+
+    // ───── q09: rollup ───────────────────────────────────────────────────
+    QueryDef.df(
+      "q09_rollup",
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    // ───── q10: left outer join + two-level agg (TPC-H Q13 shape) ────────
+    QueryDef.df(
+      "q10_order_histogram",
+      """SELECT n_orders, CAST(count(*) AS BIGINT) AS n_cust FROM (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey) per_cust
+        |GROUP BY n_orders ORDER BY n_orders""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy("n_orders")
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy("n_orders")
+    },
+
+    // ───── q11: anti join ────────────────────────────────────────────────
+    QueryDef.df(
+      "q11_customers_no_orders",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(
+          t(s, dir, "orders").filter(col("o_totalprice") > 250000),
+          col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // ───── q12: set operations ───────────────────────────────────────────
+    QueryDef.shared(
+      "q12_set_ops",
+      """WITH hi AS (SELECT c_custkey AS ck FROM customer WHERE c_acctbal > 5000),
+        |     big AS (SELECT DISTINCT o_custkey AS ck FROM orders WHERE o_totalprice > 300000)
+        |SELECT 'intersect' AS op, CAST(count(*) AS BIGINT) AS n FROM (SELECT ck FROM hi INTERSECT SELECT ck FROM big) x
+        |UNION ALL
+        |SELECT 'except' AS op, CAST(count(*) AS BIGINT) AS n FROM (SELECT ck FROM hi EXCEPT SELECT ck FROM big) y
+        |UNION ALL
+        |SELECT 'union' AS op, CAST(count(*) AS BIGINT) AS n FROM (SELECT ck FROM hi UNION SELECT ck FROM big) z
+        |ORDER BY op""".stripMargin),
+
+    // ───── q13: conditional aggregation (TPC-H Q14 shape) ────────────────
+    QueryDef.shared(
+      "q13_promo_share",
+      """SELECT CAST(sum(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice*(1-l_discount) ELSE 0 END AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS promo_revenue,
+        |       CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS total_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin),
+
+    // ───── q14: HAVING ───────────────────────────────────────────────────
+    QueryDef.shared(
+      "q14_having",
+      """SELECT l_suppkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS qty
+        |FROM lineitem GROUP BY l_suppkey
+        |HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 100
+        |ORDER BY l_suppkey""".stripMargin),
+
+    // ───── q15: scalar subquery (max) ────────────────────────────────────
+    QueryDef.shared(
+      "q15_top_supplier",
+      """WITH rev AS (SELECT l_suppkey AS supplier_no,
+        |         CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS total_revenue
+        |       FROM lineitem
+        |       WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        |       GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin),
+
+    // ───── q16: grouping sets ────────────────────────────────────────────
+    QueryDef.shared(
+      "q16_grouping_sets",
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+
+    // ───── q17: correlated scalar subquery (TPC-H Q17 shape) ─────────────
+    // l_quantity values are whole numbers → avg() over doubles is exact in
+    // both engines (integer sums stay < 2^53), so the comparison is stable.
+    QueryDef.shared(
+      "q17_small_qty_revenue",
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS total
+        |FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+        |WHERE p_brand = 'Brand#11'
+        |  AND l1.l_quantity < (SELECT 0.5*avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin),
+
+    // ───── q18: group-having feeding a join (TPC-H Q18 shape) ────────────
+    QueryDef.shared(
+      "q18_big_orders",
+      """WITH big AS (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS total_qty
+        |             FROM lineitem GROUP BY l_orderkey
+        |             HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 150)
+        |SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin),
+
+    // ───── q19: disjunctive join predicates (TPC-H Q19 shape) ────────────
+    QueryDef.shared(
+      "q19_disjunctive",
+      """SELECT CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin),
+
+    // ───── q20: string functions ─────────────────────────────────────────
+    QueryDef.shared(
+      "q20_string_funcs",
+      """SELECT upper(substr(p_type, 1, 3)) AS type_prefix,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(min(length(p_name)) AS INT) AS min_name_len,
+        |       CAST(max(length(p_name)) AS INT) AS max_name_len,
+        |       min(p_brand || '/' || p_type) AS min_concat
+        |FROM part WHERE p_name LIKE '%a%'
+        |GROUP BY upper(substr(p_type, 1, 3)) ORDER BY type_prefix""".stripMargin),
+
+    // ───── q21: date functions ───────────────────────────────────────────
+    QueryDef.shared(
+      "q21_monthly_orders",
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS total
+        |FROM orders WHERE year(o_orderdate) = 1997
+        |GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE) ORDER BY month""".stripMargin),
+
+    // ───── q22: cube ─────────────────────────────────────────────────────
+    QueryDef.shared(
+      "q22_cube",
+      """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin),
+
+    // ───── q23: IN subquery ──────────────────────────────────────────────
+    QueryDef.shared(
+      "q23_in_subquery",
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_nationkey IN (SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+        |                      WHERE r_name = 'EUROPE')
+        |ORDER BY s_suppkey""".stripMargin),
+
+    // ───── q24: running window aggregates (lag / cumulative) ─────────────
+    QueryDef.df(
+      "q24_running_window",
+      """SELECT user_id, day,
+        |  CAST(n AS BIGINT) AS n,
+        |  CAST(sum(n) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+        |  CAST(coalesce(lag(n) OVER (PARTITION BY user_id ORDER BY day), 0) AS BIGINT) AS prev_n
+        |FROM (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+        |      FROM events GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)) d
+        |WHERE user_id < 20 ORDER BY user_id, day""".stripMargin) { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+      daily
+        .withColumn("cum_n", sum("n").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("prev_n", coalesce(lag("n", 1).over(w), lit(0L)))
+        .select("user_id", "day", "n", "cum_n", "prev_n")
+        .orderBy("user_id", "day")
+    },
+
+    // ───── q25: JSON extraction over the events props column ─────────────
+    QueryDef.df(
+      "q25_events_json",
+      """SELECT event_type, k_bucket, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_value
+        |FROM (SELECT event_type, value,
+        |        CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket
+        |      FROM events) e
+        |GROUP BY event_type, k_bucket ORDER BY event_type, k_bucket""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k_bucket", get_json_object(col("props"), "$.k").cast("int") % 10)
+        .groupBy("event_type", "k_bucket")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("event_type", "k_bucket")
+    })
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+object TestSpark {
+  // One session for the whole test JVM (suites share it).
+  lazy val spark: SparkSession = {
+    val s = Sessions.builder("local[4]", 4).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+/** Executes every registered query end-to-end on sf0.001. Value-level
+  * correctness is gated by the DuckDB oracle (tools/check.py / the driver);
+  * here we pin execution, schema sanity, and a few known invariants.
+  */
+class QueriesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  for (q <- SparkEntry.registry) {
+    test(s"${q.name} executes") {
+      val df = q.run(spark, sf)
+      assert(df.columns.nonEmpty)
+      assert(df.count() >= 0)
+    }
+  }
+
+  test("q01 groups are the 4 flag/status combos plus partials") {
+    val rows = SparkEntry.queries("q01_pricing_summary")(spark, sf).collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getString(0)).distinct.sorted.sameElements(Array("A", "N", "R")))
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}
