@@ -26,8 +26,17 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Register every table as a temp view so shared ANSI SQL (run by both
-    * spark.sql and the DuckDB oracle) resolves the same relations.
+    * spark.sql and the DuckDB oracle) resolves the same relations. View
+    * registration is metadata-only but costs a schema-inference footer read
+    * per table, so cache per (session, dir) — re-registering 10 tables per
+    * query inflated every shared query's latency in r1's bench.
     */
+  private val registeredDir = new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    if (registeredDir.get(spark) != dir) synchronized {
+      if (registeredDir.get(spark) != dir) {
+        names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+        registeredDir.put(spark, dir)
+      }
+    }
 }

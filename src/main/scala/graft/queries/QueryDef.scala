@@ -9,7 +9,9 @@ import graft.Tables
   * Numeric discipline for oracle parity (both engines must produce
   * bit-identical values):
   *   - sums of doubles go through DECIMAL(18,6) (exact, order-independent),
-  *     surfaced as DECIMAL(28,6) (Spark's sum-of-decimal(18,6) type);
+  *     surfaced as DOUBLE (decimal rendering is hash-hostile in the
+  *     driver's gate; the exact decimal rounds to the same IEEE double in
+  *     both engines);
   *   - averages = exact decimal sum cast to double, divided by count
   *     (IEEE double division is deterministic);
   *   - every query has a total ORDER BY with explicit NULLS FIRST on

@@ -11,20 +11,24 @@ import graft.Tables.t
   * sets, subqueries, string/date/JSON functions — all Catalyst built-ins,
   * declared via DataFrame API or ANSI SQL and left to the optimizer.
   *
-  * Scale posture: dimension joins use explicit `broadcast()`; fact-fact
-  * joins shuffle on their keys with AQE skew handling; aggregations are
-  * partial+final by construction (groupBy). All plans survive a 100× data
-  * scale-up because nothing materializes on the driver.
+  * Scale posture: only fixed-cardinality dimensions (nation/region) carry
+  * explicit `broadcast()` hints — anything that grows with SF is left to
+  * AQE's runtime-stats decision; fact-fact joins shuffle on their keys with
+  * AQE skew handling; aggregations are partial+final by construction
+  * (groupBy). All plans survive a 100× data scale-up because nothing
+  * materializes on the driver.
   */
 object Relational {
 
   /** Exact, order-independent sum of a double column: accumulate in
-    * decimal(18,6) (sum type decimal(28,6)) so Spark and DuckDB agree
-    * bit-for-bit.
+    * decimal(18,6) (exact, so partial+final agg order doesn't matter), then
+    * surface as DOUBLE — both engines round the same exact decimal to the
+    * same IEEE double, and doubles hash identically in the driver's gate
+    * (decimal rendering does not; see VERDICT r1 §What's wrong #1).
     */
-  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast(DecimalType(28, 6))
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double")
   private def davg(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double") / count(lit(1))
-  private val SUM = "CAST(sum(CAST(%s AS DECIMAL(18,6))) AS DECIMAL(28,6))"
+  private val SUM = "CAST(sum(CAST(%s AS DECIMAL(18,6))) AS DOUBLE)"
   private def dsumSql(e: String) = SUM.format(e)
 
   val defs: Seq[QueryDef] = Seq(
@@ -32,10 +36,10 @@ object Relational {
     QueryDef.df(
       "q01_pricing_summary",
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_disc_price,
-        |  CAST(sum(CAST((l_extendedprice*(1-l_discount))*(1+l_tax) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST((l_extendedprice*(1-l_discount))*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)/count(*) AS avg_qty,
         |  CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)/count(*) AS avg_disc,
         |  CAST(count(*) AS BIGINT) AS count_order
@@ -72,7 +76,7 @@ object Relational {
     // ───── q03: 3-way join + agg + top-k (TPC-H Q3 shape) ────────────────
     QueryDef.df(
       "q03_topk_revenue",
-      """SELECT o_orderkey, CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS revenue, o_orderdate
+      """SELECT o_orderkey, CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue, o_orderdate
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |  JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE c_mktsegment = 'BUILDING'
@@ -82,10 +86,11 @@ object Relational {
       val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
       val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
-      // customer is the small side at any SF (150 rows/SF vs 6M lineitem) —
-      // broadcast it; orders⋈lineitem shuffles on the order key.
+      // customer grows with SF (150k rows/SF) — no explicit broadcast hint;
+      // AQE picks broadcast vs shuffle from runtime stats, which stays safe
+      // at 100 TB. orders⋈lineitem shuffles on the order key.
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate")
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .select("o_orderkey", "revenue", "o_orderdate")
@@ -113,7 +118,7 @@ object Relational {
     // ───── q05: 6-way join through dims (TPC-H Q5 shape) ─────────────────
     QueryDef.df(
       "q05_nation_revenue",
-      """SELECT n_name, CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS revenue
+      """SELECT n_name, CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |  JOIN lineitem ON l_orderkey = o_orderkey
         |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -129,11 +134,13 @@ object Relational {
       val supp = t(s, dir, "supplier")
       val nat = t(s, dir, "nation")
       val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
-      // Fact side shuffles once on orderkey; every dimension broadcasts.
+      // Fact side shuffles once on orderkey. Only fixed-cardinality dims
+      // (nation=25, region=5 rows at ANY SF) get explicit broadcast hints;
+      // customer/supplier grow with SF, so AQE decides their strategy.
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .join(
-          broadcast(supp),
+          supp,
           col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
@@ -145,7 +152,7 @@ object Relational {
     // ───── q06: filter + global sum (TPC-H Q6 shape) ─────────────────────
     QueryDef.df(
       "q06_revenue_delta",
-      """SELECT CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS revenue
+      """SELECT CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin) { (s, dir) =>
@@ -164,7 +171,7 @@ object Relational {
         |  SELECT l_suppkey, l_partkey, revenue,
         |    CAST(row_number() OVER (PARTITION BY l_suppkey ORDER BY revenue DESC, l_partkey) AS INT) AS rnk
         |  FROM (SELECT l_suppkey, l_partkey,
-        |          CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS revenue
+        |          CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |        FROM lineitem GROUP BY l_suppkey, l_partkey) agg
         |) ranked WHERE rnk <= 3 ORDER BY l_suppkey, rnk""".stripMargin) { (s, dir) =>
       val agg = t(s, dir, "lineitem")
@@ -198,7 +205,7 @@ object Relational {
     QueryDef.df(
       "q09_rollup",
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS qty
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
@@ -254,15 +261,15 @@ object Relational {
     // ───── q13: conditional aggregation (TPC-H Q14 shape) ────────────────
     QueryDef.shared(
       "q13_promo_share",
-      """SELECT CAST(sum(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice*(1-l_discount) ELSE 0 END AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS promo_revenue,
-        |       CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS total_revenue
+      """SELECT CAST(sum(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice*(1-l_discount) ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue,
+        |       CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin),
 
     // ───── q14: HAVING ───────────────────────────────────────────────────
     QueryDef.shared(
       "q14_having",
-      """SELECT l_suppkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS qty
+      """SELECT l_suppkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY l_suppkey
         |HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 100
         |ORDER BY l_suppkey""".stripMargin),
@@ -271,7 +278,7 @@ object Relational {
     QueryDef.shared(
       "q15_top_supplier",
       """WITH rev AS (SELECT l_suppkey AS supplier_no,
-        |         CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS total_revenue
+        |         CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
         |       FROM lineitem
         |       WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
         |       GROUP BY l_suppkey)
@@ -293,7 +300,7 @@ object Relational {
     // both engines (integer sums stay < 2^53), so the comparison is stable.
     QueryDef.shared(
       "q17_small_qty_revenue",
-      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS total
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
         |WHERE p_brand = 'Brand#11'
         |  AND l1.l_quantity < (SELECT 0.5*avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin),
@@ -301,7 +308,7 @@ object Relational {
     // ───── q18: group-having feeding a join (TPC-H Q18 shape) ────────────
     QueryDef.shared(
       "q18_big_orders",
-      """WITH big AS (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS total_qty
+      """WITH big AS (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
         |             FROM lineitem GROUP BY l_orderkey
         |             HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 150)
         |SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
@@ -312,7 +319,7 @@ object Relational {
     // ───── q19: disjunctive join predicates (TPC-H Q19 shape) ────────────
     QueryDef.shared(
       "q19_disjunctive",
-      """SELECT CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS revenue
+      """SELECT CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 11)
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 20)
@@ -334,7 +341,7 @@ object Relational {
       "q21_monthly_orders",
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
         |       CAST(count(*) AS BIGINT) AS n_orders,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS total
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM orders WHERE year(o_orderdate) = 1997
         |GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE) ORDER BY month""".stripMargin),
 
@@ -379,15 +386,15 @@ object Relational {
     QueryDef.df(
       "q25_events_json",
       """SELECT event_type, k_bucket, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM (SELECT event_type, value,
         |        CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket
         |      FROM events) e
-        |GROUP BY event_type, k_bucket ORDER BY event_type, k_bucket""".stripMargin) { (s, dir) =>
+        |GROUP BY event_type, k_bucket ORDER BY event_type, k_bucket NULLS FIRST""".stripMargin) { (s, dir) =>
       t(s, dir, "events")
         .withColumn("k_bucket", get_json_object(col("props"), "$.k").cast("int") % 10)
         .groupBy("event_type", "k_bucket")
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
-        .orderBy("event_type", "k_bucket")
+        .orderBy(col("event_type"), asc_nulls_first("k_bucket"))
     })
 }
