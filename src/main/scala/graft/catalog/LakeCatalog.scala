@@ -1,0 +1,188 @@
+package graft.catalog
+
+import java.util
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The Spark plugin the reference is the Rust analog of: a table catalog
+  * whose source of truth is one `iceberg_tables` row per table in a JDBC
+  * store, pointing at an immutable metadata document in the warehouse
+  * (reference: src/catalog/mod.rs:26-51, 358-362 — "A compute engine like
+  * Spark or Flink will first initialize the catalog without any arguments,
+  * and then call this method to complete catalog initialization with
+  * properties passed into the engine"; that two-phase protocol is exactly
+  * Spark's `CatalogPlugin.initialize`).
+  *
+  * Registered as `spark.sql.catalog.lake=graft.catalog.LakeCatalog` with
+  * options `warehouse` and `jdbc.url` — so `CREATE TABLE lake.db.t`,
+  * `SHOW TABLES IN lake.db`, `INSERT INTO`, CTAS, `DROP TABLE` and
+  * `VERSION AS OF` time travel all work in plain SQL.
+  */
+class LakeCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+  private var store: PointerStore = _
+  private var hadoopConf: Configuration = _
+  // loadTable cache; invalidateTable (unimplemented in the reference,
+  // mod.rs:238-240 — a declared gap we fix) evicts.
+  private val cache = new ConcurrentHashMap[String, LakeTable]()
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(s"catalog $name: missing option 'warehouse'"))
+    val url = Option(options.get("jdbc.url")).getOrElse(
+      throw new IllegalArgumentException(s"catalog $name: missing option 'jdbc.url'"))
+    store = new PointerStore(url, name)
+    store.initialize() // reference initialize: idempotent DDL bootstrap (mod.rs:362-391)
+    hadoopConf = SparkSession.active.sessionState.newHadoopConf()
+  }
+
+  override def name(): String = catalogName
+
+  private def ns(namespace: Array[String]): String = namespace.mkString(".")
+  private def display(ident: Identifier): String =
+    s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}"
+
+  // ── tables ─────────────────────────────────────────────────────────────
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    store.listTables(ns(namespace)).map(Identifier.of(namespace, _)).toArray
+
+  override def tableExists(ident: Identifier): Boolean =
+    store.tableExists(ns(ident.namespace()), ident.name())
+
+  override def loadTable(ident: Identifier): Table = {
+    val key = display(ident)
+    val cached = cache.get(key)
+    if (cached != null) return cached
+    val t = doLoad(ident, None)
+    cache.put(key, t)
+    t
+  }
+
+  /** `VERSION AS OF <snapshotId>` time travel. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    doLoad(ident, Some(version.toLong))
+
+  private def doLoad(ident: Identifier, snapshot: Option[Long]): LakeTable = {
+    val loc = store.load(ns(ident.namespace()), ident.name())
+      .getOrElse(throw new NoSuchTableException(ident))
+    val meta = TableMeta.read(loc, hadoopConf)
+    new LakeTable(display(ident), ns(ident.namespace()), ident.name(), meta, loc,
+      store, hadoopConf, snapshot, () => invalidateTable(ident))
+  }
+
+  override def invalidateTable(ident: Identifier): Unit = cache.remove(display(ident))
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    // Location convention mirrors the reference's build_table
+    // ("data.db/" + ident with dots as slashes, mod.rs:349-357), rooted at
+    // the warehouse.
+    val props = properties.asScala.toMap
+    val location = props.getOrElse("location",
+      s"$warehouse/${(ident.namespace() :+ ident.name()).mkString("/")}")
+    val meta = TableMeta.empty(location, schema, Nil, props - "location")
+    val loc = TableMeta.write(meta, hadoopConf)
+    // INSERT-on-conflict-do-nothing semantics: 0 rows ⇒ already exists
+    // (reference register_table, mod.rs:252-294).
+    if (!store.register(ns(ident.namespace()), ident.name(), loc))
+      throw new TableAlreadyExistsException(ident)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = doLoad(ident, None)
+    var props = t.meta.properties
+    changes.foreach {
+      case s: TableChange.SetProperty => props += (s.property() -> s.value())
+      case r: TableChange.RemoveProperty => props -= r.property()
+      case c => throw new UnsupportedOperationException(
+        s"alterTable change ${c.getClass.getSimpleName} not supported")
+    }
+    val next = t.meta.copy(properties = props)
+    val newLoc = TableMeta.write(next, hadoopConf)
+    if (store.casUpdate(ns(ident.namespace()), ident.name(), newLoc, t.metadataLocation) != 1)
+      throw new IllegalStateException(s"commit conflict altering ${display(ident)}")
+    invalidateTable(ident)
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    invalidateTable(ident)
+    store.drop(ns(ident.namespace()), ident.name())
+  }
+
+  /** The reference leaves file cleanup as TODO (mod.rs:164); purge actually
+    * deletes the table tree.
+    */
+  override def purgeTable(ident: Identifier): Boolean = {
+    val loc = store.load(ns(ident.namespace()), ident.name())
+    val dropped = dropTable(ident)
+    if (dropped) loc.foreach { l =>
+      val meta = TableMeta.read(l, hadoopConf)
+      val root = new Path(meta.location)
+      root.getFileSystem(hadoopConf).delete(root, true)
+    }
+    dropped
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    // Spark hands the RENAME target through un-normalized: the catalog name
+    // may still lead the namespace (ALTER TABLE lake.rn.a RENAME TO
+    // lake.rn.b arrives as namespace ["lake","rn"]). Strip it.
+    val toNorm =
+      if (to.namespace().headOption.contains(catalogName))
+        Identifier.of(to.namespace().drop(1), to.name())
+      else to
+    if (tableExists(toNorm)) throw new TableAlreadyExistsException(toNorm)
+    invalidateTable(from)
+    if (!store.rename(ns(from.namespace()), from.name(), ns(toNorm.namespace()), toNorm.name()))
+      throw new NoSuchTableException(from)
+  }
+
+  // ── namespaces ─────────────────────────────────────────────────────────
+
+  override def listNamespaces(): Array[Array[String]] =
+    store.listNamespaces().map(n => n.split('.').asInstanceOf[Array[String]]).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else Array.empty // flat, dot-joined namespaces (reference stores them flat, mod.rs:79)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    store.namespaceExists(ns(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    if (!store.createNamespace(ns(namespace)))
+      throw new NamespaceAlreadyExistsException(namespace)
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("alterNamespace not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val tables = store.listTables(ns(namespace))
+    if (tables.nonEmpty && !cascade)
+      throw new IllegalStateException(s"namespace ${ns(namespace)} is not empty")
+    tables.foreach(t => dropTable(Identifier.of(namespace, t)))
+    store.dropNamespace(ns(namespace))
+  }
+}

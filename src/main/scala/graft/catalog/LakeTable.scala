@@ -1,0 +1,359 @@
+package graft.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.execution.datasources.DataSourceStrategy
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetFileFormat, ParquetWriteSupport}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+/** A catalog-managed table: the engine-side handle the reference's
+  * `load_table` returns (reference: src/catalog/mod.rs:177-236).
+  *
+  * Read path: the current (or pinned) snapshot's file list comes from table
+  * metadata — never from a directory listing (SURVEY §7 "never
+  * `fs.listStatus`") — is pruned against per-file min/max stats, then
+  * handed to Spark's built-in vectorized parquet DSv2 scan
+  * ([[ParquetTable]]), which supplies column pruning, row-group predicate
+  * pushdown, whole-stage codegen, and size statistics for AQE join planning.
+  *
+  * Write path: executors stream [[InternalRow]]s straight into parquet
+  * files under `location/data/`; the driver then commits by writing a new
+  * immutable metadata document and CAS-swapping the pointer
+  * (reference: src/catalog/mod.rs:296-347) with bounded rebase-and-retry.
+  */
+final class LakeTable(
+    val ident: String, // "catalog.ns.name" for display
+    val namespace: String,
+    val tableName: String,
+    val meta: TableMeta,
+    val metadataLocation: String,
+    store: PointerStore,
+    hadoopConf: Configuration,
+    pinnedSnapshotId: Option[Long] = None,
+    onCommit: () => Unit = () => ())
+  extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = ident
+  override def schema(): StructType = meta.schema
+  override def properties(): util.Map[String, String] = meta.properties.asJava
+  override def version(): String = meta.currentSnapshotId.toString
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  private def effectiveSnapshot: Option[SnapshotMeta] = pinnedSnapshotId match {
+    case Some(id) => Some(meta.snapshot(id).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot $id for table $ident")))
+    case None => meta.snapshot(meta.currentSnapshotId)
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // option-based time travel: spark.read.option("snapshot-id", n).table(t)
+    val snap = Option(options.get("snapshot-id")) match {
+      case Some(id) => meta.snapshot(id.toLong).orElse(
+        throw new IllegalArgumentException(s"no snapshot $id for table $ident"))
+      case None => effectiveSnapshot
+    }
+    new LakeScanBuilder(ident, schema(), snap.map(_.manifest).getOrElse(Nil), options)
+  }
+
+  private[catalog] def commitSucceeded(): Unit = onCommit()
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new LakeWriteBuilder(this, info, store, hadoopConf)
+}
+
+/** Scan builder: collects Spark's pushed-down filters and required columns,
+  * prunes the snapshot's file list against metadata min/max BEFORE any file
+  * or footer is opened, then delegates to the built-in parquet scan over
+  * the surviving files (forwarding the same pushdown so row-group pruning
+  * still applies inside each file).
+  */
+final class LakeScanBuilder(
+    ident: String,
+    tableSchema: StructType,
+    files: Seq[DataFileMeta],
+    options: CaseInsensitiveStringMap)
+  extends ScanBuilder with SupportsPushDownCatalystFilters
+  with SupportsPushDownRequiredColumns {
+
+  private var exprs: Seq[Expression] = Nil
+  private var requiredSchema: StructType = tableSchema
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    exprs = filters
+    // Everything stays a post-scan filter for Spark (pushdown here is
+    // best-effort skipping: file-level via min/max, row-group level inside
+    // the delegated parquet scan) — matching FileScanBuilder's contract.
+    filters
+  }
+  // explain-level pushdown display comes from the delegated ParquetScan's
+  // own description (PushedFilters: [...]), which is authoritative.
+  override def pushedFilters: Array[Predicate] = Array.empty
+  override def pruneColumns(s: StructType): Unit = requiredSchema = s
+
+  override def build(): Scan = {
+    val survivors = files.filter(f => exprs.forall(e => FilePruner.mayMatch(e, f, tableSchema)))
+    val spark = SparkSession.active
+    val pt = ParquetTable(ident, spark, options, survivors.map(_.path).toList,
+      Some(tableSchema), classOf[ParquetFileFormat])
+    val inner = pt.newScanBuilder(options)
+    inner.pushFilters(exprs) // inner translates + records row-group pushdown itself
+    inner.pruneColumns(requiredSchema)
+    inner.build()
+  }
+}
+
+/** Metadata-level file skipping over catalyst predicates: `mayMatch = false`
+  * only when the predicate provably excludes every row of the file given
+  * its min/max — conservative by construction (unknown shapes, casts on the
+  * column side, missing stats, nulls ⇒ keep the file). Works on internal
+  * representations (dates = days-since-epoch Int, timestamps = micros
+  * Long), which is exactly what both catalyst Literals and our writer-side
+  * stats carry.
+  */
+object FilePruner {
+  import org.apache.spark.sql.catalyst.{expressions => ce}
+
+  private def comparable(dt: DataType): Boolean = dt match {
+    case _: NumericType | DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  /** (column, literal-as-BigDecimal, literalOnLeft) for `attr op lit` /
+    * `lit op attr` shapes; None for anything else (⇒ no pruning).
+    */
+  private def colLit(l: ce.Expression, r: ce.Expression): Option[(String, BigDecimal, Boolean)] = {
+    def num(v: Any): Option[BigDecimal] = v match {
+      case n: java.lang.Number => Some(BigDecimal(n.toString))
+      case _ => None
+    }
+    (l, r) match {
+      case (a: ce.Attribute, ce.Literal(v, dt)) if comparable(dt) => num(v).map((a.name, _, false))
+      case (ce.Literal(v, dt), a: ce.Attribute) if comparable(dt) => num(v).map((a.name, _, true))
+      case _ => None
+    }
+  }
+
+  /** Could any row of `f` satisfy `e`? */
+  def mayMatch(e: ce.Expression, f: DataFileMeta, schema: StructType): Boolean = {
+    if (f.minValues.isEmpty) return true
+    def range(col: String): Option[(BigDecimal, BigDecimal)] =
+      for {
+        mn <- f.minValues.get(col); mx <- f.maxValues.get(col)
+        lo <- try Some(BigDecimal(mn)) catch { case _: Throwable => None }
+        hi <- try Some(BigDecimal(mx)) catch { case _: Throwable => None }
+      } yield (lo, hi)
+    def check(l: ce.Expression, r: ce.Expression)(
+        test: (BigDecimal, BigDecimal, BigDecimal, Boolean) => Boolean): Boolean =
+      (for ((col, v, flipped) <- colLit(l, r); (lo, hi) <- range(col))
+        yield test(lo, hi, v, flipped)).getOrElse(true)
+    e match {
+      case ce.And(a, b) => mayMatch(a, f, schema) && mayMatch(b, f, schema)
+      case ce.Or(a, b) => mayMatch(a, f, schema) || mayMatch(b, f, schema)
+      case ce.EqualTo(l, r) => check(l, r)((lo, hi, v, _) => v >= lo && v <= hi)
+      case ce.GreaterThan(l, r) => // attr > v needs hi > v; v > attr needs lo < v
+        check(l, r)((lo, hi, v, flip) => if (flip) lo < v else hi > v)
+      case ce.GreaterThanOrEqual(l, r) =>
+        check(l, r)((lo, hi, v, flip) => if (flip) lo <= v else hi >= v)
+      case ce.LessThan(l, r) =>
+        check(l, r)((lo, hi, v, flip) => if (flip) hi > v else lo < v)
+      case ce.LessThanOrEqual(l, r) =>
+        check(l, r)((lo, hi, v, flip) => if (flip) hi >= v else lo <= v)
+      case _ => true
+    }
+  }
+}
+
+/** Append (default) or truncate-then-append (INSERT OVERWRITE) write. */
+final class LakeWriteBuilder(
+    table: LakeTable,
+    info: LogicalWriteInfo,
+    store: PointerStore,
+    hadoopConf: Configuration)
+  extends WriteBuilder with SupportsTruncate {
+
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new LakeBatchWrite(table, info.schema(), overwrite, store, hadoopConf)
+  }
+}
+
+final case class LakeCommitMessage(file: DataFileMeta) extends WriterCommitMessage
+
+final class LakeBatchWrite(
+    table: LakeTable,
+    writeSchema: StructType,
+    overwrite: Boolean,
+    store: PointerStore,
+    hadoopConf: Configuration)
+  extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    LakeWriterFactory(writeSchema.json, s"${table.meta.location}/data",
+      new SerializableConfiguration(hadoopConf))
+
+  /** The reference's EP3: write new metadata → CAS the pointer; on a lost
+    * race, reload the current metadata, REBASE (append = union with the
+    * winner's file list) and retry, bounded. The reference has no retry
+    * loop (SURVEY §2a gap) — we add one, as any real engine must.
+    */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val newFiles = messages.collect { case LakeCommitMessage(f) if f.path.nonEmpty => f }.toSeq
+    var base = table.meta
+    var prevLoc = table.metadataLocation
+    var attempts = 0
+    while (attempts < 5) {
+      val manifest = if (overwrite) newFiles else base.currentFiles ++ newFiles
+      val snapId = base.nextSnapshotId
+      val next = base.copy(
+        currentSnapshotId = snapId,
+        snapshots = base.snapshots :+ SnapshotMeta(snapId, System.currentTimeMillis(),
+          if (overwrite) "overwrite" else "append", manifest))
+      val newLoc = TableMeta.write(next, hadoopConf)
+      if (store.casUpdate(table.namespace, table.tableName, newLoc, prevLoc) == 1) {
+        table.commitSucceeded() // evict catalog cache: readers must see this snapshot
+        return
+      }
+      // lost the race: refresh pointer + metadata and rebase
+      attempts += 1
+      prevLoc = store.load(table.namespace, table.tableName).getOrElse(
+        throw new IllegalStateException(s"table ${table.ident} dropped during commit"))
+      base = TableMeta.read(prevLoc, hadoopConf)
+    }
+    throw new IllegalStateException(
+      s"commit conflict on ${table.ident}: CAS lost $attempts times (reference mod.rs:342-343 semantics)")
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(table.meta.location).getFileSystem(hadoopConf)
+    messages.collect { case LakeCommitMessage(f) => fs.delete(new Path(f.path), false) }
+  }
+}
+
+/** Serialized to executors: only strings + a serializable Hadoop conf. */
+final case class LakeWriterFactory(
+    schemaJson: String,
+    dataDir: String,
+    conf: SerializableConfiguration)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new LakeDataWriter(
+      DataType.fromJson(schemaJson).asInstanceOf[StructType],
+      s"$dataDir/part-$partitionId-$taskId-${java.util.UUID.randomUUID()}.parquet",
+      conf.value)
+}
+
+/** Streams rows into one parquet file using Spark's own
+  * [[ParquetWriteSupport]] (identical encoding to `df.write.parquet`),
+  * tracking per-column min/max on the fly so the commit can record
+  * pruning stats without re-reading footers.
+  */
+final class LakeDataWriter(schema: StructType, path: String, conf: Configuration)
+  extends DataWriter[InternalRow] {
+
+  private val writer: ParquetWriter[InternalRow] = {
+    import org.apache.spark.sql.internal.SQLConf
+    val c = new Configuration(conf)
+    ParquetWriteSupport.setSchema(schema, c)
+    // ParquetWriteSupport/SparkToParquetSchemaConverter read these straight
+    // from the Configuration with no defaults — all must be present
+    // (normally ParquetFileFormat.prepareWrite sets them; we are our own
+    // prepareWrite).
+    c.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, "false")
+    c.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
+    c.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "false")
+    c.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key, "false")
+    c.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    c.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    c.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, "UTC")
+    new LakeParquetBuilder(new Path(path), c).build()
+  }
+
+  private var rows = 0L
+  // stats slots per field; null = tracking unsupported/disabled for that field
+  private val mins = new Array[Any](schema.length)
+  private val maxs = new Array[Any](schema.length)
+
+  private def track(row: InternalRow): Unit = {
+    var i = 0
+    while (i < schema.length) {
+      if (!row.isNullAt(i)) {
+        val v: Any = schema.fields(i).dataType match {
+          case IntegerType | DateType => row.getInt(i)
+          case LongType | TimestampType | TimestampNTZType => row.getLong(i)
+          case DoubleType => row.getDouble(i)
+          case FloatType => row.getFloat(i)
+          case ShortType => row.getShort(i)
+          case _ => null
+        }
+        if (v != null) {
+          val cmp = v.asInstanceOf[Comparable[Any]]
+          if (mins(i) == null || cmp.compareTo(mins(i)) < 0) mins(i) = v
+          if (maxs(i) == null || cmp.compareTo(maxs(i)) > 0) maxs(i) = v
+        }
+      }
+      i += 1
+    }
+  }
+
+  override def write(row: InternalRow): Unit = {
+    track(row)
+    writer.write(row)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (rows == 0) { fs.delete(p, false); return LakeCommitMessage(DataFileMeta("", 0, 0)) }
+    val size = fs.getFileStatus(p).getLen
+    def m(a: Array[Any]): Map[String, String] =
+      schema.fields.indices.collect {
+        case i if a(i) != null => schema.fields(i).name -> a(i).toString
+      }.toMap
+    LakeCommitMessage(DataFileMeta(path, rows, size, m(mins), m(maxs)))
+  }
+
+  override def abort(): Unit = {
+    writer.close()
+    val p = new Path(path)
+    p.getFileSystem(conf).delete(p, false)
+  }
+
+  override def close(): Unit = ()
+}
+
+/** parquet-hadoop builder wired to Spark's InternalRow WriteSupport. */
+final class LakeParquetBuilder(path: Path, conf: Configuration)
+  extends ParquetWriter.Builder[InternalRow, LakeParquetBuilder](path) {
+  withConf(conf)
+  withCompressionCodec(CompressionCodecName.SNAPPY)
+  override def self(): LakeParquetBuilder = this
+  override def getWriteSupport(c: Configuration): WriteSupport[InternalRow] =
+    new ParquetWriteSupport()
+}

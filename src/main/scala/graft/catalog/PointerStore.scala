@@ -1,0 +1,202 @@
+package graft.catalog
+
+import java.sql.{Connection, DriverManager, SQLException, SQLIntegrityConstraintViolationException}
+
+/** JDBC pointer store — the exact `iceberg_tables` contract of the
+  * reference's Postgres catalog (reference: src/catalog/mod.rs:365-385; the
+  * same DDL as Apache Iceberg's public JdbcCatalog). One row per table,
+  * holding the current metadata-file pointer; commits move the pointer with
+  * a guarded compare-and-swap UPDATE (reference: src/catalog/mod.rs:309-335).
+  *
+  * Differences from the reference, on purpose:
+  *   - every statement is a PreparedStatement (the reference concatenates
+  *     SQL strings, e.g. mod.rs:60-80 — an injection anti-pattern);
+  *   - ANSI SQL + a tiny dialect shim so embedded Derby (tests) and
+  *     Postgres (prod) both work: Derby has no `CREATE TABLE IF NOT EXISTS`
+  *     or `ON CONFLICT DO NOTHING`, so bootstrap catches "already exists"
+  *     and register catches duplicate-key — same 0/1-row semantics as the
+  *     reference's ON CONFLICT insert (mod.rs:252-288);
+  *   - a `graft_namespaces` side table backs explicit CREATE/DROP NAMESPACE
+  *     (the reference keeps namespaces implicit in table rows only).
+  *
+  * All access is driver-side and serialized on the single connection —
+  * executors never touch JDBC.
+  */
+final class PointerStore(jdbcUrl: String, catalogName: String) extends AutoCloseable {
+
+  private val conn: Connection = DriverManager.getConnection(jdbcUrl)
+
+  /** Idempotent bootstrap, the reference's `initialize` (mod.rs:362-391). */
+  def initialize(): Unit = synchronized {
+    createIfMissing(
+      """CREATE TABLE iceberg_tables (
+        |  catalog_name VARCHAR(255) NOT NULL,
+        |  table_namespace VARCHAR(255) NOT NULL,
+        |  table_name VARCHAR(255) NOT NULL,
+        |  metadata_location VARCHAR(5500),
+        |  previous_metadata_location VARCHAR(5500),
+        |  PRIMARY KEY (catalog_name, table_namespace, table_name)
+        |)""".stripMargin)
+    createIfMissing(
+      """CREATE TABLE graft_namespaces (
+        |  catalog_name VARCHAR(255) NOT NULL,
+        |  namespace VARCHAR(255) NOT NULL,
+        |  PRIMARY KEY (catalog_name, namespace)
+        |)""".stripMargin)
+  }
+
+  private def createIfMissing(ddl: String): Unit = {
+    val st = conn.createStatement()
+    try st.execute(ddl)
+    catch {
+      // Derby: X0Y32 "already exists"; Postgres: 42P07 duplicate_table.
+      case e: SQLException if e.getSQLState == "X0Y32" || e.getSQLState == "42P07" => ()
+    } finally st.close()
+  }
+
+  /** reference list_tables (mod.rs:56-96). */
+  def listTables(namespace: String): Seq[String] = synchronized {
+    val ps = conn.prepareStatement(
+      "SELECT table_name FROM iceberg_tables WHERE catalog_name = ? AND table_namespace = ?")
+    try {
+      ps.setString(1, catalogName); ps.setString(2, namespace)
+      val rs = ps.executeQuery()
+      val b = Seq.newBuilder[String]
+      while (rs.next()) b += rs.getString(1)
+      b.result()
+    } finally ps.close()
+  }
+
+  /** reference table_exists (mod.rs:107-136). */
+  def tableExists(namespace: String, name: String): Boolean = synchronized {
+    val ps = conn.prepareStatement(
+      "SELECT 1 FROM iceberg_tables WHERE catalog_name = ? AND table_namespace = ? AND table_name = ?")
+    try {
+      ps.setString(1, catalogName); ps.setString(2, namespace); ps.setString(3, name)
+      ps.executeQuery().next()
+    } finally ps.close()
+  }
+
+  /** reference register_table (mod.rs:242-294): conditional INSERT; returns
+    * false when the row already exists (the reference's 0-rows ⇒
+    * "already exists" path, mod.rs:285-288).
+    */
+  def register(namespace: String, name: String, metadataLocation: String): Boolean = synchronized {
+    val ps = conn.prepareStatement(
+      """INSERT INTO iceberg_tables
+        |  (catalog_name, table_namespace, table_name, metadata_location, previous_metadata_location)
+        |  VALUES (?, ?, ?, ?, NULL)""".stripMargin)
+    try {
+      ps.setString(1, catalogName); ps.setString(2, namespace)
+      ps.setString(3, name); ps.setString(4, metadataLocation)
+      ps.executeUpdate() == 1
+    } catch {
+      case _: SQLIntegrityConstraintViolationException => false
+      case e: SQLException if e.getSQLState == "23505" => false // PG unique_violation
+    } finally ps.close()
+  }
+
+  /** reference load_table's pointer lookup (mod.rs:180-235): exactly one row
+    * or None — the >1 case is impossible under the PK, matching the
+    * reference's invariant check (mod.rs:229-235).
+    */
+  def load(namespace: String, name: String): Option[String] = synchronized {
+    val ps = conn.prepareStatement(
+      "SELECT metadata_location FROM iceberg_tables WHERE catalog_name = ? AND table_namespace = ? AND table_name = ?")
+    try {
+      ps.setString(1, catalogName); ps.setString(2, namespace); ps.setString(3, name)
+      val rs = ps.executeQuery()
+      if (rs.next()) Option(rs.getString(1)) else None
+    } finally ps.close()
+  }
+
+  /** The commit primitive — reference update_table (mod.rs:296-347), "the
+    * single most important 52 lines in the reference": a guarded CAS UPDATE.
+    * Returns the updated row count: 1 = committed, 0 = a concurrent commit
+    * moved the pointer first (caller refreshes and retries or fails).
+    */
+  def casUpdate(namespace: String, name: String, newLocation: String,
+      expectedLocation: String): Int = synchronized {
+    val ps = conn.prepareStatement(
+      """UPDATE iceberg_tables
+        |  SET metadata_location = ?, previous_metadata_location = ?
+        |  WHERE catalog_name = ? AND table_namespace = ? AND table_name = ?
+        |    AND metadata_location = ?""".stripMargin)
+    try {
+      ps.setString(1, newLocation); ps.setString(2, expectedLocation)
+      ps.setString(3, catalogName); ps.setString(4, namespace); ps.setString(5, name)
+      ps.setString(6, expectedLocation)
+      ps.executeUpdate()
+    } finally ps.close()
+  }
+
+  /** reference drop_table (mod.rs:138-175): point DELETE, exactly-one check
+    * surfaced as the boolean (0 rows = table didn't exist).
+    */
+  def drop(namespace: String, name: String): Boolean = synchronized {
+    val ps = conn.prepareStatement(
+      "DELETE FROM iceberg_tables WHERE catalog_name = ? AND table_namespace = ? AND table_name = ?")
+    try {
+      ps.setString(1, catalogName); ps.setString(2, namespace); ps.setString(3, name)
+      ps.executeUpdate() == 1
+    } finally ps.close()
+  }
+
+  /** Not in the reference (listed as a gap in SURVEY §2a): atomic rename. */
+  def rename(fromNs: String, fromName: String, toNs: String, toName: String): Boolean =
+    synchronized {
+      val ps = conn.prepareStatement(
+        """UPDATE iceberg_tables SET table_namespace = ?, table_name = ?
+          |  WHERE catalog_name = ? AND table_namespace = ? AND table_name = ?""".stripMargin)
+      try {
+        ps.setString(1, toNs); ps.setString(2, toName)
+        ps.setString(3, catalogName); ps.setString(4, fromNs); ps.setString(5, fromName)
+        ps.executeUpdate() == 1
+      } finally ps.close()
+    }
+
+  // ── namespace CRUD (SupportsNamespaces backing) ────────────────────────
+
+  def createNamespace(namespace: String): Boolean = synchronized {
+    val ps = conn.prepareStatement(
+      "INSERT INTO graft_namespaces (catalog_name, namespace) VALUES (?, ?)")
+    try {
+      ps.setString(1, catalogName); ps.setString(2, namespace)
+      ps.executeUpdate() == 1
+    } catch {
+      case _: SQLIntegrityConstraintViolationException => false
+      case e: SQLException if e.getSQLState == "23505" => false
+    } finally ps.close()
+  }
+
+  def dropNamespace(namespace: String): Boolean = synchronized {
+    val ps = conn.prepareStatement(
+      "DELETE FROM graft_namespaces WHERE catalog_name = ? AND namespace = ?")
+    try {
+      ps.setString(1, catalogName); ps.setString(2, namespace)
+      ps.executeUpdate() == 1
+    } finally ps.close()
+  }
+
+  /** Namespaces = explicitly created ∪ implied by existing tables (the
+    * reference knows only the implied kind).
+    */
+  def listNamespaces(): Seq[String] = synchronized {
+    val ps = conn.prepareStatement(
+      """SELECT namespace FROM graft_namespaces WHERE catalog_name = ?
+        |UNION
+        |SELECT table_namespace FROM iceberg_tables WHERE catalog_name = ?""".stripMargin)
+    try {
+      ps.setString(1, catalogName); ps.setString(2, catalogName)
+      val rs = ps.executeQuery()
+      val b = Seq.newBuilder[String]
+      while (rs.next()) b += rs.getString(1)
+      b.result().sorted
+    } finally ps.close()
+  }
+
+  def namespaceExists(namespace: String): Boolean =
+    listNamespaces().contains(namespace)
+
+  override def close(): Unit = synchronized(conn.close())
+}

@@ -1,0 +1,51 @@
+package graft.queries
+
+import graft.Tables
+
+/** Catalog-lifecycle queries (SURVEY §2a surfaced through the engine): CTAS
+  * into the `lake` catalog — create (reference mod.rs:98-105) + append
+  * committed via the CAS pointer swap (mod.rs:296-347) — then a read back
+  * through the metadata-driven DSv2 scan. The DuckDB oracle runs the
+  * equivalent plain SQL over the raw parquet, so a hash match proves the
+  * whole write→commit→resolve→scan loop preserves values exactly.
+  */
+object CatalogQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.df(
+      "q30_catalog_roundtrip",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS lake.verify")
+      s.sql("DROP TABLE IF EXISTS lake.verify.orders_by_priority")
+      s.sql(
+        """CREATE TABLE lake.verify.orders_by_priority AS
+          |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+          |FROM orders GROUP BY o_orderpriority""".stripMargin)
+      s.table("lake.verify.orders_by_priority").orderBy("o_orderpriority")
+    },
+
+    QueryDef.df(
+      "q31_catalog_snapshot_isolation",
+      // Oracle = first half of the data only: the query reads VERSION AS OF
+      // the first append, proving time travel returns the old snapshot even
+      // after a second append moved the pointer.
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
+        |FROM customer WHERE c_custkey % 2 = 0
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS lake.verify")
+      s.sql("DROP TABLE IF EXISTS lake.verify.cust_tt")
+      s.sql(
+        """CREATE TABLE lake.verify.cust_tt AS
+          |SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 2 = 0""".stripMargin)
+      s.sql("INSERT INTO lake.verify.cust_tt SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 2 = 1")
+      s.sql(
+        """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
+          |FROM lake.verify.cust_tt VERSION AS OF 1
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    })
+}

@@ -1,0 +1,194 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog._
+
+/** Store-level tests: the reference's single E2E lifecycle test
+  * (reference: src/catalog/mod.rs:397-480) ported 1:1, plus the paths the
+  * reference never covers — CAS conflict, register conflict, two-writer
+  * race (SURVEY §5 test plan).
+  */
+class PointerStoreSpec extends AnyFunSuite {
+
+  private def freshStore(tag: String) = {
+    val s = new PointerStore(
+      s"jdbc:derby:memory:ps_${tag}_${System.nanoTime()};create=true", "test_cat")
+    s.initialize()
+    s
+  }
+
+  test("reference E2E lifecycle: create -> exists -> commit moves pointer -> drop -> !exists") {
+    val store = freshStore("life")
+    // create_table = write metadata + register pointer (mod.rs:98-105)
+    assert(!store.tableExists("test", "table1"))
+    assert(store.register("test", "table1", "/wh/test/table1/metadata/v0.json"))
+    assert(store.tableExists("test", "table1")) // mod.rs:458-462
+    val loc0 = store.load("test", "table1").get
+    // transaction commit = CAS pointer swap (mod.rs:464-471)
+    assert(store.casUpdate("test", "table1", "/wh/test/table1/metadata/v1.json", loc0) == 1)
+    val loc1 = store.load("test", "table1").get
+    assert(loc1 != loc0, "metadata pointer must move on commit")
+    // drop -> exists flips (mod.rs:473-478)
+    assert(store.drop("test", "table1"))
+    assert(!store.tableExists("test", "table1"))
+  }
+
+  test("initialize is idempotent (reference mod.rs:362-391)") {
+    val s = freshStore("idem")
+    s.initialize(); s.initialize() // no throw
+  }
+
+  test("register conflict: second insert reports already-exists (mod.rs:285-288)") {
+    val store = freshStore("conflict")
+    assert(store.register("ns", "t", "/a.json"))
+    assert(!store.register("ns", "t", "/b.json"))
+    assert(store.load("ns", "t").contains("/a.json"), "loser must not clobber the pointer")
+  }
+
+  test("CAS conflict: stale expected pointer updates 0 rows (mod.rs:342-343)") {
+    val store = freshStore("cas")
+    store.register("ns", "t", "/v0.json")
+    assert(store.casUpdate("ns", "t", "/v1.json", "/v0.json") == 1)
+    // a second committer still holding /v0.json as its base must lose
+    assert(store.casUpdate("ns", "t", "/v2.json", "/v0.json") == 0)
+    assert(store.load("ns", "t").contains("/v1.json"))
+  }
+
+  test("two-writer race: exactly one CAS wins") {
+    val store = freshStore("race")
+    store.register("ns", "t", "/v0.json")
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val results = Await.result(
+      Future.sequence((1 to 8).map(i => Future(
+        store.casUpdate("ns", "t", s"/v$i.json", "/v0.json")))),
+      30.seconds).toList
+    pool.shutdown()
+    assert(results.count(_ == 1) == 1, s"exactly one writer must win, got $results")
+    assert(results.count(_ == 0) == 7)
+  }
+
+  test("drop of nonexistent table reports false (exactly-one check, mod.rs:163-174)") {
+    val store = freshStore("dropmiss")
+    assert(!store.drop("ns", "missing"))
+  }
+
+  test("list_tables filters by namespace (mod.rs:56-96)") {
+    val store = freshStore("list")
+    store.register("a", "t1", "/1.json")
+    store.register("a", "t2", "/2.json")
+    store.register("b", "t3", "/3.json")
+    assert(store.listTables("a").sorted == Seq("t1", "t2"))
+    assert(store.listTables("b") == Seq("t3"))
+    assert(store.listTables("c").isEmpty)
+  }
+
+  test("namespaces: explicit + implied from tables") {
+    val store = freshStore("nsops")
+    assert(store.createNamespace("explicit"))
+    assert(!store.createNamespace("explicit"))
+    store.register("implied", "t", "/1.json")
+    assert(store.listNamespaces() == Seq("explicit", "implied"))
+    assert(store.namespaceExists("implied"))
+  }
+}
+
+/** SQL-surface tests through the registered `lake` catalog: DDL, writes via
+  * CAS commit, reads via the metadata-driven scan, time travel.
+  */
+class LakeCatalogSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("CREATE TABLE / SHOW TABLES / DROP TABLE through SQL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ddl")
+    spark.sql("DROP TABLE IF EXISTS lake.ddl.t1")
+    spark.sql("CREATE TABLE lake.ddl.t1 (id BIGINT, name STRING)")
+    val tables = spark.sql("SHOW TABLES IN lake.ddl").collect().map(_.getString(1))
+    assert(tables.contains("t1"))
+    intercept[Exception](spark.sql("CREATE TABLE lake.ddl.t1 (id BIGINT)"))
+    spark.sql("DROP TABLE lake.ddl.t1")
+    assert(!spark.sql("SHOW TABLES IN lake.ddl").collect().map(_.getString(1)).contains("t1"))
+  }
+
+  test("INSERT INTO appends; snapshots accumulate; VERSION AS OF time-travels") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.tt")
+    spark.sql("DROP TABLE IF EXISTS lake.tt.snap")
+    spark.sql("CREATE TABLE lake.tt.snap (k INT, v STRING)")
+    spark.sql("INSERT INTO lake.tt.snap VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO lake.tt.snap VALUES (3, 'c')")
+    assert(spark.table("lake.tt.snap").count() == 3)
+    // snapshot 1 = first append only
+    assert(spark.sql("SELECT * FROM lake.tt.snap VERSION AS OF 1").count() == 2)
+    val v1 = spark.sql("SELECT k FROM lake.tt.snap VERSION AS OF 1")
+      .collect().map(_.getInt(0)).sorted
+    assert(v1.sameElements(Array(1, 2)))
+  }
+
+  test("INSERT OVERWRITE replaces contents (truncate capability)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ow")
+    spark.sql("DROP TABLE IF EXISTS lake.ow.t")
+    spark.sql("CREATE TABLE lake.ow.t (k INT)")
+    spark.sql("INSERT INTO lake.ow.t VALUES (1), (2)")
+    spark.sql("INSERT OVERWRITE lake.ow.t VALUES (9)")
+    assert(spark.table("lake.ow.t").collect().map(_.getInt(0)).toSeq == Seq(9))
+  }
+
+  test("CTAS from testdata parquet round-trips values exactly") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ctas")
+    spark.sql("DROP TABLE IF EXISTS lake.ctas.nation2")
+    val src = spark.read.parquet(s"$sf/nation.parquet")
+    src.createOrReplaceTempView("nation_src")
+    spark.sql("CREATE TABLE lake.ctas.nation2 AS SELECT * FROM nation_src")
+    val back = spark.table("lake.ctas.nation2")
+    assert(back.schema == src.schema)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      src.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("file pruning: per-append min/max stats prune non-matching files from the scan") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.prune")
+    spark.sql("DROP TABLE IF EXISTS lake.prune.m")
+    spark.sql("CREATE TABLE lake.prune.m (k INT, v STRING)")
+    spark.sql("INSERT INTO lake.prune.m SELECT id AS k, 'lo' AS v FROM range(0, 100)")
+    spark.sql("INSERT INTO lake.prune.m SELECT id AS k, 'hi' AS v FROM range(1000, 1100)")
+    val plan = spark.sql("SELECT * FROM lake.prune.m WHERE k > 5000")
+      .queryExecution.executedPlan.toString
+    // both files pruned by metadata min/max -> scan over zero parquet files
+    assert(spark.sql("SELECT * FROM lake.prune.m WHERE k > 5000").count() == 0)
+    val one = spark.sql("SELECT count(*) FROM lake.prune.m WHERE k >= 1000")
+      .collect().head.getLong(0)
+    assert(one == 100)
+    assert(spark.table("lake.prune.m").count() == 200)
+  }
+
+  test("concurrent INSERTs both land (commit retry rebases the loser)") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.cc")
+    spark.sql("DROP TABLE IF EXISTS lake.cc.t")
+    spark.sql("CREATE TABLE lake.cc.t (k INT)")
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    Await.result(Future.sequence((1 to 4).map(i =>
+      Future(spark.sql(s"INSERT INTO lake.cc.t VALUES ($i)")))), 120.seconds)
+    pool.shutdown()
+    assert(spark.table("lake.cc.t").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3, 4))
+  }
+
+  test("rename preserves data; purge removes files") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.rn")
+    spark.sql("DROP TABLE IF EXISTS lake.rn.a")
+    spark.sql("DROP TABLE IF EXISTS lake.rn.b")
+    spark.sql("CREATE TABLE lake.rn.a (k INT)")
+    spark.sql("INSERT INTO lake.rn.a VALUES (42)")
+    spark.sql("ALTER TABLE lake.rn.a RENAME TO lake.rn.b")
+    assert(spark.table("lake.rn.b").collect().head.getInt(0) == 42)
+    assert(!spark.catalog.tableExists("lake.rn.a"))
+  }
+}
