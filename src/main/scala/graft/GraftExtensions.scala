@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+import graft.functions.{CosineSim, MinHashSignature, SimHash}
+
+/** Session extensions registering the engine's custom codegen expressions
+  * as SQL functions — the Spark-idiomatic extension point
+  * (`spark.sql.extensions=graft.GraftExtensions`), so the LLM-pipeline
+  * operators are first-class in both SQL text and the Column API
+  * (via `call_function`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(getClass.getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      info("minhash_signature",
+        "minhash_signature(shingles[, numHashes[, seed]]) - MinHash signature array<long> of an array<string>"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => MinHashSignature(c, 64, 42L)
+        case Seq(c, Literal(k: Int, IntegerType)) => MinHashSignature(c, k, 42L)
+        case Seq(c, Literal(k: Int, IntegerType), Literal(s: Long, LongType)) =>
+          MinHashSignature(c, k, s)
+        case Seq(c, Literal(k: Int, IntegerType), Literal(s: Int, IntegerType)) =>
+          MinHashSignature(c, k, s.toLong)
+        case other => throw new IllegalArgumentException(
+          s"minhash_signature(shingles[, numHashes[, seed]]): bad args $other")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("simhash"),
+      info("simhash", "simhash(tokens[, seed]) - 64-bit SimHash of an array<string>"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => SimHash(c, 42L)
+        case Seq(c, Literal(s: Long, LongType)) => SimHash(c, s)
+        case Seq(c, Literal(s: Int, IntegerType)) => SimHash(c, s.toLong)
+        case other => throw new IllegalArgumentException(s"simhash(tokens[, seed]): bad args $other")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two array<float> embeddings"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => CosineSim(a, b)
+        case other => throw new IllegalArgumentException(s"cosine_sim(a, b): bad args $other")
+      }))
+  }
+}

@@ -20,6 +20,9 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Custom codegen expressions (minhash_signature / simhash /
+      // cosine_sim) registered as SQL functions.
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
       // read as long (nanos) and convert explicitly (Tables.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

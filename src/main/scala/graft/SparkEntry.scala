@@ -8,10 +8,11 @@ object SparkEntry {
 
   /** Full registry of implemented operators (SURVEY §2 inventory). */
   def registry: Seq[QueryDef] =
-    queries_relational ++ queries_catalog
+    queries_relational ++ queries_catalog ++ queries_llm
 
   private def queries_relational: Seq[QueryDef] = graft.queries.Relational.defs
   private def queries_catalog: Seq[QueryDef] = graft.queries.CatalogQueries.defs
+  private def queries_llm: Seq[QueryDef] = graft.queries.LlmPipeline.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,279 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.functions.TextHashing.{cosineSim, minhashSignature, simhash}
+
+/** LLM-training-data pipeline operators (north star; SURVEY §2b bottom
+  * rows): dedup (exact, MinHash/LSH, SimHash), similarity search over
+  * embeddings, text analysis, language-ID, quality scoring, multimodal
+  * plumbing. The reference delegates all compute to the engine
+  * (reference: src/catalog/mod.rs:359-361); these are the engine-surface
+  * operators a 100 TB training-data pipeline needs.
+  *
+  * Scale posture notes per query are inline — the common rules: candidate
+  * generation is always bucketed (LSH bands) and NEVER all-pairs; top-k is
+  * per-partition top-k + merge (TakeOrderedAndProject), never a global
+  * sort; the only broadcast is the single-row query vector.
+  */
+object LlmPipeline {
+
+  /** words = split on single space, lowercased (kept identical to the
+    * DuckDB oracle's string_split).
+    */
+  private def words(c: Column): Column = split(lower(c), " ")
+
+  /** Distinct 3-word shingles — the discriminating unit for near-dup
+    * detection (word UNIgrams are useless on a small shared vocabulary:
+    * nearly everything looks similar; 3-grams separate the planted
+    * near-dups at J>=0.9 from background <0.4).
+    */
+  private def shingles3(c: Column): Column = {
+    val w = words(c)
+    array_distinct(
+      when(size(w) >= 3,
+        transform(sequence(lit(1), size(w) - 2), i =>
+          concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+        .otherwise(array(lower(c))))
+  }
+
+  /** Exact set-Jaccard between two pre-distinct string arrays. */
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ───── q26: brute-force cosine top-k over embeddings ─────────────────
+    // Scale: one shuffle-free scan; the query vector broadcasts (1 row);
+    // orderBy+limit compiles to TakeOrderedAndProject = per-partition
+    // top-k then driver merge of k*partitions rows — no global sort at any
+    // data size. cosine_sim is a codegen Catalyst expression.
+    QueryDef.df(
+      "q26_embedding_topk",
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, CAST(label AS INT) AS label,
+        |       list_cosine_similarity(embedding::DOUBLE[], qe) AS sim
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label").cast("int").as("label"),
+          cosineSim(col("embedding"), col("qe")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    },
+
+    // ───── q27: exact dedup via content fingerprint ──────────────────────
+    // Scale: one hash-aggregate keyed by the 128-bit fingerprint (partial +
+    // final); no text column survives the shuffle — only fingerprints move.
+    QueryDef.shared(
+      "q27_exact_dedup",
+      """SELECT md5(lower(text)) AS fp,
+        |  CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY md5(lower(text))
+        |ORDER BY fp""".stripMargin),
+
+    // ───── q28: MinHash/LSH near-dup pairs, exact-verified ───────────────
+    // Pipeline: shingle -> 64-slot MinHash signature (custom codegen
+    // expression) -> 16 bands x 4 rows -> shuffle ONLY on (band, bandHash)
+    // -> candidate pairs from same-bucket docs -> exact Jaccard verify.
+    // Scale: never all-pairs — candidates are per-bucket; a bucket holds
+    // only docs agreeing on 4 of 64 minhashes. P(miss a J>=0.9 pair) =
+    // (1-0.9^4)^16 ~ 4e-8, so the exact-verified output matches the
+    // all-pairs oracle deterministically in practice.
+    QueryDef.df(
+      "q28_neardup_pairs",
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(
+        |    [lower(text).string_split(' ')[i] || ' ' || lower(text).string_split(' ')[i+1] || ' ' || lower(text).string_split(' ')[i+2]
+        |     for i in range(1, greatest(len(string_split(lower(text),' ')) - 1, 2))]) AS sh
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val bands = 16
+      val rowsPerBand = 4
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), shingles3(col("text")).as("sh"))
+      val sigs = docs.select(col("doc_id"),
+        minhashSignature(col("sh"), bands * rowsPerBand, 42L).as("sig"))
+      // band hash: xxhash64 over the band's signature slice (statically
+      // unrolled: 16 fixed entries, no lambda interpretation per row)
+      val bandStructs = (0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh")))
+      val banded = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
+        .select(col("doc_id"), col("e.band"), col("e.bh"))
+      // the ONLY shuffle: group by (band, bandHash)
+      val buckets = banded.groupBy("band", "bh")
+        .agg(sort_array(collect_list("doc_id")).as("ids"))
+        .filter(size(col("ids")) > 1)
+      // per-bucket candidate pairs (ids sorted => a < b), dedup across bands
+      val cands = buckets
+        .select(explode(flatten(transform(col("ids"), (a, i) =>
+          transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+            struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+        .select(col("p.id_a"), col("p.id_b"))
+        .distinct()
+      // exact verification joins shingles back (shuffle on doc_id)
+      val verified = cands
+        .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        .filter(col("jaccard") >= 0.6)
+      verified.orderBy("id_a", "id_b")
+    },
+
+    // ───── q29: text statistics per language ─────────────────────────────
+    QueryDef.df(
+      "q29_text_stats",
+      """SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(sum(len(list_distinct(string_split(lower(text), ' ')))) AS BIGINT) AS total_distinct_tokens,
+        |  CAST(max(len(string_split(lower(text), ' '))) AS BIGINT) AS max_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents").withColumn("toks", words(col("text")))
+      d.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(size(col("toks")).cast("long")).as("total_tokens"),
+        sum(size(array_distinct(col("toks"))).cast("long")).as("total_distinct_tokens"),
+        max(size(col("toks")).cast("long")).as("max_tokens"))
+        .orderBy("lang")
+    },
+
+    // ───── q32: HLL approximate distinct (SURVEY §2b approx row) ─────────
+    // Engines' HLL sketches differ numerically -> rows-only driver check;
+    // the ScalaTest suite asserts <5% relative error vs exact.
+    QueryDef.unoracled("q32_approx_distinct") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .orderBy("l_returnflag")
+    },
+
+    // ───── q33: SimHash near-dup candidates ──────────────────────────────
+    // Single 64-bit fingerprint per doc; candidates = pairs agreeing on any
+    // of 4 16-bit chunks (hamming<=3 guaranteed found for <=3 flipped
+    // chunks). Shuffles only on (chunk, value) — never all-pairs. XXH64 not
+    // available in the oracle -> rows-only check; ScalaTest pins behavior.
+    QueryDef.unoracled("q33_simhash_neardup") { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), simhash(shingles3(col("text")), 42L).as("sh64"))
+      val chunkStructs = (0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftrightunsigned(col("sh64"), c * 16).bitwiseAND(lit(0xFFFFL)).as("cv")))
+      val chunks = d.select(col("doc_id"), col("sh64"),
+        explode(array(chunkStructs: _*)).as("e"))
+        .select(col("doc_id"), col("sh64"), col("e.chunk"), col("e.cv"))
+      val buckets = chunks.groupBy("chunk", "cv")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("sh64")))).as("xs"))
+        .filter(size(col("xs")) > 1)
+      val pairs = buckets
+        .select(explode(flatten(transform(col("xs"), (a, i) =>
+          transform(slice(col("xs"), i + 2, size(col("xs"))), b =>
+            struct(a.getField("doc_id").as("id_a"), b.getField("doc_id").as("id_b"),
+              (a.getField("sh64").bitwiseXOR(b.getField("sh64"))).as("x")))))).as("p"))
+        .select(col("p.id_a"), col("p.id_b"), bit_count(col("p.x")).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 6)
+      pairs.orderBy("id_a", "id_b")
+    },
+
+    // ───── q34: language-ID heuristic ────────────────────────────────────
+    // Stopword-membership n-gram heuristic expressed in portable SQL so the
+    // oracle replays it exactly; on this synthetic shared-vocab corpus it
+    // demonstrates the operator (confusion counts per true lang).
+    QueryDef.shared(
+      "q34_langid",
+      """SELECT lang,
+        |  CASE
+        |    WHEN (' ' || lower(text) || ' ') LIKE '% the %' OR (' ' || lower(text) || ' ') LIKE '% and %' THEN 'en'
+        |    WHEN (' ' || lower(text) || ' ') LIKE '% der %' OR (' ' || lower(text) || ' ') LIKE '% und %' THEN 'de'
+        |    WHEN (' ' || lower(text) || ' ') LIKE '% les %' OR (' ' || lower(text) || ' ') LIKE '% est %' THEN 'fr'
+        |    WHEN (' ' || lower(text) || ' ') LIKE '% los %' OR (' ' || lower(text) || ' ') LIKE '% una %' THEN 'es'
+        |    ELSE 'und'
+        |  END AS predicted,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin),
+
+    // ───── q35: quality scoring ──────────────────────────────────────────
+    // Length-window + type-token-ratio + mean-token-length heuristic; same
+    // arithmetic spelled for DuckDB in the oracle.
+    QueryDef.df(
+      "q35_quality_score",
+      """WITH scored AS (
+        |  SELECT source,
+        |    (CASE WHEN n_chars BETWEEN 120 AND 2000 THEN 0.4 ELSE 0.1 END)
+        |    + 0.4 * (CAST(len(list_distinct(string_split(lower(text),' '))) AS DOUBLE)
+        |             / len(string_split(lower(text),' ')))
+        |    + (CASE WHEN CAST(n_chars AS DOUBLE) / len(string_split(lower(text),' ')) BETWEEN 3 AND 9 THEN 0.2 ELSE 0.0 END)
+        |      AS q
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
+        |FROM scored GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val toks = words(col("text"))
+      val ttr = size(array_distinct(toks)).cast("double") / size(toks)
+      val meanTokLen = col("n_chars").cast("double") / size(toks)
+      val q = when(col("n_chars").between(120, 2000), 0.4).otherwise(0.1) +
+        lit(0.4) * ttr +
+        when(meanTokLen.between(3, 9), 0.2).otherwise(0.0)
+      t(s, dir, "documents")
+        .select(col("source"), q.as("q"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("q").cast("decimal(18,6)")).cast("double").as("sum_quality"))
+        .orderBy("source")
+    },
+
+    // ───── q36: multimodal column plumbing ───────────────────────────────
+    // Treats the payload as an opaque binary column with typed metadata —
+    // the schema/partitioning/batch shape of an image/audio pipeline. The
+    // "decode" is a clearly-stubbed deterministic function of the bytes
+    // (real codecs aren't in this container); the Spark-side plumbing
+    // (binary col -> per-row feature struct -> aggregate) is real and
+    // oracled byte-for-byte.
+    QueryDef.df(
+      "q36_multimodal_features",
+      """WITH m AS (
+        |  SELECT source, octet_length(encode(text)) AS payload_bytes,
+        |         64 + (n_chars * 7) % 1216 AS fake_width,
+        |         64 + (n_chars * 13) % 656 AS fake_height,
+        |         1 + n_chars % 30 AS fake_frames
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_assets,
+        |  CAST(sum(payload_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(sum(fake_width * fake_height) AS BIGINT) AS total_pixels,
+        |  CAST(max(fake_frames) AS BIGINT) AS max_frames
+        |FROM m GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val payload = encode(col("text"), "UTF-8") // binary payload column
+      t(s, dir, "documents")
+        .select(col("source"),
+          octet_length(payload).as("payload_bytes"),
+          (lit(64) + (col("n_chars") * 7) % 1216).as("fake_width"),
+          (lit(64) + (col("n_chars") * 13) % 656).as("fake_height"),
+          (lit(1) + col("n_chars") % 30).as("fake_frames"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_assets"),
+          sum(col("payload_bytes").cast("long")).as("total_bytes"),
+          sum((col("fake_width") * col("fake_height")).cast("long")).as("total_pixels"),
+          max(col("fake_frames").cast("long")).as("max_frames"))
+        .orderBy("source")
+    })
+}

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextHashing
+
+/** Value-level tests for the LLM-pipeline operators and their custom
+  * codegen expressions (oracle parity is enforced separately by
+  * tools/check.py / the driver gate — here we pin semantics the oracle
+  * can't see: codegen-vs-interpreted agreement, estimator quality,
+  * recall against brute force).
+  */
+class LlmSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def withStrictCodegen[T](f: => T): T = {
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try f finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
+  test("cosine_sim: known vectors, codegen strict") {
+    withStrictCodegen {
+      val df = Seq(
+        (Array(1f, 0f), Array(1f, 0f), 1.0),
+        (Array(1f, 0f), Array(0f, 1f), 0.0),
+        (Array(1f, 1f), Array(1f, 0f), 1.0 / math.sqrt(2))).toDF("a", "b", "expected")
+      val rows = df.select(TextHashing.cosineSim(col("a"), col("b")).as("sim"), col("expected"))
+        .collect()
+      rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+      // zero-norm -> null
+      val z = Seq((Array(0f, 0f), Array(1f, 0f))).toDF("a", "b")
+        .select(TextHashing.cosineSim(col("a"), col("b"))).collect()
+      assert(z.head.isNullAt(0))
+    }
+  }
+
+  test("minhash_signature: deterministic, identical sets agree, estimator tracks jaccard") {
+    withStrictCodegen {
+      val docs = Seq(
+        (1L, "a b c d e f g h i j"),
+        (2L, "a b c d e f g h i j"), // identical
+        (3L, "a b c d e f g h i k"), // 1 token swapped
+        (4L, "z y x w v u t s r q") // disjoint
+      ).toDF("id", "text")
+      val sigs = docs
+        .select(col("id"), TextHashing.minhashSignature(
+          array_distinct(split(col("text"), " ")), 256, 42L).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(sigs(1L) == sigs(2L), "identical sets must produce identical signatures")
+      def agree(a: Seq[Long], b: Seq[Long]): Double =
+        a.zip(b).count { case (x, y) => x == y }.toDouble / a.size
+      // true jaccard(1,3) = 9/11 ~ 0.818; estimate within 0.12 at k=256
+      assert(math.abs(agree(sigs(1L), sigs(3L)) - 9.0 / 11) < 0.12)
+      assert(agree(sigs(1L), sigs(4L)) < 0.05, "disjoint sets must rarely agree")
+    }
+  }
+
+  test("simhash: identical texts collide; near texts within small hamming; disjoint far") {
+    withStrictCodegen {
+      val docs = Seq(
+        (1L, "spark table scan join filter agg window sort merge hash value part key row batch"),
+        (2L, "spark table scan join filter agg window sort merge hash value part key row batch"),
+        (3L, "spark table scan join filter agg window sort merge hash value part key row batches"),
+        (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron")
+      ).toDF("id", "text")
+      val hs = docs.select(col("id"),
+        TextHashing.simhash(array_distinct(split(col("text"), " ")), 42L).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+      assert(ham(hs(1L), hs(2L)) == 0)
+      assert(ham(hs(1L), hs(3L)) <= 12, s"near-dup hamming was ${ham(hs(1L), hs(3L))}")
+      assert(ham(hs(1L), hs(4L)) >= 16, s"disjoint hamming was ${ham(hs(1L), hs(4L))}")
+    }
+  }
+
+  test("q28 LSH pairs == brute-force pairs at the same threshold (recall check)") {
+    val lsh = SparkEntry.queries("q28_neardup_pairs")(spark, sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force in Spark itself (500 docs at sf0.001 -> fine)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), expr(
+        """array_distinct(CASE WHEN size(split(lower(text),' ')) >= 3
+          |THEN transform(sequence(1, size(split(lower(text),' ')) - 2),
+          |  i -> concat_ws(' ', element_at(split(lower(text),' '), i),
+          |                 element_at(split(lower(text),' '), i+1),
+          |                 element_at(split(lower(text),' '), i+2)))
+          |ELSE array(lower(text)) END)""".stripMargin).as("sh"))
+    val bf = docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          (size(col("a.sh")) + size(col("b.sh")) - size(array_intersect(col("a.sh"), col("b.sh")))))
+          .as("j"))
+      .filter(col("j") >= 0.6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == bf, s"LSH missed ${bf -- lsh}, extra ${lsh -- bf}")
+  }
+
+  test("q32 approx_count_distinct within 5% of exact") {
+    val approx = SparkEntry.queries("q32_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("o"), countDistinct(col("l_partkey")).as("p"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    exact.foreach { case (k, (o, p)) =>
+      assert(math.abs(approx(k)._1 - o).toDouble / o < 0.05)
+      assert(math.abs(approx(k)._2 - p).toDouble / p < 0.05)
+    }
+  }
+
+  test("q33 simhash candidates are all true near-dups at hamming<=6") {
+    val rows = SparkEntry.queries("q33_simhash_neardup")(spark, sf).collect()
+    assert(rows.nonEmpty, "planted near-dups must produce simhash candidates")
+    assert(rows.forall(_.getInt(2) <= 6))
+  }
+
+  test("q26 plan: per-partition top-k (TakeOrderedAndProject), no global sort") {
+    val plan = SparkEntry.queries("q26_embedding_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator, got:\n$plan")
+  }
+}
