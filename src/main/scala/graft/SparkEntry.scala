@@ -8,11 +8,12 @@ object SparkEntry {
 
   /** Full registry of implemented operators (SURVEY §2 inventory). */
   def registry: Seq[QueryDef] =
-    queries_relational ++ queries_catalog ++ queries_llm
+    queries_relational ++ queries_catalog ++ queries_llm ++ queries_streaming
 
   private def queries_relational: Seq[QueryDef] = graft.queries.Relational.defs
   private def queries_catalog: Seq[QueryDef] = graft.queries.CatalogQueries.defs
   private def queries_llm: Seq[QueryDef] = graft.queries.LlmPipeline.defs
+  private def queries_streaming: Seq[QueryDef] = graft.queries.StreamingQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -59,7 +59,7 @@ final class LakeTable(
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   private def effectiveSnapshot: Option[SnapshotMeta] = pinnedSnapshotId match {
     case Some(id) => Some(meta.snapshot(id).getOrElse(
@@ -199,6 +199,8 @@ final class LakeWriteBuilder(
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new LakeBatchWrite(table, info.schema(), overwrite, store, hadoopConf)
+    override def toStreaming: streaming.StreamingWrite =
+      new LakeStreamingWrite(table, info.schema(), info.queryId(), store, hadoopConf)
   }
 }
 
@@ -254,17 +256,88 @@ final class LakeBatchWrite(
   }
 }
 
-/** Serialized to executors: only strings + a serializable Hadoop conf. */
+/** Streaming micro-batch sink: every epoch appends a snapshot through the
+  * same CAS pointer swap as batch writes (reference EP3, mod.rs:296-347),
+  * made EXACTLY-ONCE by recording `(queryId, epochId)` in the table
+  * properties inside the same atomic commit. Spark's contract allows the
+  * same epoch to be re-committed after a failure (StreamingWrite javadoc);
+  * the guard makes the replay a no-op, so a retried micro-batch can never
+  * double-append — the CAS provides atomicity, the epoch watermark provides
+  * idempotence.
+  */
+final class LakeStreamingWrite(
+    table: LakeTable,
+    writeSchema: StructType,
+    queryId: String,
+    store: PointerStore,
+    hadoopConf: Configuration)
+  extends streaming.StreamingWrite {
+
+  private def epochKey = s"stream.$queryId.last-epoch"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
+    LakeWriterFactory(writeSchema.json, s"${table.meta.location}/data",
+      new SerializableConfiguration(hadoopConf))
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val newFiles = messages.collect { case LakeCommitMessage(f) if f.path.nonEmpty => f }.toSeq
+    // Always re-resolve the pointer: this handle lives for the whole query,
+    // and every prior epoch moved it.
+    var attempts = 0
+    while (attempts < 5) {
+      val prevLoc = store.load(table.namespace, table.tableName).getOrElse(
+        throw new IllegalStateException(s"table ${table.ident} dropped during streaming commit"))
+      val base = TableMeta.read(prevLoc, hadoopConf)
+      if (base.properties.get(epochKey).exists(_.toLong >= epochId)) {
+        // replayed epoch (sink retry / restart from checkpoint): drop the
+        // re-written files, keep the committed snapshot — exactly-once.
+        val fs = new Path(table.meta.location).getFileSystem(hadoopConf)
+        newFiles.foreach(f => fs.delete(new Path(f.path), false))
+        return
+      }
+      val snapId = base.nextSnapshotId
+      val next = base.copy(
+        currentSnapshotId = snapId,
+        properties = base.properties + (epochKey -> epochId.toString),
+        snapshots = base.snapshots :+ SnapshotMeta(snapId, System.currentTimeMillis(),
+          "stream-append", base.currentFiles ++ newFiles))
+      val newLoc = TableMeta.write(next, hadoopConf)
+      if (store.casUpdate(table.namespace, table.tableName, newLoc, prevLoc) == 1) {
+        table.commitSucceeded()
+        return
+      }
+      attempts += 1 // lost a race with another writer: refresh + retry
+    }
+    throw new IllegalStateException(
+      s"streaming commit conflict on ${table.ident}: CAS lost $attempts times")
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(table.meta.location).getFileSystem(hadoopConf)
+    messages.collect { case LakeCommitMessage(f) if f.path.nonEmpty =>
+      fs.delete(new Path(f.path), false)
+    }
+  }
+}
+
+/** Serialized to executors: only strings + a serializable Hadoop conf.
+  * Serves both batch and streaming writes (same parquet writer; the epoch
+  * is handled at commit time, not write time).
+  */
 final case class LakeWriterFactory(
     schemaJson: String,
     dataDir: String,
     conf: SerializableConfiguration)
-  extends DataWriterFactory {
+  extends DataWriterFactory with streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new LakeDataWriter(
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
       s"$dataDir/part-$partitionId-$taskId-${java.util.UUID.randomUUID()}.parquet",
       conf.value)
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    createWriter(partitionId, taskId)
 }
 
 /** Streams rows into one parquet file using Spark's own

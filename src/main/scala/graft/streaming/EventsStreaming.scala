@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming transforms over the `events` stream (SURVEY §2b
+  * "streaming" row / §7 M7). The reference delegates all stream processing
+  * to the engine (reference: src/catalog/mod.rs:359-361 — "A compute engine
+  * like Spark or Flink"); this is the Flink-shaped half of that sentence,
+  * expressed Spark-first.
+  *
+  * Each transform takes ANY events DataFrame — batch or streaming — and
+  * returns the same logical plan, so the exact code that runs in the
+  * micro-batch pipeline is batch-replayable for the DuckDB oracle
+  * (q37/q43/q44 in StreamingQueries run these on the batch table).
+  *
+  * Scale posture: all state is keyed and watermark-bounded — tumbling
+  * windows keep one row of state per (window, event_type); dedup keeps one
+  * key per event_id inside the watermark horizon and drops it as the
+  * watermark passes; session windows merge per user_id. No unbounded state,
+  * no global ordering requirement, shuffles only on the group keys.
+  */
+object EventsStreaming {
+
+  /** Tumbling-window counts/sums per event type. Watermark bounds state and
+    * admits late data up to `watermarkDelay`; in append mode a window is
+    * emitted exactly once, when the watermark passes its end.
+    */
+  def tumblingCounts(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"),
+        col("sum_value"))
+
+  /** Stateful exactly-once dedup on event_id within the watermark horizon —
+    * the streaming twin of the batch exact-dedup operator (q27). State per
+    * key is dropped once the watermark guarantees no more duplicates can
+    * arrive (dropDuplicatesWithinWatermark, not the unbounded-state
+    * dropDuplicates).
+    */
+  def dedupped(events: DataFrame, watermarkDelay: String = "30 minutes"): DataFrame =
+    if (events.isStreaming)
+      events
+        .withWatermark("ts", watermarkDelay)
+        .dropDuplicatesWithinWatermark("event_id")
+    else
+      // batch replay: the whole input is present, so plain dropDuplicates is
+      // the exact batch semantics of watermark-bounded streaming dedup
+      // (dropDuplicatesWithinWatermark is streaming-only in Spark).
+      events.dropDuplicates("event_id")
+
+  /** Per-user session windows (gap-based): rows closer than `gap` merge into
+    * one session. Streaming uses the same expression via session_window.
+    */
+  def sessionized(
+      events: DataFrame,
+      gap: String = "15 minutes",
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+}

@@ -1,0 +1,135 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventsStreaming
+
+/** M7: Structured Streaming over events — watermarked tumbling windows,
+  * stateful dedup, session windows, and the exactly-once lake sink (every
+  * micro-batch commits through the CAS pointer swap with an epoch guard).
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  // (event_id, ts, user_id, event_type, value)
+  private type Ev = (Long, Timestamp, Long, String, Double)
+
+  private def toDf(s: org.apache.spark.sql.DataFrame) =
+    s.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("tumbling windows with watermark: windows finalize exactly once, late data within watermark counted") {
+    import spark.implicits._
+    val input = MemoryStream[Ev](spark)
+    val q = EventsStreaming.tumblingCounts(toDf(input.toDF()), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("tumbling").outputMode("append")
+      .start()
+    // hour-0 events, then a batch far enough ahead to close hour 0
+    input.addData((1L, ts(5), 1L, "click", 1.0), (2L, ts(50), 1L, "click", 2.0))
+    q.processAllAvailable()
+    input.addData((3L, ts(55), 2L, "view", 5.0)) // late but inside watermark
+    input.addData((4L, ts(200), 1L, "click", 1.0)) // advances watermark past hour 0+30m
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("tumbling").orderBy("window_start", "event_type").collect()
+    // hour 0 finalized: click n=2 sum=3.0, view n=1 sum=5.0; hour 3 not emitted yet
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("event_type") == "click" && out(0).getAs[Long]("n") == 2
+      && out(0).getAs[Double]("sum_value") == 3.0)
+    assert(out(1).getAs[String]("event_type") == "view" && out(1).getAs[Long]("n") == 1
+      && out(1).getAs[Double]("sum_value") == 5.0)
+  }
+
+  test("dropDuplicatesWithinWatermark: cross-batch duplicate event_ids collapse") {
+    import spark.implicits._
+    val input = MemoryStream[Ev](spark)
+    val q = EventsStreaming.dedupped(toDf(input.toDF()), "30 minutes")
+      .writeStream.format("memory").queryName("dedup").outputMode("append")
+      .start()
+    input.addData((1L, ts(1), 1L, "click", 1.0), (2L, ts(2), 1L, "view", 1.0))
+    q.processAllAvailable()
+    input.addData((1L, ts(3), 1L, "click", 1.0)) // duplicate id inside watermark
+    input.addData((3L, ts(10), 2L, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup").select("event_id").as[Long].collect().sorted
+    assert(ids.sameElements(Array(1L, 2L, 3L)))
+  }
+
+  test("streaming sink into lake: micro-batches append snapshots through the CAS, state visible to batch reads") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.stream")
+    spark.sql("DROP TABLE IF EXISTS lake.stream.ev_counts")
+    spark.sql(
+      """CREATE TABLE lake.stream.ev_counts
+        |  (window_start TIMESTAMP, event_type STRING, n BIGINT, sum_value DOUBLE)""".stripMargin)
+    val input = MemoryStream[Ev](spark)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val q = EventsStreaming.tumblingCounts(toDf(input.toDF()), "1 hour", "30 minutes")
+      .writeStream.outputMode("append").option("checkpointLocation", ckpt)
+      .toTable("lake.stream.ev_counts")
+    input.addData((1L, ts(5), 1L, "click", 1.0), (2L, ts(20), 1L, "click", 2.0))
+    q.processAllAvailable()
+    input.addData((3L, ts(200), 1L, "view", 1.0)) // closes hour 0
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("lake.stream.ev_counts").collect()
+    assert(rows.length == 1) // hour-0 click window, emitted once
+    assert(rows(0).getAs[Long]("n") == 2 && rows(0).getAs[Double]("sum_value") == 3.0)
+  }
+
+  test("exactly-once: replaying a committed epoch is a no-op (sink-retry contract)") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    import graft.catalog.{LakeCommitMessage, LakeTable}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.stream")
+    spark.sql("DROP TABLE IF EXISTS lake.stream.eo")
+    spark.sql("CREATE TABLE lake.stream.eo (k BIGINT)")
+    spark.sql("INSERT INTO lake.stream.eo VALUES (1), (2)")
+    val cat = spark.sessionState.catalogManager.catalog("lake").asInstanceOf[TableCatalog]
+    val ident = Identifier.of(Array("stream"), "eo")
+
+    def writeEpoch(epoch: Long): Unit = {
+      val table = cat.loadTable(ident).asInstanceOf[LakeTable]
+      val info = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+        override def queryId(): String = "test-query"
+        override def schema() = table.schema()
+        override def options() =
+          new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Collections.emptyMap())
+      }
+      val sw = table.newWriteBuilder(info).build().toStreaming
+      val factory = sw.createStreamingWriterFactory(null)
+      val w = factory.createWriter(0, 0L, epoch)
+      w.write(org.apache.spark.sql.catalyst.InternalRow(99L))
+      sw.commit(epoch, Array(w.commit()))
+    }
+
+    writeEpoch(7L)
+    val afterFirst = spark.table("lake.stream.eo").count()
+    assert(afterFirst == 3) // 2 initial + 1 streamed
+    writeEpoch(7L) // replay of the SAME epoch — must be swallowed
+    assert(spark.table("lake.stream.eo").count() == afterFirst)
+    writeEpoch(8L) // next epoch lands normally
+    assert(spark.table("lake.stream.eo").count() == afterFirst + 1)
+  }
+
+  test("session windows (batch replay): gap merging produces hand-computed sessions") {
+    import spark.implicits._
+    val df = Seq[Ev](
+      (1L, ts(0), 1L, "a", 1.0), (2L, ts(10), 1L, "a", 1.0), // session 1 (gap 15m)
+      (3L, ts(40), 1L, "a", 1.0), // session 2
+      (4L, ts(0), 2L, "a", 1.0) // user 2, one session
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventsStreaming.sessionized(df, "15 minutes")
+      .orderBy("user_id", "session_start").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("user_id") == 1L && out(0).getAs[Long]("n_events") == 2)
+    assert(out(1).getAs[Long]("user_id") == 1L && out(1).getAs[Long]("n_events") == 1)
+    assert(out(2).getAs[Long]("user_id") == 2L && out(2).getAs[Long]("n_events") == 1)
+  }
+}
