@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{CosineSim, MinHashSignature, SimHash}
+import graft.functions.{CosineSim, MinHashSignature, SimHash, SrpBands}
 
 /** Session extensions registering the engine's custom codegen expressions
   * as SQL functions — the Spark-idiomatic extension point
@@ -42,6 +42,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c, Literal(s: Long, LongType)) => SimHash(c, s)
         case Seq(c, Literal(s: Int, IntegerType)) => SimHash(c, s.toLong)
         case other => throw new IllegalArgumentException(s"simhash(tokens[, seed]): bad args $other")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("srp_bands"),
+      info("srp_bands",
+        "srp_bands(embedding, numBands, bitsPerBand[, seed]) - SRP-LSH band values array<int> of an array<float>"),
+      (children: Seq[Expression]) => {
+        def long(e: Expression): Long = e match {
+          case Literal(v: Long, LongType) => v
+          case Literal(v: Int, IntegerType) => v.toLong
+          case other => throw new IllegalArgumentException(s"srp_bands: literal expected, got $other")
+        }
+        children match {
+          case Seq(c, nb, bpb) => SrpBands(c, long(nb).toInt, long(bpb).toInt, 7L)
+          case Seq(c, nb, bpb, s) => SrpBands(c, long(nb).toInt, long(bpb).toInt, long(s))
+          case other => throw new IllegalArgumentException(
+            s"srp_bands(embedding, numBands, bitsPerBand[, seed]): bad args $other")
+        }
       }))
 
     ext.injectFunction((

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.t
 import graft.functions.TextHashing.{cosineSim, minhashSignature, simhash}
+import graft.functions.VectorHashing.srpBands
 
 /** LLM-training-data pipeline operators (north star; SURVEY §2b bottom
   * rows): dedup (exact, MinHash/LSH, SimHash), similarity search over
@@ -43,6 +44,35 @@ object LlmPipeline {
   private def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     inter / (size(a) + size(b) - inter)
+  }
+
+  /** LSH-bucketed embedding near-dup: candidates collide on >=1 of
+    * `bands` bands of `bitsPerBand` SRP bits, then exact cosine verify at
+    * `threshold`. The only shuffles are the (band, value) grouping and the
+    * two candidate joins back to vectors — never an all-pairs product.
+    * Exposed for reuse so LlmSpec can run the identical pipeline on planted
+    * duplicates.
+    */
+  def embeddingNeardup(emb: DataFrame, threshold: Double,
+      bands: Int = 16, bitsPerBand: Int = 8): DataFrame = {
+    val banded = emb.select(col("vec_id"),
+      posexplode(srpBands(col("embedding"), bands, bitsPerBand)).as(Seq("band", "bv")))
+    val buckets = banded.groupBy("band", "bv")
+      .agg(sort_array(collect_list("vec_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val cands = buckets
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+          struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    cands
+      .join(vecs.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
+      .join(vecs.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
+      .select(col("id_a"), col("id_b"), cosineSim(col("ea"), col("eb")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .orderBy("id_a", "id_b")
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -153,6 +183,50 @@ object LlmPipeline {
         sum(size(array_distinct(col("toks"))).cast("long")).as("total_distinct_tokens"),
         max(size(col("toks")).cast("long")).as("max_tokens"))
         .orderBy("lang")
+    },
+
+    // ───── q38: ANN top-k via SRP-LSH bucket probe (the scale path) ──────
+    // q26 is the brute-force baseline (one full scan per query vector); this
+    // is the 100 TB shape: candidates = vectors sharing >=1 of 16 LSH bands
+    // with the query, cosine computed on candidates only, then per-partition
+    // top-k. The band join touches a small fraction of the corpus (the
+    // LlmSpec pins candidate count and recall vs q26 on this data). At scale
+    // the banded table is precomputed once and bucketed by (band, value), so
+    // a probe is a partition-pruned lookup, not a scan.
+    QueryDef.unoracled("q38_ann_lsh") { (s, dir) =>
+      val bands = 16
+      val bits = 4
+      val emb = t(s, dir, "embeddings")
+      val banded = emb.select(col("vec_id"), col("label"), col("embedding"),
+          posexplode(srpBands(col("embedding"), bands, bits)).as(Seq("band", "bv")))
+      val qBands = banded.filter(col("vec_id") === 0)
+        .select(col("band"), col("bv"), col("embedding").as("qe"))
+      banded.filter(col("vec_id") =!= 0)
+        .join(broadcast(qBands), Seq("band", "bv")) // bucket probe, not all-pairs
+        .select(col("vec_id"), col("label"), col("embedding"), col("qe"))
+        .distinct() // a candidate may collide on several bands
+        .select(col("vec_id"), col("label").cast("int").as("label"),
+          cosineSim(col("embedding"), col("qe")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    },
+
+    // ───── q40: embedding-cosine near-dup pairs (dedup family) ───────────
+    // Same LSH-bucketed candidate generation, symmetric: pairs colliding on
+    // any of 16 8-bit bands, exact cosine verify at 0.95. With 128 signature
+    // bits the miss probability for a true >=0.95 pair is (1-0.899^8)^16 ~
+    // 1.4e-4, and the exact verify keeps precision at 1.0 — so the output
+    // deterministically equals the all-pairs oracle (empty on this corpus:
+    // its vectors are near-orthogonal; LlmSpec proves recall on planted
+    // duplicates).
+    QueryDef.df(
+      "q40_embedding_neardup",
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      embeddingNeardup(t(s, dir, "embeddings"), 0.95)
     },
 
     // ───── q32: HLL approximate distinct (SURVEY §2b approx row) ─────────

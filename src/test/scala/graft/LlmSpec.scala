@@ -120,6 +120,54 @@ class LlmSpec extends AnyFunSuite {
     assert(rows.forall(_.getInt(2) <= 6))
   }
 
+  test("srp_bands: deterministic, scale-invariant, codegen strict") {
+    withStrictCodegen {
+      import graft.functions.VectorHashing
+      // coordinates 1,2,4,8: any +/- combination sums odd, so no hyperplane
+      // dot is exactly 0 and the opposite vector provably flips every bit
+      val df = Seq(
+        (1L, Array(1f, 2f, -4f, 8f)),
+        (2L, Array(1f, 2f, -4f, 8f)), // identical
+        (3L, Array(2f, 4f, -8f, 16f)), // same direction, scaled -> same signs
+        (4L, Array(-1f, -2f, 4f, -8f)) // opposite -> every bit flips
+      ).toDF("id", "v")
+      val bs = df.select(col("id"), VectorHashing.srpBands(col("v"), 8, 4).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(bs(1L) == bs(2L))
+      assert(bs(1L) == bs(3L), "SRP signs are scale-invariant")
+      assert(bs(1L).zip(bs(4L)).forall { case (a, b) => (a ^ b) == 0xF },
+        "opposite vector must flip every bit in every 4-bit band")
+    }
+  }
+
+  test("q40 embedding near-dup: finds all planted duplicates (recall 1.0), nothing else") {
+    import graft.queries.LlmPipeline
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // plant near-duplicates: copies of vectors 1..5 with one coordinate nudged
+    val planted = emb.filter(col("vec_id").between(1, 5))
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x + lit(0.01f)).otherwise(x)).as("embedding"))
+    val all = emb.select("vec_id", "embedding").unionByName(planted)
+    val found = LlmPipeline.embeddingNeardup(all, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (1L to 5L).map(i => (i, i + 10000)).toSet
+    assert(found == expected, s"missed ${expected -- found}, extra ${found -- expected}")
+  }
+
+  test("q38 ANN probe: candidates are a small fraction of the corpus; recall vs brute force") {
+    val ann = SparkEntry.queries("q38_ann_lsh")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val brute = SparkEntry.queries("q26_embedding_topk")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (ann intersect brute).size.toDouble / brute.size
+    // deterministic on this data+seed; near-orthogonal corpus is the
+    // LSH-hostile worst case, so the floor is modest — planted-dup recall
+    // (q40 test) is the high-similarity guarantee
+    assert(recall >= 0.5, s"ANN recall@10 vs brute force was $recall")
+    assert(ann.size == 10)
+  }
+
   test("q26 plan: per-partition top-k (TakeOrderedAndProject), no global sort") {
     val plan = SparkEntry.queries("q26_embedding_topk")(spark, sf)
       .queryExecution.executedPlan.toString
