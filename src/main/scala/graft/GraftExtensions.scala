@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{CosineSim, MinHashSignature, SimHash, SrpBands}
+import graft.functions.{CosineSim, ExplodeNgrams, MinHashSignature, SimHash, SrpBands}
 
 /** Session extensions registering the engine's custom codegen expressions
   * as SQL functions — the Spark-idiomatic extension point
@@ -60,6 +60,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"srp_bands(embedding, numBands, bitsPerBand[, seed]): bad args $other")
         }
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("explode_ngrams"),
+      info("explode_ngrams",
+        "explode_ngrams(tokens, n) - one row per word n-gram of an array<string> (UDTF)"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, Literal(n: Int, IntegerType)) => ExplodeNgrams(c, n)
+        case other => throw new IllegalArgumentException(
+          s"explode_ngrams(tokens, n): bad args $other")
       }))
 
     ext.injectFunction((

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
@@ -227,6 +228,49 @@ object LlmPipeline {
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95
         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       embeddingNeardup(t(s, dir, "embeddings"), 0.95)
+    },
+
+    // ───── q41: per-label embedding centroids via the UDAF surface ───────
+    // VectorAvg is a typed Aggregator -> partial+final hash agg; only
+    // O(dim) buffers cross the shuffle regardless of row count. Raw
+    // float->double summation order varies with partitioning, so the
+    // result is float-exact but not bit-canonical -> rows-only driver
+    // check; LlmSpec pins exact values on a hand-computed case.
+    QueryDef.unoracled("q41_label_centroids") { (s, dir) =>
+      val vavg = udaf(graft.functions.VectorAvg)
+      t(s, dir, "embeddings")
+        .groupBy(col("label").cast("int").as("label"))
+        .agg(count(lit(1)).as("n_vectors"), vavg(col("embedding")).as("centroid"))
+        .select(col("label"), col("n_vectors"), size(col("centroid")).as("dim"),
+          sqrt(aggregate(col("centroid"), lit(0.0d), (acc, x) => acc + x * x))
+            .as("centroid_norm"))
+        .orderBy("label")
+    },
+
+    // ───── q42: top n-grams per language via the UDTF surface ────────────
+    // explode_ngrams is a custom Generator (GenerateExec streams rows, no
+    // corpus-sized buffers); counting shuffles on (lang, ngram) with
+    // map-side partial aggregation; top-5 per lang is a per-partition
+    // window over the grouped (small) result, fully deterministic via the
+    // (count DESC, ngram) tie-break.
+    QueryDef.df(
+      "q42_ngram_freq",
+      """WITH g AS (
+        |  SELECT lang, unnest(
+        |    [lower(text).string_split(' ')[i] || ' ' || lower(text).string_split(' ')[i+1] || ' ' || lower(text).string_split(' ')[i+2]
+        |     for i in range(1, greatest(len(string_split(lower(text),' ')) - 1, 1))]) AS ngram
+        |  FROM documents),
+        |c AS (SELECT lang, ngram, count(*) AS n FROM g GROUP BY 1, 2),
+        |r AS (SELECT lang, ngram, n, row_number() OVER (PARTITION BY lang ORDER BY n DESC, ngram) AS rk FROM c)
+        |SELECT lang, ngram, CAST(n AS BIGINT) AS n, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin) { (s, dir) =>
+      val grams = t(s, dir, "documents")
+        .select(col("lang"), expr("explode_ngrams(split(lower(text), ' '), 3)").as("ngram"))
+      val counts = grams.groupBy("lang", "ngram").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang").orderBy(col("n").desc, col("ngram"))
+      counts.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .orderBy("lang", "rk")
     },
 
     // ───── q32: HLL approximate distinct (SURVEY §2b approx row) ─────────

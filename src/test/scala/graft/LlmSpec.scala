@@ -168,6 +168,33 @@ class LlmSpec extends AnyFunSuite {
     assert(ann.size == 10)
   }
 
+  test("VectorAvg UDAF: exact centroids on a hand-computed case, null/empty safe") {
+    import graft.functions.VectorAvg
+    val vavg = udaf(VectorAvg)
+    val df = Seq(
+      (1, Array(1f, 2f)), (1, Array(3f, 6f)), // centroid (2, 4)
+      (2, Array(-1f, 0f)) // centroid (-1, 0)
+    ).toDF("label", "v").repartition(3) // force cross-partition merge
+    val got = df.groupBy("label").agg(vavg(col("v")).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(got(1) == Seq(2.0, 4.0))
+    assert(got(2) == Seq(-1.0, 0.0))
+  }
+
+  test("q41 centroids: 10 labels, dim 64, counts sum to corpus size") {
+    val rows = SparkEntry.queries("q41_label_centroids")(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getAs[Int]("dim") == 64))
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == 500)
+  }
+
+  test("explode_ngrams UDTF: exact n-grams, short inputs yield no rows") {
+    val df = Seq((1L, "a b c d"), (2L, "x y"), (3L, "solo")).toDF("id", "text")
+    val got = df.select(col("id"), expr("explode_ngrams(split(text, ' '), 3)").as("g"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "a b c"), (1L, "b c d")))
+  }
+
   test("q26 plan: per-partition top-k (TakeOrderedAndProject), no global sort") {
     val plan = SparkEntry.queries("q26_embedding_topk")(spark, sf)
       .queryExecution.executedPlan.toString
