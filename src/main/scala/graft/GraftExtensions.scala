@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{CosineSim, ExplodeNgrams, MinHashSignature, SimHash, SrpBands}
+import graft.functions.{CosineSim, ExplodeNgrams, MinHashSignature, SimHash, SrpBands, WinnowFingerprints}
 
 /** Session extensions registering the engine's custom codegen expressions
   * as SQL functions — the Spark-idiomatic extension point
@@ -70,6 +70,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c, Literal(n: Int, IntegerType)) => ExplodeNgrams(c, n)
         case other => throw new IllegalArgumentException(
           s"explode_ngrams(tokens, n): bad args $other")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fingerprints"),
+      info("winnow_fingerprints",
+        "winnow_fingerprints(text, k, w) - MOSS winnowing fingerprints (rolling k-byte hashes, window w) as array<long>"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, Literal(k: Int, IntegerType), Literal(w: Int, IntegerType)) =>
+          WinnowFingerprints(c, k, w)
+        case other => throw new IllegalArgumentException(
+          s"winnow_fingerprints(text, k, w): bad args $other")
       }))
 
     ext.injectFunction((

@@ -230,6 +230,61 @@ object LlmPipeline {
       embeddingNeardup(t(s, dir, "embeddings"), 0.95)
     },
 
+    // ───── q39: BPE-ish regex token classes (token counting) ─────────────
+    // Tokenizer families a training pipeline budgets by: letter runs,
+    // digit runs, and single non-alphanumeric marks — the pre-merge atoms
+    // of byte-pair tokenizers. Same RE2/Java-compatible patterns run in
+    // both engines; one scan, one shuffle on lang.
+    QueryDef.df(
+      "q39_token_counts",
+      // DuckDB spells array length `len`, Spark `size` — same regexes,
+      // same aggregation, per-dialect length function.
+      """SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT) AS word_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT) AS num_tokens,
+        |  CAST(sum(len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))) AS BIGINT) AS punct_tokens,
+        |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS bpe_ish_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      def n(pattern: String, onLower: Boolean = true) =
+        sum(size(regexp_extract_all(
+          if (onLower) lower(col("text")) else col("text"), lit(pattern), lit(0))).cast("long"))
+      t(s, dir, "documents").groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        n("[a-z]+").as("word_tokens"),
+        n("[0-9]+", onLower = false).as("num_tokens"),
+        n("[^a-z0-9 ]").as("punct_tokens"),
+        n("[a-z]+|[0-9]+|[^a-z0-9 ]").as("bpe_ish_tokens"))
+        .orderBy("lang")
+    },
+
+    // ───── q45: copy detection via winnowing fingerprints ────────────────
+    // Rolling-hash winnowing (MOSS): k=20-byte windows, winnow window w=8
+    // -> any shared substring >= 27 bytes (~5 words) yields a shared
+    // print. Buckets with > 8 docs are "stop fingerprints" (boilerplate
+    // phrases) and are dropped BEFORE pair expansion — the standard MOSS
+    // move that keeps buckets bounded and the shuffle O(prints), never
+    // quadratic in a hot phrase's document count. Docs sharing >= 5
+    // surviving prints are copy candidates. Custom hash -> rows-only
+    // driver check; exact semantics pinned in LlmSpec.
+    QueryDef.unoracled("q45_winnow_copydetect") { (s, dir) =>
+      val fps = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(
+            graft.functions.Winnowing.winnowFingerprints(lower(col("text")), 20, 8))).as("fp"))
+      val buckets = fps.groupBy("fp")
+        .agg(sort_array(collect_list("doc_id")).as("ids"))
+        .filter(size(col("ids")).between(2, 8)) // drop singletons AND stop-fps
+      buckets
+        .select(explode(flatten(transform(col("ids"), (a, i) =>
+          transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+            struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+        .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+        .agg(count(lit(1)).as("shared_fps"))
+        .filter(col("shared_fps") >= 5)
+        .orderBy("id_a", "id_b")
+    },
+
     // ───── q41: per-label embedding centroids via the UDAF surface ───────
     // VectorAvg is a typed Aggregator -> partial+final hash agg; only
     // O(dim) buffers cross the shuffle regardless of row count. Raw

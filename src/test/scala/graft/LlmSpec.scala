@@ -195,6 +195,38 @@ class LlmSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, "a b c"), (1L, "b c d")))
   }
 
+  test("winnow_fingerprints: shared substrings share prints; edits only perturb locally") {
+    withStrictCodegen {
+      import graft.functions.Winnowing
+      val base = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+      val edited = base.replace("lazy", "hazy") // one local edit
+      val df = Seq((1L, base), (2L, base), (3L, edited), (4L, "completely different content here"))
+        .toDF("id", "text")
+      val fps = df.select(col("id"), Winnowing.winnowFingerprints(col("text"), 8, 4).as("f"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      assert(fps(1L) == fps(2L), "identical text -> identical fingerprint set")
+      val overlap = (fps(1L) intersect fps(3L)).size.toDouble / fps(1L).size
+      assert(overlap > 0.5, s"single edit must preserve most prints, overlap=$overlap")
+      assert((fps(1L) intersect fps(4L)).isEmpty, "unrelated text shares nothing")
+      // winnowing guarantee: non-empty output for any non-empty input
+      val tiny = Seq((9L, "abc")).toDF("id", "text")
+        .select(Winnowing.winnowFingerprints(col("text"), 8, 4)).collect()
+      assert(tiny.head.getSeq[Long](0).nonEmpty)
+    }
+  }
+
+  test("q45 copy detection: the planted near-identical pairs (q28 at J>=0.9) are all found") {
+    val pairs = SparkEntry.queries("q45_winnow_copydetect")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: the corpus's planted near-dups at shingle-jaccard >= 0.9
+    // (near-identical text -> long shared substrings -> shared winnow prints)
+    val planted = SparkEntry.queries("q28_neardup_pairs")(spark, sf)
+      .filter(col("jaccard") >= 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.nonEmpty, "testdata should contain planted near-dups")
+    assert(planted.subsetOf(pairs), s"missed planted copy pairs ${planted -- pairs}")
+  }
+
   test("q26 plan: per-partition top-k (TakeOrderedAndProject), no global sort") {
     val plan = SparkEntry.queries("q26_embedding_topk")(spark, sf)
       .queryExecution.executedPlan.toString
