@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{CosineSim, ExplodeNgrams, MinHashSignature, SimHash, SrpBands, WinnowFingerprints}
+import graft.functions.{CosineSim, ExplodeHammingPairs, ExplodeNgrams, ExplodePairs, MinHashSignature, SigMatchCount, SimHash, SrpBands, WinnowFingerprints}
 
 /** Session extensions registering the engine's custom codegen expressions
   * as SQL functions — the Spark-idiomatic extension point
@@ -81,6 +81,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           WinnowFingerprints(c, k, w)
         case other => throw new IllegalArgumentException(
           s"winnow_fingerprints(text, k, w): bad args $other")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("explode_pairs"),
+      info("explode_pairs",
+        "explode_pairs(ids) - all position-ordered pairs (id_a, id_b) of an array<long> (UDTF)"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => ExplodePairs(c)
+        case other => throw new IllegalArgumentException(s"explode_pairs(ids): bad args $other")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("explode_hamming_pairs"),
+      info("explode_hamming_pairs",
+        "explode_hamming_pairs(ids, hashes, maxHamming) - bucket pairs within a hamming radius (UDTF)"),
+      (children: Seq[Expression]) => children match {
+        case Seq(ids, hs, Literal(m: Int, IntegerType)) => ExplodeHammingPairs(ids, hs, m)
+        case other => throw new IllegalArgumentException(
+          s"explode_hamming_pairs(ids, hashes, maxHamming): bad args $other")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("sig_match_count"),
+      info("sig_match_count",
+        "sig_match_count(a, b) - number of equal slots between two array<long> signatures"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => SigMatchCount(a, b)
+        case other => throw new IllegalArgumentException(s"sig_match_count(a, b): bad args $other")
       }))
 
     ext.injectFunction((

@@ -49,3 +49,91 @@ final case class ExplodeNgrams(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): ExplodeNgrams =
     copy(child = newChild)
 }
+
+/** `explode_pairs(ids)`: all ordered pairs (a < b by position) of a sorted
+  * array<long> — the candidate-pair expansion of LSH bucket dedup. A
+  * Generator with a tight compiled loop: one eval per BUCKET, not one
+  * interpreted Catalyst lambda per pair — on hot buckets (shared-vocab
+  * corpora) the interpreted `transform(slice(...))` chain it replaces
+  * dominated the whole dedup job.
+  */
+final case class ExplodePairs(child: Expression)
+  extends UnaryExpression with Generator with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<long>, got $dt")
+  }
+  override def elementSchema: StructType = new StructType()
+    .add("id_a", LongType, nullable = false)
+    .add("id_b", LongType, nullable = false)
+  override def prettyName: String = "explode_pairs"
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val arr = child.eval(input).asInstanceOf[ArrayData]
+    if (arr == null || arr.numElements() < 2) return Nil
+    val ids = arr.toLongArray()
+    new Iterator[InternalRow] {
+      private var i = 0
+      private var j = 1
+      override def hasNext: Boolean = i < ids.length - 1
+      override def next(): InternalRow = {
+        val r = InternalRow(ids(i), ids(j))
+        j += 1
+        if (j >= ids.length) { i += 1; j = i + 1 }
+        r
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ExplodePairs =
+    copy(child = newChild)
+}
+
+/** `explode_hamming_pairs(ids, hashes, maxHamming)`: pairs (by position,
+  * a < b) of a bucket's doc ids whose 64-bit fingerprints are within
+  * `maxHamming` — the SimHash near-dup pair expansion with the hamming cut
+  * fused into the compiled loop, so hot buckets never materialize
+  * non-matching pairs anywhere.
+  */
+final case class ExplodeHammingPairs(ids: Expression, hashes: Expression, maxHamming: Int)
+  extends Generator with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(ids, hashes)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (ids.dataType, hashes.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<long>, array<long>), got ($a, $b)")
+    }
+  override def elementSchema: StructType = new StructType()
+    .add("id_a", LongType, nullable = false)
+    .add("id_b", LongType, nullable = false)
+    .add("hamming", IntegerType, nullable = false)
+  override def prettyName: String = "explode_hamming_pairs"
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val ia = ids.eval(input).asInstanceOf[ArrayData]
+    val ha = hashes.eval(input).asInstanceOf[ArrayData]
+    if (ia == null || ha == null || ia.numElements() < 2) return Nil
+    val n = math.min(ia.numElements(), ha.numElements())
+    val id = ia.toLongArray()
+    val h = ha.toLongArray()
+    val out = Seq.newBuilder[InternalRow]
+    var i = 0
+    while (i < n - 1) {
+      var j = i + 1
+      while (j < n) {
+        val d = java.lang.Long.bitCount(h(i) ^ h(j))
+        if (d <= maxHamming) out += InternalRow(id(i), id(j), d)
+        j += 1
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ExplodeHammingPairs =
+    copy(ids = newChildren(0), hashes = newChildren(1))
+}

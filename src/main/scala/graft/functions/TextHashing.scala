@@ -51,6 +51,58 @@ object TextHashing {
 
   def cosineSim(a: Column, b: Column): Column =
     call_function("cosine_sim", a, b)
+
+  def sigMatchCount(a: Column, b: Column): Column =
+    call_function("sig_match_count", a, b)
+}
+
+/** Number of equal slots between two MinHash signatures (array<long>) —
+  * matches/k estimates Jaccard similarity. A dedicated codegen expression
+  * because the equivalent `size(filter(zip_with(a, b, _ === _), identity))`
+  * is an interpreted higher-order chain: on millions of LSH candidate pairs
+  * the interpreted lambda dominates the whole dedup job.
+  */
+final case class SigMatchCount(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  private def isLongArray(dt: DataType) = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left.dataType) && isLongArray(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<long>, array<long>), got (${left.dataType}, ${right.dataType})")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sig_match_count"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) c += 1; i += 1 }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SigMatchCount =
+    copy(left = newLeft, right = newRight)
 }
 
 /** MinHash signature: for each of `numHashes` affine families, the minimum

