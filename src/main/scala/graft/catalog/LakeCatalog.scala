@@ -28,7 +28,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `SHOW TABLES IN lake.db`, `INSERT INTO`, CTAS, `DROP TABLE` and
   * `VERSION AS OF` time travel all work in plain SQL.
   */
-class LakeCatalog extends TableCatalog with SupportsNamespaces {
+class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -102,6 +102,35 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
       throw new TableAlreadyExistsException(ident)
     loadTable(ident)
   }
+
+  // ── staged create/replace (reference build_table, mod.rs:349-357) ──────
+  // CTAS/RTAS route through these for atomicity: Spark writes the query
+  // result into the staged table, and only commitStagedChanges makes it
+  // visible (AtomicCreateTableAsSelectExec / AtomicReplaceTableAsSelectExec).
+
+  private def stage(ident: Identifier, info: TableInfo, mode: StageMode): StagedTable = {
+    val schema = new StructType(info.columns().map(c =>
+      org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
+    val props = info.properties().asScala.toMap
+    val location = props.getOrElse("location",
+      s"$warehouse/${(ident.namespace() :+ ident.name()).mkString("/")}")
+    val meta = TableMeta.empty(location, schema, Nil, props - "location")
+    new StagedLakeTable(ident, display(ident), ns(ident.namespace()), ident.name(),
+      meta, mode, store, hadoopConf, () => invalidateTable(ident))
+  }
+
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    stage(ident, info, StageMode.Create)
+  }
+
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    stage(ident, info, StageMode.Replace)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, StageMode.CreateOrReplace)
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = doLoad(ident, None)

@@ -1,0 +1,120 @@
+package graft.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException
+import org.apache.spark.sql.connector.catalog.{Identifier, StagedTable, SupportsWrite, TableCapability}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+/** How a staged table lands when its CTAS/RTAS query finishes. */
+sealed trait StageMode
+object StageMode {
+  case object Create extends StageMode // INSERT the pointer; conflict = already exists
+  case object Replace extends StageMode // CAS the pointer over the existing one
+  case object CreateOrReplace extends StageMode // whichever applies at commit time
+}
+
+/** The staged-create/replace handle behind `StagingTableCatalog`
+  * (SURVEY §2a #6 — the reference's `build_table`, mod.rs:349-357: "staged
+  * create / create-or-replace transaction"). The CTAS/RTAS query writes
+  * data files into the table location, but NOTHING becomes visible until
+  * `commitStagedChanges` lands the pointer in the JDBC store — one atomic
+  * INSERT (create) or CAS UPDATE (replace), the same single-row commit
+  * protocol as every other write (mod.rs:296-347). A failed query calls
+  * `abortStagedChanges`, which deletes the written files; concurrent
+  * readers can never observe a half-written table.
+  */
+final class StagedLakeTable(
+    ident: Identifier,
+    displayName: String,
+    namespace: String,
+    tableName: String,
+    baseMeta: TableMeta,
+    mode: StageMode,
+    store: PointerStore,
+    hadoopConf: Configuration,
+    onCommit: () => Unit)
+  extends StagedTable with SupportsWrite {
+
+  @volatile private var stagedFiles: Seq[DataFileMeta] = Nil
+
+  override def name(): String = displayName
+  override def schema(): StructType = baseMeta.schema
+  override def properties(): util.Map[String, String] = baseMeta.properties.asJava
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder
+      with SupportsTruncate {
+    // truncate on a not-yet-visible table is a no-op: the manifest is
+    // exactly what this query writes either way
+    override def truncate(): WriteBuilder = this
+    override def build(): Write = new Write {
+      override def toBatch: BatchWrite = new BatchWrite {
+        override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
+          LakeWriterFactory(info.schema().json, s"${baseMeta.location}/data",
+            new SerializableConfiguration(hadoopConf))
+        override def commit(messages: Array[WriterCommitMessage]): Unit =
+          // buffer only — visibility is commitStagedChanges' job
+          stagedFiles = messages.collect { case LakeCommitMessage(f) if f.path.nonEmpty => f }.toSeq
+        override def abort(messages: Array[WriterCommitMessage]): Unit = {
+          val fs = new Path(baseMeta.location).getFileSystem(hadoopConf)
+          messages.collect { case LakeCommitMessage(f) if f.path.nonEmpty =>
+            fs.delete(new Path(f.path), false)
+          }
+        }
+      }
+    }
+  }
+
+  override def commitStagedChanges(): Unit = {
+    val next = baseMeta.copy(
+      currentSnapshotId = 1L,
+      snapshots = Seq(SnapshotMeta(1L, System.currentTimeMillis(), "create", stagedFiles)))
+    val newLoc = TableMeta.write(next, hadoopConf)
+
+    def casReplace(): Boolean = {
+      var attempts = 0
+      while (attempts < 5) {
+        store.load(namespace, tableName) match {
+          case None => return false // vanished: fall through to register
+          case Some(prev) =>
+            if (store.casUpdate(namespace, tableName, newLoc, prev) == 1) return true
+        }
+        attempts += 1
+      }
+      throw new IllegalStateException(
+        s"staged replace of $displayName: CAS lost $attempts times")
+    }
+
+    mode match {
+      case StageMode.Create =>
+        if (!store.register(namespace, tableName, newLoc))
+          throw new TableAlreadyExistsException(ident)
+      case StageMode.Replace =>
+        if (!casReplace())
+          // table was dropped between stageReplace and commit: land the new
+          // version anyway (same outcome as replace-after-concurrent-drop)
+          if (!store.register(namespace, tableName, newLoc))
+            throw new TableAlreadyExistsException(ident)
+      case StageMode.CreateOrReplace =>
+        if (!store.register(namespace, tableName, newLoc))
+          if (!casReplace())
+            if (!store.register(namespace, tableName, newLoc))
+              throw new IllegalStateException(
+                s"create-or-replace of $displayName: lost both register and CAS races")
+    }
+    onCommit()
+  }
+
+  override def abortStagedChanges(): Unit = {
+    val fs = new Path(baseMeta.location).getFileSystem(hadoopConf)
+    stagedFiles.foreach(f => fs.delete(new Path(f.path), false))
+  }
+}

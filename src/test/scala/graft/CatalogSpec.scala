@@ -181,6 +181,36 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(spark.table("lake.cc.t").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3, 4))
   }
 
+  test("CTAS is atomic: a failing query leaves NO table and no files behind") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.stg")
+    spark.sql("DROP TABLE IF EXISTS lake.stg.boom")
+    intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE lake.stg.boom AS
+          |SELECT raise_error('mid-write failure') AS x FROM range(10)""".stripMargin)
+    }
+    assert(!spark.catalog.tableExists("lake.stg.boom"),
+      "failed CTAS must not register the table (staged commit never ran)")
+  }
+
+  test("REPLACE TABLE AS SELECT swaps contents atomically via the CAS") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.stg")
+    spark.sql("DROP TABLE IF EXISTS lake.stg.r")
+    spark.sql("CREATE TABLE lake.stg.r AS SELECT id FROM range(5)")
+    assert(spark.table("lake.stg.r").count() == 5)
+    spark.sql("REPLACE TABLE lake.stg.r AS SELECT id * 10 AS id FROM range(3)")
+    val vals = spark.table("lake.stg.r").collect().map(_.getLong(0)).sorted.toSeq
+    assert(vals == Seq(0L, 10L, 20L))
+    // replace of a nonexistent table must fail (stageReplace contract)...
+    spark.sql("DROP TABLE lake.stg.r")
+    intercept[Exception] { spark.sql("REPLACE TABLE lake.stg.r AS SELECT 1 AS k") }
+    // ...while CREATE OR REPLACE lands either way
+    spark.sql("CREATE OR REPLACE TABLE lake.stg.r AS SELECT 7 AS k")
+    assert(spark.table("lake.stg.r").collect().head.getInt(0) == 7)
+    spark.sql("CREATE OR REPLACE TABLE lake.stg.r AS SELECT 8 AS k")
+    assert(spark.table("lake.stg.r").collect().head.getInt(0) == 8)
+  }
+
   test("rename preserves data; purge removes files") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.rn")
     spark.sql("DROP TABLE IF EXISTS lake.rn.a")
