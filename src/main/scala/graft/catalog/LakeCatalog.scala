@@ -94,7 +94,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
     val props = properties.asScala.toMap
     val location = props.getOrElse("location",
       s"$warehouse/${(ident.namespace() :+ ident.name()).mkString("/")}")
-    val meta = TableMeta.empty(location, schema, Nil, props - "location")
+    val meta = TableMeta.empty(location, schema, partitionCols(partitions), props - "location")
     val loc = TableMeta.write(meta, hadoopConf)
     // INSERT-on-conflict-do-nothing semantics: 0 rows ⇒ already exists
     // (reference register_table, mod.rs:252-294).
@@ -108,13 +108,28 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
   // result into the staged table, and only commitStagedChanges makes it
   // visible (AtomicCreateTableAsSelectExec / AtomicReplaceTableAsSelectExec).
 
+  /** Identity-transform partition columns (`PARTITIONED BY (col)`). The
+    * storage layout is partition-CLUSTERED files, not hive-style
+    * directories: the write requests clustering+ordering on these columns
+    * (see [[LakeWrite]]), every file then carries min==max partition stats,
+    * and [[FilePruner]] prunes exactly — same pruning power, no directory
+    * listing, no small-file explosion on high-cardinality keys.
+    */
+  private def partitionCols(partitions: Array[Transform]): Seq[String] =
+    partitions.toSeq.map {
+      case t if t.name() == "identity" && t.references().length == 1 =>
+        t.references()(0).fieldNames().mkString(".")
+      case t => throw new UnsupportedOperationException(
+        s"only identity partition transforms are supported, got $t")
+    }
+
   private def stage(ident: Identifier, info: TableInfo, mode: StageMode): StagedTable = {
     val schema = new StructType(info.columns().map(c =>
       org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
     val props = info.properties().asScala.toMap
     val location = props.getOrElse("location",
       s"$warehouse/${(ident.namespace() :+ ident.name()).mkString("/")}")
-    val meta = TableMeta.empty(location, schema, Nil, props - "location")
+    val meta = TableMeta.empty(location, schema, partitionCols(info.partitions()), props - "location")
     new StagedLakeTable(ident, display(ident), ns(ident.namespace()), ident.name(),
       meta, mode, store, hadoopConf, () => invalidateTable(ident))
   }

@@ -56,6 +56,8 @@ final class LakeTable(
   override def schema(): StructType = meta.schema
   override def properties(): util.Map[String, String] = meta.properties.asJava
   override def version(): String = meta.currentSnapshotId.toString
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
+    meta.partitionColumns.map(org.apache.spark.sql.connector.expressions.Expressions.identity).toArray
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -196,15 +198,45 @@ final class LakeWriteBuilder(
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
 
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new LakeBatchWrite(table, info.schema(), overwrite, store, hadoopConf)
-    override def toStreaming: streaming.StreamingWrite =
-      new LakeStreamingWrite(table, info.schema(), info.queryId(), store, hadoopConf)
-  }
+  override def build(): Write = new LakeWrite(table, info, overwrite, store, hadoopConf)
 }
 
-final case class LakeCommitMessage(file: DataFileMeta) extends WriterCommitMessage
+/** Write plan for a lake table. For a partitioned table it asks Spark to
+  * CLUSTER and SORT incoming rows by the partition columns
+  * (RequiresDistributionAndOrdering): rows of one partition value land
+  * contiguously in one task, each emitted file then has min==max on the
+  * partition columns, and [[FilePruner]] prunes partition-filtered scans
+  * down to exactly the matching files — partition pruning via stats, with
+  * no directory layout and no per-partition small files.
+  */
+final class LakeWrite(
+    table: LakeTable,
+    info: LogicalWriteInfo,
+    overwrite: Boolean,
+    store: PointerStore,
+    hadoopConf: Configuration)
+  extends RequiresDistributionAndOrdering {
+
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+
+  private def pcols = table.meta.partitionColumns
+
+  override def requiredDistribution(): Distribution =
+    if (pcols.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(pcols.map(c =>
+      Expressions.column(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+
+  override def requiredOrdering(): Array[SortOrder] =
+    pcols.map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+
+  override def toBatch: BatchWrite =
+    new LakeBatchWrite(table, info.schema(), overwrite, store, hadoopConf)
+  override def toStreaming: streaming.StreamingWrite =
+    new LakeStreamingWrite(table, info.schema(), info.queryId(), store, hadoopConf)
+}
+
+final case class LakeCommitMessage(files: Seq[DataFileMeta]) extends WriterCommitMessage
 
 final class LakeBatchWrite(
     table: LakeTable,
@@ -216,7 +248,7 @@ final class LakeBatchWrite(
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     LakeWriterFactory(writeSchema.json, s"${table.meta.location}/data",
-      new SerializableConfiguration(hadoopConf))
+      table.meta.partitionColumns, new SerializableConfiguration(hadoopConf))
 
   /** The reference's EP3: write new metadata → CAS the pointer; on a lost
     * race, reload the current metadata, REBASE (append = union with the
@@ -224,7 +256,7 @@ final class LakeBatchWrite(
     * loop (SURVEY §2a gap) — we add one, as any real engine must.
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val newFiles = messages.collect { case LakeCommitMessage(f) if f.path.nonEmpty => f }.toSeq
+    val newFiles = messages.collect { case LakeCommitMessage(fs) => fs }.flatten.toSeq
     var base = table.meta
     var prevLoc = table.metadataLocation
     var attempts = 0
@@ -252,7 +284,9 @@ final class LakeBatchWrite(
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(table.meta.location).getFileSystem(hadoopConf)
-    messages.collect { case LakeCommitMessage(f) => fs.delete(new Path(f.path), false) }
+    messages.collect { case LakeCommitMessage(files) =>
+      files.foreach(f => fs.delete(new Path(f.path), false))
+    }
   }
 }
 
@@ -278,10 +312,10 @@ final class LakeStreamingWrite(
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
     LakeWriterFactory(writeSchema.json, s"${table.meta.location}/data",
-      new SerializableConfiguration(hadoopConf))
+      table.meta.partitionColumns, new SerializableConfiguration(hadoopConf))
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val newFiles = messages.collect { case LakeCommitMessage(f) if f.path.nonEmpty => f }.toSeq
+    val newFiles = messages.collect { case LakeCommitMessage(fs) => fs }.flatten.toSeq
     // Always re-resolve the pointer: this handle lives for the whole query,
     // and every prior epoch moved it.
     var attempts = 0
@@ -292,8 +326,8 @@ final class LakeStreamingWrite(
       if (base.properties.get(epochKey).exists(_.toLong >= epochId)) {
         // replayed epoch (sink retry / restart from checkpoint): drop the
         // re-written files, keep the committed snapshot — exactly-once.
-        val fs = new Path(table.meta.location).getFileSystem(hadoopConf)
-        newFiles.foreach(f => fs.delete(new Path(f.path), false))
+        val hfs = new Path(table.meta.location).getFileSystem(hadoopConf)
+        newFiles.foreach(f => hfs.delete(new Path(f.path), false))
         return
       }
       val snapId = base.nextSnapshotId
@@ -315,8 +349,8 @@ final class LakeStreamingWrite(
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(table.meta.location).getFileSystem(hadoopConf)
-    messages.collect { case LakeCommitMessage(f) if f.path.nonEmpty =>
-      fs.delete(new Path(f.path), false)
+    messages.collect { case LakeCommitMessage(files) =>
+      files.foreach(f => fs.delete(new Path(f.path), false))
     }
   }
 }
@@ -328,27 +362,36 @@ final class LakeStreamingWrite(
 final case class LakeWriterFactory(
     schemaJson: String,
     dataDir: String,
+    partitionCols: Seq[String],
     conf: SerializableConfiguration)
   extends DataWriterFactory with streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new LakeDataWriter(
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      s"$dataDir/part-$partitionId-$taskId-${java.util.UUID.randomUUID()}.parquet",
-      conf.value)
+      s"$dataDir/part-$partitionId-$taskId-${java.util.UUID.randomUUID()}",
+      partitionCols, conf.value)
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     createWriter(partitionId, taskId)
 }
 
-/** Streams rows into one parquet file using Spark's own
+/** Streams rows into parquet files using Spark's own
   * [[ParquetWriteSupport]] (identical encoding to `df.write.parquet`),
-  * tracking per-column min/max on the fly so the commit can record
-  * pruning stats without re-reading footers.
+  * tracking per-column min/max on the fly so the commit can record pruning
+  * stats without re-reading footers. For a partitioned table the incoming
+  * rows arrive clustered AND sorted on the partition columns (the write
+  * requires that distribution/ordering), so the writer simply ROLLS to a
+  * new file whenever the partition key changes — producing per-value files
+  * whose min==max stats make partition pruning exact.
   */
-final class LakeDataWriter(schema: StructType, path: String, conf: Configuration)
+final class LakeDataWriter(
+    schema: StructType,
+    pathPrefix: String,
+    partitionCols: Seq[String],
+    conf: Configuration)
   extends DataWriter[InternalRow] {
 
-  private val writer: ParquetWriter[InternalRow] = {
+  private val writeConf: Configuration = {
     import org.apache.spark.sql.internal.SQLConf
     val c = new Configuration(conf)
     ParquetWriteSupport.setSchema(schema, c)
@@ -363,59 +406,95 @@ final class LakeDataWriter(schema: StructType, path: String, conf: Configuration
     c.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key, "CORRECTED")
     c.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key, "CORRECTED")
     c.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, "UTC")
-    new LakeParquetBuilder(new Path(path), c).build()
+    c
   }
 
+  private val partIdx: Array[Int] = partitionCols.map(schema.fieldIndex).toArray
+
+  // per-file state
+  private var writer: ParquetWriter[InternalRow] = _
+  private var path: String = _
   private var rows = 0L
-  // stats slots per field; null = tracking unsupported/disabled for that field
-  private val mins = new Array[Any](schema.length)
-  private val maxs = new Array[Any](schema.length)
+  private var mins: Array[Any] = _
+  private var maxs: Array[Any] = _
+  private var fileSeq = 0
+  private var currentKey: Seq[Any] = null
+  private val done = Seq.newBuilder[DataFileMeta]
+
+  private def open(): Unit = {
+    path = s"$pathPrefix-$fileSeq.parquet"
+    fileSeq += 1
+    writer = new LakeParquetBuilder(new Path(path), writeConf).build()
+    rows = 0L
+    mins = new Array[Any](schema.length)
+    maxs = new Array[Any](schema.length)
+  }
+
+  /** Close the current file and record its manifest entry (if non-empty). */
+  private def roll(): Unit = {
+    if (writer == null) return
+    writer.close()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (rows == 0) { fs.delete(p, false); writer = null; return }
+    val size = fs.getFileStatus(p).getLen
+    def m(a: Array[Any]): Map[String, String] =
+      schema.fields.indices.collect {
+        case i if a(i) != null => schema.fields(i).name -> a(i).toString
+      }.toMap
+    done += DataFileMeta(path, rows, size, m(mins), m(maxs))
+    writer = null
+  }
+
+  private def scalarAt(row: InternalRow, i: Int): Any =
+    if (row.isNullAt(i)) null else schema.fields(i).dataType match {
+      case IntegerType | DateType => row.getInt(i)
+      case LongType | TimestampType | TimestampNTZType => row.getLong(i)
+      case DoubleType => row.getDouble(i)
+      case FloatType => row.getFloat(i)
+      case ShortType => row.getShort(i)
+      case StringType => row.getUTF8String(i).toString
+      case BooleanType => row.getBoolean(i)
+      case _ => null
+    }
 
   private def track(row: InternalRow): Unit = {
     var i = 0
     while (i < schema.length) {
-      if (!row.isNullAt(i)) {
-        val v: Any = schema.fields(i).dataType match {
-          case IntegerType | DateType => row.getInt(i)
-          case LongType | TimestampType | TimestampNTZType => row.getLong(i)
-          case DoubleType => row.getDouble(i)
-          case FloatType => row.getFloat(i)
-          case ShortType => row.getShort(i)
-          case _ => null
-        }
-        if (v != null) {
-          val cmp = v.asInstanceOf[Comparable[Any]]
-          if (mins(i) == null || cmp.compareTo(mins(i)) < 0) mins(i) = v
-          if (maxs(i) == null || cmp.compareTo(maxs(i)) > 0) maxs(i) = v
-        }
+      val v = scalarAt(row, i)
+      if (v != null) {
+        val cmp = v.asInstanceOf[Comparable[Any]]
+        if (mins(i) == null || cmp.compareTo(mins(i)) < 0) mins(i) = v
+        if (maxs(i) == null || cmp.compareTo(maxs(i)) > 0) maxs(i) = v
       }
       i += 1
     }
   }
 
   override def write(row: InternalRow): Unit = {
+    if (partIdx.nonEmpty) {
+      val key = partIdx.toSeq.map(i => scalarAt(row, i))
+      if (currentKey == null || key != currentKey) {
+        roll() // partition value changed (input is sorted): next file
+        currentKey = key
+      }
+    }
+    if (writer == null) open()
     track(row)
     writer.write(row)
     rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
-    writer.close()
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    if (rows == 0) { fs.delete(p, false); return LakeCommitMessage(DataFileMeta("", 0, 0)) }
-    val size = fs.getFileStatus(p).getLen
-    def m(a: Array[Any]): Map[String, String] =
-      schema.fields.indices.collect {
-        case i if a(i) != null => schema.fields(i).name -> a(i).toString
-      }.toMap
-    LakeCommitMessage(DataFileMeta(path, rows, size, m(mins), m(maxs)))
+    roll()
+    LakeCommitMessage(done.result())
   }
 
   override def abort(): Unit = {
-    writer.close()
-    val p = new Path(path)
-    p.getFileSystem(conf).delete(p, false)
+    if (writer != null) { writer.close(); writer = null }
+    val fs = new Path(pathPrefix).getFileSystem(conf)
+    (done.result().map(_.path) :+ path).filter(_ != null)
+      .foreach(p => fs.delete(new Path(p), false))
   }
 
   override def close(): Unit = ()

@@ -59,14 +59,14 @@ final class StagedLakeTable(
       override def toBatch: BatchWrite = new BatchWrite {
         override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
           LakeWriterFactory(info.schema().json, s"${baseMeta.location}/data",
-            new SerializableConfiguration(hadoopConf))
+            baseMeta.partitionColumns, new SerializableConfiguration(hadoopConf))
         override def commit(messages: Array[WriterCommitMessage]): Unit =
           // buffer only — visibility is commitStagedChanges' job
-          stagedFiles = messages.collect { case LakeCommitMessage(f) if f.path.nonEmpty => f }.toSeq
+          stagedFiles = messages.collect { case LakeCommitMessage(fs) => fs }.flatten.toSeq
         override def abort(messages: Array[WriterCommitMessage]): Unit = {
           val fs = new Path(baseMeta.location).getFileSystem(hadoopConf)
-          messages.collect { case LakeCommitMessage(f) if f.path.nonEmpty =>
-            fs.delete(new Path(f.path), false)
+          messages.collect { case LakeCommitMessage(files) =>
+            files.foreach(f => fs.delete(new Path(f.path), false))
           }
         }
       }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
@@ -43,6 +44,41 @@ object StreamingQueries {
       EventsStreaming.dedupped(t(s, dir, "events"))
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("event_id")).as("n_unique"))
+    },
+
+    // ───── q46: as-of join (latest prior purchase for each click) ────────
+    // The temporal-join operator Spark lacks natively, composed from
+    // built-ins the scalable way: tag both streams, ONE shuffle on the key,
+    // per-partition sort, and last_value(ignoreNulls) over a running frame
+    // carries the most recent purchase forward to each click. No join
+    // explosion, no range cross-product — O(events) rows through one
+    // exchange, the plan a 100 TB tick-data as-of needs. Oracle: DuckDB's
+    // native ASOF LEFT JOIN (q.ts <= t.ts inclusive — matched by sorting
+    // purchases before clicks at equal ts).
+    QueryDef.df(
+      "q46_asof_join",
+      """SELECT t.event_id, t.user_id, CAST(t.value AS DOUBLE) AS click_value,
+        |       q.event_id AS purchase_event_id, CAST(q.value AS DOUBLE) AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') t
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') q
+        |  ON t.user_id = q.user_id AND q.ts <= t.ts
+        |ORDER BY t.event_id""".stripMargin) { (s, dir) =>
+      val tagged = t(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("is_click", when(col("event_type") === "click", 1).otherwise(0))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_click")) // purchase first at equal ts => inclusive <=
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("purchase_event_id",
+          last(when(col("is_click") === 0, col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("purchase_value",
+          last(when(col("is_click") === 0, col("value")), ignoreNulls = true).over(w))
+        .filter(col("is_click") === 1)
+        .select(col("event_id"), col("user_id"),
+          col("value").cast("double").as("click_value"),
+          col("purchase_event_id"), col("purchase_value").cast("double"))
+        .orderBy("event_id")
     },
 
     // ───── q44: session windows per user ─────────────────────────────────

@@ -211,6 +211,37 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(spark.table("lake.stg.r").collect().head.getInt(0) == 8)
   }
 
+  test("PARTITIONED BY clusters writes so partition filters prune to exact files") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.pt")
+    spark.sql("DROP TABLE IF EXISTS lake.pt.sales")
+    spark.sql("CREATE TABLE lake.pt.sales (region INT, amount BIGINT) PARTITIONED BY (region)")
+    // one INSERT spanning 4 partition values: the required clustering must
+    // split them into per-region files
+    spark.sql(
+      """INSERT INTO lake.pt.sales
+        |SELECT CAST(id % 4 AS INT) AS region, id AS amount FROM range(1000)""".stripMargin)
+    val all = spark.table("lake.pt.sales")
+    assert(all.count() == 1000)
+    // a partition-filtered scan must read ONLY files whose min==max==2
+    val one = spark.sql("SELECT * FROM lake.pt.sales WHERE region = 2")
+    assert(one.count() == 250)
+    val scanned = one.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    val allFiles = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("pt"), "sales"))
+      .asInstanceOf[graft.catalog.LakeTable].meta.currentFiles
+    assert(allFiles.size >= 4, s"clustered write should emit >=1 file per region, got ${allFiles.size}")
+    val matching = allFiles.filter(f =>
+      f.minValues.get("region").contains("2") && f.maxValues.get("region").contains("2"))
+    assert(matching.nonEmpty, "region=2 rows must sit in files with min==max==2")
+    // the physical scan's file list excludes non-matching partitions
+    val nonMatching = allFiles.filterNot(matching.contains)
+    nonMatching.foreach(f =>
+      assert(!scanned.contains(new java.io.File(f.path).getName),
+        s"file ${f.path} (regions ${f.minValues.get("region")}-${f.maxValues.get("region")}) should be pruned"))
+  }
+
   test("rename preserves data; purge removes files") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.rn")
     spark.sql("DROP TABLE IF EXISTS lake.rn.a")
