@@ -147,16 +147,38 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
   override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
     stage(ident, info, StageMode.CreateOrReplace)
 
+  /** Property changes plus name-based schema evolution. ADD COLUMNS: new
+    * nullable column appended; existing files lack it and the by-name
+    * parquet read surfaces NULL — correct add-column semantics with zero
+    * rewrites. DROP COLUMN: removed from the schema; readers prune it from
+    * old files. RENAME is rejected: without Iceberg-style field IDs a
+    * rename silently disconnects old data (the reference's metadata treats
+    * schemas opaquely, mod.rs:217-220 — we refuse rather than corrupt).
+    */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = doLoad(ident, None)
     var props = t.meta.properties
+    var schema = t.meta.schema
     changes.foreach {
       case s: TableChange.SetProperty => props += (s.property() -> s.value())
       case r: TableChange.RemoveProperty => props -= r.property()
+      case a: TableChange.AddColumn =>
+        if (a.fieldNames().length != 1) throw new UnsupportedOperationException(
+          "only top-level ADD COLUMNS is supported")
+        if (!a.isNullable) throw new UnsupportedOperationException(
+          "added columns must be nullable (existing rows have no value)")
+        schema = schema.add(a.fieldNames()(0), a.dataType(), nullable = true)
+      case d: TableChange.DeleteColumn =>
+        if (d.fieldNames().length != 1) throw new UnsupportedOperationException(
+          "only top-level DROP COLUMN is supported")
+        if (t.meta.partitionColumns.contains(d.fieldNames()(0)))
+          throw new UnsupportedOperationException("cannot drop a partition column")
+        schema = StructType(schema.fields.filterNot(_.name == d.fieldNames()(0)))
       case c => throw new UnsupportedOperationException(
-        s"alterTable change ${c.getClass.getSimpleName} not supported")
+        s"alterTable change ${c.getClass.getSimpleName} not supported " +
+          "(RENAME COLUMN needs field-id tracking; not implemented)")
     }
-    val next = t.meta.copy(properties = props)
+    val next = t.meta.copy(properties = props, schemaJson = schema.json)
     val newLoc = TableMeta.write(next, hadoopConf)
     if (store.casUpdate(ns(ident.namespace()), ident.name(), newLoc, t.metadataLocation) != 1)
       throw new IllegalStateException(s"commit conflict altering ${display(ident)}")

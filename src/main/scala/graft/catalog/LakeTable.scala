@@ -9,10 +9,10 @@ import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetWriter
 import org.apache.parquet.hadoop.api.WriteSupport
 import org.apache.parquet.hadoop.metadata.CompressionCodecName
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession, sources}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write._
@@ -50,7 +50,7 @@ final class LakeTable(
     hadoopConf: Configuration,
     pinnedSnapshotId: Option[Long] = None,
     onCommit: () => Unit = () => ())
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = ident
   override def schema(): StructType = meta.schema
@@ -83,6 +83,127 @@ final class LakeTable(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new LakeWriteBuilder(this, info, store, hadoopConf)
+
+  // ── DELETE FROM (copy-on-write) ──────────────────────────────────────────
+  // The DML path the reference's pointer protocol enables but never builds:
+  // files that provably contain no matching rows (metadata min/max) survive
+  // untouched; only possibly-affected files are rewritten without the
+  // matching rows by a DISTRIBUTED job (executors stream InternalRows
+  // through the same stats-tracking parquet writer as inserts); one CAS
+  // pointer swap makes the whole delete atomic. At 100 TB a
+  // delete-by-partition-key touches only that partition's files.
+
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    filters.forall(f => FilterToColumn.translate(f).isDefined)
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    val spark = SparkSession.active
+    val cond: Column = filters.flatMap(FilterToColumn.translate)
+      .reduceOption(_ && _).getOrElse(org.apache.spark.sql.functions.lit(true))
+    val current = meta.currentFiles
+    val affected = current.filter(f =>
+      filters.forall(fl => FilterToColumn.mayMatch(fl, f)))
+    val kept = current.filterNot(affected.toSet)
+    val newFiles: Seq[DataFileMeta] =
+      if (affected.isEmpty) Nil
+      else {
+        val survivors = spark.read.schema(schema())
+          .parquet(affected.map(_.path): _*)
+          .filter(!cond)
+        val factory = LakeWriterFactory(schema().json, s"${meta.location}/data",
+          meta.partitionColumns, new SerializableConfiguration(hadoopConf))
+        survivors.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
+          val w = factory.createWriter(pid, org.apache.spark.TaskContext.get().taskAttemptId())
+          rows.foreach(w.write)
+          Iterator.single(w.commit())
+        }.collect().toSeq.collect { case LakeCommitMessage(fs) => fs }.flatten
+      }
+    var prevLoc = metadataLocation
+    var base = meta
+    var attempts = 0
+    while (attempts < 5) {
+      val snapId = base.nextSnapshotId
+      // rebase against concurrent appends: keep everything currently live
+      // except the files this delete rewrote
+      val manifest = (base.currentFiles.filterNot(affected.toSet)) ++ newFiles
+      val next = base.copy(
+        currentSnapshotId = snapId,
+        snapshots = base.snapshots :+ SnapshotMeta(snapId, System.currentTimeMillis(),
+          "delete", manifest))
+      val newLoc = TableMeta.write(next, hadoopConf)
+      if (store.casUpdate(namespace, tableName, newLoc, prevLoc) == 1) {
+        commitSucceeded()
+        return
+      }
+      attempts += 1
+      prevLoc = store.load(namespace, tableName).getOrElse(
+        throw new IllegalStateException(s"table $ident dropped during delete"))
+      base = TableMeta.read(prevLoc, hadoopConf)
+    }
+    throw new IllegalStateException(s"delete on $ident: CAS lost $attempts times")
+  }
+}
+
+/** V1 source Filter -> Column translation + conservative per-file match
+  * check for the delete path. `mayMatch = false` only when min/max stats
+  * prove no row of the file satisfies the filter (unknown shapes ⇒ true ⇒
+  * the file gets rewritten — always correct, possibly more work).
+  */
+private[catalog] object FilterToColumn {
+  import org.apache.spark.sql.functions.{col, lit, not}
+
+  def translate(f: sources.Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v) => Some(col(a).contains(v))
+    case sources.And(l, r) => for (a <- translate(l); b <- translate(r)) yield a && b
+    case sources.Or(l, r) => for (a <- translate(l); b <- translate(r)) yield a || b
+    case sources.Not(c) => translate(c).map(not)
+    case sources.AlwaysTrue() => Some(lit(true))
+    case sources.AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
+
+  private def range(file: DataFileMeta, column: String): Option[(BigDecimal, BigDecimal)] =
+    for {
+      mn <- file.minValues.get(column); mx <- file.maxValues.get(column)
+      lo <- try Some(BigDecimal(mn)) catch { case _: Throwable => None }
+      hi <- try Some(BigDecimal(mx)) catch { case _: Throwable => None }
+    } yield (lo, hi)
+
+  private def num(v: Any): Option[BigDecimal] = v match {
+    case n: java.lang.Number => Some(BigDecimal(n.toString))
+    case _ => None
+  }
+
+  /** Could any row of `file` satisfy `f`? Conservative. */
+  def mayMatch(f: sources.Filter, file: DataFileMeta): Boolean = f match {
+    case sources.EqualTo(a, v) =>
+      (for ((lo, hi) <- range(file, a); x <- num(v)) yield x >= lo && x <= hi).getOrElse(true)
+    case sources.GreaterThan(a, v) =>
+      (for ((_, hi) <- range(file, a); x <- num(v)) yield hi > x).getOrElse(true)
+    case sources.GreaterThanOrEqual(a, v) =>
+      (for ((_, hi) <- range(file, a); x <- num(v)) yield hi >= x).getOrElse(true)
+    case sources.LessThan(a, v) =>
+      (for ((lo, _) <- range(file, a); x <- num(v)) yield lo < x).getOrElse(true)
+    case sources.LessThanOrEqual(a, v) =>
+      (for ((lo, _) <- range(file, a); x <- num(v)) yield lo <= x).getOrElse(true)
+    case sources.In(a, vs) =>
+      (for ((lo, hi) <- range(file, a)) yield
+        vs.exists(v => num(v).forall(x => x >= lo && x <= hi))).getOrElse(true)
+    case sources.And(l, r) => mayMatch(l, file) && mayMatch(r, file)
+    case sources.Or(l, r) => mayMatch(l, file) || mayMatch(r, file)
+    case _ => true
+  }
 }
 
 /** Scan builder: collects Spark's pushed-down filters and required columns,

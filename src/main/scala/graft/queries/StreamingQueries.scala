@@ -81,6 +81,40 @@ object StreamingQueries {
         .orderBy("event_id")
     },
 
+    // ───── q47: range join (clicks within 5 min before each error) ───────
+    // The interval-join operator, in the shape that scales: bucket both
+    // sides into 5-minute bins, EQUI-join on (user, bin) with the error
+    // side probing its own and the previous bin, then apply the exact
+    // range predicate inside the join. Catalyst gets a shuffled hash join
+    // on (user_id, bin) — never the BroadcastNestedLoopJoin a raw
+    // inequality join degenerates to. A click matches exactly one probe
+    // bin, so counts need no dedup; LEFT join keeps zero-click errors.
+    QueryDef.df(
+      "q47_range_join",
+      """SELECT e.event_id, CAST(count(c.event_id) AS BIGINT) AS clicks_before
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND c.ts >= e.ts - INTERVAL 5 MINUTE AND c.ts < e.ts
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val bin = (c: org.apache.spark.sql.Column) => floor(unix_micros(c) / (300L * 1000000L))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts").as("ets"))
+        .withColumn("probe_bin", explode(array(bin(col("ets")) - 1, bin(col("ets")))))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("cts"),
+          col("event_id").as("c_event_id"), bin(col("ts")).as("c_bin"))
+      errors
+        .join(clicks,
+          col("user_id") === col("c_user") && col("probe_bin") === col("c_bin")
+            && col("cts") >= col("ets") - expr("INTERVAL 5 MINUTES")
+            && col("cts") < col("ets"),
+          "left")
+        .groupBy("event_id")
+        .agg(count(col("c_event_id")).as("clicks_before"))
+        .orderBy("event_id")
+    },
+
     // ───── q44: session windows per user ─────────────────────────────────
     // Gap-based session merging isn't directly expressible in DuckDB SQL
     // without recursive windowing → rows-only driver check; StreamingSpec

@@ -242,6 +242,53 @@ class LakeCatalogSpec extends AnyFunSuite {
         s"file ${f.path} (regions ${f.minValues.get("region")}-${f.maxValues.get("region")}) should be pruned"))
   }
 
+  test("DELETE FROM rewrites only affected files (copy-on-write), atomic via CAS") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.del")
+    spark.sql("DROP TABLE IF EXISTS lake.del.t")
+    spark.sql("CREATE TABLE lake.del.t (k BIGINT, v BIGINT)")
+    // two appends -> two files with disjoint k ranges (min/max prunable)
+    spark.sql("INSERT INTO lake.del.t SELECT id AS k, id * 2 AS v FROM range(0, 100)")
+    spark.sql("INSERT INTO lake.del.t SELECT id AS k, id * 2 AS v FROM range(1000, 1100)")
+    def files = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[TableCatalog]
+      .loadTable(Identifier.of(Array("del"), "t"))
+      .asInstanceOf[graft.catalog.LakeTable].meta.currentFiles
+    val before = files
+    // every file whose k-range cannot intersect k < 50 must survive untouched
+    val untouched = before.filter(f => BigDecimal(f.minValues("k")) >= 50)
+    assert(untouched.nonEmpty && untouched.size < before.size)
+    spark.sql("DELETE FROM lake.del.t WHERE k < 50")
+    assert(spark.table("lake.del.t").count() == 150)
+    assert(spark.sql("SELECT min(k) FROM lake.del.t").collect().head.getLong(0) == 50)
+    val after = files
+    untouched.foreach(f => assert(after.contains(f),
+      s"file ${f.path} (k ${f.minValues("k")}..${f.maxValues("k")}) should survive byte-identical"))
+    // deleting nothing is a no-op rewrite of zero files
+    spark.sql("DELETE FROM lake.del.t WHERE k = 999999")
+    assert(spark.table("lake.del.t").count() == 150)
+    // unconditional delete empties the table
+    spark.sql("DELETE FROM lake.del.t")
+    assert(spark.table("lake.del.t").count() == 0)
+  }
+
+  test("schema evolution: ADD COLUMNS backfills null, DROP COLUMN hides old data, RENAME refused") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ev")
+    spark.sql("DROP TABLE IF EXISTS lake.ev.t")
+    spark.sql("CREATE TABLE lake.ev.t (k BIGINT)")
+    spark.sql("INSERT INTO lake.ev.t VALUES (1)")
+    spark.sql("ALTER TABLE lake.ev.t ADD COLUMNS (tag STRING)")
+    spark.sql("INSERT INTO lake.ev.t VALUES (2, 'new')")
+    val rows = spark.table("lake.ev.t").orderBy("k").collect()
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(1), "pre-evolution rows surface NULL for the added column")
+    assert(rows(1).getString(1) == "new")
+    spark.sql("ALTER TABLE lake.ev.t DROP COLUMN tag")
+    assert(spark.table("lake.ev.t").columns.toSeq == Seq("k"))
+    assert(spark.table("lake.ev.t").count() == 2)
+    intercept[Exception] { spark.sql("ALTER TABLE lake.ev.t RENAME COLUMN k TO kk") }
+  }
+
   test("rename preserves data; purge removes files") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.rn")
     spark.sql("DROP TABLE IF EXISTS lake.rn.a")

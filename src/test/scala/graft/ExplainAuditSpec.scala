@@ -34,6 +34,18 @@ class ExplainAuditSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial+final agg:\n$p")
   }
 
+  test("q47 range join is an equi-join on (user, bin), not a nested loop") {
+    val p = plan("q47_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must not degenerate to a nested loop:\n$p")
+  }
+
+  test("q46 as-of join is one shuffle + window, no join operator at all") {
+    val p = plan("q46_asof_join")
+    assert(!p.contains("Join"), s"as-of should be window-based, found a join:\n$p")
+    assert(p.contains("Window"), s"expected a window operator:\n$p")
+  }
+
   test("q01 agg is partial+final with scan-level filter") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
