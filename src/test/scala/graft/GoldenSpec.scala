@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden row counts for every registered query at sf0.001 — a
+  * mutation tripwire between DuckDB-oracle gate runs: any accidental
+  * semantic change (lost filter, wrong join type, changed threshold)
+  * shifts a count and fails here immediately. Counts were cross-checked
+  * against the DuckDB oracle when recorded; update deliberately when a
+  * query's semantics change on purpose.
+  */
+class GoldenSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val golden: Map[String, Long] = Map(
+    "q01_pricing_summary" -> 6L,
+    "q02_filter_project" -> 173L,
+    "q03_topk_revenue" -> 10L,
+    "q04_priority_semijoin" -> 5L,
+    "q05_nation_revenue" -> 1L,
+    "q06_revenue_delta" -> 1L,
+    "q07_supplier_part_rank" -> 30L,
+    "q08_distinct_counts" -> 3L,
+    "q09_rollup" -> 10L,
+    "q10_order_histogram" -> 17L,
+    "q11_customers_no_orders" -> 1L,
+    "q12_set_ops" -> 3L,
+    "q13_promo_share" -> 1L,
+    "q14_having" -> 10L,
+    "q15_top_supplier" -> 1L,
+    "q16_grouping_sets" -> 10L,
+    "q17_small_qty_revenue" -> 1L,
+    "q18_big_orders" -> 100L,
+    "q19_disjunctive" -> 1L,
+    "q20_string_funcs" -> 6L,
+    "q21_monthly_orders" -> 12L,
+    "q22_cube" -> 24L,
+    "q23_in_subquery" -> 4L,
+    "q24_running_window" -> 397L,
+    "q25_events_json" -> 50L,
+    "q26_embedding_topk" -> 10L,
+    "q27_exact_dedup" -> 500L,
+    "q28_neardup_pairs" -> 28L,
+    "q29_text_stats" -> 5L,
+    "q30_catalog_roundtrip" -> 5L,
+    "q31_catalog_snapshot_isolation" -> 5L,
+    "q32_approx_distinct" -> 3L,
+    "q33_simhash_neardup" -> 21L,
+    "q34_langid" -> 10L,
+    "q35_quality_score" -> 20L,
+    "q36_multimodal_features" -> 20L,
+    "q37_event_tumbling" -> 868L,
+    "q38_ann_lsh" -> 10L,
+    "q39_token_counts" -> 5L,
+    "q40_embedding_neardup" -> 0L,
+    "q41_label_centroids" -> 10L,
+    "q42_ngram_freq" -> 25L,
+    "q43_event_dedup" -> 1L,
+    "q44_event_sessions" -> 636L,
+    "q45_winnow_copydetect" -> 28L,
+    "q46_asof_join" -> 210L,
+    "q47_range_join" -> 201L)
+
+  test("every registered query has a golden count (add one when adding a query)") {
+    assert(SparkEntry.queries.keySet == golden.keySet,
+      s"missing goldens: ${SparkEntry.queries.keySet -- golden.keySet}; " +
+        s"stale goldens: ${golden.keySet -- SparkEntry.queries.keySet}")
+  }
+
+  for ((name, expected) <- golden.toSeq.sortBy(_._1)) {
+    test(s"$name returns exactly $expected rows at sf0.001") {
+      assert(SparkEntry.queries(name)(spark, sf).count() == expected)
+    }
+  }
+}

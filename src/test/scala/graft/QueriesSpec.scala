@@ -20,13 +20,8 @@ object TestSpark {
 class QueriesSpec extends AnyFunSuite {
   import TestSpark._
 
-  for (q <- SparkEntry.registry) {
-    test(s"${q.name} executes") {
-      val df = q.run(spark, sf)
-      assert(df.columns.nonEmpty)
-      assert(df.count() >= 0)
-    }
-  }
+  // per-query execution + row counts live in GoldenSpec (exact expected
+  // rows, not the vacuous `count >= 0` this loop used to assert — r1 ADVICE)
 
   test("q01 groups match the distinct flag/status combos in the data") {
     val rows = SparkEntry.queries("q01_pricing_summary")(spark, sf).collect()
