@@ -12,7 +12,7 @@ import org.apache.parquet.hadoop.metadata.CompressionCodecName
 import org.apache.spark.sql.{Column, SparkSession, sources}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write._
@@ -50,7 +50,8 @@ final class LakeTable(
     hadoopConf: Configuration,
     pinnedSnapshotId: Option[Long] = None,
     onCommit: () => Unit = () => ())
-  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete
+  with SupportsRowLevelOperations {
 
   override def name(): String = ident
   override def schema(): StructType = meta.schema
@@ -78,6 +79,17 @@ final class LakeTable(
     }
     new LakeScanBuilder(ident, schema(), snap.map(_.manifest).getOrElse(Nil), options)
   }
+
+  /** UPDATE / MERGE INTO via group-based copy-on-write: Spark rewrites the
+    * command into a ReplaceData plan whose scan this operation builds and
+    * whose write replaces exactly the files that scan covered (the
+    * operation object carries the scanned-file set from scan to commit) —
+    * one CAS swap, same atomicity as every other commit. DELETE keeps the
+    * cheaper SupportsDelete path (metadata-pruned rewrite).
+    */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new LakeRowLevelOperation(this, info.command(), store, hadoopConf)
 
   private[catalog] def commitSucceeded(): Unit = onCommit()
 
@@ -206,6 +218,70 @@ private[catalog] object FilterToColumn {
   }
 }
 
+/** Copy-on-write row-level operation (UPDATE / MERGE INTO). The scan side
+  * records which snapshot files it read; the write side's commit swaps
+  * exactly those files for the rewritten ones. Without runtime group
+  * filtering the scan covers the whole current snapshot (full-table COW) —
+  * correct always; file-level pruning for row-level commands is the
+  * SupportsRuntimeV2Filtering follow-up.
+  */
+final class LakeRowLevelOperation(
+    table: LakeTable,
+    cmd: RowLevelOperation.Command,
+    store: PointerStore,
+    hadoopConf: Configuration)
+  extends RowLevelOperation {
+
+  @volatile private var scanned: Seq[DataFileMeta] = Nil
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LakeScanBuilder(table.name(), table.schema(), table.meta.currentFiles, options,
+      files => scanned = files)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
+    override def build(): Write = new Write {
+      override def toBatch: BatchWrite = new BatchWrite {
+        override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
+          LakeWriterFactory(info.schema().json, s"${table.meta.location}/data",
+            table.meta.partitionColumns, new SerializableConfiguration(hadoopConf))
+        override def commit(messages: Array[WriterCommitMessage]): Unit = {
+          val newFiles = messages.collect { case LakeCommitMessage(fs) => fs }.flatten.toSeq
+          val replaced = scanned.toSet
+          var prevLoc = table.metadataLocation
+          var base = table.meta
+          var attempts = 0
+          while (attempts < 5) {
+            val snapId = base.nextSnapshotId
+            val manifest = base.currentFiles.filterNot(replaced) ++ newFiles
+            val next = base.copy(
+              currentSnapshotId = snapId,
+              snapshots = base.snapshots :+ SnapshotMeta(snapId,
+                System.currentTimeMillis(), "replace-rows", manifest))
+            val newLoc = TableMeta.write(next, hadoopConf)
+            if (store.casUpdate(table.namespace, table.tableName, newLoc, prevLoc) == 1) {
+              table.commitSucceeded()
+              return
+            }
+            attempts += 1
+            prevLoc = store.load(table.namespace, table.tableName).getOrElse(
+              throw new IllegalStateException(s"table ${table.ident} dropped during ${cmd}"))
+            base = TableMeta.read(prevLoc, hadoopConf)
+          }
+          throw new IllegalStateException(s"$cmd on ${table.ident}: CAS lost $attempts times")
+        }
+        override def abort(messages: Array[WriterCommitMessage]): Unit = {
+          val fs = new Path(table.meta.location).getFileSystem(hadoopConf)
+          messages.collect { case LakeCommitMessage(files) =>
+            files.foreach(f => fs.delete(new Path(f.path), false))
+          }
+        }
+      }
+    }
+  }
+}
+
 /** Scan builder: collects Spark's pushed-down filters and required columns,
   * prunes the snapshot's file list against metadata min/max BEFORE any file
   * or footer is opened, then delegates to the built-in parquet scan over
@@ -216,7 +292,8 @@ final class LakeScanBuilder(
     ident: String,
     tableSchema: StructType,
     files: Seq[DataFileMeta],
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    onFilesSelected: Seq[DataFileMeta] => Unit = _ => ())
   extends ScanBuilder with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns {
 
@@ -237,6 +314,7 @@ final class LakeScanBuilder(
 
   override def build(): Scan = {
     val survivors = files.filter(f => exprs.forall(e => FilePruner.mayMatch(e, f, tableSchema)))
+    onFilesSelected(survivors)
     val spark = SparkSession.active
     val pt = ParquetTable(ident, spark, options, survivors.map(_.path).toList,
       Some(tableSchema), classOf[ParquetFileFormat])
@@ -592,7 +670,26 @@ final class LakeDataWriter(
     }
   }
 
-  override def write(row: InternalRow): Unit = {
+  // Row-level (UPDATE/MERGE) ReplaceData plans prepend a __row_operation
+  // marker column that the write schema excludes; project it away once,
+  // based on the first row's width (data columns keep their order).
+  private var aligner: org.apache.spark.sql.catalyst.ProjectingInternalRow = _
+  private var alignChecked = false
+
+  private def aligned(row: InternalRow): InternalRow = {
+    if (!alignChecked) {
+      alignChecked = true
+      val extra = row.numFields - schema.length
+      require(extra >= 0, s"writer got ${row.numFields} fields for ${schema.length}-column schema")
+      if (extra > 0)
+        aligner = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+          schema, (extra until row.numFields).toIndexedSeq)
+    }
+    if (aligner == null) row else { aligner.project(row); aligner }
+  }
+
+  override def write(rawRow: InternalRow): Unit = {
+    val row = aligned(rawRow)
     if (partIdx.nonEmpty) {
       val key = partIdx.toSeq.map(i => scalarAt(row, i))
       if (currentKey == null || key != currentKey) {

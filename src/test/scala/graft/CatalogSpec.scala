@@ -289,6 +289,40 @@ class LakeCatalogSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("ALTER TABLE lake.ev.t RENAME COLUMN k TO kk") }
   }
 
+  test("UPDATE rewrites rows copy-on-write, atomic via CAS") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.rlo")
+    spark.sql("DROP TABLE IF EXISTS lake.rlo.u")
+    spark.sql("CREATE TABLE lake.rlo.u AS SELECT id AS k, id * 10 AS v FROM range(10)")
+    spark.sql("UPDATE lake.rlo.u SET v = v + 1 WHERE k < 3")
+    val rows = spark.table("lake.rlo.u").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 10)
+    assert(rows.take(3).toSeq == Seq((0L, 1L), (1L, 11L), (2L, 21L)))
+    assert(rows.drop(3).forall { case (k, v) => v == k * 10 })
+  }
+
+  test("MERGE INTO upserts (matched update + not-matched insert) in one commit") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.rlo")
+    spark.sql("DROP TABLE IF EXISTS lake.rlo.m")
+    spark.sql("CREATE TABLE lake.rlo.m AS SELECT id AS k, CAST(0 AS BIGINT) AS v FROM range(5)")
+    Seq((3L, 33L), (4L, 44L), (7L, 77L), (9L, 99L)).toDF("k", "v")
+      .createOrReplaceTempView("merge_src")
+    spark.sql(
+      """MERGE INTO lake.rlo.m t USING merge_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    val got = spark.table("lake.rlo.m").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 33L), (4L, 44L), (7L, 77L), (9L, 99L)))
+    // snapshot history: the merge is ONE commit
+    val t = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("rlo"), "m"))
+      .asInstanceOf[graft.catalog.LakeTable]
+    assert(t.meta.snapshots.last.operation == "replace-rows")
+  }
+
   test("rename preserves data; purge removes files") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.rn")
     spark.sql("DROP TABLE IF EXISTS lake.rn.a")
