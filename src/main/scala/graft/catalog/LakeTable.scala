@@ -14,7 +14,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.execution.datasources.DataSourceStrategy
 import org.apache.spark.sql.execution.datasources.parquet.{ParquetFileFormat, ParquetWriteSupport}
@@ -238,7 +238,13 @@ final class LakeRowLevelOperation(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(table.name(), table.schema(), table.meta.currentFiles, options,
-      files => scanned = files)
+      files => scanned = files,
+      // runtime group filtering: Spark's RowLevelOperationRuntimeGroupFiltering
+      // computes the distinct partition values matching the command's
+      // condition and calls Scan.filter with them BEFORE planning input
+      // partitions — an UPDATE/MERGE touching one partition rewrites one
+      // partition, not the table
+      runtimeFilterCols = table.meta.partitionColumns)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
     override def build(): Write = new Write {
@@ -293,7 +299,8 @@ final class LakeScanBuilder(
     tableSchema: StructType,
     files: Seq[DataFileMeta],
     options: CaseInsensitiveStringMap,
-    onFilesSelected: Seq[DataFileMeta] => Unit = _ => ())
+    onFilesSelected: Seq[DataFileMeta] => Unit = _ => (),
+    runtimeFilterCols: Seq[String] = Nil)
   extends ScanBuilder with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns {
 
@@ -315,13 +322,113 @@ final class LakeScanBuilder(
   override def build(): Scan = {
     val survivors = files.filter(f => exprs.forall(e => FilePruner.mayMatch(e, f, tableSchema)))
     onFilesSelected(survivors)
-    val spark = SparkSession.active
-    val pt = ParquetTable(ident, spark, options, survivors.map(_.path).toList,
-      Some(tableSchema), classOf[ParquetFileFormat])
-    val inner = pt.newScanBuilder(options)
-    inner.pushFilters(exprs) // inner translates + records row-group pushdown itself
-    inner.pruneColumns(requiredSchema)
-    inner.build()
+    new LakeScan(ident, tableSchema, survivors, exprs, requiredSchema, options,
+      runtimeFilterCols, onFilesSelected)
+  }
+}
+
+/** The scan handed to Spark: delegates the actual reading to the built-in
+  * vectorized parquet DSv2 scan over the metadata-pruned file list, and
+  * accepts RUNTIME file pruning (SupportsRuntimeV2Filtering) on the
+  * declared filter columns — used by row-level commands (UPDATE/MERGE
+  * group filtering) to shrink the copy-on-write set to the files that
+  * actually contain matching rows. Every re-filter re-reports the final
+  * file set so the replacing commit swaps exactly what was read.
+  */
+final class LakeScan(
+    ident: String,
+    tableSchema: StructType,
+    initialFiles: Seq[DataFileMeta],
+    exprs: Seq[Expression],
+    requiredSchema: StructType,
+    options: CaseInsensitiveStringMap,
+    runtimeFilterCols: Seq[String],
+    onFilesSelected: Seq[DataFileMeta] => Unit)
+  extends Scan with SupportsRuntimeV2Filtering {
+
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+
+  private var files: Seq[DataFileMeta] = initialFiles
+  private var delegate: Scan = _
+
+  private def inner: Scan = {
+    if (delegate == null) {
+      val spark = SparkSession.active
+      val pt = ParquetTable(ident, spark, options, files.map(_.path).toList,
+        Some(tableSchema), classOf[ParquetFileFormat])
+      val b = pt.newScanBuilder(options)
+      b.pushFilters(exprs) // inner translates + records row-group pushdown itself
+      b.pruneColumns(requiredSchema)
+      delegate = b.build()
+    }
+    delegate
+  }
+
+  override def filterAttributes(): Array[NamedReference] =
+    runtimeFilterCols.map(Expressions.column).toArray
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    files = files.filter(f => predicates.forall(p => V2PredicatePruner.mayMatch(p, f)))
+    onFilesSelected(files)
+    delegate = null // rebuild the parquet scan over the pruned list
+  }
+
+  override def readSchema(): StructType = inner.readSchema()
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
+  override def description(): String = s"LakeScan($ident, ${files.size} files) -> ${inner.description()}"
+}
+
+/** Conservative per-file evaluation of DSv2 runtime predicates (the group
+  * filter arrives as `col IN (v1, v2, …)` from the dynamic-pruning
+  * subquery). Unknown shapes keep the file.
+  */
+private[catalog] object V2PredicatePruner {
+  import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
+
+  private def valueOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[Any] =
+    e match {
+      case l: V2Literal[_] => Some(l.value())
+      case _ => None
+    }
+
+  private def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case r: NamedReference => Some(r.fieldNames().mkString("."))
+      case _ => None
+    }
+
+  /** Is `v` (catalyst-internal value) inside the file's [min, max] for col? */
+  private def inRange(file: DataFileMeta, col: String, v: Any): Boolean = {
+    (file.minValues.get(col), file.maxValues.get(col)) match {
+      case (Some(mn), Some(mx)) =>
+        try {
+          val x = BigDecimal(v.toString)
+          x >= BigDecimal(mn) && x <= BigDecimal(mx)
+        } catch {
+          case _: NumberFormatException =>
+            val s = v.toString
+            s >= mn && s <= mx // lexical for strings (UTF8String.toString)
+        }
+      case _ => true // no stats: keep
+    }
+  }
+
+  def mayMatch(p: Predicate, file: DataFileMeta): Boolean = p.name() match {
+    case "IN" =>
+      val kids = p.children()
+      (for (c <- colOf(kids.head)) yield
+        kids.tail.exists(k => valueOf(k).forall(inRange(file, c, _)))).getOrElse(true)
+    case "=" =>
+      val kids = p.children()
+      (for (c <- colOf(kids(0)); v <- valueOf(kids(1))) yield inRange(file, c, v))
+        .getOrElse(true)
+    case "AND" =>
+      val and = p.asInstanceOf[org.apache.spark.sql.connector.expressions.filter.And]
+      mayMatch(and.left(), file) && mayMatch(and.right(), file)
+    case "OR" =>
+      val or = p.asInstanceOf[org.apache.spark.sql.connector.expressions.filter.Or]
+      mayMatch(or.left(), file) || mayMatch(or.right(), file)
+    case _ => true
   }
 }
 

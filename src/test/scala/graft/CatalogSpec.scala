@@ -301,6 +301,31 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(rows.drop(3).forall { case (k, v) => v == k * 10 })
   }
 
+  test("UPDATE on a partitioned table rewrites ONLY the matching partition's files (runtime group filter)") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.rlo")
+    spark.sql("DROP TABLE IF EXISTS lake.rlo.pu")
+    spark.sql("CREATE TABLE lake.rlo.pu (region INT, amount BIGINT) PARTITIONED BY (region)")
+    spark.sql(
+      """INSERT INTO lake.rlo.pu
+        |SELECT CAST(id % 4 AS INT) AS region, id AS amount FROM range(400)""".stripMargin)
+    def files = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[TableCatalog]
+      .loadTable(Identifier.of(Array("rlo"), "pu"))
+      .asInstanceOf[graft.catalog.LakeTable].meta.currentFiles
+    val before = files
+    val otherRegions = before.filterNot(f =>
+      f.minValues.get("region").contains("2") || f.maxValues.get("region").contains("2"))
+    assert(otherRegions.nonEmpty)
+    spark.sql("UPDATE lake.rlo.pu SET amount = amount + 1000000 WHERE region = 2")
+    val after = files
+    otherRegions.foreach(f => assert(after.contains(f),
+      s"file ${f.path} (region ${f.minValues.get("region")}) must survive a region=2 update"))
+    assert(spark.sql("SELECT count(*) FROM lake.rlo.pu WHERE amount >= 1000000").collect()
+      .head.getLong(0) == 100)
+    assert(spark.table("lake.rlo.pu").count() == 400)
+  }
+
   test("MERGE INTO upserts (matched update + not-matched insert) in one commit") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.rlo")
