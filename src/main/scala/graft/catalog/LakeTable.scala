@@ -62,7 +62,8 @@ final class LakeTable(
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ)
 
   private def effectiveSnapshot: Option[SnapshotMeta] = pinnedSnapshotId match {
     case Some(id) => Some(meta.snapshot(id).getOrElse(
@@ -77,7 +78,13 @@ final class LakeTable(
         throw new IllegalArgumentException(s"no snapshot $id for table $ident"))
       case None => effectiveSnapshot
     }
-    new LakeScanBuilder(ident, schema(), snap.map(_.manifest).getOrElse(Nil), options)
+    new LakeScanBuilder(ident, schema(), snap.map(_.manifest).getOrElse(Nil), options,
+      microBatch = Some(() => new LakeMicroBatchStream(ident, schema(),
+        () => {
+          val loc = store.load(namespace, tableName).getOrElse(
+            throw new IllegalStateException(s"table $ident dropped during streaming read"))
+          TableMeta.read(loc, hadoopConf)
+        }, options, hadoopConf)))
   }
 
   /** UPDATE / MERGE INTO via group-based copy-on-write: Spark rewrites the
@@ -300,7 +307,8 @@ final class LakeScanBuilder(
     files: Seq[DataFileMeta],
     options: CaseInsensitiveStringMap,
     onFilesSelected: Seq[DataFileMeta] => Unit = _ => (),
-    runtimeFilterCols: Seq[String] = Nil)
+    runtimeFilterCols: Seq[String] = Nil,
+    microBatch: Option[() => LakeMicroBatchStream] = None)
   extends ScanBuilder with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns {
 
@@ -323,7 +331,7 @@ final class LakeScanBuilder(
     val survivors = files.filter(f => exprs.forall(e => FilePruner.mayMatch(e, f, tableSchema)))
     onFilesSelected(survivors)
     new LakeScan(ident, tableSchema, survivors, exprs, requiredSchema, options,
-      runtimeFilterCols, onFilesSelected)
+      runtimeFilterCols, onFilesSelected, microBatch)
   }
 }
 
@@ -343,7 +351,8 @@ final class LakeScan(
     requiredSchema: StructType,
     options: CaseInsensitiveStringMap,
     runtimeFilterCols: Seq[String],
-    onFilesSelected: Seq[DataFileMeta] => Unit)
+    onFilesSelected: Seq[DataFileMeta] => Unit,
+    microBatch: Option[() => LakeMicroBatchStream] = None)
   extends Scan with SupportsRuntimeV2Filtering {
 
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
@@ -375,6 +384,10 @@ final class LakeScan(
 
   override def readSchema(): StructType = inner.readSchema()
   override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    microBatch.map(_.apply()).getOrElse(
+      throw new UnsupportedOperationException(s"$ident does not support streaming reads"))
   override def description(): String = s"LakeScan($ident, ${files.size} files) -> ${inner.description()}"
 }
 
