@@ -1,0 +1,126 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+import org.apache.spark.util.SerializableConfiguration
+
+/** Table-maintenance procedures the reference leaves entirely to operators
+  * (its drop_table never even deletes files — mod.rs:164 TODO). Both are
+  * ordinary CAS commits: readers never block, concurrent appends rebase.
+  *
+  * At 100 TB these are not optional: a streaming sink writes one file per
+  * epoch per task, and scan cost is proportional to file count until
+  * compaction folds the small files back into scan-sized ones.
+  */
+object LakeMaintenance {
+
+  private def resolve(spark: SparkSession, table: String): (LakeCatalog, Identifier, LakeTable) = {
+    val parts = table.split('.')
+    require(parts.length == 3, s"expected catalog.namespace.table, got $table")
+    val cat = spark.sessionState.catalogManager.catalog(parts(0))
+      .asInstanceOf[TableCatalog].asInstanceOf[LakeCatalog]
+    val ident = Identifier.of(Array(parts(1)), parts(2))
+    (cat, ident, cat.loadTable(ident).asInstanceOf[LakeTable])
+  }
+
+  /** Bin-pack data files smaller than `smallFileBytes` into files of
+    * roughly `targetFileBytes`, one compaction group per partition-column
+    * value set (so partition pruning keeps working on the rewritten
+    * files). The rewrite is a DISTRIBUTED read of only the small files;
+    * large files are untouched. Returns (filesBefore, filesAfter).
+    */
+  def compact(
+      spark: SparkSession,
+      table: String,
+      smallFileBytes: Long = 32L * 1024 * 1024,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val (cat, ident, t) = resolve(spark, table)
+    val current = t.meta.currentFiles
+    val small = current.filter(_.sizeBytes < smallFileBytes)
+    if (small.size < 2) return (current.size, current.size)
+    val keep = current.filterNot(small.toSet)
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    // distributed rewrite of the small files; requesting coalesce to the
+    // target count keeps output files near targetFileBytes
+    val totalBytes = small.map(_.sizeBytes).sum
+    val outParts = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.schema(t.schema()).parquet(small.map(_.path): _*)
+    val clustered =
+      if (t.meta.partitionColumns.nonEmpty)
+        df.repartition(outParts, t.meta.partitionColumns.map(df.col): _*)
+          .sortWithinPartitions(t.meta.partitionColumns.map(df.col): _*)
+      else df.coalesce(outParts)
+    val factory = LakeWriterFactory(t.schema().json, s"${t.meta.location}/data",
+      t.meta.partitionColumns, new SerializableConfiguration(hadoopConf))
+    val newFiles = clustered.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
+      val w = factory.createWriter(pid, org.apache.spark.TaskContext.get().taskAttemptId())
+      rows.foreach(w.write)
+      Iterator.single(w.commit())
+    }.collect().toSeq.collect { case LakeCommitMessage(fs) => fs }.flatten
+
+    commitManifest(cat, ident, t, hadoopConf, "compact",
+      latest => latest.filterNot(small.toSet) ++ newFiles)
+    (current.size, keep.size + newFiles.size)
+  }
+
+  /** Drop all snapshots except the most recent `keepLast`, then delete any
+    * data file no retained snapshot references (the reference's missing
+    * vacuum). Time travel to expired snapshots stops working, by design.
+    * Returns the number of orphaned files deleted.
+    */
+  def expireSnapshots(spark: SparkSession, table: String, keepLast: Int = 1): Int = {
+    require(keepLast >= 1, "must retain at least the current snapshot")
+    val (cat, ident, t) = resolve(spark, table)
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val retainedIds = t.meta.snapshots.sortBy(_.snapshotId).takeRight(keepLast)
+      .map(_.snapshotId).toSet + t.meta.currentSnapshotId
+    val retained = t.meta.snapshots.filter(s => retainedIds.contains(s.snapshotId))
+    val live = retained.flatMap(_.manifest).map(_.path).toSet
+    val orphaned = t.meta.snapshots.filterNot(s => retainedIds.contains(s.snapshotId))
+      .flatMap(_.manifest).map(_.path).distinct.filterNot(live.contains)
+
+    val loc = t.metadataLocation
+    val next = t.meta.copy(snapshots = retained)
+    val newLoc = TableMeta.write(next, hadoopConf)
+    if (cat.pointerStore.casUpdate(ident.namespace()(0), ident.name(), newLoc, loc) != 1)
+      throw new IllegalStateException(s"snapshot expiration on $table lost the CAS")
+    cat.invalidateTable(ident)
+
+    val fs = new Path(t.meta.location).getFileSystem(hadoopConf)
+    orphaned.foreach(p => fs.delete(new Path(p), false))
+    orphaned.size
+  }
+
+  /** CAS commit helper with rebase: `manifestOf(latestFiles)` recomputes the
+    * target manifest against whatever is current when the CAS is attempted.
+    */
+  private def commitManifest(
+      cat: LakeCatalog,
+      ident: Identifier,
+      t0: LakeTable,
+      hadoopConf: org.apache.hadoop.conf.Configuration,
+      operation: String,
+      manifestOf: Seq[DataFileMeta] => Seq[DataFileMeta]): Unit = {
+    var prevLoc = t0.metadataLocation
+    var base = t0.meta
+    var attempts = 0
+    while (attempts < 5) {
+      val snapId = base.nextSnapshotId
+      val next = base.copy(
+        currentSnapshotId = snapId,
+        snapshots = base.snapshots :+ SnapshotMeta(snapId, System.currentTimeMillis(),
+          operation, manifestOf(base.currentFiles)))
+      val newLoc = TableMeta.write(next, hadoopConf)
+      if (cat.pointerStore.casUpdate(ident.namespace()(0), ident.name(), newLoc, prevLoc) == 1) {
+        cat.invalidateTable(ident)
+        return
+      }
+      attempts += 1
+      prevLoc = cat.pointerStore.load(ident.namespace()(0), ident.name()).getOrElse(
+        throw new IllegalStateException(s"table dropped during $operation"))
+      base = TableMeta.read(prevLoc, hadoopConf)
+    }
+    throw new IllegalStateException(s"$operation: CAS lost $attempts times")
+  }
+}

@@ -348,6 +348,49 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(t.meta.snapshots.last.operation == "replace-rows")
   }
 
+  test("compaction bin-packs small files; values identical; partition pruning survives") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.mx")
+    spark.sql("DROP TABLE IF EXISTS lake.mx.c")
+    spark.sql("CREATE TABLE lake.mx.c (region INT, amount BIGINT) PARTITIONED BY (region)")
+    // 5 small appends -> many small files (the streaming-sink shape)
+    (0 until 5).foreach(i => spark.sql(
+      s"INSERT INTO lake.mx.c SELECT CAST(id % 2 AS INT), id + ${i * 100} FROM range(100)"))
+    def t = spark.sessionState.catalogManager.catalog("lake").asInstanceOf[TableCatalog]
+      .loadTable(Identifier.of(Array("mx"), "c")).asInstanceOf[graft.catalog.LakeTable]
+    val beforeSum = spark.sql("SELECT sum(amount) FROM lake.mx.c").collect().head.getLong(0)
+    val nBefore = t.meta.currentFiles.size
+    val (b, a) = graft.catalog.LakeMaintenance.compact(spark, "lake.mx.c")
+    assert(b == nBefore && a < b, s"expected fewer files, got $b -> $a")
+    assert(spark.table("lake.mx.c").count() == 500)
+    assert(spark.sql("SELECT sum(amount) FROM lake.mx.c").collect().head.getLong(0) == beforeSum)
+    // rewritten files keep per-partition min==max so pruning still works
+    val f = t.meta.currentFiles
+    assert(f.forall(x => x.minValues.get("region") == x.maxValues.get("region")),
+      s"compacted files must stay partition-clustered: $f")
+  }
+
+  test("expireSnapshots truncates history and deletes orphaned files") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.mx")
+    spark.sql("DROP TABLE IF EXISTS lake.mx.e")
+    spark.sql("CREATE TABLE lake.mx.e (k BIGINT)")
+    spark.sql("INSERT INTO lake.mx.e VALUES (1)")
+    spark.sql("INSERT INTO lake.mx.e VALUES (2)")
+    spark.sql("INSERT OVERWRITE lake.mx.e VALUES (9)") // orphans the first two files
+    def t = spark.sessionState.catalogManager.catalog("lake").asInstanceOf[TableCatalog]
+      .loadTable(Identifier.of(Array("mx"), "e")).asInstanceOf[graft.catalog.LakeTable]
+    assert(t.meta.snapshots.size == 3)
+    val removed = graft.catalog.LakeMaintenance.expireSnapshots(spark, "lake.mx.e", keepLast = 1)
+    assert(removed == 2, s"two pre-overwrite files should be orphaned, got $removed")
+    assert(t.meta.snapshots.size == 1)
+    assert(spark.table("lake.mx.e").collect().map(_.getLong(0)).toSeq == Seq(9L))
+    // expired snapshot ids no longer resolve
+    intercept[Exception] {
+      spark.sql("SELECT * FROM lake.mx.e VERSION AS OF 1").collect()
+    }
+  }
+
   test("rename preserves data; purge removes files") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.rn")
     spark.sql("DROP TABLE IF EXISTS lake.rn.a")
