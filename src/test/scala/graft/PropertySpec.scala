@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalacheck.{Arbitrary, Gen}
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{DataFileMeta, SnapshotMeta, TableMeta}
+
+/** Property tests for the metadata core (SURVEY §5 test-plan item 3):
+  * metadata documents survive JSON round-trips for arbitrary schemas /
+  * manifests / properties, and metadata-level file pruning is SOUND — it
+  * may keep too much, never drop a file that could hold a matching row.
+  * (Plain ScalaCheck generators driven by fixed seeds — scalatestplus is
+  * not in the offline cache; determinism is a feature here anyway.)
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def forAll[A](gen: Gen[A], n: Int = 300)(f: A => Unit): Unit =
+    (1 to n).foreach(i => f(gen.pureApply(Gen.Parameters.default, Seed(i.toLong))))
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    (1 to 300).foreach { i =>
+      f(ga.pureApply(Gen.Parameters.default, Seed(i.toLong)),
+        gb.pureApply(Gen.Parameters.default, Seed((i + 7919).toLong)))
+    }
+
+  private val genFieldType: Gen[DataType] = Gen.oneOf(
+    IntegerType, LongType, DoubleType, FloatType, StringType, BooleanType,
+    DateType, TimestampType, DecimalType(18, 6), BinaryType,
+    ArrayType(FloatType), MapType(StringType, LongType))
+
+  private val genField: Gen[StructField] = for {
+    name <- Gen.identifier.map(_.take(20))
+    dt <- genFieldType
+    nullable <- Arbitrary.arbitrary[Boolean]
+  } yield StructField(name, dt, nullable)
+
+  private val genSchema: Gen[StructType] = for {
+    n <- Gen.choose(1, 12)
+    fields <- Gen.listOfN(n, genField)
+  } yield StructType(fields.distinctBy(_.name))
+
+  private val genFile: Gen[DataFileMeta] = for {
+    path <- Gen.identifier.map(s => s"/w/$s.parquet")
+    rows <- Gen.choose(0L, 1000000L)
+    size <- Gen.choose(1L, Long.MaxValue / 2)
+    lo <- Gen.choose(-1000000L, 1000000L)
+    span <- Gen.choose(0L, 100000L)
+  } yield DataFileMeta(path, rows, size,
+    Map("k" -> lo.toString), Map("k" -> (lo + span).toString))
+
+  private val genMeta: Gen[TableMeta] = for {
+    schema <- genSchema
+    nFiles <- Gen.choose(0, 8)
+    files <- Gen.listOfN(nFiles, genFile)
+    props <- Gen.mapOf(Gen.zip(Gen.identifier.map(_.take(10)), Gen.alphaNumStr.map(_.take(30))))
+    parts <- Gen.someOf(schema.fieldNames.take(2))
+  } yield TableMeta(1, "/w/t", schema.json, parts.toSeq, props, 1L,
+    Seq(SnapshotMeta(1L, 12345L, "append", files)))
+
+  test("TableMeta JSON round-trip preserves every field for arbitrary documents") {
+    forAll(genMeta) { m =>
+      val back = TableMeta.fromJson(TableMeta.toJson(m))
+      assert(back == m)
+      assert(back.schema == m.schema) // schemaJson parses to the same StructType
+    }
+  }
+
+  test("file pruning is sound: a pruned file provably contains no matching value") {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val attr = ce.AttributeReference("k", LongType)()
+    val genCmp: Gen[(Long, ce.Expression)] = for {
+      v <- Gen.choose(-1100000L, 1100000L)
+      op <- Gen.choose(0, 4)
+    } yield (v, op match {
+      case 0 => ce.EqualTo(attr, ce.Literal(v))
+      case 1 => ce.GreaterThan(attr, ce.Literal(v))
+      case 2 => ce.GreaterThanOrEqual(attr, ce.Literal(v))
+      case 3 => ce.LessThan(attr, ce.Literal(v))
+      case 4 => ce.LessThanOrEqual(attr, ce.Literal(v))
+    })
+    def sat(x: Long, e: ce.Expression): Boolean = e match {
+      case ce.EqualTo(_, ce.Literal(v, _)) => x == v.asInstanceOf[Long]
+      case ce.GreaterThan(_, ce.Literal(v, _)) => x > v.asInstanceOf[Long]
+      case ce.GreaterThanOrEqual(_, ce.Literal(v, _)) => x >= v.asInstanceOf[Long]
+      case ce.LessThan(_, ce.Literal(v, _)) => x < v.asInstanceOf[Long]
+      case ce.LessThanOrEqual(_, ce.Literal(v, _)) => x <= v.asInstanceOf[Long]
+      case ce.And(a, b) => sat(x, a) && sat(x, b)
+      case ce.Or(a, b) => sat(x, a) || sat(x, b)
+      case _ => true
+    }
+    val genExpr: Gen[ce.Expression] = for {
+      (_, a) <- genCmp
+      (_, b) <- genCmp
+      shape <- Gen.choose(0, 2)
+    } yield shape match {
+      case 0 => a
+      case 1 => ce.And(a, b)
+      case 2 => ce.Or(a, b)
+    }
+    forAll(genFile, genExpr) { (file, e) =>
+      if (!graft.catalog.FilePruner.mayMatch(e, file, schema)) {
+        // soundness: NO value inside the file's [min, max] satisfies e
+        val lo = file.minValues("k").toLong
+        val hi = file.maxValues("k").toLong
+        val probes = Seq(lo, hi, (lo + hi) / 2) ++
+          Seq(lo + 1, hi - 1).filter(x => x >= lo && x <= hi)
+        probes.foreach(x => assert(!sat(x, e),
+          s"pruned file [$lo,$hi] contains matching value $x for $e"))
+      }
+    }
+  }
+}
