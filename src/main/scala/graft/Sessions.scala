@@ -20,6 +20,12 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Storage-partitioned joins: two lake tables partitioned on the same
+      // key join WITHOUT shuffling either side (scans report
+      // KeyGroupedPartitioning from clustered-file metadata).
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", "false")
       // Custom codegen expressions (minhash_signature / simhash /
       // cosine_sim) registered as SQL functions.
       .config("spark.sql.extensions", "graft.GraftExtensions")

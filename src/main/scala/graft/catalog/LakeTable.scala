@@ -84,7 +84,8 @@ final class LakeTable(
           val loc = store.load(namespace, tableName).getOrElse(
             throw new IllegalStateException(s"table $ident dropped during streaming read"))
           TableMeta.read(loc, hadoopConf)
-        }, options, hadoopConf)))
+        }, options, hadoopConf)),
+      partitionCols = meta.partitionColumns)
   }
 
   /** UPDATE / MERGE INTO via group-based copy-on-write: Spark rewrites the
@@ -308,7 +309,8 @@ final class LakeScanBuilder(
     options: CaseInsensitiveStringMap,
     onFilesSelected: Seq[DataFileMeta] => Unit = _ => (),
     runtimeFilterCols: Seq[String] = Nil,
-    microBatch: Option[() => LakeMicroBatchStream] = None)
+    microBatch: Option[() => LakeMicroBatchStream] = None,
+    partitionCols: Seq[String] = Nil)
   extends ScanBuilder with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns {
 
@@ -331,7 +333,7 @@ final class LakeScanBuilder(
     val survivors = files.filter(f => exprs.forall(e => FilePruner.mayMatch(e, f, tableSchema)))
     onFilesSelected(survivors)
     new LakeScan(ident, tableSchema, survivors, exprs, requiredSchema, options,
-      runtimeFilterCols, onFilesSelected, microBatch)
+      runtimeFilterCols, onFilesSelected, microBatch, partitionCols)
   }
 }
 
@@ -352,8 +354,10 @@ final class LakeScan(
     options: CaseInsensitiveStringMap,
     runtimeFilterCols: Seq[String],
     onFilesSelected: Seq[DataFileMeta] => Unit,
-    microBatch: Option[() => LakeMicroBatchStream] = None)
-  extends Scan with SupportsRuntimeV2Filtering {
+    microBatch: Option[() => LakeMicroBatchStream] = None,
+    partitionCols: Seq[String] = Nil)
+  extends Scan with SupportsRuntimeV2Filtering
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 
@@ -382,13 +386,142 @@ final class LakeScan(
     delegate = null // rebuild the parquet scan over the pruned list
   }
 
+  // ── storage-partitioned join support ─────────────────────────────────────
+  // Clustered writes guarantee min==max on partition columns per file, so
+  // the file list partitions cleanly by key. Reporting KeyGroupedPartitioning
+  // + HasPartitionKey partitions lets Spark join two tables partitioned the
+  // same way WITHOUT shuffling either side — at 100 TB the difference
+  // between a metadata-aligned join and moving both tables over the network.
+
+  private def keySchema: StructType =
+    StructType(partitionCols.map(c => tableSchema.fields(tableSchema.fieldIndex(c))))
+
+  private def parseKey(f: DataFileMeta): Option[Seq[Any]] = {
+    val vals = partitionCols.map { c =>
+      (f.minValues.get(c), f.maxValues.get(c)) match {
+        case (Some(lo), Some(hi)) if lo == hi =>
+          try tableSchema.fields(tableSchema.fieldIndex(c)).dataType match {
+            case IntegerType | DateType => lo.toInt
+            case LongType => lo.toLong
+            case ShortType => lo.toShort
+            case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(lo)
+            case BooleanType => lo.toBoolean
+            case _ => null
+          } catch { case _: Exception => null }
+        case _ => null
+      }
+    }
+    if (vals.contains(null)) None else Some(vals)
+  }
+
+  /** (key row, files) per partition value — None if any file is not cleanly
+    * single-valued on the partition columns (then no SPJ, regular planning).
+    */
+  private lazy val keyGroups: Option[Seq[(InternalRow, Seq[DataFileMeta])]] =
+    if (partitionCols.isEmpty || files.isEmpty) None
+    else {
+      val parsed = files.map(f => parseKey(f).map(_ -> f))
+      if (parsed.exists(_.isEmpty)) None
+      else Some(parsed.flatten
+        .groupBy(_._1)
+        .toSeq
+        .sortBy(_._1.map(_.toString).mkString("/")) // deterministic order
+        .map { case (k, fs) =>
+          (new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(k.toArray),
+            fs.map(_._2))
+        })
+    }
+
+  private lazy val keyedBatch: Option[LakeKeyGroupedBatch] =
+    keyGroups.map(gs => new LakeKeyGroupedBatch(ident, tableSchema, requiredSchema,
+      exprs, options, gs))
+
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    keyedBatch match {
+      case Some(b) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          partitionCols.map(c =>
+            org.apache.spark.sql.connector.expressions.Expressions.identity(c):
+              org.apache.spark.sql.connector.expressions.Expression).toArray,
+          b.planInputPartitions().length)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
   override def readSchema(): StructType = inner.readSchema()
-  override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    keyedBatch.getOrElse(inner.toBatch)
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     microBatch.map(_.apply()).getOrElse(
       throw new UnsupportedOperationException(s"$ident does not support streaming reads"))
   override def description(): String = s"LakeScan($ident, ${files.size} files) -> ${inner.description()}"
+}
+
+/** Key-grouped batch: one delegated parquet sub-scan per partition value;
+  * every emitted input partition carries its key (HasPartitionKey) so
+  * BatchScanExec can co-locate it with the matching partition of another
+  * table scanned the same way.
+  */
+final class LakeKeyGroupedBatch(
+    ident: String,
+    tableSchema: StructType,
+    requiredSchema: StructType,
+    exprs: Seq[Expression],
+    options: CaseInsensitiveStringMap,
+    groups: Seq[(InternalRow, Seq[DataFileMeta])])
+  extends org.apache.spark.sql.connector.read.Batch {
+
+  import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
+
+  private def subBatch(files: Seq[DataFileMeta]): Batch = {
+    val spark = SparkSession.active
+    val pt = ParquetTable(ident, spark, options, files.map(_.path).toList,
+      Some(tableSchema), classOf[ParquetFileFormat])
+    val b = pt.newScanBuilder(options)
+    b.pushFilters(exprs)
+    b.pruneColumns(requiredSchema)
+    b.build().toBatch
+  }
+
+  private lazy val planned: (Array[InputPartition], PartitionReaderFactory) = {
+    val parts = groups.flatMap { case (key, files) =>
+      subBatch(files).planInputPartitions().map(p => KeyedInputPartition(p, key))
+    }.toArray[InputPartition]
+    // the parquet reader factory is file-independent (schema + conf): one
+    // factory serves every group's partitions
+    val factory = subBatch(groups.head._2).createReaderFactory()
+    (parts, new UnwrappingReaderFactory(factory))
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = planned._1
+  override def createReaderFactory(): PartitionReaderFactory = planned._2
+}
+
+/** An input partition tagged with its partition-key row. */
+final case class KeyedInputPartition(
+    inner: org.apache.spark.sql.connector.read.InputPartition,
+    key: InternalRow)
+  extends org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** Unwraps [[KeyedInputPartition]] before delegating to the parquet reader
+  * factory (which expects its own FilePartition instances).
+  */
+final class UnwrappingReaderFactory(
+    delegate: org.apache.spark.sql.connector.read.PartitionReaderFactory)
+  extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  import org.apache.spark.sql.connector.read.InputPartition
+  private def unwrap(p: InputPartition): InputPartition = p match {
+    case KeyedInputPartition(inner, _) => inner
+    case other => other
+  }
+  override def createReader(p: InputPartition) = delegate.createReader(unwrap(p))
+  override def createColumnarReader(p: InputPartition) = delegate.createColumnarReader(unwrap(p))
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    delegate.supportColumnarReads(unwrap(p))
 }
 
 /** Conservative per-file evaluation of DSv2 runtime predicates (the group

@@ -391,6 +391,31 @@ class LakeCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("storage-partitioned join: co-partitioned lake tables join with NO shuffle") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.spj")
+    spark.sql("DROP TABLE IF EXISTS lake.spj.a")
+    spark.sql("DROP TABLE IF EXISTS lake.spj.b")
+    spark.sql("CREATE TABLE lake.spj.a (region INT, x BIGINT) PARTITIONED BY (region)")
+    spark.sql("CREATE TABLE lake.spj.b (region INT, y BIGINT) PARTITIONED BY (region)")
+    spark.sql("INSERT INTO lake.spj.a SELECT CAST(id % 4 AS INT), id FROM range(100)")
+    spark.sql("INSERT INTO lake.spj.b SELECT CAST(id % 4 AS INT), id * 2 FROM range(80)")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val joined = spark.sql(
+        """SELECT a.region, count(*) AS n FROM lake.spj.a a
+          |JOIN lake.spj.b b ON a.region = b.region GROUP BY a.region""".stripMargin)
+      val plan = joined.queryExecution.executedPlan.toString
+      val joinIdx = plan.indexOf("Join")
+      assert(joinIdx >= 0, s"expected a join:\n$plan")
+      assert(!plan.substring(joinIdx).contains("Exchange"),
+        s"co-partitioned join must not shuffle its inputs:\n$plan")
+      // values: per region, 25 a-rows x 20 b-rows
+      val rows = joined.orderBy("region").collect().map(r => (r.getInt(0), r.getLong(1)))
+      assert(rows.toSeq == Seq((0, 500L), (1, 500L), (2, 500L), (3, 500L)))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("rename preserves data; purge removes files") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.rn")
     spark.sql("DROP TABLE IF EXISTS lake.rn.a")
