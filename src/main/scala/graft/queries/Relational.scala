@@ -382,6 +382,41 @@ object Relational {
         .orderBy("user_id", "day")
     },
 
+    // ───── q48: full-outer join + ALL set-op variants ────────────────────
+    // Completes the join/set-op matrix: FULL OUTER with null-producing
+    // sides, and INTERSECT ALL / EXCEPT ALL multiplicity semantics, in one
+    // oracled query (both engines run the identical SQL).
+    QueryDef.shared(
+      "q48_outer_setops",
+      """WITH c AS (SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_cust
+        |           FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey),
+        |     s AS (SELECT s_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_supp
+        |           FROM supplier GROUP BY s_nationkey),
+        |     fo AS (SELECT coalesce(c.nk, s.nk) AS nationkey, c.n_cust, s.n_supp
+        |            FROM c FULL OUTER JOIN s ON c.nk = s.nk),
+        |     ia AS (SELECT CAST(count(*) AS BIGINT) AS n FROM
+        |            (SELECT c_nationkey FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier) t),
+        |     ea AS (SELECT CAST(count(*) AS BIGINT) AS n FROM
+        |            (SELECT c_nationkey FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier) t)
+        |SELECT fo.nationkey, fo.n_cust, fo.n_supp, ia.n AS n_intersect_all, ea.n AS n_except_all
+        |FROM fo CROSS JOIN ia CROSS JOIN ea
+        |ORDER BY nationkey NULLS FIRST""".stripMargin),
+
+    // ───── q49: window-function breadth ──────────────────────────────────
+    // dense_rank / ntile / lead over a unique total ordering, plus a
+    // value-RANGE frame (peers included identically in both engines).
+    QueryDef.shared(
+      "q49_window_breadth",
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS drk,
+        |  CAST(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile,
+        |  CAST(lead(o_orderkey, 1) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS next_key,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+        |    OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |          RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_total
+        |FROM orders WHERE o_orderkey < 500
+        |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin),
+
     // ───── q25: JSON extraction over the events props column ─────────────
     QueryDef.df(
       "q25_events_json",

@@ -59,7 +59,9 @@ class GoldenSpec extends AnyFunSuite {
     "q44_event_sessions" -> 636L,
     "q45_winnow_copydetect" -> 28L,
     "q46_asof_join" -> 210L,
-    "q47_range_join" -> 201L)
+    "q47_range_join" -> 201L,
+    "q48_outer_setops" -> 16L,
+    "q49_window_breadth" -> 500L)
 
   test("every registered query has a golden count (add one when adding a query)") {
     assert(SparkEntry.queries.keySet == golden.keySet,
