@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{CosineSim, ExplodeHammingPairs, ExplodeNgrams, ExplodePairs, MinHashSignature, SigMatchCount, SimHash, SrpBands, WinnowFingerprints}
+import graft.functions.{CosineSim, ExplodeHammingPairs, ExplodeNgrams, ExplodePairs, MinHashSignature, SampleFrames, SigMatchCount, SimHash, SrpBands, WinnowFingerprints}
 
 /** Session extensions registering the engine's custom codegen expressions
   * as SQL functions — the Spark-idiomatic extension point
@@ -100,6 +100,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(ids, hs, Literal(m: Int, IntegerType)) => ExplodeHammingPairs(ids, hs, m)
         case other => throw new IllegalArgumentException(
           s"explode_hamming_pairs(ids, hashes, maxHamming): bad args $other")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("sample_frames"),
+      info("sample_frames",
+        "sample_frames(payload, frameBytes, n) - n evenly-spaced binary frames (stubbed decode)"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, Literal(fb: Int, IntegerType), Literal(n: Int, IntegerType)) =>
+          SampleFrames(c, fb, n)
+        case other => throw new IllegalArgumentException(
+          s"sample_frames(payload, frameBytes, n): bad args $other")
       }))
 
     ext.injectFunction((

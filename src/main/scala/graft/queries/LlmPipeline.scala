@@ -345,6 +345,28 @@ object LlmPipeline {
         .orderBy("lang", "rk")
     },
 
+    // ───── q50: multimodal frame sampling over binary payloads ───────────
+    // The "video" pipeline shape end-to-end: opaque binary payload ->
+    // sample_frames (stubbed decode, see graft.functions.Multimodal) ->
+    // explode to one row per frame -> per-frame feature (xxhash64 as the
+    // fake embedding) -> per-source aggregate. One scan, one shuffle on
+    // source; frames never materialize outside their partition. Custom
+    // hash output -> rows-only driver check; LlmSpec pins exact frames.
+    QueryDef.unoracled("q50_frame_sample") { (s, dir) =>
+      val payload = encode(col("text"), "UTF-8")
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          explode(graft.functions.Multimodal.sampleFrames(payload, 64, 4)).as("frame"))
+        .select(col("source"), col("doc_id"),
+          octet_length(col("frame")).as("frame_bytes"),
+          xxhash64(col("frame")).as("frame_fp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("frame_bytes").cast("long")).as("total_frame_bytes"),
+          approx_count_distinct(col("frame_fp"), 0.02).as("approx_distinct_frames"))
+        .orderBy("source")
+    },
+
     // ───── q32: HLL approximate distinct (SURVEY §2b approx row) ─────────
     // Engines' HLL sketches differ numerically -> rows-only driver check;
     // the ScalaTest suite asserts <5% relative error vs exact.

@@ -61,7 +61,8 @@ class GoldenSpec extends AnyFunSuite {
     "q46_asof_join" -> 210L,
     "q47_range_join" -> 201L,
     "q48_outer_setops" -> 16L,
-    "q49_window_breadth" -> 500L)
+    "q49_window_breadth" -> 500L,
+    "q50_frame_sample" -> 20L)
 
   test("every registered query has a golden count (add one when adding a query)") {
     assert(SparkEntry.queries.keySet == golden.keySet,

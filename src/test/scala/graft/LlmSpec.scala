@@ -227,6 +227,31 @@ class LlmSpec extends AnyFunSuite {
     assert(planted.subsetOf(pairs), s"missed planted copy pairs ${planted -- pairs}")
   }
 
+  test("sample_frames: exact evenly-spaced slices, short/empty payloads safe, codegen strict") {
+    withStrictCodegen {
+      import graft.functions.Multimodal
+      val df = Seq(
+        (1L, "0123456789abcdef"), // 16 bytes, 4 frames of 4 -> offsets 0,4,8,12
+        (2L, "xy"), // shorter than a frame -> one truncated frame
+        (3L, "") // empty -> no frames
+      ).toDF("id", "s")
+      val got = df.select(col("id"),
+        Multimodal.sampleFrames(encode(col("s"), "UTF-8"), 4, 4).as("f"))
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[Array[Byte]](1).map(new String(_, "UTF-8"))).toMap
+      assert(got(1L) == Seq("0123", "4567", "89ab", "cdef"))
+      assert(got(2L) == Seq("xy"))
+      assert(got(3L).isEmpty)
+    }
+  }
+
+  test("q50 frame pipeline: every doc contributes <=4 frames, counts add up") {
+    val rows = SparkEntry.queries("q50_frame_sample")(spark, sf).collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val totalFrames = rows.map(_.getAs[Long]("n_frames")).sum
+    assert(totalFrames > 0 && totalFrames <= nDocs * 4)
+  }
+
   test("q26 plan: per-partition top-k (TakeOrderedAndProject), no global sort") {
     val plan = SparkEntry.queries("q26_embedding_topk")(spark, sf)
       .queryExecution.executedPlan.toString
