@@ -92,6 +92,20 @@ object LakeMaintenance {
     orphaned.size
   }
 
+  /** Snapshot history as a DataFrame (the `table$snapshots` metadata view of
+    * other lakehouses): one row per committed snapshot with file/row/byte
+    * counts — driver-side metadata only, no data files touched.
+    */
+  def history(spark: SparkSession, table: String): org.apache.spark.sql.DataFrame = {
+    val (_, _, t) = resolve(spark, table)
+    import spark.implicits._
+    t.meta.snapshots.map(s => (s.snapshotId, s.timestampMs, s.operation,
+      s.manifest.size.toLong, s.manifest.map(_.rowCount).sum, s.manifest.map(_.sizeBytes).sum,
+      s.snapshotId == t.meta.currentSnapshotId))
+      .toDF("snapshot_id", "committed_at_ms", "operation", "n_files", "n_rows",
+        "total_bytes", "is_current")
+  }
+
   /** CAS commit helper with rebase: `manifestOf(latestFiles)` recomputes the
     * target manifest against whatever is current when the CAS is attempted.
     */

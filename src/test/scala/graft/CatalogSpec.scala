@@ -370,6 +370,20 @@ class LakeCatalogSpec extends AnyFunSuite {
       s"compacted files must stay partition-clustered: $f")
   }
 
+  test("history() exposes the snapshot log with counts and the current marker") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.mx")
+    spark.sql("DROP TABLE IF EXISTS lake.mx.h")
+    spark.sql("CREATE TABLE lake.mx.h (k BIGINT)")
+    spark.sql("INSERT INTO lake.mx.h VALUES (1), (2)")
+    spark.sql("INSERT INTO lake.mx.h VALUES (3)")
+    val h = graft.catalog.LakeMaintenance.history(spark, "lake.mx.h")
+      .orderBy("snapshot_id").collect()
+    assert(h.length == 2)
+    assert(h.map(_.getAs[String]("operation")).toSeq == Seq("append", "append"))
+    assert(h.last.getAs[Long]("n_rows") == 3 && h.last.getAs[Boolean]("is_current"))
+    assert(!h.head.getAs[Boolean]("is_current"))
+  }
+
   test("expireSnapshots truncates history and deletes orphaned files") {
     import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.mx")
