@@ -357,7 +357,8 @@ final class LakeScan(
     microBatch: Option[() => LakeMicroBatchStream] = None,
     partitionCols: Seq[String] = Nil)
   extends Scan with SupportsRuntimeV2Filtering
-  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 
@@ -446,6 +447,19 @@ final class LakeScan(
           b.planInputPartitions().length)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
+  /** Exact size/row statistics straight from the manifest (the writer
+    * tracked them) — without this, Catalyst falls back to
+    * defaultSizeInBytes (Long.MaxValue) and a small catalog dimension
+    * would NEVER broadcast-join.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(files.map(_.sizeBytes).sum)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(files.map(_.rowCount).sum)
     }
 
   override def readSchema(): StructType = inner.readSchema()

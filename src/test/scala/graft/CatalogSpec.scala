@@ -414,7 +414,12 @@ class LakeCatalogSpec extends AnyFunSuite {
     spark.sql("INSERT INTO lake.spj.a SELECT CAST(id % 4 AS INT), id FROM range(100)")
     spark.sql("INSERT INTO lake.spj.b SELECT CAST(id % 4 AS INT), id * 2 FROM range(80)")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // with accurate manifest stats these tiny tables would (correctly)
+    // broadcast; disable it so the test exposes the co-partitioned path a
+    // large-table join would take
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val joined = spark.sql(
         """SELECT a.region, count(*) AS n FROM lake.spj.a a
@@ -427,7 +432,33 @@ class LakeCatalogSpec extends AnyFunSuite {
       // values: per region, 25 a-rows x 20 b-rows
       val rows = joined.orderBy("region").collect().map(r => (r.getInt(0), r.getLong(1)))
       assert(rows.toSeq == Seq((0, 500L), (1, 500L), (2, 500L), (3, 500L)))
-    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
+  test("manifest statistics reach Catalyst: a small catalog table broadcast-joins") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.st")
+    spark.sql("DROP TABLE IF EXISTS lake.st.dim")
+    spark.sql("CREATE TABLE lake.st.dim AS SELECT id AS k, concat('n', id) AS name FROM range(20)")
+    val fact = spark.range(0, 100000).selectExpr("id % 20 AS k", "id AS v")
+    val joined = fact.join(spark.table("lake.st.dim"), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"a 20-row catalog table must broadcast (stats missing?):\n$plan")
+    assert(joined.count() == 100000)
+  }
+
+  test("option-based time travel: spark.read.option(snapshot-id, n)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.st")
+    spark.sql("DROP TABLE IF EXISTS lake.st.tt")
+    spark.sql("CREATE TABLE lake.st.tt (k BIGINT)")
+    spark.sql("INSERT INTO lake.st.tt VALUES (1)")
+    spark.sql("INSERT INTO lake.st.tt VALUES (2)")
+    val v1 = spark.read.option("snapshot-id", "1").table("lake.st.tt")
+    assert(v1.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(spark.table("lake.st.tt").count() == 2)
   }
 
   test("rename preserves data; purge removes files") {
