@@ -231,6 +231,51 @@ object LlmPipeline {
         .limit(10)
     },
 
+    // ───── q51: ANN top-k via IVF (inverted-file) cells ──────────────────
+    // The other classic ANN scale path (vs q38's LSH): build k=16 coarse
+    // centroids (hash-seeded assignment + one Lloyd refinement, both plain
+    // aggregations over the VectorAvg UDAF), assign every vector to its
+    // nearest cell, then probe only the 2 cells nearest the query — the
+    // candidate scan touches ~2/16 of the corpus. At scale the assignment
+    // is precomputed and the table is partitioned by cell, so a probe is
+    // partition-pruned I/O, not a scan. Centroids broadcast (k x dim
+    // floats); the only shuffles are the two centroid aggregations.
+    QueryDef.unoracled("q51_ann_ivf") { (s, dir) =>
+      val k = 16
+      val vavg = udaf(graft.functions.VectorAvg)
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("int").as("label"), col("embedding"))
+      val asDouble = transform(col("embedding"), x => x.cast("double"))
+      // seed cells: deterministic hash of vec_id
+      val seeded = emb.withColumn("cell", pmod(xxhash64(col("vec_id")), lit(k)).cast("int"))
+      def centroidsOf(df: DataFrame): DataFrame = df
+        .groupBy("cell").agg(vavg(col("embedding")).as("centroid"))
+        .select(col("cell").as("c_cell"),
+          transform(col("centroid"), x => x.cast("float")).as("c_vec"))
+      def assign(df: DataFrame, cents: DataFrame): DataFrame = {
+        val scored = df.drop("cell").crossJoin(broadcast(cents))
+          .withColumn("sim", cosineSim(col("embedding"), col("c_vec")))
+        val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("c_cell"))
+        scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+          .select(col("vec_id"), col("label"), col("embedding"), col("c_cell").as("cell"))
+      }
+      // one Lloyd refinement over the hash seeding
+      val cells = assign(emb, centroidsOf(seeded))
+      val cents = centroidsOf(cells)
+      // probe: the 2 cells whose centroids are nearest the query vector
+      val q = cells.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"))
+      val probeCells = cents.crossJoin(broadcast(q))
+        .orderBy(cosineSim(col("c_vec"), col("qe")).desc, col("c_cell"))
+        .limit(2).select(col("c_cell").as("cell"))
+      cells.filter(col("vec_id") =!= 0)
+        .join(broadcast(probeCells), "cell") // candidate set = probed cells only
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"), cosineSim(col("embedding"), col("qe")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    },
+
     // ───── q40: embedding-cosine near-dup pairs (dedup family) ───────────
     // Same LSH-bucketed candidate generation, symmetric: pairs colliding on
     // any of 16 8-bit bands, exact cosine verify at 0.95. With 128 signature

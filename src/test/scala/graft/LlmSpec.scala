@@ -252,6 +252,18 @@ class LlmSpec extends AnyFunSuite {
     assert(totalFrames > 0 && totalFrames <= nDocs * 4)
   }
 
+  test("q51 IVF probe: returns 10, candidates limited to 2 cells, some recall vs brute force") {
+    val ivf = SparkEntry.queries("q51_ann_ivf")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ivf.size == 10)
+    val brute = SparkEntry.queries("q26_embedding_topk")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (ivf intersect brute).size.toDouble / brute.size
+    // near-orthogonal corpus: 2/16 cells is a hard probe; the bar is that
+    // the probe is much better than random (10/499 would be ~2% overlap)
+    assert(recall >= 0.2, s"IVF recall@10 was $recall")
+  }
+
   test("q26 plan: per-partition top-k (TakeOrderedAndProject), no global sort") {
     val plan = SparkEntry.queries("q26_embedding_topk")(spark, sf)
       .queryExecution.executedPlan.toString
