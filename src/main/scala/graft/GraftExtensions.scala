@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{CosineSim, ExplodeHammingPairs, ExplodeNgrams, ExplodePairs, MinHashSignature, SampleFrames, SigMatchCount, SimHash, SrpBands, WinnowFingerprints}
+import graft.functions.{CosineSim, ExplodeHammingPairs, ExplodeNgrams, ExplodePairs, MinHashSignature, SampleFrames, SigMatchCount, SimHash, SrpBands, WinnowFingerprints, WordNgrams}
 
 /** Session extensions registering the engine's custom codegen expressions
   * as SQL functions — the Spark-idiomatic extension point
@@ -111,6 +111,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           SampleFrames(c, fb, n)
         case other => throw new IllegalArgumentException(
           s"sample_frames(payload, frameBytes, n): bad args $other")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      info("word_ngrams",
+        "word_ngrams(tokens, n) - space-joined word n-grams array<string> (scalar twin of explode_ngrams)"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, Literal(n: Int, IntegerType)) => WordNgrams(c, n)
+        case other => throw new IllegalArgumentException(s"word_ngrams(tokens, n): bad args $other")
       }))
 
     ext.injectFunction((

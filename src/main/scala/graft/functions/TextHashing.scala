@@ -54,6 +54,61 @@ object TextHashing {
 
   def sigMatchCount(a: Column, b: Column): Column =
     call_function("sig_match_count", a, b)
+
+  def wordNgrams(tokens: Column, n: Int): Column =
+    call_function("word_ngrams", tokens, lit(n))
+}
+
+/** `word_ngrams(tokens, n) -> array<string>`: space-joined word n-grams of
+  * an array<string> (empty when fewer than n tokens). The codegen scalar
+  * twin of the [[ExplodeNgrams]] UDTF — shingling via interpreted
+  * `transform(sequence(...), concat_ws(element_at...))` chains was the
+  * dominant cost of the dedup pipelines (per-token interpreted expression
+  * dispatch), not the hashing or the bucket joins.
+  */
+final case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, "word_ngrams: n >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>, got $dt")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    WordNgrams.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.WordNgrams$$.MODULE$$.compute($arr, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+object WordNgrams {
+  private val space = UTF8String.fromString(" ")
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData, n: Int): GenericArrayData = {
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](m)
+    var i = 0
+    while (i < m) {
+      toks(i) = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      i += 1
+    }
+    val out = new Array[Any](m - n + 1)
+    var s = 0
+    while (s <= m - n) {
+      out(s) = UTF8String.concatWs(space, java.util.Arrays.copyOfRange(toks, s, s + n): _*)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Number of equal slots between two MinHash signatures (array<long>) —

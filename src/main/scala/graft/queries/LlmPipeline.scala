@@ -30,14 +30,15 @@ object LlmPipeline {
   /** Distinct 3-word shingles — the discriminating unit for near-dup
     * detection (word UNIgrams are useless on a small shared vocabulary:
     * nearly everything looks similar; 3-grams separate the planted
-    * near-dups at J>=0.9 from background <0.4).
+    * near-dups at J>=0.9 from background <0.4). Built by the word_ngrams
+    * codegen expression: the interpreted transform/element_at/concat_ws
+    * chain it replaced dominated the dedup queries' runtime (per-token
+    * expression dispatch over ~2k tokens x 5k docs).
     */
   private def shingles3(c: Column): Column = {
     val w = words(c)
     array_distinct(
-      when(size(w) >= 3,
-        transform(sequence(lit(1), size(w) - 2), i =>
-          concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+      when(size(w) >= 3, graft.functions.TextHashing.wordNgrams(w, 3))
         .otherwise(array(lower(c))))
   }
 
