@@ -16,7 +16,7 @@ import graft.functions.{CosineSim, ExplodeHammingPairs, ExplodeNgrams, ExplodePa
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(getClass.getName, null, name, usage, "")
+    new ExpressionInfo(getClass.getName, null, name, usage, "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((

@@ -119,7 +119,7 @@ object LakeMaintenance {
     var prevLoc = t0.metadataLocation
     var base = t0.meta
     var attempts = 0
-    while (attempts < 5) {
+    while (attempts < CasRetry.maxAttempts) {
       val snapId = base.nextSnapshotId
       val next = base.copy(
         currentSnapshotId = snapId,
@@ -131,6 +131,7 @@ object LakeMaintenance {
         return
       }
       attempts += 1
+      CasRetry.backoff(attempts)
       prevLoc = cat.pointerStore.load(ident.namespace()(0), ident.name()).getOrElse(
         throw new IllegalStateException(s"table dropped during $operation"))
       base = TableMeta.read(prevLoc, hadoopConf)

@@ -141,7 +141,7 @@ final class LakeTable(
     var prevLoc = metadataLocation
     var base = meta
     var attempts = 0
-    while (attempts < 5) {
+    while (attempts < CasRetry.maxAttempts) {
       val snapId = base.nextSnapshotId
       // rebase against concurrent appends: keep everything currently live
       // except the files this delete rewrote
@@ -156,6 +156,7 @@ final class LakeTable(
         return
       }
       attempts += 1
+      CasRetry.backoff(attempts)
       prevLoc = store.load(namespace, tableName).getOrElse(
         throw new IllegalStateException(s"table $ident dropped during delete"))
       base = TableMeta.read(prevLoc, hadoopConf)
@@ -266,7 +267,7 @@ final class LakeRowLevelOperation(
           var prevLoc = table.metadataLocation
           var base = table.meta
           var attempts = 0
-          while (attempts < 5) {
+          while (attempts < CasRetry.maxAttempts) {
             val snapId = base.nextSnapshotId
             val manifest = base.currentFiles.filterNot(replaced) ++ newFiles
             val next = base.copy(
@@ -279,6 +280,7 @@ final class LakeRowLevelOperation(
               return
             }
             attempts += 1
+            CasRetry.backoff(attempts)
             prevLoc = store.load(table.namespace, table.tableName).getOrElse(
               throw new IllegalStateException(s"table ${table.ident} dropped during ${cmd}"))
             base = TableMeta.read(prevLoc, hadoopConf)
@@ -726,7 +728,7 @@ final class LakeBatchWrite(
     var base = table.meta
     var prevLoc = table.metadataLocation
     var attempts = 0
-    while (attempts < 5) {
+    while (attempts < CasRetry.maxAttempts) {
       val manifest = if (overwrite) newFiles else base.currentFiles ++ newFiles
       val snapId = base.nextSnapshotId
       val next = base.copy(
@@ -740,6 +742,7 @@ final class LakeBatchWrite(
       }
       // lost the race: refresh pointer + metadata and rebase
       attempts += 1
+      CasRetry.backoff(attempts)
       prevLoc = store.load(table.namespace, table.tableName).getOrElse(
         throw new IllegalStateException(s"table ${table.ident} dropped during commit"))
       base = TableMeta.read(prevLoc, hadoopConf)
@@ -785,7 +788,7 @@ final class LakeStreamingWrite(
     // Always re-resolve the pointer: this handle lives for the whole query,
     // and every prior epoch moved it.
     var attempts = 0
-    while (attempts < 5) {
+    while (attempts < CasRetry.maxAttempts) {
       val prevLoc = store.load(table.namespace, table.tableName).getOrElse(
         throw new IllegalStateException(s"table ${table.ident} dropped during streaming commit"))
       val base = TableMeta.read(prevLoc, hadoopConf)
@@ -807,7 +810,8 @@ final class LakeStreamingWrite(
         table.commitSucceeded()
         return
       }
-      attempts += 1 // lost a race with another writer: refresh + retry
+      attempts += 1
+      CasRetry.backoff(attempts) // lost a race with another writer: refresh + retry
     }
     throw new IllegalStateException(
       s"streaming commit conflict on ${table.ident}: CAS lost $attempts times")

@@ -81,13 +81,14 @@ final class StagedLakeTable(
 
     def casReplace(): Boolean = {
       var attempts = 0
-      while (attempts < 5) {
+      while (attempts < CasRetry.maxAttempts) {
         store.load(namespace, tableName) match {
           case None => return false // vanished: fall through to register
           case Some(prev) =>
             if (store.casUpdate(namespace, tableName, newLoc, prev) == 1) return true
         }
         attempts += 1
+        CasRetry.backoff(attempts)
       }
       throw new IllegalStateException(
         s"staged replace of $displayName: CAS lost $attempts times")

@@ -56,6 +56,18 @@ final case class TableMeta(
   def nextSnapshotId: Long = if (snapshots.isEmpty) 1L else snapshots.map(_.snapshotId).max + 1
 }
 
+/** Shared CAS-retry policy: commits that lose the pointer race refresh and
+  * retry up to [[maxAttempts]] times with linear backoff + per-thread
+  * jitter — without the backoff, N writers hammering the same row
+  * livelock each other into spurious commit failures (the reference has
+  * no retry at all, SURVEY §2a gap).
+  */
+object CasRetry {
+  val maxAttempts = 20
+  def backoff(attempt: Int): Unit =
+    Thread.sleep(5L * attempt + (Thread.currentThread().getId % 11))
+}
+
 object TableMeta {
   private val mapper: ObjectMapper = {
     val m = new ObjectMapper()

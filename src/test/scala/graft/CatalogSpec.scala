@@ -461,6 +461,47 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(spark.table("lake.st.tt").count() == 2)
   }
 
+  test("CAS stress: 8 writers x 5 commits each all land exactly once") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.cc")
+    spark.sql("DROP TABLE IF EXISTS lake.cc.stress")
+    spark.sql("CREATE TABLE lake.cc.stress (w INT, i INT)")
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    Await.result(Future.sequence(for (w <- 1 to 8) yield Future {
+      (1 to 5).foreach(i => spark.sql(s"INSERT INTO lake.cc.stress VALUES ($w, $i)"))
+    }), 300.seconds)
+    pool.shutdown()
+    val rows = spark.table("lake.cc.stress").collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(rows.length == 40, s"expected 40 committed rows, got ${rows.length}")
+    assert(rows.toSet.size == 40, "every commit must land exactly once (no double-appends)")
+  }
+
+  test("multi-column PARTITIONED BY: clustering, pruning and values hold for (a, b)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.pt")
+    spark.sql("DROP TABLE IF EXISTS lake.pt.mc")
+    spark.sql(
+      """CREATE TABLE lake.pt.mc (a INT, b INT, v BIGINT)
+        |PARTITIONED BY (a, b)""".stripMargin)
+    spark.sql(
+      """INSERT INTO lake.pt.mc
+        |SELECT CAST(id % 2 AS INT), CAST(id % 3 AS INT), id FROM range(600)""".stripMargin)
+    assert(spark.table("lake.pt.mc").count() == 600)
+    val one = spark.sql("SELECT count(*) FROM lake.pt.mc WHERE a = 1 AND b = 2")
+      .collect().head.getLong(0)
+    assert(one == 100)
+    val t = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("pt"), "mc"))
+      .asInstanceOf[graft.catalog.LakeTable]
+    assert(t.meta.currentFiles.forall(f =>
+      f.minValues.get("a") == f.maxValues.get("a")
+        && f.minValues.get("b") == f.maxValues.get("b")),
+      "every file must be single-valued on BOTH partition columns")
+  }
+
   test("rename preserves data; purge removes files") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.rn")
     spark.sql("DROP TABLE IF EXISTS lake.rn.a")

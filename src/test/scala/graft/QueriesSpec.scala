@@ -42,4 +42,19 @@ class QueriesSpec extends AnyFunSuite {
   test("every oracle key has a query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("every oracle SQL carries a total ORDER BY (hash-gate determinism lint)") {
+    // the driver hash-compares sorted rows, but a missing ORDER BY makes
+    // LIMIT/windows nondeterministic — catch it at review time. Single-row
+    // global aggregates are exempt (one row is trivially ordered).
+    val singleRowAggregates = Set("q06_revenue_delta", "q13_promo_share",
+      "q17_small_qty_revenue", "q19_disjunctive", "q43_event_dedup")
+    val missing = SparkEntry.oracleSql.collect {
+      case (name, sql) if !sql.toUpperCase.contains("ORDER BY")
+        && !singleRowAggregates.contains(name) => name
+    }
+    assert(missing.isEmpty, s"oracled queries without ORDER BY: $missing")
+    singleRowAggregates.foreach(n =>
+      assert(SparkEntry.queries.contains(n), s"stale exemption: $n"))
+  }
 }
