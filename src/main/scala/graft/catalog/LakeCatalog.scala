@@ -157,34 +157,48 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
     * schemas opaquely, mod.rs:217-220 — we refuse rather than corrupt).
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val t = doLoad(ident, None)
-    var props = t.meta.properties
-    var schema = t.meta.schema
-    changes.foreach {
-      case s: TableChange.SetProperty => props += (s.property() -> s.value())
-      case r: TableChange.RemoveProperty => props -= r.property()
-      case a: TableChange.AddColumn =>
-        if (a.fieldNames().length != 1) throw new UnsupportedOperationException(
-          "only top-level ADD COLUMNS is supported")
-        if (!a.isNullable) throw new UnsupportedOperationException(
-          "added columns must be nullable (existing rows have no value)")
-        schema = schema.add(a.fieldNames()(0), a.dataType(), nullable = true)
-      case d: TableChange.DeleteColumn =>
-        if (d.fieldNames().length != 1) throw new UnsupportedOperationException(
-          "only top-level DROP COLUMN is supported")
-        if (t.meta.partitionColumns.contains(d.fieldNames()(0)))
-          throw new UnsupportedOperationException("cannot drop a partition column")
-        schema = StructType(schema.fields.filterNot(_.name == d.fieldNames()(0)))
-      case c => throw new UnsupportedOperationException(
-        s"alterTable change ${c.getClass.getSimpleName} not supported " +
-          "(RENAME COLUMN needs field-id tracking; not implemented)")
+    // Same rebase-retry discipline as every data commit: a concurrent
+    // INSERT moving the pointer must not spuriously fail an ALTER — the
+    // changes re-apply cleanly against the refreshed metadata.
+    var attempts = 0
+    while (attempts < CasRetry.maxAttempts) {
+      val t = doLoad(ident, None)
+      var props = t.meta.properties
+      var schema = t.meta.schema
+      changes.foreach {
+        case s: TableChange.SetProperty => props += (s.property() -> s.value())
+        case r: TableChange.RemoveProperty => props -= r.property()
+        case a: TableChange.AddColumn =>
+          if (a.fieldNames().length != 1) throw new UnsupportedOperationException(
+            "only top-level ADD COLUMNS is supported")
+          if (!a.isNullable) throw new UnsupportedOperationException(
+            "added columns must be nullable (existing rows have no value)")
+          if (schema.fieldNames.exists(_.equalsIgnoreCase(a.fieldNames()(0))))
+            throw new IllegalArgumentException(
+              s"cannot add column ${a.fieldNames()(0)}: a column of that name already exists")
+          schema = schema.add(a.fieldNames()(0), a.dataType(), nullable = true)
+        case d: TableChange.DeleteColumn =>
+          if (d.fieldNames().length != 1) throw new UnsupportedOperationException(
+            "only top-level DROP COLUMN is supported")
+          if (t.meta.partitionColumns.contains(d.fieldNames()(0)))
+            throw new UnsupportedOperationException("cannot drop a partition column")
+          schema = StructType(schema.fields.filterNot(_.name == d.fieldNames()(0)))
+        case c => throw new UnsupportedOperationException(
+          s"alterTable change ${c.getClass.getSimpleName} not supported " +
+            "(RENAME COLUMN needs field-id tracking; not implemented)")
+      }
+      val next = t.meta.copy(properties = props, schemaJson = schema.json)
+      val newLoc = TableMeta.write(next, hadoopConf)
+      if (store.casUpdate(ns(ident.namespace()), ident.name(), newLoc, t.metadataLocation) == 1) {
+        invalidateTable(ident)
+        return loadTable(ident)
+      }
+      attempts += 1
+      CasRetry.backoff(attempts)
+      invalidateTable(ident) // force doLoad to see the winner's metadata
     }
-    val next = t.meta.copy(properties = props, schemaJson = schema.json)
-    val newLoc = TableMeta.write(next, hadoopConf)
-    if (store.casUpdate(ns(ident.namespace()), ident.name(), newLoc, t.metadataLocation) != 1)
-      throw new IllegalStateException(s"commit conflict altering ${display(ident)}")
-    invalidateTable(ident)
-    loadTable(ident)
+    throw new IllegalStateException(
+      s"commit conflict altering ${display(ident)}: CAS lost $attempts times")
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -214,10 +228,14 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
       if (to.namespace().headOption.contains(catalogName))
         Identifier.of(to.namespace().drop(1), to.name())
       else to
-    if (tableExists(toNorm)) throw new TableAlreadyExistsException(toNorm)
     invalidateTable(from)
-    if (!store.rename(ns(from.namespace()), from.name(), ns(toNorm.namespace()), toNorm.name()))
-      throw new NoSuchTableException(from)
+    // one atomic UPDATE: the PK violation (not a racy exists-check) decides
+    // "target exists", so two renames to the same target can't both win
+    store.rename(ns(from.namespace()), from.name(), ns(toNorm.namespace()), toNorm.name()) match {
+      case PointerStore.Renamed => ()
+      case PointerStore.SourceMissing => throw new NoSuchTableException(from)
+      case PointerStore.TargetExists => throw new TableAlreadyExistsException(toNorm)
+    }
   }
 
   // ── namespaces ─────────────────────────────────────────────────────────

@@ -60,7 +60,7 @@ object LakeMaintenance {
     }.collect().toSeq.collect { case LakeCommitMessage(fs) => fs }.flatten
 
     commitManifest(cat, ident, t, hadoopConf, "compact",
-      latest => latest.filterNot(small.toSet) ++ newFiles)
+      replacedPaths = small.map(_.path).toSet, newFiles = newFiles)
     (current.size, keep.size + newFiles.size)
   }
 
@@ -106,8 +106,11 @@ object LakeMaintenance {
         "total_bytes", "is_current")
   }
 
-  /** CAS commit helper with rebase: `manifestOf(latestFiles)` recomputes the
-    * target manifest against whatever is current when the CAS is attempted.
+  /** CAS commit helper with rebase: the target manifest is recomputed
+    * against whatever is current when the CAS is attempted, after
+    * validating that every replaced file is still live (a concurrent
+    * rewrite of a file this commit also rewrites must fail, not re-add
+    * its rows).
     */
   private def commitManifest(
       cat: LakeCatalog,
@@ -115,16 +118,18 @@ object LakeMaintenance {
       t0: LakeTable,
       hadoopConf: org.apache.hadoop.conf.Configuration,
       operation: String,
-      manifestOf: Seq[DataFileMeta] => Seq[DataFileMeta]): Unit = {
+      replacedPaths: Set[String],
+      newFiles: Seq[DataFileMeta]): Unit = {
     var prevLoc = t0.metadataLocation
     var base = t0.meta
     var attempts = 0
     while (attempts < CasRetry.maxAttempts) {
+      CasCommit.requireReplacedLive(base, replacedPaths, operation, t0.ident)
       val snapId = base.nextSnapshotId
       val next = base.copy(
         currentSnapshotId = snapId,
         snapshots = base.snapshots :+ SnapshotMeta(snapId, System.currentTimeMillis(),
-          operation, manifestOf(base.currentFiles)))
+          operation, base.currentFiles.filterNot(f => replacedPaths(f.path)) ++ newFiles))
       val newLoc = TableMeta.write(next, hadoopConf)
       if (cat.pointerStore.casUpdate(ident.namespace()(0), ident.name(), newLoc, prevLoc) == 1) {
         cat.invalidateTable(ident)

@@ -123,13 +123,16 @@ final class LakeTable(
     val current = meta.currentFiles
     val affected = current.filter(f =>
       filters.forall(fl => FilterToColumn.mayMatch(fl, f)))
-    val kept = current.filterNot(affected.toSet)
     val newFiles: Seq[DataFileMeta] =
       if (affected.isEmpty) Nil
       else {
+        // survivors are rows where the delete condition is false OR NULL —
+        // SQL DELETE only removes rows where the predicate is TRUE, and
+        // !NULL = NULL would silently drop null-valued rows from the rewrite
         val survivors = spark.read.schema(schema())
           .parquet(affected.map(_.path): _*)
-          .filter(!cond)
+          .filter(!org.apache.spark.sql.functions.coalesce(
+            cond, org.apache.spark.sql.functions.lit(false)))
         val factory = LakeWriterFactory(schema().json, s"${meta.location}/data",
           meta.partitionColumns, new SerializableConfiguration(hadoopConf))
         survivors.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
@@ -141,11 +144,14 @@ final class LakeTable(
     var prevLoc = metadataLocation
     var base = meta
     var attempts = 0
+    val affectedPaths = affected.map(_.path).toSet
     while (attempts < CasRetry.maxAttempts) {
-      val snapId = base.nextSnapshotId
       // rebase against concurrent appends: keep everything currently live
-      // except the files this delete rewrote
-      val manifest = (base.currentFiles.filterNot(affected.toSet)) ++ newFiles
+      // except the files this delete rewrote — but only if those files ARE
+      // still live; a concurrent rewrite of them must fail this commit
+      CasCommit.requireReplacedLive(base, affectedPaths, "DELETE", ident)
+      val snapId = base.nextSnapshotId
+      val manifest = base.currentFiles.filterNot(f => affectedPaths(f.path)) ++ newFiles
       val next = base.copy(
         currentSnapshotId = snapId,
         snapshots = base.snapshots :+ SnapshotMeta(snapId, System.currentTimeMillis(),
@@ -263,13 +269,15 @@ final class LakeRowLevelOperation(
             table.meta.partitionColumns, new SerializableConfiguration(hadoopConf))
         override def commit(messages: Array[WriterCommitMessage]): Unit = {
           val newFiles = messages.collect { case LakeCommitMessage(fs) => fs }.flatten.toSeq
-          val replaced = scanned.toSet
+          val replacedPaths = scanned.map(_.path).toSet
           var prevLoc = table.metadataLocation
           var base = table.meta
           var attempts = 0
           while (attempts < CasRetry.maxAttempts) {
+            // a concurrent rewrite of any scanned file invalidates this CoW
+            CasCommit.requireReplacedLive(base, replacedPaths, cmd.toString, table.ident)
             val snapId = base.nextSnapshotId
-            val manifest = base.currentFiles.filterNot(replaced) ++ newFiles
+            val manifest = base.currentFiles.filterNot(f => replacedPaths(f.path)) ++ newFiles
             val next = base.copy(
               currentSnapshotId = snapId,
               snapshots = base.snapshots :+ SnapshotMeta(snapId,

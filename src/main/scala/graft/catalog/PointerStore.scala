@@ -142,8 +142,12 @@ final class PointerStore(jdbcUrl: String, catalogName: String) extends AutoClose
     } finally ps.close()
   }
 
-  /** Not in the reference (listed as a gap in SURVEY §2a): atomic rename. */
-  def rename(fromNs: String, fromName: String, toNs: String, toName: String): Boolean =
+  /** Not in the reference (listed as a gap in SURVEY §2a): atomic rename.
+    * ONE statement — the PK violation, not a check-then-act exists probe,
+    * decides "target already exists", so two racing renames to the same
+    * target can never both succeed.
+    */
+  def rename(fromNs: String, fromName: String, toNs: String, toName: String): PointerStore.RenameResult =
     synchronized {
       val ps = conn.prepareStatement(
         """UPDATE iceberg_tables SET table_namespace = ?, table_name = ?
@@ -151,7 +155,10 @@ final class PointerStore(jdbcUrl: String, catalogName: String) extends AutoClose
       try {
         ps.setString(1, toNs); ps.setString(2, toName)
         ps.setString(3, catalogName); ps.setString(4, fromNs); ps.setString(5, fromName)
-        ps.executeUpdate() == 1
+        if (ps.executeUpdate() == 1) PointerStore.Renamed else PointerStore.SourceMissing
+      } catch {
+        case _: SQLIntegrityConstraintViolationException => PointerStore.TargetExists
+        case e: SQLException if e.getSQLState == "23505" => PointerStore.TargetExists
       } finally ps.close()
     }
 
@@ -199,4 +206,12 @@ final class PointerStore(jdbcUrl: String, catalogName: String) extends AutoClose
     listNamespaces().contains(namespace)
 
   override def close(): Unit = synchronized(conn.close())
+}
+
+object PointerStore {
+  /** Outcome of the single-statement atomic rename. */
+  sealed trait RenameResult
+  case object Renamed extends RenameResult
+  case object SourceMissing extends RenameResult
+  case object TargetExists extends RenameResult
 }

@@ -68,6 +68,33 @@ object CasRetry {
     Thread.sleep(5L * attempt + (Thread.currentThread().getId % 11))
 }
 
+/** Two concurrent commits rewrote the same data file (DELETE ∥ compact,
+  * UPDATE ∥ UPDATE, …). Blindly rebasing would re-add rows the winner
+  * removed, so the loser must fail: rewrites are serializable-or-fail,
+  * only pure appends rebase automatically (Iceberg's validation model).
+  */
+final class CommitConflictException(msg: String) extends IllegalStateException(msg)
+
+object CasCommit {
+  /** Iceberg-style rebase precondition for file-replacing commits: every
+    * file this commit replaces must still be live in the (possibly
+    * concurrently-advanced) base snapshot. Appends pass trivially
+    * (`replaced` empty).
+    */
+  def requireReplacedLive(
+      base: TableMeta, replacedPaths: Set[String], operation: String, ident: String): Unit = {
+    if (replacedPaths.nonEmpty) {
+      val live = base.currentFiles.map(_.path).toSet
+      val gone = replacedPaths -- live
+      if (gone.nonEmpty)
+        throw new CommitConflictException(
+          s"$operation on $ident: ${gone.size} file(s) this commit rewrites were " +
+            s"concurrently removed or rewritten (e.g. ${gone.head}); " +
+            "rewrites are serializable-or-fail — retry the whole operation")
+    }
+  }
+}
+
 object TableMeta {
   private val mapper: ObjectMapper = {
     val m = new ObjectMapper()

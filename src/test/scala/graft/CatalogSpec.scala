@@ -78,6 +78,31 @@ class PointerStoreSpec extends AnyFunSuite {
     assert(!store.drop("ns", "missing"))
   }
 
+  test("two racing renames to one target: the PK guard lets exactly one win") {
+    val store = freshStore("rnrace")
+    store.register("rn", "a", "/a.json")
+    store.register("rn", "b", "/b.json")
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val results = Await.result(Future.sequence(Seq("a", "b").map(n =>
+      Future(store.rename("rn", n, "rn", "c")))), 30.seconds)
+    pool.shutdown()
+    assert(results.count(_ == PointerStore.Renamed) == 1,
+      s"exactly one rename must win, got $results")
+    assert(results.count(_ == PointerStore.TargetExists) == 1)
+    assert(store.tableExists("rn", "c"))
+    // the loser's source row must be untouched
+    assert(store.listTables("rn").size == 2)
+  }
+
+  test("rename of a missing source reports SourceMissing, not a silent no-op") {
+    val store = freshStore("rnmiss")
+    assert(store.rename("rn", "ghost", "rn", "t") == PointerStore.SourceMissing)
+  }
+
   test("list_tables filters by namespace (mod.rs:56-96)") {
     val store = freshStore("list")
     store.register("a", "t1", "/1.json")
@@ -500,6 +525,82 @@ class LakeCatalogSpec extends AnyFunSuite {
       f.minValues.get("a") == f.maxValues.get("a")
         && f.minValues.get("b") == f.maxValues.get("b")),
       "every file must be single-valued on BOTH partition columns")
+  }
+
+  test("DELETE FROM keeps rows where the predicate evaluates to NULL (SQL 3VL)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.del")
+    spark.sql("DROP TABLE IF EXISTS lake.del.nulls")
+    spark.sql("CREATE TABLE lake.del.nulls (k INT, v INT)")
+    spark.sql("INSERT INTO lake.del.nulls VALUES (1, 10), (2, NULL), (3, 3)")
+    // DELETE removes only rows where v > 5 is TRUE; row 2's NULL predicate
+    // must NOT delete it (the old filter(!cond) rewrite dropped it)
+    spark.sql("DELETE FROM lake.del.nulls WHERE v > 5")
+    val kept = spark.table("lake.del.nulls").collect().map(_.getInt(0)).sorted.toSeq
+    assert(kept == Seq(2, 3), "rows with a NULL delete predicate must survive")
+  }
+
+  test("concurrent rewrite of the same files fails the later commit (serializable-or-fail)") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.cfl")
+    spark.sql("DROP TABLE IF EXISTS lake.cfl.t")
+    spark.sql("CREATE TABLE lake.cfl.t (k BIGINT)")
+    spark.sql("INSERT INTO lake.cfl.t SELECT id FROM range(100)")
+    // writer A loads the table, capturing the current manifest...
+    val stale = spark.sessionState.catalogManager.catalog("lake").asInstanceOf[TableCatalog]
+      .loadTable(Identifier.of(Array("cfl"), "t")).asInstanceOf[graft.catalog.LakeTable]
+    // ...then writer B rewrites every file A is about to rewrite
+    spark.sql("INSERT OVERWRITE lake.cfl.t SELECT id FROM range(5)")
+    // A's delete must now FAIL (blind rebase would resurrect B's removed rows)
+    intercept[graft.catalog.CommitConflictException] {
+      stale.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.GreaterThan("k", 10L)))
+    }
+    assert(spark.table("lake.cfl.t").count() == 5, "winner's contents must be intact")
+  }
+
+  test("ALTER TABLE retries through concurrent INSERT commits (CAS rebase)") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.cc")
+    spark.sql("DROP TABLE IF EXISTS lake.cc.alt")
+    spark.sql("CREATE TABLE lake.cc.alt (k INT)")
+    val pool = Executors.newFixedThreadPool(6)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // property-only ALTERs so insert analysis is schema-stable; the commit
+    // path (pointer CAS) is identical to ADD/DROP COLUMNS
+    val work = (1 to 4).map(i =>
+      Future(spark.sql(s"INSERT INTO lake.cc.alt VALUES ($i)"))) ++
+      Seq(Future(spark.sql("ALTER TABLE lake.cc.alt SET TBLPROPERTIES ('steward'='a')")),
+        Future(spark.sql("ALTER TABLE lake.cc.alt SET TBLPROPERTIES ('team'='b')")))
+    Await.result(Future.sequence(work), 120.seconds)
+    pool.shutdown()
+    // every commit landed: 4 rows AND both properties
+    assert(spark.table("lake.cc.alt").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3, 4))
+    val props = spark.sql("SHOW TBLPROPERTIES lake.cc.alt").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("steward").contains("a") && props.get("team").contains("b"))
+  }
+
+  test("ADD COLUMNS of an existing column name is refused (case-insensitive)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ev")
+    spark.sql("DROP TABLE IF EXISTS lake.ev.dup")
+    spark.sql("CREATE TABLE lake.ev.dup (k BIGINT)")
+    intercept[Exception] { spark.sql("ALTER TABLE lake.ev.dup ADD COLUMNS (k INT)") }
+    intercept[Exception] { spark.sql("ALTER TABLE lake.ev.dup ADD COLUMNS (K INT)") }
+    assert(spark.table("lake.ev.dup").columns.toSeq == Seq("k"),
+      "schema must be unchanged after a refused duplicate add")
+  }
+
+  test("RENAME onto an existing table is refused; both tables intact") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.rn")
+    spark.sql("DROP TABLE IF EXISTS lake.rn.x")
+    spark.sql("DROP TABLE IF EXISTS lake.rn.y")
+    spark.sql("CREATE TABLE lake.rn.x AS SELECT 1 AS k")
+    spark.sql("CREATE TABLE lake.rn.y AS SELECT 2 AS k")
+    intercept[Exception] { spark.sql("ALTER TABLE lake.rn.x RENAME TO lake.rn.y") }
+    assert(spark.table("lake.rn.x").collect().head.getInt(0) == 1)
+    assert(spark.table("lake.rn.y").collect().head.getInt(0) == 2)
   }
 
   test("rename preserves data; purge removes files") {
