@@ -22,22 +22,35 @@ object Bench {
       Tables.registerAll(spark, sfDir)
       Tables.names.foreach(n => Tables.t(spark, sfDir, n).write.format("noop").mode("overwrite").save())
     } catch { case _: Throwable => () }
+    // Median of 3 runs per query: a one-shot timing lands any GC pause or
+    // codegen-compile stall entirely on one query (r2 recorded q25 at 15 s
+    // that re-measured at 1.4 s). The median is robust to a single outlier;
+    // the max-min spread is reported so variance stays visible.
+    val runsPer = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      val times = (1 to runsPer).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None
         }
-      // A failed query reports -1 so a broken plan can't silently pass as a
+      }
+      // Any failed run reports -1 so a broken plan can't silently pass as a
       // fast one (ADVICE r1).
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      if (times.size < runsPer) name -> (-1.0, 0.0)
+      else {
+        val sorted = times.sorted
+        name -> (sorted(sorted.size / 2), sorted.last - sorted.head)
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (m, _)) => "\"" + k + "\":" + f"$m%.4f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val nFailed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir"}""")
+    val spreads = results.map { case (k, (_, s)) => "\"" + k + "\":" + f"$s%.4f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val nFailed = results.count(_._2._1 < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"runs":$runsPer,"failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
