@@ -77,6 +77,36 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
   override def loadTable(ident: Identifier, version: String): Table =
     doLoad(ident, Some(version.toLong))
 
+  /** `FOR TIMESTAMP AS OF <ts>` time travel: resolve the latest snapshot
+    * committed at or before the timestamp (TableCatalog passes MICROseconds
+    * since epoch; snapshot commit times are millis).
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val loc = store.load(ns(ident.namespace()), ident.name())
+      .getOrElse(throw new NoSuchTableException(ident))
+    val meta = TableMeta.read(loc, hadoopConf)
+    val ms = timestamp / 1000L
+    val candidates = meta.snapshots.filter(_.timestampMs <= ms)
+    if (candidates.isEmpty)
+      throw new IllegalArgumentException(
+        s"no snapshot of ${display(ident)} committed at or before ${ms} ms " +
+          s"(earliest is ${meta.snapshots.map(_.timestampMs).minOption.getOrElse(-1L)} ms)")
+    doLoad(ident, Some(candidates.maxBy(s => (s.timestampMs, s.snapshotId)).snapshotId))
+  }
+
+  /** The reference's `register_table` (mod.rs:242-294) surfaced as a catalog
+    * operation: adopt an EXISTING metadata document under a new identifier
+    * — the adoption path for tables written by another catalog instance or
+    * restored from a backup. The metadata is validated (readable, parses)
+    * before the pointer lands; INSERT-on-conflict keeps it atomic.
+    */
+  def registerTable(ident: Identifier, metadataLocation: String): Table = {
+    TableMeta.read(metadataLocation, hadoopConf) // validate before registering
+    if (!store.register(ns(ident.namespace()), ident.name(), metadataLocation))
+      throw new TableAlreadyExistsException(ident)
+    loadTable(ident)
+  }
+
   private def doLoad(ident: Identifier, snapshot: Option[Long]): LakeTable = {
     val loc = store.load(ns(ident.namespace()), ident.name())
       .getOrElse(throw new NoSuchTableException(ident))

@@ -72,11 +72,17 @@ final class LakeTable(
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    // option-based time travel: spark.read.option("snapshot-id", n).table(t)
-    val snap = Option(options.get("snapshot-id")) match {
-      case Some(id) => meta.snapshot(id.toLong).orElse(
+    // option-based time travel: spark.read.option("snapshot-id", n) or
+    // option("as-of-timestamp", epochMillis).table(t)
+    val snap = (Option(options.get("snapshot-id")), Option(options.get("as-of-timestamp"))) match {
+      case (Some(id), _) => meta.snapshot(id.toLong).orElse(
         throw new IllegalArgumentException(s"no snapshot $id for table $ident"))
-      case None => effectiveSnapshot
+      case (None, Some(ts)) =>
+        val candidates = meta.snapshots.filter(_.timestampMs <= ts.toLong)
+        if (candidates.isEmpty) throw new IllegalArgumentException(
+          s"no snapshot of $ident committed at or before $ts ms")
+        Some(candidates.maxBy(s => (s.timestampMs, s.snapshotId)))
+      case (None, None) => effectiveSnapshot
     }
     new LakeScanBuilder(ident, schema(), snap.map(_.manifest).getOrElse(Nil), options,
       microBatch = Some(() => new LakeMicroBatchStream(ident, schema(),
@@ -624,6 +630,8 @@ object FilePruner {
   private def colLit(l: ce.Expression, r: ce.Expression): Option[(String, BigDecimal, Boolean)] = {
     def num(v: Any): Option[BigDecimal] = v match {
       case n: java.lang.Number => Some(BigDecimal(n.toString))
+      // DecimalType literals carry Spark's Decimal (not a java.lang.Number)
+      case d: org.apache.spark.sql.types.Decimal => Some(BigDecimal(d.toJavaBigDecimal))
       case _ => None
     }
     (l, r) match {
@@ -933,6 +941,11 @@ final class LakeDataWriter(
       case ShortType => row.getShort(i)
       case StringType => row.getUTF8String(i).toString
       case BooleanType => row.getBoolean(i)
+      // stats carry the plain decimal string ("12.34") — the pruner
+      // compares numerics as BigDecimal, so price-style predicates prune
+      case d: DecimalType =>
+        val dec = row.getDecimal(i, d.precision, d.scale)
+        if (dec == null) null else dec.toJavaBigDecimal
       case _ => null
     }
 

@@ -74,10 +74,11 @@ final class StagedLakeTable(
   }
 
   override def commitStagedChanges(): Unit = {
-    val next = baseMeta.copy(
+    // Fresh-create metadata: snapshot 1, no history.
+    lazy val newLoc = TableMeta.write(baseMeta.copy(
       currentSnapshotId = 1L,
-      snapshots = Seq(SnapshotMeta(1L, System.currentTimeMillis(), "create", stagedFiles)))
-    val newLoc = TableMeta.write(next, hadoopConf)
+      snapshots = Seq(SnapshotMeta(1L, System.currentTimeMillis(), "create", stagedFiles))),
+      hadoopConf)
 
     def casReplace(): Boolean = {
       var attempts = 0
@@ -85,7 +86,17 @@ final class StagedLakeTable(
         store.load(namespace, tableName) match {
           case None => return false // vanished: fall through to register
           case Some(prev) =>
-            if (store.casUpdate(namespace, tableName, newLoc, prev) == 1) return true
+            // REPLACE is a new snapshot on the EXISTING timeline — prior
+            // snapshots survive, so VERSION AS OF a pre-replace snapshot
+            // still answers (with the staged schema; old files read by-name)
+            val prevMeta = TableMeta.read(prev, hadoopConf)
+            val snapId = prevMeta.nextSnapshotId
+            val replLoc = TableMeta.write(baseMeta.copy(
+              currentSnapshotId = snapId,
+              snapshots = prevMeta.snapshots :+ SnapshotMeta(snapId,
+                System.currentTimeMillis(), "replace", stagedFiles)),
+              hadoopConf)
+            if (store.casUpdate(namespace, tableName, replLoc, prev) == 1) return true
         }
         attempts += 1
         CasRetry.backoff(attempts)

@@ -253,13 +253,18 @@ object LlmPipeline {
         .groupBy("cell").agg(vavg(col("embedding")).as("centroid"))
         .select(col("cell").as("c_cell"),
           transform(col("centroid"), x => x.cast("float")).as("c_vec"))
-      def assign(df: DataFrame, cents: DataFrame): DataFrame = {
-        val scored = df.drop("cell").crossJoin(broadcast(cents))
+      // nearest-cell assignment as ONE hash aggregation: max_by over a
+      // (sim, -cell) struct picks the best cell (smallest cell id on ties)
+      // with map-side partial aggregation — the old row_number() window
+      // sort-shuffled all 16N scored rows per Lloyd pass
+      def assign(df: DataFrame, cents: DataFrame): DataFrame =
+        df.drop("cell").crossJoin(broadcast(cents))
           .withColumn("sim", cosineSim(col("embedding"), col("c_vec")))
-        val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("c_cell"))
-        scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-          .select(col("vec_id"), col("label"), col("embedding"), col("c_cell").as("cell"))
-      }
+          .groupBy("vec_id")
+          .agg(first(col("label")).as("label"),
+            first(col("embedding")).as("embedding"),
+            max_by(col("c_cell"), struct(col("sim"), -col("c_cell"))).as("cell"))
+          .select(col("vec_id"), col("label"), col("embedding"), col("cell"))
       // one Lloyd refinement over the hash seeding
       val cells = assign(emb, centroidsOf(seeded))
       val cents = centroidsOf(cells)

@@ -527,6 +527,88 @@ class LakeCatalogSpec extends AnyFunSuite {
       "every file must be single-valued on BOTH partition columns")
   }
 
+  test("FOR TIMESTAMP AS OF resolves the latest snapshot at-or-before the timestamp") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.tt")
+    spark.sql("DROP TABLE IF EXISTS lake.tt.ts")
+    spark.sql("CREATE TABLE lake.tt.ts (k INT)")
+    spark.sql("INSERT INTO lake.tt.ts VALUES (1)")
+    Thread.sleep(10)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(10)
+    spark.sql("INSERT INTO lake.tt.ts VALUES (2)")
+    // option path (epoch millis): between the appends -> first snapshot only
+    val v1 = spark.read.option("as-of-timestamp", mid.toString).table("lake.tt.ts")
+    assert(v1.collect().map(_.getInt(0)).toSeq == Seq(1))
+    // SQL path (micros through TableCatalog.loadTable(ident, ts)):
+    // far future -> current contents; before creation -> error
+    assert(spark.sql("SELECT * FROM lake.tt.ts TIMESTAMP AS OF '2999-12-31 00:00:00'")
+      .count() == 2)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM lake.tt.ts TIMESTAMP AS OF '1999-01-01 00:00:00'").collect()
+    }
+  }
+
+  test("REPLACE TABLE preserves snapshot history (VERSION AS OF a pre-replace snapshot)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.stg")
+    spark.sql("DROP TABLE IF EXISTS lake.stg.hist")
+    spark.sql("CREATE TABLE lake.stg.hist AS SELECT id FROM range(5)")
+    spark.sql("REPLACE TABLE lake.stg.hist AS SELECT id * 10 AS id FROM range(3)")
+    assert(spark.table("lake.stg.hist").count() == 3)
+    // the pre-replace snapshot is still on the timeline
+    assert(spark.sql("SELECT * FROM lake.stg.hist VERSION AS OF 1").count() == 5)
+    val h = graft.catalog.LakeMaintenance.history(spark, "lake.stg.hist")
+      .orderBy("snapshot_id").collect()
+    assert(h.map(_.getAs[String]("operation")).toSeq == Seq("create", "replace"))
+  }
+
+  test("registerTable adopts an existing metadata document under a new identifier") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.reg")
+    spark.sql("DROP TABLE IF EXISTS lake.reg.src")
+    spark.sql("DROP TABLE IF EXISTS lake.reg.adopted")
+    spark.sql("CREATE TABLE lake.reg.src AS SELECT id AS k FROM range(7)")
+    val cat = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[graft.catalog.LakeCatalog]
+    val loc = cat.loadTable(Identifier.of(Array("reg"), "src"))
+      .asInstanceOf[graft.catalog.LakeTable].metadataLocation
+    cat.registerTable(Identifier.of(Array("reg"), "adopted"), loc)
+    assert(spark.table("lake.reg.adopted").count() == 7)
+    // conflict: the pointer must not be clobbered (mod.rs:285-288)
+    intercept[Exception] { cat.registerTable(Identifier.of(Array("reg"), "src"), loc) }
+    // unreadable metadata is refused before any pointer lands
+    intercept[Exception] {
+      cat.registerTable(Identifier.of(Array("reg"), "bogus"), "/nonexistent/v0.json")
+    }
+    assert(!spark.catalog.tableExists("lake.reg.bogus"))
+  }
+
+  test("decimal min/max stats prune files on decimal predicates") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.prune")
+    spark.sql("DROP TABLE IF EXISTS lake.prune.dec")
+    spark.sql("CREATE TABLE lake.prune.dec (k INT, price DECIMAL(10,2))")
+    spark.sql(
+      """INSERT INTO lake.prune.dec
+        |SELECT CAST(id AS INT), CAST(id AS DECIMAL(10,2)) FROM range(0, 100)""".stripMargin)
+    spark.sql(
+      """INSERT INTO lake.prune.dec
+        |SELECT CAST(id AS INT), CAST(id AS DECIMAL(10,2)) FROM range(1000, 1100)""".stripMargin)
+    val q = spark.sql("SELECT * FROM lake.prune.dec WHERE price >= 1000.00")
+    assert(q.count() == 100)
+    // the low file (price 0.00..99.00) must be pruned out of the physical scan
+    val t = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("prune"), "dec"))
+      .asInstanceOf[graft.catalog.LakeTable]
+    val lowFiles = t.meta.currentFiles.filter(f =>
+      f.maxValues.get("price").exists(v => BigDecimal(v) < 1000))
+    assert(lowFiles.nonEmpty, "writer must record decimal min/max stats")
+    val scanned = q.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    lowFiles.foreach(f => assert(!scanned.contains(new java.io.File(f.path).getName),
+      s"file ${f.path} (price <= ${f.maxValues("price")}) should be pruned"))
+    // both files pruned -> zero-file scan
+    assert(spark.sql("SELECT * FROM lake.prune.dec WHERE price > 99999.99").count() == 0)
+  }
+
   test("DELETE FROM keeps rows where the predicate evaluates to NULL (SQL 3VL)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.del")
     spark.sql("DROP TABLE IF EXISTS lake.del.nulls")

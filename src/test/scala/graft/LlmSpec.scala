@@ -253,8 +253,11 @@ class LlmSpec extends AnyFunSuite {
   }
 
   test("q51 IVF probe: returns 10, candidates limited to 2 cells, some recall vs brute force") {
-    val ivf = SparkEntry.queries("q51_ann_ivf")(spark, sf)
-      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val df = SparkEntry.queries("q51_ann_ivf")(spark, sf)
+    // cell assignment is a hash aggregation (max_by), never a sorted window
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+      "IVF assignment must use max_by hash-agg, not a row_number window")
+    val ivf = df.select("vec_id").collect().map(_.getLong(0)).toSet
     assert(ivf.size == 10)
     val brute = SparkEntry.queries("q26_embedding_topk")(spark, sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet
