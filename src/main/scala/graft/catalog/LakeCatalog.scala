@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** The Spark plugin the reference is the Rust analog of: a table catalog
@@ -178,13 +178,15 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
   override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
     stage(ident, info, StageMode.CreateOrReplace)
 
-  /** Property changes plus name-based schema evolution. ADD COLUMNS: new
-    * nullable column appended; existing files lack it and the by-name
-    * parquet read surfaces NULL — correct add-column semantics with zero
-    * rewrites. DROP COLUMN: removed from the schema; readers prune it from
-    * old files. RENAME is rejected: without Iceberg-style field IDs a
-    * rename silently disconnects old data (the reference's metadata treats
-    * schemas opaquely, mod.rs:217-220 — we refuse rather than corrupt).
+  /** Property changes plus schema evolution with FIELD IDENTITY (the
+    * logical→physical column mapping in [[ColumnMapping]]; the reference's
+    * own test constructs per-field ids for the same reason, mod.rs:437-450).
+    * ADD COLUMNS: appended nullable, under a FRESH physical name — existing
+    * files lack it and surface NULL, and a previously-dropped column of the
+    * same name can never resurrect old values. DROP COLUMN: removed from
+    * the schema (old files keep the physical column; nothing maps to it).
+    * RENAME COLUMN: relabels the logical name while the pinned physical
+    * name keeps all existing data connected — zero rewrites.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     // Same rebase-retry discipline as every data commit: a concurrent
@@ -195,6 +197,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
       val t = doLoad(ident, None)
       var props = t.meta.properties
       var schema = t.meta.schema
+      var pcols = t.meta.partitionColumns
       changes.foreach {
         case s: TableChange.SetProperty => props += (s.property() -> s.value())
         case r: TableChange.RemoveProperty => props -= r.property()
@@ -206,18 +209,41 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
           if (schema.fieldNames.exists(_.equalsIgnoreCase(a.fieldNames()(0))))
             throw new IllegalArgumentException(
               s"cannot add column ${a.fieldNames()(0)}: a column of that name already exists")
-          schema = schema.add(a.fieldNames()(0), a.dataType(), nullable = true)
+          // fresh physical name from the monotonic counter: if this logical
+          // name ever existed before (dropped, renamed away), old files'
+          // values can NOT resurrect under it
+          val id = props.get(ColumnMapping.CounterProp).map(_.toInt).getOrElse(1)
+          props += (ColumnMapping.CounterProp -> (id + 1).toString)
+          schema = schema.add(ColumnMapping.withPhysical(
+            StructField(a.fieldNames()(0), a.dataType(), nullable = true),
+            s"_c${id}_${a.fieldNames()(0)}"))
         case d: TableChange.DeleteColumn =>
           if (d.fieldNames().length != 1) throw new UnsupportedOperationException(
             "only top-level DROP COLUMN is supported")
-          if (t.meta.partitionColumns.contains(d.fieldNames()(0)))
+          if (pcols.contains(d.fieldNames()(0)))
             throw new UnsupportedOperationException("cannot drop a partition column")
           schema = StructType(schema.fields.filterNot(_.name == d.fieldNames()(0)))
+        case rn: TableChange.RenameColumn =>
+          if (rn.fieldNames().length != 1) throw new UnsupportedOperationException(
+            "only top-level RENAME COLUMN is supported")
+          val from = rn.fieldNames()(0)
+          if (!schema.fieldNames.contains(from))
+            throw new IllegalArgumentException(s"no such column: $from")
+          if (schema.fieldNames.exists(n => n != from && n.equalsIgnoreCase(rn.newName())))
+            throw new IllegalArgumentException(
+              s"cannot rename $from to ${rn.newName()}: that column already exists")
+          // the PHYSICAL name is pinned before relabeling, so every existing
+          // data file stays connected to the renamed logical column
+          schema = StructType(schema.fields.map(f =>
+            if (f.name == from)
+              ColumnMapping.withPhysical(f, ColumnMapping.physicalName(f)).copy(name = rn.newName())
+            else f))
+          pcols = pcols.map(c => if (c == from) rn.newName() else c)
         case c => throw new UnsupportedOperationException(
-          s"alterTable change ${c.getClass.getSimpleName} not supported " +
-            "(RENAME COLUMN needs field-id tracking; not implemented)")
+          s"alterTable change ${c.getClass.getSimpleName} not supported")
       }
-      val next = t.meta.copy(properties = props, schemaJson = schema.json)
+      val next = t.meta.copy(properties = props, schemaJson = schema.json,
+        partitionColumns = pcols)
       val newLoc = TableMeta.write(next, hadoopConf)
       if (store.casUpdate(ns(ident.namespace()), ident.name(), newLoc, t.metadataLocation) == 1) {
         invalidateTable(ident)

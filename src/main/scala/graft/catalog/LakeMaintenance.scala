@@ -45,14 +45,17 @@ object LakeMaintenance {
     // target count keeps output files near targetFileBytes
     val totalBytes = small.map(_.sizeBytes).sum
     val outParts = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val df = spark.read.schema(t.schema()).parquet(small.map(_.path): _*)
+    // the whole rewrite happens under PHYSICAL column names (what the files
+    // carry); no logical relabeling is needed since no user predicate runs
+    val physCols = t.meta.physicalPartitionColumns
+    val df = spark.read.schema(t.meta.physicalSchema).parquet(small.map(_.path): _*)
     val clustered =
-      if (t.meta.partitionColumns.nonEmpty)
-        df.repartition(outParts, t.meta.partitionColumns.map(df.col): _*)
-          .sortWithinPartitions(t.meta.partitionColumns.map(df.col): _*)
+      if (physCols.nonEmpty)
+        df.repartition(outParts, physCols.map(df.col): _*)
+          .sortWithinPartitions(physCols.map(df.col): _*)
       else df.coalesce(outParts)
-    val factory = LakeWriterFactory(t.schema().json, s"${t.meta.location}/data",
-      t.meta.partitionColumns, new SerializableConfiguration(hadoopConf))
+    val factory = LakeWriterFactory(t.meta.physicalSchema.json, s"${t.meta.location}/data",
+      physCols, new SerializableConfiguration(hadoopConf))
     val newFiles = clustered.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
       val w = factory.createWriter(pid, org.apache.spark.TaskContext.get().taskAttemptId())
       rows.foreach(w.write)

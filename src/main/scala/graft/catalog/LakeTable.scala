@@ -84,14 +84,19 @@ final class LakeTable(
         Some(candidates.maxBy(s => (s.timestampMs, s.snapshotId)))
       case (None, None) => effectiveSnapshot
     }
-    new LakeScanBuilder(ident, schema(), snap.map(_.manifest).getOrElse(Nil), options,
-      microBatch = Some(() => new LakeMicroBatchStream(ident, schema(),
+    // files are handed over with stats re-keyed to logical names so every
+    // pruner (metadata, runtime, SPJ keys) speaks the query's column names;
+    // the parquet delegate inside the scan uses physical names (l2p)
+    new LakeScanBuilder(ident, schema(), meta.logicalStatFiles(snap.map(_.manifest).getOrElse(Nil)),
+      options,
+      microBatch = Some(() => new LakeMicroBatchStream(ident, meta.physicalSchema,
         () => {
           val loc = store.load(namespace, tableName).getOrElse(
             throw new IllegalStateException(s"table $ident dropped during streaming read"))
           TableMeta.read(loc, hadoopConf)
         }, options, hadoopConf)),
-      partitionCols = meta.partitionColumns)
+      partitionCols = meta.partitionColumns,
+      l2p = meta.l2pMap)
   }
 
   /** UPDATE / MERGE INTO via group-based copy-on-write: Spark rewrites the
@@ -126,21 +131,24 @@ final class LakeTable(
     val spark = SparkSession.active
     val cond: Column = filters.flatMap(FilterToColumn.translate)
       .reduceOption(_ && _).getOrElse(org.apache.spark.sql.functions.lit(true))
-    val current = meta.currentFiles
-    val affected = current.filter(f =>
+    // prune with logically-keyed stats (filters reference logical names)
+    val affected = meta.logicalStatFiles(meta.currentFiles).filter(f =>
       filters.forall(fl => FilterToColumn.mayMatch(fl, f)))
     val newFiles: Seq[DataFileMeta] =
       if (affected.isEmpty) Nil
       else {
         // survivors are rows where the delete condition is false OR NULL —
         // SQL DELETE only removes rows where the predicate is TRUE, and
-        // !NULL = NULL would silently drop null-valued rows from the rewrite
-        val survivors = spark.read.schema(schema())
+        // !NULL = NULL would silently drop null-valued rows from the rewrite.
+        // Files are read under physical names, relabeled logical for the
+        // predicate, and rewritten under physical names (same positions).
+        val survivors = spark.read.schema(meta.physicalSchema)
           .parquet(affected.map(_.path): _*)
+          .toDF(schema().fieldNames.toIndexedSeq: _*)
           .filter(!org.apache.spark.sql.functions.coalesce(
             cond, org.apache.spark.sql.functions.lit(false)))
-        val factory = LakeWriterFactory(schema().json, s"${meta.location}/data",
-          meta.partitionColumns, new SerializableConfiguration(hadoopConf))
+        val factory = LakeWriterFactory(meta.physicalSchema.json, s"${meta.location}/data",
+          meta.physicalPartitionColumns, new SerializableConfiguration(hadoopConf))
         survivors.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
           val w = factory.createWriter(pid, org.apache.spark.TaskContext.get().taskAttemptId())
           rows.foreach(w.write)
@@ -258,21 +266,24 @@ final class LakeRowLevelOperation(
   override def command(): RowLevelOperation.Command = cmd
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LakeScanBuilder(table.name(), table.schema(), table.meta.currentFiles, options,
+    new LakeScanBuilder(table.name(), table.schema(),
+      table.meta.logicalStatFiles(table.meta.currentFiles), options,
       files => scanned = files,
       // runtime group filtering: Spark's RowLevelOperationRuntimeGroupFiltering
       // computes the distinct partition values matching the command's
       // condition and calls Scan.filter with them BEFORE planning input
       // partitions — an UPDATE/MERGE touching one partition rewrites one
       // partition, not the table
-      runtimeFilterCols = table.meta.partitionColumns)
+      runtimeFilterCols = table.meta.partitionColumns,
+      l2p = table.meta.l2pMap)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
     override def build(): Write = new Write {
       override def toBatch: BatchWrite = new BatchWrite {
         override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
-          LakeWriterFactory(info.schema().json, s"${table.meta.location}/data",
-            table.meta.partitionColumns, new SerializableConfiguration(hadoopConf))
+          LakeWriterFactory(ColumnMapping.toPhysical(info.schema(), table.meta.l2pMap).json,
+            s"${table.meta.location}/data",
+            table.meta.physicalPartitionColumns, new SerializableConfiguration(hadoopConf))
         override def commit(messages: Array[WriterCommitMessage]): Unit = {
           val newFiles = messages.collect { case LakeCommitMessage(fs) => fs }.flatten.toSeq
           val replacedPaths = scanned.map(_.path).toSet
@@ -326,7 +337,8 @@ final class LakeScanBuilder(
     onFilesSelected: Seq[DataFileMeta] => Unit = _ => (),
     runtimeFilterCols: Seq[String] = Nil,
     microBatch: Option[() => LakeMicroBatchStream] = None,
-    partitionCols: Seq[String] = Nil)
+    partitionCols: Seq[String] = Nil,
+    l2p: Map[String, String] = Map.empty)
   extends ScanBuilder with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns {
 
@@ -349,7 +361,7 @@ final class LakeScanBuilder(
     val survivors = files.filter(f => exprs.forall(e => FilePruner.mayMatch(e, f, tableSchema)))
     onFilesSelected(survivors)
     new LakeScan(ident, tableSchema, survivors, exprs, requiredSchema, options,
-      runtimeFilterCols, onFilesSelected, microBatch, partitionCols)
+      runtimeFilterCols, onFilesSelected, microBatch, partitionCols, l2p)
   }
 }
 
@@ -371,7 +383,8 @@ final class LakeScan(
     runtimeFilterCols: Seq[String],
     onFilesSelected: Seq[DataFileMeta] => Unit,
     microBatch: Option[() => LakeMicroBatchStream] = None,
-    partitionCols: Seq[String] = Nil)
+    partitionCols: Seq[String] = Nil,
+    l2p: Map[String, String] = Map.empty)
   extends Scan with SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -384,11 +397,14 @@ final class LakeScan(
   private def inner: Scan = {
     if (delegate == null) {
       val spark = SparkSession.active
+      // the delegated parquet scan resolves against file schemas, which
+      // carry PHYSICAL column names; rows come back positionally identical
       val pt = ParquetTable(ident, spark, options, files.map(_.path).toList,
-        Some(tableSchema), classOf[ParquetFileFormat])
+        Some(ColumnMapping.toPhysical(tableSchema, l2p)), classOf[ParquetFileFormat])
       val b = pt.newScanBuilder(options)
-      b.pushFilters(exprs) // inner translates + records row-group pushdown itself
-      b.pruneColumns(requiredSchema)
+      // inner translates + records row-group pushdown itself
+      b.pushFilters(ColumnMapping.toPhysicalExprs(exprs, l2p))
+      b.pruneColumns(ColumnMapping.toPhysical(requiredSchema, l2p))
       delegate = b.build()
     }
     delegate
@@ -451,7 +467,7 @@ final class LakeScan(
 
   private lazy val keyedBatch: Option[LakeKeyGroupedBatch] =
     keyGroups.map(gs => new LakeKeyGroupedBatch(ident, tableSchema, requiredSchema,
-      exprs, options, gs))
+      exprs, options, gs, l2p))
 
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
     keyedBatch match {
@@ -478,7 +494,9 @@ final class LakeScan(
         java.util.OptionalLong.of(files.map(_.rowCount).sum)
     }
 
-  override def readSchema(): StructType = inner.readSchema()
+  // Spark consumes rows positionally against this schema: report LOGICAL
+  // names (the delegate read physical ones; layout is identical).
+  override def readSchema(): StructType = ColumnMapping.toLogical(inner.readSchema(), l2p)
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
     keyedBatch.getOrElse(inner.toBatch)
   override def toMicroBatchStream(
@@ -499,7 +517,8 @@ final class LakeKeyGroupedBatch(
     requiredSchema: StructType,
     exprs: Seq[Expression],
     options: CaseInsensitiveStringMap,
-    groups: Seq[(InternalRow, Seq[DataFileMeta])])
+    groups: Seq[(InternalRow, Seq[DataFileMeta])],
+    l2p: Map[String, String] = Map.empty)
   extends org.apache.spark.sql.connector.read.Batch {
 
   import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
@@ -507,10 +526,10 @@ final class LakeKeyGroupedBatch(
   private def subBatch(files: Seq[DataFileMeta]): Batch = {
     val spark = SparkSession.active
     val pt = ParquetTable(ident, spark, options, files.map(_.path).toList,
-      Some(tableSchema), classOf[ParquetFileFormat])
+      Some(ColumnMapping.toPhysical(tableSchema, l2p)), classOf[ParquetFileFormat])
     val b = pt.newScanBuilder(options)
-    b.pushFilters(exprs)
-    b.pruneColumns(requiredSchema)
+    b.pushFilters(ColumnMapping.toPhysicalExprs(exprs, l2p))
+    b.pruneColumns(ColumnMapping.toPhysical(requiredSchema, l2p))
     b.build().toBatch
   }
 
@@ -731,8 +750,9 @@ final class LakeBatchWrite(
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    LakeWriterFactory(writeSchema.json, s"${table.meta.location}/data",
-      table.meta.partitionColumns, new SerializableConfiguration(hadoopConf))
+    LakeWriterFactory(ColumnMapping.toPhysical(writeSchema, table.meta.l2pMap).json,
+      s"${table.meta.location}/data",
+      table.meta.physicalPartitionColumns, new SerializableConfiguration(hadoopConf))
 
   /** The reference's EP3: write new metadata → CAS the pointer; on a lost
     * race, reload the current metadata, REBASE (append = union with the
@@ -796,8 +816,9 @@ final class LakeStreamingWrite(
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
-    LakeWriterFactory(writeSchema.json, s"${table.meta.location}/data",
-      table.meta.partitionColumns, new SerializableConfiguration(hadoopConf))
+    LakeWriterFactory(ColumnMapping.toPhysical(writeSchema, table.meta.l2pMap).json,
+      s"${table.meta.location}/data",
+      table.meta.physicalPartitionColumns, new SerializableConfiguration(hadoopConf))
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val newFiles = messages.collect { case LakeCommitMessage(fs) => fs }.flatten.toSeq

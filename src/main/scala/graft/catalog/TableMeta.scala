@@ -48,6 +48,42 @@ final case class TableMeta(
 
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 
+  // ── column mapping (field identity) ────────────────────────────────────
+  // Delta-style logical→physical name mapping: a field reads/writes the
+  // parquet column named by its `graft.phys` metadata (default: its own
+  // name). CREATE-time columns keep plain physical names; every column
+  // ADDED later gets a fresh "_c<id>_<name>" physical name from a
+  // monotonic per-table counter, so DROP COLUMN then ADD COLUMNS of the
+  // same name can never resurrect old files' values, and RENAME COLUMN
+  // just relabels the logical name while the physical column — and all
+  // existing data — stays connected (Iceberg's field-id contract,
+  // realized as stable physical names; ref mod.rs:437-450 builds field
+  // ids for exactly this reason).
+
+  /** logical → physical name for every column (identity for most). */
+  def l2pMap: Map[String, String] =
+    schema.fields.map(f => f.name -> ColumnMapping.physicalName(f)).toMap
+
+  /** Table schema with physical column names (same order and types). */
+  def physicalSchema: StructType = ColumnMapping.toPhysical(schema, l2pMap)
+
+  def physicalPartitionColumns: Seq[String] = {
+    val m = l2pMap
+    partitionColumns.map(c => m.getOrElse(c, c))
+  }
+
+  /** Manifest entries with min/max stats re-keyed to LOGICAL names, for
+    * pruning against predicates (which reference logical columns). Paths
+    * and counts are untouched, so these remain commit-comparable.
+    */
+  def logicalStatFiles(files: Seq[DataFileMeta]): Seq[DataFileMeta] = {
+    val p2l = l2pMap.map(_.swap)
+    if (p2l.forall(kv => kv._1 == kv._2)) files
+    else files.map(f => f.copy(
+      minValues = f.minValues.map { case (k, v) => (p2l.getOrElse(k, k), v) },
+      maxValues = f.maxValues.map { case (k, v) => (p2l.getOrElse(k, k), v) }))
+  }
+
   def snapshot(id: Long): Option[SnapshotMeta] = snapshots.find(_.snapshotId == id)
 
   def currentFiles: Seq[DataFileMeta] =
@@ -93,6 +129,46 @@ object CasCommit {
             "rewrites are serializable-or-fail — retry the whole operation")
     }
   }
+}
+
+/** Helpers for the logical→physical column mapping (see TableMeta). */
+object ColumnMapping {
+  import org.apache.spark.sql.types.{MetadataBuilder, StructField}
+
+  /** StructField metadata key holding the physical (parquet) column name. */
+  val PhysKey = "graft.phys"
+  /** Table property: next id for generating fresh physical names. */
+  val CounterProp = "graft.next-col-id"
+
+  def physicalName(f: StructField): String =
+    if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey) else f.name
+
+  def withPhysical(f: StructField, phys: String): StructField =
+    f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+      .putString(PhysKey, phys).build())
+
+  /** Rename a projection of the table schema logical→physical. Names not in
+    * the map (e.g. row-operation marker columns) pass through.
+    */
+  def toPhysical(s: StructType, l2p: Map[String, String]): StructType =
+    StructType(s.fields.map(f => f.copy(name = l2p.getOrElse(f.name, f.name))))
+
+  def toLogical(s: StructType, l2p: Map[String, String]): StructType = {
+    val p2l = l2p.map(_.swap)
+    StructType(s.fields.map(f => f.copy(name = p2l.getOrElse(f.name, f.name))))
+  }
+
+  /** Rewrite attribute references in pushed-down predicates logical→physical
+    * so the delegated parquet scan resolves them against file schemas.
+    */
+  def toPhysicalExprs(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      l2p: Map[String, String]): Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    if (l2p.forall(kv => kv._1 == kv._2)) exprs
+    else exprs.map(_.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+        if l2p.getOrElse(a.name, a.name) != a.name => a.withName(l2p(a.name))
+    })
 }
 
 object TableMeta {

@@ -297,7 +297,7 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(spark.table("lake.del.t").count() == 0)
   }
 
-  test("schema evolution: ADD COLUMNS backfills null, DROP COLUMN hides old data, RENAME refused") {
+  test("schema evolution: ADD COLUMNS backfills null, DROP COLUMN hides old data") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ev")
     spark.sql("DROP TABLE IF EXISTS lake.ev.t")
     spark.sql("CREATE TABLE lake.ev.t (k BIGINT)")
@@ -311,7 +311,73 @@ class LakeCatalogSpec extends AnyFunSuite {
     spark.sql("ALTER TABLE lake.ev.t DROP COLUMN tag")
     assert(spark.table("lake.ev.t").columns.toSeq == Seq("k"))
     assert(spark.table("lake.ev.t").count() == 2)
-    intercept[Exception] { spark.sql("ALTER TABLE lake.ev.t RENAME COLUMN k TO kk") }
+  }
+
+  test("DROP COLUMN then ADD COLUMNS of the same name must NOT resurrect old values") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ev")
+    spark.sql("DROP TABLE IF EXISTS lake.ev.fid")
+    spark.sql("CREATE TABLE lake.ev.fid (k BIGINT, tag STRING)")
+    spark.sql("INSERT INTO lake.ev.fid VALUES (1, 'secret-old-value')")
+    spark.sql("ALTER TABLE lake.ev.fid DROP COLUMN tag")
+    spark.sql("ALTER TABLE lake.ev.fid ADD COLUMNS (tag STRING)")
+    // the old file still physically carries 'secret-old-value'; the NEW
+    // logical tag column maps to a fresh physical name, so it must read NULL
+    val r1 = spark.table("lake.ev.fid").collect()
+    assert(r1.length == 1 && r1(0).isNullAt(1),
+      s"re-added column must read NULL for pre-drop rows, got ${r1.toSeq}")
+    spark.sql("INSERT INTO lake.ev.fid VALUES (2, 'fresh')")
+    val rows = spark.table("lake.ev.fid").orderBy("k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+    assert(rows.toSeq == Seq((1L, null), (2L, "fresh")))
+    // filters on the re-added column resolve against the new physical column
+    assert(spark.sql("SELECT k FROM lake.ev.fid WHERE tag = 'secret-old-value'").count() == 0)
+    assert(spark.sql("SELECT k FROM lake.ev.fid WHERE tag = 'fresh'")
+      .collect().head.getLong(0) == 2)
+  }
+
+  test("RENAME COLUMN keeps existing data connected (physical name pinned)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ev")
+    spark.sql("DROP TABLE IF EXISTS lake.ev.rnc")
+    spark.sql("CREATE TABLE lake.ev.rnc (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO lake.ev.rnc VALUES (1, 'a')")
+    spark.sql("ALTER TABLE lake.ev.rnc RENAME COLUMN v TO label")
+    assert(spark.table("lake.ev.rnc").columns.toSeq == Seq("k", "label"))
+    // pre-rename data reads under the new logical name
+    assert(spark.sql("SELECT label FROM lake.ev.rnc WHERE k = 1")
+      .collect().head.getString(0) == "a")
+    // writes after the rename land in the same physical column
+    spark.sql("INSERT INTO lake.ev.rnc VALUES (2, 'b')")
+    assert(spark.sql("SELECT k FROM lake.ev.rnc WHERE label = 'b'")
+      .collect().head.getLong(0) == 2)
+    // rename onto an existing column is refused
+    intercept[Exception] { spark.sql("ALTER TABLE lake.ev.rnc RENAME COLUMN label TO k") }
+    // and a DELETE through the renamed column rewrites correctly
+    spark.sql("DELETE FROM lake.ev.rnc WHERE label = 'a'")
+    assert(spark.table("lake.ev.rnc").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("RENAME of a partition column keeps clustering, pruning and SPJ metadata") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ev")
+    spark.sql("DROP TABLE IF EXISTS lake.ev.prn")
+    spark.sql("CREATE TABLE lake.ev.prn (region INT, amount BIGINT) PARTITIONED BY (region)")
+    spark.sql(
+      """INSERT INTO lake.ev.prn
+        |SELECT CAST(id % 4 AS INT), id FROM range(400)""".stripMargin)
+    spark.sql("ALTER TABLE lake.ev.prn RENAME COLUMN region TO geo")
+    assert(spark.sql("SELECT count(*) FROM lake.ev.prn WHERE geo = 2")
+      .collect().head.getLong(0) == 100)
+    // post-rename inserts still cluster on the (renamed) partition column
+    spark.sql("INSERT INTO lake.ev.prn SELECT CAST(id % 4 AS INT), id FROM range(100)")
+    assert(spark.sql("SELECT count(*) FROM lake.ev.prn WHERE geo = 2")
+      .collect().head.getLong(0) == 125)
+    val t = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("ev"), "prn"))
+      .asInstanceOf[graft.catalog.LakeTable]
+    assert(t.meta.partitionColumns == Seq("geo"))
+    assert(t.meta.currentFiles.forall(f =>
+      f.minValues.keySet.contains("region") && f.minValues.get("region") == f.maxValues.get("region")),
+      "files keep the original physical column stats, single-valued per file")
   }
 
   test("UPDATE rewrites rows copy-on-write, atomic via CAS") {
