@@ -78,10 +78,16 @@ object LakeMaintenance {
     val hadoopConf = spark.sessionState.newHadoopConf()
     val retainedIds = t.meta.snapshots.sortBy(_.snapshotId).takeRight(keepLast)
       .map(_.snapshotId).toSet + t.meta.currentSnapshotId
-    val retained = t.meta.snapshots.filter(s => retainedIds.contains(s.snapshotId))
-    val live = retained.flatMap(_.manifest).map(_.path).toSet
-    val orphaned = t.meta.snapshots.filterNot(s => retainedIds.contains(s.snapshotId))
-      .flatMap(_.manifest).map(_.path).distinct.filterNot(live.contains)
+    val (retained, expired) = t.meta.snapshots.partition(s => retainedIds.contains(s.snapshotId))
+    // data files: orphaned when no retained snapshot references them
+    val live = retained.flatMap(t.meta.filesOf).map(_.path).toSet
+    val orphaned = expired.flatMap(t.meta.filesOf).map(_.path).distinct.filterNot(live.contains)
+    // manifest files: shared across snapshots, orphaned the same way; the
+    // expired snapshots' manifest-LIST files always die with them
+    val liveManifests = retained.flatMap(s => t.meta.manifestsOf(s)).map(_.location).toSet
+    val orphanedManifests = (expired.flatMap(s => t.meta.manifestsOf(s)).map(_.location)
+      .distinct.filterNot(liveManifests.contains)
+      ++ expired.flatMap(_.listLocation))
 
     val loc = t.metadataLocation
     val next = t.meta.copy(snapshots = retained)
@@ -92,6 +98,7 @@ object LakeMaintenance {
 
     val fs = new Path(t.meta.location).getFileSystem(hadoopConf)
     orphaned.foreach(p => fs.delete(new Path(p), false))
+    orphanedManifests.foreach(p => fs.delete(new Path(p), false))
     orphaned.size
   }
 
@@ -102,8 +109,10 @@ object LakeMaintenance {
   def history(spark: SparkSession, table: String): org.apache.spark.sql.DataFrame = {
     val (_, _, t) = resolve(spark, table)
     import spark.implicits._
+    // summary counts come straight from the manifest POINTERS — no manifest
+    // file is opened to answer history()
     t.meta.snapshots.map(s => (s.snapshotId, s.timestampMs, s.operation,
-      s.manifest.size.toLong, s.manifest.map(_.rowCount).sum, s.manifest.map(_.sizeBytes).sum,
+      s.nFiles, s.nRows, s.nBytes,
       s.snapshotId == t.meta.currentSnapshotId))
       .toDF("snapshot_id", "committed_at_ms", "operation", "n_files", "n_rows",
         "total_bytes", "is_current")
@@ -128,11 +137,7 @@ object LakeMaintenance {
     var attempts = 0
     while (attempts < CasRetry.maxAttempts) {
       CasCommit.requireReplacedLive(base, replacedPaths, operation, t0.ident)
-      val snapId = base.nextSnapshotId
-      val next = base.copy(
-        currentSnapshotId = snapId,
-        snapshots = base.snapshots :+ SnapshotMeta(snapId, System.currentTimeMillis(),
-          operation, base.currentFiles.filterNot(f => replacedPaths(f.path)) ++ newFiles))
+      val next = TableMeta.withRewrite(base, operation, replacedPaths, newFiles, hadoopConf)
       val newLoc = TableMeta.write(next, hadoopConf)
       if (cat.pointerStore.casUpdate(ident.namespace()(0), ident.name(), newLoc, prevLoc) == 1) {
         cat.invalidateTable(ident)

@@ -45,7 +45,7 @@ final class LakeMicroBatchStream(
 
   private def filesAsOf(meta: TableMeta, snapshotId: Long): Seq[DataFileMeta] =
     if (snapshotId <= 0) Nil
-    else meta.snapshot(snapshotId).map(_.manifest).getOrElse(
+    else meta.snapshot(snapshotId).map(meta.filesOf).getOrElse(
       throw new IllegalStateException(
         s"stream over $ident: snapshot $snapshotId no longer exists"))
 

@@ -87,7 +87,7 @@ final class LakeTable(
     // files are handed over with stats re-keyed to logical names so every
     // pruner (metadata, runtime, SPJ keys) speaks the query's column names;
     // the parquet delegate inside the scan uses physical names (l2p)
-    new LakeScanBuilder(ident, schema(), meta.logicalStatFiles(snap.map(_.manifest).getOrElse(Nil)),
+    new LakeScanBuilder(ident, schema(), meta.logicalStatFiles(snap.map(meta.filesOf).getOrElse(Nil)),
       options,
       microBatch = Some(() => new LakeMicroBatchStream(ident, meta.physicalSchema,
         () => {
@@ -164,12 +164,7 @@ final class LakeTable(
       // except the files this delete rewrote — but only if those files ARE
       // still live; a concurrent rewrite of them must fail this commit
       CasCommit.requireReplacedLive(base, affectedPaths, "DELETE", ident)
-      val snapId = base.nextSnapshotId
-      val manifest = base.currentFiles.filterNot(f => affectedPaths(f.path)) ++ newFiles
-      val next = base.copy(
-        currentSnapshotId = snapId,
-        snapshots = base.snapshots :+ SnapshotMeta(snapId, System.currentTimeMillis(),
-          "delete", manifest))
+      val next = TableMeta.withRewrite(base, "delete", affectedPaths, newFiles, hadoopConf)
       val newLoc = TableMeta.write(next, hadoopConf)
       if (store.casUpdate(namespace, tableName, newLoc, prevLoc) == 1) {
         commitSucceeded()
@@ -293,12 +288,8 @@ final class LakeRowLevelOperation(
           while (attempts < CasRetry.maxAttempts) {
             // a concurrent rewrite of any scanned file invalidates this CoW
             CasCommit.requireReplacedLive(base, replacedPaths, cmd.toString, table.ident)
-            val snapId = base.nextSnapshotId
-            val manifest = base.currentFiles.filterNot(f => replacedPaths(f.path)) ++ newFiles
-            val next = base.copy(
-              currentSnapshotId = snapId,
-              snapshots = base.snapshots :+ SnapshotMeta(snapId,
-                System.currentTimeMillis(), "replace-rows", manifest))
+            val next = TableMeta.withRewrite(base, "replace-rows", replacedPaths,
+              newFiles, hadoopConf)
             val newLoc = TableMeta.write(next, hadoopConf)
             if (store.casUpdate(table.namespace, table.tableName, newLoc, prevLoc) == 1) {
               table.commitSucceeded()
@@ -765,12 +756,9 @@ final class LakeBatchWrite(
     var prevLoc = table.metadataLocation
     var attempts = 0
     while (attempts < CasRetry.maxAttempts) {
-      val manifest = if (overwrite) newFiles else base.currentFiles ++ newFiles
-      val snapId = base.nextSnapshotId
-      val next = base.copy(
-        currentSnapshotId = snapId,
-        snapshots = base.snapshots :+ SnapshotMeta(snapId, System.currentTimeMillis(),
-          if (overwrite) "overwrite" else "append", manifest))
+      val next =
+        if (overwrite) TableMeta.withOverwrite(base, "overwrite", newFiles, hadoopConf)
+        else TableMeta.withAppend(base, "append", newFiles, hadoopConf)
       val newLoc = TableMeta.write(next, hadoopConf)
       if (store.casUpdate(table.namespace, table.tableName, newLoc, prevLoc) == 1) {
         table.commitSucceeded() // evict catalog cache: readers must see this snapshot
@@ -836,12 +824,8 @@ final class LakeStreamingWrite(
         newFiles.foreach(f => hfs.delete(new Path(f.path), false))
         return
       }
-      val snapId = base.nextSnapshotId
-      val next = base.copy(
-        currentSnapshotId = snapId,
-        properties = base.properties + (epochKey -> epochId.toString),
-        snapshots = base.snapshots :+ SnapshotMeta(snapId, System.currentTimeMillis(),
-          "stream-append", base.currentFiles ++ newFiles))
+      val next = TableMeta.withAppend(base, "stream-append", newFiles, hadoopConf,
+        extraProps = Map(epochKey -> epochId.toString))
       val newLoc = TableMeta.write(next, hadoopConf)
       if (store.casUpdate(table.namespace, table.tableName, newLoc, prevLoc) == 1) {
         table.commitSucceeded()

@@ -75,10 +75,9 @@ final class StagedLakeTable(
 
   override def commitStagedChanges(): Unit = {
     // Fresh-create metadata: snapshot 1, no history.
-    lazy val newLoc = TableMeta.write(baseMeta.copy(
-      currentSnapshotId = 1L,
-      snapshots = Seq(SnapshotMeta(1L, System.currentTimeMillis(), "create", stagedFiles))),
-      hadoopConf)
+    lazy val newLoc =
+      TableMeta.write(TableMeta.withOverwrite(baseMeta, "create", stagedFiles, hadoopConf),
+        hadoopConf)
 
     def casReplace(): Boolean = {
       var attempts = 0
@@ -90,11 +89,9 @@ final class StagedLakeTable(
             // snapshots survive, so VERSION AS OF a pre-replace snapshot
             // still answers (with the staged schema; old files read by-name)
             val prevMeta = TableMeta.read(prev, hadoopConf)
-            val snapId = prevMeta.nextSnapshotId
-            val replLoc = TableMeta.write(baseMeta.copy(
-              currentSnapshotId = snapId,
-              snapshots = prevMeta.snapshots :+ SnapshotMeta(snapId,
-                System.currentTimeMillis(), "replace", stagedFiles)),
+            val carried = baseMeta.copy(snapshots = prevMeta.snapshots)
+            val replLoc = TableMeta.write(
+              TableMeta.withOverwrite(carried, "replace", stagedFiles, hadoopConf),
               hadoopConf)
             if (store.casUpdate(namespace, tableName, replLoc, prev) == 1) return true
         }

@@ -20,16 +20,46 @@ final case class DataFileMeta(
     minValues: Map[String, String] = Map.empty,
     maxValues: Map[String, String] = Map.empty)
 
-/** A committed table version: full file list as of this snapshot (inline
-  * manifest — at extreme file counts this would page out to manifest files,
-  * same as Iceberg's manifest-list indirection; the pointer-swap protocol is
-  * unchanged by that).
+/** Pointer to one immutable manifest file (a JSON array of
+  * [[DataFileMeta]]) plus the summary the planner/history can use without
+  * loading it. Manifests are SHARED across snapshots: an append commit
+  * writes ONE new manifest for the new files and carries every previous
+  * manifest by reference — Iceberg's manifest-list model, which keeps both
+  * the metadata document and the per-commit write O(snapshots + new files),
+  * never O(total files × snapshots).
+  */
+final case class ManifestMeta(
+    location: String,
+    nFiles: Long,
+    nRows: Long,
+    nBytes: Long)
+
+/** A committed table version. Its file list lives behind TWO levels of
+  * indirection (Iceberg's model): the snapshot points at one manifest-LIST
+  * file, which holds [[ManifestMeta]] pointers to the manifest files with
+  * the actual [[DataFileMeta]] entries. The metadata document therefore
+  * carries ONE pointer + three summary counts per snapshot — O(snapshots),
+  * regardless of file count. `manifest` is the legacy inline form, still
+  * read for metadata documents written before the indirection.
   */
 final case class SnapshotMeta(
     snapshotId: Long,
     timestampMs: Long,
-    operation: String, // "append" | "overwrite" | "create"
-    manifest: Seq[DataFileMeta])
+    operation: String, // "append" | "overwrite" | "create" | ...
+    manifest: Seq[DataFileMeta] = Nil, // legacy inline (pre-indirection docs)
+    manifestListLocation: Option[String] = None,
+    summaryFiles: Long = 0L,
+    summaryRows: Long = 0L,
+    summaryBytes: Long = 0L) {
+
+  def inlineFiles: Seq[DataFileMeta] = if (manifest == null) Nil else manifest
+  def listLocation: Option[String] = Option(manifestListLocation).flatten
+
+  /** Summary counts without opening any manifest. */
+  def nFiles: Long = if (inlineFiles.nonEmpty) inlineFiles.size.toLong else summaryFiles
+  def nRows: Long = if (inlineFiles.nonEmpty) inlineFiles.map(_.rowCount).sum else summaryRows
+  def nBytes: Long = if (inlineFiles.nonEmpty) inlineFiles.map(_.sizeBytes).sum else summaryBytes
+}
 
 /** The table-metadata document our catalog stores in the warehouse — the
   * analog of the Iceberg TableMetadata JSON the reference deserializes
@@ -86,10 +116,97 @@ final case class TableMeta(
 
   def snapshot(id: Long): Option[SnapshotMeta] = snapshots.find(_.snapshotId == id)
 
+  /** Hadoop conf for lazily loading manifest files; set by [[TableMeta.read]]
+    * and by the commit helpers (not a constructor field — it is IO context,
+    * not table state, and must never serialize).
+    */
+  @transient private[catalog] var ioConf: Configuration = _
+
+  /** A snapshot's manifest pointers, via its manifest-list file (cached). */
+  private[catalog] def manifestsOf(s: SnapshotMeta): Seq[ManifestMeta] =
+    s.listLocation.map(l => ManifestIO.readList(l, ioConf)).getOrElse(Nil)
+
+  /** Resolve a snapshot's full file list: referenced manifests (cached,
+    * immutable) plus any legacy inline entries.
+    */
+  def filesOf(s: SnapshotMeta): Seq[DataFileMeta] =
+    manifestsOf(s).flatMap(m => ManifestIO.read(m.location, ioConf)) ++ s.inlineFiles
+
   def currentFiles: Seq[DataFileMeta] =
-    snapshot(currentSnapshotId).map(_.manifest).getOrElse(Nil)
+    snapshot(currentSnapshotId).map(filesOf).getOrElse(Nil)
 
   def nextSnapshotId: Long = if (snapshots.isEmpty) 1L else snapshots.map(_.snapshotId).max + 1
+}
+
+/** Reads/writes immutable manifest files (JSON arrays of [[DataFileMeta]])
+  * with a global cache — a manifest is written once, uuid-named, and never
+  * mutated, so cache entries can never go stale.
+  */
+object ManifestIO {
+  private val mapper: ObjectMapper = {
+    val m = new ObjectMapper()
+    m.registerModule(DefaultScalaModule)
+    m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+    m
+  }
+
+  private val maxCached = 256
+  private def lru[V](): java.util.LinkedHashMap[String, V] =
+    new java.util.LinkedHashMap[String, V](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean =
+        size() > maxCached
+    }
+  private val fileCache = lru[Seq[DataFileMeta]]()
+  private val listCache = lru[Seq[ManifestMeta]]()
+
+  private def writeDoc(loc: String, json: String, conf: Configuration): Unit = {
+    val p = new Path(loc)
+    val out = p.getFileSystem(conf).create(p, false)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readDoc(loc: String, conf: Configuration): String = {
+    require(conf != null, s"manifest $loc: no IO configuration attached")
+    val p = new Path(loc)
+    val in = p.getFileSystem(conf).open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  def write(tableLocation: String, snapshotId: Long, files: Seq[DataFileMeta],
+      conf: Configuration): ManifestMeta = {
+    val loc = s"$tableLocation/metadata/manifest-$snapshotId-${java.util.UUID.randomUUID()}.json"
+    writeDoc(loc, mapper.writeValueAsString(files), conf)
+    fileCache.synchronized(fileCache.put(loc, files))
+    ManifestMeta(loc, files.size.toLong, files.map(_.rowCount).sum, files.map(_.sizeBytes).sum)
+  }
+
+  def read(location: String, conf: Configuration): Seq[DataFileMeta] = {
+    val cached = fileCache.synchronized(fileCache.get(location))
+    if (cached != null) return cached
+    val files = mapper.readValue(readDoc(location, conf),
+      new com.fasterxml.jackson.core.`type`.TypeReference[Seq[DataFileMeta]] {})
+    fileCache.synchronized(fileCache.put(location, files))
+    files
+  }
+
+  def writeList(tableLocation: String, snapshotId: Long, manifests: Seq[ManifestMeta],
+      conf: Configuration): String = {
+    val loc = s"$tableLocation/metadata/manifest-list-$snapshotId-${java.util.UUID.randomUUID()}.json"
+    writeDoc(loc, mapper.writeValueAsString(manifests), conf)
+    listCache.synchronized(listCache.put(loc, manifests))
+    loc
+  }
+
+  def readList(location: String, conf: Configuration): Seq[ManifestMeta] = {
+    val cached = listCache.synchronized(listCache.get(location))
+    if (cached != null) return cached
+    val ms = mapper.readValue(readDoc(location, conf),
+      new com.fasterxml.jackson.core.`type`.TypeReference[Seq[ManifestMeta]] {})
+    listCache.synchronized(listCache.put(location, ms))
+    ms
+  }
 }
 
 /** Shared CAS-retry policy: commits that lose the pointer race refresh and
@@ -194,8 +311,91 @@ object TableMeta {
     val p = new Path(metadataLocation)
     val fs = p.getFileSystem(conf)
     val in = fs.open(p)
-    try fromJson(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
-    finally in.close()
+    val m =
+      try fromJson(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    m.ioConf = conf
+    m
+  }
+
+  // ── commit-shape helpers (manifest-list indirection) ───────────────────
+  // Every commit produces a new snapshot whose file list is a list of
+  // MANIFEST POINTERS: appends carry all previous manifests by reference
+  // and write one new manifest for the new files; rewrites rewrite only the
+  // manifests that contain a replaced file. The metadata document itself
+  // stays O(snapshots × manifests-per-snapshot) — never O(total files).
+
+  /** Append commit: O(new files) written, everything else by reference. */
+  def withAppend(base: TableMeta, operation: String, newFiles: Seq[DataFileMeta],
+      conf: Configuration, extraProps: Map[String, String] = Map.empty): TableMeta = {
+    val snapId = base.nextSnapshotId
+    val prev = base.snapshot(base.currentSnapshotId)
+      .map(normalized(base, _, conf)).getOrElse(Nil)
+    val ms =
+      if (newFiles.isEmpty) prev
+      else prev :+ ManifestIO.write(base.location, snapId, newFiles, conf)
+    finish(base, snapId, operation, ms, extraProps, conf)
+  }
+
+  /** Overwrite / create / replace: exactly the new files, fresh manifest. */
+  def withOverwrite(base: TableMeta, operation: String, newFiles: Seq[DataFileMeta],
+      conf: Configuration): TableMeta = {
+    val snapId = base.nextSnapshotId
+    val ms =
+      if (newFiles.isEmpty) Nil
+      else Seq(ManifestIO.write(base.location, snapId, newFiles, conf))
+    finish(base, snapId, operation, ms, Map.empty, conf)
+  }
+
+  /** File-replacing commit (DELETE/UPDATE/MERGE/compact): manifests holding
+    * a replaced file are rewritten without it; untouched manifests are
+    * carried by reference. Callers validate replaced-still-live first
+    * ([[CasCommit.requireReplacedLive]]).
+    */
+  def withRewrite(base: TableMeta, operation: String, replacedPaths: Set[String],
+      newFiles: Seq[DataFileMeta], conf: Configuration): TableMeta = {
+    val snapId = base.nextSnapshotId
+    val kept = base.snapshot(base.currentSnapshotId)
+      .map(normalized(base, _, conf)).getOrElse(Nil)
+      .flatMap { mm =>
+        val entries = ManifestIO.read(mm.location, conf)
+        if (!entries.exists(e => replacedPaths(e.path))) Some(mm)
+        else {
+          val rest = entries.filterNot(e => replacedPaths(e.path))
+          if (rest.isEmpty) None
+          else Some(ManifestIO.write(base.location, snapId, rest, conf))
+        }
+      }
+    val ms =
+      if (newFiles.isEmpty) kept
+      else kept :+ ManifestIO.write(base.location, snapId, newFiles, conf)
+    finish(base, snapId, operation, ms, Map.empty, conf)
+  }
+
+  /** A snapshot's manifest pointers; legacy inline snapshots page out to a
+    * manifest file on first reuse.
+    */
+  private def normalized(base: TableMeta, s: SnapshotMeta,
+      conf: Configuration): Seq[ManifestMeta] = {
+    val listed = s.listLocation.map(l => ManifestIO.readList(l, conf)).getOrElse(Nil)
+    if (s.inlineFiles.isEmpty) listed
+    else listed :+ ManifestIO.write(base.location, s.snapshotId, s.inlineFiles, conf)
+  }
+
+  private def finish(base: TableMeta, snapId: Long, operation: String,
+      ms: Seq[ManifestMeta], extraProps: Map[String, String],
+      conf: Configuration): TableMeta = {
+    val listLoc =
+      if (ms.isEmpty) None
+      else Some(ManifestIO.writeList(base.location, snapId, ms, conf))
+    val next = base.copy(
+      currentSnapshotId = snapId,
+      properties = base.properties ++ extraProps,
+      snapshots = base.snapshots :+ SnapshotMeta(snapId, System.currentTimeMillis(),
+        operation, Nil, listLoc,
+        ms.map(_.nFiles).sum, ms.map(_.nRows).sum, ms.map(_.nBytes).sum))
+    next.ioConf = conf
+    next
   }
 
   /** Write a new immutable metadata document; returns its location. Name
