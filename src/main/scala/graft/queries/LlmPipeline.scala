@@ -282,6 +282,19 @@ object LlmPipeline {
         .limit(10)
     },
 
+    // ───── q52: ANN probe against the MATERIALIZED catalog index ─────────
+    // Composes the two halves of the engine: q38's SRP banding is written
+    // ONCE through the catalog as a PARTITIONED BY (band, bv) lake table
+    // (clustered files, min==max stats), and the probe is a bucket-filtered
+    // read that the manifest prunes to exactly the query's bucket files —
+    // I/O proportional to bucket size, independent of corpus size
+    // (AnnIndexSpec asserts the pruned file set and result parity with q38).
+    QueryDef.unoracled("q52_ann_index_probe") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      AnnIndex.buildSrpIndex(s, emb, "lake.idx.emb_bands")
+      AnnIndex.probeSrpIndex(s, "lake.idx.emb_bands", emb, queryVecId = 0L)
+    },
+
     // ───── q40: embedding-cosine near-dup pairs (dedup family) ───────────
     // Same LSH-bucketed candidate generation, symmetric: pairs colliding on
     // any of 16 8-bit bands, exact cosine verify at 0.95. With 128 signature

@@ -63,7 +63,8 @@ class GoldenSpec extends AnyFunSuite {
     "q48_outer_setops" -> 16L,
     "q49_window_breadth" -> 500L,
     "q50_frame_sample" -> 20L,
-    "q51_ann_ivf" -> 10L)
+    "q51_ann_ivf" -> 10L,
+    "q52_ann_index_probe" -> 10L)
 
   test("every registered query has a golden count (add one when adding a query)") {
     assert(SparkEntry.queries.keySet == golden.keySet,
