@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.{StructField, StructType}
@@ -28,7 +28,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `SHOW TABLES IN lake.db`, `INSERT INTO`, CTAS, `DROP TABLE` and
   * `VERSION AS OF` time travel all work in plain SQL.
   */
-class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTableCatalog {
+class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTableCatalog
+  with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -150,9 +151,32 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
     partitions.toSeq.map {
       case t if t.name() == "identity" && t.references().length == 1 =>
         t.references()(0).fieldNames().mkString(".")
+      case t if t.name() == "bucket" && t.references().length == 1 =>
+        // hash-bucketed partitioning for high-cardinality keys: clustered
+        // files + storage-partitioned joins where identity would explode
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.dataType() == org.apache.spark.sql.types.IntegerType =>
+            l.value().asInstanceOf[Int]
+        }.getOrElse(throw new UnsupportedOperationException(
+          s"bucket transform needs an int bucket count, got $t"))
+        PartField(t.references()(0).fieldNames().mkString("."), Some(n)).spec
       case t => throw new UnsupportedOperationException(
-        s"only identity partition transforms are supported, got $t")
+        s"only identity and bucket partition transforms are supported, got $t")
     }
+
+  // ── catalog functions (FunctionCatalog) ────────────────────────────────
+  // Spark resolves `bucket(n, col)` partition transforms through here: for
+  // the write's required clustering AND for proving two bucketed scans
+  // co-partitioned in a storage-partitioned join.
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) BucketFunction
+    else throw new NoSuchFunctionException(ident)
 
   private def stage(ident: Identifier, info: TableInfo, mode: StageMode): StagedTable = {
     val schema = new StructType(info.columns().map(c =>
@@ -220,7 +244,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
         case d: TableChange.DeleteColumn =>
           if (d.fieldNames().length != 1) throw new UnsupportedOperationException(
             "only top-level DROP COLUMN is supported")
-          if (pcols.contains(d.fieldNames()(0)))
+          if (pcols.map(PartField.parse).exists(_.source == d.fieldNames()(0)))
             throw new UnsupportedOperationException("cannot drop a partition column")
           schema = StructType(schema.fields.filterNot(_.name == d.fieldNames()(0)))
         case rn: TableChange.RenameColumn =>
@@ -238,7 +262,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
             if (f.name == from)
               ColumnMapping.withPhysical(f, ColumnMapping.physicalName(f)).copy(name = rn.newName())
             else f))
-          pcols = pcols.map(c => if (c == from) rn.newName() else c)
+          pcols = pcols.map(c => PartField.parse(c).rename(from, rn.newName()).spec)
         case c => throw new UnsupportedOperationException(
           s"alterTable change ${c.getClass.getSimpleName} not supported")
       }

@@ -49,10 +49,18 @@ object LakeMaintenance {
     // carry); no logical relabeling is needed since no user predicate runs
     val physCols = t.meta.physicalPartitionColumns
     val df = spark.read.schema(t.meta.physicalSchema).parquet(small.map(_.path): _*)
+    // cluster by the partition key: the column itself, or for bucket specs
+    // the SAME murmur3 hash the writer/stats use (SQL pmod(hash(c), n) ==
+    // BucketHash by construction — both are Spark murmur3, seed 42)
+    val clusterCols = physCols.map(s => PartField.parse(s) match {
+      case PartField(c, None) => df.col(c)
+      case PartField(c, Some(n)) =>
+        org.apache.spark.sql.functions.expr(s"pmod(hash(`$c`), $n)")
+    })
     val clustered =
-      if (physCols.nonEmpty)
-        df.repartition(outParts, physCols.map(df.col): _*)
-          .sortWithinPartitions(physCols.map(df.col): _*)
+      if (clusterCols.nonEmpty)
+        df.repartition(outParts, clusterCols: _*)
+          .sortWithinPartitions(clusterCols: _*)
       else df.coalesce(outParts)
     val factory = LakeWriterFactory(t.meta.physicalSchema.json, s"${t.meta.location}/data",
       physCols, new SerializableConfiguration(hadoopConf))

@@ -57,8 +57,13 @@ final class LakeTable(
   override def schema(): StructType = meta.schema
   override def properties(): util.Map[String, String] = meta.properties.asJava
   override def version(): String = meta.currentSnapshotId.toString
-  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
-    meta.partitionColumns.map(org.apache.spark.sql.connector.expressions.Expressions.identity).toArray
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    meta.partitionFields.map {
+      case PartField(c, None) => Expressions.identity(c)
+      case PartField(c, Some(n)) => Expressions.bucket(n, c)
+    }.toArray
+  }
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -269,7 +274,7 @@ final class LakeRowLevelOperation(
       // condition and calls Scan.filter with them BEFORE planning input
       // partitions — an UPDATE/MERGE touching one partition rewrites one
       // partition, not the table
-      runtimeFilterCols = table.meta.partitionColumns,
+      runtimeFilterCols = table.meta.partitionFields.map(_.source),
       l2p = table.meta.l2pMap)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
@@ -417,20 +422,28 @@ final class LakeScan(
   // same way WITHOUT shuffling either side — at 100 TB the difference
   // between a metadata-aligned join and moving both tables over the network.
 
+  private def pfields: Seq[PartField] = partitionCols.map(PartField.parse)
+
   private def keySchema: StructType =
-    StructType(partitionCols.map(c => tableSchema.fields(tableSchema.fieldIndex(c))))
+    StructType(pfields.map {
+      case PartField(c, None) => tableSchema.fields(tableSchema.fieldIndex(c))
+      case f @ PartField(_, Some(_)) => StructField(f.statKey, IntegerType)
+    })
 
   private def parseKey(f: DataFileMeta): Option[Seq[Any]] = {
-    val vals = partitionCols.map { c =>
-      (f.minValues.get(c), f.maxValues.get(c)) match {
+    val vals = pfields.map { pf =>
+      (f.minValues.get(pf.statKey), f.maxValues.get(pf.statKey)) match {
         case (Some(lo), Some(hi)) if lo == hi =>
-          try tableSchema.fields(tableSchema.fieldIndex(c)).dataType match {
-            case IntegerType | DateType => lo.toInt
-            case LongType => lo.toLong
-            case ShortType => lo.toShort
-            case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(lo)
-            case BooleanType => lo.toBoolean
-            case _ => null
+          try {
+            if (pf.buckets.isDefined) lo.toInt
+            else tableSchema.fields(tableSchema.fieldIndex(pf.source)).dataType match {
+              case IntegerType | DateType => lo.toInt
+              case LongType => lo.toLong
+              case ShortType => lo.toShort
+              case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(lo)
+              case BooleanType => lo.toBoolean
+              case _ => null
+            }
           } catch { case _: Exception => null }
         case _ => null
       }
@@ -463,10 +476,14 @@ final class LakeScan(
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
     keyedBatch match {
       case Some(b) =>
+        import org.apache.spark.sql.connector.expressions.Expressions
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          partitionCols.map(c =>
-            org.apache.spark.sql.connector.expressions.Expressions.identity(c):
-              org.apache.spark.sql.connector.expressions.Expression).toArray,
+          pfields.map {
+            case PartField(c, None) => Expressions.identity(c):
+              org.apache.spark.sql.connector.expressions.Expression
+            case PartField(c, Some(n)) => Expressions.bucket(n, c):
+              org.apache.spark.sql.connector.expressions.Expression
+          }.toArray,
           b.planInputPartitions().length)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
@@ -714,15 +731,22 @@ final class LakeWrite(
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
 
-  private def pcols = table.meta.partitionColumns
+  private def pfields = table.meta.partitionFields
+
+  private def transformOf(f: PartField): org.apache.spark.sql.connector.expressions.Expression =
+    f.buckets match {
+      case None => Expressions.column(f.source)
+      // resolved through the catalog's FunctionCatalog (BucketFunction):
+      // rows cluster by the same hash the writer stats and SPJ use
+      case Some(n) => Expressions.bucket(n, f.source)
+    }
 
   override def requiredDistribution(): Distribution =
-    if (pcols.isEmpty) Distributions.unspecified()
-    else Distributions.clustered(pcols.map(c =>
-      Expressions.column(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+    if (pfields.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(pfields.map(transformOf).toArray)
 
   override def requiredOrdering(): Array[SortOrder] =
-    pcols.map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+    pfields.map(f => Expressions.sort(transformOf(f), SortDirection.ASCENDING)).toArray
 
   override def toBatch: BatchWrite =
     new LakeBatchWrite(table, info.schema(), overwrite, store, hadoopConf)
@@ -900,7 +924,21 @@ final class LakeDataWriter(
     c
   }
 
-  private val partIdx: Array[Int] = partitionCols.map(schema.fieldIndex).toArray
+  // partitionCols carries spec strings ("col" or "bucket(n,col)") over
+  // PHYSICAL column names
+  private val partFields: Array[PartField] = partitionCols.map(PartField.parse).toArray
+  private val partIdx: Array[Int] = partFields.map(f => schema.fieldIndex(f.source))
+
+  /** This row's value for partition field j: the column value (identity)
+    * or its bucket number (same BucketHash the V2 function evaluates).
+    */
+  private def partKeyAt(row: InternalRow, j: Int): Any = partFields(j).buckets match {
+    case None => scalarAt(row, partIdx(j))
+    case Some(n) =>
+      val i = partIdx(j)
+      val dt = schema.fields(i).dataType
+      BucketHash(n, if (row.isNullAt(i)) null else row.get(i, dt), dt)
+  }
 
   // per-file state
   private var writer: ParquetWriter[InternalRow] = _
@@ -933,7 +971,15 @@ final class LakeDataWriter(
       schema.fields.indices.collect {
         case i if a(i) != null => schema.fields(i).name -> a(i).toString
       }.toMap
-    done += DataFileMeta(path, rows, size, m(mins), m(maxs))
+    // bucket fields: the file holds exactly one bucket value (we rolled on
+    // every key change), recorded under the spec's stat key for pruning/SPJ
+    val bucketStats: Map[String, String] =
+      if (currentKey == null) Map.empty
+      else partFields.indices.collect {
+        case j if partFields(j).buckets.isDefined && currentKey(j) != null =>
+          partFields(j).statKey -> currentKey(j).toString
+      }.toMap
+    done += DataFileMeta(path, rows, size, m(mins) ++ bucketStats, m(maxs) ++ bucketStats)
     writer = null
   }
 
@@ -987,8 +1033,8 @@ final class LakeDataWriter(
 
   override def write(rawRow: InternalRow): Unit = {
     val row = aligned(rawRow)
-    if (partIdx.nonEmpty) {
-      val key = partIdx.toSeq.map(i => scalarAt(row, i))
+    if (partFields.nonEmpty) {
+      val key = partFields.indices.map(j => partKeyAt(row, j))
       if (currentKey == null || key != currentKey) {
         roll() // partition value changed (input is sorted): next file
         currentKey = key

@@ -97,9 +97,15 @@ final case class TableMeta(
   /** Table schema with physical column names (same order and types). */
   def physicalSchema: StructType = ColumnMapping.toPhysical(schema, l2pMap)
 
+  /** Parsed partition spec: identity columns and bucket(n, col) transforms. */
+  def partitionFields: Seq[PartField] = partitionColumns.map(PartField.parse)
+
+  /** Partition spec strings with PHYSICAL source column names (what the
+    * writer clusters/stats by).
+    */
   def physicalPartitionColumns: Seq[String] = {
     val m = l2pMap
-    partitionColumns.map(c => m.getOrElse(c, c))
+    partitionFields.map(f => f.copy(source = m.getOrElse(f.source, f.source)).spec)
   }
 
   /** Manifest entries with min/max stats re-keyed to LOGICAL names, for
@@ -109,9 +115,15 @@ final case class TableMeta(
   def logicalStatFiles(files: Seq[DataFileMeta]): Seq[DataFileMeta] = {
     val p2l = l2pMap.map(_.swap)
     if (p2l.forall(kv => kv._1 == kv._2)) files
-    else files.map(f => f.copy(
-      minValues = f.minValues.map { case (k, v) => (p2l.getOrElse(k, k), v) },
-      maxValues = f.maxValues.map { case (k, v) => (p2l.getOrElse(k, k), v) }))
+    else {
+      def remap(k: String): String = k match {
+        case PartField.BucketKey(n, src) => s"_bucket_${n}_${p2l.getOrElse(src, src)}"
+        case _ => p2l.getOrElse(k, k)
+      }
+      files.map(f => f.copy(
+        minValues = f.minValues.map { case (k, v) => (remap(k), v) },
+        maxValues = f.maxValues.map { case (k, v) => (remap(k), v) }))
+    }
   }
 
   def snapshot(id: Long): Option[SnapshotMeta] = snapshots.find(_.snapshotId == id)
@@ -245,6 +257,30 @@ object CasCommit {
             s"concurrently removed or rewritten (e.g. ${gone.head}); " +
             "rewrites are serializable-or-fail — retry the whole operation")
     }
+  }
+}
+
+/** One partition-spec field: an identity column (`region`) or a hash
+  * bucket transform (`bucket(16,user_id)`). Bucketing gives clustered
+  * writes + storage-partitioned joins on HIGH-cardinality keys — at 100 TB
+  * two tables bucketed the same way join with no shuffle on either side,
+  * which identity partitioning can't offer for keys like user_id.
+  * Serialized into `TableMeta.partitionColumns` as its `spec` string.
+  */
+final case class PartField(source: String, buckets: Option[Int]) {
+  /** Key under which the writer records this field's per-file stats. */
+  def statKey: String = buckets.map(n => s"_bucket_${n}_$source").getOrElse(source)
+  def spec: String = buckets.map(n => s"bucket($n,$source)").getOrElse(source)
+  def rename(from: String, to: String): PartField =
+    if (source == from) copy(source = to) else this
+}
+
+object PartField {
+  private val Bucket = """bucket\((\d+),(.+)\)""".r
+  val BucketKey = """_bucket_(\d+)_(.+)""".r
+  def parse(s: String): PartField = s match {
+    case Bucket(n, c) => PartField(c, Some(n.toInt))
+    case c => PartField(c, None)
   }
 }
 

@@ -751,6 +751,77 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(spark.table("lake.rn.y").collect().head.getInt(0) == 2)
   }
 
+  test("PARTITIONED BY bucket(8, k): writes cluster by hash bucket with min==max stats") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.bk")
+    spark.sql("DROP TABLE IF EXISTS lake.bk.t")
+    spark.sql("CREATE TABLE lake.bk.t (k BIGINT, v BIGINT) PARTITIONED BY (bucket(8, k))")
+    spark.sql("INSERT INTO lake.bk.t SELECT id, id * 2 FROM range(1000)")
+    assert(spark.table("lake.bk.t").count() == 1000)
+    val t = spark.sessionState.catalogManager.catalog("lake").asInstanceOf[TableCatalog]
+      .loadTable(Identifier.of(Array("bk"), "t")).asInstanceOf[graft.catalog.LakeTable]
+    val files = t.meta.currentFiles
+    assert(files.forall(f =>
+      f.minValues.get("_bucket_8_k") == f.maxValues.get("_bucket_8_k")
+        && f.minValues.contains("_bucket_8_k")),
+      s"every file must be single-valued on the bucket key: $files")
+    val buckets = files.flatMap(_.minValues.get("_bucket_8_k")).toSet
+    assert(buckets.size == 8, s"1000 sequential keys should hit all 8 buckets, got $buckets")
+    // the recorded bucket matches the engine's own hash for the file's keys
+    val hashes = spark.sql("SELECT k, pmod(hash(k), 8) AS b FROM lake.bk.t").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    files.foreach { f =>
+      val lo = f.minValues("k").toLong
+      assert(f.minValues("_bucket_8_k").toInt == hashes(lo),
+        s"file bucket stat must equal pmod(hash(k), 8) of its rows")
+    }
+  }
+
+  test("storage-partitioned join on a bucketed HIGH-cardinality key: no shuffle") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.bk")
+    spark.sql("DROP TABLE IF EXISTS lake.bk.a")
+    spark.sql("DROP TABLE IF EXISTS lake.bk.b")
+    spark.sql("CREATE TABLE lake.bk.a (k BIGINT, x BIGINT) PARTITIONED BY (bucket(8, k))")
+    spark.sql("CREATE TABLE lake.bk.b (k BIGINT, y BIGINT) PARTITIONED BY (bucket(8, k))")
+    spark.sql("INSERT INTO lake.bk.a SELECT id, id FROM range(500)")
+    spark.sql("INSERT INTO lake.bk.b SELECT id, id * 3 FROM range(400)")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.sql(
+        "SELECT count(*) AS n FROM lake.bk.a a JOIN lake.bk.b b ON a.k = b.k")
+      val plan = joined.queryExecution.executedPlan.toString
+      val joinIdx = plan.indexOf("Join")
+      assert(joinIdx >= 0, s"expected a join:\n$plan")
+      assert(!plan.substring(joinIdx).contains("Exchange"),
+        s"bucket-co-partitioned join must not shuffle either side:\n$plan")
+      assert(joined.collect().head.getLong(0) == 400)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
+  test("bucketed table survives DML + compaction with bucket clustering intact") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.bk")
+    spark.sql("DROP TABLE IF EXISTS lake.bk.m")
+    spark.sql("CREATE TABLE lake.bk.m (k BIGINT, v BIGINT) PARTITIONED BY (bucket(4, k))")
+    (0 until 3).foreach(i =>
+      spark.sql(s"INSERT INTO lake.bk.m SELECT id + ${i * 100}, id FROM range(100)"))
+    spark.sql("DELETE FROM lake.bk.m WHERE k < 10")
+    assert(spark.table("lake.bk.m").count() == 290)
+    graft.catalog.LakeMaintenance.compact(spark, "lake.bk.m", smallFileBytes = 64L * 1024 * 1024)
+    assert(spark.table("lake.bk.m").count() == 290)
+    val t = spark.sessionState.catalogManager.catalog("lake").asInstanceOf[TableCatalog]
+      .loadTable(Identifier.of(Array("bk"), "m")).asInstanceOf[graft.catalog.LakeTable]
+    assert(t.meta.currentFiles.forall(f =>
+      f.minValues.get("_bucket_4_k") == f.maxValues.get("_bucket_4_k")),
+      "compacted files must stay bucket-clustered")
+  }
+
   test("rename preserves data; purge removes files") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.rn")
     spark.sql("DROP TABLE IF EXISTS lake.rn.a")
