@@ -66,6 +66,14 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
     store.tableExists(ns(ident.namespace()), ident.name())
 
   override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style metadata tables: lake.ns.t$snapshots / $files / $manifests
+    if (ident.name().contains("$")) {
+      val idx = ident.name().indexOf('$')
+      val (base, suffix) = (ident.name().substring(0, idx), ident.name().substring(idx + 1))
+      val t = doLoad(Identifier.of(ident.namespace(), base), None)
+      return MetadataTables.forSuffix(display(ident), t.meta, suffix)
+        .getOrElse(throw new NoSuchTableException(ident))
+    }
     val key = display(ident)
     val cached = cache.get(key)
     if (cached != null) return cached

@@ -275,6 +275,7 @@ final class LakeRowLevelOperation(
       // partitions — an UPDATE/MERGE touching one partition rewrites one
       // partition, not the table
       runtimeFilterCols = table.meta.partitionFields.map(_.source),
+      partitionCols = table.meta.partitionColumns,
       l2p = table.meta.l2pMap)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
@@ -354,7 +355,9 @@ final class LakeScanBuilder(
   override def pruneColumns(s: StructType): Unit = requiredSchema = s
 
   override def build(): Scan = {
-    val survivors = files.filter(f => exprs.forall(e => FilePruner.mayMatch(e, f, tableSchema)))
+    val pf = partitionCols.map(PartField.parse)
+    val survivors = files.filter(f => exprs.forall(e =>
+      FilePruner.mayMatch(e, f, tableSchema) && BucketPruner.mayMatch(e, f, pf)))
     onFilesSelected(survivors)
     new LakeScan(ident, tableSchema, survivors, exprs, requiredSchema, options,
       runtimeFilterCols, onFilesSelected, microBatch, partitionCols, l2p)
@@ -410,7 +413,12 @@ final class LakeScan(
     runtimeFilterCols.map(Expressions.column).toArray
 
   override def filter(predicates: Array[Predicate]): Unit = {
-    files = files.filter(f => predicates.forall(p => V2PredicatePruner.mayMatch(p, f)))
+    val pf = partitionCols.map(PartField.parse)
+    def typeOf(c: String): Option[DataType] =
+      tableSchema.fields.find(_.name == c).map(_.dataType)
+    files = files.filter(f => predicates.forall(p =>
+      V2PredicatePruner.mayMatch(p, f)
+        && BucketPruner.mayMatchV2(p, f, pf, typeOf)))
     onFilesSelected(files)
     delegate = null // rebuild the parquet scan over the pruned list
   }
@@ -693,6 +701,75 @@ object FilePruner {
         check(l, r)((lo, hi, v, flip) => if (flip) hi > v else lo < v)
       case ce.LessThanOrEqual(l, r) =>
         check(l, r)((lo, hi, v, flip) => if (flip) hi >= v else lo <= v)
+      case _ => true
+    }
+  }
+}
+
+/** Bucket-transform file skipping: an equality/IN predicate on a bucketed
+  * source column prunes every file whose recorded bucket differs from the
+  * literal's bucket — a point lookup on `bucket(N, k)` reads ~1/N of the
+  * files regardless of the key's cardinality (min/max on a hashed layout
+  * can't help; the bucket stat can). Conservative: any non-literal shape
+  * keeps the file.
+  */
+object BucketPruner {
+  import org.apache.spark.sql.catalyst.{expressions => ce}
+
+  private def bucketOf(pfields: Seq[PartField], colName: String): Option[PartField] =
+    pfields.find(pf => pf.buckets.isDefined && pf.source == colName)
+
+  private def statMatches(f: DataFileMeta, pf: PartField, v: Any, dt: DataType): Boolean =
+    (f.minValues.get(pf.statKey), f.maxValues.get(pf.statKey)) match {
+      case (Some(lo), Some(hi)) if lo == hi =>
+        try lo.toInt == BucketHash(pf.buckets.get, v, dt)
+        catch { case _: Exception => true }
+      case _ => true // no stat: keep
+    }
+
+  def mayMatch(e: ce.Expression, f: DataFileMeta, pfields: Seq[PartField]): Boolean = e match {
+    case ce.And(a, b) => mayMatch(a, f, pfields) && mayMatch(b, f, pfields)
+    case ce.Or(a, b) => mayMatch(a, f, pfields) || mayMatch(b, f, pfields)
+    case ce.EqualTo(a: ce.Attribute, ce.Literal(v, dt)) if v != null =>
+      bucketOf(pfields, a.name).forall(statMatches(f, _, v, dt))
+    case ce.EqualTo(ce.Literal(v, dt), a: ce.Attribute) if v != null =>
+      bucketOf(pfields, a.name).forall(statMatches(f, _, v, dt))
+    case ce.In(a: ce.Attribute, elems) if elems.nonEmpty && elems.forall {
+        case ce.Literal(v, _) => v != null; case _ => false } =>
+      bucketOf(pfields, a.name).forall(pf =>
+        elems.exists { case ce.Literal(v, dt) => statMatches(f, pf, v, dt) })
+    case _ => true
+  }
+
+  /** Same skipping for DSv2 runtime predicates (`k IN (…)` from runtime
+    * group filtering): for bucketed tables this turns the CoW group filter
+    * into FILE-level pruning — an UPDATE hitting one key rewrites the one
+    * file in that key's bucket, not the table.
+    */
+  def mayMatchV2(p: Predicate, f: DataFileMeta, pfields: Seq[PartField],
+      resolveType: String => Option[DataType]): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match { case r: NamedReference => Some(r.fieldNames().mkString(".")); case _ => None }
+    p.name() match {
+      case "IN" | "=" =>
+        val kids = p.children()
+        (for {
+          c <- colOf(kids.head)
+          pf <- bucketOf(pfields, c)
+          dt <- resolveType(c)
+        } yield kids.tail.exists {
+          case l: V2Literal[_] if l.value() != null => statMatches(f, pf, l.value(), dt)
+          case _ => true
+        }).getOrElse(true)
+      case "AND" =>
+        val and = p.asInstanceOf[org.apache.spark.sql.connector.expressions.filter.And]
+        mayMatchV2(and.left(), f, pfields, resolveType) &&
+          mayMatchV2(and.right(), f, pfields, resolveType)
+      case "OR" =>
+        val or = p.asInstanceOf[org.apache.spark.sql.connector.expressions.filter.Or]
+        mayMatchV2(or.left(), f, pfields, resolveType) ||
+          mayMatchV2(or.right(), f, pfields, resolveType)
       case _ => true
     }
   }

@@ -1,0 +1,106 @@
+package graft.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Iceberg-style metadata tables: `SELECT * FROM lake.ns.t$snapshots`
+  * (also `$files`, `$manifests`) — the table's own metadata surfaced as
+  * SQL-queryable relations. Driver-side only: the rows come from the
+  * metadata document + manifest summaries, no data file is opened.
+  */
+object MetadataTables {
+
+  def forSuffix(display: String, meta: TableMeta, suffix: String): Option[Table] = suffix match {
+    case "snapshots" => Some(snapshots(display, meta))
+    case "files" => Some(files(display, meta))
+    case "manifests" => Some(manifests(display, meta))
+    case _ => None
+  }
+
+  private def snapshots(display: String, meta: TableMeta): Table = {
+    val schema = StructType(Seq(
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("committed_at", TimestampType, nullable = false),
+      StructField("operation", StringType, nullable = false),
+      StructField("n_files", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("is_current", BooleanType, nullable = false),
+      StructField("manifest_list", StringType)))
+    val rows = meta.snapshots.map(s => Row(
+      s.snapshotId, new java.sql.Timestamp(s.timestampMs), s.operation,
+      s.nFiles, s.nRows, s.nBytes,
+      s.snapshotId == meta.currentSnapshotId, s.listLocation.orNull))
+    RowsTable(display, schema, rows)
+  }
+
+  private def files(display: String, meta: TableMeta): Table = {
+    val schema = StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("row_count", LongType, nullable = false),
+      StructField("size_bytes", LongType, nullable = false),
+      StructField("min_values", MapType(StringType, StringType)),
+      StructField("max_values", MapType(StringType, StringType))))
+    // stats re-keyed to logical column names, same as the pruning boundary
+    val rows = meta.logicalStatFiles(meta.currentFiles).map(f =>
+      Row(f.path, f.rowCount, f.sizeBytes, f.minValues, f.maxValues))
+    RowsTable(display, schema, rows)
+  }
+
+  private def manifests(display: String, meta: TableMeta): Table = {
+    val schema = StructType(Seq(
+      StructField("location", StringType, nullable = false),
+      StructField("n_files", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false)))
+    val rows = meta.snapshot(meta.currentSnapshotId).map(meta.manifestsOf).getOrElse(Nil)
+      .map(m => Row(m.location, m.nFiles, m.nRows, m.nBytes))
+    RowsTable(display, schema, rows)
+  }
+}
+
+/** A tiny read-only DSv2 table over driver-materialized rows. */
+final case class RowsTable(tableName: String, rowSchema: StructType, rows: Seq[Row])
+  extends Table with SupportsRead {
+
+  override def name(): String = tableName
+  override def schema(): StructType = rowSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      override def readSchema(): StructType = rowSchema
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] =
+        Array(RowsPartition(rows, rowSchema.json))
+      override def createReaderFactory(): PartitionReaderFactory = RowsReaderFactory
+    }
+}
+
+final case class RowsPartition(rows: Seq[Row], schemaJson: String) extends InputPartition
+
+object RowsReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[RowsPartition]
+    val schema = DataType.fromJson(part.schemaJson).asInstanceOf[StructType]
+    val convert = CatalystTypeConverters.createToCatalystConverter(schema)
+    val it = part.rows.iterator
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = convert(it.next()).asInstanceOf[InternalRow]; true }
+        else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

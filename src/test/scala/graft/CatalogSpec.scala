@@ -804,6 +804,49 @@ class LakeCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("point lookup on a bucketed key scans only that bucket's files") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.bk")
+    spark.sql("DROP TABLE IF EXISTS lake.bk.pl")
+    spark.sql("CREATE TABLE lake.bk.pl (k BIGINT, v BIGINT) PARTITIONED BY (bucket(8, k))")
+    spark.sql("INSERT INTO lake.bk.pl SELECT id, id FROM range(1000)")
+    val t = spark.sessionState.catalogManager.catalog("lake").asInstanceOf[TableCatalog]
+      .loadTable(Identifier.of(Array("bk"), "pl")).asInstanceOf[graft.catalog.LakeTable]
+    val files = t.meta.currentFiles
+    val targetBucket = spark.sql("SELECT pmod(hash(CAST(7 AS BIGINT)), 8)").collect().head.getInt(0)
+    val matching = files.count(_.minValues.get("_bucket_8_k").contains(targetBucket.toString))
+    assert(matching > 0 && matching < files.size,
+      s"need a prunable layout: $matching of ${files.size} files in bucket $targetBucket")
+    val q = spark.sql("SELECT v FROM lake.bk.pl WHERE k = 7")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(7L))
+    val scanned = q.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    val m = """LakeScan\(lake\.bk\.pl, (\d+) files\)""".r.findFirstMatchIn(scanned)
+    assert(m.isDefined, s"expected a LakeScan leaf:\n$scanned")
+    assert(m.get.group(1).toInt == matching,
+      s"k = 7 must scan only bucket $targetBucket's $matching files, scanned ${m.get.group(1)}")
+  }
+
+  test("UPDATE on a bucketed table rewrites ONLY the matching bucket's files (runtime group filter)") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.bk")
+    spark.sql("DROP TABLE IF EXISTS lake.bk.up")
+    spark.sql("CREATE TABLE lake.bk.up (k BIGINT, v BIGINT) PARTITIONED BY (bucket(8, k))")
+    spark.sql("INSERT INTO lake.bk.up SELECT id, id FROM range(1000)")
+    def files = spark.sessionState.catalogManager.catalog("lake").asInstanceOf[TableCatalog]
+      .loadTable(Identifier.of(Array("bk"), "up")).asInstanceOf[graft.catalog.LakeTable]
+      .meta.currentFiles
+    val before = files
+    val targetBucket = spark.sql("SELECT pmod(hash(CAST(7 AS BIGINT)), 8)").collect().head.getInt(0)
+    val otherFiles = before.filterNot(_.minValues.get("_bucket_8_k").contains(targetBucket.toString))
+    assert(otherFiles.nonEmpty)
+    spark.sql("UPDATE lake.bk.up SET v = -1 WHERE k = 7")
+    val after = files
+    otherFiles.foreach(f => assert(after.contains(f),
+      s"file ${f.path} (bucket ${f.minValues.get("_bucket_8_k")}) must survive a k=7 update untouched"))
+    assert(spark.sql("SELECT v FROM lake.bk.up WHERE k = 7").collect().head.getLong(0) == -1L)
+    assert(spark.table("lake.bk.up").count() == 1000)
+  }
+
   test("bucketed table survives DML + compaction with bucket clustering intact") {
     import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.bk")
@@ -820,6 +863,30 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(t.meta.currentFiles.forall(f =>
       f.minValues.get("_bucket_4_k") == f.maxValues.get("_bucket_4_k")),
       "compacted files must stay bucket-clustered")
+  }
+
+  test("metadata tables: t$snapshots / t$files / t$manifests are SQL-queryable") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.mx")
+    spark.sql("DROP TABLE IF EXISTS lake.mx.md")
+    spark.sql("CREATE TABLE lake.mx.md (k BIGINT)")
+    spark.sql("INSERT INTO lake.mx.md VALUES (1), (2)")
+    spark.sql("INSERT INTO lake.mx.md VALUES (3)")
+    val snaps = spark.sql("SELECT * FROM lake.mx.`md$snapshots` ORDER BY snapshot_id").collect()
+    assert(snaps.length == 2)
+    assert(snaps.map(_.getAs[String]("operation")).toSeq == Seq("append", "append"))
+    assert(snaps.last.getAs[Boolean]("is_current") && !snaps.head.getAs[Boolean]("is_current"))
+    assert(snaps.last.getAs[Long]("n_rows") == 3)
+    val files = spark.sql("SELECT * FROM lake.mx.`md$files`").collect()
+    assert(files.map(_.getAs[Long]("row_count")).sum == 3)
+    assert(files.forall(_.getAs[Map[String, String]]("min_values").contains("k")))
+    val manifests = spark.sql("SELECT * FROM lake.mx.`md$manifests`").collect()
+    assert(manifests.length == 2, "two append manifests shared by reference")
+    assert(manifests.map(_.getAs[Long]("n_files")).sum == files.length)
+    // an aggregation over a metadata table plans like any other relation
+    val total = spark.sql("SELECT sum(size_bytes) FROM lake.mx.`md$files`")
+      .collect().head.getLong(0)
+    assert(total > 0)
+    intercept[Exception] { spark.sql("SELECT * FROM lake.mx.`md$bogus`").collect() }
   }
 
   test("rename preserves data; purge removes files") {
