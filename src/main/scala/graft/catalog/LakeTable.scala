@@ -76,9 +76,32 @@ final class LakeTable(
     case None => meta.snapshot(meta.currentSnapshotId)
   }
 
+  /** Files appended between two snapshots (start exclusive, end inclusive)
+    * — the batch-side changelog read. Fails fast if the range contains a
+    * non-append snapshot (the file delta would lie about row changes),
+    * mirroring the streaming source's guard.
+    */
+  private def incrementalFiles(startId: Long, endId: Long): Seq[DataFileMeta] = {
+    if (endId < startId) throw new IllegalArgumentException(
+      s"end-snapshot-id $endId precedes start-snapshot-id $startId on $ident")
+    meta.snapshots.filter(s => s.snapshotId > startId && s.snapshotId <= endId).foreach { s =>
+      if (s.operation != "append" && s.operation != "stream-append" && s.operation != "create")
+        throw new IllegalArgumentException(
+          s"incremental read over $ident: snapshot ${s.snapshotId} is '${s.operation}' — " +
+            "only append-only ranges can be read incrementally")
+    }
+    def filesAt(id: Long): Seq[DataFileMeta] =
+      if (id <= 0) Nil
+      else meta.snapshot(id).map(meta.filesOf).getOrElse(
+        throw new IllegalArgumentException(s"no snapshot $id for table $ident"))
+    val before = filesAt(startId).map(_.path).toSet
+    filesAt(endId).filterNot(f => before.contains(f.path))
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // option-based time travel: spark.read.option("snapshot-id", n) or
-    // option("as-of-timestamp", epochMillis).table(t)
+    // option("as-of-timestamp", epochMillis); incremental batch reads via
+    // option("start-snapshot-id", a)[.option("end-snapshot-id", b)]
     val snap = (Option(options.get("snapshot-id")), Option(options.get("as-of-timestamp"))) match {
       case (Some(id), _) => meta.snapshot(id.toLong).orElse(
         throw new IllegalArgumentException(s"no snapshot $id for table $ident"))
@@ -89,10 +112,17 @@ final class LakeTable(
         Some(candidates.maxBy(s => (s.timestampMs, s.snapshotId)))
       case (None, None) => effectiveSnapshot
     }
+    val scanFiles = Option(options.get("start-snapshot-id")) match {
+      case Some(start) =>
+        val end = Option(options.get("end-snapshot-id")).map(_.toLong)
+          .getOrElse(meta.currentSnapshotId)
+        incrementalFiles(start.toLong, end)
+      case None => snap.map(meta.filesOf).getOrElse(Nil)
+    }
     // files are handed over with stats re-keyed to logical names so every
     // pruner (metadata, runtime, SPJ keys) speaks the query's column names;
     // the parquet delegate inside the scan uses physical names (l2p)
-    new LakeScanBuilder(ident, schema(), meta.logicalStatFiles(snap.map(meta.filesOf).getOrElse(Nil)),
+    new LakeScanBuilder(ident, schema(), meta.logicalStatFiles(scanFiles),
       options,
       microBatch = Some(() => new LakeMicroBatchStream(ident, meta.physicalSchema,
         () => {

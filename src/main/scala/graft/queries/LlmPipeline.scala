@@ -186,6 +186,61 @@ object LlmPipeline {
       verified.orderBy("id_a", "id_b")
     },
 
+    // ───── q53: LOSSLESS n-gram Jaccard similarity join (prefix filter) ──
+    // Same semantics as q28 (all pairs with shingle-Jaccard >= 0.6, same
+    // oracle SQL) via the EXACT algorithm instead of LSH: PPJoin-style
+    // prefix filtering. Order every doc's shingles rarest-first by global
+    // document frequency; any pair with J >= t MUST share a shingle within
+    // each other's first |S| - ceil(t*|S|) + 1 shingles, so the candidate
+    // join touches only prefix shingles — guaranteed-complete at any
+    // threshold (LSH recall is probabilistic), shuffles bounded by prefix
+    // size, and hot shingles never enter prefixes (they sort last).
+    QueryDef.df(
+      "q53_ngram_jaccard_join",
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(
+        |    [lower(text).string_split(' ')[i] || ' ' || lower(text).string_split(' ')[i+1] || ' ' || lower(text).string_split(' ')[i+2]
+        |     for i in range(1, greatest(len(string_split(lower(text),' ')) - 1, 2))]) AS sh
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val t0 = 0.6
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), shingles3(col("text")).as("sh"))
+      // global document frequency = the prefix ordering (one small agg)
+      val freq = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("df"))
+      // rebuild each doc's shingle set sorted rarest-first, keep the prefix
+      val prefixes = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+        .join(freq, "g")
+        .groupBy("doc_id")
+        .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("fg"))
+        .select(col("doc_id"),
+          transform(col("fg"), x => x.getField("g")).as("sorted"))
+        .select(col("doc_id"),
+          slice(col("sorted"), lit(1),
+            greatest(size(col("sorted"))
+              - ceil(lit(t0) * size(col("sorted"))).cast("int") + 1, lit(1))).as("prefix"))
+      // candidates: docs sharing any PREFIX shingle (ids only cross the
+      // shuffle; the heavy shingle arrays join back for the exact verify)
+      val ex = prefixes.select(col("doc_id"), explode(col("prefix")).as("g"))
+      val cands = ex.as("a").join(ex.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      cands
+        .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        .filter(col("jaccard") >= t0)
+        .orderBy("id_a", "id_b")
+    },
+
     // ───── q29: text statistics per language ─────────────────────────────
     QueryDef.df(
       "q29_text_stats",

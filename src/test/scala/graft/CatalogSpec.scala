@@ -865,6 +865,29 @@ class LakeCatalogSpec extends AnyFunSuite {
       "compacted files must stay bucket-clustered")
   }
 
+  test("incremental batch read: start/end-snapshot-id yields exactly the appended rows") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.tt")
+    spark.sql("DROP TABLE IF EXISTS lake.tt.inc")
+    spark.sql("CREATE TABLE lake.tt.inc (k INT)")
+    spark.sql("INSERT INTO lake.tt.inc VALUES (1)")
+    spark.sql("INSERT INTO lake.tt.inc VALUES (2), (3)")
+    spark.sql("INSERT INTO lake.tt.inc VALUES (4)")
+    // (1, 3] = second + third appends
+    val delta = spark.read.option("start-snapshot-id", "1").option("end-snapshot-id", "3")
+      .table("lake.tt.inc")
+    assert(delta.collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 3, 4))
+    // open-ended: everything after snapshot 2
+    val tail = spark.read.option("start-snapshot-id", "2").table("lake.tt.inc")
+    assert(tail.collect().map(_.getInt(0)).toSeq == Seq(4))
+    // empty range
+    assert(spark.read.option("start-snapshot-id", "3").table("lake.tt.inc").count() == 0)
+    // a non-append snapshot inside the range fails fast
+    spark.sql("INSERT OVERWRITE lake.tt.inc VALUES (9)")
+    intercept[Exception] {
+      spark.read.option("start-snapshot-id", "1").table("lake.tt.inc").collect()
+    }
+  }
+
   test("metadata tables: t$snapshots / t$files / t$manifests are SQL-queryable") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.mx")
     spark.sql("DROP TABLE IF EXISTS lake.mx.md")

@@ -252,6 +252,16 @@ class LlmSpec extends AnyFunSuite {
     assert(totalFrames > 0 && totalFrames <= nDocs * 4)
   }
 
+  test("q53 prefix-filter join equals q28 LSH pairs (lossless by construction)") {
+    val exact = SparkEntry.queries("q53_ngram_jaccard_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val lsh = SparkEntry.queries("q28_neardup_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(exact == lsh,
+      s"prefix filtering must find every pair LSH finds (and is provably complete)")
+    assert(exact.nonEmpty)
+  }
+
   test("q51 IVF probe: returns 10, candidates limited to 2 cells, some recall vs brute force") {
     val df = SparkEntry.queries("q51_ann_ivf")(spark, sf)
     // cell assignment is a hash aggregation (max_by), never a sorted window
