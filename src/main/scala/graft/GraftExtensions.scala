@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{CosineSim, ExplodeHammingPairs, ExplodeNgrams, ExplodePairs, MinHashSignature, SampleFrames, SigMatchCount, SimHash, SrpBands, WinnowFingerprints, WordNgrams}
+import graft.functions.{CosineSim, DecodeImage, ExplodeHammingPairs, ExplodeNgrams, ExplodePairs, MinHashSignature, SampleFrames, SigMatchCount, SimHash, SrpBands, WinnowFingerprints, WordNgrams}
 
 /** Session extensions registering the engine's custom codegen expressions
   * as SQL functions — the Spark-idiomatic extension point
@@ -111,6 +111,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           SampleFrames(c, fb, n)
         case other => throw new IllegalArgumentException(
           s"sample_frames(payload, frameBytes, n): bad args $other")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("decode_image"),
+      info("decode_image",
+        "decode_image(payload, grid) - real JDK ImageIO decode to struct(width, height, format, gray grid); NULL for non-images"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, Literal(g: Int, IntegerType)) => DecodeImage(c, g)
+        case other => throw new IllegalArgumentException(
+          s"decode_image(payload, grid): bad args $other")
       }))
 
     ext.injectFunction((

@@ -12,18 +12,29 @@ import org.apache.spark.sql.types._
   * treat image/audio/video payloads as opaque BINARY and run
   * decode/frame-sample as engine expressions.
   *
-  * STUB NOTICE — no real codecs exist in this environment, so the "decode"
-  * is a deterministic fake: `sample_frames` extracts `n` fixed-size byte
-  * slices at evenly spaced offsets, which is the exact data-flow shape of
-  * real frame sampling (seek to evenly spaced timestamps, decode one frame
-  * each). Swapping the slice for an actual decoder changes ONLY the loop
-  * body; the schema (binary -> array<binary>), the per-row batch shape,
-  * and the partitioning behavior that the pipeline and tests pin stay
-  * identical.
+  * `decode_image` is a REAL decoder: the JDK's javax.imageio readers
+  * (PNG/JPEG/BMP/GIF — no external libraries) decode the payload, and the
+  * feature extraction (box-filtered grayscale grid, the aHash/dHash
+  * precursor every dedup pipeline starts from) is hand-rolled pixel
+  * arithmetic so results are bit-deterministic across JVMs. Undecodable
+  * payloads yield NULL, so the expression composes safely over mixed
+  * corpora.
+  *
+  * VIDEO-FRAME NOTE — no video codecs exist in the JDK, so `sample_frames`
+  * remains a deterministic fake for that one modality: it extracts `n`
+  * fixed-size byte slices at evenly spaced offsets, the exact data-flow
+  * shape of real frame sampling (seek to evenly spaced timestamps, decode
+  * one frame each). Swapping the slice for a video decoder changes ONLY
+  * the loop body; composing `decode_image` over each sampled frame is the
+  * real pipeline shape and is what q54 runs.
   */
 object Multimodal {
   def sampleFrames(payload: Column, frameBytes: Int, n: Int): Column =
     call_function("sample_frames", payload, lit(frameBytes), lit(n))
+
+  /** struct(width, height, format, gray: array<double>) or NULL. */
+  def decodeImage(payload: Column, grid: Int): Column =
+    call_function("decode_image", payload, lit(grid))
 }
 
 /** `sample_frames(payload, frameBytes, n) -> array<binary>`: n evenly
@@ -52,6 +63,107 @@ final case class SampleFrames(child: Expression, frameBytes: Int, n: Int)
 
   override protected def withNewChildInternal(newChild: Expression): SampleFrames =
     copy(child = newChild)
+}
+
+/** `decode_image(payload, grid) -> struct<width int, height int,
+  * format string, gray array<double>>` — NULL when the payload is not a
+  * decodable image. `gray` is a grid×grid box-filtered luma map in [0, 1]
+  * (BT.601 weights), row-major: the canonical small-feature input for
+  * perceptual hashing / near-dup screens over image corpora.
+  */
+final case class DecodeImage(child: Expression, grid: Int) extends UnaryExpression {
+
+  require(grid > 0 && grid <= 64, "decode_image: 1 <= grid <= 64")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"$prettyName requires binary, got $dt")
+  }
+  override def dataType: DataType = DecodeImage.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "decode_image"
+
+  override def nullSafeEval(input: Any): Any =
+    DecodeImage.compute(input.asInstanceOf[Array[Byte]], grid)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    val c = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code =
+      code"""
+        ${c.code}
+        boolean ${ev.isNull} = true;
+        $javaType ${ev.value} = null;
+        if (!${c.isNull}) {
+          ${ev.value} = ($javaType) graft.functions.DecodeImage$$.MODULE$$.compute(${c.value}, $grid);
+          ${ev.isNull} = ${ev.value} == null;
+        }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DecodeImage =
+    copy(child = newChild)
+}
+
+object DecodeImage {
+  val schema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("gray", ArrayType(DoubleType, containsNull = false), nullable = false)))
+
+  /** Decode via the JDK's ImageIO readers; null for non-images. The gray
+    * grid is a plain box filter over getRGB pixels — no Graphics2D
+    * interpolation, so values are identical on every JVM.
+    */
+  def compute(payload: Array[Byte], grid: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return null
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        val format = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)
+        val img = reader.read(0)
+        val w = img.getWidth
+        val h = img.getHeight
+        if (w <= 0 || h <= 0) return null
+        val gray = new Array[Double](grid * grid)
+        var gy = 0
+        while (gy < grid) {
+          val y0 = (h.toLong * gy / grid).toInt
+          val y1 = math.max((h.toLong * (gy + 1) / grid).toInt, y0 + 1)
+          var gx = 0
+          while (gx < grid) {
+            val x0 = (w.toLong * gx / grid).toInt
+            val x1 = math.max((w.toLong * (gx + 1) / grid).toInt, x0 + 1)
+            var sum = 0.0
+            var y = y0
+            while (y < math.min(y1, h)) {
+              var x = x0
+              while (x < math.min(x1, w)) {
+                val rgb = img.getRGB(x, y)
+                val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+                sum += (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+                x += 1
+              }
+              y += 1
+            }
+            val cells = (math.min(x1, w) - x0).toLong * (math.min(y1, h) - y0)
+            gray(gy * grid + gx) = if (cells > 0) sum / cells else 0.0
+            gx += 1
+          }
+          gy += 1
+        }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+          w, h, org.apache.spark.unsafe.types.UTF8String.fromString(format),
+          new GenericArrayData(gray)))
+      } finally reader.dispose()
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
 }
 
 object SampleFrames {

@@ -486,6 +486,25 @@ object LlmPipeline {
         .orderBy("source")
     },
 
+    // ───── q54: REAL image decode over sampled frames ────────────────────
+    // The composed multimodal pipeline: frame-sample each binary payload,
+    // run the JDK-ImageIO `decode_image` on every frame, aggregate decode
+    // outcomes. On this corpus the payloads are text bytes, so every
+    // decode correctly yields NULL (n_decodable = 0) — the decoder being
+    // REAL is pinned in MultimodalSpec against generated PNG/BMP/JPEG
+    // fixtures with exact gray-grid values.
+    QueryDef.unoracled("q54_image_decode") { (s, dir) =>
+      val payload = encode(col("text"), "UTF-8")
+      t(s, dir, "documents")
+        .select(col("source"),
+          explode(graft.functions.Multimodal.sampleFrames(payload, 4096, 4)).as("frame"))
+        .select(col("source"), graft.functions.Multimodal.decodeImage(col("frame"), 8).as("img"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_frames"),
+          count(col("img.width")).as("n_decodable"))
+        .orderBy("source")
+    },
+
     // ───── q32: HLL approximate distinct (SURVEY §2b approx row) ─────────
     // Engines' HLL sketches differ numerically -> rows-only driver check;
     // the ScalaTest suite asserts <5% relative error vs exact.

@@ -65,7 +65,8 @@ class GoldenSpec extends AnyFunSuite {
     "q50_frame_sample" -> 20L,
     "q51_ann_ivf" -> 10L,
     "q52_ann_index_probe" -> 10L,
-    "q53_ngram_jaccard_join" -> 28L)
+    "q53_ngram_jaccard_join" -> 28L,
+    "q54_image_decode" -> 20L)
 
   test("every registered query has a golden count (add one when adding a query)") {
     assert(SparkEntry.queries.keySet == golden.keySet,
