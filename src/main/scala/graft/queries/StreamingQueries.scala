@@ -116,12 +116,34 @@ object StreamingQueries {
     },
 
     // ───── q44: session windows per user ─────────────────────────────────
-    // Gap-based session merging isn't directly expressible in DuckDB SQL
-    // without recursive windowing → rows-only driver check; StreamingSpec
-    // value-checks the session boundaries against a hand-computed oracle.
-    QueryDef.unoracled("q44_event_sessions") { (s, dir) =>
+    // Spark's session_window merges an event into the current session while
+    // ts < (previous max ts + gap); per user with ts ascending that is the
+    // classic gaps-and-islands recurrence, which IS ANSI SQL: mark a new
+    // session when ts - lag(ts) >= gap, number sessions with a running sum,
+    // aggregate. StreamingSpec additionally value-checks boundaries against
+    // a hand-computed oracle.
+    QueryDef.df(
+      "q44_event_sessions",
+      """WITH e AS (SELECT user_id, ts, value FROM events WHERE user_id < 10),
+        |m AS (SELECT user_id, ts, value,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |             OR ts - lag(ts) OVER w >= INTERVAL 15 MINUTE THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts, value,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                         ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 15 MINUTE AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
       EventsStreaming.sessionized(t(s, dir, "events"))
         .filter(col("user_id") < 10)
+        // NTZ surface: DuckDB timestamps are naive; the session runs UTC
+        .withColumn("session_start", col("session_start").cast("timestamp_ntz"))
+        .withColumn("session_end", col("session_end").cast("timestamp_ntz"))
         .orderBy("user_id", "session_start")
     })
 }
