@@ -51,4 +51,23 @@ class ExplainAuditSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
       s"shipdate filter must reach the scan:\n$p")
   }
+
+  test("q53 prefix-filter join never degenerates to a cross product; keys are hashed") {
+    val p = plan("q53_ngram_jaccard_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay an equi-join:\n$p")
+    assert(p.contains("xxhash64"), s"candidate join must run on hashed gram keys:\n$p")
+  }
+
+  test("q52 index probe touches the catalog index, not a full corpus scan") {
+    val p = plan("q52_ann_index_probe")
+    assert(p.contains("LakeScan"), s"probe must read the materialized index table:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+  }
+
+  test("q54 decode pipeline keeps whole-stage codegen around the generator") {
+    val p = plan("q54_image_decode")
+    assert(p.contains("Generate explode"), s"frame sampling should explode inline:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial+final agg:\n$p")
+  }
 }
