@@ -34,7 +34,20 @@ final class LakeMicroBatchStream(
     hadoopConf: Configuration)
   extends MicroBatchStream {
 
-  override def initialOffset(): Offset = LakeOffset(0L)
+  /** Where a NEW stream (no checkpoint) starts: snapshot 0 = replay the
+    * whole table (file-source semantics); "latest" = only data committed
+    * after the stream starts; an explicit snapshot id = resume point
+    * (consume strictly after it).
+    */
+  override def initialOffset(): Offset =
+    Option(options.get("starting-snapshot-id")) match {
+      case Some("latest") => LakeOffset(math.max(refresh().currentSnapshotId, 0L))
+      case Some(id) =>
+        val n = id.toLong
+        require(n >= 0, s"starting-snapshot-id must be >= 0 or 'latest', got $id")
+        LakeOffset(n)
+      case None => LakeOffset(0L)
+    }
 
   override def latestOffset(): Offset = {
     val id = refresh().currentSnapshotId

@@ -271,6 +271,8 @@ private[catalog] object FilterToColumn {
     case sources.In(a, vs) =>
       (for ((lo, hi) <- range(file, a)) yield
         vs.exists(v => num(v).forall(x => x >= lo && x <= hi))).getOrElse(true)
+    case sources.IsNull(a) => file.nulls.get(a).forall(_ > 0)
+    case sources.IsNotNull(a) => file.nulls.get(a).forall(_ < file.rowCount)
     case sources.And(l, r) => mayMatch(l, file) && mayMatch(r, file)
     case sources.Or(l, r) => mayMatch(l, file) || mayMatch(r, file)
     case _ => true
@@ -722,6 +724,12 @@ object FilePruner {
     e match {
       case ce.And(a, b) => mayMatch(a, f, schema) && mayMatch(b, f, schema)
       case ce.Or(a, b) => mayMatch(a, f, schema) || mayMatch(b, f, schema)
+      // null-count stats: a file with zero nulls has no IS NULL match; a
+      // file that is all-null has no IS NOT NULL match
+      case ce.IsNull(a: ce.Attribute) =>
+        f.nulls.get(a.name).forall(_ > 0)
+      case ce.IsNotNull(a: ce.Attribute) =>
+        f.nulls.get(a.name).forall(_ < f.rowCount)
       case ce.EqualTo(l, r) => check(l, r)((lo, hi, v, _) => v >= lo && v <= hi)
       case ce.GreaterThan(l, r) => // attr > v needs hi > v; v > attr needs lo < v
         check(l, r)((lo, hi, v, flip) => if (flip) lo < v else hi > v)
@@ -1053,6 +1061,7 @@ final class LakeDataWriter(
   private var rows = 0L
   private var mins: Array[Any] = _
   private var maxs: Array[Any] = _
+  private var nullsPerCol: Array[Long] = _
   private var fileSeq = 0
   private var currentKey: Seq[Any] = null
   private val done = Seq.newBuilder[DataFileMeta]
@@ -1064,6 +1073,7 @@ final class LakeDataWriter(
     rows = 0L
     mins = new Array[Any](schema.length)
     maxs = new Array[Any](schema.length)
+    nullsPerCol = new Array[Long](schema.length)
   }
 
   /** Close the current file and record its manifest entry (if non-empty). */
@@ -1086,7 +1096,10 @@ final class LakeDataWriter(
         case j if partFields(j).buckets.isDefined && currentKey(j) != null =>
           partFields(j).statKey -> currentKey(j).toString
       }.toMap
-    done += DataFileMeta(path, rows, size, m(mins) ++ bucketStats, m(maxs) ++ bucketStats)
+    val nulls = schema.fields.indices
+      .map(i => schema.fields(i).name -> nullsPerCol(i)).toMap
+    done += DataFileMeta(path, rows, size, m(mins) ++ bucketStats, m(maxs) ++ bucketStats,
+      nulls)
     writer = null
   }
 
@@ -1110,11 +1123,14 @@ final class LakeDataWriter(
   private def track(row: InternalRow): Unit = {
     var i = 0
     while (i < schema.length) {
-      val v = scalarAt(row, i)
-      if (v != null) {
-        val cmp = v.asInstanceOf[Comparable[Any]]
-        if (mins(i) == null || cmp.compareTo(mins(i)) < 0) mins(i) = v
-        if (maxs(i) == null || cmp.compareTo(maxs(i)) > 0) maxs(i) = v
+      if (row.isNullAt(i)) nullsPerCol(i) += 1
+      else {
+        val v = scalarAt(row, i)
+        if (v != null) {
+          val cmp = v.asInstanceOf[Comparable[Any]]
+          if (mins(i) == null || cmp.compareTo(mins(i)) < 0) mins(i) = v
+          if (maxs(i) == null || cmp.compareTo(maxs(i)) > 0) maxs(i) = v
+        }
       }
       i += 1
     }

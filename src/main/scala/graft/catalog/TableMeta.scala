@@ -18,7 +18,11 @@ final case class DataFileMeta(
     rowCount: Long,
     sizeBytes: Long,
     minValues: Map[String, String] = Map.empty,
-    maxValues: Map[String, String] = Map.empty)
+    maxValues: Map[String, String] = Map.empty,
+    nullCounts: Map[String, Long] = Map.empty) {
+  /** Null-safe accessor (documents written before null tracking). */
+  def nulls: Map[String, Long] = if (nullCounts == null) Map.empty else nullCounts
+}
 
 /** Pointer to one immutable manifest file (a JSON array of
   * [[DataFileMeta]]) plus the summary the planner/history can use without
@@ -122,7 +126,8 @@ final case class TableMeta(
       }
       files.map(f => f.copy(
         minValues = f.minValues.map { case (k, v) => (remap(k), v) },
-        maxValues = f.maxValues.map { case (k, v) => (remap(k), v) }))
+        maxValues = f.maxValues.map { case (k, v) => (remap(k), v) },
+        nullCounts = f.nulls.map { case (k, v) => (remap(k), v) }))
     }
   }
 

@@ -888,6 +888,66 @@ class LakeCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("null-count stats prune IS NULL / IS NOT NULL scans to the right files") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.prune")
+    spark.sql("DROP TABLE IF EXISTS lake.prune.nn")
+    spark.sql("CREATE TABLE lake.prune.nn (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO lake.prune.nn SELECT id, CAST(NULL AS STRING) FROM range(100)")
+    spark.sql("INSERT INTO lake.prune.nn SELECT id + 100, concat('x', id) FROM range(100)")
+    def scanCount(sql: String): Int = {
+      val q = spark.sql(sql)
+      q.collect()
+      """LakeScan\(lake\.prune\.nn, (\d+) files\)""".r
+        .findFirstMatchIn(q.queryExecution.executedPlan.collectLeaves()
+          .map(_.toString).mkString("\n")).map(_.group(1).toInt).getOrElse(-1)
+    }
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    def files = spark.sessionState.catalogManager.catalog("lake").asInstanceOf[TableCatalog]
+      .loadTable(Identifier.of(Array("prune"), "nn")).asInstanceOf[graft.catalog.LakeTable]
+      .meta.currentFiles
+    val withNulls = files.count(_.nulls.get("v").exists(_ > 0))
+    val allValued = files.count(f => f.nulls.get("v").contains(0L))
+    assert(withNulls > 0 && allValued > 0 && withNulls + allValued == files.size)
+    // IS NULL: only files that recorded nulls can match
+    assert(spark.sql("SELECT count(*) FROM lake.prune.nn WHERE v IS NULL")
+      .collect().head.getLong(0) == 100)
+    assert(scanCount("SELECT * FROM lake.prune.nn WHERE v IS NULL") == withNulls,
+      "IS NULL must prune every zero-null file")
+    // IS NOT NULL: only files with at least one non-null value can match
+    assert(scanCount("SELECT * FROM lake.prune.nn WHERE v IS NOT NULL") == allValued,
+      "IS NOT NULL must prune every all-null file")
+    // DELETE through the same stats rewrites only the null-carrying files
+    val noNullFiles = files.filter(_.nulls.get("v").contains(0L))
+    spark.sql("DELETE FROM lake.prune.nn WHERE v IS NULL")
+    assert(spark.table("lake.prune.nn").count() == 100)
+    noNullFiles.foreach(f => assert(files.contains(f),
+      s"file ${f.path} has zero nulls and must survive a DELETE WHERE v IS NULL untouched"))
+  }
+
+  test("readStream starting-snapshot-id: 'latest' skips history, explicit id resumes after it") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.streaming.Trigger
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.strm")
+    spark.sql("DROP TABLE IF EXISTS lake.strm.src")
+    spark.sql("CREATE TABLE lake.strm.src (k INT)")
+    spark.sql("INSERT INTO lake.strm.src VALUES (1)")
+    spark.sql("INSERT INTO lake.strm.src VALUES (2)")
+    def drain(startOpt: Option[String]): Seq[Int] = {
+      val reader = spark.readStream
+      startOpt.foreach(v => reader.option("starting-snapshot-id", v))
+      val out = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+      val q = reader.table("lake.strm.src").writeStream
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => out.add(r.getInt(0))))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      out.iterator().asScala.toSeq.sorted
+    }
+    assert(drain(None) == Seq(1, 2), "default replays the whole table")
+    assert(drain(Some("1")) == Seq(2), "explicit id consumes strictly after it")
+    assert(drain(Some("latest")).isEmpty, "'latest' starts at now: nothing to consume")
+  }
+
   test("metadata tables: t$snapshots / t$files / t$manifests are SQL-queryable") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.mx")
     spark.sql("DROP TABLE IF EXISTS lake.mx.md")
