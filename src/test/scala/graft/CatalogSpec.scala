@@ -163,6 +163,19 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(spark.table("lake.ow.t").collect().map(_.getInt(0)).toSeq == Seq(9))
   }
 
+  test("TRUNCATE TABLE empties the table in one commit; history survives") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ow")
+    spark.sql("DROP TABLE IF EXISTS lake.ow.tr")
+    spark.sql("CREATE TABLE lake.ow.tr (k INT)")
+    spark.sql("INSERT INTO lake.ow.tr VALUES (1), (2), (3)")
+    spark.sql("TRUNCATE TABLE lake.ow.tr")
+    assert(spark.table("lake.ow.tr").count() == 0)
+    // pre-truncate snapshot still answers via time travel
+    assert(spark.sql("SELECT * FROM lake.ow.tr VERSION AS OF 1").count() == 3)
+    spark.sql("INSERT INTO lake.ow.tr VALUES (7)")
+    assert(spark.table("lake.ow.tr").collect().map(_.getInt(0)).toSeq == Seq(7))
+  }
+
   test("CTAS from testdata parquet round-trips values exactly") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ctas")
     spark.sql("DROP TABLE IF EXISTS lake.ctas.nation2")
