@@ -87,9 +87,9 @@ object LakeMaintenance {
     val retainedIds = t.meta.snapshots.sortBy(_.snapshotId).takeRight(keepLast)
       .map(_.snapshotId).toSet + t.meta.currentSnapshotId
     val (retained, expired) = t.meta.snapshots.partition(s => retainedIds.contains(s.snapshotId))
-    // data files: orphaned when no retained snapshot references them
-    val live = retained.flatMap(t.meta.filesOf).map(_.path).toSet
-    val orphaned = expired.flatMap(t.meta.filesOf).map(_.path).distinct.filterNot(live.contains)
+    // data AND delete files: orphaned when no retained snapshot references them
+    val live = retained.flatMap(t.meta.allFilesOf).map(_.path).toSet
+    val orphaned = expired.flatMap(t.meta.allFilesOf).map(_.path).distinct.filterNot(live.contains)
     // manifest files: shared across snapshots, orphaned the same way; the
     // expired snapshots' manifest-LIST files always die with them
     val liveManifests = retained.flatMap(s => t.meta.manifestsOf(s)).map(_.location).toSet

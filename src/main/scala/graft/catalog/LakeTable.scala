@@ -12,7 +12,7 @@ import org.apache.parquet.hadoop.metadata.CompressionCodecName
 import org.apache.spark.sql.{Column, SparkSession, sources}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.write._
@@ -51,10 +51,17 @@ final class LakeTable(
     pinnedSnapshotId: Option[Long] = None,
     onCommit: () => Unit = () => ())
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
-  with SupportsRowLevelOperations {
+  with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   override def name(): String = ident
   override def schema(): StructType = meta.schema
+
+  /** Row-identity metadata columns (`SELECT _file, _pos FROM t`), and the
+    * row ID the merge-on-read delete path tombstones by.
+    */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    LakeMetaColumn(LakeMetaCols.File, StringType),
+    LakeMetaColumn(LakeMetaCols.Pos, LongType))
   override def properties(): util.Map[String, String] = meta.properties.asJava
   override def version(): String = meta.currentSnapshotId.toString
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
@@ -131,7 +138,8 @@ final class LakeTable(
           TableMeta.read(loc, hadoopConf)
         }, options, hadoopConf)),
       partitionCols = meta.partitionColumns,
-      l2p = meta.l2pMap)
+      l2p = meta.l2pMap,
+      deleteFiles = snap.map(meta.deleteFilesOf).getOrElse(Nil))
   }
 
   /** UPDATE / MERGE INTO via group-based copy-on-write: Spark rewrites the
@@ -308,7 +316,10 @@ final class LakeRowLevelOperation(
       // partition, not the table
       runtimeFilterCols = table.meta.partitionFields.map(_.source),
       partitionCols = table.meta.partitionColumns,
-      l2p = table.meta.l2pMap)
+      l2p = table.meta.l2pMap,
+      // pending merge-on-read tombstones apply during the CoW scan, so the
+      // rewritten files exclude the deleted rows
+      deleteFiles = table.meta.currentDeleteFiles)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
     override def build(): Write = new Write {
@@ -367,7 +378,8 @@ final class LakeScanBuilder(
     runtimeFilterCols: Seq[String] = Nil,
     microBatch: Option[() => LakeMicroBatchStream] = None,
     partitionCols: Seq[String] = Nil,
-    l2p: Map[String, String] = Map.empty)
+    l2p: Map[String, String] = Map.empty,
+    deleteFiles: Seq[DataFileMeta] = Nil)
   extends ScanBuilder with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns {
 
@@ -392,7 +404,7 @@ final class LakeScanBuilder(
       FilePruner.mayMatch(e, f, tableSchema) && BucketPruner.mayMatch(e, f, pf)))
     onFilesSelected(survivors)
     new LakeScan(ident, tableSchema, survivors, exprs, requiredSchema, options,
-      runtimeFilterCols, onFilesSelected, microBatch, partitionCols, l2p)
+      runtimeFilterCols, onFilesSelected, microBatch, partitionCols, l2p, deleteFiles)
   }
 }
 
@@ -415,7 +427,8 @@ final class LakeScan(
     onFilesSelected: Seq[DataFileMeta] => Unit,
     microBatch: Option[() => LakeMicroBatchStream] = None,
     partitionCols: Seq[String] = Nil,
-    l2p: Map[String, String] = Map.empty)
+    l2p: Map[String, String] = Map.empty,
+    deleteFiles: Seq[DataFileMeta] = Nil)
   extends Scan with SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -424,6 +437,18 @@ final class LakeScan(
 
   private var files: Seq[DataFileMeta] = initialFiles
   private var delegate: Scan = _
+
+  // the required schema splits into data columns (delegated to parquet) and
+  // requested metadata columns (_file/_pos, appended by positional readers);
+  // Spark appends metadata columns after data columns, preserved here
+  private val metaCols: Seq[String] =
+    requiredSchema.fields.map(_.name).filter(LakeMetaCols.isMeta).toSeq
+  private val requiredDataSchema: StructType =
+    StructType(requiredSchema.fields.filterNot(f => LakeMetaCols.isMeta(f.name)))
+
+  /** Per-file covering delete files (merge-on-read tombstones). */
+  private def coveringDeletes(f: DataFileMeta): Seq[String] =
+    DeleteFiles.covering(deleteFiles, f.path).map(_.path)
 
   private def inner: Scan = {
     if (delegate == null) {
@@ -435,7 +460,7 @@ final class LakeScan(
       val b = pt.newScanBuilder(options)
       // inner translates + records row-group pushdown itself
       b.pushFilters(ColumnMapping.toPhysicalExprs(exprs, l2p))
-      b.pruneColumns(ColumnMapping.toPhysical(requiredSchema, l2p))
+      b.pruneColumns(ColumnMapping.toPhysical(requiredDataSchema, l2p))
       delegate = b.build()
     }
     delegate
@@ -495,7 +520,10 @@ final class LakeScan(
     * single-valued on the partition columns (then no SPJ, regular planning).
     */
   private lazy val keyGroups: Option[Seq[(InternalRow, Seq[DataFileMeta])]] =
-    if (partitionCols.isEmpty || files.isEmpty) None
+    // no SPJ when metadata columns are requested or tombstones are pending:
+    // those files read through positional partitions, which don't carry keys
+    if (partitionCols.isEmpty || files.isEmpty || metaCols.nonEmpty ||
+        files.exists(f => coveringDeletes(f).nonEmpty)) None
     else {
       val parsed = files.map(f => parseKey(f).map(_ -> f))
       if (parsed.exists(_.isEmpty)) None
@@ -539,14 +567,32 @@ final class LakeScan(
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(files.map(_.sizeBytes).sum)
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.of(files.map(_.rowCount).sum)
+        // each tombstone kills one live row (delete files are only kept
+        // while their targets are live)
+        java.util.OptionalLong.of(math.max(0L,
+          files.map(_.rowCount).sum - deleteFiles.map(_.rowCount).sum))
     }
 
   // Spark consumes rows positionally against this schema: report LOGICAL
-  // names (the delegate read physical ones; layout is identical).
-  override def readSchema(): StructType = ColumnMapping.toLogical(inner.readSchema(), l2p)
-  override def toBatch: org.apache.spark.sql.connector.read.Batch =
-    keyedBatch.getOrElse(inner.toBatch)
+  // names (the delegate read physical ones; layout is identical), plus any
+  // requested metadata columns appended after the data columns.
+  override def readSchema(): StructType =
+    StructType(ColumnMapping.toLogical(inner.readSchema(), l2p).fields ++
+      metaCols.map(LakeMetaCols.fieldOf))
+
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = {
+    val dirty = files.map(f => f -> coveringDeletes(f))
+    // tombstoned files (and every file, when _file/_pos are requested) read
+    // through whole-file positional row readers; clean files keep the
+    // vectorized delegate — merge-on-read taxes only the dirty files
+    if (metaCols.nonEmpty || dirty.exists(_._2.nonEmpty)) {
+      val (clean, tomb) =
+        if (metaCols.nonEmpty) (Nil, dirty)
+        else dirty.partition(_._2.isEmpty)
+      new LakeMixedBatch(ident, tableSchema, requiredDataSchema, exprs, options,
+        clean.map(_._1), tomb, metaCols, l2p)
+    } else keyedBatch.getOrElse(inner.toBatch)
+  }
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     microBatch.map(_.apply()).getOrElse(
@@ -593,6 +639,55 @@ final class LakeKeyGroupedBatch(
 
   override def planInputPartitions(): Array[InputPartition] = planned._1
   override def createReaderFactory(): PartitionReaderFactory = planned._2
+}
+
+/** A batch mixing the vectorized parquet delegate (clean files) with
+  * whole-file positional row readers (files that have pending merge-on-read
+  * tombstones, or any file when `_file`/`_pos` metadata columns are
+  * requested). One scan, one reader factory, per-partition columnar
+  * dispatch — deletes tax exactly the files they touch, and compaction
+  * puts files back on the vectorized path.
+  */
+final class LakeMixedBatch(
+    ident: String,
+    tableSchema: StructType,
+    requiredDataSchema: StructType,
+    exprs: Seq[Expression],
+    options: CaseInsensitiveStringMap,
+    cleanFiles: Seq[DataFileMeta],
+    tombstoned: Seq[(DataFileMeta, Seq[String])],
+    metaCols: Seq[String],
+    l2p: Map[String, String])
+  extends org.apache.spark.sql.connector.read.Batch {
+
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+
+  private lazy val delegatePlanned: Option[(Array[InputPartition], PartitionReaderFactory)] =
+    if (cleanFiles.isEmpty) None
+    else {
+      val spark = SparkSession.active
+      val pt = ParquetTable(ident, spark, options, cleanFiles.map(_.path).toList,
+        Some(ColumnMapping.toPhysical(tableSchema, l2p)), classOf[ParquetFileFormat])
+      val b = pt.newScanBuilder(options)
+      b.pushFilters(ColumnMapping.toPhysicalExprs(exprs, l2p))
+      b.pruneColumns(ColumnMapping.toPhysical(requiredDataSchema, l2p))
+      val batch = b.build().toBatch
+      Some((batch.planInputPartitions(), batch.createReaderFactory()))
+    }
+
+  private val physReadSchemaJson =
+    ColumnMapping.toPhysical(requiredDataSchema, l2p).json
+
+  override def planInputPartitions(): Array[InputPartition] =
+    delegatePlanned.map(_._1).getOrElse(Array.empty[InputPartition]) ++
+      tombstoned.map { case (f, dels) =>
+        PositionalInputPartition(f.path, dels, physReadSchemaJson, metaCols)
+      }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LakeReaderFactory(
+      new SerializableConfiguration(SparkSession.active.sessionState.newHadoopConf()),
+      delegatePlanned.map(_._2))
 }
 
 /** An input partition tagged with its partition-key row. */

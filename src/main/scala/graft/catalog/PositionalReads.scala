@@ -1,0 +1,195 @@
+package graft.catalog
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.util.RebaseDateTime.RebaseSpec
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport
+import org.apache.spark.sql.internal.{LegacyBehaviorPolicy, SQLConf}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/** The table's row-identity metadata columns, Iceberg's names: `_file` is
+  * the data file a row lives in, `_pos` its 0-based ordinal in that file.
+  * Together they are the row ID the merge-on-read delete path tombstones
+  * (a positional delete file is a sorted list of `(file_path, pos)`), and
+  * they're queryable directly (`SELECT _file, _pos FROM t`) for
+  * lineage/debugging, exactly like Iceberg/Delta expose them.
+  */
+final case class LakeMetaColumn(name: String, dataType: DataType)
+  extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+  override def isNullable: Boolean = false
+}
+
+object LakeMetaCols {
+  val File = "_file"
+  val Pos = "_pos"
+  def isMeta(name: String): Boolean = name == File || name == Pos
+  def fieldOf(name: String): StructField = name match {
+    case File => StructField(File, StringType, nullable = false)
+    case Pos => StructField(Pos, LongType, nullable = false)
+  }
+}
+
+/** Positional delete files: parquet of `(file_path string, pos long)`,
+  * written sorted by (file_path, pos) so per-column min/max stats give a
+  * tight file_path RANGE — the scan loads only delete files whose range
+  * covers the data file being read (Iceberg v2's delete-file layout and
+  * pruning model).
+  */
+object DeleteFiles {
+  val FilePathCol = "file_path"
+  val PosCol = "pos"
+  val schema: StructType = StructType(Seq(
+    StructField(FilePathCol, StringType, nullable = false),
+    StructField(PosCol, LongType, nullable = false)))
+
+  /** Delete files whose file_path [min,max] range may cover `dataPath`.
+    * Missing stats ⇒ conservative cover.
+    */
+  def covering(deletes: Seq[DataFileMeta], dataPath: String): Seq[DataFileMeta] =
+    deletes.filter(d =>
+      d.minValues.get(FilePathCol).forall(_ <= dataPath) &&
+        d.maxValues.get(FilePathCol).forall(_ >= dataPath))
+
+  def coversAny(delete: DataFileMeta, dataPaths: Iterable[String]): Boolean =
+    dataPaths.exists(p =>
+      delete.minValues.get(FilePathCol).forall(_ <= p) &&
+        delete.maxValues.get(FilePathCol).forall(_ >= p))
+}
+
+/** Executor-side parquet→InternalRow reader built from Spark's own
+  * [[ParquetReadSupport]] (the exact mirror of the write path's
+  * ParquetWriteSupport in [[LakeParquetBuilder]]): same encodings, zero
+  * extra dependencies. It reads a WHOLE file sequentially — no splits, no
+  * pushed filters, no row-group skipping — which is precisely what makes
+  * the row-position counter trustworthy. Predicates still apply: the scan
+  * never claims pushdown, so Spark's own Filter sits above.
+  */
+object PositionalParquet {
+  def open(path: String, schema: StructType, conf: Configuration): ParquetReader[InternalRow] = {
+    val c = new Configuration(conf)
+    c.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, schema.json)
+    // ParquetReadSupport/ParquetToSparkSchemaConverter read these from the
+    // Configuration with NO defaults (normally ParquetFileFormat sets them;
+    // we are our own prepareRead, mirroring LakeDataWriter.writeConf)
+    c.set(SQLConf.PARQUET_BINARY_AS_STRING.key, "false")
+    c.set(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, "true")
+    c.set(SQLConf.CASE_SENSITIVE.key, "false")
+    c.set(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, "true")
+    c.set(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, "false")
+    c.set(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, "false")
+    c.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, "UTC")
+    // our writer stamps CORRECTED rebase metadata (LakeDataWriter.writeConf)
+    val corrected = RebaseSpec(LegacyBehaviorPolicy.CORRECTED, None)
+    val support = new ParquetReadSupport(None, false, corrected, corrected)
+    ParquetReader.builder[InternalRow](support, new Path(path)).withConf(c).build()
+  }
+
+  /** All tombstoned positions for `dataPath`, merged over its covering
+    * delete files: sorted, distinct. Small by construction — it is the
+    * delete set of ONE data file.
+    */
+  def deletedPositions(dataPath: String, deleteFiles: Seq[String],
+      conf: Configuration): Array[Long] = {
+    if (deleteFiles.isEmpty) return Array.emptyLongArray
+    val target = UTF8String.fromString(dataPath)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    deleteFiles.foreach { df =>
+      val r = open(df, DeleteFiles.schema, conf)
+      try {
+        var row = r.read()
+        while (row != null) {
+          if (row.getUTF8String(0) == target) buf += row.getLong(1)
+          row = r.read()
+        }
+      } finally r.close()
+    }
+    buf.toArray.sorted.distinct
+  }
+}
+
+/** One data file read positionally: the whole file, minus tombstoned
+  * positions, optionally extended with the `_file`/`_pos` metadata columns
+  * (in `metaCols` order, appended after the data columns).
+  */
+final case class PositionalInputPartition(
+    dataPath: String,
+    deletePaths: Seq[String],
+    physDataSchemaJson: String,
+    metaCols: Seq[String]) extends InputPartition
+
+/** Dispatches positional partitions to the row reader and everything else
+  * to the delegated vectorized parquet factory — one scan can mix
+  * vectorized clean files with row-based tombstoned files, so merge-on-read
+  * only taxes the files that actually have pending deletes.
+  */
+final class LakeReaderFactory(
+    conf: SerializableConfiguration,
+    delegate: Option[PartitionReaderFactory]) extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
+    case pp: PositionalInputPartition => new PositionalRowReader(pp, conf.value)
+    case other => delegate.get.createReader(other)
+  }
+  override def createColumnarReader(p: InputPartition) = p match {
+    case _: PositionalInputPartition =>
+      throw new UnsupportedOperationException("positional partitions are row-based")
+    case other => delegate.get.createColumnarReader(other)
+  }
+  override def supportColumnarReads(p: InputPartition): Boolean = p match {
+    case _: PositionalInputPartition => false
+    case other => delegate.exists(_.supportColumnarReads(other))
+  }
+}
+
+final class PositionalRowReader(part: PositionalInputPartition, conf: Configuration)
+  extends PartitionReader[InternalRow] {
+
+  private val dataSchema =
+    DataType.fromJson(part.physDataSchemaJson).asInstanceOf[StructType]
+  private val deleted: Array[Long] =
+    PositionalParquet.deletedPositions(part.dataPath, part.deletePaths, conf)
+  private val reader = PositionalParquet.open(part.dataPath, dataSchema, conf)
+
+  // appended metadata values: constant _file, running _pos
+  private val metaRow = new GenericInternalRow(part.metaCols.length)
+  part.metaCols.zipWithIndex.foreach {
+    case (LakeMetaCols.File, i) => metaRow.update(i, UTF8String.fromString(part.dataPath))
+    case _ => ()
+  }
+  private val posIdx = part.metaCols.indexOf(LakeMetaCols.Pos)
+  private val joined = new JoinedRow
+  private val toUnsafe = UnsafeProjection.create(
+    StructType(dataSchema.fields ++ part.metaCols.map(LakeMetaCols.fieldOf)))
+
+  private var pos = -1L
+  private var delIdx = 0
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (true) {
+      val row = reader.read()
+      if (row == null) return false
+      pos += 1
+      while (delIdx < deleted.length && deleted(delIdx) < pos) delIdx += 1
+      if (delIdx < deleted.length && deleted(delIdx) == pos) {
+        delIdx += 1 // tombstoned: skip
+      } else {
+        if (posIdx >= 0) metaRow.update(posIdx, pos)
+        current =
+          if (part.metaCols.isEmpty) toUnsafe(row)
+          else toUnsafe(joined(row, metaRow))
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}

@@ -31,12 +31,23 @@ final case class DataFileMeta(
   * manifest by reference — Iceberg's manifest-list model, which keeps both
   * the metadata document and the per-commit write O(snapshots + new files),
   * never O(total files × snapshots).
+  *
+  * `content` distinguishes manifests of DATA files from manifests of
+  * positional DELETE files (Iceberg v2's manifest-list `content` field):
+  * a merge-on-read delete commit appends a "deletes" manifest whose
+  * entries are parquet files of `(file_path, pos)` tombstones; scans
+  * subtract them, compaction folds them away.
   */
 final case class ManifestMeta(
     location: String,
     nFiles: Long,
     nRows: Long,
-    nBytes: Long)
+    nBytes: Long,
+    content: String = "data") {
+  /** Null-safe content (documents written before merge-on-read). */
+  def kind: String = if (content == null) "data" else content
+  def isData: Boolean = kind == "data"
+}
 
 /** A committed table version. Its file list lives behind TWO levels of
   * indirection (Iceberg's model): the snapshot points at one manifest-LIST
@@ -143,14 +154,26 @@ final case class TableMeta(
   private[catalog] def manifestsOf(s: SnapshotMeta): Seq[ManifestMeta] =
     s.listLocation.map(l => ManifestIO.readList(l, ioConf)).getOrElse(Nil)
 
-  /** Resolve a snapshot's full file list: referenced manifests (cached,
-    * immutable) plus any legacy inline entries.
+  /** Resolve a snapshot's DATA file list: referenced data manifests
+    * (cached, immutable) plus any legacy inline entries.
     */
   def filesOf(s: SnapshotMeta): Seq[DataFileMeta] =
+    manifestsOf(s).filter(_.isData).flatMap(m => ManifestIO.read(m.location, ioConf)) ++
+      s.inlineFiles
+
+  /** A snapshot's positional-delete files (merge-on-read tombstones). */
+  def deleteFilesOf(s: SnapshotMeta): Seq[DataFileMeta] =
+    manifestsOf(s).filterNot(_.isData).flatMap(m => ManifestIO.read(m.location, ioConf))
+
+  /** Data + delete files — liveness accounting (expiration/vacuum). */
+  def allFilesOf(s: SnapshotMeta): Seq[DataFileMeta] =
     manifestsOf(s).flatMap(m => ManifestIO.read(m.location, ioConf)) ++ s.inlineFiles
 
   def currentFiles: Seq[DataFileMeta] =
     snapshot(currentSnapshotId).map(filesOf).getOrElse(Nil)
+
+  def currentDeleteFiles: Seq[DataFileMeta] =
+    snapshot(currentSnapshotId).map(deleteFilesOf).getOrElse(Nil)
 
   def nextSnapshotId: Long = if (snapshots.isEmpty) 1L else snapshots.map(_.snapshotId).max + 1
 }
@@ -192,11 +215,12 @@ object ManifestIO {
   }
 
   def write(tableLocation: String, snapshotId: Long, files: Seq[DataFileMeta],
-      conf: Configuration): ManifestMeta = {
+      conf: Configuration, content: String = "data"): ManifestMeta = {
     val loc = s"$tableLocation/metadata/manifest-$snapshotId-${java.util.UUID.randomUUID()}.json"
     writeDoc(loc, mapper.writeValueAsString(files), conf)
     fileCache.synchronized(fileCache.put(loc, files))
-    ManifestMeta(loc, files.size.toLong, files.map(_.rowCount).sum, files.map(_.sizeBytes).sum)
+    ManifestMeta(loc, files.size.toLong, files.map(_.rowCount).sum, files.map(_.sizeBytes).sum,
+      content)
   }
 
   def read(location: String, conf: Configuration): Seq[DataFileMeta] = {
@@ -247,20 +271,45 @@ final class CommitConflictException(msg: String) extends IllegalStateException(m
 
 object CasCommit {
   /** Iceberg-style rebase precondition for file-replacing commits: every
-    * file this commit replaces must still be live in the (possibly
-    * concurrently-advanced) base snapshot. Appends pass trivially
-    * (`replaced` empty).
+    * file this commit replaces (or targets with tombstones) must still be
+    * live in the (possibly concurrently-advanced) base snapshot — data and
+    * delete files both count. Appends pass trivially (`replaced` empty).
     */
   def requireReplacedLive(
       base: TableMeta, replacedPaths: Set[String], operation: String, ident: String): Unit = {
     if (replacedPaths.nonEmpty) {
-      val live = base.currentFiles.map(_.path).toSet
+      val live = (base.currentFiles ++ base.currentDeleteFiles).map(_.path).toSet
       val gone = replacedPaths -- live
       if (gone.nonEmpty)
         throw new CommitConflictException(
           s"$operation on $ident: ${gone.size} file(s) this commit rewrites were " +
             s"concurrently removed or rewritten (e.g. ${gone.head}); " +
             "rewrites are serializable-or-fail — retry the whole operation")
+    }
+  }
+
+  /** The mirror-image validation for copy-on-write/compaction commits in
+    * the presence of merge-on-read writers: if a delete file landed AFTER
+    * this rewrite's scan and its tombstones may target a file the rewrite
+    * replaces, the rewrite was computed from stale rows (it would resurrect
+    * the concurrently-deleted ones) — fail, don't rebase. Coverage is
+    * judged by the delete file's `file_path` min/max range (conservative:
+    * overlap = conflict).
+    */
+  def requireNoNewDeletes(
+      scanBaseDeletePaths: Set[String], base: TableMeta, replacedPaths: Set[String],
+      operation: String, ident: String): Unit = {
+    if (replacedPaths.isEmpty) return
+    val fresh = base.currentDeleteFiles.filterNot(d => scanBaseDeletePaths(d.path))
+    val clash = fresh.find { d =>
+      val lo = d.minValues.get("file_path")
+      val hi = d.maxValues.get("file_path")
+      replacedPaths.exists(p => lo.forall(_ <= p) && hi.forall(_ >= p))
+    }
+    clash.foreach { d =>
+      throw new CommitConflictException(
+        s"$operation on $ident: delete file ${d.path} committed concurrently may target " +
+          "a file this commit rewrites; rewrites are serializable-or-fail — retry")
     }
   }
 }
@@ -390,7 +439,9 @@ object TableMeta {
 
   /** File-replacing commit (DELETE/UPDATE/MERGE/compact): manifests holding
     * a replaced file are rewritten without it; untouched manifests are
-    * carried by reference. Callers validate replaced-still-live first
+    * carried by reference. `replacedPaths` may name DELETE files too (a
+    * compaction that folded their tombstones in drops them the same way).
+    * Callers validate replaced-still-live first
     * ([[CasCommit.requireReplacedLive]]).
     */
   def withRewrite(base: TableMeta, operation: String, replacedPaths: Set[String],
@@ -404,12 +455,33 @@ object TableMeta {
         else {
           val rest = entries.filterNot(e => replacedPaths(e.path))
           if (rest.isEmpty) None
-          else Some(ManifestIO.write(base.location, snapId, rest, conf))
+          else Some(ManifestIO.write(base.location, snapId, rest, conf, mm.kind))
         }
       }
     val ms =
       if (newFiles.isEmpty) kept
       else kept :+ ManifestIO.write(base.location, snapId, newFiles, conf)
+    finish(base, snapId, operation, ms, Map.empty, conf)
+  }
+
+  /** Merge-on-read delta commit: data files (row-level inserts) and
+    * positional-delete files are APPENDED as new manifests; every existing
+    * manifest is carried by reference — no data file is rewritten, which is
+    * the whole point: a point DELETE on a 100 TB table commits O(tombstones)
+    * bytes, not O(rewritten gigabytes). Callers validate that the delete
+    * targets are still live first.
+    */
+  def withDelta(base: TableMeta, operation: String, newDataFiles: Seq[DataFileMeta],
+      newDeleteFiles: Seq[DataFileMeta], conf: Configuration): TableMeta = {
+    val snapId = base.nextSnapshotId
+    val prev = base.snapshot(base.currentSnapshotId)
+      .map(normalized(base, _, conf)).getOrElse(Nil)
+    val withData =
+      if (newDataFiles.isEmpty) prev
+      else prev :+ ManifestIO.write(base.location, snapId, newDataFiles, conf)
+    val ms =
+      if (newDeleteFiles.isEmpty) withData
+      else withData :+ ManifestIO.write(base.location, snapId, newDeleteFiles, conf, "deletes")
     finish(base, snapId, operation, ms, Map.empty, conf)
   }
 
@@ -429,12 +501,15 @@ object TableMeta {
     val listLoc =
       if (ms.isEmpty) None
       else Some(ManifestIO.writeList(base.location, snapId, ms, conf))
+    // summary counts describe DATA only (history/stats); delete manifests
+    // are subtracted at scan time, not here
+    val data = ms.filter(_.isData)
     val next = base.copy(
       currentSnapshotId = snapId,
       properties = base.properties ++ extraProps,
       snapshots = base.snapshots :+ SnapshotMeta(snapId, System.currentTimeMillis(),
         operation, Nil, listLoc,
-        ms.map(_.nFiles).sum, ms.map(_.nRows).sum, ms.map(_.nBytes).sum))
+        data.map(_.nFiles).sum, data.map(_.nRows).sum, data.map(_.nBytes).sum))
     next.ioConf = conf
     next
   }
