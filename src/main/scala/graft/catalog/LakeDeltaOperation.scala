@@ -1,0 +1,243 @@
+package graft.catalog
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/** Merge-on-read row-level operation (SupportsDelta): instead of rewriting
+  * every file that contains a matching row (copy-on-write), the write emits
+  * positional TOMBSTONES — parquet files of `(file_path, pos)` — plus data
+  * files for inserted rows, and the commit appends both as new manifests.
+  * A point DELETE on a 100 TB table commits kilobytes, not rewritten
+  * gigabytes; scans subtract tombstones per file ([[LakeMixedBatch]]) and
+  * compaction folds them away.
+  *
+  * Spark core drives everything: RewriteDeleteFromTable /
+  * RewriteUpdateTable / RewriteMergeIntoTable plan a WriteDelta over this
+  * operation's scan, with UPDATE represented as DELETE + INSERT. The row ID
+  * is the table's `_file`/`_pos` metadata columns — the same identity the
+  * reference's Iceberg metadata model gives every row.
+  *
+  * Activated per table by `write.delete.mode` / `write.update.mode` /
+  * `write.merge.mode` = 'merge-on-read' (Iceberg's property names).
+  */
+final class LakeDeltaOperation(
+    table: LakeTable,
+    cmd: RowLevelOperation.Command,
+    store: PointerStore,
+    hadoopConf: Configuration)
+  extends RowLevelOperation with SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(LakeMetaCols.File), Expressions.column(LakeMetaCols.Pos))
+
+  // UPDATE = DELETE + INSERT: one writer shape (tombstone + data) serves
+  // all three commands
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LakeScanBuilder(table.name(), table.schema(),
+      table.meta.logicalStatFiles(table.meta.currentFiles), options,
+      partitionCols = table.meta.partitionColumns,
+      l2p = table.meta.l2pMap,
+      // existing tombstones apply during the scan: a second DELETE can't
+      // re-tombstone (or resurrect) rows a first one already removed
+      deleteFiles = table.meta.currentDeleteFiles)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new LakeDeltaWrite(table, cmd, info, store, hadoopConf)
+    }
+}
+
+/** The delta write: no required distribution (tombstones and inserts flow
+  * where the scan/join produced them — no extra shuffle), but a per-task
+  * SORT so tombstones land grouped by target file (tight file_path min/max
+  * on each delete file ⇒ precise covering-delete pruning at read time) and
+  * inserted rows land clustered by partition value (the data writer rolls
+  * files on key change).
+  */
+final class LakeDeltaWrite(
+    table: LakeTable,
+    cmd: RowLevelOperation.Command,
+    info: LogicalWriteInfo,
+    store: PointerStore,
+    hadoopConf: Configuration)
+  extends DeltaWrite with RequiresDistributionAndOrdering {
+
+  override def requiredDistribution(): Distribution = Distributions.unspecified()
+
+  override def requiredOrdering(): Array[SortOrder] = {
+    val rowIdOrder = Seq(
+      Expressions.sort(Expressions.column(LakeMetaCols.File), SortDirection.ASCENDING),
+      Expressions.sort(Expressions.column(LakeMetaCols.Pos), SortDirection.ASCENDING))
+    // pure DELETE plans carry no data columns — partition columns only
+    // resolve for UPDATE/MERGE (whose plans include the full row)
+    val partOrder =
+      if (cmd == RowLevelOperation.Command.DELETE) Nil
+      else table.meta.partitionFields.map(f =>
+        Expressions.sort(f.buckets match {
+          case None => Expressions.column(f.source)
+          case Some(n) => Expressions.bucket(n, f.source)
+        }, SortDirection.ASCENDING))
+    (partOrder ++ rowIdOrder).toArray
+  }
+
+  override def toBatch: DeltaBatchWrite =
+    new LakeDeltaBatchWrite(table, cmd, info.schema(), store, hadoopConf)
+}
+
+final case class LakeDeltaCommitMessage(
+    dataFiles: Seq[DataFileMeta],
+    deleteFiles: Seq[DataFileMeta],
+    targetPaths: Seq[String]) extends WriterCommitMessage
+
+final class LakeDeltaBatchWrite(
+    table: LakeTable,
+    cmd: RowLevelOperation.Command,
+    writeSchema: StructType,
+    store: PointerStore,
+    hadoopConf: Configuration)
+  extends DeltaBatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    LakeDeltaWriterFactory(
+      ColumnMapping.toPhysical(writeSchema, table.meta.l2pMap).json,
+      s"${table.meta.location}/data",
+      s"${table.meta.location}/deletes",
+      table.meta.physicalPartitionColumns,
+      new SerializableConfiguration(hadoopConf))
+
+  /** Commit = append tombstone + insert manifests via the usual CAS swap.
+    * Rebase validation: every tombstoned data file must still be live — a
+    * concurrent compaction/CoW that rewrote one means these positions now
+    * point at a dead file and the delete would silently miss; fail instead
+    * (serializable-or-fail, same rule as rewrites).
+    */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val ms = messages.collect { case m: LakeDeltaCommitMessage => m }
+    val dataFiles = ms.flatMap(_.dataFiles).toSeq
+    val deleteFiles = ms.flatMap(_.deleteFiles).toSeq
+    val targets = ms.flatMap(_.targetPaths).toSet
+    var prevLoc = table.metadataLocation
+    var base = table.meta
+    var attempts = 0
+    while (attempts < CasRetry.maxAttempts) {
+      CasCommit.requireReplacedLive(base, targets, s"$cmd (merge-on-read)", table.ident)
+      val next = TableMeta.withDelta(base, "delta", dataFiles, deleteFiles, hadoopConf)
+      val newLoc = TableMeta.write(next, hadoopConf)
+      if (store.casUpdate(table.namespace, table.tableName, newLoc, prevLoc) == 1) {
+        table.commitSucceeded()
+        return
+      }
+      attempts += 1
+      CasRetry.backoff(attempts)
+      prevLoc = store.load(table.namespace, table.tableName).getOrElse(
+        throw new IllegalStateException(s"table ${table.ident} dropped during $cmd"))
+      base = TableMeta.read(prevLoc, hadoopConf)
+    }
+    throw new IllegalStateException(s"$cmd on ${table.ident}: CAS lost $attempts times")
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(table.meta.location).getFileSystem(hadoopConf)
+    messages.collect { case LakeDeltaCommitMessage(dfs, dels, _) =>
+      (dfs ++ dels).foreach(f => fs.delete(new Path(f.path), false))
+    }
+  }
+}
+
+final case class LakeDeltaWriterFactory(
+    physDataSchemaJson: String,
+    dataDir: String,
+    deleteDir: String,
+    physPartCols: Seq[String],
+    conf: SerializableConfiguration)
+  extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new LakeDeltaWriter(physDataSchemaJson, dataDir, deleteDir, physPartCols, conf.value,
+      partitionId, taskId)
+}
+
+/** Two lazy sub-writers behind one DeltaWriter: inserted rows stream into
+  * the standard [[LakeDataWriter]] (same files, stats, clustering as any
+  * append), tombstones stream into a second LakeDataWriter over the
+  * `(file_path, pos)` delete schema — its min/max tracking doubles as the
+  * file_path-range index the scan prunes covering deletes with. Nothing is
+  * buffered; a task that only deletes never opens a data file and vice
+  * versa.
+  */
+final class LakeDeltaWriter(
+    physDataSchemaJson: String,
+    dataDir: String,
+    deleteDir: String,
+    physPartCols: Seq[String],
+    conf: Configuration,
+    partitionId: Int,
+    taskId: Long)
+  extends DeltaWriter[InternalRow] {
+
+  private var insertW: LakeDataWriter = _
+  private var deleteW: LakeDataWriter = _
+  private val targets = scala.collection.mutable.HashSet.empty[String]
+  private val tombstone = new GenericInternalRow(2)
+
+  private def insertWriter(): LakeDataWriter = {
+    if (insertW == null)
+      insertW = new LakeDataWriter(
+        DataType.fromJson(physDataSchemaJson).asInstanceOf[StructType],
+        s"$dataDir/part-$partitionId-$taskId-${java.util.UUID.randomUUID()}",
+        physPartCols, conf)
+    insertW
+  }
+
+  private def deleteWriter(): LakeDataWriter = {
+    if (deleteW == null)
+      deleteW = new LakeDataWriter(
+        DeleteFiles.schema,
+        s"$deleteDir/delete-$partitionId-$taskId-${java.util.UUID.randomUUID()}",
+        Nil, conf)
+    deleteW
+  }
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    val file: UTF8String = id.getUTF8String(0)
+    targets += file.toString
+    tombstone.update(0, file.copy()) // id rows are reused by the exec
+    tombstone.update(1, id.getLong(1))
+    deleteWriter().write(tombstone)
+  }
+
+  override def insert(row: InternalRow): Unit = insertWriter().write(row)
+
+  // not called while representUpdateAsDeleteAndInsert = true, but complete
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    delete(meta, id); insert(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val dataFiles = Option(insertW).map(_.commit()).collect {
+      case LakeCommitMessage(fs) => fs }.getOrElse(Nil)
+    val deleteFiles = Option(deleteW).map(_.commit()).collect {
+      case LakeCommitMessage(fs) => fs }.getOrElse(Nil)
+    LakeDeltaCommitMessage(dataFiles, deleteFiles, targets.toSeq)
+  }
+
+  override def abort(): Unit = {
+    Option(insertW).foreach(_.abort())
+    Option(deleteW).foreach(_.abort())
+  }
+
+  override def close(): Unit = ()
+}

@@ -142,16 +142,28 @@ final class LakeTable(
       deleteFiles = snap.map(meta.deleteFilesOf).getOrElse(Nil))
   }
 
-  /** UPDATE / MERGE INTO via group-based copy-on-write: Spark rewrites the
+  /** Per-command write mode: 'copy-on-write' (default — rewrite affected
+    * files) or 'merge-on-read' (append positional tombstones), selected by
+    * the Iceberg-convention table properties write.delete.mode /
+    * write.update.mode / write.merge.mode.
+    */
+  private[catalog] def writeMode(cmd: RowLevelOperation.Command): String =
+    meta.properties.getOrElse(s"write.${cmd.toString.toLowerCase}.mode", "copy-on-write")
+
+  /** DELETE / UPDATE / MERGE INTO. Copy-on-write: Spark rewrites the
     * command into a ReplaceData plan whose scan this operation builds and
-    * whose write replaces exactly the files that scan covered (the
-    * operation object carries the scanned-file set from scan to commit) —
-    * one CAS swap, same atomicity as every other commit. DELETE keeps the
-    * cheaper SupportsDelete path (metadata-pruned rewrite).
+    * whose write replaces exactly the files that scan covered — one CAS
+    * swap, same atomicity as every other commit (DELETE additionally keeps
+    * the cheaper SupportsDelete metadata-pruned rewrite). Merge-on-read:
+    * a SupportsDelta operation appends tombstones instead
+    * ([[LakeDeltaOperation]]).
     */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
-    () => new LakeRowLevelOperation(this, info.command(), store, hadoopConf)
+    () =>
+      if (writeMode(info.command()) == "merge-on-read")
+        new LakeDeltaOperation(this, info.command(), store, hadoopConf)
+      else new LakeRowLevelOperation(this, info.command(), store, hadoopConf)
 
   private[catalog] def commitSucceeded(): Unit = onCommit()
 
@@ -168,7 +180,10 @@ final class LakeTable(
   // delete-by-partition-key touches only that partition's files.
 
   override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
-    filters.forall(f => FilterToColumn.translate(f).isDefined)
+    // in merge-on-read mode DELETE must take the SupportsDelta plan, not
+    // this rewrite path (OptimizeMetadataOnlyDeleteFromTable checks here)
+    writeMode(RowLevelOperation.Command.DELETE) != "merge-on-read" &&
+      filters.forall(f => FilterToColumn.translate(f).isDefined)
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
     val spark = SparkSession.active
@@ -687,7 +702,8 @@ final class LakeMixedBatch(
   override def createReaderFactory(): PartitionReaderFactory =
     new LakeReaderFactory(
       new SerializableConfiguration(SparkSession.active.sessionState.newHadoopConf()),
-      delegatePlanned.map(_._2))
+      delegatePlanned.map(_._2),
+      forceRows = tombstoned.nonEmpty)
 }
 
 /** An input partition tagged with its partition-key row. */

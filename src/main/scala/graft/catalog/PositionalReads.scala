@@ -124,13 +124,17 @@ final case class PositionalInputPartition(
     metaCols: Seq[String]) extends InputPartition
 
 /** Dispatches positional partitions to the row reader and everything else
-  * to the delegated vectorized parquet factory — one scan can mix
-  * vectorized clean files with row-based tombstoned files, so merge-on-read
-  * only taxes the files that actually have pending deletes.
+  * to the delegated parquet factory. Spark requires every partition of one
+  * scan to agree on columnar support (DataSourceV2ScanExecBase), so when a
+  * scan mixes clean files with tombstoned ones (`forceRows`), clean
+  * partitions read through the delegate's ROW-based parquet reader — they
+  * keep split planning and row-group pruning, only losing vectorization
+  * until compaction folds the tombstones away.
   */
 final class LakeReaderFactory(
     conf: SerializableConfiguration,
-    delegate: Option[PartitionReaderFactory]) extends PartitionReaderFactory {
+    delegate: Option[PartitionReaderFactory],
+    forceRows: Boolean) extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
     case pp: PositionalInputPartition => new PositionalRowReader(pp, conf.value)
@@ -143,7 +147,7 @@ final class LakeReaderFactory(
   }
   override def supportColumnarReads(p: InputPartition): Boolean = p match {
     case _: PositionalInputPartition => false
-    case other => delegate.exists(_.supportColumnarReads(other))
+    case other => !forceRows && delegate.exists(_.supportColumnarReads(other))
   }
 }
 

@@ -15,6 +15,15 @@ class MergeOnReadSpec extends AnyFunSuite {
 
   private def uniq(p: String) = s"$p${System.nanoTime() % 1000000}"
 
+  /** Fresh metadata for `lake.ns.name` straight from the pointer store. */
+  private def lakeMeta(t: String): TableMeta = {
+    val Array(cat, ns, name) = t.split('.')
+    val c = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    c.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array(ns), name))
+      .asInstanceOf[LakeTable].meta
+  }
+
   test("_file/_pos metadata columns: queryable, unique per row, stable across files") {
     val t = s"lake.mor.${uniq("meta")}"
     spark.sql(s"CREATE TABLE $t (id INT, v STRING)")
@@ -34,6 +43,75 @@ class MergeOnReadSpec extends AnyFunSuite {
     }
     // data values still correct through the positional reader
     assert(rows.map(_.getInt(0)).sorted.sameElements(0 until 150))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("merge-on-read DELETE: tombstones, no data file rewritten, correct rows") {
+    val t = s"lake.mor.${uniq("del")}"
+    spark.sql(s"CREATE TABLE $t (id INT, v STRING) TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('v', id) FROM range(0, 1000)")
+    val filesBefore = lakeMeta(t).currentFiles.map(_.path).toSet
+
+    spark.sql(s"DELETE FROM $t WHERE id % 10 = 3")
+
+    val meta = lakeMeta(t)
+    // data files untouched — that's the whole point of merge-on-read
+    assert(meta.currentFiles.map(_.path).toSet == filesBefore,
+      "MoR delete must not rewrite data files")
+    assert(meta.currentDeleteFiles.nonEmpty, "tombstone file(s) committed")
+    assert(meta.snapshot(meta.currentSnapshotId).get.operation == "delta")
+
+    // scan subtracts tombstones
+    assert(spark.table(t).count() == 900)
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE id % 10 = 3").collect()(0).getLong(0) == 0)
+    // untouched rows intact, values correct
+    assert(spark.sql(s"SELECT sum(id) FROM $t").collect()(0).getLong(0) ==
+      (0 until 1000).filterNot(_ % 10 == 3).sum)
+
+    // second MoR delete stacks on the first
+    spark.sql(s"DELETE FROM $t WHERE id < 100")
+    assert(spark.table(t).count() == 810) // 900 - 90 survivors of first delete under 100
+
+    // time travel: pre-delete snapshot still reads all 1000 rows
+    val v1 = meta.snapshots.head.snapshotId
+    assert(spark.read.option("snapshot-id", v1.toString).table(t).count() == 1000)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("merge-on-read UPDATE: delete+insert delta, values updated in place") {
+    val t = s"lake.mor.${uniq("upd")}"
+    spark.sql(s"CREATE TABLE $t (id INT, v STRING) TBLPROPERTIES ('write.update.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('v', id) FROM range(0, 500)")
+    val filesBefore = lakeMeta(t).currentFiles.map(_.path).toSet
+
+    spark.sql(s"UPDATE $t SET v = 'updated' WHERE id % 100 = 7")
+
+    val meta = lakeMeta(t)
+    // original files still present; new data files carry only the 5 updated rows
+    assert(filesBefore.subsetOf(meta.currentFiles.map(_.path).toSet))
+    assert(meta.currentDeleteFiles.nonEmpty)
+    assert(spark.table(t).count() == 500, "update must not change row count")
+    val updated = spark.sql(s"SELECT id FROM $t WHERE v = 'updated'").collect().map(_.getInt(0))
+    assert(updated.sorted.sameElements(Array(7, 107, 207, 307, 407)))
+    // non-matching rows untouched
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE v = concat('v', id)").collect()(0)
+      .getLong(0) == 495)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("merge-on-read MERGE INTO: matched update + not-matched insert") {
+    val t = s"lake.mor.${uniq("mrg")}"
+    spark.sql(s"CREATE TABLE $t (id INT, v STRING) TBLPROPERTIES ('write.merge.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('v', id) FROM range(0, 100)")
+    spark.sql(
+      s"""MERGE INTO $t USING (SELECT id FROM range(90, 110)) s
+         |ON $t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = 'merged'
+         |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, 'inserted')""".stripMargin)
+    assert(spark.table(t).count() == 110)
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE v = 'merged'").collect()(0).getLong(0) == 10)
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE v = 'inserted'").collect()(0).getLong(0) == 10)
+    assert(lakeMeta(t).currentDeleteFiles.nonEmpty)
     spark.sql(s"DROP TABLE $t")
   }
 
