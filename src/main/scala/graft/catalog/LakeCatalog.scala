@@ -34,7 +34,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
   private var catalogName: String = _
   private var warehouse: String = _
   private var store: PointerStore = _
-  private[catalog] def pointerStore: PointerStore = store
+  private[graft] def pointerStore: PointerStore = store
   private var hadoopConf: Configuration = _
   // loadTable cache; invalidateTable (unimplemented in the reference,
   // mod.rs:238-240 — a declared gap we fix) evicts.

@@ -37,8 +37,13 @@ object LakeMaintenance {
       targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val (cat, ident, t) = resolve(spark, table)
     val current = t.meta.currentFiles
-    val small = current.filter(_.sizeBytes < smallFileBytes)
-    if (small.size < 2) return (current.size, current.size)
+    val deletes = t.meta.currentDeleteFiles
+    // merge-on-read tombstoned files compact regardless of size: folding
+    // their tombstones away is what puts them back on the vectorized path
+    val small = current.filter(f => f.sizeBytes < smallFileBytes ||
+      TombstoneRewrite.covering(deletes, Seq(f.path)).nonEmpty)
+    if (small.size < 2 && !(small.size == 1 && deletes.nonEmpty))
+      return (current.size, current.size)
     val keep = current.filterNot(small.toSet)
     val hadoopConf = spark.sessionState.newHadoopConf()
     // distributed rewrite of the small files; requesting coalesce to the
@@ -48,7 +53,10 @@ object LakeMaintenance {
     // the whole rewrite happens under PHYSICAL column names (what the files
     // carry); no logical relabeling is needed since no user predicate runs
     val physCols = t.meta.physicalPartitionColumns
-    val df = spark.read.schema(t.meta.physicalSchema).parquet(small.map(_.path): _*)
+    val covering = TombstoneRewrite.covering(deletes, small.map(_.path))
+    val df = TombstoneRewrite.subtract(spark,
+      spark.read.schema(t.meta.physicalSchema).parquet(small.map(_.path): _*),
+      small.map(_.path), covering, hadoopConf)
     // cluster by the partition key: the column itself, or for bucket specs
     // the SAME murmur3 hash the writer/stats use (SQL pmod(hash(c), n) ==
     // BucketHash by construction — both are Spark murmur3, seed 42)
@@ -70,8 +78,12 @@ object LakeMaintenance {
       Iterator.single(w.commit())
     }.collect().toSeq.collect { case LakeCommitMessage(fs) => fs }.flatten
 
+    val replaced = small.map(_.path).toSet
+    val foldedDeletes = TombstoneRewrite.foldable(spark, covering, replaced, hadoopConf)
     commitManifest(cat, ident, t, hadoopConf, "compact",
-      replacedPaths = small.map(_.path).toSet, newFiles = newFiles)
+      replacedPaths = replaced ++ foldedDeletes, newFiles = newFiles,
+      scanDeletePaths = deletes.map(_.path).toSet,
+      rewrittenDataPaths = replaced)
     (current.size, keep.size + newFiles.size)
   }
 
@@ -139,12 +151,16 @@ object LakeMaintenance {
       hadoopConf: org.apache.hadoop.conf.Configuration,
       operation: String,
       replacedPaths: Set[String],
-      newFiles: Seq[DataFileMeta]): Unit = {
+      newFiles: Seq[DataFileMeta],
+      scanDeletePaths: Set[String] = Set.empty,
+      rewrittenDataPaths: Set[String] = Set.empty): Unit = {
     var prevLoc = t0.metadataLocation
     var base = t0.meta
     var attempts = 0
     while (attempts < CasRetry.maxAttempts) {
       CasCommit.requireReplacedLive(base, replacedPaths, operation, t0.ident)
+      CasCommit.requireNoNewDeletes(scanDeletePaths, base, rewrittenDataPaths,
+        operation, t0.ident)
       val next = TableMeta.withRewrite(base, operation, replacedPaths, newFiles, hadoopConf)
       val newLoc = TableMeta.write(next, hadoopConf)
       if (cat.pointerStore.casUpdate(ident.namespace()(0), ident.name(), newLoc, prevLoc) == 1) {

@@ -192,16 +192,23 @@ final class LakeTable(
     // prune with logically-keyed stats (filters reference logical names)
     val affected = meta.logicalStatFiles(meta.currentFiles).filter(f =>
       filters.forall(fl => FilterToColumn.mayMatch(fl, f)))
+    val affectedPaths = affected.map(_.path).toSet
+    val scanDeletes = meta.currentDeleteFiles
+    val covering = TombstoneRewrite.covering(scanDeletes, affected.map(_.path))
     val newFiles: Seq[DataFileMeta] =
       if (affected.isEmpty) Nil
       else {
         // survivors are rows where the delete condition is false OR NULL —
         // SQL DELETE only removes rows where the predicate is TRUE, and
         // !NULL = NULL would silently drop null-valued rows from the rewrite.
-        // Files are read under physical names, relabeled logical for the
-        // predicate, and rewritten under physical names (same positions).
-        val survivors = spark.read.schema(meta.physicalSchema)
+        // Pending merge-on-read tombstones are folded in (subtracted) before
+        // the predicate. Files are read under physical names, relabeled
+        // logical for the predicate, rewritten under physical names.
+        val raw = spark.read.schema(meta.physicalSchema)
           .parquet(affected.map(_.path): _*)
+        val untombed = TombstoneRewrite.subtract(spark, raw, affected.map(_.path),
+          covering, hadoopConf)
+        val survivors = untombed
           .toDF(schema().fieldNames.toIndexedSeq: _*)
           .filter(!org.apache.spark.sql.functions.coalesce(
             cond, org.apache.spark.sql.functions.lit(false)))
@@ -213,16 +220,24 @@ final class LakeTable(
           Iterator.single(w.commit())
         }.collect().toSeq.collect { case LakeCommitMessage(fs) => fs }.flatten
       }
+    // delete files whose tombstones were all folded into this rewrite die
+    // with it — that's what puts the surviving files back on the
+    // vectorized read path
+    val foldedDeletes = TombstoneRewrite.foldable(spark, covering, affectedPaths, hadoopConf)
+    val scanDeletePaths = scanDeletes.map(_.path).toSet
     var prevLoc = metadataLocation
     var base = meta
     var attempts = 0
-    val affectedPaths = affected.map(_.path).toSet
     while (attempts < CasRetry.maxAttempts) {
       // rebase against concurrent appends: keep everything currently live
       // except the files this delete rewrote — but only if those files ARE
-      // still live; a concurrent rewrite of them must fail this commit
-      CasCommit.requireReplacedLive(base, affectedPaths, "DELETE", ident)
-      val next = TableMeta.withRewrite(base, "delete", affectedPaths, newFiles, hadoopConf)
+      // still live (a concurrent rewrite must fail this commit) and no
+      // concurrent merge-on-read tombstones target them (this rewrite was
+      // computed without those deletes and would resurrect their rows)
+      CasCommit.requireReplacedLive(base, affectedPaths ++ foldedDeletes, "DELETE", ident)
+      CasCommit.requireNoNewDeletes(scanDeletePaths, base, affectedPaths, "DELETE", ident)
+      val next = TableMeta.withRewrite(base, "delete", affectedPaths ++ foldedDeletes,
+        newFiles, hadoopConf)
       val newLoc = TableMeta.write(next, hadoopConf)
       if (store.casUpdate(namespace, tableName, newLoc, prevLoc) == 1) {
         commitSucceeded()
@@ -346,14 +361,26 @@ final class LakeRowLevelOperation(
         override def commit(messages: Array[WriterCommitMessage]): Unit = {
           val newFiles = messages.collect { case LakeCommitMessage(fs) => fs }.flatten.toSeq
           val replacedPaths = scanned.map(_.path).toSet
+          // tombstones applied by the scan are folded into the rewrite;
+          // delete files left with no live targets die with this commit
+          val spark = SparkSession.active
+          val scanDeletes = table.meta.currentDeleteFiles
+          val foldedDeletes = TombstoneRewrite.foldable(spark,
+            TombstoneRewrite.covering(scanDeletes, scanned.map(_.path)),
+            replacedPaths, hadoopConf)
+          val scanDeletePaths = scanDeletes.map(_.path).toSet
           var prevLoc = table.metadataLocation
           var base = table.meta
           var attempts = 0
           while (attempts < CasRetry.maxAttempts) {
-            // a concurrent rewrite of any scanned file invalidates this CoW
-            CasCommit.requireReplacedLive(base, replacedPaths, cmd.toString, table.ident)
-            val next = TableMeta.withRewrite(base, "replace-rows", replacedPaths,
-              newFiles, hadoopConf)
+            // a concurrent rewrite of any scanned file invalidates this CoW,
+            // and so does a concurrent merge-on-read tombstone targeting one
+            CasCommit.requireReplacedLive(base, replacedPaths ++ foldedDeletes,
+              cmd.toString, table.ident)
+            CasCommit.requireNoNewDeletes(scanDeletePaths, base, replacedPaths,
+              cmd.toString, table.ident)
+            val next = TableMeta.withRewrite(base, "replace-rows",
+              replacedPaths ++ foldedDeletes, newFiles, hadoopConf)
             val newLoc = TableMeta.write(next, hadoopConf)
             if (store.casUpdate(table.namespace, table.tableName, newLoc, prevLoc) == 1) {
               table.commitSucceeded()

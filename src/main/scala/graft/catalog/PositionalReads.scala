@@ -113,6 +113,68 @@ object PositionalParquet {
   }
 }
 
+/** Driver-side tombstone handling for copy-on-write rewrite jobs (CoW
+  * DELETE, compaction): they read the affected parquet files directly with
+  * the V1 reader, so pending merge-on-read tombstones must be subtracted
+  * explicitly — an anti-join on `(_metadata.file_path, _metadata.row_index)`,
+  * the V1 reader's native row identity. Rewriting a tombstoned file FOLDS
+  * its tombstones in; delete files whose every remaining target dies with
+  * the rewrite are dropped from the table in the same commit (that's what
+  * puts files back on the vectorized read path).
+  */
+object TombstoneRewrite {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.functions.{col, input_file_name, substring_index}
+
+  // _metadata.file_path / input_file_name report qualified URIs
+  // ("file:///…"), manifests store the writer's paths verbatim; every file
+  // NAME carries a task UUID and is globally unique, so matching on the
+  // last path segment sidesteps URI-form normalization entirely
+  private def nameOf(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+
+  /** Delete files whose file_path range may cover any of `dataPaths`. */
+  def covering(deletes: Seq[DataFileMeta], dataPaths: Seq[String]): Seq[DataFileMeta] =
+    deletes.filter(d => DeleteFiles.coversAny(d, dataPaths))
+
+  /** Subtract the tombstoned rows of `dataPaths` from `raw` (a V1 parquet
+    * read of exactly those files). No-op without covering deletes.
+    */
+  def subtract(spark: SparkSession, raw: DataFrame, dataPaths: Seq[String],
+      coveringDeletes: Seq[DataFileMeta], conf: Configuration): DataFrame = {
+    if (coveringDeletes.isEmpty) return raw
+    val dels = spark.read.schema(DeleteFiles.schema)
+      .parquet(coveringDeletes.map(_.path): _*)
+      .select(substring_index(col(DeleteFiles.FilePathCol), "/", -1).as("__dname"),
+        col(DeleteFiles.PosCol).as("__dpos"))
+    val withId = raw
+      .withColumn("__gname", substring_index(col("_metadata.file_path"), "/", -1))
+      .withColumn("__gpos", col("_metadata.row_index"))
+    withId
+      .join(dels, withId("__gname") === dels("__dname") && withId("__gpos") === dels("__dpos"),
+        "left_anti")
+      .drop("__gname", "__gpos")
+  }
+
+  /** Delete files every one of whose targets is in `replacedPaths` — their
+    * tombstones were folded into the rewrite, so the commit can drop them
+    * (pass their paths into `withRewrite.replacedPaths`). Exact, not
+    * range-based: reads the distinct target list of each candidate delete
+    * file (one small driver job).
+    */
+  def foldable(spark: SparkSession, coveringDeletes: Seq[DataFileMeta],
+      replacedPaths: Set[String], conf: Configuration): Set[String] = {
+    if (coveringDeletes.isEmpty) return Set.empty
+    val n2m = coveringDeletes.map(d => nameOf(d.path) -> d.path).toMap
+    val targets = spark.read.schema(DeleteFiles.schema)
+      .parquet(coveringDeletes.map(_.path): _*)
+      .select(input_file_name().as("src"), col(DeleteFiles.FilePathCol))
+      .distinct().collect()
+      .groupBy(r => n2m.getOrElse(nameOf(r.getString(0)), r.getString(0)))
+      .map { case (src, rs) => src -> rs.map(_.getString(1)).toSet }
+    targets.collect { case (src, ts) if ts.subsetOf(replacedPaths) => src }.toSet
+  }
+}
+
 /** One data file read positionally: the whole file, minus tombstoned
   * positions, optionally extended with the `_file`/`_pos` metadata columns
   * (in `metaCols` order, appended after the data columns).

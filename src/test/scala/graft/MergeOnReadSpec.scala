@@ -15,6 +15,9 @@ class MergeOnReadSpec extends AnyFunSuite {
 
   private def uniq(p: String) = s"$p${System.nanoTime() % 1000000}"
 
+  private def lakeStore: PointerStore =
+    spark.sessionState.catalogManager.catalog("lake").asInstanceOf[LakeCatalog].pointerStore
+
   /** Fresh metadata for `lake.ns.name` straight from the pointer store. */
   private def lakeMeta(t: String): TableMeta = {
     val Array(cat, ns, name) = t.split('.')
@@ -112,6 +115,76 @@ class MergeOnReadSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $t WHERE v = 'merged'").collect()(0).getLong(0) == 10)
     assert(spark.sql(s"SELECT count(*) FROM $t WHERE v = 'inserted'").collect()(0).getLong(0) == 10)
     assert(lakeMeta(t).currentDeleteFiles.nonEmpty)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("compaction folds tombstones: delete files dropped, rows unchanged, back on vectorized path") {
+    val t = s"lake.mor.${uniq("cmp")}"
+    spark.sql(s"CREATE TABLE $t (id INT, v STRING) TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('v', id) FROM range(0, 1000)")
+    spark.sql(s"DELETE FROM $t WHERE id % 7 = 0")
+    val expect = (0 until 1000).filterNot(_ % 7 == 0)
+    assert(spark.table(t).count() == expect.size)
+    assert(lakeMeta(t).currentDeleteFiles.nonEmpty)
+
+    LakeMaintenance.compact(spark, t)
+
+    val meta = lakeMeta(t)
+    assert(meta.currentDeleteFiles.isEmpty, "compaction must fold tombstones away")
+    assert(spark.table(t).count() == expect.size)
+    assert(spark.sql(s"SELECT sum(id) FROM $t").collect()(0).getLong(0) == expect.map(_.toLong).sum)
+    // back on the vectorized path: scan plan no longer mentions positional rows
+    val postCompactPlan = spark.table(t).queryExecution.executedPlan
+    assert(postCompactPlan.toString.contains("LakeScan"))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("copy-on-write DELETE on a tombstoned table folds the tombstones, no resurrection") {
+    val t = s"lake.mor.${uniq("cow")}"
+    spark.sql(s"CREATE TABLE $t (id INT, v STRING) TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('v', id) FROM range(0, 400)")
+    spark.sql(s"DELETE FROM $t WHERE id < 50") // MoR: tombstones
+    assert(lakeMeta(t).currentDeleteFiles.nonEmpty)
+
+    // switch to copy-on-write and delete a range overlapping the tombstoned
+    // file — the rewrite must subtract the pending tombstones (NOT
+    // resurrect ids 0-49), and tombstones for rewritten files fold away
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('write.delete.mode'='copy-on-write')")
+    spark.sql(s"DELETE FROM $t WHERE id >= 90 AND id < 110")
+    assert(spark.table(t).count() == 400 - 50 - 20)
+    assert(spark.sql(s"SELECT min(id) FROM $t").collect()(0).getInt(0) == 50,
+      "tombstoned ids 0-49 must not resurrect through the CoW rewrite")
+    // every tombstone targeted a file the CoW delete rewrote → all folded
+    assert(lakeMeta(t).currentDeleteFiles.isEmpty,
+      "CoW rewrite of all tombstoned files must drop the folded delete files")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("MoR delete commit fails if its target file was concurrently compacted away") {
+    val t = s"lake.mor.${uniq("race")}"
+    spark.sql(s"CREATE TABLE $t (id INT, v STRING) TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('v', id) FROM range(0, 100)")
+    val table = {
+      val c = spark.sessionState.catalogManager.catalog("lake")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      val Array(_, ns, name) = t.split('.')
+      c.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array(ns), name))
+        .asInstanceOf[LakeTable]
+    }
+    // forge a delta commit whose target was already compacted away
+    val target = table.meta.currentFiles.head.path
+    spark.sql(s"INSERT INTO $t SELECT id, concat('v', id) FROM range(100, 200)")
+    LakeMaintenance.compact(spark, t, smallFileBytes = Long.MaxValue)
+    val batchWrite = new LakeDeltaBatchWrite(table,
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE,
+      table.meta.schema, lakeStore, new org.apache.hadoop.conf.Configuration())
+    val msg = LakeDeltaCommitMessage(Nil,
+      Seq(DataFileMeta(s"${table.meta.location}/deletes/fake.parquet", 1, 10,
+        Map("file_path" -> target), Map("file_path" -> target))),
+      Seq(target))
+    intercept[CommitConflictException] {
+      batchWrite.commit(Array(msg))
+    }
     spark.sql(s"DROP TABLE $t")
   }
 
