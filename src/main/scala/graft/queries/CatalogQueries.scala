@@ -47,5 +47,33 @@ object CatalogQueries {
         """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
           |FROM lake.verify.cust_tt VERSION AS OF 1
           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    },
+
+    QueryDef.df(
+      "q55_mor_roundtrip",
+      // Oracle = the same subset with the DELETE predicate excluded and the
+      // UPDATE applied as a CASE: a hash match proves the merge-on-read
+      // DELETE (positional tombstones) and UPDATE (delete+insert delta)
+      // produce exactly the rows a from-scratch computation would.
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  sum(CASE WHEN l_orderkey % 10 = 0 THEN l_quantity * 2 ELSE l_quantity END) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 5 = 0 AND l_returnflag <> 'A'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS lake.verify")
+      s.sql("DROP TABLE IF EXISTS lake.verify.li_mor")
+      s.sql(
+        """CREATE TABLE lake.verify.li_mor
+          |TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+          |               'write.update.mode'='merge-on-read')
+          |AS SELECT l_orderkey, l_quantity, l_returnflag
+          |FROM lineitem WHERE l_orderkey % 5 = 0""".stripMargin)
+      // MoR DELETE: appends tombstones, rewrites no data file
+      s.sql("DELETE FROM lake.verify.li_mor WHERE l_returnflag = 'A'")
+      // MoR UPDATE: tombstone + insert delta
+      s.sql("UPDATE lake.verify.li_mor SET l_quantity = l_quantity * 2 WHERE l_orderkey % 10 = 0")
+      s.sql(
+        """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, sum(l_quantity) AS sum_qty
+          |FROM lake.verify.li_mor GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     })
 }

@@ -636,5 +636,102 @@ object LlmPipeline {
           sum((col("fake_width") * col("fake_height")).cast("long")).as("total_pixels"),
           max(col("fake_frames").cast("long")).as("max_frames"))
         .orderBy("source")
+    },
+
+    // ───── q56: dedup clusters = connected components over near-dup pairs ─
+    // Pairs say "these two are dups"; a pipeline needs CLUSTERS (keep one
+    // canonical doc per group). Candidate pairs here are the SQL-expressible
+    // relation (same lang, |n_chars diff| <= 2) so DuckDB can oracle the
+    // transitive closure with a recursive CTE; the Spark side generates the
+    // SAME pairs via a banded equi-join (n_chars bucketed by 3, each doc
+    // probes its own and both neighbor buckets — an equi-shuffle, never a
+    // theta-join), then runs alternating large-star/small-star CC
+    // (O(log² n) rounds, diameter-independent — see ConnectedComponents).
+    QueryDef.df(
+      "q56_dedup_components",
+      """WITH RECURSIVE edges AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v FROM documents a JOIN documents b
+        |  ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 2 AND a.doc_id <> b.doc_id
+        |),
+        |reach(node, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+        |),
+        |comp AS (SELECT node, min(lbl) AS comp FROM reach GROUP BY node)
+        |SELECT comp, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM comp GROUP BY comp HAVING count(*) > 1 ORDER BY comp""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      // banded candidate join: bucket = n_chars/3; |diff|<=2 ⇒ buckets
+      // differ by at most 1, so probing {b-1, b, b+1} covers every pair
+      // exactly once — pure equi-join on (lang, bucket), shuffle-friendly
+      val bucketed = d.withColumn("b", floor(col("n_chars") / 3))
+      val probes = bucketed.withColumn("pb", explode(array(
+        col("b") - 1, col("b"), col("b") + 1)))
+      val edges = probes.as("a").join(bucketed.as("b"),
+          col("a.lang") === col("b.lang") && col("a.pb") === col("b.b") &&
+            col("a.doc_id") =!= col("b.doc_id") &&
+            abs(col("a.n_chars") - col("b.n_chars")) <= 2)
+        .select(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
+      val comp = graft.functions.ConnectedComponents.run(
+        d.select(col("doc_id").as("node")), edges)
+      comp.groupBy("comp").agg(count(lit(1)).as("n_docs"))
+        .where(col("n_docs") > 1)
+        .orderBy("comp")
+    },
+
+    // ───── q57: deterministic (reproducible) stratified sampling ─────────
+    // Training-data mixes need samples that are stable across reruns,
+    // engines, and partitionings: keep a doc iff a hash of its KEY falls
+    // under the stratum's rate — no RNG, no partition-order dependence.
+    // md5 is bit-identical in Spark and DuckDB, so the oracle IS the
+    // definition. Rates: 50% of 'en' docs (8/16), 25% of the rest (4/16).
+    QueryDef.df(
+      "q57_deterministic_sample",
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(count(*) FILTER (WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
+        |    CASE WHEN lang = 'en' THEN '8' ELSE '4' END) AS BIGINT) AS n_sampled
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val rate = when(col("lang") === "en", lit("8")).otherwise(lit("4"))
+      val keep = substring(md5(col("doc_id").cast("string")), 1, 1) < rate
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          count_if(keep).as("n_sampled"))
+        .orderBy("lang")
+    },
+
+    // ───── q58: TF-IDF top terms (corpus keyword extraction) ─────────────
+    // One exploded-token pass -> per-term total tf + df, score =
+    // tf·ln(N/df). Aggregates are exact (integer counts); the single
+    // ln/multiply is rounded to 6 decimals on both sides for IEEE parity.
+    // Top-k is TakeOrderedAndProject (per-partition heads + merge), never
+    // a global sort; ties broken by term for determinism.
+    QueryDef.df(
+      "q58_tfidf_terms",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+        |  FROM documents
+        |),
+        |tf AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS tf,
+        |         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM toks WHERE len(term) >= 3 GROUP BY term
+        |)
+        |SELECT term, tf, df,
+        |  CAST(round(tf * ln((SELECT count(*) FROM documents) / CAST(df AS DOUBLE)), 6)
+        |    AS DOUBLE) AS tfidf
+        |FROM tf ORDER BY tfidf DESC, term LIMIT 25""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val n = docs.count().toDouble
+      docs
+        .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+        .where(length(col("term")) >= 3)
+        .groupBy("term")
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .select(col("term"), col("tf"), col("df"),
+          round(col("tf") * log(lit(n) / col("df").cast("double")), 6).as("tfidf"))
+        .orderBy(col("tfidf").desc, col("term"))
+        .limit(25)
     })
 }

@@ -66,7 +66,11 @@ class GoldenSpec extends AnyFunSuite {
     "q51_ann_ivf" -> 10L,
     "q52_ann_index_probe" -> 10L,
     "q53_ngram_jaccard_join" -> 28L,
-    "q54_image_decode" -> 20L)
+    "q54_image_decode" -> 20L,
+    "q55_mor_roundtrip" -> 2L,
+    "q56_dedup_components" -> 117L,
+    "q57_deterministic_sample" -> 5L,
+    "q58_tfidf_terms" -> 25L)
 
   test("every registered query has a golden count (add one when adding a query)") {
     assert(SparkEntry.queries.keySet == golden.keySet,

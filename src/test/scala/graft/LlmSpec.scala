@@ -282,4 +282,42 @@ class LlmSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator, got:\n$plan")
   }
+
+  test("connected components: 200-hop chain converges in O(log n) rounds, one component") {
+    // a naive label-propagation loop needs 200 rounds (diameter); the
+    // large-star/small-star pair must finish well inside maxIter=50 —
+    // convergence itself is the assertion (run() throws otherwise)
+    val nodes = spark.range(0, 200).toDF("node")
+    val edges = spark.range(0, 199).select($"id".as("u"), ($"id" + 1).as("v"))
+    val comp = graft.functions.ConnectedComponents.run(nodes, edges)
+    val roots = comp.select("comp").distinct().collect().map(_.getLong(0))
+    assert(roots.sameElements(Array(0L)), "one chain = one component rooted at the min id")
+  }
+
+  test("connected components: mixed rings + isolated nodes match brute force") {
+    // ring 0-4, ring 10-12, isolated 20/21; edge directions arbitrary
+    val edgePairs = Seq((0L,1L),(1L,2L),(2L,3L),(3L,4L),(4L,0L),
+      (11L,10L),(12L,11L),(10L,12L),(12L,12L))
+    val nodes = (Seq(20L, 21L) ++ edgePairs.flatMap(e => Seq(e._1, e._2))).distinct
+    val comp = graft.functions.ConnectedComponents.run(
+      nodes.toDF("node"), edgePairs.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 4L).forall(comp(_) == 0L))
+    assert((10L to 12L).forall(comp(_) == 10L))
+    assert(comp(20L) == 20L && comp(21L) == 21L)
+  }
+
+  test("q56 components are maximal: no edge crosses two components") {
+    val d = graft.Tables.t(spark, sf, "documents").select($"doc_id", $"lang", $"n_chars")
+    val edges = d.as("a").join(d.as("b"),
+        $"a.lang" === $"b.lang" && abs($"a.n_chars" - $"b.n_chars") <= 2 &&
+          $"a.doc_id" =!= $"b.doc_id")
+      .select($"a.doc_id".as("u"), $"b.doc_id".as("v"))
+    val comp = graft.functions.ConnectedComponents.run(
+      d.select($"doc_id".as("node")), edges)
+    val crossing = edges.join(comp.withColumnRenamed("node", "u").withColumnRenamed("comp", "cu"), "u")
+      .join(comp.withColumnRenamed("node", "v").withColumnRenamed("comp", "cv"), "v")
+      .where($"cu" =!= $"cv").count()
+    assert(crossing == 0L, "every edge must connect nodes of the same component")
+  }
 }
