@@ -82,9 +82,24 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
     t
   }
 
-  /** `VERSION AS OF <snapshotId>` time travel. */
-  override def loadTable(ident: Identifier, version: String): Table =
-    doLoad(ident, Some(version.toLong))
+  /** `VERSION AS OF <snapshotId | 'tagName'>` time travel: a numeric
+    * version pins that snapshot id; a non-numeric one resolves through the
+    * table's snapshot TAGS (`tag.<name>` properties — named, expiration-
+    * protected pointers into history, Iceberg's tag concept).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val snapId = version.toLongOption.getOrElse {
+      val loc = store.load(ns(ident.namespace()), ident.name())
+        .getOrElse(throw new NoSuchTableException(ident))
+      val meta = TableMeta.read(loc, hadoopConf)
+      meta.properties.get(s"tag.$version").map(_.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          s"no tag '$version' on ${display(ident)}; tags: " +
+            meta.properties.keys.filter(_.startsWith("tag."))
+              .map(_.stripPrefix("tag.")).toSeq.sorted.mkString(", ")))
+    }
+    doLoad(ident, Some(snapId))
+  }
 
   /** `FOR TIMESTAMP AS OF <ts>` time travel: resolve the latest snapshot
     * committed at or before the timestamp (TableCatalog passes MICROseconds

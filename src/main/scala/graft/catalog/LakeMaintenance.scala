@@ -96,8 +96,12 @@ object LakeMaintenance {
     require(keepLast >= 1, "must retain at least the current snapshot")
     val (cat, ident, t) = resolve(spark, table)
     val hadoopConf = spark.sessionState.newHadoopConf()
+    // TAGGED snapshots never expire — a tag is a promise that
+    // `VERSION AS OF 'name'` keeps resolving
+    val tagged = t.meta.properties.collect {
+      case (k, v) if k.startsWith("tag.") => v.toLong }.toSet
     val retainedIds = t.meta.snapshots.sortBy(_.snapshotId).takeRight(keepLast)
-      .map(_.snapshotId).toSet + t.meta.currentSnapshotId
+      .map(_.snapshotId).toSet + t.meta.currentSnapshotId ++ tagged
     val (retained, expired) = t.meta.snapshots.partition(s => retainedIds.contains(s.snapshotId))
     // data AND delete files: orphaned when no retained snapshot references them
     val live = retained.flatMap(t.meta.allFilesOf).map(_.path).toSet
@@ -120,6 +124,85 @@ object LakeMaintenance {
     orphaned.foreach(p => fs.delete(new Path(p), false))
     orphanedManifests.foreach(p => fs.delete(new Path(p), false))
     orphaned.size
+  }
+
+  /** Tag a snapshot with a stable name: `VERSION AS OF 'name'` resolves it
+    * and [[expireSnapshots]] retains it until the tag is removed
+    * (Iceberg's tag semantics). Defaults to the current snapshot. A
+    * metadata-only CAS commit — no snapshot is added.
+    */
+  def createTag(spark: SparkSession, table: String, tag: String,
+      snapshotId: Option[Long] = None): Long = {
+    require(tag.nonEmpty && !tag.forall(_.isDigit),
+      s"tag '$tag' must be non-numeric (numeric versions are snapshot ids)")
+    val (cat, ident, t) = resolve(spark, table)
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val id = snapshotId.getOrElse(t.meta.currentSnapshotId)
+    require(t.meta.snapshot(id).isDefined, s"no snapshot $id on $table to tag")
+    require(!t.meta.properties.contains(s"tag.$tag"), s"tag '$tag' already exists on $table")
+    commitProperties(cat, ident, t, hadoopConf, _ + (s"tag.$tag" -> id.toString))
+    id
+  }
+
+  def removeTag(spark: SparkSession, table: String, tag: String): Unit = {
+    val (cat, ident, t) = resolve(spark, table)
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    require(t.meta.properties.contains(s"tag.$tag"), s"no tag '$tag' on $table")
+    commitProperties(cat, ident, t, hadoopConf, _ - s"tag.$tag")
+  }
+
+  /** Change the table's partition spec going forward — Iceberg's partition
+    * EVOLUTION. Because partitioning here is pure metadata (clustered
+    * writes + per-file stats; no directory layout), evolution is a
+    * metadata-only commit: files written under the old spec stay exactly
+    * as they are and keep pruning by their min/max stats; files written
+    * after cluster by the new spec. Mixed-spec tables simply lose
+    * storage-partitioned joins until rewritten (the SPJ key-parser detects
+    * non-clustered files and falls back to normal planning); a compaction
+    * re-clusters everything under the new spec.
+    */
+  def setPartitionSpec(spark: SparkSession, table: String, spec: Seq[String]): Unit = {
+    val (cat, ident, t) = resolve(spark, table)
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val fields = spec.map(PartField.parse)
+    val cols = t.meta.schema.fieldNames.toSet
+    fields.foreach { f =>
+      require(cols.contains(f.source),
+        s"partition source column '${f.source}' not in ${table}'s schema")
+      f.buckets.foreach(n => require(n > 0, s"bucket count must be positive, got $n"))
+    }
+    require(fields.map(_.source).distinct.size == fields.size,
+      "duplicate partition source columns")
+    commitMeta(cat, ident, t, hadoopConf, m => m.copy(partitionColumns = spec))
+  }
+
+  private def commitProperties(cat: LakeCatalog, ident: Identifier, t0: LakeTable,
+      hadoopConf: org.apache.hadoop.conf.Configuration,
+      f: Map[String, String] => Map[String, String]): Unit =
+    commitMeta(cat, ident, t0, hadoopConf, m => m.copy(properties = f(m.properties)))
+
+  /** Metadata-only CAS commit (no new snapshot), with rebase-retry. */
+  private def commitMeta(cat: LakeCatalog, ident: Identifier, t0: LakeTable,
+      hadoopConf: org.apache.hadoop.conf.Configuration,
+      f: TableMeta => TableMeta): Unit = {
+    var prevLoc = t0.metadataLocation
+    var base = t0.meta
+    var attempts = 0
+    while (attempts < CasRetry.maxAttempts) {
+      val next = f(base)
+      next.ioConf = hadoopConf
+      val newLoc = TableMeta.write(next, hadoopConf)
+      if (cat.pointerStore.casUpdate(ident.namespace()(0), ident.name(), newLoc, prevLoc) == 1) {
+        cat.invalidateTable(ident)
+        return
+      }
+      attempts += 1
+      CasRetry.backoff(attempts)
+      prevLoc = cat.pointerStore.load(ident.namespace()(0), ident.name()).getOrElse(
+        throw new IllegalStateException("table dropped during metadata commit"))
+      base = TableMeta.read(prevLoc, hadoopConf)
+    }
+    throw new IllegalStateException(s"metadata commit: CAS lost $attempts times")
   }
 
   /** Snapshot history as a DataFrame (the `table$snapshots` metadata view of

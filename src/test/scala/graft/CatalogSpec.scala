@@ -995,4 +995,76 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(spark.table("lake.rn.b").collect().head.getInt(0) == 42)
     assert(!spark.catalog.tableExists("lake.rn.a"))
   }
+
+  test("snapshot tags: VERSION AS OF 'name' resolves; tagged snapshots survive expiration") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.tg")
+    spark.sql("DROP TABLE IF EXISTS lake.tg.t")
+    spark.sql("CREATE TABLE lake.tg.t (k BIGINT)")
+    spark.sql("INSERT INTO lake.tg.t VALUES (1)")
+    val taggedId = graft.catalog.LakeMaintenance.createTag(spark, "lake.tg.t", "v1_release")
+    spark.sql("INSERT INTO lake.tg.t VALUES (2)")
+    spark.sql("INSERT INTO lake.tg.t VALUES (3)")
+    // tag resolves to the pre-append snapshot
+    assert(spark.sql("SELECT * FROM lake.tg.t VERSION AS OF 'v1_release'")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // unknown tag: clear error listing the known ones
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM lake.tg.t VERSION AS OF 'nope'").collect()
+    }
+    assert(e.getMessage.contains("v1_release"))
+    // expiration keeps the tagged snapshot (and its files) alive
+    graft.catalog.LakeMaintenance.expireSnapshots(spark, "lake.tg.t", keepLast = 1)
+    assert(spark.sql("SELECT * FROM lake.tg.t VERSION AS OF 'v1_release'")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(spark.sql(s"SELECT * FROM lake.tg.t VERSION AS OF $taggedId")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // after tag removal the snapshot expires normally
+    graft.catalog.LakeMaintenance.removeTag(spark, "lake.tg.t", "v1_release")
+    graft.catalog.LakeMaintenance.expireSnapshots(spark, "lake.tg.t", keepLast = 1)
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM lake.tg.t VERSION AS OF $taggedId").collect()
+    }
+    assert(spark.table("lake.tg.t").count() == 3)
+  }
+
+  test("partition evolution: old files keep reading, new writes cluster by the new spec") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.pe")
+    spark.sql("DROP TABLE IF EXISTS lake.pe.t")
+    spark.sql("CREATE TABLE lake.pe.t (region INT, v BIGINT)")
+    spark.sql("INSERT INTO lake.pe.t SELECT CAST(id % 4 AS INT), id FROM range(100)")
+    def t = spark.sessionState.catalogManager.catalog("lake").asInstanceOf[TableCatalog]
+      .loadTable(Identifier.of(Array("pe"), "t")).asInstanceOf[graft.catalog.LakeTable]
+    val oldFiles = t.meta.currentFiles.map(_.path).toSet
+
+    graft.catalog.LakeMaintenance.setPartitionSpec(spark, "lake.pe.t", Seq("region"))
+    spark.sql("INSERT INTO lake.pe.t SELECT CAST(id % 4 AS INT), id FROM range(100, 200)")
+
+    val meta = t.meta
+    assert(meta.partitionColumns == Seq("region"))
+    // old files untouched; every NEW file is clustered (min==max on region)
+    val newFiles = meta.currentFiles.filterNot(f => oldFiles(f.path))
+    assert(newFiles.nonEmpty)
+    newFiles.foreach(f => assert(f.minValues("region") == f.maxValues("region"),
+      s"post-evolution file not clustered: $f"))
+    // full reads see both generations
+    assert(spark.table("lake.pe.t").count() == 200)
+    assert(spark.sql("SELECT sum(v) FROM lake.pe.t WHERE region = 2").collect()(0).getLong(0) ==
+      (0 until 200).filter(_ % 4 == 2).map(_.toLong).sum)
+    // the new generation is exactly prunable: every new file is
+    // single-valued on region, so a region filter skips non-matching ones
+    assert(newFiles.count(_.minValues("region") == "2") > 0)
+    // spec errors are rejected
+    intercept[IllegalArgumentException] {
+      graft.catalog.LakeMaintenance.setPartitionSpec(spark, "lake.pe.t", Seq("nope"))
+    }
+    // evolving to a bucket spec also works going forward
+    graft.catalog.LakeMaintenance.setPartitionSpec(spark, "lake.pe.t", Seq("bucket(4,v)"))
+    spark.sql("INSERT INTO lake.pe.t SELECT CAST(id % 4 AS INT), id FROM range(200, 300)")
+    assert(spark.table("lake.pe.t").count() == 300)
+    val gen3 = t.meta.currentFiles.filterNot(f =>
+      oldFiles(f.path) || newFiles.exists(_.path == f.path))
+    assert(gen3.nonEmpty && gen3.forall(_.minValues.contains("_bucket_4_v")),
+      "bucket-spec files must carry bucket stats")
+  }
 }
