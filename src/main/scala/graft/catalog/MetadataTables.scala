@@ -22,6 +22,7 @@ object MetadataTables {
     case "snapshots" => Some(snapshots(display, meta))
     case "files" => Some(files(display, meta))
     case "manifests" => Some(manifests(display, meta))
+    case "deletes" => Some(deletes(display, meta))
     case _ => None
   }
 
@@ -58,11 +59,30 @@ object MetadataTables {
   private def manifests(display: String, meta: TableMeta): Table = {
     val schema = StructType(Seq(
       StructField("location", StringType, nullable = false),
+      StructField("content", StringType, nullable = false),
       StructField("n_files", LongType, nullable = false),
       StructField("n_rows", LongType, nullable = false),
       StructField("n_bytes", LongType, nullable = false)))
     val rows = meta.snapshot(meta.currentSnapshotId).map(meta.manifestsOf).getOrElse(Nil)
-      .map(m => Row(m.location, m.nFiles, m.nRows, m.nBytes))
+      .map(m => Row(m.location, m.kind, m.nFiles, m.nRows, m.nBytes))
+    RowsTable(display, schema, rows)
+  }
+
+  /** Pending merge-on-read delete files: one row per tombstone file with
+    * its target-file range (`t$deletes` — the observability hook for "how
+    * much read amplification is compaction currently saving me from").
+    */
+  private def deletes(display: String, meta: TableMeta): Table = {
+    val schema = StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("n_tombstones", LongType, nullable = false),
+      StructField("size_bytes", LongType, nullable = false),
+      StructField("min_target_file", StringType),
+      StructField("max_target_file", StringType)))
+    val rows = meta.currentDeleteFiles.map(f =>
+      Row(f.path, f.rowCount, f.sizeBytes,
+        f.minValues.get(DeleteFiles.FilePathCol).orNull,
+        f.maxValues.get(DeleteFiles.FilePathCol).orNull))
     RowsTable(display, schema, rows)
   }
 }

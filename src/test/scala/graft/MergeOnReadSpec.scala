@@ -188,6 +188,67 @@ class MergeOnReadSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("t$deletes metadata table exposes pending tombstone files with target ranges") {
+    val t = s"lake.mor.${uniq("mdd")}"
+    spark.sql(s"CREATE TABLE $t (id INT, v STRING) TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('v', id) FROM range(0, 300)")
+    val Array(_, ns, name) = t.split('.')
+    def deletesDf = spark.sql(s"SELECT * FROM lake.$ns.`$name$$deletes`")
+    assert(deletesDf.collect().isEmpty)
+    spark.sql(s"DELETE FROM $t WHERE id % 3 = 0")
+    val rows = deletesDf.collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_tombstones")).sum == 100)
+    rows.foreach { r =>
+      assert(r.getAs[String]("min_target_file").contains("/data/"))
+      assert(r.getAs[String]("min_target_file") <= r.getAs[String]("max_target_file"))
+    }
+    // manifests table reports the deletes manifest with its content tag
+    val kinds = spark.sql(s"SELECT content FROM lake.$ns.`$name$$manifests`")
+      .collect().map(_.getString(0)).toSet
+    assert(kinds == Set("data", "deletes"))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("incremental/streaming reads reject ranges containing delta snapshots") {
+    val t = s"lake.mor.${uniq("inc")}"
+    spark.sql(s"CREATE TABLE $t (id INT, v STRING) TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('v', id) FROM range(0, 100)")
+    spark.sql(s"DELETE FROM $t WHERE id < 10") // delta snapshot 2
+    spark.sql(s"INSERT INTO $t SELECT id, concat('v', id) FROM range(100, 200)")
+    // range crossing the delta: must fail loudly, not silently lie
+    val e = intercept[Exception] {
+      spark.read.option("start-snapshot-id", "1").option("end-snapshot-id", "3")
+        .table(t).count()
+    }
+    assert(e.getMessage.contains("delta") || e.getMessage.contains("incremental"))
+    // append-only range after the delta is fine
+    assert(spark.read.option("start-snapshot-id", "2").option("end-snapshot-id", "3")
+      .table(t).count() == 100)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("scan statistics subtract tombstones (broadcast sizing stays honest)") {
+    val t = s"lake.mor.${uniq("st")}"
+    spark.sql(s"CREATE TABLE $t (id INT, v STRING) TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('v', id) FROM range(0, 1000)")
+    spark.sql(s"DELETE FROM $t WHERE id >= 100")
+    val table = {
+      val c = spark.sessionState.catalogManager.catalog("lake")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      val Array(_, ns, name) = t.split('.')
+      c.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array(ns), name))
+        .asInstanceOf[LakeTable]
+    }
+    val scan = table.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of())).build()
+    val stats = scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(stats.numRows().getAsLong == 100,
+      s"numRows must reflect live rows, got ${stats.numRows()}")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("metadata columns survive filters and projections") {
     val t = s"lake.mor.${uniq("metaf")}"
     spark.sql(s"CREATE TABLE $t (id INT, v STRING)")
