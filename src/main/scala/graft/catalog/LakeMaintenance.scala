@@ -97,11 +97,18 @@ object LakeMaintenance {
     val (cat, ident, t) = resolve(spark, table)
     val hadoopConf = spark.sessionState.newHadoopConf()
     // TAGGED snapshots never expire — a tag is a promise that
-    // `VERSION AS OF 'name'` keeps resolving
+    // `VERSION AS OF 'name'` keeps resolving. STAGED snapshots ahead of the
+    // current pointer are awaiting audit/publish and survive too; staged
+    // ones the pointer has passed are published-or-abandoned and expire
+    // normally (that is the cleanup path for abandoned stages).
     val tagged = t.meta.properties.collect {
       case (k, v) if k.startsWith("tag.") => v.toLong }.toSet
+    val pendingStaged = t.meta.snapshots.collect {
+      case s if s.operation == "stage-append" && s.snapshotId > t.meta.currentSnapshotId =>
+        s.snapshotId
+    }.toSet
     val retainedIds = t.meta.snapshots.sortBy(_.snapshotId).takeRight(keepLast)
-      .map(_.snapshotId).toSet + t.meta.currentSnapshotId ++ tagged
+      .map(_.snapshotId).toSet + t.meta.currentSnapshotId ++ tagged ++ pendingStaged
     val (retained, expired) = t.meta.snapshots.partition(s => retainedIds.contains(s.snapshotId))
     // data AND delete files: orphaned when no retained snapshot references them
     val live = retained.flatMap(t.meta.allFilesOf).map(_.path).toSet
@@ -174,6 +181,55 @@ object LakeMaintenance {
     require(fields.map(_.source).distinct.size == fields.size,
       "duplicate partition source columns")
     commitMeta(cat, ident, t, hadoopConf, m => m.copy(partitionColumns = spec))
+  }
+
+  /** Publish a STAGED (write-audit-publish) snapshot: if the table hasn't
+    * moved since staging, a pure fast-forward of the pointer; if other
+    * commits landed meanwhile, an Iceberg-style CHERRY-PICK — the staged
+    * append's NEW manifests (staged list minus its parent's list) are
+    * re-applied on top of the current snapshot. Only staged APPENDS are
+    * publishable, which is exactly what makes the re-apply safe at any
+    * later state. Returns the published snapshot id.
+    */
+  def publish(spark: SparkSession, table: String, snapshotId: Long): Long = {
+    val (cat, ident, t0) = resolve(spark, table)
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    var prevLoc = t0.metadataLocation
+    var base = t0.meta
+    var attempts = 0
+    while (attempts < CasRetry.maxAttempts) {
+      val staged = base.snapshot(snapshotId).getOrElse(
+        throw new IllegalArgumentException(s"no snapshot $snapshotId on $table"))
+      require(staged.operation == "stage-append",
+        s"snapshot $snapshotId is '${staged.operation}', not a staged append")
+      val next =
+        if (base.currentSnapshotId == staged.parentId) {
+          // fast-forward: the audited snapshot already contains current
+          val n = base.copy(currentSnapshotId = snapshotId)
+          n.ioConf = hadoopConf
+          n
+        } else {
+          // cherry-pick: added = staged manifests not in its parent's list
+          val parentMs = base.snapshot(staged.parentId)
+            .map(s => base.manifestsOf(s).map(_.location).toSet).getOrElse(Set.empty)
+          val added = base.manifestsOf(staged).filterNot(m => parentMs(m.location))
+          val currentMs = base.snapshot(base.currentSnapshotId)
+            .map(base.manifestsOf).getOrElse(Nil)
+          TableMeta.finish(base, base.nextSnapshotId, "publish",
+            currentMs ++ added, Map.empty, hadoopConf)
+        }
+      val newLoc = TableMeta.write(next, hadoopConf)
+      if (cat.pointerStore.casUpdate(ident.namespace()(0), ident.name(), newLoc, prevLoc) == 1) {
+        cat.invalidateTable(ident)
+        return next.currentSnapshotId
+      }
+      attempts += 1
+      CasRetry.backoff(attempts)
+      prevLoc = cat.pointerStore.load(ident.namespace()(0), ident.name()).getOrElse(
+        throw new IllegalStateException(s"table dropped during publish"))
+      base = TableMeta.read(prevLoc, hadoopConf)
+    }
+    throw new IllegalStateException(s"publish: CAS lost $attempts times")
   }
 
   private def commitProperties(cat: LakeCatalog, ident: Identifier, t0: LakeTable,

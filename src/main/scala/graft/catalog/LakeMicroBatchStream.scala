@@ -69,8 +69,10 @@ final class LakeMicroBatchStream(
     val meta = refresh()
     // fail fast if any consumed snapshot is not an append (delta would lie)
     meta.snapshots.filter(x => x.snapshotId > s && x.snapshotId <= e).foreach { snap =>
-      if (snap.operation != "append" && snap.operation != "stream-append"
-        && snap.operation != "create")
+      // stage-append/publish (WAP) deltas are append-only: offsets are
+      // pointer positions, and the set-difference below counts staged
+      // files exactly once — when a publish brings them into the lineage
+      if (!Set("append", "stream-append", "create", "stage-append", "publish")(snap.operation))
         throw new IllegalStateException(
           s"stream over $ident: snapshot ${snap.snapshotId} is '${snap.operation}' — " +
             "incremental reads support append-only history")

@@ -92,7 +92,8 @@ final class LakeTable(
     if (endId < startId) throw new IllegalArgumentException(
       s"end-snapshot-id $endId precedes start-snapshot-id $startId on $ident")
     meta.snapshots.filter(s => s.snapshotId > startId && s.snapshotId <= endId).foreach { s =>
-      if (s.operation != "append" && s.operation != "stream-append" && s.operation != "create")
+      // stage-append/publish deltas are append-only too (WAP lineage)
+      if (!Set("append", "stream-append", "create", "stage-append", "publish")(s.operation))
         throw new IllegalArgumentException(
           s"incremental read over $ident: snapshot ${s.snapshotId} is '${s.operation}' — " +
             "only append-only ranges can be read incrementally")
@@ -1029,13 +1030,18 @@ final class LakeBatchWrite(
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val newFiles = messages.collect { case LakeCommitMessage(fs) => fs }.flatten.toSeq
+    // write-audit-publish: with wap.enabled, appends STAGE their snapshot
+    // (pointer unchanged) for auditing; LakeMaintenance.publish promotes it
+    val stage = !overwrite &&
+      table.meta.properties.get("wap.enabled").contains("true")
     var base = table.meta
     var prevLoc = table.metadataLocation
     var attempts = 0
     while (attempts < CasRetry.maxAttempts) {
       val next =
         if (overwrite) TableMeta.withOverwrite(base, "overwrite", newFiles, hadoopConf)
-        else TableMeta.withAppend(base, "append", newFiles, hadoopConf)
+        else TableMeta.withAppend(base, if (stage) "stage-append" else "append",
+          newFiles, hadoopConf, advance = !stage)
       val newLoc = TableMeta.write(next, hadoopConf)
       if (store.casUpdate(table.namespace, table.tableName, newLoc, prevLoc) == 1) {
         table.commitSucceeded() // evict catalog cache: readers must see this snapshot

@@ -65,7 +65,8 @@ final case class SnapshotMeta(
     manifestListLocation: Option[String] = None,
     summaryFiles: Long = 0L,
     summaryRows: Long = 0L,
-    summaryBytes: Long = 0L) {
+    summaryBytes: Long = 0L,
+    parentId: Long = 0L) { // 0 = unknown (pre-WAP docs); ids start at 1
 
   def inlineFiles: Seq[DataFileMeta] = if (manifest == null) Nil else manifest
   def listLocation: Option[String] = Option(manifestListLocation).flatten
@@ -415,16 +416,20 @@ object TableMeta {
   // manifests that contain a replaced file. The metadata document itself
   // stays O(snapshots × manifests-per-snapshot) — never O(total files).
 
-  /** Append commit: O(new files) written, everything else by reference. */
+  /** Append commit: O(new files) written, everything else by reference.
+    * `advance = false` stages the snapshot without moving the current
+    * pointer (write-audit-publish).
+    */
   def withAppend(base: TableMeta, operation: String, newFiles: Seq[DataFileMeta],
-      conf: Configuration, extraProps: Map[String, String] = Map.empty): TableMeta = {
+      conf: Configuration, extraProps: Map[String, String] = Map.empty,
+      advance: Boolean = true): TableMeta = {
     val snapId = base.nextSnapshotId
     val prev = base.snapshot(base.currentSnapshotId)
       .map(normalized(base, _, conf)).getOrElse(Nil)
     val ms =
       if (newFiles.isEmpty) prev
       else prev :+ ManifestIO.write(base.location, snapId, newFiles, conf)
-    finish(base, snapId, operation, ms, extraProps, conf)
+    finish(base, snapId, operation, ms, extraProps, conf, advance)
   }
 
   /** Overwrite / create / replace: exactly the new files, fresh manifest. */
@@ -495,9 +500,9 @@ object TableMeta {
     else listed :+ ManifestIO.write(base.location, s.snapshotId, s.inlineFiles, conf)
   }
 
-  private def finish(base: TableMeta, snapId: Long, operation: String,
+  private[catalog] def finish(base: TableMeta, snapId: Long, operation: String,
       ms: Seq[ManifestMeta], extraProps: Map[String, String],
-      conf: Configuration): TableMeta = {
+      conf: Configuration, advance: Boolean = true): TableMeta = {
     val listLoc =
       if (ms.isEmpty) None
       else Some(ManifestIO.writeList(base.location, snapId, ms, conf))
@@ -505,11 +510,15 @@ object TableMeta {
     // are subtracted at scan time, not here
     val data = ms.filter(_.isData)
     val next = base.copy(
-      currentSnapshotId = snapId,
+      // a STAGED (write-audit-publish) commit records the snapshot without
+      // moving the current pointer — readers keep the audited version until
+      // publish/cherry-pick advances it
+      currentSnapshotId = if (advance) snapId else base.currentSnapshotId,
       properties = base.properties ++ extraProps,
       snapshots = base.snapshots :+ SnapshotMeta(snapId, System.currentTimeMillis(),
         operation, Nil, listLoc,
-        data.map(_.nFiles).sum, data.map(_.nRows).sum, data.map(_.nBytes).sum))
+        data.map(_.nFiles).sum, data.map(_.nRows).sum, data.map(_.nBytes).sum,
+        parentId = base.currentSnapshotId))
     next.ioConf = conf
     next
   }

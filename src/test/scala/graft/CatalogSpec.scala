@@ -1027,6 +1027,66 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(spark.table("lake.tg.t").count() == 3)
   }
 
+  test("write-audit-publish: staged append invisible until fast-forward publish") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.wap")
+    spark.sql("DROP TABLE IF EXISTS lake.wap.ff")
+    spark.sql("CREATE TABLE lake.wap.ff (k BIGINT) TBLPROPERTIES ('wap.enabled'='true')")
+    spark.sql("INSERT OVERWRITE lake.wap.ff VALUES (1)") // overwrite publishes directly
+    spark.sql("INSERT INTO lake.wap.ff VALUES (2)") // staged
+    def t = spark.sessionState.catalogManager.catalog("lake").asInstanceOf[TableCatalog]
+      .loadTable(Identifier.of(Array("wap"), "ff")).asInstanceOf[graft.catalog.LakeTable]
+    // readers still see the audited version
+    assert(spark.table("lake.wap.ff").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val staged = t.meta.snapshots.filter(_.operation == "stage-append")
+    assert(staged.size == 1)
+    // auditor reads the staged snapshot by version
+    assert(spark.sql(s"SELECT * FROM lake.wap.ff VERSION AS OF ${staged.head.snapshotId}")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // publish = fast-forward
+    val published = graft.catalog.LakeMaintenance.publish(
+      spark, "lake.wap.ff", staged.head.snapshotId)
+    assert(published == staged.head.snapshotId)
+    assert(spark.table("lake.wap.ff").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("write-audit-publish: cherry-pick re-applies a staged append onto a moved table") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.wap")
+    spark.sql("DROP TABLE IF EXISTS lake.wap.cp")
+    spark.sql("CREATE TABLE lake.wap.cp (k BIGINT) TBLPROPERTIES ('wap.enabled'='true')")
+    def t = spark.sessionState.catalogManager.catalog("lake").asInstanceOf[TableCatalog]
+      .loadTable(Identifier.of(Array("wap"), "cp")).asInstanceOf[graft.catalog.LakeTable]
+    spark.sql("INSERT INTO lake.wap.cp VALUES (1)") // staged S1
+    val s1 = t.meta.snapshots.last.snapshotId
+    // table moves on independently (wap off for the direct append)
+    spark.sql("ALTER TABLE lake.wap.cp UNSET TBLPROPERTIES ('wap.enabled')")
+    spark.sql("INSERT INTO lake.wap.cp VALUES (10)")
+    assert(spark.table("lake.wap.cp").collect().map(_.getLong(0)).toSeq == Seq(10L))
+    // publishing S1 now must CHERRY-PICK: result = direct append + staged rows
+    graft.catalog.LakeMaintenance.publish(spark, "lake.wap.cp", s1)
+    assert(spark.table("lake.wap.cp").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 10L))
+    assert(t.meta.snapshot(t.meta.currentSnapshotId).get.operation == "publish")
+    // only staged appends are publishable
+    intercept[IllegalArgumentException] {
+      graft.catalog.LakeMaintenance.publish(spark, "lake.wap.cp", t.meta.currentSnapshotId)
+    }
+  }
+
+  test("write-audit-publish: abandoned stages expire once the pointer passes them") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.wap")
+    spark.sql("DROP TABLE IF EXISTS lake.wap.ab")
+    spark.sql("CREATE TABLE lake.wap.ab (k BIGINT) TBLPROPERTIES ('wap.enabled'='true')")
+    spark.sql("INSERT INTO lake.wap.ab VALUES (1)") // staged, will be abandoned
+    spark.sql("ALTER TABLE lake.wap.ab UNSET TBLPROPERTIES ('wap.enabled')")
+    spark.sql("INSERT INTO lake.wap.ab VALUES (2)")
+    spark.sql("INSERT INTO lake.wap.ab VALUES (3)")
+    // staged snapshot id (2) < current (4): no longer protected
+    val removed = graft.catalog.LakeMaintenance.expireSnapshots(spark, "lake.wap.ab", keepLast = 1)
+    assert(removed >= 1, "the abandoned staged file must be vacuumed")
+    assert(spark.table("lake.wap.ab").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+  }
+
   test("partition evolution: old files keep reading, new writes cluster by the new spec") {
     import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.pe")
