@@ -65,10 +65,18 @@ object LakeMaintenance {
       case PartField(c, Some(n)) =>
         org.apache.spark.sql.functions.expr(s"pmod(hash(`$c`), $n)")
     })
+    // the table's write.sort-order (if any) is re-applied so compaction
+    // restores/maintains the sorted layout (physical names inside this job)
+    val l2p = t.meta.l2pMap
+    val sortCols = t.meta.properties.get("write.sort-order")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      .map(c => df.col(l2p.getOrElse(c, c)))
     val clustered =
       if (clusterCols.nonEmpty)
         df.repartition(outParts, clusterCols: _*)
-          .sortWithinPartitions(clusterCols: _*)
+          .sortWithinPartitions(clusterCols ++ sortCols: _*)
+      else if (sortCols.nonEmpty)
+        df.repartitionByRange(outParts, sortCols: _*).sortWithinPartitions(sortCols: _*)
       else df.coalesce(outParts)
     val factory = LakeWriterFactory(t.meta.physicalSchema.json, s"${t.meta.location}/data",
       physCols, new SerializableConfiguration(hadoopConf))

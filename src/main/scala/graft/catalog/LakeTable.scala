@@ -973,6 +973,14 @@ final class LakeWriteBuilder(
   * partition columns, and [[FilePruner]] prunes partition-filtered scans
   * down to exactly the matching files — partition pruning via stats, with
   * no directory layout and no per-partition small files.
+  *
+  * A `write.sort-order` table property (comma-separated columns) layers a
+  * SORT ORDER on top (Iceberg's write order): with no partition spec the
+  * distribution becomes RANGE (a global sort) — tasks own disjoint key
+  * ranges, so per-file min/max are disjoint and a point/range query prunes
+  * to the few files that can match; with a partition spec, rows sort by
+  * the order WITHIN each partition clustering, tightening parquet
+  * row-group stats for the delegated scan's row-group pruning.
   */
 final class LakeWrite(
     table: LakeTable,
@@ -987,6 +995,10 @@ final class LakeWrite(
 
   private def pfields = table.meta.partitionFields
 
+  private def sortFields: Seq[String] =
+    table.meta.properties.get("write.sort-order")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
   private def transformOf(f: PartField): org.apache.spark.sql.connector.expressions.Expression =
     f.buckets match {
       case None => Expressions.column(f.source)
@@ -995,12 +1007,17 @@ final class LakeWrite(
       case Some(n) => Expressions.bucket(n, f.source)
     }
 
+  private def orderOf(cols: Seq[String]): Array[SortOrder] =
+    cols.map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+
   override def requiredDistribution(): Distribution =
-    if (pfields.isEmpty) Distributions.unspecified()
-    else Distributions.clustered(pfields.map(transformOf).toArray)
+    if (pfields.nonEmpty) Distributions.clustered(pfields.map(transformOf).toArray)
+    else if (sortFields.nonEmpty) Distributions.ordered(orderOf(sortFields))
+    else Distributions.unspecified()
 
   override def requiredOrdering(): Array[SortOrder] =
-    pfields.map(f => Expressions.sort(transformOf(f), SortDirection.ASCENDING)).toArray
+    pfields.map(f => Expressions.sort(transformOf(f), SortDirection.ASCENDING)).toArray ++
+      orderOf(sortFields)
 
   override def toBatch: BatchWrite =
     new LakeBatchWrite(table, info.schema(), overwrite, store, hadoopConf)

@@ -1087,6 +1087,37 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(spark.table("lake.wap.ab").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
   }
 
+  test("write.sort-order: range-distributed writes give disjoint per-file ranges") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.so")
+    spark.sql("DROP TABLE IF EXISTS lake.so.t")
+    spark.sql("CREATE TABLE lake.so.t (k BIGINT, v BIGINT) TBLPROPERTIES ('write.sort-order'='k')")
+    // scrambled input: without the required ordering, file ranges would
+    // all span [0, 997). AQE would (correctly) coalesce this tiny insert
+    // into one partition — pin it off so the range layout is observable.
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try spark.sql("INSERT INTO lake.so.t SELECT (id * 37) % 1000 AS k, id FROM range(10000)")
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    def t = spark.sessionState.catalogManager.catalog("lake").asInstanceOf[TableCatalog]
+      .loadTable(Identifier.of(Array("so"), "t")).asInstanceOf[graft.catalog.LakeTable]
+    val files = t.meta.currentFiles
+    assert(files.size > 1, "range distribution should produce multiple files")
+    val ranges = files.map(f => (BigDecimal(f.minValues("k")), BigDecimal(f.maxValues("k"))))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"file key ranges must be disjoint after a range write: $ranges")
+      case _ => ()
+    }
+    // a point query is prunable to exactly the one covering file
+    val covering = files.count(f =>
+      BigDecimal(f.minValues("k")) <= 500 && BigDecimal(f.maxValues("k")) >= 500)
+    assert(covering == 1, s"point key must fall in exactly one file's range, got $covering")
+    assert(spark.sql("SELECT count(*) FROM lake.so.t WHERE k = 500").collect()(0).getLong(0) ==
+      (0 until 10000).count(id => (id * 37) % 1000 == 500))
+  }
+
   test("partition evolution: old files keep reading, new writes cluster by the new spec") {
     import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.pe")
