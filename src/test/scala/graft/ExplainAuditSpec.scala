@@ -70,4 +70,37 @@ class ExplainAuditSpec extends AnyFunSuite {
     assert(p.contains("Generate explode"), s"frame sampling should explode inline:\n$p")
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial+final agg:\n$p")
   }
+
+  test("q56 candidate generation is an equi-join (banded), never a theta/cross join") {
+    val p = plan("q56_dedup_components")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"banded candidate join must stay an equi-join:\n$p")
+  }
+
+  test("q58 top-k terms is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q58_tfidf_terms")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+    assert(!p.contains("GlobalLimit"), s"limit should fuse into top-k:\n$p")
+  }
+
+  test("MoR read path: clean tables stay vectorized, tombstoned files drop to row mode") {
+    val t = s"lake.audit.mor${System.nanoTime() % 100000}"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.audit")
+    spark.sql(s"CREATE TABLE $t (id INT, v STRING) TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('v', id) FROM range(0, 100)")
+    // clean: columnar scan (ColumnarToRow present above the batch scan)
+    val clean = spark.table(t).queryExecution.executedPlan.toString
+    assert(clean.contains("ColumnarToRow"), s"clean MoR table must stay vectorized:\n$clean")
+    spark.sql(s"DELETE FROM $t WHERE id = 3")
+    // dirty: the same scan runs in row mode (positional readers)
+    val dirty = spark.table(t).queryExecution.executedPlan.toString
+    assert(!dirty.contains("ColumnarToRow"),
+      s"tombstoned files must read positionally (row mode):\n$dirty")
+    // compaction restores the vectorized path
+    graft.catalog.LakeMaintenance.compact(spark, t)
+    val compacted = spark.table(t).queryExecution.executedPlan.toString
+    assert(compacted.contains("ColumnarToRow"),
+      s"compaction must restore vectorization:\n$compacted")
+    spark.sql(s"DROP TABLE $t")
+  }
 }
