@@ -269,6 +269,89 @@ object LakeMaintenance {
     throw new IllegalStateException(s"metadata commit: CAS lost $attempts times")
   }
 
+  /** Row-level CDC changelog between two snapshots (exclusive start,
+    * inclusive end): every row change as (table columns, `_change_type`
+    * 'insert'|'delete', `_commit_snapshot_id`). An UPDATE surfaces as a
+    * delete + an insert — exactly how merge-on-read represents it.
+    *
+    * Supported over append and delta (merge-on-read) history: appends
+    * contribute inserts (their new files' rows), delta commits contribute
+    * inserts (new data files) and deletes (their tombstones' target rows,
+    * fetched positionally from the still-live data files). Rewrite
+    * commits (copy-on-write DELETE/UPDATE, compaction, overwrite) are
+    * rejected — a rewrite's file diff does not express its row-level
+    * changes (compaction changes NO rows while replacing every file), the
+    * same honesty rule as the incremental batch/stream readers.
+    */
+  def changelog(spark: SparkSession, table: String, startId: Long, endId: Long):
+      org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val (_, _, t) = resolve(spark, table)
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val meta = t.meta
+    require(endId >= startId, s"end $endId precedes start $startId")
+    val logicalNames = meta.schema.fieldNames.toIndexedSeq
+    def filesAt(id: Long): Seq[DataFileMeta] =
+      if (id <= 0) Nil else meta.snapshot(id).map(meta.filesOf).getOrElse(
+        throw new IllegalArgumentException(s"no snapshot $id on $table"))
+    def deletesAt(id: Long): Seq[DataFileMeta] =
+      if (id <= 0) Nil else meta.snapshot(id).map(meta.deleteFilesOf).getOrElse(Nil)
+    // walk the PARENT lineage from end back to start (not id order): a
+    // staged-then-cherry-picked snapshot sits in the id sequence but not in
+    // the lineage — its rows enter history at the publish commit, and
+    // emitting both would double-count them
+    def parentOf(s: SnapshotMeta): Long =
+      if (s.parentId > 0) s.parentId
+      else meta.snapshots.filter(_.snapshotId < s.snapshotId)
+        .map(_.snapshotId).maxOption.getOrElse(0L) // pre-WAP docs: id order
+    val lineage = Iterator.iterate(meta.snapshot(endId).getOrElse(
+        throw new IllegalArgumentException(s"no snapshot $endId on $table")).snapshotId) { id =>
+        meta.snapshot(id).map(parentOf).getOrElse(0L)
+      }.takeWhile(id => id > startId && id > 0)
+      .flatMap(meta.snapshot).toSeq.sortBy(_.snapshotId)
+    lineage.foreach { s =>
+      if (!Set("append", "stream-append", "create", "stage-append", "publish", "delta")(s.operation))
+        throw new IllegalArgumentException(
+          s"changelog over $table: snapshot ${s.snapshotId} is '${s.operation}' — " +
+            "row-level changes of rewrite commits are not expressible; " +
+            "read the snapshots on either side instead")
+    }
+    val parts = lineage.flatMap { s =>
+      val prevId = parentOf(s)
+      val prevPaths = filesAt(prevId).map(_.path).toSet
+      val added = filesAt(s.snapshotId).filterNot(f => prevPaths(f.path))
+      val inserts =
+        if (added.isEmpty) None
+        else Some(spark.read.schema(meta.physicalSchema).parquet(added.map(_.path): _*)
+          .toDF(logicalNames: _*)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_snapshot_id", lit(s.snapshotId)))
+      val prevDel = deletesAt(prevId).map(_.path).toSet
+      val newDeletes = deletesAt(s.snapshotId).filterNot(d => prevDel(d.path))
+      val deletes =
+        if (newDeletes.isEmpty) None
+        else {
+          // targets are still live at s (delta commits validate that)
+          val targets = filesAt(s.snapshotId)
+            .filter(f => TombstoneRewrite.covering(newDeletes, Seq(f.path)).nonEmpty)
+          val raw = spark.read.schema(meta.physicalSchema).parquet(targets.map(_.path): _*)
+          Some(TombstoneRewrite.select(spark, raw, targets.map(_.path), newDeletes, hadoopConf)
+            .toDF(logicalNames: _*)
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_snapshot_id", lit(s.snapshotId)))
+        }
+      inserts.toSeq ++ deletes.toSeq
+    }
+    parts.reduceOption(_ unionAll _).getOrElse {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(meta.schema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("_commit_snapshot_id",
+            org.apache.spark.sql.types.LongType))))
+    }
+  }
+
   /** Snapshot history as a DataFrame (the `table$snapshots` metadata view of
     * other lakehouses): one row per committed snapshot with file/row/byte
     * counts — driver-side metadata only, no data files touched.

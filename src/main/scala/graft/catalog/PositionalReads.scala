@@ -155,6 +155,27 @@ object TombstoneRewrite {
       .drop("__gname", "__gpos")
   }
 
+  /** The inverse of [[subtract]]: ONLY the tombstoned rows of `dataPaths`
+    * (semi-join on file name + row_index) — the "-D" side of a CDC
+    * changelog read.
+    */
+  def select(spark: SparkSession, raw: DataFrame, dataPaths: Seq[String],
+      coveringDeletes: Seq[DataFileMeta], conf: Configuration): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    if (coveringDeletes.isEmpty) return raw.where(lit(false))
+    val dels = spark.read.schema(DeleteFiles.schema)
+      .parquet(coveringDeletes.map(_.path): _*)
+      .select(substring_index(col(DeleteFiles.FilePathCol), "/", -1).as("__dname"),
+        col(DeleteFiles.PosCol).as("__dpos"))
+    val withId = raw
+      .withColumn("__gname", substring_index(col("_metadata.file_path"), "/", -1))
+      .withColumn("__gpos", col("_metadata.row_index"))
+    withId
+      .join(dels, withId("__gname") === dels("__dname") && withId("__gpos") === dels("__dpos"),
+        "left_semi")
+      .drop("__gname", "__gpos")
+  }
+
   /** Delete files every one of whose targets is in `replacedPaths` — their
     * tombstones were folded into the rewrite, so the commit can drop them
     * (pass their paths into `withRewrite.replacedPaths`). Exact, not

@@ -249,6 +249,43 @@ class MergeOnReadSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("CDC changelog: inserts and deletes per commit, update = delete+insert") {
+    val t = s"lake.mor.${uniq("cdc")}"
+    spark.sql(s"CREATE TABLE $t (id INT, v STRING) TBLPROPERTIES (" +
+      "'write.delete.mode'='merge-on-read','write.update.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('v', id) FROM range(0, 100)") // snap 1
+    spark.sql(s"INSERT INTO $t SELECT id, concat('v', id) FROM range(100, 150)") // snap 2
+    spark.sql(s"DELETE FROM $t WHERE id < 10") // snap 3 (delta)
+    spark.sql(s"UPDATE $t SET v = 'u' WHERE id = 120") // snap 4 (delta: del+ins)
+
+    val all = LakeMaintenance.changelog(spark, t, 0, 4).collect()
+    val byType = all.groupBy(_.getAs[String]("_change_type")).view.mapValues(_.length).toMap
+    assert(byType("insert") == 151, s"150 appended + 1 update-reinsert: $byType")
+    assert(byType("delete") == 11, s"10 deleted + 1 update-tombstone: $byType")
+
+    // per-commit slices
+    val snap2 = LakeMaintenance.changelog(spark, t, 1, 2).collect()
+    assert(snap2.length == 50 && snap2.forall(_.getAs[String]("_change_type") == "insert"))
+    val snap3 = LakeMaintenance.changelog(spark, t, 2, 3).collect()
+    assert(snap3.length == 10 && snap3.forall(_.getAs[String]("_change_type") == "delete"))
+    assert(snap3.map(_.getAs[Int]("id")).sorted.sameElements(0 until 10))
+    val snap4 = LakeMaintenance.changelog(spark, t, 3, 4).collect()
+    assert(snap4.length == 2)
+    val del = snap4.find(_.getAs[String]("_change_type") == "delete").get
+    val ins = snap4.find(_.getAs[String]("_change_type") == "insert").get
+    assert(del.getAs[Int]("id") == 120 && del.getAs[String]("v") == "v120",
+      "the delete side carries the PRE-update row values")
+    assert(ins.getAs[Int]("id") == 120 && ins.getAs[String]("v") == "u")
+
+    // rewrites are not expressible: compaction in range must be rejected
+    LakeMaintenance.compact(spark, t)
+    val e = intercept[IllegalArgumentException] {
+      LakeMaintenance.changelog(spark, t, 0, lakeMeta(t).currentSnapshotId).collect()
+    }
+    assert(e.getMessage.contains("rewrite") || e.getMessage.contains("compact"))
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("metadata columns survive filters and projections") {
     val t = s"lake.mor.${uniq("metaf")}"
     spark.sql(s"CREATE TABLE $t (id INT, v STRING)")
