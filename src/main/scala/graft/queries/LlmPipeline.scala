@@ -733,5 +733,53 @@ object LlmPipeline {
           round(col("tf") * log(lit(n) / col("df").cast("double")), 6).as("tfidf"))
         .orderBy(col("tfidf").desc, col("term"))
         .limit(25)
+    },
+
+    // ───── q59: the COMPOSED training-data pipeline ──────────────────────
+    // quality-score -> filter -> exact-dedup (canonical = min doc_id per
+    // content fingerprint) -> deterministic 50% sample -> per-lang stats.
+    // Each stage is an operator proven above (q35/q27/q57); this pins that
+    // they COMPOSE — one scan, then hash-aggs and one broadcast-scale join
+    // back on the canonical ids. At 100 TB: the dedup shuffle moves only
+    // (fingerprint, doc_id) pairs, never text.
+    QueryDef.df(
+      "q59_pipeline_compose",
+      """WITH scored AS (
+        |  SELECT doc_id, lang, text,
+        |    (CASE WHEN n_chars BETWEEN 120 AND 2000 THEN 0.4 ELSE 0.1 END)
+        |    + 0.4 * (CAST(len(list_distinct(string_split(lower(text),' '))) AS DOUBLE)
+        |             / len(string_split(lower(text),' ')))
+        |    + (CASE WHEN CAST(n_chars AS DOUBLE) / len(string_split(lower(text),' ')) BETWEEN 3 AND 9 THEN 0.2 ELSE 0.0 END)
+        |      AS q
+        |  FROM documents),
+        |filtered AS (SELECT * FROM scored WHERE q >= 0.6),
+        |canon AS (
+        |  SELECT min(doc_id) AS doc_id
+        |  FROM (SELECT md5(text) AS fp, doc_id FROM filtered) GROUP BY fp),
+        |kept AS (SELECT f.* FROM filtered f JOIN canon c ON f.doc_id = c.doc_id),
+        |sampled AS (
+        |  SELECT * FROM kept WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8')
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) AS sum_q
+        |FROM sampled GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val toks = words(col("text"))
+      val ttr = size(array_distinct(toks)).cast("double") / size(toks)
+      val meanTokLen = col("n_chars").cast("double") / size(toks)
+      val q = when(col("n_chars").between(120, 2000), 0.4).otherwise(0.1) +
+        lit(0.4) * ttr +
+        when(meanTokLen.between(3, 9), 0.2).otherwise(0.0)
+      val filtered = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"), q.as("q"))
+        .where(col("q") >= 0.6)
+      val canon = filtered
+        .select(md5(col("text").cast("binary")).as("fp"), col("doc_id"))
+        .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      filtered.join(canon, "doc_id")
+        .where(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) < "8")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("q").cast("decimal(18,6)")).cast("double").as("sum_q"))
+        .orderBy("lang")
     })
 }

@@ -70,7 +70,8 @@ class GoldenSpec extends AnyFunSuite {
     "q55_mor_roundtrip" -> 2L,
     "q56_dedup_components" -> 117L,
     "q57_deterministic_sample" -> 5L,
-    "q58_tfidf_terms" -> 25L)
+    "q58_tfidf_terms" -> 25L,
+    "q59_pipeline_compose" -> 5L)
 
   test("every registered query has a golden count (add one when adding a query)") {
     assert(SparkEntry.queries.keySet == golden.keySet,
