@@ -301,9 +301,11 @@ object LakeMaintenance {
     // the lineage — its rows enter history at the publish commit, and
     // emitting both would double-count them
     def parentOf(s: SnapshotMeta): Long =
-      if (s.parentId > 0) s.parentId
+      // -1 = committed on an EMPTY table (a true root); 0 = pre-WAP doc
+      // with no parent recorded → fall back to id order
+      if (s.parentId != 0) s.parentId
       else meta.snapshots.filter(_.snapshotId < s.snapshotId)
-        .map(_.snapshotId).maxOption.getOrElse(0L) // pre-WAP docs: id order
+        .map(_.snapshotId).maxOption.getOrElse(0L)
     val lineage = Iterator.iterate(meta.snapshot(endId).getOrElse(
         throw new IllegalArgumentException(s"no snapshot $endId on $table")).snapshotId) { id =>
         meta.snapshot(id).map(parentOf).getOrElse(0L)

@@ -286,6 +286,61 @@ class MergeOnReadSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("CDC changelog across a WAP cherry-pick counts staged rows exactly once") {
+    val t = s"lake.mor.${uniq("wcp")}"
+    spark.sql(s"CREATE TABLE $t (k BIGINT) TBLPROPERTIES ('wap.enabled'='true')")
+    spark.sql(s"INSERT INTO $t VALUES (1)") // staged S1
+    val s1 = lakeMeta(t).snapshots.last.snapshotId
+    spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES ('wap.enabled')")
+    spark.sql(s"INSERT INTO $t VALUES (10)") // direct append
+    LakeMaintenance.publish(spark, t, s1) // cherry-pick
+    val changes = LakeMaintenance.changelog(spark, t, 0, lakeMeta(t).currentSnapshotId)
+      .collect()
+    assert(changes.length == 2, s"staged row must appear once, got ${changes.toSeq}")
+    assert(changes.map(_.getAs[Long]("k")).sorted.sameElements(Array(1L, 10L)))
+    assert(changes.forall(_.getAs[String]("_change_type") == "insert"))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("merge-on-read composes with RENAME COLUMN (column mapping)") {
+    val t = s"lake.mor.${uniq("ren")}"
+    spark.sql(s"CREATE TABLE $t (id INT, label STRING) TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('L', id) FROM range(0, 100)")
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN label TO tag")
+    spark.sql(s"DELETE FROM $t WHERE tag = 'L5' OR id >= 90")
+    assert(spark.table(t).count() == 89)
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE tag = 'L5'").collect()(0).getLong(0) == 0)
+    // positional reader resolves the physical column behind the new name
+    val r = spark.sql(s"SELECT tag, _pos FROM $t WHERE id = 7").collect()
+    assert(r.length == 1 && r(0).getString(0) == "L7" && r(0).getLong(1) == 7L)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("merge-on-read on a PARTITIONED table: tombstones target only the hit partition") {
+    val t = s"lake.mor.${uniq("part")}"
+    spark.sql(s"CREATE TABLE $t (region INT, v BIGINT) PARTITIONED BY (region) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $t SELECT CAST(id % 4 AS INT), id FROM range(400)")
+    spark.sql(s"DELETE FROM $t WHERE region = 2 AND v < 100")
+    val meta = lakeMeta(t)
+    // every tombstoned file is a region=2 file (clustered writes ⇒
+    // min==max on region; the delta scan pruned the rest)
+    val region2Files = meta.currentFiles
+      .filter(f => f.minValues.get("region").contains("2")).map(_.path).toSet
+    meta.currentDeleteFiles.foreach { d =>
+      val lo = d.minValues("file_path"); val hi = d.maxValues("file_path")
+      assert(region2Files.exists(p => lo <= p && p <= hi),
+        s"tombstones must target region=2 files only: $d")
+      // and no file OUTSIDE region=2 can fall in the range
+      val others = meta.currentFiles.map(_.path).toSet -- region2Files
+      assert(!others.exists(p => lo <= p && p <= hi) || region2Files.isEmpty)
+    }
+    assert(spark.table(t).count() == 400 - 25)
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE region = 2").collect()(0).getLong(0) ==
+      100 - 25)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("metadata columns survive filters and projections") {
     val t = s"lake.mor.${uniq("metaf")}"
     spark.sql(s"CREATE TABLE $t (id INT, v STRING)")
