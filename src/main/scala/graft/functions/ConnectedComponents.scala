@@ -29,12 +29,18 @@ object ConnectedComponents {
     * @return `(node, comp)` where comp = the component's minimum node id
     */
   def run(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    // INVARIANT between rounds: edges are distinct with u > v (enforced on
+    // the initial set below, preserved by both stars) — so symmetrization
+    // can't create duplicates and small-star needs no re-normalization.
+    // That drops two distinct-shuffles from every round.
+
     // large-star: every neighbor LARGER than u links to the min of u's
     // neighborhood (incl. u) — hooks big ids downward in parallel
     def largeStar(e: DataFrame): DataFrame = {
-      val sym = e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy("u")
         .agg(least(min(col("v")), first(col("u"))).as("m"))
+      // emitted (v, m) has v > u >= m ⇒ u > v holds on the output too
       sym.join(mins, "u").where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .where(col("u") =!= col("v")).distinct()
@@ -42,11 +48,8 @@ object ConnectedComponents {
     // small-star: every neighbor SMALLER than u (and u itself) links to
     // u's minimum smaller neighbor — flattens chains into stars
     def smallStar(e: DataFrame): DataFrame = {
-      val dir = e.select(greatest(col("u"), col("v")).as("u"),
-          least(col("u"), col("v")).as("v"))
-        .where(col("u") =!= col("v")).distinct()
-      val mins = dir.groupBy("u").agg(min(col("v")).as("m"))
-      dir.join(mins, "u").select(col("v").as("u"), col("m").as("v"))
+      val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+      e.join(mins, "u").select(col("v").as("u"), col("m").as("v"))
         .union(mins.select(col("u"), col("m").as("v")))
         .where(col("u") =!= col("v")).distinct()
     }
@@ -59,7 +62,8 @@ object ConnectedComponents {
       (r.getLong(0), r.getDecimal(1))
     }
 
-    var e = edges.select(col("u"), col("v"))
+    var e = edges.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
       .where(col("u") =!= col("v")).distinct().localCheckpoint()
     var sig = signature(e)
     var converged = e.isEmpty
