@@ -341,6 +341,28 @@ class MergeOnReadSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("concurrent MoR deletes: both tombstone sets land via CAS rebase") {
+    val t = s"lake.mor.${uniq("cc")}"
+    spark.sql(s"CREATE TABLE $t (id INT, v STRING) TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('v', id) FROM range(0, 1000)")
+    // two racing delta deletes on disjoint predicates: neither replaces a
+    // file, so both must commit (appends rebase; the loser retries its CAS)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq("id % 10 = 1", "id % 10 = 2").map { pred =>
+      new Thread(() =>
+        try spark.sql(s"DELETE FROM $t WHERE $pred")
+        catch { case e: Throwable => errs.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"both MoR deletes must commit: ${errs.toArray.mkString}")
+    assert(spark.table(t).count() == 800)
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE id % 10 IN (1, 2)")
+      .collect()(0).getLong(0) == 0)
+    val meta = lakeMeta(t)
+    assert(meta.snapshots.count(_.operation == "delta") == 2)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("metadata columns survive filters and projections") {
     val t = s"lake.mor.${uniq("metaf")}"
     spark.sql(s"CREATE TABLE $t (id INT, v STRING)")
