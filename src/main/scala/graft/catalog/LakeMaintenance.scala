@@ -191,6 +191,23 @@ object LakeMaintenance {
     commitMeta(cat, ident, t, hadoopConf, m => m.copy(partitionColumns = spec))
   }
 
+  /** Roll the table back to an earlier snapshot (Iceberg's
+    * rollback_to_snapshot): a metadata-only CAS commit moving the current
+    * pointer — nothing is rewritten or deleted, the abandoned snapshots
+    * stay readable (and expirable) history, and rolling FORWARD again is
+    * the same one-pointer move.
+    */
+  def rollback(spark: SparkSession, table: String, snapshotId: Long): Unit = {
+    val (cat, ident, t) = resolve(spark, table)
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    require(t.meta.snapshot(snapshotId).isDefined, s"no snapshot $snapshotId on $table")
+    commitMeta(cat, ident, t, hadoopConf, m => {
+      require(m.snapshot(snapshotId).isDefined,
+        s"snapshot $snapshotId expired during rollback of $table")
+      m.copy(currentSnapshotId = snapshotId)
+    })
+  }
+
   /** Publish a STAGED (write-audit-publish) snapshot: if the table hasn't
     * moved since staging, a pure fast-forward of the pointer; if other
     * commits landed meanwhile, an Iceberg-style CHERRY-PICK — the staged

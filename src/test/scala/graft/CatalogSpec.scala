@@ -1087,6 +1087,27 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(spark.table("lake.wap.ab").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
   }
 
+  test("rollback moves the pointer back; history stays; rolling forward works") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.rb")
+    spark.sql("DROP TABLE IF EXISTS lake.rb.t")
+    spark.sql("CREATE TABLE lake.rb.t (k BIGINT)")
+    spark.sql("INSERT INTO lake.rb.t VALUES (1)") // snap 1
+    spark.sql("INSERT INTO lake.rb.t VALUES (2)") // snap 2 (bad data, say)
+    graft.catalog.LakeMaintenance.rollback(spark, "lake.rb.t", 1)
+    assert(spark.table("lake.rb.t").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // the rolled-past snapshot is still readable history
+    assert(spark.sql("SELECT * FROM lake.rb.t VERSION AS OF 2").count() == 2)
+    // new writes fork from the rolled-back state
+    spark.sql("INSERT INTO lake.rb.t VALUES (3)")
+    assert(spark.table("lake.rb.t").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // roll forward again
+    graft.catalog.LakeMaintenance.rollback(spark, "lake.rb.t", 2)
+    assert(spark.table("lake.rb.t").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    intercept[IllegalArgumentException] {
+      graft.catalog.LakeMaintenance.rollback(spark, "lake.rb.t", 99)
+    }
+  }
+
   test("write.sort-order: range-distributed writes give disjoint per-file ranges") {
     import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.so")
