@@ -71,7 +71,9 @@ object DeleteFiles {
   * never claims pushdown, so Spark's own Filter sits above.
   */
 object PositionalParquet {
-  def open(path: String, schema: StructType, conf: Configuration): ParquetReader[InternalRow] = {
+  def open(path: String, schema: StructType, conf: Configuration,
+      filter: Option[org.apache.parquet.filter2.compat.FilterCompat.Filter] = None)
+      : ParquetReader[InternalRow] = {
     val c = new Configuration(conf)
     c.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, schema.json)
     // ParquetReadSupport/ParquetToSparkSchemaConverter read these from the
@@ -87,24 +89,42 @@ object PositionalParquet {
     // our writer stamps CORRECTED rebase metadata (LakeDataWriter.writeConf)
     val corrected = RebaseSpec(LegacyBehaviorPolicy.CORRECTED, None)
     val support = new ParquetReadSupport(None, false, corrected, corrected)
-    ParquetReader.builder[InternalRow](support, new Path(path)).withConf(c).build()
+    val b = ParquetReader.builder[InternalRow](support, new Path(path)).withConf(c)
+    // NEVER set a filter on a positional DATA read (it would corrupt the
+    // row counter); delete-file reads are content-only and filter freely
+    filter.foreach(b.withFilter)
+    b.build()
   }
 
   /** All tombstoned positions for `dataPath`, merged over its covering
     * delete files: sorted, distinct. Small by construction — it is the
-    * delete set of ONE data file.
+    * delete set of ONE data file. The `file_path = target` predicate is
+    * pushed into parquet-mr (record filter + row-group statistics):
+    * delete files are written SORTED by (file_path, pos), so a reader
+    * interested in one data file touches only that file's row groups —
+    * tombstone-loading IO stays O(this file's tombstones), not O(all
+    * tombstones), no matter how many files share a delete file.
     */
   def deletedPositions(dataPath: String, deleteFiles: Seq[String],
       conf: Configuration): Array[Long] = {
     if (deleteFiles.isEmpty) return Array.emptyLongArray
+    import org.apache.parquet.filter2.compat.FilterCompat
+    import org.apache.parquet.filter2.predicate.FilterApi
+    import org.apache.parquet.io.api.Binary
+    val pathFilter = FilterCompat.get(FilterApi.eq(
+      FilterApi.binaryColumn(DeleteFiles.FilePathCol),
+      Binary.fromString(dataPath)))
     val target = UTF8String.fromString(dataPath)
     val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
     deleteFiles.foreach { df =>
-      val r = open(df, DeleteFiles.schema, conf)
+      val r = open(df, DeleteFiles.schema, conf, Some(pathFilter))
       try {
         var row = r.read()
         while (row != null) {
-          if (row.getUTF8String(0) == target) buf += row.getLong(1)
+          // parquet-mr's record filter materializes non-matching rows as
+          // all-null records; the explicit equality re-check also guards
+          // against dictionary/stats edge cases
+          if (!row.isNullAt(0) && row.getUTF8String(0) == target) buf += row.getLong(1)
           row = r.read()
         }
       } finally r.close()
