@@ -29,7 +29,24 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `VERSION AS OF` time travel all work in plain SQL.
   */
 class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTableCatalog
-  with FunctionCatalog {
+  with FunctionCatalog
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+
+  /** `CALL lake.system.<proc>(...)` — SQL-native maintenance
+    * ([[LakeProcedures]]): compact, expire_snapshots, rollback,
+    * create_tag/remove_tag, publish (WAP), set_partition_spec.
+    */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    LakeProcedures.load(catalogName, ident).getOrElse(
+      throw new RuntimeException(
+        s"procedure ${ident.namespace().mkString(".")}.${ident.name()} not found; " +
+          s"available: system.${LakeProcedures.names.mkString(", system.")}"))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(LakeProcedures.Namespace))
+      LakeProcedures.names.map(n => Identifier.of(namespace, n)).toArray
+    else Array.empty
 
   private var catalogName: String = _
   private var warehouse: String = _

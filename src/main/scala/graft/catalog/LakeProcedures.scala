@@ -1,0 +1,118 @@
+package graft.catalog
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL-native maintenance: `CALL lake.system.<proc>(...)` — Spark 4.1's
+  * DSv2 stored-procedure protocol (ResolveProcedures/BindProcedures in
+  * the analyzer) over the [[LakeMaintenance]] operations, mirroring
+  * Iceberg's procedure surface. Every procedure returns its outcome as a
+  * one-row LocalScan so `CALL` results read like any query.
+  */
+object LakeProcedures {
+
+  val Namespace: Array[String] = Array("system")
+
+  def names: Seq[String] = Seq("compact", "expire_snapshots", "rollback",
+    "create_tag", "remove_tag", "publish", "set_partition_spec")
+
+  def load(catalogName: String, ident: Identifier): Option[UnboundProcedure] = {
+    if (!ident.namespace().sameElements(Namespace)) return None
+    def full(table: String) = s"$catalogName.$table"
+    ident.name() match {
+      case "compact" => Some(proc("compact",
+        Seq(in("table", StringType), inDef("small_file_bytes", LongType, (32L * 1024 * 1024).toString),
+          inDef("target_file_bytes", LongType, (128L * 1024 * 1024).toString)),
+        StructType(Seq(StructField("files_before", IntegerType), StructField("files_after", IntegerType))),
+        { (spark, args) =>
+          val (b, a) = LakeMaintenance.compact(spark, full(args.getString(0)),
+            args.getLong(1), args.getLong(2))
+          row(b, a)
+        }))
+      case "expire_snapshots" => Some(proc("expire_snapshots",
+        Seq(in("table", StringType), inDef("keep_last", IntegerType, "1")),
+        StructType(Seq(StructField("orphan_files_deleted", IntegerType))),
+        { (spark, args) =>
+          row(LakeMaintenance.expireSnapshots(spark, full(args.getString(0)), args.getInt(1)))
+        }))
+      case "rollback" => Some(proc("rollback",
+        Seq(in("table", StringType), in("snapshot_id", LongType)),
+        StructType(Seq(StructField("current_snapshot_id", LongType))),
+        { (spark, args) =>
+          LakeMaintenance.rollback(spark, full(args.getString(0)), args.getLong(1))
+          row(args.getLong(1))
+        }))
+      case "create_tag" => Some(proc("create_tag",
+        Seq(in("table", StringType), in("tag", StringType), inDef("snapshot_id", LongType, "-1")),
+        StructType(Seq(StructField("tagged_snapshot_id", LongType))),
+        { (spark, args) =>
+          val sid = args.getLong(2)
+          row(LakeMaintenance.createTag(spark, full(args.getString(0)),
+            args.getString(1), if (sid < 0) None else Some(sid)))
+        }))
+      case "remove_tag" => Some(proc("remove_tag",
+        Seq(in("table", StringType), in("tag", StringType)),
+        StructType(Seq(StructField("removed", BooleanType))),
+        { (spark, args) =>
+          LakeMaintenance.removeTag(spark, full(args.getString(0)), args.getString(1))
+          row(true)
+        }))
+      case "publish" => Some(proc("publish",
+        Seq(in("table", StringType), in("snapshot_id", LongType)),
+        StructType(Seq(StructField("published_snapshot_id", LongType))),
+        { (spark, args) =>
+          row(LakeMaintenance.publish(spark, full(args.getString(0)), args.getLong(1)))
+        }))
+      case "set_partition_spec" => Some(proc("set_partition_spec",
+        Seq(in("table", StringType), in("spec", StringType)),
+        StructType(Seq(StructField("spec", StringType))),
+        { (spark, args) =>
+          val spec = args.getString(1).split(';').map(_.trim).filter(_.nonEmpty).toSeq
+          LakeMaintenance.setPartitionSpec(spark, full(args.getString(0)), spec)
+          row(UTF8String.fromString(spec.mkString(";")))
+        }))
+      case _ => None
+    }
+  }
+
+  // args arrive as an InternalRow in declared parameter order; string
+  // accessors below keep the call sites terse
+  private implicit class Args(val r: InternalRow) {
+    def getString(i: Int): String = r.getUTF8String(i).toString
+  }
+
+  private def in(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+  private def inDef(name: String, dt: DataType, default: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  private def row(vals: Any*): InternalRow =
+    new GenericInternalRow(vals.toArray)
+
+  private def proc(procName: String, params: Seq[ProcedureParameter],
+      resultSchema: StructType,
+      body: (SparkSession, InternalRow) => InternalRow): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"lake maintenance procedure $procName"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = procName
+        override def description(): String = s"lake maintenance procedure $procName"
+        override def parameters(): Array[ProcedureParameter] = params.toArray
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val result = body(SparkSession.active, input)
+          java.util.List.of[Scan](new LocalScan {
+            override def rows(): Array[InternalRow] = Array(result)
+            override def readSchema(): StructType = resultSchema
+          }).iterator()
+        }
+      }
+    }
+}

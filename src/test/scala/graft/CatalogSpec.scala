@@ -1087,6 +1087,34 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(spark.table("lake.wap.ab").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
   }
 
+  test("CALL lake.system.*: SQL-native maintenance procedures") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.proc")
+    spark.sql("DROP TABLE IF EXISTS lake.proc.t")
+    spark.sql("CREATE TABLE lake.proc.t (k BIGINT)")
+    spark.sql("INSERT INTO lake.proc.t VALUES (1)")
+    spark.sql("INSERT INTO lake.proc.t VALUES (2)")
+
+    // tag + time travel via CALL
+    val tagged = spark.sql("CALL lake.system.create_tag('proc.t', 'audited')").collect()
+    assert(tagged.head.getLong(0) == 2L)
+    spark.sql("INSERT INTO lake.proc.t VALUES (3)")
+    assert(spark.sql("SELECT * FROM lake.proc.t VERSION AS OF 'audited'").count() == 2)
+
+    // compaction via CALL (3 tiny files -> 1)
+    val c = spark.sql("CALL lake.system.compact('proc.t')").collect().head
+    assert(c.getInt(0) == 3 && c.getInt(1) == 1,
+      s"expected 3 files compacted to 1, got $c")
+
+    // rollback via CALL (named args work too)
+    spark.sql("CALL lake.system.rollback(table => 'proc.t', snapshot_id => 2)")
+    assert(spark.table("lake.proc.t").count() == 2)
+    spark.sql("CALL lake.system.remove_tag('proc.t', 'audited')")
+    val e = intercept[Exception] {
+      spark.sql("CALL lake.system.nope('proc.t')").collect()
+    }
+    assert(e.getMessage.contains("nope"), s"unknown procedure must fail to load: $e")
+  }
+
   test("rollback moves the pointer back; history stays; rolling forward works") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.rb")
     spark.sql("DROP TABLE IF EXISTS lake.rb.t")
