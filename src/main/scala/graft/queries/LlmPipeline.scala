@@ -781,5 +781,41 @@ object LlmPipeline {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("q").cast("decimal(18,6)")).cast("double").as("sum_q"))
         .orderBy("lang")
+    },
+
+    // ───── q60: context-window chunking (training-sequence packing) ──────
+    // Split each document's token stream into windows of 64 tokens with
+    // stride 48 (16-token overlap) — the chunk inventory a sequence-packing
+    // job feeds from. Chunk geometry is pure arithmetic on token counts, so
+    // the chunk explosion carries (doc, chunk_idx) pairs only — the text
+    // itself is never duplicated per chunk (at 100 TB the difference
+    // between exploding ids and exploding documents).
+    QueryDef.df(
+      "q60_chunk_windows",
+      """WITH d AS (
+        |  SELECT source, len(string_split(lower(text), ' ')) AS n FROM documents),
+        |g AS (
+        |  SELECT source, n,
+        |    CAST(CASE WHEN n <= 64 THEN 1
+        |         ELSE ceil((n - 64) / 48.0) + 1 END AS BIGINT) AS n_chunks
+        |  FROM d),
+        |c AS (
+        |  SELECT source, n, unnest(range(0, n_chunks)) AS ci FROM g)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(least(64, n - ci * 48)) AS BIGINT) AS sum_chunk_tokens,
+        |  CAST(max(n - ci * 48) AS BIGINT) AS max_tail
+        |FROM c GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val n = size(words(col("text")))
+      val nChunks = when(n <= 64, lit(1L))
+        .otherwise(ceil((n - 64) / lit(48.0)).cast("long") + 1L)
+      t(s, dir, "documents")
+        .select(col("source"), n.as("n"), nChunks.as("n_chunks"))
+        .select(col("source"), col("n"),
+          explode(sequence(lit(0L), col("n_chunks") - 1L)).as("ci"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(least(lit(64L), col("n") - col("ci") * 48L)).as("sum_chunk_tokens"),
+          max((col("n") - col("ci") * 48L).cast("long")).as("max_tail"))
+        .orderBy("source")
     })
 }
