@@ -112,4 +112,72 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("commit algebra: random append/delta/rewrite/overwrite sequences keep the model") {
+    // model-based property: after ANY sequence of commit shapes, the
+    // metadata's data/delete file sets (through a full write+read
+    // round-trip, manifest lists and all) equal a trivial in-memory model
+    import graft.catalog.{ManifestIO, TableMeta => TM}
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val schema = StructType(Seq(StructField("k", LongType)))
+    var fileNo = 0
+    def mkFile(delete: Boolean): DataFileMeta = {
+      fileNo += 1
+      val p = if (delete) f"/w/del-$fileNo%05d.parquet" else f"/w/data-$fileNo%05d.parquet"
+      DataFileMeta(p, 10L, 100L,
+        if (delete) Map("file_path" -> "/w/data-00000.parquet") else Map("k" -> "1"),
+        if (delete) Map("file_path" -> "/w/data-99999.parquet") else Map("k" -> "9"))
+    }
+    val genOp: Gen[Int] = Gen.choose(0, 3)
+    (1 to 30).foreach { seed =>
+      val dir = java.nio.file.Files.createTempDirectory(s"prop-meta-$seed").toString
+      var meta = TM.empty(dir, schema, Nil, Map.empty) // commit helpers attach ioConf
+      var modelData = Set.empty[String]
+      var modelDeletes = Set.empty[String]
+      val nOps = 12
+      (1 to nOps).foreach { i =>
+        val op = genOp.pureApply(Gen.Parameters.default, Seed((seed * 1000 + i).toLong))
+        op match {
+          case 0 => // append 1-2 data files
+            val fs = Seq(mkFile(false), mkFile(false))
+            meta = TM.withAppend(meta, "append", fs, conf)
+            modelData ++= fs.map(_.path)
+          case 1 => // delta: one insert file + one delete file
+            val d = mkFile(false); val t = mkFile(true)
+            meta = TM.withDelta(meta, "delta", Seq(d), Seq(t), conf)
+            modelData += d.path; modelDeletes += t.path
+          case 2 if modelData.nonEmpty => // rewrite half the data + fold one delete
+            val replaced = modelData.toSeq.sorted.take(math.max(1, modelData.size / 2)).toSet
+            val folded = modelDeletes.toSeq.sorted.headOption.toSet
+            val nf = mkFile(false)
+            meta = TM.withRewrite(meta, "compact", replaced ++ folded, Seq(nf), conf)
+            modelData = modelData -- replaced + nf.path
+            modelDeletes --= folded
+          case 3 => // overwrite drops everything
+            val nf = mkFile(false)
+            meta = TM.withOverwrite(meta, "overwrite", Seq(nf), conf)
+            modelData = Set(nf.path); modelDeletes = Set.empty
+          case _ => ()
+        }
+        // full durability round-trip every step
+        val loc = TM.write(meta, conf)
+        meta = TM.read(loc, conf)
+        assert(meta.currentFiles.map(_.path).toSet == modelData,
+          s"seed=$seed step=$i op=$op data files diverge")
+        assert(meta.currentDeleteFiles.map(_.path).toSet == modelDeletes,
+          s"seed=$seed step=$i op=$op delete files diverge")
+        // summaries describe data only (no snapshot yet if the first ops
+        // were skipped rewrites on an empty table)
+        meta.snapshot(meta.currentSnapshotId).foreach { snap =>
+          assert(snap.nFiles == modelData.size && snap.nRows == modelData.size * 10L,
+            s"seed=$seed step=$i op=$op summary diverges")
+        }
+      }
+      // time travel: EVERY historical snapshot still resolves its file sets
+      meta.snapshots.foreach { s =>
+        assert(meta.filesOf(s).forall(f => f.path.contains("/data-")))
+        assert(meta.deleteFilesOf(s).forall(f => f.path.contains("/del-")))
+      }
+    }
+  }
 }
