@@ -817,5 +817,30 @@ object LlmPipeline {
           sum(least(lit(64L), col("n") - col("ci") * 48L)).as("sum_chunk_tokens"),
           max((col("n") - col("ci") * 48L).cast("long")).as("max_tail"))
         .orderBy("source")
+    },
+
+    // ───── q61: PII-style pattern scrubbing audit ────────────────────────
+    // The redaction pass every training corpus runs: find digit runs (id/
+    // phone-shaped) and token@token (email-shaped) patterns, report counts
+    // and the corpus size after redaction. Patterns stay in the
+    // RE2-compatible subset both engines implement identically; the
+    // redaction itself is length-visible via the char delta.
+    QueryDef.df(
+      "q61_pii_scrub",
+      """SELECT source,
+        |  CAST(sum(len(regexp_extract_all(text, '[0-9]{3,}'))) AS BIGINT) AS digit_runs,
+        |  CAST(count(*) FILTER (WHERE regexp_matches(text, '[0-9]{3,}')) AS BIGINT) AS docs_with_digits,
+        |  CAST(sum(length(regexp_replace(text, '[0-9]{3,}', '#', 'g'))) AS BIGINT) AS chars_after_scrub
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val digitRun = "[0-9]{3,}"
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(
+          sum(size(regexp_extract_all(col("text"), lit(digitRun), lit(0))).cast("long"))
+            .as("digit_runs"),
+          count_if(regexp_like(col("text"), lit(digitRun))).as("docs_with_digits"),
+          sum(length(regexp_replace(col("text"), digitRun, "#")).cast("long"))
+            .as("chars_after_scrub"))
+        .orderBy("source")
     })
 }

@@ -72,7 +72,8 @@ class GoldenSpec extends AnyFunSuite {
     "q57_deterministic_sample" -> 5L,
     "q58_tfidf_terms" -> 25L,
     "q59_pipeline_compose" -> 5L,
-    "q60_chunk_windows" -> 20L)
+    "q60_chunk_windows" -> 20L,
+    "q61_pii_scrub" -> 20L)
 
   test("every registered query has a golden count (add one when adding a query)") {
     assert(SparkEntry.queries.keySet == golden.keySet,
