@@ -363,6 +363,21 @@ class MergeOnReadSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("degenerate projections on tombstoned tables: count(*), meta-only, full-row") {
+    val t = s"lake.mor.${uniq("proj")}"
+    spark.sql(s"CREATE TABLE $t (id INT, v STRING) TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('v', id) FROM range(0, 200)")
+    spark.sql(s"DELETE FROM $t WHERE id % 4 = 0")
+    // empty data projection (count star) through positional readers
+    assert(spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0) == 150)
+    // metadata-only projection
+    assert(spark.sql(s"SELECT _pos FROM $t").count() == 150)
+    // full row + both metadata columns
+    val r = spark.sql(s"SELECT *, _file, _pos FROM $t WHERE id = 9").collect()
+    assert(r.length == 1 && r(0).getInt(0) == 9 && r(0).getString(2).nonEmpty)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("metadata columns survive filters and projections") {
     val t = s"lake.mor.${uniq("metaf")}"
     spark.sql(s"CREATE TABLE $t (id INT, v STRING)")
