@@ -378,6 +378,32 @@ class MergeOnReadSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("positional reader preserves rich types: timestamp, decimal, array, nulls") {
+    val t = s"lake.mor.${uniq("typ")}"
+    spark.sql(s"CREATE TABLE $t (id INT, ts TIMESTAMP, price DECIMAL(18,6), " +
+      s"emb ARRAY<FLOAT>, note STRING) TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql(
+      s"""INSERT INTO $t SELECT CAST(id AS INT),
+         |  timestamp'2024-03-01 10:00:00' + make_interval(0,0,0,0,0,0,id),
+         |  CAST(id AS DECIMAL(18,6)) / 7,
+         |  array(CAST(id AS FLOAT), CAST(id*2 AS FLOAT)),
+         |  CASE WHEN id % 3 = 0 THEN NULL ELSE concat('n', id) END
+         |FROM range(0, 50)""".stripMargin)
+    spark.sql(s"DELETE FROM $t WHERE id % 5 = 0") // forces positional reads
+    val rows = spark.sql(s"SELECT id, ts, price, emb, note, _pos FROM $t WHERE id = 13")
+      .collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getTimestamp(1).toInstant.toString == "2024-03-01T10:00:13Z")
+    assert(r.getDecimal(2) == new java.math.BigDecimal("1.857143"))
+    assert(r.getSeq[Float](3) == Seq(13.0f, 26.0f))
+    assert(r.getString(4) == "n13" && r.getLong(5) >= 0L) // _pos is per-FILE
+    // nulls survive, deleted rows gone, aggregate over decimal exact
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE note IS NULL").collect()(0).getLong(0) ==
+      (0 until 50).count(i => i % 3 == 0 && i % 5 != 0))
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("metadata columns survive filters and projections") {
     val t = s"lake.mor.${uniq("metaf")}"
     spark.sql(s"CREATE TABLE $t (id INT, v STRING)")
