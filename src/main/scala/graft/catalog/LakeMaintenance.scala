@@ -191,6 +191,79 @@ object LakeMaintenance {
     commitMeta(cat, ident, t, hadoopConf, m => m.copy(partitionColumns = spec))
   }
 
+  /** Z-ORDER compaction: rewrite the table clustered along a space-filling
+    * curve over `cols`, so per-file min/max BOXES are tight in every
+    * dimension and a multi-column range query prunes files on ALL its
+    * predicates (a linear sort order only serves its leading column).
+    *
+    * Each column is normalized to a 16-bit rank by its CURRENT value range
+    * (known from manifest stats — no extra pass), ranks are bit-interleaved
+    * into the curve key with plain codegen'd bit ops (no UDF), and the
+    * rewrite range-partitions + sorts by that key. Same CAS commit and
+    * conflict validation as [[compact]]; pending merge-on-read tombstones
+    * fold in.
+    */
+  def zorderCompact(spark: SparkSession, table: String, cols: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    require(cols.size >= 2, "z-order needs at least two columns")
+    val (cat, ident, t) = resolve(spark, table)
+    require(t.meta.partitionColumns.isEmpty,
+      s"z-order compaction of a PARTITIONED table would break partition " +
+        s"clustering on $table; drop the spec first (setPartitionSpec(Nil))")
+    val current = t.meta.currentFiles
+    if (current.isEmpty) return (0, 0)
+    val deletes = t.meta.currentDeleteFiles
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val l2p = t.meta.l2pMap
+    // per-column [min,max] over the whole table, from stats (logical keys)
+    val statFiles = t.meta.logicalStatFiles(current)
+    val ranges = cols.map { c =>
+      val mins = statFiles.flatMap(_.minValues.get(c)).map(BigDecimal(_))
+      val maxs = statFiles.flatMap(_.maxValues.get(c)).map(BigDecimal(_))
+      require(mins.nonEmpty && maxs.nonEmpty,
+        s"z-order column '$c' has no numeric min/max stats on $table")
+      (c, mins.min, maxs.max)
+    }
+    val covering = TombstoneRewrite.covering(deletes, current.map(_.path))
+    val df = TombstoneRewrite.subtract(spark,
+      spark.read.schema(t.meta.physicalSchema).parquet(current.map(_.path): _*),
+      current.map(_.path), covering, hadoopConf)
+    // 16-bit range rank per column, bit-interleaved into one curve key:
+    // z = Σ_bits Σ_cols ((rank_c >> b) & 1) << (b * nCols + c)
+    val nCols = ranges.size
+    val rankCols: Seq[Column] = ranges.map { case (c, lo, hi) =>
+      val span = (hi - lo).max(BigDecimal(1))
+      val phys = l2p.getOrElse(c, c)
+      ((col(phys).cast("double") - lit(lo.toDouble)) / lit(span.toDouble) * lit(65535.0))
+        .cast("long")
+    }
+    val zcol: Column = (0 until 16).flatMap { b =>
+      rankCols.zipWithIndex.map { case (r, ci) =>
+        shiftleft(shiftrightunsigned(r, b).bitwiseAND(lit(1L)), b * nCols + ci)
+      }
+    }.reduce(_.bitwiseOR(_))
+    val totalBytes = current.map(_.sizeBytes).sum
+    val outParts = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val clustered = df.repartitionByRange(outParts, zcol)
+      .sortWithinPartitions(zcol)
+    val factory = LakeWriterFactory(t.meta.physicalSchema.json, s"${t.meta.location}/data",
+      Nil, new SerializableConfiguration(hadoopConf))
+    val newFiles = clustered.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
+      val w = factory.createWriter(pid, org.apache.spark.TaskContext.get().taskAttemptId())
+      rows.foreach(w.write)
+      Iterator.single(w.commit())
+    }.collect().toSeq.collect { case LakeCommitMessage(fs) => fs }.flatten
+    val replaced = current.map(_.path).toSet
+    val foldedDeletes = TombstoneRewrite.foldable(spark, covering, replaced, hadoopConf)
+    commitManifest(cat, ident, t, hadoopConf, "zorder",
+      replacedPaths = replaced ++ foldedDeletes, newFiles = newFiles,
+      scanDeletePaths = deletes.map(_.path).toSet,
+      rewrittenDataPaths = replaced)
+    (current.size, newFiles.size)
+  }
+
   /** Roll the table back to an earlier snapshot (Iceberg's
     * rollback_to_snapshot): a metadata-only CAS commit moving the current
     * pointer — nothing is rewritten or deleted, the abandoned snapshots

@@ -20,7 +20,7 @@ object LakeProcedures {
   val Namespace: Array[String] = Array("system")
 
   def names: Seq[String] = Seq("compact", "expire_snapshots", "rollback",
-    "create_tag", "remove_tag", "publish", "set_partition_spec")
+    "create_tag", "remove_tag", "publish", "set_partition_spec", "zorder")
 
   def load(catalogName: String, ident: Identifier): Option[UnboundProcedure] = {
     if (!ident.namespace().sameElements(Namespace)) return None
@@ -68,6 +68,16 @@ object LakeProcedures {
         StructType(Seq(StructField("published_snapshot_id", LongType))),
         { (spark, args) =>
           row(LakeMaintenance.publish(spark, full(args.getString(0)), args.getLong(1)))
+        }))
+      case "zorder" => Some(proc("zorder",
+        Seq(in("table", StringType), in("columns", StringType) /* semicolon-separated */,
+          inDef("target_file_bytes", LongType, (128L * 1024 * 1024).toString)),
+        StructType(Seq(StructField("files_before", IntegerType), StructField("files_after", IntegerType))),
+        { (spark, args) =>
+          val cols = args.getString(1).split(';').map(_.trim).filter(_.nonEmpty).toSeq
+          val (b, a) = LakeMaintenance.zorderCompact(spark, full(args.getString(0)),
+            cols, args.getLong(2))
+          row(b, a)
         }))
       case "set_partition_spec" => Some(proc("set_partition_spec",
         Seq(in("table", StringType), in("spec", StringType)),

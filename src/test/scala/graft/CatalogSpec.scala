@@ -1115,6 +1115,46 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("nope"), s"unknown procedure must fail to load: $e")
   }
 
+  test("z-order compaction: multi-dimensional clustering prunes on BOTH columns") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.zo")
+    spark.sql("DROP TABLE IF EXISTS lake.zo.t")
+    spark.sql("CREATE TABLE lake.zo.t (x BIGINT, y BIGINT, v BIGINT)")
+    // a 100x100 grid inserted in x-major order: after a LINEAR x-sort, every
+    // file spans the full y range — y predicates prune nothing
+    spark.sql("INSERT INTO lake.zo.t SELECT id DIV 100, id % 100, id FROM range(10000)")
+    def t = spark.sessionState.catalogManager.catalog("lake").asInstanceOf[TableCatalog]
+      .loadTable(Identifier.of(Array("zo"), "t")).asInstanceOf[graft.catalog.LakeTable]
+
+    val (before, after) = graft.catalog.LakeMaintenance.zorderCompact(
+      spark, "lake.zo.t", Seq("x", "y"), targetFileBytes = 8 * 1024)
+    assert(after > 4, s"need several output files to observe pruning, got $after")
+
+    // values intact
+    assert(spark.table("lake.zo.t").count() == 10000)
+    assert(spark.sql("SELECT sum(v) FROM lake.zo.t").collect()(0).getLong(0) ==
+      (0L until 10000L).sum)
+
+    // a quadrant query must exclude most files on STATS alone — possible
+    // only if files are tight boxes in (x, y), which a linear sort can't do
+    val files = t.meta.currentFiles
+    def overlaps(f: graft.catalog.DataFileMeta, c: String, lo: Long, hi: Long) =
+      f.minValues.get(c).forall(_.toDouble <= hi) &&
+        f.maxValues.get(c).forall(_.toDouble >= lo)
+    val hit = files.count(f => overlaps(f, "x", 0, 24) && overlaps(f, "y", 0, 24))
+    assert(hit.toDouble / files.size <= 0.5,
+      s"quadrant (6% of the grid) should prune >half the files: $hit of ${files.size}")
+    // both dimensions individually prunable too
+    val hitY = files.count(f => overlaps(f, "y", 0, 9))
+    assert(hitY < files.size, s"y-range pruning must exclude some files: $hitY of ${files.size}")
+    assert(spark.sql("SELECT count(*) FROM lake.zo.t WHERE x < 25 AND y < 25")
+      .collect()(0).getLong(0) == 625)
+    // and via CALL (idempotent second pass)
+    val viaCall = spark.sql("CALL lake.system.zorder('zo.t', 'x;y')").collect().head
+    assert(viaCall.getInt(1) >= 1)
+    assert(spark.table("lake.zo.t").count() == 10000)
+  }
+
   test("rollback moves the pointer back; history stays; rolling forward works") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.rb")
     spark.sql("DROP TABLE IF EXISTS lake.rb.t")
