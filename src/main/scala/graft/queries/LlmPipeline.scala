@@ -842,5 +842,30 @@ object LlmPipeline {
           sum(length(regexp_replace(col("text"), digitRun, "#")).cast("long"))
             .as("chars_after_scrub"))
         .orderBy("source")
+    },
+
+    // ───── q62: corpus profiling (exact distribution stats) ──────────────
+    // The length-distribution profile a mix designer reads before setting
+    // filter thresholds: exact discrete percentiles (one pass + one
+    // shuffle; Spark's exact percentile aggregates per group) — ints in,
+    // ints out, so the oracle is bit-exact.
+    QueryDef.df(
+      "q62_corpus_profile",
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50_chars,
+        |  CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).cast("long").as("min_chars"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)")
+            .cast("long").as("p50_chars"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars)")
+            .cast("long").as("p90_chars"),
+          max(col("n_chars")).cast("long").as("max_chars"))
+        .orderBy("lang")
     })
 }
