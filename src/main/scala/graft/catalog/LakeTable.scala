@@ -609,11 +609,15 @@ final class LakeScan(
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(files.map(_.sizeBytes).sum)
-      override def numRows(): java.util.OptionalLong =
-        // each tombstone kills one live row (delete files are only kept
-        // while their targets are live)
+      override def numRows(): java.util.OptionalLong = {
+        // each tombstone kills one live row; only delete files whose range
+        // covers a SELECTED file count (a pruned scan must not subtract
+        // tombstones aimed at files it no longer reads)
+        val covering = deleteFiles.filter(d =>
+          DeleteFiles.coversAny(d, files.map(_.path)))
         java.util.OptionalLong.of(math.max(0L,
-          files.map(_.rowCount).sum - deleteFiles.map(_.rowCount).sum))
+          files.map(_.rowCount).sum - covering.map(_.rowCount).sum))
+      }
     }
 
   // Spark consumes rows positionally against this schema: report LOGICAL
