@@ -210,6 +210,9 @@ object LlmPipeline {
         |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6
         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       val t0 = 0.6
+      // (measured: localCheckpoint-ing the shingled corpus for its three
+      // consumers does NOT help — 6.17 s vs 6.15 s median-of-5; the cost
+      // lives in the 10M-row gram shuffles, not the codegen shingling)
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), shingles3(col("text")).as("sh"))
       // Shingle strings are hashed to 64 bits at the source: everything
