@@ -130,6 +130,7 @@ final class LakeDeltaBatchWrite(
     val dataFiles = ms.flatMap(_.dataFiles).toSeq
     val deleteFiles = ms.flatMap(_.deleteFiles).toSeq
     val targets = ms.flatMap(_.targetPaths).toSet
+    if (dataFiles.isEmpty && deleteFiles.isEmpty) return // no-op command: no snapshot
     var prevLoc = table.metadataLocation
     var base = table.meta
     var attempts = 0

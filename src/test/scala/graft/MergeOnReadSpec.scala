@@ -404,6 +404,17 @@ class MergeOnReadSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("MoR DELETE matching nothing commits no snapshot") {
+    val t = s"lake.mor.${uniq("noop")}"
+    spark.sql(s"CREATE TABLE $t (id INT) TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(0, 10)")
+    val before = lakeMeta(t).currentSnapshotId
+    spark.sql(s"DELETE FROM $t WHERE id > 1000")
+    assert(lakeMeta(t).currentSnapshotId == before, "empty delta must not commit")
+    assert(spark.table(t).count() == 10)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("metadata columns survive filters and projections") {
     val t = s"lake.mor.${uniq("metaf")}"
     spark.sql(s"CREATE TABLE $t (id INT, v STRING)")
