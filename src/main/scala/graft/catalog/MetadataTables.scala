@@ -23,6 +23,7 @@ object MetadataTables {
     case "files" => Some(files(display, meta))
     case "manifests" => Some(manifests(display, meta))
     case "deletes" => Some(deletes(display, meta))
+    case "partitions" => Some(partitions(display, meta))
     case _ => None
   }
 
@@ -65,6 +66,39 @@ object MetadataTables {
       StructField("n_bytes", LongType, nullable = false)))
     val rows = meta.snapshot(meta.currentSnapshotId).map(meta.manifestsOf).getOrElse(Nil)
       .map(m => Row(m.location, m.kind, m.nFiles, m.nRows, m.nBytes))
+    RowsTable(display, schema, rows)
+  }
+
+  /** Per-partition-value file/row/byte counts (`t$partitions`), derived
+    * from the clustered writers' per-file stats — the skew/size view an
+    * operator reads before deciding to compact or re-bucket. Files not
+    * cleanly single-valued on the spec (pre-evolution generations) group
+    * under a null partition value.
+    */
+  private def partitions(display: String, meta: TableMeta): Table = {
+    val schema = StructType(Seq(
+      StructField("partition", StringType),
+      StructField("n_files", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false)))
+    val pfields = meta.partitionFields
+    def keyOf(f: DataFileMeta): Option[String] =
+      if (pfields.isEmpty) None
+      else {
+        val parts = pfields.map { pf =>
+          (f.minValues.get(pf.statKey), f.maxValues.get(pf.statKey)) match {
+            case (Some(lo), Some(hi)) if lo == hi => Some(s"${pf.spec}=$lo")
+            case _ => None
+          }
+        }
+        if (parts.forall(_.isDefined)) Some(parts.flatten.mkString("/")) else None
+      }
+    val rows = meta.logicalStatFiles(meta.currentFiles)
+      .groupBy(keyOf)
+      .toSeq.sortBy(_._1.getOrElse(""))
+      .map { case (k, fs) =>
+        Row(k.orNull, fs.size.toLong, fs.map(_.rowCount).sum, fs.map(_.sizeBytes).sum)
+      }
     RowsTable(display, schema, rows)
   }
 

@@ -985,6 +985,18 @@ class LakeCatalogSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("SELECT * FROM lake.mx.`md$bogus`").collect() }
   }
 
+  test("t$partitions: per-partition-value file/row counts from stats") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.mx")
+    spark.sql("DROP TABLE IF EXISTS lake.mx.pp")
+    spark.sql("CREATE TABLE lake.mx.pp (region INT, v BIGINT) PARTITIONED BY (region)")
+    spark.sql("INSERT INTO lake.mx.pp SELECT CAST(id % 3 AS INT), id FROM range(300)")
+    val rows = spark.sql("SELECT * FROM lake.mx.`pp$partitions` ORDER BY partition").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[String]("partition")).toSeq == Seq("region=0", "region=1", "region=2"))
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == 300)
+    rows.foreach(r => assert(r.getAs[Long]("n_rows") == 100))
+  }
+
   test("rename preserves data; purge removes files") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.rn")
     spark.sql("DROP TABLE IF EXISTS lake.rn.a")
