@@ -1085,6 +1085,27 @@ class LakeCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("write-audit-publish: two racing publishes both land via CAS retry") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.wap")
+    spark.sql("DROP TABLE IF EXISTS lake.wap.race")
+    spark.sql("CREATE TABLE lake.wap.race (k BIGINT) TBLPROPERTIES ('wap.enabled'='true')")
+    def t = spark.sessionState.catalogManager.catalog("lake").asInstanceOf[TableCatalog]
+      .loadTable(Identifier.of(Array("wap"), "race")).asInstanceOf[graft.catalog.LakeTable]
+    spark.sql("INSERT INTO lake.wap.race VALUES (1)")
+    val s1 = t.meta.snapshots.last.snapshotId
+    spark.sql("INSERT INTO lake.wap.race VALUES (2)")
+    val s2 = t.meta.snapshots.last.snapshotId
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(s1, s2).map(id => new Thread(() =>
+      try graft.catalog.LakeMaintenance.publish(spark, "lake.wap.race", id)
+      catch { case e: Throwable => errs.add(e) }))
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    assert(errs.isEmpty, s"both publishes must land: ${errs.toArray.mkString}")
+    assert(spark.table("lake.wap.race").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L), "both staged rows visible after racing publishes")
+  }
+
   test("write-audit-publish: abandoned stages expire once the pointer passes them") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.wap")
     spark.sql("DROP TABLE IF EXISTS lake.wap.ab")

@@ -307,6 +307,33 @@ class LlmSpec extends AnyFunSuite {
     assert(comp(20L) == 20L && comp(21L) == 21L)
   }
 
+  test("connected components: 2000-node random graph matches union-find exactly") {
+    // deterministic pseudo-random edge set; ground truth from a classic
+    // driver-side union-find — the distributed result must agree exactly
+    val n = 2000
+    val rnd = new scala.util.Random(42)
+    val edgePairs = Seq.fill(1500)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edgePairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = (0 until n).map { v =>
+      // canonical root = min node id in the component
+      var r = find(v)
+      v.toLong -> r.toLong
+    }.toMap
+    // normalize truth roots to component minimum
+    val minOf = truth.groupBy(_._2).map { case (r, m) => r -> m.keys.min }
+    val expect = truth.map { case (v, r) => v -> minOf(r) }
+
+    val comp = graft.functions.ConnectedComponents.run(
+      spark.range(0, n).toDF("node"), edgePairs.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == expect, "distributed CC must equal union-find ground truth")
+  }
+
   test("q56 components are maximal: no edge crosses two components") {
     val d = graft.Tables.t(spark, sf, "documents").select($"doc_id", $"lang", $"n_chars")
     val edges = d.as("a").join(d.as("b"),

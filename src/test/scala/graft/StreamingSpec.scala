@@ -174,4 +174,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(1).getAs[Long]("user_id") == 1L && out(1).getAs[Long]("n_events") == 1)
     assert(out(2).getAs[Long]("user_id") == 2L && out(2).getAs[Long]("n_events") == 1)
   }
+
+  test("streaming across WAP: staged rows arrive exactly once, at publish time") {
+    import org.apache.spark.sql.functions.col
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.stream")
+    spark.sql("DROP TABLE IF EXISTS lake.stream.wap")
+    spark.sql("CREATE TABLE lake.stream.wap (k BIGINT)")
+    spark.sql("INSERT INTO lake.stream.wap VALUES (1)")
+    val q = spark.readStream.table("lake.stream.wap")
+      .writeStream.format("memory").queryName("wap_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("wap_out").select(col("k")).collect().map(_.getLong(0)).toSeq == Seq(1L))
+      // stage a commit: the stream must NOT deliver it (pointer unmoved)
+      spark.sql("ALTER TABLE lake.stream.wap SET TBLPROPERTIES ('wap.enabled'='true')")
+      spark.sql("INSERT INTO lake.stream.wap VALUES (2)")
+      q.processAllAvailable()
+      assert(spark.table("wap_out").count() == 1, "staged rows must stay invisible to the stream")
+      // publish: the staged rows arrive, exactly once
+      val staged = {
+        import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+        val t = spark.sessionState.catalogManager.catalog("lake").asInstanceOf[TableCatalog]
+          .loadTable(Identifier.of(Array("stream"), "wap")).asInstanceOf[graft.catalog.LakeTable]
+        t.meta.snapshots.filter(_.operation == "stage-append").last.snapshotId
+      }
+      graft.catalog.LakeMaintenance.publish(spark, "lake.stream.wap", staged)
+      q.processAllAvailable()
+      assert(spark.table("wap_out").select(col("k")).collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 2L), "published rows arrive exactly once")
+    } finally q.stop()
+  }
 }
