@@ -16,7 +16,10 @@ import org.apache.spark.util.SerializableConfiguration
 /** Merge-on-read row-level operation (SupportsDelta): instead of rewriting
   * every file that contains a matching row (copy-on-write), the write emits
   * positional TOMBSTONES — parquet files of `(file_path, pos)` — plus data
-  * files for inserted rows, and the commit appends both as new manifests.
+  * files for inserted rows, and the commit appends both as new manifests
+  * through the reference's pointer-swap protocol (reference:
+  * src/catalog/mod.rs:296-347 — the CAS commits ANY metadata shape
+  * atomically; the delta shape is Iceberg v2's public delete-file model).
   * A point DELETE on a 100 TB table commits kilobytes, not rewritten
   * gigabytes; scans subtract tombstones per file ([[LakeMixedBatch]]) and
   * compaction folds them away.

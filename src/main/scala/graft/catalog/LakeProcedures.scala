@@ -13,7 +13,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * DSv2 stored-procedure protocol (ResolveProcedures/BindProcedures in
   * the analyzer) over the [[LakeMaintenance]] operations, mirroring
   * Iceberg's procedure surface. Every procedure returns its outcome as a
-  * one-row LocalScan so `CALL` results read like any query.
+  * one-row LocalScan so `CALL` results read like any query. (Maintenance
+  * is the operational surface the reference leaves entirely to operators —
+  * its drop_table never even deletes files, reference:
+  * src/catalog/mod.rs:164.)
   */
 object LakeProcedures {
 

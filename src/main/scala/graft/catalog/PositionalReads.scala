@@ -15,6 +15,10 @@ import org.apache.spark.util.SerializableConfiguration
 
 /** The table's row-identity metadata columns, Iceberg's names: `_file` is
   * the data file a row lives in, `_pos` its 0-based ordinal in that file.
+  * (Row identity is the Iceberg metadata contract the reference's schema
+  * model implies — field IDs and snapshots, reference:
+  * src/catalog/mod.rs:437-450, 296-347; the engine-side realization here
+  * is ours.)
   * Together they are the row ID the merge-on-read delete path tombstones
   * (a positional delete file is a sorted list of `(file_path, pos)`), and
   * they're queryable directly (`SELECT _file, _pos FROM t`) for
