@@ -19,7 +19,8 @@ final case class DataFileMeta(
     sizeBytes: Long,
     minValues: Map[String, String] = Map.empty,
     maxValues: Map[String, String] = Map.empty,
-    nullCounts: Map[String, Long] = Map.empty) {
+    nullCounts: Map[String, Long] = Map.empty,
+    addedAt: Long = 0L) { // snapshot that added this file (0 = legacy doc)
   /** Null-safe accessor (documents written before null tracking). */
   def nulls: Map[String, Long] = if (nullCounts == null) Map.empty else nullCounts
 }
@@ -215,8 +216,12 @@ object ManifestIO {
     finally in.close()
   }
 
-  def write(tableLocation: String, snapshotId: Long, files: Seq[DataFileMeta],
+  def write(tableLocation: String, snapshotId: Long, files0: Seq[DataFileMeta],
       conf: Configuration, content: String = "data"): ManifestMeta = {
+    // stamp the adding snapshot: the SEQUENCE NUMBER equality deletes
+    // compare against (a delete applies only to files added strictly
+    // before it). Shared manifests keep their original stamps.
+    val files = files0.map(f => if (f.addedAt > 0) f else f.copy(addedAt = snapshotId))
     val loc = s"$tableLocation/metadata/manifest-$snapshotId-${java.util.UUID.randomUUID()}.json"
     writeDoc(loc, mapper.writeValueAsString(files), conf)
     fileCache.synchronized(fileCache.put(loc, files))
