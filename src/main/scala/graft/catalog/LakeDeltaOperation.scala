@@ -56,7 +56,9 @@ final class LakeDeltaOperation(
       l2p = table.meta.l2pMap,
       // existing tombstones apply during the scan: a second DELETE can't
       // re-tombstone (or resurrect) rows a first one already removed
-      deleteFiles = table.meta.currentDeleteFiles)
+      deleteFiles = table.meta.currentDeleteFiles,
+      eqDeletes = table.meta.currentEqDeleteFiles,
+      eqKeySchema = table.meta.upsertKeySchema)
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {

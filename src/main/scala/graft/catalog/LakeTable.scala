@@ -140,7 +140,9 @@ final class LakeTable(
         }, options, hadoopConf)),
       partitionCols = meta.partitionColumns,
       l2p = meta.l2pMap,
-      deleteFiles = snap.map(meta.deleteFilesOf).getOrElse(Nil))
+      deleteFiles = snap.map(meta.deleteFilesOf).getOrElse(Nil),
+      eqDeletes = snap.map(meta.eqDeleteFilesOf).getOrElse(Nil),
+      eqKeySchema = meta.upsertKeySchema)
   }
 
   /** Per-command write mode: 'copy-on-write' (default — rewrite affected
@@ -350,7 +352,9 @@ final class LakeRowLevelOperation(
       l2p = table.meta.l2pMap,
       // pending merge-on-read tombstones apply during the CoW scan, so the
       // rewritten files exclude the deleted rows
-      deleteFiles = table.meta.currentDeleteFiles)
+      deleteFiles = table.meta.currentDeleteFiles,
+      eqDeletes = table.meta.currentEqDeleteFiles,
+      eqKeySchema = table.meta.upsertKeySchema)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
     override def build(): Write = new Write {
@@ -422,7 +426,9 @@ final class LakeScanBuilder(
     microBatch: Option[() => LakeMicroBatchStream] = None,
     partitionCols: Seq[String] = Nil,
     l2p: Map[String, String] = Map.empty,
-    deleteFiles: Seq[DataFileMeta] = Nil)
+    deleteFiles: Seq[DataFileMeta] = Nil,
+    eqDeletes: Seq[DataFileMeta] = Nil,
+    eqKeySchema: Option[StructType] = None)
   extends ScanBuilder with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns {
 
@@ -447,7 +453,8 @@ final class LakeScanBuilder(
       FilePruner.mayMatch(e, f, tableSchema) && BucketPruner.mayMatch(e, f, pf)))
     onFilesSelected(survivors)
     new LakeScan(ident, tableSchema, survivors, exprs, requiredSchema, options,
-      runtimeFilterCols, onFilesSelected, microBatch, partitionCols, l2p, deleteFiles)
+      runtimeFilterCols, onFilesSelected, microBatch, partitionCols, l2p, deleteFiles,
+      eqDeletes, eqKeySchema)
   }
 }
 
@@ -471,7 +478,9 @@ final class LakeScan(
     microBatch: Option[() => LakeMicroBatchStream] = None,
     partitionCols: Seq[String] = Nil,
     l2p: Map[String, String] = Map.empty,
-    deleteFiles: Seq[DataFileMeta] = Nil)
+    deleteFiles: Seq[DataFileMeta] = Nil,
+    eqDeletes: Seq[DataFileMeta] = Nil,
+    eqKeySchema: Option[StructType] = None)
   extends Scan with SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -492,6 +501,10 @@ final class LakeScan(
   /** Per-file covering delete files (merge-on-read tombstones). */
   private def coveringDeletes(f: DataFileMeta): Seq[String] =
     DeleteFiles.covering(deleteFiles, f.path).map(_.path)
+
+  /** Equality deletes applicable to a file: strictly newer sequence. */
+  private def eqApplicable(f: DataFileMeta): Seq[String] =
+    eqDeletes.filter(_.addedAt > f.addedAt).map(_.path)
 
   private def inner: Scan = {
     if (delegate == null) {
@@ -566,7 +579,7 @@ final class LakeScan(
     // no SPJ when metadata columns are requested or tombstones are pending:
     // those files read through positional partitions, which don't carry keys
     if (partitionCols.isEmpty || files.isEmpty || metaCols.nonEmpty ||
-        files.exists(f => coveringDeletes(f).nonEmpty)) None
+        files.exists(f => coveringDeletes(f).nonEmpty || eqApplicable(f).nonEmpty)) None
     else {
       val parsed = files.map(f => parseKey(f).map(_ -> f))
       if (parsed.exists(_.isEmpty)) None
@@ -615,8 +628,10 @@ final class LakeScan(
         // tombstones aimed at files it no longer reads)
         val covering = deleteFiles.filter(d =>
           DeleteFiles.coversAny(d, files.map(_.path)))
+        val eqApp = eqDeletes.filter(d => files.exists(_.addedAt < d.addedAt))
         java.util.OptionalLong.of(math.max(0L,
-          files.map(_.rowCount).sum - covering.map(_.rowCount).sum))
+          files.map(_.rowCount).sum - covering.map(_.rowCount).sum
+            - eqApp.map(_.rowCount).sum))
       }
     }
 
@@ -628,16 +643,17 @@ final class LakeScan(
       metaCols.map(LakeMetaCols.fieldOf))
 
   override def toBatch: org.apache.spark.sql.connector.read.Batch = {
-    val dirty = files.map(f => f -> coveringDeletes(f))
+    val dirty = files.map(f => (f, coveringDeletes(f), eqApplicable(f)))
     // tombstoned files (and every file, when _file/_pos are requested) read
     // through whole-file positional row readers; clean files keep the
     // vectorized delegate — merge-on-read taxes only the dirty files
-    if (metaCols.nonEmpty || dirty.exists(_._2.nonEmpty)) {
-      val (clean, tomb) =
-        if (metaCols.nonEmpty) (Nil, dirty)
-        else dirty.partition(_._2.isEmpty)
+    if (metaCols.nonEmpty || dirty.exists(d => d._2.nonEmpty || d._3.nonEmpty)) {
+      val (tomb, clean) =
+        if (metaCols.nonEmpty) (dirty, Nil)
+        else dirty.partition(d => d._2.nonEmpty || d._3.nonEmpty)
       new LakeMixedBatch(ident, tableSchema, requiredDataSchema, exprs, options,
-        clean.map(_._1), tomb, metaCols, l2p)
+        clean.map(_._1), tomb, metaCols, l2p,
+        eqKeySchemaJson = eqKeySchema.map(_.json).getOrElse(""))
     } else keyedBatch.getOrElse(inner.toBatch)
   }
   override def toMicroBatchStream(
@@ -702,9 +718,10 @@ final class LakeMixedBatch(
     exprs: Seq[Expression],
     options: CaseInsensitiveStringMap,
     cleanFiles: Seq[DataFileMeta],
-    tombstoned: Seq[(DataFileMeta, Seq[String])],
+    tombstoned: Seq[(DataFileMeta, Seq[String], Seq[String])],
     metaCols: Seq[String],
-    l2p: Map[String, String])
+    l2p: Map[String, String],
+    eqKeySchemaJson: String = "")
   extends org.apache.spark.sql.connector.read.Batch {
 
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
@@ -727,8 +744,9 @@ final class LakeMixedBatch(
 
   override def planInputPartitions(): Array[InputPartition] =
     delegatePlanned.map(_._1).getOrElse(Array.empty[InputPartition]) ++
-      tombstoned.map { case (f, dels) =>
-        PositionalInputPartition(f.path, dels, physReadSchemaJson, metaCols)
+      tombstoned.map { case (f, dels, eqs) =>
+        PositionalInputPartition(f.path, dels, physReadSchemaJson, metaCols,
+          eqs, if (eqs.isEmpty) "" else eqKeySchemaJson)
       }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1025,8 +1043,16 @@ final class LakeWrite(
 
   override def toBatch: BatchWrite =
     new LakeBatchWrite(table, info.schema(), overwrite, store, hadoopConf)
-  override def toStreaming: streaming.StreamingWrite =
-    new LakeStreamingWrite(table, info.schema(), info.queryId(), store, hadoopConf)
+  override def toStreaming: streaming.StreamingWrite = {
+    // writeStream.option("upsert-keys", "k1,k2"): CDC-style upsert epochs —
+    // each commit appends its rows plus an EQUALITY-delete file of the
+    // written keys, killing prior versions in older files (per-file
+    // sequence numbers decide applicability)
+    val upsertKeys = Option(info.options().get("upsert-keys"))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    new LakeStreamingWrite(table, info.schema(), info.queryId(), store, hadoopConf,
+      upsertKeys)
+  }
 }
 
 final case class LakeCommitMessage(files: Seq[DataFileMeta]) extends WriterCommitMessage
@@ -1101,19 +1127,34 @@ final class LakeStreamingWrite(
     writeSchema: StructType,
     queryId: String,
     store: PointerStore,
-    hadoopConf: Configuration)
+    hadoopConf: Configuration,
+    upsertKeys: Seq[String] = Nil)
   extends streaming.StreamingWrite {
 
   private def epochKey = s"stream.$queryId.last-epoch"
 
+  upsertKeys.foreach(k => require(writeSchema.fieldNames.contains(k),
+    s"upsert key '$k' not in the write schema of ${table.ident}"))
+
   override def createStreamingWriterFactory(
-      info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
-    LakeWriterFactory(ColumnMapping.toPhysical(writeSchema, table.meta.l2pMap).json,
+      info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory = {
+    val physSchema = ColumnMapping.toPhysical(writeSchema, table.meta.l2pMap)
+    val base = LakeWriterFactory(physSchema.json,
       s"${table.meta.location}/data",
       table.meta.physicalPartitionColumns, new SerializableConfiguration(hadoopConf))
+    if (upsertKeys.isEmpty) base
+    else {
+      val keyIdx = upsertKeys.map(writeSchema.fieldIndex).toArray
+      LakeUpsertWriterFactory(base, physSchema.json, keyIdx,
+        s"${table.meta.location}/deletes", new SerializableConfiguration(hadoopConf))
+    }
+  }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val newFiles = messages.collect { case LakeCommitMessage(fs) => fs }.flatten.toSeq
+    val eqFiles = messages.collect { case LakeUpsertCommitMessage(_, eq) => eq }.flatten.toSeq
+    val dataFiles = newFiles ++
+      messages.collect { case LakeUpsertCommitMessage(d, _) => d }.flatten.toSeq
     // Always re-resolve the pointer: this handle lives for the whole query,
     // and every prior epoch moved it.
     var attempts = 0
@@ -1125,11 +1166,22 @@ final class LakeStreamingWrite(
         // replayed epoch (sink retry / restart from checkpoint): drop the
         // re-written files, keep the committed snapshot — exactly-once.
         val hfs = new Path(table.meta.location).getFileSystem(hadoopConf)
-        newFiles.foreach(f => hfs.delete(new Path(f.path), false))
+        (dataFiles ++ eqFiles).foreach(f => hfs.delete(new Path(f.path), false))
         return
       }
-      val next = TableMeta.withAppend(base, "stream-append", newFiles, hadoopConf,
-        extraProps = Map(epochKey -> epochId.toString))
+      val next =
+        if (upsertKeys.isEmpty)
+          TableMeta.withAppend(base, "stream-append", dataFiles, hadoopConf,
+            extraProps = Map(epochKey -> epochId.toString))
+        else {
+          base.properties.get("upsert.keys").foreach(prev => require(
+            prev == upsertKeys.mkString(","),
+            s"upsert keys '$prev' already fixed for ${table.ident}"))
+          TableMeta.withDelta(base, "upsert", dataFiles, eqFiles, hadoopConf,
+            deleteContent = "eq-deletes",
+            extraProps = Map(epochKey -> epochId.toString,
+              "upsert.keys" -> upsertKeys.mkString(",")))
+        }
       val newLoc = TableMeta.write(next, hadoopConf)
       if (store.casUpdate(table.namespace, table.tableName, newLoc, prevLoc) == 1) {
         table.commitSucceeded()
@@ -1144,8 +1196,67 @@ final class LakeStreamingWrite(
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(table.meta.location).getFileSystem(hadoopConf)
-    messages.collect { case LakeCommitMessage(files) =>
-      files.foreach(f => fs.delete(new Path(f.path), false))
+    messages.foreach {
+      case LakeCommitMessage(files) =>
+        files.foreach(f => fs.delete(new Path(f.path), false))
+      case LakeUpsertCommitMessage(d, eq) =>
+        (d ++ eq).foreach(f => fs.delete(new Path(f.path), false))
+      case _ => ()
+    }
+  }
+}
+
+final case class LakeUpsertCommitMessage(
+    dataFiles: Seq[DataFileMeta],
+    eqDeleteFiles: Seq[DataFileMeta]) extends WriterCommitMessage
+
+/** Upsert epoch writer: rows stream into the normal data writer; their
+  * DISTINCT key tuples are collected (value-compared UnsafeRows) and
+  * flushed as one equality-delete parquet per task at commit — the file
+  * that kills prior versions of these keys in all OLDER files. Memory is
+  * O(distinct keys per task per epoch) — the CDC batch, not the table.
+  */
+final case class LakeUpsertWriterFactory(
+    dataFactory: LakeWriterFactory,
+    physSchemaJson: String,
+    keyIdx: Array[Int],
+    deleteDir: String,
+    conf: SerializableConfiguration)
+  extends streaming.StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = {
+    val physSchema = DataType.fromJson(physSchemaJson).asInstanceOf[StructType]
+    val keySchema = StructType(keyIdx.map(physSchema.fields))
+    val inner = dataFactory.createWriter(partitionId, taskId, epochId)
+    new DataWriter[InternalRow] {
+      import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection, UnsafeRow}
+      private val keyProj = UnsafeProjection.create(keyIdx.map(i =>
+        BoundReference(i, physSchema.fields(i).dataType, physSchema.fields(i).nullable)
+          : org.apache.spark.sql.catalyst.expressions.Expression))
+      private val keys = new java.util.LinkedHashSet[UnsafeRow]()
+
+      override def write(row: InternalRow): Unit = {
+        keys.add(keyProj(row).copy())
+        inner.write(row)
+      }
+      override def commit(): WriterCommitMessage = {
+        val dataFiles = inner.commit() match {
+          case LakeCommitMessage(fs) => fs
+          case _ => Nil
+        }
+        val kw = new LakeDataWriter(keySchema,
+          s"$deleteDir/eq-$partitionId-$taskId-${java.util.UUID.randomUUID()}",
+          Nil, conf.value)
+        keys.forEach(k => kw.write(k))
+        val eqFiles = kw.commit() match {
+          case LakeCommitMessage(fs) => fs
+          case _ => Nil
+        }
+        LakeUpsertCommitMessage(dataFiles, eqFiles)
+      }
+      override def abort(): Unit = inner.abort()
+      override def close(): Unit = inner.close()
     }
   }
 }

@@ -221,14 +221,18 @@ object TombstoneRewrite {
 }
 
 /** One data file read positionally: the whole file, minus tombstoned
-  * positions, optionally extended with the `_file`/`_pos` metadata columns
-  * (in `metaCols` order, appended after the data columns).
+  * positions, minus rows whose key appears in an APPLICABLE equality
+  * delete (one with a newer sequence number than this file), optionally
+  * extended with the `_file`/`_pos` metadata columns (in `metaCols` order,
+  * appended after the data columns).
   */
 final case class PositionalInputPartition(
     dataPath: String,
     deletePaths: Seq[String],
     physDataSchemaJson: String,
-    metaCols: Seq[String]) extends InputPartition
+    metaCols: Seq[String],
+    eqDeletePaths: Seq[String] = Nil,
+    eqKeySchemaJson: String = "") extends InputPartition
 
 /** Dispatches positional partitions to the row reader and everything else
   * to the delegated parquet factory. Spark requires every partition of one
@@ -261,11 +265,44 @@ final class LakeReaderFactory(
 final class PositionalRowReader(part: PositionalInputPartition, conf: Configuration)
   extends PartitionReader[InternalRow] {
 
-  private val dataSchema =
+  import org.apache.spark.sql.catalyst.expressions.BoundReference
+
+  private val outSchema =
     DataType.fromJson(part.physDataSchemaJson).asInstanceOf[StructType]
+  // equality-delete keys may not be in the requested projection: read the
+  // union, emit only the requested prefix
+  private val keySchema: StructType =
+    if (part.eqDeletePaths.isEmpty) new StructType()
+    else DataType.fromJson(part.eqKeySchemaJson).asInstanceOf[StructType]
+  private val readSchema = StructType(outSchema.fields ++
+    keySchema.fields.filterNot(f => outSchema.fieldNames.contains(f.name)))
+
   private val deleted: Array[Long] =
     PositionalParquet.deletedPositions(part.dataPath, part.deletePaths, conf)
-  private val reader = PositionalParquet.open(part.dataPath, dataSchema, conf)
+
+  // key set of the applicable equality deletes, value-compared UnsafeRows
+  private val eqKeys: java.util.HashSet[org.apache.spark.sql.catalyst.expressions.UnsafeRow] = {
+    val set = new java.util.HashSet[org.apache.spark.sql.catalyst.expressions.UnsafeRow]()
+    if (part.eqDeletePaths.nonEmpty) {
+      val proj = UnsafeProjection.create(keySchema)
+      part.eqDeletePaths.foreach { p =>
+        val r = PositionalParquet.open(p, keySchema, conf)
+        try {
+          var row = r.read()
+          while (row != null) { set.add(proj(row).copy()); row = r.read() }
+        } finally r.close()
+      }
+    }
+    set
+  }
+  private val rowKeyProj =
+    if (eqKeys.isEmpty) null
+    else UnsafeProjection.create(keySchema.fields.map { f =>
+      val i = readSchema.fieldIndex(f.name)
+      BoundReference(i, f.dataType, f.nullable): org.apache.spark.sql.catalyst.expressions.Expression
+    })
+
+  private val reader = PositionalParquet.open(part.dataPath, readSchema, conf)
 
   // appended metadata values: constant _file, running _pos
   private val metaRow = new GenericInternalRow(part.metaCols.length)
@@ -275,8 +312,14 @@ final class PositionalRowReader(part: PositionalInputPartition, conf: Configurat
   }
   private val posIdx = part.metaCols.indexOf(LakeMetaCols.Pos)
   private val joined = new JoinedRow
+  // output = requested data columns (the readSchema prefix) + metadata cols
   private val toUnsafe = UnsafeProjection.create(
-    StructType(dataSchema.fields ++ part.metaCols.map(LakeMetaCols.fieldOf)))
+    outSchema.fields.zipWithIndex.map { case (f, i) =>
+      BoundReference(i, f.dataType, f.nullable): org.apache.spark.sql.catalyst.expressions.Expression
+    } ++ part.metaCols.zipWithIndex.map { case (m, j) =>
+      val f = LakeMetaCols.fieldOf(m)
+      BoundReference(readSchema.length + j, f.dataType, f.nullable): org.apache.spark.sql.catalyst.expressions.Expression
+    })
 
   private var pos = -1L
   private var delIdx = 0
@@ -289,12 +332,12 @@ final class PositionalRowReader(part: PositionalInputPartition, conf: Configurat
       pos += 1
       while (delIdx < deleted.length && deleted(delIdx) < pos) delIdx += 1
       if (delIdx < deleted.length && deleted(delIdx) == pos) {
-        delIdx += 1 // tombstoned: skip
+        delIdx += 1 // position-tombstoned: skip
+      } else if (rowKeyProj != null && eqKeys.contains(rowKeyProj(row))) {
+        // key-tombstoned by a newer equality delete: skip
       } else {
         if (posIdx >= 0) metaRow.update(posIdx, pos)
-        current =
-          if (part.metaCols.isEmpty) toUnsafe(row)
-          else toUnsafe(joined(row, metaRow))
+        current = toUnsafe(joined(row, metaRow))
         return true
       }
     }

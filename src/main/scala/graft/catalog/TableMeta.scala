@@ -4,7 +4,7 @@ import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** One data file tracked by a snapshot. Column min/max (stringified) enable
   * metadata-level file pruning without opening parquet footers — at 100 TB
@@ -165,7 +165,31 @@ final case class TableMeta(
 
   /** A snapshot's positional-delete files (merge-on-read tombstones). */
   def deleteFilesOf(s: SnapshotMeta): Seq[DataFileMeta] =
-    manifestsOf(s).filterNot(_.isData).flatMap(m => ManifestIO.read(m.location, ioConf))
+    manifestsOf(s).filter(_.kind == "deletes")
+      .flatMap(m => ManifestIO.read(m.location, ioConf))
+
+  /** A snapshot's EQUALITY-delete files (streaming-upsert key tombstones):
+    * parquet of key tuples; each applies to data files added STRICTLY
+    * before it (per-file `addedAt` sequence numbers).
+    */
+  def eqDeleteFilesOf(s: SnapshotMeta): Seq[DataFileMeta] =
+    manifestsOf(s).filter(_.kind == "eq-deletes")
+      .flatMap(m => ManifestIO.read(m.location, ioConf))
+
+  def currentEqDeleteFiles: Seq[DataFileMeta] =
+    snapshot(currentSnapshotId).map(eqDeleteFilesOf).getOrElse(Nil)
+
+  /** Physical-named key schema of the upsert keys, if the table has any
+    * (`upsert.keys` property, set by the first upsert epoch).
+    */
+  def upsertKeySchema: Option[StructType] =
+    properties.get("upsert.keys").map { csv =>
+      val m = l2pMap
+      StructType(csv.split(',').map(_.trim).filter(_.nonEmpty).map { c =>
+        val f = schema.fields(schema.fieldIndex(c))
+        StructField(m.getOrElse(c, c), f.dataType, f.nullable)
+      })
+    }
 
   /** Data + delete files — liveness accounting (expiration/vacuum). */
   def allFilesOf(s: SnapshotMeta): Seq[DataFileMeta] =
@@ -284,7 +308,8 @@ object CasCommit {
   def requireReplacedLive(
       base: TableMeta, replacedPaths: Set[String], operation: String, ident: String): Unit = {
     if (replacedPaths.nonEmpty) {
-      val live = (base.currentFiles ++ base.currentDeleteFiles).map(_.path).toSet
+      val live = (base.currentFiles ++ base.currentDeleteFiles ++
+        base.currentEqDeleteFiles).map(_.path).toSet
       val gone = replacedPaths -- live
       if (gone.nonEmpty)
         throw new CommitConflictException(
@@ -306,7 +331,10 @@ object CasCommit {
       scanBaseDeletePaths: Set[String], base: TableMeta, replacedPaths: Set[String],
       operation: String, ident: String): Unit = {
     if (replacedPaths.isEmpty) return
-    val fresh = base.currentDeleteFiles.filterNot(d => scanBaseDeletePaths(d.path))
+    // equality deletes carry no file_path stats, so a fresh one always
+    // "may target" a rewrite (None.forall = true) — conservative-correct
+    val fresh = (base.currentDeleteFiles ++ base.currentEqDeleteFiles)
+      .filterNot(d => scanBaseDeletePaths(d.path))
     val clash = fresh.find { d =>
       val lo = d.minValues.get("file_path")
       val hi = d.maxValues.get("file_path")
@@ -482,7 +510,9 @@ object TableMeta {
     * targets are still live first.
     */
   def withDelta(base: TableMeta, operation: String, newDataFiles: Seq[DataFileMeta],
-      newDeleteFiles: Seq[DataFileMeta], conf: Configuration): TableMeta = {
+      newDeleteFiles: Seq[DataFileMeta], conf: Configuration,
+      deleteContent: String = "deletes",
+      extraProps: Map[String, String] = Map.empty): TableMeta = {
     val snapId = base.nextSnapshotId
     val prev = base.snapshot(base.currentSnapshotId)
       .map(normalized(base, _, conf)).getOrElse(Nil)
@@ -491,8 +521,9 @@ object TableMeta {
       else prev :+ ManifestIO.write(base.location, snapId, newDataFiles, conf)
     val ms =
       if (newDeleteFiles.isEmpty) withData
-      else withData :+ ManifestIO.write(base.location, snapId, newDeleteFiles, conf, "deletes")
-    finish(base, snapId, operation, ms, Map.empty, conf)
+      else withData :+ ManifestIO.write(base.location, snapId, newDeleteFiles, conf,
+        deleteContent)
+    finish(base, snapId, operation, ms, extraProps, conf)
   }
 
   /** A snapshot's manifest pointers; legacy inline snapshots page out to a
