@@ -24,6 +24,44 @@ object LakeMaintenance {
     (cat, ident, cat.loadTable(ident).asInstanceOf[LakeTable])
   }
 
+  /** Read `files` with the SAME row-liveness semantics the table scan
+    * applies — minus positional tombstones, minus rows whose key appears in
+    * an APPLICABLE equality delete (strictly newer sequence than the file)
+    * — reproduced for rewrite/CDC jobs that read raw parquet directly.
+    * Files are grouped by their applicable eq-delete set (per-file
+    * `addedAt` decides), each group anti-joined against those keys; a
+    * rewrite that skipped this would give rows a NEW sequence number and
+    * resurrect every version an upsert had overwritten.
+    */
+  private[catalog] def readLive(
+      spark: SparkSession,
+      meta: TableMeta,
+      files: Seq[DataFileMeta],
+      posDeletes: Seq[DataFileMeta],
+      eqDeletes: Seq[DataFileMeta],
+      hadoopConf: org.apache.hadoop.conf.Configuration): org.apache.spark.sql.DataFrame = {
+    val phys = meta.physicalSchema
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], phys)
+    files.groupBy(f => eqDeletes.filter(_.addedAt > f.addedAt).map(_.path).sorted)
+      .map { case (eqPaths, fs) =>
+        val cov = TombstoneRewrite.covering(posDeletes, fs.map(_.path))
+        val base = TombstoneRewrite.subtract(spark,
+          spark.read.schema(phys).parquet(fs.map(_.path): _*),
+          fs.map(_.path), cov, hadoopConf)
+        if (eqPaths.isEmpty) base
+        else {
+          val ks = meta.upsertKeySchema.getOrElse(throw new IllegalStateException(
+            s"eq-delete files present but no upsert.keys property on ${meta.location}"))
+          val keys = spark.read.schema(ks).parquet(eqPaths: _*).distinct()
+          // null-safe: Iceberg equality deletes match null keys to null
+          val cond = ks.fieldNames.map(c => base(c) <=> keys(c)).reduce(_ && _)
+          base.join(keys, cond, "left_anti")
+        }
+      }.reduce(_ unionByName _)
+  }
+
   /** Bin-pack data files smaller than `smallFileBytes` into files of
     * roughly `targetFileBytes`, one compaction group per partition-column
     * value set (so partition pruning keeps working on the rewritten
@@ -38,11 +76,14 @@ object LakeMaintenance {
     val (cat, ident, t) = resolve(spark, table)
     val current = t.meta.currentFiles
     val deletes = t.meta.currentDeleteFiles
+    val eqDeletes = t.meta.currentEqDeleteFiles
     // merge-on-read tombstoned files compact regardless of size: folding
-    // their tombstones away is what puts them back on the vectorized path
+    // their tombstones away is what puts them back on the vectorized path;
+    // same for files an equality delete applies to (strictly older sequence)
     val small = current.filter(f => f.sizeBytes < smallFileBytes ||
-      TombstoneRewrite.covering(deletes, Seq(f.path)).nonEmpty)
-    if (small.size < 2 && !(small.size == 1 && deletes.nonEmpty))
+      TombstoneRewrite.covering(deletes, Seq(f.path)).nonEmpty ||
+      eqDeletes.exists(_.addedAt > f.addedAt))
+    if (small.size < 2 && !(small.size == 1 && (deletes.nonEmpty || eqDeletes.nonEmpty)))
       return (current.size, current.size)
     val keep = current.filterNot(small.toSet)
     val hadoopConf = spark.sessionState.newHadoopConf()
@@ -54,9 +95,7 @@ object LakeMaintenance {
     // carry); no logical relabeling is needed since no user predicate runs
     val physCols = t.meta.physicalPartitionColumns
     val covering = TombstoneRewrite.covering(deletes, small.map(_.path))
-    val df = TombstoneRewrite.subtract(spark,
-      spark.read.schema(t.meta.physicalSchema).parquet(small.map(_.path): _*),
-      small.map(_.path), covering, hadoopConf)
+    val df = readLive(spark, t.meta, small, deletes, eqDeletes, hadoopConf)
     // cluster by the partition key: the column itself, or for bucket specs
     // the SAME murmur3 hash the writer/stats use (SQL pmod(hash(c), n) ==
     // BucketHash by construction — both are Spark murmur3, seed 42)
@@ -88,9 +127,13 @@ object LakeMaintenance {
 
     val replaced = small.map(_.path).toSet
     val foldedDeletes = TombstoneRewrite.foldable(spark, covering, replaced, hadoopConf)
+    // an eq-delete file folds when no surviving OLD file is strictly older
+    // than it (rewritten files carry the commit's new sequence number, so
+    // the delete can no longer apply to anything)
+    val foldedEq = eqDeletes.filter(d => keep.forall(_.addedAt >= d.addedAt)).map(_.path)
     commitManifest(cat, ident, t, hadoopConf, "compact",
-      replacedPaths = replaced ++ foldedDeletes, newFiles = newFiles,
-      scanDeletePaths = deletes.map(_.path).toSet,
+      replacedPaths = replaced ++ foldedDeletes ++ foldedEq, newFiles = newFiles,
+      scanDeletePaths = (deletes ++ eqDeletes).map(_.path).toSet,
       rewrittenDataPaths = replaced)
     (current.size, keep.size + newFiles.size)
   }
@@ -215,6 +258,7 @@ object LakeMaintenance {
     val current = t.meta.currentFiles
     if (current.isEmpty) return (0, 0)
     val deletes = t.meta.currentDeleteFiles
+    val eqDeletes = t.meta.currentEqDeleteFiles
     val hadoopConf = spark.sessionState.newHadoopConf()
     val l2p = t.meta.l2pMap
     // per-column [min,max] over the whole table, from stats (logical keys)
@@ -227,9 +271,7 @@ object LakeMaintenance {
       (c, mins.min, maxs.max)
     }
     val covering = TombstoneRewrite.covering(deletes, current.map(_.path))
-    val df = TombstoneRewrite.subtract(spark,
-      spark.read.schema(t.meta.physicalSchema).parquet(current.map(_.path): _*),
-      current.map(_.path), covering, hadoopConf)
+    val df = readLive(spark, t.meta, current, deletes, eqDeletes, hadoopConf)
     // 16-bit range rank per column, bit-interleaved into one curve key:
     // z = Σ_bits Σ_cols ((rank_c >> b) & 1) << (b * nCols + c)
     val nCols = ranges.size
@@ -257,9 +299,10 @@ object LakeMaintenance {
     }.collect().toSeq.collect { case LakeCommitMessage(fs) => fs }.flatten
     val replaced = current.map(_.path).toSet
     val foldedDeletes = TombstoneRewrite.foldable(spark, covering, replaced, hadoopConf)
+    // whole-table rewrite: every eq delete folds (nothing older survives)
     commitManifest(cat, ident, t, hadoopConf, "zorder",
-      replacedPaths = replaced ++ foldedDeletes, newFiles = newFiles,
-      scanDeletePaths = deletes.map(_.path).toSet,
+      replacedPaths = replaced ++ foldedDeletes ++ eqDeletes.map(_.path), newFiles = newFiles,
+      scanDeletePaths = (deletes ++ eqDeletes).map(_.path).toSet,
       rewrittenDataPaths = replaced)
     (current.size, newFiles.size)
   }
@@ -364,10 +407,12 @@ object LakeMaintenance {
     * 'insert'|'delete', `_commit_snapshot_id`). An UPDATE surfaces as a
     * delete + an insert — exactly how merge-on-read represents it.
     *
-    * Supported over append and delta (merge-on-read) history: appends
-    * contribute inserts (their new files' rows), delta commits contribute
-    * inserts (new data files) and deletes (their tombstones' target rows,
-    * fetched positionally from the still-live data files). Rewrite
+    * Supported over append, delta (merge-on-read) and upsert history:
+    * appends contribute inserts (their new files' rows), delta commits
+    * contribute inserts (new data files) and deletes (their tombstones'
+    * target rows, fetched positionally from the still-live data files),
+    * upsert commits contribute inserts plus the parent-live rows their
+    * equality deletes overwrote. Rewrite
     * commits (copy-on-write DELETE/UPDATE, compaction, overwrite) are
     * rejected — a rewrite's file diff does not express its row-level
     * changes (compaction changes NO rows while replacing every file), the
@@ -402,7 +447,8 @@ object LakeMaintenance {
       }.takeWhile(id => id > startId && id > 0)
       .flatMap(meta.snapshot).toSeq.sortBy(_.snapshotId)
     lineage.foreach { s =>
-      if (!Set("append", "stream-append", "create", "stage-append", "publish", "delta")(s.operation))
+      if (!Set("append", "stream-append", "create", "stage-append", "publish", "delta",
+        "upsert")(s.operation))
         throw new IllegalArgumentException(
           s"changelog over $table: snapshot ${s.snapshotId} is '${s.operation}' — " +
             "row-level changes of rewrite commits are not expressible; " +
@@ -432,7 +478,27 @@ object LakeMaintenance {
             .withColumn("_change_type", lit("delete"))
             .withColumn("_commit_snapshot_id", lit(s.snapshotId)))
         }
-      inserts.toSeq ++ deletes.toSeq
+      // an upsert commit's implicit deletes: the rows LIVE at the parent
+      // whose key the new equality-delete files name (the overwritten
+      // versions) — the -D half of the CDC pair, the +I half is `inserts`
+      def eqDeletesAt(id: Long): Seq[DataFileMeta] =
+        if (id <= 0) Nil else meta.snapshot(id).map(meta.eqDeleteFilesOf).getOrElse(Nil)
+      val prevEq = eqDeletesAt(prevId).map(_.path).toSet
+      val newEq = eqDeletesAt(s.snapshotId).filterNot(d => prevEq(d.path))
+      val eqDeletes =
+        if (newEq.isEmpty) None
+        else {
+          val ks = meta.upsertKeySchema.get
+          val liveBefore = readLive(spark, meta, filesAt(prevId), deletesAt(prevId),
+            eqDeletesAt(prevId), hadoopConf)
+          val keys = spark.read.schema(ks).parquet(newEq.map(_.path): _*).distinct()
+          val cond = ks.fieldNames.map(c => liveBefore(c) <=> keys(c)).reduce(_ && _)
+          Some(liveBefore.join(keys, cond, "left_semi")
+            .toDF(logicalNames: _*)
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_snapshot_id", lit(s.snapshotId)))
+        }
+      inserts.toSeq ++ deletes.toSeq ++ eqDeletes.toSeq
     }
     parts.reduceOption(_ unionAll _).getOrElse {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -1,0 +1,197 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog._
+
+/** Row to upsert: `k` is the key, `v`/`n` the payload. Top-level so the
+  * MemoryStream encoder resolves it.
+  */
+case class UpsRow(k: Long, v: String, n: Int)
+
+/** Streaming upsert via equality deletes: each epoch appends its rows plus
+  * an `eq-deletes` parquet of the written keys, which kills prior versions
+  * of those keys in all OLDER files (per-file `addedAt` sequence numbers
+  * decide applicability). This is Iceberg v2's equality-delete contract —
+  * the CDC ingestion mode the reference's pointer-swap protocol commits
+  * opaquely (src/catalog/mod.rs:296-347).
+  */
+class UpsertSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def uniq(p: String) = s"$p${System.nanoTime() % 1000000}"
+
+  private def lakeMeta(t: String): TableMeta = {
+    val Array(cat, ns, name) = t.split('.')
+    val c = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    c.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array(ns), name))
+      .asInstanceOf[LakeTable].meta
+  }
+
+  /** Run a few upsert epochs into a fresh table; returns its name. */
+  private def upsertTable(epochs: Seq[Seq[UpsRow]]): String = {
+    import spark.implicits._
+    val t = s"lake.ups.${uniq("t")}"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ups")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING, n INT)")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ups").toString
+    val input = MemoryStream[UpsRow](spark)
+    val q = input.toDS().writeStream
+      .option("checkpointLocation", ckpt)
+      .option("upsert-keys", "k")
+      .toTable(t)
+    try epochs.foreach { batch => input.addData(batch: _*); q.processAllAvailable() }
+    finally q.stop()
+    t
+  }
+
+  test("streaming upsert: last writer wins per key across epochs") {
+    val t = upsertTable(Seq(
+      Seq(UpsRow(1, "a", 10), UpsRow(2, "b", 20)),
+      Seq(UpsRow(1, "a2", 11), UpsRow(3, "c", 30)),
+      Seq(UpsRow(2, "b2", 21), UpsRow(4, "d", 40))))
+
+    val rows = spark.table(t).collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(rows.sortBy(_._1).toSeq ==
+      Seq((1L, "a2", 11), (2L, "b2", 21), (3L, "c", 30), (4L, "d", 40)))
+
+    val meta = lakeMeta(t)
+    assert(meta.currentEqDeleteFiles.nonEmpty, "upsert epochs commit eq-delete files")
+    assert(meta.properties("upsert.keys") == "k")
+    // no data file was rewritten: every epoch appended
+    assert(meta.snapshots.count(_.operation == "upsert") == 3)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("upsert: same-epoch rows never kill each other; filters/aggregates see final state") {
+    val t = upsertTable(Seq(
+      (1L to 50L).map(i => UpsRow(i, s"v$i", i.toInt)),
+      (1L to 25L).map(i => UpsRow(i, s"w$i", -i.toInt))))
+
+    assert(spark.table(t).count() == 50)
+    // aggregate over the merged state
+    assert(spark.sql(s"SELECT sum(n) FROM $t").collect()(0).getLong(0) ==
+      (1 to 25).map(-_).sum + (26 to 50).sum)
+    // predicate pushdown through the eq-delete-filtered scan
+    assert(spark.sql(s"SELECT v FROM $t WHERE k = 10").collect()(0).getString(0) == "w10")
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE n < 0").collect()(0).getLong(0) == 25)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("upsert time travel: old snapshots show pre-upsert versions") {
+    val t = upsertTable(Seq(
+      Seq(UpsRow(1, "a", 1), UpsRow(2, "b", 2)),
+      Seq(UpsRow(1, "a2", 3))))
+    val meta = lakeMeta(t)
+    val first = meta.snapshots.find(_.operation == "upsert").get.snapshotId
+    val v1 = spark.read.option("snapshot-id", first.toString).table(t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(v1.toSeq == Seq((1L, "a"), (2L, "b")), "epoch-1 snapshot predates the overwrite of k=1")
+    val now = spark.table(t).collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(now.toSeq == Seq((1L, "a2"), (2L, "b")))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("upsert keys are fixed by the first epoch; a different key set is refused") {
+    import spark.implicits._
+    val t = upsertTable(Seq(Seq(UpsRow(1, "a", 1))))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ups2").toString
+    val input = MemoryStream[UpsRow](spark)
+    val q = input.toDS().writeStream
+      .option("checkpointLocation", ckpt)
+      .option("upsert-keys", "k,v") // conflicting key set
+      .toTable(t)
+    input.addData(UpsRow(9, "z", 9))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(ex.getMessage.contains("already fixed") ||
+      Option(ex.getCause).exists(_.getMessage.contains("already fixed")))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("compaction folds equality deletes: no resurrection, files back on the vectorized path") {
+    val t = upsertTable(Seq(
+      (1L to 100L).map(i => UpsRow(i, s"v$i", i.toInt)),
+      (1L to 40L).map(i => UpsRow(i, s"w$i", 0)),
+      (30L to 60L).map(i => UpsRow(i, s"x$i", 1))))
+
+    val expected = spark.table(t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sortBy(_._1).toSeq
+    assert(expected.size == 100)
+    assert(expected.count(_._2.startsWith("x")) == 31)
+    assert(lakeMeta(t).currentEqDeleteFiles.nonEmpty)
+
+    val (before, after) = LakeMaintenance.compact(spark, t)
+    assert(after <= before)
+
+    val meta = lakeMeta(t)
+    assert(meta.currentEqDeleteFiles.isEmpty, "compaction folds eq-delete files away")
+    assert(meta.currentDeleteFiles.isEmpty)
+    val got = spark.table(t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sortBy(_._1).toSeq
+    assert(got == expected, "compaction must not resurrect overwritten versions")
+
+    // clean table scans through the vectorized reader again
+    val plan = spark.table(t).queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), s"expected vectorized scan after compaction:\n$plan")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("CDC changelog across upsert commits emits the overwritten versions as deletes") {
+    val t = upsertTable(Seq(
+      Seq(UpsRow(1, "a", 1), UpsRow(2, "b", 2)),
+      Seq(UpsRow(1, "a2", 3), UpsRow(3, "c", 4))))
+    val meta = lakeMeta(t)
+    val ids = meta.snapshots.filter(_.operation == "upsert").map(_.snapshotId).sorted
+    val rows = LakeMaintenance.changelog(spark, t, ids.head, ids.last)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(3)))
+      .sortBy(x => (x._1, x._3))
+    // epoch 2 = -D of the overwritten (1,"a") plus +I of (1,"a2") and (3,"c")
+    assert(rows.toSeq ==
+      Seq((1L, "a", "delete"), (1L, "a2", "insert"), (3L, "c", "insert")))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("z-order compaction over upserted data folds eq deletes without resurrection") {
+    val t = upsertTable(Seq(
+      (1L to 60L).map(i => UpsRow(i, s"v$i", i.toInt)),
+      (1L to 30L).map(i => UpsRow(i, s"w$i", (100 + i).toInt))))
+    val expected = spark.table(t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sortBy(_._1).toSeq
+    LakeMaintenance.zorderCompact(spark, t, Seq("k", "n"))
+    val meta = lakeMeta(t)
+    assert(meta.currentEqDeleteFiles.isEmpty)
+    val got = spark.table(t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sortBy(_._1).toSeq
+    assert(got == expected, "z-order rewrite must subtract eq-deleted versions")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("upsert into a PARTITIONED table keeps clustered writes + pruning") {
+    import spark.implicits._
+    val t = s"lake.ups.${uniq("part")}"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ups")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING, n INT) PARTITIONED BY (n)")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ups3").toString
+    val input = MemoryStream[UpsRow](spark)
+    val q = input.toDS().writeStream
+      .option("checkpointLocation", ckpt)
+      .option("upsert-keys", "k")
+      .toTable(t)
+    try {
+      input.addData((1L to 20L).map(i => UpsRow(i, s"v$i", (i % 2).toInt)): _*)
+      q.processAllAvailable()
+      input.addData(Seq(UpsRow(1, "v1b", 1), UpsRow(2, "v2b", 0)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table(t).count() == 20)
+    assert(spark.sql(s"SELECT v FROM $t WHERE k = 1").collect()(0).getString(0) == "v1b")
+    // moved row: k=1 was n=1, stays at its latest partition value
+    assert(spark.sql(s"SELECT n FROM $t WHERE k = 1").collect()(0).getInt(0) == 1)
+    spark.sql(s"DROP TABLE $t")
+  }
+}
