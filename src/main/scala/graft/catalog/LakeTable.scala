@@ -1032,27 +1032,38 @@ final class LakeWrite(
   private def orderOf(cols: Seq[String]): Array[SortOrder] =
     cols.map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
 
+  // writeStream.option("upsert-keys", "k1,k2"): CDC-style upsert epochs —
+  // each commit appends its rows plus an EQUALITY-delete file of the
+  // written keys, killing prior versions in older files (per-file
+  // sequence numbers decide applicability)
+  private def upsertKeys: Seq[String] =
+    Option(info.options().get("upsert-keys"))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
   override def requiredDistribution(): Distribution =
-    if (pfields.nonEmpty) Distributions.clustered(pfields.map(transformOf).toArray)
+    // upsert epochs MUST cluster by the key: all versions of one key land in
+    // one task, so last-writer-wins can resolve in-epoch duplicates (the
+    // Iceberg/Flink upsert-writer contract). The task writer re-sorts its
+    // buffered survivors by partition value itself, so no ordering is asked.
+    if (upsertKeys.nonEmpty)
+      Distributions.clustered(upsertKeys.map(Expressions.column(_):
+        org.apache.spark.sql.connector.expressions.Expression).toArray)
+    else if (pfields.nonEmpty) Distributions.clustered(pfields.map(transformOf).toArray)
     else if (sortFields.nonEmpty) Distributions.ordered(orderOf(sortFields))
     else Distributions.unspecified()
 
   override def requiredOrdering(): Array[SortOrder] =
-    pfields.map(f => Expressions.sort(transformOf(f), SortDirection.ASCENDING)).toArray ++
+    // no sort in upsert mode: shuffle arrival order per upstream partition
+    // IS the CDC order — a sort would scramble which version is "last"
+    if (upsertKeys.nonEmpty) Array.empty
+    else pfields.map(f => Expressions.sort(transformOf(f), SortDirection.ASCENDING)).toArray ++
       orderOf(sortFields)
 
   override def toBatch: BatchWrite =
     new LakeBatchWrite(table, info.schema(), overwrite, store, hadoopConf)
-  override def toStreaming: streaming.StreamingWrite = {
-    // writeStream.option("upsert-keys", "k1,k2"): CDC-style upsert epochs —
-    // each commit appends its rows plus an EQUALITY-delete file of the
-    // written keys, killing prior versions in older files (per-file
-    // sequence numbers decide applicability)
-    val upsertKeys = Option(info.options().get("upsert-keys"))
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+  override def toStreaming: streaming.StreamingWrite =
     new LakeStreamingWrite(table, info.schema(), info.queryId(), store, hadoopConf,
       upsertKeys)
-  }
 }
 
 final case class LakeCommitMessage(files: Seq[DataFileMeta]) extends WriterCommitMessage
@@ -1210,11 +1221,17 @@ final case class LakeUpsertCommitMessage(
     dataFiles: Seq[DataFileMeta],
     eqDeleteFiles: Seq[DataFileMeta]) extends WriterCommitMessage
 
-/** Upsert epoch writer: rows stream into the normal data writer; their
-  * DISTINCT key tuples are collected (value-compared UnsafeRows) and
-  * flushed as one equality-delete parquet per task at commit — the file
-  * that kills prior versions of these keys in all OLDER files. Memory is
-  * O(distinct keys per task per epoch) — the CDC batch, not the table.
+/** Upsert epoch writer: rows buffer into a LAST-WRITER-WINS map keyed by
+  * the upsert key (value-compared UnsafeRows) — the write's cluster-by-key
+  * distribution guarantees every version of a key reaches one task, and the
+  * map keeps only the latest, so in-epoch duplicates (the normal case for a
+  * busy CDC stream) resolve exactly like Iceberg's Flink upsert writer. At
+  * commit the survivors are sorted by partition value (restoring the
+  * rolling data writer's one-file-per-value layout the epoch's shuffle no
+  * longer provides) and flushed, followed by one equality-delete parquet of
+  * the epoch's keys — the file that kills prior versions of these keys in
+  * all OLDER files. Memory is O(distinct keys per task per epoch) rows —
+  * the CDC batch, not the table.
   */
 final case class LakeUpsertWriterFactory(
     dataFactory: LakeWriterFactory,
@@ -1228,19 +1245,59 @@ final case class LakeUpsertWriterFactory(
       epochId: Long): DataWriter[InternalRow] = {
     val physSchema = DataType.fromJson(physSchemaJson).asInstanceOf[StructType]
     val keySchema = StructType(keyIdx.map(physSchema.fields))
-    val inner = dataFactory.createWriter(partitionId, taskId, epochId)
     new DataWriter[InternalRow] {
       import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection, UnsafeRow}
       private val keyProj = UnsafeProjection.create(keyIdx.map(i =>
         BoundReference(i, physSchema.fields(i).dataType, physSchema.fields(i).nullable)
           : org.apache.spark.sql.catalyst.expressions.Expression))
-      private val keys = new java.util.LinkedHashSet[UnsafeRow]()
+      private val rowProj = UnsafeProjection.create(physSchema)
+      // key -> latest full row; put() replaces the value, so iteration at
+      // commit yields exactly one (the last-written) version per key
+      private val latest = new java.util.LinkedHashMap[UnsafeRow, UnsafeRow]()
+      private var inner: DataWriter[InternalRow] = _
 
       override def write(row: InternalRow): Unit = {
-        keys.add(keyProj(row).copy())
-        inner.write(row)
+        val u = rowProj(row).copy()
+        latest.put(keyProj(u).copy(), u)
       }
+
+      // partition sort key of a buffered row (identity value or bucket
+      // number — the same key LakeDataWriter rolls files on)
+      private val partFields = dataFactory.partitionCols.map(PartField.parse).toArray
+      private val partIdx = partFields.map(f => physSchema.fieldIndex(f.source))
+      private def partKey(row: InternalRow): Seq[Any] =
+        partFields.indices.map { j =>
+          val i = partIdx(j)
+          val dt = physSchema.fields(i).dataType
+          val v = if (row.isNullAt(i)) null else row.get(i, dt)
+          partFields(j).buckets match {
+            case None => v
+            case Some(n) => BucketHash(n, v, dt)
+          }
+        }
+      private val keyOrd: Ordering[Seq[Any]] = (a, b) => {
+        var i = 0
+        var res = 0
+        while (res == 0 && i < a.length) {
+          res = (a(i), b(i)) match {
+            case (null, null) => 0
+            case (null, _) => -1
+            case (_, null) => 1
+            case (x, y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
+          }
+          i += 1
+        }
+        res
+      }
+
       override def commit(): WriterCommitMessage = {
+        inner = dataFactory.createWriter(partitionId, taskId, epochId)
+        val buf = new scala.collection.mutable.ArrayBuffer[UnsafeRow](latest.size)
+        latest.values().forEach(r => buf += r)
+        val ordered =
+          if (partFields.isEmpty) buf
+          else buf.sortBy(partKey)(keyOrd) // stable: ties keep arrival order
+        ordered.foreach(inner.write)
         val dataFiles = inner.commit() match {
           case LakeCommitMessage(fs) => fs
           case _ => Nil
@@ -1248,15 +1305,15 @@ final case class LakeUpsertWriterFactory(
         val kw = new LakeDataWriter(keySchema,
           s"$deleteDir/eq-$partitionId-$taskId-${java.util.UUID.randomUUID()}",
           Nil, conf.value)
-        keys.forEach(k => kw.write(k))
+        latest.keySet().forEach(k => kw.write(k))
         val eqFiles = kw.commit() match {
           case LakeCommitMessage(fs) => fs
           case _ => Nil
         }
         LakeUpsertCommitMessage(dataFiles, eqFiles)
       }
-      override def abort(): Unit = inner.abort()
-      override def close(): Unit = inner.close()
+      override def abort(): Unit = if (inner != null) inner.abort()
+      override def close(): Unit = if (inner != null) inner.close()
     }
   }
 }

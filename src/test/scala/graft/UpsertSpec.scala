@@ -80,6 +80,47 @@ class UpsertSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("upsert: duplicate keys within one epoch collapse to the last writer") {
+    // the normal case for a busy CDC stream: the same key updated twice in
+    // one micro-batch — exactly one (the later) version may survive
+    val t = upsertTable(Seq(
+      Seq(UpsRow(1, "a", 1), UpsRow(1, "b", 2), UpsRow(2, "c", 3)),
+      Seq(UpsRow(2, "c2", 4), UpsRow(2, "c3", 5))))
+    val rows = spark.table(t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, "b", 2), (2L, "c3", 5)),
+      s"in-epoch duplicates must resolve last-writer-wins, got ${rows.toSeq}")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("upsert: duplicate keys spread across upstream partitions still collapse to one row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = s"lake.ups.${uniq("d")}"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ups")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING, n INT)")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-upsd").toString
+    val input = MemoryStream[UpsRow](spark)
+    // repartition by the PAYLOAD: duplicates of one key land in different
+    // upstream tasks — only the write's own cluster-by-key distribution can
+    // bring them back together
+    val q = input.toDS().repartition(8, col("v")).writeStream
+      .option("checkpointLocation", ckpt)
+      .option("upsert-keys", "k")
+      .toTable(t)
+    try {
+      input.addData((1L to 40L).flatMap(i =>
+        Seq(UpsRow(i % 10, s"x$i", i.toInt), UpsRow(i % 10, s"y$i", -i.toInt))): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val perKey = spark.table(t).groupBy("k").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(perKey.keySet == (0L to 9L).toSet)
+    assert(perKey.values.forall(_ == 1L),
+      s"every key must keep exactly one row per epoch, got $perKey")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("upsert time travel: old snapshots show pre-upsert versions") {
     val t = upsertTable(Seq(
       Seq(UpsRow(1, "a", 1), UpsRow(2, "b", 2)),
