@@ -490,6 +490,20 @@ final class LakeScan(
   private var files: Seq[DataFileMeta] = initialFiles
   private var delegate: Scan = _
 
+  // one eq-key load + broadcast per (scan, delete-file set): planning and
+  // AQE may call toBatch several times on the same Scan — memoizing here
+  // keeps delete-file IO at one open per file per QUERY
+  @transient private lazy val eqKeyBroadcasts =
+    new java.util.concurrent.ConcurrentHashMap[Seq[String],
+      org.apache.spark.broadcast.Broadcast[Map[String, Array[org.apache.spark.sql.catalyst.expressions.UnsafeRow]]]]()
+  private def eqKeysFor(paths: Seq[String])
+      : org.apache.spark.broadcast.Broadcast[Map[String, Array[org.apache.spark.sql.catalyst.expressions.UnsafeRow]]] =
+    eqKeyBroadcasts.computeIfAbsent(paths.sorted, { ps =>
+      val spark = SparkSession.active
+      spark.sparkContext.broadcast(EqDeletes.loadKeys(ps,
+        eqKeySchema.getOrElse(new StructType()), spark.sessionState.newHadoopConf()))
+    })
+
   // the required schema splits into data columns (delegated to parquet) and
   // requested metadata columns (_file/_pos, appended by positional readers);
   // Spark appends metadata columns after data columns, preserved here
@@ -502,9 +516,15 @@ final class LakeScan(
   private def coveringDeletes(f: DataFileMeta): Seq[String] =
     DeleteFiles.covering(deleteFiles, f.path).map(_.path)
 
-  /** Equality deletes applicable to a file: strictly newer sequence. */
+  /** Equality deletes applicable to a file: strictly newer sequence AND a
+    * key min/max range that can overlap the file's — a delete whose key
+    * range is provably disjoint can't kill anything here, so the file
+    * skips eq filtering entirely (both sides' stats come from the same
+    * tracking writer).
+    */
   private def eqApplicable(f: DataFileMeta): Seq[String] =
-    eqDeletes.filter(_.addedAt > f.addedAt).map(_.path)
+    eqDeletes.filter(d => d.addedAt > f.addedAt &&
+      eqKeySchema.forall(ks => EqDeletes.mayOverlap(f, d, ks))).map(_.path)
 
   private def inner: Scan = {
     if (delegate == null) {
@@ -644,16 +664,23 @@ final class LakeScan(
 
   override def toBatch: org.apache.spark.sql.connector.read.Batch = {
     val dirty = files.map(f => (f, coveringDeletes(f), eqApplicable(f)))
-    // tombstoned files (and every file, when _file/_pos are requested) read
-    // through whole-file positional row readers; clean files keep the
-    // vectorized delegate — merge-on-read taxes only the dirty files
+    // POSITION-tombstoned files (and every file, when _file/_pos are
+    // requested) read through whole-file positional row readers — the
+    // position counter needs every row. Files dirtied ONLY by equality
+    // deletes keep the delegate's split-planned, filter-pushed parquet
+    // reader with a key anti-filter above it: one upsert epoch must not
+    // knock the table's older files off the pushdown path. Clean files
+    // keep the vectorized delegate untouched.
     if (metaCols.nonEmpty || dirty.exists(d => d._2.nonEmpty || d._3.nonEmpty)) {
-      val (tomb, clean) =
+      val (tomb, rest) =
         if (metaCols.nonEmpty) (dirty, Nil)
-        else dirty.partition(d => d._2.nonEmpty || d._3.nonEmpty)
+        else dirty.partition(_._2.nonEmpty)
+      val (eqOnly, clean) = rest.partition(_._3.nonEmpty)
       new LakeMixedBatch(ident, tableSchema, requiredDataSchema, exprs, options,
         clean.map(_._1), tomb, metaCols, l2p,
-        eqKeySchemaJson = eqKeySchema.map(_.json).getOrElse(""))
+        eqKeySchemaJson = eqKeySchema.map(_.json).getOrElse(""),
+        eqOnly = eqOnly.map(d => (d._1, d._3)),
+        eqKeysFor = eqKeysFor)
     } else keyedBatch.getOrElse(inner.toBatch)
   }
   override def toMicroBatchStream(
@@ -721,39 +748,77 @@ final class LakeMixedBatch(
     tombstoned: Seq[(DataFileMeta, Seq[String], Seq[String])],
     metaCols: Seq[String],
     l2p: Map[String, String],
-    eqKeySchemaJson: String = "")
+    eqKeySchemaJson: String = "",
+    eqOnly: Seq[(DataFileMeta, Seq[String])] = Nil,
+    eqKeysFor: Seq[String] => org.apache.spark.broadcast.Broadcast[Map[String, Array[org.apache.spark.sql.catalyst.expressions.UnsafeRow]]] = null)
   extends org.apache.spark.sql.connector.read.Batch {
 
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 
+  private def delegateFor(paths: Seq[String], prunedPhys: StructType)
+      : (Array[InputPartition], PartitionReaderFactory) = {
+    val spark = SparkSession.active
+    val pt = ParquetTable(ident, spark, options, paths.toList,
+      Some(ColumnMapping.toPhysical(tableSchema, l2p)), classOf[ParquetFileFormat])
+    val b = pt.newScanBuilder(options)
+    b.pushFilters(ColumnMapping.toPhysicalExprs(exprs, l2p))
+    b.pruneColumns(prunedPhys)
+    val batch = b.build().toBatch
+    (batch.planInputPartitions(), batch.createReaderFactory())
+  }
+
+  private val physRequired = ColumnMapping.toPhysical(requiredDataSchema, l2p)
+  private val physReadSchemaJson = physRequired.json
+
   private lazy val delegatePlanned: Option[(Array[InputPartition], PartitionReaderFactory)] =
     if (cleanFiles.isEmpty) None
-    else {
-      val spark = SparkSession.active
-      val pt = ParquetTable(ident, spark, options, cleanFiles.map(_.path).toList,
-        Some(ColumnMapping.toPhysical(tableSchema, l2p)), classOf[ParquetFileFormat])
-      val b = pt.newScanBuilder(options)
-      b.pushFilters(ColumnMapping.toPhysicalExprs(exprs, l2p))
-      b.pruneColumns(ColumnMapping.toPhysical(requiredDataSchema, l2p))
-      val batch = b.build().toBatch
-      Some((batch.planInputPartitions(), batch.createReaderFactory()))
-    }
+    else Some(delegateFor(cleanFiles.map(_.path), physRequired))
 
-  private val physReadSchemaJson =
-    ColumnMapping.toPhysical(requiredDataSchema, l2p).json
+  // eq-only files group by their applicable delete set (≈ one group per
+  // epoch boundary); each group keeps a full delegate parquet scan — split
+  // planning, pushed filters, row-group pruning — reading requested ∪ key
+  // columns so the anti-filter can see the key
+  private lazy val eqGroups: Seq[(Seq[String], Seq[DataFileMeta])] =
+    eqOnly.groupBy(_._2.sorted).toSeq.sortBy(_._1.mkString(","))
+      .map { case (eqPaths, fs) => (eqPaths, fs.map(_._1)) }
+
+  private lazy val eqKeySchema: StructType =
+    if (eqKeySchemaJson.isEmpty) new StructType()
+    else DataType.fromJson(eqKeySchemaJson).asInstanceOf[StructType]
+
+  private lazy val eqUnionSchema: StructType = StructType(physRequired.fields ++
+    eqKeySchema.fields.filterNot(f => physRequired.fieldNames.contains(f.name)))
+
+  private lazy val eqPlanned: Seq[(Array[InputPartition], PartitionReaderFactory)] =
+    eqGroups.map { case (_, fs) => delegateFor(fs.map(_.path), eqUnionSchema) }
+
+  // ONE driver-side load + broadcast of every applicable delete file's keys
+  // per query (memoized by the owning scan) — readers look keys up instead
+  // of re-opening delete files
+  private lazy val eqBroadcast
+      : org.apache.spark.broadcast.Broadcast[Map[String, Array[org.apache.spark.sql.catalyst.expressions.UnsafeRow]]] = {
+    val allPaths = (tombstoned.flatMap(_._3) ++ eqGroups.flatMap(_._1)).distinct
+    if (allPaths.isEmpty) null else eqKeysFor(allPaths)
+  }
 
   override def planInputPartitions(): Array[InputPartition] =
     delegatePlanned.map(_._1).getOrElse(Array.empty[InputPartition]) ++
       tombstoned.map { case (f, dels, eqs) =>
         PositionalInputPartition(f.path, dels, physReadSchemaJson, metaCols,
           eqs, if (eqs.isEmpty) "" else eqKeySchemaJson)
+      } ++
+      eqGroups.zipWithIndex.flatMap { case ((eqPaths, _), gi) =>
+        eqPlanned(gi)._1.map(p => EqFilteredInputPartition(p, gi, eqPaths,
+          eqKeySchemaJson, eqUnionSchema.json, physRequired.length))
       }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new LakeReaderFactory(
       new SerializableConfiguration(SparkSession.active.sessionState.newHadoopConf()),
       delegatePlanned.map(_._2),
-      forceRows = tombstoned.nonEmpty)
+      forceRows = tombstoned.nonEmpty || eqGroups.nonEmpty,
+      eqDelegates = eqPlanned.map(_._2).toArray,
+      eqKeys = eqBroadcast)
 }
 
 /** An input partition tagged with its partition-key row. */

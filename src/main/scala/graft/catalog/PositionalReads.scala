@@ -220,6 +220,63 @@ object TombstoneRewrite {
   }
 }
 
+/** Equality-delete handling shared by the scan paths.
+  *
+  * Keys are loaded ONCE per scan on the driver and broadcast: a scan over N
+  * data files with E applicable delete files opens each delete file once
+  * (E opens total), not N×E times from inside every reader — at 100 TB the
+  * difference between one small metadata read per epoch and a storm of
+  * repeated small reads. The deduped key set is bounded by the epochs'
+  * distinct keys, which already had to fit in task memory to be written.
+  */
+object EqDeletes {
+  import org.apache.spark.sql.catalyst.expressions.UnsafeRow
+
+  /** Delete-file opens — instrumentation for tests asserting the
+    * once-per-scan loading contract.
+    */
+  val opens = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Driver-side: key rows of each delete file, path-keyed. */
+  def loadKeys(paths: Seq[String], keySchema: StructType,
+      conf: Configuration): Map[String, Array[UnsafeRow]] = {
+    val proj = UnsafeProjection.create(keySchema)
+    paths.distinct.map { p =>
+      opens.incrementAndGet()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
+      val r = PositionalParquet.open(p, keySchema, conf)
+      try {
+        var row = r.read()
+        while (row != null) { buf += proj(row).copy(); row = r.read() }
+      } finally r.close()
+      p -> buf.toArray
+    }.toMap
+  }
+
+  /** Can `del`'s key range overlap `data`'s? Both files carry per-column
+    * min/max from the same stats-tracking writer (physical names). A
+    * re-upserted key can only live in files whose range covers it, so a
+    * delete whose range is disjoint on ANY key column cannot kill anything
+    * in `data` — the file stays on the fast path. Missing stats or
+    * non-comparable types ⇒ conservative overlap.
+    */
+  def mayOverlap(data: DataFileMeta, del: DataFileMeta, keySchema: StructType): Boolean =
+    keySchema.fields.forall { f =>
+      val cmp: Option[Boolean] = for {
+        dLo <- data.minValues.get(f.name); dHi <- data.maxValues.get(f.name)
+        eLo <- del.minValues.get(f.name); eHi <- del.maxValues.get(f.name)
+      } yield f.dataType match {
+        case _: NumericType | DateType | TimestampType | TimestampNTZType =>
+          try {
+            BigDecimal(eLo) <= BigDecimal(dHi) && BigDecimal(eHi) >= BigDecimal(dLo)
+          } catch { case _: NumberFormatException => true }
+        case StringType | BooleanType => eLo <= dHi && eHi >= dLo
+        case _ => true
+      }
+      cmp.getOrElse(true)
+    }
+}
+
 /** One data file read positionally: the whole file, minus tombstoned
   * positions, minus rows whose key appears in an APPLICABLE equality
   * delete (one with a newer sequence number than this file), optionally
@@ -234,35 +291,119 @@ final case class PositionalInputPartition(
     eqDeletePaths: Seq[String] = Nil,
     eqKeySchemaJson: String = "") extends InputPartition
 
-/** Dispatches positional partitions to the row reader and everything else
-  * to the delegated parquet factory. Spark requires every partition of one
-  * scan to agree on columnar support (DataSourceV2ScanExecBase), so when a
-  * scan mixes clean files with tombstoned ones (`forceRows`), clean
-  * partitions read through the delegate's ROW-based parquet reader — they
-  * keep split planning and row-group pruning, only losing vectorization
-  * until compaction folds the tombstones away.
+/** A delegate parquet split of an EQ-ONLY dirty file (equality deletes
+  * apply, no positional tombstones): the inner partition keeps the
+  * delegate's split planning, pushed filters and row-group pruning — eq
+  * filtering needs no position counter, so unlike positional tombstones it
+  * costs neither pushdown nor whole-file reads. `groupIdx` selects the
+  * delegate factory whose pruned schema matches (one per distinct
+  * applicable-delete set), `eqDeletePaths` the broadcast key arrays to
+  * anti-filter with, `outLen` the requested-column prefix to emit (the
+  * delegate reads requested ∪ key columns).
+  */
+final case class EqFilteredInputPartition(
+    inner: InputPartition,
+    groupIdx: Int,
+    eqDeletePaths: Seq[String],
+    keySchemaJson: String,
+    unionSchemaJson: String,
+    outLen: Int) extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** Dispatches positional partitions to the row reader, eq-filtered
+  * partitions to their group's delegate reader wrapped with the key
+  * anti-filter, and everything else to the delegated parquet factory.
+  * Spark requires every partition of one scan to agree on columnar support
+  * (DataSourceV2ScanExecBase), so when a scan mixes clean files with dirty
+  * ones (`forceRows`), clean partitions read through the delegate's
+  * ROW-based parquet reader — they keep split planning and row-group
+  * pruning, only losing vectorization until compaction folds the deletes
+  * away. `eqKeys` is the once-per-scan broadcast of delete-file key arrays.
   */
 final class LakeReaderFactory(
     conf: SerializableConfiguration,
     delegate: Option[PartitionReaderFactory],
-    forceRows: Boolean) extends PartitionReaderFactory {
+    forceRows: Boolean,
+    eqDelegates: Array[PartitionReaderFactory] = Array.empty,
+    eqKeys: org.apache.spark.broadcast.Broadcast[Map[String, Array[org.apache.spark.sql.catalyst.expressions.UnsafeRow]]] = null)
+  extends PartitionReaderFactory {
+
+  private def keySetOf(paths: Seq[String]) = {
+    val set = new java.util.HashSet[org.apache.spark.sql.catalyst.expressions.UnsafeRow]()
+    paths.foreach(p => eqKeys.value.getOrElse(p, Array.empty).foreach(set.add))
+    set
+  }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
-    case pp: PositionalInputPartition => new PositionalRowReader(pp, conf.value)
+    case pp: PositionalInputPartition =>
+      new PositionalRowReader(pp, conf.value,
+        if (pp.eqDeletePaths.isEmpty) null else keySetOf(pp.eqDeletePaths))
+    case ep: EqFilteredInputPartition =>
+      new EqFilteredRowReader(eqDelegates(ep.groupIdx).createReader(ep.inner), ep,
+        keySetOf(ep.eqDeletePaths))
     case other => delegate.get.createReader(other)
   }
   override def createColumnarReader(p: InputPartition) = p match {
-    case _: PositionalInputPartition =>
-      throw new UnsupportedOperationException("positional partitions are row-based")
+    case _: PositionalInputPartition | _: EqFilteredInputPartition =>
+      throw new UnsupportedOperationException("filtered partitions are row-based")
     case other => delegate.get.createColumnarReader(other)
   }
   override def supportColumnarReads(p: InputPartition): Boolean = p match {
-    case _: PositionalInputPartition => false
+    case _: PositionalInputPartition | _: EqFilteredInputPartition => false
     case other => !forceRows && delegate.exists(_.supportColumnarReads(other))
   }
 }
 
-final class PositionalRowReader(part: PositionalInputPartition, conf: Configuration)
+/** Applies the equality-delete key anti-filter above a delegate parquet
+  * row reader, then projects away any key columns the query didn't ask
+  * for. The delegate did its own filter pushdown and row-group pruning —
+  * this wrapper only drops overwritten key versions.
+  */
+final class EqFilteredRowReader(
+    inner: PartitionReader[InternalRow],
+    part: EqFilteredInputPartition,
+    eqKeys: java.util.HashSet[org.apache.spark.sql.catalyst.expressions.UnsafeRow])
+  extends PartitionReader[InternalRow] {
+
+  import org.apache.spark.sql.catalyst.expressions.BoundReference
+
+  private val unionSchema =
+    DataType.fromJson(part.unionSchemaJson).asInstanceOf[StructType]
+  private val keySchema =
+    DataType.fromJson(part.keySchemaJson).asInstanceOf[StructType]
+  private val rowKeyProj = UnsafeProjection.create(keySchema.fields.map { f =>
+    val i = unionSchema.fieldIndex(f.name)
+    BoundReference(i, f.dataType, f.nullable): org.apache.spark.sql.catalyst.expressions.Expression
+  })
+  // identity when the query already asked for every union column
+  private val outProj =
+    if (part.outLen == unionSchema.length) null
+    else UnsafeProjection.create(unionSchema.fields.take(part.outLen).zipWithIndex.map {
+      case (f, i) => BoundReference(i, f.dataType, f.nullable):
+        org.apache.spark.sql.catalyst.expressions.Expression
+    })
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (inner.next()) {
+      val row = inner.get()
+      if (!eqKeys.contains(rowKeyProj(row))) {
+        current = if (outProj == null) row else outProj(row)
+        return true
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = inner.close()
+}
+
+final class PositionalRowReader(
+    part: PositionalInputPartition,
+    conf: Configuration,
+    eqKeys: java.util.HashSet[org.apache.spark.sql.catalyst.expressions.UnsafeRow] = null)
   extends PartitionReader[InternalRow] {
 
   import org.apache.spark.sql.catalyst.expressions.BoundReference
@@ -280,23 +421,8 @@ final class PositionalRowReader(part: PositionalInputPartition, conf: Configurat
   private val deleted: Array[Long] =
     PositionalParquet.deletedPositions(part.dataPath, part.deletePaths, conf)
 
-  // key set of the applicable equality deletes, value-compared UnsafeRows
-  private val eqKeys: java.util.HashSet[org.apache.spark.sql.catalyst.expressions.UnsafeRow] = {
-    val set = new java.util.HashSet[org.apache.spark.sql.catalyst.expressions.UnsafeRow]()
-    if (part.eqDeletePaths.nonEmpty) {
-      val proj = UnsafeProjection.create(keySchema)
-      part.eqDeletePaths.foreach { p =>
-        val r = PositionalParquet.open(p, keySchema, conf)
-        try {
-          var row = r.read()
-          while (row != null) { set.add(proj(row).copy()); row = r.read() }
-        } finally r.close()
-      }
-    }
-    set
-  }
   private val rowKeyProj =
-    if (eqKeys.isEmpty) null
+    if (eqKeys == null || eqKeys.isEmpty) null
     else UnsafeProjection.create(keySchema.fields.map { f =>
       val i = readSchema.fieldIndex(f.name)
       BoundReference(i, f.dataType, f.nullable): org.apache.spark.sql.catalyst.expressions.Expression

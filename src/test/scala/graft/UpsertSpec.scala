@@ -121,6 +121,44 @@ class UpsertSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("eq-only dirty files keep the delegate's split-planned scan; keys load once per scan") {
+    val t = upsertTable(Seq(
+      (1L to 100L).map(i => UpsRow(i, s"v$i", i.toInt)),
+      (1L to 10L).map(i => UpsRow(i, s"w$i", 0)),
+      (5L to 15L).map(i => UpsRow(i, s"x$i", 1))))
+    val meta = lakeMeta(t)
+    val eqFiles = meta.currentEqDeleteFiles
+    assert(eqFiles.nonEmpty)
+
+    val df = spark.table(t).where("k >= 3 AND k <= 90")
+    EqDeletes.opens.set(0L)
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(rows.length == 88)
+    assert(rows.toMap.apply(3L) == "w3")   // epoch-2 overwrite survives
+    assert(rows.toMap.apply(7L) == "x7")   // epoch-3 wins over epochs 1+2
+    assert(rows.toMap.apply(50L) == "v50") // untouched key keeps epoch 1
+
+    // the collect() above loaded each applicable delete file exactly once
+    // (driver-side broadcast), NOT once per data file per reader
+    val opens = EqDeletes.opens.get()
+    assert(opens > 0 && opens <= eqFiles.size,
+      s"expected ≤${eqFiles.size} delete-file opens for one scan, got $opens")
+
+    // no positional tombstones exist → no whole-file positional partitions;
+    // every dirty file reads through the delegate's split-planned reader
+    // with the eq anti-filter on top
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val df2 = spark.table(t).where("k >= 3 AND k <= 90")
+    val parts = df2.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+      .flatMap(_.inputPartitions)
+    assert(parts.nonEmpty)
+    assert(!parts.exists(_.isInstanceOf[graft.catalog.PositionalInputPartition]),
+      "eq-only files must not use the whole-file positional reader")
+    assert(parts.exists(_.isInstanceOf[graft.catalog.EqFilteredInputPartition]),
+      "pre-upsert files must read through the eq-filtered delegate path")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("upsert time travel: old snapshots show pre-upsert versions") {
     val t = upsertTable(Seq(
       Seq(UpsRow(1, "a", 1), UpsRow(2, "b", 2)),
