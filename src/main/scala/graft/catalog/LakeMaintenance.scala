@@ -28,10 +28,15 @@ object LakeMaintenance {
     * applies — minus positional tombstones, minus rows whose key appears in
     * an APPLICABLE equality delete (strictly newer sequence than the file)
     * — reproduced for rewrite/CDC jobs that read raw parquet directly.
-    * Files are grouped by their applicable eq-delete set (per-file
-    * `addedAt` decides), each group anti-joined against those keys; a
-    * rewrite that skipped this would give rows a NEW sequence number and
+    * A rewrite that skipped this would give rows a NEW sequence number and
     * resurrect every version an upsert had overwritten.
+    *
+    * The plan is ONE scan of the data files (file → sequence number joined
+    * in from a broadcast manifest lookup) plus ONE scan of the delete
+    * files, anti-joined with `row.seq < delete.seq` alongside the key
+    * equality — CONSTANT width no matter how many epochs a long-running
+    * stream has committed (a per-eq-set union would grow one parquet
+    * branch per epoch until compaction).
     */
   private[catalog] def readLive(
       spark: SparkSession,
@@ -40,26 +45,52 @@ object LakeMaintenance {
       posDeletes: Seq[DataFileMeta],
       eqDeletes: Seq[DataFileMeta],
       hadoopConf: org.apache.hadoop.conf.Configuration): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, input_file_name, substring_index}
     val phys = meta.physicalSchema
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], phys)
-    files.groupBy(f => eqDeletes.filter(_.addedAt > f.addedAt).map(_.path).sorted)
-      .map { case (eqPaths, fs) =>
-        val cov = TombstoneRewrite.covering(posDeletes, fs.map(_.path))
-        val base = TombstoneRewrite.subtract(spark,
-          spark.read.schema(phys).parquet(fs.map(_.path): _*),
-          fs.map(_.path), cov, hadoopConf)
-        if (eqPaths.isEmpty) base
-        else {
-          val ks = meta.upsertKeySchema.getOrElse(throw new IllegalStateException(
-            s"eq-delete files present but no upsert.keys property on ${meta.location}"))
-          val keys = spark.read.schema(ks).parquet(eqPaths: _*).distinct()
-          // null-safe: Iceberg equality deletes match null keys to null
-          val cond = ks.fieldNames.map(c => base(c) <=> keys(c)).reduce(_ && _)
-          base.join(keys, cond, "left_anti")
-        }
-      }.reduce(_ unionByName _)
+    def nameOf(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+    // file NAMES carry task UUIDs (globally unique), sidestepping URI-form
+    // mismatches between _metadata.file_path and manifest paths
+    val withId = spark.read.schema(phys).parquet(files.map(_.path): _*)
+      .withColumn("__fname", substring_index(col("_metadata.file_path"), "/", -1))
+      .withColumn("__fpos", col("_metadata.row_index"))
+    // positional tombstones: anti-join on (file name, row index)
+    val cov = TombstoneRewrite.covering(posDeletes, files.map(_.path))
+    val posSubtracted =
+      if (cov.isEmpty) withId
+      else {
+        val dels = spark.read.schema(DeleteFiles.schema).parquet(cov.map(_.path): _*)
+          .select(substring_index(col(DeleteFiles.FilePathCol), "/", -1).as("__dname"),
+            col(DeleteFiles.PosCol).as("__dpos"))
+        withId.join(dels,
+          withId("__fname") === dels("__dname") && withId("__fpos") === dels("__dpos"),
+          "left_anti")
+      }
+    val applicable = eqDeletes.filter(d => files.exists(_.addedAt < d.addedAt))
+    val live =
+      if (applicable.isEmpty) posSubtracted
+      else {
+        val ks = meta.upsertKeySchema.getOrElse(throw new IllegalStateException(
+          s"eq-delete files present but no upsert.keys property on ${meta.location}"))
+        // every row carries its file's sequence number (broadcast manifest
+        // lookup), every delete key its delete file's — applicability
+        // becomes a per-row comparison instead of a per-group plan branch
+        val seqDf = spark.createDataFrame(
+          files.map(f => (nameOf(f.path), f.addedAt))).toDF("__fname", "__seq")
+        val eqSeqDf = spark.createDataFrame(
+          applicable.map(d => (nameOf(d.path), d.addedAt))).toDF("__ename", "__eqseq")
+        val base = posSubtracted.join(broadcast(seqDf), "__fname")
+        val keys = spark.read.schema(ks).parquet(applicable.map(_.path): _*)
+          .withColumn("__ename", substring_index(input_file_name(), "/", -1))
+          .join(broadcast(eqSeqDf), "__ename")
+        // null-safe: Iceberg equality deletes match null keys to null
+        val cond = ks.fieldNames.map(c => base(c) <=> keys(c)).reduce(_ && _) &&
+          base("__seq") < keys("__eqseq")
+        base.join(keys, cond, "left_anti").drop("__seq")
+      }
+    live.drop("__fname", "__fpos")
   }
 
   /** Bin-pack data files smaller than `smallFileBytes` into files of
