@@ -3,6 +3,7 @@ package graft.catalog
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.util.SerializableConfiguration
 
 /** Table-maintenance procedures the reference leaves entirely to operators
@@ -167,6 +168,98 @@ object LakeMaintenance {
       scanDeletePaths = (deletes ++ eqDeletes).map(_.path).toSet,
       rewrittenDataPaths = replaced)
     (current.size, keep.size + newFiles.size)
+  }
+
+  /** Batch upsert via equality deletes: appends the source rows plus one
+    * equality-delete file of their keys per task — the commit is O(batch)
+    * (new files + a metadata swap), never a scan-and-rewrite of the target
+    * the way a copy-on-write MERGE is. On a 100 TB table a CDC backfill
+    * batch lands in seconds regardless of how many target files its keys
+    * touch; compaction folds the deletes later. Duplicate keys IN the
+    * source are rejected (SQL MERGE's cardinality rule — an unordered
+    * batch has no "last" writer; streaming epochs resolve by arrival order
+    * instead). Returns (rows upserted, committing snapshot id).
+    */
+  def upsert(spark: SparkSession, table: String,
+      source: org.apache.spark.sql.DataFrame, keys: Seq[String]): (Long, Long) = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val (cat, ident, t) = resolve(spark, table)
+    require(keys.nonEmpty, "upsert requires at least one key column")
+    val logical = t.meta.schema
+    keys.foreach(k => require(logical.fieldNames.contains(k),
+      s"upsert key '$k' not a column of ${t.ident}"))
+    val keyCsv = keys.mkString(",")
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    // align to the table's logical column order, then rename to physical
+    val aligned = source.select(logical.fieldNames.toIndexedSeq.map(source.col): _*)
+    val dup = aligned.groupBy(keys.map(aligned.col): _*)
+      .agg(count(lit(1)).as("__cnt")).where(col("__cnt") > 1).limit(1).collect()
+    if (dup.nonEmpty) throw new IllegalArgumentException(
+      s"upsert into ${t.ident}: source has multiple rows for key " +
+        s"${dup(0).toSeq.dropRight(1).mkString("(", ",", ")")} — MERGE cardinality violated")
+    val l2p = t.meta.l2pMap
+    val phys = aligned.toDF(logical.fieldNames.toIndexedSeq.map(n => l2p.getOrElse(n, n)): _*)
+    val physSchema = t.meta.physicalSchema
+    val physCols = t.meta.physicalPartitionColumns
+    val clusterCols = physCols.map(s => PartField.parse(s) match {
+      case PartField(c, None) => phys.col(c)
+      case PartField(c, Some(n)) =>
+        org.apache.spark.sql.functions.expr(s"pmod(hash(`$c`), $n)")
+    })
+    val clustered =
+      if (clusterCols.nonEmpty)
+        phys.repartition(clusterCols: _*).sortWithinPartitions(clusterCols: _*)
+      else phys
+    val factory = LakeWriterFactory(physSchema.json, s"${t.meta.location}/data",
+      physCols, new SerializableConfiguration(hadoopConf))
+    val keyIdx = keys.map(k => physSchema.fieldIndex(l2p.getOrElse(k, k))).toArray
+    val keySchemaJson = StructType(keyIdx.map(physSchema.fields)).json
+    val schemaJson = physSchema.json
+    val deleteDir = s"${t.meta.location}/deletes"
+    val sconf = new SerializableConfiguration(hadoopConf)
+    val msgs = clustered.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
+      import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection, UnsafeRow}
+      val ps = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+      val ks = DataType.fromJson(keySchemaJson).asInstanceOf[StructType]
+      val w = factory.createWriter(pid, org.apache.spark.TaskContext.get().taskAttemptId())
+      val keyProj = UnsafeProjection.create(keyIdx.map(i =>
+        BoundReference(i, ps.fields(i).dataType, ps.fields(i).nullable)
+          : org.apache.spark.sql.catalyst.expressions.Expression))
+      val seen = new java.util.LinkedHashSet[UnsafeRow]()
+      rows.foreach { r => seen.add(keyProj(r).copy()); w.write(r) }
+      val dataFiles = w.commit() match { case LakeCommitMessage(fs) => fs; case _ => Nil }
+      val kw = new LakeDataWriter(ks,
+        s"$deleteDir/eq-$pid-${java.util.UUID.randomUUID()}", Nil, sconf.value)
+      seen.forEach(k => kw.write(k))
+      val eqFiles = kw.commit() match { case LakeCommitMessage(fs) => fs; case _ => Nil }
+      Iterator.single((dataFiles, eqFiles))
+    }.collect()
+    val dataFiles = msgs.flatMap(_._1).toSeq
+    val eqFiles = msgs.flatMap(_._2).toSeq
+    val nRows = dataFiles.map(_.rowCount).sum
+    // CAS commit with rebase — an append-shaped delta: concurrent appends
+    // union cleanly, and the rewrite side's requireNoNewDeletes treats our
+    // fresh eq-deletes as conflicting (it retries/aborts, we never do)
+    var prevLoc = t.metadataLocation
+    var base = t.meta
+    var attempts = 0
+    while (attempts < CasRetry.maxAttempts) {
+      base.properties.get("upsert.keys").foreach(prev => require(prev == keyCsv,
+        s"upsert keys '$prev' already fixed for ${t.ident}"))
+      val next = TableMeta.withDelta(base, "upsert", dataFiles, eqFiles, hadoopConf,
+        deleteContent = "eq-deletes", extraProps = Map("upsert.keys" -> keyCsv))
+      val newLoc = TableMeta.write(next, hadoopConf)
+      if (cat.pointerStore.casUpdate(ident.namespace()(0), ident.name(), newLoc, prevLoc) == 1) {
+        cat.invalidateTable(ident)
+        return (nRows, next.currentSnapshotId)
+      }
+      attempts += 1
+      CasRetry.backoff(attempts)
+      prevLoc = cat.pointerStore.load(ident.namespace()(0), ident.name()).getOrElse(
+        throw new IllegalStateException(s"table dropped during upsert"))
+      base = TableMeta.read(prevLoc, hadoopConf)
+    }
+    throw new IllegalStateException(s"upsert into ${t.ident}: CAS lost $attempts times")
   }
 
   /** Drop all snapshots except the most recent `keepLast`, then delete any

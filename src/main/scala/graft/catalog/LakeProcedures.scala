@@ -23,7 +23,8 @@ object LakeProcedures {
   val Namespace: Array[String] = Array("system")
 
   def names: Seq[String] = Seq("compact", "expire_snapshots", "rollback",
-    "create_tag", "remove_tag", "publish", "set_partition_spec", "zorder")
+    "create_tag", "remove_tag", "publish", "set_partition_spec", "zorder",
+    "upsert")
 
   def load(catalogName: String, ident: Identifier): Option[UnboundProcedure] = {
     if (!ident.namespace().sameElements(Namespace)) return None
@@ -81,6 +82,18 @@ object LakeProcedures {
           val (b, a) = LakeMaintenance.zorderCompact(spark, full(args.getString(0)),
             cols, args.getLong(2))
           row(b, a)
+        }))
+      // batch MERGE-by-key through equality deletes: O(batch) commit, no
+      // target rewrite — `source` is any resolvable table/view name
+      case "upsert" => Some(proc("upsert",
+        Seq(in("table", StringType), in("source", StringType), in("keys", StringType)),
+        StructType(Seq(StructField("upserted_rows", LongType),
+          StructField("snapshot_id", LongType))),
+        { (spark, args) =>
+          val (n, sid) = LakeMaintenance.upsert(spark, full(args.getString(0)),
+            spark.table(args.getString(1)),
+            args.getString(2).split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          row(n, sid)
         }))
       case "set_partition_spec" => Some(proc("set_partition_spec",
         Seq(in("table", StringType), in("spec", StringType)),

@@ -75,5 +75,59 @@ object CatalogQueries {
       s.sql(
         """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, sum(l_quantity) AS sum_qty
           |FROM lake.verify.li_mor GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
+    QueryDef.df(
+      "q63_upsert_roundtrip",
+      // Oracle = the merged state computed from scratch (DuckDB's view of
+      // INSERT .. ON CONFLICT DO UPDATE): epoch-2 keys (%16=0 overwrites,
+      // %4=1 inserts) beat epoch-1 keys (%8=0) beat the base (%4=0). A hash
+      // match proves the equality-delete upsert lifecycle — append + key
+      // tombstones + sequence-number applicability — reproduces it exactly.
+      """WITH final AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 16 = 0 THEN 'U2:' || o_orderpriority
+        |         WHEN o_orderkey % 8 = 0 THEN 'U1:' || o_orderpriority
+        |         ELSE o_orderpriority END AS v,
+        |    CAST(o_totalprice AS DOUBLE) *
+        |      CASE WHEN o_orderkey % 16 = 0 THEN CAST(3 AS DOUBLE)
+        |           WHEN o_orderkey % 8 = 0 THEN CAST(2 AS DOUBLE)
+        |           ELSE CAST(1 AS DOUBLE) END AS amt
+        |  FROM orders WHERE o_orderkey % 4 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U2:' || o_orderpriority,
+        |    CAST(o_totalprice AS DOUBLE) * CAST(3 AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 4 = 1
+        |)
+        |SELECT v, CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS ksum,
+        |  CAST(sum(CAST(amt AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM final GROUP BY v ORDER BY v""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS lake.verify")
+      s.sql("DROP TABLE IF EXISTS lake.verify.ups_rt")
+      s.sql(
+        """CREATE TABLE lake.verify.ups_rt AS
+          |SELECT o_orderkey AS k, o_orderpriority AS v,
+          |  CAST(o_totalprice AS DOUBLE) AS amt
+          |FROM orders WHERE o_orderkey % 4 = 0""".stripMargin)
+      // epoch 1: overwrite every 8th key (all already present)
+      s.sql(
+        """SELECT o_orderkey AS k, concat('U1:', o_orderpriority) AS v,
+          |  CAST(o_totalprice AS DOUBLE) * CAST(2 AS DOUBLE) AS amt
+          |FROM orders WHERE o_orderkey % 8 = 0""".stripMargin)
+        .createOrReplaceTempView("ups_rt_src1")
+      s.sql("CALL lake.system.upsert('verify.ups_rt', 'ups_rt_src1', 'k')")
+      // epoch 2: overwrite every 16th key AND insert brand-new keys (%4=1)
+      s.sql(
+        """SELECT o_orderkey AS k, concat('U2:', o_orderpriority) AS v,
+          |  CAST(o_totalprice AS DOUBLE) * CAST(3 AS DOUBLE) AS amt
+          |FROM orders WHERE o_orderkey % 16 = 0 OR o_orderkey % 4 = 1""".stripMargin)
+        .createOrReplaceTempView("ups_rt_src2")
+      s.sql("CALL lake.system.upsert('verify.ups_rt', 'ups_rt_src2', 'k')")
+      // final state reads through the eq-delete-filtered scan
+      s.sql(
+        """SELECT v, CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS ksum,
+          |  CAST(sum(CAST(amt AS DECIMAL(18,6))) AS DOUBLE) AS total
+          |FROM lake.verify.ups_rt GROUP BY v ORDER BY v""".stripMargin)
     })
 }

@@ -74,7 +74,8 @@ class GoldenSpec extends AnyFunSuite {
     "q59_pipeline_compose" -> 5L,
     "q60_chunk_windows" -> 20L,
     "q61_pii_scrub" -> 20L,
-    "q62_corpus_profile" -> 5L)
+    "q62_corpus_profile" -> 5L,
+    "q63_upsert_roundtrip" -> 15L)
 
   test("every registered query has a golden count (add one when adding a query)") {
     assert(SparkEntry.queries.keySet == golden.keySet,

@@ -250,6 +250,75 @@ class UpsertSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("batch upsert procedure: O(batch) commit, no data file rewritten, eq semantics") {
+    import spark.implicits._
+    val t = s"lake.ups.${uniq("b")}"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ups")
+    spark.sql(s"CREATE TABLE $t AS SELECT id AS k, concat('v', id) AS v, CAST(id AS INT) AS n FROM range(1, 101)")
+    val before = lakeMeta(t).currentFiles.map(_.path).toSet
+
+    Seq((5L, "b5", 50), (6L, "b6", 60), (200L, "b200", 0)).toDF("k", "v", "n")
+      .createOrReplaceTempView("ups_src")
+    val res = spark.sql(s"CALL lake.system.upsert('ups.${t.split('.').last}', 'ups_src', 'k')")
+      .collect()(0)
+    assert(res.getLong(0) == 3)
+
+    val meta = lakeMeta(t)
+    assert(meta.snapshots.last.operation == "upsert")
+    assert(meta.properties("upsert.keys") == "k")
+    assert(before.subsetOf(meta.currentFiles.map(_.path).toSet),
+      "batch upsert must append, never rewrite existing data files")
+    assert(meta.currentEqDeleteFiles.nonEmpty)
+
+    assert(spark.table(t).count() == 101) // 100 original + 1 new key, 2 overwritten in place
+    val got = spark.sql(s"SELECT v FROM $t WHERE k IN (5, 6, 7, 200) ORDER BY k")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("b5", "b6", "v7", "b200"))
+
+    // a second batch stacks on the first (sequence numbers order them)
+    Seq((5L, "c5", 51), (300L, "c300", 1)).toDF("k", "v", "n")
+      .createOrReplaceTempView("ups_src2")
+    spark.sql(s"CALL lake.system.upsert('ups.${t.split('.').last}', 'ups_src2', 'k')")
+    assert(spark.sql(s"SELECT v FROM $t WHERE k = 5").collect()(0).getString(0) == "c5")
+    assert(spark.table(t).count() == 102)
+
+    // duplicate keys in one source batch: MERGE cardinality violation
+    Seq((9L, "x", 1), (9L, "y", 2)).toDF("k", "v", "n").createOrReplaceTempView("ups_dup")
+    val ex = intercept[Exception] {
+      spark.sql(s"CALL lake.system.upsert('ups.${t.split('.').last}', 'ups_dup', 'k')")
+    }
+    assert(ex.getMessage.contains("cardinality") ||
+      Option(ex.getCause).exists(_.getMessage.contains("cardinality")))
+
+    // key set is fixed: a different key set is refused
+    val ex2 = intercept[Exception] {
+      spark.sql(s"CALL lake.system.upsert('ups.${t.split('.').last}', 'ups_src2', 'k,v')")
+    }
+    assert(ex2.getMessage.contains("already fixed") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("already fixed")))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("batch upsert interoperates with streaming upsert epochs on one table") {
+    import spark.implicits._
+    val t = upsertTable(Seq(
+      Seq(UpsRow(1, "a", 1), UpsRow(2, "b", 2)),
+      Seq(UpsRow(1, "a2", 3))))
+    Seq((2L, "batch2", 9), (5L, "batch5", 5)).toDF("k", "v", "n")
+      .createOrReplaceTempView("ups_mix")
+    spark.sql(s"CALL lake.system.upsert('ups.${t.split('.').last}', 'ups_mix', 'k')")
+    val rows = spark.table(t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "a2"), (2L, "batch2"), (5L, "batch5")))
+    // and compaction still folds everything away
+    LakeMaintenance.compact(spark, t)
+    val after = spark.table(t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(after == rows)
+    assert(lakeMeta(t).currentEqDeleteFiles.isEmpty)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("upsert into a PARTITIONED table keeps clustered writes + pruning") {
     import spark.implicits._
     val t = s"lake.ups.${uniq("part")}"
