@@ -128,12 +128,19 @@ class PropertySpec extends AnyFunSuite {
         if (delete) Map("file_path" -> "/w/data-00000.parquet") else Map("k" -> "1"),
         if (delete) Map("file_path" -> "/w/data-99999.parquet") else Map("k" -> "9"))
     }
-    val genOp: Gen[Int] = Gen.choose(0, 3)
+    var eqNo = 0
+    def mkEqFile(): DataFileMeta = {
+      eqNo += 1
+      DataFileMeta(f"/w/eq-$eqNo%05d.parquet", 5L, 50L,
+        Map("k" -> "1"), Map("k" -> "9"))
+    }
+    val genOp: Gen[Int] = Gen.choose(0, 4)
     (1 to 30).foreach { seed =>
       val dir = java.nio.file.Files.createTempDirectory(s"prop-meta-$seed").toString
       var meta = TM.empty(dir, schema, Nil, Map.empty) // commit helpers attach ioConf
       var modelData = Set.empty[String]
       var modelDeletes = Set.empty[String]
+      var modelEq = Set.empty[String]
       val nOps = 12
       (1 to nOps).foreach { i =>
         val op = genOp.pureApply(Gen.Parameters.default, Seed((seed * 1000 + i).toLong))
@@ -146,17 +153,24 @@ class PropertySpec extends AnyFunSuite {
             val d = mkFile(false); val t = mkFile(true)
             meta = TM.withDelta(meta, "delta", Seq(d), Seq(t), conf)
             modelData += d.path; modelDeletes += t.path
-          case 2 if modelData.nonEmpty => // rewrite half the data + fold one delete
+          case 2 if modelData.nonEmpty => // rewrite half the data + fold deletes
             val replaced = modelData.toSeq.sorted.take(math.max(1, modelData.size / 2)).toSet
             val folded = modelDeletes.toSeq.sorted.headOption.toSet
+            val foldedEq = modelEq.toSeq.sorted.headOption.toSet
             val nf = mkFile(false)
-            meta = TM.withRewrite(meta, "compact", replaced ++ folded, Seq(nf), conf)
+            meta = TM.withRewrite(meta, "compact", replaced ++ folded ++ foldedEq, Seq(nf), conf)
             modelData = modelData -- replaced + nf.path
             modelDeletes --= folded
+            modelEq --= foldedEq
           case 3 => // overwrite drops everything
             val nf = mkFile(false)
             meta = TM.withOverwrite(meta, "overwrite", Seq(nf), conf)
-            modelData = Set(nf.path); modelDeletes = Set.empty
+            modelData = Set(nf.path); modelDeletes = Set.empty; modelEq = Set.empty
+          case 4 => // upsert epoch: data + equality-delete keys
+            val d = mkFile(false); val e = mkEqFile()
+            meta = TM.withDelta(meta, "upsert", Seq(d), Seq(e), conf,
+              deleteContent = "eq-deletes", extraProps = Map("upsert.keys" -> "k"))
+            modelData += d.path; modelEq += e.path
           case _ => ()
         }
         // full durability round-trip every step
@@ -166,6 +180,11 @@ class PropertySpec extends AnyFunSuite {
           s"seed=$seed step=$i op=$op data files diverge")
         assert(meta.currentDeleteFiles.map(_.path).toSet == modelDeletes,
           s"seed=$seed step=$i op=$op delete files diverge")
+        assert(meta.currentEqDeleteFiles.map(_.path).toSet == modelEq,
+          s"seed=$seed step=$i op=$op eq-delete files diverge")
+        // sequence numbers: every eq-delete file carries its adding snapshot
+        assert(meta.currentEqDeleteFiles.forall(_.addedAt > 0),
+          s"seed=$seed step=$i eq-delete without a sequence number")
         // summaries describe data only (no snapshot yet if the first ops
         // were skipped rewrites on an empty table)
         meta.snapshot(meta.currentSnapshotId).foreach { snap =>
@@ -177,6 +196,7 @@ class PropertySpec extends AnyFunSuite {
       meta.snapshots.foreach { s =>
         assert(meta.filesOf(s).forall(f => f.path.contains("/data-")))
         assert(meta.deleteFilesOf(s).forall(f => f.path.contains("/del-")))
+        assert(meta.eqDeleteFilesOf(s).forall(f => f.path.contains("/eq-")))
       }
     }
   }

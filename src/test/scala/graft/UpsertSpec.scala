@@ -319,6 +319,49 @@ class UpsertSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("upsert racing compaction: serializable-or-fail, no loss, no resurrection") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = upsertTable(Seq(
+      (1L to 50L).map(i => UpsRow(i, s"v$i", i.toInt)),
+      (1L to 20L).map(i => UpsRow(i, s"w$i", 0))))
+    val src = (10L to 30L).map(i => (i, s"z$i", 1)).toDF("k", "v", "n")
+
+    // compaction reads live rows then CAS-commits a rewrite; the upsert is
+    // an append-shaped delta. If the upsert lands mid-compaction, the
+    // rewrite MUST detect the fresh eq-delete (it may target rewritten
+    // files) and fail rather than resurrect overwritten versions.
+    val fCompact = Future(
+      try Right(LakeMaintenance.compact(spark, t))
+      catch { case e: Throwable => Left(e) })
+    val fUpsert = Future(LakeMaintenance.upsert(spark, t, src, Seq("k")))
+    val compactRes = Await.result(fCompact, 5.minutes)
+    Await.result(fUpsert, 5.minutes) // upsert never fails: pure append delta
+
+    compactRes match {
+      case Right(_) => () // compacted before/after the upsert cleanly
+      case Left(e) =>
+        assert(e.getMessage.contains("retry") || e.getMessage.contains("concurrent"),
+          s"compaction may only fail with a serializable conflict, got: $e")
+    }
+
+    def state() = spark.table(t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val expected = (1L to 50L).map { i =>
+      val v = if (i >= 10 && i <= 30) s"z$i" else if (i <= 20) s"w$i" else s"v$i"
+      (i, v)
+    }
+    assert(state() == expected, "racing commits must compose, not lose or resurrect rows")
+
+    // a retried compaction now folds everything
+    LakeMaintenance.compact(spark, t)
+    assert(state() == expected)
+    assert(lakeMeta(t).currentEqDeleteFiles.isEmpty)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("upsert into a PARTITIONED table keeps clustered writes + pruning") {
     import spark.implicits._
     val t = s"lake.ups.${uniq("part")}"
