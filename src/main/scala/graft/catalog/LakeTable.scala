@@ -643,9 +643,16 @@ final class LakeScan(
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(files.map(_.sizeBytes).sum)
       override def numRows(): java.util.OptionalLong = {
-        // each tombstone kills one live row; only delete files whose range
-        // covers a SELECTED file count (a pruned scan must not subtract
-        // tombstones aimed at files it no longer reads)
+        // each POSITIONAL tombstone kills exactly one live row; only delete
+        // files whose range covers a SELECTED file count (a pruned scan
+        // must not subtract tombstones aimed at files it no longer reads).
+        // EQUALITY deletes are an APPROXIMATION: one row per key — a
+        // re-upserted key that lives in several older files kills one per
+        // file (undercount), a first-insert key kills none (overcount).
+        // Exactness would need per-key file containment, which metadata
+        // can't know; the estimate only feeds join-side sizing, where
+        // being off by the churn rate is harmless, and compaction
+        // re-trues it.
         val covering = deleteFiles.filter(d =>
           DeleteFiles.coversAny(d, files.map(_.path)))
         val eqApp = eqDeletes.filter(d => files.exists(_.addedAt < d.addedAt))
