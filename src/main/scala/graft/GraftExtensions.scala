@@ -19,6 +19,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(getClass.getName, null, name, usage, "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // upsert-shaped MERGE on write.merge.mode='equality' tables commits
+    // O(batch) equality deletes instead of scanning the target. Parser-level
+    // because the analyzer consumes MergeIntoTable within one fixed-point
+    // iteration — injected resolution rules never see it. Every other MERGE
+    // parses through untouched to the standard row-level delta path.
+    ext.injectParser((session, delegate) =>
+      new graft.catalog.EqualityMergeParser(session, delegate))
+
     ext.injectFunction((
       FunctionIdentifier("minhash_signature"),
       info("minhash_signature",

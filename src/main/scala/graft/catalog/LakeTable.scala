@@ -373,7 +373,12 @@ final class LakeRowLevelOperation(
           val foldedDeletes = TombstoneRewrite.foldable(spark,
             TombstoneRewrite.covering(scanDeletes, scanned.map(_.path)),
             replacedPaths, hadoopConf)
-          val scanDeletePaths = scanDeletes.map(_.path).toSet
+          // the scan's baseline covers BOTH delete kinds: it applied the
+          // current eq-deletes too, so only ones committed AFTER the scan
+          // may conflict (without this, any CoW command on an upserted
+          // table would spuriously fail its own validation)
+          val scanDeletePaths =
+            (scanDeletes ++ table.meta.currentEqDeleteFiles).map(_.path).toSet
           var prevLoc = table.metadataLocation
           var base = table.meta
           var attempts = 0

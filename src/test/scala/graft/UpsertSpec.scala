@@ -319,6 +319,60 @@ class UpsertSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("MERGE INTO on write.merge.mode=equality: O(batch) eq-delete commit, no rewrite") {
+    import spark.implicits._
+    val t = s"lake.ups.${uniq("m")}"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ups")
+    spark.sql(
+      s"""CREATE TABLE $t TBLPROPERTIES ('write.merge.mode'='equality')
+         |AS SELECT id AS k, concat('v', id) AS v, CAST(id AS INT) AS n
+         |FROM range(1, 101)""".stripMargin)
+    val before = lakeMeta(t).currentFiles.map(_.path).toSet
+
+    Seq((5L, "m5", 50), (6L, "m6", 60), (200L, "m200", 0)).toDF("k", "v", "n")
+      .createOrReplaceTempView("merge_src")
+    spark.sql(
+      s"""MERGE INTO $t t USING merge_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET t.k = s.k, t.v = s.v, t.n = s.n
+         |WHEN NOT MATCHED THEN INSERT (k, v, n) VALUES (s.k, s.v, s.n)""".stripMargin)
+
+    val meta = lakeMeta(t)
+    assert(meta.snapshots.last.operation == "upsert",
+      s"equality MERGE must commit an upsert delta, got '${meta.snapshots.last.operation}'")
+    assert(before.subsetOf(meta.currentFiles.map(_.path).toSet),
+      "equality MERGE must append, never rewrite existing data files")
+    assert(meta.currentEqDeleteFiles.nonEmpty)
+    assert(spark.table(t).count() == 101)
+    val got = spark.sql(s"SELECT v FROM $t WHERE k IN (5, 6, 7, 200) ORDER BY k")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("m5", "m6", "v7", "m200"))
+
+    // UPDATE SET * / INSERT * sugar — the most common upsert spelling —
+    // is symmetric by construction and takes the same path
+    Seq((8L, "s8", 80), (300L, "s300", 3)).toDF("k", "v", "n")
+      .createOrReplaceTempView("merge_star")
+    spark.sql(
+      s"""MERGE INTO $t t USING merge_star s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(lakeMeta(t).snapshots.last.operation == "upsert")
+    assert(spark.sql(s"SELECT v FROM $t WHERE k IN (8, 300) ORDER BY k")
+      .collect().map(_.getString(0)).toSeq == Seq("s8", "s300"))
+    assert(spark.table(t).count() == 102)
+
+    // a NON-upsert-shaped MERGE (extra matched condition) must fall back to
+    // the standard row-level path, not silently change semantics
+    Seq((7L, "c7", 70)).toDF("k", "v", "n").createOrReplaceTempView("merge_src2")
+    spark.sql(
+      s"""MERGE INTO $t t USING merge_src2 s ON t.k = s.k
+         |WHEN MATCHED AND t.n < 100 THEN UPDATE SET t.k = s.k, t.v = s.v, t.n = s.n
+         |WHEN NOT MATCHED THEN INSERT (k, v, n) VALUES (s.k, s.v, s.n)""".stripMargin)
+    assert(lakeMeta(t).snapshots.last.operation != "upsert",
+      "conditional MERGE must take the row-level path")
+    assert(spark.sql(s"SELECT v FROM $t WHERE k = 7").collect()(0).getString(0) == "c7")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("upsert racing compaction: serializable-or-fail, no loss, no resurrection") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
