@@ -129,5 +129,71 @@ object CatalogQueries {
         """SELECT v, CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS ksum,
           |  CAST(sum(CAST(amt AS DECIMAL(18,6))) AS DOUBLE) AS total
           |FROM lake.verify.ups_rt GROUP BY v ORDER BY v""".stripMargin)
+    },
+
+    QueryDef.df(
+      "q64_merge_equality",
+      // Oracle = the merged state computed from scratch. Merge-2 keys
+      // (%12=0 overwrites, %6=5 inserts) beat merge-1 keys (%6=0
+      // overwrites, %6=2 inserts) beat the base (%3=0). A hash match
+      // proves the equality-mode MERGE INTO — parse-time rewrite to an
+      // append + key-tombstone commit, no target scan — reproduces exactly
+      // what a row-level MERGE would have produced.
+      """WITH final AS (
+        |  SELECT p_partkey AS k,
+        |    CASE WHEN p_partkey % 12 = 0 THEN 'M2:' || p_type
+        |         WHEN p_partkey % 6 = 0 THEN 'M1:' || p_type
+        |         ELSE p_type END AS v,
+        |    CAST(p_retailprice AS DOUBLE) *
+        |      CASE WHEN p_partkey % 12 = 0 THEN CAST(3 AS DOUBLE)
+        |           WHEN p_partkey % 6 = 0 THEN CAST(2 AS DOUBLE)
+        |           ELSE CAST(1 AS DOUBLE) END AS amt
+        |  FROM part WHERE p_partkey % 3 = 0
+        |  UNION ALL
+        |  SELECT p_partkey, 'M1:' || p_type, CAST(p_retailprice AS DOUBLE) * CAST(2 AS DOUBLE)
+        |  FROM part WHERE p_partkey % 6 = 2
+        |  UNION ALL
+        |  SELECT p_partkey, 'M2:' || p_type, CAST(p_retailprice AS DOUBLE) * CAST(3 AS DOUBLE)
+        |  FROM part WHERE p_partkey % 6 = 5
+        |)
+        |SELECT substr(v, 1, 3) AS vp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(k) AS BIGINT) AS ksum,
+        |  CAST(sum(CAST(amt AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM final GROUP BY vp ORDER BY vp""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS lake.verify")
+      s.sql("DROP TABLE IF EXISTS lake.verify.mrg_rt")
+      s.sql(
+        """CREATE TABLE lake.verify.mrg_rt
+          |TBLPROPERTIES ('write.merge.mode'='equality')
+          |AS SELECT p_partkey AS k, p_type AS v,
+          |  CAST(p_retailprice AS DOUBLE) AS amt
+          |FROM part WHERE p_partkey % 3 = 0""".stripMargin)
+      // merge 1 (explicit SET/VALUES lists): %6=0 overwrites, %6=2 inserts
+      s.sql(
+        """SELECT p_partkey AS k, concat('M1:', p_type) AS v,
+          |  CAST(p_retailprice AS DOUBLE) * CAST(2 AS DOUBLE) AS amt
+          |FROM part WHERE p_partkey % 6 = 0 OR p_partkey % 6 = 2""".stripMargin)
+        .createOrReplaceTempView("mrg_src1")
+      s.sql(
+        """MERGE INTO lake.verify.mrg_rt t USING mrg_src1 s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET k = s.k, v = s.v, amt = s.amt
+          |WHEN NOT MATCHED THEN INSERT (k, v, amt) VALUES (s.k, s.v, s.amt)""".stripMargin)
+      // merge 2 (UPDATE SET * / INSERT * sugar): %12=0 overwrites, %6=5 inserts
+      s.sql(
+        """SELECT p_partkey AS k, concat('M2:', p_type) AS v,
+          |  CAST(p_retailprice AS DOUBLE) * CAST(3 AS DOUBLE) AS amt
+          |FROM part WHERE p_partkey % 12 = 0 OR p_partkey % 6 = 5""".stripMargin)
+        .createOrReplaceTempView("mrg_src2")
+      s.sql(
+        """MERGE INTO lake.verify.mrg_rt t USING mrg_src2 s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // final state reads through the eq-delete-filtered scan
+      s.sql(
+        """SELECT substring(v, 1, 3) AS vp, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(k) AS BIGINT) AS ksum,
+          |  CAST(sum(CAST(amt AS DECIMAL(18,6))) AS DOUBLE) AS total
+          |FROM lake.verify.mrg_rt GROUP BY vp ORDER BY vp""".stripMargin)
     })
 }

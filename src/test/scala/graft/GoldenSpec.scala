@@ -75,7 +75,8 @@ class GoldenSpec extends AnyFunSuite {
     "q60_chunk_windows" -> 20L,
     "q61_pii_scrub" -> 20L,
     "q62_corpus_profile" -> 5L,
-    "q63_upsert_roundtrip" -> 15L)
+    "q63_upsert_roundtrip" -> 15L,
+    "q64_merge_equality" -> 8L)
 
   test("every registered query has a golden count (add one when adding a query)") {
     assert(SparkEntry.queries.keySet == golden.keySet,
