@@ -308,6 +308,159 @@ object LakeMaintenance {
     orphaned.size
   }
 
+  /** Bin-pack the current snapshot's small manifests into ~`targetEntries`-
+    * entry ones, per content kind — a METADATA-ONLY commit (operation
+    * `rewrite-manifests`): every [[DataFileMeta]] entry, including its
+    * min/max stats and `addedAt` sequence number, is carried over
+    * unchanged, so scans, file pruning, equality-delete applicability and
+    * time travel are all unaffected. Returns (manifests before, after).
+    *
+    * Why it matters at 100 TB: every commit appends one manifest, so a
+    * long-running streaming sink accretes one manifest PER EPOCH, and
+    * planning reads every manifest before it can prune a single file —
+    * 10k epochs is 10k small metadata reads per query. Bin-packing them
+    * back to a handful keeps planning cost constant forever (Iceberg's
+    * rewrite_manifests procedure exists for exactly this).
+    */
+  def rewriteManifests(spark: SparkSession, table: String,
+      targetEntries: Int = 4096): (Int, Int) = {
+    require(targetEntries >= 2, s"targetEntries must be >= 2, got $targetEntries")
+    val (cat, ident, t) = resolve(spark, table)
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    if (t.meta.currentSnapshotId < 0) return (0, 0)
+
+    def rebuilt(base: TableMeta, snapId: Long): Seq[ManifestMeta] = {
+      val cur = base.snapshot(base.currentSnapshotId).get
+      val listed = base.manifestsOf(cur)
+      // legacy inline file lists page out into a real manifest first (their
+      // own snapshot id stamps addedAt, same as any other commit path)
+      val ms =
+        if (cur.inlineFiles.isEmpty) listed
+        else listed :+ ManifestIO.write(base.location, cur.snapshotId,
+          cur.inlineFiles, hadoopConf)
+      ms.map(_.kind).distinct.flatMap { kind =>
+        val ofKind = ms.filter(_.kind == kind)
+        val (small, big) = ofKind.partition(_.nFiles < targetEntries)
+        if (small.size < 2) ofKind
+        else {
+          val entries = small.flatMap(m => ManifestIO.read(m.location, hadoopConf))
+          // pre-sequence-number entries (addedAt 0) would get restamped
+          // with THIS snapshot's id on rewrite, corrupting eq-delete
+          // applicability — leave such manifests untouched
+          if (entries.exists(_.addedAt == 0L)) ofKind
+          else big ++ entries.grouped(targetEntries).map(g =>
+            ManifestIO.write(base.location, snapId, g, hadoopConf, kind)).toSeq
+        }
+      }
+    }
+
+    // pre-check on the loaded version: nothing to merge → no commit at all
+    val before = {
+      val cur = t.meta.snapshot(t.meta.currentSnapshotId).get
+      t.meta.manifestsOf(cur).size + (if (cur.inlineFiles.isEmpty) 0 else 1)
+    }
+    if (rebuilt(t.meta, t.meta.nextSnapshotId).size == before) return (before, before)
+
+    var result = (before, before)
+    commitMeta(cat, ident, t, hadoopConf, { base =>
+      val snapId = base.nextSnapshotId
+      val ms = rebuilt(base, snapId)
+      result = (base.snapshot(base.currentSnapshotId).map(s =>
+        base.manifestsOf(s).size + (if (s.inlineFiles.isEmpty) 0 else 1)).getOrElse(0),
+        ms.size)
+      TableMeta.finish(base, snapId, "rewrite-manifests", ms, Map.empty, hadoopConf)
+    })
+    result
+  }
+
+  /** Delete files under the table location that no snapshot of the CURRENT
+    * metadata document references and that are older than `olderThanMs`
+    * (the reference's missing vacuum, file-level half: [[expireSnapshots]]
+    * removes expired HISTORY, this removes never-committed debris — files
+    * written by failed/abandoned jobs whose commit lost the CAS or died
+    * before it). Returns (files deleted, unreferenced files found); with
+    * `dryRun` nothing is deleted and the first count is what WOULD be.
+    *
+    * The age cutoff is the correctness guard: a write job that has produced
+    * files but not yet CAS-committed looks exactly like an orphan, so only
+    * files comfortably older than any plausible in-flight job are touched
+    * (Iceberg's remove_orphan_files has the same contract; default 3 days).
+    *
+    * Scale shape: listing fans out per first-level directory on executors,
+    * the listing is anti-joined against the referenced set as DataFrames
+    * (no driver-side set of all listed files), and deletion runs on
+    * executors — the driver never holds more than the counts. Matching is
+    * by file NAME: every file a commit writes carries a task/commit UUID,
+    * so names are globally unique within a table and immune to URI-scheme
+    * differences between listings and manifest entries.
+    */
+  def removeOrphanFiles(spark: SparkSession, table: String,
+      olderThanMs: Long = 3L * 24 * 3600 * 1000, dryRun: Boolean = false): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val (_, _, t) = resolve(spark, table)
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val meta = t.meta
+    def nameOf(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+
+    // everything reachable from the current metadata document: every
+    // snapshot's manifest list, manifests, and data/delete files — plus the
+    // document itself (the store's pointer target)
+    val referenced: Set[String] = (meta.snapshots.flatMap { s =>
+      val mms = meta.manifestsOf(s)
+      s.listLocation.toSeq ++ mms.map(_.location) ++
+        mms.flatMap(m => ManifestIO.read(m.location, hadoopConf).map(_.path)) ++
+        s.inlineFiles.map(_.path)
+    } :+ t.metadataLocation).map(nameOf).toSet
+
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val root = new Path(meta.location)
+    val fs = root.getFileSystem(hadoopConf)
+    if (!fs.exists(root)) return (0L, 0L)
+    val top = fs.listStatus(root)
+    val dirs = top.filter(_.isDirectory).map(_.getPath.toString).toSeq
+    val rootFiles = top.filter(_.isFile)
+      .map(s => (s.getPath.toString, s.getModificationTime)).toSeq
+    val sconf = new SerializableConfiguration(hadoopConf)
+    val listedRdd = spark.sparkContext
+      .parallelize(dirs, math.max(1, dirs.size))
+      .flatMap { d =>
+        val p = new Path(d)
+        val dfs = p.getFileSystem(sconf.value)
+        val it = dfs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        while (it.hasNext) {
+          val st = it.next()
+          buf += ((st.getPath.toString, st.getModificationTime))
+        }
+        buf
+      } ++ spark.sparkContext.parallelize(rootFiles, 1)
+    val listed = spark.createDataFrame(listedRdd).toDF("path", "mtime")
+    val refDf = spark.createDataFrame(referenced.toSeq.map(Tuple1(_))).toDF("ref_name")
+    val nameUdf = org.apache.spark.sql.functions.substring_index(col("path"), "/", -1)
+    val examined = spark.sparkContext.longAccumulator("orphan_examined")
+    val deleted = spark.sparkContext.longAccumulator("orphan_deleted")
+    val doDelete = !dryRun
+    listed.withColumn("name", nameUdf)
+      .join(refDf, col("name") === col("ref_name"), "left_anti")
+      .select("path", "mtime").as(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong))
+      .foreachPartition { (it: Iterator[(String, Long)]) =>
+        var lfs: org.apache.hadoop.fs.FileSystem = null
+        it.foreach { case (p, mtime) =>
+          examined.add(1)
+          if (mtime < cutoff) {
+            if (doDelete) {
+              val hp = new Path(p)
+              if (lfs == null) lfs = hp.getFileSystem(sconf.value)
+              lfs.delete(hp, false)
+            }
+            deleted.add(1)
+          }
+        }
+      }
+    (deleted.value, examined.value)
+  }
+
   /** Tag a snapshot with a stable name: `VERSION AS OF 'name'` resolves it
     * and [[expireSnapshots]] retains it until the tag is removed
     * (Iceberg's tag semantics). Defaults to the current snapshot. A
@@ -571,8 +724,10 @@ object LakeMaintenance {
       }.takeWhile(id => id > startId && id > 0)
       .flatMap(meta.snapshot).toSeq.sortBy(_.snapshotId)
     lineage.foreach { s =>
+      // rewrite-manifests repackages metadata without changing any file:
+      // it contributes zero rows below (added/new-delete diffs are empty)
       if (!Set("append", "stream-append", "create", "stage-append", "publish", "delta",
-        "upsert")(s.operation))
+        "upsert", "rewrite-manifests")(s.operation))
         throw new IllegalArgumentException(
           s"changelog over $table: snapshot ${s.snapshotId} is '${s.operation}' — " +
             "row-level changes of rewrite commits are not expressible; " +

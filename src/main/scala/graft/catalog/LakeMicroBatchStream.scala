@@ -72,7 +72,10 @@ final class LakeMicroBatchStream(
       // stage-append/publish (WAP) deltas are append-only: offsets are
       // pointer positions, and the set-difference below counts staged
       // files exactly once — when a publish brings them into the lineage
-      if (!Set("append", "stream-append", "create", "stage-append", "publish")(snap.operation))
+      // rewrite-manifests changes no file: the path set-difference below
+      // sees straight through it
+      if (!Set("append", "stream-append", "create", "stage-append", "publish",
+        "rewrite-manifests")(snap.operation))
         throw new IllegalStateException(
           s"stream over $ident: snapshot ${snap.snapshotId} is '${snap.operation}' — " +
             "incremental reads support append-only history")

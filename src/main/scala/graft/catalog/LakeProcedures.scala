@@ -24,7 +24,7 @@ object LakeProcedures {
 
   def names: Seq[String] = Seq("compact", "expire_snapshots", "rollback",
     "create_tag", "remove_tag", "publish", "set_partition_spec", "zorder",
-    "upsert")
+    "upsert", "rewrite_manifests", "remove_orphan_files")
 
   def load(catalogName: String, ident: Identifier): Option[UnboundProcedure] = {
     if (!ident.namespace().sameElements(Namespace)) return None
@@ -94,6 +94,28 @@ object LakeProcedures {
             spark.table(args.getString(1)),
             args.getString(2).split(',').map(_.trim).filter(_.nonEmpty).toSeq)
           row(n, sid)
+        }))
+      // metadata-only manifest bin-packing: keeps planning O(few manifests)
+      // after thousands of streaming-epoch commits
+      case "rewrite_manifests" => Some(proc("rewrite_manifests",
+        Seq(in("table", StringType), inDef("target_entries", IntegerType, "4096")),
+        StructType(Seq(StructField("manifests_before", IntegerType),
+          StructField("manifests_after", IntegerType))),
+        { (spark, args) =>
+          val (b, a) = LakeMaintenance.rewriteManifests(spark, full(args.getString(0)),
+            args.getInt(1))
+          row(b, a)
+        }))
+      case "remove_orphan_files" => Some(proc("remove_orphan_files",
+        Seq(in("table", StringType),
+          inDef("older_than_ms", LongType, (3L * 24 * 3600 * 1000).toString),
+          inDef("dry_run", BooleanType, "false")),
+        StructType(Seq(StructField("files_deleted", LongType),
+          StructField("unreferenced_found", LongType))),
+        { (spark, args) =>
+          val (d, f) = LakeMaintenance.removeOrphanFiles(spark, full(args.getString(0)),
+            args.getLong(1), args.getBoolean(2))
+          row(d, f)
         }))
       case "set_partition_spec" => Some(proc("set_partition_spec",
         Seq(in("table", StringType), in("spec", StringType)),

@@ -1,0 +1,146 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.catalog.LakeMaintenance
+
+/** Metadata/file-hygiene maintenance: manifest bin-packing and orphan-file
+  * removal. Both matter only at scale (thousands of commits, failed-job
+  * debris) but their invariants — nothing user-visible changes — are
+  * testable at any size.
+  */
+class MaintenanceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def manifestCount(ns: String, name: String): Long =
+    spark.sql(s"SELECT * FROM lake.$ns.`$name$$manifests`").count()
+
+  test("rewrite_manifests bin-packs per-commit manifests; values, stats pruning and time travel survive") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.maint")
+    spark.sql("DROP TABLE IF EXISTS lake.maint.rm")
+    spark.sql("CREATE TABLE lake.maint.rm (k INT, v STRING)")
+    for (i <- 0 until 6)
+      spark.sql(s"INSERT INTO lake.maint.rm SELECT id AS k, 'b$i' AS v " +
+        s"FROM range(${i * 100}, ${i * 100 + 100})")
+    assert(manifestCount("maint", "rm") == 6) // one manifest per append
+    val before = spark.table("lake.maint.rm").orderBy("k").collect()
+
+    val res = spark.sql("CALL lake.system.rewrite_manifests('maint.rm')").collect().head
+    assert(res.getInt(0) == 6 && res.getInt(1) == 1)
+    assert(manifestCount("maint", "rm") == 1)
+
+    // rows byte-identical; per-file min/max stats still prune
+    assert(spark.table("lake.maint.rm").orderBy("k").collect().sameElements(before))
+    assert(spark.sql("SELECT * FROM lake.maint.rm WHERE k > 5000").count() == 0)
+    assert(spark.sql("SELECT count(*) FROM lake.maint.rm WHERE k >= 500")
+      .collect().head.getLong(0) == 100)
+    // time travel to a pre-rewrite snapshot still resolves the old manifests
+    assert(spark.sql("SELECT * FROM lake.maint.rm VERSION AS OF 2").count() == 200)
+    // the rewrite is its own snapshot in history
+    val ops = LakeMaintenance.history(spark, "lake.maint.rm")
+      .collect().map(_.getString(2))
+    assert(ops.count(_ == "rewrite-manifests") == 1)
+  }
+
+  test("rewrite_manifests with nothing to merge is a no-op (no commit)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.maint")
+    spark.sql("DROP TABLE IF EXISTS lake.maint.rm1")
+    spark.sql("CREATE TABLE lake.maint.rm1 AS SELECT id AS k FROM range(0, 10)")
+    val snaps = LakeMaintenance.history(spark, "lake.maint.rm1").count()
+    assert(LakeMaintenance.rewriteManifests(spark, "lake.maint.rm1") == ((1, 1)))
+    assert(LakeMaintenance.history(spark, "lake.maint.rm1").count() == snaps)
+  }
+
+  test("rewrite_manifests preserves eq-delete sequence applicability (no resurrection)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.maint")
+    spark.sql("DROP TABLE IF EXISTS lake.maint.rmu")
+    spark.sql("CREATE TABLE lake.maint.rmu AS SELECT id AS k, 'base' AS v FROM range(0, 50)")
+    spark.sql("SELECT id AS k, 'e1' AS v FROM range(0, 25)").createOrReplaceTempView("rmu_s1")
+    spark.sql("CALL lake.system.upsert('maint.rmu', 'rmu_s1', 'k')")
+    spark.sql("SELECT id AS k, 'e2' AS v FROM range(10, 60)").createOrReplaceTempView("rmu_s2")
+    spark.sql("CALL lake.system.upsert('maint.rmu', 'rmu_s2', 'k')")
+    val want = spark.table("lake.maint.rmu").orderBy("k").collect()
+    assert(want.length == 60)
+
+    val res = spark.sql("CALL lake.system.rewrite_manifests('maint.rmu')").collect().head
+    assert(res.getInt(1) < res.getInt(0))
+    // merged manifests carry the original addedAt stamps: each eq-delete
+    // still kills exactly the strictly-older versions of its keys
+    assert(spark.table("lake.maint.rmu").orderBy("k").collect().sameElements(want))
+    // CDC changelog walks straight through the rewrite-manifests snapshot
+    val t = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("maint"), "rmu")).asInstanceOf[graft.catalog.LakeTable]
+    val end = t.meta.currentSnapshotId
+    val log = LakeMaintenance.changelog(spark, "lake.maint.rmu", 0L, end)
+    // inserts: 50 base + 25 e1 + 50 e2; deletes: 25 (e1 over base) + 40 (e2
+    // over the live versions of keys 10..49); rewrite itself adds zero
+    assert(log.where("_change_type = 'insert'").count() == 125)
+    assert(log.where("_change_type = 'delete'").count() == 65)
+    // and compaction after the rewrite still folds everything correctly
+    LakeMaintenance.compact(spark, "lake.maint.rmu")
+    assert(spark.table("lake.maint.rmu").orderBy("k").collect().sameElements(want))
+  }
+
+  test("remove_orphan_files deletes only unreferenced debris; history and current doc survive") {
+    import org.apache.hadoop.fs.Path
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.maint")
+    spark.sql("DROP TABLE IF EXISTS lake.maint.orph")
+    spark.sql("CREATE TABLE lake.maint.orph AS SELECT id AS k FROM range(0, 100)")
+    spark.sql("INSERT INTO lake.maint.orph SELECT id AS k FROM range(100, 200)")
+    val before = spark.table("lake.maint.orph").orderBy("k").collect()
+
+    val t = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("maint"), "orph")).asInstanceOf[graft.catalog.LakeTable]
+    val loc = t.meta.location
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(loc).getFileSystem(conf)
+    // debris: a failed write's data file + a stray tmp in metadata/
+    val junkData = new Path(s"$loc/data/part-junk-${java.util.UUID.randomUUID()}.parquet")
+    val junkMeta = new Path(s"$loc/metadata/tmp-${java.util.UUID.randomUUID()}.json")
+    Seq(junkData, junkMeta).foreach { p =>
+      val out = fs.create(p, false); out.write(1); out.close()
+    }
+
+    // dry run: finds the debris, deletes nothing (negative age = no grace)
+    val (dryDel, dryFound) =
+      LakeMaintenance.removeOrphanFiles(spark, "lake.maint.orph", -60000L, dryRun = true)
+    assert(dryDel >= 2 && dryFound >= 2)
+    assert(fs.exists(junkData) && fs.exists(junkMeta))
+
+    val (del, _) = LakeMaintenance.removeOrphanFiles(spark, "lake.maint.orph", -60000L)
+    assert(del >= 2)
+    assert(!fs.exists(junkData) && !fs.exists(junkMeta))
+    // every referenced artifact survives: values, history, metadata doc
+    assert(spark.table("lake.maint.orph").orderBy("k").collect().sameElements(before))
+    assert(spark.sql("SELECT * FROM lake.maint.orph VERSION AS OF 1").count() == 100)
+    spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[graft.catalog.LakeCatalog]
+      .invalidateTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("maint"), "orph"))
+    assert(spark.table("lake.maint.orph").count() == 200)
+  }
+
+  test("remove_orphan_files age cutoff protects in-flight writers' fresh files") {
+    import org.apache.hadoop.fs.Path
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.maint")
+    spark.sql("DROP TABLE IF EXISTS lake.maint.orph2")
+    spark.sql("CREATE TABLE lake.maint.orph2 AS SELECT id AS k FROM range(0, 10)")
+    val t = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("maint"), "orph2")).asInstanceOf[graft.catalog.LakeTable]
+    val conf = spark.sessionState.newHadoopConf()
+    val inflight = new Path(s"${t.meta.location}/data/inflight-${java.util.UUID.randomUUID()}.parquet")
+    val fs = inflight.getFileSystem(conf)
+    val out = fs.create(inflight, false); out.write(1); out.close()
+    // default-style grace period: the just-written (uncommitted) file is
+    // unreferenced but too young to touch
+    val (del, found) = LakeMaintenance.removeOrphanFiles(spark, "lake.maint.orph2", 3600000L)
+    assert(del == 0 && found >= 1)
+    assert(fs.exists(inflight))
+    fs.delete(inflight, false)
+  }
+}
