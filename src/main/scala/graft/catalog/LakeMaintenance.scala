@@ -338,20 +338,7 @@ object LakeMaintenance {
         if (cur.inlineFiles.isEmpty) listed
         else listed :+ ManifestIO.write(base.location, cur.snapshotId,
           cur.inlineFiles, hadoopConf)
-      ms.map(_.kind).distinct.flatMap { kind =>
-        val ofKind = ms.filter(_.kind == kind)
-        val (small, big) = ofKind.partition(_.nFiles < targetEntries)
-        if (small.size < 2) ofKind
-        else {
-          val entries = small.flatMap(m => ManifestIO.read(m.location, hadoopConf))
-          // pre-sequence-number entries (addedAt 0) would get restamped
-          // with THIS snapshot's id on rewrite, corrupting eq-delete
-          // applicability — leave such manifests untouched
-          if (entries.exists(_.addedAt == 0L)) ofKind
-          else big ++ entries.grouped(targetEntries).map(g =>
-            ManifestIO.write(base.location, snapId, g, hadoopConf, kind)).toSeq
-        }
-      }
+      TableMeta.packManifests(base.location, snapId, ms, hadoopConf, targetEntries)
     }
 
     // pre-check on the loaded version: nothing to merge → no commit at all

@@ -536,9 +536,51 @@ object TableMeta {
     else listed :+ ManifestIO.write(base.location, s.snapshotId, s.inlineFiles, conf)
   }
 
+  /** Bin-pack small manifests (fewer than `targetEntries` entries) of each
+    * content kind into ~`targetEntries`-entry ones. Entries are carried
+    * over verbatim — stats and `addedAt` sequence numbers included — so
+    * nothing about scan planning or eq-delete applicability changes; only
+    * the number of metadata reads per plan does. Manifests holding
+    * pre-sequence-number entries (`addedAt` 0) are left untouched: a
+    * rewrite would restamp them with this snapshot's id.
+    */
+  private[catalog] def packManifests(location: String, snapId: Long,
+      ms: Seq[ManifestMeta], conf: Configuration, targetEntries: Int): Seq[ManifestMeta] =
+    ms.map(_.kind).distinct.flatMap { kind =>
+      val ofKind = ms.filter(_.kind == kind)
+      val (small, big) = ofKind.partition(_.nFiles < targetEntries)
+      if (small.size < 2) ofKind
+      else {
+        val entries = small.flatMap(m => ManifestIO.read(m.location, conf))
+        if (entries.exists(_.addedAt == 0L)) ofKind
+        else big ++ entries.grouped(targetEntries).map(g =>
+          ManifestIO.write(location, snapId, g, conf, kind)).toSeq
+      }
+    }
+
+  /** Opportunistic manifest merging every commit applies once the manifest
+    * count reaches `commit.manifest-merge.min-count` (default 100;
+    * `commit.manifest-merge.enabled=false` opts out) — Iceberg's
+    * ManifestMergeManager behavior. A streaming sink committing one
+    * manifest per epoch would otherwise grow planning cost without bound;
+    * with the merge, metadata stays O(min-count) forever with amortized
+    * O(1) extra work per commit (each entry is rewritten only when the
+    * small-manifest population has doubled back past the threshold).
+    */
+  private def maybeMergeManifests(base: TableMeta, snapId: Long,
+      ms: Seq[ManifestMeta], conf: Configuration): Seq[ManifestMeta] = {
+    if (!base.properties.getOrElse("commit.manifest-merge.enabled", "true").toBoolean)
+      return ms
+    val minCount = base.properties.getOrElse("commit.manifest-merge.min-count", "100").toInt
+    if (ms.size < minCount) return ms
+    packManifests(base.location, snapId, ms, conf,
+      base.properties.getOrElse("commit.manifest-merge.target-entries", "4096").toInt)
+  }
+
   private[catalog] def finish(base: TableMeta, snapId: Long, operation: String,
-      ms: Seq[ManifestMeta], extraProps: Map[String, String],
+      ms0: Seq[ManifestMeta], extraProps: Map[String, String],
       conf: Configuration, advance: Boolean = true): TableMeta = {
+    val ms = maybeMergeManifests(base, snapId, ms0, conf)
     val listLoc =
       if (ms.isEmpty) None
       else Some(ManifestIO.writeList(base.location, snapId, ms, conf))

@@ -82,6 +82,30 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(spark.table("lake.maint.rmu").orderBy("k").collect().sameElements(want))
   }
 
+  test("commit-time manifest merge keeps metadata bounded over many appends") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.maint")
+    spark.sql("DROP TABLE IF EXISTS lake.maint.am")
+    spark.sql("CREATE TABLE lake.maint.am (k INT) " +
+      "TBLPROPERTIES ('commit.manifest-merge.min-count'='8')")
+    for (i <- 0 until 20) spark.sql(s"INSERT INTO lake.maint.am VALUES ($i)")
+    // without the merge this would be 20 manifests; the threshold caps it
+    assert(manifestCount("maint", "am") <= 8)
+    assert(spark.table("lake.maint.am").collect().map(_.getInt(0)).sorted
+      .sameElements(0 until 20))
+    // a pre-merge snapshot still resolves through its own (unmerged) list
+    assert(spark.sql("SELECT * FROM lake.maint.am VERSION AS OF 5").count() == 5)
+  }
+
+  test("commit-time manifest merge opts out by table property") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.maint")
+    spark.sql("DROP TABLE IF EXISTS lake.maint.am0")
+    spark.sql("CREATE TABLE lake.maint.am0 (k INT) " +
+      "TBLPROPERTIES ('commit.manifest-merge.enabled'='false', " +
+      "'commit.manifest-merge.min-count'='4')")
+    for (i <- 0 until 8) spark.sql(s"INSERT INTO lake.maint.am0 VALUES ($i)")
+    assert(manifestCount("maint", "am0") == 8) // one per commit, untouched
+  }
+
   test("remove_orphan_files deletes only unreferenced debris; history and current doc survive") {
     import org.apache.hadoop.fs.Path
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.maint")

@@ -114,6 +114,17 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("commit algebra: random append/delta/rewrite/overwrite sequences keep the model") {
+    commitAlgebra(Map.empty)
+  }
+
+  test("commit algebra holds under aggressive commit-time manifest merging") {
+    // same model, but every third commit triggers the opportunistic
+    // manifest merge — file sets, sequence numbers, summaries and
+    // time travel must be indistinguishable from the unmerged run
+    commitAlgebra(Map("commit.manifest-merge.min-count" -> "3"))
+  }
+
+  private def commitAlgebra(tableProps: Map[String, String]): Unit = {
     // model-based property: after ANY sequence of commit shapes, the
     // metadata's data/delete file sets (through a full write+read
     // round-trip, manifest lists and all) equal a trivial in-memory model
@@ -137,7 +148,7 @@ class PropertySpec extends AnyFunSuite {
     val genOp: Gen[Int] = Gen.choose(0, 4)
     (1 to 30).foreach { seed =>
       val dir = java.nio.file.Files.createTempDirectory(s"prop-meta-$seed").toString
-      var meta = TM.empty(dir, schema, Nil, Map.empty) // commit helpers attach ioConf
+      var meta = TM.empty(dir, schema, Nil, tableProps) // commit helpers attach ioConf
       var modelData = Set.empty[String]
       var modelDeletes = Set.empty[String]
       var modelEq = Set.empty[String]
@@ -185,6 +196,13 @@ class PropertySpec extends AnyFunSuite {
         // sequence numbers: every eq-delete file carries its adding snapshot
         assert(meta.currentEqDeleteFiles.forall(_.addedAt > 0),
           s"seed=$seed step=$i eq-delete without a sequence number")
+        // with merging on, the manifest count stays bounded by the threshold
+        tableProps.get("commit.manifest-merge.min-count").map(_.toInt).foreach { mc =>
+          meta.snapshot(meta.currentSnapshotId).flatMap(_.listLocation).foreach { ll =>
+            val n = ManifestIO.readList(ll, conf).size
+            assert(n <= mc + 3, s"seed=$seed step=$i manifest count $n unbounded")
+          }
+        }
         // summaries describe data only (no snapshot yet if the first ops
         // were skipped rewrites on an empty table)
         meta.snapshot(meta.currentSnapshotId).foreach { snap =>
