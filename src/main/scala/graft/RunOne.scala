@@ -15,6 +15,7 @@ object RunOne {
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(name)(spark, sfDir)
     val rows = df.collect()
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) df.explain("formatted")
     println(s"=== $name: ${rows.length} rows ===")
     println(df.schema.fields.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", "))
     rows.take(100).foreach(r => println(r.toString))

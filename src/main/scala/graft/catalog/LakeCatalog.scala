@@ -71,6 +71,11 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
   override def name(): String = catalogName
 
   private def ns(namespace: Array[String]): String = namespace.mkString(".")
+
+  /** Logical upsert key column names (`upsert.keys` property), if any. */
+  private def upsertKeyNames(props: Map[String, String]): Seq[String] =
+    props.get("upsert.keys").toSeq
+      .flatMap(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
   private def display(ident: Identifier): String =
     s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}"
 
@@ -109,11 +114,15 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
       val loc = store.load(ns(ident.namespace()), ident.name())
         .getOrElse(throw new NoSuchTableException(ident))
       val meta = TableMeta.read(loc, hadoopConf)
-      meta.properties.get(s"tag.$version").map(_.toLong).getOrElse(
-        throw new IllegalArgumentException(
-          s"no tag '$version' on ${display(ident)}; tags: " +
-            meta.properties.keys.filter(_.startsWith("tag."))
-              .map(_.stripPrefix("tag.")).toSeq.sorted.mkString(", ")))
+      meta.properties.get(s"tag.$version")
+        .orElse(meta.properties.get(s"branch.$version")).map(_.toLong).getOrElse(
+          throw new IllegalArgumentException(
+            s"no tag or branch '$version' on ${display(ident)}; tags: " +
+              meta.properties.keys.filter(_.startsWith("tag."))
+                .map(_.stripPrefix("tag.")).toSeq.sorted.mkString(", ") +
+              "; branches: " +
+              meta.properties.keys.filter(_.startsWith("branch."))
+                .map(_.stripPrefix("branch.")).toSeq.sorted.mkString(", ")))
     }
     doLoad(ident, Some(snapId))
   }
@@ -286,6 +295,9 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
             "only top-level DROP COLUMN is supported")
           if (pcols.map(PartField.parse).exists(_.source == d.fieldNames()(0)))
             throw new UnsupportedOperationException("cannot drop a partition column")
+          if (upsertKeyNames(props).contains(d.fieldNames()(0)))
+            throw new UnsupportedOperationException(
+              s"cannot drop upsert key column ${d.fieldNames()(0)}")
           schema = StructType(schema.fields.filterNot(_.name == d.fieldNames()(0)))
         case rn: TableChange.RenameColumn =>
           if (rn.fieldNames().length != 1) throw new UnsupportedOperationException(
@@ -303,6 +315,85 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
               ColumnMapping.withPhysical(f, ColumnMapping.physicalName(f)).copy(name = rn.newName())
             else f))
           pcols = pcols.map(c => PartField.parse(c).rename(from, rn.newName()).spec)
+          // upsert keys are stored by LOGICAL name — follow the rename (the
+          // eq-delete files key by the pinned PHYSICAL name, so existing
+          // tombstones stay valid with no rewrite)
+          if (upsertKeyNames(props).contains(from))
+            props += ("upsert.keys" -> upsertKeyNames(props)
+              .map(k => if (k == from) rn.newName() else k).mkString(","))
+
+        case u: TableChange.UpdateColumnType =>
+          if (u.fieldNames().length != 1) throw new UnsupportedOperationException(
+            "only top-level ALTER COLUMN TYPE is supported")
+          val name = u.fieldNames()(0)
+          val f = schema.fields.find(_.name == name).getOrElse(
+            throw new IllegalArgumentException(s"no such column: $name"))
+          if (!Widening.ok(f.dataType, u.newDataType()))
+            throw new UnsupportedOperationException(
+              s"cannot change $name from ${f.dataType.simpleString} to " +
+                s"${u.newDataType().simpleString}: only lossless widenings " +
+                "(tinyint→smallint→int→bigint, float→double, decimal precision " +
+                "growth at the same scale) evolve without rewriting data")
+          // bucket transforms hash the VALUE REPRESENTATION: widening the
+          // source would re-bucket every new row away from existing files
+          if (pcols.map(PartField.parse).exists(p =>
+              p.source == name && p.buckets.isDefined))
+            throw new UnsupportedOperationException(
+              s"cannot change the type of bucket-partition source column $name")
+          if (upsertKeyNames(props).contains(name))
+            throw new UnsupportedOperationException(
+              s"cannot change the type of upsert key column $name " +
+                "(existing equality-delete files key by the old type)")
+          schema = StructType(schema.fields.map(x =>
+            if (x.name == name) x.copy(dataType = u.newDataType()) else x))
+
+        case n: TableChange.UpdateColumnNullability =>
+          if (n.fieldNames().length != 1) throw new UnsupportedOperationException(
+            "only top-level ALTER COLUMN NULL is supported")
+          val name = n.fieldNames()(0)
+          val f = schema.fields.find(_.name == name).getOrElse(
+            throw new IllegalArgumentException(s"no such column: $name"))
+          if (!n.nullable()) {
+            // tightening to NOT NULL is sound only when the metadata PROVES
+            // no existing row is NULL: every current file must carry a zero
+            // null count for the column (exact, writer-recorded)
+            val phys = ColumnMapping.physicalName(f)
+            val unproven = t.meta.currentFiles.exists(df =>
+              !df.nulls.get(phys).contains(0L))
+            if (unproven) throw new IllegalStateException(
+              s"cannot set $name NOT NULL: existing files contain (or cannot " +
+                "prove the absence of) NULLs")
+          }
+          schema = StructType(schema.fields.map(x =>
+            if (x.name == name) x.copy(nullable = n.nullable()) else x))
+
+        case cm: TableChange.UpdateColumnComment =>
+          if (cm.fieldNames().length != 1) throw new UnsupportedOperationException(
+            "only top-level ALTER COLUMN COMMENT is supported")
+          val name = cm.fieldNames()(0)
+          if (!schema.fieldNames.contains(name))
+            throw new IllegalArgumentException(s"no such column: $name")
+          schema = StructType(schema.fields.map(x =>
+            if (x.name == name) x.withComment(cm.newComment()) else x))
+
+        case p: TableChange.UpdateColumnPosition =>
+          if (p.fieldNames().length != 1) throw new UnsupportedOperationException(
+            "only top-level ALTER COLUMN FIRST/AFTER is supported")
+          val name = p.fieldNames()(0)
+          val moving = schema.fields.find(_.name == name).getOrElse(
+            throw new IllegalArgumentException(s"no such column: $name"))
+          // column order is purely logical — data files bind by pinned
+          // physical NAME, so reordering rewrites nothing
+          val rest = schema.fields.filterNot(_.name == name)
+          schema = p.position() match {
+            case _: TableChange.After =>
+              val anchor = p.position().asInstanceOf[TableChange.After].column()
+              val i = rest.indexWhere(_.name == anchor)
+              if (i < 0) throw new IllegalArgumentException(s"no such column: $anchor")
+              StructType((rest.take(i + 1) :+ moving) ++ rest.drop(i + 1))
+            case _ => StructType(moving +: rest) // First
+          }
+
         case c => throw new UnsupportedOperationException(
           s"alterTable change ${c.getClass.getSimpleName} not supported")
       }
@@ -389,5 +480,26 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
       throw new IllegalStateException(s"namespace ${ns(namespace)} is not empty")
     tables.foreach(t => dropTable(Identifier.of(namespace, t)))
     store.dropNamespace(ns(namespace))
+  }
+}
+
+/** Lossless type widenings — schema evolution that changes NO data file.
+  * Existing parquet columns keep their narrower physical type; Spark's
+  * vectorized reader promotes them at read time (tinyint/smallint/int →
+  * bigint, float → double, decimal precision growth at the same scale).
+  * Anything lossy (narrowing, scale changes, string↔numeric) requires a
+  * rewrite and is refused.
+  */
+private[catalog] object Widening {
+  import org.apache.spark.sql.types._
+  def ok(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (a, b) if a == b => true
+    case (ByteType, ShortType | IntegerType | LongType) => true
+    case (ShortType, IntegerType | LongType) => true
+    case (IntegerType, LongType) => true
+    case (FloatType, DoubleType) => true
+    case (a: DecimalType, b: DecimalType) =>
+      b.scale == a.scale && b.precision >= a.precision
+    case _ => false
   }
 }

@@ -277,7 +277,7 @@ object LakeMaintenance {
     // ones the pointer has passed are published-or-abandoned and expire
     // normally (that is the cleanup path for abandoned stages).
     val tagged = t.meta.properties.collect {
-      case (k, v) if k.startsWith("tag.") => v.toLong }.toSet
+      case (k, v) if k.startsWith("tag.") || k.startsWith("branch.") => v.toLong }.toSet
     val pendingStaged = t.meta.snapshots.collect {
       case s if s.operation == "stage-append" && s.snapshotId > t.meta.currentSnapshotId =>
         s.snapshotId
@@ -462,6 +462,8 @@ object LakeMaintenance {
     val id = snapshotId.getOrElse(t.meta.currentSnapshotId)
     require(t.meta.snapshot(id).isDefined, s"no snapshot $id on $table to tag")
     require(!t.meta.properties.contains(s"tag.$tag"), s"tag '$tag' already exists on $table")
+    require(!t.meta.properties.contains(s"branch.$tag"),
+      s"'$tag' is already a branch on $table (refs share one namespace)")
     commitProperties(cat, ident, t, hadoopConf, _ + (s"tag.$tag" -> id.toString))
     id
   }
@@ -471,6 +473,64 @@ object LakeMaintenance {
     val hadoopConf = spark.sessionState.newHadoopConf()
     require(t.meta.properties.contains(s"tag.$tag"), s"no tag '$tag' on $table")
     commitProperties(cat, ident, t, hadoopConf, _ - s"tag.$tag")
+  }
+
+  /** Create a BRANCH: a named, writable ref (Iceberg's branch semantics).
+    * `df.writeTo(t).option("branch", name).append()` advances it without
+    * moving the main pointer; reads follow it via `VERSION AS OF 'name'`
+    * or `spark.read.option("branch", name)`; [[expireSnapshots]] retains
+    * its head; [[fastForward]] promotes it to current. Metadata-only.
+    */
+  def createBranch(spark: SparkSession, table: String, branch: String,
+      snapshotId: Option[Long] = None): Long = {
+    require(branch.nonEmpty && !branch.forall(_.isDigit),
+      s"branch '$branch' must be non-numeric (numeric versions are snapshot ids)")
+    val (cat, ident, t) = resolve(spark, table)
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val id = snapshotId.getOrElse(t.meta.currentSnapshotId)
+    require(t.meta.snapshot(id).isDefined, s"no snapshot $id on $table to branch from")
+    require(!t.meta.properties.contains(s"branch.$branch"),
+      s"branch '$branch' already exists on $table")
+    require(!t.meta.properties.contains(s"tag.$branch"),
+      s"'$branch' is already a tag on $table (refs share one namespace)")
+    commitProperties(cat, ident, t, hadoopConf, _ + (s"branch.$branch" -> id.toString))
+    id
+  }
+
+  def removeBranch(spark: SparkSession, table: String, branch: String): Unit = {
+    val (cat, ident, t) = resolve(spark, table)
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    require(t.meta.properties.contains(s"branch.$branch"), s"no branch '$branch' on $table")
+    commitProperties(cat, ident, t, hadoopConf, _ - s"branch.$branch")
+  }
+
+  /** Fast-forward the MAIN pointer to a branch head — the merge-a-branch
+    * operation (Iceberg's `fast_forward`). Requires the current snapshot to
+    * be an ancestor of the branch head (pure pointer move, no merge commit);
+    * a diverged main must rollback or cherry-pick instead. Returns the new
+    * current snapshot id.
+    */
+  def fastForward(spark: SparkSession, table: String, branch: String): Long = {
+    val (cat, ident, t0) = resolve(spark, table)
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    var result = -1L
+    commitMeta(cat, ident, t0, hadoopConf, m => {
+      val head = m.branchHead(branch).getOrElse(
+        throw new IllegalArgumentException(s"no branch '$branch' on $table"))
+      // walk the parent chain from the branch head back to current
+      var cursor = head
+      var isAncestor = cursor == m.currentSnapshotId
+      while (!isAncestor && cursor > 0) {
+        cursor = m.snapshot(cursor).map(_.parentId).getOrElse(0L)
+        isAncestor = cursor == m.currentSnapshotId
+      }
+      if (!isAncestor) throw new IllegalStateException(
+        s"cannot fast-forward $table to branch '$branch': current snapshot " +
+          s"${m.currentSnapshotId} is not an ancestor of branch head $head")
+      result = head
+      m.copy(currentSnapshotId = head)
+    })
+    result
   }
 
   /** Change the table's partition spec going forward — Iceberg's partition

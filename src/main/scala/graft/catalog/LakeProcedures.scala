@@ -24,7 +24,8 @@ object LakeProcedures {
 
   def names: Seq[String] = Seq("compact", "expire_snapshots", "rollback",
     "create_tag", "remove_tag", "publish", "set_partition_spec", "zorder",
-    "upsert", "rewrite_manifests", "remove_orphan_files")
+    "upsert", "rewrite_manifests", "remove_orphan_files",
+    "create_branch", "remove_branch", "fast_forward")
 
   def load(catalogName: String, ident: Identifier): Option[UnboundProcedure] = {
     if (!ident.namespace().sameElements(Namespace)) return None
@@ -59,6 +60,30 @@ object LakeProcedures {
           val sid = args.getLong(2)
           row(LakeMaintenance.createTag(spark, full(args.getString(0)),
             args.getString(1), if (sid < 0) None else Some(sid)))
+        }))
+      case "create_branch" => Some(proc("create_branch",
+        Seq(in("table", StringType), in("branch", StringType),
+          inDef("snapshot_id", LongType, "-1")),
+        StructType(Seq(StructField("branched_snapshot_id", LongType))),
+        { (spark, args) =>
+          val sid = args.getLong(2)
+          row(LakeMaintenance.createBranch(spark, full(args.getString(0)),
+            args.getString(1), if (sid < 0) None else Some(sid)))
+        }))
+      case "remove_branch" => Some(proc("remove_branch",
+        Seq(in("table", StringType), in("branch", StringType)),
+        StructType(Seq(StructField("removed", BooleanType))),
+        { (spark, args) =>
+          LakeMaintenance.removeBranch(spark, full(args.getString(0)), args.getString(1))
+          row(true)
+        }))
+      // merge-a-branch: move the main pointer to the branch head (pure
+      // fast-forward; a diverged main must rollback or cherry-pick)
+      case "fast_forward" => Some(proc("fast_forward",
+        Seq(in("table", StringType), in("branch", StringType)),
+        StructType(Seq(StructField("current_snapshot_id", LongType))),
+        { (spark, args) =>
+          row(LakeMaintenance.fastForward(spark, full(args.getString(0)), args.getString(1)))
         }))
       case "remove_tag" => Some(proc("remove_tag",
         Seq(in("table", StringType), in("tag", StringType)),

@@ -14,7 +14,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.execution.datasources.DataSourceStrategy
 import org.apache.spark.sql.execution.datasources.parquet.{ParquetFileFormat, ParquetWriteSupport}
@@ -118,7 +119,15 @@ final class LakeTable(
         if (candidates.isEmpty) throw new IllegalArgumentException(
           s"no snapshot of $ident committed at or before $ts ms")
         Some(candidates.maxBy(s => (s.timestampMs, s.snapshotId)))
-      case (None, None) => effectiveSnapshot
+      case (None, None) => Option(options.get("branch")) match {
+        // spark.read.option("branch", "b"): the branch head snapshot
+        case Some(b) =>
+          val head = meta.branchHead(b).getOrElse(throw new IllegalArgumentException(
+            s"no branch '$b' on table $ident"))
+          meta.snapshot(head).orElse(throw new IllegalStateException(
+            s"branch '$b' of $ident points at expired snapshot $head"))
+        case None => effectiveSnapshot
+      }
     }
     val scanFiles = Option(options.get("start-snapshot-id")) match {
       case Some(start) =>
@@ -435,10 +444,28 @@ final class LakeScanBuilder(
     eqDeletes: Seq[DataFileMeta] = Nil,
     eqKeySchema: Option[StructType] = None)
   extends ScanBuilder with SupportsPushDownCatalystFilters
-  with SupportsPushDownRequiredColumns {
+  with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var exprs: Seq[Expression] = Nil
   private var requiredSchema: StructType = tableSchema
+  private var pushedAgg: Option[StatsAggregates.Pushed] = None
+
+  // Metadata-only aggregates are sound only when the scan applies no
+  // tombstones: any positional or equality delete file makes per-file row
+  // counts over-counts. Residual filters can't happen (Spark pushes
+  // aggregates only when no Filter remains above the relation) but are
+  // re-checked for safety.
+  private def aggFromStats(agg: Aggregation): Option[StatsAggregates.Pushed] =
+    if (exprs.nonEmpty || deleteFiles.nonEmpty || eqDeletes.nonEmpty) None
+    else StatsAggregates.compute(agg, tableSchema, files)
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    aggFromStats(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = aggFromStats(agg) match {
+    case some @ Some(_) => pushedAgg = some; true
+    case None => false
+  }
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     exprs = filters
@@ -453,6 +480,10 @@ final class LakeScanBuilder(
   override def pruneColumns(s: StructType): Unit = requiredSchema = s
 
   override def build(): Scan = {
+    pushedAgg match {
+      case Some(p) => return LakeStatsScan(ident, p)
+      case None =>
+    }
     val pf = partitionCols.map(PartField.parse)
     val survivors = files.filter(f => exprs.forall(e =>
       FilePruner.mayMatch(e, f, tableSchema) && BucketPruner.mayMatch(e, f, pf)))
@@ -1136,8 +1167,19 @@ final class LakeWrite(
     else pfields.map(f => Expressions.sort(transformOf(f), SortDirection.ASCENDING)).toArray ++
       orderOf(sortFields)
 
-  override def toBatch: BatchWrite =
-    new LakeBatchWrite(table, info.schema(), overwrite, store, hadoopConf)
+  // df.writeTo(t).option("branch", "b").append(): commit onto a named
+  // branch — the main pointer stays put, `branch.<b>` advances.
+  private def branch: Option[String] = Option(info.options().get("branch"))
+
+  override def toBatch: BatchWrite = {
+    branch.foreach { b =>
+      require(!overwrite, s"overwrite of branch '$b' is not supported — append, " +
+        "then fast_forward/rollback the branch")
+      require(table.meta.branchHead(b).isDefined,
+        s"no branch '$b' on ${table.ident}: CALL lake.system.create_branch first")
+    }
+    new LakeBatchWrite(table, info.schema(), overwrite, store, hadoopConf, branch)
+  }
   override def toStreaming: streaming.StreamingWrite =
     new LakeStreamingWrite(table, info.schema(), info.queryId(), store, hadoopConf,
       upsertKeys)
@@ -1150,7 +1192,8 @@ final class LakeBatchWrite(
     writeSchema: StructType,
     overwrite: Boolean,
     store: PointerStore,
-    hadoopConf: Configuration)
+    hadoopConf: Configuration,
+    branch: Option[String] = None)
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -1173,10 +1216,13 @@ final class LakeBatchWrite(
     var prevLoc = table.metadataLocation
     var attempts = 0
     while (attempts < CasRetry.maxAttempts) {
-      val next =
-        if (overwrite) TableMeta.withOverwrite(base, "overwrite", newFiles, hadoopConf)
-        else TableMeta.withAppend(base, if (stage) "stage-append" else "append",
-          newFiles, hadoopConf, advance = !stage)
+      val next = branch match {
+        case Some(b) => TableMeta.withBranchAppend(base, b, newFiles, hadoopConf)
+        case None =>
+          if (overwrite) TableMeta.withOverwrite(base, "overwrite", newFiles, hadoopConf)
+          else TableMeta.withAppend(base, if (stage) "stage-append" else "append",
+            newFiles, hadoopConf, advance = !stage)
+      }
       val newLoc = TableMeta.write(next, hadoopConf)
       if (store.casUpdate(table.namespace, table.tableName, newLoc, prevLoc) == 1) {
         table.commitSucceeded() // evict catalog cache: readers must see this snapshot
@@ -1534,7 +1580,18 @@ final class LakeDataWriter(
     var i = 0
     while (i < schema.length) {
       if (row.isNullAt(i)) nullsPerCol(i) += 1
-      else {
+      else if (schema.fields(i).dataType == StringType) {
+        // compare in UTF8 BINARY order — Spark's SQL string ordering —
+        // not java.lang.String's UTF-16 code-unit order (they diverge for
+        // supplementary characters vs U+E000..U+FFFF); the stat is stored
+        // as a java String at roll() either way. clone(): the row's
+        // UTF8String is a view into a reused buffer.
+        val u = row.getUTF8String(i)
+        if (mins(i) == null || u.compareTo(mins(i).asInstanceOf[org.apache.spark.unsafe.types.UTF8String]) < 0)
+          mins(i) = u.clone()
+        if (maxs(i) == null || u.compareTo(maxs(i).asInstanceOf[org.apache.spark.unsafe.types.UTF8String]) > 0)
+          maxs(i) = u.clone()
+      } else {
         val v = scalarAt(row, i)
         if (v != null) {
           val cmp = v.asInstanceOf[Comparable[Any]]

@@ -24,7 +24,35 @@ object MetadataTables {
     case "manifests" => Some(manifests(display, meta))
     case "deletes" => Some(deletes(display, meta))
     case "partitions" => Some(partitions(display, meta))
+    case "refs" => Some(refs(display, meta))
     case _ => None
+  }
+
+  /** Named refs (Iceberg's `refs` metadata table): the main pointer, every
+    * tag and every branch, with the summary of the snapshot each points at.
+    */
+  private def refs(display: String, meta: TableMeta): Table = {
+    val schema = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("type", StringType, nullable = false), // "branch" | "tag"
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("committed_at", TimestampType),
+      StructField("n_rows", LongType)))
+    def rowOf(name: String, kind: String, id: Long): Row = {
+      val s = meta.snapshot(id)
+      Row(name, kind, id,
+        s.map(x => new java.sql.Timestamp(x.timestampMs)).orNull,
+        s.map(x => java.lang.Long.valueOf(x.nRows)).orNull)
+    }
+    val main =
+      if (meta.currentSnapshotId < 0) Nil
+      else Seq(rowOf("main", "branch", meta.currentSnapshotId))
+    val named = meta.properties.toSeq.collect {
+      case (k, v) if k.startsWith("tag.") => rowOf(k.stripPrefix("tag."), "tag", v.toLong)
+      case (k, v) if k.startsWith("branch.") =>
+        rowOf(k.stripPrefix("branch."), "branch", v.toLong)
+    }.sortBy(r => (r.getString(1), r.getString(0)))
+    RowsTable(display, schema, main ++ named)
   }
 
   private def snapshots(display: String, meta: TableMeta): Table = {

@@ -179,6 +179,10 @@ final case class TableMeta(
   def currentEqDeleteFiles: Seq[DataFileMeta] =
     snapshot(currentSnapshotId).map(eqDeleteFilesOf).getOrElse(Nil)
 
+  /** Head snapshot id of a named branch (`branch.<name>` property). */
+  def branchHead(name: String): Option[Long] =
+    properties.get(s"branch.$name").map(_.toLong)
+
   /** Physical-named key schema of the upsert keys, if the table has any
     * (`upsert.keys` property, set by the first upsert epoch).
     */
@@ -579,7 +583,8 @@ object TableMeta {
 
   private[catalog] def finish(base: TableMeta, snapId: Long, operation: String,
       ms0: Seq[ManifestMeta], extraProps: Map[String, String],
-      conf: Configuration, advance: Boolean = true): TableMeta = {
+      conf: Configuration, advance: Boolean = true,
+      parentOverride: Option[Long] = None): TableMeta = {
     val ms = maybeMergeManifests(base, snapId, ms0, conf)
     val listLoc =
       if (ms.isEmpty) None
@@ -596,9 +601,30 @@ object TableMeta {
       snapshots = base.snapshots :+ SnapshotMeta(snapId, System.currentTimeMillis(),
         operation, Nil, listLoc,
         data.map(_.nFiles).sum, data.map(_.nRows).sum, data.map(_.nBytes).sum,
-        parentId = base.currentSnapshotId))
+        // branch commits chain from the BRANCH head, not the main pointer
+        parentId = parentOverride.getOrElse(base.currentSnapshotId)))
     next.ioConf = conf
     next
+  }
+
+  /** Append commit onto a BRANCH (Iceberg named-ref semantics): the new
+    * snapshot's file list builds on the branch HEAD (not the main pointer),
+    * its parent is the branch head, the main pointer does not move, and the
+    * `branch.<name>` ref advances — all in the same atomic document swap.
+    */
+  def withBranchAppend(base: TableMeta, branch: String, newFiles: Seq[DataFileMeta],
+      conf: Configuration): TableMeta = {
+    val headId = base.properties.get(s"branch.$branch").map(_.toLong).getOrElse(
+      throw new IllegalArgumentException(s"no branch '$branch' on this table"))
+    val snapId = base.nextSnapshotId
+    val prev = base.snapshot(headId)
+      .map(normalized(base, _, conf)).getOrElse(Nil)
+    val ms =
+      if (newFiles.isEmpty) prev
+      else prev :+ ManifestIO.write(base.location, snapId, newFiles, conf)
+    finish(base, snapId, "branch-append", ms,
+      Map(s"branch.$branch" -> snapId.toString), conf,
+      advance = false, parentOverride = Some(headId))
   }
 
   /** Write a new immutable metadata document; returns its location. Name

@@ -195,5 +195,46 @@ object CatalogQueries {
           |  CAST(sum(k) AS BIGINT) AS ksum,
           |  CAST(sum(CAST(amt AS DECIMAL(18,6))) AS DOUBLE) AS total
           |FROM lake.verify.mrg_rt GROUP BY vp ORDER BY vp""".stripMargin)
+    },
+
+    QueryDef.df(
+      "q65_stats_agg_pushdown",
+      // Oracle = the same global aggregates computed by DuckDB from the raw
+      // rows. The engine answers them from manifest stats alone (metadata-
+      // only aggregate pushdown — the plan is a LocalTableScan, zero data
+      // files opened; AggPushdownSpec asserts the plan shape), so a hash
+      // match proves the writer's per-file row/null/min/max stats are
+      // EXACT, across bigint/double/string/timestamp and a NULL-bearing
+      // column, over multiple commits.
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(CASE WHEN l_orderkey % 3 = 0 THEN NULL ELSE l_returnflag END) AS BIGINT) AS n_rf,
+        |  CAST(min(l_orderkey) AS BIGINT) AS min_ok, CAST(max(l_orderkey) AS BIGINT) AS max_ok,
+        |  min(l_shipdate) AS min_sd, max(l_shipdate) AS max_sd,
+        |  min(l_returnflag) AS min_rf, max(l_returnflag) AS max_rf,
+        |  CAST(min(l_extendedprice) AS DOUBLE) AS min_ep,
+        |  CAST(max(l_extendedprice) AS DOUBLE) AS max_ep
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS lake.verify")
+      s.sql("DROP TABLE IF EXISTS lake.verify.li_statsagg")
+      s.sql(
+        """CREATE TABLE lake.verify.li_statsagg AS
+          |SELECT l_orderkey, l_shipdate, l_returnflag, l_extendedprice,
+          |  CASE WHEN l_orderkey % 3 = 0 THEN NULL ELSE l_returnflag END AS rf_n
+          |FROM lineitem WHERE l_orderkey % 2 = 0""".stripMargin)
+      // second commit: the metadata fold spans several manifests
+      s.sql(
+        """INSERT INTO lake.verify.li_statsagg
+          |SELECT l_orderkey, l_shipdate, l_returnflag, l_extendedprice,
+          |  CASE WHEN l_orderkey % 3 = 0 THEN NULL ELSE l_returnflag END
+          |FROM lineitem WHERE l_orderkey % 2 = 1""".stripMargin)
+      s.sql(
+        """SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(rf_n) AS BIGINT) AS n_rf,
+          |  CAST(min(l_orderkey) AS BIGINT) AS min_ok, CAST(max(l_orderkey) AS BIGINT) AS max_ok,
+          |  min(l_shipdate) AS min_sd, max(l_shipdate) AS max_sd,
+          |  min(l_returnflag) AS min_rf, max(l_returnflag) AS max_rf,
+          |  CAST(min(l_extendedprice) AS DOUBLE) AS min_ep,
+          |  CAST(max(l_extendedprice) AS DOUBLE) AS max_ep
+          |FROM lake.verify.li_statsagg""".stripMargin)
     })
 }

@@ -1,0 +1,131 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog._
+
+/** Metadata-only aggregate pushdown ([[StatsAggregates]]): global
+  * count/min/max answered from manifest stats with ZERO file reads — the
+  * plan collapses to a LocalTableScan. Each test checks BOTH the plan shape
+  * (pushed vs fell back) and that values are identical to computing the
+  * same aggregate the ordinary way at a different table state.
+  */
+class AggPushdownSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def uniq(p: String) = s"$p${System.nanoTime() % 1000000}"
+
+  private def planOf(sql: String): String =
+    spark.sql(sql).queryExecution.executedPlan.toString
+
+  private def isMetadataOnly(sql: String): Boolean = {
+    val p = planOf(sql)
+    p.contains("LocalTableScan") && !p.contains("BatchScan")
+  }
+
+  test("count(*)/count(c)/min/max across types answered from metadata, exactly") {
+    val t = s"lake.aggpd.${uniq("basic")}"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS lake.aggpd")
+    spark.sql(
+      s"""CREATE TABLE $t AS
+         |SELECT id AS k,
+         |  CAST(id % 7 AS INT) AS i,
+         |  CAST(id * 1000 AS BIGINT) AS l,
+         |  CAST(id AS DOUBLE) / 3.0 AS d,
+         |  concat('s', lpad(CAST(id AS STRING), 5, '0')) AS s,
+         |  CASE WHEN id % 3 = 0 THEN NULL ELSE CAST(id AS DECIMAL(12,2)) END AS dec,
+         |  DATE_ADD(DATE'2024-01-01', CAST(id % 300 AS INT)) AS dt
+         |FROM range(0, 5000)""".stripMargin)
+    // several commits → several files, so the fold spans manifests
+    spark.sql(s"INSERT INTO $t SELECT id, CAST(id % 7 AS INT), id * 1000, CAST(id AS DOUBLE) / 3.0, " +
+      "concat('s', lpad(CAST(id AS STRING), 5, '0')), " +
+      "CASE WHEN id % 3 = 0 THEN NULL ELSE CAST(id AS DECIMAL(12,2)) END, " +
+      "DATE_ADD(DATE'2024-01-01', CAST(id % 300 AS INT)) FROM range(5000, 9000)")
+
+    val q = s"SELECT CAST(count(*) AS BIGINT) AS n, count(dec) AS nd, " +
+      s"min(k) AS mk, max(k) AS xk, min(d) AS md, max(d) AS xd, " +
+      s"min(s) AS ms, max(s) AS xs, min(dec) AS mdec, max(dec) AS xdec, " +
+      s"min(dt) AS mdt, max(dt) AS xdt FROM $t"
+    assert(isMetadataOnly(q), s"expected LocalTableScan plan, got:\n${planOf(q)}")
+
+    val r = spark.sql(q).collect()(0)
+    assert(r.getLong(0) == 9000L)
+    assert(r.getLong(1) == 6000L) // every 3rd dec is NULL
+    assert(r.getLong(2) == 0L && r.getLong(3) == 8999L)
+    assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 8999.0 / 3.0)
+    assert(r.getString(6) == "s00000" && r.getString(7) == "s08999")
+    assert(r.getDecimal(8).compareTo(new java.math.BigDecimal("1.00")) == 0)
+    assert(r.getDecimal(9).compareTo(new java.math.BigDecimal("8999.00")) == 0)
+    assert(r.getDate(10).toString == "2024-01-01" && r.getDate(11).toString == "2024-10-26")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("empty table and all-NULL column: count 0 / NULL min-max, still metadata-only") {
+    val t = s"lake.aggpd.${uniq("edge")}"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS lake.aggpd")
+    spark.sql(s"CREATE TABLE $t (k INT, v STRING)")
+    val q0 = s"SELECT count(*) AS n, min(k) AS mk, max(v) AS xv FROM $t"
+    assert(isMetadataOnly(q0), s"empty table should push:\n${planOf(q0)}")
+    val r0 = spark.sql(q0).collect()(0)
+    assert(r0.getLong(0) == 0L && r0.isNullAt(1) && r0.isNullAt(2))
+
+    spark.sql(s"INSERT INTO $t SELECT CAST(id AS INT), CAST(NULL AS STRING) FROM range(0, 100)")
+    val q1 = s"SELECT count(*) AS n, count(v) AS nv, min(v) AS mv, max(k) AS xk FROM $t"
+    assert(isMetadataOnly(q1), s"all-null column should push:\n${planOf(q1)}")
+    val r1 = spark.sql(q1).collect()(0)
+    assert(r1.getLong(0) == 100L && r1.getLong(1) == 0L && r1.isNullAt(2) && r1.getInt(3) == 99)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("falls back to a real scan when filters, group-by, other aggs, or deletes") {
+    val t = s"lake.aggpd.${uniq("fall")}"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS lake.aggpd")
+    spark.sql(s"CREATE TABLE $t TBLPROPERTIES ('write.delete.mode'='merge-on-read') " +
+      s"AS SELECT id AS k, CAST(id % 10 AS INT) AS g FROM range(0, 1000)")
+
+    // sum / avg: not provable from stats
+    assert(!isMetadataOnly(s"SELECT sum(k) AS s FROM $t"))
+    // WHERE: residual filter → no pushdown
+    assert(!isMetadataOnly(s"SELECT count(*) AS n FROM $t WHERE k > 10"))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t WHERE k > 10").collect()(0).getLong(0) == 989L)
+    // GROUP BY: refused
+    assert(!isMetadataOnly(s"SELECT g, count(*) AS n FROM $t GROUP BY g"))
+
+    // a positional tombstone makes file stats over-counts → must fall back
+    spark.sql(s"DELETE FROM $t WHERE k % 100 = 7")
+    val q = s"SELECT count(*) AS n, max(k) AS xk FROM $t"
+    assert(!isMetadataOnly(q), s"deletes present: must not push:\n${planOf(q)}")
+    val r = spark.sql(q).collect()(0)
+    assert(r.getLong(0) == 990L && r.getLong(1) == 999L)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("upserted table (equality deletes) falls back and stays correct") {
+    val t = s"lake.aggpd.${uniq("ups")}"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS lake.aggpd")
+    spark.sql(s"CREATE TABLE $t AS SELECT id AS k, CAST(id AS STRING) AS v FROM range(0, 500)")
+    spark.sql(s"SELECT id AS k, concat('u', id) AS v FROM range(450, 600)")
+      .createOrReplaceTempView("aggpd_ups_src")
+    spark.sql(s"CALL lake.system.upsert('${t.stripPrefix("lake.")}', 'aggpd_ups_src', 'k')")
+
+    val q = s"SELECT count(*) AS n, max(k) AS xk FROM $t"
+    assert(!isMetadataOnly(q), s"eq-deletes present: must not push:\n${planOf(q)}")
+    val r = spark.sql(q).collect()(0)
+    assert(r.getLong(0) == 600L && r.getLong(1) == 599L)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("time travel pushes from the pinned snapshot's stats") {
+    val t = s"lake.aggpd.${uniq("tt")}"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS lake.aggpd")
+    spark.sql(s"CREATE TABLE $t AS SELECT id AS k FROM range(0, 100)")
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(100, 250)")
+    val q1 = s"SELECT count(*) AS n, max(k) AS xk FROM $t VERSION AS OF 1"
+    assert(isMetadataOnly(q1), s"time travel should push:\n${planOf(q1)}")
+    val r1 = spark.sql(q1).collect()(0)
+    assert(r1.getLong(0) == 100L && r1.getLong(1) == 99L)
+    val r2 = spark.sql(s"SELECT count(*) AS n, max(k) AS xk FROM $t").collect()(0)
+    assert(r2.getLong(0) == 250L && r2.getLong(1) == 249L)
+    spark.sql(s"DROP TABLE $t")
+  }
+}

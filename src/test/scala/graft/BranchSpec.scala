@@ -1,0 +1,113 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Branches: named writable refs (round 6). A branch write advances
+  * `branch.<name>` through the same CAS pointer swap as every commit while
+  * the main pointer stays put; reads follow the branch by name; expiration
+  * keeps branch heads alive; fast_forward merges an un-diverged branch.
+  */
+class BranchSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def uniq(p: String) = s"$p${System.nanoTime() % 1000000}"
+
+  test("branch write isolates from main; branch reads see it; fast_forward merges") {
+    val t = s"lake.br.${uniq("wi")}"
+    val short = t.stripPrefix("lake.")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.br")
+    spark.sql(s"CREATE TABLE $t AS SELECT id AS k, CAST(id AS STRING) AS v FROM range(0, 100)")
+    spark.sql(s"CALL lake.system.create_branch('$short', 'audit')")
+
+    // write TO the branch
+    spark.sql("SELECT id AS k, concat('b', id) AS v FROM range(100, 150)")
+      .toDF("k", "v").writeTo(t).option("branch", "audit").append()
+
+    // main unchanged; branch sees 150 via option AND via VERSION AS OF
+    assert(spark.table(t).count() == 100)
+    assert(spark.read.option("branch", "audit").table(t).count() == 150)
+    val br = spark.sql(s"SELECT count(*) AS n FROM $t VERSION AS OF 'audit'").collect()(0)
+    assert(br.getLong(0) == 150)
+
+    // second branch write chains on the branch head
+    spark.sql("SELECT id AS k, concat('c', id) AS v FROM range(150, 160)")
+      .toDF("k", "v").writeTo(t).option("branch", "audit").append()
+    assert(spark.read.option("branch", "audit").table(t).count() == 160)
+    assert(spark.table(t).count() == 100)
+
+    // fast_forward: main jumps to the branch head
+    spark.sql(s"CALL lake.system.fast_forward('$short', 'audit')")
+    assert(spark.table(t).count() == 160)
+    assert(spark.table(t).where("v LIKE 'c%'").count() == 10)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("fast_forward refuses a diverged main; branch survives expiration") {
+    val t = s"lake.br.${uniq("dv")}"
+    val short = t.stripPrefix("lake.")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.br")
+    spark.sql(s"CREATE TABLE $t AS SELECT id AS k FROM range(0, 10)")
+    spark.sql(s"CALL lake.system.create_branch('$short', 'side')")
+    spark.sql("SELECT id AS k FROM range(10, 20)")
+      .toDF("k").writeTo(t).option("branch", "side").append()
+    // main diverges
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(100, 105)")
+    val e = intercept[Exception] {
+      spark.sql(s"CALL lake.system.fast_forward('$short', 'side')")
+    }
+    assert(e.getMessage.contains("not an ancestor"))
+
+    // expiration keeps the branch head readable
+    spark.sql(s"CALL lake.system.expire_snapshots('$short', 1)")
+    assert(spark.read.option("branch", "side").table(t).count() == 20)
+    assert(spark.table(t).count() == 15)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("$refs lists main, tags and branches; remove_branch deletes the ref only") {
+    val t = s"lake.br.${uniq("refs")}"
+    val short = t.stripPrefix("lake.")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.br")
+    spark.sql(s"CREATE TABLE $t AS SELECT id FROM range(0, 5)")
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(5, 9)")
+    spark.sql(s"CALL lake.system.create_tag('$short', 'v1', 1)")
+    spark.sql(s"CALL lake.system.create_branch('$short', 'dev')")
+
+    val name = t.split('.').last
+    val refs = spark.sql(s"SELECT * FROM lake.br.`$name$$refs`").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(refs.contains(("main", "branch", 2L)))
+    assert(refs.contains(("v1", "tag", 1L)))
+    assert(refs.contains(("dev", "branch", 2L)))
+
+    // ref-name namespace is shared: a tag can't shadow a branch or vice versa
+    intercept[Exception] { spark.sql(s"CALL lake.system.create_tag('$short', 'dev')") }
+    intercept[Exception] { spark.sql(s"CALL lake.system.create_branch('$short', 'v1')") }
+
+    spark.sql(s"CALL lake.system.remove_branch('$short', 'dev')")
+    assert(!spark.sql(s"SELECT * FROM lake.br.`$name$$refs`").collect()
+      .exists(_.getString(0) == "dev"))
+    // table data untouched
+    assert(spark.table(t).count() == 9)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("branch append rebases over a concurrent main commit (CAS retry keeps both)") {
+    val t = s"lake.br.${uniq("race")}"
+    val short = t.stripPrefix("lake.")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.br")
+    spark.sql(s"CREATE TABLE $t AS SELECT id AS k FROM range(0, 10)")
+    spark.sql(s"CALL lake.system.create_branch('$short', 'b1')")
+    // interleave: branch write, main write, branch write
+    spark.sql("SELECT id AS k FROM range(10, 20)").toDF("k")
+      .writeTo(t).option("branch", "b1").append()
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(1000, 1005)")
+    spark.sql("SELECT id AS k FROM range(20, 30)").toDF("k")
+      .writeTo(t).option("branch", "b1").append()
+    // branch lineage: base 10 + two branch appends (main's insert not included)
+    assert(spark.read.option("branch", "b1").table(t).count() == 30)
+    // main lineage: base 10 + its insert
+    assert(spark.table(t).count() == 15)
+    spark.sql(s"DROP TABLE $t")
+  }
+}

@@ -76,7 +76,8 @@ class GoldenSpec extends AnyFunSuite {
     "q61_pii_scrub" -> 20L,
     "q62_corpus_profile" -> 5L,
     "q63_upsert_roundtrip" -> 15L,
-    "q64_merge_equality" -> 8L)
+    "q64_merge_equality" -> 8L,
+    "q65_stats_agg_pushdown" -> 1L)
 
   test("every registered query has a golden count (add one when adding a query)") {
     assert(SparkEntry.queries.keySet == golden.keySet,

@@ -48,7 +48,8 @@ class QueriesSpec extends AnyFunSuite {
     // LIMIT/windows nondeterministic — catch it at review time. Single-row
     // global aggregates are exempt (one row is trivially ordered).
     val singleRowAggregates = Set("q06_revenue_delta", "q13_promo_share",
-      "q17_small_qty_revenue", "q19_disjunctive", "q43_event_dedup")
+      "q17_small_qty_revenue", "q19_disjunctive", "q43_event_dedup",
+      "q65_stats_agg_pushdown")
     val missing = SparkEntry.oracleSql.collect {
       case (name, sql) if !sql.toUpperCase.contains("ORDER BY")
         && !singleRowAggregates.contains(name) => name
