@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{CosineSim, DecodeImage, ExplodeHammingPairs, ExplodeNgrams, ExplodePairs, MinHashSignature, SampleFrames, SigMatchCount, SimHash, SrpBands, WinnowFingerprints, WordNgrams}
+import graft.functions.{CosineSim, DecodeImage, ExplodeHammingPairs, ExplodeNgrams, ExplodePairs, MinHashSignature, SampleFrames, SigMatchCount, SimHash, SortedIntersectSize, SrpBands, WinnowFingerprints, WordNgrams}
 
 /** Session extensions registering the engine's custom codegen expressions
   * as SQL functions — the Spark-idiomatic extension point
@@ -155,6 +155,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => children match {
         case Seq(a, b) => CosineSim(a, b)
         case other => throw new IllegalArgumentException(s"cosine_sim(a, b): bad args $other")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_size"),
+      info("sorted_intersect_size",
+        "sorted_intersect_size(a, b) - |A ∩ B| of two SORTED array<string> by linear merge (codegen twin of size(array_intersect))"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => SortedIntersectSize(a, b)
+        case other => throw new IllegalArgumentException(s"sorted_intersect_size(a, b): bad args $other")
       }))
   }
 }

@@ -25,7 +25,37 @@ object MetadataTables {
     case "deletes" => Some(deletes(display, meta))
     case "partitions" => Some(partitions(display, meta))
     case "refs" => Some(refs(display, meta))
+    case "history" => Some(history(display, meta))
     case _ => None
+  }
+
+  /** Snapshot lineage (Iceberg's `history` table shape): every snapshot
+    * with its parent and whether it is an ancestor of the CURRENT pointer —
+    * i.e. whether time travel to it reads a state the current table
+    * lineage ever contained (branch/staged/abandoned snapshots show false).
+    */
+  private def history(display: String, meta: TableMeta): Table = {
+    val schema = StructType(Seq(
+      StructField("committed_at", TimestampType, nullable = false),
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("parent_id", LongType, nullable = false),
+      StructField("operation", StringType, nullable = false),
+      StructField("is_current_ancestor", BooleanType, nullable = false)))
+    val ancestors = {
+      val b = Set.newBuilder[Long]
+      var cursor = meta.currentSnapshotId
+      var guard = meta.snapshots.size + 1
+      while (cursor > 0 && guard > 0) {
+        b += cursor
+        cursor = meta.snapshot(cursor).map(_.parentId).getOrElse(0L)
+        guard -= 1
+      }
+      b.result()
+    }
+    val rows = meta.snapshots.sortBy(_.snapshotId).map(s => Row(
+      new java.sql.Timestamp(s.timestampMs), s.snapshotId, s.parentId,
+      s.operation, ancestors.contains(s.snapshotId)))
+    RowsTable(display, schema, rows)
   }
 
   /** Named refs (Iceberg's `refs` metadata table): the main pointer, every

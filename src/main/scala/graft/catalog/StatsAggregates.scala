@@ -17,11 +17,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * collapses to a `LocalTableScan` of one precomputed row (same approach as
   * Apache Iceberg's Spark aggregate pushdown).
   *
+  * GROUP BY pushes too when every grouped column is single-valued per
+  * file — true by construction for identity partition columns (the writer
+  * rolls files on every partition-value change), so per-partition
+  * count/min/max roll-ups are also metadata reads.
+  *
   * Pushdown is refused — Spark then runs the ordinary scan-and-aggregate
   * plan, so refusal is always safe — unless EVERY aggregate is provable
   * from stats:
-  *   - no residual filters, no GROUP BY (Spark only attempts pushdown for
-  *     filterless aggregates, but we re-check),
+  *   - no residual filters (Spark only attempts pushdown for filterless
+  *     aggregates, but we re-check),
   *   - no positional or equality delete files in the scanned snapshot
   *     (tombstoned rows would make file stats over-count),
   *   - count(c): every live file carries a null count for `c`,
@@ -34,42 +39,96 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object StatsAggregates {
 
-  /** The aggregate output: schema Spark expects from the scan (one field
-    * per aggregate expression, complete pushdown, global aggregation) and
-    * the single result row.
+  /** The aggregate output: the schema Spark expects from the scan
+    * (GROUP BY columns first, then one field per aggregate expression —
+    * complete pushdown) and the result rows (exactly one for a global
+    * aggregation, one per group otherwise).
     */
-  final case class Pushed(schema: StructType, row: InternalRow)
+  final case class Pushed(schema: StructType, rows: Seq[InternalRow])
 
   def compute(agg: Aggregation, tableSchema: StructType,
       files: Seq[DataFileMeta]): Option[Pushed] = {
-    if (agg.groupByExpressions.nonEmpty) return None
-    val cols = agg.aggregateExpressions.toSeq.map {
-      case _: CountStar =>
-        Some(("count(*)", LongType: DataType, false,
-          java.lang.Long.valueOf(files.map(_.rowCount).sum): Any))
-      case c: Count if !c.isDistinct =>
-        for {
-          f <- fieldOf(c.column, tableSchema)
-          nonNull <- countNonNull(f.name, files)
-        } yield (s"count(${f.name})", LongType: DataType, false,
-          java.lang.Long.valueOf(nonNull): Any)
-      case m: Min =>
-        for {
-          f <- fieldOf(m.column, tableSchema)
-          v <- minMax(f, files, wantMin = true)
-        } yield (s"min(${f.name})", f.dataType, true, v.orNull: Any)
-      case m: Max =>
-        for {
-          f <- fieldOf(m.column, tableSchema)
-          v <- minMax(f, files, wantMin = false)
-        } yield (s"max(${f.name})", f.dataType, true, v.orNull: Any)
-      case _ => None // sum/avg/distinct/UDAF: not provable from stats
+    // GROUP BY pushes when every grouped column is SINGLE-VALUED per file
+    // (min == max with zero nulls, or all-null). Identity-partitioned
+    // writes roll to a new file on every partition-value change, so
+    // grouping by a partition column always qualifies — `SELECT dt,
+    // count(*) FROM t GROUP BY dt` on a 100 TB table is a metadata read.
+    // A file that mixes values (e.g. written before a partition-spec
+    // change) makes the whole pushdown refuse — correct, just not cheap.
+    val groupFields = agg.groupByExpressions.toSeq.map(fieldOf(_, tableSchema))
+    if (groupFields.exists(_.isEmpty)) return None
+    val gfs = groupFields.map(_.get)
+
+    val grouped: Seq[(Seq[Any], Seq[DataFileMeta])] =
+      if (gfs.isEmpty) Seq((Nil, files))
+      else {
+        val keyed = files.map { f =>
+          val key = gfs.map(gf => singleValue(f, gf))
+          if (key.exists(_.isEmpty)) return None // not single-valued: refuse
+          (key.map(_.get.orNull), f)
+        }
+        // group by the DECODED values; UTF8String/Decimal/boxed primitives
+        // all have value equality, so this matches SQL group semantics
+        keyed.groupBy(_._1).map { case (k, fs) => (k, fs.map(_._2)) }.toSeq
+      }
+
+    // resolve each aggregate once; evaluate per group
+    type AggEval = Seq[DataFileMeta] => Option[Any]
+    val aggCols: Seq[Option[(String, DataType, Boolean, AggEval)]] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          Some(("count(*)", LongType: DataType, false,
+            ((fs: Seq[DataFileMeta]) =>
+              Some(java.lang.Long.valueOf(fs.map(_.rowCount).sum): Any)): AggEval))
+        case c: Count if !c.isDistinct =>
+          fieldOf(c.column, tableSchema).map { f =>
+            (s"count(${f.name})", LongType: DataType, false,
+              ((fs: Seq[DataFileMeta]) =>
+                countNonNull(f.name, fs).map(java.lang.Long.valueOf(_): Any)): AggEval)
+          }
+        case m: Min =>
+          fieldOf(m.column, tableSchema).map { f =>
+            (s"min(${f.name})", f.dataType, true,
+              ((fs: Seq[DataFileMeta]) =>
+                minMax(f, fs, wantMin = true).map(_.orNull: Any)): AggEval)
+          }
+        case m: Max =>
+          fieldOf(m.column, tableSchema).map { f =>
+            (s"max(${f.name})", f.dataType, true,
+              ((fs: Seq[DataFileMeta]) =>
+                minMax(f, fs, wantMin = false).map(_.orNull: Any)): AggEval)
+          }
+        case _ => None // sum/avg/distinct/UDAF: not provable from stats
+      }
+    if (aggCols.exists(_.isEmpty)) return None
+    val resolved = aggCols.map(_.get)
+
+    val schema = StructType(
+      gfs.map(gf => StructField(gf.name, gf.dataType, gf.nullable)) ++
+        resolved.map { case (n, dt, nullable, _) => StructField(n, dt, nullable) })
+    val rows = grouped.map { case (key, fs) =>
+      val aggVals = resolved.map { case (_, _, _, eval) => eval(fs) }
+      if (aggVals.exists(_.isEmpty)) return None // stats gap in this group
+      new GenericInternalRow((key ++ aggVals.map(_.get)).toArray): InternalRow
     }
-    if (cols.exists(_.isEmpty)) return None
-    val resolved = cols.map(_.get)
-    val schema = StructType(resolved.map { case (n, dt, nullable, _) =>
-      StructField(n, dt, nullable) })
-    Some(Pushed(schema, new GenericInternalRow(resolved.map(_._4).toArray)))
+    Some(Pushed(schema, rows))
+  }
+
+  /** The file's single value for `field`: `Some(Some(v))` when the whole
+    * file provably holds exactly `v` (min == max, zero nulls),
+    * `Some(None)` when provably all-NULL, `None` when mixed/unknown.
+    */
+  private def singleValue(f: DataFileMeta, field: StructField): Option[Option[Any]] = {
+    // float/double group keys: SQL grouping normalizes -0.0 == 0.0 but
+    // boxed equality does not — refuse rather than risk a split group
+    if (field.dataType == DoubleType || field.dataType == FloatType) return None
+    val nulls = f.nulls.get(field.name)
+    if (nulls.contains(f.rowCount)) return Some(None)
+    if (!nulls.contains(0L)) return None // some nulls alongside values: two groups
+    (f.minValues.get(field.name), f.maxValues.get(field.name)) match {
+      case (Some(mn), Some(mx)) if mn == mx => decode(field.dataType, mn).map(Some(_))
+      case _ => None
+    }
   }
 
   /** Resolve a pushed column reference to a TOP-LEVEL schema field. */
@@ -139,14 +198,14 @@ object StatsAggregates {
   } catch { case _: NumberFormatException => None }
 }
 
-/** The scan produced when an aggregation was pushed: one precomputed row,
+/** The scan produced when an aggregation was pushed: precomputed rows,
   * planned by Spark as a driver-local `LocalTableScanExec` — no tasks, no
   * file IO.
   */
 final case class LakeStatsScan(ident: String, pushed: StatsAggregates.Pushed)
   extends LocalScan {
   override def readSchema(): StructType = pushed.schema
-  override def rows(): Array[InternalRow] = Array(pushed.row)
+  override def rows(): Array[InternalRow] = pushed.rows.toArray
   override def description(): String =
     s"$ident metadata-only aggregate ${pushed.schema.fieldNames.mkString(", ")}"
 }

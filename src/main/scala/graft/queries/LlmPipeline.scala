@@ -37,14 +37,23 @@ object LlmPipeline {
     */
   private def shingles3(c: Column): Column = {
     val w = words(c)
-    array_distinct(
+    // SORTED distinct shingles: the exact-Jaccard verify intersects by
+    // linear merge over the sort order (sorted_intersect_size); sorting
+    // once per DOC here is amortized over every candidate PAIR there
+    array_sort(array_distinct(
       when(size(w) >= 3, graft.functions.TextHashing.wordNgrams(w, 3))
-        .otherwise(array(lower(c))))
+        .otherwise(array(lower(c)))))
   }
 
-  /** Exact set-Jaccard between two pre-distinct string arrays. */
+  /** Exact set-Jaccard between two pre-distinct SORTED string arrays.
+    * `sorted_intersect_size` is a zero-allocation codegen merge;
+    * `size(array_intersect(..))` (CodegenFallback, per-row hash set) made
+    * the verify stage the dominant cost of the whole dedup suite — and as
+    * an interpreted projection it also dodged codegen subexpression
+    * elimination, so the intersection ran TWICE per candidate pair.
+    */
   private def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
+    val inter = graft.functions.TextHashing.sortedIntersectSize(a, b).cast("double")
     inter / (size(a) + size(b) - inter)
   }
 

@@ -77,6 +77,31 @@ class AggPushdownSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("GROUP BY a partition column: per-partition roll-up from metadata only") {
+    val t = s"lake.aggpd.${uniq("grp")}"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS lake.aggpd")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, g INT, v DOUBLE) PARTITIONED BY (g)")
+    spark.sql(s"INSERT INTO $t SELECT id, CAST(id % 5 AS INT), CAST(id AS DOUBLE) FROM range(0, 1000)")
+    spark.sql(s"INSERT INTO $t SELECT id, CAST(id % 5 AS INT), CAST(id AS DOUBLE) FROM range(1000, 1500)")
+
+    val q = s"SELECT g, count(*) AS n, min(k) AS mk, max(v) AS xv FROM $t GROUP BY g"
+    assert(isMetadataOnly(q), s"partition-column GROUP BY should push:\n${planOf(q)}")
+    val rows = spark.sql(q).collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    assert(rows.length == 5)
+    rows.foreach { case (g, n, mk, xv) =>
+      assert(n == 300L, s"group $g count")
+      assert(mk == g.toLong, s"group $g min k")
+      assert(xv == (1495 + g).toDouble, s"group $g max v")
+    }
+
+    // grouping by a NON-single-valued column must fall back (and stay right)
+    val qk = s"SELECT CAST(k % 2 AS INT) AS p, count(*) AS n FROM $t GROUP BY CAST(k % 2 AS INT)"
+    assert(!isMetadataOnly(qk))
+    assert(spark.sql(qk).collect().map(_.getLong(1)).sum == 1500L)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("falls back to a real scan when filters, group-by, other aggs, or deletes") {
     val t = s"lake.aggpd.${uniq("fall")}"
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS lake.aggpd")

@@ -92,6 +92,31 @@ class BranchSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("$history marks current-pointer ancestry; branch commits show false until merged") {
+    val t = s"lake.br.${uniq("hist")}"
+    val short = t.stripPrefix("lake.")
+    val name = t.split('.').last
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.br")
+    spark.sql(s"CREATE TABLE $t AS SELECT id FROM range(0, 5)") // snap 1
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(5, 9)") // snap 2
+    spark.sql(s"CALL lake.system.create_branch('$short', 'h')")
+    spark.sql("SELECT id FROM range(9, 12)").toDF("id")
+      .writeTo(t).option("branch", "h").append() // snap 3, off-main
+
+    def hist(): Map[Long, (Long, Boolean)] =
+      spark.sql(s"SELECT * FROM lake.br.`$name$$history` ORDER BY snapshot_id").collect()
+        .map(r => r.getLong(1) -> (r.getLong(2), r.getBoolean(4))).toMap
+    val h1 = hist()
+    assert(h1(1L)._2 && h1(2L)._2, "main lineage is current-ancestor")
+    assert(!h1(3L)._2, "unmerged branch commit is not")
+    assert(h1(3L)._1 == 2L, "branch commit chains from the branch head")
+
+    spark.sql(s"CALL lake.system.fast_forward('$short', 'h')")
+    val h2 = hist()
+    assert(h2(3L)._2, "after fast_forward the branch commit joins the lineage")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("branch append rebases over a concurrent main commit (CAS retry keeps both)") {
     val t = s"lake.br.${uniq("race")}"
     val short = t.stripPrefix("lake.")

@@ -145,13 +145,14 @@ class PropertySpec extends AnyFunSuite {
       DataFileMeta(f"/w/eq-$eqNo%05d.parquet", 5L, 50L,
         Map("k" -> "1"), Map("k" -> "9"))
     }
-    val genOp: Gen[Int] = Gen.choose(0, 4)
+    val genOp: Gen[Int] = Gen.choose(0, 5)
     (1 to 30).foreach { seed =>
       val dir = java.nio.file.Files.createTempDirectory(s"prop-meta-$seed").toString
       var meta = TM.empty(dir, schema, Nil, tableProps) // commit helpers attach ioConf
       var modelData = Set.empty[String]
       var modelDeletes = Set.empty[String]
       var modelEq = Set.empty[String]
+      var modelBranch: Option[Set[String]] = None // file set at the head of branch "b"
       val nOps = 12
       (1 to nOps).foreach { i =>
         val op = genOp.pureApply(Gen.Parameters.default, Seed((seed * 1000 + i).toLong))
@@ -182,6 +183,17 @@ class PropertySpec extends AnyFunSuite {
             meta = TM.withDelta(meta, "upsert", Seq(d), Seq(e), conf,
               deleteContent = "eq-deletes", extraProps = Map("upsert.keys" -> "k"))
             modelData += d.path; modelEq += e.path
+          case 5 if meta.currentSnapshotId > 0 => // branch: create once, then append
+            modelBranch match {
+              case None => // create the branch at the current snapshot
+                meta = meta.copy(properties =
+                  meta.properties + ("branch.b" -> meta.currentSnapshotId.toString))
+                modelBranch = Some(modelData)
+              case Some(bd) => // branch append: ref advances, main untouched
+                val f = mkFile(false)
+                meta = TM.withBranchAppend(meta, "b", Seq(f), conf)
+                modelBranch = Some(bd + f.path)
+            }
           case _ => ()
         }
         // full durability round-trip every step
@@ -193,6 +205,16 @@ class PropertySpec extends AnyFunSuite {
           s"seed=$seed step=$i op=$op delete files diverge")
         assert(meta.currentEqDeleteFiles.map(_.path).toSet == modelEq,
           s"seed=$seed step=$i op=$op eq-delete files diverge")
+        // branch head resolves its own file set regardless of main's
+        // appends/rewrites/overwrites (manifests are shared immutably)
+        modelBranch.foreach { bd =>
+          val head = meta.branchHead("b").getOrElse(
+            fail(s"seed=$seed step=$i branch ref lost"))
+          val bs = meta.snapshot(head).getOrElse(
+            fail(s"seed=$seed step=$i branch head snapshot lost"))
+          assert(meta.filesOf(bs).map(_.path).toSet == bd,
+            s"seed=$seed step=$i op=$op branch head diverges")
+        }
         // sequence numbers: every eq-delete file carries its adding snapshot
         assert(meta.currentEqDeleteFiles.forall(_.addedAt > 0),
           s"seed=$seed step=$i eq-delete without a sequence number")
