@@ -160,7 +160,36 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
   private def doLoad(ident: Identifier, snapshot: Option[Long]): LakeTable = {
     val loc = store.load(ns(ident.namespace()), ident.name())
       .getOrElse(throw new NoSuchTableException(ident))
-    val meta = TableMeta.read(loc, hadoopConf)
+    val meta0 = TableMeta.read(loc, hadoopConf)
+    // A pinned (time-travel) load presents the schema AS OF that snapshot —
+    // a column dropped since resurrects with its data (the physical-name
+    // mapping rides inside the stamped schema), one added since doesn't
+    // appear. Swapping schemaJson here makes every consumer (scan
+    // planning, l2p mapping, stats remap) see the historical shape
+    // uniformly. Legacy snapshots without a stamp keep the current schema.
+    val meta = snapshot.flatMap(id => meta0.snapshot(id)).flatMap(meta0.schemaJsonOf) match {
+      case Some(sj) if sj != meta0.schemaJson =>
+        // upsert keys are tracked by LOGICAL name but their identity is the
+        // pinned PHYSICAL name — re-express them in the historical schema's
+        // logical names (a key renamed since keeps working; one whose
+        // column postdates the snapshot has no applicable eq-deletes there)
+        val oldSchema = org.apache.spark.sql.types.DataType.fromJson(sj)
+          .asInstanceOf[StructType]
+        val p2lOld = oldSchema.fields.map(f => ColumnMapping.physicalName(f) -> f.name).toMap
+        val l2pCur = meta0.l2pMap
+        val props = meta0.properties.get("upsert.keys") match {
+          case Some(csv) =>
+            val oldKeys = csv.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+              .flatMap(k => l2pCur.get(k).flatMap(p2lOld.get))
+            if (oldKeys.nonEmpty) meta0.properties + ("upsert.keys" -> oldKeys.mkString(","))
+            else meta0.properties - "upsert.keys"
+          case None => meta0.properties
+        }
+        val m = meta0.copy(schemaJson = sj, properties = props)
+        m.ioConf = hadoopConf
+        m
+      case _ => meta0
+    }
     new LakeTable(display(ident), ns(ident.namespace()), ident.name(), meta, loc,
       store, hadoopConf, snapshot, () => invalidateTable(ident))
   }
@@ -397,8 +426,15 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
         case c => throw new UnsupportedOperationException(
           s"alterTable change ${c.getClass.getSimpleName} not supported")
       }
-      val next = t.meta.copy(properties = props, schemaJson = schema.json,
-        partitionColumns = pcols)
+      // a schema-shape change gets a FRESH schema id: snapshots committed
+      // under the old shape keep resolving it (schemas map), so time travel
+      // reads history with history's schema
+      val newSchemaJson = schema.json
+      val next = t.meta.copy(properties = props, schemaJson = newSchemaJson,
+        partitionColumns = pcols,
+        currentSchemaId =
+          if (newSchemaJson == t.meta.schemaJson) t.meta.schemaIdNow
+          else t.meta.schemaIdNow + 1)
       val newLoc = TableMeta.write(next, hadoopConf)
       if (store.casUpdate(ns(ident.namespace()), ident.name(), newLoc, t.metadataLocation) == 1) {
         invalidateTable(ident)

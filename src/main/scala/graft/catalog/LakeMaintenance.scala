@@ -150,7 +150,8 @@ object LakeMaintenance {
         df.repartitionByRange(outParts, sortCols: _*).sortWithinPartitions(sortCols: _*)
       else df.coalesce(outParts)
     val factory = LakeWriterFactory(t.meta.physicalSchema.json, s"${t.meta.location}/data",
-      physCols, new SerializableConfiguration(hadoopConf))
+      physCols, new SerializableConfiguration(hadoopConf),
+      t.meta.physicalBloomColumns)
     val newFiles = clustered.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
       val w = factory.createWriter(pid, org.apache.spark.TaskContext.get().taskAttemptId())
       rows.foreach(w.write)
@@ -211,7 +212,8 @@ object LakeMaintenance {
         phys.repartition(clusterCols: _*).sortWithinPartitions(clusterCols: _*)
       else phys
     val factory = LakeWriterFactory(physSchema.json, s"${t.meta.location}/data",
-      physCols, new SerializableConfiguration(hadoopConf))
+      physCols, new SerializableConfiguration(hadoopConf),
+      t.meta.physicalBloomColumns)
     val keyIdx = keys.map(k => physSchema.fieldIndex(l2p.getOrElse(k, k))).toArray
     val keySchemaJson = StructType(keyIdx.map(physSchema.fields)).json
     val schemaJson = physSchema.json
@@ -615,7 +617,8 @@ object LakeMaintenance {
     val clustered = df.repartitionByRange(outParts, zcol)
       .sortWithinPartitions(zcol)
     val factory = LakeWriterFactory(t.meta.physicalSchema.json, s"${t.meta.location}/data",
-      Nil, new SerializableConfiguration(hadoopConf))
+      Nil, new SerializableConfiguration(hadoopConf),
+      t.meta.physicalBloomColumns)
     val newFiles = clustered.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
       val w = factory.createWriter(pid, org.apache.spark.TaskContext.get().taskAttemptId())
       rows.foreach(w.write)

@@ -225,7 +225,8 @@ final class LakeTable(
           .filter(!org.apache.spark.sql.functions.coalesce(
             cond, org.apache.spark.sql.functions.lit(false)))
         val factory = LakeWriterFactory(meta.physicalSchema.json, s"${meta.location}/data",
-          meta.physicalPartitionColumns, new SerializableConfiguration(hadoopConf))
+          meta.physicalPartitionColumns, new SerializableConfiguration(hadoopConf),
+          meta.physicalBloomColumns)
         survivors.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
           val w = factory.createWriter(pid, org.apache.spark.TaskContext.get().taskAttemptId())
           rows.foreach(w.write)
@@ -371,7 +372,8 @@ final class LakeRowLevelOperation(
         override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
           LakeWriterFactory(ColumnMapping.toPhysical(info.schema(), table.meta.l2pMap).json,
             s"${table.meta.location}/data",
-            table.meta.physicalPartitionColumns, new SerializableConfiguration(hadoopConf))
+            table.meta.physicalPartitionColumns, new SerializableConfiguration(hadoopConf),
+            table.meta.physicalBloomColumns)
         override def commit(messages: Array[WriterCommitMessage]): Unit = {
           val newFiles = messages.collect { case LakeCommitMessage(fs) => fs }.flatten.toSeq
           val replacedPaths = scanned.map(_.path).toSet
@@ -1199,7 +1201,8 @@ final class LakeBatchWrite(
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     LakeWriterFactory(ColumnMapping.toPhysical(writeSchema, table.meta.l2pMap).json,
       s"${table.meta.location}/data",
-      table.meta.physicalPartitionColumns, new SerializableConfiguration(hadoopConf))
+      table.meta.physicalPartitionColumns, new SerializableConfiguration(hadoopConf),
+      table.meta.physicalBloomColumns)
 
   /** The reference's EP3: write new metadata → CAS the pointer; on a lost
     * race, reload the current metadata, REBASE (append = union with the
@@ -1275,7 +1278,8 @@ final class LakeStreamingWrite(
     val physSchema = ColumnMapping.toPhysical(writeSchema, table.meta.l2pMap)
     val base = LakeWriterFactory(physSchema.json,
       s"${table.meta.location}/data",
-      table.meta.physicalPartitionColumns, new SerializableConfiguration(hadoopConf))
+      table.meta.physicalPartitionColumns, new SerializableConfiguration(hadoopConf),
+      table.meta.physicalBloomColumns)
     if (upsertKeys.isEmpty) base
     else {
       val keyIdx = upsertKeys.map(writeSchema.fieldIndex).toArray
@@ -1449,13 +1453,14 @@ final case class LakeWriterFactory(
     schemaJson: String,
     dataDir: String,
     partitionCols: Seq[String],
-    conf: SerializableConfiguration)
+    conf: SerializableConfiguration,
+    bloomCols: Seq[String] = Nil)
   extends DataWriterFactory with streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new LakeDataWriter(
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
       s"$dataDir/part-$partitionId-$taskId-${java.util.UUID.randomUUID()}",
-      partitionCols, conf.value)
+      partitionCols, conf.value, bloomCols)
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     createWriter(partitionId, taskId)
@@ -1474,7 +1479,8 @@ final class LakeDataWriter(
     schema: StructType,
     pathPrefix: String,
     partitionCols: Seq[String],
-    conf: Configuration)
+    conf: Configuration,
+    bloomCols: Seq[String] = Nil)
   extends DataWriter[InternalRow] {
 
   private val writeConf: Configuration = {
@@ -1525,7 +1531,11 @@ final class LakeDataWriter(
   private def open(): Unit = {
     path = s"$pathPrefix-$fileSeq.parquet"
     fileSeq += 1
-    writer = new LakeParquetBuilder(new Path(path), writeConf).build()
+    val b = new LakeParquetBuilder(new Path(path), writeConf)
+    // per-column parquet bloom filters (write.bloom-columns): row-group
+    // skipping for selective point predicates that min/max can't prune
+    bloomCols.foreach(c => b.withBloomFilterEnabled(c, true))
+    writer = b.build()
     rows = 0L
     mins = new Array[Any](schema.length)
     maxs = new Array[Any](schema.length)

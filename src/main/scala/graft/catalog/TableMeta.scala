@@ -67,10 +67,17 @@ final case class SnapshotMeta(
     summaryFiles: Long = 0L,
     summaryRows: Long = 0L,
     summaryBytes: Long = 0L,
-    parentId: Long = 0L) { // 0 = unknown (pre-WAP docs); ids start at 1
+    parentId: Long = 0L, // 0 = unknown (pre-WAP docs); ids start at 1
+    schemaId: Int = 0) { // schema AS OF this commit, in TableMeta.schemas (0 = legacy doc)
 
   def inlineFiles: Seq[DataFileMeta] = if (manifest == null) Nil else manifest
   def listLocation: Option[String] = Option(manifestListLocation).flatten
+  /** Schema id as of this snapshot — time travel reads THIS shape (a
+    * column dropped later resurrects, one added later doesn't appear yet).
+    * Resolved through [[TableMeta.schemas]]; legacy documents (no stamp)
+    * fall back to the table-level schema.
+    */
+  def schemaIdOpt: Option[Int] = if (schemaId > 0) Some(schemaId) else None
 
   /** Summary counts without opening any manifest. */
   def nFiles: Long = if (inlineFiles.nonEmpty) inlineFiles.size.toLong else summaryFiles
@@ -91,9 +98,23 @@ final case class TableMeta(
     partitionColumns: Seq[String],
     properties: Map[String, String],
     currentSnapshotId: Long, // -1 = empty table, no snapshot yet
-    snapshots: Seq[SnapshotMeta]) {
+    snapshots: Seq[SnapshotMeta],
+    // schema EVOLUTION history, deduplicated Iceberg-style: id -> schema
+    // JSON, one entry per DISTINCT schema ever committed under (commits
+    // stamp their snapshot with the current id; ALTERs that change the
+    // schema bump it). O(alters), never O(snapshots).
+    schemas: Map[String, String] = Map.empty,
+    currentSchemaId: Int = 0) { // 0 = legacy doc (treated as id 1)
 
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+
+  /** Null-safe schema table (documents written before schema history). */
+  def schemaTable: Map[String, String] = if (schemas == null) Map.empty else schemas
+  /** Current schema id, normalizing legacy docs (0) to 1. */
+  def schemaIdNow: Int = if (currentSchemaId <= 0) 1 else currentSchemaId
+  /** The schema JSON a snapshot committed under, when recorded. */
+  def schemaJsonOf(s: SnapshotMeta): Option[String] =
+    s.schemaIdOpt.flatMap(id => schemaTable.get(id.toString))
 
   // ── column mapping (field identity) ────────────────────────────────────
   // Delta-style logical→physical name mapping: a field reads/writes the
@@ -178,6 +199,19 @@ final case class TableMeta(
 
   def currentEqDeleteFiles: Seq[DataFileMeta] =
     snapshot(currentSnapshotId).map(eqDeleteFilesOf).getOrElse(Nil)
+
+  /** Physical names of the `write.bloom-columns` columns (comma-separated
+    * logical names): writers emit a parquet BLOOM FILTER per listed column,
+    * so selective point predicates (`WHERE id = x` on a non-partition,
+    * non-sorted column) skip row groups the min/max range check cannot —
+    * the 100 TB needle-in-haystack scan path.
+    */
+  def physicalBloomColumns: Seq[String] = {
+    val m = l2pMap
+    properties.get("write.bloom-columns").toSeq
+      .flatMap(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .map(c => m.getOrElse(c, c))
+  }
 
   /** Head snapshot id of a named branch (`branch.<name>` property). */
   def branchHead(name: String): Option[Long] =
@@ -598,11 +632,17 @@ object TableMeta {
       // publish/cherry-pick advances it
       currentSnapshotId = if (advance) snapId else base.currentSnapshotId,
       properties = base.properties ++ extraProps,
+      // materialize the current schema under its id (dedup: one entry per
+      // distinct schema) and stamp the snapshot with that id — time travel
+      // reads the shape the table had at this commit
+      schemas = base.schemaTable + (base.schemaIdNow.toString -> base.schemaJson),
+      currentSchemaId = base.schemaIdNow,
       snapshots = base.snapshots :+ SnapshotMeta(snapId, System.currentTimeMillis(),
         operation, Nil, listLoc,
         data.map(_.nFiles).sum, data.map(_.nRows).sum, data.map(_.nBytes).sum,
         // branch commits chain from the BRANCH head, not the main pointer
-        parentId = parentOverride.getOrElse(base.currentSnapshotId)))
+        parentId = parentOverride.getOrElse(base.currentSnapshotId),
+        schemaId = base.schemaIdNow))
     next.ioConf = conf
     next
   }

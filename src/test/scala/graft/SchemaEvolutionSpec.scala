@@ -88,6 +88,36 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("time travel reads the snapshot's schema: drops resurrect, later adds don't appear") {
+    val t = s"lake.ev2.${uniq("tts")}"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ev2")
+    spark.sql(s"CREATE TABLE $t AS SELECT id AS k, concat('v', id) AS v FROM range(0, 10)") // snap 1
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (w STRING)")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('v', id), concat('w', id) FROM range(10, 15)") // snap 2
+    spark.sql(s"ALTER TABLE $t DROP COLUMN v")
+
+    // current shape: the drop is live
+    assert(spark.table(t).schema.fieldNames.toSeq == Seq("k", "w"))
+
+    // snapshot 1: pre-ADD, pre-DROP — v resurrects WITH its data, no w
+    val s1 = spark.sql(s"SELECT * FROM $t VERSION AS OF 1")
+    assert(s1.schema.fieldNames.toSeq == Seq("k", "v"))
+    val r1 = s1.orderBy("k").collect()
+    assert(r1.length == 10 && r1(3).getString(1) == "v3")
+
+    // snapshot 2: v still present, w present (null for the first files)
+    val s2 = spark.sql(s"SELECT * FROM $t VERSION AS OF 2").orderBy("k").collect()
+    assert(s2.length == 15)
+    assert(s2(3).getString(1) == "v3" && s2(3).isNullAt(2))
+    assert(s2(12).getString(1) == "v12" && s2(12).getString(2) == "w12")
+
+    // a later RENAME doesn't rewrite history either
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN k TO id")
+    assert(spark.sql(s"SELECT * FROM $t VERSION AS OF 1").schema.fieldNames.head == "k")
+    assert(spark.table(t).schema.fieldNames.head == "id")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("guards: bucket source and upsert key columns refuse widening; key rename follows") {
     val t = s"lake.ev2.${uniq("guard")}"
     val short = t.stripPrefix("lake.")
