@@ -151,7 +151,7 @@ object LakeMaintenance {
       else df.coalesce(outParts)
     val factory = LakeWriterFactory(t.meta.physicalSchema.json, s"${t.meta.location}/data",
       physCols, new SerializableConfiguration(hadoopConf),
-      t.meta.physicalBloomColumns)
+      t.meta.physicalBloomColumns, t.meta.targetFileBytes)
     val newFiles = clustered.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
       val w = factory.createWriter(pid, org.apache.spark.TaskContext.get().taskAttemptId())
       rows.foreach(w.write)
@@ -213,7 +213,7 @@ object LakeMaintenance {
       else phys
     val factory = LakeWriterFactory(physSchema.json, s"${t.meta.location}/data",
       physCols, new SerializableConfiguration(hadoopConf),
-      t.meta.physicalBloomColumns)
+      t.meta.physicalBloomColumns, t.meta.targetFileBytes)
     val keyIdx = keys.map(k => physSchema.fieldIndex(l2p.getOrElse(k, k))).toArray
     val keySchemaJson = StructType(keyIdx.map(physSchema.fields)).json
     val schemaJson = physSchema.json
@@ -618,7 +618,7 @@ object LakeMaintenance {
       .sortWithinPartitions(zcol)
     val factory = LakeWriterFactory(t.meta.physicalSchema.json, s"${t.meta.location}/data",
       Nil, new SerializableConfiguration(hadoopConf),
-      t.meta.physicalBloomColumns)
+      t.meta.physicalBloomColumns, t.meta.targetFileBytes)
     val newFiles = clustered.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
       val w = factory.createWriter(pid, org.apache.spark.TaskContext.get().taskAttemptId())
       rows.foreach(w.write)

@@ -226,7 +226,7 @@ final class LakeTable(
             cond, org.apache.spark.sql.functions.lit(false)))
         val factory = LakeWriterFactory(meta.physicalSchema.json, s"${meta.location}/data",
           meta.physicalPartitionColumns, new SerializableConfiguration(hadoopConf),
-          meta.physicalBloomColumns)
+          meta.physicalBloomColumns, meta.targetFileBytes)
         survivors.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
           val w = factory.createWriter(pid, org.apache.spark.TaskContext.get().taskAttemptId())
           rows.foreach(w.write)
@@ -373,7 +373,7 @@ final class LakeRowLevelOperation(
           LakeWriterFactory(ColumnMapping.toPhysical(info.schema(), table.meta.l2pMap).json,
             s"${table.meta.location}/data",
             table.meta.physicalPartitionColumns, new SerializableConfiguration(hadoopConf),
-            table.meta.physicalBloomColumns)
+            table.meta.physicalBloomColumns, table.meta.targetFileBytes)
         override def commit(messages: Array[WriterCommitMessage]): Unit = {
           val newFiles = messages.collect { case LakeCommitMessage(fs) => fs }.flatten.toSeq
           val replacedPaths = scanned.map(_.path).toSet
@@ -1202,7 +1202,7 @@ final class LakeBatchWrite(
     LakeWriterFactory(ColumnMapping.toPhysical(writeSchema, table.meta.l2pMap).json,
       s"${table.meta.location}/data",
       table.meta.physicalPartitionColumns, new SerializableConfiguration(hadoopConf),
-      table.meta.physicalBloomColumns)
+      table.meta.physicalBloomColumns, table.meta.targetFileBytes)
 
   /** The reference's EP3: write new metadata → CAS the pointer; on a lost
     * race, reload the current metadata, REBASE (append = union with the
@@ -1279,7 +1279,7 @@ final class LakeStreamingWrite(
     val base = LakeWriterFactory(physSchema.json,
       s"${table.meta.location}/data",
       table.meta.physicalPartitionColumns, new SerializableConfiguration(hadoopConf),
-      table.meta.physicalBloomColumns)
+      table.meta.physicalBloomColumns, table.meta.targetFileBytes)
     if (upsertKeys.isEmpty) base
     else {
       val keyIdx = upsertKeys.map(writeSchema.fieldIndex).toArray
@@ -1454,13 +1454,14 @@ final case class LakeWriterFactory(
     dataDir: String,
     partitionCols: Seq[String],
     conf: SerializableConfiguration,
-    bloomCols: Seq[String] = Nil)
+    bloomCols: Seq[String] = Nil,
+    targetFileBytes: Long = 0L)
   extends DataWriterFactory with streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new LakeDataWriter(
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
       s"$dataDir/part-$partitionId-$taskId-${java.util.UUID.randomUUID()}",
-      partitionCols, conf.value, bloomCols)
+      partitionCols, conf.value, bloomCols, targetFileBytes)
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     createWriter(partitionId, taskId)
@@ -1480,7 +1481,8 @@ final class LakeDataWriter(
     pathPrefix: String,
     partitionCols: Seq[String],
     conf: Configuration,
-    bloomCols: Seq[String] = Nil)
+    bloomCols: Seq[String] = Nil,
+    targetFileBytes: Long = 0L)
   extends DataWriter[InternalRow] {
 
   private val writeConf: Configuration = {
@@ -1644,6 +1646,10 @@ final class LakeDataWriter(
     track(row)
     writer.write(row)
     rows += 1
+    // size rolling: bound the largest file one task can produce (checked
+    // every 256 rows — getDataSize walks the column writers)
+    if (targetFileBytes > 0 && (rows & 255) == 0 && writer.getDataSize >= targetFileBytes)
+      roll()
   }
 
   override def commit(): WriterCommitMessage = {

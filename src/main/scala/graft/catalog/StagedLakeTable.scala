@@ -60,7 +60,7 @@ final class StagedLakeTable(
         override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
           LakeWriterFactory(info.schema().json, s"${baseMeta.location}/data",
             baseMeta.partitionColumns, new SerializableConfiguration(hadoopConf),
-            baseMeta.physicalBloomColumns)
+            baseMeta.physicalBloomColumns, baseMeta.targetFileBytes)
         override def commit(messages: Array[WriterCommitMessage]): Unit =
           // buffer only — visibility is commitStagedChanges' job
           stagedFiles = messages.collect { case LakeCommitMessage(fs) => fs }.flatten.toSeq

@@ -213,6 +213,14 @@ final case class TableMeta(
       .map(c => m.getOrElse(c, c))
   }
 
+  /** `write.target-file-bytes`: writers ROLL to a new file when the open
+    * one reaches this size (0 = no size rolling). Bounds the largest file
+    * a single task can produce — at 100 TB an unbounded per-task file
+    * defeats balanced scheduling and retries.
+    */
+  def targetFileBytes: Long =
+    properties.get("write.target-file-bytes").map(_.toLong).getOrElse(0L)
+
   /** Head snapshot id of a named branch (`branch.<name>` property). */
   def branchHead(name: String): Option[Long] =
     properties.get(s"branch.$name").map(_.toLong)

@@ -236,5 +236,39 @@ object CatalogQueries {
           |  CAST(min(l_extendedprice) AS DOUBLE) AS min_ep,
           |  CAST(max(l_extendedprice) AS DOUBLE) AS max_ep
           |FROM lake.verify.li_statsagg""".stripMargin)
+    },
+
+    QueryDef.df(
+      "q66_branch_roundtrip",
+      // Oracle = base ∪ both branch epochs: after CTAS (suppkey%3=0), two
+      // appends land on branch 'audit' (%3=1 then %3=2) while main stays at
+      // the base; fast_forward then merges. A hash match proves branch
+      // commits chain off the branch head, isolate from main until the
+      // merge, and lose nothing through the pointer move.
+      """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(s_suppkey) AS BIGINT) AS ksum,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS bal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS lake.verify")
+      s.sql("DROP TABLE IF EXISTS lake.verify.sup_br")
+      s.sql(
+        """CREATE TABLE lake.verify.sup_br AS
+          |SELECT s_suppkey, s_nationkey, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+          |FROM supplier WHERE s_suppkey % 3 = 0""".stripMargin)
+      s.sql("CALL lake.system.create_branch('verify.sup_br', 'audit')")
+      s.sql("""SELECT s_suppkey, s_nationkey, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+              |FROM supplier WHERE s_suppkey % 3 = 1""".stripMargin)
+        .writeTo("lake.verify.sup_br").option("branch", "audit").append()
+      // main is still the base while the branch runs ahead
+      s.sql("""SELECT s_suppkey, s_nationkey, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+              |FROM supplier WHERE s_suppkey % 3 = 2""".stripMargin)
+        .writeTo("lake.verify.sup_br").option("branch", "audit").append()
+      s.sql("CALL lake.system.fast_forward('verify.sup_br', 'audit')")
+      s.sql(
+        """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(s_suppkey) AS BIGINT) AS ksum,
+          |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS bal
+          |FROM lake.verify.sup_br GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
     })
 }

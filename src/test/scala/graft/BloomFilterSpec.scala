@@ -60,6 +60,23 @@ class BloomFilterSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("write.target-file-bytes rolls files by size; stats stay per-file exact") {
+    val t = s"lake.bloom.${uniq("roll")}"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.bloom")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, pad STRING) " +
+      "TBLPROPERTIES ('write.target-file-bytes'='65536')")
+    // ~40 MB of raw data from one task → must roll into several files
+    spark.sql("SELECT id, repeat(uuid(), 10) AS pad FROM range(0, 100000)")
+      .coalesce(1).writeTo(t).append()
+    val files = lakeMeta(t).currentFiles
+    assert(files.size > 3, s"expected size-rolled files, got ${files.size}")
+    // each file's min/max id stats stay exact and disjointly ordered rolls
+    assert(files.map(_.rowCount).sum == 100000L)
+    val agg = spark.sql(s"SELECT count(*) AS n, min(id) AS mn, max(id) AS mx FROM $t").collect()(0)
+    assert(agg.getLong(0) == 100000L && agg.getLong(1) == 0L && agg.getLong(2) == 99999L)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("compaction rewrites keep the bloom filters") {
     val t = s"lake.bloom.${uniq("c")}"
     val short = t.stripPrefix("lake.")

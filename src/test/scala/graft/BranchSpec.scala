@@ -117,6 +117,32 @@ class BranchSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("live race: branch writer vs main writer vs second branch, all land") {
+    val t = s"lake.br.${uniq("live")}"
+    val short = t.stripPrefix("lake.")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.br")
+    spark.sql(s"CREATE TABLE $t AS SELECT id AS k FROM range(0, 10)")
+    spark.sql(s"CALL lake.system.create_branch('$short', 'x')")
+    spark.sql(s"CALL lake.system.create_branch('$short', 'y')")
+
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val jobs: Seq[() => Unit] = Seq(
+      () => spark.sql("SELECT id AS k FROM range(100, 150)").toDF("k")
+        .writeTo(t).option("branch", "x").append(),
+      () => spark.sql(s"INSERT INTO $t SELECT id FROM range(200, 230)"),
+      () => spark.sql("SELECT id AS k FROM range(300, 320)").toDF("k")
+        .writeTo(t).option("branch", "y").append())
+    val threads = jobs.map(j => new Thread(() =>
+      try j() catch { case e: Throwable => errs.add(e) }))
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"all three racing commits must land: ${errs.toArray.mkString}")
+
+    assert(spark.table(t).count() == 40) // 10 base + 30 main insert
+    assert(spark.read.option("branch", "x").table(t).count() == 60) // 10 + 50
+    assert(spark.read.option("branch", "y").table(t).count() == 30) // 10 + 20
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("branch append rebases over a concurrent main commit (CAS retry keeps both)") {
     val t = s"lake.br.${uniq("race")}"
     val short = t.stripPrefix("lake.")

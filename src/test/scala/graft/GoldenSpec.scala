@@ -77,7 +77,8 @@ class GoldenSpec extends AnyFunSuite {
     "q62_corpus_profile" -> 5L,
     "q63_upsert_roundtrip" -> 15L,
     "q64_merge_equality" -> 8L,
-    "q65_stats_agg_pushdown" -> 1L)
+    "q65_stats_agg_pushdown" -> 1L,
+    "q66_branch_roundtrip" -> 10L)
 
   test("every registered query has a golden count (add one when adding a query)") {
     assert(SparkEntry.queries.keySet == golden.keySet,
