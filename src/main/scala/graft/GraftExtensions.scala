@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{CosineSim, DecodeImage, ExplodeHammingPairs, ExplodeNgrams, ExplodePairs, MinHashSignature, SampleFrames, SigMatchCount, SimHash, SortedIntersectSize, SrpBands, WinnowFingerprints, WordNgrams}
+import graft.functions.{CosineSim, DecodeAudio, DecodeImage, ExplodeHammingPairs, ExplodeNgrams, ExplodePairs, MinHashSignature, SampleFrames, SigMatchCount, SimHash, SortedIntersectSize, SrpBands, WinnowFingerprints, WordNgrams}
 
 /** Session extensions registering the engine's custom codegen expressions
   * as SQL functions — the Spark-idiomatic extension point
@@ -129,6 +129,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c, Literal(g: Int, IntegerType)) => DecodeImage(c, g)
         case other => throw new IllegalArgumentException(
           s"decode_image(payload, grid): bad args $other")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("decode_audio"),
+      info("decode_audio",
+        "decode_audio(payload) - real JDK sampled-audio decode (WAV/AIFF/AU) to struct(sample_rate, channels, frames, duration_ms, rms, peak); NULL for non-audio"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => DecodeAudio(c)
+        case other => throw new IllegalArgumentException(s"decode_audio(payload): bad args $other")
       }))
 
     ext.injectFunction((

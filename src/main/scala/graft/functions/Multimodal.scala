@@ -35,6 +35,40 @@ object Multimodal {
   /** struct(width, height, format, gray: array<double>) or NULL. */
   def decodeImage(payload: Column, grid: Int): Column =
     call_function("decode_image", payload, lit(grid))
+
+  /** struct(sample_rate, channels, frames, duration_ms, rms, peak) or NULL. */
+  def decodeAudio(payload: Column): Column =
+    call_function("decode_audio", payload)
+
+  /** Deterministic 16-bit PCM WAV fixture (sine wave), encoded by the
+    * JDK's own writer — the planted REAL-audio payload for pipelines over
+    * corpora that carry no audio column (clearly a fixture: the decode
+    * side is the real operator under test).
+    */
+  def syntheticWav(rate: Float, channels: Int, amp: Double, hz: Double,
+      nFrames: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16, channels,
+      2 * channels, rate, false)
+    val pcm = new Array[Byte](nFrames * 2 * channels)
+    var f = 0
+    while (f < nFrames) {
+      val s = (amp * math.sin(2 * math.Pi * hz * f / rate) * 32767).toInt.toShort
+      var c = 0
+      while (c < channels) {
+        val off = (f * channels + c) * 2
+        pcm(off) = (s & 0xff).toByte
+        pcm(off + 1) = ((s >> 8) & 0xff).toByte
+        c += 1
+      }
+      f += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
 }
 
 /** `sample_frames(payload, frameBytes, n) -> array<binary>`: n evenly
@@ -162,6 +196,112 @@ object DecodeImage {
           w, h, org.apache.spark.unsafe.types.UTF8String.fromString(format),
           new GenericArrayData(gray)))
       } finally reader.dispose()
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+}
+
+/** `decode_audio(payload) -> struct<sample_rate int, channels int,
+  * frames bigint, duration_ms double, rms double, peak double>` — NULL
+  * when the payload is not decodable audio. REAL decode via the JDK's
+  * `javax.sound.sampled` (WAV/AIFF/AU, any PCM width — no external codec
+  * needed); `rms`/`peak` are computed over all samples normalized to
+  * [-1, 1], the canonical small features for silence/clipping screens and
+  * loudness bucketing over audio corpora.
+  */
+final case class DecodeAudio(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"$prettyName requires binary, got $dt")
+  }
+  override def dataType: DataType = DecodeAudio.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "decode_audio"
+
+  override def nullSafeEval(input: Any): Any =
+    DecodeAudio.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    val c = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code =
+      code"""
+        ${c.code}
+        boolean ${ev.isNull} = true;
+        $javaType ${ev.value} = null;
+        if (!${c.isNull}) {
+          ${ev.value} = ($javaType) graft.functions.DecodeAudio$$.MODULE$$.compute(${c.value});
+          ${ev.isNull} = ${ev.value} == null;
+        }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DecodeAudio =
+    copy(child = newChild)
+}
+
+object DecodeAudio {
+  val schema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("frames", LongType, nullable = false),
+    StructField("duration_ms", DoubleType, nullable = false),
+    StructField("rms", DoubleType, nullable = false),
+    StructField("peak", DoubleType, nullable = false)))
+
+  /** Decode via the JDK's sampled-audio readers; null for non-audio. The
+    * stream is converted to 16-bit signed PCM (the JDK converts any
+    * PCM/ULAW/ALAW source), samples normalized to [-1, 1].
+    */
+  def compute(payload: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    // magic-bytes pre-screen: the JDK reader signals "not audio" by
+    // EXCEPTION, and corpora are mostly non-audio — filling a stack trace
+    // per row would dominate the scan. RIFF (WAV) / FORM (AIFF) / .snd (AU).
+    if (payload.length < 12) return null
+    val riff = payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F'
+    val form = payload(0) == 'F' && payload(1) == 'O' && payload(2) == 'R' && payload(3) == 'M'
+    val snd = payload(0) == '.' && payload(1) == 's' && payload(2) == 'n' && payload(3) == 'd'
+    if (!riff && !form && !snd) return null
+    try {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(payload)))
+      try {
+        val src = in.getFormat
+        val rate = src.getSampleRate
+        val channels = src.getChannels
+        if (rate <= 0 || channels <= 0) return null
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          rate, 16, channels, 2 * channels, rate, false)
+        val pcm = AudioSystem.getAudioInputStream(target, in)
+        try {
+          val buf = new Array[Byte](8192)
+          var sumSq = 0.0
+          var peak = 0.0
+          var nSamples = 0L
+          var n = pcm.read(buf)
+          while (n > 0) {
+            var i = 0
+            while (i + 1 < n) {
+              // little-endian signed 16-bit
+              val s = ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort / 32768.0
+              sumSq += s * s
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              nSamples += 1
+              i += 2
+            }
+            n = pcm.read(buf)
+          }
+          if (nSamples == 0) return null
+          val frames = nSamples / channels
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+            rate.toInt, channels, frames,
+            frames * 1000.0 / rate,
+            math.sqrt(sumSq / nSamples), peak))
+        } finally pcm.close()
+      } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => null }
   }
 }

@@ -521,6 +521,32 @@ object LlmPipeline {
         .orderBy("source")
     },
 
+    // ───── q67: REAL audio decode over a mixed binary column ─────────────
+    // Same plumbing shape as q54 for the audio modality: the corpus'
+    // payloads are text bytes (correctly decode to NULL); three planted
+    // REAL WAV fixtures (16-bit PCM sine, JDK-encoded) prove the decode
+    // path end-to-end — per-source decodability counts plus exact duration
+    // and near-exact sine RMS for the decodable group. decode_audio is the
+    // JDK sampled-audio codec (WAV/AIFF/AU), pinned in MultimodalSpec.
+    QueryDef.unoracled("q67_audio_decode") { (s, dir) =>
+      import graft.functions.Multimodal
+      val planted = s.createDataFrame(Seq(
+        ("audio_fixture", Multimodal.syntheticWav(8000f, 1, 0.5, 440.0, 8000)),
+        ("audio_fixture", Multimodal.syntheticWav(16000f, 2, 0.25, 220.0, 4000)),
+        ("audio_fixture", Multimodal.syntheticWav(11025f, 1, 0.8, 330.0, 11025))))
+        .toDF("source", "payload")
+      val docs = t(s, dir, "documents")
+        .select(col("source"), encode(col("text"), "UTF-8").as("payload"))
+      docs.union(planted)
+        .select(col("source"), Multimodal.decodeAudio(col("payload")).as("a"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_payloads"),
+          count(col("a.sample_rate")).as("n_decodable"),
+          coalesce(round(sum(col("a.duration_ms")), 3), lit(0.0)).as("total_ms"),
+          coalesce(round(max(col("a.peak")), 2), lit(0.0)).as("max_peak"))
+        .orderBy("source")
+    },
+
     // ───── q32: HLL approximate distinct (SURVEY §2b approx row) ─────────
     // Engines' HLL sketches differ numerically -> rows-only driver check;
     // the ScalaTest suite asserts <5% relative error vs exact.

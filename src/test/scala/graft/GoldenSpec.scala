@@ -78,7 +78,8 @@ class GoldenSpec extends AnyFunSuite {
     "q63_upsert_roundtrip" -> 15L,
     "q64_merge_equality" -> 8L,
     "q65_stats_agg_pushdown" -> 1L,
-    "q66_branch_roundtrip" -> 10L)
+    "q66_branch_roundtrip" -> 10L,
+    "q67_audio_decode" -> 21L)
 
   test("every registered query has a golden count (add one when adding a query)") {
     assert(SparkEntry.queries.keySet == golden.keySet,

@@ -35,6 +35,78 @@ class MultimodalSpec extends AnyFunSuite {
       .select(col("id"), expr("decode_image(payload, 8)").as("img"))
       .orderBy("id").collect()
 
+  private def wavBytes(rate: Float, channels: Int, amp: Double, hz: Double,
+      nFrames: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16, channels,
+      2 * channels, rate, false)
+    val pcm = new Array[Byte](nFrames * 2 * channels)
+    var f = 0
+    while (f < nFrames) {
+      val s = (amp * math.sin(2 * math.Pi * hz * f / rate) * 32767).toInt.toShort
+      var c = 0
+      while (c < channels) {
+        val off = (f * channels + c) * 2
+        pcm(off) = (s & 0xff).toByte
+        pcm(off + 1) = ((s >> 8) & 0xff).toByte
+        c += 1
+      }
+      f += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("decode_audio: real WAV decode — rate/channels/frames/duration/rms/peak") {
+    val amp = 0.5
+    val payloads = Seq(
+      1L -> wavBytes(8000f, 1, amp, 440.0, 8000), // 1 s mono
+      2L -> wavBytes(16000f, 2, amp, 220.0, 4000), // 0.25 s stereo
+      3L -> "definitely not audio".getBytes("UTF-8"))
+    val rows = payloads.toDF("id", "payload")
+      .select(col("id"), expr("decode_audio(payload)").as("a"))
+      .orderBy("id").collect()
+
+    val a1 = rows(0).getStruct(1)
+    assert(a1.getInt(0) == 8000 && a1.getInt(1) == 1 && a1.getLong(2) == 8000L)
+    assert(math.abs(a1.getDouble(3) - 1000.0) < 1e-6) // duration ms
+    // a full-period sine's RMS = amp/sqrt(2); many whole periods of 440 Hz
+    assert(math.abs(a1.getDouble(4) - amp / math.sqrt(2)) < 0.01,
+      s"sine RMS: ${a1.getDouble(4)}")
+    assert(math.abs(a1.getDouble(5) - amp) < 0.01, s"sine peak: ${a1.getDouble(5)}")
+
+    val a2 = rows(1).getStruct(1)
+    assert(a2.getInt(0) == 16000 && a2.getInt(1) == 2 && a2.getLong(2) == 4000L)
+    assert(math.abs(a2.getDouble(3) - 250.0) < 1e-6)
+
+    assert(rows(2).isNullAt(1), "non-audio payload must decode to NULL")
+  }
+
+  test("decode_audio: codegen and interpreted agree") {
+    val payloads = Seq(1L -> wavBytes(8000f, 1, 0.25, 100.0, 1600),
+      2L -> Array[Byte](1, 2, 3))
+    val df = payloads.toDF("id", "payload")
+      .select(col("id"), expr("decode_audio(payload)").as("a"))
+    val viaCodegen = df.collect()
+    withSQLConf("spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val interp = payloads.toDF("id", "payload")
+        .select(col("id"), expr("decode_audio(payload)").as("a")).collect()
+      assert(viaCodegen.map(_.toString).toSeq == interp.map(_.toString).toSeq)
+    }
+  }
+
+  private def withSQLConf(kv: (String, String)*)(f: => Unit): Unit = {
+    val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("decode_image: PNG and BMP decode with exact dimensions, format, gray values") {
     val solid = image(16, 16)((_, _) => (100 << 16) | (150 << 8) | 200)
     val rows = decode(Seq(1L -> bytes(solid, "png"), 2L -> bytes(solid, "bmp")))
