@@ -3,28 +3,61 @@ package graft.catalog
 import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, ReadMaxRows, ReadMinRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** Stream offset = committed snapshot id (0 = nothing consumed). */
-final case class LakeOffset(snapshotId: Long) extends Offset {
-  override def json(): String = snapshotId.toString
+/** Stream offset: position in the table's append lineage.
+  *
+  * `pos = -1` means snapshot `snapshotId`'s delta is FULLY consumed (the
+  * legacy single-number form — a pre-admission-control checkpoint "123"
+  * deserializes to exactly this, so old checkpoints resume unchanged);
+  * `pos >= 0` means only the first `pos` files of the snapshot's delta
+  * (path-ordered, deterministic) have been consumed — the form rate-limited
+  * triggers leave behind mid-snapshot. Fully-consumed offsets always
+  * serialize in the legacy form so "same position" is always "same json"
+  * (Spark decides "no new data" by offset equality).
+  */
+final case class LakeOffset(snapshotId: Long, pos: Int = -1) extends Offset {
+  override def json(): String =
+    if (pos < 0) snapshotId.toString else s"$snapshotId:$pos"
+}
+
+object LakeOffset {
+  def parse(json: String): LakeOffset = json.split(':') match {
+    case Array(s) => LakeOffset(s.toLong)
+    case Array(s, p) => LakeOffset(s.toLong, p.toInt)
+    case _ => throw new IllegalArgumentException(s"bad LakeOffset: $json")
+  }
 }
 
 /** Incremental read of a lake table as a micro-batch stream
   * (`spark.readStream.table("lake.ns.t")`): each trigger consumes the data
-  * files added between the last committed snapshot and the current pointer
+  * files added between the last committed offset and the current pointer
   * — the metadata IS the changelog, so there is no directory polling and no
   * file-listing anywhere, and a batch is exactly "what the CAS committed
   * since last time". First batch replays the table from the beginning
   * (snapshot 0 → current), matching file-source semantics.
   *
+  * Admission control ([[SupportsAdmissionControl]]): `max-files-per-trigger`
+  * / `max-rows-per-trigger` bound each micro-batch — at 100 TB one bulk
+  * backfill commit must not become one giant batch; a rate-limited stream
+  * chews through it in bounded, retryable pieces, leaving mid-snapshot
+  * offsets (`snapshot:pos`) in the checkpoint. `Trigger.AvailableNow`
+  * ([[SupportsTriggerAvailableNow]]) pins the head at query start and
+  * drains up to it in rate-limited batches, then stops — the scheduled
+  * catch-up pattern.
+  *
+  * Deltas are resolved per snapshot against its PARENT (falling back to the
+  * id-ordered predecessor for legacy documents without parent stamps), so a
+  * WAP publish delivers its staged files exactly once, at publish time.
+  *
   * Restriction: append-only consumption. Snapshots produced by overwrite /
-  * replace-rows / delete rewrite history rather than appending; a stream
-  * positioned before one fails fast rather than emitting wrong deltas.
+  * replace-rows / delete / upsert rewrite or tombstone history rather than
+  * appending; a stream positioned before one fails fast rather than
+  * emitting wrong deltas.
   */
 final class LakeMicroBatchStream(
     ident: String,
@@ -32,7 +65,12 @@ final class LakeMicroBatchStream(
     refresh: () => TableMeta,
     options: CaseInsensitiveStringMap,
     hadoopConf: Configuration)
-  extends MicroBatchStream {
+  extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  /** Head pinned by `Trigger.AvailableNow` at query start. */
+  @volatile private var availableNowCap: Option[Long] = None
+  /** Last time a rate-limited trigger admitted files (ReadMinRows gate). */
+  @volatile private var lastTriggerMs: Long = System.currentTimeMillis()
 
   /** Where a NEW stream (no checkpoint) starts: snapshot 0 = replay the
     * whole table (file-source semantics); "latest" = only data committed
@@ -54,36 +92,163 @@ final class LakeMicroBatchStream(
     LakeOffset(math.max(id, 0L))
   }
 
-  override def deserializeOffset(json: String): Offset = LakeOffset(json.toLong)
+  override def reportLatestOffset(): Offset = latestOffset()
 
-  private def filesAsOf(meta: TableMeta, snapshotId: Long): Seq[DataFileMeta] =
-    if (snapshotId <= 0) Nil
-    else meta.snapshot(snapshotId).map(meta.filesOf).getOrElse(
-      throw new IllegalStateException(
-        s"stream over $ident: snapshot $snapshotId no longer exists"))
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(math.max(refresh().currentSnapshotId, 0L))
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[LakeOffset].snapshotId
-    val e = end.asInstanceOf[LakeOffset].snapshotId
-    if (e <= s) return Array.empty
+  override def getDefaultReadLimit: ReadLimit = {
+    def opt(keys: String*): Option[Long] =
+      keys.flatMap(k => Option(options.get(k))).headOption.map(_.toLong)
+    val mf = opt("max-files-per-trigger", "maxFilesPerTrigger")
+    val mr = opt("max-rows-per-trigger", "maxRowsPerTrigger")
+    (mf, mr) match {
+      case (None, None) => ReadLimit.allAvailable()
+      case (Some(f), None) => ReadLimit.maxFiles(f.toInt)
+      case (None, Some(r)) => ReadLimit.maxRows(r)
+      case (Some(f), Some(r)) =>
+        ReadLimit.compositeLimit(Array[ReadLimit](ReadLimit.maxFiles(f.toInt), ReadLimit.maxRows(r)))
+    }
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[LakeOffset]
     val meta = refresh()
-    // fail fast if any consumed snapshot is not an append (delta would lie)
-    meta.snapshots.filter(x => x.snapshotId > s && x.snapshotId <= e).foreach { snap =>
-      // stage-append/publish (WAP) deltas are append-only: offsets are
-      // pointer positions, and the set-difference below counts staged
-      // files exactly once — when a publish brings them into the lineage
-      // rewrite-manifests changes no file: the path set-difference below
-      // sees straight through it
-      if (!Set("append", "stream-append", "create", "stage-append", "publish",
-        "rewrite-manifests")(snap.operation))
+    val headId = availableNowCap.getOrElse(math.max(meta.currentSnapshotId, 0L))
+    val pending = pendingFiles(meta, s, headId)
+    if (pending.isEmpty) {
+      // nothing to admit; still advance through empty-delta snapshots
+      // (rewrite-manifests) so the offset tracks the head
+      return if (headId > s.snapshotId) LakeOffset(headId) else s
+    }
+    var maxFiles = Int.MaxValue
+    var maxRows = Long.MaxValue
+    var minRows = 0L
+    var minDelayMs = 0L
+    flatten(limit).foreach {
+      case f: ReadMaxFiles => maxFiles = f.maxFiles()
+      case r: ReadMaxRows => maxRows = r.maxRows()
+      case m: ReadMinRows => minRows = m.minRows(); minDelayMs = m.maxTriggerDelayMs()
+      case _: ReadAllAvailable => ()
+      case _ => ()
+    }
+    if (minRows > 0) {
+      val available = pending.iterator.map(_.file.rowCount).sum
+      if (available < minRows && System.currentTimeMillis() - lastTriggerMs < minDelayMs)
+        return s // below the minimum and the max delay hasn't elapsed: hold
+    }
+    // admit files in lineage order until a limit trips (always at least one,
+    // so a single file larger than max-rows still makes progress)
+    var i = 0
+    var rows = 0L
+    while (i < pending.size &&
+      (i == 0 || (i < maxFiles && rows + pending(i).file.rowCount <= maxRows))) {
+      rows += pending(i).file.rowCount
+      i += 1
+    }
+    lastTriggerMs = System.currentTimeMillis()
+    if (i == pending.size) LakeOffset(headId) // drained: land on the head, canonical form
+    else {
+      val last = pending(i - 1)
+      if (last.idx + 1 == last.deltaLen) LakeOffset(last.snapshotId) // snapshot boundary
+      else LakeOffset(last.snapshotId, last.idx + 1) // mid-snapshot
+    }
+  }
+
+  override def deserializeOffset(json: String): Offset = LakeOffset.parse(json)
+
+  /** One not-yet-consumed data file, annotated with its position in its
+    * snapshot's path-ordered delta.
+    */
+  private case class PendingFile(snapshotId: Long, idx: Int, deltaLen: Int, file: DataFileMeta)
+
+  private val appendOps = Set("append", "stream-append", "create", "stage-append",
+    "publish", "rewrite-manifests")
+
+  /** The snapshots in `(startId, endId]` along `endId`'s parent chain,
+    * oldest first, each paired with its parent id. Falls back to the flat
+    * id-ordered walk for legacy documents without parent stamps. Fails
+    * fast on any non-append snapshot (its delta would lie).
+    */
+  private def lineageBetween(meta: TableMeta, startId: Long, endId: Long): Seq[(SnapshotMeta, Long)] = {
+    if (endId <= startId) return Nil
+    var chain = List.empty[(SnapshotMeta, Long)]
+    var curId = endId
+    var legacy = false
+    while (curId > startId && !legacy) {
+      val snap = meta.snapshot(curId).getOrElse(throw new IllegalStateException(
+        s"stream over $ident: snapshot $curId no longer exists"))
+      if (snap.parentId <= 0) legacy = true
+      else {
+        chain = (snap, snap.parentId) :: chain
+        curId = snap.parentId
+      }
+    }
+    val resolved =
+      if (!legacy) chain
+      else {
+        // pre-WAP documents: lineage is the id order, parent = predecessor
+        val flat = meta.snapshots.filter(x => x.snapshotId > startId && x.snapshotId <= endId)
+          .sortBy(_.snapshotId)
+        val below = meta.snapshots.filter(_.snapshotId <= startId)
+          .sortBy(_.snapshotId).lastOption.map(_.snapshotId).getOrElse(0L)
+        flat.zip(below +: flat.map(_.snapshotId)).map { case (s, p) => (s, p) }
+      }
+    resolved.foreach { case (snap, _) =>
+      if (!appendOps(snap.operation))
         throw new IllegalStateException(
           s"stream over $ident: snapshot ${snap.snapshotId} is '${snap.operation}' — " +
             "incremental reads support append-only history")
     }
-    val before = filesAsOf(meta, s).map(_.path).toSet
-    val delta = filesAsOf(meta, e).filterNot(f => before.contains(f.path))
-    if (delta.isEmpty) return Array.empty
-    innerBatch(delta).planInputPartitions()
+    resolved
+  }
+
+  /** A snapshot's added files vs its parent, in deterministic path order. */
+  private def deltaOf(meta: TableMeta, snap: SnapshotMeta, parentId: Long): Seq[DataFileMeta] = {
+    val before =
+      if (parentId <= 0) Set.empty[String]
+      else meta.snapshot(parentId) match {
+        case Some(p) => meta.filesOf(p).map(_.path).toSet
+        case None => throw new IllegalStateException(
+          s"stream over $ident: snapshot $parentId no longer exists")
+      }
+    meta.filesOf(snap).filterNot(f => before.contains(f.path)).sortBy(_.path)
+  }
+
+  /** Every file past `start` up to `headId`, in consumption order. */
+  private def pendingFiles(meta: TableMeta, start: LakeOffset, headId: Long): Seq[PendingFile] = {
+    val tail: Seq[PendingFile] =
+      if (start.pos < 0) Nil // start snapshot fully consumed
+      else {
+        val snap = meta.snapshot(start.snapshotId).getOrElse(throw new IllegalStateException(
+          s"stream over $ident: snapshot ${start.snapshotId} no longer exists"))
+        val d = deltaOf(meta, snap, snap.parentId)
+        d.zipWithIndex.drop(start.pos).map { case (f, i) => PendingFile(snap.snapshotId, i, d.size, f) }
+      }
+    tail ++ lineageBetween(meta, start.snapshotId, headId).flatMap { case (snap, parent) =>
+      val d = deltaOf(meta, snap, parent)
+      d.zipWithIndex.map { case (f, i) => PendingFile(snap.snapshotId, i, d.size, f) }
+    }
+  }
+
+  private def flatten(limit: ReadLimit): Seq[ReadLimit] = limit match {
+    case c: CompositeReadLimit => c.getReadLimits.toSeq
+    case x => Seq(x)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[LakeOffset]
+    val e = end.asInstanceOf[LakeOffset]
+    // order offsets as (snapshot, pos) with pos = -1 meaning "past the end"
+    def rank(o: LakeOffset): (Long, Long) =
+      (o.snapshotId, if (o.pos < 0) Long.MaxValue else o.pos.toLong)
+    if (Ordering[(Long, Long)].lteq(rank(e), rank(s))) return Array.empty
+    val meta = refresh()
+    val files = pendingFiles(meta, s, e.snapshotId).filter { p =>
+      p.snapshotId < e.snapshotId || e.pos < 0 || p.idx < e.pos
+    }.map(_.file)
+    if (files.isEmpty) return Array.empty
+    innerBatch(files).planInputPartitions()
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -160,6 +160,99 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L), (2L, 4L), (3L, 6L)))
   }
 
+  test("admission control: max-files-per-trigger bounds each micro-batch") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.stream")
+    spark.sql("DROP TABLE IF EXISTS lake.stream.rl")
+    spark.sql("CREATE TABLE lake.stream.rl (id BIGINT)")
+    spark.range(6).repartition(3).writeTo("lake.stream.rl").append() // ONE snapshot, 3 files
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.option("max-files-per-trigger", "1").table("lake.stream.rl")
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = df.count()
+        batchSizes.synchronized { if (n > 0) batchSizes += n }
+        ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    val sizes = batchSizes.synchronized(batchSizes.toSeq)
+    assert(sizes.sum == 6)
+    assert(sizes == Seq(2L, 2L, 2L),
+      s"one 3-file snapshot must arrive as 3 one-file batches, got $sizes")
+  }
+
+  test("admission control: max-rows-per-trigger packs whole files up to the row cap") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.stream")
+    spark.sql("DROP TABLE IF EXISTS lake.stream.rr")
+    spark.sql("CREATE TABLE lake.stream.rr (id BIGINT)")
+    spark.range(6).repartition(3).writeTo("lake.stream.rr").append() // 3 files x 2 rows
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.option("max-rows-per-trigger", "4").table("lake.stream.rr")
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = df.count()
+        batchSizes.synchronized { if (n > 0) batchSizes += n }
+        ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    val sizes = batchSizes.synchronized(batchSizes.toSeq)
+    assert(sizes == Seq(4L, 2L), s"expected a 2-file batch then a 1-file batch, got $sizes")
+  }
+
+  test("Trigger.AvailableNow drains the table in rate-limited batches, then stops") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.stream")
+    spark.sql("DROP TABLE IF EXISTS lake.stream.an")
+    spark.sql("CREATE TABLE lake.stream.an (id BIGINT)")
+    spark.range(6).repartition(3).writeTo("lake.stream.an").append()
+    val q = spark.readStream.option("max-files-per-trigger", "1").table("lake.stream.an")
+      .writeStream.format("memory").queryName("an_out").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+    assert(spark.table("an_out").count() == 6, "every pre-existing row arrives before it stops")
+  }
+
+  test("stream offsets: legacy and mid-snapshot forms; rate-limited walk is deterministic") {
+    import graft.catalog.LakeOffset
+    // offset wire format: legacy checkpoints ("123") keep their meaning
+    assert(LakeOffset.parse("5") == LakeOffset(5) && LakeOffset(5).json == "5")
+    assert(LakeOffset.parse("5:2") == LakeOffset(5, 2) && LakeOffset(5, 2).json == "5:2")
+
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.stream")
+    spark.sql("DROP TABLE IF EXISTS lake.stream.ofs")
+    spark.sql("CREATE TABLE lake.stream.ofs (id BIGINT)")
+    spark.range(6).repartition(3).writeTo("lake.stream.ofs").append()
+    val t = {
+      import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+      spark.sessionState.catalogManager.catalog("lake").asInstanceOf[TableCatalog]
+        .loadTable(Identifier.of(Array("stream"), "ofs")).asInstanceOf[graft.catalog.LakeTable]
+    }
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("max-files-per-trigger", "1"))
+    val stream = t.newScanBuilder(opts).build().toMicroBatchStream("")
+    val ac = stream.asInstanceOf[org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl]
+    def filesIn(ps: Array[org.apache.spark.sql.connector.read.InputPartition]): Int =
+      ps.map(_.asInstanceOf[org.apache.spark.sql.execution.datasources.FilePartition].files.length).sum
+
+    val start = stream.initialOffset().asInstanceOf[LakeOffset]
+    val limit = ac.getDefaultReadLimit
+    val o1 = ac.latestOffset(start, limit).asInstanceOf[LakeOffset]
+    val o2 = ac.latestOffset(o1, limit).asInstanceOf[LakeOffset]
+    val o3 = ac.latestOffset(o2, limit).asInstanceOf[LakeOffset]
+    assert(o1.pos == 1 && o2.pos == 2, s"mid-snapshot offsets expected, got $o1 $o2")
+    assert(o3.pos == -1, "the final file lands on the snapshot boundary, canonical form")
+    assert(o1.snapshotId == o3.snapshotId)
+    // each step plans exactly one file; a replayed larger range (restart
+    // from a checkpoint) resolves the SAME files
+    assert(filesIn(stream.planInputPartitions(start, o1)) == 1)
+    assert(filesIn(stream.planInputPartitions(o1, o3)) == 2)
+    assert(filesIn(stream.planInputPartitions(start, o3)) == 3)
+    assert(stream.planInputPartitions(o3, o3).isEmpty)
+    // drained: the offset must not advance (Spark's "no new data" signal)
+    assert(ac.latestOffset(o3, limit) == o3)
+  }
+
   test("session windows (batch replay): gap merging produces hand-computed sessions") {
     import spark.implicits._
     val df = Seq[Ev](
