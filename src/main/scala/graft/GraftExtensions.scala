@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType}
 
-import graft.functions.{CosineSim, DecodeAudio, DecodeImage, ExplodeHammingPairs, ExplodeNgrams, ExplodePairs, MinHashSignature, SampleFrames, SigMatchCount, SimHash, SortedIntersectSize, SrpBands, WinnowFingerprints, WordNgrams}
+import graft.functions.{CosineSim, DecodeAudio, DecodeImage, ExplodeHammingPairs, ExplodeNgrams, ExplodePairs, MinHashSignature, PqAdc, PqEncode, SampleFrames, SigMatchCount, SimHash, SortedIntersectSize, SrpBands, WinnowFingerprints, WordNgrams}
 
 /** Session extensions registering the engine's custom codegen expressions
   * as SQL functions — the Spark-idiomatic extension point
@@ -68,6 +68,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"srp_bands(embedding, numBands, bitsPerBand[, seed]): bad args $other")
         }
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("pq_encode"),
+      info("pq_encode",
+        "pq_encode(embedding, codebook, m, ksub) - product-quantization codes array<tinyint> of an array<float>"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, Literal(cb: org.apache.spark.sql.catalyst.util.ArrayData, ArrayType(FloatType, _)),
+            Literal(m: Int, IntegerType), Literal(k: Int, IntegerType)) =>
+          PqEncode(c, cb.toFloatArray(), m, k)
+        case other => throw new IllegalArgumentException(
+          s"pq_encode(embedding, codebook, m, ksub): bad args $other")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("pq_adc"),
+      info("pq_adc",
+        "pq_adc(codes, lut, ksub) - asymmetric-distance score (approx inner product) of PQ codes against a query lookup table"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, Literal(lut: org.apache.spark.sql.catalyst.util.ArrayData, ArrayType(FloatType, _)),
+            Literal(k: Int, IntegerType)) =>
+          PqAdc(c, lut.toFloatArray(), k)
+        case other => throw new IllegalArgumentException(
+          s"pq_adc(codes, lut, ksub): bad args $other")
       }))
 
     ext.injectFunction((

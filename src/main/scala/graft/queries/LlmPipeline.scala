@@ -366,6 +366,33 @@ object LlmPipeline {
       AnnIndex.probeSrpIndex(s, "lake.idx.emb_bands", emb, queryVecId = 0L)
     },
 
+    // ───── q68: ANN top-k via product quantization (the MEMORY-scale path) ─
+    // q38/q51 cut the candidate COUNT; PQ cuts the candidate SIZE: every
+    // vector compresses to m=16 centroid-code bytes (16x vs the 64 floats),
+    // the probe scores ALL of them with a per-query lookup table (ADC, full
+    // codegen — m array reads per row), and only the top-50 shortlist is
+    // re-ranked against the real floats. Training = per-subspace k-means as
+    // hash aggregations (the q51 pattern); at 100 TB the codes fit where
+    // the floats never could, and the scan is pure sequential lookups.
+    // LlmSpec pins recall@10 vs the q26 brute-force oracle.
+    QueryDef.unoracled("q68_ann_pq") { (s, dir) =>
+      PqAnn.topK(s, t(s, dir, "embeddings"), queryVecId = 0L)
+    },
+
+    // ───── q69: PQ probe against the MATERIALIZED catalog index ──────────
+    // q52's composition, PQ edition: one scan encodes the corpus into a
+    // lake table of m-byte code arrays, the trained codebook persists
+    // base64-packed in the table properties (the index is self-describing —
+    // later sessions probe without retraining), and a probe scans ONLY the
+    // codes table (ADC codegen) before the float re-rank touches just the
+    // shortlist. AnnIndexSpec asserts probe/inline parity and that the
+    // codes table is the only corpus-wide read.
+    QueryDef.unoracled("q69_ann_pq_index") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      PqAnn.buildPqIndex(s, emb, "lake.idx.emb_pq")
+      PqAnn.probePqIndex(s, "lake.idx.emb_pq", emb, queryVecId = 0L)
+    },
+
     // ───── q40: embedding-cosine near-dup pairs (dedup family) ───────────
     // Same LSH-bucketed candidate generation, symmetric: pairs colliding on
     // any of 16 8-bit bands, exact cosine verify at 0.95. With 128 signature

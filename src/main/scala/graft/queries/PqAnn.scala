@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PqOps
+import graft.functions.TextHashing.cosineSim
+
+/** Product-quantization ANN (Jégou et al. 2011) — the memory-scale path
+  * that completes the ANN family (q26 brute force, q38/q52 LSH buckets,
+  * q51 IVF cells): compress every vector to `m` bytes of centroid codes,
+  * scan the CODES with a per-query lookup table (ADC), exact-re-rank only
+  * the short candidate list. At 100 TB the float corpus never fits anywhere
+  * — its PQ codes (m bytes vs 4·D) fit in a fraction of the cluster's page
+  * cache, so the probe's full "scan" is over ~1/128th of the data, all of
+  * it codegen table lookups.
+  *
+  * Training is distributed (per-subspace k-means as hash-agg over the
+  * corpus — hash-seeded assignment plus Lloyd refinements, the q51
+  * pattern); only the m × ksub × subDim centroid floats are collected:
+  * planning metadata, like every ANN library's trained index header.
+  */
+object PqAnn {
+
+  /** Squared L2 distance of two float arrays (the PQ training metric),
+    * as higher-order functions — training-path only; the probe-path hot
+    * loops are the codegen pq_encode/pq_adc expressions.
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0d), (acc, v) => acc + v)
+
+  /** Train per-subspace codebooks over `emb.embedding` (array<float>,
+    * fixed dim divisible by m). Returns the flat codebook
+    * `cb[(sub*ksub + cell)*subDim + d]`; cells that end up empty keep a
+    * sentinel far-away centroid (1e18) so encode never selects them.
+    */
+  def train(s: SparkSession, emb: DataFrame, m: Int, ksub: Int, iters: Int = 2): Array[Float] = {
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"pq train: dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val vavg = udaf(graft.functions.VectorAvg)
+
+    // one row per (vector, subspace): the m slices of each embedding
+    val subs = emb.select(col("vec_id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        i => slice(col("embedding"), i * subDim + 1, lit(subDim)))).as(Seq("sub", "svec")))
+
+    def centroidsOf(assigned: DataFrame): DataFrame = assigned
+      .groupBy("sub", "cell").agg(vavg(col("svec")).as("cvec"))
+      .select(col("sub").as("c_sub"), col("cell").as("c_cell"),
+        transform(col("cvec"), x => x.cast("float")).as("c_vec"))
+
+    // deterministic hash seeding, then Lloyd refinements; assignment is ONE
+    // hash aggregation per pass (min_by over a broadcast centroid join)
+    var cents = centroidsOf(subs.withColumn(
+      "cell", pmod(xxhash64(col("vec_id"), col("sub")), lit(ksub)).cast("int")))
+    var it = 0
+    while (it < iters) {
+      val assigned = subs.join(broadcast(cents), col("sub") === col("c_sub"))
+        .withColumn("dist", l2sq(col("svec"), col("c_vec")))
+        .groupBy("vec_id", "sub")
+        .agg(first(col("svec")).as("svec"),
+          min_by(col("c_cell"), struct(col("dist"), col("c_cell"))).as("cell"))
+      cents = centroidsOf(assigned)
+      it += 1
+    }
+
+    val out = Array.fill(m * ksub * subDim)(1e18f) // empty-cell sentinel
+    cents.collect().foreach { r =>
+      val sub = r.getAs[Int]("c_sub")
+      val cell = r.getAs[Int]("c_cell")
+      val vec = r.getAs[scala.collection.Seq[Float]]("c_vec")
+      var d = 0
+      while (d < subDim) { out((sub * ksub + cell) * subDim + d) = vec(d); d += 1 }
+    }
+    out
+  }
+
+  /** End-to-end PQ probe: train, encode (one scan → m bytes/vector), ADC
+    * top-`rerank` shortlist, exact cosine re-rank → top-`k`. The corpus
+    * embeddings are unit vectors, so the inner-product LUT scores
+    * approximate cosine directly.
+    */
+  def topK(s: SparkSession, emb: DataFrame, queryVecId: Long, k: Int = 10,
+      m: Int = 16, ksub: Int = 16, rerank: Int = 50): DataFrame = {
+    val base = emb.select(col("vec_id"), col("label").cast("int").as("label"), col("embedding"))
+    val cb = train(s, base, m, ksub)
+    val qvec = base.filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).head().getAs[scala.collection.Seq[Float]](0).toArray
+    val lut = PqOps.ipLut(qvec, cb, m, ksub)
+    // encode + ADC fused in one codegen scan here (end-to-end demo); the
+    // materialized variant below scans PRE-ENCODED codes, m bytes/vector
+    val shortlist = base.filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"),
+        PqOps.pqAdc(PqOps.pqEncode(col("embedding"), cb, m, ksub), lut, ksub).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(rerank)
+      .select(col("vec_id"))
+    // exact re-rank of the shortlist only (broadcast semi-join back to floats)
+    val q = broadcast(base.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qe")))
+    base.join(broadcast(shortlist), "vec_id")
+      .crossJoin(q)
+      .select(col("vec_id"), col("label"), cosineSim(col("embedding"), col("qe")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Build (replace) the MATERIALIZED PQ index as a lake table: one scan of
+    * the corpus encodes every vector to m bytes; the trained codebook is
+    * persisted base64-packed in the table's properties, so the index is
+    * fully self-describing in the catalog — any later session probes it
+    * without retraining. The 100 TB float corpus reduces to codes a probe
+    * can scan wholesale.
+    */
+  def buildPqIndex(s: SparkSession, emb: DataFrame, indexTable: String,
+      m: Int = 16, ksub: Int = 16): Unit = {
+    val base = emb.select(col("vec_id"), col("label").cast("int").as("label"), col("embedding"))
+    val cb = train(s, base, m, ksub)
+    val ns = indexTable.split('.').dropRight(1).mkString(".")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $ns")
+    s.sql(s"DROP TABLE IF EXISTS $indexTable")
+    s.sql(s"CREATE TABLE $indexTable (vec_id BIGINT, label INT, codes ARRAY<TINYINT>)")
+    s.sql(s"ALTER TABLE $indexTable SET TBLPROPERTIES (" +
+      s"'pq.codebook'='${packFloats(cb)}', 'pq.m'='$m', 'pq.ksub'='$ksub')")
+    base.select(col("vec_id"), col("label"),
+        PqOps.pqEncode(col("embedding"), cb, m, ksub).as("codes"))
+      .writeTo(indexTable).append()
+  }
+
+  /** Top-k probe against the materialized index: read the codebook from
+    * the table properties, scan ONLY the codes table with the ADC
+    * expression, re-rank the shortlist against the float corpus.
+    */
+  def probePqIndex(s: SparkSession, indexTable: String, emb: DataFrame,
+      queryVecId: Long, k: Int = 10, rerank: Int = 50): DataFrame = {
+    val props = {
+      val rows = s.sql(s"SHOW TBLPROPERTIES $indexTable").collect()
+      rows.map(r => r.getString(0) -> r.getString(1)).toMap
+    }
+    val cb = unpackFloats(props("pq.codebook"))
+    val m = props("pq.m").toInt
+    val ksub = props("pq.ksub").toInt
+    val base = emb.select(col("vec_id"), col("label").cast("int").as("label"), col("embedding"))
+    val qvec = base.filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).head().getAs[scala.collection.Seq[Float]](0).toArray
+    val lut = PqOps.ipLut(qvec, cb, m, ksub)
+    val shortlist = s.table(indexTable)
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), PqOps.pqAdc(col("codes"), lut, ksub).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(rerank)
+      .select(col("vec_id"))
+    val q = broadcast(base.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qe")))
+    base.join(broadcast(shortlist), "vec_id")
+      .crossJoin(q)
+      .select(col("vec_id"), col("label"), cosineSim(col("embedding"), col("qe")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Base64 of the little-endian float bytes — the codebook's wire form in
+    * table properties (m·ksub·subDim floats ≈ a few KB).
+    */
+  private[graft] def packFloats(a: Array[Float]): String = {
+    val bb = java.nio.ByteBuffer.allocate(a.length * 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    a.foreach(bb.putFloat)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  private[graft] def unpackFloats(s: String): Array[Float] = {
+    val bb = java.nio.ByteBuffer.wrap(java.util.Base64.getDecoder.decode(s))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Array.fill(bb.remaining() / 4)(bb.getFloat)
+  }
+}
