@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, StringType}
 
-import graft.functions.{CosineSim, DecodeAudio, DecodeImage, ExplodeHammingPairs, ExplodeNgrams, ExplodePairs, MinHashSignature, PqAdc, PqEncode, SampleFrames, SigMatchCount, SimHash, SortedIntersectSize, SrpBands, WinnowFingerprints, WordNgrams}
+import graft.functions.{BpeEncode, CosineSim, DecodeAudio, DecodeImage, ExplodeHammingPairs, ExplodeNgrams, ExplodePairs, MinHashSignature, PqAdc, PqEncode, SampleFrames, SigMatchCount, SimHash, SortedIntersectSize, SrpBands, WinnowFingerprints, WordNgrams}
 
 /** Session extensions registering the engine's custom codegen expressions
   * as SQL functions — the Spark-idiomatic extension point
@@ -92,6 +92,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           PqAdc(c, lut.toFloatArray(), k)
         case other => throw new IllegalArgumentException(
           s"pq_adc(codes, lut, ksub): bad args $other")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("bpe_encode"),
+      info("bpe_encode",
+        "bpe_encode(text, merges) - trained-subword BPE tokens array<string> of a text column"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, Literal(ms: org.apache.spark.sql.catalyst.util.ArrayData, ArrayType(StringType, _))) =>
+          BpeEncode(c, ms.toObjectArray(StringType).map(_.toString))
+        case other => throw new IllegalArgumentException(
+          s"bpe_encode(text, merges): bad args $other")
       }))
 
     ext.injectFunction((

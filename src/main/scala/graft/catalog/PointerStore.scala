@@ -24,7 +24,19 @@ import java.sql.{Connection, DriverManager, SQLException, SQLIntegrityConstraint
   */
 final class PointerStore(jdbcUrl: String, catalogName: String) extends AutoCloseable {
 
-  private val conn: Connection = DriverManager.getConnection(jdbcUrl)
+  // Not a val: Derby (and real JDBC drivers) close the connection when a
+  // thread is INTERRUPTED mid-call — e.g. a streaming query's stop()
+  // interrupts its micro-batch thread while a trigger's refresh() is inside
+  // store.load(). One killed connection must not brick the catalog for
+  // every other caller, so each entry point revalidates and reopens. The
+  // failing call itself still throws (its thread is being torn down); the
+  // NEXT caller heals.
+  private var conn: Connection = DriverManager.getConnection(jdbcUrl)
+
+  private def connection: Connection = {
+    if (conn == null || conn.isClosed) conn = DriverManager.getConnection(jdbcUrl)
+    conn
+  }
 
   /** Idempotent bootstrap, the reference's `initialize` (mod.rs:362-391). */
   def initialize(): Unit = synchronized {
@@ -46,7 +58,7 @@ final class PointerStore(jdbcUrl: String, catalogName: String) extends AutoClose
   }
 
   private def createIfMissing(ddl: String): Unit = {
-    val st = conn.createStatement()
+    val st = connection.createStatement()
     try st.execute(ddl)
     catch {
       // Derby: X0Y32 "already exists"; Postgres: 42P07 duplicate_table.
@@ -56,7 +68,7 @@ final class PointerStore(jdbcUrl: String, catalogName: String) extends AutoClose
 
   /** reference list_tables (mod.rs:56-96). */
   def listTables(namespace: String): Seq[String] = synchronized {
-    val ps = conn.prepareStatement(
+    val ps = connection.prepareStatement(
       "SELECT table_name FROM iceberg_tables WHERE catalog_name = ? AND table_namespace = ?")
     try {
       ps.setString(1, catalogName); ps.setString(2, namespace)
@@ -69,7 +81,7 @@ final class PointerStore(jdbcUrl: String, catalogName: String) extends AutoClose
 
   /** reference table_exists (mod.rs:107-136). */
   def tableExists(namespace: String, name: String): Boolean = synchronized {
-    val ps = conn.prepareStatement(
+    val ps = connection.prepareStatement(
       "SELECT 1 FROM iceberg_tables WHERE catalog_name = ? AND table_namespace = ? AND table_name = ?")
     try {
       ps.setString(1, catalogName); ps.setString(2, namespace); ps.setString(3, name)
@@ -82,7 +94,7 @@ final class PointerStore(jdbcUrl: String, catalogName: String) extends AutoClose
     * "already exists" path, mod.rs:285-288).
     */
   def register(namespace: String, name: String, metadataLocation: String): Boolean = synchronized {
-    val ps = conn.prepareStatement(
+    val ps = connection.prepareStatement(
       """INSERT INTO iceberg_tables
         |  (catalog_name, table_namespace, table_name, metadata_location, previous_metadata_location)
         |  VALUES (?, ?, ?, ?, NULL)""".stripMargin)
@@ -101,7 +113,7 @@ final class PointerStore(jdbcUrl: String, catalogName: String) extends AutoClose
     * reference's invariant check (mod.rs:229-235).
     */
   def load(namespace: String, name: String): Option[String] = synchronized {
-    val ps = conn.prepareStatement(
+    val ps = connection.prepareStatement(
       "SELECT metadata_location FROM iceberg_tables WHERE catalog_name = ? AND table_namespace = ? AND table_name = ?")
     try {
       ps.setString(1, catalogName); ps.setString(2, namespace); ps.setString(3, name)
@@ -117,7 +129,7 @@ final class PointerStore(jdbcUrl: String, catalogName: String) extends AutoClose
     */
   def casUpdate(namespace: String, name: String, newLocation: String,
       expectedLocation: String): Int = synchronized {
-    val ps = conn.prepareStatement(
+    val ps = connection.prepareStatement(
       """UPDATE iceberg_tables
         |  SET metadata_location = ?, previous_metadata_location = ?
         |  WHERE catalog_name = ? AND table_namespace = ? AND table_name = ?
@@ -134,7 +146,7 @@ final class PointerStore(jdbcUrl: String, catalogName: String) extends AutoClose
     * surfaced as the boolean (0 rows = table didn't exist).
     */
   def drop(namespace: String, name: String): Boolean = synchronized {
-    val ps = conn.prepareStatement(
+    val ps = connection.prepareStatement(
       "DELETE FROM iceberg_tables WHERE catalog_name = ? AND table_namespace = ? AND table_name = ?")
     try {
       ps.setString(1, catalogName); ps.setString(2, namespace); ps.setString(3, name)
@@ -149,7 +161,7 @@ final class PointerStore(jdbcUrl: String, catalogName: String) extends AutoClose
     */
   def rename(fromNs: String, fromName: String, toNs: String, toName: String): PointerStore.RenameResult =
     synchronized {
-      val ps = conn.prepareStatement(
+      val ps = connection.prepareStatement(
         """UPDATE iceberg_tables SET table_namespace = ?, table_name = ?
           |  WHERE catalog_name = ? AND table_namespace = ? AND table_name = ?""".stripMargin)
       try {
@@ -165,7 +177,7 @@ final class PointerStore(jdbcUrl: String, catalogName: String) extends AutoClose
   // ── namespace CRUD (SupportsNamespaces backing) ────────────────────────
 
   def createNamespace(namespace: String): Boolean = synchronized {
-    val ps = conn.prepareStatement(
+    val ps = connection.prepareStatement(
       "INSERT INTO graft_namespaces (catalog_name, namespace) VALUES (?, ?)")
     try {
       ps.setString(1, catalogName); ps.setString(2, namespace)
@@ -177,7 +189,7 @@ final class PointerStore(jdbcUrl: String, catalogName: String) extends AutoClose
   }
 
   def dropNamespace(namespace: String): Boolean = synchronized {
-    val ps = conn.prepareStatement(
+    val ps = connection.prepareStatement(
       "DELETE FROM graft_namespaces WHERE catalog_name = ? AND namespace = ?")
     try {
       ps.setString(1, catalogName); ps.setString(2, namespace)
@@ -189,7 +201,7 @@ final class PointerStore(jdbcUrl: String, catalogName: String) extends AutoClose
     * reference knows only the implied kind).
     */
   def listNamespaces(): Seq[String] = synchronized {
-    val ps = conn.prepareStatement(
+    val ps = connection.prepareStatement(
       """SELECT namespace FROM graft_namespaces WHERE catalog_name = ?
         |UNION
         |SELECT table_namespace FROM iceberg_tables WHERE catalog_name = ?""".stripMargin)
@@ -205,7 +217,7 @@ final class PointerStore(jdbcUrl: String, catalogName: String) extends AutoClose
   def namespaceExists(namespace: String): Boolean =
     listNamespaces().contains(namespace)
 
-  override def close(): Unit = synchronized(conn.close())
+  override def close(): Unit = synchronized { if (conn != null) conn.close() }
 }
 
 object PointerStore {

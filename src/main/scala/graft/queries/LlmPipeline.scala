@@ -83,6 +83,22 @@ object LlmPipeline {
       .orderBy("id_a", "id_b")
   }
 
+  /** Train BPE merges over a corpus: ONE distributed pass builds the word
+    * histogram (top `maxTypes` by count — the cap that bounds driver work
+    * at any corpus size), the classic merge loop runs on the driver over
+    * that histogram. Deterministic: ties break lexicographically, the
+    * histogram order is total.
+    */
+  def trainBpe(docs: DataFrame, numMerges: Int, maxTypes: Int = 20000): Array[String] = {
+    val hist = docs.select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxTypes)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    graft.functions.Bpe.trainMerges(hist, numMerges)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ───── q26: brute-force cosine top-k over embeddings ─────────────────
@@ -391,6 +407,25 @@ object LlmPipeline {
       val emb = t(s, dir, "embeddings")
       PqAnn.buildPqIndex(s, emb, "lake.idx.emb_pq")
       PqAnn.probePqIndex(s, "lake.idx.emb_pq", emb, queryVecId = 0L)
+    },
+
+    // ───── q71: trained BPE tokenizer (the real-tokenizer upgrade) ───────
+    // q39 counts tokens with a regex; this TRAINS a byte-pair-encoding
+    // vocabulary on the corpus and tokenizes with it — the 100 TB split is
+    // one groupBy(word) histogram pass (top-N capped, so driver work is
+    // bounded at any corpus size) + a driver merge loop + a codegen encode
+    // expression carrying the merge ranks. Output: the 25 most frequent
+    // LEARNED subwords (length > 1 = actual merges, not seed characters).
+    // BpeSpec pins hand-computed merges, the encode/decode roundtrip, and
+    // codegen agreement.
+    QueryDef.unoracled("q71_bpe_tokens") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val merges = trainBpe(docs, numMerges = 200)
+      docs.select(explode(graft.functions.Bpe.bpeEncode(col("text"), merges)).as("token"))
+        .filter(length(col("token")) > 1)
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(25)
     },
 
     // ───── q40: embedding-cosine near-dup pairs (dedup family) ───────────

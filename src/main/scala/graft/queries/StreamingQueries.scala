@@ -145,5 +145,48 @@ object StreamingQueries {
         .withColumn("session_start", col("session_start").cast("timestamp_ntz"))
         .withColumn("session_end", col("session_end").cast("timestamp_ntz"))
         .orderBy("user_id", "session_start")
+    },
+
+    // ───── q70: resample + gap-fill (the time-series densification op) ───
+    // Hourly per-user averages forward-filled onto a dense per-user hour
+    // grid — the resample/ffill primitive every metrics pipeline needs and
+    // Spark has no single operator for. Composed the scalable way: ONE
+    // aggregation to hourly points, a per-user sequence() explode for the
+    // grid (rows ∝ output, never events × grid), and last(ignoreNulls) over
+    // a running frame for the fill — one shuffle on user_id end to end,
+    // since the hourly agg, the grid join and the fill window all cluster
+    // the same key. The decimal-sum discipline keeps the hourly averages
+    // bit-identical to the oracle.
+    QueryDef.df(
+      "q70_resample_ffill",
+      """WITH obs AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS v
+        |  FROM events WHERE user_id < 5 GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(min(hour), max(hour),
+        |    INTERVAL 1 HOUR)) AS hour
+        |  FROM obs GROUP BY user_id),
+        |joined AS (
+        |  SELECT g.user_id, g.hour, o.v
+        |  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.hour = o.hour)
+        |SELECT user_id, hour,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
+        |FROM joined ORDER BY user_id, hour""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val obs = t(s, dir, "events").filter(col("user_id") < 5)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+        .agg((sum(col("value").cast("decimal(18,6)")).cast("double") / count(lit(1))).as("v"))
+      val grid = obs.groupBy("user_id")
+        .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hour"))
+      val w = Window.partitionBy("user_id").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(obs, Seq("user_id", "hour"), "left")
+        .select(col("user_id"), col("hour").cast("timestamp_ntz").as("hour"),
+          last(col("v"), ignoreNulls = true).over(w).as("v_fill"))
+        .orderBy("user_id", "hour")
     })
 }

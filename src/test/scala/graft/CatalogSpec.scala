@@ -73,6 +73,18 @@ class PointerStoreSpec extends AnyFunSuite {
     assert(results.count(_ == 0) == 7)
   }
 
+  test("a killed JDBC connection heals: the next call reopens, state intact") {
+    // Derby closes the connection when a thread is interrupted mid-call
+    // (e.g. a streaming query's stop() lands inside a trigger's
+    // store.load()). One dead connection must not brick the catalog.
+    val store = freshStore("heal")
+    assert(store.register("ns", "t", "/a.json"))
+    store.close() // simulate the interrupt-killed connection
+    assert(store.load("ns", "t").contains("/a.json"),
+      "operations after connection loss reconnect and see the same database")
+    assert(store.casUpdate("ns", "t", "/b.json", "/a.json") == 1)
+  }
+
   test("drop of nonexistent table reports false (exactly-one check, mod.rs:163-174)") {
     val store = freshStore("dropmiss")
     assert(!store.drop("ns", "missing"))

@@ -79,7 +79,11 @@ class GoldenSpec extends AnyFunSuite {
     "q64_merge_equality" -> 8L,
     "q65_stats_agg_pushdown" -> 1L,
     "q66_branch_roundtrip" -> 10L,
-    "q67_audio_decode" -> 21L)
+    "q67_audio_decode" -> 21L,
+    "q68_ann_pq" -> 10L,
+    "q69_ann_pq_index" -> 10L,
+    "q70_resample_ffill" -> 3485L,
+    "q71_bpe_tokens" -> 25L)
 
   test("every registered query has a golden count (add one when adding a query)") {
     assert(SparkEntry.queries.keySet == golden.keySet,
