@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, StringType}
 
-import graft.functions.{BpeEncode, CosineSim, DecodeAudio, DecodeImage, ExplodeHammingPairs, ExplodeNgrams, ExplodePairs, MinHashSignature, PqAdc, PqEncode, SampleFrames, SigMatchCount, SimHash, SortedIntersectSize, SrpBands, WinnowFingerprints, WordNgrams}
+import graft.functions.{BpeEncode, CosineSim, L2Sq, DecodeAudio, DecodeImage, ExplodeHammingPairs, ExplodeNgrams, ExplodePairs, MinHashSignature, PqAdc, PqEncode, SampleFrames, SigMatchCount, SimHash, SortedIntersectSize, SrpBands, WinnowFingerprints, WordNgrams}
 
 /** Session extensions registering the engine's custom codegen expressions
   * as SQL functions — the Spark-idiomatic extension point
@@ -92,6 +92,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           PqAdc(c, lut.toFloatArray(), k)
         case other => throw new IllegalArgumentException(
           s"pq_adc(codes, lut, ksub): bad args $other")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("l2_sq"),
+      info("l2_sq", "l2_sq(a, b) - squared euclidean distance of two array<float> vectors"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => L2Sq(a, b)
+        case other => throw new IllegalArgumentException(s"l2_sq(a, b): bad args $other")
       }))
 
     ext.injectFunction((

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
@@ -42,6 +42,11 @@ object PqOps {
     */
   def pqAdc(codes: Column, lut: Array[Float], ksub: Int): Column =
     call_function("pq_adc", codes, lit(lut), lit(ksub))
+
+  /** Column API: squared L2 distance of two array<float> columns — the
+    * k-means assignment metric. Registered as `l2_sq`.
+    */
+  def l2Sq(a: Column, b: Column): Column = call_function("l2_sq", a, b)
 
   /** The query-side ADC lookup table: inner product of each of the query's
     * m subvectors with each of its subspace's ksub centroids. m*ksub floats
@@ -155,6 +160,60 @@ final case class PqEncode(child: Expression, codebook: Array[Float], m: Int, ksu
 
   override protected def withNewChildInternal(newChild: Expression): PqEncode =
     copy(child = newChild)
+}
+
+/** `l2_sq(a, b) -> double`: squared euclidean distance of two float
+  * arrays. The k-means assignment hot loop (PQ training scores every
+  * subvector against every subspace centroid per Lloyd pass) — as an
+  * interpreted higher-order `aggregate(zip_with(...))` this dominated
+  * training time; as codegen it is one fused loop.
+  */
+final case class L2Sq(left: Expression, right: Expression) extends BinaryExpression {
+
+  private def isFloatArray(dt: DataType) = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float>, array<float>), got (${left.dataType}, ${right.dataType})")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_sq"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0d
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0d;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): L2Sq =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `pq_adc(codes, lut, ksub) -> float`: asymmetric distance computation —

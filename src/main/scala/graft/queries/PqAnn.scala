@@ -22,14 +22,11 @@ import graft.functions.TextHashing.cosineSim
   */
 object PqAnn {
 
-  /** Squared L2 distance of two float arrays (the PQ training metric),
-    * as higher-order functions — training-path only; the probe-path hot
-    * loops are the codegen pq_encode/pq_adc expressions.
+  /** Squared L2 distance (the k-means assignment metric) — the codegen
+    * `l2_sq` expression; as an interpreted `aggregate(zip_with(...))` this
+    * scored-pairs loop dominated training time.
     */
-  private def l2sq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-      lit(0d), (acc, v) => acc + v)
+  private def l2sq(a: Column, b: Column): Column = PqOps.l2Sq(a, b)
 
   /** Train per-subspace codebooks over `emb.embedding` (array<float>,
     * fixed dim divisible by m). Returns the flat codebook
@@ -42,40 +39,49 @@ object PqAnn {
     val subDim = dim / m
     val vavg = udaf(graft.functions.VectorAvg)
 
-    // one row per (vector, subspace): the m slices of each embedding
+    // one row per (vector, subspace): the m slices of each embedding.
+    // Persisted across the Lloyd passes — each pass re-reads the training
+    // set, and re-running the scan + explode lineage per pass triples the
+    // I/O for no reason. (At 100 TB the training set is a deterministic
+    // SAMPLE of the corpus — k-means on a few hundred thousand vectors
+    // saturates codebook quality; the cache holds the sample, not the
+    // corpus.)
     val subs = emb.select(col("vec_id"),
       posexplode(transform(sequence(lit(0), lit(m - 1)),
         i => slice(col("embedding"), i * subDim + 1, lit(subDim)))).as(Seq("sub", "svec")))
+      .persist()
 
-    def centroidsOf(assigned: DataFrame): DataFrame = assigned
-      .groupBy("sub", "cell").agg(vavg(col("svec")).as("cvec"))
-      .select(col("sub").as("c_sub"), col("cell").as("c_cell"),
-        transform(col("cvec"), x => x.cast("float")).as("c_vec"))
+    try {
+      def centroidsOf(assigned: DataFrame): DataFrame = assigned
+        .groupBy("sub", "cell").agg(vavg(col("svec")).as("cvec"))
+        .select(col("sub").as("c_sub"), col("cell").as("c_cell"),
+          transform(col("cvec"), x => x.cast("float")).as("c_vec"))
 
-    // deterministic hash seeding, then Lloyd refinements; assignment is ONE
-    // hash aggregation per pass (min_by over a broadcast centroid join)
-    var cents = centroidsOf(subs.withColumn(
-      "cell", pmod(xxhash64(col("vec_id"), col("sub")), lit(ksub)).cast("int")))
-    var it = 0
-    while (it < iters) {
-      val assigned = subs.join(broadcast(cents), col("sub") === col("c_sub"))
-        .withColumn("dist", l2sq(col("svec"), col("c_vec")))
-        .groupBy("vec_id", "sub")
-        .agg(first(col("svec")).as("svec"),
-          min_by(col("c_cell"), struct(col("dist"), col("c_cell"))).as("cell"))
-      cents = centroidsOf(assigned)
-      it += 1
-    }
+      // deterministic hash seeding, then Lloyd refinements; assignment is ONE
+      // hash aggregation per pass (min_by over a broadcast centroid join)
+      var cents = centroidsOf(subs.withColumn(
+        "cell", pmod(xxhash64(col("vec_id"), col("sub")), lit(ksub)).cast("int")))
+      var it = 0
+      while (it < iters) {
+        val assigned = subs.join(broadcast(cents), col("sub") === col("c_sub"))
+          .withColumn("dist", l2sq(col("svec"), col("c_vec")))
+          .groupBy("vec_id", "sub")
+          .agg(first(col("svec")).as("svec"),
+            min_by(col("c_cell"), struct(col("dist"), col("c_cell"))).as("cell"))
+        cents = centroidsOf(assigned)
+        it += 1
+      }
 
-    val out = Array.fill(m * ksub * subDim)(1e18f) // empty-cell sentinel
-    cents.collect().foreach { r =>
-      val sub = r.getAs[Int]("c_sub")
-      val cell = r.getAs[Int]("c_cell")
-      val vec = r.getAs[scala.collection.Seq[Float]]("c_vec")
-      var d = 0
-      while (d < subDim) { out((sub * ksub + cell) * subDim + d) = vec(d); d += 1 }
-    }
-    out
+      val out = Array.fill(m * ksub * subDim)(1e18f) // empty-cell sentinel
+      cents.collect().foreach { r =>
+        val sub = r.getAs[Int]("c_sub")
+        val cell = r.getAs[Int]("c_cell")
+        val vec = r.getAs[scala.collection.Seq[Float]]("c_vec")
+        var d = 0
+        while (d < subDim) { out((sub * ksub + cell) * subDim + d) = vec(d); d += 1 }
+      }
+      out
+    } finally subs.unpersist(blocking = false)
   }
 
   /** End-to-end PQ probe: train, encode (one scan → m bytes/vector), ADC

@@ -150,12 +150,14 @@ object StreamingQueries {
     // ───── q70: resample + gap-fill (the time-series densification op) ───
     // Hourly per-user averages forward-filled onto a dense per-user hour
     // grid — the resample/ffill primitive every metrics pipeline needs and
-    // Spark has no single operator for. Composed the scalable way: ONE
-    // aggregation to hourly points, a per-user sequence() explode for the
-    // grid (rows ∝ output, never events × grid), and last(ignoreNulls) over
-    // a running frame for the fill — one shuffle on user_id end to end,
-    // since the hourly agg, the grid join and the fill window all cluster
-    // the same key. The decimal-sum discipline keeps the hourly averages
+    // Spark has no single operator for. Composed the scalable way: raw
+    // events reduce through a partial+final aggregation (map-side combine
+    // shrinks them BEFORE their only shuffle), the per-user grid comes from
+    // a sequence() explode of hourly bounds (rows ∝ output, never events ×
+    // grid) and BROADCASTS into the join, and last(ignoreNulls) over a
+    // running frame fills the gaps — after the hourly points exist, the
+    // only data movement is the window's user_id exchange of grid-sized
+    // rows. The decimal-sum discipline keeps the hourly averages
     // bit-identical to the oracle.
     QueryDef.df(
       "q70_resample_ffill",
