@@ -659,7 +659,23 @@ object LakeMaintenance {
     * publishable, which is exactly what makes the re-apply safe at any
     * later state. Returns the published snapshot id.
     */
-  def publish(spark: SparkSession, table: String, snapshotId: Long): Long = {
+  def publish(spark: SparkSession, table: String, snapshotId: Long): Long =
+    applyAppendSnapshot(spark, table, snapshotId, Set("stage-append"), "a staged append")
+
+  /** Cherry-pick ONE append-family commit onto the current head — the
+    * diverged-branch workflow `fast_forward` refuses: the commit's added
+    * manifests re-apply on top of main as a new `publish` snapshot while
+    * the source lineage (the branch) stays untouched. Only pure appends
+    * are eligible; overwrite/rewrite/upsert deltas are not additive (an
+    * upsert's equality deletes would retroactively kill MAIN's rows, not
+    * just its own lineage's), so they are refused.
+    */
+  def cherrypick(spark: SparkSession, table: String, snapshotId: Long): Long =
+    applyAppendSnapshot(spark, table, snapshotId,
+      Set("stage-append", "append", "branch-append", "stream-append", "publish"), "an append")
+
+  private def applyAppendSnapshot(spark: SparkSession, table: String, snapshotId: Long,
+      allowedOps: Set[String], opDescription: String): Long = {
     val (cat, ident, t0) = resolve(spark, table)
     val hadoopConf = spark.sessionState.newHadoopConf()
     var prevLoc = t0.metadataLocation
@@ -668,8 +684,8 @@ object LakeMaintenance {
     while (attempts < CasRetry.maxAttempts) {
       val staged = base.snapshot(snapshotId).getOrElse(
         throw new IllegalArgumentException(s"no snapshot $snapshotId on $table"))
-      require(staged.operation == "stage-append",
-        s"snapshot $snapshotId is '${staged.operation}', not a staged append")
+      require(allowedOps(staged.operation),
+        s"snapshot $snapshotId is '${staged.operation}', not $opDescription")
       val next =
         if (base.currentSnapshotId == staged.parentId) {
           // fast-forward: the audited snapshot already contains current

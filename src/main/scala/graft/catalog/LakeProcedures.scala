@@ -98,6 +98,14 @@ object LakeProcedures {
         { (spark, args) =>
           row(LakeMaintenance.publish(spark, full(args.getString(0)), args.getLong(1)))
         }))
+      // apply one append-family commit (typically from a DIVERGED branch,
+      // where fast_forward refuses) onto main as a new snapshot
+      case "cherrypick_snapshot" => Some(proc("cherrypick_snapshot",
+        Seq(in("table", StringType), in("snapshot_id", LongType)),
+        StructType(Seq(StructField("applied_snapshot_id", LongType))),
+        { (spark, args) =>
+          row(LakeMaintenance.cherrypick(spark, full(args.getString(0)), args.getLong(1)))
+        }))
       case "zorder" => Some(proc("zorder",
         Seq(in("table", StringType), in("columns", StringType) /* semicolon-separated */,
           inDef("target_file_bytes", LongType, (128L * 1024 * 1024).toString)),

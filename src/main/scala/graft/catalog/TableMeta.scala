@@ -332,10 +332,21 @@ object ManifestIO {
   * livelock each other into spurious commit failures (the reference has
   * no retry at all, SURVEY §2a gap).
   */
+/** Commit-retry policy: exponential backoff with FULL JITTER (the AWS
+  * architecture-blog scheme) — under a thundering herd of writers, linear
+  * fixed-step backoff keeps the herd in lockstep and a 20-attempt budget
+  * exhausts on a loaded box; uniform-random sleeps in a doubling window
+  * decorrelate the herd so the expected total wait stays low while the
+  * p99 commit still lands. Timing-only randomness: commit CONTENT is
+  * unaffected, so engine determinism guarantees hold.
+  */
 object CasRetry {
-  val maxAttempts = 20
-  def backoff(attempt: Int): Unit =
-    Thread.sleep(5L * attempt + (Thread.currentThread().getId % 11))
+  val maxAttempts = 32
+  private val rnd = new java.util.Random()
+  def backoff(attempt: Int): Unit = {
+    val window = math.min(250L, 4L << math.min(attempt, 6)) // 8,16,...,256 -> cap 250ms
+    Thread.sleep(1L + rnd.nextInt(window.toInt))
+  }
 }
 
 /** Two concurrent commits rewrote the same data file (DELETE ∥ compact,

@@ -64,6 +64,53 @@ class BranchSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("cherrypick_snapshot: one diverged-branch commit applies onto main, branch untouched") {
+    val t = s"lake.br.${uniq("cp")}"
+    val short = t.stripPrefix("lake.")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.br")
+    spark.sql(s"CREATE TABLE $t AS SELECT id AS k FROM range(0, 10)")
+    spark.sql(s"CALL lake.system.create_branch('$short', 'side')")
+    // two branch commits
+    spark.sql("SELECT id AS k FROM range(10, 20)")
+      .toDF("k").writeTo(t).option("branch", "side").append()
+    val firstBranchCommit = {
+      import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+      val lt = spark.sessionState.catalogManager.catalog("lake").asInstanceOf[TableCatalog]
+        .loadTable(Identifier.of(Array("br"), short.stripPrefix("br.")))
+        .asInstanceOf[graft.catalog.LakeTable]
+      lt.meta.branchHead("side").get
+    }
+    spark.sql("SELECT id AS k FROM range(20, 30)")
+      .toDF("k").writeTo(t).option("branch", "side").append()
+    // main diverges -> fast_forward is off the table
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(100, 105)")
+    assert(intercept[Exception] {
+      spark.sql(s"CALL lake.system.fast_forward('$short', 'side')")
+    }.getMessage.contains("not an ancestor"))
+
+    // cherry-pick ONLY the first branch commit onto main
+    spark.sql(s"CALL lake.system.cherrypick_snapshot('$short', $firstBranchCommit)")
+    val mainKeys = spark.table(t).collect().map(_.getLong(0)).toSet
+    assert(mainKeys == ((0L until 10L) ++ (10L until 20L) ++ (100L until 105L)).toSet,
+      s"main = original + diverged insert + first branch epoch, got ${mainKeys.toSeq.sorted}")
+    // the branch still sees its own full lineage, nothing more
+    assert(spark.read.option("branch", "side").table(t).count() == 30)
+
+    // a rewrite (compaction) snapshot is NOT cherry-pickable
+    spark.sql(s"CALL lake.system.compact('$short')")
+    val compacted = {
+      import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+      val lt = spark.sessionState.catalogManager.catalog("lake").asInstanceOf[TableCatalog]
+        .loadTable(Identifier.of(Array("br"), short.stripPrefix("br.")))
+        .asInstanceOf[graft.catalog.LakeTable]
+      lt.meta.currentSnapshotId
+    }
+    assert(intercept[Exception] {
+      spark.sql(s"CALL lake.system.cherrypick_snapshot('$short', $compacted)")
+    }.getMessage.contains("not an append"))
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("$refs lists main, tags and branches; remove_branch deletes the ref only") {
     val t = s"lake.br.${uniq("refs")}"
     val short = t.stripPrefix("lake.")
