@@ -962,16 +962,17 @@ object FilePruner {
     case _ => false
   }
 
+  private def num(v: Any): Option[BigDecimal] = v match {
+    case n: java.lang.Number => Some(BigDecimal(n.toString))
+    // DecimalType literals carry Spark's Decimal (not a java.lang.Number)
+    case d: org.apache.spark.sql.types.Decimal => Some(BigDecimal(d.toJavaBigDecimal))
+    case _ => None
+  }
+
   /** (column, literal-as-BigDecimal, literalOnLeft) for `attr op lit` /
     * `lit op attr` shapes; None for anything else (⇒ no pruning).
     */
   private def colLit(l: ce.Expression, r: ce.Expression): Option[(String, BigDecimal, Boolean)] = {
-    def num(v: Any): Option[BigDecimal] = v match {
-      case n: java.lang.Number => Some(BigDecimal(n.toString))
-      // DecimalType literals carry Spark's Decimal (not a java.lang.Number)
-      case d: org.apache.spark.sql.types.Decimal => Some(BigDecimal(d.toJavaBigDecimal))
-      case _ => None
-    }
     (l, r) match {
       case (a: ce.Attribute, ce.Literal(v, dt)) if comparable(dt) => num(v).map((a.name, _, false))
       case (ce.Literal(v, dt), a: ce.Attribute) if comparable(dt) => num(v).map((a.name, _, true))
@@ -1010,6 +1011,18 @@ object FilePruner {
         check(l, r)((lo, hi, v, flip) => if (flip) hi > v else lo < v)
       case ce.LessThanOrEqual(l, r) =>
         check(l, r)((lo, hi, v, flip) => if (flip) hi >= v else lo <= v)
+      // IN lists: keep the file iff ANY value may fall in its range — the
+      // multi-point-lookup pattern (e.g. an IVF probe's `cell IN (...)`)
+      // prunes like a disjunction of equalities. Non-numeric values keep
+      // the file conservatively; an empty list matches nothing.
+      case ce.In(a: ce.Attribute, vs) =>
+        (for ((lo, hi) <- range(a.name)) yield vs.exists {
+          case ce.Literal(v, _) => num(v).forall(b => b >= lo && b <= hi)
+          case _ => true
+        }).getOrElse(true)
+      case ce.InSet(a: ce.Attribute, vs) =>
+        (for ((lo, hi) <- range(a.name)) yield
+          vs.exists(v => num(v).forall(b => b >= lo && b <= hi))).getOrElse(true)
       case _ => true
     }
   }

@@ -409,6 +409,22 @@ object LlmPipeline {
       PqAnn.probePqIndex(s, "lake.idx.emb_pq", emb, queryVecId = 0L)
     },
 
+    // ───── q72: IVF-PQ — the full FAISS-IVFADC composition ───────────────
+    // Both ANN reductions at once: the IVF layer prunes ROWS (the probe
+    // reads only its nprobe cells' files — `PARTITIONED BY (cell)` +
+    // manifest min/max make it a partition-pruned lookup) and PQ prunes
+    // BYTES (each row is m code bytes, ADC-scored in codegen). I/O ∝
+    // probed-cells × m bytes — sub-linear in corpus size in both
+    // dimensions, which is what a 100 TB embedding store actually needs.
+    // Coarse centroids + codebook persist in table properties, so the
+    // index is self-describing across sessions. PqSpec pins recall and
+    // the partition-pruned plan.
+    QueryDef.unoracled("q72_ann_ivfpq") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      PqAnn.buildIvfPqIndex(s, emb, "lake.idx.emb_ivfpq")
+      PqAnn.probeIvfPqIndex(s, "lake.idx.emb_ivfpq", emb, queryVecId = 0L)
+    },
+
     // ───── q71: trained BPE tokenizer (the real-tokenizer upgrade) ───────
     // q39 counts tokens with a regex; this TRAINS a byte-pair-encoding
     // vocabulary on the corpus and tokenizes with it — the 100 TB split is

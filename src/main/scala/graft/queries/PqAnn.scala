@@ -168,6 +168,131 @@ object PqAnn {
       .limit(k)
   }
 
+  /** Build (replace) the IVF-PQ index — the FAISS IVFADC composition and
+    * the full 100 TB ANN shape: vectors assign to a coarse k-means cell
+    * (q51's IVF layer), the index table is `PARTITIONED BY (cell)` so the
+    * catalog's clustered write gives every file min==max on cell, and each
+    * row stores only the m-byte PQ codes. A probe prunes to the few files
+    * of its probed cells (manifest stats, no directory listing), ADC-scans
+    * those codes, and re-ranks a short float list: I/O ∝ (probed cells ×
+    * m bytes), independent of corpus size in BOTH dimensions — rows via
+    * the cell prune, bytes-per-row via PQ. Coarse centroids and codebook
+    * both persist in table properties: the index is self-describing.
+    */
+  def buildIvfPqIndex(s: SparkSession, emb: DataFrame, indexTable: String,
+      cells: Int = 16, m: Int = 16, ksub: Int = 16): Unit = {
+    require(cells <= 128, "ivf-pq: cell ids ride in a signed byte code") // see assignCell
+    val base = emb.select(col("vec_id"), col("label").cast("int").as("label"), col("embedding"))
+    val cb = train(s, base, m, ksub)
+    val coarse = trainCoarse(s, base, cells)
+    val ns = indexTable.split('.').dropRight(1).mkString(".")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $ns")
+    s.sql(s"DROP TABLE IF EXISTS $indexTable")
+    s.sql(s"CREATE TABLE $indexTable (cell INT, vec_id BIGINT, label INT, codes ARRAY<TINYINT>)" +
+      " PARTITIONED BY (cell)")
+    s.sql(s"ALTER TABLE $indexTable SET TBLPROPERTIES (" +
+      s"'pq.codebook'='${packFloats(cb)}', 'pq.m'='$m', 'pq.ksub'='$ksub'," +
+      s"'ivf.centroids'='${packFloats(coarse)}', 'ivf.cells'='$cells')")
+    base.select(assignCell(col("embedding"), coarse, cells).as("cell"),
+        col("vec_id"), col("label"),
+        PqOps.pqEncode(col("embedding"), cb, m, ksub).as("codes"))
+      .writeTo(indexTable).append()
+  }
+
+  /** Top-k IVF-PQ probe: nearest `nprobe` cells chosen driver-side from
+    * the persisted coarse centroids, a partition-pruned ADC scan of those
+    * cells' code files, exact re-rank of the shortlist.
+    */
+  def probeIvfPqIndex(s: SparkSession, indexTable: String, emb: DataFrame,
+      queryVecId: Long, k: Int = 10, nprobe: Int = 4, rerank: Int = 50): DataFrame = {
+    val props = s.sql(s"SHOW TBLPROPERTIES $indexTable").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val cb = unpackFloats(props("pq.codebook"))
+    val m = props("pq.m").toInt
+    val ksub = props("pq.ksub").toInt
+    val coarse = unpackFloats(props("ivf.centroids"))
+    val cells = props("ivf.cells").toInt
+    val base = emb.select(col("vec_id"), col("label").cast("int").as("label"), col("embedding"))
+    val qvec = base.filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).head().getAs[scala.collection.Seq[Float]](0).toArray
+    val lut = PqOps.ipLut(qvec, cb, m, ksub)
+    val probed = nearestCells(qvec, coarse, cells, nprobe)
+    val shortlist = s.table(indexTable)
+      .filter(col("cell").isin(probed: _*)) // partition-pruned to the probed cells' files
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), PqOps.pqAdc(col("codes"), lut, ksub).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(rerank)
+      .select(col("vec_id"))
+    val q = broadcast(base.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qe")))
+    base.join(broadcast(shortlist), "vec_id")
+      .crossJoin(q)
+      .select(col("vec_id"), col("label"), cosineSim(col("embedding"), col("qe")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Coarse IVF centroids (flat `cells × dim`): whole-vector k-means, the
+    * same hash-seed + Lloyd shape as the subspace trainer.
+    */
+  private[queries] def trainCoarse(s: SparkSession, emb: DataFrame, cells: Int,
+      iters: Int = 2): Array[Float] = {
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val vavg = udaf(graft.functions.VectorAvg)
+    val vecs = emb.select(col("vec_id"), col("embedding")).persist()
+    try {
+      def centroidsOf(assigned: DataFrame): DataFrame = assigned
+        .groupBy("cell").agg(vavg(col("embedding")).as("cvec"))
+        .select(col("cell").as("c_cell"), transform(col("cvec"), x => x.cast("float")).as("c_vec"))
+      var cents = centroidsOf(vecs.withColumn(
+        "cell", pmod(xxhash64(col("vec_id")), lit(cells)).cast("int")))
+      var it = 0
+      while (it < iters) {
+        val assigned = vecs.crossJoin(broadcast(cents))
+          .withColumn("dist", PqOps.l2Sq(col("embedding"), col("c_vec")))
+          .groupBy("vec_id")
+          .agg(first(col("embedding")).as("embedding"),
+            min_by(col("c_cell"), struct(col("dist"), col("c_cell"))).as("cell"))
+        cents = centroidsOf(assigned)
+        it += 1
+      }
+      val out = Array.fill(cells * dim)(1e18f)
+      cents.collect().foreach { r =>
+        val cell = r.getAs[Int]("c_cell")
+        val vec = r.getAs[scala.collection.Seq[Float]]("c_vec")
+        var d = 0
+        while (d < dim) { out(cell * dim + d) = vec(d); d += 1 }
+      }
+      out
+    } finally vecs.unpersist(blocking = false)
+  }
+
+  /** Nearest-coarse-cell assignment as a codegen scan expression: encode
+    * against the coarse "codebook" viewed as ONE subspace of `cells`
+    * centroids, then read the single code out as the cell id.
+    */
+  private def assignCell(vec: Column, coarse: Array[Float], cells: Int): Column =
+    element_at(PqOps.pqEncode(vec, coarse, 1, cells), 1).cast("int")
+
+  /** The query's `nprobe` nearest coarse cells (driver-side, it is query
+    * planning — the same argmin the scan expression applies row-side).
+    */
+  private def nearestCells(q: Array[Float], coarse: Array[Float], cells: Int,
+      nprobe: Int): Seq[Int] = {
+    val dim = coarse.length / cells
+    (0 until cells).map { c =>
+      var d2 = 0d
+      var d = 0
+      while (d < dim) {
+        val diff = q(d) - coarse(c * dim + d)
+        d2 += diff * diff
+        d += 1
+      }
+      (d2, c)
+    }.sorted.take(nprobe).map(_._2)
+  }
+
   /** Base64 of the little-endian float bytes — the codebook's wire form in
     * table properties (m·ksub·subDim floats ≈ a few KB).
     */

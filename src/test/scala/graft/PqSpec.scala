@@ -77,6 +77,36 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"PQ recall@10 vs brute force was $recall")
   }
 
+  test("q72 IVF-PQ probe: recall through both reductions, partition-pruned to probed cells") {
+    val df = SparkEntry.queries("q72_ann_ivfpq")(spark, sf)
+    val got = df.collect()
+    assert(got.length == 10)
+    val recall = (got.map(_.getLong(0)).toSet intersect top10Ids("q26_embedding_topk")).size / 10.0
+    // nprobe=4 of 16 cells scans ~1/4 of the corpus on a near-orthogonal
+    // (cell-hostile) distribution; observed 0.7
+    assert(recall >= 0.4, s"IVF-PQ recall@10 was $recall")
+
+    // the ADC scan is partition-pruned: the probe's LakeScan reads only
+    // the files of the probed cells, never the whole code table
+    val probe = PqAnn.probeIvfPqIndex(spark, "lake.idx.emb_ivfpq", emb, queryVecId = 0L)
+    probe.collect()
+    val t = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("idx"), "emb_ivfpq"))
+      .asInstanceOf[graft.catalog.LakeTable]
+    val files = t.meta.currentFiles
+    assert(files.forall(f => f.minValues.get("cell") == f.maxValues.get("cell")),
+      "clustered write: every file single-valued on cell")
+    val scanned = probe.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    val m = """LakeScan\(lake\.idx\.emb_ivfpq, (\d+) files\)""".r.findFirstMatchIn(scanned)
+    assert(m.isDefined, s"expected a lake scan over the IVF-PQ index:\n$scanned")
+    assert(m.get.group(1).toInt < files.size,
+      s"probe must scan a strict subset of the ${files.size} cell files, " +
+        s"scanned ${m.get.group(1)}")
+  }
+
   test("q69 materialized index probe: equals inline PQ, codes-only ADC scan") {
     val viaIndex = SparkEntry.queries("q69_ann_pq_index")(spark, sf)
     val got = viaIndex.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
