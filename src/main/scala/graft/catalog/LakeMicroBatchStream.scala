@@ -75,16 +75,25 @@ final class LakeMicroBatchStream(
   /** Where a NEW stream (no checkpoint) starts: snapshot 0 = replay the
     * whole table (file-source semantics); "latest" = only data committed
     * after the stream starts; an explicit snapshot id = resume point
-    * (consume strictly after it).
+    * (consume strictly after it). `starting-timestamp` (epoch millis)
+    * starts at the last snapshot committed AT OR BEFORE the timestamp —
+    * data of later snapshots streams, the history before it doesn't.
     */
   override def initialOffset(): Offset =
-    Option(options.get("starting-snapshot-id")) match {
-      case Some("latest") => LakeOffset(math.max(refresh().currentSnapshotId, 0L))
-      case Some(id) =>
+    (Option(options.get("starting-snapshot-id")), Option(options.get("starting-timestamp"))) match {
+      case (Some(_), Some(_)) =>
+        throw new IllegalArgumentException(
+          "set either starting-snapshot-id or starting-timestamp, not both")
+      case (Some("latest"), None) => LakeOffset(math.max(refresh().currentSnapshotId, 0L))
+      case (Some(id), None) =>
         val n = id.toLong
         require(n >= 0, s"starting-snapshot-id must be >= 0 or 'latest', got $id")
         LakeOffset(n)
-      case None => LakeOffset(0L)
+      case (None, Some(ts)) =>
+        val t = ts.toLong
+        val upTo = refresh().snapshots.filter(_.timestampMs <= t)
+        LakeOffset(upTo.map(_.snapshotId).maxOption.getOrElse(0L))
+      case (None, None) => LakeOffset(0L)
     }
 
   override def latestOffset(): Offset = {

@@ -111,6 +111,40 @@ class BranchSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("cherrypick races a concurrent main writer: both commits land, nothing lost") {
+    val t = s"lake.br.${uniq("cr")}"
+    val short = t.stripPrefix("lake.")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.br")
+    spark.sql(s"CREATE TABLE $t AS SELECT id AS k FROM range(0, 10)")
+    spark.sql(s"CALL lake.system.create_branch('$short', 'side')")
+    spark.sql("SELECT id AS k FROM range(10, 20)")
+      .toDF("k").writeTo(t).option("branch", "side").append()
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(100, 105)") // diverge main
+    val branchHead = {
+      import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+      spark.sessionState.catalogManager.catalog("lake").asInstanceOf[TableCatalog]
+        .loadTable(Identifier.of(Array("br"), short.stripPrefix("br.")))
+        .asInstanceOf[graft.catalog.LakeTable].meta.branchHead("side").get
+    }
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val puller = Future {
+      graft.catalog.LakeMaintenance.cherrypick(spark, t, branchHead)
+    }
+    val writer = Future {
+      spark.sql(s"INSERT INTO $t SELECT id FROM range(200, 203)")
+    }
+    Await.result(Future.sequence(Seq(puller.map(_ => ()), writer.map(_ => ()))), 120.seconds)
+    pool.shutdown()
+    val keys = spark.table(t).collect().map(_.getLong(0)).toSet
+    val expected = ((0L until 10L) ++ (10L until 20L) ++ (100L until 105L) ++ (200L until 203L)).toSet
+    assert(keys == expected, s"both racing commits must land exactly once, got ${keys.toSeq.sorted}")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("$refs lists main, tags and branches; remove_branch deletes the ref only") {
     val t = s"lake.br.${uniq("refs")}"
     val short = t.stripPrefix("lake.")

@@ -213,6 +213,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("an_out").count() == 6, "every pre-existing row arrives before it stops")
   }
 
+  test("starting-timestamp: stream begins after the last snapshot at-or-before the timestamp") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.stream")
+    spark.sql("DROP TABLE IF EXISTS lake.stream.ts")
+    spark.sql("CREATE TABLE lake.stream.ts (k BIGINT)")
+    spark.sql("INSERT INTO lake.stream.ts VALUES (1), (2)")
+    val cutoff = {
+      val t = spark.sessionState.catalogManager.catalog("lake").asInstanceOf[TableCatalog]
+        .loadTable(Identifier.of(Array("stream"), "ts")).asInstanceOf[graft.catalog.LakeTable]
+      t.meta.snapshots.map(_.timestampMs).max
+    }
+    Thread.sleep(5) // keep snapshot 3's timestamp strictly after the cutoff
+    spark.sql("INSERT INTO lake.stream.ts VALUES (3)")
+    val q = spark.readStream.option("starting-timestamp", cutoff.toString)
+      .table("lake.stream.ts")
+      .writeStream.format("memory").queryName("ts_out").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    import spark.implicits._
+    assert(spark.table("ts_out").as[Long].collect().toSeq == Seq(3L),
+      "history at-or-before the timestamp is skipped; later snapshots stream")
+  }
+
   test("stream offsets: legacy and mid-snapshot forms; rate-limited walk is deterministic") {
     import graft.catalog.LakeOffset
     // offset wire format: legacy checkpoints ("123") keep their meaning
