@@ -3,7 +3,7 @@ package graft.catalog
 import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, ReadMaxRows, ReadMinRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, ReadMaxRows, ReadMinRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.types.StructType
@@ -42,10 +42,11 @@ object LakeOffset {
   * (snapshot 0 → current), matching file-source semantics.
   *
   * Admission control ([[SupportsAdmissionControl]]): `max-files-per-trigger`
-  * / `max-rows-per-trigger` bound each micro-batch — at 100 TB one bulk
-  * backfill commit must not become one giant batch; a rate-limited stream
-  * chews through it in bounded, retryable pieces, leaving mid-snapshot
-  * offsets (`snapshot:pos`) in the checkpoint. `Trigger.AvailableNow`
+  * / `max-rows-per-trigger` / `max-bytes-per-trigger` bound each
+  * micro-batch — at 100 TB one bulk backfill commit must not become one
+  * giant batch; a rate-limited stream chews through it in bounded,
+  * retryable pieces, leaving mid-snapshot offsets (`snapshot:pos`) in the
+  * checkpoint. `Trigger.AvailableNow`
   * ([[SupportsTriggerAvailableNow]]) pins the head at query start and
   * drains up to it in rate-limited batches, then stops — the scheduled
   * catch-up pattern.
@@ -109,14 +110,14 @@ final class LakeMicroBatchStream(
   override def getDefaultReadLimit: ReadLimit = {
     def opt(keys: String*): Option[Long] =
       keys.flatMap(k => Option(options.get(k))).headOption.map(_.toLong)
-    val mf = opt("max-files-per-trigger", "maxFilesPerTrigger")
-    val mr = opt("max-rows-per-trigger", "maxRowsPerTrigger")
-    (mf, mr) match {
-      case (None, None) => ReadLimit.allAvailable()
-      case (Some(f), None) => ReadLimit.maxFiles(f.toInt)
-      case (None, Some(r)) => ReadLimit.maxRows(r)
-      case (Some(f), Some(r)) =>
-        ReadLimit.compositeLimit(Array[ReadLimit](ReadLimit.maxFiles(f.toInt), ReadLimit.maxRows(r)))
+    val limits = Seq(
+      opt("max-files-per-trigger", "maxFilesPerTrigger").map(f => ReadLimit.maxFiles(f.toInt)),
+      opt("max-rows-per-trigger", "maxRowsPerTrigger").map(ReadLimit.maxRows),
+      opt("max-bytes-per-trigger", "maxBytesPerTrigger").map(ReadLimit.maxBytes)).flatten
+    limits match {
+      case Nil => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
     }
   }
 
@@ -132,11 +133,13 @@ final class LakeMicroBatchStream(
     }
     var maxFiles = Int.MaxValue
     var maxRows = Long.MaxValue
+    var maxBytes = Long.MaxValue
     var minRows = 0L
     var minDelayMs = 0L
     flatten(limit).foreach {
       case f: ReadMaxFiles => maxFiles = f.maxFiles()
       case r: ReadMaxRows => maxRows = r.maxRows()
+      case b: ReadMaxBytes => maxBytes = b.maxBytes()
       case m: ReadMinRows => minRows = m.minRows(); minDelayMs = m.maxTriggerDelayMs()
       case _: ReadAllAvailable => ()
       case _ => ()
@@ -147,12 +150,15 @@ final class LakeMicroBatchStream(
         return s // below the minimum and the max delay hasn't elapsed: hold
     }
     // admit files in lineage order until a limit trips (always at least one,
-    // so a single file larger than max-rows still makes progress)
+    // so a single file larger than max-rows/bytes still makes progress)
     var i = 0
     var rows = 0L
+    var bytes = 0L
     while (i < pending.size &&
-      (i == 0 || (i < maxFiles && rows + pending(i).file.rowCount <= maxRows))) {
+      (i == 0 || (i < maxFiles && rows + pending(i).file.rowCount <= maxRows &&
+        bytes + pending(i).file.sizeBytes <= maxBytes))) {
       rows += pending(i).file.rowCount
+      bytes += pending(i).file.sizeBytes
       i += 1
     }
     lastTriggerMs = System.currentTimeMillis()

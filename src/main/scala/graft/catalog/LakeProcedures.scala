@@ -23,7 +23,8 @@ object LakeProcedures {
   val Namespace: Array[String] = Array("system")
 
   def names: Seq[String] = Seq("compact", "expire_snapshots", "rollback",
-    "create_tag", "remove_tag", "publish", "set_partition_spec", "zorder",
+    "create_tag", "remove_tag", "publish", "cherrypick_snapshot",
+    "set_partition_spec", "zorder",
     "upsert", "rewrite_manifests", "remove_orphan_files",
     "create_branch", "remove_branch", "fast_forward")
 

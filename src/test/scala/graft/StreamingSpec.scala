@@ -200,6 +200,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(sizes == Seq(4L, 2L), s"expected a 2-file batch then a 1-file batch, got $sizes")
   }
 
+  test("admission control: max-bytes-per-trigger bounds batches by manifest file sizes") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.stream")
+    spark.sql("DROP TABLE IF EXISTS lake.stream.rb")
+    spark.sql("CREATE TABLE lake.stream.rb (id BIGINT)")
+    spark.range(6).repartition(3).writeTo("lake.stream.rb").append() // 3 files x 2 rows
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // 1 byte < any parquet file: the at-least-one rule admits exactly one file per batch
+    val q = spark.readStream.option("max-bytes-per-trigger", "1").table("lake.stream.rb")
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = df.count()
+        batchSizes.synchronized { if (n > 0) batchSizes += n }
+        ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    val sizes = batchSizes.synchronized(batchSizes.toSeq)
+    assert(sizes == Seq(2L, 2L, 2L), s"expected one-file batches under the byte cap, got $sizes")
+  }
+
   test("Trigger.AvailableNow drains the table in rate-limited batches, then stops") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.stream")
     spark.sql("DROP TABLE IF EXISTS lake.stream.an")
