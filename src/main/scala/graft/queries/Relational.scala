@@ -417,6 +417,31 @@ object Relational {
         |FROM orders WHERE o_orderkey < 500
         |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin),
 
+    // ───── q73: exact interpolated percentiles per group ─────────────────
+    // percentile_cont semantics (linear interpolation between order
+    // statistics) — Spark `percentile` ≡ DuckDB `quantile_cont` on double
+    // input. Exact percentile sorts each GROUP's values (memory ∝ group):
+    // right for bounded-cardinality groups like these; the unbounded-scale
+    // path is approx_percentile/HLL-family (q32's territory). Hash-exact
+    // parity relies on both engines interpolating lo + (hi-lo)·frac over
+    // identical doubles.
+    QueryDef.df(
+      "q73_percentiles",
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90,
+        |  quantile_cont(l_quantity, 0.25) AS q25,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90"),
+          expr("percentile(l_quantity, 0.25)").as("q25"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
     // ───── q25: JSON extraction over the events props column ─────────────
     QueryDef.df(
       "q25_events_json",

@@ -84,7 +84,8 @@ class GoldenSpec extends AnyFunSuite {
     "q69_ann_pq_index" -> 10L,
     "q70_resample_ffill" -> 3485L,
     "q71_bpe_tokens" -> 25L,
-    "q72_ann_ivfpq" -> 10L)
+    "q72_ann_ivfpq" -> 10L,
+    "q73_percentiles" -> 3L)
 
   test("every registered query has a golden count (add one when adding a query)") {
     assert(SparkEntry.queries.keySet == golden.keySet,
