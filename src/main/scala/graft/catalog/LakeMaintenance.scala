@@ -104,17 +104,29 @@ object LakeMaintenance {
       spark: SparkSession,
       table: String,
       smallFileBytes: Long = 32L * 1024 * 1024,
-      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      where: Option[String] = None): (Int, Int) = {
     val (cat, ident, t) = resolve(spark, table)
     val current = t.meta.currentFiles
     val deletes = t.meta.currentDeleteFiles
     val eqDeletes = t.meta.currentEqDeleteFiles
+    // `where` scopes maintenance to the files that MAY hold matching rows
+    // (stats-level test over logical column names — the hot-partition
+    // pattern: compact today's partition hourly without touching 5 years
+    // of cold files). File SELECTION only; selected files always rewrite
+    // whole, so rows never drop. Conservative on non-stat columns.
+    val scopePred = where.filter(_.trim.nonEmpty)
+      .map(spark.sessionState.sqlParser.parseExpression)
+    def inScope(f: DataFileMeta): Boolean = scopePred.forall { e =>
+      val logical = t.meta.logicalStatFiles(Seq(f)).head
+      FilePruner.mayMatch(e, logical, t.meta.schema)
+    }
     // merge-on-read tombstoned files compact regardless of size: folding
     // their tombstones away is what puts them back on the vectorized path;
     // same for files an equality delete applies to (strictly older sequence)
-    val small = current.filter(f => f.sizeBytes < smallFileBytes ||
+    val small = current.filter(f => inScope(f) && (f.sizeBytes < smallFileBytes ||
       TombstoneRewrite.covering(deletes, Seq(f.path)).nonEmpty ||
-      eqDeletes.exists(_.addedAt > f.addedAt))
+      eqDeletes.exists(_.addedAt > f.addedAt)))
     if (small.size < 2 && !(small.size == 1 && (deletes.nonEmpty || eqDeletes.nonEmpty)))
       return (current.size, current.size)
     val keep = current.filterNot(small.toSet)

@@ -34,11 +34,12 @@ object LakeProcedures {
     ident.name() match {
       case "compact" => Some(proc("compact",
         Seq(in("table", StringType), inDef("small_file_bytes", LongType, (32L * 1024 * 1024).toString),
-          inDef("target_file_bytes", LongType, (128L * 1024 * 1024).toString)),
+          inDef("target_file_bytes", LongType, (128L * 1024 * 1024).toString),
+          inDef("where", StringType, "''")), // stats-scoped: compact only files that may match
         StructType(Seq(StructField("files_before", IntegerType), StructField("files_after", IntegerType))),
         { (spark, args) =>
           val (b, a) = LakeMaintenance.compact(spark, full(args.getString(0)),
-            args.getLong(1), args.getLong(2))
+            args.getLong(1), args.getLong(2), Option(args.getString(3)).filter(_.nonEmpty))
           row(b, a)
         }))
       case "expire_snapshots" => Some(proc("expire_snapshots",

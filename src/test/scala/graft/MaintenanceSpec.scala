@@ -106,6 +106,38 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(manifestCount("maint", "am0") == 8) // one per commit, untouched
   }
 
+  test("scoped compact: WHERE limits the rewrite to matching partitions' files") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.mx")
+    spark.sql("DROP TABLE IF EXISTS lake.mx.scoped")
+    spark.sql("CREATE TABLE lake.mx.scoped (p INT, v BIGINT) PARTITIONED BY (p)")
+    // several small files per partition (separate INSERTs)
+    (1 to 3).foreach(i => spark.sql(s"INSERT INTO lake.mx.scoped VALUES (1, $i), (2, ${i + 10})"))
+    def files(): Seq[graft.catalog.DataFileMeta] = {
+      import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+      spark.sessionState.catalogManager.catalog("lake").asInstanceOf[TableCatalog]
+        .loadTable(Identifier.of(Array("mx"), "scoped"))
+        .asInstanceOf[graft.catalog.LakeTable].meta.currentFiles
+    }
+    val before = files()
+    val coldPaths = before.filter(_.minValues.get("p").contains("2")).map(_.path).toSet
+    assert(before.count(_.minValues.get("p").contains("1")) == 3 && coldPaths.size == 3)
+
+    spark.sql("CALL lake.system.compact('mx.scoped', where => 'p = 1')")
+    val after = files()
+    // hot partition merged to one file; cold partition's files untouched
+    assert(after.count(_.minValues.get("p").contains("1")) == 1,
+      s"p=1 should compact to one file, got ${after.map(_.path)}")
+    assert(after.filter(_.minValues.get("p").contains("2")).map(_.path).toSet == coldPaths,
+      "files outside the WHERE scope must not be rewritten")
+    // rows intact
+    assert(spark.table("lake.mx.scoped").count() == 6)
+    // unscoped compact still merges the rest
+    spark.sql("CALL lake.system.compact('mx.scoped')")
+    assert(files().count(_.minValues.get("p").contains("2")) == 1)
+    assert(spark.table("lake.mx.scoped").count() == 6)
+    spark.sql("DROP TABLE lake.mx.scoped")
+  }
+
   test("remove_orphan_files deletes only unreferenced debris; history and current doc survive") {
     import org.apache.hadoop.fs.Path
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.maint")
