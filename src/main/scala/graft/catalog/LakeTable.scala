@@ -1163,6 +1163,18 @@ final class LakeWrite(
     Option(info.options().get("upsert-keys"))
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
 
+  /** Iceberg's write.distribution-mode: 'hash' (default for partitioned
+    * tables — cluster rows by the partition transform so each task owns
+    * whole partition values), 'range' (globally range-order by partition +
+    * sort columns — disjoint per-file min/max for range-predicate pruning),
+    * 'none' (trust the incoming distribution — the bulk-load escape hatch
+    * when the upstream job already clustered, at the price of up to
+    * tasks × partitions files).
+    */
+  private def distributionMode: String =
+    table.meta.properties.getOrElse("write.distribution-mode",
+      if (pfields.nonEmpty) "hash" else if (sortFields.nonEmpty) "range" else "none")
+
   override def requiredDistribution(): Distribution =
     // upsert epochs MUST cluster by the key: all versions of one key land in
     // one task, so last-writer-wins can resolve in-epoch duplicates (the
@@ -1171,9 +1183,16 @@ final class LakeWrite(
     if (upsertKeys.nonEmpty)
       Distributions.clustered(upsertKeys.map(Expressions.column(_):
         org.apache.spark.sql.connector.expressions.Expression).toArray)
-    else if (pfields.nonEmpty) Distributions.clustered(pfields.map(transformOf).toArray)
-    else if (sortFields.nonEmpty) Distributions.ordered(orderOf(sortFields))
-    else Distributions.unspecified()
+    else distributionMode match {
+      case "none" => Distributions.unspecified()
+      case "range" if pfields.nonEmpty || sortFields.nonEmpty =>
+        Distributions.ordered(
+          pfields.map(f => Expressions.sort(transformOf(f), SortDirection.ASCENDING)).toArray ++
+            orderOf(sortFields))
+      case _ if pfields.nonEmpty => Distributions.clustered(pfields.map(transformOf).toArray)
+      case _ if sortFields.nonEmpty => Distributions.ordered(orderOf(sortFields))
+      case _ => Distributions.unspecified()
+    }
 
   override def requiredOrdering(): Array[SortOrder] =
     // no sort in upsert mode: shuffle arrival order per upstream partition

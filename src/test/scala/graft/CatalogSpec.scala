@@ -595,6 +595,39 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(rows.toSet.size == 40, "every commit must land exactly once (no double-appends)")
   }
 
+  test("write.distribution-mode: 'none' trusts upstream layout, default 'hash' clusters per value") {
+    import org.apache.spark.sql.functions.col
+    def filesOf(name: String): Int = {
+      import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+      spark.sessionState.catalogManager.catalog("lake").asInstanceOf[TableCatalog]
+        .loadTable(Identifier.of(Array("dm"), name))
+        .asInstanceOf[graft.catalog.LakeTable].meta.currentFiles.size
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.dm")
+    spark.sql("DROP TABLE IF EXISTS lake.dm.none_t")
+    spark.sql("DROP TABLE IF EXISTS lake.dm.hash_t")
+    spark.sql("CREATE TABLE lake.dm.none_t (p INT, v BIGINT) PARTITIONED BY (p)" +
+      " TBLPROPERTIES ('write.distribution-mode'='none')")
+    spark.sql("CREATE TABLE lake.dm.hash_t (p INT, v BIGINT) PARTITIONED BY (p)")
+    val df = spark.range(8)
+      .select((col("id") % 2).cast("int").as("p"), col("id").as("v"))
+      .repartition(4) // every upstream task carries BOTH partition values
+    df.writeTo("lake.dm.none_t").append()
+    df.writeTo("lake.dm.hash_t").append()
+    // none: no shuffle requested -> each task rolls per value (> 2 files);
+    // hash (default): clustered -> exactly one file per partition value
+    assert(filesOf("none_t") > 2,
+      s"mode=none must not re-cluster upstream tasks, got ${filesOf("none_t")} files")
+    assert(filesOf("hash_t") == 2,
+      s"default hash mode clusters to one file per value, got ${filesOf("hash_t")}")
+    // identical content either way; min==max single-value stats hold in both
+    assert(spark.table("lake.dm.none_t").orderBy("v").collect().toSeq ==
+      spark.table("lake.dm.hash_t").orderBy("v").collect().toSeq)
+    assert(spark.sql("SELECT count(*) FROM lake.dm.none_t WHERE p = 1").head().getLong(0) == 4)
+    spark.sql("DROP TABLE lake.dm.none_t")
+    spark.sql("DROP TABLE lake.dm.hash_t")
+  }
+
   test("multi-column PARTITIONED BY: clustering, pruning and values hold for (a, b)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.pt")
     spark.sql("DROP TABLE IF EXISTS lake.pt.mc")

@@ -103,4 +103,20 @@ class ExplainAuditSpec extends AnyFunSuite {
       s"compaction must restore vectorization:\n$compacted")
     spark.sql(s"DROP TABLE $t")
   }
+
+  test("q70 resample: hourly agg is partial+final; the grid side broadcasts into the join") {
+    val p = plan("q70_resample_ffill")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the grid (rows ∝ output) must broadcast, not shuffle the hourly points:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"raw events must combine map-side before their shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cross product:\n$p")
+  }
+
+  test("q71 BPE top-k is TakeOrderedAndProject over a partial+final count") {
+    val p = plan("q71_bpe_tokens")
+    assert(p.contains("TakeOrderedAndProject"), s"top-25 must not global-sort:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"token counts must combine map-side:\n$p")
+  }
 }
