@@ -3,7 +3,7 @@ package graft.catalog
 import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, ReadMaxRows, ReadMinRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, ReadMaxRows, ReadMinRows, ReportsSourceMetrics, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.types.StructType
@@ -66,7 +66,8 @@ final class LakeMicroBatchStream(
     refresh: () => TableMeta,
     options: CaseInsensitiveStringMap,
     hadoopConf: Configuration)
-  extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+  extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow
+  with ReportsSourceMetrics {
 
   /** Head pinned by `Trigger.AvailableNow` at query start. */
   @volatile private var availableNowCap: Option[Long] = None
@@ -277,6 +278,29 @@ final class LakeMicroBatchStream(
       Some(tableSchema), classOf[ParquetFileFormat])
     pt.newScanBuilder(options).build().toBatch
   }
+
+  /** Backlog metrics surfaced in StreamingQueryProgress.sources[i].metrics
+    * — a rate-limited stream's lag is files/rows/bytes committed to the
+    * table but not yet consumed, straight from the manifests (no I/O
+    * beyond the cached metadata). The operator's "is my stream keeping
+    * up" signal.
+    */
+  override def metrics(latestConsumedOffset: java.util.Optional[Offset]): java.util.Map[String, String] =
+    try {
+      val consumed = if (latestConsumedOffset.isPresent)
+        latestConsumedOffset.get().asInstanceOf[LakeOffset] else LakeOffset(0L)
+      val meta = refresh()
+      val pending = pendingFiles(meta, consumed, math.max(meta.currentSnapshotId, 0L))
+      java.util.Map.of(
+        "pendingFiles", pending.size.toString,
+        "pendingRows", pending.iterator.map(_.file.rowCount).sum.toString,
+        "pendingBytes", pending.iterator.map(_.file.sizeBytes).sum.toString)
+    } catch {
+      // observability must never kill the query: Spark also asks for
+      // metrics during teardown, when the interrupted stream thread can't
+      // touch JDBC (and a non-append tail has no backlog estimate)
+      case _: Exception => java.util.Map.of()
+    }
 
   override def commit(end: Offset): Unit = () // progress lives in the checkpoint
 

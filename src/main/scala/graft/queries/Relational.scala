@@ -442,6 +442,23 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // ───── q74: correlated scalar subquery (Catalyst decorrelation) ──────
+    // "customers whose balance beats their nation's average" — the shape
+    // users write as a correlated subquery and Catalyst must DECORRELATE
+    // into an aggregate + join (RewriteCorrelatedScalarSubquery); a naive
+    // engine re-executes the inner query per outer row. Shared ANSI text:
+    // both engines run the identical SQL, value parity by construction.
+    QueryDef.shared(
+      "q74_correlated_scalar",
+      """SELECT c_custkey, c_nationkey,
+        |  CAST(c_acctbal AS DOUBLE) AS acctbal
+        |FROM customer c
+        |WHERE c_acctbal > 2 * (SELECT CAST(sum(CAST(i.c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+        |                              / count(*)
+        |                       FROM customer i
+        |                       WHERE i.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin),
+
     // ───── q25: JSON extraction over the events props column ─────────────
     QueryDef.df(
       "q25_events_json",

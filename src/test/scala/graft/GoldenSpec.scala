@@ -85,7 +85,8 @@ class GoldenSpec extends AnyFunSuite {
     "q70_resample_ffill" -> 3485L,
     "q71_bpe_tokens" -> 25L,
     "q72_ann_ivfpq" -> 10L,
-    "q73_percentiles" -> 3L)
+    "q73_percentiles" -> 3L,
+    "q74_correlated_scalar" -> 13L)
 
   test("every registered query has a golden count (add one when adding a query)") {
     assert(SparkEntry.queries.keySet == golden.keySet,

@@ -233,6 +233,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("an_out").count() == 6, "every pre-existing row arrives before it stops")
   }
 
+  test("source metrics report the outstanding backlog (files/rows/bytes)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.stream")
+    spark.sql("DROP TABLE IF EXISTS lake.stream.met")
+    spark.sql("CREATE TABLE lake.stream.met (id BIGINT)")
+    spark.range(6).repartition(3).writeTo("lake.stream.met").append()
+    val q = spark.readStream.table("lake.stream.met")
+      .writeStream.format("memory").queryName("met_out").outputMode("append").start()
+    q.processAllAvailable()
+    val m = q.lastProgress.sources.head.metrics
+    assert(m.get("pendingFiles") == "0" && m.get("pendingRows") == "0",
+      s"drained stream must report an empty backlog, got $m")
+    q.stop()
+  }
+
   test("starting-timestamp: stream begins after the last snapshot at-or-before the timestamp") {
     import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.stream")
