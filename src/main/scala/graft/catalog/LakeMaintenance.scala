@@ -162,7 +162,7 @@ object LakeMaintenance {
         df.repartitionByRange(outParts, sortCols: _*).sortWithinPartitions(sortCols: _*)
       else df.coalesce(outParts)
     val factory = LakeWriterFactory(t.meta.physicalSchema.json, s"${t.meta.location}/data",
-      physCols, new SerializableConfiguration(hadoopConf),
+      physCols, new SerializableConfiguration(t.meta.writeConf(hadoopConf)),
       t.meta.physicalBloomColumns, t.meta.targetFileBytes)
     val newFiles = clustered.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
       val w = factory.createWriter(pid, org.apache.spark.TaskContext.get().taskAttemptId())
@@ -224,7 +224,7 @@ object LakeMaintenance {
         phys.repartition(clusterCols: _*).sortWithinPartitions(clusterCols: _*)
       else phys
     val factory = LakeWriterFactory(physSchema.json, s"${t.meta.location}/data",
-      physCols, new SerializableConfiguration(hadoopConf),
+      physCols, new SerializableConfiguration(t.meta.writeConf(hadoopConf)),
       t.meta.physicalBloomColumns, t.meta.targetFileBytes)
     val keyIdx = keys.map(k => physSchema.fieldIndex(l2p.getOrElse(k, k))).toArray
     val keySchemaJson = StructType(keyIdx.map(physSchema.fields)).json
@@ -629,7 +629,7 @@ object LakeMaintenance {
     val clustered = df.repartitionByRange(outParts, zcol)
       .sortWithinPartitions(zcol)
     val factory = LakeWriterFactory(t.meta.physicalSchema.json, s"${t.meta.location}/data",
-      Nil, new SerializableConfiguration(hadoopConf),
+      Nil, new SerializableConfiguration(t.meta.writeConf(hadoopConf)),
       t.meta.physicalBloomColumns, t.meta.targetFileBytes)
     val newFiles = clustered.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
       val w = factory.createWriter(pid, org.apache.spark.TaskContext.get().taskAttemptId())

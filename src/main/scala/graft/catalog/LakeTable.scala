@@ -225,7 +225,7 @@ final class LakeTable(
           .filter(!org.apache.spark.sql.functions.coalesce(
             cond, org.apache.spark.sql.functions.lit(false)))
         val factory = LakeWriterFactory(meta.physicalSchema.json, s"${meta.location}/data",
-          meta.physicalPartitionColumns, new SerializableConfiguration(hadoopConf),
+          meta.physicalPartitionColumns, new SerializableConfiguration(meta.writeConf(hadoopConf)),
           meta.physicalBloomColumns, meta.targetFileBytes)
         survivors.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
           val w = factory.createWriter(pid, org.apache.spark.TaskContext.get().taskAttemptId())
@@ -372,7 +372,7 @@ final class LakeRowLevelOperation(
         override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
           LakeWriterFactory(ColumnMapping.toPhysical(info.schema(), table.meta.l2pMap).json,
             s"${table.meta.location}/data",
-            table.meta.physicalPartitionColumns, new SerializableConfiguration(hadoopConf),
+            table.meta.physicalPartitionColumns, new SerializableConfiguration(table.meta.writeConf(hadoopConf)),
             table.meta.physicalBloomColumns, table.meta.targetFileBytes)
         override def commit(messages: Array[WriterCommitMessage]): Unit = {
           val newFiles = messages.collect { case LakeCommitMessage(fs) => fs }.flatten.toSeq
@@ -1233,7 +1233,7 @@ final class LakeBatchWrite(
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     LakeWriterFactory(ColumnMapping.toPhysical(writeSchema, table.meta.l2pMap).json,
       s"${table.meta.location}/data",
-      table.meta.physicalPartitionColumns, new SerializableConfiguration(hadoopConf),
+      table.meta.physicalPartitionColumns, new SerializableConfiguration(table.meta.writeConf(hadoopConf)),
       table.meta.physicalBloomColumns, table.meta.targetFileBytes)
 
   /** The reference's EP3: write new metadata → CAS the pointer; on a lost
@@ -1310,7 +1310,7 @@ final class LakeStreamingWrite(
     val physSchema = ColumnMapping.toPhysical(writeSchema, table.meta.l2pMap)
     val base = LakeWriterFactory(physSchema.json,
       s"${table.meta.location}/data",
-      table.meta.physicalPartitionColumns, new SerializableConfiguration(hadoopConf),
+      table.meta.physicalPartitionColumns, new SerializableConfiguration(table.meta.writeConf(hadoopConf)),
       table.meta.physicalBloomColumns, table.meta.targetFileBytes)
     if (upsertKeys.isEmpty) base
     else {
@@ -1703,7 +1703,10 @@ final class LakeDataWriter(
 final class LakeParquetBuilder(path: Path, conf: Configuration)
   extends ParquetWriter.Builder[InternalRow, LakeParquetBuilder](path) {
   withConf(conf)
-  withCompressionCodec(CompressionCodecName.SNAPPY)
+  // table-level write.parquet.compression-codec, stamped into the conf by
+  // TableMeta.writeConf on every write path; snappy when absent
+  withCompressionCodec(CompressionCodecName.valueOf(
+    conf.get("graft.write.compression", "snappy").toUpperCase(java.util.Locale.ROOT)))
   override def self(): LakeParquetBuilder = this
   override def getWriteSupport(c: Configuration): WriteSupport[InternalRow] =
     new ParquetWriteSupport()

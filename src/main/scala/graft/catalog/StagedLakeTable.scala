@@ -59,7 +59,7 @@ final class StagedLakeTable(
       override def toBatch: BatchWrite = new BatchWrite {
         override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
           LakeWriterFactory(info.schema().json, s"${baseMeta.location}/data",
-            baseMeta.partitionColumns, new SerializableConfiguration(hadoopConf),
+            baseMeta.partitionColumns, new SerializableConfiguration(baseMeta.writeConf(hadoopConf)),
             baseMeta.physicalBloomColumns, baseMeta.targetFileBytes)
         override def commit(messages: Array[WriterCommitMessage]): Unit =
           // buffer only — visibility is commitStagedChanges' job

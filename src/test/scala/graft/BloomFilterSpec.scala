@@ -92,4 +92,30 @@ class BloomFilterSpec extends AnyFunSuite {
     assert(spark.table(t).count() == 300)
     spark.sql(s"DROP TABLE $t")
   }
+
+  /** Codec of the first column chunk of `file`. */
+  private def codecOf(file: String): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+    try r.getRowGroups.get(0).getColumns.get(0).getCodec.toString
+    finally r.close()
+  }
+
+  test("write.parquet.compression-codec: zstd honored through write AND compaction") {
+    val t = s"lake.bloom.${uniq("z")}"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.bloom")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)" +
+      " TBLPROPERTIES ('write.parquet.compression-codec'='zstd')")
+    spark.sql(s"INSERT INTO $t SELECT id, repeat('x', 50) FROM range(0, 100)")
+    spark.sql(s"INSERT INTO $t SELECT id, repeat('y', 50) FROM range(100, 200)")
+    lakeMeta(t).currentFiles.foreach(f => assert(codecOf(f.path) == "ZSTD",
+      s"writer must honor the codec property, got ${codecOf(f.path)}"))
+    assert(spark.table(t).count() == 200, "zstd files read back fine")
+    LakeMaintenance.compact(spark, t)
+    val after = lakeMeta(t).currentFiles
+    assert(after.size == 1)
+    assert(codecOf(after.head.path) == "ZSTD", "compaction rewrites keep the codec")
+    assert(spark.table(t).count() == 200)
+    spark.sql(s"DROP TABLE $t")
+  }
 }
