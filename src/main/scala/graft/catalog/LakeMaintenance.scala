@@ -281,7 +281,8 @@ object LakeMaintenance {
     * vacuum). Time travel to expired snapshots stops working, by design.
     * Returns the number of orphaned files deleted.
     */
-  def expireSnapshots(spark: SparkSession, table: String, keepLast: Int = 1): Int = {
+  def expireSnapshots(spark: SparkSession, table: String, keepLast: Int = 1,
+      olderThanMs: Long = Long.MaxValue): Int = {
     require(keepLast >= 1, "must retain at least the current snapshot")
     val (cat, ident, t) = resolve(spark, table)
     val hadoopConf = spark.sessionState.newHadoopConf()
@@ -296,8 +297,12 @@ object LakeMaintenance {
       case s if s.operation == "stage-append" && s.snapshotId > t.meta.currentSnapshotId =>
         s.snapshotId
     }.toSet
+    // age guard (Iceberg's expire_snapshots(older_than)): snapshots AT or
+    // after the cutoff are retained regardless of keepLast counting
+    val young = t.meta.snapshots.collect {
+      case s if s.timestampMs >= olderThanMs => s.snapshotId }.toSet
     val retainedIds = t.meta.snapshots.sortBy(_.snapshotId).takeRight(keepLast)
-      .map(_.snapshotId).toSet + t.meta.currentSnapshotId ++ tagged ++ pendingStaged
+      .map(_.snapshotId).toSet + t.meta.currentSnapshotId ++ tagged ++ pendingStaged ++ young
     val (retained, expired) = t.meta.snapshots.partition(s => retainedIds.contains(s.snapshotId))
     // data AND delete files: orphaned when no retained snapshot references them
     val live = retained.flatMap(t.meta.allFilesOf).map(_.path).toSet

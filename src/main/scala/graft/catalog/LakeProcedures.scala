@@ -43,10 +43,13 @@ object LakeProcedures {
           row(b, a)
         }))
       case "expire_snapshots" => Some(proc("expire_snapshots",
-        Seq(in("table", StringType), inDef("keep_last", IntegerType, "1")),
+        Seq(in("table", StringType), inDef("keep_last", IntegerType, "1"),
+          // age guard: snapshots committed at/after this epoch-ms never expire
+          inDef("older_than_ms", LongType, Long.MaxValue.toString + "L")),
         StructType(Seq(StructField("orphan_files_deleted", IntegerType))),
         { (spark, args) =>
-          row(LakeMaintenance.expireSnapshots(spark, full(args.getString(0)), args.getInt(1)))
+          row(LakeMaintenance.expireSnapshots(spark, full(args.getString(0)), args.getInt(1),
+            args.getLong(2)))
         }))
       case "rollback" => Some(proc("rollback",
         Seq(in("table", StringType), in("snapshot_id", LongType)),

@@ -138,6 +138,30 @@ class MaintenanceSpec extends AnyFunSuite {
     spark.sql("DROP TABLE lake.mx.scoped")
   }
 
+  test("expire_snapshots older_than_ms: young snapshots survive keep_last counting") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.mx")
+    spark.sql("DROP TABLE IF EXISTS lake.mx.age")
+    spark.sql("CREATE TABLE lake.mx.age (k BIGINT)")
+    spark.sql("INSERT INTO lake.mx.age VALUES (1)")
+    Thread.sleep(5)
+    def meta() = spark.sessionState.catalogManager.catalog("lake").asInstanceOf[TableCatalog]
+      .loadTable(Identifier.of(Array("mx"), "age")).asInstanceOf[graft.catalog.LakeTable].meta
+    val cutoff = System.currentTimeMillis()
+    Thread.sleep(5)
+    spark.sql("INSERT INTO lake.mx.age VALUES (2)")
+    spark.sql("INSERT INTO lake.mx.age VALUES (3)")
+    val beforeIds = meta().snapshots.map(_.snapshotId).sorted
+    // keep_last=1 alone would drop all but the head; the age guard keeps
+    // every snapshot committed after the cutoff
+    spark.sql(s"CALL lake.system.expire_snapshots('mx.age', 1, ${cutoff}L)")
+    val after = meta().snapshots.map(_.snapshotId).sorted
+    assert(after == beforeIds.drop(1),
+      s"only the pre-cutoff history should expire: before=$beforeIds after=$after")
+    assert(spark.table("lake.mx.age").count() == 3)
+    spark.sql("DROP TABLE lake.mx.age")
+  }
+
   test("remove_orphan_files deletes only unreferenced debris; history and current doc survive") {
     import org.apache.hadoop.fs.Path
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.maint")
