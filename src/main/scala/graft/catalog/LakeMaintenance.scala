@@ -16,7 +16,7 @@ import org.apache.spark.util.SerializableConfiguration
   */
 object LakeMaintenance {
 
-  private def resolve(spark: SparkSession, table: String): (LakeCatalog, Identifier, LakeTable) = {
+  private[catalog] def resolve(spark: SparkSession, table: String): (LakeCatalog, Identifier, LakeTable) = {
     val parts = table.split('.')
     require(parts.length == 3, s"expected catalog.namespace.table, got $table")
     val cat = spark.sessionState.catalogManager.catalog(parts(0))
@@ -194,7 +194,8 @@ object LakeMaintenance {
     * instead). Returns (rows upserted, committing snapshot id).
     */
   def upsert(spark: SparkSession, table: String,
-      source: org.apache.spark.sql.DataFrame, keys: Seq[String]): (Long, Long) = {
+      source: org.apache.spark.sql.DataFrame, keys: Seq[String],
+      extraProps: Map[String, String] = Map.empty): (Long, Long) = {
     import org.apache.spark.sql.functions.{col, count, lit}
     val (cat, ident, t) = resolve(spark, table)
     require(keys.nonEmpty, "upsert requires at least one key column")
@@ -261,7 +262,10 @@ object LakeMaintenance {
       base.properties.get("upsert.keys").foreach(prev => require(prev == keyCsv,
         s"upsert keys '$prev' already fixed for ${t.ident}"))
       val next = TableMeta.withDelta(base, "upsert", dataFiles, eqFiles, hadoopConf,
-        deleteContent = "eq-deletes", extraProps = Map("upsert.keys" -> keyCsv))
+        deleteContent = "eq-deletes",
+        // caller-supplied properties ride the SAME commit (atomic with the
+        // rows — the MV refresh watermark's exactly-once guarantee)
+        extraProps = extraProps + ("upsert.keys" -> keyCsv))
       val newLoc = TableMeta.write(next, hadoopConf)
       if (cat.pointerStore.casUpdate(ident.namespace()(0), ident.name(), newLoc, prevLoc) == 1) {
         cat.invalidateTable(ident)

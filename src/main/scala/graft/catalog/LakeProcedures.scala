@@ -26,7 +26,8 @@ object LakeProcedures {
     "create_tag", "remove_tag", "publish", "cherrypick_snapshot",
     "set_partition_spec", "zorder",
     "upsert", "rewrite_manifests", "remove_orphan_files",
-    "create_branch", "remove_branch", "fast_forward")
+    "create_branch", "remove_branch", "fast_forward",
+    "create_aggregate", "refresh_aggregate")
 
   def load(catalogName: String, ident: Identifier): Option[UnboundProcedure] = {
     if (!ident.namespace().sameElements(Namespace)) return None
@@ -102,6 +103,27 @@ object LakeProcedures {
         StructType(Seq(StructField("published_snapshot_id", LongType))),
         { (spark, args) =>
           row(LakeMaintenance.publish(spark, full(args.getString(0)), args.getLong(1)))
+        }))
+      // incrementally-maintained materialized aggregate: create the MV
+      // table + contract, then refresh folds only NEW source snapshots in
+      case "create_aggregate" => Some(proc("create_aggregate",
+        Seq(in("mv_table", StringType), in("source_table", StringType),
+          in("group_by", StringType) /* comma-separated */,
+          inDef("sum", StringType, "''") /* comma-separated, may be empty */),
+        StructType(Seq(StructField("created", BooleanType))),
+        { (spark, args) =>
+          def cols(s: String) = s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          Materialized.createAggregate(spark, full(args.getString(0)), full(args.getString(1)),
+            cols(args.getString(2)), cols(args.getString(3)))
+          row(true)
+        }))
+      case "refresh_aggregate" => Some(proc("refresh_aggregate",
+        Seq(in("mv_table", StringType)),
+        StructType(Seq(StructField("groups_updated", LongType),
+          StructField("mv_snapshot_id", LongType))),
+        { (spark, args) =>
+          val (g, s) = Materialized.refresh(spark, full(args.getString(0)))
+          row(g, s)
         }))
       // apply one append-family commit (typically from a DIVERGED branch,
       // where fast_forward refuses) onto main as a new snapshot

@@ -1,0 +1,96 @@
+package graft.catalog
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained materialized aggregates — the composition the
+  * whole catalog builds toward: an MV refresh reads ONLY the source
+  * snapshots committed since the last refresh (the incremental batch read
+  * over manifests), folds them into per-group partials (map-side combine),
+  * joins the touched groups' current values, and UPSERTS only those groups
+  * through the equality-delete path. Refresh cost is O(delta + touched
+  * groups) — on a 100 TB fact table a refresh after an hourly load touches
+  * the hour's files and the affected groups, never the table.
+  *
+  * Exactly-once: the refresh WATERMARK (`mv.last-snapshot`) rides the same
+  * CAS commit as the upserted rows, so a crashed refresh either happened
+  * entirely or not at all — replaying it is a no-op.
+  *
+  * Counts are BIGINT; sums accumulate as DECIMAL(18,6) (exact,
+  * order-independent), so an incrementally-maintained MV is BIT-IDENTICAL
+  * to the from-scratch aggregate — q75 proves it against DuckDB computing
+  * the aggregate from raw rows.
+  *
+  * Honesty rule: the incremental read fails fast if the source range
+  * contains a non-append commit (overwrite/rewrite deltas do not express
+  * row-level changes); refresh before compaction, or rebuild the MV.
+  */
+object Materialized {
+
+  /** Create the MV table for `SELECT group_cols, count(*), sum(sum_cols)
+    * FROM source GROUP BY group_cols`, with the maintenance contract in
+    * its properties. Columns: the group columns (source types), `cnt`
+    * BIGINT, and one `sum_<c>` DECIMAL(18,6) per sum column.
+    */
+  def createAggregate(spark: SparkSession, mvTable: String, sourceTable: String,
+      groupCols: Seq[String], sumCols: Seq[String]): Unit = {
+    require(groupCols.nonEmpty, "materialized aggregate needs at least one group column")
+    val (_, _, src) = LakeMaintenance.resolve(spark, sourceTable)
+    val srcSchema = src.meta.schema
+    (groupCols ++ sumCols).foreach(c => require(srcSchema.fieldNames.contains(c),
+      s"'$c' is not a column of $sourceTable"))
+    val ns = mvTable.split('.').dropRight(1).mkString(".")
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $ns")
+    val groupDdl = groupCols.map(c =>
+      s"$c ${srcSchema(srcSchema.fieldIndex(c)).dataType.sql}")
+    val sumDdl = sumCols.map(c => s"sum_$c DECIMAL(18,6)")
+    spark.sql(s"""CREATE TABLE $mvTable (${(groupDdl ++ Seq("cnt BIGINT") ++ sumDdl).mkString(", ")})
+      |TBLPROPERTIES (
+      |  'mv.source' = '$sourceTable',
+      |  'mv.group-by' = '${groupCols.mkString(",")}',
+      |  'mv.sum' = '${sumCols.mkString(",")}',
+      |  'mv.last-snapshot' = '0')""".stripMargin)
+  }
+
+  /** Fold the source snapshots committed since the last refresh into the
+    * MV. Returns (groups upserted, mv snapshot id) — (0, current) when
+    * there is nothing new.
+    */
+  def refresh(spark: SparkSession, mvTable: String): (Long, Long) = {
+    val (_, _, mv) = LakeMaintenance.resolve(spark, mvTable)
+    val props = mv.meta.properties
+    val source = props.getOrElse("mv.source", throw new IllegalArgumentException(
+      s"$mvTable is not a materialized aggregate (no mv.source property)"))
+    val groupCols = props("mv.group-by").split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val sumCols = props("mv.sum").split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val last = props.getOrElse("mv.last-snapshot", "0").toLong
+    val cur = LakeMaintenance.resolve(spark, source)._3.meta.currentSnapshotId
+    if (cur <= last) return (0L, mv.meta.currentSnapshotId)
+
+    // only the NEW snapshots' files are read (fails fast on non-append
+    // history — see the object doc)
+    val delta = spark.read
+      .option("start-snapshot-id", last.toString)
+      .option("end-snapshot-id", cur.toString)
+      .table(source)
+    val partial = delta.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        sumCols.map(c => sum(col(c).cast("decimal(18,6)")).as(s"sum_$c")): _*)
+
+    // merge the touched groups with their current MV values (left join:
+    // rows ∝ touched groups, and only those groups are upserted)
+    val existing = spark.table(mvTable)
+    val combined = partial.as("d").join(existing.as("m"), groupCols, "left")
+      .select(groupCols.map(col) ++
+        Seq((col("d.cnt") + coalesce(col("m.cnt"), lit(0L))).as("cnt")) ++
+        sumCols.map(c =>
+          (col(s"d.sum_$c") + coalesce(col(s"m.sum_$c"), lit(0).cast("decimal(18,6)")))
+            .cast("decimal(18,6)").as(s"sum_$c")): _*)
+
+    val groups = combined.count()
+    // the watermark rides the SAME commit as the rows: exactly-once
+    val (_, snap) = LakeMaintenance.upsert(spark, mvTable, combined, groupCols,
+      extraProps = Map("mv.last-snapshot" -> cur.toString))
+    (groups, snap)
+  }
+}

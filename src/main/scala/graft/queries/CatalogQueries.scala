@@ -270,5 +270,37 @@ object CatalogQueries {
           |  CAST(sum(s_suppkey) AS BIGINT) AS ksum,
           |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS bal
           |FROM lake.verify.sup_br GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
+    },
+
+    QueryDef.df(
+      "q75_incremental_mv",
+      // Oracle = the from-scratch aggregate over ALL of lineitem. The query
+      // loads the source in two halves with a refresh after each, so a hash
+      // match proves the incremental path (delta snapshots -> partial agg ->
+      // touched-group upsert, watermark in the same commit) reproduces the
+      // from-scratch answer bit-for-bit — decimal accumulation makes the
+      // incremental sums order-independent.
+      """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY flag""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS lake.verify")
+      s.sql("DROP TABLE IF EXISTS lake.verify.li_src")
+      s.sql("DROP TABLE IF EXISTS lake.verify.li_mv")
+      s.sql("CREATE TABLE lake.verify.li_src (l_returnflag STRING, l_quantity DOUBLE)")
+      s.sql("""INSERT INTO lake.verify.li_src
+              |SELECT l_returnflag, CAST(l_quantity AS DOUBLE) FROM lineitem
+              |WHERE l_orderkey % 2 = 0""".stripMargin)
+      s.sql("CALL lake.system.create_aggregate('verify.li_mv', 'verify.li_src'," +
+        " 'l_returnflag', 'l_quantity')")
+      s.sql("CALL lake.system.refresh_aggregate('verify.li_mv')")
+      s.sql("""INSERT INTO lake.verify.li_src
+              |SELECT l_returnflag, CAST(l_quantity AS DOUBLE) FROM lineitem
+              |WHERE l_orderkey % 2 = 1""".stripMargin)
+      s.sql("CALL lake.system.refresh_aggregate('verify.li_mv')")
+      s.table("lake.verify.li_mv")
+        .selectExpr("l_returnflag AS flag", "cnt",
+          "CAST(sum_l_quantity AS DOUBLE) AS sum_qty")
+        .orderBy("flag")
     })
 }

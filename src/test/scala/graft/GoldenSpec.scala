@@ -86,7 +86,8 @@ class GoldenSpec extends AnyFunSuite {
     "q71_bpe_tokens" -> 25L,
     "q72_ann_ivfpq" -> 10L,
     "q73_percentiles" -> 3L,
-    "q74_correlated_scalar" -> 13L)
+    "q74_correlated_scalar" -> 13L,
+    "q75_incremental_mv" -> 3L)
 
   test("every registered query has a golden count (add one when adding a query)") {
     assert(SparkEntry.queries.keySet == golden.keySet,

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{LakeMaintenance, Materialized}
+
+/** Incrementally-maintained materialized aggregates: incremental ==
+  * from-scratch, exactly-once watermark, no-op idempotence, and the
+  * honesty rule on rewritten source history.
+  */
+class MaterializedSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def uniq(p: String) = s"$p${System.nanoTime() % 1000000}"
+
+  private def meta(t: String) = {
+    val Array(_, ns, name) = t.split('.')
+    spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array(ns), name))
+      .asInstanceOf[graft.catalog.LakeTable].meta
+  }
+
+  test("refresh folds only new snapshots; result equals the from-scratch aggregate") {
+    val src = s"lake.mvs.${uniq("src")}"
+    val mvT = s"lake.mvs.${uniq("agg")}"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.mvs")
+    spark.sql(s"CREATE TABLE $src (g STRING, v DOUBLE)")
+    spark.sql(s"INSERT INTO $src VALUES ('a', 1.5), ('a', 2.5), ('b', 10.0)")
+    spark.sql(s"CALL lake.system.create_aggregate('${mvT.stripPrefix("lake.")}'," +
+      s" '${src.stripPrefix("lake.")}', 'g', 'v')")
+    spark.sql(s"CALL lake.system.refresh_aggregate('${mvT.stripPrefix("lake.")}')")
+    def mvState(): Seq[(String, Long, Double)] = spark.table(mvT)
+      .select(col("g"), col("cnt"), col("sum_v").cast("double"))
+      .orderBy("g").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(mvState() == Seq(("a", 2L, 4.0), ("b", 1L, 10.0)))
+
+    // second load touches one existing group and one new group
+    spark.sql(s"INSERT INTO $src VALUES ('a', 0.5), ('c', 7.0)")
+    val res = spark.sql(s"CALL lake.system.refresh_aggregate('${mvT.stripPrefix("lake.")}')")
+      .collect()(0)
+    assert(res.getLong(0) == 2, "only the touched groups upsert")
+    assert(mvState() == Seq(("a", 3L, 4.5), ("b", 1L, 10.0), ("c", 1L, 7.0)))
+
+    // equals from-scratch on the same source
+    val scratch = spark.table(src).groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum(col("v").cast("decimal(18,6)")).cast("double").as("s"))
+      .orderBy("g").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(mvState() == scratch)
+    spark.sql(s"DROP TABLE $mvT"); spark.sql(s"DROP TABLE $src")
+  }
+
+  test("refresh with no new data is a no-op; watermark rides the upsert commit") {
+    val src = s"lake.mvs.${uniq("nsrc")}"
+    val mvT = s"lake.mvs.${uniq("nagg")}"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.mvs")
+    spark.sql(s"CREATE TABLE $src (g STRING, v DOUBLE)")
+    spark.sql(s"INSERT INTO $src VALUES ('x', 1.0)")
+    Materialized.createAggregate(spark, mvT, src, Seq("g"), Seq("v"))
+    val (g1, snap1) = Materialized.refresh(spark, mvT)
+    assert(g1 == 1)
+    // the watermark is IN the refresh snapshot's commit (atomic)
+    val m = meta(mvT)
+    assert(m.currentSnapshotId == snap1)
+    assert(m.properties("mv.last-snapshot").toLong == meta(src).currentSnapshotId)
+    // replay: nothing new -> no commit, no state change
+    val (g2, snap2) = Materialized.refresh(spark, mvT)
+    assert(g2 == 0 && snap2 == snap1, "idempotent refresh must not commit")
+    assert(spark.table(mvT).count() == 1)
+    spark.sql(s"DROP TABLE $mvT"); spark.sql(s"DROP TABLE $src")
+  }
+
+  test("rewritten source history in the delta range fails fast (honesty rule)") {
+    val src = s"lake.mvs.${uniq("rsrc")}"
+    val mvT = s"lake.mvs.${uniq("ragg")}"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.mvs")
+    spark.sql(s"CREATE TABLE $src (g STRING, v DOUBLE)")
+    spark.sql(s"INSERT INTO $src VALUES ('x', 1.0)")
+    Materialized.createAggregate(spark, mvT, src, Seq("g"), Seq("v"))
+    Materialized.refresh(spark, mvT)
+    spark.sql(s"INSERT INTO $src VALUES ('x', 2.0)")
+    spark.sql(s"INSERT INTO $src VALUES ('y', 3.0)")
+    LakeMaintenance.compact(spark, src) // rewrite inside the pending range
+    val e = intercept[Exception] { Materialized.refresh(spark, mvT) }
+    assert(e.getMessage.contains("append"),
+      s"refresh over rewritten history must fail fast, got: ${e.getMessage}")
+    spark.sql(s"DROP TABLE $mvT"); spark.sql(s"DROP TABLE $src")
+  }
+}
