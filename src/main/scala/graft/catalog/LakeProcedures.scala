@@ -109,12 +109,14 @@ object LakeProcedures {
       case "create_aggregate" => Some(proc("create_aggregate",
         Seq(in("mv_table", StringType), in("source_table", StringType),
           in("group_by", StringType) /* comma-separated */,
-          inDef("sum", StringType, "''") /* comma-separated, may be empty */),
+          inDef("sum", StringType, "''") /* comma-separated, may be empty */,
+          inDef("min", StringType, "''"), inDef("max", StringType, "''")),
         StructType(Seq(StructField("created", BooleanType))),
         { (spark, args) =>
           def cols(s: String) = s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
           Materialized.createAggregate(spark, full(args.getString(0)), full(args.getString(1)),
-            cols(args.getString(2)), cols(args.getString(3)))
+            cols(args.getString(2)), cols(args.getString(3)),
+            cols(args.getString(4)), cols(args.getString(5)))
           row(true)
         }))
       case "refresh_aggregate" => Some(proc("refresh_aggregate",

@@ -33,22 +33,31 @@ object Materialized {
     * BIGINT, and one `sum_<c>` DECIMAL(18,6) per sum column.
     */
   def createAggregate(spark: SparkSession, mvTable: String, sourceTable: String,
-      groupCols: Seq[String], sumCols: Seq[String]): Unit = {
+      groupCols: Seq[String], sumCols: Seq[String],
+      minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil): Unit = {
     require(groupCols.nonEmpty, "materialized aggregate needs at least one group column")
     val (_, _, src) = LakeMaintenance.resolve(spark, sourceTable)
     val srcSchema = src.meta.schema
-    (groupCols ++ sumCols).foreach(c => require(srcSchema.fieldNames.contains(c),
-      s"'$c' is not a column of $sourceTable"))
+    (groupCols ++ sumCols ++ minCols ++ maxCols).foreach(c =>
+      require(srcSchema.fieldNames.contains(c), s"'$c' is not a column of $sourceTable"))
+    def srcType(c: String) = srcSchema(srcSchema.fieldIndex(c)).dataType.sql
     val ns = mvTable.split('.').dropRight(1).mkString(".")
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $ns")
-    val groupDdl = groupCols.map(c =>
-      s"$c ${srcSchema(srcSchema.fieldIndex(c)).dataType.sql}")
+    val groupDdl = groupCols.map(c => s"$c ${srcType(c)}")
+    // count + sum are additive; min/max are MONOTONE under the append-only
+    // sources refresh supports (least/greatest of old and delta) — all
+    // incrementally exact. avg = sum_c / cnt at query time.
     val sumDdl = sumCols.map(c => s"sum_$c DECIMAL(18,6)")
-    spark.sql(s"""CREATE TABLE $mvTable (${(groupDdl ++ Seq("cnt BIGINT") ++ sumDdl).mkString(", ")})
+    val minDdl = minCols.map(c => s"min_$c ${srcType(c)}")
+    val maxDdl = maxCols.map(c => s"max_$c ${srcType(c)}")
+    spark.sql(s"""CREATE TABLE $mvTable (
+      |${(groupDdl ++ Seq("cnt BIGINT") ++ sumDdl ++ minDdl ++ maxDdl).mkString(", ")})
       |TBLPROPERTIES (
       |  'mv.source' = '$sourceTable',
       |  'mv.group-by' = '${groupCols.mkString(",")}',
       |  'mv.sum' = '${sumCols.mkString(",")}',
+      |  'mv.min' = '${minCols.mkString(",")}',
+      |  'mv.max' = '${maxCols.mkString(",")}',
       |  'mv.last-snapshot' = '0')""".stripMargin)
   }
 
@@ -61,8 +70,12 @@ object Materialized {
     val props = mv.meta.properties
     val source = props.getOrElse("mv.source", throw new IllegalArgumentException(
       s"$mvTable is not a materialized aggregate (no mv.source property)"))
-    val groupCols = props("mv.group-by").split(',').map(_.trim).filter(_.nonEmpty).toSeq
-    val sumCols = props("mv.sum").split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    def colsOf(k: String) = props.getOrElse(k, "")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val groupCols = colsOf("mv.group-by")
+    val sumCols = colsOf("mv.sum")
+    val minCols = colsOf("mv.min")
+    val maxCols = colsOf("mv.max")
     val last = props.getOrElse("mv.last-snapshot", "0").toLong
     val cur = LakeMaintenance.resolve(spark, source)._3.meta.currentSnapshotId
     if (cur <= last) return (0L, mv.meta.currentSnapshotId)
@@ -75,7 +88,9 @@ object Materialized {
       .table(source)
     val partial = delta.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("cnt"),
-        sumCols.map(c => sum(col(c).cast("decimal(18,6)")).as(s"sum_$c")): _*)
+        sumCols.map(c => sum(col(c).cast("decimal(18,6)")).as(s"sum_$c")) ++
+          minCols.map(c => min(col(c)).as(s"min_$c")) ++
+          maxCols.map(c => max(col(c)).as(s"max_$c")): _*)
 
     // merge the touched groups with their current MV values (left join:
     // rows ∝ touched groups, and only those groups are upserted)
@@ -85,7 +100,13 @@ object Materialized {
         Seq((col("d.cnt") + coalesce(col("m.cnt"), lit(0L))).as("cnt")) ++
         sumCols.map(c =>
           (col(s"d.sum_$c") + coalesce(col(s"m.sum_$c"), lit(0).cast("decimal(18,6)")))
-            .cast("decimal(18,6)").as(s"sum_$c")): _*)
+            .cast("decimal(18,6)").as(s"sum_$c")) ++
+        minCols.map(c =>
+          least(col(s"d.min_$c"), coalesce(col(s"m.min_$c"), col(s"d.min_$c")))
+            .as(s"min_$c")) ++
+        maxCols.map(c =>
+          greatest(col(s"d.max_$c"), coalesce(col(s"m.max_$c"), col(s"d.max_$c")))
+            .as(s"max_$c")): _*)
 
     val groups = combined.count()
     // the watermark rides the SAME commit as the rows: exactly-once

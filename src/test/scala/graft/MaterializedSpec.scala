@@ -29,24 +29,31 @@ class MaterializedSpec extends AnyFunSuite {
     spark.sql(s"CREATE TABLE $src (g STRING, v DOUBLE)")
     spark.sql(s"INSERT INTO $src VALUES ('a', 1.5), ('a', 2.5), ('b', 10.0)")
     spark.sql(s"CALL lake.system.create_aggregate('${mvT.stripPrefix("lake.")}'," +
-      s" '${src.stripPrefix("lake.")}', 'g', 'v')")
+      s" '${src.stripPrefix("lake.")}', 'g', 'v', 'v', 'v')")
     spark.sql(s"CALL lake.system.refresh_aggregate('${mvT.stripPrefix("lake.")}')")
-    def mvState(): Seq[(String, Long, Double)] = spark.table(mvT)
-      .select(col("g"), col("cnt"), col("sum_v").cast("double"))
-      .orderBy("g").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
-    assert(mvState() == Seq(("a", 2L, 4.0), ("b", 1L, 10.0)))
+    def mvState(): Seq[(String, Long, Double, Double, Double)] = spark.table(mvT)
+      .select(col("g"), col("cnt"), col("sum_v").cast("double"), col("min_v"), col("max_v"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toSeq
+    assert(mvState() == Seq(("a", 2L, 4.0, 1.5, 2.5), ("b", 1L, 10.0, 10.0, 10.0)))
 
-    // second load touches one existing group and one new group
+    // second load touches one existing group and one new group; the new
+    // 'a' row extends min but not max
     spark.sql(s"INSERT INTO $src VALUES ('a', 0.5), ('c', 7.0)")
     val res = spark.sql(s"CALL lake.system.refresh_aggregate('${mvT.stripPrefix("lake.")}')")
       .collect()(0)
     assert(res.getLong(0) == 2, "only the touched groups upsert")
-    assert(mvState() == Seq(("a", 3L, 4.5), ("b", 1L, 10.0), ("c", 1L, 7.0)))
+    assert(mvState() == Seq(
+      ("a", 3L, 4.5, 0.5, 2.5), ("b", 1L, 10.0, 10.0, 10.0), ("c", 1L, 7.0, 7.0, 7.0)))
 
     // equals from-scratch on the same source
     val scratch = spark.table(src).groupBy("g")
-      .agg(count(lit(1)).as("cnt"), sum(col("v").cast("decimal(18,6)")).cast("double").as("s"))
-      .orderBy("g").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      .agg(count(lit(1)).as("cnt"), sum(col("v").cast("decimal(18,6)")).cast("double").as("s"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toSeq
     assert(mvState() == scratch)
     spark.sql(s"DROP TABLE $mvT"); spark.sql(s"DROP TABLE $src")
   }
