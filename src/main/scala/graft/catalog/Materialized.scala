@@ -108,10 +108,10 @@ object Materialized {
           greatest(col(s"d.max_$c"), coalesce(col(s"m.max_$c"), col(s"d.max_$c")))
             .as(s"max_$c")): _*)
 
-    val groups = combined.count()
-    // the watermark rides the SAME commit as the rows: exactly-once
-    val (_, snap) = LakeMaintenance.upsert(spark, mvTable, combined, groupCols,
+    // the watermark rides the SAME commit as the rows: exactly-once. The
+    // upsert's own committed row count IS the touched-group count — no
+    // separate count() job materializing the join twice.
+    LakeMaintenance.upsert(spark, mvTable, combined, groupCols,
       extraProps = Map("mv.last-snapshot" -> cur.toString))
-    (groups, snap)
   }
 }
