@@ -195,7 +195,8 @@ object LakeMaintenance {
     */
   def upsert(spark: SparkSession, table: String,
       source: org.apache.spark.sql.DataFrame, keys: Seq[String],
-      extraProps: Map[String, String] = Map.empty): (Long, Long) = {
+      extraProps: Map[String, String] = Map.empty,
+      requireProps: Map[String, String] = Map.empty): (Long, Long) = {
     import org.apache.spark.sql.functions.{col, count, lit}
     val (cat, ident, t) = resolve(spark, table)
     require(keys.nonEmpty, "upsert requires at least one key column")
@@ -261,6 +262,17 @@ object LakeMaintenance {
     while (attempts < CasRetry.maxAttempts) {
       base.properties.get("upsert.keys").foreach(prev => require(prev == keyCsv,
         s"upsert keys '$prev' already fixed for ${t.ident}"))
+      // optimistic-concurrency guard: the caller's precondition properties
+      // must still hold on the REBASED base — two racing MV refreshes both
+      // fold the same delta; without this the loser rebases as a clean
+      // append and double-counts. The loser gets a conflict, retries from
+      // the new watermark, and no-ops.
+      requireProps.foreach { case (k, v) =>
+        val got = base.properties.getOrElse(k, "0")
+        if (got != v) throw new CommitConflictException(
+          s"upsert into ${t.ident}: precondition $k='$v' no longer holds (now '$got') — " +
+            "a concurrent commit changed the state this write was computed from")
+      }
       val next = TableMeta.withDelta(base, "upsert", dataFiles, eqFiles, hadoopConf,
         deleteContent = "eq-deletes",
         // caller-supplied properties ride the SAME commit (atomic with the

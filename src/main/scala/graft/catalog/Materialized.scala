@@ -110,8 +110,12 @@ object Materialized {
 
     // the watermark rides the SAME commit as the rows: exactly-once. The
     // upsert's own committed row count IS the touched-group count — no
-    // separate count() job materializing the join twice.
+    // separate count() job materializing the join twice. The watermark
+    // PRECONDITION makes racing refreshes safe: whoever commits second
+    // sees the moved watermark and gets a conflict instead of folding the
+    // same delta twice.
     LakeMaintenance.upsert(spark, mvTable, combined, groupCols,
-      extraProps = Map("mv.last-snapshot" -> cur.toString))
+      extraProps = Map("mv.last-snapshot" -> cur.toString),
+      requireProps = Map("mv.last-snapshot" -> last.toString))
   }
 }

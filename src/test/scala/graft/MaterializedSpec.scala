@@ -78,6 +78,43 @@ class MaterializedSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $mvT"); spark.sql(s"DROP TABLE $src")
   }
 
+  test("racing refreshes fold the delta exactly once (watermark precondition)") {
+    val src = s"lake.mvs.${uniq("csrc")}"
+    val mvT = s"lake.mvs.${uniq("cagg")}"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.mvs")
+    spark.sql(s"CREATE TABLE $src (g STRING, v DOUBLE)")
+    spark.sql(s"INSERT INTO $src VALUES ('a', 1.0)")
+    Materialized.createAggregate(spark, mvT, src, Seq("g"), Seq("v"))
+    Materialized.refresh(spark, mvT)
+    spark.sql(s"INSERT INTO $src VALUES ('a', 2.0), ('b', 5.0)")
+
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    import scala.util.Try
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val outcomes = Await.result(
+      Future.sequence(Seq(
+        Future(Try(Materialized.refresh(spark, mvT))),
+        Future(Try(Materialized.refresh(spark, mvT))))), 120.seconds)
+    pool.shutdown()
+    // every outcome is a success, a no-op, or the loser's conflict — never
+    // a double-fold
+    outcomes.foreach {
+      case scala.util.Failure(e) =>
+        assert(e.isInstanceOf[graft.catalog.CommitConflictException],
+          s"unexpected refresh failure: $e")
+      case _ => ()
+    }
+    val got = spark.table(mvT)
+      .select(col("g"), col("cnt"), col("sum_v").cast("double"))
+      .orderBy("g").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("a", 2L, 3.0), ("b", 1L, 5.0)),
+      s"the delta must fold exactly once regardless of the race, got $got")
+    spark.sql(s"DROP TABLE $mvT"); spark.sql(s"DROP TABLE $src")
+  }
+
   test("rewritten source history in the delta range fails fast (honesty rule)") {
     val src = s"lake.mvs.${uniq("rsrc")}"
     val mvT = s"lake.mvs.${uniq("ragg")}"
