@@ -409,6 +409,39 @@ object LlmPipeline {
       PqAnn.probePqIndex(s, "lake.idx.emb_pq", emb, queryVecId = 0L)
     },
 
+    // ───── q76: decontamination (benchmark n-gram overlap) ───────────────
+    // The pass every LLM training pipeline runs before release: flag
+    // corpus documents sharing any 4-gram with a held-out benchmark set
+    // (docs 0-4 stand in for the eval suite; production pipelines use
+    // 8-13-grams — on this small-vocabulary synthetic corpus 4 is the
+    // discriminating size). Composed the scalable way:
+    // the BENCHMARK side's distinct grams are small by construction
+    // (benchmarks are fixed-size) and broadcast; the corpus side streams
+    // through the explode_ngrams generator into a broadcast hash join —
+    // no shuffle of corpus grams, no all-pairs anything. Oracled: DuckDB
+    // reproduces the grams with list slicing.
+    QueryDef.df(
+      "q76_decontaminate",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(w[i:i+3], ' ') AS g
+        |  FROM toks, unnest(range(1, len(w) - 2)) AS t(i)),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 5)
+        |SELECT c.doc_id, CAST(count(DISTINCT c.g) AS BIGINT) AS n_shared
+        |FROM grams c JOIN bench USING (g)
+        |WHERE c.doc_id >= 5
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      def grams(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), expr("explode_ngrams(split(lower(text), ' '), 4)").as("g"))
+      val bench = grams(docs.filter(col("doc_id") < 5)).select("g").distinct()
+      grams(docs.filter(col("doc_id") >= 5))
+        .join(broadcast(bench), "g")
+        .groupBy("doc_id").agg(countDistinct(col("g")).as("n_shared"))
+        .orderBy("doc_id")
+    },
+
     // ───── q72: IVF-PQ — the full FAISS-IVFADC composition ───────────────
     // Both ANN reductions at once: the IVF layer prunes ROWS (the probe
     // reads only its nprobe cells' files — `PARTITIONED BY (cell)` +
