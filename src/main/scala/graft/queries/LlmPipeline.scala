@@ -442,6 +442,33 @@ object LlmPipeline {
         .orderBy("doc_id")
     },
 
+    // ───── q77: within-document repetition ratio (Gopher-style filter) ───
+    // The quality rule that catches boilerplate/spam the q35 surface
+    // statistics miss: the fraction of a document's word 2-grams that are
+    // repeats (1 - distinct/total). One generator pass + one per-doc
+    // aggregation — count(gram) and count(DISTINCT gram) in a single
+    // hash-agg keyed by doc, nothing but (doc_id, gram) ever shuffles.
+    // Top-20 most repetitive docs, deterministically tie-broken.
+    QueryDef.df(
+      "q77_repetition",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+        |  FROM toks, unnest(range(1, len(w))) AS t(i))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*) AS DOUBLE) AS rep_ratio
+        |FROM grams GROUP BY doc_id
+        |ORDER BY rep_ratio DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), expr("explode_ngrams(split(lower(text), ' '), 2)").as("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          (lit(1.0) - countDistinct(col("g")).cast("double") / count(lit(1))).as("rep_ratio"))
+        .orderBy(col("rep_ratio").desc, col("doc_id"))
+        .limit(20)
+    },
+
     // ───── q72: IVF-PQ — the full FAISS-IVFADC composition ───────────────
     // Both ANN reductions at once: the IVF layer prunes ROWS (the probe
     // reads only its nprobe cells' files — `PARTITIONED BY (cell)` +

@@ -88,7 +88,8 @@ class GoldenSpec extends AnyFunSuite {
     "q73_percentiles" -> 3L,
     "q74_correlated_scalar" -> 13L,
     "q75_incremental_mv" -> 3L,
-    "q76_decontaminate" -> 9L)
+    "q76_decontaminate" -> 9L,
+    "q77_repetition" -> 20L)
 
   test("every registered query has a golden count (add one when adding a query)") {
     assert(SparkEntry.queries.keySet == golden.keySet,
