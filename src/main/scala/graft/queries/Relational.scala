@@ -419,12 +419,15 @@ object Relational {
 
     // ───── q73: exact interpolated percentiles per group ─────────────────
     // percentile_cont semantics (linear interpolation between order
-    // statistics) — Spark `percentile` ≡ DuckDB `quantile_cont` on double
-    // input. Exact percentile sorts each GROUP's values (memory ∝ group):
-    // right for bounded-cardinality groups like these; the unbounded-scale
-    // path is approx_percentile/HLL-family (q32's territory). Hash-exact
-    // parity relies on both engines interpolating lo + (hi-lo)·frac over
-    // identical doubles.
+    // statistics, idx = p·(n-1), value = lo + frac·(hi-lo) — DuckDB
+    // quantile_cont's formula, reproduced literally for bit parity).
+    // Implemented SORT-BASED: one window sort per value column, keep only
+    // the ≤2 order statistics each percentile needs, interpolate in a tiny
+    // final agg. Spark's builtin exact `percentile` builds a value→count
+    // hash map PER PARTITION and merges them — on a high-cardinality
+    // column that is hundreds of MB of maps and was the slowest query in
+    // the bench; the sort-based plan is a plain shuffle+sort that scales
+    // like any other window query.
     QueryDef.df(
       "q73_percentiles",
       """SELECT l_returnflag,
@@ -433,12 +436,37 @@ object Relational {
         |  quantile_cont(l_quantity, 0.25) AS q25,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
-          expr("percentile(l_extendedprice, 0.9)").as("p90"),
-          expr("percentile(l_quantity, 0.25)").as("q25"),
-          count(lit(1)).as("n"))
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem")
+      // per-group percentiles of `c` at the given (fraction, output name)s:
+      // rank rows in one window sort, keep the floor/ceil order statistics,
+      // interpolate with DuckDB's exact formula
+      def pcts(c: String, ps: Seq[(Double, String)]): DataFrame = {
+        val w = Window.partitionBy("l_returnflag").orderBy(col(c))
+        val cnt = Window.partitionBy("l_returnflag")
+        val ranked = li.select(col("l_returnflag"), col(c))
+          .withColumn("rn", row_number().over(w) - 1) // 0-based order statistic
+          .withColumn("n", count(lit(1)).over(cnt))
+        val needed = ps.map { case (p, _) =>
+          val idx = lit(p) * (col("n") - 1)
+          col("rn") === floor(idx) || col("rn") === ceil(idx)
+        }.reduce(_ || _)
+        ranked.filter(needed)
+          .groupBy("l_returnflag")
+          .agg(max(col("n")).as("n"),
+            ps.map { case (p, out) =>
+              val idx = lit(p) * (max(col("n")) - 1)
+              val lo = max(when(col("rn") === floor(lit(p) * (col("n") - 1)), col(c)))
+              val hi = max(when(col("rn") === ceil(lit(p) * (col("n") - 1)), col(c)))
+              (lo + (idx - floor(idx)) * (hi - lo)).as(out)
+            }: _*)
+      }
+      val price = pcts("l_extendedprice", Seq(0.5 -> "p50", 0.9 -> "p90"))
+      val qty = pcts("l_quantity", Seq(0.25 -> "q25")).drop("n")
+      price.join(qty, "l_returnflag")
+        .select(col("l_returnflag"), col("p50"), col("p90"), col("q25"),
+          col("n").cast("bigint").as("n"))
         .orderBy("l_returnflag")
     },
 
