@@ -119,4 +119,12 @@ class ExplainAuditSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       s"token counts must combine map-side:\n$p")
   }
+
+  test("q76 decontamination broadcasts the benchmark grams, never shuffles corpus grams") {
+    val p = plan("q76_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bounded benchmark side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus grams must not shuffle through a sort-merge join:\n$p")
+  }
 }
