@@ -956,9 +956,10 @@ private[catalog] object V2PredicatePruner {
   */
 object FilePruner {
   import org.apache.spark.sql.catalyst.{expressions => ce}
+  import org.apache.spark.unsafe.types.UTF8String
 
   private def comparable(dt: DataType): Boolean = dt match {
-    case _: NumericType | DateType | TimestampType | TimestampNTZType => true
+    case _: NumericType | DateType | TimestampType | TimestampNTZType | StringType => true
     case _ => false
   }
 
@@ -969,30 +970,49 @@ object FilePruner {
     case _ => None
   }
 
-  /** (column, literal-as-BigDecimal, literalOnLeft) for `attr op lit` /
+  /** `(sign(lo cmp v), sign(hi cmp v))` of file `f`'s [min, max] on `col`
+    * against literal `v` — numerically for numeric/temporal literals,
+    * UTF8-BINARY order for strings (the writer records string stats in
+    * exactly that order, so lexicographic pruning is sound for any text).
+    * None ⇒ can't compare ⇒ caller keeps the file.
+    */
+  private def cmp(f: DataFileMeta, col: String, v: Any): Option[(Int, Int)] =
+    for {
+      mn <- f.minValues.get(col); mx <- f.maxValues.get(col)
+      r <- v match {
+        case s: UTF8String =>
+          Some((UTF8String.fromString(mn).compareTo(s), UTF8String.fromString(mx).compareTo(s)))
+        case s: String =>
+          Some((UTF8String.fromString(mn).compareTo(UTF8String.fromString(s)),
+            UTF8String.fromString(mx).compareTo(UTF8String.fromString(s))))
+        case other => for {
+          b <- num(other)
+          lo <- try Some(BigDecimal(mn)) catch { case _: Throwable => None }
+          hi <- try Some(BigDecimal(mx)) catch { case _: Throwable => None }
+        } yield (lo.compare(b), hi.compare(b))
+      }
+    } yield r
+
+  /** (column, literal value, literalOnLeft) for `attr op lit` /
     * `lit op attr` shapes; None for anything else (⇒ no pruning).
     */
-  private def colLit(l: ce.Expression, r: ce.Expression): Option[(String, BigDecimal, Boolean)] = {
+  private def colLit(l: ce.Expression, r: ce.Expression): Option[(String, Any, Boolean)] =
     (l, r) match {
-      case (a: ce.Attribute, ce.Literal(v, dt)) if comparable(dt) => num(v).map((a.name, _, false))
-      case (ce.Literal(v, dt), a: ce.Attribute) if comparable(dt) => num(v).map((a.name, _, true))
+      case (a: ce.Attribute, ce.Literal(v, dt)) if v != null && comparable(dt) =>
+        Some((a.name, v, false))
+      case (ce.Literal(v, dt), a: ce.Attribute) if v != null && comparable(dt) =>
+        Some((a.name, v, true))
       case _ => None
     }
-  }
 
   /** Could any row of `f` satisfy `e`? */
   def mayMatch(e: ce.Expression, f: DataFileMeta, schema: StructType): Boolean = {
     if (f.minValues.isEmpty) return true
-    def range(col: String): Option[(BigDecimal, BigDecimal)] =
-      for {
-        mn <- f.minValues.get(col); mx <- f.maxValues.get(col)
-        lo <- try Some(BigDecimal(mn)) catch { case _: Throwable => None }
-        hi <- try Some(BigDecimal(mx)) catch { case _: Throwable => None }
-      } yield (lo, hi)
+    // test receives (sign(lo cmp v), sign(hi cmp v), literalOnLeft)
     def check(l: ce.Expression, r: ce.Expression)(
-        test: (BigDecimal, BigDecimal, BigDecimal, Boolean) => Boolean): Boolean =
-      (for ((col, v, flipped) <- colLit(l, r); (lo, hi) <- range(col))
-        yield test(lo, hi, v, flipped)).getOrElse(true)
+        test: (Int, Int, Boolean) => Boolean): Boolean =
+      (for ((col, v, flipped) <- colLit(l, r); (cl, ch) <- cmp(f, col, v))
+        yield test(cl, ch, flipped)).getOrElse(true)
     e match {
       case ce.And(a, b) => mayMatch(a, f, schema) && mayMatch(b, f, schema)
       case ce.Or(a, b) => mayMatch(a, f, schema) || mayMatch(b, f, schema)
@@ -1002,27 +1022,28 @@ object FilePruner {
         f.nulls.get(a.name).forall(_ > 0)
       case ce.IsNotNull(a: ce.Attribute) =>
         f.nulls.get(a.name).forall(_ < f.rowCount)
-      case ce.EqualTo(l, r) => check(l, r)((lo, hi, v, _) => v >= lo && v <= hi)
+      case ce.EqualTo(l, r) => check(l, r)((cl, ch, _) => cl <= 0 && ch >= 0)
       case ce.GreaterThan(l, r) => // attr > v needs hi > v; v > attr needs lo < v
-        check(l, r)((lo, hi, v, flip) => if (flip) lo < v else hi > v)
+        check(l, r)((cl, ch, flip) => if (flip) cl < 0 else ch > 0)
       case ce.GreaterThanOrEqual(l, r) =>
-        check(l, r)((lo, hi, v, flip) => if (flip) lo <= v else hi >= v)
+        check(l, r)((cl, ch, flip) => if (flip) cl <= 0 else ch >= 0)
       case ce.LessThan(l, r) =>
-        check(l, r)((lo, hi, v, flip) => if (flip) hi > v else lo < v)
+        check(l, r)((cl, ch, flip) => if (flip) ch > 0 else cl < 0)
       case ce.LessThanOrEqual(l, r) =>
-        check(l, r)((lo, hi, v, flip) => if (flip) hi >= v else lo <= v)
+        check(l, r)((cl, ch, flip) => if (flip) ch >= 0 else cl <= 0)
       // IN lists: keep the file iff ANY value may fall in its range — the
       // multi-point-lookup pattern (e.g. an IVF probe's `cell IN (...)`)
-      // prunes like a disjunction of equalities. Non-numeric values keep
+      // prunes like a disjunction of equalities. Incomparable values keep
       // the file conservatively; an empty list matches nothing.
       case ce.In(a: ce.Attribute, vs) =>
-        (for ((lo, hi) <- range(a.name)) yield vs.exists {
-          case ce.Literal(v, _) => num(v).forall(b => b >= lo && b <= hi)
+        vs.exists {
+          case ce.Literal(v, _) if v != null =>
+            cmp(f, a.name, v).forall { case (cl, ch) => cl <= 0 && ch >= 0 }
           case _ => true
-        }).getOrElse(true)
+        }
       case ce.InSet(a: ce.Attribute, vs) =>
-        (for ((lo, hi) <- range(a.name)) yield
-          vs.exists(v => num(v).forall(b => b >= lo && b <= hi))).getOrElse(true)
+        vs.exists(v => v == null ||
+          cmp(f, a.name, v).forall { case (cl, ch) => cl <= 0 && ch >= 0 })
       case _ => true
     }
   }

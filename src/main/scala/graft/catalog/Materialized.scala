@@ -34,7 +34,8 @@ object Materialized {
     */
   def createAggregate(spark: SparkSession, mvTable: String, sourceTable: String,
       groupCols: Seq[String], sumCols: Seq[String],
-      minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil): Unit = {
+      minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
+      partitioned: Boolean = false): Unit = {
     require(groupCols.nonEmpty, "materialized aggregate needs at least one group column")
     val (_, _, src) = LakeMaintenance.resolve(spark, sourceTable)
     val srcSchema = src.meta.schema
@@ -50,8 +51,14 @@ object Materialized {
     val sumDdl = sumCols.map(c => s"sum_$c DECIMAL(18,6)")
     val minDdl = minCols.map(c => s"min_$c ${srcType(c)}")
     val maxDdl = maxCols.map(c => s"max_$c ${srcType(c)}")
+    // partitioned = true clusters the MV by its group columns: refresh
+    // upserts cluster per group value and a point read of one group is a
+    // partition-pruned file lookup — the right layout once the group space
+    // is large enough to matter
+    val partClause = if (partitioned) s"PARTITIONED BY (${groupCols.mkString(", ")})" else ""
     spark.sql(s"""CREATE TABLE $mvTable (
       |${(groupDdl ++ Seq("cnt BIGINT") ++ sumDdl ++ minDdl ++ maxDdl).mkString(", ")})
+      |$partClause
       |TBLPROPERTIES (
       |  'mv.source' = '$sourceTable',
       |  'mv.group-by' = '${groupCols.mkString(",")}',

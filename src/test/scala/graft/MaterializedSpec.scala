@@ -78,6 +78,33 @@ class MaterializedSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $mvT"); spark.sql(s"DROP TABLE $src")
   }
 
+  test("partitioned MV: refresh keeps one file per group, point reads prune") {
+    val src = s"lake.mvs.${uniq("psrc")}"
+    val mvT = s"lake.mvs.${uniq("pagg")}"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.mvs")
+    spark.sql(s"CREATE TABLE $src (g STRING, v DOUBLE)")
+    spark.sql(s"INSERT INTO $src VALUES ('a', 1.0), ('b', 2.0), ('c', 3.0)")
+    Materialized.createAggregate(spark, mvT, src, Seq("g"), Seq("v"), partitioned = true)
+    Materialized.refresh(spark, mvT)
+    spark.sql(s"INSERT INTO $src VALUES ('a', 4.0)")
+    Materialized.refresh(spark, mvT)
+    val files = meta(mvT).currentFiles
+    assert(files.forall(f => f.minValues.get("g") == f.maxValues.get("g")),
+      "clustered refresh: every MV file single-valued on the group")
+    // a one-group read prunes to that group's files
+    val q = spark.table(mvT).filter(col("g") === "b")
+    assert(q.count() == 1)
+    val scanned = q.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    val m = """LakeScan\([^,]+, (\d+) files\)""".r.findFirstMatchIn(scanned)
+    assert(m.isDefined && m.get.group(1).toInt < files.size,
+      s"point read must prune to a subset of ${files.size} files:\n$scanned")
+    // values still exact through the partitioned upsert path
+    val a = spark.table(mvT).filter(col("g") === "a").head()
+    assert(a.getAs[Long]("cnt") == 2 &&
+      a.getAs[java.math.BigDecimal]("sum_v").doubleValue() == 5.0)
+    spark.sql(s"DROP TABLE $mvT"); spark.sql(s"DROP TABLE $src")
+  }
+
   test("racing refreshes fold the delta exactly once (watermark precondition)") {
     val src = s"lake.mvs.${uniq("csrc")}"
     val mvT = s"lake.mvs.${uniq("cagg")}"
