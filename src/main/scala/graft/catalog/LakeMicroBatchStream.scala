@@ -74,6 +74,19 @@ final class LakeMicroBatchStream(
   /** Last time a rate-limited trigger admitted files (ReadMinRows gate). */
   @volatile private var lastTriggerMs: Long = System.currentTimeMillis()
 
+  /** `readStream.option("branch", b)`: the stream follows the BRANCH ref
+    * instead of main — tail an audit branch while main moves independently
+    * (the streaming twin of the batch branch read).
+    */
+  private val branch: Option[String] = Option(options.get("branch"))
+
+  /** The ref this stream tails: main's pointer, or the branch head. */
+  private def headOf(meta: TableMeta): Long = branch match {
+    case None => math.max(meta.currentSnapshotId, 0L)
+    case Some(b) => meta.branchHead(b).getOrElse(throw new IllegalStateException(
+      s"stream over $ident: branch '$b' no longer exists"))
+  }
+
   /** Where a NEW stream (no checkpoint) starts: snapshot 0 = replay the
     * whole table (file-source semantics); "latest" = only data committed
     * after the stream starts; an explicit snapshot id = resume point
@@ -86,7 +99,7 @@ final class LakeMicroBatchStream(
       case (Some(_), Some(_)) =>
         throw new IllegalArgumentException(
           "set either starting-snapshot-id or starting-timestamp, not both")
-      case (Some("latest"), None) => LakeOffset(math.max(refresh().currentSnapshotId, 0L))
+      case (Some("latest"), None) => LakeOffset(headOf(refresh()))
       case (Some(id), None) =>
         val n = id.toLong
         require(n >= 0, s"starting-snapshot-id must be >= 0 or 'latest', got $id")
@@ -98,15 +111,12 @@ final class LakeMicroBatchStream(
       case (None, None) => LakeOffset(0L)
     }
 
-  override def latestOffset(): Offset = {
-    val id = refresh().currentSnapshotId
-    LakeOffset(math.max(id, 0L))
-  }
+  override def latestOffset(): Offset = LakeOffset(headOf(refresh()))
 
   override def reportLatestOffset(): Offset = latestOffset()
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(math.max(refresh().currentSnapshotId, 0L))
+    availableNowCap = Some(headOf(refresh()))
 
   override def getDefaultReadLimit: ReadLimit = {
     def opt(keys: String*): Option[Long] =
@@ -125,7 +135,7 @@ final class LakeMicroBatchStream(
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[LakeOffset]
     val meta = refresh()
-    val headId = availableNowCap.getOrElse(math.max(meta.currentSnapshotId, 0L))
+    val headId = availableNowCap.getOrElse(headOf(meta))
     val pending = pendingFiles(meta, s, headId)
     if (pending.isEmpty) {
       // nothing to admit; still advance through empty-delta snapshots
@@ -178,8 +188,10 @@ final class LakeMicroBatchStream(
     */
   private case class PendingFile(snapshotId: Long, idx: Int, deltaLen: Int, file: DataFileMeta)
 
-  private val appendOps = Set("append", "stream-append", "create", "stage-append",
-    "publish", "rewrite-manifests")
+  // branch-append is an append: a branch stream walks it directly, and a
+  // MAIN stream inherits branch commits into its lineage after fast_forward
+  private val appendOps = Set("append", "stream-append", "branch-append", "create",
+    "stage-append", "publish", "rewrite-manifests")
 
   /** The snapshots in `(startId, endId]` along `endId`'s parent chain,
     * oldest first, each paired with its parent id. Falls back to the flat
@@ -290,7 +302,7 @@ final class LakeMicroBatchStream(
       val consumed = if (latestConsumedOffset.isPresent)
         latestConsumedOffset.get().asInstanceOf[LakeOffset] else LakeOffset(0L)
       val meta = refresh()
-      val pending = pendingFiles(meta, consumed, math.max(meta.currentSnapshotId, 0L))
+      val pending = pendingFiles(meta, consumed, headOf(meta))
       java.util.Map.of(
         "pendingFiles", pending.size.toString,
         "pendingRows", pending.iterator.map(_.file.rowCount).sum.toString,

@@ -310,6 +310,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(ac.latestOffset(o3, limit) == o3)
   }
 
+  test("streaming from a branch: the stream tails the branch ref, not main") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.stream")
+    spark.sql("DROP TABLE IF EXISTS lake.stream.br")
+    spark.sql("CREATE TABLE lake.stream.br (k BIGINT)")
+    spark.sql("INSERT INTO lake.stream.br VALUES (1)")
+    spark.sql("CALL lake.system.create_branch('stream.br', 'audit')")
+    val q = spark.readStream.option("branch", "audit").table("lake.stream.br")
+      .writeStream.format("memory").queryName("br_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      import spark.implicits._
+      assert(spark.table("br_out").as[Long].collect().toSeq == Seq(1L))
+      // branch append arrives on the branch stream; a main commit does not
+      spark.sql("SELECT CAST(2 AS BIGINT) AS k").writeTo("lake.stream.br")
+        .option("branch", "audit").append()
+      spark.sql("INSERT INTO lake.stream.br VALUES (99)") // main only
+      q.processAllAvailable()
+      assert(spark.table("br_out").as[Long].collect().sorted.toSeq == Seq(1L, 2L),
+        "the branch stream must see branch commits and ignore main's")
+    } finally q.stop()
+  }
+
+  test("main stream crosses a fast_forward: adopted branch commits stream as appends") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.stream")
+    spark.sql("DROP TABLE IF EXISTS lake.stream.ff")
+    spark.sql("CREATE TABLE lake.stream.ff (k BIGINT)")
+    spark.sql("INSERT INTO lake.stream.ff VALUES (1)")
+    val q = spark.readStream.table("lake.stream.ff")
+      .writeStream.format("memory").queryName("ff_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      spark.sql("CALL lake.system.create_branch('stream.ff', 'side')")
+      spark.sql("SELECT CAST(2 AS BIGINT) AS k").writeTo("lake.stream.ff")
+        .option("branch", "side").append()
+      q.processAllAvailable()
+      assert(spark.table("ff_out").count() == 1, "branch-only commits stay invisible to main")
+      spark.sql("CALL lake.system.fast_forward('stream.ff', 'side')")
+      q.processAllAvailable()
+      import spark.implicits._
+      assert(spark.table("ff_out").as[Long].collect().sorted.toSeq == Seq(1L, 2L),
+        "after fast_forward the adopted branch commit streams exactly once")
+    } finally q.stop()
+  }
+
   test("session windows (batch replay): gap merging produces hand-computed sessions") {
     import spark.implicits._
     val df = Seq[Ev](
