@@ -1043,5 +1043,68 @@ object LlmPipeline {
             .cast("long").as("p90_chars"),
           max(col("n_chars")).cast("long").as("max_chars"))
         .orderBy("lang")
+    },
+
+    // ───── q79: duplicate-span removal (C4-style line dedup) ─────────────
+    // C4/CCNet's corpus-global unit dedup: split every document into
+    // non-overlapping 8-token spans, keep exactly ONE occurrence of each
+    // distinct span corpus-wide (the first by (doc_id, chunk_idx)), drop
+    // the rest, and reassemble each document from its surviving spans.
+    // The 100 TB shape: the keep/drop decision shuffles ONLY
+    // (fingerprint, doc_id, chunk_idx) — span text never moves; the winner
+    // per fingerprint is a hash-agg min(struct), and reassembly re-slices
+    // the spans from the original token array after a doc_id-keyed join of
+    // integer index lists. Output pins the reassembled text via md5.
+    QueryDef.df(
+      "q79_span_dedup",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, i AS chunk_idx,
+        |    array_to_string(w[(i*8+1):((i+1)*8)], ' ') AS chunk
+        |  FROM toks, LATERAL unnest(generate_series(0,
+        |    CAST(ceil(len(w)/8.0) AS BIGINT) - 1)) AS t(i)),
+        |ranked AS (
+        |  SELECT doc_id, chunk_idx, chunk,
+        |    row_number() OVER (PARTITION BY md5(chunk)
+        |                       ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM chunks)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
+        |  CASE WHEN count(CASE WHEN rn = 1 THEN 1 END) = 0 THEN NULL
+        |       ELSE md5(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+        |                           ORDER BY chunk_idx)) END AS kept_md5
+        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val k = 8
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      // fingerprints only — the span text stays behind
+      val chunks = docs
+        .select(col("doc_id"),
+          explode(sequence(lit(0),
+            ceil(size(col("w")) / lit(k.toDouble)).cast("int") - 1)).as("chunk_idx"),
+          col("w"))
+        .select(col("doc_id"), col("chunk_idx"),
+          md5(array_join(slice(col("w"), col("chunk_idx") * k + 1, lit(k)), " "))
+            .as("fp"))
+      // one winner per fingerprint: lexicographic min(doc_id, chunk_idx) ==
+      // the oracle's row_number()=1 under the same ordering
+      val keptIdx = chunks
+        .groupBy("fp")
+        .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("win"))
+        .select(col("win.doc_id").as("doc_id"), col("win.chunk_idx").as("chunk_idx"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(col("chunk_idx"))).as("idx"))
+      docs
+        .withColumn("n_chunks", ceil(size(col("w")) / lit(k.toDouble)).cast("long"))
+        .join(keptIdx, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(size(col("idx")), lit(0)).cast("long").as("n_kept"),
+          when(coalesce(size(col("idx")), lit(0)) === 0, lit(null).cast("string"))
+            .otherwise(md5(array_join(
+              transform(col("idx"),
+                i => array_join(slice(col("w"), i * k + 1, lit(k)), " ")),
+              " "))).as("kept_md5"))
+        .orderBy("doc_id")
     })
 }

@@ -147,6 +147,29 @@ object StreamingQueries {
         .orderBy("user_id", "session_start")
     },
 
+    // ───── q78: stream-stream interval join (click attribution) ─────────
+    // The batch replay of EventsStreaming.attributedClicks — the
+    // watermarked stream-stream join whose true-streaming semantics
+    // (bounded state, watermark eviction, late-drop) StreamingSpec pins
+    // with MemoryStreams. Here the same plan runs over the batch events
+    // table so DuckDB can hash-check the join itself.
+    QueryDef.df(
+      "q78_stream_interval_join",
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |  CAST(p.value AS DOUBLE) AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        |  AND c.ts >= p.ts - INTERVAL 180 MINUTE AND c.ts <= p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      EventsStreaming.attributedClicks(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"),
+          horizon = "180 minutes")
+        .orderBy("purchase_id", "click_id")
+    },
+
     // ───── q70: resample + gap-fill (the time-series densification op) ───
     // Hourly per-user averages forward-filled onto a dense per-user hour
     // grid — the resample/ffill primitive every metrics pipeline needs and

@@ -56,6 +56,38 @@ object EventsStreaming {
       // (dropDuplicatesWithinWatermark is streaming-only in Spark).
       events.dropDuplicates("event_id")
 
+  /** Stream-stream interval join: each purchase picks up the same user's
+    * clicks from the preceding `horizon` (click attribution). In streaming
+    * mode this is Spark's watermarked stream-stream inner join — BOTH sides
+    * carry a watermark and the join condition bounds event time on both
+    * sides, so the state store keeps only `horizon + watermarkDelay` of
+    * either stream per key and evicts rows as the watermark passes: bounded
+    * state on unbounded streams, the property a 100 TB/day clickstream
+    * needs. In batch replay the same plan is a hash equi-join on user_id
+    * with the time range as a post-join filter. Matches emit as soon as
+    * both rows are present (inner join does not wait for the watermark).
+    */
+  def attributedClicks(
+      purchases: DataFrame,
+      clicks: DataFrame,
+      horizon: String = "10 minutes",
+      watermarkDelay: String = "30 minutes"): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+      .withWatermark("p_ts", watermarkDelay)
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermarkDelay)
+    p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $horizon") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("click_id"),
+        col("purchase_value").cast("double").as("purchase_value"))
+  }
+
   /** Per-user session windows (gap-based): rows closer than `gap` merge into
     * one session. Streaming uses the same expression via session_window.
     */

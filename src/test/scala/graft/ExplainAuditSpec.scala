@@ -127,4 +127,19 @@ class ExplainAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"corpus grams must not shuffle through a sort-merge join:\n$p")
   }
+
+  test("q78 stream-interval join stays an equi-join on user_id (range as post-filter)") {
+    val p = plan("q78_stream_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join must hash-join on the user key:\n$p")
+  }
+
+  test("q79 span dedup: winner election is a hash-agg over fingerprints, never a theta join") {
+    val p = plan("q79_span_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span dedup must stay equi-join/hash-agg shaped:\n$p")
+    // the fp → min(struct) winner election is a partial+final hash agg: the
+    // span TEXT never rides the dedup shuffle, only its md5 fingerprint
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial+final agg:\n$p")
+  }
 }

@@ -89,7 +89,9 @@ class GoldenSpec extends AnyFunSuite {
     "q74_correlated_scalar" -> 13L,
     "q75_incremental_mv" -> 3L,
     "q76_decontaminate" -> 9L,
-    "q77_repetition" -> 20L)
+    "q77_repetition" -> 20L,
+    "q78_stream_interval_join" -> 13L,
+    "q79_span_dedup" -> 500L)
 
   test("every registered query has a golden count (add one when adding a query)") {
     assert(SparkEntry.queries.keySet == golden.keySet,

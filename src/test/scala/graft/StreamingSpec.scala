@@ -369,6 +369,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(2).getAs[Long]("user_id") == 2L && out(2).getAs[Long]("n_events") == 1)
   }
 
+  test("stream-stream interval join: purchases attribute preceding clicks; late rows past the watermark drop") {
+    import spark.implicits._
+    val clicks = MemoryStream[Ev](spark)
+    val purchases = MemoryStream[Ev](spark)
+    val q = EventsStreaming.attributedClicks(
+        toDf(purchases.toDF()), toDf(clicks.toDF()), "10 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("attributed").outputMode("append")
+      .start()
+    // user 1: clicks at minute 0 and 8, purchase at minute 10 → both attribute
+    // (interval [0, 10] inclusive); user 2's click has no purchase.
+    clicks.addData((1L, ts(0), 1L, "click", 0.0), (2L, ts(8), 1L, "click", 0.0),
+      (3L, ts(8), 2L, "click", 0.0))
+    purchases.addData((10L, ts(10), 1L, "purchase", 5.0))
+    q.processAllAvailable()
+    val first = spark.table("attributed").orderBy("purchase_id", "click_id").collect()
+    assert(first.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((10L, 1L), (10L, 2L)))
+    assert(first.forall(_.getAs[Double]("purchase_value") == 5.0))
+    // advance both watermarks to ~minute 190 (state for minute-scale rows evicts)
+    clicks.addData((4L, ts(200), 9L, "click", 0.0))
+    purchases.addData((11L, ts(200), 9L, "purchase", 1.0))
+    q.processAllAvailable()
+    // a purchase far below the watermark is late → dropped, no resurrected matches
+    purchases.addData((12L, ts(12), 1L, "purchase", 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("attributed").orderBy("purchase_id", "click_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((10L, 1L), (10L, 2L), (11L, 4L)))
+  }
+
   test("streaming across WAP: staged rows arrive exactly once, at publish time") {
     import org.apache.spark.sql.functions.col
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.stream")
