@@ -1106,5 +1106,58 @@ object LlmPipeline {
                 i => array_join(slice(col("w"), i * k + 1, lit(k)), " ")),
               " "))).as("kept_md5"))
         .orderBy("doc_id")
+    },
+
+    // ───── q80: greedy sequence packing (training-shard assembly) ────────
+    // Pack documents into fixed-token-budget bins without splitting: the
+    // step that turns a filtered corpus into training sequences. Greedy
+    // packing is a running accumulator WITH RESET — not expressible as a
+    // window function (prefix sums don't decompose across the reset) — so
+    // this is the one legitimately sequential operator in the pipeline,
+    // made scalable the Spark way: documents hash into independent shards
+    // (`doc_id % S`; S = the output shard count, thousands at 100 TB), ONE
+    // shuffle co-locates each shard, flatMapSortedGroups streams it in
+    // doc_id order through O(1) packer state (spillable sort, iterator in
+    // → iterator out, nothing materialized). Oracle: DuckDB reproduces the
+    // same greedy recurrence with a recursive CTE. Oversize docs (> budget)
+    // get a bin of their own — packing never splits.
+    QueryDef.df(
+      "q80_pack_sequences",
+      """WITH RECURSIVE docs2 AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |packed AS (
+        |  SELECT shard, rn, doc_id, n_tokens,
+        |    CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+        |  FROM docs2 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+        |    CASE WHEN p.fill + d.n_tokens > 128 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.fill + d.n_tokens > 128 THEN d.n_tokens
+        |         ELSE p.fill + d.n_tokens END
+        |  FROM packed p JOIN docs2 d ON d.shard = p.shard AND d.rn = p.rn + 1)
+        |SELECT doc_id, shard, bin, n_tokens
+        |FROM packed ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val budget = 128L
+      t(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._2)
+        .flatMapSortedGroups($"doc_id") { (shard, docs) =>
+          var bin = 0L
+          var fill = -1L // sentinel: first doc starts bin 0 regardless of size
+          docs.map { case (docId, _, nt) =>
+            if (fill < 0) fill = nt
+            else if (fill + nt > budget) { bin += 1; fill = nt }
+            else fill += nt
+            (docId, shard, bin, nt)
+          }
+        }
+        .toDF("doc_id", "shard", "bin", "n_tokens")
+        .orderBy("doc_id")
     })
 }

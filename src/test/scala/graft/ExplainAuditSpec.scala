@@ -142,4 +142,10 @@ class ExplainAuditSpec extends AnyFunSuite {
     // span TEXT never rides the dedup shuffle, only its md5 fingerprint
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial+final agg:\n$p")
   }
+
+  test("q80 packing is one shard shuffle + sorted group scan, no join") {
+    val p = plan("q80_pack_sequences")
+    assert(!p.contains("Join"), s"packing must not join:\n$p")
+    assert(p.contains("MapGroups"), s"expected the sorted-group packer:\n$p")
+  }
 }

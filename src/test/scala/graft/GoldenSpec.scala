@@ -91,7 +91,8 @@ class GoldenSpec extends AnyFunSuite {
     "q76_decontaminate" -> 9L,
     "q77_repetition" -> 20L,
     "q78_stream_interval_join" -> 13L,
-    "q79_span_dedup" -> 500L)
+    "q79_span_dedup" -> 500L,
+    "q80_pack_sequences" -> 500L)
 
   test("every registered query has a golden count (add one when adding a query)") {
     assert(SparkEntry.queries.keySet == golden.keySet,

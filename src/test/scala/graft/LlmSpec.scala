@@ -347,4 +347,29 @@ class LlmSpec extends AnyFunSuite {
       .where($"cu" =!= $"cv").count()
     assert(crossing == 0L, "every edge must connect nodes of the same component")
   }
+
+  test("q80 packing invariants: bins contiguous per shard, never over budget unless one oversize doc") {
+    val out = SparkEntry.queries("q80_pack_sequences")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val budget = 128L
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      val byBin = rows.groupBy(_._3)
+      val bins = byBin.keySet
+      assert(bins == (0L until bins.size).toSet, s"shard $shard bins not contiguous: $bins")
+      byBin.foreach { case (bin, docs) =>
+        val fill = docs.map(_._4).sum
+        assert(fill <= budget || docs.size == 1,
+          s"shard $shard bin $bin over budget with ${docs.size} docs (fill $fill)")
+      }
+      // greedy tightness: a bin's first doc never fits in the previous bin
+      val inOrder = rows.sortBy(_._1)
+      inOrder.zip(inOrder.drop(1)).foreach { case ((_, _, b1, _), (d2, _, b2, t2)) =>
+        if (b2 == b1 + 1) {
+          val prevFill = inOrder.filter(_._3 == b1).map(_._4).sum
+          assert(prevFill + t2 > budget,
+            s"doc $d2 opened bin $b2 but fit in bin $b1 (fill $prevFill + $t2 <= $budget)")
+        }
+      }
+    }
+  }
 }
