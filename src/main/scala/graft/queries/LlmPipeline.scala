@@ -1159,5 +1159,95 @@ object LlmPipeline {
         }
         .toDF("doc_id", "shard", "bin", "n_tokens")
         .orderBy("doc_id")
+    },
+
+    // ───── q81: domain-mixture resampling (exact target proportions) ─────
+    // The mix-design step: re-weight a corpus so each source contributes a
+    // TARGET share (here weight ∝ source index + 1, total weight 210)
+    // rather than its natural share. Exact-quota form: the achievable
+    // corpus size is capped by the scarcest source (min over
+    // floor(n_s·W/w_s)), each source's quota is floor(T·w_s/W), and the
+    // quota is filled deterministically by md5(doc_id) rank — re-runs and
+    // engines agree bit-for-bit, no binomial sampling noise. Shuffles:
+    // counts are a partial+final agg; the cap T broadcasts; the rank is a
+    // per-source window (the price of EXACT quotas — rate-based md5
+    // thresholding, as in q57, is the sort-free variant when ±√n noise is
+    // acceptable).
+    QueryDef.df(
+      "q81_domain_mixture",
+      """WITH d AS (SELECT doc_id, source, n_chars,
+        |    CAST(substring(source, 4) AS INT) + 1 AS wt FROM documents),
+        |counts AS (SELECT source, wt, count(*) AS n FROM d GROUP BY source, wt),
+        |cap AS (SELECT CAST(min(floor(n * 210.0 / wt)) AS BIGINT) AS total FROM counts),
+        |quota AS (SELECT c.source, c.n, CAST(floor(cap.total * c.wt / 210.0) AS BIGINT) AS t
+        |          FROM counts c, cap),
+        |ranked AS (SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM d)
+        |SELECT q.source, CAST(q.n AS BIGINT) AS n_docs, q.t AS quota,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(r.n_chars) AS BIGINT) AS sum_kept_chars
+        |FROM ranked r JOIN quota q ON r.source = q.source AND r.rk <= q.t
+        |GROUP BY q.source, q.n, q.t ORDER BY q.source""".stripMargin) { (s, dir) =>
+      val W = 210.0
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          (expr("CAST(substring(source, 4) AS INT)") + 1).as("wt"))
+      val counts = d.groupBy("source", "wt").agg(count(lit(1)).as("n"))
+      val cap = counts
+        .agg(floor(min(floor(col("n") * lit(W) / col("wt")))).cast("long").as("total"))
+      val quota = counts.crossJoin(broadcast(cap))
+        .select(col("source"), col("n"),
+          floor(col("total") * col("wt") / lit(W)).cast("long").as("t"))
+      val rk = row_number().over(
+        Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+      d.withColumn("rk", rk)
+        .join(quota, Seq("source"))
+        .filter(col("rk") <= col("t"))
+        .groupBy(col("source"), col("n").as("n_docs"), col("t").as("quota"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).cast("long").as("sum_kept_chars"))
+        .select(col("source"), col("n_docs"), col("quota"), col("n_kept"),
+          col("sum_kept_chars"))
+        .orderBy("source")
+    },
+
+    // ───── q82: unigram NLL scoring (perplexity-proxy quality filter) ────
+    // The cheap stand-in for a KenLM perplexity filter: score each document
+    // by the mean negative log-likelihood of its tokens under the corpus's
+    // own unigram distribution, surface the 25 most-surprising documents.
+    // Shape at 100 TB: the vocabulary is Zipf-bounded (≪ corpus), so the
+    // token→probability lookup BROADCASTS into the token stream — the only
+    // corpus-sized movement is the per-doc partial+final agg; if a vocab
+    // ever outgrew the broadcast threshold Spark falls back to a hash join
+    // on the token key automatically. Decimal-summed ln keeps the mean
+    // order-independent and engine-exact.
+    QueryDef.df(
+      "q82_unigram_nll",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |vocab AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM vocab),
+        |scored AS (
+        |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CAST(-ln(v.n / tot.nn) AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(*) AS nll
+        |  FROM toks t JOIN vocab v ON t.tok = v.tok CROSS JOIN tot
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, n_tokens, nll FROM scored
+        |ORDER BY nll DESC, doc_id LIMIT 25""".stripMargin) { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      val tot = vocab.agg(sum(col("n")).cast("double").as("nn"))
+      toks.join(broadcast(vocab), "tok")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          (sum((-log(col("n") / col("nn"))).cast("decimal(18,6)")).cast("double")
+            / count(lit(1))).as("nll"))
+        .orderBy(col("nll").desc, col("doc_id")).limit(25)
     })
 }

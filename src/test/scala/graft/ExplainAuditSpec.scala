@@ -148,4 +148,10 @@ class ExplainAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"packing must not join:\n$p")
     assert(p.contains("MapGroups"), s"expected the sorted-group packer:\n$p")
   }
+
+  test("q82 NLL scoring broadcasts the vocab into the token stream; top-k never global-sorts") {
+    val p = plan("q82_unigram_nll")
+    assert(p.contains("BroadcastHashJoin"), s"vocab lookup should broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-25 must not global-sort:\n$p")
+  }
 }

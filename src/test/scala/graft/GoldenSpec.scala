@@ -92,7 +92,9 @@ class GoldenSpec extends AnyFunSuite {
     "q77_repetition" -> 20L,
     "q78_stream_interval_join" -> 13L,
     "q79_span_dedup" -> 500L,
-    "q80_pack_sequences" -> 500L)
+    "q80_pack_sequences" -> 500L,
+    "q81_domain_mixture" -> 20L,
+    "q82_unigram_nll" -> 25L)
 
   test("every registered query has a golden count (add one when adding a query)") {
     assert(SparkEntry.queries.keySet == golden.keySet,
