@@ -399,6 +399,34 @@ class StreamingSpec extends AnyFunSuite {
       Seq((10L, 1L), (10L, 2L), (11L, 4L)))
   }
 
+  test("stream-static join: stream enriches from a lake dim table; dim updates visible to later micro-batches") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.stream")
+    spark.sql("DROP TABLE IF EXISTS lake.stream.dim_users")
+    spark.sql("CREATE TABLE lake.stream.dim_users (user_id BIGINT, tier STRING)")
+    spark.sql("INSERT INTO lake.stream.dim_users VALUES (1, 'free'), (2, 'pro')")
+    val input = MemoryStream[Ev](spark)
+    val enriched = toDf(input.toDF())
+      .join(spark.table("lake.stream.dim_users"), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("tier"))
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    input.addData((1L, ts(0), 1L, "click", 0.0), (2L, ts(1), 2L, "click", 0.0),
+      (3L, ts(2), 3L, "click", 0.0)) // user 3 not in dim yet
+    q.processAllAvailable()
+    // the static side is re-planned per micro-batch: a dim commit between
+    // batches must be visible to the NEXT batch (lake scans resolve their
+    // file list at scan-build time, not stream-start time)
+    spark.sql("INSERT INTO lake.stream.dim_users VALUES (3, 'enterprise')")
+    input.addData((4L, ts(3), 3L, "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("enriched").orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.getAs[String]("tier")).getOrElse("∅")))
+    assert(out.toSeq == Seq((1L, "free"), (2L, "pro"), (3L, "∅"), (4L, "enterprise")),
+      s"got ${out.toSeq}")
+  }
+
   test("streaming across WAP: staged rows arrive exactly once, at publish time") {
     import org.apache.spark.sql.functions.col
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.stream")
