@@ -80,6 +80,19 @@ final class LakeMicroBatchStream(
     */
   private val branch: Option[String] = Option(options.get("branch"))
 
+  /** `readStream.option("upsert-as-append", true)`: deliver an upsert
+    * snapshot's APPENDED files — the epoch's new row versions — and skip
+    * its equality deletes: the new-image changefeed a downstream
+    * incremental consumer of a CDC-ingest table wants. Every row VERSION
+    * streams exactly once (a from-scratch replay re-delivers superseded
+    * versions too, like an uncompacted log), and a key's disappearance is
+    * NOT observable — consumers needing retractions use the batch CDC
+    * changelog. Off by default: a stream crossing an upsert snapshot
+    * without opting in still fails fast.
+    */
+  private val upsertAsAppend: Boolean =
+    Option(options.get("upsert-as-append")).exists(_.toBoolean)
+
   /** The ref this stream tails: main's pointer, or the branch head. */
   private def headOf(meta: TableMeta): Long = branch match {
     case None => math.max(meta.currentSnapshotId, 0L)
@@ -189,9 +202,12 @@ final class LakeMicroBatchStream(
   private case class PendingFile(snapshotId: Long, idx: Int, deltaLen: Int, file: DataFileMeta)
 
   // branch-append is an append: a branch stream walks it directly, and a
-  // MAIN stream inherits branch commits into its lineage after fast_forward
+  // MAIN stream inherits branch commits into its lineage after fast_forward.
+  // "upsert" appends new row versions (its eq-deletes only tombstone older
+  // files), so with the opt-in its delta of ADDED data files is exact.
   private val appendOps = Set("append", "stream-append", "branch-append", "create",
-    "stage-append", "publish", "rewrite-manifests")
+    "stage-append", "publish", "rewrite-manifests") ++
+    (if (upsertAsAppend) Set("upsert") else Set.empty)
 
   /** The snapshots in `(startId, endId]` along `endId`'s parent chain,
     * oldest first, each paired with its parent id. Falls back to the flat

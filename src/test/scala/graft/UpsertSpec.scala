@@ -439,4 +439,43 @@ class UpsertSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT n FROM $t WHERE k = 1").collect()(0).getInt(0) == 1)
     spark.sql(s"DROP TABLE $t")
   }
+
+  test("upsert-as-append stream: new-image changefeed delivers every row version exactly once") {
+    val t = upsertTable(Seq(
+      Seq(UpsRow(1, "a", 10), UpsRow(2, "b", 20)),
+      Seq(UpsRow(1, "a2", 11))))
+
+    // without the opt-in, a stream crossing the upsert snapshots fails fast
+    val strict = spark.readStream.table(t)
+      .writeStream.format("memory").queryName("ups_strict").outputMode("append").start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      strict.processAllAvailable()
+    }
+    strict.stop()
+    assert(err.getMessage.contains("append-only") || Option(err.getCause)
+      .exists(_.getMessage.contains("append-only")), s"unexpected error: $err")
+
+    // with it, the stream is the uncompacted new-image log: both versions
+    // of k=1 stream (their epochs were separate), nothing twice
+    val q = spark.readStream.option("upsert-as-append", "true").table(t)
+      .writeStream.format("memory").queryName("ups_feed").outputMode("append").start()
+    q.processAllAvailable()
+    val replay = spark.table("ups_feed").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(replay == Seq((1L, "a"), (1L, "a2"), (2L, "b")), s"got $replay")
+
+    // a live epoch lands mid-stream: only ITS new versions arrive
+    import spark.implicits._
+    Seq(UpsRow(2, "b2", 21), UpsRow(3, "c", 30)).toDF("k", "v", "n")
+      .createOrReplaceTempView("ups_feed_src")
+    spark.sql(s"CALL lake.system.upsert('${t.stripPrefix("lake.")}', 'ups_feed_src', 'k')")
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("ups_feed").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(all == Seq((1L, "a"), (1L, "a2"), (2L, "b"), (2L, "b2"), (3L, "c")), s"got $all")
+    // the table itself still shows last-writer-wins state
+    assert(spark.table(t).count() == 3)
+    spark.sql(s"DROP TABLE $t")
+  }
 }
