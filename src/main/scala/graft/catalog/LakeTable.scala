@@ -92,9 +92,29 @@ final class LakeTable(
   private def incrementalFiles(startId: Long, endId: Long): Seq[DataFileMeta] = {
     if (endId < startId) throw new IllegalArgumentException(
       s"end-snapshot-id $endId precedes start-snapshot-id $startId on $ident")
-    meta.snapshots.filter(s => s.snapshotId > startId && s.snapshotId <= endId).foreach { s =>
-      // stage-append/publish deltas are append-only too (WAP lineage)
-      if (!Set("append", "stream-append", "create", "stage-append", "publish")(s.operation))
+    // Validate ops along endId's PARENT CHAIN only (legacy id-order
+    // fallback for unstamped docs) — concurrent branch commits and staged
+    // snapshots share the id RANGE but not the lineage, and must not fail
+    // a main-lineage read. branch-append / rewrite-manifests are
+    // append-family (they change no existing main files), matching the
+    // streaming source's acceptance set.
+    val appendOps = Set("append", "stream-append", "branch-append", "create",
+      "stage-append", "publish", "rewrite-manifests")
+    val chainOps: Seq[SnapshotMeta] = {
+      var acc = List.empty[SnapshotMeta]
+      var curId = endId
+      var legacy = false
+      while (curId > startId && !legacy) {
+        meta.snapshot(curId) match {
+          case Some(s) if s.parentId > 0 => acc = s :: acc; curId = s.parentId
+          case _ => legacy = true
+        }
+      }
+      if (!legacy) acc
+      else meta.snapshots.filter(s => s.snapshotId > startId && s.snapshotId <= endId)
+    }
+    chainOps.foreach { s =>
+      if (!appendOps(s.operation))
         throw new IllegalArgumentException(
           s"incremental read over $ident: snapshot ${s.snapshotId} is '${s.operation}' — " +
             "only append-only ranges can be read incrementally")

@@ -242,4 +242,32 @@ class BranchSpec extends AnyFunSuite {
     assert(spark.table(t).count() == 15)
     spark.sql(s"DROP TABLE $t")
   }
+
+  test("incremental batch read follows main's lineage past concurrent branch commits and rewrite_manifests") {
+    import spark.implicits._
+    val t = s"lake.br.${uniq("ib")}"
+    val short = t.stripPrefix("lake.")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.br")
+    spark.sql(s"CREATE TABLE $t (k BIGINT)")
+    spark.sql(s"INSERT INTO $t VALUES (1)") // snapshot A (start)
+    val startId = {
+      val Array(_, ns, name) = t.split('.')
+      val c = spark.sessionState.catalogManager.catalog("lake")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      c.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array(ns), name))
+        .asInstanceOf[graft.catalog.LakeTable].meta.currentSnapshotId
+    }
+    // branch commits INTERLEAVE with main appends — their snapshot ids land
+    // inside main's id range but outside its lineage
+    spark.sql(s"CALL lake.system.create_branch('$short', 'side')")
+    Seq(100L).toDF("k").writeTo(t).option("branch", "side").append()
+    spark.sql(s"INSERT INTO $t VALUES (2)")
+    Seq(101L).toDF("k").writeTo(t).option("branch", "side").append()
+    spark.sql(s"CALL lake.system.rewrite_manifests('$short')")
+    spark.sql(s"INSERT INTO $t VALUES (3)")
+    val delta = spark.read.option("start-snapshot-id", startId.toString).table(t)
+    assert(delta.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L),
+      "main's incremental delta: its own appends only, no branch rows, no spurious failure")
+    spark.sql(s"DROP TABLE $t")
+  }
 }
