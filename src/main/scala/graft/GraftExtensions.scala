@@ -27,6 +27,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectParser((session, delegate) =>
       new graft.catalog.EqualityMergeParser(session, delegate))
 
+    // CDC changelog as a SQL table-valued function:
+    //   SELECT * FROM table_changes('cat.ns.t', start_id[, end_id])
+    // (the Delta table_changes / Iceberg changelog-scan shape). The spliced
+    // plan is the changelog's own distributed plan — parquet scans plus
+    // anti-joins — nothing driver-side; end defaults to the current head.
+    ext.injectTableFunction((
+      FunctionIdentifier("table_changes"),
+      info("table_changes",
+        "table_changes(table, start_snapshot_id[, end_snapshot_id]) - CDC rows " +
+          "(+ _change_type, _commit_snapshot_id) between two snapshots " +
+          "(start exclusive, end inclusive; end defaults to the current head)"),
+      (children: Seq[Expression]) => {
+        def long(e: Expression): Long = e match {
+          case Literal(v: Long, LongType) => v
+          case Literal(v: Int, IntegerType) => v.toLong
+          case other => throw new IllegalArgumentException(
+            s"table_changes: literal snapshot id expected, got $other")
+        }
+        val spark = org.apache.spark.sql.SparkSession.active
+        children match {
+          case Literal(t, StringType) +: rest if rest.nonEmpty && rest.size <= 2 =>
+            val table = String.valueOf(t)
+            val start = long(rest.head)
+            val end = rest.lift(1).map(long).getOrElse(
+              graft.catalog.LakeMaintenance.currentSnapshotId(spark, table))
+            graft.catalog.LakeMaintenance.changelog(spark, table, start, end)
+              .queryExecution.analyzed
+          case other => throw new IllegalArgumentException(
+            s"table_changes(table, start_id[, end_id]): bad args $other")
+        }
+      }))
+
     ext.injectFunction((
       FunctionIdentifier("minhash_signature"),
       info("minhash_signature",

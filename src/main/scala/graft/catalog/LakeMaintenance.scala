@@ -794,6 +794,10 @@ object LakeMaintenance {
     * changes (compaction changes NO rows while replacing every file), the
     * same honesty rule as the incremental batch/stream readers.
     */
+  /** Current main-head snapshot id — the default end of a changelog read. */
+  def currentSnapshotId(spark: SparkSession, table: String): Long =
+    resolve(spark, table)._3.meta.currentSnapshotId
+
   def changelog(spark: SparkSession, table: String, startId: Long, endId: Long):
       org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.lit

@@ -286,6 +286,23 @@ class MergeOnReadSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("table_changes TVF: the changelog is plain SQL, end defaults to the head") {
+    val t = s"lake.mor.${uniq("tvf")}"
+    spark.sql(s"CREATE TABLE $t (id INT, v STRING) TBLPROPERTIES (" +
+      "'write.delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('v', id) FROM range(0, 20)") // snap 1
+    spark.sql(s"DELETE FROM $t WHERE id < 5") // snap 2 (delta)
+    val slice = spark.sql(s"SELECT * FROM table_changes('$t', 1, 2)").collect()
+    assert(slice.length == 5 && slice.forall(_.getAs[String]("_change_type") == "delete"))
+    assert(slice.map(_.getAs[Int]("id")).sorted.sameElements(0 until 5))
+    // 2-arg form reads to the current head; aggregates compose over it
+    val counts = spark.sql(
+      s"SELECT _change_type, count(*) AS n FROM table_changes('$t', 0) GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("insert" -> 20L, "delete" -> 5L), s"got $counts")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("CDC changelog across a WAP cherry-pick counts staged rows exactly once") {
     val t = s"lake.mor.${uniq("wcp")}"
     spark.sql(s"CREATE TABLE $t (k BIGINT) TBLPROPERTIES ('wap.enabled'='true')")
