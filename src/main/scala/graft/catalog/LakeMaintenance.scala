@@ -292,6 +292,89 @@ object LakeMaintenance {
     throw new IllegalStateException(s"upsert into ${t.ident}: CAS lost $attempts times")
   }
 
+  /** Register existing parquet files into the table BY REFERENCE — a
+    * metadata-only commit (Iceberg's add_files import path; the onboarding
+    * step the reference's create_table has no answer for). No data is read
+    * or rewritten: footers are opened ONCE, distributed across the cluster,
+    * to harvest exact row counts and min/max pruning stats, then one CAS
+    * swap appends the entries. Importing 100 TB of pre-existing parquet
+    * costs one footer pass — seconds — instead of a full rewrite.
+    *
+    * The files keep their external paths; snapshot expiration never
+    * deletes files outside the table location, so expiring or rewriting
+    * history leaves the imported source data untouched (it was never ours
+    * to delete). Added entries get THIS commit's sequence number, so
+    * pre-existing equality deletes do not apply to them — imported rows
+    * are new as of the commit, exactly like an INSERT of the same data.
+    *
+    * Returns (files added, committing snapshot id).
+    */
+  def addFiles(spark: SparkSession, table: String, source: String): (Int, Long) = {
+    val (cat, ident, t) = resolve(spark, table)
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val src = new Path(source)
+    val srcFs = src.getFileSystem(hadoopConf)
+    val matched = Option(srcFs.globStatus(src)).map(_.toSeq).getOrElse(Nil)
+    require(matched.nonEmpty, s"add_files into ${t.ident}: nothing matches $source")
+    val paths = matched.flatMap { st =>
+      if (st.isDirectory) srcFs.listStatus(st.getPath).toSeq.filter(_.isFile) else Seq(st)
+    }.map(_.getPath.toString).filter { p =>
+      val n = p.substring(p.lastIndexOf('/') + 1)
+      n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+    }.distinct
+    require(paths.nonEmpty, s"add_files into ${t.ident}: no parquet files under $source")
+
+    // schema gate: every file column must exist in the table with the same
+    // type (table columns absent from a file read as null, Spark's standard
+    // by-name parquet resolution). mergeSchema unions ALL files' schemas so
+    // a lone divergent file cannot hide behind the others.
+    val physSchema = t.meta.physicalSchema
+    val fileSchema = spark.read.option("mergeSchema", "true").parquet(paths: _*).schema
+    fileSchema.fields.foreach { f =>
+      require(physSchema.fieldNames.contains(f.name),
+        s"add_files into ${t.ident}: file column '${f.name}' is not a table column " +
+          s"(table: ${physSchema.fieldNames.mkString(", ")})")
+      val tf = physSchema.fields(physSchema.fieldIndex(f.name))
+      require(org.apache.spark.sql.types.DataType.equalsIgnoreNullability(
+        tf.dataType, f.dataType),
+        s"add_files into ${t.ident}: column '${f.name}' is ${f.dataType.simpleString} " +
+          s"in the files but ${tf.dataType.simpleString} in the table")
+    }
+
+    // footer pass, distributed: exact per-file row counts + min/max/null
+    // stats in the writer's own stat format, so imported files prune and
+    // SPJ-degrade exactly like native ones (missing stats are always
+    // conservative — the file is scanned, never skipped)
+    val sconf = new SerializableConfiguration(hadoopConf)
+    val schemaJson = physSchema.json
+    val entries = spark.sparkContext
+      .parallelize(paths, math.max(1, math.min(paths.size, 64)))
+      .map(p => FooterStats.entry(p, schemaJson, sconf.value))
+      .collect().toSeq.sortBy(_.path)
+
+    var prevLoc = t.metadataLocation
+    var base = t.meta
+    var attempts = 0
+    while (attempts < CasRetry.maxAttempts) {
+      val already = base.currentFiles.map(_.path).toSet
+      val clash = entries.map(_.path).filter(already.contains)
+      require(clash.isEmpty, s"add_files into ${t.ident}: already tracked: " +
+        clash.take(3).mkString(", "))
+      val next = TableMeta.withAppend(base, "add_files", entries, hadoopConf)
+      val newLoc = TableMeta.write(next, hadoopConf)
+      if (cat.pointerStore.casUpdate(ident.namespace()(0), ident.name(), newLoc, prevLoc) == 1) {
+        cat.invalidateTable(ident)
+        return (entries.size, next.currentSnapshotId)
+      }
+      attempts += 1
+      CasRetry.backoff(attempts)
+      prevLoc = cat.pointerStore.load(ident.namespace()(0), ident.name()).getOrElse(
+        throw new IllegalStateException(s"table dropped during add_files"))
+      base = TableMeta.read(prevLoc, hadoopConf)
+    }
+    throw new IllegalStateException(s"add_files into ${t.ident}: CAS lost $attempts times")
+  }
+
   /** Drop all snapshots except the most recent `keepLast`, then delete any
     * data file no retained snapshot references (the reference's missing
     * vacuum). Time travel to expired snapshots stops working, by design.
@@ -320,9 +403,13 @@ object LakeMaintenance {
     val retainedIds = t.meta.snapshots.sortBy(_.snapshotId).takeRight(keepLast)
       .map(_.snapshotId).toSet + t.meta.currentSnapshotId ++ tagged ++ pendingStaged ++ young
     val (retained, expired) = t.meta.snapshots.partition(s => retainedIds.contains(s.snapshotId))
-    // data AND delete files: orphaned when no retained snapshot references them
+    // data AND delete files: orphaned when no retained snapshot references
+    // them. Files OUTSIDE the table location were imported by reference
+    // (add_files) — drop the metadata entry but never delete the source
+    // data; it was never ours to delete.
     val live = retained.flatMap(t.meta.allFilesOf).map(_.path).toSet
     val orphaned = expired.flatMap(t.meta.allFilesOf).map(_.path).distinct.filterNot(live.contains)
+      .filter(_.startsWith(s"${t.meta.location}/"))
     // manifest files: shared across snapshots, orphaned the same way; the
     // expired snapshots' manifest-LIST files always die with them
     val liveManifests = retained.flatMap(s => t.meta.manifestsOf(s)).map(_.location).toSet
@@ -944,5 +1031,96 @@ object LakeMaintenance {
       base = TableMeta.read(prevLoc, hadoopConf)
     }
     throw new IllegalStateException(s"$operation: CAS lost $attempts times")
+  }
+}
+
+/** Parquet-footer stat harvesting for [[LakeMaintenance.addFiles]]: builds
+  * a [[DataFileMeta]] for a foreign parquet file from its footer alone, in
+  * the exact stringified stat format [[LakeDataWriter]] records at write
+  * time (ints/longs/doubles via toString, strings in UTF8-binary order —
+  * parquet's own unsigned-lexicographic binary order — decimals as plain
+  * strings), so [[FilePruner]] treats imported and native files
+  * identically. Any column whose stats are absent or not convertible is
+  * simply omitted — missing stats mean "always scan", never wrong pruning.
+  */
+private[catalog] object FooterStats {
+  import org.apache.parquet.column.statistics.Statistics
+  import org.apache.parquet.io.api.Binary
+  import org.apache.spark.sql.types._
+  import scala.jdk.CollectionConverters._
+
+  def entry(path: String, schemaJson: String,
+      conf: org.apache.hadoop.conf.Configuration): DataFileMeta = {
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val p = new Path(path)
+    val size = p.getFileSystem(conf).getFileStatus(p).getLen
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      // per top-level column: fold the row groups' chunk stats; one block
+      // with unusable stats poisons that column (conservative)
+      val mins = scala.collection.mutable.Map.empty[String, String]
+      val maxs = scala.collection.mutable.Map.empty[String, String]
+      val nulls = scala.collection.mutable.Map.empty[String, Long]
+      val broken = scala.collection.mutable.Set.empty[String]
+      val nullsBroken = scala.collection.mutable.Set.empty[String]
+      for (b <- blocks; c <- b.getColumns.asScala) {
+        val name = c.getPath.toDotString
+        if (!name.contains('.') && schema.fieldNames.contains(name)) {
+          val dt = schema.fields(schema.fieldIndex(name)).dataType
+          val st = c.getStatistics
+          if (st == null || st.isEmpty) { broken += name; nullsBroken += name }
+          else {
+            if (st.isNumNullsSet)
+              nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
+            else nullsBroken += name
+            if (!st.hasNonNullValue) {
+              // all-null chunk: no min/max contribution, and that is fine
+            } else (statString(st.genericGetMin, dt), statString(st.genericGetMax, dt)) match {
+              case (Some(lo), Some(hi)) =>
+                if (!mins.contains(name) || ordLt(lo, mins(name), dt)) mins(name) = lo
+                if (!maxs.contains(name) || ordLt(maxs(name), hi, dt)) maxs(name) = hi
+              case _ => broken += name
+            }
+          }
+        }
+      }
+      broken.foreach { n => mins.remove(n); maxs.remove(n) }
+      nullsBroken.foreach(nulls.remove)
+      DataFileMeta(path, rows, size, mins.toMap, maxs.toMap, nulls.toMap)
+    } finally reader.close()
+  }
+
+  /** One footer stat value → the writer's stat-string format, or None when
+    * the (parquet physical, table logical) combination is not one we can
+    * convert faithfully.
+    */
+  private def statString(v: Any, dt: DataType): Option[String] = (v, dt) match {
+    case (i: java.lang.Integer, IntegerType | DateType | ShortType) => Some(i.toString)
+    case (l: java.lang.Long, LongType | TimestampType | TimestampNTZType) => Some(l.toString)
+    case (f: java.lang.Float, FloatType) => Some(f.toString)
+    case (d: java.lang.Double, DoubleType) => Some(d.toString)
+    case (b: java.lang.Boolean, BooleanType) => Some(b.toString)
+    case (bin: Binary, StringType) => Some(bin.toStringUsingUTF8)
+    case (i: java.lang.Integer, d: DecimalType) =>
+      Some(java.math.BigDecimal.valueOf(i.longValue, d.scale).toPlainString)
+    case (l: java.lang.Long, d: DecimalType) =>
+      Some(java.math.BigDecimal.valueOf(l.longValue, d.scale).toPlainString)
+    case (bin: Binary, d: DecimalType) =>
+      Some(new java.math.BigDecimal(
+        new java.math.BigInteger(bin.getBytes), d.scale).toPlainString)
+    case _ => None
+  }
+
+  /** Compare two stat strings in the pruner's order for the type. */
+  private def ordLt(a: String, b: String, dt: DataType): Boolean = dt match {
+    case StringType =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+    case _: DecimalType => new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)) < 0
+    case FloatType | DoubleType => a.toDouble < b.toDouble
+    case _ => a.toLong < b.toLong
   }
 }

@@ -302,5 +302,41 @@ object CatalogQueries {
         .selectExpr("l_returnflag AS flag", "cnt",
           "CAST(sum_l_quantity AS DOUBLE) AS sum_qty")
         .orderBy("flag")
+    },
+
+    QueryDef.df(
+      "q83_add_files",
+      // Oracle = the raw parquet plus the natively-inserted rows. add_files
+      // registers the EXTERNAL orders.parquet into the table by reference
+      // (metadata-only commit: one footer pass, zero rows rewritten), then
+      // a native INSERT lands beside it. A hash match proves imported and
+      // written files read identically through the same scan — row counts,
+      // footer-harvested stats, and value decoding all faithful.
+      """WITH allrows AS (
+        |  SELECT o_orderstatus, o_orderpriority, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT 'Z', o_orderpriority, o_totalprice * 2 FROM orders
+        |  WHERE o_orderkey % 1000 = 0
+        |)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM allrows WHERE o_orderstatus <> 'P'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS lake.verify")
+      s.sql("DROP TABLE IF EXISTS lake.verify.ord_ext")
+      // empty CTAS fixes the schema; no data files written
+      s.sql("CREATE TABLE lake.verify.ord_ext AS SELECT * FROM orders WHERE 1=0")
+      s.sql(s"CALL lake.system.add_files('verify.ord_ext', '$dir/orders.parquet')")
+      s.sql(
+        """INSERT INTO lake.verify.ord_ext
+          |SELECT o_orderkey + 10000000, o_custkey, 'Z', o_totalprice * 2,
+          |  o_orderdate, o_orderpriority
+          |FROM orders WHERE o_orderkey % 1000 = 0""".stripMargin)
+      s.sql(
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+          |FROM lake.verify.ord_ext WHERE o_orderstatus <> 'P'
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     })
 }

@@ -223,4 +223,91 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(fs.exists(inflight))
     fs.delete(inflight, false)
   }
+
+  test("add_files imports external parquet by reference: metadata-only commit, exact values, stats prune") {
+    import org.apache.hadoop.fs.Path
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.maint")
+    spark.sql("DROP TABLE IF EXISTS lake.maint.af")
+    val ext = java.nio.file.Files.createTempDirectory("graft_addfiles").toString
+    // two range-disjoint files so min/max stats can prune one of them
+    spark.sql("SELECT id AS k, concat('v', id) AS v FROM range(0, 1000)")
+      .repartitionByRange(2, org.apache.spark.sql.functions.col("k"))
+      .write.mode("overwrite").parquet(ext)
+    spark.sql("CREATE TABLE lake.maint.af (k BIGINT, v STRING)")
+    val res = spark.sql(s"CALL lake.system.add_files('maint.af', '$ext')").collect().head
+    assert(res.getInt(0) == 2, s"expected 2 files added, got ${res.getInt(0)}")
+
+    // metadata-only: every tracked file is the EXTERNAL path — nothing was
+    // copied under the table location
+    val tracked = spark.sql("SELECT path FROM lake.maint.`af$files`")
+      .collect().map(_.getString(0))
+    assert(tracked.length == 2 && tracked.forall(_.contains(ext))) // file:-qualified
+
+    // exact values through the normal scan, mixed with a native append
+    assert(spark.table("lake.maint.af").count() == 1000)
+    assert(spark.sql("SELECT sum(k) FROM lake.maint.af").collect().head.getLong(0) == 499500L)
+    assert(spark.sql("SELECT v FROM lake.maint.af WHERE k = 123").collect()
+      .head.getString(0) == "v123")
+    spark.sql("INSERT INTO lake.maint.af VALUES (5000, 'native')")
+    assert(spark.table("lake.maint.af").count() == 1001)
+
+    // footer-harvested min/max prune: k < 100 hits exactly ONE of the three
+    // files (two range-disjoint imports + the k=5000 native file)
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val pruned = spark.table("lake.maint.af").where("k < 100")
+    assert(pruned.count() == 100)
+    val parts = pruned.queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b }.flatMap(_.inputPartitions)
+    assert(parts.size == 1, s"stats should prune to 1 file, planned ${parts.size}")
+
+    // lifecycle safety: compaction rewrites the imports into native files,
+    // expiration then drops the import snapshot — but NEVER deletes the
+    // external source data (it was imported by reference)
+    spark.sql("CALL lake.system.compact('maint.af')")
+    spark.sql("CALL lake.system.expire_snapshots('maint.af', 1)")
+    val fs = new Path(ext).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(tracked.forall(p => fs.exists(new Path(p))),
+      "expiration must not delete externally-imported source files")
+    assert(spark.table("lake.maint.af").count() == 1001)
+    assert(spark.sql("SELECT v FROM lake.maint.af WHERE k = 123").collect()
+      .head.getString(0) == "v123")
+    spark.sql("DROP TABLE lake.maint.af")
+  }
+
+  test("add_files gates: schema mismatch, unknown column, double-add all rejected") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.maint")
+    spark.sql("DROP TABLE IF EXISTS lake.maint.afg")
+    spark.sql("CREATE TABLE lake.maint.afg (k BIGINT, v STRING)")
+    val okDir = java.nio.file.Files.createTempDirectory("graft_af_ok").toString
+    spark.sql("SELECT id AS k, 'x' AS v FROM range(0, 10)").coalesce(1)
+      .write.mode("overwrite").parquet(okDir)
+
+    // type mismatch: k as DOUBLE
+    val badType = java.nio.file.Files.createTempDirectory("graft_af_bad1").toString
+    spark.sql("SELECT CAST(id AS DOUBLE) AS k, 'x' AS v FROM range(0, 10)").coalesce(1)
+      .write.mode("overwrite").parquet(badType)
+    val e1 = intercept[Exception](
+      spark.sql(s"CALL lake.system.add_files('maint.afg', '$badType')"))
+    assert(e1.getMessage.contains("in the files but"), e1.getMessage)
+
+    // unknown column
+    val badCol = java.nio.file.Files.createTempDirectory("graft_af_bad2").toString
+    spark.sql("SELECT id AS k, 'x' AS v, id AS z FROM range(0, 10)").coalesce(1)
+      .write.mode("overwrite").parquet(badCol)
+    val e2 = intercept[Exception](
+      spark.sql(s"CALL lake.system.add_files('maint.afg', '$badCol')"))
+    assert(e2.getMessage.contains("not a table column"), e2.getMessage)
+
+    // a failed add_files commits nothing
+    assert(spark.table("lake.maint.afg").count() == 0)
+
+    // double-add of the same path is rejected, and the table is unchanged
+    spark.sql(s"CALL lake.system.add_files('maint.afg', '$okDir')")
+    assert(spark.table("lake.maint.afg").count() == 10)
+    val e3 = intercept[Exception](
+      spark.sql(s"CALL lake.system.add_files('maint.afg', '$okDir')"))
+    assert(e3.getMessage.contains("already tracked"), e3.getMessage)
+    assert(spark.table("lake.maint.afg").count() == 10)
+    spark.sql("DROP TABLE lake.maint.afg")
+  }
 }
