@@ -72,6 +72,12 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
 
   private def ns(namespace: Array[String]): String = namespace.mkString(".")
 
+  /** The warehouse-rooted location a table of this identity gets by default
+    * (the reference's build_table convention, mod.rs:349-357).
+    */
+  private[catalog] def defaultLocation(ident: Identifier): String =
+    s"$warehouse/${(ident.namespace() :+ ident.name()).mkString("/")}"
+
   /** Logical upsert key column names (`upsert.keys` property), if any. */
   private def upsertKeyNames(props: Map[String, String]): Seq[String] =
     props.get("upsert.keys").toSeq

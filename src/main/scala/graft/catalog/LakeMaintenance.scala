@@ -375,6 +375,58 @@ object LakeMaintenance {
     throw new IllegalStateException(s"add_files into ${t.ident}: CAS lost $attempts times")
   }
 
+  /** Zero-copy clone (Iceberg's `snapshot` procedure / Delta's SHALLOW
+    * CLONE): create `dest` whose initial snapshot references the source's
+    * CURRENT live data and delete files — no data moves, the commit is
+    * O(metadata). Manifest pointer files (tiny) are COPIED into the
+    * clone's own metadata tree so metadata maintenance on the source
+    * cannot strand the clone; data files are shared by reference. The
+    * clone's first snapshot keeps the source's current snapshot id, so
+    * every carried `addedAt` sequence number stays below the clone's next
+    * commit id and equality-delete applicability is preserved exactly.
+    * Writes to either table never affect the other (clone commits rewrite
+    * under the clone's location; expiration never deletes files outside a
+    * table's own location). Caveat shared with Delta/Iceberg: physically
+    * deleting source data (expire/purge on the SOURCE) breaks clones that
+    * still reference it.
+    *
+    * Returns (files referenced, clone snapshot id).
+    */
+  def snapshotTable(spark: SparkSession, source: String, dest: String): (Long, Long) = {
+    val (cat, _, src) = resolve(spark, source)
+    val dparts = dest.split('.')
+    require(dparts.length == 2, s"snapshot: expected namespace.table for dest, got $dest")
+    val destIdent = Identifier.of(Array(dparts(0)), dparts(1))
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val meta0 = src.meta
+    val destLoc = cat.defaultLocation(destIdent)
+    // refs (tags/branches) name source snapshots the clone does not carry
+    val props = meta0.properties.filterNot { case (k, _) =>
+      k.startsWith("tag.") || k.startsWith("branch.") } +
+      ("snapshot.source-table" -> source)
+    val destMeta = meta0.snapshot(meta0.currentSnapshotId) match {
+      case None =>
+        TableMeta.empty(destLoc, meta0.schema, meta0.partitionColumns, props)
+      case Some(s) =>
+        val copied = meta0.manifestsOf(s).map { m =>
+          ManifestIO.write(destLoc, s.snapshotId,
+            ManifestIO.read(m.location, hadoopConf), hadoopConf, m.kind)
+        }
+        val listLoc = ManifestIO.writeList(destLoc, s.snapshotId, copied, hadoopConf)
+        val snap = SnapshotMeta(s.snapshotId, System.currentTimeMillis(), "snapshot",
+          Nil, Some(listLoc), copied.map(_.nFiles).sum, copied.map(_.nRows).sum,
+          copied.map(_.nBytes).sum, parentId = 0L, schemaId = meta0.schemaIdNow)
+        TableMeta(meta0.formatVersion, destLoc, meta0.schemaJson,
+          meta0.partitionColumns, props, s.snapshotId, Seq(snap),
+          meta0.schemas, meta0.currentSchemaId)
+    }
+    val loc = TableMeta.write(destMeta, hadoopConf)
+    if (!cat.pointerStore.register(dparts(0), dparts(1), loc))
+      throw new IllegalStateException(s"snapshot: table $dest already exists")
+    (destMeta.snapshots.headOption.map(_.nFiles).getOrElse(0L),
+      destMeta.currentSnapshotId)
+  }
+
   /** Drop all snapshots except the most recent `keepLast`, then delete any
     * data file no retained snapshot references (the reference's missing
     * vacuum). Time travel to expired snapshots stops working, by design.

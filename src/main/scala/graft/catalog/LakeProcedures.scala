@@ -25,7 +25,7 @@ object LakeProcedures {
   def names: Seq[String] = Seq("compact", "expire_snapshots", "rollback",
     "create_tag", "remove_tag", "publish", "cherrypick_snapshot",
     "set_partition_spec", "zorder",
-    "upsert", "rewrite_manifests", "remove_orphan_files", "add_files",
+    "upsert", "rewrite_manifests", "remove_orphan_files", "add_files", "snapshot",
     "create_branch", "remove_branch", "fast_forward",
     "create_aggregate", "refresh_aggregate")
 
@@ -167,6 +167,15 @@ object LakeProcedures {
           val (b, a) = LakeMaintenance.rewriteManifests(spark, full(args.getString(0)),
             args.getInt(1))
           row(b, a)
+        }))
+      case "snapshot" => Some(proc("snapshot",
+        Seq(in("source", StringType), in("dest", StringType)),
+        StructType(Seq(StructField("files_referenced", LongType),
+          StructField("snapshot_id", LongType))),
+        { (spark, args) =>
+          val (n, sid) = LakeMaintenance.snapshotTable(spark, full(args.getString(0)),
+            args.getString(1))
+          row(n, sid)
         }))
       case "add_files" => Some(proc("add_files",
         Seq(in("table", StringType), in("source", StringType)),

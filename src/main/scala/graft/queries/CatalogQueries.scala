@@ -338,5 +338,81 @@ object CatalogQueries {
           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
           |FROM lake.verify.ord_ext WHERE o_orderstatus <> 'P'
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    },
+
+    QueryDef.df(
+      "q84_snapshot_clone",
+      // Oracle = both tables' final states computed from scratch. A
+      // zero-copy clone is taken after upsert epoch U1; the source then
+      // advances (U2 over %8 keys), the clone diverges independently (C1
+      // over %6 keys + brand-new %4=1 inserts). A hash match proves the
+      // clone carried the source's live state (including eq-delete
+      // applicability) by reference, and that the two lineages never leak
+      // into each other.
+      """WITH src AS (
+        |  SELECT CASE WHEN c_custkey % 8 = 0 THEN 'U2'
+        |              WHEN c_custkey % 4 = 0 THEN 'U1'
+        |              ELSE c_mktsegment END AS seg,
+        |    CAST(c_acctbal AS DOUBLE) *
+        |      CASE WHEN c_custkey % 8 = 0 THEN CAST(3 AS DOUBLE)
+        |           WHEN c_custkey % 4 = 0 THEN CAST(2 AS DOUBLE)
+        |           ELSE CAST(1 AS DOUBLE) END AS bal
+        |  FROM customer WHERE c_custkey % 2 = 0
+        |), clone AS (
+        |  SELECT CASE WHEN c_custkey % 6 = 0 THEN 'C1'
+        |              WHEN c_custkey % 4 = 0 THEN 'U1'
+        |              ELSE c_mktsegment END AS seg,
+        |    CAST(c_acctbal AS DOUBLE) *
+        |      CASE WHEN c_custkey % 6 = 0 THEN CAST(5 AS DOUBLE)
+        |           WHEN c_custkey % 4 = 0 THEN CAST(2 AS DOUBLE)
+        |           ELSE CAST(1 AS DOUBLE) END AS bal
+        |  FROM customer WHERE c_custkey % 2 = 0
+        |  UNION ALL
+        |  SELECT 'C1', CAST(c_acctbal AS DOUBLE) * CAST(5 AS DOUBLE)
+        |  FROM customer WHERE c_custkey % 4 = 1
+        |)
+        |SELECT side, seg, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(bal AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM (SELECT 'src' AS side, seg, bal FROM src
+        |      UNION ALL SELECT 'clone' AS side, seg, bal FROM clone) u
+        |GROUP BY side, seg ORDER BY side, seg""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS lake.verify")
+      s.sql("DROP TABLE IF EXISTS lake.verify.sc_base")
+      s.sql("DROP TABLE IF EXISTS lake.verify.sc_clone")
+      s.sql(
+        """CREATE TABLE lake.verify.sc_base AS
+          |SELECT c_custkey AS k, c_mktsegment AS seg,
+          |  CAST(c_acctbal AS DOUBLE) AS bal
+          |FROM customer WHERE c_custkey % 2 = 0""".stripMargin)
+      s.sql(
+        """SELECT c_custkey AS k, 'U1' AS seg,
+          |  CAST(c_acctbal AS DOUBLE) * CAST(2 AS DOUBLE) AS bal
+          |FROM customer WHERE c_custkey % 4 = 0""".stripMargin)
+        .createOrReplaceTempView("sc_u1")
+      s.sql("CALL lake.system.upsert('verify.sc_base', 'sc_u1', 'k')")
+      // zero-copy clone of the post-U1 state
+      s.sql("CALL lake.system.snapshot('verify.sc_base', 'verify.sc_clone')")
+      // source advances...
+      s.sql(
+        """SELECT c_custkey AS k, 'U2' AS seg,
+          |  CAST(c_acctbal AS DOUBLE) * CAST(3 AS DOUBLE) AS bal
+          |FROM customer WHERE c_custkey % 8 = 0""".stripMargin)
+        .createOrReplaceTempView("sc_u2")
+      s.sql("CALL lake.system.upsert('verify.sc_base', 'sc_u2', 'k')")
+      // ...and the clone diverges independently
+      s.sql(
+        """SELECT c_custkey AS k, 'C1' AS seg,
+          |  CAST(c_acctbal AS DOUBLE) * CAST(5 AS DOUBLE) AS bal
+          |FROM customer WHERE c_custkey % 6 = 0 OR c_custkey % 4 = 1""".stripMargin)
+        .createOrReplaceTempView("sc_c1")
+      s.sql("CALL lake.system.upsert('verify.sc_clone', 'sc_c1', 'k')")
+      s.sql(
+        """SELECT side, seg, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(CAST(bal AS DECIMAL(18,6))) AS DOUBLE) AS total
+          |FROM (SELECT 'src' AS side, seg, bal FROM lake.verify.sc_base
+          |      UNION ALL
+          |      SELECT 'clone' AS side, seg, bal FROM lake.verify.sc_clone) u
+          |GROUP BY side, seg ORDER BY side, seg""".stripMargin)
     })
 }

@@ -11,6 +11,12 @@ import graft.catalog.LakeMaintenance
 class MaintenanceSpec extends AnyFunSuite {
   import TestSpark._
 
+  private def tableLoc(ns: String, name: String): String =
+    spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array(ns), name)).asInstanceOf[graft.catalog.LakeTable].meta.location
+
   private def manifestCount(ns: String, name: String): Long =
     spark.sql(s"SELECT * FROM lake.$ns.`$name$$manifests`").count()
 
@@ -309,5 +315,87 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("already tracked"), e3.getMessage)
     assert(spark.table("lake.maint.afg").count() == 10)
     spark.sql("DROP TABLE lake.maint.afg")
+  }
+
+  test("snapshot clone: zero-copy, isolated both ways, eq-delete sequence preserved") {
+    import org.apache.hadoop.fs.Path
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.maint")
+    spark.sql("DROP TABLE IF EXISTS lake.maint.sc_src")
+    spark.sql("DROP TABLE IF EXISTS lake.maint.sc_dst")
+    spark.sql("""CREATE TABLE lake.maint.sc_src (k BIGINT, v STRING)
+                |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO lake.maint.sc_src SELECT id, 'base' FROM range(0, 100)")
+    // live state = base − MoR tombstones − upsert-overwritten versions
+    spark.sql("DELETE FROM lake.maint.sc_src WHERE k >= 90")
+    spark.sql("SELECT id AS k, 'e1' AS v FROM range(0, 30)")
+      .createOrReplaceTempView("sc_up1")
+    spark.sql("CALL lake.system.upsert('maint.sc_src', 'sc_up1', 'k')")
+    val srcState = spark.table("lake.maint.sc_src").orderBy("k").collect()
+    assert(srcState.length == 90)
+
+    val res = spark.sql("CALL lake.system.snapshot('maint.sc_src', 'maint.sc_dst')")
+      .collect().head
+    assert(res.getLong(0) > 0)
+    // the clone IS the source's live state, through tombstones and eq-deletes
+    assert(spark.table("lake.maint.sc_dst").orderBy("k").collect().sameElements(srcState))
+
+    // zero copy: the clone's data files live under the SOURCE's location
+    val srcLoc = tableLoc("maint", "sc_src")
+    val cloneFiles = spark.sql("SELECT path FROM lake.maint.`sc_dst$files`")
+      .collect().map(_.getString(0))
+    assert(cloneFiles.nonEmpty && cloneFiles.forall(_.startsWith(srcLoc)))
+
+    // divergence is two-way invisible
+    spark.sql("INSERT INTO lake.maint.sc_src VALUES (500, 'srconly')")
+    assert(spark.table("lake.maint.sc_dst").count() == 90)
+    spark.sql("SELECT id AS k, 'e2' AS v FROM range(0, 10)")
+      .createOrReplaceTempView("sc_up2")
+    spark.sql("CALL lake.system.upsert('maint.sc_dst', 'sc_up2', 'k')")
+    // the clone's NEW eq-delete applies to the carried files (sequence
+    // numbers stay ordered across the clone boundary)...
+    val dv = spark.sql("SELECT v FROM lake.maint.sc_dst WHERE k = 5").collect()
+    assert(dv.length == 1 && dv.head.getString(0) == "e2")
+    // ...and the source never sees it
+    assert(spark.sql("SELECT v FROM lake.maint.sc_src WHERE k = 5")
+      .collect().head.getString(0) == "e1")
+    assert(spark.table("lake.maint.sc_src").count() == 91)
+
+    // clone maintenance never touches shared source data: compact rewrites
+    // into the clone's location, expire drops the import snapshot — the
+    // source's files stay on disk and the source still reads exactly
+    spark.sql("CALL lake.system.compact('maint.sc_dst')")
+    spark.sql("CALL lake.system.expire_snapshots('maint.sc_dst', 1)")
+    val fs = new Path(srcLoc).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(cloneFiles.forall(p => fs.exists(new Path(p))),
+      "clone maintenance must not delete the source's files")
+    assert(spark.table("lake.maint.sc_src").orderBy("k").collect().length == 91)
+    assert(spark.sql("SELECT v FROM lake.maint.sc_src WHERE k = 5")
+      .collect().head.getString(0) == "e1")
+    // post-maintenance clone: all files now under the clone's own location
+    val cloneLoc = tableLoc("maint", "sc_dst")
+    val after = spark.sql("SELECT path FROM lake.maint.`sc_dst$files`")
+      .collect().map(_.getString(0))
+    assert(after.nonEmpty && after.forall(_.startsWith(cloneLoc)))
+    assert(spark.sql("SELECT v FROM lake.maint.sc_dst WHERE k = 5")
+      .collect().head.getString(0) == "e2")
+    spark.sql("DROP TABLE lake.maint.sc_src")
+    spark.sql("DROP TABLE lake.maint.sc_dst")
+  }
+
+  test("snapshot clone of an empty table; clone over an existing name rejected") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.maint")
+    spark.sql("DROP TABLE IF EXISTS lake.maint.sc_e")
+    spark.sql("DROP TABLE IF EXISTS lake.maint.sc_e2")
+    spark.sql("CREATE TABLE lake.maint.sc_e (k INT, v STRING)")
+    spark.sql("CALL lake.system.snapshot('maint.sc_e', 'maint.sc_e2')")
+    assert(spark.table("lake.maint.sc_e2").count() == 0)
+    spark.sql("INSERT INTO lake.maint.sc_e2 VALUES (1, 'a')")
+    assert(spark.table("lake.maint.sc_e2").count() == 1)
+    assert(spark.table("lake.maint.sc_e").count() == 0)
+    val e = intercept[Exception](
+      spark.sql("CALL lake.system.snapshot('maint.sc_e', 'maint.sc_e2')"))
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    spark.sql("DROP TABLE lake.maint.sc_e")
+    spark.sql("DROP TABLE lake.maint.sc_e2")
   }
 }
