@@ -375,6 +375,87 @@ object LakeMaintenance {
     throw new IllegalStateException(s"add_files into ${t.ident}: CAS lost $attempts times")
   }
 
+  /** Compact equality-delete files WITHOUT touching data files (the
+    * eq-delete analog of Iceberg's rewrite_position_delete_files). A
+    * long-running upsert stream commits one eq-delete file per task per
+    * epoch; every scan then loads keys from all of them. This rewrite:
+    *
+    *  1. drops delete files that no longer apply to any live data file
+    *     (every survivor is at/above the delete's sequence number);
+    *  2. drops DEAD keys — a key re-upserted later appears in a newer
+    *     delete file whose coverage strictly contains the older one's, so
+    *     only each key's NEWEST entry survives (`groupBy(key).max(seq)` —
+    *     one shuffle of keys, no data files read);
+    *  3. bin-packs the survivors into ONE file per sequence number.
+    *
+    * Sequence numbers are PRESERVED on the merged files (a merge across
+    * seqs would widen old deletes' coverage onto rows they must not kill —
+    * the reason this is not a plain concat). Scan results are identical
+    * before/after: for a data file at seq s, key k applied iff k's newest
+    * delete seq > s — exactly the entry the rewrite keeps. Returns
+    * (delete files before, after).
+    */
+  def rewriteDeleteFiles(spark: SparkSession, table: String): (Int, Int) = {
+    import org.apache.spark.sql.functions.{broadcast, col, input_file_name, max, substring_index}
+    val (cat, ident, t) = resolve(spark, table)
+    val meta = t.meta
+    val eq = meta.currentEqDeleteFiles
+    if (eq.isEmpty) return (0, 0)
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val dataFiles = meta.currentFiles
+    val (dead, applicable) = eq.partition(d => dataFiles.forall(_.addedAt >= d.addedAt))
+    if (applicable.isEmpty) {
+      if (dead.nonEmpty)
+        commitManifest(cat, ident, t, hadoopConf, "rewrite-deletes",
+          replacedPaths = dead.map(_.path).toSet, newFiles = Nil)
+      return (eq.size, 0)
+    }
+    val keySchema = meta.upsertKeySchema.getOrElse(throw new IllegalStateException(
+      s"rewrite_delete_files: ${t.ident} has equality deletes but no upsert.keys"))
+    val keyCols = keySchema.fieldNames.toSeq
+    def nameOf(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+    // (file name → sequence) is tiny; broadcast-join it onto the key rows.
+    // File NAMES are UUID-unique, dodging scheme-qualification mismatches
+    // between stored paths and input_file_name's URIs.
+    val seqDf = spark.createDataFrame(
+      applicable.map(f => (nameOf(f.path), f.addedAt))).toDF("__name", "__seq")
+    val keyed = spark.read.schema(keySchema).parquet(applicable.map(_.path): _*)
+      .withColumn("__name", substring_index(input_file_name(), "/", -1))
+      .join(broadcast(seqDf), "__name")
+    // each key survives only at its newest sequence (older entries cover a
+    // strict subset of the newer one's files)
+    val latest = keyed.groupBy(keyCols.map(col): _*).agg(max(col("__seq")).as("__seq"))
+    val seqs = applicable.map(_.addedAt).distinct.sorted
+    val deleteDir = s"${meta.location}/deletes"
+    val sconf = new SerializableConfiguration(hadoopConf)
+    val keyJson = keySchema.json
+    val merged = seqs.flatMap { s =>
+      val rows = latest.where(col("__seq") === s)
+        .select(keyCols.map(col): _*).coalesce(1)
+      rows.queryExecution.toRdd.mapPartitions { it =>
+        val ks = DataType.fromJson(keyJson).asInstanceOf[StructType]
+        val w = new LakeDataWriter(ks,
+          s"$deleteDir/eqc-${java.util.UUID.randomUUID()}", Nil, sconf.value)
+        it.foreach(w.write)
+        Iterator.single(w.commit())
+      }.collect().toSeq
+        .collect { case LakeCommitMessage(fs) => fs }.flatten
+        .map(_.copy(addedAt = s)) // PRESERVE the original sequence number
+    }
+    // no-op detection: nothing died and nothing merged — drop the
+    // just-written copies instead of committing a pointless snapshot
+    if (dead.isEmpty && merged.size == eq.size &&
+        merged.map(_.rowCount).sum == applicable.map(_.rowCount).sum) {
+      val fs = new Path(deleteDir).getFileSystem(hadoopConf)
+      merged.foreach(f => fs.delete(new Path(f.path), false))
+      return (eq.size, eq.size)
+    }
+    commitManifest(cat, ident, t, hadoopConf, "rewrite-deletes",
+      replacedPaths = eq.map(_.path).toSet, newFiles = merged,
+      newContent = "eq-deletes")
+    (eq.size, merged.size)
+  }
+
   /** Zero-copy clone (Iceberg's `snapshot` procedure / Delta's SHALLOW
     * CLONE): create `dest` whose initial snapshot references the source's
     * CURRENT live data and delete files — no data moves, the commit is
@@ -1062,7 +1143,8 @@ object LakeMaintenance {
       replacedPaths: Set[String],
       newFiles: Seq[DataFileMeta],
       scanDeletePaths: Set[String] = Set.empty,
-      rewrittenDataPaths: Set[String] = Set.empty): Unit = {
+      rewrittenDataPaths: Set[String] = Set.empty,
+      newContent: String = "data"): Unit = {
     var prevLoc = t0.metadataLocation
     var base = t0.meta
     var attempts = 0
@@ -1070,7 +1152,8 @@ object LakeMaintenance {
       CasCommit.requireReplacedLive(base, replacedPaths, operation, t0.ident)
       CasCommit.requireNoNewDeletes(scanDeletePaths, base, rewrittenDataPaths,
         operation, t0.ident)
-      val next = TableMeta.withRewrite(base, operation, replacedPaths, newFiles, hadoopConf)
+      val next = TableMeta.withRewrite(base, operation, replacedPaths, newFiles,
+        hadoopConf, newContent)
       val newLoc = TableMeta.write(next, hadoopConf)
       if (cat.pointerStore.casUpdate(ident.namespace()(0), ident.name(), newLoc, prevLoc) == 1) {
         cat.invalidateTable(ident)

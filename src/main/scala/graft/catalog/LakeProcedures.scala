@@ -25,7 +25,8 @@ object LakeProcedures {
   def names: Seq[String] = Seq("compact", "expire_snapshots", "rollback",
     "create_tag", "remove_tag", "publish", "cherrypick_snapshot",
     "set_partition_spec", "zorder",
-    "upsert", "rewrite_manifests", "remove_orphan_files", "add_files", "snapshot",
+    "upsert", "rewrite_manifests", "rewrite_delete_files",
+    "remove_orphan_files", "add_files", "snapshot",
     "create_branch", "remove_branch", "fast_forward",
     "create_aggregate", "refresh_aggregate")
 
@@ -166,6 +167,14 @@ object LakeProcedures {
         { (spark, args) =>
           val (b, a) = LakeMaintenance.rewriteManifests(spark, full(args.getString(0)),
             args.getInt(1))
+          row(b, a)
+        }))
+      case "rewrite_delete_files" => Some(proc("rewrite_delete_files",
+        Seq(in("table", StringType)),
+        StructType(Seq(StructField("delete_files_before", IntegerType),
+          StructField("delete_files_after", IntegerType))),
+        { (spark, args) =>
+          val (b, a) = LakeMaintenance.rewriteDeleteFiles(spark, full(args.getString(0)))
           row(b, a)
         }))
       case "snapshot" => Some(proc("snapshot",

@@ -554,7 +554,8 @@ object TableMeta {
     * ([[CasCommit.requireReplacedLive]]).
     */
   def withRewrite(base: TableMeta, operation: String, replacedPaths: Set[String],
-      newFiles: Seq[DataFileMeta], conf: Configuration): TableMeta = {
+      newFiles: Seq[DataFileMeta], conf: Configuration,
+      newContent: String = "data"): TableMeta = {
     val snapId = base.nextSnapshotId
     val kept = base.snapshot(base.currentSnapshotId)
       .map(normalized(base, _, conf)).getOrElse(Nil)
@@ -569,7 +570,7 @@ object TableMeta {
       }
     val ms =
       if (newFiles.isEmpty) kept
-      else kept :+ ManifestIO.write(base.location, snapId, newFiles, conf)
+      else kept :+ ManifestIO.write(base.location, snapId, newFiles, conf, newContent)
     finish(base, snapId, operation, ms, Map.empty, conf)
   }
 

@@ -341,6 +341,59 @@ object CatalogQueries {
     },
 
     QueryDef.df(
+      "q85_rewrite_deletes",
+      // Oracle = q63's merged state computed from scratch. Same upsert
+      // lifecycle, but the eq-delete files are bin-packed per sequence
+      // number (dead keys eliminated) by rewrite_delete_files before the
+      // final read. A hash match proves the rewrite changes METADATA ONLY:
+      // every key still resolves to its newest version afterwards.
+      """WITH final AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 16 = 0 THEN 'U2:' || o_orderpriority
+        |         WHEN o_orderkey % 8 = 0 THEN 'U1:' || o_orderpriority
+        |         ELSE o_orderpriority END AS v,
+        |    CAST(o_totalprice AS DOUBLE) *
+        |      CASE WHEN o_orderkey % 16 = 0 THEN CAST(3 AS DOUBLE)
+        |           WHEN o_orderkey % 8 = 0 THEN CAST(2 AS DOUBLE)
+        |           ELSE CAST(1 AS DOUBLE) END AS amt
+        |  FROM orders WHERE o_orderkey % 4 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U2:' || o_orderpriority,
+        |    CAST(o_totalprice AS DOUBLE) * CAST(3 AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 4 = 1
+        |)
+        |SELECT v, CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS ksum,
+        |  CAST(sum(CAST(amt AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM final GROUP BY v ORDER BY v""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS lake.verify")
+      s.sql("DROP TABLE IF EXISTS lake.verify.ups_rdf")
+      s.sql(
+        """CREATE TABLE lake.verify.ups_rdf AS
+          |SELECT o_orderkey AS k, o_orderpriority AS v,
+          |  CAST(o_totalprice AS DOUBLE) AS amt
+          |FROM orders WHERE o_orderkey % 4 = 0""".stripMargin)
+      s.sql(
+        """SELECT o_orderkey AS k, concat('U1:', o_orderpriority) AS v,
+          |  CAST(o_totalprice AS DOUBLE) * CAST(2 AS DOUBLE) AS amt
+          |FROM orders WHERE o_orderkey % 8 = 0""".stripMargin)
+        .repartition(4).createOrReplaceTempView("ups_rdf_s1")
+      s.sql("CALL lake.system.upsert('verify.ups_rdf', 'ups_rdf_s1', 'k')")
+      s.sql(
+        """SELECT o_orderkey AS k, concat('U2:', o_orderpriority) AS v,
+          |  CAST(o_totalprice AS DOUBLE) * CAST(3 AS DOUBLE) AS amt
+          |FROM orders WHERE o_orderkey % 16 = 0 OR o_orderkey % 4 = 1""".stripMargin)
+        .repartition(4).createOrReplaceTempView("ups_rdf_s2")
+      s.sql("CALL lake.system.upsert('verify.ups_rdf', 'ups_rdf_s2', 'k')")
+      // bin-pack the per-task eq-delete files; results must not move
+      s.sql("CALL lake.system.rewrite_delete_files('verify.ups_rdf')")
+      s.sql(
+        """SELECT v, CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS ksum,
+          |  CAST(sum(CAST(amt AS DECIMAL(18,6))) AS DOUBLE) AS total
+          |FROM lake.verify.ups_rdf GROUP BY v ORDER BY v""".stripMargin)
+    },
+
+    QueryDef.df(
       "q84_snapshot_clone",
       // Oracle = both tables' final states computed from scratch. A
       // zero-copy clone is taken after upsert epoch U1; the source then

@@ -398,4 +398,85 @@ class MaintenanceSpec extends AnyFunSuite {
     spark.sql("DROP TABLE lake.maint.sc_e")
     spark.sql("DROP TABLE lake.maint.sc_e2")
   }
+
+  private def tableMeta(ns: String, name: String): graft.catalog.TableMeta =
+    spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array(ns), name)).asInstanceOf[graft.catalog.LakeTable].meta
+
+  test("rewrite_delete_files: per-seq bin-pack + dead-key elimination, scans identical") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.maint")
+    spark.sql("DROP TABLE IF EXISTS lake.maint.rdf")
+    spark.sql("CREATE TABLE lake.maint.rdf AS SELECT id AS k, 'base' AS v FROM range(0, 100)")
+    // three upsert epochs, each fanned over 4 tasks → 4 eq-delete files per
+    // epoch; epochs overlap so older epochs hold DEAD keys
+    def epoch(name: String, lo: Int, hi: Int, tag: String): Unit = {
+      spark.sql(s"SELECT id AS k, '$tag' AS v FROM range($lo, $hi)")
+        .repartition(4).createOrReplaceTempView(name)
+      spark.sql(s"CALL lake.system.upsert('maint.rdf', '$name', 'k')")
+    }
+    epoch("rdf_e1", 0, 41, "e1")   // seq 2
+    epoch("rdf_e2", 20, 61, "e2")  // seq 3: keys 20-40 now dead in seq 2
+    epoch("rdf_e3", 50, 71, "e3")  // seq 4: keys 50-60 now dead in seq 3
+    val want = spark.table("lake.maint.rdf").orderBy("k").collect()
+    val eqBefore = tableMeta("maint", "rdf").currentEqDeleteFiles
+    assert(eqBefore.size == 12, s"expected 12 eq files, got ${eqBefore.size}")
+
+    val res = spark.sql("CALL lake.system.rewrite_delete_files('maint.rdf')")
+      .collect().head
+    assert(res.getInt(0) == 12 && res.getInt(1) == 3, s"got $res")
+
+    val eqAfter = tableMeta("maint", "rdf").currentEqDeleteFiles
+    assert(eqAfter.size == 3)
+    // sequence numbers preserved; dead keys gone: seq-2 file keeps only
+    // keys 0..19 (20..40 superseded by seq 3), seq-3 keeps 20..49,
+    // seq-4 keeps all 21 of its keys
+    val bySeq = eqAfter.map(f => f.addedAt -> f.rowCount).toMap
+    assert(bySeq == Map(2L -> 20L, 3L -> 30L, 4L -> 21L), s"got $bySeq")
+
+    // scans bit-identical, point lookups still resolve the newest version
+    assert(spark.table("lake.maint.rdf").orderBy("k").collect().sameElements(want))
+    assert(spark.sql("SELECT v FROM lake.maint.rdf WHERE k = 30").collect()
+      .head.getString(0) == "e2")
+    // time travel to the pre-rewrite snapshot resolves the OLD delete files
+    val preRewrite = spark.sql(
+      "SELECT v FROM lake.maint.rdf VERSION AS OF 4 WHERE k = 55").collect()
+    assert(preRewrite.head.getString(0) == "e3")
+
+    // immediate re-run: pure no-op, no snapshot committed
+    val snaps = LakeMaintenance.history(spark, "lake.maint.rdf").count()
+    val res2 = spark.sql("CALL lake.system.rewrite_delete_files('maint.rdf')")
+      .collect().head
+    assert(res2.getInt(0) == 3 && res2.getInt(1) == 3)
+    assert(LakeMaintenance.history(spark, "lake.maint.rdf").count() == snaps)
+
+    // a fresh upsert after the rewrite still wins over merged entries, and
+    // a second rewrite folds it in (4 task files + dead keys in seq 2/3)
+    epoch("rdf_e4", 10, 31, "e4")
+    assert(spark.sql("SELECT v FROM lake.maint.rdf WHERE k = 15").collect()
+      .head.getString(0) == "e4")
+    assert(spark.table("lake.maint.rdf").count() == 100)
+    val res2b = spark.sql("CALL lake.system.rewrite_delete_files('maint.rdf')")
+      .collect().head
+    assert(res2b.getInt(0) == 7 && res2b.getInt(1) == 4, s"got $res2b")
+    val bySeq2 = tableMeta("maint", "rdf").currentEqDeleteFiles
+      .map(f => f.addedAt -> f.rowCount).toMap
+    // e4 (keys 10..30) killed 10..19 from seq 2 and 20..30 from seq 3
+    assert(bySeq2 == Map(2L -> 10L, 3L -> 19L, 4L -> 21L, 6L -> 21L), s"got $bySeq2")
+    assert(spark.sql("SELECT v FROM lake.maint.rdf WHERE k = 15").collect()
+      .head.getString(0) == "e4")
+    assert(spark.sql("SELECT v FROM lake.maint.rdf WHERE k = 35").collect()
+      .head.getString(0) == "e2")
+
+    // full compaction folds everything; then there is nothing to rewrite
+    LakeMaintenance.compact(spark, "lake.maint.rdf")
+    assert(tableMeta("maint", "rdf").currentEqDeleteFiles.isEmpty)
+    val res3 = spark.sql("CALL lake.system.rewrite_delete_files('maint.rdf')")
+      .collect().head
+    assert(res3.getInt(0) == 0 && res3.getInt(1) == 0)
+    assert(spark.sql("SELECT v FROM lake.maint.rdf WHERE k = 15").collect()
+      .head.getString(0) == "e4")
+    spark.sql("DROP TABLE lake.maint.rdf")
+  }
 }
