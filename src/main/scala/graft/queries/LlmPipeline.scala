@@ -1249,5 +1249,76 @@ object LlmPipeline {
           (sum((-log(col("n") / col("nn"))).cast("decimal(18,6)")).cast("double")
             / count(lit(1))).as("nll"))
         .orderBy(col("nll").desc, col("doc_id")).limit(25)
+    },
+
+    // ───── q86: SemDeDup — cluster-bucketed semantic dedup ───────────────
+    // SemDeDup (Abbas et al. 2023): cluster embeddings, then dedup only
+    // WITHIN clusters — the cluster is the candidate generator, so the
+    // pairwise stage is bounded by cluster size, never all-pairs. Scale:
+    // K grows with the corpus (K ≈ N/target-cluster-size), the centroid
+    // set broadcasts, assignment is one hash-agg, and the within-cluster
+    // pair join shuffles on cluster id only. Deterministic end to end:
+    // md5-ranked seed centroids (no Lloyd iterations — seeds ARE the
+    // centroids, so the oracle can replay assignment exactly), ties by id.
+    QueryDef.df(
+      "q86_semdedup",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |seeds AS (SELECT vec_id AS cid, emb AS cvec FROM e
+        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |scored AS (SELECT e.vec_id, e.emb, s.cid,
+        |                  list_cosine_similarity(e.emb, s.cvec) AS sim
+        |           FROM e, seeds s),
+        |assigned AS (
+        |  SELECT vec_id, emb, cid, sim AS csim FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                                 ORDER BY sim DESC, cid) AS rn
+        |    FROM scored) WHERE rn = 1)
+        |SELECT DISTINCT a.vec_id, a.cid
+        |FROM assigned a JOIN assigned b
+        |  ON a.cid = b.cid AND a.vec_id <> b.vec_id
+        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35
+        |  AND (b.csim < a.csim OR (b.csim = a.csim AND b.vec_id < a.vec_id))
+        |ORDER BY a.vec_id""".stripMargin) { (s, dir) =>
+      // csim stays internal: a seed's SELF-cosine lands one ulp apart in
+      // the two engines (1.0 vs 1.0+2e-16); every comparison is in-engine
+      // consistent, so membership matches — only the raw value wouldn't
+      semDedup(t(s, dir, "embeddings"), 16, 0.35).select("vec_id", "cid")
     })
+
+  /** SemDeDup core: assign each vector to its nearest of `k` md5-seeded
+    * centroids, then inside each cluster DROP every vector that has a
+    * ≥`eps`-cosine neighbor which is FARTHER from the centroid (SemDeDup
+    * keeps the member farthest from the centroid; ties break toward the
+    * smaller vec_id). Returns the dropped rows (vec_id, cid, csim).
+    */
+  def semDedup(emb: DataFrame, k: Int, eps: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"))
+    // deterministic seeds: the k vectors of smallest md5(vec_id) rank
+    val seeds = e.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    // nearest-centroid assignment: broadcast the K centroids, ONE hash-agg
+    // per vector (max over (sim, -cid) picks highest sim, ties → smaller
+    // cid) — no window, embeddings shuffle once keyed by vec_id
+    val assigned = e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("embedding"),
+        cosineSim(col("embedding"), col("cvec")).as("sim"), col("cid"))
+      .groupBy("vec_id")
+      .agg(first(col("embedding")).as("emb"),
+        max(struct(col("sim"), (-col("cid")).as("ncid"))).as("m"))
+      .select(col("vec_id"), col("emb"),
+        (-col("m.ncid")).as("cid"), col("m.sim").as("csim"))
+    val a = assigned.select(col("cid"), col("vec_id"), col("emb"), col("csim"))
+    val b = assigned.select(col("cid").as("b_cid"), col("vec_id").as("b_vec_id"),
+      col("emb").as("b_emb"), col("csim").as("b_csim"))
+    // left-semi: "∃ an eps-close in-cluster neighbor farther from the
+    // centroid" — returns each dropped vector once, no DISTINCT needed
+    a.join(b,
+        col("cid") === col("b_cid") && col("vec_id") =!= col("b_vec_id") &&
+          cosineSim(col("emb"), col("b_emb")) >= eps &&
+          (col("b_csim") < col("csim") ||
+            (col("b_csim") === col("csim") && col("b_vec_id") < col("vec_id"))),
+        "left_semi")
+      .select(col("vec_id"), col("cid"), col("csim"))
+      .orderBy("vec_id")
+  }
 }

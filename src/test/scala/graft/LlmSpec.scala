@@ -372,4 +372,35 @@ class LlmSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("semDedup: planted same-direction copies collapse to one; distinct directions survive") {
+    import graft.queries.LlmPipeline
+    // k=2 ⇒ seeds are the two smallest md5("vec_id") ranks of ids 0..9:
+    // vec_ids 6 and 9 (md5 order 6,9,7,4,1,2,8,0,5,3). Exact-arithmetic
+    // vectors: scaled copies have cosine EXACTLY 1.0, so the drop set is
+    // fully determined, no float slop.
+    val rows = Seq(
+      0L -> Array(1f, 0f, 0f, 0f),  // same direction as seed 6
+      1L -> Array(2f, 0f, 0f, 0f),  // copy
+      2L -> Array(4f, 0f, 0f, 0f),  // copy
+      3L -> Array(0f, 2f, 6f, 0f),  // cluster 9, far from everything
+      4L -> Array(0f, 5f, 0f, 2f),  // cluster 9, far from everything
+      5L -> Array(0f, 0f, 1f, 0f),  // orthogonal: tie → cluster 6, alone
+      6L -> Array(8f, 0f, 0f, 0f),  // SEED A (same direction as 0,1,2)
+      7L -> Array(0f, 0f, 0f, 3f),  // orthogonal: tie → cluster 6, alone
+      8L -> Array(3f, 3f, 0f, 0f),  // equidistant: tie → cluster 6, kept
+      9L -> Array(0f, 1f, 0f, 0f)   // SEED B
+    ).toDF("vec_id", "embedding")
+    val dropped = LlmPipeline.semDedup(rows, 2, 0.99)
+      .select("vec_id", "cid").as[(Long, Long)].collect().toList
+    // {0,1,2,6} are one direction: all csim == 1.0 exactly, tie-break keeps
+    // the smallest vec_id (0); 1, 2 and the seed itself drop
+    assert(dropped == List((1L, 6L), (2L, 6L), (6L, 6L)), s"got $dropped")
+
+    // scale shape: no window and no cartesian anywhere; the K centroids
+    // broadcast into the assignment
+    val plan = LlmPipeline.semDedup(rows, 2, 0.99).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "assignment must be a hash-agg, not a window")
+    assert(plan.contains("Broadcast"), "centroids must broadcast")
+  }
 }
