@@ -501,5 +501,52 @@ object Relational {
         .groupBy("event_type", "k_bucket")
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .orderBy(col("event_type"), asc_nulls_first("k_bucket"))
+    },
+
+    // ───── q87: PIVOT — long → wide with EXPLICIT pivot values ───────────
+    // The explicit value list is the 100 TB form: .pivot(col) alone runs a
+    // driver-side distinct over the column first; .pivot(col, values)
+    // plans a single pass. Spark compiles it to a two-level aggregate:
+    // partial+final agg keyed (group, pivot) — the only shuffle that sees
+    // data-proportional rows — then a pivotfirst agg whose shuffle moves
+    // ONE row per (group, pivot value). l_quantity is integer-valued, so
+    // double sums are exact.
+    QueryDef.df(
+      "q87_pivot",
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS f_qty,
+        |  sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS o_qty,
+        |  CAST(count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS f_rows,
+        |  CAST(count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS o_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum("l_quantity").as("qty"), count(lit(1)).as("rows"))
+        .select(col("l_returnflag"),
+          col("F_qty").as("f_qty"), col("O_qty").as("o_qty"),
+          col("F_rows").as("f_rows"), col("O_rows").as("o_rows"))
+        .orderBy("l_returnflag")
+    },
+
+    // ───── q88: UNPIVOT — wide → long round-trip ─────────────────────────
+    // Dataset.unpivot (SQL UNPIVOT) compiles to Expand: each input row
+    // fans out to one row per value column in the same task — no shuffle,
+    // no join. Round-tripping the q87 pivot back to long form and hashing
+    // against the direct GROUP BY proves both reshapes are lossless.
+    QueryDef.df(
+      "q88_unpivot",
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS qty
+        |FROM lineitem WHERE l_linestatus IN ('F', 'O')
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      val wide = t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum("l_quantity"))
+      wide.unpivot(Array(col("l_returnflag")), Array(col("F"), col("O")),
+          "l_linestatus", "qty")
+        .where(col("qty").isNotNull) // flags with no rows for a status
+        .orderBy("l_returnflag", "l_linestatus")
     })
 }

@@ -154,4 +154,20 @@ class ExplainAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"vocab lookup should broadcast:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-25 must not global-sort:\n$p")
   }
+
+  test("q87 pivot is a two-level aggregate: only the first shuffle is data-proportional") {
+    val p = plan("q87_pivot")
+    // level 1: partial+final agg keyed (group, pivot) — the data shuffle;
+    // level 2: pivotfirst over one row per (group, pivot value)
+    assert(p.contains("partial_pivotfirst"), s"expected the pivotfirst level:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"expected exactly the two aggregate shuffles:\n$p")
+    assert(!p.contains("Join"), s"pivot is an aggregate, not a join:\n$p")
+  }
+
+  test("q88 unpivot is an Expand in-task, no join and no extra shuffle") {
+    val p = plan("q88_unpivot")
+    assert(p.contains("Expand"), s"unpivot should compile to Expand:\n$p")
+    assert(!p.contains("Join"), s"unpivot must not join:\n$p")
+  }
 }
