@@ -479,4 +479,69 @@ class MaintenanceSpec extends AnyFunSuite {
       .head.getString(0) == "e4")
     spark.sql("DROP TABLE lake.maint.rdf")
   }
+
+  test("add_files races a concurrent INSERT: both append commits land exactly once") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.maint")
+    spark.sql("DROP TABLE IF EXISTS lake.maint.afr")
+    val ext = java.nio.file.Files.createTempDirectory("graft_af_race").toString
+    spark.sql("SELECT id AS k, 'ext' AS v FROM range(0, 100)").coalesce(1)
+      .write.mode("overwrite").parquet(ext)
+    spark.sql("CREATE TABLE lake.maint.afr (k BIGINT, v STRING)")
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val importer = Future {
+      LakeMaintenance.addFiles(spark, "lake.maint.afr", ext)
+    }
+    val writer = Future {
+      spark.sql("INSERT INTO lake.maint.afr SELECT id, 'ins' FROM range(1000, 1050)")
+    }
+    Await.result(Future.sequence(Seq(importer.map(_ => ()), writer.map(_ => ()))), 120.seconds)
+    pool.shutdown()
+    val keys = spark.table("lake.maint.afr").collect().map(_.getLong(0)).toSet
+    assert(keys == ((0L until 100L) ++ (1000L until 1050L)).toSet,
+      s"both racing appends must land exactly once (got ${keys.size} keys)")
+    spark.sql("DROP TABLE lake.maint.afr")
+  }
+
+  test("rewrite_delete_files races a live upsert epoch: no lost update, no resurrection") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.maint")
+    spark.sql("DROP TABLE IF EXISTS lake.maint.rdfr")
+    spark.sql("CREATE TABLE lake.maint.rdfr AS SELECT id AS k, 'base' AS v FROM range(0, 100)")
+    spark.sql("SELECT id AS k, 'e1' AS v FROM range(0, 50)")
+      .repartition(4).createOrReplaceTempView("rdfr_s1")
+    spark.sql("CALL lake.system.upsert('maint.rdfr', 'rdfr_s1', 'k')")
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val rewriter = Future {
+      // may rebase over the racing upsert's commit, or land first — either
+      // way replaced-still-live is validated under CAS
+      LakeMaintenance.rewriteDeleteFiles(spark, "lake.maint.rdfr")
+    }
+    val upserter = Future {
+      val src = spark.sql("SELECT id AS k, 'e2' AS v FROM range(25, 75)").repartition(4)
+      LakeMaintenance.upsert(spark, "lake.maint.rdfr", src, Seq("k"))
+    }
+    Await.result(Future.sequence(Seq(rewriter.map(_ => ()), upserter.map(_ => ()))), 120.seconds)
+    pool.shutdown()
+    // final state: e2 over 25..74 beats e1 over 0..49 beats base — exactly
+    // once each, regardless of which commit won the race
+    val rows = spark.table("lake.maint.rdfr").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size == 100)
+    assert((0L until 25L).forall(rows(_) == "e1"))
+    assert((25L until 75L).forall(rows(_) == "e2"))
+    assert((75L until 100L).forall(rows(_) == "base"))
+    // and a post-race rewrite still converges to one file per live seq
+    spark.sql("CALL lake.system.rewrite_delete_files('maint.rdfr')")
+    val rows2 = spark.table("lake.maint.rdfr").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows2 == rows)
+    spark.sql("DROP TABLE lake.maint.rdfr")
+  }
 }

@@ -145,7 +145,7 @@ class PropertySpec extends AnyFunSuite {
       DataFileMeta(f"/w/eq-$eqNo%05d.parquet", 5L, 50L,
         Map("k" -> "1"), Map("k" -> "9"))
     }
-    val genOp: Gen[Int] = Gen.choose(0, 5)
+    val genOp: Gen[Int] = Gen.choose(0, 6)
     (1 to 30).foreach { seed =>
       val dir = java.nio.file.Files.createTempDirectory(s"prop-meta-$seed").toString
       var meta = TM.empty(dir, schema, Nil, tableProps) // commit helpers attach ioConf
@@ -194,6 +194,16 @@ class PropertySpec extends AnyFunSuite {
                 meta = TM.withBranchAppend(meta, "b", Seq(f), conf)
                 modelBranch = Some(bd + f.path)
             }
+          case 6 if modelEq.nonEmpty => // delete-file rewrite: bin-pack the
+            // eq files into one, ORIGINAL sequence number preserved
+            // (metadata-only — data files untouched)
+            val preserved = meta.currentEqDeleteFiles.map(_.addedAt).min
+            val merged = mkEqFile().copy(addedAt = preserved)
+            meta = TM.withRewrite(meta, "rewrite-deletes", modelEq, Seq(merged), conf,
+              newContent = "eq-deletes")
+            modelEq = Set(merged.path)
+            // the carried stamp must survive the commit + round-trip below
+            assert(meta.currentEqDeleteFiles.forall(_.addedAt == preserved))
           case _ => ()
         }
         // full durability round-trip every step
