@@ -21,9 +21,19 @@ import org.apache.spark.sql.functions._
   * to the from-scratch aggregate — q75 proves it against DuckDB computing
   * the aggregate from raw rows.
   *
-  * Honesty rule: the incremental read fails fast if the source range
-  * contains a non-append commit (overwrite/rewrite deltas do not express
-  * row-level changes); refresh before compaction, or rebuild the MV.
+  * Non-append sources: when the refresh range contains row-CHANGING
+  * commits (upsert epochs, merge-on-read DELETE/UPDATE deltas), the
+  * refresh reads the CDC CHANGELOG instead of the append delta and folds
+  * it with RETRACTION — count/sum are signed-additive (+row for insert,
+  * -row for delete), still exact under decimal accumulation. min/max
+  * cannot retract, so an MV WITH min/max columns recomputes exactly the
+  * touched groups from the source's current state (cost O(changelog +
+  * touched groups' source rows) — partition/stats pruning applies when
+  * the source clusters by the group columns). A group whose count reaches
+  * zero keeps a cnt=0 tombstone row (the upsert path cannot delete rows);
+  * read MVs with `WHERE cnt > 0`. Ranges the changelog itself cannot
+  * express (compaction/overwrite/z-order rewrites) still fail fast —
+  * refresh before maintenance, or rebuild.
   */
 object Materialized {
 
@@ -84,36 +94,104 @@ object Materialized {
     val minCols = colsOf("mv.min")
     val maxCols = colsOf("mv.max")
     val last = props.getOrElse("mv.last-snapshot", "0").toLong
-    val cur = LakeMaintenance.resolve(spark, source)._3.meta.currentSnapshotId
+    val srcMeta = LakeMaintenance.resolve(spark, source)._3.meta
+    val cur = srcMeta.currentSnapshotId
     if (cur <= last) return (0L, mv.meta.currentSnapshotId)
 
-    // only the NEW snapshots' files are read (fails fast on non-append
-    // history — see the object doc)
-    val delta = spark.read
-      .option("start-snapshot-id", last.toString)
-      .option("end-snapshot-id", cur.toString)
-      .table(source)
-    val partial = delta.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("cnt"),
-        sumCols.map(c => sum(col(c).cast("decimal(18,6)")).as(s"sum_$c")) ++
-          minCols.map(c => min(col(c)).as(s"min_$c")) ++
-          maxCols.map(c => max(col(c)).as(s"max_$c")): _*)
+    // classify the refresh range by walking the main lineage (parent
+    // chain; id-order fallback for legacy docs) — same walk the
+    // incremental readers use
+    val appendOps = Set("append", "stream-append", "branch-append", "create",
+      "stage-append", "publish", "rewrite-manifests")
+    val chainOps: Seq[String] = {
+      var acc = List.empty[String]
+      var curId = cur
+      var legacy = false
+      while (curId > last && !legacy) {
+        srcMeta.snapshot(curId) match {
+          case Some(s) if s.parentId > 0 => acc = s.operation :: acc; curId = s.parentId
+          case _ => legacy = true
+        }
+      }
+      if (!legacy) acc
+      else srcMeta.snapshots.filter(s => s.snapshotId > last && s.snapshotId <= cur)
+        .map(_.operation)
+    }
 
-    // merge the touched groups with their current MV values (left join:
-    // rows ∝ touched groups, and only those groups are upserted)
-    val existing = spark.table(mvTable)
-    val combined = partial.as("d").join(existing.as("m"), groupCols, "left")
-      .select(groupCols.map(col) ++
-        Seq((col("d.cnt") + coalesce(col("m.cnt"), lit(0L))).as("cnt")) ++
-        sumCols.map(c =>
-          (col(s"d.sum_$c") + coalesce(col(s"m.sum_$c"), lit(0).cast("decimal(18,6)")))
-            .cast("decimal(18,6)").as(s"sum_$c")) ++
-        minCols.map(c =>
-          least(col(s"d.min_$c"), coalesce(col(s"m.min_$c"), col(s"d.min_$c")))
-            .as(s"min_$c")) ++
-        maxCols.map(c =>
-          greatest(col(s"d.max_$c"), coalesce(col(s"m.max_$c"), col(s"d.max_$c")))
-            .as(s"max_$c")): _*)
+    val combined: org.apache.spark.sql.DataFrame =
+      if (chainOps.forall(appendOps)) {
+        // append-only fast path: fold ONLY the new snapshots' files
+        val delta = spark.read
+          .option("start-snapshot-id", last.toString)
+          .option("end-snapshot-id", cur.toString)
+          .table(source)
+        val partial = delta.groupBy(groupCols.map(col): _*)
+          .agg(count(lit(1)).as("cnt"),
+            sumCols.map(c => sum(col(c).cast("decimal(18,6)")).as(s"sum_$c")) ++
+              minCols.map(c => min(col(c)).as(s"min_$c")) ++
+              maxCols.map(c => max(col(c)).as(s"max_$c")): _*)
+        // merge the touched groups with their current MV values (left join:
+        // rows ∝ touched groups, and only those groups are upserted)
+        val existing = spark.table(mvTable)
+        partial.as("d").join(existing.as("m"), groupCols, "left")
+          .select(groupCols.map(col) ++
+            Seq((col("d.cnt") + coalesce(col("m.cnt"), lit(0L))).as("cnt")) ++
+            sumCols.map(c =>
+              (col(s"d.sum_$c") + coalesce(col(s"m.sum_$c"), lit(0).cast("decimal(18,6)")))
+                .cast("decimal(18,6)").as(s"sum_$c")) ++
+            minCols.map(c =>
+              least(col(s"d.min_$c"), coalesce(col(s"m.min_$c"), col(s"d.min_$c")))
+                .as(s"min_$c")) ++
+            maxCols.map(c =>
+              greatest(col(s"d.max_$c"), coalesce(col(s"m.max_$c"), col(s"d.max_$c")))
+                .as(s"max_$c")): _*)
+      } else if (minCols.isEmpty && maxCols.isEmpty) {
+        // row-changing range, additive aggregates only: fold the CDC
+        // changelog with RETRACTION — +row for inserts, -row for deletes;
+        // decimal accumulation keeps the result bit-identical to
+        // from-scratch. (changelog validates the range itself and fails
+        // fast on rewrites it cannot express.)
+        val changes = LakeMaintenance.changelog(spark, source, last, cur)
+          .withColumn("__sign",
+            when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L)))
+        val partial = changes.groupBy(groupCols.map(col): _*)
+          .agg(sum(col("__sign")).as("cnt"),
+            sumCols.map(c =>
+              sum(col(c).cast("decimal(18,6)") * col("__sign"))
+                .cast("decimal(18,6)").as(s"sum_$c")): _*)
+        val existing = spark.table(mvTable)
+        partial.as("d").join(existing.as("m"), groupCols, "left")
+          .select(groupCols.map(col) ++
+            Seq((col("d.cnt") + coalesce(col("m.cnt"), lit(0L))).as("cnt")) ++
+            sumCols.map(c =>
+              (col(s"d.sum_$c") + coalesce(col(s"m.sum_$c"), lit(0).cast("decimal(18,6)")))
+                .cast("decimal(18,6)").as(s"sum_$c")): _*)
+      } else {
+        // min/max cannot retract: recompute EXACTLY the touched groups
+        // from the source's current state; groups that vanished get a
+        // cnt=0 tombstone (the upsert path cannot delete MV rows)
+        val touched = LakeMaintenance.changelog(spark, source, last, cur)
+          .select(groupCols.map(col): _*).distinct()
+        // pinned at `cur`: a commit racing this refresh must not leak past
+        // the watermark this fold will record
+        val recomputed = spark.read.option("snapshot-id", cur.toString).table(source)
+          .join(touched, groupCols, "left_semi")
+          .groupBy(groupCols.map(col): _*)
+          .agg(count(lit(1)).as("cnt"),
+            sumCols.map(c => sum(col(c).cast("decimal(18,6)")).as(s"sum_$c")) ++
+              minCols.map(c => min(col(c)).as(s"min_$c")) ++
+              maxCols.map(c => max(col(c)).as(s"max_$c")): _*)
+        val gone = touched.join(recomputed.select(groupCols.map(col): _*),
+            groupCols, "left_anti")
+          .select(groupCols.map(col) ++
+            Seq(lit(0L).as("cnt")) ++
+            sumCols.map(c => lit(0).cast("decimal(18,6)").as(s"sum_$c")) ++
+            minCols.map(c => lit(null).cast(
+              spark.table(mvTable).schema(s"min_$c").dataType).as(s"min_$c")) ++
+            maxCols.map(c => lit(null).cast(
+              spark.table(mvTable).schema(s"max_$c").dataType).as(s"max_$c")): _*)
+        recomputed.unionByName(gone)
+      }
 
     // the watermark rides the SAME commit as the rows: exactly-once. The
     // upsert's own committed row count IS the touched-group count — no

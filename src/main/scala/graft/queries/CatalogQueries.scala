@@ -341,6 +341,48 @@ object CatalogQueries {
     },
 
     QueryDef.df(
+      "q89_mv_retraction",
+      // Oracle = the from-scratch aggregate over the source's FINAL state.
+      // The MV refreshes once on the append-only base, then the source
+      // takes an upsert epoch that MOVES rows between groups (%8 keys →
+      // group 'UPD', doubled amounts); the second refresh folds the CDC
+      // changelog with retraction (-old row, +new row). A hash match
+      // proves signed decimal folding reproduces from-scratch exactly —
+      // including the groups rows LEFT.
+      """SELECT g, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+        |FROM (SELECT CASE WHEN o_orderkey % 8 = 0 THEN 'UPD'
+        |             ELSE o_orderpriority END AS g,
+        |        CAST(o_totalprice AS DOUBLE) *
+        |          CASE WHEN o_orderkey % 8 = 0 THEN CAST(2 AS DOUBLE)
+        |               ELSE CAST(1 AS DOUBLE) END AS v
+        |      FROM orders) s
+        |GROUP BY g ORDER BY g""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS lake.verify")
+      s.sql("DROP TABLE IF EXISTS lake.verify.mvr_src")
+      s.sql("DROP TABLE IF EXISTS lake.verify.mvr_mv")
+      s.sql(
+        """CREATE TABLE lake.verify.mvr_src AS
+          |SELECT o_orderkey AS k, o_orderpriority AS g,
+          |  CAST(o_totalprice AS DOUBLE) AS v
+          |FROM orders""".stripMargin)
+      s.sql("CALL lake.system.create_aggregate('verify.mvr_mv', 'verify.mvr_src', 'g', 'v')")
+      s.sql("CALL lake.system.refresh_aggregate('verify.mvr_mv')")
+      // upsert epoch moves %8 keys into a NEW group with doubled amounts
+      s.sql(
+        """SELECT o_orderkey AS k, 'UPD' AS g,
+          |  CAST(o_totalprice AS DOUBLE) * CAST(2 AS DOUBLE) AS v
+          |FROM orders WHERE o_orderkey % 8 = 0""".stripMargin)
+        .createOrReplaceTempView("mvr_up1")
+      s.sql("CALL lake.system.upsert('verify.mvr_src', 'mvr_up1', 'k')")
+      s.sql("CALL lake.system.refresh_aggregate('verify.mvr_mv')")
+      s.sql(
+        """SELECT g, cnt, CAST(sum_v AS DOUBLE) AS sum_v
+          |FROM lake.verify.mvr_mv WHERE cnt > 0 ORDER BY g""".stripMargin)
+    },
+
+    QueryDef.df(
       "q85_rewrite_deletes",
       // Oracle = q63's merged state computed from scratch. Same upsert
       // lifecycle, but the eq-delete files are bin-packed per sequence

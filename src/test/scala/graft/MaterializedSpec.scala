@@ -153,9 +153,74 @@ class MaterializedSpec extends AnyFunSuite {
     spark.sql(s"INSERT INTO $src VALUES ('x', 2.0)")
     spark.sql(s"INSERT INTO $src VALUES ('y', 3.0)")
     LakeMaintenance.compact(spark, src) // rewrite inside the pending range
+    // the range routes to the changelog path (non-append ops present),
+    // which fails fast on the rewrite it cannot express as row changes
     val e = intercept[Exception] { Materialized.refresh(spark, mvT) }
-    assert(e.getMessage.contains("append"),
+    assert(e.getMessage.contains("not expressible"),
       s"refresh over rewritten history must fail fast, got: ${e.getMessage}")
+    spark.sql(s"DROP TABLE $mvT"); spark.sql(s"DROP TABLE $src")
+  }
+
+  test("refresh folds UPSERT source deltas by retraction (signed changelog)") {
+    val src = s"lake.mvs.${uniq("usrc")}"
+    val mvT = s"lake.mvs.${uniq("uagg")}"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.mvs")
+    spark.sql(s"CREATE TABLE $src (k BIGINT, g STRING, v DOUBLE)")
+    spark.sql(s"INSERT INTO $src SELECT id, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END, " +
+      "CAST(id AS DOUBLE) FROM range(0, 100)")
+    Materialized.createAggregate(spark, mvT, src, Seq("g"), Seq("v"))
+    Materialized.refresh(spark, mvT)
+    // upsert epoch: 25 keys move from group parity unchanged but values
+    // change; 10 brand-new keys arrive in 'b'
+    spark.sql(s"SELECT id AS k, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS g, " +
+      s"CAST(id * 10 AS DOUBLE) AS v FROM range(0, 25)")
+      .createOrReplaceTempView("mv_ups1")
+    spark.sql(s"CALL lake.system.upsert('${src.stripPrefix("lake.")}', 'mv_ups1', 'k')")
+    // MoR DELETE also rides the changelog path
+    spark.sql(s"ALTER TABLE $src SET TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql(s"DELETE FROM $src WHERE k >= 90")
+    Materialized.refresh(spark, mvT)
+    // from-scratch truth
+    val want = spark.table(src).groupBy("g")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("v").cast("decimal(18,6)")).as("sum_v"))
+      .orderBy("g").collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+    val got = spark.table(mvT).where("cnt > 0").orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+    assert(got.sameElements(want), s"mv=${got.toSeq} scratch=${want.toSeq}")
+    // replay is a no-op (watermark moved)
+    assert(Materialized.refresh(spark, mvT)._1 == 0L)
+    spark.sql(s"DROP TABLE $mvT"); spark.sql(s"DROP TABLE $src")
+  }
+
+  test("refresh with min/max over an upsert source recomputes touched groups; vanished group gets cnt=0") {
+    val src = s"lake.mvs.${uniq("msrc")}"
+    val mvT = s"lake.mvs.${uniq("magg")}"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.mvs")
+    spark.sql(s"CREATE TABLE $src (k BIGINT, g STRING, v DOUBLE) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $src SELECT id, CASE WHEN id < 10 THEN 'solo' ELSE 'big' END, " +
+      "CAST(id AS DOUBLE) FROM range(0, 100)")
+    Materialized.createAggregate(spark, mvT, src, Seq("g"), Seq("v"),
+      minCols = Seq("v"), maxCols = Seq("v"))
+    Materialized.refresh(spark, mvT)
+    // the max of 'big' (k=99) is deleted — a monotone merge would keep the
+    // stale max; the recompute path must not
+    spark.sql(s"DELETE FROM $src WHERE k >= 95")
+    // and group 'solo' vanishes entirely
+    spark.sql(s"DELETE FROM $src WHERE g = 'solo'")
+    Materialized.refresh(spark, mvT)
+    val rows = spark.table(mvT).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getAs[Double]("min_v"), r.getAs[Double]("max_v"))).toMap
+    assert(rows("big") == ((85L, 10.0, 94.0)), s"got ${rows.get("big")}")
+    assert(rows("solo")._1 == 0L, s"vanished group must carry cnt=0, got ${rows.get("solo")}")
+    // untouched-group invariant: a later append touching only 'big' leaves
+    // 'solo' alone and the fast path resumes (append-only tail)
+    spark.sql(s"INSERT INTO $src VALUES (200, 'big', 1000.0)")
+    Materialized.refresh(spark, mvT)
+    val rows2 = spark.table(mvT).where("cnt > 0").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getAs[Double]("min_v"), r.getAs[Double]("max_v"))).toMap
+    assert(rows2 == Map("big" -> ((86L, 10.0, 1000.0))), s"got $rows2")
     spark.sql(s"DROP TABLE $mvT"); spark.sql(s"DROP TABLE $src")
   }
 }
