@@ -1048,15 +1048,20 @@ object LakeMaintenance {
       .flatMap(meta.snapshot).toSeq.sortBy(_.snapshotId)
     lineage.foreach { s =>
       // rewrite-manifests repackages metadata without changing any file:
-      // it contributes zero rows below (added/new-delete diffs are empty)
+      // it contributes zero rows below (added/new-delete diffs are empty).
+      // rewrite-deletes swaps eq-delete FILES without changing live rows —
+      // whitelisted here, explicitly skipped in the diff loop (its new eq
+      // files would otherwise read as fresh deletes).
       if (!Set("append", "stream-append", "create", "stage-append", "publish", "delta",
-        "upsert", "rewrite-manifests")(s.operation))
+        "upsert", "rewrite-manifests", "rewrite-deletes")(s.operation))
         throw new IllegalArgumentException(
           s"changelog over $table: snapshot ${s.snapshotId} is '${s.operation}' — " +
             "row-level changes of rewrite commits are not expressible; " +
             "read the snapshots on either side instead")
     }
-    val parts = lineage.flatMap { s =>
+    // rewrite-deletes snapshots change zero rows — skip them entirely (the
+    // next snapshot diffs against them via parentOf, data files unchanged)
+    val parts = lineage.filterNot(_.operation == "rewrite-deletes").flatMap { s =>
       val prevId = parentOf(s)
       val prevPaths = filesAt(prevId).map(_.path).toSet
       val added = filesAt(s.snapshotId).filterNot(f => prevPaths(f.path))

@@ -205,8 +205,10 @@ final class LakeMicroBatchStream(
   // MAIN stream inherits branch commits into its lineage after fast_forward.
   // "upsert" appends new row versions (its eq-deletes only tombstone older
   // files), so with the opt-in its delta of ADDED data files is exact.
+  // "rewrite-deletes" bin-packs equality-delete FILES without changing any
+  // data file or live row — its data-file delta is empty by construction
   private val appendOps = Set("append", "stream-append", "branch-append", "create",
-    "stage-append", "publish", "rewrite-manifests") ++
+    "stage-append", "publish", "rewrite-manifests", "rewrite-deletes") ++
     (if (upsertAsAppend) Set("upsert") else Set.empty)
 
   /** The snapshots in `(startId, endId]` along `endId`'s parent chain,

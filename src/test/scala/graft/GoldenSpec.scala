@@ -94,7 +94,14 @@ class GoldenSpec extends AnyFunSuite {
     "q79_span_dedup" -> 500L,
     "q80_pack_sequences" -> 500L,
     "q81_domain_mixture" -> 20L,
-    "q82_unigram_nll" -> 25L)
+    "q82_unigram_nll" -> 25L,
+    "q83_add_files" -> 5L,
+    "q84_snapshot_clone" -> 14L,
+    "q85_rewrite_deletes" -> 15L,
+    "q86_semdedup" -> 49L,
+    "q87_pivot" -> 3L,
+    "q88_unpivot" -> 6L,
+    "q89_mv_retraction" -> 6L)
 
   test("every registered query has a golden count (add one when adding a query)") {
     assert(SparkEntry.queries.keySet == golden.keySet,

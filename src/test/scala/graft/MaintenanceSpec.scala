@@ -544,4 +544,28 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(rows2 == rows)
     spark.sql("DROP TABLE lake.maint.rdfr")
   }
+
+  test("rewrite_delete_files is transparent to changelog and incremental reads") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.maint")
+    spark.sql("DROP TABLE IF EXISTS lake.maint.rdt")
+    spark.sql("CREATE TABLE lake.maint.rdt AS SELECT id AS k, 'base' AS v FROM range(0, 50)")
+    spark.sql("SELECT id AS k, 'e1' AS v FROM range(0, 25)")
+      .repartition(2).createOrReplaceTempView("rdt_s1")
+    spark.sql("CALL lake.system.upsert('maint.rdt', 'rdt_s1', 'k')")   // snap 2
+    spark.sql("CALL lake.system.rewrite_delete_files('maint.rdt')")    // snap 3
+    spark.sql("INSERT INTO lake.maint.rdt SELECT id, 'app' FROM range(100, 110)") // snap 4
+
+    // changelog across the rewrite: the rewrite contributes ZERO rows
+    val log = LakeMaintenance.changelog(spark, "lake.maint.rdt", 0L, 4L)
+    assert(log.where("_change_type = 'insert'").count() == 85) // 50 + 25 + 10
+    assert(log.where("_change_type = 'delete'").count() == 25) // e1 over base
+    assert(log.where("_commit_snapshot_id = 3").count() == 0)
+
+    // incremental batch read crossing the rewrite sees only appended rows
+    val inc = spark.read.option("start-snapshot-id", "2")
+      .option("end-snapshot-id", "4").table("lake.maint.rdt")
+    assert(inc.count() == 10)
+    assert(inc.select("v").distinct().collect().map(_.getString(0)).toSeq == Seq("app"))
+    spark.sql("DROP TABLE lake.maint.rdt")
+  }
 }
