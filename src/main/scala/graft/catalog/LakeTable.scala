@@ -1204,6 +1204,14 @@ final class LakeWrite(
     Option(info.options().get("upsert-keys"))
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
 
+  // option("upsert-nulls-as-deletes", true): Kafka-compacted-topic /
+  // Debezium tombstone semantics — a row whose NON-KEY columns are all
+  // NULL retracts its key (the key joins the epoch's equality delete, no
+  // data row is written). Lets a CDC stream express true row DELETIONS
+  // without any schema extension.
+  private def upsertNullsAsDeletes: Boolean =
+    Option(info.options().get("upsert-nulls-as-deletes")).exists(_.toBoolean)
+
   /** Iceberg's write.distribution-mode: 'hash' (default for partitioned
     * tables — cluster rows by the partition transform so each task owns
     * whole partition values), 'range' (globally range-order by partition +
@@ -1255,9 +1263,16 @@ final class LakeWrite(
     }
     new LakeBatchWrite(table, info.schema(), overwrite, store, hadoopConf, branch)
   }
-  override def toStreaming: streaming.StreamingWrite =
+  override def toStreaming: streaming.StreamingWrite = {
+    if (upsertNullsAsDeletes) {
+      require(upsertKeys.nonEmpty,
+        "upsert-nulls-as-deletes requires upsert-keys")
+      require(info.schema().fieldNames.exists(!upsertKeys.contains(_)),
+        "upsert-nulls-as-deletes needs at least one non-key column to carry the tombstone")
+    }
     new LakeStreamingWrite(table, info.schema(), info.queryId(), store, hadoopConf,
-      upsertKeys)
+      upsertKeys, upsertNullsAsDeletes)
+  }
 }
 
 final case class LakeCommitMessage(files: Seq[DataFileMeta]) extends WriterCommitMessage
@@ -1338,7 +1353,8 @@ final class LakeStreamingWrite(
     queryId: String,
     store: PointerStore,
     hadoopConf: Configuration,
-    upsertKeys: Seq[String] = Nil)
+    upsertKeys: Seq[String] = Nil,
+    nullsAsDeletes: Boolean = false)
   extends streaming.StreamingWrite {
 
   private def epochKey = s"stream.$queryId.last-epoch"
@@ -1357,7 +1373,8 @@ final class LakeStreamingWrite(
     else {
       val keyIdx = upsertKeys.map(writeSchema.fieldIndex).toArray
       LakeUpsertWriterFactory(base, physSchema.json, keyIdx,
-        s"${table.meta.location}/deletes", new SerializableConfiguration(hadoopConf))
+        s"${table.meta.location}/deletes", new SerializableConfiguration(hadoopConf),
+        nullsAsDeletes)
     }
   }
 
@@ -1438,7 +1455,8 @@ final case class LakeUpsertWriterFactory(
     physSchemaJson: String,
     keyIdx: Array[Int],
     deleteDir: String,
-    conf: SerializableConfiguration)
+    conf: SerializableConfiguration,
+    nullsAsDeletes: Boolean = false)
   extends streaming.StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
@@ -1452,13 +1470,20 @@ final case class LakeUpsertWriterFactory(
           : org.apache.spark.sql.catalyst.expressions.Expression))
       private val rowProj = UnsafeProjection.create(physSchema)
       // key -> latest full row; put() replaces the value, so iteration at
-      // commit yields exactly one (the last-written) version per key
+      // commit yields exactly one (the last-written) version per key. A
+      // NULL value is a TOMBSTONE (nullsAsDeletes): the key still joins the
+      // epoch's equality delete, but no data row is written — so within an
+      // epoch delete-then-reinsert keeps the reinsert, insert-then-delete
+      // keeps nothing, exactly the Kafka-compaction resolution.
       private val latest = new java.util.LinkedHashMap[UnsafeRow, UnsafeRow]()
       private var inner: DataWriter[InternalRow] = _
+      private val nonKeyIdx: Array[Int] =
+        physSchema.fields.indices.filterNot(keyIdx.contains(_)).toArray
 
       override def write(row: InternalRow): Unit = {
         val u = rowProj(row).copy()
-        latest.put(keyProj(u).copy(), u)
+        val tombstone = nullsAsDeletes && nonKeyIdx.forall(u.isNullAt)
+        latest.put(keyProj(u).copy(), if (tombstone) null else u)
       }
 
       // partition sort key of a buffered row (identity value or bucket
@@ -1493,7 +1518,7 @@ final case class LakeUpsertWriterFactory(
       override def commit(): WriterCommitMessage = {
         inner = dataFactory.createWriter(partitionId, taskId, epochId)
         val buf = new scala.collection.mutable.ArrayBuffer[UnsafeRow](latest.size)
-        latest.values().forEach(r => buf += r)
+        latest.values().forEach(r => if (r != null) buf += r) // tombstones write no data row
         val ordered =
           if (partFields.isEmpty) buf
           else buf.sortBy(partKey)(keyOrd) // stable: ties keep arrival order

@@ -10,6 +10,11 @@ import graft.catalog._
   */
 case class UpsRow(k: Long, v: String, n: Int)
 
+/** CDC row with NULLABLE payload columns — an all-null payload is a
+  * tombstone under `upsert-nulls-as-deletes`.
+  */
+case class CdcRow(k: Long, v: String, n: Option[Int])
+
 /** Streaming upsert via equality deletes: each epoch appends its rows plus
   * an `eq-deletes` parquet of the written keys, which kills prior versions
   * of those keys in all OLDER files (per-file `addedAt` sequence numbers
@@ -476,6 +481,68 @@ class UpsertSpec extends AnyFunSuite {
     assert(all == Seq((1L, "a"), (1L, "a2"), (2L, "b"), (2L, "b2"), (3L, "c")), s"got $all")
     // the table itself still shows last-writer-wins state
     assert(spark.table(t).count() == 3)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("upsert-nulls-as-deletes: tombstones retract keys with Kafka-compaction resolution") {
+    import spark.implicits._
+    val t = s"lake.ups.${uniq("cdc")}"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ups")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING, n INT)")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    val input = MemoryStream[CdcRow](spark)
+    val q = input.toDS().writeStream
+      .option("checkpointLocation", ckpt)
+      .option("upsert-keys", "k")
+      .option("upsert-nulls-as-deletes", "true")
+      .toTable(t)
+    def tomb(k: Long) = CdcRow(k, null, None)
+    try {
+      input.addData(CdcRow(1, "a", Some(1)), CdcRow(2, "b", Some(2)), CdcRow(3, "c", Some(3)))
+      q.processAllAvailable()
+      // epoch 2: cross-epoch delete (k=2), update (k=1), in-epoch
+      // insert-then-delete (k=4, dies), delete-then-reinsert (k=5, lives)
+      input.addData(tomb(2), CdcRow(1, "a2", Some(10)),
+        CdcRow(4, "d", Some(4)), tomb(4),
+        tomb(5), CdcRow(5, "e", Some(5)))
+      q.processAllAvailable()
+      val rows = spark.table(t).collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(rows == Map(1L -> "a2", 3L -> "c", 5L -> "e"), s"got $rows")
+
+      // deleting an absent key is a no-op; a deleted key can come back
+      input.addData(tomb(99), CdcRow(2, "b3", Some(22)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows2 = spark.table(t).collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows2 == Map(1L -> "a2", 2L -> "b3", 3L -> "c", 5L -> "e"), s"got $rows2")
+    // aggregates see the retracted state through the eq-filtered scan
+    assert(spark.sql(s"SELECT sum(n) FROM $t").collect().head.getLong(0) == 10 + 22 + 3 + 5)
+    // CDC changelog: epoch 2 emitted a delete for k=2's live version
+    val meta = lakeMeta(t)
+    val log = LakeMaintenance.changelog(spark, t, 0L, meta.currentSnapshotId)
+    val deleted = log.where("_change_type = 'delete'").select("k")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(deleted == Seq(1L, 2L), s"got $deleted") // overwritten k=1 + tombstoned k=2
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("all-null payload rows are ORDINARY rows without the opt-in") {
+    import spark.implicits._
+    val t = s"lake.ups.${uniq("nno")}"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ups")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING, n INT)")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-nno").toString
+    val input = MemoryStream[CdcRow](spark)
+    val q = input.toDS().writeStream
+      .option("checkpointLocation", ckpt)
+      .option("upsert-keys", "k")
+      .toTable(t)
+    try {
+      input.addData(CdcRow(1, "a", Some(1)), CdcRow(1, null, None), CdcRow(2, null, None))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(t).collect().map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    assert(rows == Map(1L -> None, 2L -> None), s"got $rows") // null row WON as data
     spark.sql(s"DROP TABLE $t")
   }
 }
