@@ -473,7 +473,8 @@ object LakeMaintenance {
     *
     * Returns (files referenced, clone snapshot id).
     */
-  def snapshotTable(spark: SparkSession, source: String, dest: String): (Long, Long) = {
+  def snapshotTable(spark: SparkSession, source: String, dest: String,
+      atSnapshotId: Option[Long] = None): (Long, Long) = {
     val (cat, _, src) = resolve(spark, source)
     val dparts = dest.split('.')
     require(dparts.length == 2, s"snapshot: expected namespace.table for dest, got $dest")
@@ -485,7 +486,13 @@ object LakeMaintenance {
     val props = meta0.properties.filterNot { case (k, _) =>
       k.startsWith("tag.") || k.startsWith("branch.") } +
       ("snapshot.source-table" -> source)
-    val destMeta = meta0.snapshot(meta0.currentSnapshotId) match {
+    // clone-at-version: reproduce a historical state (e.g. a tagged
+    // experiment input) as a writable table of its own
+    val atId = atSnapshotId.getOrElse(meta0.currentSnapshotId)
+    if (atSnapshotId.isDefined)
+      require(meta0.snapshot(atId).isDefined,
+        s"snapshot: no snapshot $atId on $source")
+    val destMeta = meta0.snapshot(atId) match {
       case None =>
         TableMeta.empty(destLoc, meta0.schema, meta0.partitionColumns, props)
       case Some(s) =>
@@ -494,12 +501,16 @@ object LakeMaintenance {
             ManifestIO.read(m.location, hadoopConf), hadoopConf, m.kind)
         }
         val listLoc = ManifestIO.writeList(destLoc, s.snapshotId, copied, hadoopConf)
+        // the clone speaks the schema AS OF the cloned snapshot (matters
+        // for clone-at-version across schema evolution)
+        val schemaId = s.schemaIdOpt.getOrElse(meta0.schemaIdNow)
+        val schemaJson = meta0.schemaJsonOf(s).getOrElse(meta0.schemaJson)
         val snap = SnapshotMeta(s.snapshotId, System.currentTimeMillis(), "snapshot",
           Nil, Some(listLoc), copied.map(_.nFiles).sum, copied.map(_.nRows).sum,
-          copied.map(_.nBytes).sum, parentId = 0L, schemaId = meta0.schemaIdNow)
-        TableMeta(meta0.formatVersion, destLoc, meta0.schemaJson,
+          copied.map(_.nBytes).sum, parentId = 0L, schemaId = schemaId)
+        TableMeta(meta0.formatVersion, destLoc, schemaJson,
           meta0.partitionColumns, props, s.snapshotId, Seq(snap),
-          meta0.schemas, meta0.currentSchemaId)
+          meta0.schemas, schemaId)
     }
     val loc = TableMeta.write(destMeta, hadoopConf)
     if (!cat.pointerStore.register(dparts(0), dparts(1), loc))

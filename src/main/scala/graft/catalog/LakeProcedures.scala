@@ -178,12 +178,14 @@ object LakeProcedures {
           row(b, a)
         }))
       case "snapshot" => Some(proc("snapshot",
-        Seq(in("source", StringType), in("dest", StringType)),
+        Seq(in("source", StringType), in("dest", StringType),
+          inDef("snapshot_id", LongType, "-1")), // -1 = current head
         StructType(Seq(StructField("files_referenced", LongType),
           StructField("snapshot_id", LongType))),
         { (spark, args) =>
+          val at = args.getLong(2)
           val (n, sid) = LakeMaintenance.snapshotTable(spark, full(args.getString(0)),
-            args.getString(1))
+            args.getString(1), if (at < 0) None else Some(at))
           row(n, sid)
         }))
       case "add_files" => Some(proc("add_files",

@@ -568,4 +568,24 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(inc.select("v").distinct().collect().map(_.getString(0)).toSeq == Seq("app"))
     spark.sql("DROP TABLE lake.maint.rdt")
   }
+
+  test("snapshot clone at an older version reproduces the historical state, writable") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.maint")
+    spark.sql("DROP TABLE IF EXISTS lake.maint.scv")
+    spark.sql("DROP TABLE IF EXISTS lake.maint.scv2")
+    spark.sql("CREATE TABLE lake.maint.scv AS SELECT id AS k FROM range(0, 10)") // snap 1
+    spark.sql("INSERT INTO lake.maint.scv SELECT id FROM range(10, 30)")          // snap 2
+    spark.sql("INSERT INTO lake.maint.scv SELECT id FROM range(30, 60)")          // snap 3
+    spark.sql("CALL lake.system.snapshot('maint.scv', 'maint.scv2', 2)")
+    assert(spark.table("lake.maint.scv2").count() == 30) // snap-2 state, not 60
+    // the clone is a full writable table from that point
+    spark.sql("INSERT INTO lake.maint.scv2 VALUES (1000)")
+    assert(spark.table("lake.maint.scv2").count() == 31)
+    assert(spark.table("lake.maint.scv").count() == 60)
+    val e = intercept[Exception](
+      spark.sql("CALL lake.system.snapshot('maint.scv', 'maint.scv3', 99)"))
+    assert(e.getMessage.contains("no snapshot 99"), e.getMessage)
+    spark.sql("DROP TABLE lake.maint.scv")
+    spark.sql("DROP TABLE lake.maint.scv2")
+  }
 }
