@@ -1064,7 +1064,7 @@ object LakeMaintenance {
       // whitelisted here, explicitly skipped in the diff loop (its new eq
       // files would otherwise read as fresh deletes).
       if (!Set("append", "stream-append", "create", "stage-append", "publish", "delta",
-        "upsert", "rewrite-manifests", "rewrite-deletes")(s.operation))
+        "upsert", "rewrite-manifests", "rewrite-deletes", "add_files")(s.operation))
         throw new IllegalArgumentException(
           s"changelog over $table: snapshot ${s.snapshotId} is '${s.operation}' — " +
             "row-level changes of rewrite commits are not expressible; " +

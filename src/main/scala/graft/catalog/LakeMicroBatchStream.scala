@@ -208,7 +208,7 @@ final class LakeMicroBatchStream(
   // "rewrite-deletes" bin-packs equality-delete FILES without changing any
   // data file or live row — its data-file delta is empty by construction
   private val appendOps = Set("append", "stream-append", "branch-append", "create",
-    "stage-append", "publish", "rewrite-manifests", "rewrite-deletes") ++
+    "stage-append", "publish", "rewrite-manifests", "rewrite-deletes", "add_files") ++
     (if (upsertAsAppend) Set("upsert") else Set.empty)
 
   /** The snapshots in `(startId, endId]` along `endId`'s parent chain,

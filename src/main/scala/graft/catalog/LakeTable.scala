@@ -99,7 +99,7 @@ final class LakeTable(
     // append-family (they change no existing main files), matching the
     // streaming source's acceptance set.
     val appendOps = Set("append", "stream-append", "branch-append", "create",
-      "stage-append", "publish", "rewrite-manifests", "rewrite-deletes")
+      "stage-append", "publish", "rewrite-manifests", "rewrite-deletes", "add_files")
     val chainOps: Seq[SnapshotMeta] = {
       var acc = List.empty[SnapshotMeta]
       var curId = endId

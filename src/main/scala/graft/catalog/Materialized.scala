@@ -102,7 +102,7 @@ object Materialized {
     // chain; id-order fallback for legacy docs) — same walk the
     // incremental readers use
     val appendOps = Set("append", "stream-append", "branch-append", "create",
-      "stage-append", "publish", "rewrite-manifests", "rewrite-deletes")
+      "stage-append", "publish", "rewrite-manifests", "rewrite-deletes", "add_files")
     val chainOps: Seq[String] = {
       var acc = List.empty[String]
       var curId = cur

@@ -588,4 +588,38 @@ class MaintenanceSpec extends AnyFunSuite {
     spark.sql("DROP TABLE lake.maint.scv")
     spark.sql("DROP TABLE lake.maint.scv2")
   }
+
+  test("add_files commits are append-family: changelog, incremental reads and MV refresh cross them") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.maint")
+    spark.sql("DROP TABLE IF EXISTS lake.maint.afc")
+    spark.sql("DROP TABLE IF EXISTS lake.maint.afc_mv")
+    spark.sql("CREATE TABLE lake.maint.afc (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO lake.maint.afc SELECT id, 'a' FROM range(0, 10)")       // snap 1
+    val ext = java.nio.file.Files.createTempDirectory("graft_afc").toString
+    spark.sql("SELECT id AS k, 'x' AS v FROM range(100, 106)").coalesce(1)
+      .write.mode("overwrite").parquet(ext)
+    spark.sql(s"CALL lake.system.add_files('maint.afc', '$ext')")                  // snap 2
+    spark.sql("INSERT INTO lake.maint.afc SELECT id, 'b' FROM range(200, 206)")    // snap 3
+
+    // changelog treats the import as plain inserts
+    val log = LakeMaintenance.changelog(spark, "lake.maint.afc", 0L, 3L)
+    assert(log.where("_change_type = 'insert'").count() == 22)
+    assert(log.where("_commit_snapshot_id = 2").count() == 6)
+    assert(log.where("_change_type = 'delete'").count() == 0)
+
+    // incremental batch read across the import
+    val inc = spark.read.option("start-snapshot-id", "1")
+      .option("end-snapshot-id", "3").table("lake.maint.afc")
+    assert(inc.count() == 12)
+
+    // MV refresh range containing the import keeps the append fast path
+    graft.catalog.Materialized.createAggregate(spark, "lake.maint.afc_mv",
+      "lake.maint.afc", Seq("v"), Nil)
+    graft.catalog.Materialized.refresh(spark, "lake.maint.afc_mv")
+    val mv = spark.table("lake.maint.afc_mv").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mv == Map("a" -> 10L, "x" -> 6L, "b" -> 6L), s"got $mv")
+    spark.sql("DROP TABLE lake.maint.afc_mv")
+    spark.sql("DROP TABLE lake.maint.afc")
+  }
 }
