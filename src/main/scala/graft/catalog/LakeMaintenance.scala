@@ -1064,7 +1064,8 @@ object LakeMaintenance {
       // whitelisted here, explicitly skipped in the diff loop (its new eq
       // files would otherwise read as fresh deletes).
       if (!Set("append", "stream-append", "create", "stage-append", "publish", "delta",
-        "upsert", "rewrite-manifests", "rewrite-deletes", "add_files")(s.operation))
+        "upsert", "rewrite-manifests", "rewrite-deletes", "add_files",
+        "snapshot")(s.operation))
         throw new IllegalArgumentException(
           s"changelog over $table: snapshot ${s.snapshotId} is '${s.operation}' — " +
             "row-level changes of rewrite commits are not expressible; " +
@@ -1073,6 +1074,16 @@ object LakeMaintenance {
     // rewrite-deletes snapshots change zero rows — skip them entirely (the
     // next snapshot diffs against them via parentOf, data files unchanged)
     val parts = lineage.filterNot(_.operation == "rewrite-deletes").flatMap { s =>
+      if (s.operation == "snapshot") {
+        // a zero-copy clone's first snapshot collapses the source's history:
+        // honestly, it introduces exactly its LIVE rows (raw file contents
+        // would overcount versions the carried eq-deletes had superseded)
+        Seq(readLive(spark, meta, meta.filesOf(s), meta.deleteFilesOf(s),
+            meta.eqDeleteFilesOf(s), hadoopConf)
+          .toDF(logicalNames: _*)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_snapshot_id", lit(s.snapshotId)))
+      } else {
       val prevId = parentOf(s)
       val prevPaths = filesAt(prevId).map(_.path).toSet
       val added = filesAt(s.snapshotId).filterNot(f => prevPaths(f.path))
@@ -1117,6 +1128,7 @@ object LakeMaintenance {
             .withColumn("_commit_snapshot_id", lit(s.snapshotId)))
         }
       inserts.toSeq ++ deletes.toSeq ++ eqDeletes.toSeq
+      }
     }
     parts.reduceOption(_ unionAll _).getOrElse {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -622,4 +622,44 @@ class MaintenanceSpec extends AnyFunSuite {
     spark.sql("DROP TABLE lake.maint.afc_mv")
     spark.sql("DROP TABLE lake.maint.afc")
   }
+
+  test("changelog over a clone: the snapshot commit introduces exactly the LIVE rows") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.maint")
+    spark.sql("DROP TABLE IF EXISTS lake.maint.ccl")
+    spark.sql("DROP TABLE IF EXISTS lake.maint.ccl2")
+    spark.sql("DROP TABLE IF EXISTS lake.maint.ccl_mv")
+    spark.sql("CREATE TABLE lake.maint.ccl AS SELECT id AS k, 'base' AS v FROM range(0, 40)")
+    spark.sql("SELECT id AS k, 'e1' AS v FROM range(0, 20)").createOrReplaceTempView("ccl_s1")
+    spark.sql("CALL lake.system.upsert('maint.ccl', 'ccl_s1', 'k')")
+    spark.sql("CALL lake.system.snapshot('maint.ccl', 'maint.ccl2')")
+    spark.sql("INSERT INTO lake.maint.ccl2 SELECT id, 'post' FROM range(100, 105)")
+
+    val head = tableMeta("maint", "ccl2").currentSnapshotId
+    val log = LakeMaintenance.changelog(spark, "lake.maint.ccl2", 0L, head)
+    // clone commit = 40 LIVE rows (superseded base versions of keys 0..19
+    // must NOT appear), then the post-clone append
+    val bySnap = log.groupBy("_commit_snapshot_id", "_change_type").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val cloneSnap = tableMeta("maint", "ccl").currentSnapshotId // clone kept source's id
+    assert(bySnap((cloneSnap, "insert")) == 40L, s"got $bySnap")
+    assert(bySnap((head, "insert")) == 5L)
+    assert(!bySnap.keys.exists(_._2 == "delete"))
+    assert(log.where("v = 'base' AND k < 20").count() == 0,
+      "superseded versions must not leak into the clone's changelog")
+    // table_changes TVF composes over the clone too
+    assert(spark.sql(
+      s"SELECT count(*) FROM table_changes('lake.maint.ccl2', 0)").collect()
+      .head.getLong(0) == 45L)
+
+    // an MV whose source is a clone refreshes through the snapshot commit
+    graft.catalog.Materialized.createAggregate(spark, "lake.maint.ccl_mv",
+      "lake.maint.ccl2", Seq("v"), Nil)
+    graft.catalog.Materialized.refresh(spark, "lake.maint.ccl_mv")
+    val mv = spark.table("lake.maint.ccl_mv").where("cnt > 0").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mv == Map("base" -> 20L, "e1" -> 20L, "post" -> 5L), s"got $mv")
+    spark.sql("DROP TABLE lake.maint.ccl_mv")
+    spark.sql("DROP TABLE lake.maint.ccl2")
+    spark.sql("DROP TABLE lake.maint.ccl")
+  }
 }
