@@ -662,4 +662,43 @@ class MaintenanceSpec extends AnyFunSuite {
     spark.sql("DROP TABLE lake.maint.ccl2")
     spark.sql("DROP TABLE lake.maint.ccl")
   }
+
+  test("tailing a clone: a stream started at the clone's snapshot follows post-clone appends only") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.maint")
+    spark.sql("DROP TABLE IF EXISTS lake.maint.stc")
+    spark.sql("DROP TABLE IF EXISTS lake.maint.stc2")
+    spark.sql("CREATE TABLE lake.maint.stc AS SELECT id AS k FROM range(0, 30)")
+    spark.sql("SELECT id AS k FROM range(0, 10)").createOrReplaceTempView("stc_s1")
+    // history the clone collapses (upsert ⇒ raw files ≠ live rows)
+    spark.sql("CALL lake.system.upsert('maint.stc', 'stc_s1', 'k')")
+    val cloneSnap = spark.sql("CALL lake.system.snapshot('maint.stc', 'maint.stc2')")
+      .collect().head.getLong(1)
+    // a from-scratch stream over the clone fails fast (collapsed history
+    // is not file-expressible)...
+    val ckptBad = java.nio.file.Files.createTempDirectory("graft-stc-bad").toString
+    val bad = spark.readStream.table("lake.maint.stc2").writeStream
+      .format("memory").queryName("stc_bad")
+      .option("checkpointLocation", ckptBad).start()
+    val e = intercept[Exception] { bad.processAllAvailable() }
+    bad.stop()
+    assert(e.getMessage.contains("snapshot") || e.getMessage.contains("append"),
+      s"expected fail-fast, got: ${e.getMessage}")
+    // ...the supported pattern: start AT the clone snapshot and tail
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stc").toString
+    val q = spark.readStream
+      .option("starting-snapshot-id", cloneSnap.toString)
+      .table("lake.maint.stc2")
+      .writeStream.format("memory").queryName("stc_tail")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("stc_tail").count() == 0) // nothing after the clone yet
+      spark.sql("INSERT INTO lake.maint.stc2 SELECT id FROM range(100, 108)")
+      q.processAllAvailable()
+      val got = spark.table("stc_tail").collect().map(_.getLong(0)).sorted
+      assert(got.sameElements(100L until 108L), s"got ${got.toSeq}")
+    } finally q.stop()
+    spark.sql("DROP TABLE lake.maint.stc2")
+    spark.sql("DROP TABLE lake.maint.stc")
+  }
 }
