@@ -701,4 +701,23 @@ class MaintenanceSpec extends AnyFunSuite {
     spark.sql("DROP TABLE lake.maint.stc2")
     spark.sql("DROP TABLE lake.maint.stc")
   }
+
+  test("SQL introspection: DESCRIBE, SHOW TBLPROPERTIES, SHOW CREATE TABLE on lake tables") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.maint")
+    spark.sql("DROP TABLE IF EXISTS lake.maint.intro")
+    spark.sql("CREATE TABLE lake.maint.intro (k BIGINT, v STRING) PARTITIONED BY (k) " +
+      "TBLPROPERTIES ('write.sort-order'='v')")
+    val desc = spark.sql("DESCRIBE TABLE lake.maint.intro").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(desc.get("k").contains("bigint") && desc.get("v").contains("string"), s"got $desc")
+    val ext = spark.sql("DESCRIBE TABLE EXTENDED lake.maint.intro").collect()
+      .map(_.getString(0))
+    assert(ext.contains("# Partition Information"), s"got ${ext.toSeq}")
+    val props = spark.sql("SHOW TBLPROPERTIES lake.maint.intro").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("write.sort-order").contains("v"), s"got $props")
+    val create = spark.sql("SHOW CREATE TABLE lake.maint.intro").collect().head.getString(0)
+    assert(create.contains("CREATE TABLE") && create.contains("PARTITIONED BY"), create)
+    spark.sql("DROP TABLE lake.maint.intro")
+  }
 }
