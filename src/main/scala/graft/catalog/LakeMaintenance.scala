@@ -429,18 +429,44 @@ object LakeMaintenance {
     val deleteDir = s"${meta.location}/deletes"
     val sconf = new SerializableConfiguration(hadoopConf)
     val keyJson = keySchema.json
-    val merged = seqs.flatMap { s =>
-      val rows = latest.where(col("__seq") === s)
-        .select(keyCols.map(col): _*).coalesce(1)
-      rows.queryExecution.toRdd.mapPartitions { it =>
+    // ONE distributed job for every sequence group: hash-partition the
+    // surviving keys by __seq, sort within partitions, and ROLL to a new
+    // file whenever __seq changes. A driver loop of one job per epoch
+    // would be O(epochs) job launches — exactly wrong for the
+    // long-running-stream table this maintenance targets. __seq rides as
+    // a LEADING extra column; LakeDataWriter's aligner projects it away.
+    val numParts = math.max(1, math.min(seqs.size, 200))
+    val projected = latest.select(col("__seq") +: keyCols.map(col): _*)
+    val msgs = projected
+      .repartition(numParts, col("__seq"))
+      .sortWithinPartitions(col("__seq"))
+      .queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
         val ks = DataType.fromJson(keyJson).asInstanceOf[StructType]
-        val w = new LakeDataWriter(ks,
-          s"$deleteDir/eqc-${java.util.UUID.randomUUID()}", Nil, sconf.value)
-        it.foreach(w.write)
-        Iterator.single(w.commit())
-      }.collect().toSeq
-        .collect { case LakeCommitMessage(fs) => fs }.flatten
-        .map(_.copy(addedAt = s)) // PRESERVE the original sequence number
+        val out = Seq.newBuilder[(Long, Seq[DataFileMeta])]
+        var cur = Long.MinValue
+        var w: LakeDataWriter = null
+        def flush(): Unit = if (w != null) {
+          w.commit() match {
+            case LakeCommitMessage(fs) => out += ((cur, fs))
+            case _ => ()
+          }
+          w = null
+        }
+        rows.foreach { r =>
+          val s = r.getLong(0)
+          if (s != cur) {
+            flush()
+            cur = s
+            w = new LakeDataWriter(ks,
+              s"$deleteDir/eqc-$pid-${java.util.UUID.randomUUID()}", Nil, sconf.value)
+          }
+          w.write(r)
+        }
+        flush()
+        out.result().iterator
+      }.collect()
+    val merged = msgs.toSeq.flatMap { case (s, fs) =>
+      fs.map(_.copy(addedAt = s)) // PRESERVE the original sequence number
     }
     // no-op detection: nothing died and nothing merged — drop the
     // just-written copies instead of committing a pointless snapshot
