@@ -307,6 +307,12 @@ object LakeMaintenance {
     * pre-existing equality deletes do not apply to them — imported rows
     * are new as of the commit, exactly like an INSERT of the same data.
     *
+    * Limitation: files must carry the table's PHYSICAL column names. After
+    * a RENAME COLUMN, external files written under the new (logical) names
+    * are rejected by the schema gate rather than silently read as nulls —
+    * per-file name mapping (Iceberg's schema.name-mapping.default) is the
+    * eventual fix; rejecting loudly is the safe behavior today.
+    *
     * Returns (files added, committing snapshot id).
     */
   def addFiles(spark: SparkSession, table: String, source: String): (Int, Long) = {
