@@ -341,6 +341,55 @@ object CatalogQueries {
     },
 
     QueryDef.df(
+      "q90_table_changes",
+      // Oracle = the change SET derived from scratch: CTAS (%5 keys), a
+      // merge-on-read DELETE (%10 keys → positional-tombstone deletes),
+      // then an upsert epoch (%15 keys → eq-delete of LIVE priors +
+      // re-inserts; %30 keys were already deleted, so they re-insert with
+      // NO second delete). The final read is the table_changes SQL TVF
+      // aggregated by change type — a hash match drives the whole CDC
+      // changelog (positional + equality diffs, TVF splice) through the
+      // DuckDB gate.
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS v
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |changes AS (
+        |  SELECT 'insert' AS ct, k, v FROM base
+        |  UNION ALL
+        |  SELECT 'insert', k, v * CAST(2 AS DOUBLE) FROM base WHERE k % 15 = 0
+        |  UNION ALL
+        |  SELECT 'delete', k, v FROM base WHERE k % 10 = 0
+        |  UNION ALL
+        |  SELECT 'delete', k, v FROM base WHERE k % 15 = 0 AND k % 10 <> 0
+        |)
+        |SELECT ct AS _change_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(k) AS BIGINT) AS ksum,
+        |  CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM changes GROUP BY ct ORDER BY ct""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS lake.verify")
+      s.sql("DROP TABLE IF EXISTS lake.verify.tc_src")
+      s.sql(
+        """CREATE TABLE lake.verify.tc_src
+          |TBLPROPERTIES ('write.delete.mode'='merge-on-read')
+          |AS SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS v
+          |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin)
+      s.sql("DELETE FROM lake.verify.tc_src WHERE k % 10 = 0")
+      s.sql(
+        """SELECT o_orderkey AS k,
+          |  CAST(o_totalprice AS DOUBLE) * CAST(2 AS DOUBLE) AS v
+          |FROM orders WHERE o_orderkey % 15 = 0""".stripMargin)
+        .createOrReplaceTempView("tc_up1")
+      s.sql("CALL lake.system.upsert('verify.tc_src', 'tc_up1', 'k')")
+      s.sql(
+        """SELECT _change_type, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(k) AS BIGINT) AS ksum,
+          |  CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS total
+          |FROM table_changes('lake.verify.tc_src', 0)
+          |GROUP BY _change_type ORDER BY _change_type""".stripMargin)
+    },
+
+    QueryDef.df(
       "q89_mv_retraction",
       // Oracle = the from-scratch aggregate over the source's FINAL state.
       // The MV refreshes once on the append-only base, then the source

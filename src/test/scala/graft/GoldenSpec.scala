@@ -101,7 +101,8 @@ class GoldenSpec extends AnyFunSuite {
     "q86_semdedup" -> 49L,
     "q87_pivot" -> 3L,
     "q88_unpivot" -> 6L,
-    "q89_mv_retraction" -> 6L)
+    "q89_mv_retraction" -> 6L,
+    "q90_table_changes" -> 2L)
 
   test("every registered query has a golden count (add one when adding a query)") {
     assert(SparkEntry.queries.keySet == golden.keySet,
