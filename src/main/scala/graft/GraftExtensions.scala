@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType, StringType}
 
-import graft.functions.{BpeEncode, CosineSim, L2Sq, DecodeAudio, DecodeImage, ExplodeHammingPairs, ExplodeNgrams, ExplodePairs, MinHashSignature, PqAdc, PqEncode, SampleFrames, SigMatchCount, SimHash, SortedIntersectSize, SrpBands, WinnowFingerprints, WordNgrams}
+import graft.functions.{BloomBuildAgg, BloomProbe, BpeEncode, CosineSim, L2Sq, DecodeAudio, DecodeImage, ExplodeHammingPairs, ExplodeNgrams, ExplodePairs, MinHashSignature, PqAdc, PqEncode, SampleFrames, SigMatchCount, SimHash, SortedIntersectSize, SrpBands, WinnowFingerprints, WordNgrams}
 
 /** Session extensions registering the engine's custom codegen expressions
   * as SQL functions — the Spark-idiomatic extension point
@@ -143,6 +143,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           BpeEncode(c, ms.toObjectArray(StringType).map(_.toString))
         case other => throw new IllegalArgumentException(
           s"bpe_encode(text, merges): bad args $other")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("bloom_build"),
+      info("bloom_build",
+        "bloom_build(hash[, expectedItems[, fpp]]) - aggregate 64-bit hashes into a serialized Bloom sketch (binary)"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => BloomBuildAgg(c, 1 << 20, 0.01)
+        case Seq(c, Literal(n: Int, IntegerType)) => BloomBuildAgg(c, n.toLong, 0.01)
+        case Seq(c, Literal(n: Long, LongType)) => BloomBuildAgg(c, n, 0.01)
+        case Seq(c, Literal(n: Int, IntegerType), Literal(f: Double, DoubleType)) =>
+          BloomBuildAgg(c, n.toLong, f)
+        case Seq(c, Literal(n: Long, LongType), Literal(f: Double, DoubleType)) =>
+          BloomBuildAgg(c, n, f)
+        case other => throw new IllegalArgumentException(
+          s"bloom_build(hash[, expectedItems[, fpp]]): bad args $other")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("bloom_probe"),
+      info("bloom_probe",
+        "bloom_probe(sketch, hash) - membership probe of a 64-bit hash against a constant Bloom sketch"),
+      (children: Seq[Expression]) => children match {
+        case Seq(b, h) => BloomProbe(b, h)
+        case other => throw new IllegalArgumentException(
+          s"bloom_probe(sketch, hash): bad args $other")
       }))
 
     ext.injectFunction((

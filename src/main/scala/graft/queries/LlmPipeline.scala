@@ -1283,6 +1283,49 @@ object LlmPipeline {
       // the two engines (1.0 vs 1.0+2e-16); every comparison is in-engine
       // consistent, so membership matches — only the raw value wouldn't
       semDedup(t(s, dir, "embeddings"), 16, 0.35).select("vec_id", "cid")
+    },
+
+    // ───── q91: decontamination via Bloom-sketch runtime filter ──────────
+    // q76's scale-path twin for when the benchmark side is too big to
+    // broadcast as ROWS (a billion 13-gram entries) but fits as a SKETCH
+    // 100x smaller: build `bloom_build` over the bench grams (partial
+    // sketches per task, one fixed-size merge), then kill non-bench corpus
+    // grams with the codegen `bloom_probe` BEFORE the exact join's
+    // shuffle — only the ~contaminated sliver of the 100 TB side ever
+    // shuffles. The join here is deliberately a SHUFFLED hash join (no
+    // broadcast) to model that shape; false positives just ride the
+    // shuffle and die in the exact join, so the result is bit-identical
+    // to the sketch-free plan (fully oracled). Sideways information
+    // passing made explicit — same pattern as Spark's runtime row-level
+    // filters and parquet bloom pushdown (BloomFilterSpec's write side).
+    QueryDef.df(
+      "q91_bloom_decontaminate",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+        |  FROM toks, unnest(range(1, len(w) - 1)) AS t(i)),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 8)
+        |SELECT c.doc_id, CAST(count(DISTINCT c.g) AS BIGINT) AS n_shared
+        |FROM grams c JOIN bench USING (g)
+        |WHERE c.doc_id >= 8
+        |GROUP BY c.doc_id HAVING count(DISTINCT c.g) >= 2
+        |ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      def grams(df: DataFrame) = df
+        .select(col("doc_id"), expr("explode_ngrams(split(lower(text), ' '), 3)").as("g"))
+      val bench = grams(docs.filter(col("doc_id") < 8)).select("g").distinct()
+      // ONE fixed-size sketch row to the driver (the same driver-side cost
+      // as Spark's own runtime-filter scalar subquery); production sizes
+      // expectedItems to the bench gram count
+      val sketch = bench.agg(expr("bloom_build(xxhash64(g), 65536)"))
+        .head().getAs[Array[Byte]](0)
+      grams(docs.filter(col("doc_id") >= 8))
+        .filter(call_function("bloom_probe", lit(sketch), xxhash64(col("g"))))
+        .join(bench.hint("shuffle_hash"), "g")
+        .groupBy("doc_id").agg(countDistinct(col("g")).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy("doc_id")
     })
 
   /** SemDeDup core: assign each vector to its nearest of `k` md5-seeded

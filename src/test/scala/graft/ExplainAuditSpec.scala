@@ -170,4 +170,15 @@ class ExplainAuditSpec extends AnyFunSuite {
     assert(p.contains("Expand"), s"unpivot should compile to Expand:\n$p")
     assert(!p.contains("Join"), s"unpivot must not join:\n$p")
   }
+
+  test("q91 bloom probe filters the corpus side BELOW a non-broadcast exact join") {
+    val p = plan("q91_bloom_decontaminate")
+    assert(p.contains("bloom_probe"), s"sketch probe missing from the plan:\n$p")
+    assert(p.contains("ShuffledHashJoin"), s"exact join must model the non-broadcast shape:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), s"nothing should broadcast as rows:\n$p")
+    // tree prints top-down: the probe must sit in the join's SUBTREE
+    // (pre-shuffle), not above the join
+    assert(p.indexOf("ShuffledHashJoin") < p.indexOf("bloom_probe"),
+      s"probe must run before the join, on the corpus scan side:\n$p")
+  }
 }
