@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType, StringType}
 
-import graft.functions.{BloomBuildAgg, BloomProbe, BpeEncode, CosineSim, L2Sq, DecodeAudio, DecodeImage, ExplodeHammingPairs, ExplodeNgrams, ExplodePairs, MinHashSignature, PqAdc, PqEncode, SampleFrames, SigMatchCount, SimHash, SortedIntersectSize, SrpBands, WinnowFingerprints, WordNgrams}
+import graft.functions.{BloomBuildAgg, BloomProbe, BpeEncode, CosineSim, L2Sq, DecodeAudio, DecodeImage, ExplodeHammingPairs, ExplodeNgrams, ExplodePairs, MinHashSignature, PHash64, PqAdc, PqEncode, SampleFrames, SigMatchCount, SimHash, SortedIntersectSize, SrpBands, WinnowFingerprints, WordNgrams}
 
 /** Session extensions registering the engine's custom codegen expressions
   * as SQL functions — the Spark-idiomatic extension point
@@ -159,6 +159,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           BloomBuildAgg(c, n, f)
         case other => throw new IllegalArgumentException(
           s"bloom_build(hash[, expectedItems[, fpp]]): bad args $other")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("phash64"),
+      info("phash64",
+        "phash64(payload) - 64-bit DCT perceptual hash of an image payload (NULL for non-images)"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => PHash64(c)
+        case other => throw new IllegalArgumentException(
+          s"phash64(payload): bad args $other")
       }))
 
     ext.injectFunction((

@@ -40,6 +40,74 @@ object Multimodal {
   def decodeAudio(payload: Column): Column =
     call_function("decode_audio", payload)
 
+  /** 64-bit DCT perceptual hash (bigint) or NULL for non-images. */
+  def phash64(payload: Column): Column =
+    call_function("phash64", payload)
+
+  /** Deterministic PNG fixture (JDK-encoded): a smooth seeded sinusoid
+    * pattern — low-frequency content, so `phash64` is meaningful on it.
+    * `brightness` adds a constant luma offset (lands in the DC term pHash
+    * drops); `noisePixels` inverts that many LCG-chosen pixels (high
+    * frequency, outside pHash's kept DCT block) — together the canonical
+    * "same photo, re-processed" near-duplicate.
+    */
+  def syntheticPng(seed: Int, w: Int = 64, h: Int = 64,
+      brightness: Int = 0, noisePixels: Int = 0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // dense spectrum (5 components, decaying amplitudes, seed-unique
+    // frequency pairs) — keeps the 8×8 DCT block's coefficients well away
+    // from the median so the hash is stable under small edits, like a
+    // photo and unlike a flat synthetic gradient
+    // amplitudes sum to 84; with the ±20 texture and 0..20 gradient the
+    // luma never clips, so a small brightness offset stays a pure DC
+    // shift (zero AC perturbation)
+    val amp = Array(36.0, 22.0, 13.0, 8.0, 5.0)
+    val kfx = Array.tabulate(5)(k => 1 + (seed + k * 5) % 4 + k)
+    val kfy = Array.tabulate(5)(k => 1 + (seed / 4 + k * 3) % 3 + k)
+    val kph = Array.tabulate(5)(k => 1.3 * seed + 2.1 * k + 0.37 * seed * k)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var s = 0.0
+        var k = 0
+        while (k < 5) {
+          s += amp(k) * StrictMath.sin(2 * StrictMath.PI *
+            (kfx(k) * x.toDouble / w + kfy(k) * y.toDouble / h) + kph(k))
+          k += 1
+        }
+        // seeded 4×4-block value texture (±20): fills the whole spectrum
+        // with real energy so no DCT coefficient idles near the median —
+        // the property that makes photo pHashes stable and synthetic
+        // flat gradients jittery
+        val th = (seed * 73856093) ^ ((x >> 2) * 19349663) ^ ((y >> 2) * 83492791)
+        val tex = (((th * 2654435761L) >>> 24) % 41L - 20L).toInt
+        val l0 = 120 + s.toInt + tex + (20 * x) / w + brightness
+        val l = math.max(0, math.min(255, l0))
+        img.setRGB(x, y, (l << 16) | (l << 8) | l)
+        x += 1
+      }
+      y += 1
+    }
+    // sensor/compression-style jitter: ±24 luma on LCG-chosen pixels —
+    // the high-frequency, low-amplitude perturbation a re-encode leaves
+    var lcg = seed * 2654435761L + 12345L
+    var i = 0
+    while (i < noisePixels) {
+      lcg = lcg * 6364136223846793005L + 1442695040888963407L
+      val px = ((lcg >>> 33) % w).toInt
+      val py = ((lcg >>> 17) % h).toInt
+      val delta = (((lcg >>> 45) % 49L) - 24L).toInt
+      val l = math.max(0, math.min(255, (img.getRGB(px, py) & 0xff) + delta))
+      img.setRGB(px, py, (l << 16) | (l << 8) | l)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Deterministic 16-bit PCM WAV fixture (sine wave), encoded by the
     * JDK's own writer — the planted REAL-audio payload for pipelines over
     * corpora that carry no audio column (clearly a fixture: the decode
@@ -149,9 +217,11 @@ object DecodeImage {
 
   /** Decode via the JDK's ImageIO readers; null for non-images. The gray
     * grid is a plain box filter over getRGB pixels — no Graphics2D
-    * interpolation, so values are identical on every JVM.
+    * interpolation, so values are identical on every JVM. Shared by
+    * `decode_image` (surfaces the grid) and `phash64` (DCTs it).
     */
-  def compute(payload: Array[Byte], grid: Int): org.apache.spark.sql.catalyst.InternalRow = {
+  private[functions] def decodeGray(
+      payload: Array[Byte], grid: Int): (Int, Int, String, Array[Double]) = {
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
@@ -192,12 +262,19 @@ object DecodeImage {
           }
           gy += 1
         }
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
-          w, h, org.apache.spark.unsafe.types.UTF8String.fromString(format),
-          new GenericArrayData(gray)))
+        (w, h, format, gray)
       } finally reader.dispose()
     } catch { case scala.util.control.NonFatal(_) => null }
   }
+
+  def compute(payload: Array[Byte], grid: Int): org.apache.spark.sql.catalyst.InternalRow =
+    decodeGray(payload, grid) match {
+      case null => null
+      case (w, h, format, gray) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+          w, h, org.apache.spark.unsafe.types.UTF8String.fromString(format),
+          new GenericArrayData(gray)))
+    }
 }
 
 /** `decode_audio(payload) -> struct<sample_rate int, channels int,

@@ -1326,6 +1326,54 @@ object LlmPipeline {
         .groupBy("doc_id").agg(countDistinct(col("g")).as("n_shared"))
         .filter(col("n_shared") >= 2)
         .orderBy("doc_id")
+    },
+
+    // ───── q92: image near-dup via DCT perceptual hash ───────────────────
+    // Content-based image dedup — the multimodal twin of q33's simhash
+    // text pass: phash64 over the binary payload (REAL JDK decode + DCT;
+    // NULL for non-images composes over mixed corpora), then 8×8-bit
+    // banded bucketing. The band join is LOSSLESS for the hamming ≤ 7
+    // cut (pigeonhole: 7 bit-errors cannot dirty all 8 bands), unlike
+    // LSH recall curves — at billions of images, widen the hash and the
+    // bands together to keep buckets cold and the guarantee intact. Only
+    // (band, bandValue, id, hash) shuffles; payloads never move after the
+    // hash projection. Planted fixtures (dense-spectrum PNGs + their
+    // brightness/noise re-encodes) prove the pipeline end-to-end; corpus
+    // text payloads ride along and die at the NULL filter. Rows-only at
+    // the driver (DuckDB cannot decode PNG); the exact pair set is pinned
+    // in PerceptualHashSpec.
+    QueryDef.unoracled("q92_image_phash_neardup") { (s, dir) =>
+      import graft.functions.Multimodal
+      val planted = s.createDataFrame(
+        (0 until 12).map(i => (i.toLong, Multimodal.syntheticPng(i))) ++
+        (0 until 6).map(i => (100L + i,
+          Multimodal.syntheticPng(i, brightness = 6, noisePixels = 12))) ++
+        Seq((106L, Multimodal.syntheticPng(6))))
+        .toDF("img_id", "payload")
+      val corpus = t(s, dir, "documents")
+        .select((col("doc_id") + 1000000L).as("img_id"),
+          encode(col("text"), "UTF-8").as("payload"))
+      val hashed = planted.union(corpus)
+        .select(col("img_id"), Multimodal.phash64(col("payload")).as("ph"))
+        .filter(col("ph").isNotNull)
+      val bandStructs = (0 until 8).map(c =>
+        struct(lit(c).as("band"),
+          shiftrightunsigned(col("ph"), c * 8).bitwiseAND(lit(0xFFL)).as("bv")))
+      val pairs = hashed
+        .select(col("img_id"), col("ph"), explode(array(bandStructs: _*)).as("e"))
+        .select(col("img_id"), col("ph"), col("e.band"), col("e.bv"))
+        .groupBy("band", "bv")
+        .agg(sort_array(collect_list(struct(col("img_id"), col("ph")))).as("xs"))
+        .filter(size(col("xs")) > 1)
+        .select(explode(flatten(transform(col("xs"), (a, i) =>
+          filter(
+            transform(slice(col("xs"), i + 2, size(col("xs"))), b =>
+              struct(a.getField("img_id").as("id_a"), b.getField("img_id").as("id_b"),
+                bit_count(a.getField("ph").bitwiseXOR(b.getField("ph"))).as("hamming"))),
+            p => p.getField("hamming") <= 7)))).as("p"))
+        .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
+        .distinct()
+      pairs.orderBy("id_a", "id_b")
     })
 
   /** SemDeDup core: assign each vector to its nearest of `k` md5-seeded

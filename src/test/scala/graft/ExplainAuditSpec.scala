@@ -171,6 +171,16 @@ class ExplainAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"unpivot must not join:\n$p")
   }
 
+  test("q92 image near-dup is banded hash-agg bucketing — no join operator anywhere") {
+    val p = plan("q92_image_phash_neardup")
+    assert(p.contains("phash64"), s"perceptual hash missing from the plan:\n$p")
+    assert(p.contains("HashAggregate"), s"band bucketing should be a hash agg:\n$p")
+    // candidate generation must never degenerate to a pairwise join: the
+    // in-bucket expansion happens inside array lambdas (codegen), so the
+    // only data-proportional movement is the (band, bv) shuffle
+    assert(!p.contains("Join"), s"no join of any kind expected:\n$p")
+  }
+
   test("q91 bloom probe filters the corpus side BELOW a non-broadcast exact join") {
     val p = plan("q91_bloom_decontaminate")
     assert(p.contains("bloom_probe"), s"sketch probe missing from the plan:\n$p")
