@@ -26,7 +26,7 @@ object LakeProcedures {
     "create_tag", "remove_tag", "publish", "cherrypick_snapshot",
     "set_partition_spec", "zorder",
     "upsert", "rewrite_manifests", "rewrite_delete_files",
-    "remove_orphan_files", "add_files", "snapshot",
+    "remove_orphan_files", "add_files", "snapshot", "analyze",
     "create_branch", "remove_branch", "fast_forward",
     "create_aggregate", "refresh_aggregate")
 
@@ -168,6 +168,18 @@ object LakeProcedures {
           val (b, a) = LakeMaintenance.rewriteManifests(spark, full(args.getString(0)),
             args.getInt(1))
           row(b, a)
+        }))
+      case "analyze" => Some(proc("analyze",
+        Seq(in("table", StringType), inDef("columns", StringType, "''"),
+          inDef("lg_k", IntegerType, "14")),
+        StructType(Seq(StructField("mode", StringType),
+          StructField("columns_analyzed", IntegerType))),
+        { (spark, args) =>
+          val cols = Option(args.getString(1)).filter(_.nonEmpty)
+            .map(_.split(',').toSeq.map(_.trim)).getOrElse(Nil)
+          val (mode, ndvs) = LakeMaintenance.analyze(spark, full(args.getString(0)),
+            cols, args.getInt(2))
+          row(UTF8String.fromString(mode), ndvs.size)
         }))
       case "rewrite_delete_files" => Some(proc("rewrite_delete_files",
         Seq(in("table", StringType)),

@@ -171,7 +171,22 @@ final class LakeTable(
       l2p = meta.l2pMap,
       deleteFiles = snap.map(meta.deleteFilesOf).getOrElse(Nil),
       eqDeletes = snap.map(meta.eqDeleteFilesOf).getOrElse(Nil),
-      eqKeySchema = meta.upsertKeySchema)
+      eqKeySchema = meta.upsertKeySchema,
+      ndv = ndvStats)
+  }
+
+  /** analyze-maintained per-column NDV estimates (logical names), decoded
+    * once per table handle from the stored HLL sketches — fed to Catalyst
+    * through the scan's columnStats.
+    */
+  private lazy val ndvStats: Map[String, Long] = {
+    val p2l = meta.l2pMap.map(_.swap)
+    val logicalNames = meta.schema.fieldNames.toSet
+    meta.properties.collect {
+      case (k, v) if k.startsWith("stats.ndv.") =>
+        val phys = k.stripPrefix("stats.ndv.")
+        p2l.getOrElse(phys, phys) -> StatsKeys.estimate(v)
+    }.filter { case (n, _) => logicalNames.contains(n) }
   }
 
   /** Per-command write mode: 'copy-on-write' (default — rewrite affected
@@ -464,7 +479,8 @@ final class LakeScanBuilder(
     l2p: Map[String, String] = Map.empty,
     deleteFiles: Seq[DataFileMeta] = Nil,
     eqDeletes: Seq[DataFileMeta] = Nil,
-    eqKeySchema: Option[StructType] = None)
+    eqKeySchema: Option[StructType] = None,
+    ndv: Map[String, Long] = Map.empty)
   extends ScanBuilder with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -512,7 +528,7 @@ final class LakeScanBuilder(
     onFilesSelected(survivors)
     new LakeScan(ident, tableSchema, survivors, exprs, requiredSchema, options,
       runtimeFilterCols, onFilesSelected, microBatch, partitionCols, l2p, deleteFiles,
-      eqDeletes, eqKeySchema)
+      eqDeletes, eqKeySchema, ndv)
   }
 }
 
@@ -538,7 +554,8 @@ final class LakeScan(
     l2p: Map[String, String] = Map.empty,
     deleteFiles: Seq[DataFileMeta] = Nil,
     eqDeletes: Seq[DataFileMeta] = Nil,
-    eqKeySchema: Option[StructType] = None)
+    eqKeySchema: Option[StructType] = None,
+    ndv: Map[String, Long] = Map.empty)
   extends Scan with SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -717,6 +734,32 @@ final class LakeScan(
         java.util.OptionalLong.of(math.max(0L,
           files.map(_.rowCount).sum - covering.map(_.rowCount).sum
             - eqApp.map(_.rowCount).sum))
+      }
+      // Per-column stats for CBO (converted by transformV2Stats into
+      // per-attribute ColumnStat): distinctCount from the analyze-
+      // maintained HLL sketches (table-level estimates), nullCount summed
+      // EXACTLY from the manifests over the SELECTED files — join
+      // reordering and sizing read these once spark.sql.cbo.enabled is on.
+      override def columnStats(): java.util.Map[NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+        val m = new java.util.HashMap[NamedReference, ColumnStatistics]()
+        tableSchema.fields.foreach { f =>
+          val ndvOpt = ndv.get(f.name)
+          val nullsOpt =
+            if (files.nonEmpty && files.forall(_.nulls.contains(f.name)))
+              Some(files.map(_.nulls(f.name)).sum)
+            else None
+          if (ndvOpt.isDefined || nullsOpt.isDefined) {
+            m.put(Expressions.column(f.name), new ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong =
+                ndvOpt.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+              override def nullCount(): java.util.OptionalLong =
+                nullsOpt.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+            })
+          }
+        }
+        m
       }
     }
 

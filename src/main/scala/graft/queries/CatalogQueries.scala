@@ -132,6 +132,41 @@ object CatalogQueries {
     },
 
     QueryDef.df(
+      "q93_table_stats",
+      // Oracle = exact count(DISTINCT) per column from the raw rows. The
+      // engine side answers from its analyze-maintained HLL sketches —
+      // loaded in two halves with an analyze after each, so the second
+      // analyze MUST take the incremental union path — and DataSketches
+      // HLL is exact at these cardinalities (coupon mode, far below the
+      // lgK=14 promotion point), so the sketch answer hash-matches the
+      // from-scratch oracle bit-for-bit.
+      """SELECT 'c_custkey' AS column_name, CAST(count(DISTINCT c_custkey) AS BIGINT) AS ndv FROM customer
+        |UNION ALL
+        |SELECT 'c_mktsegment', CAST(count(DISTINCT c_mktsegment) AS BIGINT) FROM customer
+        |UNION ALL
+        |SELECT 'c_nationkey', CAST(count(DISTINCT c_nationkey) AS BIGINT) FROM customer
+        |ORDER BY column_name""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS lake.verify")
+      s.sql("DROP TABLE IF EXISTS lake.verify.stats_cust")
+      s.sql(
+        """CREATE TABLE lake.verify.stats_cust AS
+          |SELECT c_custkey, c_nationkey, c_mktsegment FROM customer
+          |WHERE c_custkey % 2 = 0""".stripMargin)
+      s.sql("CALL lake.system.analyze(table => 'verify.stats_cust')")
+      s.sql(
+        """INSERT INTO lake.verify.stats_cust
+          |SELECT c_custkey, c_nationkey, c_mktsegment FROM customer
+          |WHERE c_custkey % 2 = 1""".stripMargin)
+      s.sql("CALL lake.system.analyze(table => 'verify.stats_cust')")
+      // report the stored estimates (mode "current": no recompute happens)
+      val (mode, ndvs) = graft.catalog.LakeMaintenance.analyze(s, "lake.verify.stats_cust")
+      require(mode == "current", s"watermark should be at head, got $mode")
+      import s.implicits._
+      ndvs.toDF("column_name", "ndv").orderBy("column_name")
+    },
+
+    QueryDef.df(
       "q64_merge_equality",
       // Oracle = the merged state computed from scratch. Merge-2 keys
       // (%12=0 overwrites, %6=5 inserts) beat merge-1 keys (%6=0

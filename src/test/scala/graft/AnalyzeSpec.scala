@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.LakeMaintenance
+
+/** `CALL lake.system.analyze` — incremental per-column NDV statistics via
+  * mergeable HLL sketches, surfaced to Catalyst as DSv2 columnStats.
+  */
+class AnalyzeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def uniq(p: String) = s"$p${System.nanoTime() % 1000000}"
+
+  private def v2Stats(table: String): org.apache.spark.sql.catalyst.plans.logical.Statistics = {
+    val plan = spark.table(table).queryExecution.optimizedPlan
+    val rel = plan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }.getOrElse(fail(s"no V2 scan relation in:\n$plan"))
+    rel.computeStats()
+  }
+
+  test("full analyze: NDV estimates are exact at small cardinality; nulls ignored") {
+    val t = s"lake.stats.${uniq("t")}"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.stats")
+    spark.sql(s"CREATE TABLE $t (k INT, s STRING, d DOUBLE)")
+    spark.sql(s"INSERT INTO $t SELECT id % 7, concat('s', id % 13), " +
+      s"CASE WHEN id % 11 = 0 THEN NULL ELSE CAST(id % 11 AS DOUBLE) END FROM range(200)")
+    val (mode, ndvs) = LakeMaintenance.analyze(spark, t)
+    assert(mode == "full")
+    assert(ndvs.toMap == Map("k" -> 7L, "s" -> 13L, "d" -> 10L)) // d: 10 non-null values
+  }
+
+  test("incremental analyze unions only the appended delta; watermark advances") {
+    val t = s"lake.stats.${uniq("inc")}"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.stats")
+    spark.sql(s"CREATE TABLE $t (k INT)")
+    spark.sql(s"INSERT INTO $t SELECT id % 10 FROM range(100)")
+    val (m1, n1) = LakeMaintenance.analyze(spark, t)
+    assert(m1 == "full" && n1 == Seq("k" -> 10L))
+    spark.sql(s"INSERT INTO $t SELECT 100 + id % 5 FROM range(50)")
+    val (m2, n2) = LakeMaintenance.analyze(spark, t)
+    assert(m2 == "incremental", "append-only range must take the delta path")
+    assert(n2 == Seq("k" -> 15L), "union of old(10) and new(5) value sets")
+    // watermark current: analyze is a no-op that reports stored estimates
+    val (m3, n3) = LakeMaintenance.analyze(spark, t)
+    assert(m3 == "current" && n3 == Seq("k" -> 15L))
+  }
+
+  test("row-changing history falls back to a full recompute (NDV can shrink)") {
+    val t = s"lake.stats.${uniq("del")}"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.stats")
+    spark.sql(s"CREATE TABLE $t (k INT)")
+    spark.sql(s"INSERT INTO $t SELECT id % 10 FROM range(100)")
+    assert(LakeMaintenance.analyze(spark, t)._2 == Seq("k" -> 10L))
+    spark.sql(s"DELETE FROM $t WHERE k >= 5")
+    val (mode, ndvs) = LakeMaintenance.analyze(spark, t)
+    assert(mode == "full", "a delete in the range cannot be folded into a sketch")
+    assert(ndvs == Seq("k" -> 5L))
+  }
+
+  test("scan reports distinctCount and exact manifest nullCount to Catalyst") {
+    val t = s"lake.stats.${uniq("cbo")}"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.stats")
+    spark.sql(s"CREATE TABLE $t (k INT, s STRING)")
+    spark.sql(s"INSERT INTO $t SELECT id % 42, " +
+      s"CASE WHEN id % 4 = 0 THEN NULL ELSE concat('x', id % 6) END FROM range(200)")
+    LakeMaintenance.analyze(spark, t)
+    val stats = v2Stats(t)
+    val byName = stats.attributeStats.map { case (a, cs) => a.name -> cs }
+    assert(byName.contains("k"), s"no column stats for k in $byName")
+    assert(byName("k").distinctCount.map(_.toLong).contains(42L))
+    assert(byName("s").distinctCount.map(_.toLong).contains(6L))
+    // nullCount comes straight from manifests (no analyze required for it)
+    assert(byName("s").nullCount.map(_.toLong).contains(50L))
+    assert(byName("k").nullCount.map(_.toLong).contains(0L))
+    assert(stats.rowCount.map(_.toLong).contains(200L))
+  }
+
+  test("CALL lake.system.analyze works through SQL; NDV survives reload") {
+    val t = s"lake.stats.${uniq("sqlp")}"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.stats")
+    spark.sql(s"CREATE TABLE $t (k INT, s STRING)")
+    spark.sql(s"INSERT INTO $t SELECT id % 3, concat('v', id % 4) FROM range(60)")
+    val Array(_, ns, name) = t.split('.')
+    val r = spark.sql(s"CALL lake.system.analyze(table => '$ns.$name')").collect()
+    assert(r.length == 1 && r(0).getString(0) == "full" && r(0).getInt(1) == 2)
+    // fresh handle (invalidate) still sees the stored sketches
+    spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[graft.catalog.LakeCatalog]
+      .invalidateTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array(ns), name))
+    val byName = v2Stats(t).attributeStats.map { case (a, cs) => a.name -> cs }
+    assert(byName("k").distinctCount.map(_.toLong).contains(3L))
+    assert(byName("s").distinctCount.map(_.toLong).contains(4L))
+  }
+
+  test("analyze of selected columns only; unknown column rejected") {
+    val t = s"lake.stats.${uniq("sel")}"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.stats")
+    spark.sql(s"CREATE TABLE $t (a INT, b INT)")
+    spark.sql(s"INSERT INTO $t SELECT id % 4, id % 9 FROM range(100)")
+    val (_, ndvs) = LakeMaintenance.analyze(spark, t, Seq("b"))
+    assert(ndvs == Seq("b" -> 9L))
+    val byName = v2Stats(t).attributeStats.map { case (a, cs) => a.name -> cs }
+    assert(byName("b").distinctCount.map(_.toLong).contains(9L))
+    assert(!byName.get("a").exists(_.distinctCount.isDefined))
+    intercept[IllegalArgumentException] {
+      LakeMaintenance.analyze(spark, t, Seq("nope"))
+    }
+  }
+}

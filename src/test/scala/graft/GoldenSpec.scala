@@ -104,7 +104,8 @@ class GoldenSpec extends AnyFunSuite {
     "q89_mv_retraction" -> 6L,
     "q90_table_changes" -> 2L,
     "q91_bloom_decontaminate" -> 102L,
-    "q92_image_phash_neardup" -> 7L)
+    "q92_image_phash_neardup" -> 7L,
+    "q93_table_stats" -> 3L)
 
   test("every registered query has a golden count (add one when adding a query)") {
     assert(SparkEntry.queries.keySet == golden.keySet,
