@@ -220,10 +220,17 @@ object DecodeImage {
     * interpolation, so values are identical on every JVM. Shared by
     * `decode_image` (surfaces the grid) and `phash64` (DCTs it).
     */
+  // ImageIO's default stream cache is a TEMP FILE per createImageInputStream
+  // call — at one decode per row that is an open file descriptor and a
+  // /tmp inode per row, which exhausts ulimit under a 32-thread executor.
+  // Payloads are already in-memory byte arrays: cache in memory.
+  javax.imageio.ImageIO.setUseCache(false)
+
   private[functions] def decodeGray(
       payload: Array[Byte], grid: Int): (Int, Int, String, Array[Double]) = {
+    var iis: javax.imageio.stream.ImageInputStream = null
     try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) return null
@@ -265,6 +272,7 @@ object DecodeImage {
         (w, h, format, gray)
       } finally reader.dispose()
     } catch { case scala.util.control.NonFatal(_) => null }
+    finally if (iis != null) iis.close()
   }
 
   def compute(payload: Array[Byte], grid: Int): org.apache.spark.sql.catalyst.InternalRow =
