@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType, StringType}
 
-import graft.functions.{BloomBuildAgg, BloomProbe, BpeEncode, CosineSim, L2Sq, DecodeAudio, DecodeImage, ExplodeHammingPairs, ExplodeNgrams, ExplodePairs, MinHashSignature, PHash64, PqAdc, PqEncode, SampleFrames, SigMatchCount, SimHash, SortedIntersectSize, SrpBands, WinnowFingerprints, WordNgrams}
+import graft.functions.{BloomBuildAgg, BloomProbe, BpeEncode, CosineSim, FreqBuildAgg, L2Sq, DecodeAudio, DecodeImage, ExplodeHammingPairs, ExplodeNgrams, ExplodePairs, MinHashSignature, PHash64, PqAdc, PqEncode, SampleFrames, SigMatchCount, SimHash, SortedIntersectSize, SrpBands, ThetaBuildAgg, WinnowFingerprints, WordNgrams}
 
 /** Session extensions registering the engine's custom codegen expressions
   * as SQL functions — the Spark-idiomatic extension point
@@ -159,6 +159,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           BloomBuildAgg(c, n, f)
         case other => throw new IllegalArgumentException(
           s"bloom_build(hash[, expectedItems[, fpp]]): bad args $other")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("freq_build"),
+      info("freq_build",
+        "freq_build(hash[, maxMapSize]) - aggregate 64-bit hashes into a serialized frequent-items sketch (binary)"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => FreqBuildAgg(c, 1 << 14)
+        case Seq(c, Literal(m: Int, IntegerType)) => FreqBuildAgg(c, m)
+        case other => throw new IllegalArgumentException(
+          s"freq_build(hash[, maxMapSize]): bad args $other")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("theta_build"),
+      info("theta_build",
+        "theta_build(value[, lgK]) - aggregate STRING/LONG values into a serialized theta distinct sketch (binary)"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => ThetaBuildAgg(c, 16)
+        case Seq(c, Literal(k: Int, IntegerType)) => ThetaBuildAgg(c, k)
+        case other => throw new IllegalArgumentException(
+          s"theta_build(value[, lgK]): bad args $other")
       }))
 
     ext.injectFunction((

@@ -15,15 +15,24 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS); with
-    * spark.sql.legacy.parquet.nanosAsLong=true it surfaces as Long. Convert
-    * to a µs timestamp — identical to what DuckDB's reader produces (floor
-    * division), so oracle comparisons line up exactly.
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) (surfacing as Long
+    * under spark.sql.legacy.parquet.nanosAsLong=true) and as TIMESTAMP(µs)
+    * isAdjustedToUTC=false (surfacing as TIMESTAMP_NTZ) in different
+    * testdata generations — adapt to whichever this dataset carries and
+    * normalize to a µs TimestampType. The session timezone is pinned UTC
+    * (Sessions), so the NTZ cast is value-identical to the nanos path and
+    * to what DuckDB's reader produces; oracle comparisons line up exactly.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
+  }
 
   /** Register every table as a temp view so shared ANSI SQL (run by both
     * spark.sql and the DuckDB oracle) resolves the same relations. View

@@ -1374,6 +1374,220 @@ object LlmPipeline {
         .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
         .distinct()
       pairs.orderBy("id_a", "id_b")
+    },
+
+    // ───── q94: exact substring dedup (overlapping windows) ──────────────
+    // The ExactSubstr pass of Lee et al., "Deduplicating Training Data
+    // Makes Language Models Better" (2022), re-expressed Spark-first: a
+    // window of K consecutive tokens that occurs anywhere else in the
+    // corpus is a duplicate unless it is the corpus-wide FIRST occurrence
+    // (by doc_id, pos); every token covered by a non-canonical duplicated
+    // window is removed, and overlapping removals merge into maximal
+    // spans — the suffix-array formulation's output, computed with joins
+    // and hash-aggs instead of a monolithic sorted suffix array. The
+    // 100 TB shape: only (fingerprint, doc_id, pos) triples ever shuffle
+    // (window TEXT never leaves the scan task), the winner per
+    // fingerprint is one hash-agg min(struct), non-canonical occurrences
+    // come from one fingerprint-keyed join, and span-merging + text
+    // reassembly happen inside per-document array lambdas after a single
+    // doc_id-keyed join of integer position lists. Production would use a
+    // 128-bit fingerprint instead of md5-string (same plan shape); K=10
+    // ≈ the paper's 50-character unit at these token lengths.
+    QueryDef.df(
+      "q94_substring_dedup",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |wins AS (
+        |  SELECT doc_id, i AS pos,
+        |    md5(array_to_string(w[(i+1):(i+10)], ' ')) AS fp
+        |  FROM toks, LATERAL unnest(generate_series(0, len(w) - 10)) AS t(i)
+        |  WHERE len(w) >= 10),
+        |marked AS (
+        |  SELECT doc_id, pos,
+        |    count(*) OVER (PARTITION BY fp) AS c,
+        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+        |  FROM wins),
+        |dups AS (SELECT doc_id, pos FROM marked WHERE c > 1 AND rn > 1),
+        |spans AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN prev IS NULL OR pos > prev + 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+        |  FROM (SELECT doc_id, pos,
+        |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |        FROM dups) GROUP BY doc_id),
+        |cov AS (
+        |  SELECT DISTINCT d.doc_id, j.idx
+        |  FROM dups d, LATERAL unnest(generate_series(d.pos, d.pos + 9)) AS j(idx)),
+        |toki AS (
+        |  SELECT t.doc_id, i.idx, t.w[i.idx + 1] AS tok
+        |  FROM toks t, LATERAL unnest(generate_series(0, len(t.w) - 1)) AS i(idx)),
+        |kept AS (
+        |  SELECT k.doc_id,
+        |    md5(string_agg(k.tok, ' ' ORDER BY k.idx)) AS kept_md5
+        |  FROM toki k LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.idx = c.idx
+        |  WHERE c.idx IS NULL GROUP BY k.doc_id)
+        |SELECT t.doc_id,
+        |  CAST(len(t.w) AS BIGINT) AS n_tokens,
+        |  CAST(greatest(len(t.w) - 9, 0) AS BIGINT) AS n_windows,
+        |  CAST(coalesce(nd.n_dup, 0) AS BIGINT) AS n_dup_wins,
+        |  CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(cv.n_removed, 0) AS BIGINT) AS n_removed,
+        |  k.kept_md5 AS kept_md5
+        |FROM toks t
+        |LEFT JOIN (SELECT doc_id, count(*) AS n_dup FROM dups GROUP BY doc_id) nd USING (doc_id)
+        |LEFT JOIN spans s USING (doc_id)
+        |LEFT JOIN (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id) cv USING (doc_id)
+        |LEFT JOIN kept k USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      val K = 10
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      // fingerprints only — the window text never leaves the scan task
+      val wins = docs.filter(size(col("w")) >= K)
+        .select(col("doc_id"),
+          explode(sequence(lit(0), size(col("w")) - K)).as("pos"), col("w"))
+        .select(col("doc_id"), col("pos"),
+          md5(array_join(slice(col("w"), col("pos") + 1, lit(K)), " ")).as("fp"))
+      // one hash-agg per fingerprint: occurrence count + canonical winner
+      val byFp = wins.groupBy("fp")
+        .agg(count(lit(1)).as("c"),
+          min(struct(col("doc_id"), col("pos"))).as("win"))
+        .filter(col("c") > 1)
+      // non-canonical occurrences of duplicated windows (fp-keyed join)
+      val dups = wins.join(byFp, "fp")
+        .filter(struct(col("doc_id"), col("pos")) =!= col("win"))
+        .select(col("doc_id"), col("pos"))
+      // per-doc: sorted dup positions -> covered index set + merged spans
+      val perDoc = dups.groupBy("doc_id")
+        .agg(sort_array(collect_list(col("pos"))).as("dpos"))
+        .select(col("doc_id"), col("dpos"),
+          array_distinct(flatten(transform(col("dpos"),
+            p => sequence(p, p + K - 1)))).as("cov"),
+          aggregate(col("dpos"),
+            struct(lit(0L).as("n"), lit(-100).as("prev")),
+            (acc, p) => struct(
+              (acc.getField("n") +
+                when(p > acc.getField("prev") + K, 1L).otherwise(0L)).as("n"),
+              p.as("prev")),
+            acc => acc.getField("n")).as("n_spans"))
+      docs.join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_tokens"),
+          greatest(size(col("w")) - (K - 1), lit(0)).cast("long").as("n_windows"),
+          coalesce(size(col("dpos")), lit(0)).cast("long").as("n_dup_wins"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"),
+          {
+            val covSafe = coalesce(col("cov"), array().cast("array<int>"))
+            val keptArr = filter(col("w"), (tok, i) => !array_contains(covSafe, i))
+            when(size(keptArr) === 0, lit(null).cast("string"))
+              .otherwise(md5(array_join(keptArr, " "))).as("kept_md5")
+          })
+        .orderBy("doc_id")
+    },
+
+    // ───── q95: exact heavy hitters via frequent-items sketch ────────────
+    // Exact top-frequency bigrams at bounded memory — the sketch twin of
+    // q42's full group-by: pass 1 builds ONE Misra-Gries sketch over the
+    // corpus (fixed-size partials per task, one merge; no per-term shuffle
+    // at all), whose NO_FALSE_NEGATIVES extraction is a guaranteed
+    // SUPERSET of every bigram with count >= T (the runtime require
+    // checks T exceeds the sketch's error bound — size maxMapSize > n/T);
+    // pass 2 exact-counts ONLY the candidates (the InSet filter kills
+    // ~everything before the shuffle) and applies the real threshold, so
+    // the result is bit-identical to the sketch-free plan — fully
+    // oracled. At 100 TB: the full group-by shuffles every (term, 1)
+    // pair; this shuffles one ~16k-entry sketch per task plus the counts
+    // of a few hundred candidate terms. Hash collisions (64-bit
+    // pre-hashes) can only ADD candidates, which pass 2 discards.
+    QueryDef.df(
+      "q95_heavy_hitters",
+      """WITH toks AS (
+        |  SELECT string_split(lower(text), ' ') AS w FROM documents),
+        |grams AS (
+        |  SELECT array_to_string(w[i:i+1], ' ') AS g
+        |  FROM toks, unnest(range(1, len(w))) AS t(i))
+        |SELECT g, CAST(count(*) AS BIGINT) AS cnt
+        |FROM grams GROUP BY g HAVING count(*) >= 40
+        |ORDER BY cnt DESC, g""".stripMargin) { (s, dir) =>
+      import graft.functions.FreqSketch
+      val T = 40L
+      def grams = t(s, dir, "documents")
+        .select(expr("explode_ngrams(split(lower(text), ' '), 2)").as("g"))
+      // pass 1: one bounded-size sketch to the driver — same driver-side
+      // cost shape as a broadcast-join build or a runtime-filter subquery
+      val sketchBytes = grams
+        .agg(expr("freq_build(xxhash64(g), 16384)")).head().getAs[Array[Byte]](0)
+      require(T > FreqSketch.maxError(sketchBytes),
+        s"heavy-hitter threshold $T must exceed sketch error bound " +
+          s"${FreqSketch.maxError(sketchBytes)} — raise maxMapSize")
+      val cands = FreqSketch.candidates(sketchBytes, T)
+      // pass 2: exact counts of the candidate superset only
+      grams
+        .filter(xxhash64(col("g")).isInCollection(cands))
+        .groupBy("g").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= T)
+        .orderBy(col("cnt").desc, col("g"))
+    },
+
+    // ───── q96: cross-source vocabulary overlap via theta sketches ───────
+    // "How much does each source's trigram vocabulary overlap every
+    // other's?" — the contamination/diversity matrix a corpus curator
+    // reads before mixing sources. Exact pairwise overlap needs a
+    // full-vocabulary shuffle per PAIR (O(S²) joins); theta sketches are
+    // closed under set algebra, so ONE grouped aggregation builds a
+    // fixed-size sketch per source and every pairwise |A∩B| / |A∪B| /
+    // Jaccard is a driver-side set operation over those summaries —
+    // S sketches, S·(S-1)/2 estimates, zero extra scans. Sketches are
+    // exact below 2^lgK distincts (this corpus: ~1.3k trigrams/source at
+    // lgK=16 → exact, hence fully oracled) and deterministic ~1%
+    // estimators beyond — at 100 TB the same plan emits estimates with
+    // stated error instead of falling over.
+    QueryDef.df(
+      "q96_source_overlap",
+      """WITH toks AS (
+        |  SELECT source, string_split(lower(text), ' ') AS w FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT source, array_to_string(w[i:i+2], ' ') AS g
+        |  FROM toks, unnest(range(1, len(w) - 1)) AS t(i)),
+        |c AS (SELECT source, count(*) AS n FROM grams GROUP BY source),
+        |i AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT ca.source AS src_a, cb.source AS src_b,
+        |  CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+        |  CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+        |  CAST(ca.n + cb.n - coalesce(i.n_inter, 0) AS BIGINT) AS n_union,
+        |  CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+        |    / (ca.n + cb.n - coalesce(i.n_inter, 0)) AS jaccard
+        |FROM c ca JOIN c cb ON ca.source < cb.source
+        |LEFT JOIN i ON i.src_a = ca.source AND i.src_b = cb.source
+        |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+      import graft.functions.ThetaOps
+      // one pass, one sketch per source (grouped TypedImperativeAggregate:
+      // partial sketches per task, theta-union merge)
+      val perSource = t(s, dir, "documents")
+        .select(col("source"),
+          expr("explode_ngrams(split(lower(text), ' '), 3)").as("g"))
+        .groupBy("source").agg(expr("theta_build(g, 16)").as("sk"))
+        .collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
+        .sortBy(_._1)
+      // driver-side set algebra over S fixed-size summaries (S is the
+      // number of corpus sources — catalog-scale, not data-scale)
+      val rows = for {
+        (sa, ska) <- perSource.toSeq
+        (sb, skb) <- perSource.toSeq if sa < sb
+      } yield {
+        val na = Math.round(ThetaOps.estimate(ska))
+        val nb = Math.round(ThetaOps.estimate(skb))
+        val inter = Math.round(ThetaOps.intersect(ska, skb))
+        val uni = Math.round(ThetaOps.unionEst(ska, skb))
+        (sa, sb, na, nb, inter, uni, inter.toDouble / uni)
+      }
+      import s.implicits._
+      rows.toDF("src_a", "src_b", "n_a", "n_b", "n_inter", "n_union", "jaccard")
+        .orderBy("src_a", "src_b")
     })
 
   /** SemDeDup core: assign each vector to its nearest of `k` md5-seeded

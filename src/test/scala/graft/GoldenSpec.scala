@@ -105,7 +105,10 @@ class GoldenSpec extends AnyFunSuite {
     "q90_table_changes" -> 2L,
     "q91_bloom_decontaminate" -> 102L,
     "q92_image_phash_neardup" -> 7L,
-    "q93_table_stats" -> 3L)
+    "q93_table_stats" -> 3L,
+    "q94_substring_dedup" -> 500L,
+    "q95_heavy_hitters" -> 58L,
+    "q96_source_overlap" -> 190L)
 
   test("every registered query has a golden count (add one when adding a query)") {
     assert(SparkEntry.queries.keySet == golden.keySet,
