@@ -163,9 +163,8 @@ object LakeMaintenance {
     // the table's write.sort-order (if any) is re-applied so compaction
     // restores/maintains the sorted layout (physical names inside this job)
     val l2p = t.meta.l2pMap
-    val sortCols = t.meta.properties.get("write.sort-order")
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-      .map(c => df.col(l2p.getOrElse(c, c)))
+    val sortColNames = t.meta.physicalSortOrder
+    val sortCols = sortColNames.map(df.col)
     val clustered =
       if (clusterCols.nonEmpty)
         df.repartition(outParts, clusterCols: _*)
@@ -175,7 +174,11 @@ object LakeMaintenance {
       else df.coalesce(outParts)
     val factory = LakeWriterFactory(t.meta.physicalSchema.json, s"${t.meta.location}/data",
       physCols, new SerializableConfiguration(t.meta.writeConf(hadoopConf)),
-      t.meta.physicalBloomColumns, t.meta.targetFileBytes)
+      t.meta.physicalBloomColumns, t.meta.targetFileBytes,
+      // compaction re-applies the sort order above, so its output files
+      // carry the sorted-by provenance (restores SupportsReportOrdering
+      // after unsorted history is rewritten)
+      sortedBy = sortColNames)
     val newFiles = clustered.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
       val w = factory.createWriter(pid, org.apache.spark.TaskContext.get().taskAttemptId())
       rows.foreach(w.write)

@@ -172,7 +172,8 @@ final class LakeTable(
       deleteFiles = snap.map(meta.deleteFilesOf).getOrElse(Nil),
       eqDeletes = snap.map(meta.eqDeleteFilesOf).getOrElse(Nil),
       eqKeySchema = meta.upsertKeySchema,
-      ndv = ndvStats)
+      ndv = ndvStats,
+      sortOrder = meta.sortOrderColumns)
   }
 
   /** analyze-maintained per-column NDV estimates (logical names), decoded
@@ -480,7 +481,8 @@ final class LakeScanBuilder(
     deleteFiles: Seq[DataFileMeta] = Nil,
     eqDeletes: Seq[DataFileMeta] = Nil,
     eqKeySchema: Option[StructType] = None,
-    ndv: Map[String, Long] = Map.empty)
+    ndv: Map[String, Long] = Map.empty,
+    sortOrder: Seq[String] = Nil)
   extends ScanBuilder with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -528,7 +530,7 @@ final class LakeScanBuilder(
     onFilesSelected(survivors)
     new LakeScan(ident, tableSchema, survivors, exprs, requiredSchema, options,
       runtimeFilterCols, onFilesSelected, microBatch, partitionCols, l2p, deleteFiles,
-      eqDeletes, eqKeySchema, ndv)
+      eqDeletes, eqKeySchema, ndv, sortOrder)
   }
 }
 
@@ -555,10 +557,12 @@ final class LakeScan(
     deleteFiles: Seq[DataFileMeta] = Nil,
     eqDeletes: Seq[DataFileMeta] = Nil,
     eqKeySchema: Option[StructType] = None,
-    ndv: Map[String, Long] = Map.empty)
+    ndv: Map[String, Long] = Map.empty,
+    sortOrder: Seq[String] = Nil) // table write.sort-order (LOGICAL names)
   extends Scan with SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
-  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 
@@ -707,6 +711,33 @@ final class LakeScan(
       case None =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
     }
+
+  // ── sorted-scan support (SupportsReportOrdering) ─────────────────────────
+  // A table whose files were WRITTEN under write.sort-order can tell Spark
+  // its partitions arrive pre-sorted — combined with KeyGroupedPartitioning
+  // this yields sort-merge joins with NEITHER an exchange NOR a sort on
+  // either side: the join runs entirely on storage layout. Claimed only
+  // when provably true per input partition:
+  //   - every selected file carries sorted-by provenance whose prefix is
+  //     the current sort order (stamped by sorted writes / compaction;
+  //     files from before the property was set don't qualify),
+  //   - the key-grouped path is active with exactly ONE file per partition
+  //     value (the post-compaction state) — each input partition then holds
+  //     splits of a single sorted file, never a concatenation of files,
+  //   - no pending tombstones/eq-deletes and no metadata columns (already
+  //     folded into keyGroups' definition).
+  // Spark's side drops the ordering itself if runtime grouping would break
+  // it; reporting is the storage truth, EnsureRequirements does the rest.
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    val eligible = sortOrder.nonEmpty &&
+      keyGroups.exists(_.forall(_._2.size == 1)) &&
+      files.forall(f => f.sortCols.take(sortOrder.length) == sortOrder)
+    if (eligible)
+      sortOrder.map(c => Expressions.sort(Expressions.column(c),
+        SortDirection.ASCENDING)).toArray
+    else Array.empty
+  }
 
   /** Exact size/row statistics straight from the manifest (the writer
     * tracked them) — without this, Catalyst falls back to
@@ -1333,7 +1364,12 @@ final class LakeBatchWrite(
     LakeWriterFactory(ColumnMapping.toPhysical(writeSchema, table.meta.l2pMap).json,
       s"${table.meta.location}/data",
       table.meta.physicalPartitionColumns, new SerializableConfiguration(table.meta.writeConf(hadoopConf)),
-      table.meta.physicalBloomColumns, table.meta.targetFileBytes)
+      table.meta.physicalBloomColumns, table.meta.targetFileBytes,
+      // batch writes arrive ordered by (partition transform, sort order) —
+      // LakeWrite.requiredOrdering — so each rolled file is provably sorted
+      // by the sort-order columns; stamp that provenance (physical names)
+      // for the scan's SupportsReportOrdering
+      sortedBy = table.meta.physicalSortOrder)
 
   /** The reference's EP3: write new metadata → CAS the pointer; on a lost
     * race, reload the current metadata, REBASE (append = union with the
@@ -1596,13 +1632,14 @@ final case class LakeWriterFactory(
     partitionCols: Seq[String],
     conf: SerializableConfiguration,
     bloomCols: Seq[String] = Nil,
-    targetFileBytes: Long = 0L)
+    targetFileBytes: Long = 0L,
+    sortedBy: Seq[String] = Nil)
   extends DataWriterFactory with streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new LakeDataWriter(
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
       s"$dataDir/part-$partitionId-$taskId-${java.util.UUID.randomUUID()}",
-      partitionCols, conf.value, bloomCols, targetFileBytes)
+      partitionCols, conf.value, bloomCols, targetFileBytes, sortedBy)
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     createWriter(partitionId, taskId)
@@ -1623,7 +1660,8 @@ final class LakeDataWriter(
     partitionCols: Seq[String],
     conf: Configuration,
     bloomCols: Seq[String] = Nil,
-    targetFileBytes: Long = 0L)
+    targetFileBytes: Long = 0L,
+    sortedBy: Seq[String] = Nil) // provenance: rows arrive sorted by these
   extends DataWriter[InternalRow] {
 
   private val writeConf: Configuration = {
@@ -1708,7 +1746,7 @@ final class LakeDataWriter(
     val nulls = schema.fields.indices
       .map(i => schema.fields(i).name -> nullsPerCol(i)).toMap
     done += DataFileMeta(path, rows, size, m(mins) ++ bucketStats, m(maxs) ++ bucketStats,
-      nulls)
+      nulls, sortedBy = sortedBy)
     writer = null
   }
 

@@ -108,10 +108,11 @@ object MetadataTables {
       StructField("row_count", LongType, nullable = false),
       StructField("size_bytes", LongType, nullable = false),
       StructField("min_values", MapType(StringType, StringType)),
-      StructField("max_values", MapType(StringType, StringType))))
+      StructField("max_values", MapType(StringType, StringType)),
+      StructField("sorted_by", ArrayType(StringType), nullable = false)))
     // stats re-keyed to logical column names, same as the pruning boundary
     val rows = meta.logicalStatFiles(meta.currentFiles).map(f =>
-      Row(f.path, f.rowCount, f.sizeBytes, f.minValues, f.maxValues))
+      Row(f.path, f.rowCount, f.sizeBytes, f.minValues, f.maxValues, f.sortCols))
     RowsTable(display, schema, rows)
   }
 

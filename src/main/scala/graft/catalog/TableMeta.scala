@@ -20,9 +20,12 @@ final case class DataFileMeta(
     minValues: Map[String, String] = Map.empty,
     maxValues: Map[String, String] = Map.empty,
     nullCounts: Map[String, Long] = Map.empty,
-    addedAt: Long = 0L) { // snapshot that added this file (0 = legacy doc)
+    addedAt: Long = 0L, // snapshot that added this file (0 = legacy doc)
+    sortedBy: Seq[String] = Nil) { // columns this file's rows are sorted by
   /** Null-safe accessor (documents written before null tracking). */
   def nulls: Map[String, Long] = if (nullCounts == null) Map.empty else nullCounts
+  /** Null-safe accessor (documents written before sort-order tracking). */
+  def sortCols: Seq[String] = if (sortedBy == null) Nil else sortedBy
 }
 
 /** Pointer to one immutable manifest file (a JSON array of
@@ -146,6 +149,17 @@ final case class TableMeta(
     partitionFields.map(f => f.copy(source = m.getOrElse(f.source, f.source)).spec)
   }
 
+  /** `write.sort-order` columns as the user declared them (LOGICAL names). */
+  def sortOrderColumns: Seq[String] =
+    properties.get("write.sort-order")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
+  /** `write.sort-order` columns under PHYSICAL names (what writers stamp). */
+  def physicalSortOrder: Seq[String] = {
+    val m = l2pMap
+    sortOrderColumns.map(c => m.getOrElse(c, c))
+  }
+
   /** Manifest entries with min/max stats re-keyed to LOGICAL names, for
     * pruning against predicates (which reference logical columns). Paths
     * and counts are untouched, so these remain commit-comparable.
@@ -161,7 +175,8 @@ final case class TableMeta(
       files.map(f => f.copy(
         minValues = f.minValues.map { case (k, v) => (remap(k), v) },
         maxValues = f.maxValues.map { case (k, v) => (remap(k), v) },
-        nullCounts = f.nulls.map { case (k, v) => (remap(k), v) }))
+        nullCounts = f.nulls.map { case (k, v) => (remap(k), v) },
+        sortedBy = f.sortCols.map(remap)))
     }
   }
 

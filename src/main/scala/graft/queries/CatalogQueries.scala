@@ -593,5 +593,44 @@ object CatalogQueries {
           |      UNION ALL
           |      SELECT 'clone' AS side, seg, bal FROM lake.verify.sc_clone) u
           |GROUP BY side, seg ORDER BY side, seg""".stripMargin)
+    },
+
+    QueryDef.df(
+      "q97_sorted_spj_join",
+      // Oracle = the same join computed directly over the raw parquet. The
+      // Spark side routes it through two lake tables bucketed AND sorted on
+      // the join key: the scans report KeyGroupedPartitioning (no exchange)
+      // plus SupportsReportOrdering (no sort), so the forced sort-merge
+      // join runs entirely on storage layout — the hash match proves the
+      // zero-shuffle zero-sort read path returns exactly the right rows
+      // (plan shape asserted in SortedScanSpec).
+      """SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS lake.verify")
+      s.sql("DROP TABLE IF EXISTS lake.verify.so_cust")
+      s.sql("DROP TABLE IF EXISTS lake.verify.so_ord")
+      s.sql(
+        """CREATE TABLE lake.verify.so_cust (k BIGINT, seg STRING)
+          |PARTITIONED BY (bucket(8, k))
+          |TBLPROPERTIES ('write.sort-order'='k')""".stripMargin)
+      s.sql(
+        """CREATE TABLE lake.verify.so_ord (k BIGINT, price DOUBLE)
+          |PARTITIONED BY (bucket(8, k))
+          |TBLPROPERTIES ('write.sort-order'='k')""".stripMargin)
+      s.sql("INSERT INTO lake.verify.so_cust SELECT c_custkey, c_mktsegment FROM customer")
+      s.sql(
+        """INSERT INTO lake.verify.so_ord
+          |SELECT o_custkey, CAST(o_totalprice AS DOUBLE) FROM orders""".stripMargin)
+      // MERGE hint pins the sort-merge strategy a large-table join would
+      // take; the co-partitioned sorted scans then need no exchange/sort
+      s.sql(
+        """SELECT /*+ MERGE(o) */ c.seg,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(CAST(o.price AS DECIMAL(18,6))) AS DOUBLE) AS total
+          |FROM lake.verify.so_cust c JOIN lake.verify.so_ord o ON c.k = o.k
+          |GROUP BY c.seg ORDER BY c.seg""".stripMargin)
     })
 }

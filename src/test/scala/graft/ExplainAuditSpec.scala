@@ -191,4 +191,24 @@ class ExplainAuditSpec extends AnyFunSuite {
     assert(p.indexOf("ShuffledHashJoin") < p.indexOf("bloom_probe"),
       s"probe must run before the join, on the corpus scan side:\n$p")
   }
+
+  test("q94 substring dedup shuffles fingerprints only — no sort, no cartesian") {
+    val p = plan("q94_substring_dedup")
+    // winner-per-fingerprint is a hash agg; occurrence matching is an
+    // equi-join on the fingerprint; nothing may degenerate to a nested loop
+    assert(p.contains("HashAggregate"), s"winner pick should be a hash agg:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no pairwise expansion allowed:\n$p")
+  }
+
+  test("q95 heavy hitters: candidate InSet filter sits below the exact count's shuffle") {
+    val p = plan("q95_heavy_hitters")
+    // pass 2 plans: scan -> candidate filter -> partial agg -> exchange ->
+    // final agg; the filter must be scan-side (before any exchange)
+    val filterIdx = p.indexOf("xxhash64")
+    val exchangeIdx = p.indexOf("Exchange")
+    assert(filterIdx >= 0, s"candidate hash filter missing:\n$p")
+    assert(exchangeIdx < 0 || exchangeIdx < filterIdx,
+      s"candidate filter must precede the shuffle (tree prints top-down):\n$p")
+  }
 }

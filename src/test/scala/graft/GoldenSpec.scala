@@ -108,7 +108,8 @@ class GoldenSpec extends AnyFunSuite {
     "q93_table_stats" -> 3L,
     "q94_substring_dedup" -> 500L,
     "q95_heavy_hitters" -> 58L,
-    "q96_source_overlap" -> 190L)
+    "q96_source_overlap" -> 190L,
+    "q97_sorted_spj_join" -> 5L)
 
   test("every registered query has a golden count (add one when adding a query)") {
     assert(SparkEntry.queries.keySet == golden.keySet,
