@@ -75,8 +75,8 @@ final class LakeTable(
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
 
   private def effectiveSnapshot: Option[SnapshotMeta] = pinnedSnapshotId match {
     case Some(id) => Some(meta.snapshot(id).getOrElse(
@@ -161,6 +161,13 @@ final class LakeTable(
     // the parquet delegate inside the scan uses physical names (l2p)
     new LakeScanBuilder(ident, schema(), meta.logicalStatFiles(scanFiles),
       options,
+      // partition-source columns accept RUNTIME predicates (dynamic
+      // partition pruning): a star join whose dim side is filtered hands
+      // the surviving join keys to this scan mid-query, and file pruning
+      // drops every fact file whose partition value can't match — at
+      // 100 TB the difference between scanning one partition and all of
+      // them. Same pruners as planning-time filters (min/max + bucket).
+      runtimeFilterCols = meta.partitionFields.map(_.source),
       microBatch = Some(() => new LakeMicroBatchStream(ident, meta.physicalSchema,
         () => {
           val loc = store.load(namespace, tableName).getOrElse(
@@ -1212,18 +1219,31 @@ object BucketPruner {
   }
 }
 
-/** Append (default) or truncate-then-append (INSERT OVERWRITE) write. */
+/** Append (default), truncate-then-append (static INSERT OVERWRITE), or
+  * dynamic partition overwrite (partitionOverwriteMode=dynamic: replace
+  * exactly the partitions the incoming data touches, leave the rest — the
+  * backfill pattern: recompute one day/key and swap it atomically while
+  * 100 TB of other partitions stay untouched).
+  */
 final class LakeWriteBuilder(
     table: LakeTable,
     info: LogicalWriteInfo,
     store: PointerStore,
     hadoopConf: Configuration)
-  extends WriteBuilder with SupportsTruncate {
+  extends WriteBuilder with SupportsTruncate
+  with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
 
   private var overwrite = false
+  private var dynamic = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def overwriteDynamicPartitions(): WriteBuilder = { dynamic = true; this }
 
-  override def build(): Write = new LakeWrite(table, info, overwrite, store, hadoopConf)
+  override def build(): Write = {
+    if (dynamic) require(table.meta.partitionFields.nonEmpty,
+      s"dynamic partition overwrite of ${table.ident}: table is unpartitioned " +
+        "(use plain INSERT OVERWRITE)")
+    new LakeWrite(table, info, overwrite, store, hadoopConf, dynamic)
+  }
 }
 
 /** Write plan for a lake table. For a partitioned table it asks Spark to
@@ -1247,7 +1267,8 @@ final class LakeWrite(
     info: LogicalWriteInfo,
     overwrite: Boolean,
     store: PointerStore,
-    hadoopConf: Configuration)
+    hadoopConf: Configuration,
+    dynamic: Boolean = false)
   extends RequiresDistributionAndOrdering {
 
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -1330,12 +1351,13 @@ final class LakeWrite(
 
   override def toBatch: BatchWrite = {
     branch.foreach { b =>
-      require(!overwrite, s"overwrite of branch '$b' is not supported — append, " +
+      require(!overwrite && !dynamic,
+        s"overwrite of branch '$b' is not supported — append, " +
         "then fast_forward/rollback the branch")
       require(table.meta.branchHead(b).isDefined,
         s"no branch '$b' on ${table.ident}: CALL lake.system.create_branch first")
     }
-    new LakeBatchWrite(table, info.schema(), overwrite, store, hadoopConf, branch)
+    new LakeBatchWrite(table, info.schema(), overwrite, store, hadoopConf, branch, dynamic)
   }
   override def toStreaming: streaming.StreamingWrite = {
     if (upsertNullsAsDeletes) {
@@ -1357,7 +1379,8 @@ final class LakeBatchWrite(
     overwrite: Boolean,
     store: PointerStore,
     hadoopConf: Configuration,
-    branch: Option[String] = None)
+    branch: Option[String] = None,
+    dynamic: Boolean = false)
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -1370,6 +1393,28 @@ final class LakeBatchWrite(
       // by the sort-order columns; stamp that provenance (physical names)
       // for the scan's SupportsReportOrdering
       sortedBy = table.meta.physicalSortOrder)
+
+  /** Files of the partitions the incoming data touches (dynamic overwrite's
+    * replacement set). Partition attribution reads the same per-file stats
+    * the writer rolls files by (min==max on every partition field — the
+    * clustered-write invariant), so attribution is exact for files written
+    * by this engine. A file that is NOT cleanly attributable (nulls in a
+    * partition column, or pre-spec-evolution history) is conservatively
+    * KEPT — dynamic overwrite never deletes data it cannot prove belongs
+    * to an overwritten partition.
+    */
+  private def dynamicReplaced(base: TableMeta, newFiles: Seq[DataFileMeta]): Set[String] = {
+    val pf = base.physicalPartitionColumns.map(PartField.parse)
+    def keyOf(f: DataFileMeta): Option[Seq[String]] = {
+      val vals = pf.map(p => (f.minValues.get(p.statKey), f.maxValues.get(p.statKey)) match {
+        case (Some(lo), Some(hi)) if lo == hi => Some(lo)
+        case _ => None
+      })
+      if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None
+    }
+    val newKeys = newFiles.flatMap(keyOf).toSet
+    base.currentFiles.filter(f => keyOf(f).exists(newKeys)).map(_.path).toSet
+  }
 
   /** The reference's EP3: write new metadata → CAS the pointer; on a lost
     * race, reload the current metadata, REBASE (append = union with the
@@ -1389,7 +1434,14 @@ final class LakeBatchWrite(
       val next = branch match {
         case Some(b) => TableMeta.withBranchAppend(base, b, newFiles, hadoopConf)
         case None =>
-          if (overwrite) TableMeta.withOverwrite(base, "overwrite", newFiles, hadoopConf)
+          if (dynamic)
+            // replace exactly the partitions the incoming files landed in;
+            // recomputed from the refreshed base on every CAS attempt, so a
+            // racing compaction/append serializes cleanly (any delete that
+            // committed first is simply overwritten — serial order)
+            TableMeta.withRewrite(base, "dynamic-overwrite",
+              dynamicReplaced(base, newFiles), newFiles, hadoopConf)
+          else if (overwrite) TableMeta.withOverwrite(base, "overwrite", newFiles, hadoopConf)
           else TableMeta.withAppend(base, if (stage) "stage-append" else "append",
             newFiles, hadoopConf, advance = !stage)
       }

@@ -632,5 +632,43 @@ object CatalogQueries {
           |  CAST(sum(CAST(o.price AS DECIMAL(18,6))) AS DOUBLE) AS total
           |FROM lake.verify.so_cust c JOIN lake.verify.so_ord o ON c.k = o.k
           |GROUP BY c.seg ORDER BY c.seg""".stripMargin)
+    },
+
+    QueryDef.df(
+      "q98_dynamic_overwrite",
+      // Oracle = the post-backfill state computed from scratch: the
+      // '1-URGENT' partition carries recomputed (doubled) amounts, every
+      // other partition the original load. A hash match proves dynamic
+      // partition overwrite replaced exactly the touched partition —
+      // atomically, via one file-replacing CAS commit — and left the rest
+      // byte-identical.
+      """SELECT o_orderpriority AS prio, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice *
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 2 ELSE 1 END
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS lake.verify")
+      s.sql("DROP TABLE IF EXISTS lake.verify.dyn_ow")
+      s.sql(
+        """CREATE TABLE lake.verify.dyn_ow (prio STRING, k BIGINT, amt DOUBLE)
+          |PARTITIONED BY (prio)""".stripMargin)
+      s.sql(
+        """INSERT INTO lake.verify.dyn_ow
+          |SELECT o_orderpriority, o_orderkey, CAST(o_totalprice AS DOUBLE)
+          |FROM orders""".stripMargin)
+      // backfill ONE partition: recompute it (doubled) and swap it in with
+      // partitionOverwriteMode=dynamic — other partitions never rewritten
+      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try s.sql(
+        """INSERT OVERWRITE lake.verify.dyn_ow
+          |SELECT o_orderpriority, o_orderkey, CAST(o_totalprice AS DOUBLE) * 2
+          |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin)
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      s.sql(
+        """SELECT prio, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(CAST(amt AS DECIMAL(18,6))) AS DOUBLE) AS total
+          |FROM lake.verify.dyn_ow GROUP BY prio ORDER BY prio""".stripMargin)
     })
 }

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dynamic partition overwrite (partitionOverwriteMode=dynamic): INSERT
+  * OVERWRITE replaces exactly the partitions the incoming data touches and
+  * leaves every other partition untouched — the backfill pattern. One CAS
+  * commit, time-travel preserved.
+  */
+class DynamicOverwriteSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def withDynamicMode[A](f: => A): A = {
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try f finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
+  test("INSERT OVERWRITE in dynamic mode replaces only the touched partitions") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.dyo")
+    spark.sql("DROP TABLE IF EXISTS lake.dyo.t")
+    spark.sql("CREATE TABLE lake.dyo.t (day INT, v BIGINT) PARTITIONED BY (day)")
+    spark.sql("INSERT INTO lake.dyo.t SELECT CAST(id % 4 AS INT), id FROM range(400)")
+    withDynamicMode {
+      // recompute day=1 only: 5 replacement rows
+      spark.sql(
+        "INSERT OVERWRITE lake.dyo.t SELECT CAST(1 AS INT), id + 10000 FROM range(5)")
+    }
+    val perDay = spark.sql(
+      "SELECT day, count(*) AS n FROM lake.dyo.t GROUP BY day ORDER BY day")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(perDay == Seq((0, 100L), (1, 5L), (2, 100L), (3, 100L)),
+      s"only day=1 may change: $perDay")
+    assert(spark.sql("SELECT min(v) FROM lake.dyo.t WHERE day = 1").head().getLong(0) == 10000L)
+    // the commit is its own snapshot kind, and time travel sees the old state
+    val snaps = spark.sql(
+      "SELECT snapshot_id, operation FROM lake.dyo.`t$snapshots` ORDER BY snapshot_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(snaps.last._2 == "dynamic-overwrite", s"got $snaps")
+    val prevId = snaps(snaps.length - 2)._1
+    val old = spark.sql(
+      s"SELECT count(*) FROM lake.dyo.t VERSION AS OF $prevId WHERE day = 1")
+      .head().getLong(0)
+    assert(old == 100L, "pre-overwrite snapshot must still show the old partition")
+  }
+
+  test("static mode (default) still truncates the whole table") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.dyo")
+    spark.sql("DROP TABLE IF EXISTS lake.dyo.s")
+    spark.sql("CREATE TABLE lake.dyo.s (day INT, v BIGINT) PARTITIONED BY (day)")
+    spark.sql("INSERT INTO lake.dyo.s SELECT CAST(id % 4 AS INT), id FROM range(400)")
+    spark.sql("INSERT OVERWRITE lake.dyo.s SELECT CAST(1 AS INT), id FROM range(5)")
+    assert(spark.table("lake.dyo.s").count() == 5L,
+      "static INSERT OVERWRITE replaces everything")
+  }
+
+  test("dynamic overwrite of an unpartitioned table is rejected") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.dyo")
+    spark.sql("DROP TABLE IF EXISTS lake.dyo.u")
+    spark.sql("CREATE TABLE lake.dyo.u (v BIGINT)")
+    spark.sql("INSERT INTO lake.dyo.u VALUES (1)")
+    withDynamicMode {
+      val e = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE lake.dyo.u SELECT id FROM range(3)")
+      }
+      assert(e.getMessage.contains("unpartitioned"), e.getMessage)
+    }
+  }
+
+  test("dynamic overwrite composes with bucket partitioning (replaces buckets)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.dyo")
+    spark.sql("DROP TABLE IF EXISTS lake.dyo.b")
+    spark.sql("CREATE TABLE lake.dyo.b (k BIGINT, v BIGINT) PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO lake.dyo.b SELECT id % 16, id FROM range(160)")
+    val before = spark.table("lake.dyo.b").count()
+    assert(before == 160L)
+    withDynamicMode {
+      // k=3 hashes to one bucket; that whole bucket (k=3 plus its bucket
+      // neighbors) is replaced — bucket-grain overwrite semantics
+      spark.sql("INSERT OVERWRITE lake.dyo.b SELECT CAST(3 AS BIGINT), 999 FROM range(1)")
+    }
+    val after = spark.table("lake.dyo.b")
+    // the replaced bucket now holds exactly the new row; other buckets intact
+    assert(after.where("v = 999").count() == 1L)
+    val bucketOf3 = after.where("k = 3").count()
+    assert(bucketOf3 == 1L, "old k=3 rows must be gone with their bucket")
+    // untouched buckets keep all their rows: total = 160 - (bucket of 3) + 1
+    assert(after.count() < 160L && after.count() >= 1L)
+  }
+}

@@ -109,7 +109,8 @@ class GoldenSpec extends AnyFunSuite {
     "q94_substring_dedup" -> 500L,
     "q95_heavy_hitters" -> 58L,
     "q96_source_overlap" -> 190L,
-    "q97_sorted_spj_join" -> 5L)
+    "q97_sorted_spj_join" -> 5L,
+    "q98_dynamic_overwrite" -> 5L)
 
   test("every registered query has a golden count (add one when adding a query)") {
     assert(SparkEntry.queries.keySet == golden.keySet,
