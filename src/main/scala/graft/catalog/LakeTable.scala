@@ -76,6 +76,7 @@ final class LakeTable(
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
 
   private def effectiveSnapshot: Option[SnapshotMeta] = pinnedSnapshotId match {
@@ -354,6 +355,8 @@ private[catalog] object FilterToColumn {
   def mayMatch(f: sources.Filter, file: DataFileMeta): Boolean = f match {
     case sources.EqualTo(a, v) =>
       (for ((lo, hi) <- range(file, a); x <- num(v)) yield x >= lo && x <= hi).getOrElse(true)
+    case sources.EqualNullSafe(a, v) if v != null =>
+      mayMatch(sources.EqualTo(a, v), file)
     case sources.GreaterThan(a, v) =>
       (for ((_, hi) <- range(file, a); x <- num(v)) yield hi > x).getOrElse(true)
     case sources.GreaterThanOrEqual(a, v) =>
@@ -370,6 +373,35 @@ private[catalog] object FilterToColumn {
     case sources.And(l, r) => mayMatch(l, file) && mayMatch(r, file)
     case sources.Or(l, r) => mayMatch(l, file) || mayMatch(r, file)
     case _ => true
+  }
+
+  /** Does EVERY row of `file` provably satisfy `f`? Conservative — false
+    * whenever the stats can't prove it (expression-overwrite then rejects
+    * the file as partially matching rather than silently keeping rows the
+    * predicate wanted deleted). Equality proofs require min==max==value
+    * and a recorded zero null count.
+    */
+  def mustMatch(f: sources.Filter, file: DataFileMeta): Boolean = f match {
+    // non-null value: <=> proves exactly like = (and PARTITION (p = v)
+    // clauses arrive as EqualNullSafe)
+    case sources.EqualNullSafe(a, v) if v != null =>
+      mustMatch(sources.EqualTo(a, v), file)
+    case sources.EqualTo(a, v) =>
+      (file.minValues.get(a), file.maxValues.get(a)) match {
+        case (Some(lo), Some(hi)) if lo == hi =>
+          val valueEq = num(v) match {
+            case Some(x) => (try x == BigDecimal(lo) catch { case _: Throwable => false })
+            case None => v != null && v.toString == lo
+          }
+          valueEq && file.nulls.get(a).contains(0L)
+        case _ => false
+      }
+    case sources.In(a, vs) => vs.exists(v => mustMatch(sources.EqualTo(a, v), file))
+    case sources.IsNotNull(a) => file.nulls.get(a).contains(0L)
+    case sources.And(l, r) => mustMatch(l, file) && mustMatch(r, file)
+    case sources.Or(l, r) => mustMatch(l, file) || mustMatch(r, file)
+    case sources.AlwaysTrue() => true
+    case _ => false
   }
 }
 
@@ -1231,18 +1263,29 @@ final class LakeWriteBuilder(
     store: PointerStore,
     hadoopConf: Configuration)
   extends WriteBuilder with SupportsTruncate
-  with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+  with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite
+  with org.apache.spark.sql.connector.write.SupportsOverwrite {
 
   private var overwrite = false
   private var dynamic = false
+  private var where: Seq[sources.Filter] = Nil
   override def truncate(): WriteBuilder = { overwrite = true; this }
   override def overwriteDynamicPartitions(): WriteBuilder = { dynamic = true; this }
+  // expression overwrite (static INSERT OVERWRITE ... PARTITION (p=v),
+  // df.writeTo(t).overwrite(cond)): atomically delete the rows matching
+  // the conjunction and insert the new data — accepted only when the
+  // predicate aligns with whole files (validated at commit)
+  override def overwrite(filters: Array[sources.Filter]): WriteBuilder = {
+    if (filters.exists(_ == sources.AlwaysTrue())) overwrite = true
+    else where = filters.toSeq
+    this
+  }
 
   override def build(): Write = {
     if (dynamic) require(table.meta.partitionFields.nonEmpty,
       s"dynamic partition overwrite of ${table.ident}: table is unpartitioned " +
         "(use plain INSERT OVERWRITE)")
-    new LakeWrite(table, info, overwrite, store, hadoopConf, dynamic)
+    new LakeWrite(table, info, overwrite, store, hadoopConf, dynamic, where)
   }
 }
 
@@ -1268,7 +1311,8 @@ final class LakeWrite(
     overwrite: Boolean,
     store: PointerStore,
     hadoopConf: Configuration,
-    dynamic: Boolean = false)
+    dynamic: Boolean = false,
+    where: Seq[sources.Filter] = Nil)
   extends RequiresDistributionAndOrdering {
 
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -1351,13 +1395,14 @@ final class LakeWrite(
 
   override def toBatch: BatchWrite = {
     branch.foreach { b =>
-      require(!overwrite && !dynamic,
+      require(!overwrite && !dynamic && where.isEmpty,
         s"overwrite of branch '$b' is not supported — append, " +
         "then fast_forward/rollback the branch")
       require(table.meta.branchHead(b).isDefined,
         s"no branch '$b' on ${table.ident}: CALL lake.system.create_branch first")
     }
-    new LakeBatchWrite(table, info.schema(), overwrite, store, hadoopConf, branch, dynamic)
+    new LakeBatchWrite(table, info.schema(), overwrite, store, hadoopConf, branch,
+      dynamic, where)
   }
   override def toStreaming: streaming.StreamingWrite = {
     if (upsertNullsAsDeletes) {
@@ -1380,7 +1425,8 @@ final class LakeBatchWrite(
     store: PointerStore,
     hadoopConf: Configuration,
     branch: Option[String] = None,
-    dynamic: Boolean = false)
+    dynamic: Boolean = false,
+    where: Seq[sources.Filter] = Nil)
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -1416,6 +1462,26 @@ final class LakeBatchWrite(
     base.currentFiles.filter(f => keyOf(f).exists(newKeys)).map(_.path).toSet
   }
 
+  /** Expression-overwrite's replacement set: files whose every row provably
+    * satisfies the predicate conjunction. A file the predicate MIGHT touch
+    * but provably-fully doesn't (stats straddle the boundary) makes the
+    * whole overwrite ILLEGAL — rewriting it would require row-level
+    * surgery this commit shape doesn't do, and dropping it would silently
+    * keep rows the predicate asked to delete. Iceberg's overwrite
+    * validation draws the same line.
+    */
+  private def whereReplaced(base: TableMeta): Set[String] = {
+    val stat = base.logicalStatFiles(base.currentFiles)
+    val (full, rest) = stat.partition(f => where.forall(FilterToColumn.mustMatch(_, f)))
+    val partial = rest.filter(f => where.forall(FilterToColumn.mayMatch(_, f)))
+    if (partial.nonEmpty) throw new IllegalArgumentException(
+      s"INSERT OVERWRITE ... on ${table.ident}: predicate $where does not align " +
+        s"with file boundaries — ${partial.size} file(s) partially match " +
+        s"(e.g. ${partial.head.path}); overwrite by a partition-aligned " +
+        "predicate, or use DELETE + INSERT")
+    full.map(_.path).toSet
+  }
+
   /** The reference's EP3: write new metadata → CAS the pointer; on a lost
     * race, reload the current metadata, REBASE (append = union with the
     * winner's file list) and retry, bounded. The reference has no retry
@@ -1441,6 +1507,9 @@ final class LakeBatchWrite(
             // committed first is simply overwritten — serial order)
             TableMeta.withRewrite(base, "dynamic-overwrite",
               dynamicReplaced(base, newFiles), newFiles, hadoopConf)
+          else if (where.nonEmpty)
+            TableMeta.withRewrite(base, "overwrite-where",
+              whereReplaced(base), newFiles, hadoopConf)
           else if (overwrite) TableMeta.withOverwrite(base, "overwrite", newFiles, hadoopConf)
           else TableMeta.withAppend(base, if (stage) "stage-append" else "append",
             newFiles, hadoopConf, advance = !stage)

@@ -67,6 +67,64 @@ class DynamicOverwriteSpec extends AnyFunSuite {
     }
   }
 
+  test("static PARTITION-clause overwrite replaces exactly the named partition") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.dyo")
+    spark.sql("DROP TABLE IF EXISTS lake.dyo.p")
+    spark.sql("CREATE TABLE lake.dyo.p (v BIGINT, day INT) PARTITIONED BY (day)")
+    spark.sql("INSERT INTO lake.dyo.p SELECT id, CAST(id % 4 AS INT) FROM range(400)")
+    // expression overwrite: day=2 is a whole-partition predicate
+    spark.sql("INSERT OVERWRITE lake.dyo.p PARTITION (day = 2) SELECT id + 5000 FROM range(7)")
+    val perDay = spark.sql(
+      "SELECT day, count(*) AS n FROM lake.dyo.p GROUP BY day ORDER BY day")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(perDay == Seq((0, 100L), (1, 100L), (2, 7L), (3, 100L)), s"got $perDay")
+    val ops = spark.sql(
+      "SELECT operation FROM lake.dyo.`p$snapshots` ORDER BY snapshot_id")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops.last == "overwrite-where", s"got $ops")
+  }
+
+  test("expression overwrite on a non-aligned predicate is rejected, data intact") {
+    import org.apache.spark.sql.functions.{col, lit}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.dyo")
+    spark.sql("DROP TABLE IF EXISTS lake.dyo.w")
+    spark.sql("CREATE TABLE lake.dyo.w (v BIGINT, day INT) PARTITIONED BY (day)")
+    spark.sql("INSERT INTO lake.dyo.w SELECT id, CAST(id % 4 AS INT) FROM range(400)")
+    // v=3 slices through every file: stats cannot prove any file fully
+    // matches, so the overwrite must refuse rather than lose rows
+    val e = intercept[Exception] {
+      spark.range(1).selectExpr("CAST(999 AS BIGINT) AS v", "CAST(0 AS INT) AS day")
+        .writeTo("lake.dyo.w").overwrite(col("v") === lit(3L))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("align")), e.toString)
+    assert(spark.table("lake.dyo.w").count() == 400L, "failed overwrite must change nothing")
+  }
+
+  test("dynamic overwrite racing an append to another partition: both land") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.dyo")
+    spark.sql("DROP TABLE IF EXISTS lake.dyo.race")
+    spark.sql("CREATE TABLE lake.dyo.race (day INT, v BIGINT) PARTITIONED BY (day)")
+    spark.sql("INSERT INTO lake.dyo.race SELECT CAST(id % 2 AS INT), id FROM range(200)")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val overwriter = new Thread(() =>
+      try withDynamicMode {
+        spark.sql("INSERT OVERWRITE lake.dyo.race SELECT CAST(0 AS INT), id + 7000 FROM range(3)")
+      } catch { case e: Throwable => errs.add(e) })
+    val appender = new Thread(() =>
+      try spark.sql("INSERT INTO lake.dyo.race SELECT CAST(1 AS INT), id + 9000 FROM range(4)")
+      catch { case e: Throwable => errs.add(e) })
+    overwriter.start(); appender.start()
+    overwriter.join(60000); appender.join(60000)
+    assert(errs.isEmpty, s"both commits must land via CAS rebase: ${errs.toArray.mkString}")
+    val perDay = spark.sql(
+      "SELECT day, count(*) AS n FROM lake.dyo.race GROUP BY day ORDER BY day")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // day=0 fully replaced by 3 rows; day=1 keeps its 100 plus 4 appended
+    assert(perDay == Seq((0, 3L), (1, 104L)), s"got $perDay")
+  }
+
   test("dynamic overwrite composes with bucket partitioning (replaces buckets)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.dyo")
     spark.sql("DROP TABLE IF EXISTS lake.dyo.b")
