@@ -118,6 +118,41 @@ class MergeOnReadSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("MERGE INTO ... WHEN NOT MATCHED BY SOURCE: full-sync semantics (merge-on-read)") {
+    val t = s"lake.mor.${uniq("sync")}"
+    spark.sql(s"CREATE TABLE $t (id INT, v STRING) TBLPROPERTIES ('write.merge.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('v', id) FROM range(0, 100)")
+    // source = [50, 120): rows in target but not source get deleted (sync),
+    // matched rows update, new source rows insert — one atomic commit
+    spark.sql(
+      s"""MERGE INTO $t USING (SELECT id FROM range(50, 120)) s
+         |ON $t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = 'synced'
+         |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, 'new')
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(spark.table(t).count() == 70, "target must equal the source id range")
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE v = 'synced'").head().getLong(0) == 50)
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE v = 'new'").head().getLong(0) == 20)
+    assert(spark.sql(s"SELECT min(id) FROM $t").head().getInt(0) == 50)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("MERGE INTO ... WHEN NOT MATCHED BY SOURCE THEN UPDATE (copy-on-write)") {
+    val t = s"lake.mor.${uniq("syncu")}"
+    spark.sql(s"CREATE TABLE $t (id INT, v STRING)") // default copy-on-write
+    spark.sql(s"INSERT INTO $t SELECT id, concat('v', id) FROM range(0, 100)")
+    // mark rows missing from the source instead of deleting them
+    spark.sql(
+      s"""MERGE INTO $t USING (SELECT id FROM range(0, 40)) s
+         |ON $t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = 'kept'
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'stale'""".stripMargin)
+    assert(spark.table(t).count() == 100)
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE v = 'kept'").head().getLong(0) == 40)
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE v = 'stale'").head().getLong(0) == 60)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("compaction folds tombstones: delete files dropped, rows unchanged, back on vectorized path") {
     val t = s"lake.mor.${uniq("cmp")}"
     spark.sql(s"CREATE TABLE $t (id INT, v STRING) TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
