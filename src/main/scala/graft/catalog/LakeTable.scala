@@ -523,11 +523,78 @@ final class LakeScanBuilder(
     ndv: Map[String, Long] = Map.empty,
     sortOrder: Seq[String] = Nil)
   extends ScanBuilder with SupportsPushDownCatalystFilters
-  with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+  with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+  with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var exprs: Seq[Expression] = Nil
   private var requiredSchema: StructType = tableSchema
   private var pushedAgg: Option[StatsAggregates.Pushed] = None
+  private var limit: Option[Int] = None
+  private var topN: Option[(String, Boolean, Int)] = None // (col, descending, n)
+
+  // ── limit / top-N FILE pruning ────────────────────────────────────────
+  // Partial pushdown (Spark keeps its Limit/TakeOrdered operator — we only
+  // shrink the file list, never the semantics): a LIMIT n needs at most
+  // the first files whose cumulative row count reaches n, and an ORDER BY
+  // k LIMIT n over range-written files needs only the files that can hold
+  // one of the n extreme values. On a 100 TB sorted table this turns
+  // "plan every split, cancel after the first task" into "plan one file".
+  // Sound only when no tombstones are pending (a tombstoned file's
+  // rowCount overstates its live rows, so a prefix could under-deliver).
+  override def pushLimit(n: Int): Boolean = {
+    if (deleteFiles.isEmpty && eqDeletes.isEmpty) limit = Some(n)
+    false // never fully pushed — Spark re-applies the limit
+  }
+  override def isPartiallyPushed(): Boolean = true
+
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    if (deleteFiles.isEmpty && eqDeletes.isEmpty) orders match {
+      case Array(o) => o.expression() match {
+        case r: NamedReference if r.fieldNames().length == 1 =>
+          topN = Some((r.fieldNames()(0), o.direction() == SortDirection.DESCENDING, n))
+        case _ => ()
+      }
+      case _ => ()
+    }
+    false // partial: Spark keeps TakeOrderedAndProject
+  }
+
+  /** Files that can hold one of the `n` extreme values of `c`: order by
+    * the relevant stat bound, take a prefix with >= n rows, then include
+    * every file whose range overlaps the prefix's worst-case cutoff (and
+    * any file with nulls or missing stats — unprovable, so kept). With
+    * range-distributed sorted writes the ranges are disjoint and this
+    * collapses to the minimal prefix.
+    */
+  private def topNPrune(files: Seq[DataFileMeta], c: String, desc: Boolean,
+      n: Int): Seq[DataFileMeta] = {
+    def stat(f: DataFileMeta, m: Map[String, String]): Option[BigDecimal] =
+      m.get(c).flatMap(s => try Some(BigDecimal(s)) catch { case _: Throwable => None })
+    def lo(f: DataFileMeta) = stat(f, f.minValues)
+    def hi(f: DataFileMeta) = stat(f, f.maxValues)
+    // a file with nulls can always contribute (nulls sort first asc /
+    // participate per null ordering) — keep it, and don't attempt pruning
+    // when any file lacks usable stats
+    if (files.isEmpty || files.exists(f => lo(f).isEmpty || hi(f).isEmpty ||
+        !f.nulls.get(c).contains(0L))) files
+    else {
+      val ordered = if (desc) files.sortBy(f => hi(f).get).reverse
+        else files.sortBy(f => lo(f).get)
+      var cum = 0L
+      val prefix = ordered.takeWhile { f =>
+        val need = cum < n
+        cum += f.rowCount
+        need
+      }
+      // worst-case bound on the n-th extreme value across the prefix
+      val cutoff = if (desc) prefix.flatMap(lo).min else prefix.flatMap(hi).max
+      files.filter(f =>
+        if (desc) hi(f).get >= cutoff else lo(f).get <= cutoff)
+    }
+  }
 
   // Metadata-only aggregates are sound only when the scan applies no
   // tombstones: any positional or equality delete file makes per-file row
@@ -566,8 +633,19 @@ final class LakeScanBuilder(
     val pf = partitionCols.map(PartField.parse)
     val survivors = files.filter(f => exprs.forall(e =>
       FilePruner.mayMatch(e, f, tableSchema) && BucketPruner.mayMatch(e, f, pf)))
-    onFilesSelected(survivors)
-    new LakeScan(ident, tableSchema, survivors, exprs, requiredSchema, options,
+    // limit/top-N file pruning (partial pushdown — Spark re-applies the
+    // operator above, so dropping provably-unneeded files is free)
+    val pruned = topN match {
+      case Some((c, desc, n)) => topNPrune(survivors, c, desc, n)
+      case None => limit match {
+        case Some(n) =>
+          var cum = 0L
+          survivors.takeWhile { f => val need = cum < n; cum += f.rowCount; need }
+        case None => survivors
+      }
+    }
+    onFilesSelected(pruned)
+    new LakeScan(ident, tableSchema, pruned, exprs, requiredSchema, options,
       runtimeFilterCols, onFilesSelected, microBatch, partitionCols, l2p, deleteFiles,
       eqDeletes, eqKeySchema, ndv, sortOrder)
   }

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Limit / top-N FILE pruning (SupportsPushDownLimit / SupportsPushDownTopN,
+  * both partial): LIMIT n plans only a row-count-covering prefix of files,
+  * and ORDER BY k LIMIT n over range-sorted files plans only the files that
+  * can hold one of the n extreme values. Spark re-applies the operator, so
+  * results are untouched — the win is not planning 10k splits to fetch 10
+  * rows.
+  */
+class LimitPushdownSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val scanFiles = "LakeScan\\(lake\\.lim\\.(\\w+), (\\d+) files\\)".r
+
+  private def filesPlanned(plan: String, table: String): Int =
+    scanFiles.findAllMatchIn(plan).collect {
+      case m if m.group(1) == table => m.group(2).toInt
+    }.min
+
+  test("LIMIT n plans only a covering prefix of files") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.lim")
+    spark.sql("DROP TABLE IF EXISTS lake.lim.t")
+    spark.sql("CREATE TABLE lake.lim.t (v BIGINT)")
+    (0 until 6).foreach(i =>
+      spark.sql(s"INSERT INTO lake.lim.t SELECT id + ${i * 100} FROM range(100)"))
+    val q = spark.sql("SELECT * FROM lake.lim.t LIMIT 5")
+    assert(q.collect().length == 5)
+    val planned = filesPlanned(q.queryExecution.executedPlan.toString, "t")
+    assert(planned == 1, s"LIMIT 5 over 6x100-row files must plan 1 file, got $planned")
+    // no limit -> all files
+    val full = spark.table("lake.lim.t")
+    assert(full.count() == 600)
+  }
+
+  test("ORDER BY k LIMIT n on a range-sorted table plans only the extreme files") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.lim")
+    spark.sql("DROP TABLE IF EXISTS lake.lim.s")
+    spark.sql("CREATE TABLE lake.lim.s (k BIGINT, v BIGINT)")
+    // disjoint per-file k ranges (the layout range-distributed sorted
+    // writes produce at scale, minus AQE coalescing these tiny inserts)
+    (0 until 5).foreach(i =>
+      spark.sql(s"INSERT INTO lake.lim.s SELECT id + ${i * 2000}, id FROM range(2000)"))
+    val nFiles = spark.sql("SELECT count(*) FROM lake.lim.`s$files`").head().getLong(0)
+    assert(nFiles > 1, s"need multiple files, got $nFiles")
+
+    // disjoint ranges -> the 3 smallest keys live in exactly one file
+    val asc = spark.sql("SELECT * FROM lake.lim.s ORDER BY k LIMIT 3")
+    assert(asc.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    val ascPlanned = filesPlanned(asc.queryExecution.executedPlan.toString, "s")
+    assert(ascPlanned == 1,
+      s"top-3 ascending must prune to 1 file ($ascPlanned of $nFiles planned)")
+
+    val desc = spark.sql("SELECT * FROM lake.lim.s ORDER BY k DESC LIMIT 3")
+    assert(desc.collect().map(_.getLong(0)).toSeq == Seq(9999L, 9998L, 9997L))
+    val descPlanned = filesPlanned(desc.queryExecution.executedPlan.toString, "s")
+    assert(descPlanned == 1,
+      s"top-3 descending must prune to 1 file ($descPlanned of $nFiles planned)")
+  }
+
+  test("pending tombstones disable limit pruning (soundness)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.lim")
+    spark.sql("DROP TABLE IF EXISTS lake.lim.d")
+    spark.sql(
+      "CREATE TABLE lake.lim.d (v BIGINT) TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    (0 until 3).foreach(i =>
+      spark.sql(s"INSERT INTO lake.lim.d SELECT id + ${i * 10} FROM range(10)"))
+    // kill most of the first file's rows: a naive 1-file prefix would
+    // under-deliver LIMIT 8
+    spark.sql("DELETE FROM lake.lim.d WHERE v < 9")
+    val q = spark.sql("SELECT * FROM lake.lim.d LIMIT 8")
+    assert(q.collect().length == 8, "limit must still deliver 8 live rows")
+  }
+}
