@@ -1588,6 +1588,224 @@ object LlmPipeline {
       import s.implicits._
       rows.toDF("src_a", "src_b", "n_a", "n_b", "n_inter", "n_union", "jaccard")
         .orderBy("src_a", "src_b")
+    },
+
+    // ───── q99: incremental near-dup against a persisted band index ──────
+    // The production shape of q28: dedup TODAY'S batch against the whole
+    // historical corpus WITHOUT rescanning history. The corpus's minhash
+    // band fingerprints live in a catalog table (bucket-partitioned on the
+    // band hash); each incoming batch (1) probes its bands against the
+    // index — shuffle cost O(batch + matched index rows), never O(corpus)
+    // — (2) exact-verifies the candidates at J>=0.6, (3) APPENDS its own
+    // bands in an O(batch) commit so the next batch dedups against it.
+    // Two consecutive batches run here; the second provably sees the
+    // first (its accepted docs are probe targets). The oracle computes
+    // the same cross-batch pairs by brute force; banding misses a J>=0.6
+    // pair with probability ~4e-8 (q28's analysis), so the exact-verified
+    // output matches deterministically in practice.
+    QueryDef.df(
+      "q99_incremental_neardup",
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(
+        |    [lower(text).string_split(' ')[i] || ' ' || lower(text).string_split(' ')[i+1] || ' ' || lower(text).string_split(' ')[i+2]
+        |     for i in range(1, greatest(len(string_split(lower(text),' ')) - 1, 2))]) AS sh
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |FROM d a JOIN d b ON
+        |  ((b.doc_id >= 350 AND b.doc_id < 425 AND a.doc_id < 350) OR
+        |   (b.doc_id >= 425 AND a.doc_id < 425))
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val bands = 16
+      val rpb = 4
+      val docs = t(s, dir, "documents")
+      def shingled(df: DataFrame) = df.select(col("doc_id"), shingles3(col("text")).as("sh"))
+      def bandsOf(df: DataFrame): DataFrame = {
+        val sigs = shingled(df).select(col("doc_id"),
+          minhashSignature(col("sh"), bands * rpb, 42L).as("sig"))
+        val bandStructs = (0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            xxhash64(slice(col("sig"), b * rpb + 1, rpb)).as("bh")))
+        sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
+          .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS lake.verify")
+      s.sql("DROP TABLE IF EXISTS lake.verify.nd_idx")
+      s.sql(
+        """CREATE TABLE lake.verify.nd_idx (doc_id BIGINT, band INT, bh BIGINT)
+          |PARTITIONED BY (bucket(8, bh))""".stripMargin)
+      bandsOf(docs.filter(col("doc_id") < 350)).writeTo("lake.verify.nd_idx").append()
+      val shAll = shingled(docs)
+      // probe the CURRENT index, then ingest the batch (O(batch) append);
+      // results materialize before the ingest so batch N never probes
+      // itself — pair counts are result-scale, the corpus never collects
+      def probeAndIngest(lo: Long, hi: Long): Seq[(Long, Long, Double)] = {
+        val batch = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        val probe = bandsOf(batch).select(col("doc_id").as("id_b"), col("band"), col("bh"))
+        val idx = s.table("lake.verify.nd_idx")
+          .select(col("doc_id").as("id_a"), col("band"), col("bh"))
+        val cands = probe.join(idx, Seq("band", "bh"))
+          .select(col("id_a"), col("id_b")).distinct()
+        val out = cands
+          .join(shAll.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+          .join(shAll.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+          .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+          .filter(col("jaccard") >= 0.6)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        bandsOf(batch).writeTo("lake.verify.nd_idx").append()
+        out
+      }
+      val pairs = probeAndIngest(350, 425) ++ probeAndIngest(425, 500)
+      import s.implicits._
+      pairs.toDF("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")
+    },
+
+    // ───── q100: the full curation pipeline, end to end ──────────────────
+    // The capstone composition — the whole corpus-curation funnel a
+    // training run actually uses, every stage one of this engine's
+    // already-oracled operators, chained over ONE corpus with per-stage
+    // retention accounting: language filter (q34's heuristic) → quality
+    // cut (q35's score ≥ 0.6) → benchmark decontamination (q76's shared
+    // 4-gram rule) → exact dedup (q27, keep first) → near-dup dedup (q28's
+    // LSH + exact verify at J≥0.6, drop the newer of each pair) →
+    // deterministic 50% sample (q57's md5 rule). Output = docs/tokens
+    // surviving each stage — the funnel report a curator reads. Every
+    // stage is a hash-agg / join / filter over the previous survivor set;
+    // nothing rescans the corpus more than the stage needs, nothing
+    // collects rows to the driver, and the oracle replays the identical
+    // funnel in SQL (IEEE-identical arithmetic, same tie handling).
+    QueryDef.df(
+      "q100_curation_pipeline",
+      """WITH d0 AS (
+        |  SELECT doc_id, text, n_chars, string_split(lower(text), ' ') AS w FROM documents),
+        |l1 AS (SELECT * FROM d0 WHERE
+        |  CASE
+        |    WHEN (' ' || lower(text) || ' ') LIKE '% the %' OR (' ' || lower(text) || ' ') LIKE '% and %' THEN 'en'
+        |    WHEN (' ' || lower(text) || ' ') LIKE '% der %' OR (' ' || lower(text) || ' ') LIKE '% und %' THEN 'de'
+        |    WHEN (' ' || lower(text) || ' ') LIKE '% les %' OR (' ' || lower(text) || ' ') LIKE '% est %' THEN 'fr'
+        |    WHEN (' ' || lower(text) || ' ') LIKE '% los %' OR (' ' || lower(text) || ' ') LIKE '% una %' THEN 'es'
+        |    ELSE 'und'
+        |  END = 'en'),
+        |l2 AS (SELECT * FROM l1 WHERE
+        |  (CASE WHEN n_chars BETWEEN 120 AND 2000 THEN 0.4 ELSE 0.1 END)
+        |  + 0.4 * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
+        |  + (CASE WHEN CAST(n_chars AS DOUBLE) / len(w) BETWEEN 3 AND 9 THEN 0.2 ELSE 0.0 END)
+        |  >= 0.6),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(w[i:i+3], ' ') AS g
+        |  FROM d0, unnest(range(1, len(w) - 2)) AS t(i)),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 5),
+        |contam AS (
+        |  SELECT c.doc_id FROM grams c JOIN bench USING (g)
+        |  WHERE c.doc_id >= 5 GROUP BY c.doc_id HAVING count(DISTINCT c.g) >= 2),
+        |l3 AS (SELECT * FROM l2 WHERE doc_id >= 5
+        |  AND doc_id NOT IN (SELECT doc_id FROM contam)),
+        |keepers AS (SELECT min(doc_id) AS doc_id FROM l3 GROUP BY md5(lower(text))),
+        |l4 AS (SELECT * FROM l3 WHERE doc_id IN (SELECT doc_id FROM keepers)),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [lower(text).string_split(' ')[i] || ' ' || lower(text).string_split(' ')[i+1] || ' ' || lower(text).string_split(' ')[i+2]
+        |     for i in range(1, greatest(len(string_split(lower(text),' ')) - 1, 2))]) AS shg
+        |  FROM l4),
+        |dropped AS (
+        |  SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.shg, b.shg)) AS DOUBLE)
+        |    / (len(a.shg) + len(b.shg) - len(list_intersect(a.shg, b.shg))) >= 0.6),
+        |l5 AS (SELECT * FROM l4 WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+        |l6 AS (SELECT * FROM l5 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'),
+        |stages AS (
+        |  SELECT 0 AS stage, 'corpus' AS label, count(*) AS n, sum(len(w)) AS tok FROM d0
+        |  UNION ALL SELECT 1, 'lang_en', count(*), sum(len(w)) FROM l1
+        |  UNION ALL SELECT 2, 'quality', count(*), sum(len(w)) FROM l2
+        |  UNION ALL SELECT 3, 'decontaminated', count(*), sum(len(w)) FROM l3
+        |  UNION ALL SELECT 4, 'exact_dedup', count(*), sum(len(w)) FROM l4
+        |  UNION ALL SELECT 5, 'near_dedup', count(*), sum(len(w)) FROM l5
+        |  UNION ALL SELECT 6, 'sampled', count(*), sum(len(w)) FROM l6)
+        |SELECT CAST(stage AS BIGINT) AS stage, label,
+        |  CAST(n AS BIGINT) AS n_docs, CAST(tok AS BIGINT) AS n_tokens
+        |FROM stages ORDER BY stage""".stripMargin) { (s, dir) =>
+      val d0 = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars"),
+          words(col("text")).as("w"))
+      // stage 1: language filter (q34's stopword heuristic, 'en' only)
+      val padded = concat(lit(" "), lower(col("text")), lit(" "))
+      val predicted =
+        when(padded.contains(" the ") || padded.contains(" and "), "en")
+          .when(padded.contains(" der ") || padded.contains(" und "), "de")
+          .when(padded.contains(" les ") || padded.contains(" est "), "fr")
+          .when(padded.contains(" los ") || padded.contains(" una "), "es")
+          .otherwise("und")
+      val l1 = d0.filter(predicted === "en")
+      // stage 2: quality cut (q35's score, SAME operation order as the
+      // oracle so the >= 0.6 boundary decides identically in IEEE)
+      val q = when(col("n_chars").between(120, 2000), 0.4).otherwise(0.1) +
+        lit(0.4) * (size(array_distinct(col("w"))).cast("double") / size(col("w"))) +
+        when((col("n_chars").cast("double") / size(col("w"))).between(3, 9), 0.2)
+          .otherwise(0.0)
+      val l2 = l1.filter(q >= 0.6)
+      // stage 3: decontamination (q76's rule: >= 2 shared distinct
+      // 4-grams with the benchmark docs; bench docs themselves dropped)
+      def grams4(df: DataFrame) = df.select(col("doc_id"),
+        expr("explode_ngrams(split(lower(text), ' '), 4)").as("g"))
+      val bench = grams4(d0.filter(col("doc_id") < 5)).select("g").distinct()
+      val contam = grams4(d0.filter(col("doc_id") >= 5))
+        .join(broadcast(bench), "g")
+        .groupBy("doc_id").agg(countDistinct(col("g")).as("ns"))
+        .filter(col("ns") >= 2).select("doc_id")
+      val l3 = l2.filter(col("doc_id") >= 5)
+        .join(contam, Seq("doc_id"), "left_anti")
+      // stage 4: exact dedup among survivors (keep the first doc per
+      // fingerprint — one hash-agg + one semi-join)
+      val keepers = l3.groupBy(md5(lower(col("text"))).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val l4 = l3.join(keepers, Seq("doc_id"), "left_semi")
+      // stage 5: near-dup dedup (q28's LSH + exact verify at J>=0.6;
+      // drop the newer doc of each verified pair)
+      val shL4 = l4.select(col("doc_id"), shingles3(col("text")).as("sh"))
+      val bands = 16
+      val rpb = 4
+      val sigs = shL4.select(col("doc_id"),
+        minhashSignature(col("sh"), bands * rpb, 42L).as("sig"))
+      val bandStructs = (0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rpb + 1, rpb)).as("bh")))
+      val cands = sigs
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
+        .select(col("doc_id"), col("e.band"), col("e.bh"))
+        .groupBy("band", "bh")
+        .agg(sort_array(collect_list("doc_id")).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(flatten(transform(col("ids"), (a, i) =>
+          transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+            struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+        .select(col("p.id_a"), col("p.id_b"))
+        .distinct()
+      val dropped = cands
+        .join(shL4.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(shL4.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.6)
+        .select(col("id_b").as("doc_id")).distinct()
+      val l5 = l4.join(dropped, Seq("doc_id"), "left_anti")
+      // stage 6: deterministic 50% sample (q57's md5 rule — reproducible
+      // on any engine, no RNG state)
+      val l6 = l5.filter(
+        substring(md5(col("doc_id").cast("string")), 1, 1) < "8")
+      // funnel report: one row per stage
+      def stage(df: DataFrame, idx: Int, label: String): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"), sum(size(col("w"))).as("n_tokens"))
+          .select(lit(idx.toLong).as("stage"), lit(label).as("label"),
+            col("n_docs").cast("long"), col("n_tokens").cast("long"))
+      stage(d0, 0, "corpus")
+        .unionAll(stage(l1, 1, "lang_en"))
+        .unionAll(stage(l2, 2, "quality"))
+        .unionAll(stage(l3, 3, "decontaminated"))
+        .unionAll(stage(l4, 4, "exact_dedup"))
+        .unionAll(stage(l5, 5, "near_dedup"))
+        .unionAll(stage(l6, 6, "sampled"))
+        .orderBy("stage")
     })
 
   /** SemDeDup core: assign each vector to its nearest of `k` md5-seeded

@@ -110,7 +110,9 @@ class GoldenSpec extends AnyFunSuite {
     "q95_heavy_hitters" -> 58L,
     "q96_source_overlap" -> 190L,
     "q97_sorted_spj_join" -> 5L,
-    "q98_dynamic_overwrite" -> 5L)
+    "q98_dynamic_overwrite" -> 5L,
+    "q99_incremental_neardup" -> 14L,
+    "q100_curation_pipeline" -> 7L)
 
   test("every registered query has a golden count (add one when adding a query)") {
     assert(SparkEntry.queries.keySet == golden.keySet,

@@ -39,6 +39,31 @@ class RuntimePruningSpec extends AnyFunSuite {
       s"runtime filter should prune the fact scan to 1 file, got $counts:\n$plan")
   }
 
+  test("bucketed-table join with an unbucketed side: only the unbucketed side shuffles") {
+    val prevShuffle = spark.conf.get("spark.sql.sources.v2.bucketing.shuffle.enabled", "false")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.dpp")
+      spark.sql("DROP TABLE IF EXISTS lake.dpp.idx")
+      spark.sql("CREATE TABLE lake.dpp.idx (k BIGINT, v BIGINT) PARTITIONED BY (bucket(8, k))")
+      spark.sql("INSERT INTO lake.dpp.idx SELECT id % 500, id FROM range(5000)")
+      val probe = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS w")
+      val j = spark.table("lake.dpp.idx").join(probe, "k")
+      assert(j.count() == 1000L) // 100 probe keys x 10 rows each
+      val plan = j.queryExecution.executedPlan.toString
+      val nExchanges = "Exchange".r.findAllIn(plan).size
+      // the bucketed index side reports its storage partitioning; only the
+      // ad-hoc probe side should need an exchange (storage-aligned join)
+      assert(nExchanges <= 1,
+        s"expected at most one exchange (probe side only), got $nExchanges:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", prevShuffle)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("runtime pruning composes with bucket partitioning") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.dpp")
     spark.sql("DROP TABLE IF EXISTS lake.dpp.bfact")
