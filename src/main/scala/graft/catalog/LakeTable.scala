@@ -562,39 +562,6 @@ final class LakeScanBuilder(
     false // partial: Spark keeps TakeOrderedAndProject
   }
 
-  /** Files that can hold one of the `n` extreme values of `c`: order by
-    * the relevant stat bound, take a prefix with >= n rows, then include
-    * every file whose range overlaps the prefix's worst-case cutoff (and
-    * any file with nulls or missing stats — unprovable, so kept). With
-    * range-distributed sorted writes the ranges are disjoint and this
-    * collapses to the minimal prefix.
-    */
-  private def topNPrune(files: Seq[DataFileMeta], c: String, desc: Boolean,
-      n: Int): Seq[DataFileMeta] = {
-    def stat(f: DataFileMeta, m: Map[String, String]): Option[BigDecimal] =
-      m.get(c).flatMap(s => try Some(BigDecimal(s)) catch { case _: Throwable => None })
-    def lo(f: DataFileMeta) = stat(f, f.minValues)
-    def hi(f: DataFileMeta) = stat(f, f.maxValues)
-    // a file with nulls can always contribute (nulls sort first asc /
-    // participate per null ordering) — keep it, and don't attempt pruning
-    // when any file lacks usable stats
-    if (files.isEmpty || files.exists(f => lo(f).isEmpty || hi(f).isEmpty ||
-        !f.nulls.get(c).contains(0L))) files
-    else {
-      val ordered = if (desc) files.sortBy(f => hi(f).get).reverse
-        else files.sortBy(f => lo(f).get)
-      var cum = 0L
-      val prefix = ordered.takeWhile { f =>
-        val need = cum < n
-        cum += f.rowCount
-        need
-      }
-      // worst-case bound on the n-th extreme value across the prefix
-      val cutoff = if (desc) prefix.flatMap(lo).min else prefix.flatMap(hi).max
-      files.filter(f =>
-        if (desc) hi(f).get >= cutoff else lo(f).get <= cutoff)
-    }
-  }
 
   // Metadata-only aggregates are sound only when the scan applies no
   // tombstones: any positional or equality delete file makes per-file row
@@ -636,7 +603,7 @@ final class LakeScanBuilder(
     // limit/top-N file pruning (partial pushdown — Spark re-applies the
     // operator above, so dropping provably-unneeded files is free)
     val pruned = topN match {
-      case Some((c, desc, n)) => topNPrune(survivors, c, desc, n)
+      case Some((c, desc, n)) => TopNPrune.prune(survivors, c, desc, n)
       case None => limit match {
         case Some(n) =>
           var cum = 0L
@@ -648,6 +615,45 @@ final class LakeScanBuilder(
     new LakeScan(ident, tableSchema, pruned, exprs, requiredSchema, options,
       runtimeFilterCols, onFilesSelected, microBatch, partitionCols, l2p, deleteFiles,
       eqDeletes, eqKeySchema, ndv, sortOrder)
+  }
+}
+
+/** Top-N file selection from manifest stats (the SupportsPushDownTopN
+  * half of limit pushdown): files that can hold one of the `n` extreme
+  * values of a column — order files by the relevant stat bound, take a
+  * prefix with >= n rows, then include every file whose range overlaps
+  * the prefix's worst-case cutoff (and any file with nulls or missing
+  * stats — unprovable, so kept). With range-distributed sorted writes
+  * the ranges are disjoint and this collapses to the minimal prefix.
+  * Soundness is property-tested against adversarial row placements
+  * (PropertySpec).
+  */
+private[graft] object TopNPrune {
+  def prune(files: Seq[DataFileMeta], c: String, desc: Boolean,
+      n: Int): Seq[DataFileMeta] = {
+    def stat(f: DataFileMeta, m: Map[String, String]): Option[BigDecimal] =
+      m.get(c).flatMap(s => try Some(BigDecimal(s)) catch { case _: Throwable => None })
+    def lo(f: DataFileMeta) = stat(f, f.minValues)
+    def hi(f: DataFileMeta) = stat(f, f.maxValues)
+    // a file with nulls can always contribute (nulls sort first asc /
+    // participate per null ordering) — keep it, and don't attempt pruning
+    // when any file lacks usable stats
+    if (files.isEmpty || files.exists(f => lo(f).isEmpty || hi(f).isEmpty ||
+        !f.nulls.get(c).contains(0L))) files
+    else {
+      val ordered = if (desc) files.sortBy(f => hi(f).get).reverse
+        else files.sortBy(f => lo(f).get)
+      var cum = 0L
+      val prefix = ordered.takeWhile { f =>
+        val need = cum < n
+        cum += f.rowCount
+        need
+      }
+      // worst-case bound on the n-th extreme value across the prefix
+      val cutoff = if (desc) prefix.flatMap(lo).min else prefix.flatMap(hi).max
+      files.filter(f =>
+        if (desc) hi(f).get >= cutoff else lo(f).get <= cutoff)
+    }
   }
 }
 
@@ -891,6 +897,26 @@ final class LakeScan(
       override def columnStats(): java.util.Map[NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
         import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+        // typed min/max over the SELECTED files (exact — the writer tracks
+        // full values), for the types Catalyst's estimation consumes as
+        // plain JVM boxes; feeds range-filter selectivity once CBO is on
+        def bound(f: StructField, stats: DataFileMeta => Map[String, String],
+            wantMin: Boolean): Option[Any] = {
+          val raw = files.map(x => stats(x).get(f.name))
+          if (files.isEmpty || raw.exists(_.isEmpty)) None
+          else try {
+            val vals = raw.flatten
+            val pick = if (wantMin) vals.minBy(BigDecimal(_)) else vals.maxBy(BigDecimal(_))
+            f.dataType match {
+              case IntegerType | DateType => Some(pick.toInt)
+              case LongType | TimestampType | TimestampNTZType => Some(pick.toLong)
+              case DoubleType => Some(pick.toDouble)
+              case FloatType => Some(pick.toFloat)
+              case ShortType => Some(pick.toShort)
+              case _ => None
+            }
+          } catch { case _: Exception => None }
+        }
         val m = new java.util.HashMap[NamedReference, ColumnStatistics]()
         tableSchema.fields.foreach { f =>
           val ndvOpt = ndv.get(f.name)
@@ -898,12 +924,20 @@ final class LakeScan(
             if (files.nonEmpty && files.forall(_.nulls.contains(f.name)))
               Some(files.map(_.nulls(f.name)).sum)
             else None
-          if (ndvOpt.isDefined || nullsOpt.isDefined) {
+          val minOpt = bound(f, _.minValues, wantMin = true)
+          val maxOpt = bound(f, _.maxValues, wantMin = false)
+          if (ndvOpt.isDefined || nullsOpt.isDefined || minOpt.isDefined) {
             m.put(Expressions.column(f.name), new ColumnStatistics {
               override def distinctCount(): java.util.OptionalLong =
                 ndvOpt.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
               override def nullCount(): java.util.OptionalLong =
                 nullsOpt.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+              override def min(): java.util.Optional[Object] =
+                minOpt.fold(java.util.Optional.empty[Object]())(v =>
+                  java.util.Optional.of(v.asInstanceOf[Object]))
+              override def max(): java.util.Optional[Object] =
+                maxOpt.fold(java.util.Optional.empty[Object]())(v =>
+                  java.util.Optional.of(v.asInstanceOf[Object]))
             })
           }
         }

@@ -1730,7 +1730,11 @@ object LlmPipeline {
       val d0 = t(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("n_chars"),
           words(col("text")).as("w"))
-      // stage 1: language filter (q34's stopword heuristic, 'en' only)
+      // stages 1-2 are row-local FLAGS (no set dependence): the funnel is
+      // computed as nested booleans per document and aggregated in ONE
+      // conditional pass at the end — a naive per-stage re-aggregation
+      // re-executes the whole cascade once per stage (7 corpus passes;
+      // measured 3x slower at sf0.1 and fatal at 100 TB).
       val padded = concat(lit(" "), lower(col("text")), lit(" "))
       val predicted =
         when(padded.contains(" the ") || padded.contains(" and "), "en")
@@ -1738,14 +1742,15 @@ object LlmPipeline {
           .when(padded.contains(" les ") || padded.contains(" est "), "fr")
           .when(padded.contains(" los ") || padded.contains(" una "), "es")
           .otherwise("und")
-      val l1 = d0.filter(predicted === "en")
-      // stage 2: quality cut (q35's score, SAME operation order as the
-      // oracle so the >= 0.6 boundary decides identically in IEEE)
+      // q35's score, SAME operation order as the oracle so the >= 0.6
+      // boundary decides identically in IEEE
       val q = when(col("n_chars").between(120, 2000), 0.4).otherwise(0.1) +
         lit(0.4) * (size(array_distinct(col("w"))).cast("double") / size(col("w"))) +
         when((col("n_chars").cast("double") / size(col("w"))).between(3, 9), 0.2)
           .otherwise(0.0)
-      val l2 = l1.filter(q >= 0.6)
+      val base = d0
+        .withColumn("s1", predicted === "en")
+        .withColumn("s2", col("s1") && q >= 0.6)
       // stage 3: decontamination (q76's rule: >= 2 shared distinct
       // 4-grams with the benchmark docs; bench docs themselves dropped)
       def grams4(df: DataFrame) = df.select(col("doc_id"),
@@ -1754,17 +1759,25 @@ object LlmPipeline {
       val contam = grams4(d0.filter(col("doc_id") >= 5))
         .join(broadcast(bench), "g")
         .groupBy("doc_id").agg(countDistinct(col("g")).as("ns"))
-        .filter(col("ns") >= 2).select("doc_id")
-      val l3 = l2.filter(col("doc_id") >= 5)
-        .join(contam, Seq("doc_id"), "left_anti")
-      // stage 4: exact dedup among survivors (keep the first doc per
-      // fingerprint — one hash-agg + one semi-join)
-      val keepers = l3.groupBy(md5(lower(col("text"))).as("fp"))
-        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-      val l4 = l3.join(keepers, Seq("doc_id"), "left_semi")
-      // stage 5: near-dup dedup (q28's LSH + exact verify at J>=0.6;
-      // drop the newer doc of each verified pair)
-      val shL4 = l4.select(col("doc_id"), shingles3(col("text")).as("sh"))
+        .filter(col("ns") >= 2).select(col("doc_id"), lit(true).as("contaminated"))
+      val withS3 = base.join(contam, Seq("doc_id"), "left")
+        .withColumn("s3", col("s2") && col("doc_id") >= 5 &&
+          !coalesce(col("contaminated"), lit(false)))
+        .drop("contaminated")
+      // stage 4: exact dedup among stage-3 survivors (keep the first doc
+      // per fingerprint — one hash-agg + one join; keepers ⊆ survivors,
+      // so the flag implies s3)
+      val keepers = withS3.filter(col("s3"))
+        .groupBy(md5(lower(col("text"))).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), lit(true).as("kept"))
+      val withS4 = withS3.join(keepers, Seq("doc_id"), "left")
+        .withColumn("s4", coalesce(col("kept"), lit(false))).drop("kept")
+      // stage 5: near-dup dedup among stage-4 survivors (q28's LSH +
+      // exact verify at J>=0.6; drop the newer doc of each pair) — the
+      // LSH subplan appears ONCE in the DAG
+      val shL4 = withS4.filter(col("s4"))
+        .select(col("doc_id"), shingles3(col("text")).as("sh"))
       val bands = 16
       val rpb = 4
       val sigs = shL4.select(col("doc_id"),
@@ -1788,24 +1801,29 @@ object LlmPipeline {
         .join(shL4.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
         .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.6)
         .select(col("id_b").as("doc_id")).distinct()
-      val l5 = l4.join(dropped, Seq("doc_id"), "left_anti")
-      // stage 6: deterministic 50% sample (q57's md5 rule — reproducible
-      // on any engine, no RNG state)
-      val l6 = l5.filter(
-        substring(md5(col("doc_id").cast("string")), 1, 1) < "8")
-      // funnel report: one row per stage
-      def stage(df: DataFrame, idx: Int, label: String): DataFrame =
-        df.agg(count(lit(1)).as("n_docs"), sum(size(col("w"))).as("n_tokens"))
-          .select(lit(idx.toLong).as("stage"), lit(label).as("label"),
-            col("n_docs").cast("long"), col("n_tokens").cast("long"))
-      stage(d0, 0, "corpus")
-        .unionAll(stage(l1, 1, "lang_en"))
-        .unionAll(stage(l2, 2, "quality"))
-        .unionAll(stage(l3, 3, "decontaminated"))
-        .unionAll(stage(l4, 4, "exact_dedup"))
-        .unionAll(stage(l5, 5, "near_dedup"))
-        .unionAll(stage(l6, 6, "sampled"))
-        .orderBy("stage")
+        .withColumn("dup", lit(true))
+      val flagged = withS4.join(dropped, Seq("doc_id"), "left")
+        .withColumn("s5", col("s4") && !coalesce(col("dup"), lit(false)))
+        .drop("dup")
+        // stage 6: deterministic 50% sample (q57's md5 rule)
+        .withColumn("s6", col("s5") &&
+          substring(md5(col("doc_id").cast("string")), 1, 1) < "8")
+      // ONE conditional aggregation pass produces the whole funnel
+      val flags = Seq("s1", "s2", "s3", "s4", "s5", "s6")
+      val aggs =
+        Seq(count(lit(1)).cast("long").as("n0"),
+          sum(size(col("w"))).cast("long").as("t0")) ++
+        flags.zipWithIndex.flatMap { case (f, i) =>
+          Seq(sum(when(col(f), 1L).otherwise(0L)).as(s"n${i + 1}"),
+            sum(when(col(f), size(col("w"))).otherwise(0)).cast("long").as(s"t${i + 1}"))
+        }
+      val row = flagged.agg(aggs.head, aggs.tail: _*).head()
+      val labels = Seq("corpus", "lang_en", "quality", "decontaminated",
+        "exact_dedup", "near_dedup", "sampled")
+      import s.implicits._
+      labels.zipWithIndex.map { case (label, i) =>
+        (i.toLong, label, row.getLong(2 * i), row.getLong(2 * i + 1))
+      }.toDF("stage", "label", "n_docs", "n_tokens").orderBy("stage")
     })
 
   /** SemDeDup core: assign each vector to its nearest of `k` md5-seeded

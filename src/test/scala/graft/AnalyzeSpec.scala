@@ -77,6 +77,20 @@ class AnalyzeSpec extends AnyFunSuite {
     assert(stats.rowCount.map(_.toLong).contains(200L))
   }
 
+  test("scan reports exact typed min/max bounds for CBO range selectivity") {
+    val t = s"lake.stats.${uniq("mm")}"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.stats")
+    spark.sql(s"CREATE TABLE $t (k INT, x BIGINT, d DOUBLE, s STRING)")
+    spark.sql(s"INSERT INTO $t SELECT CAST(id % 50 AS INT), id * 3, " +
+      s"CAST(id AS DOUBLE) / 4, concat('v', id) FROM range(200)")
+    val byName = v2Stats(t).attributeStats.map { case (a, cs) => a.name -> cs }
+    assert(byName("k").min.contains(0) && byName("k").max.contains(49), s"k: ${byName.get("k")}")
+    assert(byName("x").min.contains(0L) && byName("x").max.contains(597L))
+    assert(byName("d").min.contains(0.0) && byName("d").max.contains(49.75))
+    // strings carry no typed bounds (estimation doesn't consume them)
+    assert(byName.get("s").forall(cs => cs.min.isEmpty && cs.max.isEmpty))
+  }
+
   test("CALL lake.system.analyze works through SQL; NDV survives reload") {
     val t = s"lake.stats.${uniq("sqlp")}"
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.stats")

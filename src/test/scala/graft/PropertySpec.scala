@@ -113,6 +113,52 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("top-N file pruning is sound under adversarial row placement") {
+    // any placement of each file's rows consistent with its stats (min and
+    // max attained, rowCount rows in [min,max]) must have its true top-n
+    // rows inside the selected files. The adversary stacks every row at
+    // the extreme end (plus one at the other to attain the max stat).
+    val genFiles: Gen[List[DataFileMeta]] = for {
+      nf <- Gen.choose(1, 10)
+      fs <- Gen.listOfN(nf, for {
+        lo <- Gen.choose(-1000L, 1000L)
+        span <- Gen.choose(0L, 500L)
+        rows <- Gen.choose(1L, 50L)
+      } yield (lo, lo + span, rows))
+    } yield fs.zipWithIndex.map { case ((lo, hi, rows), i) =>
+      DataFileMeta(s"/w/f$i.parquet", rows, 100L,
+        Map("k" -> lo.toString), Map("k" -> hi.toString), Map("k" -> 0L))
+    }
+    forAll(genFiles, Gen.choose(1, 20)) { (files, n) =>
+      for (desc <- Seq(false, true)) {
+        val selected = graft.catalog.TopNPrune.prune(files, "k", desc, n).map(_.path).toSet
+        // worst-case placement AGAINST the selection: excluded files put
+        // every row at their most competitive end, selected files at
+        // their least competitive end (one row at the opposite end keeps
+        // both stats attained). Soundness = the n extreme VALUES of the
+        // full corpus equal those computable from selected files alone
+        // (ties by value are interchangeable for LIMIT semantics).
+        val rows: Seq[(Long, String)] = files.flatMap { f =>
+          val lo = f.minValues("k").toLong
+          val hi = f.maxValues("k").toLong
+          val competitive = if (desc) hi else lo
+          val anti = if (desc) lo else hi
+          val stack = if (selected(f.path)) anti else competitive
+          val other = if (selected(f.path)) competitive else anti
+          Seq.fill((f.rowCount - 1).toInt)((stack, f.path)) :+ ((other, f.path))
+        }
+        def topVals(rs: Seq[(Long, String)]): Seq[Long] =
+          (if (desc) rs.map(_._1).sorted(Ordering[Long].reverse)
+           else rs.map(_._1).sorted).take(n)
+        val full = topVals(rows)
+        val fromSelected = topVals(rows.filter(r => selected(r._2)))
+        assert(full == fromSelected,
+          s"desc=$desc n=$n: full-corpus top values $full != selected-only $fromSelected " +
+            s"(selected=$selected, files=${files.map(f => (f.path, f.minValues("k"), f.maxValues("k"), f.rowCount))})")
+      }
+    }
+  }
+
   test("commit algebra: random append/delta/rewrite/overwrite sequences keep the model") {
     commitAlgebra(Map.empty)
   }
