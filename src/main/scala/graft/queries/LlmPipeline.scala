@@ -1658,7 +1658,16 @@ object LlmPipeline {
         bandsOf(batch).writeTo("lake.verify.nd_idx").append()
         out
       }
-      val pairs = probeAndIngest(350, 425) ++ probeAndIngest(425, 500)
+      // storage-aligned probe: with v2 bucketing shuffle on, the join
+      // repartitions ONLY the batch side to match the index's bucket
+      // layout — the 100 TB index is read in place (plan-asserted in
+      // RuntimePruningSpec). Execution is eager inside probeAndIngest,
+      // so the conf toggle cannot leak into other queries.
+      val prevShuffle = s.conf.get("spark.sql.sources.v2.bucketing.shuffle.enabled", "false")
+      s.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+      val pairs =
+        try probeAndIngest(350, 425) ++ probeAndIngest(425, 500)
+        finally s.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", prevShuffle)
       import s.implicits._
       pairs.toDF("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")
     },
