@@ -603,7 +603,11 @@ final class LakeScanBuilder(
     // limit/top-N file pruning (partial pushdown — Spark re-applies the
     // operator above, so dropping provably-unneeded files is free)
     val pruned = topN match {
-      case Some((c, desc, n)) => TopNPrune.prune(survivors, c, desc, n)
+      case Some((c, desc, n)) =>
+        tableSchema.fields.find(_.name == c) match {
+          case Some(f) => TopNPrune.prune(survivors, c, f.dataType, desc, n)
+          case None => survivors
+        }
       case None => limit match {
         case Some(n) =>
           var cum = 0L
@@ -629,31 +633,49 @@ final class LakeScanBuilder(
   * (PropertySpec).
   */
 private[graft] object TopNPrune {
-  def prune(files: Seq[DataFileMeta], c: String, desc: Boolean,
-      n: Int): Seq[DataFileMeta] = {
-    def stat(f: DataFileMeta, m: Map[String, String]): Option[BigDecimal] =
-      m.get(c).flatMap(s => try Some(BigDecimal(s)) catch { case _: Throwable => None })
-    def lo(f: DataFileMeta) = stat(f, f.minValues)
-    def hi(f: DataFileMeta) = stat(f, f.maxValues)
-    // a file with nulls can always contribute (nulls sort first asc /
-    // participate per null ordering) — keep it, and don't attempt pruning
-    // when any file lacks usable stats
-    if (files.isEmpty || files.exists(f => lo(f).isEmpty || hi(f).isEmpty ||
-        !f.nulls.get(c).contains(0L))) files
-    else {
-      val ordered = if (desc) files.sortBy(f => hi(f).get).reverse
-        else files.sortBy(f => lo(f).get)
-      var cum = 0L
-      val prefix = ordered.takeWhile { f =>
-        val need = cum < n
-        cum += f.rowCount
-        need
+  /** Stat-string ordering matching Spark's SQL ordering for the column
+    * type: numeric/temporal stats compare as numbers, string stats in
+    * UTF8 BINARY order (what the writer recorded them in — Java's UTF-16
+    * compareTo diverges for supplementary characters). None = unsupported
+    * type, no pruning.
+    */
+  private def orderingFor(dt: DataType): Option[Ordering[String]] = dt match {
+    case IntegerType | LongType | ShortType | DoubleType | FloatType |
+         DateType | TimestampType | TimestampNTZType | _: DecimalType =>
+      Some(Ordering.by((s: String) => BigDecimal(s)))
+    case StringType => Some((a: String, b: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)))
+    case _ => None
+  }
+
+  def prune(files: Seq[DataFileMeta], c: String, dt: DataType, desc: Boolean,
+      n: Int): Seq[DataFileMeta] = orderingFor(dt) match {
+    case None => files
+    case Some(ord) => try {
+      def lo(f: DataFileMeta) = f.minValues.get(c)
+      def hi(f: DataFileMeta) = f.maxValues.get(c)
+      // a file with nulls can always contribute (nulls sort first asc /
+      // participate per null ordering) — keep it, and don't attempt
+      // pruning when any file lacks usable stats
+      if (files.isEmpty || files.exists(f => lo(f).isEmpty || hi(f).isEmpty ||
+          !f.nulls.get(c).contains(0L))) files
+      else {
+        val ordered = if (desc) files.sortBy(f => hi(f).get)(ord.reverse)
+          else files.sortBy(f => lo(f).get)(ord)
+        var cum = 0L
+        val prefix = ordered.takeWhile { f =>
+          val need = cum < n
+          cum += f.rowCount
+          need
+        }
+        // worst-case bound on the n-th extreme value across the prefix
+        val cutoff = if (desc) prefix.flatMap(lo).min(ord)
+          else prefix.flatMap(hi).max(ord)
+        files.filter(f =>
+          if (desc) ord.gteq(hi(f).get, cutoff) else ord.lteq(lo(f).get, cutoff))
       }
-      // worst-case bound on the n-th extreme value across the prefix
-      val cutoff = if (desc) prefix.flatMap(lo).min else prefix.flatMap(hi).max
-      files.filter(f =>
-        if (desc) hi(f).get >= cutoff else lo(f).get <= cutoff)
-    }
+    } catch { case _: Exception => files } // unparsable stats -> no pruning
   }
 }
 

@@ -59,6 +59,24 @@ class LimitPushdownSpec extends AnyFunSuite {
       s"top-3 descending must prune to 1 file ($descPlanned of $nFiles planned)")
   }
 
+  test("ORDER BY a STRING column LIMIT n prunes in binary string order") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.lim")
+    spark.sql("DROP TABLE IF EXISTS lake.lim.str")
+    spark.sql("CREATE TABLE lake.lim.str (name STRING, v BIGINT)")
+    // disjoint lexicographic ranges per file: a*, b*, c*, d*
+    Seq("a", "b", "c", "d").foreach(p =>
+      spark.sql(s"INSERT INTO lake.lim.str SELECT concat('$p', id), id FROM range(500)"))
+    val nFiles = spark.sql("SELECT count(*) FROM lake.lim.`str$files`").head().getLong(0)
+    val q = spark.sql("SELECT * FROM lake.lim.str ORDER BY name LIMIT 3")
+    assert(q.collect().map(_.getString(0)).toSeq == Seq("a0", "a1", "a10"))
+    val planned = scanFiles.findAllMatchIn(q.queryExecution.executedPlan.toString)
+      .collect { case m if m.group(1) == "str" => m.group(2).toInt }.min
+    // the a* files' lexicographic ranges overlap each other but exclude
+    // b*/c*/d* — pruning keeps only the a* quarter
+    assert(planned < nFiles && planned <= nFiles / 4,
+      s"string top-3 must prune to the a* files, got $planned of $nFiles")
+  }
+
   test("pending tombstones disable limit pruning (soundness)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.lim")
     spark.sql("DROP TABLE IF EXISTS lake.lim.d")

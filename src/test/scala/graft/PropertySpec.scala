@@ -131,7 +131,8 @@ class PropertySpec extends AnyFunSuite {
     }
     forAll(genFiles, Gen.choose(1, 20)) { (files, n) =>
       for (desc <- Seq(false, true)) {
-        val selected = graft.catalog.TopNPrune.prune(files, "k", desc, n).map(_.path).toSet
+        val selected = graft.catalog.TopNPrune.prune(files, "k", LongType, desc, n)
+          .map(_.path).toSet
         // worst-case placement AGAINST the selection: excluded files put
         // every row at their most competitive end, selected files at
         // their least competitive end (one row at the opposite end keeps
