@@ -670,5 +670,50 @@ object CatalogQueries {
         """SELECT prio, CAST(count(*) AS BIGINT) AS n,
           |  CAST(sum(CAST(amt AS DECIMAL(18,6))) AS DOUBLE) AS total
           |FROM lake.verify.dyn_ow GROUP BY prio ORDER BY prio""".stripMargin)
+    },
+
+    QueryDef.df(
+      "q101_schema_evolution",
+      // Oracle = the final table reconstructed from raw parquet: rows
+      // loaded BEFORE the evolution carry NULL in the added column and
+      // their narrow-int ids; rows after carry scores and wide ids. A
+      // hash match proves rename resolves through field-id column
+      // mapping (old files still answer under the new name), the added
+      // column null-backfills historical files, and INT→BIGINT widening
+      // promotes old physical values exactly.
+      """WITH final AS (
+        |  SELECT o_orderkey AS id, o_orderpriority AS prio_renamed,
+        |    CAST(NULL AS DOUBLE) AS score
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderpriority, CAST(o_totalprice AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT prio_renamed, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(score) AS BIGINT) AS n_scored,
+        |  CAST(sum(id) AS BIGINT) AS idsum,
+        |  CAST(sum(CAST(coalesce(score, 0) AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM final GROUP BY prio_renamed ORDER BY prio_renamed""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS lake.verify")
+      s.sql("DROP TABLE IF EXISTS lake.verify.se_t")
+      s.sql(
+        """CREATE TABLE lake.verify.se_t AS
+          |SELECT CAST(o_orderkey AS INT) AS id, o_orderpriority AS prio
+          |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin)
+      // evolve: rename (field-id mapping), add a column (null backfill on
+      // old files), widen the id type (old INT values promote on read)
+      s.sql("ALTER TABLE lake.verify.se_t RENAME COLUMN prio TO prio_renamed")
+      s.sql("ALTER TABLE lake.verify.se_t ADD COLUMN score DOUBLE")
+      s.sql("ALTER TABLE lake.verify.se_t ALTER COLUMN id TYPE BIGINT")
+      s.sql(
+        """INSERT INTO lake.verify.se_t
+          |SELECT o_orderkey, o_orderpriority, CAST(o_totalprice AS DOUBLE)
+          |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin)
+      s.sql(
+        """SELECT prio_renamed, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(count(score) AS BIGINT) AS n_scored,
+          |  CAST(sum(id) AS BIGINT) AS idsum,
+          |  CAST(sum(CAST(coalesce(score, 0) AS DECIMAL(18,6))) AS DOUBLE) AS total
+          |FROM lake.verify.se_t GROUP BY prio_renamed ORDER BY prio_renamed""".stripMargin)
     })
 }

@@ -112,7 +112,8 @@ class GoldenSpec extends AnyFunSuite {
     "q97_sorted_spj_join" -> 5L,
     "q98_dynamic_overwrite" -> 5L,
     "q99_incremental_neardup" -> 14L,
-    "q100_curation_pipeline" -> 7L)
+    "q100_curation_pipeline" -> 7L,
+    "q101_schema_evolution" -> 5L)
 
   test("every registered query has a golden count (add one when adding a query)") {
     assert(SparkEntry.queries.keySet == golden.keySet,
