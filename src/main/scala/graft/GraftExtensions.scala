@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType, StringType}
 
-import graft.functions.{BloomBuildAgg, BloomProbe, BpeEncode, CosineSim, FreqBuildAgg, L2Sq, DecodeAudio, DecodeImage, ExplodeHammingPairs, ExplodeNgrams, ExplodePairs, MinHashSignature, PHash64, PqAdc, PqEncode, SampleFrames, SigMatchCount, SimHash, SortedIntersectSize, SrpBands, ThetaBuildAgg, WinnowFingerprints, WordNgrams}
+import graft.functions.{BloomBuildAgg, BloomProbe, BpeEncode, CosineSim, DoubleOrderBits, FreqBuildAgg, L2Sq, DecodeAudio, DecodeImage, ExplodeHammingPairs, ExplodeNgrams, ExplodePairs, MinHashSignature, PHash64, PqAdc, PqEncode, SampleFrames, SigMatchCount, SimHash, SortedIntersectSize, SrpBands, ThetaBuildAgg, WinnowFingerprints, WordNgrams}
 
 /** Session extensions registering the engine's custom codegen expressions
   * as SQL functions — the Spark-idiomatic extension point
@@ -297,6 +297,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => children match {
         case Seq(a, b) => CosineSim(a, b)
         case other => throw new IllegalArgumentException(s"cosine_sim(a, b): bad args $other")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("double_order_bits"),
+      info("double_order_bits",
+        "double_order_bits(v) - order-preserving signed-long key of a double (one-pass histogram bin key)"),
+      (children: Seq[Expression]) => children match {
+        case Seq(v) => DoubleOrderBits(v)
+        case other => throw new IllegalArgumentException(s"double_order_bits(v): bad args $other")
       }))
 
     ext.injectFunction((

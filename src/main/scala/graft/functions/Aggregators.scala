@@ -45,3 +45,63 @@ object VectorAvg extends Aggregator[Seq[Float], VecBuf, Seq[Double]] {
   override def outputEncoder: Encoder[Seq[Double]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
 }
+
+/** Bounded top-k buffer: parallel (count, key) arrays kept sorted by
+  * (count DESC, key ASC), never more than k entries.
+  */
+final case class TopKBuf(ns: Seq[Long], keys: Seq[String])
+
+/** `top_k_by_count(key, n, k)`: the k (key, n) pairs with the largest n
+  * (ties by key ascending) — a typed [[Aggregator]] whose buffer is a
+  * BOUNDED k-item sorted list, so the partial+final hash aggregate ships
+  * only G·k entries per task across the shuffle. This replaces the
+  * rank-window top-k idiom (`row_number() OVER (PARTITION BY g ORDER BY n
+  * DESC)` + `rk <= k`), whose window input is the full aggregated table —
+  * data-scale at 100 TB — sorted under a low-cardinality partition key
+  * (a skew cliff: one task per group sorts that group's entire slice).
+  * String ties compare with String.compareTo — identical to UTF8 binary
+  * order on the BMP text this pipeline carries.
+  */
+final class TopKByCount(k: Int) extends Aggregator[(String, Long), TopKBuf, Seq[(String, Long)]] {
+
+  override def zero: TopKBuf = TopKBuf(Nil, Nil)
+
+  // (n1, k1) ranks strictly before (n2, k2)?
+  private def before(n1: Long, k1: String, n2: Long, k2: String): Boolean =
+    n1 > n2 || (n1 == n2 && k1.compareTo(k2) < 0)
+
+  override def reduce(b: TopKBuf, in: (String, Long)): TopKBuf = {
+    val (key, n) = in
+    if (key == null) return b
+    val size = b.ns.length
+    if (size >= k && !before(n, key, b.ns(size - 1), b.keys(size - 1))) return b
+    var pos = 0
+    while (pos < size && before(b.ns(pos), b.keys(pos), n, key)) pos += 1
+    val ns = (b.ns.take(pos) :+ n) ++ b.ns.drop(pos)
+    val keys = (b.keys.take(pos) :+ key) ++ b.keys.drop(pos)
+    TopKBuf(ns.take(k), keys.take(k))
+  }
+
+  override def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
+    if (b.ns.isEmpty) return a
+    if (a.ns.isEmpty) return b
+    val ns = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val keys = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    var j = 0
+    while (ns.length < k && (i < a.ns.length || j < b.ns.length)) {
+      val takeA = j >= b.ns.length ||
+        (i < a.ns.length && before(a.ns(i), a.keys(i), b.ns(j), b.keys(j)))
+      if (takeA) { ns += a.ns(i); keys += a.keys(i); i += 1 }
+      else { ns += b.ns(j); keys += b.keys(j); j += 1 }
+    }
+    TopKBuf(ns.toSeq, keys.toSeq)
+  }
+
+  override def finish(r: TopKBuf): Seq[(String, Long)] =
+    r.keys.zip(r.ns)
+
+  override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+  override def outputEncoder: Encoder[Seq[(String, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
+}

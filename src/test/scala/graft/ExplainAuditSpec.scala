@@ -201,6 +201,44 @@ class ExplainAuditSpec extends AnyFunSuite {
       s"no pairwise expansion allowed:\n$p")
   }
 
+  test("q73 percentiles: no window ever sorts the raw table — selection is histogram-targeted") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, Window => LWindow}
+    val lp = SparkEntry.queries("q73_percentiles")(spark, sf).queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, s"expected the histogram-cumulative + selection windows:\n$lp")
+    // every window's input must be bin-scale (below an aggregate) or
+    // target-bin-filtered (below the broadcast join with the rank targets) —
+    // a window whose subtree is a bare scan is the full-table sort cliff
+    wins.foreach { w =>
+      val bounded = w.child.collectFirst {
+        case _: Aggregate => (); case _: Join => ()
+      }.isDefined
+      assert(bounded, s"window runs over the raw table (full-table sort):\n$w")
+    }
+  }
+
+  test("q42 top-ngrams: bounded top-k aggregate, no rank window anywhere") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val qe = SparkEntry.queries("q42_ngram_freq")(spark, sf).queryExecution
+    assert(qe.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      s"top-5-per-lang must be the bounded TopKByCount aggregate, not a rank window:\n${qe.optimizedPlan}")
+    assert(qe.executedPlan.toString.contains("ObjectHashAggregate"),
+      s"expected the typed top-k aggregate:\n${qe.executedPlan}")
+  }
+
+  test("q81 domain mixture: windows run bin-scale or boundary-bin only, never over the corpus") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, Window => LWindow}
+    val lp = SparkEntry.queries("q81_domain_mixture")(spark, sf).queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, s"expected the histogram-cumulative + boundary windows:\n$lp")
+    wins.foreach { w =>
+      val bounded = w.child.collectFirst {
+        case _: Aggregate => (); case _: Join => ()
+      }.isDefined
+      assert(bounded, s"window runs over the raw corpus (full sort):\n$w")
+    }
+  }
+
   test("q95 heavy hitters: candidate InSet filter sits below the exact count's shuffle") {
     val p = plan("q95_heavy_hitters")
     // pass 2 plans: scan -> candidate filter -> partial agg -> exchange ->

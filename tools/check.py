@@ -24,10 +24,15 @@ for tname in ["region", "nation", "customer", "supplier", "part", "orders",
         f"CREATE VIEW {tname} AS SELECT * FROM '{sfdir}/{tname}.parquet'")
 
 oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+missing = []
 if not names:
     import os
-    names = sorted(d for d in os.listdir(outdir)
+    found = sorted(d for d in os.listdir(outdir)
                    if os.path.isdir(f"{outdir}/{d}"))
+    # an oracled query that crashed in Verify and left no dump is a FAILURE,
+    # not a silent skip
+    missing = sorted(set(oracles) - set(found))
+    names = found
 
 fails = 0
 for name in names:
@@ -53,8 +58,10 @@ for name in names:
     ok_rows = len(spark) == len(oracle)
     ok_vals = False
     if ok_cols and ok_rows:
-        a = spark[sc].astype(str).values.tolist()
-        b = oracle[oc].astype(str).values.tolist()
+        # sort rows deterministically: ORDER BY ties in non-key columns must
+        # not false-fail the compare
+        a = sorted(spark[sc].astype(str).values.tolist())
+        b = sorted(oracle[oc].astype(str).values.tolist())
         ok_vals = a == b
     if ok_cols and ok_rows and ok_vals:
         print(f"{name}: OK ({len(spark)} rows)")
@@ -67,4 +74,7 @@ for name in names:
                 if x != y:
                     print(f"  first diff row {i}: spark={x} oracle={y}")
                     break
+for name in missing:
+    fails += 1
+    print(f"{name}: FAIL missing-output (oracled query produced no dump)")
 sys.exit(1 if fails else 0)
