@@ -356,6 +356,15 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
           if (upsertKeyNames(props).contains(from))
             props += ("upsert.keys" -> upsertKeyNames(props)
               .map(k => if (k == from) rn.newName() else k).mkString(","))
+          // write.sort-order is stored by LOGICAL name too — follow the
+          // rename, or the property silently points at a stale name and
+          // later writes fail ordering resolution
+          props.get("write.sort-order").foreach { so =>
+            val cols = so.split(',').map(_.trim).filter(_.nonEmpty)
+            if (cols.contains(from))
+              props += ("write.sort-order" -> cols
+                .map(c => if (c == from) rn.newName() else c).mkString(","))
+          }
 
         case u: TableChange.UpdateColumnType =>
           if (u.fieldNames().length != 1) throw new UnsupportedOperationException(

@@ -601,8 +601,13 @@ final class LakeScanBuilder(
     val survivors = files.filter(f => exprs.forall(e =>
       FilePruner.mayMatch(e, f, tableSchema) && BucketPruner.mayMatch(e, f, pf)))
     // limit/top-N file pruning (partial pushdown — Spark re-applies the
-    // operator above, so dropping provably-unneeded files is free)
-    val pruned = topN match {
+    // operator above, so dropping provably-unneeded files is free).
+    // Belt-and-braces soundness guard: Spark only pushes LIMIT/TopN when
+    // no post-scan filter remains, so exprs is empty today — but if
+    // filter pushdown ever became "complete", a row-count prefix under a
+    // residual filter would under-deliver rows. Keep the pruning OFF
+    // whenever any filter is present rather than depend on that invariant.
+    val pruned = if (exprs.nonEmpty) survivors else topN match {
       case Some((c, desc, n)) =>
         tableSchema.fields.find(_.name == c) match {
           case Some(f) => TopNPrune.prune(survivors, c, f.dataType, desc, n)
@@ -1578,16 +1583,27 @@ final class LakeBatchWrite(
     * replacement set). Partition attribution reads the same per-file stats
     * the writer rolls files by (min==max on every partition field — the
     * clustered-write invariant), so attribution is exact for files written
-    * by this engine. A file that is NOT cleanly attributable (nulls in a
-    * partition column, or pre-spec-evolution history) is conservatively
-    * KEPT — dynamic overwrite never deletes data it cannot prove belongs
-    * to an overwritten partition.
+    * by this engine. A NULL partition value leaves no min/max stat, but the
+    * per-column null counts prove it: nulls(col) == rowCount means the
+    * file's partition value IS null, attributed under a distinct sentinel —
+    * so a batch carrying null partition keys REPLACES the null partition
+    * (Spark/Iceberg's __HIVE_DEFAULT_PARTITION__ semantics) instead of
+    * silently appending next to it. A file that is NOT cleanly attributable
+    * either way (mixed null/non-null from a foreign writer, or
+    * pre-spec-evolution history) is conservatively KEPT — dynamic overwrite
+    * never deletes data it cannot prove belongs to an overwritten
+    * partition.
     */
   private def dynamicReplaced(base: TableMeta, newFiles: Seq[DataFileMeta]): Set[String] = {
     val pf = base.physicalPartitionColumns.map(PartField.parse)
     def keyOf(f: DataFileMeta): Option[Seq[String]] = {
       val vals = pf.map(p => (f.minValues.get(p.statKey), f.maxValues.get(p.statKey)) match {
-        case (Some(lo), Some(hi)) if lo == hi => Some(lo)
+        case (Some(lo), Some(hi)) if lo == hi => Some("v:" + lo)
+        // no stat recorded AND every row's source value is null → the
+        // file belongs to the null partition ("n:" can't collide with any
+        // real value's "v:"-prefixed key)
+        case (None, None) if f.rowCount > 0 &&
+          f.nulls.get(p.source).contains(f.rowCount) => Some("n:")
         case _ => None
       })
       if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None

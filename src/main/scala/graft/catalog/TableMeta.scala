@@ -149,10 +149,18 @@ final case class TableMeta(
     partitionFields.map(f => f.copy(source = m.getOrElse(f.source, f.source)).spec)
   }
 
-  /** `write.sort-order` columns as the user declared them (LOGICAL names). */
-  def sortOrderColumns: Seq[String] =
+  /** `write.sort-order` columns as the user declared them (LOGICAL names).
+    * Validated against the current schema: ALTER TABLE RENAME COLUMN
+    * rewrites the property, but a table written before that fix (or by a
+    * foreign writer) may carry stale names — those are dropped rather than
+    * poisoning write ordering resolution.
+    */
+  def sortOrderColumns: Seq[String] = {
+    val names = schema.fieldNames.toSet
     properties.get("write.sort-order")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      .filter(names.contains)
+  }
 
   /** `write.sort-order` columns under PHYSICAL names (what writers stamp). */
   def physicalSortOrder: Seq[String] = {

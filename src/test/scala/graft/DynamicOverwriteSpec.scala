@@ -102,6 +102,26 @@ class DynamicOverwriteSpec extends AnyFunSuite {
     assert(spark.table("lake.dyo.w").count() == 400L, "failed overwrite must change nothing")
   }
 
+  test("dynamic overwrite replaces the NULL partition, not silently appends to it") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.dyo")
+    spark.sql("DROP TABLE IF EXISTS lake.dyo.n")
+    spark.sql("CREATE TABLE lake.dyo.n (day INT, v BIGINT) PARTITIONED BY (day)")
+    spark.sql(
+      "INSERT INTO lake.dyo.n SELECT CASE WHEN id % 4 = 3 THEN NULL ELSE CAST(id % 4 AS INT) END, id FROM range(400)")
+    assert(spark.sql("SELECT count(*) FROM lake.dyo.n WHERE day IS NULL").head().getLong(0) == 100L)
+    withDynamicMode {
+      // a batch landing in the null partition must REPLACE it (Iceberg/Spark
+      // __HIVE_DEFAULT_PARTITION__ semantics), never duplicate it
+      spark.sql("INSERT OVERWRITE lake.dyo.n SELECT CAST(NULL AS INT), id + 20000 FROM range(5)")
+    }
+    val perDay = spark.sql(
+      "SELECT day, count(*) AS n FROM lake.dyo.n GROUP BY day ORDER BY day NULLS FIRST")
+      .collect().map(r => (if (r.isNullAt(0)) -1 else r.getInt(0), r.getLong(1))).toSeq
+    assert(perDay == Seq((-1, 5L), (0, 100L), (1, 100L), (2, 100L)),
+      s"null partition must be replaced, others untouched: $perDay")
+    assert(spark.sql("SELECT min(v) FROM lake.dyo.n WHERE day IS NULL").head().getLong(0) == 20000L)
+  }
+
   test("dynamic overwrite racing an append to another partition: both land") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.dyo")
     spark.sql("DROP TABLE IF EXISTS lake.dyo.race")

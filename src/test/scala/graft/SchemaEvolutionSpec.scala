@@ -146,4 +146,20 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(rows.count(_.getString(1).startsWith("u")) == 15) // 40..54 keep epoch-1
     spark.sql(s"DROP TABLE $u")
   }
+
+  test("RENAME COLUMN follows write.sort-order; writes keep ordering provenance") {
+    val t = s"lake.ev2.${uniq("sortren")}"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ev2")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT) TBLPROPERTIES ('write.sort-order'='k')")
+    spark.sql(s"INSERT INTO $t SELECT id, id * 2 FROM range(100)")
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN k TO key")
+    // the property followed the rename (no stale name poisoning resolution)
+    val so = spark.sql(s"SHOW TBLPROPERTIES $t")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(so.get("write.sort-order").contains("key"), s"got $so")
+    // writes under the NEW name still resolve the sort order and succeed
+    spark.sql(s"INSERT INTO $t SELECT id + 100, id FROM range(50)")
+    assert(spark.table(t).count() == 150L)
+    spark.sql(s"DROP TABLE $t")
+  }
 }
