@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType, StringType}
 
-import graft.functions.{BloomBuildAgg, BloomProbe, BpeEncode, CosineSim, DoubleOrderBits, FreqBuildAgg, L2Sq, DecodeAudio, DecodeImage, ExplodeHammingPairs, ExplodeNgrams, ExplodePairs, MinHashSignature, PHash64, PqAdc, PqEncode, SampleFrames, SigMatchCount, SimHash, SortedIntersectSize, SrpBands, ThetaBuildAgg, WinnowFingerprints, WordNgrams}
+import graft.functions.{BloomBuildAgg, BloomProbe, BpeEncode, CosineSim, DoubleOrderBits, FreqBuildAgg, KllBuildAgg, L2Sq, DecodeAudio, DecodeImage, ExplodeHammingPairs, ExplodeNgrams, ExplodePairs, MinHashSignature, PHash64, PqAdc, PqEncode, SampleFrames, SigMatchCount, SimHash, SortedIntersectSize, SrpBands, ThetaBuildAgg, WinnowFingerprints, WordNgrams}
 
 /** Session extensions registering the engine's custom codegen expressions
   * as SQL functions — the Spark-idiomatic extension point
@@ -181,6 +181,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c, Literal(k: Int, IntegerType)) => ThetaBuildAgg(c, k)
         case other => throw new IllegalArgumentException(
           s"theta_build(value[, lgK]): bad args $other")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("kll_build"),
+      info("kll_build",
+        "kll_build(value[, k]) - aggregate DOUBLE values into a serialized KLL quantile sketch (binary)"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => KllBuildAgg(c, 200)
+        case Seq(c, Literal(k: Int, IntegerType)) => KllBuildAgg(c, k)
+        case other => throw new IllegalArgumentException(
+          s"kll_build(value[, k]): bad args $other")
       }))
 
     ext.injectFunction((

@@ -21,6 +21,7 @@ import org.apache.spark.util.SerializableConfiguration
 object StatsKeys {
   val lastSnapshot = "stats.last-snapshot"
   def ndv(physicalCol: String): String = s"stats.ndv.$physicalCol"
+  def kll(physicalCol: String): String = s"stats.kll.$physicalCol"
   def estimate(b64: String): Long = Math.round(
     org.apache.datasketches.hll.HllSketch.heapify(
       java.util.Base64.getDecoder.decode(b64)).getEstimate)
@@ -1273,7 +1274,7 @@ object LakeMaintenance {
     */
   def analyze(spark: SparkSession, table: String, columns: Seq[String] = Nil,
       lgK: Int = 14): (String, Seq[(String, Long)]) = {
-    import org.apache.spark.sql.functions.{col, hll_sketch_agg}
+    import org.apache.spark.sql.functions.{call_function, col, hll_sketch_agg, unix_date, unix_micros}
     import org.apache.spark.sql.types._
     val (cat, ident, t) = resolve(spark, table)
     val meta = t.meta
@@ -1311,8 +1312,23 @@ object LakeMaintenance {
       case _ => col(f.name).cast(StringType)
     }
 
+    // histogram sketches ride the same pass, in Catalyst's own estimation
+    // domain (EstimationUtils.toDouble): numeric as-is, DATE as epoch
+    // days, TIMESTAMP as epoch micros — the planner's filter literals then
+    // land in the same coordinate system as the histogram bins
+    def histInput(f: StructField): Option[org.apache.spark.sql.Column] = f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType =>
+        Some(col(f.name).cast(DoubleType))
+      case _: DecimalType => Some(col(f.name).cast(DoubleType))
+      case DateType => Some(unix_date(col(f.name)).cast(DoubleType))
+      case TimestampType => Some(unix_micros(col(f.name)).cast(DoubleType))
+      case _ => None
+    }
+    val histCols: Seq[StructField] = cols.filter(f => histInput(f).isDefined)
+
     def sketchOf(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Row = {
-      val aggs = cols.map(f => hll_sketch_agg(input(f), lgK).as(f.name))
+      val aggs = cols.map(f => hll_sketch_agg(input(f), lgK).as(f.name)) ++
+        histCols.map(f => call_function("kll_build", histInput(f).get).as(s"__kll_${f.name}"))
       df.agg(aggs.head, aggs.tail: _*).head()
     }
     // append-family ranges validate inside the incremental scan's planning
@@ -1346,6 +1362,27 @@ object LakeMaintenance {
       f.name -> Math.round(HllSketch.heapify(bytes).getEstimate)
     }
 
+    // KLL quantile sketches (histogram backbone) union the same way; an
+    // incremental pass whose column has no stored sketch yet stores
+    // NOTHING for it (a delta-only histogram would misdescribe the table —
+    // no histogram beats a wrong one; the next full analyze backfills it)
+    import graft.functions.KllOps
+    val kllMerged: Seq[(String, Array[Byte])] = histCols.zipWithIndex.flatMap { case (f, j) =>
+      val idx = cols.length + j
+      val phys = l2p.getOrElse(f.name, f.name)
+      val delta = if (sketchRow.isNullAt(idx)) None else Some(sketchRow.getAs[Array[Byte]](idx))
+      val stored =
+        if (mode == "incremental")
+          props.get(StatsKeys.kll(phys)).map(java.util.Base64.getDecoder.decode(_))
+        else None
+      ((delta, stored) match {
+        case (Some(d), Some(s)) => Some(KllOps.union(s, d))
+        case (Some(d), None) if mode != "incremental" => Some(d)
+        case (None, s) => s
+        case _ => None
+      }).map(phys -> _)
+    }
+
     val hadoopConf = spark.sessionState.newHadoopConf()
     commitProperties(cat, ident, t, hadoopConf, { base =>
       val baseLast = base.get(StatsKeys.lastSnapshot).map(_.toLong)
@@ -1354,6 +1391,8 @@ object LakeMaintenance {
           s"($last -> $baseLast) — re-run analyze")
       base ++ merged.map { case (phys, bytes) =>
         StatsKeys.ndv(phys) -> java.util.Base64.getEncoder.encodeToString(bytes)
+      } ++ kllMerged.map { case (phys, bytes) =>
+        StatsKeys.kll(phys) -> java.util.Base64.getEncoder.encodeToString(bytes)
       } + (StatsKeys.lastSnapshot -> head.toString)
     })
     (mode, estimates)

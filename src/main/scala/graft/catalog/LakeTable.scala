@@ -181,6 +181,7 @@ final class LakeTable(
       eqDeletes = snap.map(meta.eqDeleteFilesOf).getOrElse(Nil),
       eqKeySchema = meta.upsertKeySchema,
       ndv = ndvStats,
+      kll = kllStats,
       sortOrder = meta.sortOrderColumns)
   }
 
@@ -195,6 +196,19 @@ final class LakeTable(
       case (k, v) if k.startsWith("stats.ndv.") =>
         val phys = k.stripPrefix("stats.ndv.")
         p2l.getOrElse(phys, phys) -> StatsKeys.estimate(v)
+    }.filter { case (n, _) => logicalNames.contains(n) }
+  }
+
+  /** analyze-maintained per-column KLL quantile sketches (logical names) —
+    * turned into equi-height histograms at scan planning ([[LakeHistogram]]).
+    */
+  private lazy val kllStats: Map[String, Array[Byte]] = {
+    val p2l = meta.l2pMap.map(_.swap)
+    val logicalNames = meta.schema.fieldNames.toSet
+    meta.properties.collect {
+      case (k, v) if k.startsWith("stats.kll.") =>
+        val phys = k.stripPrefix("stats.kll.")
+        p2l.getOrElse(phys, phys) -> java.util.Base64.getDecoder.decode(v)
     }.filter { case (n, _) => logicalNames.contains(n) }
   }
 
@@ -521,6 +535,7 @@ final class LakeScanBuilder(
     eqDeletes: Seq[DataFileMeta] = Nil,
     eqKeySchema: Option[StructType] = None,
     ndv: Map[String, Long] = Map.empty,
+    kll: Map[String, Array[Byte]] = Map.empty,
     sortOrder: Seq[String] = Nil)
   extends ScanBuilder with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
@@ -623,7 +638,7 @@ final class LakeScanBuilder(
     onFilesSelected(pruned)
     new LakeScan(ident, tableSchema, pruned, exprs, requiredSchema, options,
       runtimeFilterCols, onFilesSelected, microBatch, partitionCols, l2p, deleteFiles,
-      eqDeletes, eqKeySchema, ndv, sortOrder)
+      eqDeletes, eqKeySchema, ndv, kll, sortOrder)
   }
 }
 
@@ -708,6 +723,7 @@ final class LakeScan(
     eqDeletes: Seq[DataFileMeta] = Nil,
     eqKeySchema: Option[StructType] = None,
     ndv: Map[String, Long] = Map.empty,
+    kll: Map[String, Array[Byte]] = Map.empty,
     sortOrder: Seq[String] = Nil) // table write.sort-order (LOGICAL names)
   extends Scan with SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -953,6 +969,10 @@ final class LakeScan(
             else None
           val minOpt = bound(f, _.minValues, wantMin = true)
           val maxOpt = bound(f, _.maxValues, wantMin = false)
+          val histOpt = for {
+            nd <- ndvOpt; bytes <- kll.get(f.name)
+            h <- LakeHistogram.fromSketch(bytes, nd)
+          } yield h
           if (ndvOpt.isDefined || nullsOpt.isDefined || minOpt.isDefined) {
             m.put(Expressions.column(f.name), new ColumnStatistics {
               override def distinctCount(): java.util.OptionalLong =
@@ -965,6 +985,11 @@ final class LakeScan(
               override def max(): java.util.Optional[Object] =
                 maxOpt.fold(java.util.Optional.empty[Object]())(v =>
                   java.util.Optional.of(v.asInstanceOf[Object]))
+              override def histogram(): java.util.Optional[
+                  org.apache.spark.sql.connector.read.colstats.Histogram] =
+                histOpt.fold(java.util.Optional.empty[
+                  org.apache.spark.sql.connector.read.colstats.Histogram]())(
+                  java.util.Optional.of(_))
             })
           }
         }

@@ -578,16 +578,28 @@ object LlmPipeline {
     // ───── q41: per-label embedding centroids via the UDAF surface ───────
     // VectorAvg is a typed Aggregator -> partial+final hash agg; only
     // O(dim) buffers cross the shuffle regardless of row count. Raw
-    // float->double summation order varies with partitioning, so the
-    // result is float-exact but not bit-canonical -> rows-only driver
-    // check; LlmSpec pins exact values on a hand-computed case.
-    QueryDef.unoracled("q41_label_centroids") { (s, dir) =>
+    // float->double summation order varies with partitioning (~1e-16
+    // relative), so the comparable surface rounds the norm to 4 decimals —
+    // far above summation noise, far below any real difference — which
+    // lets the full DuckDB replay (per-dimension avg via unnest, same
+    // rounding) gate it value-exactly. LlmSpec additionally pins exact
+    // centroids on a hand-computed case.
+    QueryDef.df(
+      "q41_label_centroids",
+      """WITH d AS (
+        |  SELECT label, vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |c AS (SELECT label, i, avg(v) AS m FROM d GROUP BY 1, 2),
+        |n AS (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY 1)
+        |SELECT c.label, n.n_vectors, CAST(count(*) AS INT) AS dim,
+        |  round(sqrt(sum(m * m)), 4) AS centroid_norm
+        |FROM c JOIN n USING (label) GROUP BY 1, 2 ORDER BY label""".stripMargin) { (s, dir) =>
       val vavg = udaf(graft.functions.VectorAvg)
       t(s, dir, "embeddings")
         .groupBy(col("label").cast("int").as("label"))
         .agg(count(lit(1)).as("n_vectors"), vavg(col("embedding")).as("centroid"))
         .select(col("label"), col("n_vectors"), size(col("centroid")).as("dim"),
-          sqrt(aggregate(col("centroid"), lit(0.0d), (acc, x) => acc + x * x))
+          round(sqrt(aggregate(col("centroid"), lit(0.0d), (acc, x) => acc + x * x)), 4)
             .as("centroid_norm"))
         .orderBy("label")
     },
@@ -1662,42 +1674,44 @@ object LlmPipeline {
       }
       s.sql("CREATE NAMESPACE IF NOT EXISTS lake.verify")
       s.sql("DROP TABLE IF EXISTS lake.verify.nd_idx")
+      s.sql("DROP TABLE IF EXISTS lake.verify.nd_pairs")
       s.sql(
         """CREATE TABLE lake.verify.nd_idx (doc_id BIGINT, band INT, bh BIGINT)
           |PARTITIONED BY (bucket(8, bh))""".stripMargin)
+      s.sql("CREATE TABLE lake.verify.nd_pairs (id_a BIGINT, id_b BIGINT, jaccard DOUBLE)")
       bandsOf(docs.filter(col("doc_id") < 350)).writeTo("lake.verify.nd_idx").append()
       val shAll = shingled(docs)
       // probe the CURRENT index, then ingest the batch (O(batch) append);
-      // results materialize before the ingest so batch N never probes
-      // itself — pair counts are result-scale, the corpus never collects
-      def probeAndIngest(lo: Long, hi: Long): Seq[(Long, Long, Double)] = {
+      // verified pairs land in a lake results table — never the driver —
+      // so a pathological corpus with an unbounded pair set still runs.
+      // The pairs append is the action that materializes the probe, and
+      // it commits BEFORE the band ingest, so batch N never probes itself
+      def probeAndIngest(lo: Long, hi: Long): Unit = {
         val batch = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
         val probe = bandsOf(batch).select(col("doc_id").as("id_b"), col("band"), col("bh"))
         val idx = s.table("lake.verify.nd_idx")
           .select(col("doc_id").as("id_a"), col("band"), col("bh"))
         val cands = probe.join(idx, Seq("band", "bh"))
           .select(col("id_a"), col("id_b")).distinct()
-        val out = cands
+        cands
           .join(shAll.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
           .join(shAll.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
           .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
           .filter(col("jaccard") >= 0.6)
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+          .writeTo("lake.verify.nd_pairs").append()
         bandsOf(batch).writeTo("lake.verify.nd_idx").append()
-        out
       }
       // storage-aligned probe: with v2 bucketing shuffle on, the join
       // repartitions ONLY the batch side to match the index's bucket
       // layout — the 100 TB index is read in place (plan-asserted in
-      // RuntimePruningSpec). Execution is eager inside probeAndIngest,
-      // so the conf toggle cannot leak into other queries.
+      // RuntimePruningSpec). Execution is eager inside probeAndIngest
+      // (both writeTo appends are actions), so the conf toggle cannot
+      // leak into other queries.
       val prevShuffle = s.conf.get("spark.sql.sources.v2.bucketing.shuffle.enabled", "false")
       s.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
-      val pairs =
-        try probeAndIngest(350, 425) ++ probeAndIngest(425, 500)
-        finally s.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", prevShuffle)
-      import s.implicits._
-      pairs.toDF("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")
+      try { probeAndIngest(350, 425); probeAndIngest(425, 500) }
+      finally s.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", prevShuffle)
+      s.table("lake.verify.nd_pairs").orderBy("id_a", "id_b")
     },
 
     // ───── q100: the full curation pipeline, end to end ──────────────────

@@ -108,6 +108,49 @@ class AnalyzeSpec extends AnyFunSuite {
     assert(byName("s").distinctCount.map(_.toLong).contains(4L))
   }
 
+  test("analyze maintains KLL sketches; scan reports an equi-height histogram that sees skew") {
+    val t = s"lake.stats.${uniq("hist")}"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.stats")
+    spark.sql(s"CREATE TABLE $t (k INT, s STRING, d DATE)")
+    // heavy skew: 190 rows of k=0, 10 outliers up to 1000 — min/max
+    // interpolation is blind to this shape; the histogram is the point
+    spark.sql(s"INSERT INTO $t SELECT CASE WHEN id < 190 THEN 0 ELSE CAST((id - 189) * 100 AS INT) END, " +
+      s"concat('s', id), DATE'2024-01-01' + CAST(id % 30 AS INT) FROM range(200)")
+    LakeMaintenance.analyze(spark, t)
+    val byName = v2Stats(t).attributeStats.map { case (a, cs) => a.name -> cs }
+    val h = byName("k").histogram.getOrElse(fail(s"no histogram for k: ${byName.get("k")}"))
+    // equi-height invariant: height × bins == non-null rows
+    assert(math.round(h.height * h.bins.length) == 200L, s"height=${h.height} bins=${h.bins.length}")
+    // the heavy value owns its share of bins as lo==hi point bins (ndv 1)
+    val pointBins = h.bins.count(b => b.lo == 0.0 && b.hi == 0.0 && b.ndv == 1L)
+    assert(pointBins >= h.bins.length / 2, s"skew not captured: $pointBins/${h.bins.length} point bins")
+    assert(h.bins.head.lo == 0.0 && h.bins.last.hi == 1000.0)
+    // DATE histograms sketch epoch days (Catalyst's estimation domain)
+    val hd = byName("d").histogram.getOrElse(fail("no histogram for d"))
+    val day0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay.toDouble
+    assert(hd.bins.head.lo == day0 && hd.bins.last.hi == day0 + 29)
+    // strings carry no histogram (no ordered-double domain)
+    assert(byName("s").histogram.isEmpty)
+  }
+
+  test("incremental analyze unions KLL deltas: histogram covers both loads") {
+    val t = s"lake.stats.${uniq("khist")}"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.stats")
+    spark.sql(s"CREATE TABLE $t (k INT)")
+    spark.sql(s"INSERT INTO $t SELECT CAST(id AS INT) FROM range(100)")
+    LakeMaintenance.analyze(spark, t)
+    spark.sql(s"INSERT INTO $t SELECT CAST(1000 + id AS INT) FROM range(100)")
+    val (mode, _) = LakeMaintenance.analyze(spark, t)
+    assert(mode == "incremental")
+    val byName = v2Stats(t).attributeStats.map { case (a, cs) => a.name -> cs }
+    val h = byName("k").histogram.getOrElse(fail("no histogram after incremental analyze"))
+    assert(math.round(h.height * h.bins.length) == 200L, "union must cover both loads")
+    assert(h.bins.head.lo == 0.0 && h.bins.last.hi == 1099.0)
+    // roughly half the mass below the gap, half above (quantile boundaries)
+    val below = h.bins.count(_.hi <= 99.0)
+    assert(below >= h.bins.length / 3 && below <= 2 * h.bins.length / 3, s"$below/${h.bins.length}")
+  }
+
   test("analyze of selected columns only; unknown column rejected") {
     val t = s"lake.stats.${uniq("sel")}"
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.stats")
