@@ -504,6 +504,92 @@ object LakeMaintenance {
     (eq.size, merged.size)
   }
 
+  /** Compact POSITIONAL delete files WITHOUT rewriting data (Iceberg's
+    * `rewrite_position_delete_files`; the positional sibling of
+    * [[rewriteDeleteFiles]]). A long-lived merge-on-read table accumulates
+    * one tombstone file per DELETE task; every positionally-dirtied scan
+    * then opens all of them. This rewrite:
+    *
+    *  1. drops whole delete files whose `[min,max]` file-path range covers
+    *     no live data file (metadata-only — zero reads);
+    *  2. drops DEAD entries — tombstones aimed at data files that
+    *     compaction or rewrite has since removed (the rows they killed are
+    *     already gone from the fold) — and duplicate `(file, pos)` entries
+    *     from repeated DELETEs;
+    *  3. bin-packs survivors into ~`targetRowsPerFile` files, range-
+    *     partitioned and sorted by `(file_path, pos)`, so each output
+    *     file's min/max file-path stats keep per-data-file coverage
+    *     pruning tight.
+    *
+    * Unlike equality deletes, positional tombstones name their victim
+    * file explicitly, so merging across commit sequence numbers is
+    * lossless — a tombstone can never apply to a file written after it
+    * (file names are UUID-unique). Scans are bit-identical before/after;
+    * a re-run with nothing to do commits nothing. The commit uses the
+    * same `rewrite-deletes` operation as the eq variant: the CDC
+    * changelog skips it (zero live-row change). Returns (delete files
+    * before, after).
+    */
+  def rewritePositionDeleteFiles(spark: SparkSession, table: String,
+      targetRowsPerFile: Long = 4L * 1024 * 1024): (Int, Int) = {
+    import org.apache.spark.sql.functions.{broadcast, col, substring_index}
+    val (cat, ident, t) = resolve(spark, table)
+    val meta = t.meta
+    val dels = meta.currentDeleteFiles
+    if (dels.isEmpty) return (0, 0)
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val livePaths = meta.currentFiles.map(_.path)
+    def nameOf(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+    val (applicable, deadWhole) = dels.partition(d => DeleteFiles.coversAny(d, livePaths))
+    if (applicable.isEmpty) {
+      commitManifest(cat, ident, t, hadoopConf, "rewrite-deletes",
+        replacedPaths = deadWhole.map(_.path).toSet, newFiles = Nil)
+      return (dels.size, 0)
+    }
+    // live-file names (UUID-unique, scheme-agnostic) broadcast against the
+    // tombstone rows: only entries aimed at a LIVE file survive
+    val liveNameDf = spark.createDataFrame(
+      livePaths.map(p => Tuple1(nameOf(p)))).toDF("__lname")
+    val kept = spark.read.schema(DeleteFiles.schema).parquet(applicable.map(_.path): _*)
+      .withColumn("__name", substring_index(col(DeleteFiles.FilePathCol), "/", -1))
+      .join(broadcast(liveNameDf), col("__name") === col("__lname"), "left_semi")
+      .drop("__name")
+      .distinct()
+    val totalRows = applicable.map(_.rowCount).sum
+    val numParts = math.max(1, math.min(
+      ((totalRows + targetRowsPerFile - 1) / targetRowsPerFile).toInt, 200))
+    val deleteDir = s"${meta.location}/deletes"
+    val sconf = new SerializableConfiguration(hadoopConf)
+    val merged = kept
+      .repartitionByRange(numParts, col(DeleteFiles.FilePathCol), col(DeleteFiles.PosCol))
+      .sortWithinPartitions(col(DeleteFiles.FilePathCol), col(DeleteFiles.PosCol))
+      .queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val w = new LakeDataWriter(DeleteFiles.schema,
+            s"$deleteDir/posc-$pid-${java.util.UUID.randomUUID()}", Nil, sconf.value)
+          rows.foreach(w.write)
+          w.commit() match {
+            case LakeCommitMessage(fs) => fs.iterator
+            case _ => Iterator.empty
+          }
+        }
+      }.collect().toSeq
+    // no-op detection: nothing died (whole-file or row-level) and no
+    // file-count reduction — drop the just-written copies instead of
+    // committing a pointless snapshot
+    if (deadWhole.isEmpty && merged.map(_.rowCount).sum == totalRows &&
+        merged.size >= dels.size) {
+      val fs = new Path(deleteDir).getFileSystem(hadoopConf)
+      merged.foreach(f => fs.delete(new Path(f.path), false))
+      return (dels.size, dels.size)
+    }
+    commitManifest(cat, ident, t, hadoopConf, "rewrite-deletes",
+      replacedPaths = dels.map(_.path).toSet, newFiles = merged,
+      newContent = "deletes")
+    (dels.size, merged.size)
+  }
+
   /** Zero-copy clone (Iceberg's `snapshot` procedure / Delta's SHALLOW
     * CLONE): create `dest` whose initial snapshot references the source's
     * CURRENT live data and delete files — no data moves, the commit is

@@ -26,6 +26,7 @@ object LakeProcedures {
     "create_tag", "remove_tag", "publish", "cherrypick_snapshot",
     "set_partition_spec", "zorder",
     "upsert", "rewrite_manifests", "rewrite_delete_files",
+    "rewrite_position_delete_files",
     "remove_orphan_files", "add_files", "snapshot", "analyze",
     "create_branch", "remove_branch", "fast_forward",
     "create_aggregate", "refresh_aggregate")
@@ -187,6 +188,14 @@ object LakeProcedures {
           StructField("delete_files_after", IntegerType))),
         { (spark, args) =>
           val (b, a) = LakeMaintenance.rewriteDeleteFiles(spark, full(args.getString(0)))
+          row(b, a)
+        }))
+      case "rewrite_position_delete_files" => Some(proc("rewrite_position_delete_files",
+        Seq(in("table", StringType)),
+        StructType(Seq(StructField("delete_files_before", IntegerType),
+          StructField("delete_files_after", IntegerType))),
+        { (spark, args) =>
+          val (b, a) = LakeMaintenance.rewritePositionDeleteFiles(spark, full(args.getString(0)))
           row(b, a)
         }))
       case "snapshot" => Some(proc("snapshot",

@@ -520,6 +520,44 @@ object CatalogQueries {
     },
 
     QueryDef.df(
+      "q102_rewrite_pos_deletes",
+      // Oracle = the post-delete state computed from scratch. A
+      // merge-on-read table takes two point-DELETE waves (positional
+      // tombstones), a SCOPED compact folds part of the table (stranding
+      // dead tombstone entries aimed at the rewritten files), then
+      // rewrite_position_delete_files bin-packs the survivors and drops
+      // the dead entries WITHOUT touching data. A hash match proves the
+      // whole maintenance chain is metadata-only: every surviving row
+      // reads back exactly.
+      """SELECT v, CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS ksum,
+        |  CAST(sum(CAST(amt AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM (SELECT o_orderkey AS k, o_orderpriority AS v,
+        |        CAST(o_totalprice AS DOUBLE) AS amt
+        |      FROM orders
+        |      WHERE NOT (o_orderkey % 7 = 0) AND NOT (o_orderkey % 11 = 3)) s
+        |GROUP BY v ORDER BY v""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS lake.verify")
+      s.sql("DROP TABLE IF EXISTS lake.verify.rpd_t")
+      s.sql(
+        """CREATE TABLE lake.verify.rpd_t
+          |TBLPROPERTIES ('write.delete.mode'='merge-on-read') AS
+          |SELECT o_orderkey AS k, o_orderpriority AS v,
+          |  CAST(o_totalprice AS DOUBLE) AS amt
+          |FROM orders""".stripMargin)
+      s.sql("DELETE FROM lake.verify.rpd_t WHERE k % 7 = 0")
+      s.sql("DELETE FROM lake.verify.rpd_t WHERE k % 11 = 3")
+      // scoped compact rewrites only part of the key range: tombstone
+      // entries aimed at the rewritten files go dead in place
+      s.sql("CALL lake.system.compact('verify.rpd_t', where => 'k < 1000')")
+      s.sql("CALL lake.system.rewrite_position_delete_files('verify.rpd_t')")
+      s.sql(
+        """SELECT v, CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS ksum,
+          |  CAST(sum(CAST(amt AS DECIMAL(18,6))) AS DOUBLE) AS total
+          |FROM lake.verify.rpd_t GROUP BY v ORDER BY v""".stripMargin)
+    },
+
+    QueryDef.df(
       "q84_snapshot_clone",
       // Oracle = both tables' final states computed from scratch. A
       // zero-copy clone is taken after upsert epoch U1; the source then

@@ -480,6 +480,69 @@ class MaintenanceSpec extends AnyFunSuite {
     spark.sql("DROP TABLE lake.maint.rdf")
   }
 
+  test("rewrite_position_delete_files: bin-pack + dead-entry drop, scans identical") {
+    import graft.catalog.DeleteFiles
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.maint")
+    spark.sql("DROP TABLE IF EXISTS lake.maint.rpd")
+    spark.sql("""CREATE TABLE lake.maint.rpd (k BIGINT, v STRING)
+                |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO lake.maint.rpd SELECT id, 'a' FROM range(0, 10)")
+    spark.sql("INSERT INTO lake.maint.rpd SELECT id, 'b' FROM range(100, 110)")
+    // three MoR deletes → several small tombstone files, 4 tombstone rows
+    spark.sql("DELETE FROM lake.maint.rpd WHERE k = 5 OR k = 105")
+    spark.sql("DELETE FROM lake.maint.rpd WHERE k = 6")
+    spark.sql("DELETE FROM lake.maint.rpd WHERE k = 106")
+    val want = spark.table("lake.maint.rpd").orderBy("k").collect()
+    assert(want.length == 16)
+    val before = tableMeta("maint", "rpd").currentDeleteFiles
+    assert(before.size >= 2 && before.map(_.rowCount).sum == 4L,
+      s"files=${before.size} rows=${before.map(_.rowCount).sum}")
+
+    // scoped compact folds ONLY the k>=100 half: its data files rewrite,
+    // tombstone entries aimed at them go DEAD (whole-file or in a shared
+    // file — both shapes now exist only as garbage for the rewrite)
+    spark.sql("CALL lake.system.compact('maint.rpd', where => 'k >= 100')")
+    assert(spark.table("lake.maint.rpd").orderBy("k").collect().sameElements(want))
+    val mid = tableMeta("maint", "rpd").currentDeleteFiles
+    assert(mid.nonEmpty, "the k<100 tombstones must survive the scoped compact")
+
+    val res = spark.sql("CALL lake.system.rewrite_position_delete_files('maint.rpd')")
+      .collect().head
+    assert(res.getInt(0) == mid.size && res.getInt(1) == 1, s"got $res from ${mid.size}")
+    val after = tableMeta("maint", "rpd").currentDeleteFiles
+    // one bin-packed file; only the 2 tombstones aimed at LIVE files remain
+    assert(after.size == 1 && after.head.rowCount == 2L,
+      s"files=${after.size} rows=${after.map(_.rowCount).sum}")
+    // sorted output carries file-path bounds → coverage pruning stays tight
+    assert(after.head.minValues.contains(DeleteFiles.FilePathCol) &&
+      after.head.maxValues.contains(DeleteFiles.FilePathCol))
+    assert(spark.table("lake.maint.rpd").orderBy("k").collect().sameElements(want))
+    assert(spark.sql("SELECT count(*) FROM lake.maint.rpd WHERE k IN (5, 6, 105, 106)")
+      .collect().head.getLong(0) == 0L)
+
+    // immediate re-run: pure no-op, no snapshot committed
+    val snaps = LakeMaintenance.history(spark, "lake.maint.rpd").count()
+    val res2 = spark.sql("CALL lake.system.rewrite_position_delete_files('maint.rpd')")
+      .collect().head
+    assert(res2.getInt(0) == 1 && res2.getInt(1) == 1, s"got $res2")
+    assert(LakeMaintenance.history(spark, "lake.maint.rpd").count() == snaps)
+
+    // time travel to the pre-rewrite snapshot still resolves OLD tombstones
+    val preId = tableMeta("maint", "rpd").snapshots
+      .sortBy(_.snapshotId).takeRight(2).head.snapshotId
+    assert(spark.sql(s"SELECT count(*) FROM lake.maint.rpd VERSION AS OF $preId")
+      .collect().head.getLong(0) == 16L)
+
+    // full compaction folds everything; nothing left to rewrite
+    LakeMaintenance.compact(spark, "lake.maint.rpd")
+    assert(tableMeta("maint", "rpd").currentDeleteFiles.isEmpty)
+    val res3 = spark.sql("CALL lake.system.rewrite_position_delete_files('maint.rpd')")
+      .collect().head
+    assert(res3.getInt(0) == 0 && res3.getInt(1) == 0)
+    assert(spark.table("lake.maint.rpd").orderBy("k").collect().sameElements(want))
+    spark.sql("DROP TABLE lake.maint.rpd")
+  }
+
   test("add_files races a concurrent INSERT: both append commits land exactly once") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.maint")
     spark.sql("DROP TABLE IF EXISTS lake.maint.afr")
