@@ -555,10 +555,12 @@ final class LakeScanBuilder(
   // k LIMIT n over range-written files needs only the files that can hold
   // one of the n extreme values. On a 100 TB sorted table this turns
   // "plan every split, cancel after the first task" into "plan one file".
-  // Sound only when no tombstones are pending (a tombstoned file's
-  // rowCount overstates its live rows, so a prefix could under-deliver).
+  // POSITIONAL tombstones don't disable pruning — each tombstone row kills
+  // exactly one physical row, so pruning at n + Σ(tombstone rows) is sound
+  // (see build()). EQUALITY deletes still refuse: one key's physical kill
+  // count is unbounded and not metadata-derivable.
   override def pushLimit(n: Int): Boolean = {
-    if (deleteFiles.isEmpty && eqDeletes.isEmpty) limit = Some(n)
+    if (eqDeletes.isEmpty) limit = Some(n)
     false // never fully pushed — Spark re-applies the limit
   }
   override def isPartiallyPushed(): Boolean = true
@@ -566,7 +568,7 @@ final class LakeScanBuilder(
   override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       n: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
-    if (deleteFiles.isEmpty && eqDeletes.isEmpty) orders match {
+    if (eqDeletes.isEmpty) orders match {
       case Array(o) => o.expression() match {
         case r: NamedReference if r.fieldNames().length == 1 =>
           topN = Some((r.fieldNames()(0), o.direction() == SortDirection.DESCENDING, n))
@@ -622,16 +624,26 @@ final class LakeScanBuilder(
     // filter pushdown ever became "complete", a row-count prefix under a
     // residual filter would under-deliver rows. Keep the pruning OFF
     // whenever any filter is present rather than depend on that invariant.
+    //
+    // Positional-tombstone slack: each tombstone row kills exactly ONE
+    // physical row, so (a) a prefix holding n + slack physical rows holds
+    // >= n live rows, and (b) deleting slack rows promotes at most slack
+    // new values into the live top-n, so every live top-n value is among
+    // the top-(n + slack) physical values — whose files TopNPrune keeps.
+    // A heavily-tombstoned table degrades gracefully to planning
+    // everything (= the old refusal), never to a wrong prefix.
+    val slack = deleteFiles.map(_.rowCount).sum
     val pruned = if (exprs.nonEmpty) survivors else topN match {
-      case Some((c, desc, n)) =>
+      case Some((c, desc, n)) if n + slack <= Int.MaxValue =>
         tableSchema.fields.find(_.name == c) match {
-          case Some(f) => TopNPrune.prune(survivors, c, f.dataType, desc, n)
+          case Some(f) => TopNPrune.prune(survivors, c, f.dataType, desc, (n + slack).toInt)
           case None => survivors
         }
+      case Some(_) => survivors
       case None => limit match {
         case Some(n) =>
           var cum = 0L
-          survivors.takeWhile { f => val need = cum < n; cum += f.rowCount; need }
+          survivors.takeWhile { f => val need = cum < n + slack; cum += f.rowCount; need }
         case None => survivors
       }
     }

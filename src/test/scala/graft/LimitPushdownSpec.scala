@@ -77,17 +77,38 @@ class LimitPushdownSpec extends AnyFunSuite {
       s"string top-3 must prune to the a* files, got $planned of $nFiles")
   }
 
-  test("pending tombstones disable limit pruning (soundness)") {
+  test("positional tombstones widen the pruning slack instead of disabling it") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.lim")
     spark.sql("DROP TABLE IF EXISTS lake.lim.d")
     spark.sql(
       "CREATE TABLE lake.lim.d (v BIGINT) TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
     (0 until 3).foreach(i =>
       spark.sql(s"INSERT INTO lake.lim.d SELECT id + ${i * 10} FROM range(10)"))
-    // kill most of the first file's rows: a naive 1-file prefix would
-    // under-deliver LIMIT 8
+    // kill 9 early rows: a naive LIMIT-8 prefix would under-deliver; the
+    // 9 tombstone rows widen the prefix to n + 9 = 17 physical rows —
+    // correct AND still a strict prefix of the 30-row file set
     spark.sql("DELETE FROM lake.lim.d WHERE v < 9")
     val q = spark.sql("SELECT * FROM lake.lim.d LIMIT 8")
     assert(q.collect().length == 8, "limit must still deliver 8 live rows")
+    val planned = filesPlanned(q.queryExecution.executedPlan.toString, "d")
+    val nFiles = spark.sql("SELECT count(*) FROM lake.lim.`d$files`").head().getLong(0)
+    assert(planned < nFiles, s"slack-widened prefix must still prune ($planned of $nFiles)")
+  }
+
+  test("equality deletes still disable limit pruning (kill count not metadata-derivable)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.lim")
+    spark.sql("DROP TABLE IF EXISTS lake.lim.e")
+    spark.sql("CREATE TABLE lake.lim.e (k BIGINT, v STRING)")
+    (0 until 3).foreach(i =>
+      spark.sql(s"INSERT INTO lake.lim.e SELECT id + ${i * 10}, 'base' FROM range(10)"))
+    // an upsert epoch leaves eq-delete files pending
+    spark.sql("SELECT id AS k, 'up' AS v FROM range(0, 5)")
+      .createOrReplaceTempView("lim_e_up")
+    spark.sql("CALL lake.system.upsert('lim.e', 'lim_e_up', 'k')")
+    val q = spark.sql("SELECT * FROM lake.lim.e LIMIT 12")
+    assert(q.collect().length == 12, "limit must deliver 12 live rows")
+    val planned = filesPlanned(q.queryExecution.executedPlan.toString, "e")
+    val nFiles = spark.sql("SELECT count(*) FROM lake.lim.`e$files`").head().getLong(0)
+    assert(planned == nFiles, s"eq-dirty scan must refuse pruning ($planned of $nFiles)")
   }
 }
