@@ -58,7 +58,11 @@ final class LakeDeltaOperation(
       // re-tombstone (or resurrect) rows a first one already removed
       deleteFiles = table.meta.currentDeleteFiles,
       eqDeletes = table.meta.currentEqDeleteFiles,
-      eqKeySchema = table.meta.upsertKeySchema)
+      eqKeySchema = table.meta.upsertKeySchema,
+      // DELETE/UPDATE/MERGE WHERE key = x IS the point-lookup case: the
+      // find-matching-rows scan bloom-prunes like any read
+      bloomFor = table.bloomLookupFor(
+        table.meta.snapshot(table.meta.currentSnapshotId)))
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {

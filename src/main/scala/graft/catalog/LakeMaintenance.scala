@@ -175,7 +175,7 @@ object LakeMaintenance {
       else df.coalesce(outParts)
     val factory = LakeWriterFactory(t.meta.physicalSchema.json, s"${t.meta.location}/data",
       physCols, new SerializableConfiguration(t.meta.writeConf(hadoopConf)),
-      t.meta.physicalBloomColumns, t.meta.targetFileBytes,
+      t.meta.physicalBloomColumns, t.meta.targetFileBytes, bloomBits = t.meta.fileBloomBits,
       // compaction re-applies the sort order above, so its output files
       // carry the sorted-by provenance (restores SupportsReportOrdering
       // after unsorted history is rewritten)
@@ -243,7 +243,8 @@ object LakeMaintenance {
       else phys
     val factory = LakeWriterFactory(physSchema.json, s"${t.meta.location}/data",
       physCols, new SerializableConfiguration(t.meta.writeConf(hadoopConf)),
-      t.meta.physicalBloomColumns, t.meta.targetFileBytes)
+      t.meta.physicalBloomColumns, t.meta.targetFileBytes,
+      bloomBits = t.meta.fileBloomBits)
     val keyIdx = keys.map(k => physSchema.fieldIndex(l2p.getOrElse(k, k))).toArray
     val keySchemaJson = StructType(keyIdx.map(physSchema.fields)).json
     val schemaJson = physSchema.json
@@ -631,8 +632,10 @@ object LakeMaintenance {
         TableMeta.empty(destLoc, meta0.schema, meta0.partitionColumns, props)
       case Some(s) =>
         val copied = meta0.manifestsOf(s).map { m =>
+          // readWithBlooms: the clone's manifests get their own bloom
+          // sidecars, so point-lookup pruning survives the copy
           ManifestIO.write(destLoc, s.snapshotId,
-            ManifestIO.read(m.location, hadoopConf), hadoopConf, m.kind)
+            ManifestIO.readWithBlooms(m.location, hadoopConf), hadoopConf, m.kind)
         }
         val listLoc = ManifestIO.writeList(destLoc, s.snapshotId, copied, hadoopConf)
         // the clone speaks the schema AS OF the cloned snapshot (matters
@@ -704,7 +707,10 @@ object LakeMaintenance {
 
     val fs = new Path(t.meta.location).getFileSystem(hadoopConf)
     orphaned.foreach(p => fs.delete(new Path(p), false))
-    orphanedManifests.foreach(p => fs.delete(new Path(p), false))
+    orphanedManifests.foreach { p =>
+      fs.delete(new Path(p), false)
+      fs.delete(new Path(s"$p.bloom"), false) // sidecar dies with its manifest
+    }
     orphaned.size
   }
 
@@ -795,6 +801,7 @@ object LakeMaintenance {
     val referenced: Set[String] = (meta.snapshots.flatMap { s =>
       val mms = meta.manifestsOf(s)
       s.listLocation.toSeq ++ mms.map(_.location) ++
+        mms.map(m => s"${m.location}.bloom") ++ // live bloom sidecars
         mms.flatMap(m => ManifestIO.read(m.location, hadoopConf).map(_.path)) ++
         s.inlineFiles.map(_.path)
     } :+ t.metadataLocation).map(nameOf).toSet
@@ -1016,7 +1023,8 @@ object LakeMaintenance {
       .sortWithinPartitions(zcol)
     val factory = LakeWriterFactory(t.meta.physicalSchema.json, s"${t.meta.location}/data",
       Nil, new SerializableConfiguration(t.meta.writeConf(hadoopConf)),
-      t.meta.physicalBloomColumns, t.meta.targetFileBytes)
+      t.meta.physicalBloomColumns, t.meta.targetFileBytes,
+      bloomBits = t.meta.fileBloomBits)
     val newFiles = clustered.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
       val w = factory.createWriter(pid, org.apache.spark.TaskContext.get().taskAttemptId())
       rows.foreach(w.write)

@@ -182,7 +182,28 @@ final class LakeTable(
       eqKeySchema = meta.upsertKeySchema,
       ndv = ndvStats,
       kll = kllStats,
-      sortOrder = meta.sortOrderColumns)
+      sortOrder = meta.sortOrderColumns,
+      bloomFor = bloomLookupFor(snap))
+  }
+
+  /** Lazy, memoizing file-level bloom lookup for a scan: nothing is read
+    * until the pruner actually asks (i.e. an eq/IN predicate reached a
+    * bloom-configured table), then one sidecar per data manifest, then
+    * each filter decodes once. Tables with no `write.bloom-columns` pay
+    * exactly nothing.
+    */
+  private[catalog] def bloomLookupFor(snap: Option[SnapshotMeta])
+      : (String, String) => Option[FileBloom] = {
+    if (meta.physicalBloomColumns.isEmpty || snap.isEmpty) FilePruner.NoBloom
+    else {
+      lazy val index: Map[String, Map[String, String]] =
+        meta.bloomIndexOf(snap.get)
+      val decoded = new java.util.concurrent.ConcurrentHashMap[(String, String),
+        Option[FileBloom]]()
+      (path, col) =>
+        decoded.computeIfAbsent((path, col),
+          _ => index.get(path).flatMap(_.get(col)).flatMap(FileBloom.decode))
+    }
   }
 
   /** analyze-maintained per-column NDV estimates (logical names), decoded
@@ -284,7 +305,8 @@ final class LakeTable(
             cond, org.apache.spark.sql.functions.lit(false)))
         val factory = LakeWriterFactory(meta.physicalSchema.json, s"${meta.location}/data",
           meta.physicalPartitionColumns, new SerializableConfiguration(meta.writeConf(hadoopConf)),
-          meta.physicalBloomColumns, meta.targetFileBytes)
+          meta.physicalBloomColumns, meta.targetFileBytes,
+          bloomBits = meta.fileBloomBits)
         survivors.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
           val w = factory.createWriter(pid, org.apache.spark.TaskContext.get().taskAttemptId())
           rows.foreach(w.write)
@@ -453,7 +475,9 @@ final class LakeRowLevelOperation(
       // rewritten files exclude the deleted rows
       deleteFiles = table.meta.currentDeleteFiles,
       eqDeletes = table.meta.currentEqDeleteFiles,
-      eqKeySchema = table.meta.upsertKeySchema)
+      eqKeySchema = table.meta.upsertKeySchema,
+      bloomFor = table.bloomLookupFor(
+        table.meta.snapshot(table.meta.currentSnapshotId)))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
     override def build(): Write = new Write {
@@ -462,7 +486,8 @@ final class LakeRowLevelOperation(
           LakeWriterFactory(ColumnMapping.toPhysical(info.schema(), table.meta.l2pMap).json,
             s"${table.meta.location}/data",
             table.meta.physicalPartitionColumns, new SerializableConfiguration(table.meta.writeConf(hadoopConf)),
-            table.meta.physicalBloomColumns, table.meta.targetFileBytes)
+            table.meta.physicalBloomColumns, table.meta.targetFileBytes,
+            bloomBits = table.meta.fileBloomBits)
         override def commit(messages: Array[WriterCommitMessage]): Unit = {
           val newFiles = messages.collect { case LakeCommitMessage(fs) => fs }.flatten.toSeq
           val replacedPaths = scanned.map(_.path).toSet
@@ -536,7 +561,8 @@ final class LakeScanBuilder(
     eqKeySchema: Option[StructType] = None,
     ndv: Map[String, Long] = Map.empty,
     kll: Map[String, Array[Byte]] = Map.empty,
-    sortOrder: Seq[String] = Nil)
+    sortOrder: Seq[String] = Nil,
+    bloomFor: (String, String) => Option[FileBloom] = FilePruner.NoBloom)
   extends ScanBuilder with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
   with org.apache.spark.sql.connector.read.SupportsPushDownLimit
@@ -616,7 +642,7 @@ final class LakeScanBuilder(
     }
     val pf = partitionCols.map(PartField.parse)
     val survivors = files.filter(f => exprs.forall(e =>
-      FilePruner.mayMatch(e, f, tableSchema) && BucketPruner.mayMatch(e, f, pf)))
+      FilePruner.mayMatch(e, f, tableSchema, bloomFor) && BucketPruner.mayMatch(e, f, pf)))
     // limit/top-N file pruning (partial pushdown — Spark re-applies the
     // operator above, so dropping provably-unneeded files is free).
     // Belt-and-braces soundness guard: Spark only pushes LIMIT/TopN when
@@ -1314,24 +1340,36 @@ object FilePruner {
       case _ => None
     }
 
-  /** Could any row of `f` satisfy `e`? */
-  def mayMatch(e: ce.Expression, f: DataFileMeta, schema: StructType): Boolean = {
+  /** No bloom index — point predicates prune on min/max alone. */
+  val NoBloom: (String, String) => Option[FileBloom] = (_, _) => None
+
+  /** Could any row of `f` satisfy `e`? `bloomFor(path, col)` supplies the
+    * file-level bloom (if any) for point-predicate pruning beyond min/max.
+    */
+  def mayMatch(e: ce.Expression, f: DataFileMeta, schema: StructType,
+      bloomFor: (String, String) => Option[FileBloom] = NoBloom): Boolean = {
     if (f.minValues.isEmpty) return true
     // test receives (sign(lo cmp v), sign(hi cmp v), literalOnLeft)
     def check(l: ce.Expression, r: ce.Expression)(
         test: (Int, Int, Boolean) => Boolean): Boolean =
       (for ((col, v, flipped) <- colLit(l, r); (cl, ch) <- cmp(f, col, v))
         yield test(cl, ch, flipped)).getOrElse(true)
+    // false ⇒ the file-level bloom PROVES `col = v` matches no row of f
+    def bloomMay(col: String, v: Any): Boolean =
+      bloomFor(f.path, col).forall(b =>
+        FileBloom.canonical(v).forall(b.mightContain))
     e match {
-      case ce.And(a, b) => mayMatch(a, f, schema) && mayMatch(b, f, schema)
-      case ce.Or(a, b) => mayMatch(a, f, schema) || mayMatch(b, f, schema)
+      case ce.And(a, b) => mayMatch(a, f, schema, bloomFor) && mayMatch(b, f, schema, bloomFor)
+      case ce.Or(a, b) => mayMatch(a, f, schema, bloomFor) || mayMatch(b, f, schema, bloomFor)
       // null-count stats: a file with zero nulls has no IS NULL match; a
       // file that is all-null has no IS NOT NULL match
       case ce.IsNull(a: ce.Attribute) =>
         f.nulls.get(a.name).forall(_ > 0)
       case ce.IsNotNull(a: ce.Attribute) =>
         f.nulls.get(a.name).forall(_ < f.rowCount)
-      case ce.EqualTo(l, r) => check(l, r)((cl, ch, _) => cl <= 0 && ch >= 0)
+      case ce.EqualTo(l, r) =>
+        check(l, r)((cl, ch, _) => cl <= 0 && ch >= 0) &&
+          colLit(l, r).forall { case (col, v, _) => bloomMay(col, v) }
       case ce.GreaterThan(l, r) => // attr > v needs hi > v; v > attr needs lo < v
         check(l, r)((cl, ch, flip) => if (flip) cl < 0 else ch > 0)
       case ce.GreaterThanOrEqual(l, r) =>
@@ -1347,12 +1385,14 @@ object FilePruner {
       case ce.In(a: ce.Attribute, vs) =>
         vs.exists {
           case ce.Literal(v, _) if v != null =>
-            cmp(f, a.name, v).forall { case (cl, ch) => cl <= 0 && ch >= 0 }
+            cmp(f, a.name, v).forall { case (cl, ch) => cl <= 0 && ch >= 0 } &&
+              bloomMay(a.name, v)
           case _ => true
         }
       case ce.InSet(a: ce.Attribute, vs) =>
         vs.exists(v => v == null ||
-          cmp(f, a.name, v).forall { case (cl, ch) => cl <= 0 && ch >= 0 })
+          (cmp(f, a.name, v).forall { case (cl, ch) => cl <= 0 && ch >= 0 } &&
+            bloomMay(a.name, v)))
       case _ => true
     }
   }
@@ -1614,7 +1654,8 @@ final class LakeBatchWrite(
       // LakeWrite.requiredOrdering — so each rolled file is provably sorted
       // by the sort-order columns; stamp that provenance (physical names)
       // for the scan's SupportsReportOrdering
-      sortedBy = table.meta.physicalSortOrder)
+      sortedBy = table.meta.physicalSortOrder,
+      bloomBits = table.meta.fileBloomBits)
 
   /** Files of the partitions the incoming data touches (dynamic overwrite's
     * replacement set). Partition attribution reads the same per-file stats
@@ -1755,7 +1796,8 @@ final class LakeStreamingWrite(
     val base = LakeWriterFactory(physSchema.json,
       s"${table.meta.location}/data",
       table.meta.physicalPartitionColumns, new SerializableConfiguration(table.meta.writeConf(hadoopConf)),
-      table.meta.physicalBloomColumns, table.meta.targetFileBytes)
+      table.meta.physicalBloomColumns, table.meta.targetFileBytes,
+      bloomBits = table.meta.fileBloomBits)
     if (upsertKeys.isEmpty) base
     else {
       val keyIdx = upsertKeys.map(writeSchema.fieldIndex).toArray
@@ -1941,13 +1983,14 @@ final case class LakeWriterFactory(
     conf: SerializableConfiguration,
     bloomCols: Seq[String] = Nil,
     targetFileBytes: Long = 0L,
-    sortedBy: Seq[String] = Nil)
+    sortedBy: Seq[String] = Nil,
+    bloomBits: Int = FileBloom.DefaultBits)
   extends DataWriterFactory with streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new LakeDataWriter(
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
       s"$dataDir/part-$partitionId-$taskId-${java.util.UUID.randomUUID()}",
-      partitionCols, conf.value, bloomCols, targetFileBytes, sortedBy)
+      partitionCols, conf.value, bloomCols, targetFileBytes, sortedBy, bloomBits)
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     createWriter(partitionId, taskId)
@@ -1969,7 +2012,8 @@ final class LakeDataWriter(
     conf: Configuration,
     bloomCols: Seq[String] = Nil,
     targetFileBytes: Long = 0L,
-    sortedBy: Seq[String] = Nil) // provenance: rows arrive sorted by these
+    sortedBy: Seq[String] = Nil, // provenance: rows arrive sorted by these
+    bloomBits: Int = FileBloom.DefaultBits)
   extends DataWriter[InternalRow] {
 
   private val writeConf: Configuration = {
@@ -2017,6 +2061,15 @@ final class LakeDataWriter(
   private var currentKey: Seq[Any] = null
   private val done = Seq.newBuilder[DataFileMeta]
 
+  // FILE-level blooms (one per bloom column per file; see [[FileBloom]]):
+  // built from the same pass that tracks min/max, attached at roll()
+  private val fileBloomIdx: Array[Int] =
+    bloomCols.flatMap(c => schema.fields.indexWhere(_.name == c) match {
+      case -1 => None // e.g. tombstone writers reuse the factory's cols
+      case i => Some(i)
+    }).toArray
+  private var fileBlooms: Array[FileBloom] = _
+
   private def open(): Unit = {
     path = s"$pathPrefix-$fileSeq.parquet"
     fileSeq += 1
@@ -2029,6 +2082,7 @@ final class LakeDataWriter(
     mins = new Array[Any](schema.length)
     maxs = new Array[Any](schema.length)
     nullsPerCol = new Array[Long](schema.length)
+    fileBlooms = fileBloomIdx.map(_ => FileBloom(bloomBits))
   }
 
   /** Close the current file and record its manifest entry (if non-empty). */
@@ -2053,8 +2107,10 @@ final class LakeDataWriter(
       }.toMap
     val nulls = schema.fields.indices
       .map(i => schema.fields(i).name -> nullsPerCol(i)).toMap
+    val fileBloomStats = fileBloomIdx.indices
+      .map(j => schema.fields(fileBloomIdx(j)).name -> fileBlooms(j).encode).toMap
     done += DataFileMeta(path, rows, size, m(mins) ++ bucketStats, m(maxs) ++ bucketStats,
-      nulls, sortedBy = sortedBy)
+      nulls, sortedBy = sortedBy, blooms = fileBloomStats)
     writer = null
   }
 
@@ -2131,6 +2187,18 @@ final class LakeDataWriter(
     }
     if (writer == null) open()
     track(row)
+    var j = 0
+    while (j < fileBloomIdx.length) {
+      val i = fileBloomIdx(j)
+      if (!row.isNullAt(i)) {
+        // canonical key must match what the pruner derives from a literal
+        val key =
+          if (schema.fields(i).dataType == StringType) row.getUTF8String(i).toString
+          else FileBloom.canonical(scalarAt(row, i)).orNull
+        if (key != null) fileBlooms(j).add(key)
+      }
+      j += 1
+    }
     writer.write(row)
     rows += 1
     // size rolling: bound the largest file one task can produce (checked

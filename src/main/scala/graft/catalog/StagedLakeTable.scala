@@ -60,7 +60,8 @@ final class StagedLakeTable(
         override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
           LakeWriterFactory(info.schema().json, s"${baseMeta.location}/data",
             baseMeta.partitionColumns, new SerializableConfiguration(baseMeta.writeConf(hadoopConf)),
-            baseMeta.physicalBloomColumns, baseMeta.targetFileBytes)
+            baseMeta.physicalBloomColumns, baseMeta.targetFileBytes,
+            bloomBits = baseMeta.fileBloomBits)
         override def commit(messages: Array[WriterCommitMessage]): Unit =
           // buffer only — visibility is commitStagedChanges' job
           stagedFiles = messages.collect { case LakeCommitMessage(fs) => fs }.flatten.toSeq

@@ -21,11 +21,18 @@ final case class DataFileMeta(
     maxValues: Map[String, String] = Map.empty,
     nullCounts: Map[String, Long] = Map.empty,
     addedAt: Long = 0L, // snapshot that added this file (0 = legacy doc)
-    sortedBy: Seq[String] = Nil) { // columns this file's rows are sorted by
+    sortedBy: Seq[String] = Nil, // columns this file's rows are sorted by
+    // per-column file-level bloom filters ("k:base64"), populated by the
+    // writer for `write.bloom-columns`; ManifestIO strips them into a
+    // sidecar at manifest-write time, so the manifest JSON (and every scan
+    // that never point-looks-up) stays lean — see [[FileBloom]]
+    blooms: Map[String, String] = Map.empty) {
   /** Null-safe accessor (documents written before null tracking). */
   def nulls: Map[String, Long] = if (nullCounts == null) Map.empty else nullCounts
   /** Null-safe accessor (documents written before sort-order tracking). */
   def sortCols: Seq[String] = if (sortedBy == null) Nil else sortedBy
+  /** Null-safe accessor (documents written before file-level blooms). */
+  def bloomStats: Map[String, String] = if (blooms == null) Map.empty else blooms
 }
 
 /** Pointer to one immutable manifest file (a JSON array of
@@ -236,6 +243,28 @@ final case class TableMeta(
       .map(c => m.getOrElse(c, c))
   }
 
+  /** Bits per FILE-level bloom per column (`write.bloom-bits`); the knob
+    * that trades sidecar bytes for saturation headroom (~bits/13 distinct
+    * values per file before fpp passes 1%).
+    */
+  def fileBloomBits: Int =
+    properties.get("write.bloom-bits").map(_.toInt).getOrElse(FileBloom.DefaultBits)
+
+  /** A snapshot's file-level bloom index, re-keyed to LOGICAL column
+    * names: file path → column → encoded bloom. Reads one sidecar per
+    * data manifest (absent sidecars negative-cache as empty) — called
+    * lazily, only when an eq/IN predicate on a bloom-indexed table
+    * survives min/max pruning.
+    */
+  def bloomIndexOf(s: SnapshotMeta): Map[String, Map[String, String]] = {
+    val p2l = l2pMap.map(_.swap)
+    manifestsOf(s).filter(_.isData).flatMap { m =>
+      ManifestIO.readBlooms(m.location, ioConf).map { case (path, cols) =>
+        path -> cols.map { case (c, e) => (p2l.getOrElse(c, c), e) }
+      }
+    }.toMap
+  }
+
   /** Hadoop conf for WRITE jobs with the table's codec choice stamped in
     * (`write.parquet.compression-codec`: snappy default, zstd/gzip/lz4/
     * uncompressed accepted — zstd is the 100 TB archival default, ~30-40%
@@ -307,6 +336,7 @@ object ManifestIO {
     }
   private val fileCache = lru[Seq[DataFileMeta]]()
   private val listCache = lru[Seq[ManifestMeta]]()
+  private val bloomCache = lru[Map[String, Map[String, String]]]()
 
   private def writeDoc(loc: String, json: String, conf: Configuration): Unit = {
     val p = new Path(loc)
@@ -328,12 +358,50 @@ object ManifestIO {
     // stamp the adding snapshot: the SEQUENCE NUMBER equality deletes
     // compare against (a delete applies only to files added strictly
     // before it). Shared manifests keep their original stamps.
-    val files = files0.map(f => if (f.addedAt > 0) f else f.copy(addedAt = snapshotId))
+    val files1 = files0.map(f => if (f.addedAt > 0) f else f.copy(addedAt = snapshotId))
     val loc = s"$tableLocation/metadata/manifest-$snapshotId-${java.util.UUID.randomUUID()}.json"
+    // file-level blooms ride in a SIDECAR (`<manifest>.bloom`), not the
+    // manifest itself: every scan reads manifests, only point-lookup scans
+    // on bloom-indexed tables read sidecars — a 16 KiB/col/file payload
+    // inline would dominate manifest size and every plan's metadata IO
+    val blooms = files1.collect {
+      case f if f.bloomStats.nonEmpty => f.path -> f.bloomStats }.toMap
+    val files =
+      if (blooms.isEmpty) files1
+      else files1.map(f => if (f.bloomStats.isEmpty) f else f.copy(blooms = Map.empty))
     writeDoc(loc, mapper.writeValueAsString(files), conf)
+    if (blooms.nonEmpty) writeDoc(s"$loc.bloom", mapper.writeValueAsString(blooms), conf)
     fileCache.synchronized(fileCache.put(loc, files))
+    bloomCache.synchronized(bloomCache.put(loc, blooms))
     ManifestMeta(loc, files.size.toLong, files.map(_.rowCount).sum, files.map(_.sizeBytes).sum,
       content)
+  }
+
+  /** The bloom sidecar of a manifest: file path → column → encoded bloom.
+    * Empty (and negative-cached) when the manifest has none. Read ONLY
+    * when a point predicate on a bloom-indexed column reaches pruning.
+    */
+  def readBlooms(location: String, conf: Configuration): Map[String, Map[String, String]] = {
+    val cached = bloomCache.synchronized(bloomCache.get(location))
+    if (cached != null) return cached
+    val blooms = try {
+      mapper.readValue(readDoc(s"$location.bloom", conf),
+        new com.fasterxml.jackson.core.`type`.TypeReference[Map[String, Map[String, String]]] {})
+    } catch { case _: java.io.FileNotFoundException => Map.empty[String, Map[String, String]] }
+    bloomCache.synchronized(bloomCache.put(location, blooms))
+    blooms
+  }
+
+  /** Manifest entries with their sidecar blooms re-attached — for paths
+    * that REWRITE manifests (merge, partial rewrite, clone): `write` will
+    * re-strip them into the new manifest's sidecar, so blooms survive
+    * metadata reshuffles.
+    */
+  def readWithBlooms(location: String, conf: Configuration): Seq[DataFileMeta] = {
+    val blooms = readBlooms(location, conf)
+    if (blooms.isEmpty) read(location, conf)
+    else read(location, conf).map(f =>
+      blooms.get(f.path).map(b => f.copy(blooms = b)).getOrElse(f))
   }
 
   def read(location: String, conf: Configuration): Seq[DataFileMeta] = {
@@ -586,7 +654,10 @@ object TableMeta {
         val entries = ManifestIO.read(mm.location, conf)
         if (!entries.exists(e => replacedPaths(e.path))) Some(mm)
         else {
-          val rest = entries.filterNot(e => replacedPaths(e.path))
+          // rewriting this manifest: re-read WITH blooms so the surviving
+          // entries carry their sidecar payloads into the new manifest
+          val rest = ManifestIO.readWithBlooms(mm.location, conf)
+            .filterNot(e => replacedPaths(e.path))
           if (rest.isEmpty) None
           else Some(ManifestIO.write(base.location, snapId, rest, conf, mm.kind))
         }
@@ -646,7 +717,7 @@ object TableMeta {
       val (small, big) = ofKind.partition(_.nFiles < targetEntries)
       if (small.size < 2) ofKind
       else {
-        val entries = small.flatMap(m => ManifestIO.read(m.location, conf))
+        val entries = small.flatMap(m => ManifestIO.readWithBlooms(m.location, conf))
         if (entries.exists(_.addedAt == 0L)) ofKind
         else big ++ entries.grouped(targetEntries).map(g =>
           ManifestIO.write(location, snapId, g, conf, kind)).toSeq

@@ -558,6 +558,37 @@ object CatalogQueries {
     },
 
     QueryDef.df(
+      "q103_bloom_point_lookup",
+      // Oracle = the same needle lookups straight off the parquet. The
+      // lake table is written as two interleaved halves (even/odd keys),
+      // so every file's min/max covers every needle — any file skipping is
+      // the FILE-LEVEL BLOOM's (sidecar-carried, FileBloomSpec asserts the
+      // plan shape); the hash match proves skipping never drops a row.
+      """SELECT k, v, CAST(amt AS DOUBLE) AS amt FROM (
+        |  SELECT o_orderkey AS k, o_orderpriority AS v, o_totalprice AS amt
+        |  FROM orders) s
+        |WHERE k IN (8, 13, 444, 1201, 2026, 999983)
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS lake.verify")
+      s.sql("DROP TABLE IF EXISTS lake.verify.blm_orders")
+      s.sql(
+        """CREATE TABLE lake.verify.blm_orders
+          |TBLPROPERTIES ('write.bloom-columns'='k') AS
+          |SELECT o_orderkey AS k, o_orderpriority AS v,
+          |  CAST(o_totalprice AS DOUBLE) AS amt
+          |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin)
+      s.sql(
+        """INSERT INTO lake.verify.blm_orders
+          |SELECT o_orderkey, o_orderpriority, CAST(o_totalprice AS DOUBLE)
+          |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin)
+      s.sql(
+        """SELECT k, v, CAST(amt AS DOUBLE) AS amt FROM lake.verify.blm_orders
+          |WHERE k IN (8, 13, 444, 1201, 2026, 999983)
+          |ORDER BY k""".stripMargin)
+    },
+
+    QueryDef.df(
       "q84_snapshot_clone",
       // Oracle = both tables' final states computed from scratch. A
       // zero-copy clone is taken after upsert epoch U1; the source then

@@ -1,0 +1,168 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.FileBloom
+
+/** FILE-level bloom skipping: point predicates drop whole files from the
+  * plan via per-file blooms carried in manifest SIDECARS — the layer above
+  * min/max (useless when values interleave across files) and above parquet
+  * row-group blooms (which require opening the file). The needle-lookup
+  * path on a 100 TB unsorted column.
+  */
+class FileBloomSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val scanFiles = "LakeScan\\(lake\\.blm\\.(\\w+), (\\d+) files\\)".r
+  private def filesPlanned(plan: String, table: String): Int =
+    scanFiles.findAllMatchIn(plan).collect {
+      case m if m.group(1) == table => m.group(2).toInt
+    }.min
+
+  // ── unit: the filter itself ───────────────────────────────────────────
+
+  test("no false negatives, encode/decode round-trip, plausible fpp") {
+    val b = FileBloom(65536)
+    val present = (0 until 5000).map(i => s"key-$i")
+    present.foreach(b.add)
+    present.foreach(k => assert(b.mightContain(k), s"false negative on $k"))
+    val decoded = FileBloom.decode(b.encode).get
+    present.foreach(k => assert(decoded.mightContain(k), s"false negative after decode on $k"))
+    // 5000 keys in 64Ki bits, k=6 → expected fpp well under 5%
+    val fp = (0 until 2000).count(i => decoded.mightContain(s"absent-$i"))
+    assert(fp < 100, s"fpp implausibly high: $fp/2000")
+  }
+
+  test("canonical renderings agree across writer and pruner value shapes") {
+    import org.apache.spark.sql.types.Decimal
+    import org.apache.spark.unsafe.types.UTF8String
+    // writer sees java BigDecimal (fixed scale), pruner sees Spark Decimal
+    assert(FileBloom.canonical(new java.math.BigDecimal("12.340000")) ==
+      FileBloom.canonical(Decimal(BigDecimal("12.34"))))
+    // -0.0 == 0.0 in SQL equality: renderings must collide
+    assert(FileBloom.canonical(java.lang.Double.valueOf(-0.0)) ==
+      FileBloom.canonical(java.lang.Double.valueOf(0.0)))
+    assert(FileBloom.canonical(UTF8String.fromString("héllo")) ==
+      FileBloom.canonical("héllo"))
+    assert(FileBloom.canonical(java.lang.Integer.valueOf(42)) == Some("42"))
+    assert(FileBloom.canonical(null).isEmpty)
+  }
+
+  // ── integration: planning-time file pruning ───────────────────────────
+
+  /** Ids interleave across files (evens then odds), so every file's
+    * [min,max] covers every id — min/max pruning provably can't help; any
+    * skipping observed below is the bloom's.
+    */
+  private def mkInterleaved(table: String): Unit = {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.blm")
+    spark.sql(s"DROP TABLE IF EXISTS lake.blm.$table")
+    spark.sql(s"""CREATE TABLE lake.blm.$table (id BIGINT, v STRING)
+      TBLPROPERTIES ('write.bloom-columns'='id')""")
+    spark.sql(s"INSERT INTO lake.blm.$table SELECT id * 2, concat('e', id) FROM range(1000)")
+    spark.sql(s"INSERT INTO lake.blm.$table SELECT id * 2 + 1, concat('o', id) FROM range(1000)")
+  }
+
+  test("point lookup plans only the file that can hold the needle") {
+    mkInterleaved("t")
+    val q = spark.sql("SELECT v FROM lake.blm.t WHERE id = 700") // even file
+    assert(q.collect().map(_.getString(0)).toSeq == Seq("e350"))
+    assert(filesPlanned(q.queryExecution.executedPlan.toString, "t") == 1,
+      "bloom must prune the odd-ids file despite full min/max overlap")
+    // absent needle: bloom proves absence everywhere → zero files planned
+    val none = spark.sql("SELECT v FROM lake.blm.t WHERE id = 5000")
+    assert(none.collect().isEmpty)
+    assert(filesPlanned(none.queryExecution.executedPlan.toString, "t") == 0)
+    // IN list spanning both files keeps both; results stay exact
+    val in = spark.sql("SELECT v FROM lake.blm.t WHERE id IN (700, 701)")
+    assert(in.collect().map(_.getString(0)).sorted.toSeq == Seq("e350", "o350"))
+  }
+
+  test("string bloom column prunes; non-bloom columns never consult blooms") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.blm")
+    spark.sql("DROP TABLE IF EXISTS lake.blm.s")
+    spark.sql("""CREATE TABLE lake.blm.s (k STRING, n BIGINT)
+      TBLPROPERTIES ('write.bloom-columns'='k')""")
+    spark.sql("INSERT INTO lake.blm.s SELECT concat('a-', id), id FROM range(500)")
+    spark.sql("INSERT INTO lake.blm.s SELECT concat('z-', id), id FROM range(500)")
+    val q = spark.sql("SELECT n FROM lake.blm.s WHERE k = 'z-77'")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(77L))
+    assert(filesPlanned(q.queryExecution.executedPlan.toString, "s") == 1)
+    // eq on the NON-bloom column: files kept (sound, no bloom to consult)
+    val q2 = spark.sql("SELECT k FROM lake.blm.s WHERE n = 77")
+    assert(q2.collect().map(_.getString(0)).sorted.toSeq == Seq("a-77", "z-77"))
+  }
+
+  test("blooms survive manifest merging and partial manifest rewrites") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.blm")
+    spark.sql("DROP TABLE IF EXISTS lake.blm.m")
+    spark.sql("""CREATE TABLE lake.blm.m (id BIGINT, v STRING)
+      TBLPROPERTIES ('write.bloom-columns'='id',
+                     'commit.manifest-merge.min-count'='2',
+                     'commit.manifest-merge.target-entries'='64')""")
+    // 4 appends with interleaved ids → manifest merging fires (min-count 2)
+    (0 until 4).foreach(i =>
+      spark.sql(s"INSERT INTO lake.blm.m SELECT id * 4 + $i, concat('f$i-', id) FROM range(400)"))
+    val q = spark.sql("SELECT v FROM lake.blm.m WHERE id = 402") // file 2: 402 = 100*4+2
+    assert(q.collect().map(_.getString(0)).toSeq == Seq("f2-100"))
+    assert(filesPlanned(q.queryExecution.executedPlan.toString, "m") == 1,
+      "bloom sidecars must ride through commit-time manifest merging")
+    // partial rewrite: COW DELETE on file 0's rows rewrites that manifest;
+    // the untouched files' blooms must survive the rewrite
+    spark.sql("DELETE FROM lake.blm.m WHERE id = 400")
+    val q2 = spark.sql("SELECT v FROM lake.blm.m WHERE id = 402")
+    assert(q2.collect().map(_.getString(0)).toSeq == Seq("f2-100"))
+    assert(filesPlanned(q2.queryExecution.executedPlan.toString, "m") == 1,
+      "bloom sidecars must survive withRewrite manifest rewrites")
+  }
+
+  test("expiration deletes dead sidecars; orphan removal keeps live ones") {
+    import org.apache.hadoop.fs.Path
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.blm")
+    spark.sql("DROP TABLE IF EXISTS lake.blm.x")
+    spark.sql("""CREATE TABLE lake.blm.x (id BIGINT)
+      TBLPROPERTIES ('write.bloom-columns'='id')""")
+    spark.sql("INSERT INTO lake.blm.x SELECT id * 2 FROM range(100)")
+    spark.sql("INSERT OVERWRITE lake.blm.x SELECT id * 2 + 1 FROM range(100)")
+    val loc = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("blm"), "x")).asInstanceOf[graft.catalog.LakeTable].meta.location
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(loc).getFileSystem(conf)
+    def sidecars(): Seq[String] = {
+      val dir = new Path(s"$loc/metadata")
+      fs.listStatus(dir).map(_.getPath.getName).filter(_.endsWith(".bloom")).toSeq
+    }
+    assert(sidecars().nonEmpty, "bloom-configured writes must produce sidecars")
+    // orphan removal (no grace period) must NOT touch live sidecars
+    spark.sql("CALL lake.system.remove_orphan_files(table => 'blm.x', older_than_ms => 0)")
+    val afterOrphan = sidecars()
+    assert(afterOrphan.nonEmpty, "live sidecars must survive remove_orphan_files")
+    // expiring the overwritten snapshot kills its manifests AND sidecars
+    spark.sql("CALL lake.system.expire_snapshots(table => 'blm.x', keep_last => 1)")
+    assert(sidecars().size < afterOrphan.size,
+      "expired manifests' sidecars must be deleted with them")
+    // and the surviving table still bloom-prunes
+    val q = spark.sql("SELECT id FROM lake.blm.x WHERE id = 84")
+    assert(q.collect().isEmpty) // 84 is even → overwritten away
+    assert(filesPlanned(q.queryExecution.executedPlan.toString, "x") == 0)
+  }
+
+  test("bloom pruning stays sound under merge-on-read tombstones") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.blm")
+    spark.sql("DROP TABLE IF EXISTS lake.blm.d")
+    spark.sql("""CREATE TABLE lake.blm.d (id BIGINT, v STRING)
+      TBLPROPERTIES ('write.bloom-columns'='id', 'write.delete.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO lake.blm.d SELECT id * 2, concat('e', id) FROM range(500)")
+    spark.sql("INSERT INTO lake.blm.d SELECT id * 2 + 1, concat('o', id) FROM range(500)")
+    spark.sql("DELETE FROM lake.blm.d WHERE id = 700")
+    // tombstoned needle: bloom still keeps the file (it holds the physical
+    // row), the tombstone kills it at read — absence is correct
+    assert(spark.sql("SELECT v FROM lake.blm.d WHERE id = 700").collect().isEmpty)
+    // untouched needle in the same file still found, still 1-file plan
+    val q = spark.sql("SELECT v FROM lake.blm.d WHERE id = 702")
+    assert(q.collect().map(_.getString(0)).toSeq == Seq("e351"))
+    assert(filesPlanned(q.queryExecution.executedPlan.toString, "d") == 1)
+  }
+}
