@@ -1875,6 +1875,59 @@ object LlmPipeline {
       labels.zipWithIndex.map { case (label, i) =>
         (i.toLong, label, row.getLong(2 * i), row.getLong(2 * i + 1))
       }.toDF("stage", "label", "n_docs", "n_tokens").orderBy("stage")
+    },
+
+    // ───── q104: substring search via a winnowed inverted index ──────────
+    // "Which docs contain this phrase?" without scanning text: a PERSISTED
+    // index table of winnowing fingerprints (k=8-byte grams, window w=8),
+    // bucket-partitioned by fingerprint. The winnowing guarantee (every
+    // window's rightmost-min hash is emitted) makes the probe LOSSLESS for
+    // needles of length >= k+w-1 = 15: any occurrence shares at least one
+    // selected fingerprint with the needle's own winnowing. Probe shape =
+    // fingerprint the needle (one-row plan), bucket-pruned IN-probe of the
+    // index (RuntimePruningSpec asserts files skipped), exact contains()
+    // verify over only the candidate docs — at 100 TB a LIKE '%phrase%'
+    // becomes a few index buckets + a handful of doc reads, not a corpus
+    // scan. Oracle = the LIKE scan itself.
+    QueryDef.df(
+      "q104_substring_index",
+      """SELECT needle, doc_id FROM (
+        |  SELECT 'row column sort' AS needle, doc_id FROM documents
+        |    WHERE text LIKE '%row column sort%'
+        |  UNION ALL
+        |  SELECT 'stream table hash' AS needle, doc_id FROM documents
+        |    WHERE text LIKE '%stream table hash%'
+        |  UNION ALL
+        |  SELECT 'window fast query' AS needle, doc_id FROM documents
+        |    WHERE text LIKE '%window fast query%') s
+        |ORDER BY needle, doc_id""".stripMargin) { (s, dir) =>
+      import graft.functions.Winnowing.winnowFingerprints
+      val (k, w) = (8, 8)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS lake.verify")
+      s.sql("DROP TABLE IF EXISTS lake.verify.sub_idx")
+      s.sql(
+        """CREATE TABLE lake.verify.sub_idx (fp BIGINT, doc_id BIGINT)
+          |PARTITIONED BY (bucket(8, fp))""".stripMargin)
+      t(s, dir, "documents")
+        .select(explode(array_distinct(winnowFingerprints(col("text"), k, w))).as("fp"),
+          col("doc_id"))
+        .writeTo("lake.verify.sub_idx").append()
+      val docs = t(s, dir, "documents")
+      val results = Seq("row column sort", "stream table hash", "window fast query")
+        .map { needle =>
+          // the needle's own fingerprints: a bounded handful (|needle|),
+          // computed by the same expression — collect is O(needle), not data
+          val fps = s.range(1)
+            .select(explode(winnowFingerprints(lit(needle), k, w)).as("fp"))
+            .collect().map(_.getLong(0)).distinct.toSeq
+          val cands = s.table("lake.verify.sub_idx")
+            .where(col("fp").isin(fps: _*))
+            .select(col("doc_id")).distinct()
+          docs.join(cands, "doc_id") // candidate set is tiny → broadcast-able
+            .where(col("text").contains(needle))
+            .select(lit(needle).as("needle"), col("doc_id"))
+        }
+      results.reduce(_ unionAll _).orderBy("needle", "doc_id")
     })
 
   /** SemDeDup core: assign each vector to its nearest of `k` md5-seeded
