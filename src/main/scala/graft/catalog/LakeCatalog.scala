@@ -104,7 +104,18 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
     }
     val key = display(ident)
     val cached = cache.get(key)
-    if (cached != null) return cached
+    if (cached != null) {
+      // POINTER CHECK on every cache hit: another catalog INSTANCE (a
+      // second Spark app on the same store, or the session clone
+      // foreachBatch runs under) may have committed since we cached —
+      // serving the handle unchecked would read stale data forever.
+      // Cost = one point-select per resolution, exactly the reference's
+      // own load_table round-trip (mod.rs:209-220); the metadata
+      // DOCUMENT stays cached by its immutable location either way.
+      val loc = store.load(ns(ident.namespace()), ident.name())
+      if (loc.contains(cached.metadataLocation)) return cached
+      cache.remove(key)
+    }
     val t = doLoad(ident, None)
     cache.put(key, t)
     t

@@ -168,7 +168,11 @@ final class LakeTable(
       // drops every fact file whose partition value can't match — at
       // 100 TB the difference between scanning one partition and all of
       // them. Same pruners as planning-time filters (min/max + bucket).
-      runtimeFilterCols = meta.partitionFields.map(_.source),
+      // BLOOM-indexed columns accept runtime predicates too: a join keyed
+      // on a high-NDV bloom column hands its surviving keys to the scan,
+      // and file-level blooms drop every file provably holding none.
+      runtimeFilterCols =
+        (meta.partitionFields.map(_.source) ++ meta.bloomColumns).distinct,
       microBatch = Some(() => new LakeMicroBatchStream(ident, meta.physicalSchema,
         () => {
           val loc = store.load(namespace, tableName).getOrElse(
@@ -467,8 +471,11 @@ final class LakeRowLevelOperation(
       // computes the distinct partition values matching the command's
       // condition and calls Scan.filter with them BEFORE planning input
       // partitions — an UPDATE/MERGE touching one partition rewrites one
-      // partition, not the table
-      runtimeFilterCols = table.meta.partitionFields.map(_.source),
+      // partition, not the table. Bloom columns participate too: a MERGE
+      // keyed on a bloom-indexed id rewrites only the files whose blooms
+      // may hold a matched key, even with no partitioning at all.
+      runtimeFilterCols =
+        (table.meta.partitionFields.map(_.source) ++ table.meta.bloomColumns).distinct,
       partitionCols = table.meta.partitionColumns,
       l2p = table.meta.l2pMap,
       // pending merge-on-read tombstones apply during the CoW scan, so the
@@ -676,7 +683,7 @@ final class LakeScanBuilder(
     onFilesSelected(pruned)
     new LakeScan(ident, tableSchema, pruned, exprs, requiredSchema, options,
       runtimeFilterCols, onFilesSelected, microBatch, partitionCols, l2p, deleteFiles,
-      eqDeletes, eqKeySchema, ndv, kll, sortOrder)
+      eqDeletes, eqKeySchema, ndv, kll, sortOrder, bloomFor)
   }
 }
 
@@ -762,7 +769,8 @@ final class LakeScan(
     eqKeySchema: Option[StructType] = None,
     ndv: Map[String, Long] = Map.empty,
     kll: Map[String, Array[Byte]] = Map.empty,
-    sortOrder: Seq[String] = Nil) // table write.sort-order (LOGICAL names)
+    sortOrder: Seq[String] = Nil, // table write.sort-order (LOGICAL names)
+    bloomFor: (String, String) => Option[FileBloom] = FilePruner.NoBloom)
   extends Scan with SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -833,7 +841,7 @@ final class LakeScan(
     def typeOf(c: String): Option[DataType] =
       tableSchema.fields.find(_.name == c).map(_.dataType)
     files = files.filter(f => predicates.forall(p =>
-      V2PredicatePruner.mayMatch(p, f)
+      V2PredicatePruner.mayMatch(p, f, bloomFor)
         && BucketPruner.mayMatchV2(p, f, pf, typeOf)))
     onFilesSelected(files)
     delegate = null // rebuild the parquet scan over the pruned list
@@ -1262,22 +1270,30 @@ private[catalog] object V2PredicatePruner {
     }
   }
 
-  def mayMatch(p: Predicate, file: DataFileMeta): Boolean = p.name() match {
-    case "IN" =>
-      val kids = p.children()
-      (for (c <- colOf(kids.head)) yield
-        kids.tail.exists(k => valueOf(k).forall(inRange(file, c, _)))).getOrElse(true)
-    case "=" =>
-      val kids = p.children()
-      (for (c <- colOf(kids(0)); v <- valueOf(kids(1))) yield inRange(file, c, v))
-        .getOrElse(true)
-    case "AND" =>
-      val and = p.asInstanceOf[org.apache.spark.sql.connector.expressions.filter.And]
-      mayMatch(and.left(), file) && mayMatch(and.right(), file)
-    case "OR" =>
-      val or = p.asInstanceOf[org.apache.spark.sql.connector.expressions.filter.Or]
-      mayMatch(or.left(), file) || mayMatch(or.right(), file)
-    case _ => true
+  def mayMatch(p: Predicate, file: DataFileMeta,
+      bloomFor: (String, String) => Option[FileBloom] = FilePruner.NoBloom): Boolean = {
+    // false => the file-level bloom PROVES col = v matches no row
+    def bloomMay(c: String, v: Any): Boolean =
+      bloomFor(file.path, c).forall(b =>
+        FileBloom.canonical(v).forall(b.mightContain))
+    p.name() match {
+      case "IN" =>
+        val kids = p.children()
+        (for (c <- colOf(kids.head)) yield
+          kids.tail.exists(k => valueOf(k).forall(v =>
+            inRange(file, c, v) && bloomMay(c, v)))).getOrElse(true)
+      case "=" =>
+        val kids = p.children()
+        (for (c <- colOf(kids(0)); v <- valueOf(kids(1))) yield
+          inRange(file, c, v) && bloomMay(c, v)).getOrElse(true)
+      case "AND" =>
+        val and = p.asInstanceOf[org.apache.spark.sql.connector.expressions.filter.And]
+        mayMatch(and.left(), file, bloomFor) && mayMatch(and.right(), file, bloomFor)
+      case "OR" =>
+        val or = p.asInstanceOf[org.apache.spark.sql.connector.expressions.filter.Or]
+        mayMatch(or.left(), file, bloomFor) || mayMatch(or.right(), file, bloomFor)
+      case _ => true
+    }
   }
 }
 
@@ -1343,6 +1359,22 @@ object FilePruner {
   /** No bloom index — point predicates prune on min/max alone. */
   val NoBloom: (String, String) => Option[FileBloom] = (_, _) => None
 
+  /** Smallest byte string strictly greater than every string with prefix
+    * `p`: increment p's last non-0xFF byte, dropping the 0xFF tail. None
+    * ⇒ all-0xFF prefix, no upper bound (callers keep the file).
+    */
+  private def prefixUpperBound(p: UTF8String): Option[UTF8String] = {
+    val bytes = p.getBytes // copy
+    var i = bytes.length - 1
+    while (i >= 0 && bytes(i) == -1) i -= 1
+    if (i < 0) None
+    else {
+      val out = java.util.Arrays.copyOf(bytes, i + 1)
+      out(i) = (out(i) + 1).toByte
+      Some(UTF8String.fromBytes(out))
+    }
+  }
+
   /** Could any row of `f` satisfy `e`? `bloomFor(path, col)` supplies the
     * file-level bloom (if any) for point-predicate pruning beyond min/max.
     */
@@ -1382,6 +1414,17 @@ object FilePruner {
       // multi-point-lookup pattern (e.g. an IVF probe's `cell IN (...)`)
       // prunes like a disjunction of equalities. Incomparable values keep
       // the file conservatively; an empty list matches nothing.
+      // LIKE 'p%' ⇒ the matching strings form the interval [p, next(p))
+      // in UTF8-BINARY order (the order the writer records string stats
+      // in): keep the file iff its [min, max] overlaps that interval —
+      // the prefix-scan pattern on a sorted string column plans only the
+      // covering run of files
+      case ce.StartsWith(a: ce.Attribute, ce.Literal(p: UTF8String, _)) if p != null =>
+        (for (mn <- f.minValues.get(a.name); mx <- f.maxValues.get(a.name)) yield {
+          val lo = UTF8String.fromString(mn)
+          val hi = UTF8String.fromString(mx)
+          hi.compareTo(p) >= 0 && prefixUpperBound(p).forall(ub => lo.compareTo(ub) < 0)
+        }).getOrElse(true)
       case ce.In(a: ce.Attribute, vs) =>
         vs.exists {
           case ce.Literal(v, _) if v != null =>

@@ -236,11 +236,14 @@ final case class TableMeta(
     * non-sorted column) skip row groups the min/max range check cannot —
     * the 100 TB needle-in-haystack scan path.
     */
-  def physicalBloomColumns: Seq[String] = {
-    val m = l2pMap
+  /** `write.bloom-columns` under LOGICAL names (as declared). */
+  def bloomColumns: Seq[String] =
     properties.get("write.bloom-columns").toSeq
       .flatMap(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
-      .map(c => m.getOrElse(c, c))
+
+  def physicalBloomColumns: Seq[String] = {
+    val m = l2pMap
+    bloomColumns.map(c => m.getOrElse(c, c))
   }
 
   /** Bits per FILE-level bloom per column (`write.bloom-bits`); the knob

@@ -149,6 +149,100 @@ class FileBloomSpec extends AnyFunSuite {
     assert(filesPlanned(q.queryExecution.executedPlan.toString, "x") == 0)
   }
 
+  test("a filtered dim join runtime-prunes fact files via the bloom (no partitioning)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.blm")
+    spark.sql("DROP TABLE IF EXISTS lake.blm.fact")
+    spark.sql("DROP TABLE IF EXISTS lake.blm.dim")
+    // UNPARTITIONED fact; ids interleave across files so min/max can't
+    // prune — only the per-file bloom can answer the runtime IN-filter
+    spark.sql("""CREATE TABLE lake.blm.fact (id BIGINT, v BIGINT)
+      TBLPROPERTIES ('write.bloom-columns'='id')""")
+    spark.sql("INSERT INTO lake.blm.fact SELECT id * 2, id FROM range(1000)")
+    spark.sql("INSERT INTO lake.blm.fact SELECT id * 2 + 1, id FROM range(1000)")
+    spark.sql("CREATE TABLE lake.blm.dim (id BIGINT, attr STRING)")
+    spark.sql(
+      "INSERT INTO lake.blm.dim SELECT id * 2, IF(id = 111, 'hit', 'miss') FROM range(500)")
+    val q = spark.sql(
+      """SELECT f.id, f.v FROM lake.blm.fact f JOIN lake.blm.dim d ON f.id = d.id
+        |WHERE d.attr = 'hit'""".stripMargin)
+    val rows = q.collect()
+    assert(rows.toSeq.map(r => (r.getLong(0), r.getLong(1))) == Seq((222L, 111L)))
+    val plan = q.queryExecution.executedPlan.toString
+    if (plan.contains("dynamicpruning")) {
+      // the runtime IN-filter carries only EVEN ids → the odd-ids file is
+      // bloom-provably matchless and must drop from the fact scan
+      val scanDesc = "LakeScan\\(lake\\.blm\\.fact, (\\d+) files\\)".r
+      val counts = scanDesc.findAllMatchIn(plan).map(_.group(1).toInt).toSeq
+      assert(counts.nonEmpty && counts.min == 1,
+        s"bloom runtime filter should prune the fact scan to 1 file, got $counts:\n$plan")
+    } else fail(s"expected a dynamic pruning predicate on the fact scan:\n$plan")
+  }
+
+  test("LIKE 'prefix%' plans only the covering run of a sorted string column") {
+    // min/max sibling of the bloom path (same pruner): matching strings
+    // form [p, next(p)) in UTF8-binary order
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.blm")
+    spark.sql("DROP TABLE IF EXISTS lake.blm.p")
+    spark.sql("CREATE TABLE lake.blm.p (k STRING, n BIGINT)")
+    // three files with disjoint lexical ranges: a-*, m-*, z-* (REPARTITION(1)
+    // pins one file per insert — range() otherwise splits across tasks)
+    Seq("a", "m", "z").foreach(pfx =>
+      spark.sql(s"INSERT INTO lake.blm.p SELECT /*+ REPARTITION(1) */ concat('$pfx-', lpad(id, 4, '0')), id FROM range(500)"))
+    val q = spark.sql("SELECT n FROM lake.blm.p WHERE k LIKE 'm-02%'")
+    assert(q.collect().length == 100) // m-0200..m-0299
+    assert(filesPlanned(q.queryExecution.executedPlan.toString, "p") == 1,
+      "prefix predicate must plan only the file whose range covers it")
+    val none = spark.sql("SELECT n FROM lake.blm.p WHERE k LIKE 'q%'")
+    assert(none.collect().isEmpty)
+    assert(filesPlanned(none.queryExecution.executedPlan.toString, "p") == 0)
+  }
+
+  test("CoW MERGE rewrites only the files whose blooms may hold a matched key") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.blm")
+    spark.sql("DROP TABLE IF EXISTS lake.blm.cw")
+    spark.sql("""CREATE TABLE lake.blm.cw (id BIGINT, v BIGINT)
+      TBLPROPERTIES ('write.bloom-columns'='id')""")
+    spark.sql("INSERT INTO lake.blm.cw SELECT id * 2, id FROM range(1000)")
+    spark.sql("INSERT INTO lake.blm.cw SELECT id * 2 + 1, id FROM range(1000)")
+    def paths(): Set[String] = spark.sql("SELECT path FROM lake.blm.`cw$files`")
+      .collect().map(_.getString(0)).toSet
+    val before = paths()
+    assert(before.size >= 2)
+    // the source hits ONE even id → min/max keeps the even AND odd file
+    // covering 222's range, the bloom excludes the odd one: exactly one
+    // file rewrites, every other file survives the copy-on-write by
+    // reference
+    spark.sql(
+      """MERGE INTO lake.blm.cw t
+        |USING (SELECT 222 AS id, -1L AS v) s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin)
+    val after = paths()
+    assert(spark.sql("SELECT v FROM lake.blm.cw WHERE id = 222").head().getLong(0) == -1L)
+    assert(spark.table("lake.blm.cw").count() == 2000)
+    assert((before & after).size == before.size - 1,
+      s"all but the one bloom-matched file must carry over by reference " +
+        s"(before=${before.size}, carried=${(before & after).size})")
+  }
+
+  test("compaction rebuilds blooms: a merged file still proves absence") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.blm")
+    spark.sql("DROP TABLE IF EXISTS lake.blm.c")
+    spark.sql("""CREATE TABLE lake.blm.c (id BIGINT, v BIGINT)
+      TBLPROPERTIES ('write.bloom-columns'='id')""")
+    // sparse ids (4k, 4k+1): values 4k+2 are absent but inside min/max
+    spark.sql("INSERT INTO lake.blm.c SELECT id * 4, id FROM range(500)")
+    spark.sql("INSERT INTO lake.blm.c SELECT id * 4 + 1, id FROM range(500)")
+    spark.sql("CALL lake.system.compact('blm.c')")
+    val hit = spark.sql("SELECT v FROM lake.blm.c WHERE id = 400")
+    assert(hit.collect().map(_.getLong(0)).toSeq == Seq(100L))
+    // in-range absent needle: only the REBUILT bloom of the merged file
+    // can prove this (min/max covers 402)
+    val none = spark.sql("SELECT v FROM lake.blm.c WHERE id = 402")
+    assert(none.collect().isEmpty)
+    assert(filesPlanned(none.queryExecution.executedPlan.toString, "c") == 0,
+      "the compacted file's rebuilt bloom must prove in-range absence")
+  }
+
   test("bloom pruning stays sound under merge-on-read tombstones") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.blm")
     spark.sql("DROP TABLE IF EXISTS lake.blm.d")

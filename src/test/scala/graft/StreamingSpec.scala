@@ -84,6 +84,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(0).getAs[Long]("n") == 2 && rows(0).getAs[Double]("sum_value") == 3.0)
   }
 
+  test("streaming near-dup: each micro-batch probes the persisted band index, pairs land in the lake") {
+    // the TRUE-STREAMING form of q99's incremental near-dup: documents
+    // arrive as micro-batches, each batch LSH-probes the band index built
+    // from all PRIOR batches, verified pairs append to a lake results
+    // table (never the driver), then the batch's own bands ingest. State
+    // lives entirely in lake tables — a restart resumes from the index.
+    import spark.implicits._
+    import graft.functions.TextHashing.{minhashSignature, wordNgrams}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.stream")
+    spark.sql("DROP TABLE IF EXISTS lake.stream.nd_idx")
+    spark.sql("DROP TABLE IF EXISTS lake.stream.nd_out")
+    spark.sql(
+      """CREATE TABLE lake.stream.nd_idx (doc_id BIGINT, band INT, bh BIGINT)
+        |PARTITIONED BY (bucket(8, bh))""".stripMargin)
+    spark.sql("CREATE TABLE lake.stream.nd_out (id_a BIGINT, id_b BIGINT)")
+    val (bands, rpb) = (16, 4)
+    def bandsOf(df: org.apache.spark.sql.DataFrame) = {
+      val sh = array_distinct(wordNgrams(split(lower(col("text")), " "), 3))
+      val sigs = df.select(col("doc_id"), minhashSignature(sh, bands * rpb, 42L).as("sig"))
+      val bandStructs = (0 until bands).map(b =>
+        struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rpb + 1, rpb)).as("bh")))
+      sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
+        .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+    }
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val input = MemoryStream[(Long, String)](spark)
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-nd-ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.cache()
+        try {
+          val probe = bandsOf(b).select(col("doc_id").as("id_b"), col("band"), col("bh"))
+          val idx = spark.table("lake.stream.nd_idx")
+            .select(col("doc_id").as("id_a"), col("band"), col("bh"))
+          probe.join(idx, Seq("band", "bh"))
+            .select(col("id_a"), col("id_b")).distinct()
+            .writeTo("lake.stream.nd_out").append() // candidates commit first
+          bandsOf(b).writeTo("lake.stream.nd_idx").append()
+        } finally b.unpersist()
+      }.start()
+    input.addData((1L, base), (2L, "completely different words about spark shuffles and joins here"))
+    q.processAllAvailable()
+    // batch 2: doc 11 duplicates doc 1 (one word changed), doc 12 is fresh
+    input.addData((11L, base.replace("today", "tomorrow")),
+      (12L, "yet another unrelated document mentioning parquet files and manifests"))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("lake.stream.nd_out")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 11L)), s"cross-batch near-dup must be found, got $pairs")
+    assert(!pairs.exists { case (a, b) => a >= 11L && b >= 11L },
+      s"a batch must never pair with itself (probe-before-ingest), got $pairs")
+    assert(!pairs.exists { case (a, b) => b == 12L || b == 2L },
+      s"unique docs must not pair, got $pairs")
+  }
+
   test("exactly-once: replaying a committed epoch is a no-op (sink-retry contract)") {
     import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
     import graft.catalog.{LakeCommitMessage, LakeTable}
