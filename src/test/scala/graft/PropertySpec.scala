@@ -113,6 +113,49 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bloom pruning is sound end-to-end: a present value's file is never pruned") {
+    // the full writer→canonical→pruner path: values inserted through
+    // FileBloom.add with the WRITER's rendering, probed through
+    // FilePruner.mayMatch with the PRUNER's literal shapes — any
+    // canonicalization divergence would surface as a false negative here
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.catalog.{DataFileMeta, FileBloom, FilePruner}
+    val genVals: Gen[List[Long]] = Gen.nonEmptyListOf(Gen.choose(-100000L, 100000L))
+    val schema = StructType(Seq(StructField("k", LongType), StructField("s", StringType)))
+    val kAttr = ce.AttributeReference("k", LongType)()
+    val sAttr = ce.AttributeReference("s", StringType)()
+    forAll(genVals, 150) { vals =>
+      val bloomK = FileBloom(4096)
+      val bloomS = FileBloom(4096)
+      vals.foreach { v =>
+        bloomK.add(FileBloom.canonical(java.lang.Long.valueOf(v)).get)
+        bloomS.add(s"v-$v")
+      }
+      // decode from the ENCODED form — the sidecar round-trip included
+      val lookup: (String, String) => Option[FileBloom] = {
+        case (_, "k") => FileBloom.decode(bloomK.encode)
+        case (_, "s") => FileBloom.decode(bloomS.encode)
+        case _ => None
+      }
+      val f = DataFileMeta("p", vals.size.toLong, 1L,
+        Map("k" -> vals.min.toString, "s" -> ("v-")),
+        Map("k" -> vals.max.toString, "s" -> "v-￿"),
+        Map("k" -> 0L, "s" -> 0L))
+      vals.foreach { v =>
+        val eqK = ce.EqualTo(kAttr, ce.Literal(v))
+        assert(FilePruner.mayMatch(eqK, f, schema, lookup),
+          s"present long $v was bloom-pruned")
+        val eqS = ce.EqualTo(sAttr, ce.Literal(UTF8String.fromString(s"v-$v"), StringType))
+        assert(FilePruner.mayMatch(eqS, f, schema, lookup),
+          s"present string v-$v was bloom-pruned")
+        val in = ce.In(kAttr, Seq(ce.Literal(v), ce.Literal(200001L)))
+        assert(FilePruner.mayMatch(in, f, schema, lookup),
+          s"IN-list containing present $v was bloom-pruned")
+      }
+    }
+  }
+
   test("top-N file pruning is sound under adversarial row placement") {
     // any placement of each file's rows consistent with its stats (min and
     // max attained, rowCount rows in [min,max]) must have its true top-n
