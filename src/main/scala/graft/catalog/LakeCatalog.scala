@@ -256,8 +256,15 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
         }.getOrElse(throw new UnsupportedOperationException(
           s"bucket transform needs an int bucket count, got $t"))
         PartField(t.references()(0).fieldNames().mkString("."), Some(n)).spec
+      case t if TimeTransform.Units.contains(t.name()) && t.references().length == 1 =>
+        // years/months/days/hours(col): the canonical time-partitioned
+        // fact layout — clustered per-unit files, per-unit dynamic
+        // overwrite backfills; range predicates on the raw column prune
+        // through ordinary min/max stats (the transforms are monotonic)
+        PartField(t.references()(0).fieldNames().mkString("."), None, Some(t.name())).spec
       case t => throw new UnsupportedOperationException(
-        s"only identity and bucket partition transforms are supported, got $t")
+        s"only identity, bucket and time (years/months/days/hours) partition " +
+          s"transforms are supported, got $t")
     }
 
   // ── catalog functions (FunctionCatalog) ────────────────────────────────
@@ -266,11 +273,14 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
   // co-partitioned in a storage-partitioned join.
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "bucket"))
+    ("bucket" +: TimeTransform.Units.toSeq.sorted)
+      .map(Identifier.of(namespace, _)).toArray
 
   override def loadFunction(ident: Identifier):
       org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.name().equalsIgnoreCase("bucket")) BucketFunction
+    else if (TimeTransform.Units.contains(ident.name().toLowerCase))
+      TimeFunction(ident.name().toLowerCase)
     else throw new NoSuchFunctionException(ident)
 
   private def stage(ident: Identifier, info: TableInfo, mode: StageMode): StagedTable = {

@@ -157,9 +157,11 @@ object LakeMaintenance {
     // the SAME murmur3 hash the writer/stats use (SQL pmod(hash(c), n) ==
     // BucketHash by construction — both are Spark murmur3, seed 42)
     val clusterCols = physCols.map(s => PartField.parse(s) match {
-      case PartField(c, None) => df.col(c)
-      case PartField(c, Some(n)) =>
+      case PartField(c, None, None) => df.col(c)
+      case PartField(c, Some(n), _) =>
         org.apache.spark.sql.functions.expr(s"pmod(hash(`$c`), $n)")
+      case PartField(c, None, Some(u)) =>
+        TimeTransform.column(u, df.col(c), t.meta.physicalSchema(c).dataType)
     })
     // the table's write.sort-order (if any) is re-applied so compaction
     // restores/maintains the sorted layout (physical names inside this job)
@@ -233,9 +235,11 @@ object LakeMaintenance {
     val physSchema = t.meta.physicalSchema
     val physCols = t.meta.physicalPartitionColumns
     val clusterCols = physCols.map(s => PartField.parse(s) match {
-      case PartField(c, None) => phys.col(c)
-      case PartField(c, Some(n)) =>
+      case PartField(c, None, None) => phys.col(c)
+      case PartField(c, Some(n), _) =>
         org.apache.spark.sql.functions.expr(s"pmod(hash(`$c`), $n)")
+      case PartField(c, None, Some(u)) =>
+        TimeTransform.column(u, phys.col(c), physSchema(c).dataType)
     })
     val clustered =
       if (clusterCols.nonEmpty)

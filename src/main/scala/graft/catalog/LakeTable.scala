@@ -68,8 +68,9 @@ final class LakeTable(
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
     import org.apache.spark.sql.connector.expressions.Expressions
     meta.partitionFields.map {
-      case PartField(c, None) => Expressions.identity(c)
-      case PartField(c, Some(n)) => Expressions.bucket(n, c)
+      case PartField(c, None, None) => Expressions.identity(c)
+      case PartField(c, Some(n), _) => Expressions.bucket(n, c)
+      case PartField(c, None, Some(u)) => TimeTransform.v2(u, c)
     }.toArray
   }
 
@@ -858,8 +859,8 @@ final class LakeScan(
 
   private def keySchema: StructType =
     StructType(pfields.map {
-      case PartField(c, None) => tableSchema.fields(tableSchema.fieldIndex(c))
-      case f @ PartField(_, Some(_)) => StructField(f.statKey, IntegerType)
+      case PartField(c, None, None) => tableSchema.fields(tableSchema.fieldIndex(c))
+      case f => StructField(f.statKey, IntegerType) // bucket/time: int key
     })
 
   private def parseKey(f: DataFileMeta): Option[Seq[Any]] = {
@@ -867,7 +868,7 @@ final class LakeScan(
       (f.minValues.get(pf.statKey), f.maxValues.get(pf.statKey)) match {
         case (Some(lo), Some(hi)) if lo == hi =>
           try {
-            if (pf.buckets.isDefined) lo.toInt
+            if (!pf.isIdentity) lo.toInt
             else tableSchema.fields(tableSchema.fieldIndex(pf.source)).dataType match {
               case IntegerType | DateType => lo.toInt
               case LongType => lo.toLong
@@ -914,9 +915,11 @@ final class LakeScan(
         import org.apache.spark.sql.connector.expressions.Expressions
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           pfields.map {
-            case PartField(c, None) => Expressions.identity(c):
+            case PartField(c, None, None) => Expressions.identity(c):
               org.apache.spark.sql.connector.expressions.Expression
-            case PartField(c, Some(n)) => Expressions.bucket(n, c):
+            case PartField(c, Some(n), _) => Expressions.bucket(n, c):
+              org.apache.spark.sql.connector.expressions.Expression
+            case PartField(c, None, Some(u)) => TimeTransform.v2(u, c):
               org.apache.spark.sql.connector.expressions.Expression
           }.toArray,
           b.planInputPartitions().length)
@@ -1584,11 +1587,13 @@ final class LakeWrite(
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
 
   private def transformOf(f: PartField): org.apache.spark.sql.connector.expressions.Expression =
-    f.buckets match {
-      case None => Expressions.column(f.source)
-      // resolved through the catalog's FunctionCatalog (BucketFunction):
-      // rows cluster by the same hash the writer stats and SPJ use
-      case Some(n) => Expressions.bucket(n, f.source)
+    f match {
+      case PartField(c, None, None) => Expressions.column(c)
+      // resolved through the catalog's FunctionCatalog (BucketFunction /
+      // TimeFunction): rows cluster by the same transform the writer
+      // stats and SPJ use
+      case PartField(c, Some(n), _) => Expressions.bucket(n, c)
+      case PartField(c, None, Some(u)) => TimeTransform.v2(u, c)
     }
 
   private def orderOf(cols: Seq[String]): Array[SortOrder] =
@@ -2085,12 +2090,16 @@ final class LakeDataWriter(
   /** This row's value for partition field j: the column value (identity)
     * or its bucket number (same BucketHash the V2 function evaluates).
     */
-  private def partKeyAt(row: InternalRow, j: Int): Any = partFields(j).buckets match {
-    case None => scalarAt(row, partIdx(j))
-    case Some(n) =>
+  private def partKeyAt(row: InternalRow, j: Int): Any = partFields(j) match {
+    case PartField(_, None, None) => scalarAt(row, partIdx(j))
+    case PartField(_, Some(n), _) =>
       val i = partIdx(j)
       val dt = schema.fields(i).dataType
       BucketHash(n, if (row.isNullAt(i)) null else row.get(i, dt), dt)
+    case PartField(_, None, Some(u)) =>
+      val i = partIdx(j)
+      if (row.isNullAt(i)) null
+      else TimeTransform(u, row.get(i, schema.fields(i).dataType), schema.fields(i).dataType)
   }
 
   // per-file state
@@ -2140,12 +2149,13 @@ final class LakeDataWriter(
       schema.fields.indices.collect {
         case i if a(i) != null => schema.fields(i).name -> a(i).toString
       }.toMap
-    // bucket fields: the file holds exactly one bucket value (we rolled on
-    // every key change), recorded under the spec's stat key for pruning/SPJ
+    // transform fields (bucket/time): the file holds exactly one value
+    // (we rolled on every key change), recorded under the spec's stat key
+    // for pruning / SPJ / dynamic-overwrite partition attribution
     val bucketStats: Map[String, String] =
       if (currentKey == null) Map.empty
       else partFields.indices.collect {
-        case j if partFields(j).buckets.isDefined && currentKey(j) != null =>
+        case j if !partFields(j).isIdentity && currentKey(j) != null =>
           partFields(j).statKey -> currentKey(j).toString
       }.toMap
     val nulls = schema.fields.indices

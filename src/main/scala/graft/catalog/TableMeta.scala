@@ -185,6 +185,7 @@ final case class TableMeta(
     else {
       def remap(k: String): String = k match {
         case PartField.BucketKey(n, src) => s"_bucket_${n}_${p2l.getOrElse(src, src)}"
+        case PartField.TimeKey(u, src) => s"_${u}_${p2l.getOrElse(src, src)}"
         case _ => p2l.getOrElse(k, k)
       }
       files.map(f => f.copy(
@@ -520,19 +521,27 @@ object CasCommit {
   * which identity partitioning can't offer for keys like user_id.
   * Serialized into `TableMeta.partitionColumns` as its `spec` string.
   */
-final case class PartField(source: String, buckets: Option[Int]) {
+final case class PartField(source: String, buckets: Option[Int],
+    time: Option[String] = None) {
   /** Key under which the writer records this field's per-file stats. */
-  def statKey: String = buckets.map(n => s"_bucket_${n}_$source").getOrElse(source)
-  def spec: String = buckets.map(n => s"bucket($n,$source)").getOrElse(source)
+  def statKey: String = buckets.map(n => s"_bucket_${n}_$source")
+    .orElse(time.map(u => s"_${u}_$source")).getOrElse(source)
+  def spec: String = buckets.map(n => s"bucket($n,$source)")
+    .orElse(time.map(u => s"$u($source)")).getOrElse(source)
+  /** True for a plain column (no transform). */
+  def isIdentity: Boolean = buckets.isEmpty && time.isEmpty
   def rename(from: String, to: String): PartField =
     if (source == from) copy(source = to) else this
 }
 
 object PartField {
   private val Bucket = """bucket\((\d+),(.+)\)""".r
+  private val Time = """(years|months|days|hours)\((.+)\)""".r
   val BucketKey = """_bucket_(\d+)_(.+)""".r
+  val TimeKey = """_(years|months|days|hours)_(.+)""".r
   def parse(s: String): PartField = s match {
     case Bucket(n, c) => PartField(c, Some(n.toInt))
+    case Time(u, c) => PartField(c, None, Some(u))
     case c => PartField(c, None)
   }
 }

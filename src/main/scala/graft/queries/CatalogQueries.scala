@@ -589,6 +589,49 @@ object CatalogQueries {
     },
 
     QueryDef.df(
+      "q105_time_partitions",
+      // Oracle = the same backfilled state computed from scratch. Events
+      // land in a days(ts)-partitioned table (clustered one-file-per-day
+      // writes), a DYNAMIC OVERWRITE backfills exactly one day (doubling
+      // that day's values), and the final read filters a ts range — the
+      // canonical time-partitioned fact-table lifecycle. A hash match
+      // proves per-day attribution, the single-day replacement, and the
+      // range read over the survivors.
+      """WITH base AS (
+        |  SELECT CAST(ts AS DATE) AS d, event_type,
+        |    CASE WHEN CAST(ts AS DATE) = DATE '2024-01-02'
+        |         THEN CAST(value AS DOUBLE) * 2 ELSE CAST(value AS DOUBLE) END AS v
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-05 00:00:00')
+        |SELECT d, event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM base GROUP BY d, event_type ORDER BY d, event_type""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS lake.verify")
+      s.sql("DROP TABLE IF EXISTS lake.verify.ev_days")
+      s.sql(
+        """CREATE TABLE lake.verify.ev_days
+          |PARTITIONED BY (days(ts)) AS
+          |SELECT ts, event_type, CAST(value AS DOUBLE) AS value FROM events""".stripMargin)
+      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try s.sql(
+        """INSERT OVERWRITE lake.verify.ev_days
+          |SELECT ts, event_type, CAST(value AS DOUBLE) * 2
+          |FROM events
+          |WHERE CAST(ts AS DATE) = DATE '2024-01-02'""".stripMargin)
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      s.sql(
+        """SELECT CAST(ts AS DATE) AS d, event_type, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+          |FROM lake.verify.ev_days
+          |WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+          |  AND ts < TIMESTAMP '2024-01-05 00:00:00'
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    },
+
+    QueryDef.df(
       "q84_snapshot_clone",
       // Oracle = both tables' final states computed from scratch. A
       // zero-copy clone is taken after upsert epoch U1; the source then
