@@ -256,6 +256,17 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
         }.getOrElse(throw new UnsupportedOperationException(
           s"bucket transform needs an int bucket count, got $t"))
         PartField(t.references()(0).fieldNames().mkString("."), Some(n)).spec
+      case t if t.name() == "truncate" && t.references().length == 1 =>
+        // truncate(W, col): clustered prefix/floor layout on
+        // high-cardinality sources (ids, URLs); monotonic, so raw-column
+        // stats serve range pruning
+        val w = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.dataType() == org.apache.spark.sql.types.IntegerType =>
+            l.value().asInstanceOf[Int]
+        }.getOrElse(throw new UnsupportedOperationException(
+          s"truncate transform needs an int width, got $t"))
+        PartField(t.references()(0).fieldNames().mkString("."), None, None, Some(w)).spec
       case t if TimeTransform.Units.contains(t.name()) && t.references().length == 1 =>
         // years/months/days/hours(col): the canonical time-partitioned
         // fact layout — clustered per-unit files, per-unit dynamic
@@ -263,8 +274,8 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
         // through ordinary min/max stats (the transforms are monotonic)
         PartField(t.references()(0).fieldNames().mkString("."), None, Some(t.name())).spec
       case t => throw new UnsupportedOperationException(
-        s"only identity, bucket and time (years/months/days/hours) partition " +
-          s"transforms are supported, got $t")
+        s"only identity, bucket, truncate and time (years/months/days/hours) " +
+          s"partition transforms are supported, got $t")
     }
 
   // ── catalog functions (FunctionCatalog) ────────────────────────────────
@@ -273,12 +284,13 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
   // co-partitioned in a storage-partitioned join.
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    ("bucket" +: TimeTransform.Units.toSeq.sorted)
+    ("bucket" +: "truncate" +: TimeTransform.Units.toSeq.sorted)
       .map(Identifier.of(namespace, _)).toArray
 
   override def loadFunction(ident: Identifier):
       org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.name().equalsIgnoreCase("bucket")) BucketFunction
+    else if (ident.name().equalsIgnoreCase("truncate")) TruncFunction
     else if (TimeTransform.Units.contains(ident.name().toLowerCase))
       TimeFunction(ident.name().toLowerCase)
     else throw new NoSuchFunctionException(ident)

@@ -156,13 +156,18 @@ object LakeMaintenance {
     // cluster by the partition key: the column itself, or for bucket specs
     // the SAME murmur3 hash the writer/stats use (SQL pmod(hash(c), n) ==
     // BucketHash by construction — both are Spark murmur3, seed 42)
-    val clusterCols = physCols.map(s => PartField.parse(s) match {
-      case PartField(c, None, None) => df.col(c)
-      case PartField(c, Some(n), _) =>
-        org.apache.spark.sql.functions.expr(s"pmod(hash(`$c`), $n)")
-      case PartField(c, None, Some(u)) =>
-        TimeTransform.column(u, df.col(c), t.meta.physicalSchema(c).dataType)
-    })
+    val clusterCols = physCols.map(s => PartField.parse(s)).map { pf =>
+      val c = pf.source
+      (pf.buckets, pf.time, pf.trunc) match {
+        case (Some(n), _, _) =>
+          org.apache.spark.sql.functions.expr(s"pmod(hash(`$c`), $n)")
+        case (_, Some(u), _) =>
+          TimeTransform.column(u, df.col(c), t.meta.physicalSchema(c).dataType)
+        case (_, _, Some(w)) =>
+          TruncateTransform.column(w, df.col(c), t.meta.physicalSchema(c).dataType)
+        case _ => df.col(c)
+      }
+    }
     // the table's write.sort-order (if any) is re-applied so compaction
     // restores/maintains the sorted layout (physical names inside this job)
     val l2p = t.meta.l2pMap
@@ -234,13 +239,18 @@ object LakeMaintenance {
     val phys = aligned.toDF(logical.fieldNames.toIndexedSeq.map(n => l2p.getOrElse(n, n)): _*)
     val physSchema = t.meta.physicalSchema
     val physCols = t.meta.physicalPartitionColumns
-    val clusterCols = physCols.map(s => PartField.parse(s) match {
-      case PartField(c, None, None) => phys.col(c)
-      case PartField(c, Some(n), _) =>
-        org.apache.spark.sql.functions.expr(s"pmod(hash(`$c`), $n)")
-      case PartField(c, None, Some(u)) =>
-        TimeTransform.column(u, phys.col(c), physSchema(c).dataType)
-    })
+    val clusterCols = physCols.map(s => PartField.parse(s)).map { pf =>
+      val c = pf.source
+      (pf.buckets, pf.time, pf.trunc) match {
+        case (Some(n), _, _) =>
+          org.apache.spark.sql.functions.expr(s"pmod(hash(`$c`), $n)")
+        case (_, Some(u), _) =>
+          TimeTransform.column(u, phys.col(c), physSchema(c).dataType)
+        case (_, _, Some(w)) =>
+          TruncateTransform.column(w, phys.col(c), physSchema(c).dataType)
+        case _ => phys.col(c)
+      }
+    }
     val clustered =
       if (clusterCols.nonEmpty)
         phys.repartition(clusterCols: _*).sortWithinPartitions(clusterCols: _*)

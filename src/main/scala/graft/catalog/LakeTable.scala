@@ -67,11 +67,7 @@ final class LakeTable(
   override def version(): String = meta.currentSnapshotId.toString
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
     import org.apache.spark.sql.connector.expressions.Expressions
-    meta.partitionFields.map {
-      case PartField(c, None, None) => Expressions.identity(c)
-      case PartField(c, Some(n), _) => Expressions.bucket(n, c)
-      case PartField(c, None, Some(u)) => TimeTransform.v2(u, c)
-    }.toArray
+    meta.partitionFields.map(LakeTransforms.v2).toArray
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -782,18 +778,26 @@ final class LakeScan(
   private var files: Seq[DataFileMeta] = initialFiles
   private var delegate: Scan = _
 
-  // one eq-key load + broadcast per (scan, delete-file set): planning and
-  // AQE may call toBatch several times on the same Scan — memoizing here
-  // keeps delete-file IO at one open per file per QUERY
+  // one eq-key load per delete FILE per scan (the once-per-query IO
+  // contract, open-count asserted in UpsertSpec), shared by the broadcast
+  // below AND the bloom applicability refinement; broadcasts memoize per
+  // requested set on top (planning and AQE may call toBatch repeatedly)
+  @transient private lazy val eqKeyCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      Array[org.apache.spark.sql.catalyst.expressions.UnsafeRow]]()
+  private def eqKeysLoaded(paths: Seq[String])
+      : Map[String, Array[org.apache.spark.sql.catalyst.expressions.UnsafeRow]] =
+    paths.distinct.map(p => p -> eqKeyCache.computeIfAbsent(p, { pp =>
+      EqDeletes.loadKeys(Seq(pp), eqKeySchema.getOrElse(new StructType()),
+        SparkSession.active.sessionState.newHadoopConf())(pp)
+    })).toMap
   @transient private lazy val eqKeyBroadcasts =
     new java.util.concurrent.ConcurrentHashMap[Seq[String],
       org.apache.spark.broadcast.Broadcast[Map[String, Array[org.apache.spark.sql.catalyst.expressions.UnsafeRow]]]]()
   private def eqKeysFor(paths: Seq[String])
       : org.apache.spark.broadcast.Broadcast[Map[String, Array[org.apache.spark.sql.catalyst.expressions.UnsafeRow]]] =
     eqKeyBroadcasts.computeIfAbsent(paths.sorted, { ps =>
-      val spark = SparkSession.active
-      spark.sparkContext.broadcast(EqDeletes.loadKeys(ps,
-        eqKeySchema.getOrElse(new StructType()), spark.sessionState.newHadoopConf()))
+      SparkSession.active.sparkContext.broadcast(eqKeysLoaded(ps))
     })
 
   // the required schema splits into data columns (delegated to parquet) and
@@ -816,7 +820,42 @@ final class LakeScan(
     */
   private def eqApplicable(f: DataFileMeta): Seq[String] =
     eqDeletes.filter(d => d.addedAt > f.addedAt &&
-      eqKeySchema.forall(ks => EqDeletes.mayOverlap(f, d, ks))).map(_.path)
+      eqKeySchema.forall(ks => EqDeletes.mayOverlap(f, d, ks)) &&
+      eqBloomMayHit(f, d)).map(_.path)
+
+  // ── bloom refinement of eq-delete applicability ─────────────────────────
+  // CDC upsert keys are effectively random, so every epoch's key min/max
+  // range overlaps every data file and range disjointness never fires.
+  // When the (single) key column is bloom-indexed, probe the DATA file's
+  // bloom with the delete file's keys: "every key provably absent" means
+  // this delete cannot kill anything in the file, which stays on the
+  // clean vectorized path. Keys load once per file per scan (shared
+  // cache with the execution broadcast); capped by delete-file row count
+  // so a pathological epoch can't turn planning into a scan.
+  private lazy val eqBloomKeyCol: Option[(String, DataType)] =
+    eqKeySchema.filter(_.fields.length == 1).map { ks =>
+      val p2l = l2p.map(_.swap)
+      (p2l.getOrElse(ks.fields(0).name, ks.fields(0).name), ks.fields(0).dataType)
+    }
+  @transient private lazy val eqKeyCanon =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+  private def eqCanonKeys(path: String, dt: DataType): Array[String] =
+    eqKeyCanon.computeIfAbsent(path, { p =>
+      eqKeysLoaded(Seq(p))(p)
+        .flatMap(row => FileBloom.canonical(row.get(0, dt)))
+    })
+  private def eqBloomMayHit(f: DataFileMeta, d: DataFileMeta): Boolean =
+    eqBloomKeyCol match {
+      case Some((logicalKey, dt)) if d.rowCount <= EqDeletes.BloomRefineMaxKeys =>
+        bloomFor(f.path, logicalKey) match {
+          case Some(b) =>
+            val hit = eqCanonKeys(d.path, dt).exists(b.mightContain)
+            if (!hit) EqDeletes.bloomRefined.incrementAndGet()
+            hit
+          case None => true
+        }
+      case _ => true
+    }
 
   private def inner: Scan = {
     if (delegate == null) {
@@ -858,9 +897,12 @@ final class LakeScan(
   private def pfields: Seq[PartField] = partitionCols.map(PartField.parse)
 
   private def keySchema: StructType =
-    StructType(pfields.map {
-      case PartField(c, None, None) => tableSchema.fields(tableSchema.fieldIndex(c))
-      case f => StructField(f.statKey, IntegerType) // bucket/time: int key
+    StructType(pfields.map { f =>
+      if (f.isIdentity) tableSchema.fields(tableSchema.fieldIndex(f.source))
+      // truncate keeps the SOURCE type; bucket/time keys are ints
+      else if (f.trunc.isDefined) StructField(f.statKey,
+        tableSchema.fields(tableSchema.fieldIndex(f.source)).dataType)
+      else StructField(f.statKey, IntegerType)
     })
 
   private def parseKey(f: DataFileMeta): Option[Seq[Any]] = {
@@ -914,14 +956,8 @@ final class LakeScan(
       case Some(b) =>
         import org.apache.spark.sql.connector.expressions.Expressions
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          pfields.map {
-            case PartField(c, None, None) => Expressions.identity(c):
-              org.apache.spark.sql.connector.expressions.Expression
-            case PartField(c, Some(n), _) => Expressions.bucket(n, c):
-              org.apache.spark.sql.connector.expressions.Expression
-            case PartField(c, None, Some(u)) => TimeTransform.v2(u, c):
-              org.apache.spark.sql.connector.expressions.Expression
-          }.toArray,
+          pfields.map(LakeTransforms.v2(_):
+            org.apache.spark.sql.connector.expressions.Expression).toArray,
           b.planInputPartitions().length)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
@@ -1586,15 +1622,11 @@ final class LakeWrite(
     table.meta.properties.get("write.sort-order")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
 
+  // resolved through the catalog's FunctionCatalog (BucketFunction /
+  // TimeFunction / TruncFunction): rows cluster by the same transform the
+  // writer stats and SPJ use
   private def transformOf(f: PartField): org.apache.spark.sql.connector.expressions.Expression =
-    f match {
-      case PartField(c, None, None) => Expressions.column(c)
-      // resolved through the catalog's FunctionCatalog (BucketFunction /
-      // TimeFunction): rows cluster by the same transform the writer
-      // stats and SPJ use
-      case PartField(c, Some(n), _) => Expressions.bucket(n, c)
-      case PartField(c, None, Some(u)) => TimeTransform.v2(u, c)
-    }
+    if (f.isIdentity) Expressions.column(f.source) else LakeTransforms.v2(f)
 
   private def orderOf(cols: Seq[String]): Array[SortOrder] =
     cols.map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
@@ -2090,16 +2122,19 @@ final class LakeDataWriter(
   /** This row's value for partition field j: the column value (identity)
     * or its bucket number (same BucketHash the V2 function evaluates).
     */
-  private def partKeyAt(row: InternalRow, j: Int): Any = partFields(j) match {
-    case PartField(_, None, None) => scalarAt(row, partIdx(j))
-    case PartField(_, Some(n), _) =>
-      val i = partIdx(j)
-      val dt = schema.fields(i).dataType
-      BucketHash(n, if (row.isNullAt(i)) null else row.get(i, dt), dt)
-    case PartField(_, None, Some(u)) =>
-      val i = partIdx(j)
-      if (row.isNullAt(i)) null
-      else TimeTransform(u, row.get(i, schema.fields(i).dataType), schema.fields(i).dataType)
+  private def partKeyAt(row: InternalRow, j: Int): Any = {
+    val pf = partFields(j)
+    val i = partIdx(j)
+    val dt = schema.fields(i).dataType
+    (pf.buckets, pf.time, pf.trunc) match {
+      case (None, None, None) => scalarAt(row, i)
+      case (Some(n), _, _) =>
+        BucketHash(n, if (row.isNullAt(i)) null else row.get(i, dt), dt)
+      case (_, Some(u), _) =>
+        if (row.isNullAt(i)) null else TimeTransform(u, row.get(i, dt), dt)
+      case (_, _, Some(w)) =>
+        if (row.isNullAt(i)) null else TruncateTransform(w, row.get(i, dt), dt)
+    }
   }
 
   // per-file state

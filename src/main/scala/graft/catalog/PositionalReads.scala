@@ -237,6 +237,14 @@ object EqDeletes {
     */
   val opens = new java.util.concurrent.atomic.AtomicLong()
 
+  /** (data file, delete file) pairs proven non-overlapping by the FILE
+    * BLOOM refinement — instrumentation for tests.
+    */
+  val bloomRefined = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Max delete-file rows the bloom refinement will probe per data file. */
+  val BloomRefineMaxKeys = 20000L
+
   /** Driver-side: key rows of each delete file, path-keyed. */
   def loadKeys(paths: Seq[String], keySchema: StructType,
       conf: Configuration): Map[String, Array[UnsafeRow]] = {

@@ -186,6 +186,7 @@ final case class TableMeta(
       def remap(k: String): String = k match {
         case PartField.BucketKey(n, src) => s"_bucket_${n}_${p2l.getOrElse(src, src)}"
         case PartField.TimeKey(u, src) => s"_${u}_${p2l.getOrElse(src, src)}"
+        case PartField.TruncKey(w, src) => s"_truncate_${w}_${p2l.getOrElse(src, src)}"
         case _ => p2l.getOrElse(k, k)
       }
       files.map(f => f.copy(
@@ -522,14 +523,16 @@ object CasCommit {
   * Serialized into `TableMeta.partitionColumns` as its `spec` string.
   */
 final case class PartField(source: String, buckets: Option[Int],
-    time: Option[String] = None) {
+    time: Option[String] = None, trunc: Option[Int] = None) {
   /** Key under which the writer records this field's per-file stats. */
   def statKey: String = buckets.map(n => s"_bucket_${n}_$source")
-    .orElse(time.map(u => s"_${u}_$source")).getOrElse(source)
+    .orElse(time.map(u => s"_${u}_$source"))
+    .orElse(trunc.map(w => s"_truncate_${w}_$source")).getOrElse(source)
   def spec: String = buckets.map(n => s"bucket($n,$source)")
-    .orElse(time.map(u => s"$u($source)")).getOrElse(source)
+    .orElse(time.map(u => s"$u($source)"))
+    .orElse(trunc.map(w => s"truncate($w,$source)")).getOrElse(source)
   /** True for a plain column (no transform). */
-  def isIdentity: Boolean = buckets.isEmpty && time.isEmpty
+  def isIdentity: Boolean = buckets.isEmpty && time.isEmpty && trunc.isEmpty
   def rename(from: String, to: String): PartField =
     if (source == from) copy(source = to) else this
 }
@@ -537,11 +540,14 @@ final case class PartField(source: String, buckets: Option[Int],
 object PartField {
   private val Bucket = """bucket\((\d+),(.+)\)""".r
   private val Time = """(years|months|days|hours)\((.+)\)""".r
+  private val Trunc = """truncate\((\d+),(.+)\)""".r
   val BucketKey = """_bucket_(\d+)_(.+)""".r
   val TimeKey = """_(years|months|days|hours)_(.+)""".r
+  val TruncKey = """_truncate_(\d+)_(.+)""".r
   def parse(s: String): PartField = s match {
     case Bucket(n, c) => PartField(c, Some(n.toInt))
     case Time(u, c) => PartField(c, None, Some(u))
+    case Trunc(w, c) => PartField(c, None, None, Some(w.toInt))
     case c => PartField(c, None)
   }
 }

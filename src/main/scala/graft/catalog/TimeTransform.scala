@@ -119,3 +119,89 @@ final case class TimeFunction(unit: String) extends UnboundFunction {
       TimeTransform(unit, input.get(0, valueType), valueType)
   }
 }
+
+/** Iceberg's `truncate(W, col)` transform: ints/longs floor to a multiple
+  * of W (`v - (v floorMod W)`), strings keep their first W Unicode code
+  * points. Monotonic like the time transforms, so raw-column min/max (and
+  * the StartsWith pruner, for strings) already serve range pruning; the
+  * transform's value is the clustered layout and dynamic-overwrite
+  * attribution on high-cardinality sources.
+  */
+object TruncateTransform {
+  def apply(w: Int, value: Any, dt: DataType): Any = dt match {
+    case IntegerType =>
+      val v = value.asInstanceOf[Int]
+      v - Math.floorMod(v, w)
+    case LongType =>
+      val v = value.asInstanceOf[Long]
+      v - Math.floorMod(v, w.toLong)
+    case StringType =>
+      // value is a UTF8String at write time; stats/keys carry java Strings
+      val s = value.toString
+      val end = s.offsetByCodePoints(0, math.min(w, s.codePointCount(0, s.length)))
+      s.substring(0, end)
+    case other => throw new IllegalArgumentException(
+      s"truncate($w) supports int/bigint/string columns, got $other")
+  }
+
+  /** Same transform as a Column (maintenance clustering). */
+  def column(w: Int, c: Column, dt: DataType): Column = dt match {
+    case IntegerType | LongType => c - pmod(c, lit(w))
+    case StringType => substring(c, 1, w) // BMP-safe enough for clustering
+    case other => throw new IllegalArgumentException(
+      s"truncate($w) supports int/bigint/string columns, got $other")
+  }
+
+  def v2(w: Int, col: String): org.apache.spark.sql.connector.expressions.Transform =
+    org.apache.spark.sql.connector.expressions.Expressions.apply(
+      "truncate", org.apache.spark.sql.connector.expressions.Expressions.literal(w),
+      org.apache.spark.sql.connector.expressions.Expressions.column(col))
+}
+
+/** One place mapping a [[PartField]] to its V2 Transform declaration. */
+object LakeTransforms {
+  import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+  def v2(f: PartField): Transform = (f.buckets, f.time, f.trunc) match {
+    case (Some(n), _, _) => Expressions.bucket(n, f.source)
+    case (_, Some(u), _) => TimeTransform.v2(u, f.source)
+    case (_, _, Some(w)) => TruncateTransform.v2(w, f.source)
+    case _ => Expressions.identity(f.source)
+  }
+}
+
+/** V2 catalog function behind `PARTITIONED BY (truncate(W, col))` —
+  * two-arg like [[BucketFunction]].
+  */
+object TruncFunction extends UnboundFunction {
+  override def name(): String = "truncate"
+  override def description(): String = "truncate(width, col): prefix/floor partition transform"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    if (inputType.fields.length != 2 || inputType.fields(0).dataType != IntegerType)
+      throw new UnsupportedOperationException(
+        s"truncate expects (int width, value), got $inputType")
+    inputType.fields(1).dataType match {
+      case IntegerType | LongType | StringType => Bound(inputType.fields(1).dataType)
+      case other => throw new UnsupportedOperationException(
+        s"truncate supports int/bigint/string columns, got $other")
+    }
+  }
+
+  final case class Bound(valueType: DataType) extends ScalarFunction[Any] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, valueType)
+    override def resultType(): DataType = valueType
+    override def name(): String = "truncate"
+    override def canonicalName(): String = "graft.truncate"
+    override def isResultNullable: Boolean = false
+    override def produceResult(input: InternalRow): Any = {
+      val w = input.getInt(0)
+      valueType match {
+        case StringType =>
+          // keep the result an engine-internal UTF8String
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            TruncateTransform(w, input.getUTF8String(1), StringType).asInstanceOf[String])
+        case dt => TruncateTransform(w, input.get(1, dt), dt)
+      }
+    }
+  }
+}

@@ -99,6 +99,49 @@ class TimePartitionSpec extends AnyFunSuite {
     assert(n1 == 4, s"compaction must keep per-month files, got $n1")
   }
 
+  test("truncate(w, col): floor layout for ints, prefix layout for strings") {
+    import graft.catalog.TruncateTransform
+    import org.apache.spark.sql.types.{LongType, StringType, IntegerType}
+    // unit semantics: Iceberg floor for negatives, code-point prefixes
+    assert(TruncateTransform(10, 17, IntegerType) == 10)
+    assert(TruncateTransform(10, -7, IntegerType) == -10) // floor, not toward zero
+    assert(TruncateTransform(100, 12345L, LongType) == 12300L)
+    assert(TruncateTransform(2, org.apache.spark.unsafe.types.UTF8String
+      .fromString("héllo"), StringType) == "hé")
+
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.tp")
+    spark.sql("DROP TABLE IF EXISTS lake.tp.tr")
+    spark.sql(
+      """CREATE TABLE lake.tp.tr (id BIGINT, v BIGINT)
+        |PARTITIONED BY (truncate(100, id))""".stripMargin)
+    spark.sql("INSERT INTO lake.tp.tr SELECT id, id * 2 FROM range(400)")
+    val files = spark.sql("SELECT row_count FROM lake.tp.`tr$files`").collect()
+    assert(files.length == 4, s"expected one file per 100-id band, got ${files.length}")
+    // range predicate on raw id prunes to the covering band
+    val q = spark.sql("SELECT count(*) AS n FROM lake.tp.tr WHERE id BETWEEN 210 AND 250")
+    assert(q.head().getLong(0) == 41L)
+    val planned = "LakeScan\\(lake\\.tp\\.tr, (\\d+) files\\)".r
+      .findAllMatchIn(q.queryExecution.executedPlan.toString).map(_.group(1).toInt).min
+    assert(planned == 1, s"id range within one band must plan 1 file, got $planned")
+
+    spark.sql("DROP TABLE IF EXISTS lake.tp.trs")
+    spark.sql(
+      """CREATE TABLE lake.tp.trs (k STRING, n BIGINT)
+        |PARTITIONED BY (truncate(1, k))""".stripMargin)
+    spark.sql(
+      """INSERT INTO lake.tp.trs
+        |SELECT concat(substring('abcd', CAST(id % 4 AS INT) + 1, 1), '-', id), id
+        |FROM range(400)""".stripMargin)
+    val sf = spark.sql("SELECT count(*) FROM lake.tp.`trs$files`").head().getLong(0)
+    assert(sf == 4, s"expected one file per first-letter prefix, got $sf")
+    // the StartsWith pruner rides the per-prefix layout
+    val qs = spark.sql("SELECT count(*) AS n FROM lake.tp.trs WHERE k LIKE 'c%'")
+    assert(qs.head().getLong(0) == 100L)
+    val ps = "LakeScan\\(lake\\.tp\\.trs, (\\d+) files\\)".r
+      .findAllMatchIn(qs.queryExecution.executedPlan.toString).map(_.group(1).toInt).min
+    assert(ps == 1, s"prefix query over prefix layout must plan 1 file, got $ps")
+  }
+
   test("storage-partitioned join: two days-partitioned tables join without shuffle") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.tp")
     spark.sql("DROP TABLE IF EXISTS lake.tp.a")

@@ -126,6 +126,39 @@ class UpsertSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("bloom refinement keeps untouched files off the eq-dirty path") {
+    // CDC keys are random, so key min/max ranges overlap everything and
+    // range disjointness never fires — the data files' key BLOOM is the
+    // only metadata that can prove a delete file irrelevant to a file
+    import spark.implicits._
+    val t = s"lake.ups.${uniq("blm")}"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ups")
+    spark.sql(s"""CREATE TABLE $t (k BIGINT, v STRING, n INT)
+      TBLPROPERTIES ('write.bloom-columns'='k')""")
+    // two interleaved seed files: evens and odds share the same [0,1999]
+    // key range
+    (0 to 1).foreach(par => spark.sql(
+      s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id * 2 + $par, concat('s', id), 0 FROM range(1000)"))
+    // one upsert epoch touching ONLY even keys
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ups-blm").toString
+    val input = MemoryStream[UpsRow](spark)
+    val q = input.toDS().writeStream
+      .option("checkpointLocation", ckpt).option("upsert-keys", "k").toTable(t)
+    try {
+      input.addData((0 until 50).map(i => UpsRow(i.toLong * 2, s"u$i", 1)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(lakeMeta(t).currentEqDeleteFiles.nonEmpty)
+    EqDeletes.bloomRefined.set(0L)
+    val rows = spark.table(t).collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows.size == 2000)
+    assert(rows(0L) == "u0" && rows(98L) == "u49") // upserted evens win
+    assert(rows(1L) == "s0" && rows(1999L) == "s999") // odds untouched
+    assert(EqDeletes.bloomRefined.get() > 0,
+      "the odd-keys file must be proven clean by its key bloom")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("eq-only dirty files keep the delegate's split-planned scan; keys load once per scan") {
     val t = upsertTable(Seq(
       (1L to 100L).map(i => UpsRow(i, s"v$i", i.toInt)),
