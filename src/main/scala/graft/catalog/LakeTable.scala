@@ -837,22 +837,25 @@ final class LakeScan(
       val p2l = l2p.map(_.swap)
       (p2l.getOrElse(ks.fields(0).name, ks.fields(0).name), ks.fields(0).dataType)
     }
+  // None = at least one key failed to canonicalize (null key, exotic
+  // type) => the refinement must NOT claim absence for that delete file
   @transient private lazy val eqKeyCanon =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
-  private def eqCanonKeys(path: String, dt: DataType): Array[String] =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Array[String]]]()
+  private def eqCanonKeys(path: String, dt: DataType): Option[Array[String]] =
     eqKeyCanon.computeIfAbsent(path, { p =>
-      eqKeysLoaded(Seq(p))(p)
-        .flatMap(row => FileBloom.canonical(row.get(0, dt)))
+      val rows = eqKeysLoaded(Seq(p))(p)
+      val canon = rows.flatMap(row => FileBloom.canonical(row.get(0, dt)))
+      if (canon.length == rows.length) Some(canon) else None
     })
   private def eqBloomMayHit(f: DataFileMeta, d: DataFileMeta): Boolean =
     eqBloomKeyCol match {
       case Some((logicalKey, dt)) if d.rowCount <= EqDeletes.BloomRefineMaxKeys =>
-        bloomFor(f.path, logicalKey) match {
-          case Some(b) =>
-            val hit = eqCanonKeys(d.path, dt).exists(b.mightContain)
+        (bloomFor(f.path, logicalKey), eqCanonKeys(d.path, dt)) match {
+          case (Some(b), Some(keys)) =>
+            val hit = keys.exists(b.mightContain)
             if (!hit) EqDeletes.bloomRefined.incrementAndGet()
             hit
-          case None => true
+          case _ => true
         }
       case _ => true
     }
@@ -910,7 +913,10 @@ final class LakeScan(
       (f.minValues.get(pf.statKey), f.maxValues.get(pf.statKey)) match {
         case (Some(lo), Some(hi)) if lo == hi =>
           try {
-            if (!pf.isIdentity) lo.toInt
+            // bucket/time keys are ints; identity AND truncate keys carry
+            // the SOURCE column's runtime type (truncate of a BIGINT/STRING
+            // is a BIGINT/STRING — keySchema declares exactly that)
+            if (pf.buckets.isDefined || pf.time.isDefined) lo.toInt
             else tableSchema.fields(tableSchema.fieldIndex(pf.source)).dataType match {
               case IntegerType | DateType => lo.toInt
               case LongType => lo.toLong
@@ -1618,9 +1624,9 @@ final class LakeWrite(
 
   private def pfields = table.meta.partitionFields
 
-  private def sortFields: Seq[String] =
-    table.meta.properties.get("write.sort-order")
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+  // via the schema-validated accessor: a sort column gone stale after a
+  // rename (pre-fix history, foreign writer) must not fail every write
+  private def sortFields: Seq[String] = table.meta.sortOrderColumns
 
   // resolved through the catalog's FunctionCatalog (BucketFunction /
   // TimeFunction / TruncFunction): rows cluster by the same transform the
@@ -1756,7 +1762,11 @@ final class LakeBatchWrite(
     val pf = base.physicalPartitionColumns.map(PartField.parse)
     def keyOf(f: DataFileMeta): Option[Seq[String]] = {
       val vals = pf.map(p => (f.minValues.get(p.statKey), f.maxValues.get(p.statKey)) match {
-        case (Some(lo), Some(hi)) if lo == hi => Some("v:" + lo)
+        // zero-nulls guard: a foreign/imported file can carry stats AND
+        // null partition values; attributing it wholly to the stat value
+        // would let an overwrite of that value destroy the null rows
+        case (Some(lo), Some(hi)) if lo == hi &&
+          f.nulls.get(p.source).contains(0L) => Some("v:" + lo)
         // no stat recorded AND every row's source value is null → the
         // file belongs to the null partition ("n:" can't collide with any
         // real value's "v:"-prefixed key)
@@ -2209,6 +2219,7 @@ final class LakeDataWriter(
       case DoubleType => row.getDouble(i)
       case FloatType => row.getFloat(i)
       case ShortType => row.getShort(i)
+      case ByteType => row.getByte(i)
       case StringType => row.getUTF8String(i).toString
       case BooleanType => row.getBoolean(i)
       // stats carry the plain decimal string ("12.34") — the pruner

@@ -68,23 +68,39 @@ object TimeTransform {
   }
 
   /** The same transform as a Column over the PHYSICAL source column — what
-    * maintenance jobs (compaction/z-order) cluster rewrites by. Arithmetic
-    * mirrors [[apply]] exactly: floor division on epoch seconds composes
-    * to floor division on micros.
+    * maintenance jobs (compaction/z-order) cluster rewrites by. Mirrors
+    * [[apply]] EXACTLY, independent of the session time zone: TIMESTAMP
+    * goes through `unix_micros` (UTC epoch micros — the same internal
+    * value `apply` floors) with exact integer floor-division, and the
+    * calendar units derive from the UTC epoch day, never from the
+    * session-zone `year()`/`month()` of the timestamp. TIMESTAMP_NTZ
+    * (which `unix_micros` and numeric casts reject) uses its tz-free
+    * calendar fields directly — for a naive timestamp they ARE the
+    * internal value's UTC fields.
     */
   def column(unit: String, c: Column, dt: DataType): Column = {
-    val days: Column = dt match {
+    def floorDiv(a: Column, b: Long): Column = (a - pmod(a, lit(b))) / lit(b)
+    val epochDay: Column = dt match {
       case DateType => datediff(c, to_date(lit("1970-01-01")))
-      case _ => floor(c.cast("double") / 86400d).cast("int")
+      case TimestampNTZType => datediff(to_date(c), to_date(lit("1970-01-01")))
+      case _ => floorDiv(unix_micros(c), 86_400_000_000L).cast("int")
     }
     unit match {
-      case "days" => days
+      case "days" => epochDay
       case "hours" => dt match {
-        case DateType => days * 24
-        case _ => floor(c.cast("double") / 3600d).cast("int")
+        case DateType => epochDay * 24
+        case TimestampNTZType => epochDay * 24 + hour(c)
+        case _ => floorDiv(unix_micros(c), 3_600_000_000L).cast("int")
       }
-      case "months" => (year(c) - 1970) * 12 + (month(c) - 1)
-      case "years" => year(c) - 1970
+      case "months" | "years" =>
+        // calendar fields of the UTC day (DATE's year/month are tz-free)
+        val d = dt match {
+          case DateType => c
+          case TimestampNTZType => to_date(c)
+          case _ => date_add(to_date(lit("1970-01-01")), epochDay)
+        }
+        if (unit == "years") year(d) - 1970
+        else (year(d) - 1970) * 12 + (month(d) - 1)
     }
   }
 }

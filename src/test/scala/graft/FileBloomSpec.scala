@@ -243,6 +243,20 @@ class FileBloomSpec extends AnyFunSuite {
       "the compacted file's rebuilt bloom must prove in-range absence")
   }
 
+  test("TINYINT bloom column: writer and pruner renderings agree") {
+    // regression: scalarAt had no ByteType case, so a TINYINT bloom was
+    // always empty and "proved" every present value absent
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.blm")
+    spark.sql("DROP TABLE IF EXISTS lake.blm.by")
+    spark.sql("""CREATE TABLE lake.blm.by (b TINYINT, n BIGINT)
+      TBLPROPERTIES ('write.bloom-columns'='b')""")
+    spark.sql("INSERT INTO lake.blm.by SELECT CAST(id % 100 AS TINYINT), id FROM range(500)")
+    val rows = spark.sql("SELECT n FROM lake.blm.by WHERE b = CAST(5 AS TINYINT)")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == Seq(5L, 105L, 205L, 305L, 405L),
+      s"present TINYINT value must not be bloom-pruned away, got $rows")
+  }
+
   test("bloom pruning stays sound under merge-on-read tombstones") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.blm")
     spark.sql("DROP TABLE IF EXISTS lake.blm.d")

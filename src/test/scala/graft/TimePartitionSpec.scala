@@ -142,6 +142,79 @@ class TimePartitionSpec extends AnyFunSuite {
     assert(ps == 1, s"prefix query over prefix layout must plan 1 file, got $ps")
   }
 
+  test("composite spec: days(ts) + bucket(4, user) clusters on both fields") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.tp")
+    spark.sql("DROP TABLE IF EXISTS lake.tp.cmp")
+    spark.sql(
+      """CREATE TABLE lake.tp.cmp (ts TIMESTAMP, user BIGINT, v BIGINT)
+        |PARTITIONED BY (days(ts), bucket(4, user))""".stripMargin)
+    spark.sql(
+      """INSERT INTO lake.tp.cmp
+        |SELECT timestamp'2024-03-01 01:00:00' + make_interval(0,0,0, CAST(id % 3 AS INT),0,0,0),
+        |       id % 40, id
+        |FROM range(600)""".stripMargin)
+    // 3 days x <=4 buckets => at most 12 clustered files, each single-valued
+    // on BOTH stat keys (min==max) so either dimension prunes
+    val nf = spark.sql("SELECT count(*) FROM lake.tp.`cmp$files`").head().getLong(0)
+    assert(nf <= 12, s"expected <=12 (day,bucket) files, got $nf")
+    assert(spark.table("lake.tp.cmp").count() == 600)
+    // day-range prune: 1 of 3 days
+    val q = spark.sql(
+      """SELECT count(*) AS n FROM lake.tp.cmp
+        |WHERE ts >= timestamp'2024-03-03 00:00:00'""".stripMargin)
+    assert(q.head().getLong(0) == 200L)
+    val planned = "LakeScan\\(lake\\.tp\\.cmp, (\\d+) files\\)".r
+      .findAllMatchIn(q.queryExecution.executedPlan.toString).map(_.group(1).toInt).min
+    assert(planned <= 4, s"one-day range must plan at most that day's bucket files, got $planned")
+    // bucket prune composes: day range AND user equality
+    val q2 = spark.sql(
+      """SELECT count(*) AS n FROM lake.tp.cmp
+        |WHERE ts >= timestamp'2024-03-03 00:00:00' AND user = 7""".stripMargin)
+    assert(q2.head().getLong(0) == 5L)
+    val planned2 = "LakeScan\\(lake\\.tp\\.cmp, (\\d+) files\\)".r
+      .findAllMatchIn(q2.queryExecution.executedPlan.toString).map(_.group(1).toInt).min
+    assert(planned2 == 1, s"day range + bucket eq must plan 1 file, got $planned2")
+  }
+
+  test("SPJ over truncate(100, BIGINT): key rows carry the source type") {
+    // regression: parseKey used toInt for every transform, handing an
+    // Integer to a LongType key row — ClassCastException at SPJ planning
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.tp")
+    spark.sql("DROP TABLE IF EXISTS lake.tp.ta")
+    spark.sql("DROP TABLE IF EXISTS lake.tp.tb")
+    Seq("ta", "tb").foreach { t =>
+      spark.sql(s"CREATE TABLE lake.tp.$t (id BIGINT, v BIGINT) PARTITIONED BY (truncate(100, id))")
+      spark.sql(s"INSERT INTO lake.tp.$t SELECT id, id * 3 FROM range(300)")
+    }
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.sql(
+        "SELECT count(*) AS n FROM lake.tp.ta a JOIN lake.tp.tb b ON a.id = b.id")
+      assert(j.head().getLong(0) == 300L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
+
+  test("days/months over TIMESTAMP_NTZ: writes, pruning and compaction all work") {
+    // regression: TimeTransform.column cast NTZ to double (forbidden), so
+    // compacting any NTZ time-partitioned table threw
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.tp")
+    spark.sql("DROP TABLE IF EXISTS lake.tp.ntz")
+    spark.sql(
+      """CREATE TABLE lake.tp.ntz (ts TIMESTAMP_NTZ, v BIGINT)
+        |PARTITIONED BY (days(ts))""".stripMargin)
+    spark.sql(
+      """INSERT INTO lake.tp.ntz
+        |SELECT timestamp_ntz'2024-03-01 12:00:00' + make_interval(0,0,0, CAST(id % 3 AS INT),0,0,id), id
+        |FROM range(300)""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM lake.tp.`ntz$files`").head().getLong(0) == 3L)
+    spark.sql("CALL lake.system.compact('tp.ntz')")
+    assert(spark.table("lake.tp.ntz").count() == 300L)
+    val q = spark.sql(
+      "SELECT count(*) AS n FROM lake.tp.ntz WHERE ts >= timestamp_ntz'2024-03-03 00:00:00'")
+    assert(q.head().getLong(0) == 100L)
+  }
+
   test("storage-partitioned join: two days-partitioned tables join without shuffle") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.tp")
     spark.sql("DROP TABLE IF EXISTS lake.tp.a")
