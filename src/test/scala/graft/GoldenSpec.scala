@@ -117,7 +117,8 @@ class GoldenSpec extends AnyFunSuite {
     "q102_rewrite_pos_deletes" -> 5L,
     "q103_bloom_point_lookup" -> 4L,
     "q104_substring_index" -> 8L,
-    "q105_time_partitions" -> 15L)
+    "q105_time_partitions" -> 15L,
+    "q106_truncate_partitions" -> 5L)
 
   test("every registered query has a golden count (add one when adding a query)") {
     assert(SparkEntry.queries.keySet == golden.keySet,
