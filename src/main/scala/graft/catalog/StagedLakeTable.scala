@@ -55,7 +55,32 @@ final class StagedLakeTable(
     // truncate on a not-yet-visible table is a no-op: the manifest is
     // exactly what this query writes either way
     override def truncate(): WriteBuilder = this
-    override def build(): Write = new Write {
+    override def build(): Write = new Write
+        with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+      import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+      import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+
+      // the SAME clustering contract as LakeWrite: a CTAS into a
+      // partitioned table must cluster rows by the partition transform or
+      // the roll-on-key-change task writer mints a file per key FLIP —
+      // a bucket/truncate CTAS without this degenerated to one parquet
+      // open/close per row (found when q106's truncate CTAS benched 7 s)
+      private def pfields = baseMeta.partitionFields
+      private def transformOf(f: PartField)
+          : org.apache.spark.sql.connector.expressions.Expression =
+        if (f.isIdentity) Expressions.column(f.source) else LakeTransforms.v2(f)
+      private def sortCols = baseMeta.sortOrderColumns
+      private def orderOf(ts: Seq[org.apache.spark.sql.connector.expressions.Expression]) =
+        ts.map(t => Expressions.sort(t, SortDirection.ASCENDING)).toArray
+
+      override def requiredDistribution(): Distribution =
+        if (pfields.nonEmpty) Distributions.clustered(pfields.map(transformOf).toArray)
+        else if (sortCols.nonEmpty)
+          Distributions.ordered(orderOf(sortCols.map(Expressions.column)))
+        else Distributions.unspecified()
+      override def requiredOrdering(): Array[SortOrder] =
+        orderOf(pfields.map(transformOf) ++ sortCols.map(Expressions.column))
+
       override def toBatch: BatchWrite = new BatchWrite {
         override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
           LakeWriterFactory(info.schema().json, s"${baseMeta.location}/data",

@@ -634,40 +634,43 @@ object CatalogQueries {
     QueryDef.df(
       "q106_truncate_partitions",
       // Oracle = the same backfilled state from scratch. Orders land in a
-      // truncate(200, k)-partitioned table (clustered per-band files), a
-      // dynamic overwrite backfills exactly one band (tripling its
-      // values), and the final read filters a key range. Proves per-band
-      // attribution, single-band replacement, and the range read.
+      // truncate(500, k)-partitioned table over a SCALE-INVARIANT band key
+      // (o_orderkey mod 2000 → exactly 4 bands at every SF; partitioning
+      // directly on the raw key would mint files ∝ rows — the classic
+      // mis-specified-spec trap), a dynamic overwrite backfills exactly
+      // one band (tripling its values), and the final read filters a key
+      // range. Proves per-band attribution, single-band replacement, and
+      // the range read.
       """WITH base AS (
-        |  SELECT o_orderkey AS k, o_orderpriority AS p,
-        |    CASE WHEN o_orderkey >= 600 AND o_orderkey < 800
+        |  SELECT o_orderkey % 2000 AS k, o_orderpriority AS p,
+        |    CASE WHEN o_orderkey % 2000 >= 500 AND o_orderkey % 2000 < 1000
         |         THEN CAST(o_totalprice AS DOUBLE) * 3
         |         ELSE CAST(o_totalprice AS DOUBLE) END AS amt
-        |  FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1300)
+        |  FROM orders)
         |SELECT p, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(amt AS DECIMAL(18,6))) AS DOUBLE) AS total
-        |FROM base GROUP BY p ORDER BY p""".stripMargin) { (s, dir) =>
+        |FROM base WHERE k >= 500 AND k < 1700 GROUP BY p ORDER BY p""".stripMargin) { (s, dir) =>
       Tables.registerAll(s, dir)
       s.sql("CREATE NAMESPACE IF NOT EXISTS lake.verify")
       s.sql("DROP TABLE IF EXISTS lake.verify.ord_bands")
       s.sql(
         """CREATE TABLE lake.verify.ord_bands
-          |PARTITIONED BY (truncate(200, k)) AS
-          |SELECT o_orderkey AS k, o_orderpriority AS p,
+          |PARTITIONED BY (truncate(500, k)) AS
+          |SELECT o_orderkey % 2000 AS k, o_orderpriority AS p,
           |  CAST(o_totalprice AS DOUBLE) AS amt
           |FROM orders""".stripMargin)
       val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
       s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       try s.sql(
         """INSERT OVERWRITE lake.verify.ord_bands
-          |SELECT o_orderkey, o_orderpriority, CAST(o_totalprice AS DOUBLE) * 3
-          |FROM orders WHERE o_orderkey >= 600 AND o_orderkey < 800""".stripMargin)
+          |SELECT o_orderkey % 2000, o_orderpriority, CAST(o_totalprice AS DOUBLE) * 3
+          |FROM orders WHERE o_orderkey % 2000 >= 500 AND o_orderkey % 2000 < 1000""".stripMargin)
       finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
       s.sql(
         """SELECT p, CAST(count(*) AS BIGINT) AS n,
           |  CAST(sum(CAST(amt AS DECIMAL(18,6))) AS DOUBLE) AS total
           |FROM lake.verify.ord_bands
-          |WHERE k >= 500 AND k < 1300
+          |WHERE k >= 500 AND k < 1700
           |GROUP BY p ORDER BY p""".stripMargin)
     },
 
