@@ -141,6 +141,38 @@ class PointerStoreSpec extends AnyFunSuite {
 class LakeCatalogSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("a commit from a SECOND catalog instance is visible through the first's cache") {
+    // regression (r7): loadTable cached the handle forever, so a commit
+    // from any other catalog INSTANCE (second app on the same store, or
+    // the cloned session foreachBatch runs under) was never seen. The
+    // cache now re-checks the store pointer per hit (the reference's own
+    // load_table round-trip, mod.rs:209-220).
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.vis")
+    spark.sql("DROP TABLE IF EXISTS lake.vis.t")
+    spark.sql("CREATE TABLE lake.vis.t (id BIGINT)")
+    spark.sql("INSERT INTO lake.vis.t VALUES (1)")
+    assert(spark.table("lake.vis.t").count() == 1) // cache the handle
+    // an independent catalog instance over the same store + warehouse
+    val other = new LakeCatalog()
+    other.initialize("lake", new CaseInsensitiveStringMap(java.util.Map.of(
+      "warehouse", graft.Sessions.defaultWarehouse,
+      "jdbc.url", graft.Sessions.defaultJdbcUrl)))
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("vis"), "t")
+    val t2 = other.loadTable(ident).asInstanceOf[LakeTable]
+    val next = TableMeta.withAppend(t2.meta, "append",
+      Nil, spark.sessionState.newHadoopConf()) // metadata-only commit
+    val loc = TableMeta.write(next, spark.sessionState.newHadoopConf())
+    assert(other.pointerStore.casUpdate("vis", "t", loc, t2.metadataLocation) == 1)
+    // the FIRST catalog must serve the new snapshot immediately
+    assert(spark.table("lake.vis.t").count() == 1) // re-resolution, same rows
+    val resolved = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(ident).asInstanceOf[LakeTable]
+    assert(resolved.metadataLocation == loc,
+      "session catalog must see the other instance's commit on next resolution")
+  }
+
   test("CREATE TABLE / SHOW TABLES / DROP TABLE through SQL") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ddl")
     spark.sql("DROP TABLE IF EXISTS lake.ddl.t1")
