@@ -289,11 +289,12 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
 
   override def loadFunction(ident: Identifier):
       org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
-    if (ident.name().equalsIgnoreCase("bucket")) BucketFunction
-    else if (ident.name().equalsIgnoreCase("truncate")) TruncFunction
-    else if (TimeTransform.Units.contains(ident.name().toLowerCase))
-      TimeFunction(ident.name().toLowerCase)
-    else throw new NoSuchFunctionException(ident)
+    ident.name().toLowerCase match {
+      case "bucket" => BucketFunction
+      case "truncate" => TruncFunction
+      case u if TimeTransform.Units.contains(u) => TimeFunction(u)
+      case _ => throw new NoSuchFunctionException(ident)
+    }
 
   private def stage(ident: Identifier, info: TableInfo, mode: StageMode): StagedTable = {
     val schema = new StructType(info.columns().map(c =>

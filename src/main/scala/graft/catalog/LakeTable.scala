@@ -1632,7 +1632,7 @@ final class LakeWrite(
   // TimeFunction / TruncFunction): rows cluster by the same transform the
   // writer stats and SPJ use
   private def transformOf(f: PartField): org.apache.spark.sql.connector.expressions.Expression =
-    if (f.isIdentity) Expressions.column(f.source) else LakeTransforms.v2(f)
+    LakeTransforms.clusterExpr(f)
 
   private def orderOf(cols: Seq[String]): Array[SortOrder] =
     cols.map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
@@ -2194,10 +2194,10 @@ final class LakeDataWriter(
       schema.fields.indices.collect {
         case i if a(i) != null => schema.fields(i).name -> a(i).toString
       }.toMap
-    // transform fields (bucket/time): the file holds exactly one value
-    // (we rolled on every key change), recorded under the spec's stat key
-    // for pruning / SPJ / dynamic-overwrite partition attribution
-    val bucketStats: Map[String, String] =
+    // transform fields (bucket/time/truncate): the file holds exactly
+    // one value (we rolled on every key change), recorded under the
+    // spec's stat key for pruning / SPJ / dynamic-overwrite attribution
+    val transformStats: Map[String, String] =
       if (currentKey == null) Map.empty
       else partFields.indices.collect {
         case j if !partFields(j).isIdentity && currentKey(j) != null =>
@@ -2207,7 +2207,7 @@ final class LakeDataWriter(
       .map(i => schema.fields(i).name -> nullsPerCol(i)).toMap
     val fileBloomStats = fileBloomIdx.indices
       .map(j => schema.fields(fileBloomIdx(j)).name -> fileBlooms(j).encode).toMap
-    done += DataFileMeta(path, rows, size, m(mins) ++ bucketStats, m(maxs) ++ bucketStats,
+    done += DataFileMeta(path, rows, size, m(mins) ++ transformStats, m(maxs) ++ transformStats,
       nulls, sortedBy = sortedBy, blooms = fileBloomStats)
     writer = null
   }

@@ -66,20 +66,19 @@ final class StagedLakeTable(
       // a bucket/truncate CTAS without this degenerated to one parquet
       // open/close per row (found when q106's truncate CTAS benched 7 s)
       private def pfields = baseMeta.partitionFields
-      private def transformOf(f: PartField)
-          : org.apache.spark.sql.connector.expressions.Expression =
-        if (f.isIdentity) Expressions.column(f.source) else LakeTransforms.v2(f)
       private def sortCols = baseMeta.sortOrderColumns
       private def orderOf(ts: Seq[org.apache.spark.sql.connector.expressions.Expression]) =
         ts.map(t => Expressions.sort(t, SortDirection.ASCENDING)).toArray
 
       override def requiredDistribution(): Distribution =
-        if (pfields.nonEmpty) Distributions.clustered(pfields.map(transformOf).toArray)
+        if (pfields.nonEmpty)
+          Distributions.clustered(pfields.map(LakeTransforms.clusterExpr(_):
+            org.apache.spark.sql.connector.expressions.Expression).toArray)
         else if (sortCols.nonEmpty)
           Distributions.ordered(orderOf(sortCols.map(Expressions.column)))
         else Distributions.unspecified()
       override def requiredOrdering(): Array[SortOrder] =
-        orderOf(pfields.map(transformOf) ++ sortCols.map(Expressions.column))
+        orderOf(pfields.map(LakeTransforms.clusterExpr) ++ sortCols.map(Expressions.column))
 
       override def toBatch: BatchWrite = new BatchWrite {
         override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =

@@ -176,13 +176,21 @@ object TruncateTransform {
 
 /** One place mapping a [[PartField]] to its V2 Transform declaration. */
 object LakeTransforms {
-  import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+  import org.apache.spark.sql.connector.expressions.{Expression, Expressions, Transform}
   def v2(f: PartField): Transform = (f.buckets, f.time, f.trunc) match {
     case (Some(n), _, _) => Expressions.bucket(n, f.source)
     case (_, Some(u), _) => TimeTransform.v2(u, f.source)
     case (_, _, Some(w)) => TruncateTransform.v2(w, f.source)
     case _ => Expressions.identity(f.source)
   }
+
+  /** The clustering expression a WRITE declares for a partition field —
+    * a plain column reference for identity, the V2 transform otherwise
+    * (resolved through the catalog's FunctionCatalog). Shared by the
+    * normal and the staged (CTAS) write paths.
+    */
+  def clusterExpr(f: PartField): Expression =
+    if (f.isIdentity) Expressions.column(f.source) else v2(f)
 }
 
 /** V2 catalog function behind `PARTITIONED BY (truncate(W, col))` —
