@@ -77,7 +77,11 @@ object FileBloom {
       val bb = java.nio.ByteBuffer.wrap(bytes)
       val longs = new Array[Long](bytes.length / 8)
       longs.indices.foreach(i => longs(i) = bb.getLong)
-      Some(new FileBloom(s.substring(0, sep).toInt, longs))
+      val k = s.substring(0, sep).toInt
+      // A truncated sidecar ("6:") would decode to m = 0 and the first probe
+      // would divide by zero AT PLANNING TIME; malformed payload = no bloom.
+      if (longs.isEmpty || k <= 0) None
+      else Some(new FileBloom(k, longs))
     }
   } catch { case _: Exception => None }
 

@@ -1236,9 +1236,22 @@ final class LakeMixedBatch(
 
   override def planInputPartitions(): Array[InputPartition] =
     delegatePlanned.map(_._1).getOrElse(Array.empty[InputPartition]) ++
-      tombstoned.map { case (f, dels, eqs) =>
-        PositionalInputPartition(f.path, dels, physReadSchemaJson, metaCols,
-          eqs, if (eqs.isEmpty) "" else eqKeySchemaJson)
+      tombstoned.flatMap { case (f, dels, eqs) =>
+        // split-parallel positional reads: byte ranges at the session's
+        // split size, planned BLIND (no footer IO — O(files) driver cost);
+        // each task resolves its range to whole row groups + an exact
+        // start position from the footer it opens anyway. A 1 GB dirty
+        // file reads as ~8 tasks instead of one whole-file task.
+        val maxBytes = math.max(1L,
+          SparkSession.active.sessionState.conf.filesMaxPartitionBytes)
+        val n = math.min(1L + (math.max(f.sizeBytes, 1L) - 1L) / maxBytes, 32768L).toInt
+        val step = (math.max(f.sizeBytes, 1L) + n - 1) / n
+        (0 until n).map { i =>
+          PositionalInputPartition(f.path, dels, physReadSchemaJson, metaCols,
+            eqs, if (eqs.isEmpty) "" else eqKeySchemaJson,
+            splitStart = i.toLong * step,
+            splitEnd = if (i == n - 1) Long.MaxValue else (i + 1).toLong * step)
+        }
       } ++
       eqGroups.zipWithIndex.flatMap { case ((eqPaths, _), gi) =>
         eqPlanned(gi)._1.map(p => EqFilteredInputPartition(p, gi, eqPaths,
@@ -1754,9 +1767,12 @@ final class LakeBatchWrite(
     * (Spark/Iceberg's __HIVE_DEFAULT_PARTITION__ semantics) instead of
     * silently appending next to it. A file that is NOT cleanly attributable
     * either way (mixed null/non-null from a foreign writer, or
-    * pre-spec-evolution history) is conservatively KEPT — dynamic overwrite
-    * never deletes data it cannot prove belongs to an overwritten
-    * partition.
+    * pre-spec-evolution history) in an UNTOUCHED partition is KEPT; one
+    * that might overlap a touched partition FAILS the overwrite with a
+    * clear message (mirroring [[whereReplaced]]'s partial-file refusal) —
+    * silently keeping it would duplicate the overwritten rows and silently
+    * deleting it could destroy rows of other partitions, so the only sound
+    * move is to refuse and point at compaction / DELETE+INSERT.
     */
   private def dynamicReplaced(base: TableMeta, newFiles: Seq[DataFileMeta]): Set[String] = {
     val pf = base.physicalPartitionColumns.map(PartField.parse)
@@ -1777,6 +1793,27 @@ final class LakeBatchWrite(
       if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None
     }
     val newKeys = newFiles.flatMap(keyOf).toSet
+    // Could an unattributable file hold any row of partition key `key`?
+    // Numeric stat compare when both sides parse, UTF8-binary otherwise
+    // (the order string stats are recorded in); missing stats ⇒ maybe.
+    def cmpStat(a: String, b: String): Int =
+      (try Some(BigDecimal(a).compare(BigDecimal(b)))
+       catch { case _: Throwable => None }).getOrElse(a.compareTo(b))
+    def mayHold(f: DataFileMeta, p: PartField, key: String): Boolean =
+      if (key == "n:") !f.nulls.get(p.source).contains(0L)
+      else (f.minValues.get(p.statKey), f.maxValues.get(p.statKey)) match {
+        case (Some(lo), Some(hi)) =>
+          val v = key.substring(2)
+          cmpStat(lo, v) <= 0 && cmpStat(hi, v) >= 0
+        case _ => true
+      }
+    val clashing = base.currentFiles.filter(f => keyOf(f).isEmpty &&
+      newKeys.exists(k => pf.lazyZip(k).forall((p, kv) => mayHold(f, p, kv))))
+    if (clashing.nonEmpty) throw new IllegalArgumentException(
+      s"INSERT OVERWRITE (dynamic) on ${table.ident}: ${clashing.size} file(s) " +
+        s"cannot be attributed to a partition value (foreign/imported file with " +
+        s"mixed or unknown nulls, e.g. ${clashing.head.path}) and may overlap an " +
+        "overwritten partition — compact the table first, or use DELETE + INSERT")
     base.currentFiles.filter(f => keyOf(f).exists(newKeys)).map(_.path).toSet
   }
 
@@ -2329,6 +2366,10 @@ final class LakeParquetBuilder(path: Path, conf: Configuration)
   // TableMeta.writeConf on every write path; snappy when absent
   withCompressionCodec(CompressionCodecName.valueOf(
     conf.get("graft.write.compression", "snappy").toUpperCase(java.util.Locale.ROOT)))
+  // write.parquet.row-group-size-bytes (TableMeta.writeConf); parquet's
+  // 128 MB default otherwise
+  private val rg = conf.getLong("graft.write.rowgroup-bytes", -1L)
+  if (rg > 0) withRowGroupSize(rg)
   override def self(): LakeParquetBuilder = this
   override def getWriteSupport(c: Configuration): WriteSupport[InternalRow] =
     new ParquetWriteSupport()

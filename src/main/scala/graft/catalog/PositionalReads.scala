@@ -76,7 +76,8 @@ object DeleteFiles {
   */
 object PositionalParquet {
   def open(path: String, schema: StructType, conf: Configuration,
-      filter: Option[org.apache.parquet.filter2.compat.FilterCompat.Filter] = None)
+      filter: Option[org.apache.parquet.filter2.compat.FilterCompat.Filter] = None,
+      fileRange: Option[(Long, Long)] = None)
       : ParquetReader[InternalRow] = {
     val c = new Configuration(conf)
     c.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, schema.json)
@@ -97,7 +98,23 @@ object PositionalParquet {
     // NEVER set a filter on a positional DATA read (it would corrupt the
     // row counter); delete-file reads are content-only and filter freely
     filter.foreach(b.withFilter)
+    // a split range selects whole row groups by byte midpoint — positions
+    // stay exact because the split's start position comes from the footer
+    fileRange.foreach { case (s, e) => b.withFileRange(s, e) }
     b.build()
+  }
+
+  /** Footer row-group layout of `path`: per group, its byte MIDPOINT
+    * (`startingPos + compressedSize/2` — the value parquet-mr's file-range
+    * filter assigns groups to splits by) and its exact row count.
+    */
+  def rowGroupLayout(path: String, conf: Configuration): Seq[(Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(path), conf)
+    val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try fr.getFooter.getBlocks.asScala.toSeq.map(b =>
+      (b.getStartingPos + b.getCompressedSize / 2, b.getRowCount))
+    finally fr.close()
   }
 
   /** All tombstoned positions for `dataPath`, merged over its covering
@@ -110,14 +127,23 @@ object PositionalParquet {
     * tombstones), no matter how many files share a delete file.
     */
   def deletedPositions(dataPath: String, deleteFiles: Seq[String],
-      conf: Configuration): Array[Long] = {
+      conf: Configuration, posRange: Option[(Long, Long)] = None): Array[Long] = {
     if (deleteFiles.isEmpty) return Array.emptyLongArray
     import org.apache.parquet.filter2.compat.FilterCompat
     import org.apache.parquet.filter2.predicate.FilterApi
     import org.apache.parquet.io.api.Binary
-    val pathFilter = FilterCompat.get(FilterApi.eq(
+    val pathPred = FilterApi.eq(
       FilterApi.binaryColumn(DeleteFiles.FilePathCol),
-      Binary.fromString(dataPath)))
+      Binary.fromString(dataPath))
+    // split-parallel readers only need THEIR row-group range's tombstones —
+    // the [start, end) position predicate keeps per-task tombstone IO and
+    // memory O(split's tombstones) on a heavily point-deleted file
+    val pathFilter = FilterCompat.get(posRange.fold(
+      pathPred: org.apache.parquet.filter2.predicate.FilterPredicate) {
+      case (lo, hi) => FilterApi.and(pathPred, FilterApi.and(
+        FilterApi.gtEq(FilterApi.longColumn(DeleteFiles.PosCol), java.lang.Long.valueOf(lo)),
+        FilterApi.lt(FilterApi.longColumn(DeleteFiles.PosCol), java.lang.Long.valueOf(hi))))
+    })
     val target = UTF8String.fromString(dataPath)
     val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
     deleteFiles.foreach { df =>
@@ -128,7 +154,9 @@ object PositionalParquet {
           // parquet-mr's record filter materializes non-matching rows as
           // all-null records; the explicit equality re-check also guards
           // against dictionary/stats edge cases
-          if (!row.isNullAt(0) && row.getUTF8String(0) == target) buf += row.getLong(1)
+          if (!row.isNullAt(0) && row.getUTF8String(0) == target &&
+            posRange.forall { case (lo, hi) =>
+              val p = row.getLong(1); p >= lo && p < hi }) buf += row.getLong(1)
           row = r.read()
         }
       } finally r.close()
@@ -285,11 +313,18 @@ object EqDeletes {
     }
 }
 
-/** One data file read positionally: the whole file, minus tombstoned
-  * positions, minus rows whose key appears in an APPLICABLE equality
-  * delete (one with a newer sequence number than this file), optionally
-  * extended with the `_file`/`_pos` metadata columns (in `metaCols` order,
-  * appended after the data columns).
+/** One SPLIT of a data file read positionally: the row groups whose byte
+  * midpoint falls in `[splitStart, splitEnd)` (parquet-mr's standard
+  * split-to-row-group assignment), minus tombstoned positions, minus rows
+  * whose key appears in an APPLICABLE equality delete (one with a newer
+  * sequence number than this file), optionally extended with the
+  * `_file`/`_pos` metadata columns (in `metaCols` order, appended after
+  * the data columns). The defaults cover the whole file. Each split's
+  * starting row position comes from the footer's row-group row counts —
+  * exact by the parquet spec — so a heavily tombstoned 1 GB file reads as
+  * ~8 parallel tasks instead of one (Iceberg plans MoR reads the same
+  * way); the planner stays O(files) because byte boundaries need no
+  * footer IO, only the tasks (which must open the footer anyway) do.
   */
 final case class PositionalInputPartition(
     dataPath: String,
@@ -297,7 +332,9 @@ final case class PositionalInputPartition(
     physDataSchemaJson: String,
     metaCols: Seq[String],
     eqDeletePaths: Seq[String] = Nil,
-    eqKeySchemaJson: String = "") extends InputPartition
+    eqKeySchemaJson: String = "",
+    splitStart: Long = 0L,
+    splitEnd: Long = Long.MaxValue) extends InputPartition
 
 /** A delegate parquet split of an EQ-ONLY dirty file (equality deletes
   * apply, no positional tombstones): the inner partition keeps the
@@ -426,8 +463,21 @@ final class PositionalRowReader(
   private val readSchema = StructType(outSchema.fields ++
     keySchema.fields.filterNot(f => outSchema.fieldNames.contains(f.name)))
 
+  // This split's row groups from the footer: start position = sum of the
+  // preceding groups' row counts (exact — the parquet spec requires true
+  // counts), expected rows = sum of the selected groups'. The task reads
+  // the footer it needs anyway; the driver planned byte ranges blind.
+  private val (startPos, expectedRows) = {
+    val layout = PositionalParquet.rowGroupLayout(part.dataPath, conf)
+    val before = layout.takeWhile(_._1 < part.splitStart)
+    val mine = layout.drop(before.length).takeWhile(_._1 < part.splitEnd)
+    (before.map(_._2).sum, mine.map(_._2).sum)
+  }
+
   private val deleted: Array[Long] =
-    PositionalParquet.deletedPositions(part.dataPath, part.deletePaths, conf)
+    if (expectedRows == 0L) Array.emptyLongArray
+    else PositionalParquet.deletedPositions(part.dataPath, part.deletePaths, conf,
+      posRange = Some((startPos, startPos + expectedRows)))
 
   private val rowKeyProj =
     if (eqKeys == null || eqKeys.isEmpty) null
@@ -436,7 +486,10 @@ final class PositionalRowReader(
       BoundReference(i, f.dataType, f.nullable): org.apache.spark.sql.catalyst.expressions.Expression
     })
 
-  private val reader = PositionalParquet.open(part.dataPath, readSchema, conf)
+  private val reader =
+    if (expectedRows == 0L) null
+    else PositionalParquet.open(part.dataPath, readSchema, conf,
+      fileRange = Some((part.splitStart, part.splitEnd)))
 
   // appended metadata values: constant _file, running _pos
   private val metaRow = new GenericInternalRow(part.metaCols.length)
@@ -455,15 +508,27 @@ final class PositionalRowReader(
       BoundReference(readSchema.length + j, f.dataType, f.nullable): org.apache.spark.sql.catalyst.expressions.Expression
     })
 
-  private var pos = -1L
+  private var pos = startPos - 1L
+  private var rowsRead = 0L
   private var delIdx = 0
   private var current: InternalRow = _
 
   override def next(): Boolean = {
+    if (reader == null) return false
     while (true) {
       val row = reader.read()
-      if (row == null) return false
+      if (row == null) {
+        // self-verifying: the reader's internal row-group selection MUST
+        // agree with the footer-derived start position — a short or long
+        // read means positions were wrong, which must fail loudly, never
+        // return rows with silently shifted _pos/tombstone alignment
+        if (rowsRead != expectedRows) throw new IllegalStateException(
+          s"positional split [${part.splitStart},${part.splitEnd}) of " +
+            s"${part.dataPath} read $rowsRead rows, footer says $expectedRows")
+        return false
+      }
       pos += 1
+      rowsRead += 1
       while (delIdx < deleted.length && deleted(delIdx) < pos) delIdx += 1
       if (delIdx < deleted.length && deleted(delIdx) == pos) {
         delIdx += 1 // position-tombstoned: skip
@@ -479,5 +544,5 @@ final class PositionalRowReader(
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = reader.close()
+  override def close(): Unit = if (reader != null) reader.close()
 }

@@ -281,6 +281,11 @@ final case class TableMeta(
     val c = new Configuration(base)
     c.set("graft.write.compression",
       properties.getOrElse("write.parquet.compression-codec", "snappy"))
+    // Iceberg's write.parquet.row-group-size-bytes: row-group granularity
+    // bounds both the vectorized reader's batch memory and the positional
+    // split-parallel reader's per-task unit of work
+    properties.get("write.parquet.row-group-size-bytes")
+      .foreach(v => c.set("graft.write.rowgroup-bytes", v))
     c
   }
 

@@ -79,7 +79,11 @@ object TimeTransform {
     * internal value's UTC fields.
     */
   def column(unit: String, c: Column, dt: DataType): Column = {
-    def floorDiv(a: Column, b: Long): Column = (a - pmod(a, lit(b))) / lit(b)
+    // `a - pmod(a, b)` is the exact floor multiple; integral `div` keeps the
+    // quotient exact for ALL longs (Column `/` is double division, which
+    // drifts once |micros| exceeds 2^53 — timestamps before ~1685/after ~2255)
+    def floorDiv(a: Column, b: Long): Column =
+      call_function("div", a - pmod(a, lit(b)), lit(b))
     val epochDay: Column = dt match {
       case DateType => datediff(c, to_date(lit("1970-01-01")))
       case TimestampNTZType => datediff(to_date(c), to_date(lit("1970-01-01")))

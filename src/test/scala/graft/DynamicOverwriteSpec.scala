@@ -122,6 +122,37 @@ class DynamicOverwriteSpec extends AnyFunSuite {
     assert(spark.sql("SELECT min(v) FROM lake.dyo.n WHERE day IS NULL").head().getLong(0) == 20000L)
   }
 
+  test("unattributable foreign file in a touched partition: refuse; untouched partition: fine") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.dyo")
+    spark.sql("DROP TABLE IF EXISTS lake.dyo.f")
+    spark.sql("CREATE TABLE lake.dyo.f (day INT, v BIGINT) PARTITIONED BY (day)")
+    spark.sql("INSERT INTO lake.dyo.f SELECT CAST(id % 3 AS INT), id FROM range(300)")
+    // a foreign file mixing NULL and 0..2 day values in ONE file — no
+    // partition value can be proven for it (keeping it under an overwrite
+    // of day=1 would duplicate rows, deleting it would destroy day=0/2/null
+    // rows: both wrong, so the overwrite must refuse)
+    val ext = java.nio.file.Files.createTempDirectory("graft_dyof").toString
+    spark.sql("SELECT CASE WHEN id % 5 = 0 THEN NULL ELSE CAST(id % 3 AS INT) END AS day, " +
+        "id + 1000 AS v FROM range(50)")
+      .coalesce(1).write.mode("overwrite").parquet(ext)
+    spark.sql(s"CALL lake.system.add_files('dyo.f', '$ext')")
+    val before = spark.table("lake.dyo.f").count()
+    withDynamicMode {
+      val e = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE lake.dyo.f SELECT CAST(1 AS INT), id + 9999 FROM range(5)")
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+      assert(msgs(e).exists(m => m != null && m.contains("cannot be attributed")), e.toString)
+      assert(spark.table("lake.dyo.f").count() == before, "refusal must change nothing")
+      // a partition the foreign file provably does NOT hold (day=77 is
+      // outside its 0..2 stat range, and 77 is not the null partition)
+      spark.sql("INSERT OVERWRITE lake.dyo.f SELECT CAST(77 AS INT), id FROM range(7)")
+      assert(spark.sql("SELECT count(*) FROM lake.dyo.f WHERE day = 77").head().getLong(0) == 7L)
+      assert(spark.table("lake.dyo.f").count() == before + 7)
+    }
+  }
+
   test("dynamic overwrite racing an append to another partition: both land") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.dyo")
     spark.sql("DROP TABLE IF EXISTS lake.dyo.race")

@@ -33,6 +33,20 @@ class FileBloomSpec extends AnyFunSuite {
     assert(fp < 100, s"fpp implausibly high: $fp/2000")
   }
 
+  test("malformed sidecar payloads decode to no-bloom, never a planning-time crash") {
+    // a truncated entry ("6:") used to decode to m=0 and throw
+    // ArithmeticException on the first probe — at query planning time
+    assert(FileBloom.decode("6:").isEmpty, "empty bit array")
+    assert(FileBloom.decode("0:AAAAAAAAAAA=").isEmpty, "k=0")
+    assert(FileBloom.decode("-3:AAAAAAAAAAA=").isEmpty, "negative k")
+    assert(FileBloom.decode(":abc").isEmpty)
+    assert(FileBloom.decode("garbage").isEmpty)
+    assert(FileBloom.decode("6:!!!not-base64!!!").isEmpty)
+    // a healthy encoding still round-trips
+    val b = FileBloom(1024); b.add("x")
+    assert(FileBloom.decode(b.encode).exists(_.mightContain("x")))
+  }
+
   test("canonical renderings agree across writer and pruner value shapes") {
     import org.apache.spark.sql.types.Decimal
     import org.apache.spark.unsafe.types.UTF8String

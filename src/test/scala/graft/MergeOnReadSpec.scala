@@ -456,6 +456,50 @@ class MergeOnReadSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("split-parallel positional reads: a multi-row-group dirty file reads as many tasks") {
+    val t = s"lake.mor.${uniq("split")}"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v STRING) TBLPROPERTIES (" +
+      "'write.delete.mode'='merge-on-read'," +
+      "'write.parquet.row-group-size-bytes'='65536')")
+    // ONE data file (single write task), many small row groups
+    spark.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, " +
+      "concat('v', repeat('x', 64), id) FROM range(0, 100000)")
+    val meta0 = lakeMeta(t)
+    assert(meta0.currentFiles.size == 1, s"${meta0.currentFiles.size} files")
+    val file = meta0.currentFiles.head
+    val layout = PositionalParquet.rowGroupLayout(file.path, spark.sessionState.newHadoopConf())
+    assert(layout.size >= 4, s"need a multi-row-group file, got ${layout.size} groups")
+    assert(layout.map(_._2).sum == 100000L)
+
+    spark.sql(s"DELETE FROM $t WHERE id % 97 = 0") // tombstones across every group
+    val expect = (0L until 100000L).filterNot(_ % 97 == 0)
+
+    val old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes",
+        math.max(file.sizeBytes / 4, 1L).toString)
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      val df = spark.table(t)
+      val parts = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+        .flatMap(_.inputPartitions)
+      val posParts = parts.collect { case p: PositionalInputPartition => p }
+      assert(posParts.size >= 4,
+        s"dirty file must read split-parallel, got ${posParts.size} positional partition(s)")
+      assert(posParts.map(p => (p.splitStart, p.splitEnd)).distinct.size == posParts.size)
+      // row-group-level parallelism with EXACT positions: the file was
+      // written in id order, so every live row must satisfy _pos == id —
+      // any split whose footer-derived start position is off by even one
+      // row breaks this (and the tombstone alignment counted next)
+      assert(df.count() == expect.size)
+      assert(spark.sql(s"SELECT count(*) FROM $t WHERE id <> _pos").head().getLong(0) == 0,
+        "per-split start positions must reproduce whole-file row ordinals")
+      assert(spark.sql(s"SELECT sum(id) FROM $t").head().getLong(0) == expect.sum)
+      assert(spark.sql(s"SELECT count(*) FROM $t WHERE id % 97 = 0").head().getLong(0) == 0,
+        "tombstones must land in the split that owns their position")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("MoR DELETE matching nothing commits no snapshot") {
     val t = s"lake.mor.${uniq("noop")}"
     spark.sql(s"CREATE TABLE $t (id INT) TBLPROPERTIES ('write.delete.mode'='merge-on-read')")

@@ -38,6 +38,31 @@ class TimePartitionSpec extends AnyFunSuite {
     }
   }
 
+  test("Column transform mirrors apply EXACTLY past 2^53 micros (integral div, not double)") {
+    import org.apache.spark.sql.functions.col
+    // |unix_micros| > 2^53 for timestamps before ~1685 / after ~2255:
+    // double division would round; unit-boundary values are the ones that
+    // flip under a 1-2 ulp error
+    val df = spark.sql(
+      """SELECT ts FROM VALUES
+        |  (timestamp'2300-01-01 00:00:00.000001'),
+        |  (timestamp'2299-12-31 23:59:59.999999'),
+        |  (timestamp'2300-06-15 12:34:56.789'),
+        |  (timestamp'1601-03-04 07:08:09.123'),
+        |  (timestamp'1601-01-01 00:00:00'),
+        |  (timestamp'1969-12-31 23:59:59.999999') AS t(ts)""".stripMargin)
+    for (unit <- Seq("days", "hours", "months", "years")) {
+      df.select(col("ts"), TimeTransform.column(unit, col("ts"), TimestampType).as("k"))
+        .collect().foreach { r =>
+          val inst = r.getTimestamp(0).toInstant
+          val micros = Math.addExact(
+            Math.multiplyExact(inst.getEpochSecond, 1000000L), inst.getNano / 1000L)
+          assert(r.getInt(1) == TimeTransform(unit, micros, TimestampType),
+            s"$unit($inst): Column disagrees with apply")
+        }
+    }
+  }
+
   test("days(ts): clustered per-day files, range pruning, per-day dynamic overwrite") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.tp")
     spark.sql("DROP TABLE IF EXISTS lake.tp.ev")
