@@ -50,7 +50,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val nFailed = results.count(_._2._1 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"runs":$runsPer,"failed":$nFailed,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"runs":$runsPer,"failed":$nFailed,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's artifact truncates long stdout tails — also persist the
+    // full per-query medians+spreads so every round's numbers stay auditable
+    // (SPARK_GRAFT_BENCH_OUT overrides; committed per round as BENCH_LOCAL_r*)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_round.json")
+    try {
+      val p = java.nio.file.Paths.get(out)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Exception => System.err.println(s"[bench] write $out: $e") }
     spark.stop()
   }
 }

@@ -33,10 +33,15 @@ import scala.util.hashing.MurmurHash3
 final class FileBloom(val k: Int, val bits: Array[Long]) {
   private val m = bits.length * 64
 
-  private def eachBit(value: String)(f: Int => Boolean): Boolean = {
-    val bytes = value.getBytes(StandardCharsets.UTF_8)
-    val h1 = MurmurHash3.bytesHash(bytes, FileBloom.Seed1)
-    val h2 = MurmurHash3.bytesHash(bytes, FileBloom.Seed2) | 1 // odd => full cycle
+  private def eachBit(value: String)(f: Int => Boolean): Boolean =
+    eachBitHashed(FileBloom.hashes(value))(f)
+
+  // the double-hash pair is m-independent, so a key hashed ONCE probes any
+  // number of per-file blooms — planning over many (file, delete) pairs
+  // hashes each delete key once, not once per pair
+  private def eachBitHashed(packed: Long)(f: Int => Boolean): Boolean = {
+    val h1 = (packed >>> 32).toInt
+    val h2 = packed.toInt
     var i = 0
     while (i < k) {
       if (!f(java.lang.Integer.remainderUnsigned(h1 + i * h2, m))) return false
@@ -52,6 +57,10 @@ final class FileBloom(val k: Int, val bits: Array[Long]) {
   def mightContain(value: String): Boolean =
     eachBit(value)(pos => (bits(pos >>> 6) & (1L << (pos & 63))) != 0L)
 
+  /** [[mightContain]] from a [[FileBloom.hashes]]-precomputed pair. */
+  def mightContainHashed(packed: Long): Boolean =
+    eachBitHashed(packed)(pos => (bits(pos >>> 6) & (1L << (pos & 63))) != 0L)
+
   /** `"k:base64(bits)"` — what [[DataFileMeta.blooms]] carries. */
   def encode: String = {
     val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
@@ -63,6 +72,17 @@ final class FileBloom(val k: Int, val bits: Array[Long]) {
 object FileBloom {
   private[catalog] val Seed1 = 0x7A3C9F15
   private[catalog] val Seed2 = 0x51E0D2B7
+
+  /** The (h1, h2) double-hash pair of a canonical key, packed into one
+    * long — independent of any particular filter's size, so it can be
+    * precomputed once per key and probed against many files' blooms.
+    */
+  def hashes(value: String): Long = {
+    val bytes = value.getBytes(StandardCharsets.UTF_8)
+    val h1 = MurmurHash3.bytesHash(bytes, Seed1)
+    val h2 = MurmurHash3.bytesHash(bytes, Seed2) | 1 // odd => full cycle
+    (h1.toLong << 32) | (h2.toLong & 0xFFFFFFFFL)
+  }
   val DefaultBits = 131072 // 16 KiB/file/column; `write.bloom-bits` overrides
   val Hashes = 6
 

@@ -838,21 +838,31 @@ final class LakeScan(
       (p2l.getOrElse(ks.fields(0).name, ks.fields(0).name), ks.fields(0).dataType)
     }
   // None = at least one key failed to canonicalize (null key, exotic
-  // type) => the refinement must NOT claim absence for that delete file
+  // type) => the refinement must NOT claim absence for that delete file.
+  // Keys are canonicalized AND double-hashed once per delete file — the
+  // hash pair is filter-size-independent, so probing N data files costs
+  // N × (6 bit reads per key), never N × (hash per key).
   @transient private lazy val eqKeyCanon =
-    new java.util.concurrent.ConcurrentHashMap[String, Option[Array[String]]]()
-  private def eqCanonKeys(path: String, dt: DataType): Option[Array[String]] =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Array[Long]]]()
+  private def eqCanonKeys(path: String, dt: DataType): Option[Array[Long]] =
     eqKeyCanon.computeIfAbsent(path, { p =>
       val rows = eqKeysLoaded(Seq(p))(p)
       val canon = rows.flatMap(row => FileBloom.canonical(row.get(0, dt)))
-      if (canon.length == rows.length) Some(canon) else None
+      if (canon.length == rows.length) Some(canon.map(FileBloom.hashes)) else None
     })
+  // Hard ceiling on PLANNING work: each (data file, delete file) pair
+  // spends up to |keys| probe-steps; once the scan's budget is gone the
+  // refinement degrades to "maybe hits" (correct, just no longer prunes) —
+  // a pathological epoch mix can never turn planning into a scan-sized job.
+  @transient private val eqBloomBudget =
+    new java.util.concurrent.atomic.AtomicLong(EqDeletes.BloomRefineBudget)
   private def eqBloomMayHit(f: DataFileMeta, d: DataFileMeta): Boolean =
     eqBloomKeyCol match {
-      case Some((logicalKey, dt)) if d.rowCount <= EqDeletes.BloomRefineMaxKeys =>
+      case Some((logicalKey, dt)) if d.rowCount <= EqDeletes.BloomRefineMaxKeys &&
+          eqBloomBudget.addAndGet(-d.rowCount) >= 0L =>
         (bloomFor(f.path, logicalKey), eqCanonKeys(d.path, dt)) match {
           case (Some(b), Some(keys)) =>
-            val hit = keys.exists(b.mightContain)
+            val hit = keys.exists(b.mightContainHashed)
             if (!hit) EqDeletes.bloomRefined.incrementAndGet()
             hit
           case _ => true

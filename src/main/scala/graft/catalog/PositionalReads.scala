@@ -273,6 +273,13 @@ object EqDeletes {
   /** Max delete-file rows the bloom refinement will probe per data file. */
   val BloomRefineMaxKeys = 20000L
 
+  /** Total probe-steps one scan's planning may spend on eq-bloom
+    * refinement before degrading to "maybe hits" (var: tests lower it to
+    * pin the degraded path). 64M steps ≈ tens of ms — bounded by
+    * construction no matter how many files × epochs pile up.
+    */
+  @volatile var BloomRefineBudget: Long = 64L * 1000 * 1000
+
   /** Driver-side: key rows of each delete file, path-keyed. */
   def loadKeys(paths: Seq[String], keySchema: StructType,
       conf: Configuration): Map[String, Array[UnsafeRow]] = {

@@ -348,6 +348,13 @@ object ManifestIO {
   private val listCache = lru[Seq[ManifestMeta]]()
   private val bloomCache = lru[Map[String, Map[String, String]]]()
 
+  /** Sidecar lookups (cached or not) — instrumentation for tests asserting
+    * bloom laziness: a scan without a point predicate must never ASK for a
+    * sidecar (the writer pre-caches its own, so cache misses alone would
+    * under-count).
+    */
+  val bloomSidecarReads = new java.util.concurrent.atomic.AtomicLong()
+
   private def writeDoc(loc: String, json: String, conf: Configuration): Unit = {
     val p = new Path(loc)
     val out = p.getFileSystem(conf).create(p, false)
@@ -392,6 +399,7 @@ object ManifestIO {
     * when a point predicate on a bloom-indexed column reaches pruning.
     */
   def readBlooms(location: String, conf: Configuration): Map[String, Map[String, String]] = {
+    bloomSidecarReads.incrementAndGet()
     val cached = bloomCache.synchronized(bloomCache.get(location))
     if (cached != null) return cached
     val blooms = try {

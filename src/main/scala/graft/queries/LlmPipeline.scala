@@ -27,6 +27,16 @@ object LlmPipeline {
     */
   private def words(c: Column): Column = split(lower(c), " ")
 
+  /** q107's FIXED merge table ("left right", index = rank) — shared
+    * verbatim by the Spark encode expression and the DuckDB recursive-CTE
+    * oracle. Chosen to force multi-round, rank-order-sensitive merges on
+    * the corpus vocabulary (table/value/scan/row assemble fully).
+    */
+  private[graft] val Q107Merges: Array[String] = Array(
+    "t a", "ta b", "tab l", "tabl e",
+    "v a", "va l", "val u", "valu e",
+    "r o", "ro w", "a n", "s c", "sc an", "e r", "o r")
+
   /** Distinct 3-word shingles — the discriminating unit for near-dup
     * detection (word UNIgrams are useless on a small shared vocabulary:
     * nearly everything looks similar; 3-grams separate the planted
@@ -502,6 +512,62 @@ object LlmPipeline {
         .groupBy("token").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token"))
         .limit(25)
+    },
+
+    // ───── q107: BPE ENCODE under the oracle (fixed merge table) ─────────
+    // q71's encode step, oracled (ADVICE r7 #6): the greedy lowest-rank
+    // merge loop is replayed in DuckDB as a recursive CTE — tokens ride
+    // sep-joined on chr(31) (absent from the corpus), each recursion step
+    // replaces every occurrence of the best-ranked adjacent pair
+    // (`replace` is left-to-right non-overlapping, exactly the codegen
+    // loop's pass), and a word is final when no merge pattern matches.
+    // Training stays value-pinned in BpeSpec (tie-break order has no SQL
+    // equivalent, SURVEY §no-oracle), so the merge table here is a FIXED
+    // literal shared by both engines.
+    QueryDef.df(
+      "q107_bpe_encode",
+      s"""WITH RECURSIVE
+        |mm(rank, pat, rep) AS (
+        |  SELECT rank, l || chr(31) || r, l || r
+        |  FROM (VALUES
+        |    ${Q107Merges.zipWithIndex.map { case (m, i) =>
+             val Array(l, r) = m.split(' '); s"($i, '$l', '$r')"
+           }.mkString(", ")}) x(rank, l, r)
+        |),
+        |words AS (
+        |  SELECT word, count(*) AS wc
+        |  FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word
+        |        FROM documents)
+        |  WHERE word <> '' GROUP BY word
+        |),
+        |init AS (
+        |  SELECT word,
+        |         rtrim(regexp_replace(word, '(.)', '\\1' || chr(31), 'g'),
+        |               chr(31)) AS s
+        |  FROM words
+        |),
+        |enc AS (
+        |  SELECT word, s FROM init
+        |  UNION ALL
+        |  SELECT e.word, replace(e.s, b.pat, b.rep)
+        |  FROM enc e, LATERAL (SELECT pat, rep FROM mm
+        |                       WHERE contains(e.s, mm.pat)
+        |                       ORDER BY mm.rank LIMIT 1) b
+        |),
+        |final AS (
+        |  SELECT word, s FROM enc
+        |  WHERE NOT EXISTS (SELECT 1 FROM mm WHERE contains(enc.s, mm.pat))
+        |)
+        |SELECT token, SUM(w.wc)::BIGINT AS cnt
+        |FROM (SELECT word, unnest(string_split(s, chr(31))) AS token
+        |      FROM final) f
+        |JOIN words w USING (word)
+        |GROUP BY token ORDER BY cnt DESC, token""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(
+          graft.functions.Bpe.bpeEncode(col("text"), Q107Merges)).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
     },
 
     // ───── q40: embedding-cosine near-dup pairs (dedup family) ───────────
@@ -1936,22 +2002,9 @@ object LlmPipeline {
     * keeps the member farthest from the centroid; ties break toward the
     * smaller vec_id). Returns the dropped rows (vec_id, cid, csim).
     */
-  def semDedup(emb: DataFrame, k: Int, eps: Double): DataFrame = {
-    val e = emb.select(col("vec_id"), col("embedding"))
-    // deterministic seeds: the k vectors of smallest md5(vec_id) rank
-    val seeds = e.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    // nearest-centroid assignment: broadcast the K centroids, ONE hash-agg
-    // per vector (max over (sim, -cid) picks highest sim, ties → smaller
-    // cid) — no window, embeddings shuffle once keyed by vec_id
-    val assigned = e.crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("embedding"),
-        cosineSim(col("embedding"), col("cvec")).as("sim"), col("cid"))
-      .groupBy("vec_id")
-      .agg(first(col("embedding")).as("emb"),
-        max(struct(col("sim"), (-col("cid")).as("ncid"))).as("m"))
-      .select(col("vec_id"), col("emb"),
-        (-col("m.ncid")).as("cid"), col("m.sim").as("csim"))
+  def semDedup(emb: DataFrame, k: Int, eps: Double,
+      maxClusterSize: Int = 4096): DataFrame = {
+    val assigned = semDedupAssign(emb, k, maxClusterSize)
     val a = assigned.select(col("cid"), col("vec_id"), col("emb"), col("csim"))
     val b = assigned.select(col("cid").as("b_cid"), col("vec_id").as("b_vec_id"),
       col("emb").as("b_emb"), col("csim").as("b_csim"))
@@ -1965,5 +2018,75 @@ object LlmPipeline {
         "left_semi")
       .select(col("vec_id"), col("cid"), col("csim"))
       .orderBy("vec_id")
+  }
+
+  /** Cluster assignment for [[semDedup]] with an OVERSIZED-CLUSTER GUARD.
+    * Base step: broadcast the k md5-ranked seed vectors, ONE hash-agg per
+    * vector (max over (sim, -cid) → highest sim, ties → smaller cid) — no
+    * window, embeddings shuffle once keyed by vec_id. Guard: a degenerate
+    * corpus (every vector near one centroid) would otherwise collapse into
+    * one cluster and make the within-cluster pair join quadratic in N, so
+    * any cluster larger than `maxClusterSize` is re-split by re-running
+    * the SAME md5-ranked seeding within the cluster (up to 3 rounds; the
+    * seed-selection window sorts only the oversized clusters — the
+    * O(n log n) escape from an O(n²) join); a cluster that still refuses
+    * to shrink (all-identical vectors, where nearest-centroid ties always
+    * collapse to one seed) is hash-bucketed to the cap — deterministic,
+    * at the cost of keeping one representative per bucket instead of one
+    * per cluster. The guard costs one count-pass when no cluster is over
+    * the cap; the default cap is far above what sf-scale corpora reach,
+    * so q86's oracle replays the unguarded assignment exactly.
+    */
+  def semDedupAssign(emb: DataFrame, k: Int, maxClusterSize: Int = 4096): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"))
+    // deterministic seeds: the k vectors of smallest md5(vec_id) rank
+    val seeds = e.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    def nearest(scored: DataFrame): DataFrame = scored
+      .groupBy("vec_id")
+      .agg(first(col("embedding")).as("emb"),
+        max(struct(col("sim"), (-col("cid")).as("ncid"))).as("m"))
+      .select(col("vec_id"), col("emb"),
+        (-col("m.ncid")).as("cid"), col("m.sim").as("csim"))
+    var assigned = nearest(e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("embedding"),
+        cosineSim(col("embedding"), col("cvec")).as("sim"), col("cid")))
+    var round = 0
+    var clean = false
+    while (round < 3 && !clean) {
+      // ≤ N/cap oversized ids — bounded driver list
+      val big = assigned.groupBy("cid").count()
+        .where(col("count") > maxClusterSize).select("cid")
+        .collect().map(_.getLong(0)).toIndexedSeq
+      if (big.isEmpty) clean = true
+      else {
+        val keep = assigned.where(!col("cid").isin(big: _*))
+        val split = assigned.where(col("cid").isin(big: _*))
+        val w = Window.partitionBy("cid")
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        val subSeeds = split
+          .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+          .select(col("cid").as("pcid"), col("vec_id").as("scid"),
+            col("emb").as("cvec"))
+        val rescored = split.select(col("cid").as("pcid"), col("vec_id"), col("emb"))
+          .join(broadcast(subSeeds), "pcid")
+          .select(col("vec_id"), col("emb").as("embedding"),
+            cosineSim(col("emb"), col("cvec")).as("sim"), col("scid").as("cid"))
+        assigned = keep.unionByName(nearest(rescored))
+        round += 1
+      }
+    }
+    if (!clean) {
+      // identical-vector stragglers: deterministic hash buckets targeting
+      // cap/2 fill (2x headroom keeps hash variance from breaching the cap)
+      val sizes = assigned.groupBy("cid").agg(count(lit(1)).as("csz"))
+      assigned = assigned.join(sizes, "cid")
+        .withColumn("cid", when(col("csz") > maxClusterSize,
+          xxhash64(col("cid"),
+            pmod(xxhash64(col("vec_id")), ceil(col("csz") * 2 / maxClusterSize))))
+          .otherwise(col("cid")))
+        .drop("csz")
+    }
+    assigned.select(col("vec_id"), col("emb"), col("cid"), col("csim"))
   }
 }

@@ -83,4 +83,61 @@ class CboSpec extends AnyFunSuite {
         s"CBO should reorder (fact ⋈ dimtiny) to the bottom:\n$after")
     }
   }
+
+  test("histogram-small build side broadcasts at PLAN time; AQE rescues at RUN time without CBO") {
+    // The case min/max sizing gets wrong: a skew-tailed dim where a range
+    // filter keeps 11 of 200k rows. Uniform interpolation over
+    // [5, 1_050_000] estimates ~50% → no broadcast; the KLL histogram
+    // knows the mass sits at k=5 → tiny build side → broadcast without
+    // ever starting a shuffle. With CBO off, the initial plan is a
+    // sort-merge join and AQE converts it AFTER the build side's true
+    // size materializes — the histogram saves the shuffle AQE only
+    // truncates. Both layers proven here.
+    val ns = "lake.cbo"
+    val dim = s"$ns.${uniq("skdim")}"
+    val fact = s"$ns.${uniq("skfact")}"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $ns")
+    spark.sql(s"CREATE TABLE $dim (k INT, pad STRING)")
+    spark.sql(s"CREATE TABLE $fact (k INT, fpad STRING)")
+    // 199,979 rows of k=5; 21 outliers at 50_000 × i (i = 1..21). The pad
+    // is incompressible so the FILE byte size (the only pre-analyze
+    // signal) is honestly megabytes.
+    spark.sql(s"INSERT INTO $dim SELECT CASE WHEN id < 199979 THEN 5 " +
+      "ELSE CAST((id - 199978) * 50000 AS INT) END, md5(CAST(id AS STRING)) " +
+      "FROM range(200000)")
+    spark.sql(s"INSERT INTO $fact SELECT CAST(500000 + (id % 11) * 50000 AS INT), " +
+      "md5(CAST(id + 7 AS STRING)) FROM range(20000)")
+
+    def query() = spark.sql(
+      s"SELECT count(*) AS n FROM $fact f JOIN $dim d ON f.k = d.k WHERE d.k >= 500000")
+    // BEFORE analyze: only coarse manifest min/max exists, interpolation
+    // over [5, 1_050_000] calls the filtered dim large → sort-merge at
+    // plan time, and AQE converts to broadcast only after the shuffle's
+    // build side materializes as 11 rows
+    withConf(
+      "spark.sql.cbo.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "32768") {
+      val q = query()
+      val initial = q.queryExecution.executedPlan.toString
+      assert(initial.contains("SortMergeJoin"),
+        s"coarse min/max sizing must NOT broadcast at plan time:\n$initial")
+      assert(q.collect().head.getLong(0) == 20000L)
+      val finalPlan = q.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("BroadcastHashJoin"),
+        s"AQE must convert to broadcast once the 11-row build side materializes:\n$finalPlan")
+    }
+    // AFTER analyze: the KLL histogram knows the mass sits at k=5, so the
+    // build side estimates tiny and the broadcast happens at PLAN time —
+    // no shuffle ever starts (AQE remains the safety net, not the plan)
+    Seq(dim, fact).foreach(LakeMaintenance.analyze(spark, _))
+    withConf(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "32768") {
+      val q = query()
+      val initial = q.queryExecution.executedPlan.toString
+      assert(initial.contains("BroadcastHashJoin"),
+        s"histogram estimate (~11 rows) must pick broadcast at plan time:\n$initial")
+      assert(q.collect().head.getLong(0) == 20000L)
+    }
+  }
 }

@@ -47,6 +47,48 @@ class FileBloomSpec extends AnyFunSuite {
     assert(FileBloom.decode(b.encode).exists(_.mightContain("x")))
   }
 
+  test("eq-bloom planning kernel: 100 epochs x 1k files x 20k keys, budget-bounded") {
+    // worst case for the refinement: absence everywhere, every probe runs
+    // all keys. Hashes precompute once per key (m-independent pair);
+    // per-pair work is pure bit reads; the 64M-step budget caps the total.
+    val nFiles = 1000
+    val blooms = (0 until nFiles).map { i =>
+      val b = FileBloom(131072)
+      (0 until 2000).foreach(j => b.add(s"k-$i-$j"))
+      b
+    }
+    val keys = Array.tabulate(20000)(j => FileBloom.hashes(s"absent-$j"))
+    // hashed probes agree with string probes (the precompute is exact)
+    assert(!blooms.head.mightContainHashed(FileBloom.hashes("absent-1")) ==
+      !blooms.head.mightContain("absent-1"))
+    assert(blooms.head.mightContainHashed(FileBloom.hashes("k-0-7")))
+    var budget = 64L * 1000 * 1000
+    var refined = 0
+    var attempted = 0
+    val t0 = System.nanoTime()
+    var d = 0
+    while (d < 100) {
+      var i = 0
+      while (i < nFiles) {
+        budget -= keys.length
+        if (budget >= 0) {
+          attempted += 1
+          if (!keys.exists(blooms(i).mightContainHashed)) refined += 1
+        }
+        i += 1
+      }
+      d += 1
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    // within budget nearly every attempted pair is proven clean (a few
+    // hit the ~6e-7/probe false-positive rate — "maybe", never wrong);
+    // the rest degraded to "maybe" — and the whole pass is fast
+    assert(attempted == 3200 && refined > 3000, s"$refined/$attempted")
+    assert(sec < 20, f"bounded planning kernel took $sec%.1f s")
+    println(f"[eq-bloom-kernel] 64M-step budget = $attempted pairs in $sec%.2f s " +
+      f"(${sec * 1e3 / attempted}%.2f ms/pair of 20k absent keys)")
+  }
+
   test("canonical renderings agree across writer and pruner value shapes") {
     import org.apache.spark.sql.types.Decimal
     import org.apache.spark.unsafe.types.UTF8String

@@ -118,7 +118,8 @@ class GoldenSpec extends AnyFunSuite {
     "q103_bloom_point_lookup" -> 4L,
     "q104_substring_index" -> 8L,
     "q105_time_partitions" -> 15L,
-    "q106_truncate_partitions" -> 5L)
+    "q106_truncate_partitions" -> 5L,
+    "q107_bpe_encode" -> 32L)
 
   test("every registered query has a golden count (add one when adding a query)") {
     assert(SparkEntry.queries.keySet == golden.keySet,

@@ -403,4 +403,33 @@ class LlmSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "assignment must be a hash-agg, not a window")
     assert(plan.contains("Broadcast"), "centroids must broadcast")
   }
+
+  test("semDedup guard: a degenerate near-one-centroid corpus cannot go quadratic") {
+    import graft.queries.LlmPipeline
+    // 3000 vectors, all inside a narrow cone around (1,0,0,0) — unguarded,
+    // nearest-centroid assignment collapses (nearly) all of them into one
+    // cluster and the within-cluster pair join is N² in the corpus
+    val n = 3000
+    val rows = spark.range(n).selectExpr("id AS vec_id",
+      "array(CAST(1000 + id % 97 AS FLOAT), CAST(id % 13 AS FLOAT), " +
+        "CAST(0 AS FLOAT), CAST(0 AS FLOAT)) AS embedding")
+    val cap = 200
+    val assigned = LlmPipeline.semDedupAssign(rows, 4, maxClusterSize = cap)
+    val sizes = assigned.groupBy("cid").count().collect().map(_.getLong(1))
+    assert(sizes.sum == n, "guard must not drop or duplicate members")
+    assert(sizes.max <= cap,
+      s"per-cluster pair work must stay bounded by the cap, got ${sizes.max}")
+    // deterministic: the same corpus re-splits to the identical assignment
+    def snap() = LlmPipeline.semDedupAssign(rows, 4, maxClusterSize = cap)
+      .select("vec_id", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(snap().sameElements(snap()))
+    // end-to-end semDedup still runs on the guarded assignment
+    assert(LlmPipeline.semDedup(rows, 4, 0.9999, maxClusterSize = cap).count() > 0)
+    // the default cap leaves sf-scale corpora untouched: q86's shape on the
+    // real embeddings table must not trip the guard (oracle replayability)
+    val real = graft.Tables.t(spark, TestSpark.sf, "embeddings")
+    val realMax = LlmPipeline.semDedupAssign(real, 16).groupBy("cid").count()
+      .collect().map(_.getLong(1)).max
+    assert(realMax <= 4096, s"default cap must not trigger on testdata: $realMax")
+  }
 }

@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog._
+
+/** Driver-side planning at big-metadata scale: a 100 TB table at 128 MB a
+  * file is ~800k manifest entries; this spec synthesizes a 100k-entry
+  * table document (metadata only — no data files exist) and pins that the
+  * commit, the pruned planning pass and the bloom-sidecar laziness all
+  * stay bounded. Measured costs are recorded in SURVEY §limitations.
+  */
+class PlanningScaleSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val scanFiles = """LakeScan\(lake\.scale\.(\w+), (\d+) files\)""".r
+  private def filesPlanned(plan: String, table: String): Int =
+    scanFiles.findAllMatchIn(plan).collect {
+      case m if m.group(1) == table => m.group(2).toInt
+    }.min
+
+  test("100k-entry metadata: bounded commit, bounded pruning, lazy sidecars") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.scale")
+    spark.sql("DROP TABLE IF EXISTS lake.scale.big")
+    spark.sql("CREATE TABLE lake.scale.big (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('write.bloom-columns'='k')")
+    val cat = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[LakeCatalog]
+    val table = cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("scale"), "big"))
+      .asInstanceOf[LakeTable]
+    val conf = spark.sessionState.newHadoopConf()
+    val n = 100000
+    // each entry carries a real (tiny) bloom so the sidecar strip/write
+    // path runs at full width; disjoint k ranges of 1000 per file
+    val bl = { val b = FileBloom(512); b.add("42"); b.encode }
+    val files = (0 until n).map { i =>
+      DataFileMeta(s"${table.meta.location}/data/synth-$i.parquet",
+        1000L, 128L * 1024 * 1024,
+        minValues = Map("k" -> (i.toLong * 1000).toString),
+        maxValues = Map("k" -> (i.toLong * 1000 + 999).toString),
+        nullCounts = Map("k" -> 0L, "v" -> 0L),
+        blooms = Map("k" -> bl))
+    }
+    // the file the one-file planning check below selects must exist on
+    // disk (partition planning stats it); content is irrelevant
+    spark.range(1).selectExpr("id AS k", "'x' AS v").coalesce(1)
+      .write.mode("overwrite").parquet(s"${table.meta.location}/tmp_seed")
+    val seed = new java.io.File(s"${table.meta.location}/tmp_seed").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"${table.meta.location}/data"))
+    java.nio.file.Files.copy(seed.toPath,
+      java.nio.file.Paths.get(s"${table.meta.location}/data/synth-123.parquet"))
+
+    val t0 = System.nanoTime()
+    new LakeBatchWrite(table, table.meta.schema, false, cat.pointerStore, conf)
+      .commit(Array(LakeCommitMessage(files)))
+    val commitS = (System.nanoTime() - t0) / 1e9
+
+    // planning a miss-everything range: prunes all 100k entries on the
+    // driver, touches zero data files and zero bloom sidecars
+    val before = ManifestIO.bloomSidecarReads.get()
+    val t1 = System.nanoTime()
+    val miss = spark.sql("SELECT * FROM lake.scale.big WHERE k < 0")
+    assert(miss.collect().isEmpty)
+    val missS = (System.nanoTime() - t1) / 1e9
+    assert(filesPlanned(miss.queryExecution.executedPlan.toString, "big") == 0)
+    assert(ManifestIO.bloomSidecarReads.get() == before,
+      "a range predicate must not load bloom sidecars")
+
+    // a one-file range plans exactly 1 of 100k entries, still no sidecars
+    val t2 = System.nanoTime()
+    val one = spark.table("lake.scale.big").where("k >= 123000 AND k < 123500")
+    val onePlan = one.queryExecution.executedPlan.toString
+    val oneS = (System.nanoTime() - t2) / 1e9
+    assert(filesPlanned(onePlan, "big") == 1)
+    assert(ManifestIO.bloomSidecarReads.get() == before)
+
+    // a POINT predicate consults the sidecar (lazily, only now) and the
+    // bloom disproves the needle in the one range-surviving file
+    val point = spark.sql("SELECT * FROM lake.scale.big WHERE k = 500")
+    assert(point.collect().isEmpty)
+    assert(ManifestIO.bloomSidecarReads.get() > before,
+      "point predicate on a bloom column must load the sidecar")
+    assert(filesPlanned(point.queryExecution.executedPlan.toString, "big") == 0)
+
+    // generous CI-safe ceilings; measured values go to SURVEY
+    assert(commitS < 120, f"100k-entry commit took $commitS%.1f s")
+    assert(missS < 30, f"100k-entry pruning pass took $missS%.1f s")
+    println(f"[planning-scale] n=$n commit=$commitS%.2f s " +
+      f"miss-plan=$missS%.2f s (${missS * 1e6 / n}%.1f µs/entry) " +
+      f"one-file-plan=$oneS%.2f s")
+    spark.sql("DROP TABLE lake.scale.big")
+  }
+}

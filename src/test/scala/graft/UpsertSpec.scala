@@ -159,6 +159,37 @@ class UpsertSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("exhausted bloom-refinement budget degrades to correct, unrefined planning") {
+    import spark.implicits._
+    val t = s"lake.ups.${uniq("bud")}"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ups")
+    spark.sql(s"""CREATE TABLE $t (k BIGINT, v STRING, n INT)
+      TBLPROPERTIES ('write.bloom-columns'='k')""")
+    (0 to 1).foreach(par => spark.sql(
+      s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id * 2 + $par, concat('s', id), 0 FROM range(1000)"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ups-bud").toString
+    val input = MemoryStream[UpsRow](spark)
+    val q = input.toDS().writeStream
+      .option("checkpointLocation", ckpt).option("upsert-keys", "k").toTable(t)
+    try {
+      input.addData((0 until 50).map(i => UpsRow(i.toLong * 2, s"u$i", 1)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val saved = EqDeletes.BloomRefineBudget
+    try {
+      // zero budget: the planning ceiling trips immediately — refinement
+      // must degrade to "maybe hits" (no absence claims), answers exact
+      EqDeletes.BloomRefineBudget = 0L
+      EqDeletes.bloomRefined.set(0L)
+      val rows = spark.table(t).collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(rows.size == 2000)
+      assert(rows(0L) == "u0" && rows(98L) == "u49" && rows(1L) == "s0")
+      assert(EqDeletes.bloomRefined.get() == 0L,
+        "with no budget the refinement must not claim absence")
+    } finally EqDeletes.BloomRefineBudget = saved
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("eq-only dirty files keep the delegate's split-planned scan; keys load once per scan") {
     val t = upsertTable(Seq(
       (1L to 100L).map(i => UpsRow(i, s"v$i", i.toInt)),
