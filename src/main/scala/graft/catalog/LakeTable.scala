@@ -1212,6 +1212,10 @@ final class LakeMixedBatch(
 
   private val physRequired = ColumnMapping.toPhysical(requiredDataSchema, l2p)
   private val physReadSchemaJson = physRequired.json
+  // pushed data filters under PHYSICAL names — positional readers prune
+  // row groups by footer stats against these (best-effort; every filter
+  // is also a post-scan Filter)
+  private lazy val physExprs = ColumnMapping.toPhysicalExprs(exprs, l2p)
 
   private lazy val delegatePlanned: Option[(Array[InputPartition], PartitionReaderFactory)] =
     if (cleanFiles.isEmpty) None
@@ -1260,7 +1264,8 @@ final class LakeMixedBatch(
           PositionalInputPartition(f.path, dels, physReadSchemaJson, metaCols,
             eqs, if (eqs.isEmpty) "" else eqKeySchemaJson,
             splitStart = i.toLong * step,
-            splitEnd = if (i == n - 1) Long.MaxValue else (i + 1).toLong * step)
+            splitEnd = if (i == n - 1) Long.MaxValue else (i + 1).toLong * step,
+            filters = physExprs)
         }
       } ++
       eqGroups.zipWithIndex.flatMap { case ((eqPaths, _), gi) =>

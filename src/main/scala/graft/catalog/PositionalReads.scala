@@ -108,13 +108,66 @@ object PositionalParquet {
     * (`startingPos + compressedSize/2` — the value parquet-mr's file-range
     * filter assigns groups to splits by) and its exact row count.
     */
-  def rowGroupLayout(path: String, conf: Configuration): Seq[(Long, Long)] = {
+  def rowGroupLayout(path: String, conf: Configuration): Seq[(Long, Long)] =
+    rowGroupStats(path, conf).map(g => (g._1, g._2))
+
+  /** Row groups pruned by pushed-filter stats inside positional readers —
+    * instrumentation for tests.
+    */
+  val rowGroupsPruned = new java.util.concurrent.atomic.AtomicLong()
+
+  /** [[rowGroupLayout]] plus each group's column statistics rendered as a
+    * pseudo [[DataFileMeta]] in the WRITER's stat-string format, so
+    * [[FilePruner.mayMatch]] evaluates pushed filters against row groups
+    * exactly as it does against files. Only stat renderings that provably
+    * agree with the pruner's comparisons are emitted (plain ints/longs,
+    * date days, timestamp micros, non-NaN floats/doubles, UTF8 strings —
+    * parquet's unsigned-byte BINARY order IS UTF8String.compareTo order;
+    * truncated binary stats remain valid bounds); decimals, unsigned ints
+    * and everything exotic stay absent ⇒ conservative keep.
+    */
+  def rowGroupStats(path: String, conf: Configuration): Seq[(Long, Long, DataFileMeta)] = {
     import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(path), conf)
     val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try fr.getFooter.getBlocks.asScala.toSeq.map(b =>
-      (b.getStartingPos + b.getCompressedSize / 2, b.getRowCount))
-    finally fr.close()
+    try fr.getFooter.getBlocks.asScala.toSeq.map { b =>
+      val mins = Map.newBuilder[String, String]
+      val maxs = Map.newBuilder[String, String]
+      val nulls = Map.newBuilder[String, Long]
+      b.getColumns.asScala.foreach { c =>
+        if (c.getPath.size == 1) {
+          val name = c.getPath.toDotString
+          val pt = c.getPrimitiveType
+          val logical = pt.getLogicalTypeAnnotation
+          def statString(v: Any): Option[String] = (pt.getPrimitiveTypeName, logical) match {
+            case (_, _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) => None
+            case (INT32 | INT64, l: LogicalTypeAnnotation.IntLogicalTypeAnnotation)
+              if !l.isSigned => None
+            case (INT32 | INT64, _) => Some(v.toString)
+            case (FLOAT, _) =>
+              Some(v.asInstanceOf[java.lang.Float]).filterNot(_.isNaN).map(_.toString)
+            case (DOUBLE, _) =>
+              Some(v.asInstanceOf[java.lang.Double]).filterNot(_.isNaN).map(_.toString)
+            case (BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
+              Some(v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+            case _ => None
+          }
+          val st = c.getStatistics
+          if (st != null) {
+            if (st.isNumNullsSet) nulls += name -> st.getNumNulls
+            if (st.hasNonNullValue) {
+              statString(st.genericGetMin).foreach(mins += name -> _)
+              statString(st.genericGetMax).foreach(maxs += name -> _)
+            }
+          }
+        }
+      }
+      (b.getStartingPos + b.getCompressedSize / 2, b.getRowCount,
+        DataFileMeta(path, b.getRowCount, b.getCompressedSize,
+          mins.result(), maxs.result(), nulls.result()))
+    } finally fr.close()
   }
 
   /** All tombstoned positions for `dataPath`, merged over its covering
@@ -341,7 +394,12 @@ final case class PositionalInputPartition(
     eqDeletePaths: Seq[String] = Nil,
     eqKeySchemaJson: String = "",
     splitStart: Long = 0L,
-    splitEnd: Long = Long.MaxValue) extends InputPartition
+    splitEnd: Long = Long.MaxValue,
+    // pushed data filters (PHYSICAL names) for row-group stats pruning —
+    // best-effort ONLY: the scan reports every filter as post-scan, so a
+    // kept group's non-matching rows still die in Spark's Filter above
+    filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil)
+  extends InputPartition
 
 /** A delegate parquet split of an EQ-ONLY dirty file (equality deletes
   * apply, no positional tombstones): the inner partition keeps the
@@ -470,21 +528,42 @@ final class PositionalRowReader(
   private val readSchema = StructType(outSchema.fields ++
     keySchema.fields.filterNot(f => outSchema.fieldNames.contains(f.name)))
 
-  // This split's row groups from the footer: start position = sum of the
-  // preceding groups' row counts (exact — the parquet spec requires true
-  // counts), expected rows = sum of the selected groups'. The task reads
-  // the footer it needs anyway; the driver planned byte ranges blind.
-  private val (startPos, expectedRows) = {
-    val layout = PositionalParquet.rowGroupLayout(part.dataPath, conf)
-    val before = layout.takeWhile(_._1 < part.splitStart)
-    val mine = layout.drop(before.length).takeWhile(_._1 < part.splitEnd)
-    (before.map(_._2).sum, mine.map(_._2).sum)
+  /** One contiguous stretch of surviving row groups: byte range (their
+    * midpoints), footer-exact starting row ordinal, expected row count.
+    */
+  private case class GroupRun(byteStart: Long, byteEnd: Long, startPos: Long, rows: Long)
+
+  // This split's row groups from the footer: start position = cumulative
+  // row counts of the preceding groups (exact — the parquet spec requires
+  // true counts). The task reads the footer it needs anyway; the driver
+  // planned byte ranges blind. Groups whose stats PROVE no pushed filter
+  // can match are skipped (best-effort — Spark's Filter sits above), and
+  // the survivors coalesce into contiguous byte-range runs, each read
+  // with its own exact starting position.
+  private val runs: Seq[GroupRun] = {
+    val layout = PositionalParquet.rowGroupStats(part.dataPath, conf)
+    val starts = layout.scanLeft(0L)(_ + _._2)
+    val indexed = layout.zipWithIndex.map { case ((mid, rows, pseudo), i) =>
+      (mid, rows, pseudo, starts(i))
+    }
+    val mine = indexed.filter(g => g._1 >= part.splitStart && g._1 < part.splitEnd)
+    val selected = mine.filter(g =>
+      part.filters.forall(FilePruner.mayMatch(_, g._3, outSchema)))
+    PositionalParquet.rowGroupsPruned.addAndGet(mine.size - selected.size)
+    // coalesce groups adjacent IN THE FILE (consecutive layout index ⇔
+    // consecutive start positions) into one reader range each
+    selected.foldLeft(Vector.empty[(GroupRun, Long)]) {
+      case (acc :+ ((run, endPos)), g) if g._4 == endPos =>
+        acc :+ (run.copy(byteEnd = g._1 + 1, rows = run.rows + g._2), g._4 + g._2)
+      case (acc, g) =>
+        acc :+ (GroupRun(g._1, g._1 + 1, g._4, g._2), g._4 + g._2)
+    }.map(_._1)
   }
 
   private val deleted: Array[Long] =
-    if (expectedRows == 0L) Array.emptyLongArray
+    if (runs.isEmpty) Array.emptyLongArray
     else PositionalParquet.deletedPositions(part.dataPath, part.deletePaths, conf,
-      posRange = Some((startPos, startPos + expectedRows)))
+      posRange = Some((runs.head.startPos, runs.last.startPos + runs.last.rows)))
 
   private val rowKeyProj =
     if (eqKeys == null || eqKeys.isEmpty) null
@@ -493,10 +572,23 @@ final class PositionalRowReader(
       BoundReference(i, f.dataType, f.nullable): org.apache.spark.sql.catalyst.expressions.Expression
     })
 
-  private val reader =
-    if (expectedRows == 0L) null
-    else PositionalParquet.open(part.dataPath, readSchema, conf,
-      fileRange = Some((part.splitStart, part.splitEnd)))
+  // one reader per contiguous run of surviving row groups, opened lazily
+  private var runIdx = -1
+  private var reader: ParquetReader[InternalRow] = _
+  private var runRowsRead = 0L
+
+  private def advanceRun(): Boolean = {
+    runIdx += 1
+    if (runIdx >= runs.length) false
+    else {
+      val r = runs(runIdx)
+      reader = PositionalParquet.open(part.dataPath, readSchema, conf,
+        fileRange = Some((r.byteStart, r.byteEnd)))
+      pos = r.startPos - 1L
+      runRowsRead = 0L
+      true
+    }
+  }
 
   // appended metadata values: constant _file, running _pos
   private val metaRow = new GenericInternalRow(part.metaCols.length)
@@ -515,36 +607,37 @@ final class PositionalRowReader(
       BoundReference(readSchema.length + j, f.dataType, f.nullable): org.apache.spark.sql.catalyst.expressions.Expression
     })
 
-  private var pos = startPos - 1L
-  private var rowsRead = 0L
+  private var pos = -1L
   private var delIdx = 0
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    if (reader == null) return false
     while (true) {
+      if (reader == null && !advanceRun()) return false
       val row = reader.read()
       if (row == null) {
         // self-verifying: the reader's internal row-group selection MUST
         // agree with the footer-derived start position — a short or long
         // read means positions were wrong, which must fail loudly, never
         // return rows with silently shifted _pos/tombstone alignment
-        if (rowsRead != expectedRows) throw new IllegalStateException(
-          s"positional split [${part.splitStart},${part.splitEnd}) of " +
-            s"${part.dataPath} read $rowsRead rows, footer says $expectedRows")
-        return false
-      }
-      pos += 1
-      rowsRead += 1
-      while (delIdx < deleted.length && deleted(delIdx) < pos) delIdx += 1
-      if (delIdx < deleted.length && deleted(delIdx) == pos) {
-        delIdx += 1 // position-tombstoned: skip
-      } else if (rowKeyProj != null && eqKeys.contains(rowKeyProj(row))) {
-        // key-tombstoned by a newer equality delete: skip
+        if (runRowsRead != runs(runIdx).rows) throw new IllegalStateException(
+          s"positional run [${runs(runIdx).byteStart},${runs(runIdx).byteEnd}) of " +
+            s"${part.dataPath} read $runRowsRead rows, footer says ${runs(runIdx).rows}")
+        reader.close()
+        reader = null
       } else {
-        if (posIdx >= 0) metaRow.update(posIdx, pos)
-        current = toUnsafe(joined(row, metaRow))
-        return true
+        pos += 1
+        runRowsRead += 1
+        while (delIdx < deleted.length && deleted(delIdx) < pos) delIdx += 1
+        if (delIdx < deleted.length && deleted(delIdx) == pos) {
+          delIdx += 1 // position-tombstoned: skip
+        } else if (rowKeyProj != null && eqKeys.contains(rowKeyProj(row))) {
+          // key-tombstoned by a newer equality delete: skip
+        } else {
+          if (posIdx >= 0) metaRow.update(posIdx, pos)
+          current = toUnsafe(joined(row, metaRow))
+          return true
+        }
       }
     }
     false

@@ -500,6 +500,36 @@ class MergeOnReadSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("pushed filters prune row groups inside positional reads; positions stay exact") {
+    val t = s"lake.mor.${uniq("rgp")}"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v STRING) TBLPROPERTIES (" +
+      "'write.delete.mode'='merge-on-read'," +
+      "'write.parquet.row-group-size-bytes'='65536')")
+    // id-ordered single file: each row group covers a contiguous id range,
+    // so a narrow range predicate is provably outside most groups
+    spark.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, " +
+      "concat('v', repeat('x', 64), id) FROM range(0, 100000)")
+    spark.sql(s"DELETE FROM $t WHERE id % 97 = 0") // dirty → positional reads
+    val nGroups = PositionalParquet.rowGroupLayout(
+      lakeMeta(t).currentFiles.head.path, spark.sessionState.newHadoopConf()).size
+    assert(nGroups >= 4)
+
+    PositionalParquet.rowGroupsPruned.set(0L)
+    val rows = spark.sql(s"SELECT id, _pos FROM $t WHERE id BETWEEN 50000 AND 50100")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = (50000L to 50100L).filterNot(_ % 97 == 0)
+    assert(rows.map(_._1).sorted.sameElements(expect), s"got ${rows.length} rows")
+    // positions survive group skipping: the file is id-ordered, so _pos == id
+    assert(rows.forall { case (id, p) => id == p },
+      "skipped row groups must not shift the position counter")
+    assert(PositionalParquet.rowGroupsPruned.get() >= nGroups - 3,
+      s"a ~100-id range over $nGroups groups must prune most of them, " +
+        s"pruned ${PositionalParquet.rowGroupsPruned.get()}")
+    // an unfiltered aggregate still sees every live row (no over-pruning)
+    assert(spark.table(t).count() == 100000 - (0L until 100000L).count(_ % 97 == 0))
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("MoR DELETE matching nothing commits no snapshot") {
     val t = s"lake.mor.${uniq("noop")}"
     spark.sql(s"CREATE TABLE $t (id INT) TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
