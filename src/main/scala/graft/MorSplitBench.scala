@@ -41,10 +41,16 @@ object MorSplitBench {
       println(f"$label: median ${runs(runs.size / 2)}%.3f s (min ${runs.head}%.3f, max ${runs.last}%.3f)")
       runs(runs.size / 2)
     }
-    val whole = time("A whole-file (old behavior)", file.getLong(1) * 2)
-    // 8 splits — the shape of a 1 GB dirty file under 128 MB splits
-    val split = time("B split-parallel (8 splits)", math.max(file.getLong(1) / 8, 1L))
-    println(f"speedup: ${whole / split}%.2fx")
+    // A = the round-7 reader exactly: one whole-file task, row-mode
+    System.setProperty("graft.mor.columnar", "false")
+    val r7 = time("A whole-file row-mode (round-7 behavior)", file.getLong(1) * 2)
+    // B = split-parallel alone (8 splits — a 1 GB dirty file at 128 MB)
+    val split = time("B 8 splits, row-mode", math.max(file.getLong(1) / 8, 1L))
+    System.clearProperty("graft.mor.columnar")
+    // C = the full round-8 path: split-parallel + vectorized batches
+    val full = time("C 8 splits, columnar (current default)", math.max(file.getLong(1) / 8, 1L))
+    println(f"split speedup: ${r7 / split}%.2fx; columnar on top: ${split / full}%.2fx; " +
+      f"combined: ${r7 / full}%.2fx")
     spark.sql(s"DROP TABLE $t")
     spark.stop()
   }

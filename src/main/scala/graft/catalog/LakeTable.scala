@@ -1273,13 +1273,34 @@ final class LakeMixedBatch(
           eqKeySchemaJson, eqUnionSchema.json, physRequired.length))
       }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // vectorized MoR: when every requested (and eq-key) column is a flat
+    // primitive AND every delegate partition supports columnar, the WHOLE
+    // scan stays vectorized — tombstoned files read through the columnar
+    // positional reader instead of knocking the scan to row mode. Spark
+    // requires scan-wide agreement, so this is decided here, once.
+    val flatOk = ColumnarSupport.ok(physRequired) &&
+      ColumnarSupport.ok(eqKeySchema) && metaColsOk
+    def allColumnar(p: Option[(Array[InputPartition], PartitionReaderFactory)]) =
+      p.forall { case (parts, fac) => parts.forall(fac.supportColumnarReads) }
+    // operational escape hatch (and the A/B bench toggle): driver-side
+    // system property, default on
+    val enabled = !"false".equals(System.getProperty("graft.mor.columnar"))
+    val columnar = enabled && flatOk && allColumnar(delegatePlanned) &&
+      eqPlanned.forall(p => allColumnar(Some(p)))
     new LakeReaderFactory(
       new SerializableConfiguration(SparkSession.active.sessionState.newHadoopConf()),
       delegatePlanned.map(_._2),
-      forceRows = tombstoned.nonEmpty || eqGroups.nonEmpty,
+      forceRows = !columnar && (tombstoned.nonEmpty || eqGroups.nonEmpty),
       eqDelegates = eqPlanned.map(_._2).toArray,
-      eqKeys = eqBroadcast)
+      eqKeys = eqBroadcast,
+      columnar = columnar)
+  }
+
+  // _file (string) and _pos (long) are flat; future metadata columns must
+  // prove themselves before riding the columnar path
+  private def metaColsOk: Boolean = metaCols.forall(m =>
+    ColumnarSupport.flat(LakeMetaCols.fieldOf(m).dataType))
 }
 
 /** An input partition tagged with its partition-key row. */

@@ -1,0 +1,324 @@
+package graft.catalog
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+// the OLD mapred FileSplit: Spark's SpecificParquetRecordReaderBase casts
+// to it (it extends the mapreduce one, so it satisfies both signatures)
+import org.apache.hadoop.mapred.FileSplit
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.connector.read.PartitionReader
+import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+import org.apache.spark.sql.execution.vectorized.{ConstantColumnVector, OnHeapColumnVector, WritableColumnVector}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** VECTORIZED merge-on-read: the columnar twin of [[PositionalRowReader]].
+  *
+  * Spark requires every partition of one scan to agree on columnar
+  * support, so before this reader existed ONE tombstoned file knocked the
+  * whole scan — including its clean files — off the vectorized path. Now
+  * a dirty file reads through Spark's own [[VectorizedParquetRecordReader]]
+  * (the exact decoder clean parquet scans use) over the same footer-exact
+  * [[GroupRun]] ranges as the row reader, and tombstones apply at BATCH
+  * granularity: a batch whose position range contains no tombstone (and
+  * no equality-delete key hit) passes through untouched — zero copies, the
+  * common case when deletes are sparse — while a dirty batch compacts its
+  * survivors into fresh on-heap vectors. `_file`/`_pos` metadata columns
+  * ride as a constant vector and a refilled position vector. Eligibility
+  * is decided at planning ([[ColumnarSupport.ok]]): flat primitive
+  * schemas only — nested/decimal schemas keep the row reader (identical
+  * semantics, just unvectorized).
+  */
+object ColumnarSupport {
+  /** Types the columnar positional path can pass through AND compact. */
+  def flat(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | DateType | TimestampType | TimestampNTZType |
+         StringType | BinaryType => true
+    case _ => false
+  }
+  def ok(schema: StructType): Boolean = schema.fields.forall(f => flat(f.dataType))
+
+  /** Null-safe single-value copy between vectors (flat types only). */
+  def copyValue(src: ColumnVector, i: Int, dst: WritableColumnVector, o: Int,
+      dt: DataType): Unit =
+    if (src.isNullAt(i)) dst.putNull(o)
+    else dt match {
+      case BooleanType => dst.putBoolean(o, src.getBoolean(i))
+      case ByteType => dst.putByte(o, src.getByte(i))
+      case ShortType => dst.putShort(o, src.getShort(i))
+      case IntegerType | DateType => dst.putInt(o, src.getInt(i))
+      case LongType | TimestampType | TimestampNTZType => dst.putLong(o, src.getLong(i))
+      case FloatType => dst.putFloat(o, src.getFloat(i))
+      case DoubleType => dst.putDouble(o, src.getDouble(i))
+      case StringType =>
+        val b = src.getUTF8String(i).getBytes
+        dst.putByteArray(o, b, 0, b.length)
+      case BinaryType =>
+        val b = src.getBinary(i)
+        dst.putByteArray(o, b, 0, b.length)
+      case other => throw new IllegalStateException(s"non-flat columnar copy: $other")
+    }
+}
+
+final class PositionalColumnarReader(
+    part: PositionalInputPartition,
+    conf: Configuration,
+    eqKeys: java.util.HashSet[UnsafeRow])
+  extends PartitionReader[ColumnarBatch] {
+
+  private val outSchema =
+    DataType.fromJson(part.physDataSchemaJson).asInstanceOf[StructType]
+  private val keySchema: StructType =
+    if (part.eqDeletePaths.isEmpty) new StructType()
+    else DataType.fromJson(part.eqKeySchemaJson).asInstanceOf[StructType]
+  private val readSchema = StructType(outSchema.fields ++
+    keySchema.fields.filterNot(f => outSchema.fieldNames.contains(f.name)))
+
+  private val (runs, deleted) = PositionalRuns.plan(part, conf, outSchema)
+
+  private val rowKeyProj =
+    if (eqKeys == null || eqKeys.isEmpty) null
+    else UnsafeProjection.create(keySchema.fields.map { f =>
+      val i = readSchema.fieldIndex(f.name)
+      BoundReference(i, f.dataType, f.nullable): org.apache.spark.sql.catalyst.expressions.Expression
+    })
+
+  private val Capacity = 4096
+  // appended metadata vectors: constant _file; _pos refilled per batch
+  private val fileVector: ConstantColumnVector =
+    if (part.metaCols.contains(LakeMetaCols.File)) {
+      val v = new ConstantColumnVector(Capacity, StringType)
+      v.setUtf8String(UTF8String.fromString(part.dataPath))
+      v
+    } else null
+  private val posVector: OnHeapColumnVector =
+    if (part.metaCols.contains(LakeMetaCols.Pos))
+      new OnHeapColumnVector(Capacity, LongType)
+    else null
+  private def metaVectorOf(name: String): ColumnVector = name match {
+    case LakeMetaCols.File => fileVector
+    case LakeMetaCols.Pos => posVector
+  }
+
+  private var runIdx = -1
+  private var reader: VectorizedParquetRecordReader = _
+  private var runRowsSeen = 0L
+  private var delIdx = 0
+  private var current: ColumnarBatch = _
+  private var copied: ColumnarBatch = _ // last compacted batch (we own it)
+
+  private def advanceRun(): Boolean = {
+    runIdx += 1
+    if (runIdx >= runs.length) return false
+    val r = runs(runIdx)
+    val c = PositionalParquet.readerConf(readSchema, conf)
+    // the vectorized base reader resolves its ReadSupport from the conf
+    // (ParquetFileFormat does the same for normal scans)
+    c.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport].getName)
+    val split = new FileSplit(new Path(part.dataPath),
+      r.byteStart, r.byteEnd - r.byteStart, Array.empty[String])
+    val ctx = new TaskAttemptContextImpl(c,
+      new TaskAttemptID(new TaskID(new JobID("graft", 0), TaskType.MAP, 0), 0))
+    // same rebase stance as the row path: our writer stamps CORRECTED
+    val vr = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, Capacity)
+    vr.initialize(split, ctx)
+    vr.initBatch(new StructType(), InternalRow.empty)
+    vr.enableReturningBatches()
+    reader = vr
+    runRowsSeen = 0L
+    true
+  }
+
+  private def closeCopied(): Unit =
+    if (copied != null) { copied.close(); copied = null }
+
+  override def next(): Boolean = {
+    closeCopied()
+    while (true) {
+      if (reader == null && !advanceRun()) return false
+      if (!reader.nextKeyValue()) {
+        // self-verifying, like the row path: a range/row-count mismatch
+        // must fail loudly, never ship silently shifted positions
+        if (runRowsSeen != runs(runIdx).rows) throw new IllegalStateException(
+          s"columnar run [${runs(runIdx).byteStart},${runs(runIdx).byteEnd}) of " +
+            s"${part.dataPath} read $runRowsSeen rows, footer says ${runs(runIdx).rows}")
+        reader.close()
+        reader = null
+      } else {
+        val batch = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
+        val n = batch.numRows()
+        val start = runs(runIdx).startPos + runRowsSeen
+        runRowsSeen += n
+
+        // tombstoned positions inside [start, start + n)
+        while (delIdx < deleted.length && deleted(delIdx) < start) delIdx += 1
+        val delFrom = delIdx
+        var delTo = delIdx
+        while (delTo < deleted.length && deleted(delTo) < start + n) delTo += 1
+        delIdx = delTo
+
+        def eqKilled(i: Int): Boolean =
+          rowKeyProj != null && eqKeys.contains(rowKeyProj(batch.getRow(i)))
+
+        val hasEq = rowKeyProj != null
+        if (delFrom == delTo && !hasEq) {
+          // clean batch: pass through, appending metadata vectors
+          if (posVector != null) {
+            posVector.reset()
+            var i = 0
+            while (i < n) { posVector.putLong(i, start + i); i += 1 }
+          }
+          current = withMeta(dataVectors(batch), n)
+          return true
+        }
+        // dirty batch: compact survivors into fresh on-heap vectors
+        val live = new Array[Int](n)
+        var m = 0
+        var i = 0
+        var d = delFrom
+        while (i < n) {
+          val pos = start + i
+          while (d < delTo && deleted(d) < pos) d += 1
+          val tomb = d < delTo && deleted(d) == pos
+          if (!tomb && !eqKilled(i)) { live(m) = i; m += 1 }
+          i += 1
+        }
+        if (m == n) { // every row survived the eq check after all
+          if (posVector != null) {
+            posVector.reset()
+            var j = 0
+            while (j < n) { posVector.putLong(j, start + j); j += 1 }
+          }
+          current = withMeta(dataVectors(batch), n)
+          return true
+        }
+        if (m > 0) {
+          val out = OnHeapColumnVector.allocateColumns(m, outWithMetaSchema)
+          var c2 = 0
+          while (c2 < outSchema.length) {
+            val dt = outSchema.fields(c2).dataType
+            val src = batch.column(c2)
+            var j = 0
+            while (j < m) {
+              ColumnarSupport.copyValue(src, live(j), out(c2), j, dt)
+              j += 1
+            }
+            c2 += 1
+          }
+          part.metaCols.zipWithIndex.foreach { case (mc, k) =>
+            val v = out(outSchema.length + k)
+            mc match {
+              case LakeMetaCols.File =>
+                val b = UTF8String.fromString(part.dataPath).getBytes
+                var j = 0
+                while (j < m) { v.putByteArray(j, b, 0, b.length); j += 1 }
+              case LakeMetaCols.Pos =>
+                var j = 0
+                while (j < m) { v.putLong(j, start + live(j)); j += 1 }
+            }
+          }
+          copied = new ColumnarBatch(out.toArray[ColumnVector], m)
+          current = copied
+          return true
+        }
+        // m == 0: every row tombstoned — read on
+      }
+    }
+    false
+  }
+
+  private val outWithMetaSchema = StructType(
+    outSchema.fields ++ part.metaCols.map(LakeMetaCols.fieldOf))
+
+  // requested data columns = the readSchema prefix (extra eq-key columns
+  // are read for the filter but never emitted)
+  private def dataVectors(batch: ColumnarBatch): Array[ColumnVector] =
+    Array.tabulate(outSchema.length)(batch.column)
+
+  private def withMeta(data: Array[ColumnVector], n: Int): ColumnarBatch =
+    if (part.metaCols.isEmpty) new ColumnarBatch(data, n)
+    else new ColumnarBatch(data ++ part.metaCols.map(metaVectorOf), n)
+
+  override def get(): ColumnarBatch = current
+
+  override def close(): Unit = {
+    closeCopied()
+    if (reader != null) reader.close()
+    if (posVector != null) posVector.close()
+    if (fileVector != null) fileVector.close()
+  }
+}
+
+/** Columnar twin of [[EqFilteredRowReader]]: equality-delete key
+  * anti-filter over the delegate's VECTORIZED reader. Clean batches (no
+  * key hit) pass through with the extra key columns projected away
+  * (vector-subset, zero copy); dirty batches compact survivors.
+  */
+final class EqFilteredColumnarReader(
+    inner: PartitionReader[ColumnarBatch],
+    part: EqFilteredInputPartition,
+    eqKeys: java.util.HashSet[UnsafeRow])
+  extends PartitionReader[ColumnarBatch] {
+
+  private val unionSchema =
+    DataType.fromJson(part.unionSchemaJson).asInstanceOf[StructType]
+  private val keySchema =
+    DataType.fromJson(part.keySchemaJson).asInstanceOf[StructType]
+  private val rowKeyProj = UnsafeProjection.create(keySchema.fields.map { f =>
+    val i = unionSchema.fieldIndex(f.name)
+    BoundReference(i, f.dataType, f.nullable): org.apache.spark.sql.catalyst.expressions.Expression
+  })
+  private val outSchema = StructType(unionSchema.fields.take(part.outLen))
+
+  private var current: ColumnarBatch = _
+  private var copied: ColumnarBatch = _
+
+  private def closeCopied(): Unit =
+    if (copied != null) { copied.close(); copied = null }
+
+  override def next(): Boolean = {
+    closeCopied()
+    while (inner.next()) {
+      val batch = inner.get()
+      val n = batch.numRows()
+      val live = new Array[Int](n)
+      var m = 0
+      var i = 0
+      while (i < n) {
+        if (!eqKeys.contains(rowKeyProj(batch.getRow(i)))) { live(m) = i; m += 1 }
+        i += 1
+      }
+      if (m == n) {
+        current = new ColumnarBatch(
+          Array.tabulate[ColumnVector](part.outLen)(batch.column), n)
+        return true
+      }
+      if (m > 0) {
+        val out = OnHeapColumnVector.allocateColumns(m, outSchema)
+        var c = 0
+        while (c < part.outLen) {
+          val dt = outSchema.fields(c).dataType
+          val src = batch.column(c)
+          var j = 0
+          while (j < m) { ColumnarSupport.copyValue(src, live(j), out(c), j, dt); j += 1 }
+          c += 1
+        }
+        copied = new ColumnarBatch(out.toArray[ColumnVector], m)
+        current = copied
+        return true
+      }
+      // m == 0: whole batch key-tombstoned — read on
+    }
+    false
+  }
+
+  override def get(): ColumnarBatch = current
+  override def close(): Unit = { closeCopied(); inner.close() }
+}

@@ -79,18 +79,7 @@ object PositionalParquet {
       filter: Option[org.apache.parquet.filter2.compat.FilterCompat.Filter] = None,
       fileRange: Option[(Long, Long)] = None)
       : ParquetReader[InternalRow] = {
-    val c = new Configuration(conf)
-    c.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, schema.json)
-    // ParquetReadSupport/ParquetToSparkSchemaConverter read these from the
-    // Configuration with NO defaults (normally ParquetFileFormat sets them;
-    // we are our own prepareRead, mirroring LakeDataWriter.writeConf)
-    c.set(SQLConf.PARQUET_BINARY_AS_STRING.key, "false")
-    c.set(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, "true")
-    c.set(SQLConf.CASE_SENSITIVE.key, "false")
-    c.set(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, "true")
-    c.set(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, "false")
-    c.set(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, "false")
-    c.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, "UTC")
+    val c = readerConf(schema, conf)
     // our writer stamps CORRECTED rebase metadata (LakeDataWriter.writeConf)
     val corrected = RebaseSpec(LegacyBehaviorPolicy.CORRECTED, None)
     val support = new ParquetReadSupport(None, false, corrected, corrected)
@@ -102,6 +91,24 @@ object PositionalParquet {
     // stay exact because the split's start position comes from the footer
     fileRange.foreach { case (s, e) => b.withFileRange(s, e) }
     b.build()
+  }
+
+  /** Read configuration shared by the row and columnar paths —
+    * ParquetReadSupport/ParquetToSparkSchemaConverter read these from the
+    * Configuration with NO defaults (normally ParquetFileFormat sets them;
+    * we are our own prepareRead, mirroring LakeDataWriter.writeConf).
+    */
+  def readerConf(schema: StructType, conf: Configuration): Configuration = {
+    val c = new Configuration(conf)
+    c.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, schema.json)
+    c.set(SQLConf.PARQUET_BINARY_AS_STRING.key, "false")
+    c.set(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, "true")
+    c.set(SQLConf.CASE_SENSITIVE.key, "false")
+    c.set(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, "true")
+    c.set(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, "false")
+    c.set(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, "false")
+    c.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, "UTC")
+    c
   }
 
   /** Footer row-group layout of `path`: per group, its byte MIDPOINT
@@ -436,7 +443,11 @@ final class LakeReaderFactory(
     delegate: Option[PartitionReaderFactory],
     forceRows: Boolean,
     eqDelegates: Array[PartitionReaderFactory] = Array.empty,
-    eqKeys: org.apache.spark.broadcast.Broadcast[Map[String, Array[org.apache.spark.sql.catalyst.expressions.UnsafeRow]]] = null)
+    eqKeys: org.apache.spark.broadcast.Broadcast[Map[String, Array[org.apache.spark.sql.catalyst.expressions.UnsafeRow]]] = null,
+    // true ⇒ EVERY partition of this scan reads vectorized (decided at
+    // planning: flat schemas + delegate support) — Spark requires the
+    // whole scan to agree, so this is all-or-nothing by construction
+    columnar: Boolean = false)
   extends PartitionReaderFactory {
 
   private def keySetOf(paths: Seq[String]) = {
@@ -455,13 +466,19 @@ final class LakeReaderFactory(
     case other => delegate.get.createReader(other)
   }
   override def createColumnarReader(p: InputPartition) = p match {
-    case _: PositionalInputPartition | _: EqFilteredInputPartition =>
-      throw new UnsupportedOperationException("filtered partitions are row-based")
+    case pp: PositionalInputPartition =>
+      new PositionalColumnarReader(pp, conf.value,
+        if (pp.eqDeletePaths.isEmpty) null else keySetOf(pp.eqDeletePaths))
+    case ep: EqFilteredInputPartition =>
+      new EqFilteredColumnarReader(
+        eqDelegates(ep.groupIdx).createColumnarReader(ep.inner), ep,
+        keySetOf(ep.eqDeletePaths))
     case other => delegate.get.createColumnarReader(other)
   }
   override def supportColumnarReads(p: InputPartition): Boolean = p match {
-    case _: PositionalInputPartition | _: EqFilteredInputPartition => false
-    case other => !forceRows && delegate.exists(_.supportColumnarReads(other))
+    case _: PositionalInputPartition | _: EqFilteredInputPartition => columnar
+    case other =>
+      (columnar || !forceRows) && delegate.exists(_.supportColumnarReads(other))
   }
 }
 
@@ -510,6 +527,48 @@ final class EqFilteredRowReader(
   override def close(): Unit = inner.close()
 }
 
+/** One contiguous stretch of surviving row groups in a positional split:
+  * byte range (covering exactly their midpoints), footer-exact starting
+  * row ordinal, expected row count.
+  */
+final case class GroupRun(byteStart: Long, byteEnd: Long, startPos: Long, rows: Long)
+
+/** Shared split planning for the row and columnar positional readers:
+  * resolve the split's byte range to whole row groups (parquet-mr's
+  * midpoint rule), compute each group's exact starting row ordinal from
+  * the footer's row counts, skip groups the pushed filters provably
+  * cannot match (best-effort — Spark's Filter sits above), coalesce the
+  * survivors into contiguous byte-range runs, and load only the runs'
+  * tombstone range.
+  */
+object PositionalRuns {
+  def plan(part: PositionalInputPartition, conf: Configuration,
+      schema: StructType): (Seq[GroupRun], Array[Long]) = {
+    val layout = PositionalParquet.rowGroupStats(part.dataPath, conf)
+    val starts = layout.scanLeft(0L)(_ + _._2)
+    val indexed = layout.zipWithIndex.map { case ((mid, rows, pseudo), i) =>
+      (mid, rows, pseudo, starts(i))
+    }
+    val mine = indexed.filter(g => g._1 >= part.splitStart && g._1 < part.splitEnd)
+    val selected = mine.filter(g =>
+      part.filters.forall(FilePruner.mayMatch(_, g._3, schema)))
+    PositionalParquet.rowGroupsPruned.addAndGet(mine.size - selected.size)
+    // coalesce groups adjacent IN THE FILE (consecutive layout index ⇔
+    // consecutive start positions) into one reader range each
+    val runs = selected.foldLeft(Vector.empty[(GroupRun, Long)]) {
+      case (acc :+ ((run, endPos)), g) if g._4 == endPos =>
+        acc :+ (run.copy(byteEnd = g._1 + 1, rows = run.rows + g._2), g._4 + g._2)
+      case (acc, g) =>
+        acc :+ (GroupRun(g._1, g._1 + 1, g._4, g._2), g._4 + g._2)
+    }.map(_._1)
+    val deleted: Array[Long] =
+      if (runs.isEmpty) Array.emptyLongArray
+      else PositionalParquet.deletedPositions(part.dataPath, part.deletePaths, conf,
+        posRange = Some((runs.head.startPos, runs.last.startPos + runs.last.rows)))
+    (runs, deleted)
+  }
+}
+
 final class PositionalRowReader(
     part: PositionalInputPartition,
     conf: Configuration,
@@ -528,42 +587,7 @@ final class PositionalRowReader(
   private val readSchema = StructType(outSchema.fields ++
     keySchema.fields.filterNot(f => outSchema.fieldNames.contains(f.name)))
 
-  /** One contiguous stretch of surviving row groups: byte range (their
-    * midpoints), footer-exact starting row ordinal, expected row count.
-    */
-  private case class GroupRun(byteStart: Long, byteEnd: Long, startPos: Long, rows: Long)
-
-  // This split's row groups from the footer: start position = cumulative
-  // row counts of the preceding groups (exact — the parquet spec requires
-  // true counts). The task reads the footer it needs anyway; the driver
-  // planned byte ranges blind. Groups whose stats PROVE no pushed filter
-  // can match are skipped (best-effort — Spark's Filter sits above), and
-  // the survivors coalesce into contiguous byte-range runs, each read
-  // with its own exact starting position.
-  private val runs: Seq[GroupRun] = {
-    val layout = PositionalParquet.rowGroupStats(part.dataPath, conf)
-    val starts = layout.scanLeft(0L)(_ + _._2)
-    val indexed = layout.zipWithIndex.map { case ((mid, rows, pseudo), i) =>
-      (mid, rows, pseudo, starts(i))
-    }
-    val mine = indexed.filter(g => g._1 >= part.splitStart && g._1 < part.splitEnd)
-    val selected = mine.filter(g =>
-      part.filters.forall(FilePruner.mayMatch(_, g._3, outSchema)))
-    PositionalParquet.rowGroupsPruned.addAndGet(mine.size - selected.size)
-    // coalesce groups adjacent IN THE FILE (consecutive layout index ⇔
-    // consecutive start positions) into one reader range each
-    selected.foldLeft(Vector.empty[(GroupRun, Long)]) {
-      case (acc :+ ((run, endPos)), g) if g._4 == endPos =>
-        acc :+ (run.copy(byteEnd = g._1 + 1, rows = run.rows + g._2), g._4 + g._2)
-      case (acc, g) =>
-        acc :+ (GroupRun(g._1, g._1 + 1, g._4, g._2), g._4 + g._2)
-    }.map(_._1)
-  }
-
-  private val deleted: Array[Long] =
-    if (runs.isEmpty) Array.emptyLongArray
-    else PositionalParquet.deletedPositions(part.dataPath, part.deletePaths, conf,
-      posRange = Some((runs.head.startPos, runs.last.startPos + runs.last.rows)))
+  private val (runs, deleted) = PositionalRuns.plan(part, conf, outSchema)
 
   private val rowKeyProj =
     if (eqKeys == null || eqKeys.isEmpty) null

@@ -83,7 +83,7 @@ class ExplainAuditSpec extends AnyFunSuite {
     assert(!p.contains("GlobalLimit"), s"limit should fuse into top-k:\n$p")
   }
 
-  test("MoR read path: clean tables stay vectorized, tombstoned files drop to row mode") {
+  test("MoR read path: vectorized before AND after tombstones (r8: row-mode tax removed)") {
     val t = s"lake.audit.mor${System.nanoTime() % 100000}"
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.audit")
     spark.sql(s"CREATE TABLE $t (id INT, v STRING) TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
@@ -92,15 +92,17 @@ class ExplainAuditSpec extends AnyFunSuite {
     val clean = spark.table(t).queryExecution.executedPlan.toString
     assert(clean.contains("ColumnarToRow"), s"clean MoR table must stay vectorized:\n$clean")
     spark.sql(s"DELETE FROM $t WHERE id = 3")
-    // dirty: the same scan runs in row mode (positional readers)
+    // dirty: flat schemas STAY vectorized through the columnar positional
+    // reader (until r8, one tombstoned file forced the whole scan to rows)
     val dirty = spark.table(t).queryExecution.executedPlan.toString
-    assert(!dirty.contains("ColumnarToRow"),
-      s"tombstoned files must read positionally (row mode):\n$dirty")
-    // compaction restores the vectorized path
+    assert(dirty.contains("ColumnarToRow"),
+      s"tombstoned flat scans must stay vectorized:\n$dirty")
+    assert(spark.table(t).count() == 99)
+    // compaction keeps it vectorized and folds the tombstones away
     graft.catalog.LakeMaintenance.compact(spark, t)
     val compacted = spark.table(t).queryExecution.executedPlan.toString
     assert(compacted.contains("ColumnarToRow"),
-      s"compaction must restore vectorization:\n$compacted")
+      s"compaction must keep vectorization:\n$compacted")
     spark.sql(s"DROP TABLE $t")
   }
 

@@ -530,6 +530,57 @@ class MergeOnReadSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("MoR scans stay VECTORIZED: dirty flat files read columnar, nested falls back to rows") {
+    // flat schema: the tombstoned file must NOT knock the scan off the
+    // vectorized path (ColumnarToRow above the scan = batches flowed)
+    val t = s"lake.mor.${uniq("vec")}"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v STRING, d DOUBLE) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('v', id), id * 0.5 FROM range(0, 5000)")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('v', id), id * 0.5 FROM range(5000, 10000)")
+    spark.sql(s"DELETE FROM $t WHERE id % 3 = 0") // dirties SOME files
+    val q = spark.sql(s"SELECT sum(id) AS s, count(*) AS n, max(v) AS m FROM $t")
+    val r = q.collect().head
+    // AQE inserts columnar transitions at stage creation — the FINAL plan
+    // shows whether batches actually flowed
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"dirty flat scan must stay vectorized:\n$plan")
+    val expect = (0L until 10000L).filterNot(_ % 3 == 0)
+    assert(r.getLong(1) == expect.size && r.getLong(0) == expect.sum)
+    assert(r.getString(2) == expect.map(i => s"v$i").max)
+    // _file/_pos ride the columnar path too (constant + position vectors):
+    // (file, pos) unique, and within a file positions follow id order
+    // (each insert task wrote a contiguous id range in order). Exact
+    // per-split position values are pinned by the REPARTITION(1) test.
+    val mp = spark.sql(s"SELECT id, _file, _pos FROM $t WHERE id >= 4000 AND id < 6000")
+      .collect()
+    assert(mp.length == expect.count(i => i >= 4000 && i < 6000))
+    assert(mp.map(r => (r.getString(1), r.getLong(2))).distinct.length == mp.length)
+    mp.groupBy(_.getString(1)).values.foreach { rs =>
+      val byId = rs.sortBy(_.getLong(0)).map(_.getLong(2))
+      assert(byId.sameElements(byId.sorted),
+        "_pos must stay monotone in id within a file through columnar batches")
+    }
+
+    // nested schema (array column): falls back to the row-based positional
+    // reader — same answers, just unvectorized
+    val t2 = s"lake.mor.${uniq("vecarr")}"
+    spark.sql(s"CREATE TABLE $t2 (id BIGINT, emb ARRAY<FLOAT>) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $t2 SELECT id, array(CAST(id AS FLOAT), CAST(id*2 AS FLOAT)) " +
+      "FROM range(0, 100)")
+    spark.sql(s"DELETE FROM $t2 WHERE id % 10 = 0")
+    val q2 = spark.sql(s"SELECT id, emb FROM $t2 WHERE id = 17")
+    val r2 = q2.collect()
+    assert(r2.length == 1 && r2(0).getSeq[Float](1) == Seq(17.0f, 34.0f))
+    assert(!q2.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "nested schemas must fall back to the row reader")
+    assert(spark.table(t2).count() == 90)
+    spark.sql(s"DROP TABLE $t")
+    spark.sql(s"DROP TABLE $t2")
+  }
+
   test("MoR DELETE matching nothing commits no snapshot") {
     val t = s"lake.mor.${uniq("noop")}"
     spark.sql(s"CREATE TABLE $t (id INT) TBLPROPERTIES ('write.delete.mode'='merge-on-read')")

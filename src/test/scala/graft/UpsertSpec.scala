@@ -225,6 +225,11 @@ class UpsertSpec extends AnyFunSuite {
       "eq-only files must not use the whole-file positional reader")
     assert(parts.exists(_.isInstanceOf[graft.catalog.EqFilteredInputPartition]),
       "pre-upsert files must read through the eq-filtered delegate path")
+    // flat schema ⇒ the eq-filtered path reads VECTORIZED (batch-level
+    // key anti-filter over the delegate's columnar reader); the EXECUTED
+    // df's final plan shows the transition (AQE inserts it per stage)
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "eq-dirty flat scan must stay vectorized")
     spark.sql(s"DROP TABLE $t")
   }
 
