@@ -39,6 +39,7 @@ object ColumnarSupport {
     case BooleanType | ByteType | ShortType | IntegerType | LongType |
          FloatType | DoubleType | DateType | TimestampType | TimestampNTZType |
          StringType | BinaryType => true
+    case _: DecimalType => true
     case _ => false
   }
   def ok(schema: StructType): Boolean = schema.fields.forall(f => flat(f.dataType))
@@ -61,6 +62,18 @@ object ColumnarSupport {
       case BinaryType =>
         val b = src.getBinary(i)
         dst.putByteArray(o, b, 0, b.length)
+      // decimals live as int/long/unscaled-bytes depending on precision
+      // (the same storage contract Spark's own vector population uses)
+      case dt: DecimalType =>
+        val d = src.getDecimal(i, dt.precision, dt.scale)
+        if (dt.precision <= org.apache.spark.sql.types.Decimal.MAX_INT_DIGITS)
+          dst.putInt(o, d.toUnscaledLong.toInt)
+        else if (dt.precision <= org.apache.spark.sql.types.Decimal.MAX_LONG_DIGITS)
+          dst.putLong(o, d.toUnscaledLong)
+        else {
+          val b = d.toJavaBigDecimal.unscaledValue().toByteArray
+          dst.putByteArray(o, b, 0, b.length)
+        }
       case other => throw new IllegalStateException(s"non-flat columnar copy: $other")
     }
 }

@@ -78,6 +78,41 @@ object CatalogQueries {
     },
 
     QueryDef.df(
+      "q108_mor_split_scan",
+      // Oracle = the same aggregate computed from scratch with the DELETE
+      // predicate excluded. The Spark side builds the table shape the r8
+      // read-path work targets — ONE sorted file with many small row
+      // groups, position-tombstoned — so a hash match proves the whole
+      // stack at once: byte-range split planning, footer-exact start
+      // ordinals, row-group stats pruning under the range predicate, and
+      // the vectorized batch reader's tombstone compaction.
+      """SELECT CAST(l_partkey % 10 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  sum(l_quantity) AS qty, round(sum(l_extendedprice), 2) AS rev
+        |FROM lineitem
+        |WHERE l_orderkey % 7 <> 0 AND l_orderkey BETWEEN 300 AND 899
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS lake.verify")
+      s.sql("DROP TABLE IF EXISTS lake.verify.li_split")
+      s.sql(
+        """CREATE TABLE lake.verify.li_split
+          |TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+          |  'write.sort-order'='l_orderkey',
+          |  'write.parquet.row-group-size-bytes'='262144')
+          |AS SELECT /*+ REPARTITION(1) */ l_orderkey, l_partkey, l_quantity, l_extendedprice
+          |FROM lineitem""".stripMargin)
+      s.sql("DELETE FROM lake.verify.li_split WHERE l_orderkey % 7 = 0")
+      s.sql(
+        """SELECT CAST(l_partkey % 10 AS BIGINT) AS bucket,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  sum(l_quantity) AS qty, round(sum(l_extendedprice), 2) AS rev
+          |FROM lake.verify.li_split
+          |WHERE l_orderkey BETWEEN 300 AND 899
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+
+    QueryDef.df(
       "q63_upsert_roundtrip",
       // Oracle = the merged state computed from scratch (DuckDB's view of
       // INSERT .. ON CONFLICT DO UPDATE): epoch-2 keys (%16=0 overwrites,
