@@ -778,6 +778,10 @@ final class LakeScan(
   private var files: Seq[DataFileMeta] = initialFiles
   private var delegate: Scan = _
 
+  // MoR observability in the Spark UI's SQL node (delete debt per scan)
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    LakeScanMetrics.all
+
   // one eq-key load per delete FILE per scan (the once-per-query IO
   // contract, open-count asserted in UpsertSpec), shared by the broadcast
   // below AND the bloom applicability refinement; broadcasts memoize per

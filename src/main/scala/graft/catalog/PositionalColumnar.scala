@@ -92,7 +92,18 @@ final class PositionalColumnarReader(
   private val readSchema = StructType(outSchema.fields ++
     keySchema.fields.filterNot(f => outSchema.fieldNames.contains(f.name)))
 
-  private val (runs, deleted) = PositionalRuns.plan(part, conf, outSchema)
+  private val (runs, deleted, prunedGroups) = PositionalRuns.plan(part, conf, outSchema)
+  private var tombstonedRows = 0L
+  private var eqDeletedRows = 0L
+  private var passthrough = 0L
+  private var compacted = 0L
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(LakeScanMetrics.Value("tombstonedRows", tombstonedRows),
+      LakeScanMetrics.Value("eqDeletedRows", eqDeletedRows),
+      LakeScanMetrics.Value("rowGroupsPruned", prunedGroups),
+      LakeScanMetrics.Value("batchesPassthrough", passthrough),
+      LakeScanMetrics.Value("batchesCompacted", compacted))
 
   private val rowKeyProj =
     if (eqKeys == null || eqKeys.isEmpty) null
@@ -188,6 +199,7 @@ final class PositionalColumnarReader(
             var i = 0
             while (i < n) { posVector.putLong(i, start + i); i += 1 }
           }
+          passthrough += 1
           current = withMeta(dataVectors(batch), n)
           return true
         }
@@ -200,7 +212,9 @@ final class PositionalColumnarReader(
           val pos = start + i
           while (d < delTo && deleted(d) < pos) d += 1
           val tomb = d < delTo && deleted(d) == pos
-          if (!tomb && !eqKilled(i)) { live(m) = i; m += 1 }
+          if (tomb) tombstonedRows += 1
+          else if (eqKilled(i)) eqDeletedRows += 1
+          else { live(m) = i; m += 1 }
           i += 1
         }
         if (m == n) { // every row survived the eq check after all
@@ -209,6 +223,7 @@ final class PositionalColumnarReader(
             var j = 0
             while (j < n) { posVector.putLong(j, start + j); j += 1 }
           }
+          passthrough += 1
           current = withMeta(dataVectors(batch), n)
           return true
         }
@@ -237,11 +252,12 @@ final class PositionalColumnarReader(
                 while (j < m) { v.putLong(j, start + live(j)); j += 1 }
             }
           }
+          compacted += 1
           copied = new ColumnarBatch(out.toArray[ColumnVector], m)
           current = copied
           return true
         }
-        // m == 0: every row tombstoned — read on
+        compacted += 1 // m == 0: every row tombstoned — read on
       }
     }
     false
@@ -292,6 +308,14 @@ final class EqFilteredColumnarReader(
 
   private var current: ColumnarBatch = _
   private var copied: ColumnarBatch = _
+  private var eqDeletedRows = 0L
+  private var passthrough = 0L
+  private var compacted = 0L
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(LakeScanMetrics.Value("eqDeletedRows", eqDeletedRows),
+      LakeScanMetrics.Value("batchesPassthrough", passthrough),
+      LakeScanMetrics.Value("batchesCompacted", compacted))
 
   private def closeCopied(): Unit =
     if (copied != null) { copied.close(); copied = null }
@@ -308,11 +332,14 @@ final class EqFilteredColumnarReader(
         if (!eqKeys.contains(rowKeyProj(batch.getRow(i)))) { live(m) = i; m += 1 }
         i += 1
       }
+      eqDeletedRows += n - m
       if (m == n) {
+        passthrough += 1
         current = new ColumnarBatch(
           Array.tabulate[ColumnVector](part.outLen)(batch.column), n)
         return true
       }
+      compacted += 1
       if (m > 0) {
         val out = OnHeapColumnVector.allocateColumns(m, outSchema)
         var c = 0

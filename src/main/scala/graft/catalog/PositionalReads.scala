@@ -512,6 +512,10 @@ final class EqFilteredRowReader(
     })
 
   private var current: InternalRow = _
+  private var eqDeletedRows = 0L
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(LakeScanMetrics.Value("eqDeletedRows", eqDeletedRows))
 
   override def next(): Boolean = {
     while (inner.next()) {
@@ -520,6 +524,7 @@ final class EqFilteredRowReader(
         current = if (outProj == null) row else outProj(row)
         return true
       }
+      eqDeletedRows += 1
     }
     false
   }
@@ -533,6 +538,31 @@ final class EqFilteredRowReader(
   */
 final case class GroupRun(byteStart: Long, byteEnd: Long, startPos: Long, rows: Long)
 
+/** Driver-aggregated (summed) scan metrics the MoR readers report per
+  * task — surfaced in the Spark UI's SQL node, the operational answer to
+  * "how much delete debt is this table carrying" at 100 TB: tombstoned
+  * rows actually skipped, rows dropped by equality-delete keys, row
+  * groups pruned by pushed-filter stats, and the columnar reader's
+  * pass-through vs compacted batch split (pass-through should dominate
+  * under sparse deletes — if compaction dominates, run
+  * rewrite_position_delete_files).
+  */
+object LakeScanMetrics {
+  import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
+
+  final class Sum(override val name: String, override val description: String)
+    extends CustomSumMetric
+
+  val all: Array[CustomMetric] = Array(
+    new Sum("tombstonedRows", "MoR rows skipped by positional tombstones"),
+    new Sum("eqDeletedRows", "MoR rows dropped by equality-delete keys"),
+    new Sum("rowGroupsPruned", "row groups pruned by pushed-filter stats"),
+    new Sum("batchesPassthrough", "columnar MoR batches passed through untouched"),
+    new Sum("batchesCompacted", "columnar MoR batches compacted (tombstones hit)"))
+
+  final case class Value(name: String, value: Long) extends CustomTaskMetric
+}
+
 /** Shared split planning for the row and columnar positional readers:
   * resolve the split's byte range to whole row groups (parquet-mr's
   * midpoint rule), compute each group's exact starting row ordinal from
@@ -543,7 +573,7 @@ final case class GroupRun(byteStart: Long, byteEnd: Long, startPos: Long, rows: 
   */
 object PositionalRuns {
   def plan(part: PositionalInputPartition, conf: Configuration,
-      schema: StructType): (Seq[GroupRun], Array[Long]) = {
+      schema: StructType): (Seq[GroupRun], Array[Long], Long) = {
     val layout = PositionalParquet.rowGroupStats(part.dataPath, conf)
     val starts = layout.scanLeft(0L)(_ + _._2)
     val indexed = layout.zipWithIndex.map { case ((mid, rows, pseudo), i) =>
@@ -565,7 +595,7 @@ object PositionalRuns {
       if (runs.isEmpty) Array.emptyLongArray
       else PositionalParquet.deletedPositions(part.dataPath, part.deletePaths, conf,
         posRange = Some((runs.head.startPos, runs.last.startPos + runs.last.rows)))
-    (runs, deleted)
+    (runs, deleted, (mine.size - selected.size).toLong)
   }
 }
 
@@ -587,7 +617,14 @@ final class PositionalRowReader(
   private val readSchema = StructType(outSchema.fields ++
     keySchema.fields.filterNot(f => outSchema.fieldNames.contains(f.name)))
 
-  private val (runs, deleted) = PositionalRuns.plan(part, conf, outSchema)
+  private val (runs, deleted, prunedGroups) = PositionalRuns.plan(part, conf, outSchema)
+  private var tombstonedRows = 0L
+  private var eqDeletedRows = 0L
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(LakeScanMetrics.Value("tombstonedRows", tombstonedRows),
+      LakeScanMetrics.Value("eqDeletedRows", eqDeletedRows),
+      LakeScanMetrics.Value("rowGroupsPruned", prunedGroups))
 
   private val rowKeyProj =
     if (eqKeys == null || eqKeys.isEmpty) null
@@ -655,8 +692,10 @@ final class PositionalRowReader(
         while (delIdx < deleted.length && deleted(delIdx) < pos) delIdx += 1
         if (delIdx < deleted.length && deleted(delIdx) == pos) {
           delIdx += 1 // position-tombstoned: skip
+          tombstonedRows += 1
         } else if (rowKeyProj != null && eqKeys.contains(rowKeyProj(row))) {
           // key-tombstoned by a newer equality delete: skip
+          eqDeletedRows += 1
         } else {
           if (posIdx >= 0) metaRow.update(posIdx, pos)
           current = toUnsafe(joined(row, metaRow))

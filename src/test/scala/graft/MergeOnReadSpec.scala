@@ -604,6 +604,34 @@ class MergeOnReadSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("scan metrics report delete debt: tombstoned rows, pruned groups, batch split") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val t = s"lake.mor.${uniq("met")}"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v STRING) TBLPROPERTIES (" +
+      "'write.delete.mode'='merge-on-read'," +
+      "'write.parquet.row-group-size-bytes'='65536')")
+    spark.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, " +
+      "concat('v', repeat('x', 64), id) FROM range(0, 50000)")
+    spark.sql(s"DELETE FROM $t WHERE id % 100 = 1")
+    def metricsOf(q: org.apache.spark.sql.DataFrame): Map[String, Long] = {
+      q.collect()
+      val scan = q.queryExecution.executedPlan
+        .collect { case b: BatchScanExec => b }.head
+      scan.metrics.map { case (k, m) => k -> m.value }.toMap
+    }
+    // unfiltered scan: all 500 tombstones skipped, batches mostly dirty
+    // only where tombstones land (1% spread → every batch has some)
+    val m1 = metricsOf(spark.table(t).select("id", "v"))
+    assert(m1("tombstonedRows") == 500L, s"got $m1")
+    assert(m1("batchesPassthrough") + m1("batchesCompacted") > 0, s"got $m1")
+    // a narrow range prunes most row groups and reports it
+    val m2 = metricsOf(spark.table(t).where("id BETWEEN 1000 AND 1199").select("id"))
+    assert(m2("rowGroupsPruned") > 0, s"got $m2")
+    assert(m2("tombstonedRows") > 0 && m2("tombstonedRows") < 50,
+      s"only the SURVIVING groups' tombstones count, got $m2")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("MoR DELETE matching nothing commits no snapshot") {
     val t = s"lake.mor.${uniq("noop")}"
     spark.sql(s"CREATE TABLE $t (id INT) TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
