@@ -126,7 +126,8 @@ final class LakeDeltaBatchWrite(
       s"${table.meta.location}/data",
       s"${table.meta.location}/deletes",
       table.meta.physicalPartitionColumns,
-      new SerializableConfiguration(hadoopConf))
+      new SerializableConfiguration(hadoopConf),
+      dvMode = DeletionVectors.enabled(table.meta.properties))
 
   /** Commit = append tombstone + insert manifests via the usual CAS swap.
     * Rebase validation: every tombstoned data file must still be live — a
@@ -173,11 +174,12 @@ final case class LakeDeltaWriterFactory(
     dataDir: String,
     deleteDir: String,
     physPartCols: Seq[String],
-    conf: SerializableConfiguration)
+    conf: SerializableConfiguration,
+    dvMode: Boolean = false)
   extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new LakeDeltaWriter(physDataSchemaJson, dataDir, deleteDir, physPartCols, conf.value,
-      partitionId, taskId)
+      partitionId, taskId, dvMode)
 }
 
 /** Two lazy sub-writers behind one DeltaWriter: inserted rows stream into
@@ -195,13 +197,26 @@ final class LakeDeltaWriter(
     physPartCols: Seq[String],
     conf: Configuration,
     partitionId: Int,
-    taskId: Long)
+    taskId: Long,
+    dvMode: Boolean = false)
   extends DeltaWriter[InternalRow] {
 
   private var insertW: LakeDataWriter = _
   private var deleteW: LakeDataWriter = _
   private val targets = scala.collection.mutable.HashSet.empty[String]
   private val tombstone = new GenericInternalRow(2)
+  // DV mode: rows arrive sorted by (_file, _pos) — requiredOrdering — so
+  // one streaming bitmap per target suffices; the container writer rolls
+  // targets into one immutable .dv file for the task
+  private var dvW: DvContainerWriter = _
+  private var dvTarget: String = _
+  private var dvBm: org.roaringbitmap.longlong.Roaring64Bitmap = _
+
+  private def dvFlush(): Unit = if (dvBm != null) {
+    if (dvW == null) dvW = new DvContainerWriter(deleteDir, s"$partitionId-$taskId", conf)
+    dvW.add(dvTarget, dvBm)
+    dvBm = null
+  }
 
   private def insertWriter(): LakeDataWriter = {
     if (insertW == null)
@@ -223,10 +238,20 @@ final class LakeDeltaWriter(
 
   override def delete(meta: InternalRow, id: InternalRow): Unit = {
     val file: UTF8String = id.getUTF8String(0)
-    targets += file.toString
-    tombstone.update(0, file.copy()) // id rows are reused by the exec
-    tombstone.update(1, id.getLong(1))
-    deleteWriter().write(tombstone)
+    val f = file.toString
+    targets += f
+    if (dvMode) {
+      if (dvTarget == null || dvTarget != f) {
+        dvFlush()
+        dvTarget = f
+        dvBm = new org.roaringbitmap.longlong.Roaring64Bitmap()
+      }
+      dvBm.addLong(id.getLong(1))
+    } else {
+      tombstone.update(0, file.copy()) // id rows are reused by the exec
+      tombstone.update(1, id.getLong(1))
+      deleteWriter().write(tombstone)
+    }
   }
 
   override def insert(row: InternalRow): Unit = insertWriter().write(row)
@@ -239,14 +264,17 @@ final class LakeDeltaWriter(
   override def commit(): WriterCommitMessage = {
     val dataFiles = Option(insertW).map(_.commit()).collect {
       case LakeCommitMessage(fs) => fs }.getOrElse(Nil)
+    dvFlush()
     val deleteFiles = Option(deleteW).map(_.commit()).collect {
-      case LakeCommitMessage(fs) => fs }.getOrElse(Nil)
+      case LakeCommitMessage(fs) => fs }.getOrElse(Nil) ++
+      Option(dvW).map(_.commit()).getOrElse(Nil)
     LakeDeltaCommitMessage(dataFiles, deleteFiles, targets.toSeq)
   }
 
   override def abort(): Unit = {
     Option(insertW).foreach(_.abort())
     Option(deleteW).foreach(_.abort())
+    Option(dvW).foreach(_.abort())
   }
 
   override def close(): Unit = ()

@@ -75,7 +75,7 @@ object LakeMaintenance {
     val posSubtracted =
       if (cov.isEmpty) withId
       else {
-        val dels = spark.read.schema(DeleteFiles.schema).parquet(cov.map(_.path): _*)
+        val dels = DeletionVectors.tombstonesDf(spark, cov, hadoopConf)
           .select(substring_index(col(DeleteFiles.FilePathCol), "/", -1).as("__dname"),
             col(DeleteFiles.PosCol).as("__dpos"))
         withId.join(dels,
@@ -194,7 +194,8 @@ object LakeMaintenance {
     }.collect().toSeq.collect { case LakeCommitMessage(fs) => fs }.flatten
 
     val replaced = small.map(_.path).toSet
-    val foldedDeletes = TombstoneRewrite.foldable(spark, covering, replaced, hadoopConf)
+    val foldedDeletes = TombstoneRewrite.foldable(spark, covering, replaced,
+      hadoopConf, allDeletes = deletes)
     // an eq-delete file folds when no surviving OLD file is strictly older
     // than it (rewritten files carry the commit's new sequence number, so
     // the delete can no longer apply to anything)
@@ -562,10 +563,11 @@ object LakeMaintenance {
       return (dels.size, 0)
     }
     // live-file names (UUID-unique, scheme-agnostic) broadcast against the
-    // tombstone rows: only entries aimed at a LIVE file survive
+    // tombstone rows (parquet AND deletion-vector entries through the one
+    // mixed loader): only entries aimed at a LIVE file survive
     val liveNameDf = spark.createDataFrame(
       livePaths.map(p => Tuple1(nameOf(p)))).toDF("__lname")
-    val kept = spark.read.schema(DeleteFiles.schema).parquet(applicable.map(_.path): _*)
+    val kept = DeletionVectors.tombstonesDf(spark, applicable, hadoopConf)
       .withColumn("__name", substring_index(col(DeleteFiles.FilePathCol), "/", -1))
       .join(broadcast(liveNameDf), col("__name") === col("__lname"), "left_semi")
       .drop("__name")
@@ -575,12 +577,33 @@ object LakeMaintenance {
       ((totalRows + targetRowsPerFile - 1) / targetRowsPerFile).toInt, 200))
     val deleteDir = s"${meta.location}/deletes"
     val sconf = new SerializableConfiguration(hadoopConf)
-    val merged = kept
+    val dvOut = DeletionVectors.enabled(meta.properties)
+    val shuffled = kept
       .repartitionByRange(numParts, col(DeleteFiles.FilePathCol), col(DeleteFiles.PosCol))
       .sortWithinPartitions(col(DeleteFiles.FilePathCol), col(DeleteFiles.PosCol))
-      .queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
+      .queryExecution.toRdd
+    // output format follows write.delete.format: parquet tombstone files,
+    // or one DV container per partition (targets arrive grouped by the
+    // range partitioning, so one streaming bitmap per target suffices —
+    // and this path CONVERTS legacy parquet tombstones into DVs)
+    val merged = shuffled.mapPartitionsWithIndex { (pid, rows) =>
         if (rows.isEmpty) Iterator.empty
-        else {
+        else if (dvOut) {
+          val w = new DvContainerWriter(deleteDir, s"posc-$pid", sconf.value)
+          var target: String = null
+          var bm: org.roaringbitmap.longlong.Roaring64Bitmap = null
+          rows.foreach { r =>
+            val f = r.getUTF8String(0).toString
+            if (target == null || target != f) {
+              if (bm != null) w.add(target, bm)
+              target = f
+              bm = new org.roaringbitmap.longlong.Roaring64Bitmap()
+            }
+            bm.addLong(r.getLong(1))
+          }
+          if (bm != null) w.add(target, bm)
+          w.commit().iterator
+        } else {
           val w = new LakeDataWriter(DeleteFiles.schema,
             s"$deleteDir/posc-$pid-${java.util.UUID.randomUUID()}", Nil, sconf.value)
           rows.foreach(w.write)
@@ -590,13 +613,16 @@ object LakeMaintenance {
           }
         }
       }.collect().toSeq
-    // no-op detection: nothing died (whole-file or row-level) and no
-    // file-count reduction — drop the just-written copies instead of
-    // committing a pointless snapshot
-    if (deadWhole.isEmpty && merged.map(_.rowCount).sum == totalRows &&
-        merged.size >= dels.size) {
+    // no-op detection: nothing died (whole-file or row-level), no FILE
+    // count reduction (DV entries share containers — compare distinct
+    // paths), and no representation change requested — drop the
+    // just-written copies instead of committing a pointless snapshot
+    val formatChange = applicable.exists(_.isDv != dvOut)
+    if (!formatChange && deadWhole.isEmpty &&
+        merged.map(_.rowCount).sum == totalRows &&
+        merged.map(_.path).distinct.size >= dels.map(_.path).distinct.size) {
       val fs = new Path(deleteDir).getFileSystem(hadoopConf)
-      merged.foreach(f => fs.delete(new Path(f.path), false))
+      merged.map(_.path).distinct.foreach(f => fs.delete(new Path(f), false))
       return (dels.size, dels.size)
     }
     commitManifest(cat, ident, t, hadoopConf, "rewrite-deletes",
@@ -1045,7 +1071,8 @@ object LakeMaintenance {
       Iterator.single(w.commit())
     }.collect().toSeq.collect { case LakeCommitMessage(fs) => fs }.flatten
     val replaced = current.map(_.path).toSet
-    val foldedDeletes = TombstoneRewrite.foldable(spark, covering, replaced, hadoopConf)
+    val foldedDeletes = TombstoneRewrite.foldable(spark, covering, replaced,
+      hadoopConf, allDeletes = deletes)
     // whole-table rewrite: every eq delete folds (nothing older survives)
     commitManifest(cat, ident, t, hadoopConf, "zorder",
       replacedPaths = replaced ++ foldedDeletes ++ eqDeletes.map(_.path), newFiles = newFiles,

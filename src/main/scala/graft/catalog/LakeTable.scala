@@ -317,7 +317,8 @@ final class LakeTable(
     // delete files whose tombstones were all folded into this rewrite die
     // with it — that's what puts the surviving files back on the
     // vectorized read path
-    val foldedDeletes = TombstoneRewrite.foldable(spark, covering, affectedPaths, hadoopConf)
+    val foldedDeletes = TombstoneRewrite.foldable(spark, covering, affectedPaths,
+      hadoopConf, allDeletes = scanDeletes)
     val scanDeletePaths = scanDeletes.map(_.path).toSet
     var prevLoc = metadataLocation
     var base = meta
@@ -501,7 +502,7 @@ final class LakeRowLevelOperation(
           val scanDeletes = table.meta.currentDeleteFiles
           val foldedDeletes = TombstoneRewrite.foldable(spark,
             TombstoneRewrite.covering(scanDeletes, scanned.map(_.path)),
-            replacedPaths, hadoopConf)
+            replacedPaths, hadoopConf, allDeletes = scanDeletes)
           // the scan's baseline covers BOTH delete kinds: it applied the
           // current eq-deletes too, so only ones committed AFTER the scan
           // may conflict (without this, any CoW command on an upserted
@@ -812,9 +813,11 @@ final class LakeScan(
   private val requiredDataSchema: StructType =
     StructType(requiredSchema.fields.filterNot(f => LakeMetaCols.isMeta(f.name)))
 
-  /** Per-file covering delete files (merge-on-read tombstones). */
-  private def coveringDeletes(f: DataFileMeta): Seq[String] =
-    DeleteFiles.covering(deleteFiles, f.path).map(_.path)
+  /** Per-file covering delete references (merge-on-read tombstones):
+    * parquet files by path range, DV entries by exact target.
+    */
+  private def coveringDeletes(f: DataFileMeta): Seq[DeleteSlice] =
+    DeleteFiles.covering(deleteFiles, f.path).map(DeleteSlice.of)
 
   /** Equality deletes applicable to a file: strictly newer sequence AND a
     * key min/max range that can overlap the file's — a delete whose key
@@ -1192,7 +1195,7 @@ final class LakeMixedBatch(
     exprs: Seq[Expression],
     options: CaseInsensitiveStringMap,
     cleanFiles: Seq[DataFileMeta],
-    tombstoned: Seq[(DataFileMeta, Seq[String], Seq[String])],
+    tombstoned: Seq[(DataFileMeta, Seq[DeleteSlice], Seq[String])],
     metaCols: Seq[String],
     l2p: Map[String, String],
     eqKeySchemaJson: String = "",

@@ -186,12 +186,24 @@ object PositionalParquet {
     * tombstone-loading IO stays O(this file's tombstones), not O(all
     * tombstones), no matter how many files share a delete file.
     */
-  def deletedPositions(dataPath: String, deleteFiles: Seq[String],
+  def deletedPositions(dataPath: String, deletes: Seq[DeleteSlice],
       conf: Configuration, posRange: Option[(Long, Long)] = None): Array[Long] = {
-    if (deleteFiles.isEmpty) return Array.emptyLongArray
+    if (deletes.isEmpty) return Array.emptyLongArray
     import org.apache.parquet.filter2.compat.FilterCompat
     import org.apache.parquet.filter2.predicate.FilterApi
     import org.apache.parquet.io.api.Binary
+    val (dvs, deleteFiles) = deletes.partition(_.dvLength > 0L)
+    // deletion vectors: one seek per covering slice, positions clipped to
+    // the split's range (their covering match is exact-per-target, so no
+    // path re-check is needed)
+    val dvPositions: Array[Long] = dvs.toArray.flatMap { s =>
+      val bm = DeletionVectors.readBitmap(s.path, s.dvOffset, s.dvLength, conf)
+      posRange match {
+        case Some((lo, hi)) => DeletionVectors.positionsInRange(bm, lo, hi)
+        case None => DeletionVectors.positionsInRange(bm, Long.MinValue, Long.MaxValue)
+      }
+    }
+    if (deleteFiles.isEmpty) return dvPositions.sorted.distinct
     val pathPred = FilterApi.eq(
       FilterApi.binaryColumn(DeleteFiles.FilePathCol),
       Binary.fromString(dataPath))
@@ -206,7 +218,7 @@ object PositionalParquet {
     })
     val target = UTF8String.fromString(dataPath)
     val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
-    deleteFiles.foreach { df =>
+    deleteFiles.map(_.path).distinct.foreach { df =>
       val r = open(df, DeleteFiles.schema, conf, Some(pathFilter))
       try {
         var row = r.read()
@@ -221,8 +233,18 @@ object PositionalParquet {
         }
       } finally r.close()
     }
-    buf.toArray.sorted.distinct
+    (buf.toArray ++ dvPositions).sorted.distinct
   }
+}
+
+/** One covering delete reference a positional partition ships to its
+  * tasks: a parquet tombstone file (`dvLength == 0`) or a deletion-vector
+  * slice of a container (see [[DeletionVectors]]).
+  */
+final case class DeleteSlice(path: String, dvOffset: Long = 0L, dvLength: Long = 0L)
+
+object DeleteSlice {
+  def of(d: DataFileMeta): DeleteSlice = DeleteSlice(d.path, d.dvOffset, d.dvLength)
 }
 
 /** Driver-side tombstone handling for copy-on-write rewrite jobs (CoW
@@ -254,8 +276,7 @@ object TombstoneRewrite {
   def subtract(spark: SparkSession, raw: DataFrame, dataPaths: Seq[String],
       coveringDeletes: Seq[DataFileMeta], conf: Configuration): DataFrame = {
     if (coveringDeletes.isEmpty) return raw
-    val dels = spark.read.schema(DeleteFiles.schema)
-      .parquet(coveringDeletes.map(_.path): _*)
+    val dels = DeletionVectors.tombstonesDf(spark, coveringDeletes, conf)
       .select(substring_index(col(DeleteFiles.FilePathCol), "/", -1).as("__dname"),
         col(DeleteFiles.PosCol).as("__dpos"))
     val withId = raw
@@ -275,8 +296,7 @@ object TombstoneRewrite {
       coveringDeletes: Seq[DataFileMeta], conf: Configuration): DataFrame = {
     import org.apache.spark.sql.functions.lit
     if (coveringDeletes.isEmpty) return raw.where(lit(false))
-    val dels = spark.read.schema(DeleteFiles.schema)
-      .parquet(coveringDeletes.map(_.path): _*)
+    val dels = DeletionVectors.tombstonesDf(spark, coveringDeletes, conf)
       .select(substring_index(col(DeleteFiles.FilePathCol), "/", -1).as("__dname"),
         col(DeleteFiles.PosCol).as("__dpos"))
     val withId = raw
@@ -295,16 +315,31 @@ object TombstoneRewrite {
     * file (one small driver job).
     */
   def foldable(spark: SparkSession, coveringDeletes: Seq[DataFileMeta],
-      replacedPaths: Set[String], conf: Configuration): Set[String] = {
+      replacedPaths: Set[String], conf: Configuration,
+      allDeletes: Seq[DataFileMeta] = Nil): Set[String] = {
     if (coveringDeletes.isEmpty) return Set.empty
-    val n2m = coveringDeletes.map(d => nameOf(d.path) -> d.path).toMap
+    val (dv, pq) = coveringDeletes.partition(_.isDv)
+    // DV targets are EXACT in metadata: a container drops when EVERY one
+    // of its entries' targets (across the WHOLE table, not just the
+    // covering subset — hence `allDeletes`) died with the rewrite — zero
+    // file reads. A partially-folded container stays whole; its dead
+    // entries stop applying, and the consolidation job reclaims the bytes.
+    val candidates = dv.map(_.path).toSet
+    val universe = (if (allDeletes.nonEmpty) allDeletes else coveringDeletes)
+      .filter(e => e.isDv && candidates.contains(e.path))
+    val dvFold = universe.groupBy(_.path).collect {
+      case (src, es) if es.forall(e =>
+        replacedPaths.contains(e.minValues(DeleteFiles.FilePathCol))) => src
+    }.toSet
+    if (pq.isEmpty) return dvFold
+    val n2m = pq.map(d => nameOf(d.path) -> d.path).toMap
     val targets = spark.read.schema(DeleteFiles.schema)
-      .parquet(coveringDeletes.map(_.path): _*)
+      .parquet(pq.map(_.path).distinct: _*)
       .select(input_file_name().as("src"), col(DeleteFiles.FilePathCol))
       .distinct().collect()
       .groupBy(r => n2m.getOrElse(nameOf(r.getString(0)), r.getString(0)))
       .map { case (src, rs) => src -> rs.map(_.getString(1)).toSet }
-    targets.collect { case (src, ts) if ts.subsetOf(replacedPaths) => src }.toSet
+    dvFold ++ targets.collect { case (src, ts) if ts.subsetOf(replacedPaths) => src }
   }
 }
 
@@ -395,7 +430,7 @@ object EqDeletes {
   */
 final case class PositionalInputPartition(
     dataPath: String,
-    deletePaths: Seq[String],
+    deletes: Seq[DeleteSlice],
     physDataSchemaJson: String,
     metaCols: Seq[String],
     eqDeletePaths: Seq[String] = Nil,
@@ -593,7 +628,7 @@ object PositionalRuns {
     }.map(_._1)
     val deleted: Array[Long] =
       if (runs.isEmpty) Array.emptyLongArray
-      else PositionalParquet.deletedPositions(part.dataPath, part.deletePaths, conf,
+      else PositionalParquet.deletedPositions(part.dataPath, part.deletes, conf,
         posRange = Some((runs.head.startPos, runs.last.startPos + runs.last.rows)))
     (runs, deleted, (mine.size - selected.size).toLong)
   }

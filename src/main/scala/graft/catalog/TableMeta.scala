@@ -26,13 +26,24 @@ final case class DataFileMeta(
     // writer for `write.bloom-columns`; ManifestIO strips them into a
     // sidecar at manifest-write time, so the manifest JSON (and every scan
     // that never point-looks-up) stays lean — see [[FileBloom]]
-    blooms: Map[String, String] = Map.empty) {
+    blooms: Map[String, String] = Map.empty,
+    // DELETION-VECTOR entries (Iceberg v3's positional-delete shape): a
+    // roaring bitmap of tombstoned positions for ONE target data file,
+    // stored as a byte slice [dvOffset, dvOffset+dvLength) of the shared
+    // container at `path` (many targets share one container). dvLength > 0
+    // marks the entry as a DV; 0 (the default every older document
+    // deserializes to) means a parquet (file_path, pos) delete file.
+    // rowCount = bitmap cardinality, min/maxValues carry the exact target.
+    dvOffset: Long = 0L,
+    dvLength: Long = 0L) {
   /** Null-safe accessor (documents written before null tracking). */
   def nulls: Map[String, Long] = if (nullCounts == null) Map.empty else nullCounts
   /** Null-safe accessor (documents written before sort-order tracking). */
   def sortCols: Seq[String] = if (sortedBy == null) Nil else sortedBy
   /** Null-safe accessor (documents written before file-level blooms). */
   def bloomStats: Map[String, String] = if (blooms == null) Map.empty else blooms
+  /** Is this delete entry a deletion vector (vs a parquet tombstone file)? */
+  def isDv: Boolean = dvLength > 0L
 }
 
 /** Pointer to one immutable manifest file (a JSON array of

@@ -78,6 +78,34 @@ object CatalogQueries {
     },
 
     QueryDef.df(
+      "q109_dv_roundtrip",
+      // q55's merge-on-read lifecycle under DELETION VECTORS
+      // (write.delete.format = dv — Iceberg v3's per-target roaring
+      // bitmaps in shared containers): a hash match proves the DV write,
+      // the bitmap read path and the update delta produce exactly the
+      // rows a from-scratch computation would.
+      """SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |  sum(CASE WHEN l_orderkey % 8 = 0 THEN l_quantity + 5 ELSE l_quantity END) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 3 = 0 AND l_quantity > 10
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS lake.verify")
+      s.sql("DROP TABLE IF EXISTS lake.verify.li_dv")
+      s.sql(
+        """CREATE TABLE lake.verify.li_dv
+          |TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+          |               'write.update.mode'='merge-on-read',
+          |               'write.delete.format'='dv')
+          |AS SELECT l_orderkey, l_quantity, l_linestatus
+          |FROM lineitem WHERE l_orderkey % 3 = 0""".stripMargin)
+      s.sql("DELETE FROM lake.verify.li_dv WHERE l_quantity <= 10")
+      s.sql("UPDATE lake.verify.li_dv SET l_quantity = l_quantity + 5 WHERE l_orderkey % 8 = 0")
+      s.sql(
+        """SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n, sum(l_quantity) AS sum_qty
+          |FROM lake.verify.li_dv GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
+    },
+
+    QueryDef.df(
       "q108_mor_split_scan",
       // Oracle = the same aggregate computed from scratch with the DELETE
       // predicate excluded. The Spark side builds the table shape the r8
@@ -168,18 +196,20 @@ object CatalogQueries {
 
     QueryDef.df(
       "q93_table_stats",
-      // Oracle = exact count(DISTINCT) per column from the raw rows. The
-      // engine side answers from its analyze-maintained HLL sketches —
-      // loaded in two halves with an analyze after each, so the second
-      // analyze MUST take the incremental union path — and DataSketches
-      // HLL is exact at these cardinalities (coupon mode, far below the
-      // lgK=14 promotion point), so the sketch answer hash-matches the
-      // from-scratch oracle bit-for-bit.
-      """SELECT 'c_custkey' AS column_name, CAST(count(DISTINCT c_custkey) AS BIGINT) AS ndv FROM customer
+      // Oracle = exact count(DISTINCT) per column plus an always-TRUE
+      // tolerance flag. The engine side answers `ndv` EXACTLY (it has the
+      // rows) but gates its analyze-maintained HLL estimate — loaded in
+      // two halves with an analyze after each, so the second analyze MUST
+      // take the incremental union path — through the 2% flag: a broken
+      // sketch/union path flips the boolean and the hash. (The earlier
+      // exact-match formulation only held while the sketch stayed in
+      // coupon mode; at sf0.1 cardinalities the HLL estimate is ±1%,
+      // which is correct behavior, not a wrong answer.)
+      """SELECT 'c_custkey' AS column_name, CAST(count(DISTINCT c_custkey) AS BIGINT) AS ndv, TRUE AS ndv_within_2pct FROM customer
         |UNION ALL
-        |SELECT 'c_mktsegment', CAST(count(DISTINCT c_mktsegment) AS BIGINT) FROM customer
+        |SELECT 'c_mktsegment', CAST(count(DISTINCT c_mktsegment) AS BIGINT), TRUE FROM customer
         |UNION ALL
-        |SELECT 'c_nationkey', CAST(count(DISTINCT c_nationkey) AS BIGINT) FROM customer
+        |SELECT 'c_nationkey', CAST(count(DISTINCT c_nationkey) AS BIGINT), TRUE FROM customer
         |ORDER BY column_name""".stripMargin) { (s, dir) =>
       Tables.registerAll(s, dir)
       s.sql("CREATE NAMESPACE IF NOT EXISTS lake.verify")
@@ -198,7 +228,18 @@ object CatalogQueries {
       val (mode, ndvs) = graft.catalog.LakeMaintenance.analyze(s, "lake.verify.stats_cust")
       require(mode == "current", s"watermark should be at head, got $mode")
       import s.implicits._
-      ndvs.toDF("column_name", "ndv").orderBy("column_name")
+      val est = ndvs.toMap
+      val ex = s.sql(
+        """SELECT CAST(count(DISTINCT c_custkey) AS BIGINT),
+          |  CAST(count(DISTINCT c_mktsegment) AS BIGINT),
+          |  CAST(count(DISTINCT c_nationkey) AS BIGINT)
+          |FROM lake.verify.stats_cust""".stripMargin).head()
+      val exact = Seq("c_custkey" -> ex.getLong(0), "c_mktsegment" -> ex.getLong(1),
+        "c_nationkey" -> ex.getLong(2))
+      exact.map { case (c, n) =>
+        val e = est.getOrElse(c, 0L)
+        (c, n, math.abs(e - n) <= math.max(1L, math.ceil(0.02 * n).toLong))
+      }.toDF("column_name", "ndv", "ndv_within_2pct").orderBy("column_name")
     },
 
     QueryDef.df(

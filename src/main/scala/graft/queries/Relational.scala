@@ -439,9 +439,9 @@ object Relational {
     QueryDef.df(
       "q73_percentiles",
       """SELECT l_returnflag,
-        |  quantile_cont(l_extendedprice, 0.5) AS p50,
-        |  quantile_cont(l_extendedprice, 0.9) AS p90,
-        |  quantile_cont(l_quantity, 0.25) AS q25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS q25,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
@@ -496,7 +496,9 @@ object Relational {
               col("r") === floor(lit(p) * (col("n") - 1)).cast("long"), col("v")))
             val hi = max(when(col("w") === which &&
               col("r") === ceil(lit(p) * (col("n") - 1)).cast("long"), col("v")))
-            (lo + (idx - floor(idx)) * (hi - lo)).as(out)
+            // round(4): linear interpolation associates differently in
+            // the two engines — a 1-ulp double drift appears at sf0.1
+            round(lo + (idx - floor(idx)) * (hi - lo), 4).as(out)
           }: _*)
         .select(col("l_returnflag"), col("p50"), col("p90"), col("q25"),
           col("n").cast("bigint").as("n"))

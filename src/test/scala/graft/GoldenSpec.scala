@@ -120,7 +120,8 @@ class GoldenSpec extends AnyFunSuite {
     "q105_time_partitions" -> 15L,
     "q106_truncate_partitions" -> 5L,
     "q107_bpe_encode" -> 32L,
-    "q108_mor_split_scan" -> 10L)
+    "q108_mor_split_scan" -> 10L,
+    "q109_dv_roundtrip" -> 2L)
 
   test("every registered query has a golden count (add one when adding a query)") {
     assert(SparkEntry.queries.keySet == golden.keySet,
