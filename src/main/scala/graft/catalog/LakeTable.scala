@@ -813,11 +813,22 @@ final class LakeScan(
   private val requiredDataSchema: StructType =
     StructType(requiredSchema.fields.filterNot(f => LakeMetaCols.isMeta(f.name)))
 
+  // DV entries are one-per-TARGET, so a heavily deleted table carries
+  // O(files) of them — the planning loop must resolve them by hash
+  // lookup, not a linear range scan per data file (which would make
+  // planning O(files²)); parquet delete FILES stay maintenance-bounded,
+  // so their linear range check is fine
+  @transient private lazy val dvByTarget: Map[String, Seq[DataFileMeta]] =
+    deleteFiles.filter(_.isDv).groupBy(_.minValues(DeleteFiles.FilePathCol))
+  @transient private lazy val pqDeleteFiles: Seq[DataFileMeta] =
+    deleteFiles.filterNot(_.isDv)
+
   /** Per-file covering delete references (merge-on-read tombstones):
-    * parquet files by path range, DV entries by exact target.
+    * parquet files by path range, DV entries by exact-target lookup.
     */
   private def coveringDeletes(f: DataFileMeta): Seq[DeleteSlice] =
-    DeleteFiles.covering(deleteFiles, f.path).map(DeleteSlice.of)
+    (DeleteFiles.covering(pqDeleteFiles, f.path) ++
+      dvByTarget.getOrElse(f.path, Nil)).map(DeleteSlice.of)
 
   /** Equality deletes applicable to a file: strictly newer sequence AND a
     * key min/max range that can overlap the file's — a delete whose key
@@ -1033,8 +1044,13 @@ final class LakeScan(
         // can't know; the estimate only feeds join-side sizing, where
         // being off by the churn rate is harmless, and compaction
         // re-trues it.
+        // DV entries: exact-target set membership (O(1) each — their
+        // count scales with files); parquet files: the bounded range scan
+        val pathSet = files.map(_.path).toSet
+        val paths = files.map(_.path)
         val covering = deleteFiles.filter(d =>
-          DeleteFiles.coversAny(d, files.map(_.path)))
+          if (d.isDv) pathSet.contains(d.minValues(DeleteFiles.FilePathCol))
+          else DeleteFiles.coversAny(d, paths))
         val eqApp = eqDeletes.filter(d => files.exists(_.addedAt < d.addedAt))
         java.util.OptionalLong.of(math.max(0L,
           files.map(_.rowCount).sum - covering.map(_.rowCount).sum
