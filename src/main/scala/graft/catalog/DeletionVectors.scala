@@ -51,13 +51,19 @@ object DeletionVectors {
     } finally in.close()
   }
 
-  /** Ascending positions of `bm` within `[lo, hi)`. */
+  /** Ascending positions of `bm` within `[lo, hi)`: seeks straight to
+    * `lo` and stops at `hi`, so each split task pays O(its own
+    * tombstones), not O(the file's total cardinality) — K split tasks
+    * over one heavily-deleted file must not multiply tombstone CPU by K.
+    */
   def positionsInRange(bm: Roaring64Bitmap, lo: Long, hi: Long): Array[Long] = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
-    val it = bm.getLongIterator
-    while (it.hasNext) {
+    val it = bm.getLongIteratorFrom(lo)
+    var done = false
+    while (!done && it.hasNext) {
       val v = it.next()
-      if (v >= lo && v < hi) buf += v
+      if (v >= hi) done = true
+      else if (v >= lo) buf += v // iterator-from may round down a bucket
     }
     buf.toArray
   }
@@ -97,38 +103,48 @@ object DeletionVectors {
   }
 }
 
-/** Streams per-target bitmaps into one immutable container file. Callers
-  * feed targets in any order but each target at most once per writer
-  * (the delta writer's (file, pos)-sorted input and the consolidation
-  * job's range-partitioned input both guarantee it).
+/** Accumulates per-target bitmaps (in any arrival order — targets may be
+  * revisited, e.g. an UPDATE whose required ordering puts partition
+  * columns before `_file`) and writes them back-to-back into ONE
+  * immutable container file at commit. Memory is a compressed bitmap per
+  * distinct target this writer touched.
   */
 final class DvContainerWriter(dir: String, nameHint: String, conf: Configuration) {
   private val path = s"$dir/dv-$nameHint-${java.util.UUID.randomUUID()}${DeletionVectors.Suffix}"
   private val p = new Path(path)
   private val fs = p.getFileSystem(conf)
-  private var out: DataOutputStream = _
-  private var offset = 0L
-  private val entries = Seq.newBuilder[DataFileMeta]
+  private val bitmaps = new java.util.LinkedHashMap[String, Roaring64Bitmap]()
 
-  def add(target: String, bm: Roaring64Bitmap): Unit = {
-    if (out == null) out = new DataOutputStream(fs.create(p, false))
-    bm.runOptimize()
-    val len = bm.serializedSizeInBytes()
-    bm.serialize(out)
-    entries += DataFileMeta(path, bm.getLongCardinality, len,
-      minValues = Map(DeleteFiles.FilePathCol -> target),
-      maxValues = Map(DeleteFiles.FilePathCol -> target),
-      dvOffset = offset, dvLength = len)
-    offset += len
-  }
+  /** Tombstone `pos` of `target`. */
+  def record(target: String, pos: Long): Unit =
+    bitmaps.computeIfAbsent(target, _ => new Roaring64Bitmap()).addLong(pos)
 
-  /** Close and return one metadata entry per target (empty if none). */
+  /** Merge a whole bitmap for `target` (unions with anything recorded). */
+  def add(target: String, bm: Roaring64Bitmap): Unit =
+    bitmaps.merge(target, bm, (a, b) => { a.or(b); a })
+
+  /** Write the container, return one metadata entry per distinct target
+    * (exactly one — revisits were unioned; empty if nothing recorded).
+    */
   def commit(): Seq[DataFileMeta] = {
-    if (out != null) out.close()
+    if (bitmaps.isEmpty) return Nil
+    val out = new DataOutputStream(fs.create(p, false))
+    val entries = Seq.newBuilder[DataFileMeta]
+    var offset = 0L
+    try {
+      bitmaps.forEach { (target, bm) =>
+        bm.runOptimize()
+        val len = bm.serializedSizeInBytes()
+        bm.serialize(out)
+        entries += DataFileMeta(path, bm.getLongCardinality, len,
+          minValues = Map(DeleteFiles.FilePathCol -> target),
+          maxValues = Map(DeleteFiles.FilePathCol -> target),
+          dvOffset = offset, dvLength = len)
+        offset += len
+      }
+    } finally out.close()
     entries.result()
   }
 
-  def abort(): Unit = {
-    if (out != null) { out.close(); fs.delete(p, false) }
-  }
+  def abort(): Unit = if (fs.exists(p)) fs.delete(p, false)
 }

@@ -205,18 +205,11 @@ final class LakeDeltaWriter(
   private var deleteW: LakeDataWriter = _
   private val targets = scala.collection.mutable.HashSet.empty[String]
   private val tombstone = new GenericInternalRow(2)
-  // DV mode: rows arrive sorted by (_file, _pos) — requiredOrdering — so
-  // one streaming bitmap per target suffices; the container writer rolls
-  // targets into one immutable .dv file for the task
+  // DV mode: the container writer accumulates one bitmap per target in
+  // ANY arrival order (UPDATE/MERGE sort partition columns before _file,
+  // so a multi-partition-value file can be revisited) and rolls them into
+  // one immutable .dv file for the task at commit
   private var dvW: DvContainerWriter = _
-  private var dvTarget: String = _
-  private var dvBm: org.roaringbitmap.longlong.Roaring64Bitmap = _
-
-  private def dvFlush(): Unit = if (dvBm != null) {
-    if (dvW == null) dvW = new DvContainerWriter(deleteDir, s"$partitionId-$taskId", conf)
-    dvW.add(dvTarget, dvBm)
-    dvBm = null
-  }
 
   private def insertWriter(): LakeDataWriter = {
     if (insertW == null)
@@ -241,12 +234,8 @@ final class LakeDeltaWriter(
     val f = file.toString
     targets += f
     if (dvMode) {
-      if (dvTarget == null || dvTarget != f) {
-        dvFlush()
-        dvTarget = f
-        dvBm = new org.roaringbitmap.longlong.Roaring64Bitmap()
-      }
-      dvBm.addLong(id.getLong(1))
+      if (dvW == null) dvW = new DvContainerWriter(deleteDir, s"$partitionId-$taskId", conf)
+      dvW.record(f, id.getLong(1))
     } else {
       tombstone.update(0, file.copy()) // id rows are reused by the exec
       tombstone.update(1, id.getLong(1))
@@ -264,7 +253,6 @@ final class LakeDeltaWriter(
   override def commit(): WriterCommitMessage = {
     val dataFiles = Option(insertW).map(_.commit()).collect {
       case LakeCommitMessage(fs) => fs }.getOrElse(Nil)
-    dvFlush()
     val deleteFiles = Option(deleteW).map(_.commit()).collect {
       case LakeCommitMessage(fs) => fs }.getOrElse(Nil) ++
       Option(dvW).map(_.commit()).getOrElse(Nil)

@@ -590,18 +590,7 @@ object LakeMaintenance {
         if (rows.isEmpty) Iterator.empty
         else if (dvOut) {
           val w = new DvContainerWriter(deleteDir, s"posc-$pid", sconf.value)
-          var target: String = null
-          var bm: org.roaringbitmap.longlong.Roaring64Bitmap = null
-          rows.foreach { r =>
-            val f = r.getUTF8String(0).toString
-            if (target == null || target != f) {
-              if (bm != null) w.add(target, bm)
-              target = f
-              bm = new org.roaringbitmap.longlong.Roaring64Bitmap()
-            }
-            bm.addLong(r.getLong(1))
-          }
-          if (bm != null) w.add(target, bm)
+          rows.foreach(r => w.record(r.getUTF8String(0).toString, r.getLong(1)))
           w.commit().iterator
         } else {
           val w = new LakeDataWriter(DeleteFiles.schema,

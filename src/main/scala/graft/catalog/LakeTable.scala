@@ -1131,12 +1131,13 @@ final class LakeScan(
   override def toBatch: org.apache.spark.sql.connector.read.Batch = {
     val dirty = files.map(f => (f, coveringDeletes(f), eqApplicable(f)))
     // POSITION-tombstoned files (and every file, when _file/_pos are
-    // requested) read through whole-file positional row readers — the
-    // position counter needs every row. Files dirtied ONLY by equality
-    // deletes keep the delegate's split-planned, filter-pushed parquet
-    // reader with a key anti-filter above it: one upsert epoch must not
-    // knock the table's older files off the pushdown path. Clean files
-    // keep the vectorized delegate untouched.
+    // requested) read through SPLIT-PARALLEL positional readers whose
+    // exact start ordinals come from the footer (row or columnar per the
+    // schema; row groups the pushed filters disprove are skipped). Files
+    // dirtied ONLY by equality deletes keep the delegate's split-planned,
+    // filter-pushed parquet reader with a key anti-filter above it: one
+    // upsert epoch must not knock the table's older files off the
+    // pushdown path. Clean files keep the vectorized delegate untouched.
     if (metaCols.nonEmpty || dirty.exists(d => d._2.nonEmpty || d._3.nonEmpty)) {
       val (tomb, rest) =
         if (metaCols.nonEmpty) (dirty, Nil)

@@ -29,9 +29,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * common case when deletes are sparse — while a dirty batch compacts its
   * survivors into fresh on-heap vectors. `_file`/`_pos` metadata columns
   * ride as a constant vector and a refilled position vector. Eligibility
-  * is decided at planning ([[ColumnarSupport.ok]]): flat primitive
-  * schemas only — nested/decimal schemas keep the row reader (identical
-  * semantics, just unvectorized).
+  * is decided at planning ([[ColumnarSupport.ok]]): flat schemas only,
+  * where "flat" includes decimals (int/long/bytes-backed) — nested
+  * array/map/struct schemas keep the row reader (identical semantics,
+  * just unvectorized).
   */
 object ColumnarSupport {
   /** Types the columnar positional path can pass through AND compact. */

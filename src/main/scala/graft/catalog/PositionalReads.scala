@@ -116,7 +116,7 @@ object PositionalParquet {
     * filter assigns groups to splits by) and its exact row count.
     */
   def rowGroupLayout(path: String, conf: Configuration): Seq[(Long, Long)] =
-    rowGroupStats(path, conf).map(g => (g._1, g._2))
+    rowGroupStats(path, conf, Set.empty).map(g => (g._1, g._2))
 
   /** Row groups pruned by pushed-filter stats inside positional readers —
     * instrumentation for tests.
@@ -131,9 +131,13 @@ object PositionalParquet {
     * date days, timestamp micros, non-NaN floats/doubles, UTF8 strings —
     * parquet's unsigned-byte BINARY order IS UTF8String.compareTo order;
     * truncated binary stats remain valid bounds); decimals, unsigned ints
-    * and everything exotic stay absent ⇒ conservative keep.
+    * and everything exotic stay absent ⇒ conservative keep. `statCols`
+    * bounds the rendering to the columns the pushed filters actually
+    * reference — a filterless scan (empty set) pays for row counts and
+    * midpoints only, never N-columns × N-groups of stat strings.
     */
-  def rowGroupStats(path: String, conf: Configuration): Seq[(Long, Long, DataFileMeta)] = {
+  def rowGroupStats(path: String, conf: Configuration,
+      statCols: Set[String] = null): Seq[(Long, Long, DataFileMeta)] = {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.LogicalTypeAnnotation
@@ -144,7 +148,8 @@ object PositionalParquet {
       val maxs = Map.newBuilder[String, String]
       val nulls = Map.newBuilder[String, Long]
       b.getColumns.asScala.foreach { c =>
-        if (c.getPath.size == 1) {
+        if (c.getPath.size == 1 &&
+          (statCols == null || statCols.contains(c.getPath.toDotString))) {
           val name = c.getPath.toDotString
           val pt = c.getPrimitiveType
           val logical = pt.getLogicalTypeAnnotation
@@ -198,9 +203,11 @@ object PositionalParquet {
     // path re-check is needed)
     val dvPositions: Array[Long] = dvs.toArray.flatMap { s =>
       val bm = DeletionVectors.readBitmap(s.path, s.dvOffset, s.dvLength, conf)
+      // positions are row ordinals (≥ 0; Roaring64 iterates in UNSIGNED
+      // order, so the full-range floor must be 0, never Long.MinValue)
       posRange match {
-        case Some((lo, hi)) => DeletionVectors.positionsInRange(bm, lo, hi)
-        case None => DeletionVectors.positionsInRange(bm, Long.MinValue, Long.MaxValue)
+        case Some((lo, hi)) => DeletionVectors.positionsInRange(bm, math.max(0L, lo), hi)
+        case None => DeletionVectors.positionsInRange(bm, 0L, Long.MaxValue)
       }
     }
     if (deleteFiles.isEmpty) return dvPositions.sorted.distinct
@@ -583,19 +590,37 @@ final case class GroupRun(byteStart: Long, byteEnd: Long, startPos: Long, rows: 
   * rewrite_position_delete_files).
   */
 object LakeScanMetrics {
-  import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
+  import org.apache.spark.sql.connector.metric.{CustomMetric, CustomTaskMetric}
 
-  final class Sum(override val name: String, override val description: String)
-    extends CustomSumMetric
-
-  val all: Array[CustomMetric] = Array(
-    new Sum("tombstonedRows", "MoR rows skipped by positional tombstones"),
-    new Sum("eqDeletedRows", "MoR rows dropped by equality-delete keys"),
-    new Sum("rowGroupsPruned", "row groups pruned by pushed-filter stats"),
-    new Sum("batchesPassthrough", "columnar MoR batches passed through untouched"),
-    new Sum("batchesCompacted", "columnar MoR batches compacted (tombstones hit)"))
+  // each metric is its own ZERO-ARG top-level class: Spark re-instantiates
+  // the class reflectively on the driver to aggregate task values for the
+  // UI — a parameterized class fails that lookup (silently, per metric)
+  val all: Array[CustomMetric] = Array(new TombstonedRowsMetric,
+    new EqDeletedRowsMetric, new RowGroupsPrunedMetric,
+    new BatchesPassthroughMetric, new BatchesCompactedMetric)
 
   final case class Value(name: String, value: Long) extends CustomTaskMetric
+}
+
+final class TombstonedRowsMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "tombstonedRows"
+  override def description(): String = "MoR rows skipped by positional tombstones"
+}
+final class EqDeletedRowsMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "eqDeletedRows"
+  override def description(): String = "MoR rows dropped by equality-delete keys"
+}
+final class RowGroupsPrunedMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "rowGroupsPruned"
+  override def description(): String = "row groups pruned by pushed-filter stats"
+}
+final class BatchesPassthroughMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "batchesPassthrough"
+  override def description(): String = "columnar MoR batches passed through untouched"
+}
+final class BatchesCompactedMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "batchesCompacted"
+  override def description(): String = "columnar MoR batches compacted (tombstones hit)"
 }
 
 /** Shared split planning for the row and columnar positional readers:
@@ -609,7 +634,10 @@ object LakeScanMetrics {
 object PositionalRuns {
   def plan(part: PositionalInputPartition, conf: Configuration,
       schema: StructType): (Seq[GroupRun], Array[Long], Long) = {
-    val layout = PositionalParquet.rowGroupStats(part.dataPath, conf)
+    // stats rendered only for the columns the pushed filters reference
+    val statCols: Set[String] =
+      part.filters.flatMap(_.references.map(_.name).toSeq).toSet
+    val layout = PositionalParquet.rowGroupStats(part.dataPath, conf, statCols)
     val starts = layout.scanLeft(0L)(_ + _._2)
     val indexed = layout.zipWithIndex.map { case ((mid, rows, pseudo), i) =>
       (mid, rows, pseudo, starts(i))

@@ -518,9 +518,17 @@ object LlmPipeline {
     // q71's encode step, oracled (ADVICE r7 #6): the greedy lowest-rank
     // merge loop is replayed in DuckDB as a recursive CTE — tokens ride
     // sep-joined on chr(31) (absent from the corpus), each recursion step
-    // replaces every occurrence of the best-ranked adjacent pair
-    // (`replace` is left-to-right non-overlapping, exactly the codegen
-    // loop's pass), and a word is final when no merge pattern matches.
+    // replaces every occurrence of the best-ranked adjacent pair, and a
+    // word is final when no merge pattern matches. Every token is WRAPPED
+    // in its own chr(31) pair ("␟z␟␟e␟␟r␟␟o␟"), so a pair pattern
+    // "␟l␟␟r␟" can only match two WHOLE adjacent tokens — a bare
+    // separator join would let `replace` match across token boundaries
+    // whenever one token merely ENDS with l or STARTS with r (e.g. pair
+    // (e, r) inside [z, e, ro]), silently diverging from the
+    // token-sequence algorithm for such vocabularies. With whole-token
+    // delimitation, left-to-right non-overlapping `replace` is exactly
+    // the codegen loop's merge pass (each match consumes both tokens'
+    // own wrappers — adjacent occurrences never share a separator).
     // Training stays value-pinned in BpeSpec (tie-break order has no SQL
     // equivalent, SURVEY §no-oracle), so the merge table here is a FIXED
     // literal shared by both engines.
@@ -528,7 +536,8 @@ object LlmPipeline {
       "q107_bpe_encode",
       s"""WITH RECURSIVE
         |mm(rank, pat, rep) AS (
-        |  SELECT rank, l || chr(31) || r, l || r
+        |  SELECT rank, chr(31) || l || chr(31) || chr(31) || r || chr(31),
+        |         chr(31) || l || r || chr(31)
         |  FROM (VALUES
         |    ${Q107Merges.zipWithIndex.map { case (m, i) =>
              val Array(l, r) = m.split(' '); s"($i, '$l', '$r')"
@@ -542,8 +551,8 @@ object LlmPipeline {
         |),
         |init AS (
         |  SELECT word,
-        |         rtrim(regexp_replace(word, '(.)', '\\1' || chr(31), 'g'),
-        |               chr(31)) AS s
+        |         regexp_replace(word, '(.)',
+        |                        chr(31) || '\\1' || chr(31), 'g') AS s
         |  FROM words
         |),
         |enc AS (
@@ -559,7 +568,8 @@ object LlmPipeline {
         |  WHERE NOT EXISTS (SELECT 1 FROM mm WHERE contains(enc.s, mm.pat))
         |)
         |SELECT token, SUM(w.wc)::BIGINT AS cnt
-        |FROM (SELECT word, unnest(string_split(s, chr(31))) AS token
+        |FROM (SELECT word, unnest(list_filter(string_split(s, chr(31)),
+        |                                      x -> x <> '')) AS token
         |      FROM final) f
         |JOIN words w USING (word)
         |GROUP BY token ORDER BY cnt DESC, token""".stripMargin) { (s, dir) =>

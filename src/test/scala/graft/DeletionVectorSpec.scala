@@ -170,6 +170,27 @@ class DeletionVectorSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("expire + orphan cleanup handle DV containers: live kept, folded reclaimed") {
+    val t = dvTable("exp", 400)
+    spark.sql(s"DELETE FROM $t WHERE id % 4 = 0")
+    val container = lakeMeta(t).currentDeleteFiles.head.path
+    assert(container.endsWith(".dv"))
+    val p = new org.apache.hadoop.fs.Path(container)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // orphan removal must KEEP the referenced container (age guard off)
+    LakeMaintenance.removeOrphanFiles(spark, t, olderThanMs = 0L)
+    assert(fs.exists(p), "live DV container must survive orphan removal")
+    // compaction folds the DVs; expiring the old snapshots reclaims it
+    LakeMaintenance.compact(spark, t)
+    assert(lakeMeta(t).currentDeleteFiles.isEmpty)
+    LakeMaintenance.expireSnapshots(spark, t, keepLast = 1)
+    assert(!fs.exists(p), "folded DV container must be reclaimed by expiration")
+    assert(spark.table(t).count() == 300)
+    assert(spark.sql(s"SELECT sum(id) FROM $t").head().getLong(0) ==
+      (0L until 400L).filterNot(_ % 4 == 0).sum)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("DV container round-trip unit: offsets, range extraction, multi-target") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dv").toString
     val conf = spark.sessionState.newHadoopConf()
