@@ -48,6 +48,14 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
       LakeProcedures.names.map(n => Identifier.of(namespace, n)).toArray
     else Array.empty
 
+  /** Opt into DDL `DEFAULT` clauses (CREATE/ADD/ALTER COLUMN): Spark
+    * analyzes + constant-folds the default and ships it on the
+    * TableChange/Column; [[ColumnDefaults]] carries both defaults in the
+    * schema so INSERT-filling and old-file reads need no engine code.
+    */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private var catalogName: String = _
   private var warehouse: String = _
   private var store: PointerStore = _
@@ -346,8 +354,13 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
         case a: TableChange.AddColumn =>
           if (a.fieldNames().length != 1) throw new UnsupportedOperationException(
             "only top-level ADD COLUMNS is supported")
-          if (!a.isNullable) throw new UnsupportedOperationException(
-            "added columns must be nullable (existing rows have no value)")
+          // NOT NULL needs a DEFAULT: existing rows read the initial
+          // default, so the no-value-for-old-rows objection disappears
+          if (!a.isNullable &&
+            (a.defaultValue() == null || a.defaultValue().getValue.value() == null))
+            throw new UnsupportedOperationException(
+              "added columns must be nullable or carry a non-NULL DEFAULT " +
+                "(existing rows have no value)")
           if (schema.fieldNames.exists(_.equalsIgnoreCase(a.fieldNames()(0))))
             throw new IllegalArgumentException(
               s"cannot add column ${a.fieldNames()(0)}: a column of that name already exists")
@@ -356,9 +369,22 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
           // values can NOT resurrect under it
           val id = props.get(ColumnMapping.CounterProp).map(_.toInt).getOrElse(1)
           props += (ColumnMapping.CounterProp -> (id + 1).toString)
+          val added = StructField(a.fieldNames()(0), a.dataType(), nullable = a.isNullable)
           schema = schema.add(ColumnMapping.withPhysical(
-            StructField(a.fieldNames()(0), a.dataType(), nullable = true),
+            Option(a.defaultValue()).fold(added)(ColumnDefaults.withDefaults(added, _)),
             s"_c${id}_${a.fieldNames()(0)}"))
+
+        case u: TableChange.UpdateColumnDefaultValue =>
+          if (u.fieldNames().length != 1) throw new UnsupportedOperationException(
+            "only top-level ALTER COLUMN SET/DROP DEFAULT is supported")
+          val name = u.fieldNames()(0)
+          if (!schema.fieldNames.contains(name))
+            throw new IllegalArgumentException(s"no such column: $name")
+          // moves the WRITE default only — the initial default stays pinned
+          // (already-written files must never change meaning)
+          schema = StructType(schema.fields.map(x =>
+            if (x.name == name) ColumnDefaults.withCurrent(x, u.newCurrentDefault())
+            else x))
         case d: TableChange.DeleteColumn =>
           if (d.fieldNames().length != 1) throw new UnsupportedOperationException(
             "only top-level DROP COLUMN is supported")

@@ -594,9 +594,20 @@ object ColumnMapping {
 
   /** Rename a projection of the table schema logical→physical. Names not in
     * the map (e.g. row-operation marker columns) pass through.
+    *
+    * A field carrying an INITIAL DEFAULT relaxes to nullable on the
+    * physical side: files written before the column existed lack it, and
+    * Spark's parquet readers refuse a missing REQUIRED column outright
+    * ("Required column is missing in data file") before the
+    * existence-default fill can run. Values still never surface as NULL —
+    * readers synthesize the folded literal for old files and the analyzer
+    * fills writes — so the LOGICAL schema's NOT NULL contract holds.
     */
   def toPhysical(s: StructType, l2p: Map[String, String]): StructType =
-    StructType(s.fields.map(f => f.copy(name = l2p.getOrElse(f.name, f.name))))
+    StructType(s.fields.map { f0 =>
+      val f = f0.copy(name = l2p.getOrElse(f0.name, f0.name))
+      if (!f.nullable && ColumnDefaults.hasInitial(f)) f.copy(nullable = true) else f
+    })
 
   def toLogical(s: StructType, l2p: Map[String, String]): StructType = {
     val p2l = l2p.map(_.swap)
@@ -614,6 +625,74 @@ object ColumnMapping {
       case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
         if l2p.getOrElse(a.name, a.name) != a.name => a.withName(l2p(a.name))
     })
+}
+
+/** Column DEFAULT values, Iceberg v3's two-default model carried in
+  * Spark's own StructField metadata keys:
+  *
+  *  - CURRENT_DEFAULT (the "write default", SQL text): what an INSERT
+  *    that omits the column writes. Mutable via `ALTER COLUMN ... SET /
+  *    DROP DEFAULT`. The analyzer fills it in BEFORE rows reach the
+  *    writer, so data files always materialize the value.
+  *  - EXISTS_DEFAULT (the "initial default", a folded literal): what rows
+  *    in files written BEFORE the column existed read back. Set once at
+  *    ADD COLUMN, IMMUTABLE forever after — already-written files must
+  *    never change meaning retroactively.
+  *
+  * Using Spark's keys means ZERO custom read-path code at any scale:
+  * every reader in the engine — the delegated vectorized/row parquet
+  * scans, both positional (merge-on-read) readers, and the V1 reads
+  * inside CoW rewrites — consumes the requested schema's metadata and
+  * fills missing columns with the folded literal natively
+  * (`ParquetRowConverter.applyExistenceDefaultValuesToRow`, the
+  * vectorized reader's missing-column vectors). ADD COLUMN with DEFAULT
+  * on a 100 TB table is therefore a pure metadata commit: no backfill,
+  * no rewrite, old files keep serving with the default synthesized at
+  * read time. Stats-based pruning/aggregation stays sound because every
+  * consumer treats a file with NO stats for the column as
+  * unknown-conservative (keep / refuse pushdown).
+  */
+object ColumnDefaults {
+  import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+  import org.apache.spark.sql.connector.catalog.{ColumnDefaultValue, DefaultValue}
+  import org.apache.spark.sql.types.{MetadataBuilder, StructField}
+
+  val CurrentKey: String = ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY
+  val ExistsKey: String = ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY
+
+  /** The default's constant-folded literal as parseable SQL (what the
+    * readers re-evaluate when filling a column absent from a file).
+    */
+  private def literalSql(dv: ColumnDefaultValue): String = {
+    val lv = dv.getValue
+    org.apache.spark.sql.catalyst.expressions.Literal(lv.value, lv.dataType).sql
+  }
+
+  def hasInitial(f: StructField): Boolean = f.metadata.contains(ExistsKey)
+
+  /** ADD COLUMN ... DEFAULT: write default = the user's SQL text, initial
+    * default = the folded literal, pinned immutably.
+    */
+  def withDefaults(f: StructField, dv: ColumnDefaultValue): StructField =
+    f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+      .putString(CurrentKey, Option(dv.getSql).getOrElse(literalSql(dv)))
+      .putString(ExistsKey, literalSql(dv)).build())
+
+  /** ALTER COLUMN SET/DROP DEFAULT: only the WRITE default moves; the
+    * initial default (if any) is untouched — files written before the
+    * column existed keep reading the value that was promised when the
+    * column was added.
+    */
+  def withCurrent(f: StructField, dv: DefaultValue): StructField = {
+    val b = new MetadataBuilder().withMetadata(f.metadata)
+    if (dv == null || (dv.getSql != null && dv.getSql.isEmpty)) b.remove(CurrentKey)
+    else b.putString(CurrentKey, Option(dv.getSql).getOrElse(dv match {
+      case c: ColumnDefaultValue => literalSql(c)
+      case _ => throw new UnsupportedOperationException(
+        "SET DEFAULT requires a SQL-renderable constant expression")
+    }))
+    f.copy(metadata = b.build())
+  }
 }
 
 object TableMeta {

@@ -141,6 +141,59 @@ object CatalogQueries {
     },
 
     QueryDef.df(
+      "q110_column_defaults",
+      // Column DEFAULTs, Iceberg v3's two-default model: files written
+      // BEFORE a column existed read its IMMUTABLE initial default (pure
+      // metadata ADD — zero backfill), INSERTs that omit the column get
+      // the write default, and SET DEFAULT moves only the write default.
+      // The oracle reconstructs the final state from raw parquet with the
+      // defaults as literals per insert era; the CoW DELETE at the end
+      // proves rewrites of pre-add files preserve synthesized values. A
+      // hash match pins the whole stack: initial-default fill in the
+      // readers (incl. a NOT NULL defaulted column), analyzer write-fill,
+      // and default immutability across SET DEFAULT.
+      """WITH final AS (
+        |  SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS bal,
+        |    'none' AS seg, CAST(1.5 AS DOUBLE) AS boost
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, CAST(c_acctbal AS DOUBLE), c_mktsegment, CAST(2.0 AS DOUBLE)
+        |  FROM customer WHERE c_custkey % 3 = 1
+        |  UNION ALL
+        |  SELECT c_custkey, CAST(c_acctbal AS DOUBLE), 'late', CAST(1.5 AS DOUBLE)
+        |  FROM customer WHERE c_custkey % 3 = 2)
+        |SELECT seg, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(bal * boost), 2) AS amt
+        |FROM final WHERE k % 7 <> 0 GROUP BY seg ORDER BY seg""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS lake.verify")
+      s.sql("DROP TABLE IF EXISTS lake.verify.cust_def")
+      s.sql(
+        """CREATE TABLE lake.verify.cust_def AS
+          |SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS bal
+          |FROM customer WHERE c_custkey % 3 = 0""".stripMargin)
+      // pure metadata: old files will read seg='none', boost=1.5 forever
+      s.sql("ALTER TABLE lake.verify.cust_def ADD COLUMN seg STRING DEFAULT 'none'")
+      s.sql("ALTER TABLE lake.verify.cust_def ADD COLUMN boost DOUBLE NOT NULL DEFAULT 1.5")
+      s.sql(
+        """INSERT INTO lake.verify.cust_def
+          |SELECT c_custkey, CAST(c_acctbal AS DOUBLE), c_mktsegment, CAST(2.0 AS DOUBLE)
+          |FROM customer WHERE c_custkey % 3 = 1""".stripMargin)
+      // the WRITE default moves; the initial default must not
+      s.sql("ALTER TABLE lake.verify.cust_def ALTER COLUMN seg SET DEFAULT 'late'")
+      s.sql(
+        """INSERT INTO lake.verify.cust_def (k, bal)
+          |SELECT c_custkey, CAST(c_acctbal AS DOUBLE)
+          |FROM customer WHERE c_custkey % 3 = 2""".stripMargin)
+      // CoW rewrite folds pre-add files: synthesized defaults materialize
+      s.sql("DELETE FROM lake.verify.cust_def WHERE k % 7 = 0")
+      s.sql(
+        """SELECT seg, CAST(count(*) AS BIGINT) AS n,
+          |  round(sum(bal * boost), 2) AS amt
+          |FROM lake.verify.cust_def GROUP BY seg ORDER BY seg""".stripMargin)
+    },
+
+    QueryDef.df(
       "q63_upsert_roundtrip",
       // Oracle = the merged state computed from scratch (DuckDB's view of
       // INSERT .. ON CONFLICT DO UPDATE): epoch-2 keys (%16=0 overwrites,
