@@ -58,9 +58,20 @@ object LakeMaintenance {
       files: Seq[DataFileMeta],
       posDeletes: Seq[DataFileMeta],
       eqDeletes: Seq[DataFileMeta],
-      hadoopConf: org.apache.hadoop.conf.Configuration): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, input_file_name, substring_index}
-    val phys = meta.physicalSchema
+      hadoopConf: org.apache.hadoop.conf.Configuration,
+      // identity-preserving rewrites (compaction/z-order) set this: the
+      // result carries two extra trailing [[RowLineage]] columns holding
+      // every surviving row's CURRENT _row_id/_last_updated_seq (already-
+      // materialized values win, else computed from the file's reserved
+      // range) so the rewrite can write them through and rows keep their
+      // identity across the file shuffle
+      lineage: Boolean = false): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, input_file_name, lit, substring_index, when}
+    val phys0 = meta.physicalSchema
+    val phys = if (!lineage) phys0
+      else StructType(phys0.fields ++ Seq(RowLineage.RidField, RowLineage.RseqField))
+    if (lineage) require(!phys0.fieldNames.contains(RowLineage.Rid),
+      s"table column collides with reserved lineage column ${RowLineage.Rid}")
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], phys)
@@ -104,7 +115,22 @@ object LakeMaintenance {
           base("__seq") < keys("__eqseq")
         base.join(keys, cond, "left_anti").drop("__seq")
       }
-    live.drop("__fname", "__fpos")
+    val lineaged =
+      if (!lineage) live
+      else {
+        // materialized value wins; NULL inherits (file's reserved range /
+        // file's own commit sequence); pre-lineage files stay NULL
+        val lin = spark.createDataFrame(files.map(f => (nameOf(f.path),
+          if (f.firstRowId > 0) f.firstRowId else -1L,
+          if (f.addedAt > 0) f.addedAt else -1L))).toDF("__lname", "__lbase", "__lseq")
+        live.join(broadcast(lin), live("__fname") === lin("__lname"), "left")
+          .withColumn(RowLineage.Rid, coalesce(col(RowLineage.Rid),
+            when(col("__lbase") > 0, col("__lbase") + col("__fpos"))))
+          .withColumn(RowLineage.Rseq, coalesce(col(RowLineage.Rseq),
+            when(col("__lseq") > 0, col("__lseq"))))
+          .drop("__lname", "__lbase", "__lseq")
+      }
+    lineaged.drop("__fname", "__fpos")
   }
 
   /** Bin-pack data files smaller than `smallFileBytes` into files of
@@ -152,7 +178,9 @@ object LakeMaintenance {
     // carry); no logical relabeling is needed since no user predicate runs
     val physCols = t.meta.physicalPartitionColumns
     val covering = TombstoneRewrite.covering(deletes, small.map(_.path))
-    val df = readLive(spark, t.meta, small, deletes, eqDeletes, hadoopConf)
+    // lineage rides: compaction must never change a row's identity
+    val df = readLive(spark, t.meta, small, deletes, eqDeletes, hadoopConf,
+      lineage = true)
     // cluster by the partition key: the column itself, or for bucket specs
     // the SAME murmur3 hash the writer/stats use (SQL pmod(hash(c), n) ==
     // BucketHash by construction — both are Spark murmur3, seed 42)
@@ -180,7 +208,10 @@ object LakeMaintenance {
       else if (sortCols.nonEmpty)
         df.repartitionByRange(outParts, sortCols: _*).sortWithinPartitions(sortCols: _*)
       else df.coalesce(outParts)
-    val factory = LakeWriterFactory(t.meta.physicalSchema.json, s"${t.meta.location}/data",
+    val factory = LakeWriterFactory(
+      StructType(t.meta.physicalSchema.fields ++
+        Seq(RowLineage.RidField, RowLineage.RseqField)).json,
+      s"${t.meta.location}/data",
       physCols, new SerializableConfiguration(t.meta.writeConf(hadoopConf)),
       t.meta.physicalBloomColumns, t.meta.targetFileBytes, bloomBits = t.meta.fileBloomBits,
       // compaction re-applies the sort order above, so its output files
@@ -191,7 +222,8 @@ object LakeMaintenance {
       val w = factory.createWriter(pid, org.apache.spark.TaskContext.get().taskAttemptId())
       rows.foreach(w.write)
       Iterator.single(w.commit())
-    }.collect().toSeq.collect { case LakeCommitMessage(fs) => fs }.flatten
+    }.collect().toSeq.collect { case LakeCommitMessage(fs) => fs }
+      .flatten.map(_.copy(lineageCols = true))
 
     val replaced = small.map(_.path).toSet
     val foldedDeletes = TombstoneRewrite.foldable(spark, covering, replaced,
@@ -1031,7 +1063,8 @@ object LakeMaintenance {
       (c, mins.min, maxs.max)
     }
     val covering = TombstoneRewrite.covering(deletes, current.map(_.path))
-    val df = readLive(spark, t.meta, current, deletes, eqDeletes, hadoopConf)
+    val df = readLive(spark, t.meta, current, deletes, eqDeletes, hadoopConf,
+      lineage = true)
     // 16-bit range rank per column, bit-interleaved into one curve key:
     // z = Σ_bits Σ_cols ((rank_c >> b) & 1) << (b * nCols + c)
     val nCols = ranges.size
@@ -1050,7 +1083,10 @@ object LakeMaintenance {
     val outParts = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val clustered = df.repartitionByRange(outParts, zcol)
       .sortWithinPartitions(zcol)
-    val factory = LakeWriterFactory(t.meta.physicalSchema.json, s"${t.meta.location}/data",
+    val factory = LakeWriterFactory(
+      StructType(t.meta.physicalSchema.fields ++
+        Seq(RowLineage.RidField, RowLineage.RseqField)).json,
+      s"${t.meta.location}/data",
       Nil, new SerializableConfiguration(t.meta.writeConf(hadoopConf)),
       t.meta.physicalBloomColumns, t.meta.targetFileBytes,
       bloomBits = t.meta.fileBloomBits)
@@ -1058,7 +1094,8 @@ object LakeMaintenance {
       val w = factory.createWriter(pid, org.apache.spark.TaskContext.get().taskAttemptId())
       rows.foreach(w.write)
       Iterator.single(w.commit())
-    }.collect().toSeq.collect { case LakeCommitMessage(fs) => fs }.flatten
+    }.collect().toSeq.collect { case LakeCommitMessage(fs) => fs }
+      .flatten.map(_.copy(lineageCols = true))
     val replaced = current.map(_.path).toSet
     val foldedDeletes = TombstoneRewrite.foldable(spark, covering, replaced,
       hadoopConf, allDeletes = deletes)

@@ -62,7 +62,10 @@ final class LakeTable(
     */
   override def metadataColumns(): Array[MetadataColumn] = Array(
     LakeMetaColumn(LakeMetaCols.File, StringType),
-    LakeMetaColumn(LakeMetaCols.Pos, LongType))
+    LakeMetaColumn(LakeMetaCols.Pos, LongType),
+    // row lineage (nullable: files older than lineage surface NULL)
+    LakeMetaColumn(LakeMetaCols.RowId, LongType, nullable = true),
+    LakeMetaColumn(LakeMetaCols.LastSeq, LongType, nullable = true))
   override def properties(): util.Map[String, String] = meta.properties.asJava
   override def version(): String = meta.currentSnapshotId.toString
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
@@ -296,15 +299,37 @@ final class LakeTable(
         // Pending merge-on-read tombstones are folded in (subtracted) before
         // the predicate. Files are read under physical names, relabeled
         // logical for the predicate, rewritten under physical names.
-        val raw = spark.read.schema(meta.physicalSchema)
+        import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, substring_index, when}
+        // survivors are CARRIED rows: their lineage rides as materialized
+        // columns (already-materialized values win, NULL inherits the
+        // file's reserved range/sequence) so a CoW DELETE never changes a
+        // surviving row's _row_id
+        val physLineage = StructType(meta.physicalSchema.fields ++
+          Seq(RowLineage.RidField, RowLineage.RseqField))
+        val raw = spark.read.schema(physLineage)
           .parquet(affected.map(_.path): _*)
         val untombed = TombstoneRewrite.subtract(spark, raw, affected.map(_.path),
           covering, hadoopConf)
-        val survivors = untombed
-          .toDF(schema().fieldNames.toIndexedSeq: _*)
-          .filter(!org.apache.spark.sql.functions.coalesce(
-            cond, org.apache.spark.sql.functions.lit(false)))
-        val factory = LakeWriterFactory(meta.physicalSchema.json, s"${meta.location}/data",
+        def nameOf(p: String) = p.substring(p.lastIndexOf('/') + 1)
+        val lin = spark.createDataFrame(affected.map(f => (nameOf(f.path),
+          if (f.firstRowId > 0) f.firstRowId else -1L,
+          if (f.addedAt > 0) f.addedAt else -1L))).toDF("__lname", "__lbase", "__lseq")
+        val withLin = untombed
+          .withColumn("__gname", substring_index(col("_metadata.file_path"), "/", -1))
+          .withColumn("__gidx", col("_metadata.row_index"))
+          .join(broadcast(lin), col("__gname") === col("__lname"), "left")
+          .withColumn(RowLineage.Rid, coalesce(col(RowLineage.Rid),
+            when(col("__lbase") > 0, col("__lbase") + col("__gidx"))))
+          .withColumn(RowLineage.Rseq, coalesce(col(RowLineage.Rseq),
+            when(col("__lseq") > 0, col("__lseq"))))
+          .drop("__gname", "__gidx", "__lname", "__lbase", "__lseq")
+        // data columns relabel LOGICAL for the predicate; lineage rides
+        val relabeled = withLin.select(
+          schema().fieldNames.toIndexedSeq.zip(meta.physicalSchema.fieldNames).map {
+            case (l, p) => col(p).as(l) } ++
+            Seq(col(RowLineage.Rid), col(RowLineage.Rseq)): _*)
+        val survivors = relabeled.filter(!coalesce(cond, lit(false)))
+        val factory = LakeWriterFactory(physLineage.json, s"${meta.location}/data",
           meta.physicalPartitionColumns, new SerializableConfiguration(meta.writeConf(hadoopConf)),
           meta.physicalBloomColumns, meta.targetFileBytes,
           bloomBits = meta.fileBloomBits)
@@ -312,7 +337,8 @@ final class LakeTable(
           val w = factory.createWriter(pid, org.apache.spark.TaskContext.get().taskAttemptId())
           rows.foreach(w.write)
           Iterator.single(w.commit())
-        }.collect().toSeq.collect { case LakeCommitMessage(fs) => fs }.flatten
+        }.collect().toSeq.collect { case LakeCommitMessage(fs) => fs }
+          .flatten.map(_.copy(lineageCols = true))
       }
     // delete files whose tombstones were all folded into this rewrite die
     // with it — that's what puts the surviving files back on the
@@ -460,6 +486,16 @@ final class LakeRowLevelOperation(
   @volatile private var scanned: Seq[DataFileMeta] = Nil
 
   override def command(): RowLevelOperation.Command = cmd
+
+  // ROW LINEAGE note: Spark's group-based (ReplaceData) write hands the
+  // writer EXACTLY the table columns — requiredMetadataAttributes are
+  // consumed for distribution upstream and stripped before the write, so
+  // lineage cannot ride through this plan. Group-based UPDATE/MERGE (and
+  // DELETEs whose predicate doesn't translate to deleteWhere) therefore
+  // mint fresh row ids for the rewritten files — file-granular CoW
+  // identity. The paths that CAN preserve identity do: deleteWhere,
+  // compaction, z-order (materialized [[RowLineage]] columns), and the
+  // merge-on-read delta path (tombstones never move surviving rows).
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(table.name(), table.schema(),
@@ -1289,6 +1325,8 @@ final class LakeMixedBatch(
             eqs, if (eqs.isEmpty) "" else eqKeySchemaJson,
             splitStart = i.toLong * step,
             splitEnd = if (i == n - 1) Long.MaxValue else (i + 1).toLong * step,
+            firstRowId = f.firstRowId, addedSeq = f.addedAt,
+            lineageCols = f.lineageCols,
             filters = physExprs)
         }
       } ++
@@ -1321,10 +1359,14 @@ final class LakeMixedBatch(
       columnar = columnar)
   }
 
-  // _file (string) and _pos (long) are flat; future metadata columns must
-  // prove themselves before riding the columnar path
+  // all four metadata columns are flat longs/strings; the one columnar
+  // exclusion is lineage over MATERIALIZED files (their _row_id lives in
+  // file columns the vectorized assembly doesn't splice — the row readers
+  // handle them, trading vectorization for correctness on the
+  // post-rewrite niche)
   private def metaColsOk: Boolean = metaCols.forall(m =>
-    ColumnarSupport.flat(LakeMetaCols.fieldOf(m).dataType))
+    ColumnarSupport.flat(LakeMetaCols.fieldOf(m).dataType)) &&
+    (!metaCols.exists(LakeMetaCols.isLineage) || tombstoned.forall(!_._1.lineageCols))
 }
 
 /** An input partition tagged with its partition-key row. */

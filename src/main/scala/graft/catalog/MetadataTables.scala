@@ -109,10 +109,15 @@ object MetadataTables {
       StructField("size_bytes", LongType, nullable = false),
       StructField("min_values", MapType(StringType, StringType)),
       StructField("max_values", MapType(StringType, StringType)),
-      StructField("sorted_by", ArrayType(StringType), nullable = false)))
+      StructField("sorted_by", ArrayType(StringType), nullable = false),
+      // row lineage: the file's reserved id range starts here (null =
+      // pre-lineage file); lineage_cols marks materialized _rid/_rseq
+      StructField("first_row_id", LongType),
+      StructField("lineage_cols", BooleanType, nullable = false)))
     // stats re-keyed to logical column names, same as the pruning boundary
     val rows = meta.logicalStatFiles(meta.currentFiles).map(f =>
-      Row(f.path, f.rowCount, f.sizeBytes, f.minValues, f.maxValues, f.sortCols))
+      Row(f.path, f.rowCount, f.sizeBytes, f.minValues, f.maxValues, f.sortCols,
+        if (f.firstRowId > 0) f.firstRowId else null, f.lineageCols))
     RowsTable(display, schema, rows)
   }
 

@@ -125,9 +125,33 @@ final class PositionalColumnarReader(
     if (part.metaCols.contains(LakeMetaCols.Pos))
       new OnHeapColumnVector(Capacity, LongType)
     else null
+  // row lineage, COMPUTED only: the scan plans materialized-lineage files
+  // onto the row readers (LakeScan.metaColsOk), so here _row_id is always
+  // firstRowId + pos (all-null for pre-lineage files) and the sequence is
+  // a per-file constant
+  private val rowIdVector: OnHeapColumnVector =
+    if (part.metaCols.contains(LakeMetaCols.RowId))
+      new OnHeapColumnVector(Capacity, LongType)
+    else null
+  private val seqVector: ConstantColumnVector =
+    if (part.metaCols.contains(LakeMetaCols.LastSeq)) {
+      val v = new ConstantColumnVector(Capacity, LongType)
+      if (part.addedSeq > 0) v.setLong(part.addedSeq) else v.setNull()
+      v
+    } else null
   private def metaVectorOf(name: String): ColumnVector = name match {
     case LakeMetaCols.File => fileVector
     case LakeMetaCols.Pos => posVector
+    case LakeMetaCols.RowId => rowIdVector
+    case LakeMetaCols.LastSeq => seqVector
+  }
+  /** Refill _row_id for rows at positions startPos..startPos+n-1. */
+  private def fillRowIds(startPos: Long, n: Int): Unit = if (rowIdVector != null) {
+    rowIdVector.reset()
+    if (part.firstRowId > 0) {
+      var i = 0
+      while (i < n) { rowIdVector.putLong(i, part.firstRowId + startPos + i); i += 1 }
+    } else rowIdVector.putNulls(0, n)
   }
 
   private var runIdx = -1
@@ -200,6 +224,7 @@ final class PositionalColumnarReader(
             var i = 0
             while (i < n) { posVector.putLong(i, start + i); i += 1 }
           }
+          fillRowIds(start, n)
           passthrough += 1
           current = withMeta(dataVectors(batch), n)
           return true
@@ -224,6 +249,7 @@ final class PositionalColumnarReader(
             var j = 0
             while (j < n) { posVector.putLong(j, start + j); j += 1 }
           }
+          fillRowIds(start, n)
           passthrough += 1
           current = withMeta(dataVectors(batch), n)
           return true
@@ -251,6 +277,16 @@ final class PositionalColumnarReader(
               case LakeMetaCols.Pos =>
                 var j = 0
                 while (j < m) { v.putLong(j, start + live(j)); j += 1 }
+              case LakeMetaCols.RowId =>
+                if (part.firstRowId > 0) {
+                  var j = 0
+                  while (j < m) { v.putLong(j, part.firstRowId + start + live(j)); j += 1 }
+                } else v.putNulls(0, m)
+              case LakeMetaCols.LastSeq =>
+                if (part.addedSeq > 0) {
+                  var j = 0
+                  while (j < m) { v.putLong(j, part.addedSeq); j += 1 }
+                } else v.putNulls(0, m)
             }
           }
           compacted += 1
@@ -283,6 +319,8 @@ final class PositionalColumnarReader(
     if (reader != null) reader.close()
     if (posVector != null) posVector.close()
     if (fileVector != null) fileVector.close()
+    if (rowIdVector != null) rowIdVector.close()
+    if (seqVector != null) seqVector.close()
   }
 }
 

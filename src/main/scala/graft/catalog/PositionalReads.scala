@@ -24,19 +24,48 @@ import org.apache.spark.util.SerializableConfiguration
   * they're queryable directly (`SELECT _file, _pos FROM t`) for
   * lineage/debugging, exactly like Iceberg/Delta expose them.
   */
-final case class LakeMetaColumn(name: String, dataType: DataType)
+final case class LakeMetaColumn(name: String, dataType: DataType,
+    nullable: Boolean = false)
   extends org.apache.spark.sql.connector.catalog.MetadataColumn {
-  override def isNullable: Boolean = false
+  override def isNullable: Boolean = nullable
 }
 
 object LakeMetaCols {
   val File = "_file"
   val Pos = "_pos"
-  def isMeta(name: String): Boolean = name == File || name == Pos
+  // ROW LINEAGE (Iceberg v3): a row's table-lifetime-unique id and the
+  // commit sequence that last produced it. Computed from metadata
+  // (`firstRowId + _pos`) for ordinary files; rewrites that must preserve
+  // identity materialize them as [[RowLineage]] columns, whose non-NULL
+  // values win (NULL inherits the file's range/sequence).
+  val RowId = "_row_id"
+  val LastSeq = "_last_updated_seq"
+  def isMeta(name: String): Boolean =
+    name == File || name == Pos || name == RowId || name == LastSeq
+  def isLineage(name: String): Boolean = name == RowId || name == LastSeq
   def fieldOf(name: String): StructField = name match {
     case File => StructField(File, StringType, nullable = false)
     case Pos => StructField(Pos, LongType, nullable = false)
+    case RowId => StructField(RowId, LongType, nullable = true)
+    case LastSeq => StructField(LastSeq, LongType, nullable = true)
   }
+}
+
+/** Physical names of the MATERIALIZED row-lineage columns carried by
+  * files that identity-preserving rewrites (compaction, z-order, CoW
+  * DELETE) produce. Not part of the table schema — ordinary scans never
+  * read them; lineage-requesting scans over `lineageCols` files add them
+  * to the read schema and surface them through `_row_id` /
+  * `_last_updated_seq`. NULL values inherit (fresh id from the file's
+  * reserved range; the file's own commit sequence) — Iceberg v3's
+  * null-inherits contract, which is what lets a rewrite mark only the
+  * CARRIED rows and leave changed/new rows to the metadata defaults.
+  */
+object RowLineage {
+  val Rid = "_graft_rid"
+  val Rseq = "_graft_rseq"
+  val RidField: StructField = StructField(Rid, LongType, nullable = true)
+  val RseqField: StructField = StructField(Rseq, LongType, nullable = true)
 }
 
 /** Positional delete files: parquet of `(file_path string, pos long)`,
@@ -444,6 +473,11 @@ final case class PositionalInputPartition(
     eqKeySchemaJson: String = "",
     splitStart: Long = 0L,
     splitEnd: Long = Long.MaxValue,
+    // row lineage: the file's reserved id base (0 = pre-lineage), its
+    // commit sequence, and whether it carries materialized lineage columns
+    firstRowId: Long = 0L,
+    addedSeq: Long = 0L,
+    lineageCols: Boolean = false,
     // pushed data filters (PHYSICAL names) for row-group stats pruning —
     // best-effort ONLY: the scan reports every filter as post-scan, so a
     // kept group's non-matching rows still die in Spark's Filter above
@@ -677,8 +711,16 @@ final class PositionalRowReader(
   private val keySchema: StructType =
     if (part.eqDeletePaths.isEmpty) new StructType()
     else DataType.fromJson(part.eqKeySchemaJson).asInstanceOf[StructType]
+  // lineage-requesting reads of a MATERIALIZED file also read the
+  // _graft_rid/_graft_rseq columns (absent columns clip to null — which
+  // the inherit rules below turn back into computed values)
+  private val needLineageCols =
+    part.lineageCols && part.metaCols.exists(LakeMetaCols.isLineage)
   private val readSchema = StructType(outSchema.fields ++
-    keySchema.fields.filterNot(f => outSchema.fieldNames.contains(f.name)))
+    keySchema.fields.filterNot(f => outSchema.fieldNames.contains(f.name)) ++
+    (if (needLineageCols) Seq(RowLineage.RidField, RowLineage.RseqField) else Nil))
+  private val ridCol = if (needLineageCols) readSchema.fieldIndex(RowLineage.Rid) else -1
+  private val rseqCol = if (needLineageCols) readSchema.fieldIndex(RowLineage.Rseq) else -1
 
   private val (runs, deleted, prunedGroups) = PositionalRuns.plan(part, conf, outSchema)
   private var tombstonedRows = 0L
@@ -714,13 +756,18 @@ final class PositionalRowReader(
     }
   }
 
-  // appended metadata values: constant _file, running _pos
+  // appended metadata values: constant _file (+ _last_updated_seq when not
+  // materialized), running _pos, per-row lineage
   private val metaRow = new GenericInternalRow(part.metaCols.length)
   part.metaCols.zipWithIndex.foreach {
     case (LakeMetaCols.File, i) => metaRow.update(i, UTF8String.fromString(part.dataPath))
+    case (LakeMetaCols.LastSeq, i) if !needLineageCols =>
+      metaRow.update(i, if (part.addedSeq > 0) part.addedSeq else null)
     case _ => ()
   }
   private val posIdx = part.metaCols.indexOf(LakeMetaCols.Pos)
+  private val rowIdIdx = part.metaCols.indexOf(LakeMetaCols.RowId)
+  private val seqIdx = part.metaCols.indexOf(LakeMetaCols.LastSeq)
   private val joined = new JoinedRow
   // output = requested data columns (the readSchema prefix) + metadata cols
   private val toUnsafe = UnsafeProjection.create(
@@ -761,6 +808,21 @@ final class PositionalRowReader(
           eqDeletedRows += 1
         } else {
           if (posIdx >= 0) metaRow.update(posIdx, pos)
+          if (rowIdIdx >= 0) {
+            // materialized value wins; NULL inherits the file's range
+            val rid =
+              if (ridCol >= 0 && !row.isNullAt(ridCol)) row.getLong(ridCol)
+              else if (part.firstRowId > 0) part.firstRowId + pos
+              else -1L
+            metaRow.update(rowIdIdx, if (rid >= 0) rid else null)
+          }
+          if (seqIdx >= 0 && needLineageCols) {
+            val rseq =
+              if (rseqCol >= 0 && !row.isNullAt(rseqCol)) row.getLong(rseqCol)
+              else if (part.addedSeq > 0) part.addedSeq
+              else -1L
+            metaRow.update(seqIdx, if (rseq >= 0) rseq else null)
+          }
           current = toUnsafe(joined(row, metaRow))
           return true
         }

@@ -35,7 +35,19 @@ final case class DataFileMeta(
     // deserializes to) means a parquet (file_path, pos) delete file.
     // rowCount = bitmap cardinality, min/maxValues carry the exact target.
     dvOffset: Long = 0L,
-    dvLength: Long = 0L) {
+    dvLength: Long = 0L,
+    // ROW LINEAGE (Iceberg v3): the base row id of this file's assigned
+    // range — commits reserve [firstRowId, firstRowId + rowCount) per new
+    // data file, so `_row_id = firstRowId + _pos` without reading
+    // anything. 0 = file added before lineage existed (rows surface NULL
+    // ids until a rewrite materializes them). When `lineageCols` is set
+    // (rewrites that must PRESERVE identity: compaction, z-order, CoW
+    // DELETE), the file carries materialized `_graft_rid`/`_graft_rseq`
+    // columns whose non-NULL values win over the computed id; NULL
+    // inherits (fresh id from the file's range / the file's own commit
+    // sequence) — Iceberg v3's exact null-inherits contract.
+    firstRowId: Long = 0L,
+    lineageCols: Boolean = false) {
   /** Null-safe accessor (documents written before null tracking). */
   def nulls: Map[String, Long] = if (nullCounts == null) Map.empty else nullCounts
   /** Null-safe accessor (documents written before sort-order tracking). */
@@ -125,7 +137,12 @@ final case class TableMeta(
     // stamp their snapshot with the current id; ALTERs that change the
     // schema bump it). O(alters), never O(snapshots).
     schemas: Map[String, String] = Map.empty,
-    currentSchemaId: Int = 0) { // 0 = legacy doc (treated as id 1)
+    currentSchemaId: Int = 0, // 0 = legacy doc (treated as id 1)
+    // ROW LINEAGE high-water mark: the next unassigned row id. Every
+    // commit that adds data files reserves contiguous per-file ranges
+    // from here (CAS rebase re-stamps against the fresh base, so racing
+    // writers can never overlap). 0 = pre-lineage doc; ids start at 1.
+    nextRowId: Long = 0L) {
 
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 
@@ -732,13 +749,32 @@ object TableMeta {
   // manifests that contain a replaced file. The metadata document itself
   // stays O(snapshots × manifests-per-snapshot) — never O(total files).
 
+  /** ROW-LINEAGE stamping: reserve a contiguous id range per new DATA
+    * file from the table's high-water mark. Runs inside every commit
+    * builder — and commit builders run inside the CAS rebase-retry loop,
+    * so a racing writer re-stamps against the fresh base and ranges can
+    * never overlap. O(new files) driver work, nothing read or written.
+    */
+  private def stampRowIds(base: TableMeta,
+      files: Seq[DataFileMeta]): (TableMeta, Seq[DataFileMeta]) = {
+    if (files.isEmpty) return (base, files)
+    var next = math.max(base.nextRowId, 1L)
+    val stamped = files.map { f =>
+      val s = f.copy(firstRowId = next)
+      next += f.rowCount
+      s
+    }
+    (base.copy(nextRowId = next), stamped)
+  }
+
   /** Append commit: O(new files) written, everything else by reference.
     * `advance = false` stages the snapshot without moving the current
     * pointer (write-audit-publish).
     */
-  def withAppend(base: TableMeta, operation: String, newFiles: Seq[DataFileMeta],
+  def withAppend(base0: TableMeta, operation: String, newFiles0: Seq[DataFileMeta],
       conf: Configuration, extraProps: Map[String, String] = Map.empty,
       advance: Boolean = true): TableMeta = {
+    val (base, newFiles) = stampRowIds(base0, newFiles0)
     val snapId = base.nextSnapshotId
     val prev = base.snapshot(base.currentSnapshotId)
       .map(normalized(base, _, conf)).getOrElse(Nil)
@@ -749,8 +785,9 @@ object TableMeta {
   }
 
   /** Overwrite / create / replace: exactly the new files, fresh manifest. */
-  def withOverwrite(base: TableMeta, operation: String, newFiles: Seq[DataFileMeta],
+  def withOverwrite(base0: TableMeta, operation: String, newFiles0: Seq[DataFileMeta],
       conf: Configuration): TableMeta = {
+    val (base, newFiles) = stampRowIds(base0, newFiles0)
     val snapId = base.nextSnapshotId
     val ms =
       if (newFiles.isEmpty) Nil
@@ -765,9 +802,12 @@ object TableMeta {
     * Callers validate replaced-still-live first
     * ([[CasCommit.requireReplacedLive]]).
     */
-  def withRewrite(base: TableMeta, operation: String, replacedPaths: Set[String],
-      newFiles: Seq[DataFileMeta], conf: Configuration,
+  def withRewrite(base0: TableMeta, operation: String, replacedPaths: Set[String],
+      newFiles0: Seq[DataFileMeta], conf: Configuration,
       newContent: String = "data"): TableMeta = {
+    // delete-manifest rewrites (consolidation) must not consume id space
+    val (base, newFiles) =
+      if (newContent == "data") stampRowIds(base0, newFiles0) else (base0, newFiles0)
     val snapId = base.nextSnapshotId
     val kept = base.snapshot(base.currentSnapshotId)
       .map(normalized(base, _, conf)).getOrElse(Nil)
@@ -796,10 +836,11 @@ object TableMeta {
     * bytes, not O(rewritten gigabytes). Callers validate that the delete
     * targets are still live first.
     */
-  def withDelta(base: TableMeta, operation: String, newDataFiles: Seq[DataFileMeta],
+  def withDelta(base0: TableMeta, operation: String, newDataFiles0: Seq[DataFileMeta],
       newDeleteFiles: Seq[DataFileMeta], conf: Configuration,
       deleteContent: String = "deletes",
       extraProps: Map[String, String] = Map.empty): TableMeta = {
+    val (base, newDataFiles) = stampRowIds(base0, newDataFiles0)
     val snapId = base.nextSnapshotId
     val prev = base.snapshot(base.currentSnapshotId)
       .map(normalized(base, _, conf)).getOrElse(Nil)
@@ -901,8 +942,11 @@ object TableMeta {
     * its parent is the branch head, the main pointer does not move, and the
     * `branch.<name>` ref advances — all in the same atomic document swap.
     */
-  def withBranchAppend(base: TableMeta, branch: String, newFiles: Seq[DataFileMeta],
+  def withBranchAppend(base0: TableMeta, branch: String, newFiles0: Seq[DataFileMeta],
       conf: Configuration): TableMeta = {
+    // id space is TABLE-global (one high-water mark across refs), so
+    // branch rows keep their ids through cherry-pick/fast-forward
+    val (base, newFiles) = stampRowIds(base0, newFiles0)
     val headId = base.properties.get(s"branch.$branch").map(_.toLong).getOrElse(
       throw new IllegalArgumentException(s"no branch '$branch' on this table"))
     val snapId = base.nextSnapshotId

@@ -194,6 +194,53 @@ object CatalogQueries {
     },
 
     QueryDef.df(
+      "q111_row_lineage",
+      // ROW LINEAGE (Iceberg v3): ids are assigned per committed file from
+      // the table's high-water mark, `_row_id = first_row_id + _pos`. The
+      // writes here are deterministic (REPARTITION(1) + write.sort-order),
+      // so DuckDB replays the id assignment exactly: era-0 rows get
+      // row_number() in key order, era-1 rows continue after them. The MoR
+      // DELETE then COMPACTION in the middle are the point: tombstones
+      // must not move surviving ids, and the compaction rewrite must carry
+      // them through MATERIALIZED lineage columns — a hash match pins the
+      // whole identity chain.
+      """WITH e0 AS (
+        |  SELECT c_custkey AS k,
+        |    row_number() OVER (ORDER BY c_custkey) AS rid
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        |e1 AS (
+        |  SELECT c_custkey AS k,
+        |    (SELECT count(*) FROM e0) + row_number() OVER (ORDER BY c_custkey) AS rid
+        |  FROM customer WHERE c_custkey % 2 = 1),
+        |united AS (SELECT * FROM e0 UNION ALL SELECT * FROM e1)
+        |SELECT CAST(k % 2 AS BIGINT) AS era, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(rid) AS BIGINT) AS rid_sum,
+        |  CAST(min(rid) AS BIGINT) AS rid_min, CAST(max(rid) AS BIGINT) AS rid_max
+        |FROM united WHERE k % 13 <> 0 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS lake.verify")
+      s.sql("DROP TABLE IF EXISTS lake.verify.cust_rl")
+      s.sql(
+        """CREATE TABLE lake.verify.cust_rl
+          |TBLPROPERTIES ('write.sort-order'='k',
+          |               'write.delete.mode'='merge-on-read')
+          |AS SELECT /*+ REPARTITION(1) */ c_custkey AS k
+          |FROM customer WHERE c_custkey % 2 = 0""".stripMargin)
+      s.sql(
+        """INSERT INTO lake.verify.cust_rl
+          |SELECT /*+ REPARTITION(1) */ c_custkey
+          |FROM customer WHERE c_custkey % 2 = 1""".stripMargin)
+      s.sql("DELETE FROM lake.verify.cust_rl WHERE k % 13 = 0")
+      graft.catalog.LakeMaintenance.compact(s, "lake.verify.cust_rl")
+      s.sql(
+        """SELECT CAST(k % 2 AS BIGINT) AS era, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(_row_id) AS BIGINT) AS rid_sum,
+          |  CAST(min(_row_id) AS BIGINT) AS rid_min,
+          |  CAST(max(_row_id) AS BIGINT) AS rid_max
+          |FROM lake.verify.cust_rl GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+
+    QueryDef.df(
       "q63_upsert_roundtrip",
       // Oracle = the merged state computed from scratch (DuckDB's view of
       // INSERT .. ON CONFLICT DO UPDATE): epoch-2 keys (%16=0 overwrites,

@@ -122,7 +122,8 @@ class GoldenSpec extends AnyFunSuite {
     "q107_bpe_encode" -> 32L,
     "q108_mor_split_scan" -> 10L,
     "q109_dv_roundtrip" -> 2L,
-    "q110_column_defaults" -> 7L)
+    "q110_column_defaults" -> 7L,
+    "q111_row_lineage" -> 2L)
 
   test("every registered query has a golden count (add one when adding a query)") {
     assert(SparkEntry.queries.keySet == golden.keySet,

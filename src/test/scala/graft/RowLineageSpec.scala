@@ -1,0 +1,173 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Row lineage (Iceberg v3): every committed data file reserves a
+  * contiguous id range from the table's high-water mark, so
+  * `_row_id = first_row_id + _pos` is a pure-metadata read;
+  * `_last_updated_seq` is the commit sequence that produced the row.
+  * Identity-preserving rewrites (compaction, z-order, CoW DELETE)
+  * materialize both as [[graft.catalog.RowLineage]] columns, NULL
+  * inheriting the file's range/sequence.
+  */
+class RowLineageSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def uniq(p: String) = s"$p${System.nanoTime() % 1000000}"
+  private def tbl(p: String): String = {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.rl")
+    s"lake.rl.${uniq(p)}"
+  }
+  private def filesOf(t: String) = {
+    val Array(c, ns, n) = t.split('.')
+    spark.sql(s"SELECT path, row_count, first_row_id, lineage_cols FROM $c.$ns.`$n$$files`")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3)))
+  }
+
+  test("appends reserve contiguous disjoint id ranges; _row_id = base + pos") {
+    val t = tbl("asg")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, concat('a', id) FROM range(0, 100)")
+    spark.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, concat('b', id) FROM range(100, 150)")
+    val fs = filesOf(t)
+    assert(fs.length == 2 && fs.forall(_._3 > 0), s"every file assigned: ${fs.toSeq}")
+    // ranges are disjoint and cover exactly rowCount each
+    val ranges = fs.map(f => (f._3, f._3 + f._2)).sortBy(_._1)
+    assert(ranges.sliding(2).forall { case Array((_, e1), (s2, _)) => s2 >= e1; case _ => true })
+    // ids are unique across the table and equal base + pos
+    val rows = spark.sql(s"SELECT _row_id, _file, _pos FROM $t").collect()
+    assert(rows.length == 150 && rows.forall(!_.isNullAt(0)))
+    assert(rows.map(_.getLong(0)).distinct.length == 150)
+    val baseOf = fs.map(f => (f._1, f._3)).toMap
+    assert(rows.forall(r => r.getLong(0) == baseOf(r.getString(1)) + r.getLong(2)))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("_last_updated_seq is the producing commit; MoR DELETE keeps survivor ids") {
+    val t = tbl("mor")
+    spark.sql(s"CREATE TABLE $t (k BIGINT) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id FROM range(0, 100)")
+    spark.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id FROM range(100, 200)")
+    val seqs = spark.sql(s"SELECT DISTINCT _last_updated_seq FROM $t")
+      .collect().map(_.getLong(0)).sorted
+    assert(seqs.length == 2 && seqs(0) < seqs(1), s"per-commit sequences: ${seqs.toSeq}")
+    val before = spark.sql(s"SELECT k, _row_id FROM $t WHERE k % 7 <> 0")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    spark.sql(s"DELETE FROM $t WHERE k % 7 = 0")
+    val after = spark.sql(s"SELECT k, _row_id FROM $t")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(after == before, "tombstoning must not move surviving rows' ids")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("row and columnar MoR paths agree on lineage values") {
+    val t = tbl("rc")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, concat('x', id) FROM range(0, 500)")
+    spark.sql(s"DELETE FROM $t WHERE k % 9 = 0")
+    def read() = spark.sql(s"SELECT k, _row_id, _last_updated_seq FROM $t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val columnar = read()
+    System.setProperty("graft.mor.columnar", "false")
+    try {
+      val rowMode = read()
+      assert(columnar == rowMode)
+    } finally System.clearProperty("graft.mor.columnar")
+    assert(columnar.length == 500 - 56)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("compaction preserves every row's _row_id and _last_updated_seq (materialized)") {
+    val t = tbl("cpk")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, concat('a', id) FROM range(0, 300)")
+    spark.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, concat('b', id) FROM range(300, 500)")
+    spark.sql(s"DELETE FROM $t WHERE k % 11 = 0")
+    def lineage() = spark.sql(s"SELECT k, _row_id, _last_updated_seq FROM $t")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val before = lineage()
+    graft.catalog.LakeMaintenance.compact(spark, t)
+    val fs = filesOf(t)
+    assert(fs.forall(_._4), s"compacted files must carry materialized lineage: ${fs.toSeq}")
+    assert(lineage() == before, "compaction must not change row identity")
+    // a second compaction round-trips the MATERIALIZED values too
+    spark.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, concat('c', id) FROM range(500, 600)")
+    val before2 = lineage()
+    graft.catalog.LakeMaintenance.compact(spark, t, smallFileBytes = 64L * 1024 * 1024)
+    assert(lineage() == before2, "re-compaction must carry materialized ids through")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("copy-on-write DELETE (translatable predicate) preserves surviving rows' lineage") {
+    val t = tbl("cow")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, id * 1.5 FROM range(0, 400)")
+    val before = spark.sql(s"SELECT k, _row_id, _last_updated_seq FROM $t WHERE k >= 80")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    spark.sql(s"DELETE FROM $t WHERE k < 80") // range predicate -> deleteWhere rewrite
+    val after = spark.sql(s"SELECT k, _row_id, _last_updated_seq FROM $t")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(after == before, "CoW rewrite must not change surviving rows' identity")
+    assert(filesOf(t).forall(_._4))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("group-based CoW UPDATE mints fresh UNIQUE ids (documented file-granular identity)") {
+    // Spark's ReplaceData write strips metadata attributes before the
+    // writer, so the group-based rewrite cannot carry ids — the contract
+    // here is: still unique, still dense, new range, new sequence
+    val t = tbl("upd")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, concat('o', id) FROM range(0, 200)")
+    val maxBefore = spark.sql(s"SELECT max(_row_id) AS m FROM $t").head().getLong(0)
+    spark.sql(s"UPDATE $t SET v = concat('n', k) WHERE k % 3 = 0")
+    val rows = spark.sql(s"SELECT k, v, _row_id, _last_updated_seq FROM $t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 200)
+    assert(rows.forall { case (k, v, _, _) =>
+      v == (if (k % 3 == 0) s"n$k" else s"o$k") })
+    val ids = rows.map(_._3)
+    assert(ids.distinct.length == 200 && ids.forall(_ > maxBefore),
+      "rewritten file must carry a fresh disjoint id range")
+    val seqs = rows.map(_._4).distinct
+    assert(seqs.length == 1 && seqs.head > 1, s"rewritten file's sequence: ${seqs.toSeq}")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("z-order rewrite shuffles layout but not identity; time travel sees the same ids") {
+    val t = tbl("zo")
+    spark.sql(s"CREATE TABLE $t (x BIGINT, y BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id % 50, id / 50 FROM range(0, 2500)")
+    val v1 = spark.sql(s"SELECT x, y, _row_id FROM $t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.catalog.LakeMaintenance.zorderCompact(spark, t, Seq("x", "y"))
+    val v2 = spark.sql(s"SELECT x, y, _row_id FROM $t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(v2 == v1, "z-order must preserve identity")
+    // the pre-rewrite snapshot answers with the SAME ids (computed there)
+    val tt = spark.sql(s"SELECT x, y, _row_id FROM $t VERSION AS OF 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tt == v1, "row ids must be stable across time travel")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("racing appends never overlap id ranges (CAS rebase re-stamps)") {
+    val t = tbl("race")
+    spark.sql(s"CREATE TABLE $t (k BIGINT)")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (0 until 4).map(i => Future {
+      spark.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id FROM range(${i * 50}, ${i * 50 + 50})")
+    })
+    Await.result(Future.sequence(fs), 120.seconds)
+    val ids = spark.sql(s"SELECT _row_id FROM $t").collect().map(_.getLong(0))
+    assert(ids.length == 200 && ids.distinct.length == 200,
+      "concurrent commits must reserve disjoint ranges")
+    spark.sql(s"DROP TABLE $t")
+  }
+}
