@@ -45,9 +45,19 @@ final class LakeDeltaOperation(
   override def rowId(): Array[NamedReference] =
     Array(Expressions.column(LakeMetaCols.File), Expressions.column(LakeMetaCols.Pos))
 
-  // UPDATE = DELETE + INSERT: one writer shape (tombstone + data) serves
-  // all three commands
-  override def representUpdateAsDeleteAndInsert(): Boolean = true
+  /** ROW LINEAGE through updates: the scan serves each matched row's
+    * current `_row_id`; `update()` writes it into the replacement row's
+    * materialized [[RowLineage]] column — an updated row KEEPS its id
+    * (Iceberg v3's update contract), while its `_last_updated_seq`
+    * inherits the delta commit's sequence. MERGE-inserted rows carry NULL
+    * and inherit fresh ids from the new file's reserved range.
+    */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(LakeMetaCols.RowId))
+
+  // UPDATE stays an update operation (NOT delete+insert) so the writer
+  // sees (metadata, id, row) together and can preserve the row's identity
+  override def representUpdateAsDeleteAndInsert(): Boolean = false
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(table.name(), table.schema(),
@@ -211,10 +221,19 @@ final class LakeDeltaWriter(
   // one immutable .dv file for the task at commit
   private var dvW: DvContainerWriter = _
 
+  // insert files carry a materialized _graft_rid column: NULL for genuine
+  // inserts (the row inherits a fresh id from the file's reserved range),
+  // the PRESERVED id for updated rows (see requiredMetadataAttributes)
+  private val insertSchema = StructType(
+    DataType.fromJson(physDataSchemaJson).asInstanceOf[StructType].fields :+
+      RowLineage.RidField)
+  private val ridRow = new GenericInternalRow(1)
+  private val joinedInsert = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+
   private def insertWriter(): LakeDataWriter = {
     if (insertW == null)
       insertW = new LakeDataWriter(
-        DataType.fromJson(physDataSchemaJson).asInstanceOf[StructType],
+        insertSchema,
         s"$dataDir/part-$partitionId-$taskId-${java.util.UUID.randomUUID()}",
         physPartCols, conf)
     insertW
@@ -243,16 +262,25 @@ final class LakeDeltaWriter(
     }
   }
 
-  override def insert(row: InternalRow): Unit = insertWriter().write(row)
+  override def insert(row: InternalRow): Unit = {
+    ridRow.update(0, null)
+    insertWriter().write(joinedInsert(row, ridRow))
+  }
 
-  // not called while representUpdateAsDeleteAndInsert = true, but complete
+  /** UPDATE: tombstone the old position AND re-insert with the row's
+    * preserved `_row_id` materialized (metadata col 0 — NULL only for
+    * pre-lineage rows, which stay NULL).
+    */
   override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
-    delete(meta, id); insert(row)
+    delete(meta, id)
+    ridRow.update(0, if (meta.isNullAt(0)) null else meta.getLong(0))
+    insertWriter().write(joinedInsert(row, ridRow))
   }
 
   override def commit(): WriterCommitMessage = {
     val dataFiles = Option(insertW).map(_.commit()).collect {
       case LakeCommitMessage(fs) => fs }.getOrElse(Nil)
+      .map(_.copy(lineageCols = true))
     val deleteFiles = Option(deleteW).map(_.commit()).collect {
       case LakeCommitMessage(fs) => fs }.getOrElse(Nil) ++
       Option(dvW).map(_.commit()).getOrElse(Nil)

@@ -138,6 +138,45 @@ class RowLineageSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("merge-on-read UPDATE preserves _row_id; MERGE inserts get fresh ids") {
+    val t = tbl("mupd")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING) TBLPROPERTIES (" +
+      "'write.update.mode'='merge-on-read','write.merge.mode'='merge-on-read'," +
+      "'write.delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, concat('o', id) FROM range(0, 300)")
+    val before = spark.sql(s"SELECT k, _row_id FROM $t")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    spark.sql(s"UPDATE $t SET v = concat('n', k) WHERE k % 4 = 0")
+    val afterUpd = spark.sql(s"SELECT k, v, _row_id, _last_updated_seq FROM $t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(afterUpd.length == 300)
+    assert(afterUpd.forall { case (k, v, _, _) =>
+      v == (if (k % 4 == 0) s"n$k" else s"o$k") })
+    assert(afterUpd.map(r => (r._1, r._3)).toMap == before,
+      "MoR UPDATE must preserve _row_id for updated rows")
+    // updated rows carry the NEW sequence, untouched rows the old one
+    val updSeqs = afterUpd.filter(_._1 % 4 == 0).map(_._4).distinct
+    val oldSeqs = afterUpd.filter(_._1 % 4 != 0).map(_._4).distinct
+    assert(oldSeqs.length == 1 && updSeqs.length == 1 && updSeqs.head > oldSeqs.head,
+      s"updated rows must advance _last_updated_seq: upd=$updSeqs old=$oldSeqs")
+    // MERGE: update-action preserves, insert-action mints fresh
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW mupd_src AS " +
+      s"SELECT id AS k, concat('m', id) AS v FROM range(250, 350)")
+    spark.sql(
+      s"""MERGE INTO $t USING mupd_src s ON $t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val afterMerge = spark.sql(s"SELECT k, _row_id FROM $t")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(afterMerge.size == 350)
+    assert((0L until 300L).forall(k => afterMerge(k) == before(k)),
+      "MERGE update-action must preserve ids")
+    val freshIds = (300L until 350L).map(afterMerge)
+    assert(freshIds.toSet.size == 50 && freshIds.forall(_ > before.values.max),
+      "MERGE insert-action rows take fresh ids")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("z-order rewrite shuffles layout but not identity; time travel sees the same ids") {
     val t = tbl("zo")
     spark.sql(s"CREATE TABLE $t (x BIGINT, y BIGINT)")
