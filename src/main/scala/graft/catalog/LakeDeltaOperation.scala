@@ -50,10 +50,14 @@ final class LakeDeltaOperation(
     * materialized [[RowLineage]] column — an updated row KEEPS its id
     * (Iceberg v3's update contract), while its `_last_updated_seq`
     * inherits the delta commit's sequence. MERGE-inserted rows carry NULL
-    * and inherit fresh ids from the new file's reserved range.
+    * and inherit fresh ids from the new file's reserved range. DELETE
+    * never consumes the attribute, so it is not requested there — keeps
+    * the find-matching-rows scan columnar even after rewrites
+    * materialized lineage columns.
     */
   override def requiredMetadataAttributes(): Array[NamedReference] =
-    Array(Expressions.column(LakeMetaCols.RowId))
+    if (cmd == RowLevelOperation.Command.DELETE) Array.empty
+    else Array(Expressions.column(LakeMetaCols.RowId))
 
   // UPDATE stays an update operation (NOT delete+insert) so the writer
   // sees (metadata, id, row) together and can preserve the row's identity
@@ -262,25 +266,33 @@ final class LakeDeltaWriter(
     }
   }
 
+  // true once update() materialized at least one preserved id — insert-only
+  // files (pure MERGE inserts) carry an all-NULL _graft_rid column and are
+  // NOT flagged, so they stay on the computed/columnar lineage path
+  private var wroteRid = false
+
   override def insert(row: InternalRow): Unit = {
     ridRow.update(0, null)
     insertWriter().write(joinedInsert(row, ridRow))
   }
 
   /** UPDATE: tombstone the old position AND re-insert with the row's
-    * preserved `_row_id` materialized (metadata col 0 — NULL only for
-    * pre-lineage rows, which stay NULL).
+    * preserved `_row_id` materialized (metadata col 0). A pre-lineage
+    * row arrives with NULL — written through as NULL, which the readers'
+    * null-inherits rule resolves to a fresh id from this file's reserved
+    * range (the row gains an identity here, same as Iceberg v3).
     */
   override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
     delete(meta, id)
-    ridRow.update(0, if (meta.isNullAt(0)) null else meta.getLong(0))
+    if (meta.isNullAt(0)) ridRow.update(0, null)
+    else { ridRow.update(0, meta.getLong(0)); wroteRid = true }
     insertWriter().write(joinedInsert(row, ridRow))
   }
 
   override def commit(): WriterCommitMessage = {
     val dataFiles = Option(insertW).map(_.commit()).collect {
       case LakeCommitMessage(fs) => fs }.getOrElse(Nil)
-      .map(_.copy(lineageCols = true))
+      .map(_.copy(lineageCols = wroteRid))
     val deleteFiles = Option(deleteW).map(_.commit()).collect {
       case LakeCommitMessage(fs) => fs }.getOrElse(Nil) ++
       Option(dvW).map(_.commit()).getOrElse(Nil)

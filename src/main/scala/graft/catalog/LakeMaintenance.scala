@@ -70,8 +70,11 @@ object LakeMaintenance {
     val phys0 = meta.physicalSchema
     val phys = if (!lineage) phys0
       else StructType(phys0.fields ++ Seq(RowLineage.RidField, RowLineage.RseqField))
-    if (lineage) require(!phys0.fieldNames.contains(RowLineage.Rid),
-      s"table column collides with reserved lineage column ${RowLineage.Rid}")
+    if (lineage) require(
+      !phys0.fieldNames.contains(RowLineage.Rid) &&
+        !phys0.fieldNames.contains(RowLineage.Rseq),
+      s"table column collides with a reserved lineage column " +
+        s"(${RowLineage.Rid}/${RowLineage.Rseq})")
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], phys)
@@ -117,19 +120,7 @@ object LakeMaintenance {
       }
     val lineaged =
       if (!lineage) live
-      else {
-        // materialized value wins; NULL inherits (file's reserved range /
-        // file's own commit sequence); pre-lineage files stay NULL
-        val lin = spark.createDataFrame(files.map(f => (nameOf(f.path),
-          if (f.firstRowId > 0) f.firstRowId else -1L,
-          if (f.addedAt > 0) f.addedAt else -1L))).toDF("__lname", "__lbase", "__lseq")
-        live.join(broadcast(lin), live("__fname") === lin("__lname"), "left")
-          .withColumn(RowLineage.Rid, coalesce(col(RowLineage.Rid),
-            when(col("__lbase") > 0, col("__lbase") + col("__fpos"))))
-          .withColumn(RowLineage.Rseq, coalesce(col(RowLineage.Rseq),
-            when(col("__lseq") > 0, col("__lseq"))))
-          .drop("__lname", "__lbase", "__lseq")
-      }
+      else RowLineage.inherit(spark, live, files, "__fname", "__fpos")
     lineaged.drop("__fname", "__fpos")
   }
 
@@ -708,7 +699,12 @@ object LakeMaintenance {
           copied.map(_.nBytes).sum, parentId = 0L, schemaId = schemaId)
         TableMeta(meta0.formatVersion, destLoc, schemaJson,
           meta0.partitionColumns, props, s.snapshotId, Seq(snap),
-          meta0.schemas, schemaId)
+          meta0.schemas, schemaId,
+          // the carried files keep their stamped firstRowId ranges, so the
+          // clone MUST inherit the source's row-id high-water mark — a
+          // reset would hand the clone's first insert an overlapping range
+          // (duplicate _row_id values)
+          nextRowId = meta0.nextRowId)
     }
     val loc = TableMeta.write(destMeta, hadoopConf)
     if (!cat.pointerStore.register(dparts(0), dparts(1), loc))

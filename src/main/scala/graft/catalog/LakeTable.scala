@@ -310,19 +310,12 @@ final class LakeTable(
           .parquet(affected.map(_.path): _*)
         val untombed = TombstoneRewrite.subtract(spark, raw, affected.map(_.path),
           covering, hadoopConf)
-        def nameOf(p: String) = p.substring(p.lastIndexOf('/') + 1)
-        val lin = spark.createDataFrame(affected.map(f => (nameOf(f.path),
-          if (f.firstRowId > 0) f.firstRowId else -1L,
-          if (f.addedAt > 0) f.addedAt else -1L))).toDF("__lname", "__lbase", "__lseq")
-        val withLin = untombed
-          .withColumn("__gname", substring_index(col("_metadata.file_path"), "/", -1))
-          .withColumn("__gidx", col("_metadata.row_index"))
-          .join(broadcast(lin), col("__gname") === col("__lname"), "left")
-          .withColumn(RowLineage.Rid, coalesce(col(RowLineage.Rid),
-            when(col("__lbase") > 0, col("__lbase") + col("__gidx"))))
-          .withColumn(RowLineage.Rseq, coalesce(col(RowLineage.Rseq),
-            when(col("__lseq") > 0, col("__lseq"))))
-          .drop("__gname", "__gidx", "__lname", "__lbase", "__lseq")
+        val withLin = RowLineage.inherit(spark,
+          untombed
+            .withColumn("__gname", substring_index(col("_metadata.file_path"), "/", -1))
+            .withColumn("__gidx", col("_metadata.row_index")),
+          affected, "__gname", "__gidx")
+          .drop("__gname", "__gidx")
         // data columns relabel LOGICAL for the predicate; lineage rides
         val relabeled = withLin.select(
           schema().fieldNames.toIndexedSeq.zip(meta.physicalSchema.fieldNames).map {

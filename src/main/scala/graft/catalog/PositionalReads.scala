@@ -66,6 +66,33 @@ object RowLineage {
   val Rseq = "_graft_rseq"
   val RidField: StructField = StructField(Rid, LongType, nullable = true)
   val RseqField: StructField = StructField(Rseq, LongType, nullable = true)
+
+  /** Resolve the CURRENT lineage of every row in a V1 rewrite-read: the
+    * df's existing [[Rid]]/[[Rseq]] columns (read from materialized files;
+    * NULL elsewhere) are overwritten with the inherit rule — materialized
+    * value wins, NULL inherits the file's reserved range (`firstRowId +
+    * ordinal`) / the file's own commit sequence, pre-lineage files stay
+    * NULL. The ONE definition of row identity every identity-preserving
+    * rewrite (compaction, z-order, CoW DELETE) writes through.
+    *
+    * @param nameCol column holding the row's file NAME (last path segment)
+    * @param posCol  column holding the row's 0-based ordinal in that file
+    */
+  def inherit(spark: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame, files: Seq[DataFileMeta],
+      nameCol: String, posCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, when}
+    def nameOf(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+    val lin = spark.createDataFrame(files.map(f => (nameOf(f.path),
+      if (f.firstRowId > 0) f.firstRowId else -1L,
+      if (f.addedAt > 0) f.addedAt else -1L))).toDF("__lname", "__lbase", "__lseq")
+    df.join(broadcast(lin), df(nameCol) === lin("__lname"), "left")
+      .withColumn(Rid, coalesce(col(Rid),
+        when(col("__lbase") > 0, col("__lbase") + col(posCol))))
+      .withColumn(Rseq, coalesce(col(Rseq),
+        when(col("__lseq") > 0, col("__lseq"))))
+      .drop("__lname", "__lbase", "__lseq")
+  }
 }
 
 /** Positional delete files: parquet of `(file_path string, pos long)`,

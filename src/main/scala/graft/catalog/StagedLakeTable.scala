@@ -115,7 +115,11 @@ final class StagedLakeTable(
             // snapshots survive, so VERSION AS OF a pre-replace snapshot
             // still answers (with the staged schema; old files read by-name)
             val prevMeta = TableMeta.read(prev, hadoopConf)
-            val carried = baseMeta.copy(snapshots = prevMeta.snapshots)
+            // prior snapshots stay time-travelable, so the row-id
+            // high-water mark must carry too — restarting it would reuse
+            // ids that still name rows on the retained timeline
+            val carried = baseMeta.copy(snapshots = prevMeta.snapshots,
+              nextRowId = prevMeta.nextRowId)
             val replLoc = TableMeta.write(
               TableMeta.withOverwrite(carried, "replace", stagedFiles, hadoopConf),
               hadoopConf)

@@ -194,6 +194,31 @@ class RowLineageSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("clone and REPLACE TABLE carry the id high-water mark: no duplicate ids after") {
+    val t = tbl("hwm")
+    val Array(_, ns, n) = t.split('.')
+    spark.sql(s"CREATE TABLE $t (k BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id FROM range(0, 100)")
+    // zero-copy clone: carried files keep their stamped ranges — the
+    // clone's own inserts must continue ABOVE them, never overlap
+    spark.sql(s"DROP TABLE IF EXISTS lake.$ns.${n}_c")
+    spark.sql(s"CALL lake.system.snapshot('$ns.$n', '$ns.${n}_c')")
+    spark.sql(s"INSERT INTO lake.$ns.${n}_c SELECT /*+ REPARTITION(1) */ id FROM range(100, 150)")
+    val cloneIds = spark.sql(s"SELECT _row_id FROM lake.$ns.${n}_c").collect().map(_.getLong(0))
+    assert(cloneIds.length == 150 && cloneIds.distinct.length == 150,
+      "clone inserts must not reuse carried id ranges")
+    // RTAS keeps prior snapshots time-travelable: ids on the retained
+    // timeline stay unique against post-replace inserts
+    spark.sql(s"REPLACE TABLE $t AS SELECT /*+ REPARTITION(1) */ id AS k FROM range(0, 30)")
+    spark.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id FROM range(30, 60)")
+    val nowIds = spark.sql(s"SELECT _row_id FROM $t").collect().map(_.getLong(0))
+    val v1Ids = spark.sql(s"SELECT _row_id FROM $t VERSION AS OF 1").collect().map(_.getLong(0))
+    assert(nowIds.length == 60 && nowIds.distinct.length == 60)
+    assert(v1Ids.length == 100 && nowIds.toSet.intersect(v1Ids.toSet).isEmpty,
+      "post-replace ids must not collide with the retained timeline's ids")
+    spark.sql(s"DROP TABLE $t"); spark.sql(s"DROP TABLE lake.$ns.${n}_c")
+  }
+
   test("racing appends never overlap id ranges (CAS rebase re-stamps)") {
     val t = tbl("race")
     spark.sql(s"CREATE TABLE $t (k BIGINT)")
