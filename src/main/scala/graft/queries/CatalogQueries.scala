@@ -241,6 +241,44 @@ object CatalogQueries {
     },
 
     QueryDef.df(
+      "q112_variant_shred",
+      // VARIANT columns (Spark 4.1 / Iceberg v3's semi-structured type):
+      // JSON parses ONCE at write into variant's binary encoding; reads
+      // shred typed paths out with variant_get — no per-query JSON
+      // re-parse at 100 TB. The lifecycle covers write-through (CTAS into
+      // the lake), typed path extraction under filter/aggregate, and a
+      // MoR DELETE over the variant table (tombstoned variant files read
+      // through the positional row readers). The oracle replays the same
+      // shredding from the raw JSON strings with DuckDB's json functions.
+      """WITH shredded AS (
+        |  SELECT event_type, event_id,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k, user_id AS u
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(k) AS BIGINT) AS k_sum, CAST(sum(u) AS BIGINT) AS u_sum
+        |FROM shredded WHERE k % 3 = 0 AND event_id % 7 <> 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS lake.verify")
+      s.sql("DROP TABLE IF EXISTS lake.verify.ev_var")
+      s.sql(
+        """CREATE TABLE lake.verify.ev_var
+          |TBLPROPERTIES ('write.delete.mode'='merge-on-read')
+          |AS SELECT event_id, event_type,
+          |  parse_json(concat('{"k":', get_json_object(props, '$.k'),
+          |                    ',"u":', CAST(user_id AS STRING), '}')) AS payload
+          |FROM events""".stripMargin)
+      s.sql("DELETE FROM lake.verify.ev_var WHERE event_id % 7 = 0")
+      s.sql(
+        """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(variant_get(payload, '$.k', 'long')) AS BIGINT) AS k_sum,
+          |  CAST(sum(variant_get(payload, '$.u', 'long')) AS BIGINT) AS u_sum
+          |FROM lake.verify.ev_var
+          |WHERE variant_get(payload, '$.k', 'long') % 3 = 0
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    },
+
+    QueryDef.df(
       "q63_upsert_roundtrip",
       // Oracle = the merged state computed from scratch (DuckDB's view of
       // INSERT .. ON CONFLICT DO UPDATE): epoch-2 keys (%16=0 overwrites,

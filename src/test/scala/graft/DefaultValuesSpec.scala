@@ -158,6 +158,22 @@ class DefaultValuesSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("defaults survive the catalog round-trip and surface in DESCRIBE") {
+    val t = tbl("desc")
+    spark.sql(s"CREATE TABLE $t (k INT, v STRING DEFAULT 'fallback')")
+    spark.sql(s"ALTER TABLE $t ADD COLUMN n INT DEFAULT 42")
+    // a FRESH load (cache invalidated) must still know both defaults
+    spark.sql(s"REFRESH TABLE $t")
+    spark.sql(s"INSERT INTO $t (k) VALUES (1)")
+    val r = spark.sql(s"SELECT v, n FROM $t").head()
+    assert(r.getString(0) == "fallback" && r.getInt(1) == 42)
+    val desc = spark.sql(s"DESCRIBE TABLE EXTENDED $t").collect()
+      .map(r0 => s"${r0.getString(0)}|${r0.getString(1)}|${r0.getString(2)}").mkString("\n")
+    assert(desc.contains("fallback") && desc.contains("42"),
+      s"DESCRIBE should surface the defaults:\n$desc")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("copy-on-write DELETE on pre-add files preserves the initial default") {
     val t = tbl("cow")
     spark.sql(s"CREATE TABLE $t (k INT)") // copy-on-write is the default delete mode

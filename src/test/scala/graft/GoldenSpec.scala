@@ -123,7 +123,8 @@ class GoldenSpec extends AnyFunSuite {
     "q108_mor_split_scan" -> 10L,
     "q109_dv_roundtrip" -> 2L,
     "q110_column_defaults" -> 7L,
-    "q111_row_lineage" -> 2L)
+    "q111_row_lineage" -> 2L,
+    "q112_variant_shred" -> 5L)
 
   test("every registered query has a golden count (add one when adding a query)") {
     assert(SparkEntry.queries.keySet == golden.keySet,

@@ -219,6 +219,28 @@ class RowLineageSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t"); spark.sql(s"DROP TABLE lake.$ns.${n}_c")
   }
 
+  test("streaming epochs reserve disjoint id ranges; a restarted query continues above them") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val t = tbl("str")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    val input = MemoryStream[(Long, String)](spark)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-rl").toString
+    val q = input.toDF().toDF("k", "v").writeStream
+      .outputMode("append").option("checkpointLocation", ckpt).toTable(t)
+    input.addData((0L, "a"), (1L, "b"))
+    q.processAllAvailable()
+    input.addData((2L, "c"), (3L, "d"))
+    q.processAllAvailable()
+    q.stop()
+    // a batch append between stream runs shares the same id space
+    spark.sql(s"INSERT INTO $t VALUES (4, 'e')")
+    val ids = spark.sql(s"SELECT _row_id FROM $t").collect().map(_.getLong(0))
+    assert(ids.length == 5 && ids.distinct.length == 5,
+      s"epochs and batch commits must draw from one id space: ${ids.toSeq}")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("racing appends never overlap id ranges (CAS rebase re-stamps)") {
     val t = tbl("race")
     spark.sql(s"CREATE TABLE $t (k BIGINT)")

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** VARIANT columns (Spark 4.1 / Iceberg v3 semi-structured type) in lake
+  * tables: JSON parses once at write into variant's binary encoding,
+  * reads shred typed paths with `variant_get`. The writer skips min/max
+  * stats for variant (conservative: no pruning on the column), dirty
+  * files read through the positional ROW readers (variant is not a flat
+  * columnar type), and compaction carries variant values and row lineage
+  * together.
+  */
+class VariantSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def uniq(p: String) = s"$p${System.nanoTime() % 1000000}"
+  private def tbl(p: String): String = {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.vr")
+    s"lake.vr.${uniq(p)}"
+  }
+
+  test("variant round-trip: nested objects, arrays, mixed types, null") {
+    val t = tbl("rt")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, payload VARIANT)")
+    spark.sql(
+      s"""INSERT INTO $t VALUES
+         |  (1, parse_json('{"a": 1, "b": {"c": [1, 2, 3]}, "s": "x"}')),
+         |  (2, parse_json('{"a": 2.5, "b": {"c": []}, "extra": true}')),
+         |  (3, parse_json('[10, {"deep": "v"}]')),
+         |  (4, NULL)""".stripMargin)
+    val rows = spark.sql(
+      s"""SELECT id,
+         |  variant_get(payload, '$$.a', 'double') AS a,
+         |  variant_get(payload, '$$.b.c[1]', 'long') AS c1,
+         |  variant_get(payload, '$$[1].deep', 'string') AS deep,
+         |  to_json(payload) AS js
+         |FROM $t ORDER BY id""".stripMargin).collect()
+    assert(rows(0).getDouble(1) == 1.0 && rows(0).getLong(2) == 2L)
+    assert(rows(1).getDouble(1) == 2.5 && rows(1).isNullAt(2))
+    assert(rows(2).getString(3) == "v")
+    assert(rows(3).isNullAt(4), "NULL variant stays NULL")
+    assert(rows(0).getString(4).contains("\"c\":[1,2,3]"))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("MoR deletes + compaction on a variant table: values and lineage survive") {
+    val t = tbl("mor")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, payload VARIANT) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, " +
+      "parse_json(concat('{\"n\":', id, '}')) FROM range(0, 200)")
+    spark.sql(s"DELETE FROM $t WHERE id % 5 = 0")
+    def state() = spark.sql(
+      s"SELECT id, variant_get(payload, '$$.n', 'long') AS n, _row_id FROM $t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val before = state()
+    assert(before.size == 160 && before.forall(r => r._1 == r._2))
+    graft.catalog.LakeMaintenance.compact(spark, t)
+    assert(state() == before, "compaction must carry variant values AND row ids")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("writer skips stats for variant; scans and metadata tables stay healthy") {
+    val t = tbl("st")
+    val Array(_, ns, n) = t.split('.')
+    spark.sql(s"CREATE TABLE $t (id BIGINT, payload VARIANT)")
+    spark.sql(s"INSERT INTO $t SELECT id, parse_json(concat('{\"x\":', id, '}')) FROM range(0, 50)")
+    val f = spark.sql(s"SELECT min_values, max_values FROM lake.$ns.`$n$$files`").head()
+    val mins = f.getMap[String, String](0)
+    assert(mins.contains("id") && !mins.keys.exists(_.contains("payload")),
+      s"variant must carry no min/max stats: $mins")
+    // id stats still prune; the variant column rides along untouched
+    assert(spark.sql(s"SELECT count(*) AS c FROM $t WHERE id < 10").head().getLong(0) == 10)
+    spark.sql(s"DROP TABLE $t")
+  }
+}
