@@ -1497,15 +1497,28 @@ object FilePruner {
       }
     } yield r
 
-  /** (column, literal value, literalOnLeft) for `attr op lit` /
-    * `lit op attr` shapes; None for anything else (⇒ no pruning).
+  /** A stat-keyed term: a plain column reference, or a typed variant
+    * extraction `variant_get(col, '$.path', type)` whose per-file min/max
+    * the writer recorded under `col#path` (write.variant.shred-paths).
+    * Unshredded paths simply have no stats ⇒ conservative keep.
+    */
+  private def termKey(e: ce.Expression): Option[String] = e match {
+    case a: ce.Attribute => Some(a.name)
+    case org.apache.spark.sql.catalyst.expressions.variant.VariantGet(
+        a: ce.Attribute, ce.Literal(p: UTF8String, _), dt, _, _)
+      if p != null && comparable(dt) => Some(s"${a.name}#$p")
+    case _ => None
+  }
+
+  /** (column, literal value, literalOnLeft) for `term op lit` /
+    * `lit op term` shapes; None for anything else (⇒ no pruning).
     */
   private def colLit(l: ce.Expression, r: ce.Expression): Option[(String, Any, Boolean)] =
     (l, r) match {
-      case (a: ce.Attribute, ce.Literal(v, dt)) if v != null && comparable(dt) =>
-        Some((a.name, v, false))
-      case (ce.Literal(v, dt), a: ce.Attribute) if v != null && comparable(dt) =>
-        Some((a.name, v, true))
+      case (t, ce.Literal(v, dt)) if v != null && comparable(dt) =>
+        termKey(t).map(k => (k, v, false))
+      case (ce.Literal(v, dt), t) if v != null && comparable(dt) =>
+        termKey(t).map(k => (k, v, true))
       case _ => None
     }
 
@@ -2290,6 +2303,67 @@ final class LakeDataWriter(
   private var currentKey: Seq[Any] = null
   private val done = Seq.newBuilder[DataFileMeta]
 
+  // SHREDDED VARIANT STATS ("graft.write.variant-shred" in the write
+  // conf, baked physical by TableMeta.writeConf): per configured
+  // `col:$.path:type`, the typed extraction is evaluated once per row
+  // (interpreted VariantGet over the already-decoded variant — the same
+  // pass that tracks column min/max) and recorded under the synthetic
+  // stat key `col#path`, which [[FilePruner]] matches against
+  // variant_get/try_variant_get predicates for FILE skipping. Extraction
+  // runs in try-mode: a path/type mismatch yields null and simply doesn't
+  // constrain the stats (conservative).
+  private val shred: Array[(Int, String, DataType, Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.catalyst.expressions.variant.VariantGet
+    import org.apache.spark.unsafe.types.UTF8String
+    val spec = conf.get("graft.write.variant-shred", "")
+    if (spec.isEmpty) Array.empty
+    else spec.split(',').map(_.trim).filter(_.nonEmpty).flatMap { e =>
+      e.split(':') match {
+        case Array(c, p, t) =>
+          val i = schema.fields.indexWhere(_.name == c)
+          val dt = try DataType.fromDDL(t) catch { case _: Exception => null }
+          val ok = i >= 0 && schema.fields(i).dataType == VariantType &&
+            (dt match {
+              case _: NumericType | StringType => true
+              case _ => false
+            })
+          if (!ok) None // e.g. tombstone writers reuse the same conf
+          else Some((i, p, dt,
+            VariantGet(BoundReference(i, VariantType, schema.fields(i).nullable),
+              Literal(UTF8String.fromString(p), StringType), dt, false,
+              Some("UTC")): Expression))
+        case _ => None
+      }
+    }
+  }
+  private var shredMins: Array[Any] = _
+  private var shredMaxs: Array[Any] = _
+
+  private def trackShredded(row: InternalRow): Unit = {
+    var j = 0
+    while (j < shred.length) {
+      val (i, _, _, ex) = shred(j)
+      if (!row.isNullAt(i)) {
+        val v = ex.eval(row)
+        if (v != null) v match {
+          case u: org.apache.spark.unsafe.types.UTF8String =>
+            if (shredMins(j) == null ||
+              u.compareTo(shredMins(j).asInstanceOf[org.apache.spark.unsafe.types.UTF8String]) < 0)
+              shredMins(j) = u.clone()
+            if (shredMaxs(j) == null ||
+              u.compareTo(shredMaxs(j).asInstanceOf[org.apache.spark.unsafe.types.UTF8String]) > 0)
+              shredMaxs(j) = u.clone()
+          case other =>
+            val cmp = other.asInstanceOf[Comparable[Any]]
+            if (shredMins(j) == null || cmp.compareTo(shredMins(j)) < 0) shredMins(j) = other
+            if (shredMaxs(j) == null || cmp.compareTo(shredMaxs(j)) > 0) shredMaxs(j) = other
+        }
+      }
+      j += 1
+    }
+  }
+
   // FILE-level blooms (one per bloom column per file; see [[FileBloom]]):
   // built from the same pass that tracks min/max, attached at roll()
   private val fileBloomIdx: Array[Int] =
@@ -2311,6 +2385,8 @@ final class LakeDataWriter(
     mins = new Array[Any](schema.length)
     maxs = new Array[Any](schema.length)
     nullsPerCol = new Array[Long](schema.length)
+    shredMins = new Array[Any](shred.length)
+    shredMaxs = new Array[Any](shred.length)
     fileBlooms = fileBloomIdx.map(_ => FileBloom(bloomBits))
   }
 
@@ -2339,7 +2415,14 @@ final class LakeDataWriter(
       .map(i => schema.fields(i).name -> nullsPerCol(i)).toMap
     val fileBloomStats = fileBloomIdx.indices
       .map(j => schema.fields(fileBloomIdx(j)).name -> fileBlooms(j).encode).toMap
-    done += DataFileMeta(path, rows, size, m(mins) ++ transformStats, m(maxs) ++ transformStats,
+    def sm(a: Array[Any]): Map[String, String] =
+      shred.indices.collect {
+        case j if a(j) != null =>
+          s"${schema.fields(shred(j)._1).name}#${shred(j)._2}" -> a(j).toString
+      }.toMap
+    done += DataFileMeta(path, rows, size,
+      m(mins) ++ transformStats ++ sm(shredMins),
+      m(maxs) ++ transformStats ++ sm(shredMaxs),
       nulls, sortedBy = sortedBy, blooms = fileBloomStats)
     writer = null
   }
@@ -2418,6 +2501,7 @@ final class LakeDataWriter(
     }
     if (writer == null) open()
     track(row)
+    if (shred.length > 0) trackShredded(row)
     var j = 0
     while (j < fileBloomIdx.length) {
       val i = fileBloomIdx(j)

@@ -215,6 +215,11 @@ final case class TableMeta(
         case PartField.BucketKey(n, src) => s"_bucket_${n}_${p2l.getOrElse(src, src)}"
         case PartField.TimeKey(u, src) => s"_${u}_${p2l.getOrElse(src, src)}"
         case PartField.TruncKey(w, src) => s"_truncate_${w}_${p2l.getOrElse(src, src)}"
+        // shredded-variant stat keys: "<col>#<path>" — the prefix follows
+        // the column's logical name (rename-safe, like every other stat)
+        case _ if k.contains('#') =>
+          val i = k.indexOf('#')
+          s"${p2l.getOrElse(k.substring(0, i), k.substring(0, i))}${k.substring(i)}"
         case _ => p2l.getOrElse(k, k)
       }
       files.map(f => f.copy(
@@ -314,6 +319,21 @@ final case class TableMeta(
     // split-parallel reader's per-task unit of work
     properties.get("write.parquet.row-group-size-bytes")
       .foreach(v => c.set("graft.write.rowgroup-bytes", v))
+    // SHREDDED VARIANT STATS (`write.variant.shred-paths` =
+    // "col:$.path:type,..."): resolve logical column names to PHYSICAL
+    // here, so every writer path (append, CTAS, delta, compaction, CoW)
+    // tracks typed per-file min/max for the configured variant paths and
+    // scans can FILE-PRUNE variant_get predicates (see [[FilePruner]]).
+    properties.get("write.variant.shred-paths").foreach { spec =>
+      val m = l2pMap
+      val phys = spec.split(',').map(_.trim).filter(_.nonEmpty).flatMap { e =>
+        e.split(':') match {
+          case Array(col, path, t) => Some(s"${m.getOrElse(col, col)}:$path:$t")
+          case _ => None // malformed entry: skip, never fail a write
+        }
+      }.mkString(",")
+      if (phys.nonEmpty) c.set("graft.write.variant-shred", phys)
+    }
     c
   }
 

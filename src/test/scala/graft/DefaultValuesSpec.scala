@@ -174,6 +174,20 @@ class DefaultValuesSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("time travel to a pre-add snapshot reads that era's schema (no defaulted column)") {
+    val t = tbl("tt")
+    spark.sql(s"CREATE TABLE $t (k INT)")
+    spark.sql(s"INSERT INTO $t VALUES (1), (2)") // snapshot 1
+    spark.sql(s"ALTER TABLE $t ADD COLUMN tag STRING DEFAULT 'x'")
+    spark.sql(s"INSERT INTO $t VALUES (3, 'y')") // snapshot 2
+    assert(spark.sql(s"SELECT * FROM $t VERSION AS OF 1").schema.fieldNames.toSeq == Seq("k"),
+      "the pre-add era has no defaulted column")
+    val now = spark.sql(s"SELECT k, tag FROM $t ORDER BY k").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(now == Seq((1, "x"), (2, "x"), (3, "y")))
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("copy-on-write DELETE on pre-add files preserves the initial default") {
     val t = tbl("cow")
     spark.sql(s"CREATE TABLE $t (k INT)") // copy-on-write is the default delete mode

@@ -241,6 +241,26 @@ class RowLineageSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("rollback keeps the high-water mark: post-rollback inserts never reuse abandoned ids") {
+    val t = tbl("rb")
+    spark.sql(s"CREATE TABLE $t (k BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id FROM range(0, 50)") // snap 1
+    spark.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id FROM range(50, 100)") // snap 2
+    val abandoned = spark.sql(s"SELECT _row_id FROM $t VERSION AS OF 2")
+      .collect().map(_.getLong(0)).toSet
+    graft.catalog.LakeMaintenance.rollback(spark, t, 1L)
+    spark.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id FROM range(100, 150)")
+    val ids = spark.sql(s"SELECT _row_id FROM $t").collect().map(_.getLong(0))
+    assert(ids.length == 100 && ids.distinct.length == 100)
+    // the rolled-back snapshot stays readable history — its ids must not
+    // be reissued to the new timeline
+    val snap2Only = abandoned -- spark.sql(s"SELECT _row_id FROM $t VERSION AS OF 1")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.toSet.intersect(snap2Only).isEmpty,
+      "rollback must not hand abandoned ids out again")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("racing appends never overlap id ranges (CAS rebase re-stamps)") {
     val t = tbl("race")
     spark.sql(s"CREATE TABLE $t (k BIGINT)")

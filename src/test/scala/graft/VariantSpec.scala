@@ -60,6 +60,45 @@ class VariantSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("write.variant.shred-paths: variant_get predicates FILE-prune on shredded stats") {
+    val t = tbl("shred")
+    val Array(_, ns, n) = t.split('.')
+    spark.sql(s"CREATE TABLE $t (id BIGINT, payload VARIANT) TBLPROPERTIES (" +
+      "'write.variant.shred-paths' = 'payload:$.k:bigint')")
+    // three files with disjoint $.k ranges
+    for (lo <- Seq(0, 100, 200))
+      spark.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, " +
+        s"parse_json(concat('{\"k\":', id + $lo, ',\"s\":\"x', id, '\"}')) FROM range(0, 100)")
+    // stats recorded under the synthetic key
+    val stats = spark.sql(s"SELECT min_values FROM lake.$ns.`$n$$files`").collect()
+      .map(_.getMap[String, String](0))
+    assert(stats.length == 3 && stats.forall(_.contains("payload#$.k")),
+      s"expected shredded stats: ${stats.toSeq}")
+    def scanned(sql: String): (Int, Long) = {
+      val df = spark.sql(sql)
+      val m = s"""LakeScan\\(lake\\.$ns\\.$n, (\\d+) files\\)""".r
+        .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+      (m.map(_.group(1).toInt).getOrElse(-1), df.head().getLong(0))
+    }
+    // point and range predicates on the shredded path each read ONE file
+    val (f1, c1) = scanned(s"SELECT count(*) AS c FROM $t " +
+      "WHERE variant_get(payload, '$.k', 'bigint') = 150")
+    assert(f1 == 1 && c1 == 1, s"point lookup: $f1 files, $c1 rows")
+    val (f2, c2) = scanned(s"SELECT count(*) AS c FROM $t " +
+      "WHERE variant_get(payload, '$.k', 'bigint') < 100")
+    assert(f2 == 1 && c2 == 100, s"range scan: $f2 files, $c2 rows")
+    // an UNSHREDDED path has no stats: conservative full scan, right answer
+    val (f3, c3) = scanned(s"SELECT count(*) AS c FROM $t " +
+      "WHERE variant_get(payload, '$.s', 'string') = 'x5'")
+    assert(f3 == 3 && c3 == 3, s"unshredded path: $f3 files, $c3 rows")
+    // stat keys follow a column RENAME (logical re-keying)
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN payload TO doc")
+    val (f4, c4) = scanned(s"SELECT count(*) AS c FROM $t " +
+      "WHERE variant_get(doc, '$.k', 'bigint') = 250")
+    assert(f4 == 1 && c4 == 1, s"after rename: $f4 files, $c4 rows")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("writer skips stats for variant; scans and metadata tables stay healthy") {
     val t = tbl("st")
     val Array(_, ns, n) = t.split('.')
