@@ -425,6 +425,16 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
               props += ("write.sort-order" -> cols
                 .map(c => if (c == from) rn.newName() else c).mkString(","))
           }
+          // write.variant.shred-paths stores LOGICAL column names too —
+          // follow the rename, or future writes bind the spec to a stale
+          // (or worse, later-reused) name
+          props.get(VariantShred.Prop).foreach { spec =>
+            val entries = VariantShred.parse(spec)
+            if (entries.exists(_._1 == from))
+              props += (VariantShred.Prop -> VariantShred.render(entries.map {
+                case (c, p, ty) => (if (c == from) rn.newName() else c, p, ty)
+              }))
+          }
 
         case u: TableChange.UpdateColumnType =>
           if (u.fieldNames().length != 1) throw new UnsupportedOperationException(

@@ -1504,9 +1504,14 @@ object FilePruner {
     */
   private def termKey(e: ce.Expression): Option[String] = e match {
     case a: ce.Attribute => Some(a.name)
+    // the extraction TYPE is part of the stat key: a predicate shredding
+    // the same path as a different type finds no stats and keeps the
+    // file — stats ordered by one type must never answer another's
+    // comparisons (e.g. bigint-ordered [5, 40] vs a string '40' lookup)
     case org.apache.spark.sql.catalyst.expressions.variant.VariantGet(
         a: ce.Attribute, ce.Literal(p: UTF8String, _), dt, _, _)
-      if p != null && comparable(dt) => Some(s"${a.name}#$p")
+      if p != null && comparable(dt) =>
+      Some(VariantShred.statKey(a.name, p.toString, dt))
     case _ => None
   }
 
@@ -2312,40 +2317,44 @@ final class LakeDataWriter(
   // variant_get/try_variant_get predicates for FILE skipping. Extraction
   // runs in try-mode: a path/type mismatch yields null and simply doesn't
   // constrain the stats (conservative).
-  private val shred: Array[(Int, String, DataType, Expression)] = {
+  private val shred: Array[(Int, String, DataType, Expression, Expression)] = {
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
     import org.apache.spark.sql.catalyst.expressions.variant.VariantGet
     import org.apache.spark.unsafe.types.UTF8String
     val spec = conf.get("graft.write.variant-shred", "")
     if (spec.isEmpty) Array.empty
-    else spec.split(',').map(_.trim).filter(_.nonEmpty).flatMap { e =>
-      e.split(':') match {
-        case Array(c, p, t) =>
-          val i = schema.fields.indexWhere(_.name == c)
-          val dt = try DataType.fromDDL(t) catch { case _: Exception => null }
-          val ok = i >= 0 && schema.fields(i).dataType == VariantType &&
-            (dt match {
-              case _: NumericType | StringType => true
-              case _ => false
-            })
-          if (!ok) None // e.g. tombstone writers reuse the same conf
-          else Some((i, p, dt,
-            VariantGet(BoundReference(i, VariantType, schema.fields(i).nullable),
-              Literal(UTF8String.fromString(p), StringType), dt, false,
-              Some("UTC")): Expression))
-        case _ => None
+    else VariantShred.parse(spec).flatMap { case (c, p, t) =>
+      val i = schema.fields.indexWhere(_.name == c)
+      val dt = try DataType.fromDDL(t) catch { case _: Exception => null }
+      val ok = i >= 0 && schema.fields(i).dataType == VariantType &&
+        (dt match {
+          case _: NumericType | StringType => true
+          case _ => false
+        })
+      if (!ok) None // e.g. tombstone writers reuse the same conf
+      else {
+        def get(target: DataType) =
+          VariantGet(BoundReference(i, VariantType, schema.fields(i).nullable),
+            Literal(UTF8String.fromString(p), StringType), target, false,
+            Some("UTC")): Expression
+        // the typed extraction AND a raw-existence probe: a row where the
+        // path EXISTS but the cast fails poisons the file's stats for
+        // this path — a strict variant_get query must reach that row and
+        // throw, so the file must never be pruned away from it
+        Some((i, p, dt, get(dt), get(VariantType)))
       }
-    }
+    }.toArray
   }
   private var shredMins: Array[Any] = _
   private var shredMaxs: Array[Any] = _
+  private var shredPoisoned: Array[Boolean] = _
 
   private def trackShredded(row: InternalRow): Unit = {
     var j = 0
     while (j < shred.length) {
-      val (i, _, _, ex) = shred(j)
+      val (i, _, _, typedEx, rawEx) = shred(j)
       if (!row.isNullAt(i)) {
-        val v = ex.eval(row)
+        val v = typedEx.eval(row)
         if (v != null) v match {
           case u: org.apache.spark.unsafe.types.UTF8String =>
             if (shredMins(j) == null ||
@@ -2358,6 +2367,8 @@ final class LakeDataWriter(
             val cmp = other.asInstanceOf[Comparable[Any]]
             if (shredMins(j) == null || cmp.compareTo(shredMins(j)) < 0) shredMins(j) = other
             if (shredMaxs(j) == null || cmp.compareTo(shredMaxs(j)) > 0) shredMaxs(j) = other
+        } else if (!shredPoisoned(j) && rawEx.eval(row) != null) {
+          shredPoisoned(j) = true // existing value, failed cast
         }
       }
       j += 1
@@ -2387,6 +2398,7 @@ final class LakeDataWriter(
     nullsPerCol = new Array[Long](schema.length)
     shredMins = new Array[Any](shred.length)
     shredMaxs = new Array[Any](shred.length)
+    shredPoisoned = new Array[Boolean](shred.length)
     fileBlooms = fileBloomIdx.map(_ => FileBloom(bloomBits))
   }
 
@@ -2417,8 +2429,9 @@ final class LakeDataWriter(
       .map(j => schema.fields(fileBloomIdx(j)).name -> fileBlooms(j).encode).toMap
     def sm(a: Array[Any]): Map[String, String] =
       shred.indices.collect {
-        case j if a(j) != null =>
-          s"${schema.fields(shred(j)._1).name}#${shred(j)._2}" -> a(j).toString
+        case j if a(j) != null && !shredPoisoned(j) =>
+          VariantShred.statKey(schema.fields(shred(j)._1).name,
+            shred(j)._2, shred(j)._3) -> a(j).toString
       }.toMap
     done += DataFileMeta(path, rows, size,
       m(mins) ++ transformStats ++ sm(shredMins),

@@ -319,19 +319,15 @@ final case class TableMeta(
     // split-parallel reader's per-task unit of work
     properties.get("write.parquet.row-group-size-bytes")
       .foreach(v => c.set("graft.write.rowgroup-bytes", v))
-    // SHREDDED VARIANT STATS (`write.variant.shred-paths` =
-    // "col:$.path:type,..."): resolve logical column names to PHYSICAL
-    // here, so every writer path (append, CTAS, delta, compaction, CoW)
-    // tracks typed per-file min/max for the configured variant paths and
-    // scans can FILE-PRUNE variant_get predicates (see [[FilePruner]]).
-    properties.get("write.variant.shred-paths").foreach { spec =>
+    // SHREDDED VARIANT STATS ([[VariantShred]]): resolve logical column
+    // names to PHYSICAL here, so every writer path (append, CTAS, delta,
+    // compaction, CoW) tracks typed per-file min/max for the configured
+    // variant paths and scans can FILE-PRUNE variant_get predicates
+    // (see [[FilePruner]]).
+    properties.get(VariantShred.Prop).foreach { spec =>
       val m = l2pMap
-      val phys = spec.split(',').map(_.trim).filter(_.nonEmpty).flatMap { e =>
-        e.split(':') match {
-          case Array(col, path, t) => Some(s"${m.getOrElse(col, col)}:$path:$t")
-          case _ => None // malformed entry: skip, never fail a write
-        }
-      }.mkString(",")
+      val phys = VariantShred.render(VariantShred.parse(spec).map {
+        case (col, path, t) => (m.getOrElse(col, col), path, t) })
       if (phys.nonEmpty) c.set("graft.write.variant-shred", phys)
     }
     c
@@ -662,6 +658,42 @@ object ColumnMapping {
       case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
         if l2p.getOrElse(a.name, a.name) != a.name => a.withName(l2p(a.name))
     })
+}
+
+/** `write.variant.shred-paths` spec handling — shared by the property
+  * rewrite in [[TableMeta.writeConf]], the RENAME follow-through in
+  * LakeCatalog, and the writer's stat tracker. Entries are separated by
+  * `;` (or `,` when no `;` appears — but parameterized types like
+  * `decimal(10,2)` contain commas, so `;` is the robust form); each
+  * entry is `col:$.path:type` where col is the FIRST `:`-segment and
+  * type the LAST (paths may contain `:`). Malformed entries are skipped,
+  * never fail a write.
+  */
+object VariantShred {
+  val Prop = "write.variant.shred-paths"
+
+  def parse(spec: String): Seq[(String, String, String)] = {
+    val entries =
+      if (spec.contains(';')) spec.split(';') else spec.split(',')
+    entries.map(_.trim).filter(_.nonEmpty).toSeq.flatMap { e =>
+      val i = e.indexOf(':')
+      val j = e.lastIndexOf(':')
+      if (i <= 0 || j <= i + 1 || j == e.length - 1) None
+      else Some((e.substring(0, i), e.substring(i + 1, j), e.substring(j + 1)))
+    }
+  }
+
+  def render(entries: Seq[(String, String, String)]): String =
+    entries.map { case (c, p, t) => s"$c:$p:$t" }.mkString(";")
+
+  /** The stat key a shredded path records under: the extraction TYPE is
+    * part of the key (via the parsed DataType's typeName), so a
+    * predicate extracting the same path AS A DIFFERENT TYPE never
+    * compares against stats ordered by the wrong type — it just finds no
+    * stats and keeps the file.
+    */
+  def statKey(col: String, path: String, dt: DataType): String =
+    s"$col#$path#${dt.typeName}"
 }
 
 /** Column DEFAULT values, Iceberg v3's two-default model carried in

@@ -72,8 +72,8 @@ class VariantSpec extends AnyFunSuite {
     // stats recorded under the synthetic key
     val stats = spark.sql(s"SELECT min_values FROM lake.$ns.`$n$$files`").collect()
       .map(_.getMap[String, String](0))
-    assert(stats.length == 3 && stats.forall(_.contains("payload#$.k")),
-      s"expected shredded stats: ${stats.toSeq}")
+    assert(stats.length == 3 && stats.forall(_.contains("payload#$.k#long")),
+      s"expected typed shredded stats: ${stats.toSeq}")
     def scanned(sql: String): (Int, Long) = {
       val df = spark.sql(sql)
       val m = s"""LakeScan\\(lake\\.$ns\\.$n, (\\d+) files\\)""".r
@@ -91,11 +91,46 @@ class VariantSpec extends AnyFunSuite {
     val (f3, c3) = scanned(s"SELECT count(*) AS c FROM $t " +
       "WHERE variant_get(payload, '$.s', 'string') = 'x5'")
     assert(f3 == 3 && c3 == 3, s"unshredded path: $f3 files, $c3 rows")
-    // stat keys follow a column RENAME (logical re-keying)
+    // extracting the SAME path as a DIFFERENT type must not consult
+    // stats ordered by the shredded type: conservative full scan
+    val (f5, c5) = scanned(s"SELECT count(*) AS c FROM $t " +
+      "WHERE variant_get(payload, '$.k', 'string') = '150'")
+    assert(f5 == 3 && c5 == 1, s"cross-type extraction: $f5 files, $c5 rows")
+    // stat keys follow a column RENAME (logical re-keying), and the
+    // property itself follows so FUTURE writes keep shredding
     spark.sql(s"ALTER TABLE $t RENAME COLUMN payload TO doc")
+    assert(spark.sql(s"SHOW TBLPROPERTIES $t ('write.variant.shred-paths')")
+      .head().getString(1).startsWith("doc:"),
+      "shred-paths property must follow the rename")
     val (f4, c4) = scanned(s"SELECT count(*) AS c FROM $t " +
       "WHERE variant_get(doc, '$.k', 'bigint') = 250")
     assert(f4 == 1 && c4 == 1, s"after rename: $f4 files, $c4 rows")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("a failed strict cast poisons the file's shred stats: errors are never pruned away") {
+    val t = tbl("poison")
+    val Array(_, ns, n) = t.split('.')
+    spark.sql(s"CREATE TABLE $t (id BIGINT, payload VARIANT) TBLPROPERTIES (" +
+      "'write.variant.shred-paths' = 'payload:$.k:bigint')")
+    // file 1: clean longs; file 2: one row whose $.k exists but can't cast
+    spark.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, " +
+      "parse_json(concat('{\"k\":', id, '}')) FROM range(0, 50)")
+    spark.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, parse_json(p) " +
+      "FROM VALUES (100L, '{\"k\": 100}'), (101L, '{\"k\": \"abc\"}') AS v(id, p)")
+    val stats = spark.sql(s"SELECT min_values FROM lake.$ns.`$n$$files`").collect()
+      .map(_.getMap[String, String](0))
+    assert(stats.count(_.contains("payload#$.k#long")) == 1,
+      s"the poisoned file must carry NO shred stats: ${stats.toSeq}")
+    // strict variant_get must reach the bad row and throw — even though
+    // [100,100]-style stats would have pruned the file for k=999
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT count(*) AS c FROM $t " +
+        "WHERE variant_get(payload, '$.k', 'bigint') = 999").head()
+    }
+    assert(e.getMessage.toLowerCase.contains("variant") ||
+      Option(e.getCause).exists(_.getMessage.toLowerCase.contains("variant")),
+      s"expected the strict-cast error to surface: ${e.getMessage}")
     spark.sql(s"DROP TABLE $t")
   }
 
