@@ -1352,14 +1352,13 @@ final class LakeMixedBatch(
       columnar = columnar)
   }
 
-  // all four metadata columns are flat longs/strings; the one columnar
-  // exclusion is lineage over MATERIALIZED files (their _row_id lives in
-  // file columns the vectorized assembly doesn't splice — the row readers
-  // handle them, trading vectorization for correctness on the
-  // post-rewrite niche)
+  // all four metadata columns are flat longs/strings — including lineage
+  // over MATERIALIZED files (the columnar reader reads the file-sourced
+  // _graft_rid/_graft_rseq columns and splices value-wins/null-inherits
+  // per row, same contract as the row reader), so after compaction a
+  // lineage scan stays vectorized
   private def metaColsOk: Boolean = metaCols.forall(m =>
-    ColumnarSupport.flat(LakeMetaCols.fieldOf(m).dataType)) &&
-    (!metaCols.exists(LakeMetaCols.isLineage) || tombstoned.forall(!_._1.lineageCols))
+    ColumnarSupport.flat(LakeMetaCols.fieldOf(m).dataType))
 }
 
 /** An input partition tagged with its partition-key row. */

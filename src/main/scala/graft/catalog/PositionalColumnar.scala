@@ -90,8 +90,16 @@ final class PositionalColumnarReader(
   private val keySchema: StructType =
     if (part.eqDeletePaths.isEmpty) new StructType()
     else DataType.fromJson(part.eqKeySchemaJson).asInstanceOf[StructType]
+  // lineage-requesting reads of a MATERIALIZED file also read the
+  // _graft_rid/_graft_rseq columns, exactly like the row reader: the
+  // file's value wins, NULL inherits the file's range/sequence
+  private val needLineageCols =
+    part.lineageCols && part.metaCols.exists(LakeMetaCols.isLineage)
   private val readSchema = StructType(outSchema.fields ++
-    keySchema.fields.filterNot(f => outSchema.fieldNames.contains(f.name)))
+    keySchema.fields.filterNot(f => outSchema.fieldNames.contains(f.name)) ++
+    (if (needLineageCols) Seq(RowLineage.RidField, RowLineage.RseqField) else Nil))
+  private val ridCol = if (needLineageCols) readSchema.fieldIndex(RowLineage.Rid) else -1
+  private val rseqCol = if (needLineageCols) readSchema.fieldIndex(RowLineage.Rseq) else -1
 
   private val (runs, deleted, prunedGroups) = PositionalRuns.plan(part, conf, outSchema)
   private var tombstonedRows = 0L
@@ -125,33 +133,56 @@ final class PositionalColumnarReader(
     if (part.metaCols.contains(LakeMetaCols.Pos))
       new OnHeapColumnVector(Capacity, LongType)
     else null
-  // row lineage, COMPUTED only: the scan plans materialized-lineage files
-  // onto the row readers (LakeScan.metaColsOk), so here _row_id is always
-  // firstRowId + pos (all-null for pre-lineage files) and the sequence is
-  // a per-file constant
+  // row lineage: COMPUTED (`firstRowId + pos`, per-file-constant sequence)
+  // unless the file carries MATERIALIZED lineage columns, in which case the
+  // file's value wins per row and NULL inherits the computed one — the
+  // same contract as the row reader, refilled into long vectors per batch
   private val rowIdVector: OnHeapColumnVector =
     if (part.metaCols.contains(LakeMetaCols.RowId))
       new OnHeapColumnVector(Capacity, LongType)
     else null
   private val seqVector: ConstantColumnVector =
-    if (part.metaCols.contains(LakeMetaCols.LastSeq)) {
+    if (part.metaCols.contains(LakeMetaCols.LastSeq) && !needLineageCols) {
       val v = new ConstantColumnVector(Capacity, LongType)
       if (part.addedSeq > 0) v.setLong(part.addedSeq) else v.setNull()
       v
     } else null
+  private val seqVarVector: OnHeapColumnVector =
+    if (part.metaCols.contains(LakeMetaCols.LastSeq) && needLineageCols)
+      new OnHeapColumnVector(Capacity, LongType)
+    else null
   private def metaVectorOf(name: String): ColumnVector = name match {
     case LakeMetaCols.File => fileVector
     case LakeMetaCols.Pos => posVector
     case LakeMetaCols.RowId => rowIdVector
-    case LakeMetaCols.LastSeq => seqVector
+    case LakeMetaCols.LastSeq => if (seqVarVector != null) seqVarVector else seqVector
   }
-  /** Refill _row_id for rows at positions startPos..startPos+n-1. */
-  private def fillRowIds(startPos: Long, n: Int): Unit = if (rowIdVector != null) {
-    rowIdVector.reset()
-    if (part.firstRowId > 0) {
+  /** Refill lineage vectors for rows at positions startPos..startPos+n-1
+    * of a pass-through batch (file-sourced value wins, NULL inherits).
+    */
+  private def fillLineage(batch: ColumnarBatch, startPos: Long, n: Int): Unit = {
+    if (rowIdVector != null) {
+      rowIdVector.reset()
+      val src = if (ridCol >= 0) batch.column(ridCol) else null
       var i = 0
-      while (i < n) { rowIdVector.putLong(i, part.firstRowId + startPos + i); i += 1 }
-    } else rowIdVector.putNulls(0, n)
+      while (i < n) {
+        if (src != null && !src.isNullAt(i)) rowIdVector.putLong(i, src.getLong(i))
+        else if (part.firstRowId > 0) rowIdVector.putLong(i, part.firstRowId + startPos + i)
+        else rowIdVector.putNull(i)
+        i += 1
+      }
+    }
+    if (seqVarVector != null) {
+      seqVarVector.reset()
+      val src = batch.column(rseqCol)
+      var i = 0
+      while (i < n) {
+        if (!src.isNullAt(i)) seqVarVector.putLong(i, src.getLong(i))
+        else if (part.addedSeq > 0) seqVarVector.putLong(i, part.addedSeq)
+        else seqVarVector.putNull(i)
+        i += 1
+      }
+    }
   }
 
   private var runIdx = -1
@@ -224,7 +255,7 @@ final class PositionalColumnarReader(
             var i = 0
             while (i < n) { posVector.putLong(i, start + i); i += 1 }
           }
-          fillRowIds(start, n)
+          fillLineage(batch, start, n)
           passthrough += 1
           current = withMeta(dataVectors(batch), n)
           return true
@@ -249,7 +280,7 @@ final class PositionalColumnarReader(
             var j = 0
             while (j < n) { posVector.putLong(j, start + j); j += 1 }
           }
-          fillRowIds(start, n)
+          fillLineage(batch, start, n)
           passthrough += 1
           current = withMeta(dataVectors(batch), n)
           return true
@@ -278,15 +309,23 @@ final class PositionalColumnarReader(
                 var j = 0
                 while (j < m) { v.putLong(j, start + live(j)); j += 1 }
               case LakeMetaCols.RowId =>
-                if (part.firstRowId > 0) {
-                  var j = 0
-                  while (j < m) { v.putLong(j, part.firstRowId + start + live(j)); j += 1 }
-                } else v.putNulls(0, m)
+                val src = if (ridCol >= 0) batch.column(ridCol) else null
+                var j = 0
+                while (j < m) {
+                  if (src != null && !src.isNullAt(live(j))) v.putLong(j, src.getLong(live(j)))
+                  else if (part.firstRowId > 0) v.putLong(j, part.firstRowId + start + live(j))
+                  else v.putNull(j)
+                  j += 1
+                }
               case LakeMetaCols.LastSeq =>
-                if (part.addedSeq > 0) {
-                  var j = 0
-                  while (j < m) { v.putLong(j, part.addedSeq); j += 1 }
-                } else v.putNulls(0, m)
+                val src = if (rseqCol >= 0) batch.column(rseqCol) else null
+                var j = 0
+                while (j < m) {
+                  if (src != null && !src.isNullAt(live(j))) v.putLong(j, src.getLong(live(j)))
+                  else if (part.addedSeq > 0) v.putLong(j, part.addedSeq)
+                  else v.putNull(j)
+                  j += 1
+                }
             }
           }
           compacted += 1
@@ -321,6 +360,7 @@ final class PositionalColumnarReader(
     if (fileVector != null) fileVector.close()
     if (rowIdVector != null) rowIdVector.close()
     if (seqVector != null) seqVector.close()
+    if (seqVarVector != null) seqVarVector.close()
   }
 }
 

@@ -80,6 +80,32 @@ class RowLineageSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("materialized-lineage files stay VECTORIZED: row/columnar agree, plan keeps ColumnarToRow") {
+    val t = tbl("rcm")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, concat('x', id) FROM range(0, 400)")
+    spark.sql(s"DELETE FROM $t WHERE k % 9 = 0")
+    graft.catalog.LakeMaintenance.compact(spark, t) // materializes lineage
+    // fresh tombstones OVER the materialized file: the columnar compaction
+    // path must splice file-sourced ids for the survivors
+    spark.sql(s"DELETE FROM $t WHERE k % 7 = 0")
+    def q() = spark.sql(s"SELECT k, _row_id, _last_updated_seq FROM $t ORDER BY k")
+    def read() = q().collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // AQE inserts columnar transitions at stage creation — execute first,
+    // then the FINAL plan shows whether batches actually flowed
+    val exec = q()
+    val columnar = exec.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val plan = exec.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"materialized-lineage scan must stay vectorized:\n$plan")
+    System.setProperty("graft.mor.columnar", "false")
+    try assert(columnar == read(), "row and columnar lineage must agree on materialized files")
+    finally System.clearProperty("graft.mor.columnar")
+    assert(columnar.length == 400 - 45 - 58 + 7) // 0..399 minus %9 (45), minus %7 (58), %63 double-counted (7)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("compaction preserves every row's _row_id and _last_updated_seq (materialized)") {
     val t = tbl("cpk")
     spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING) " +
