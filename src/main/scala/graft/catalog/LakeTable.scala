@@ -1816,6 +1816,30 @@ final class LakeWrite(
     else pfields.map(f => Expressions.sort(transformOf(f), SortDirection.ASCENDING)).toArray ++
       orderOf(sortFields)
 
+  /** NON-strict by default (Iceberg's stance): under AQE the clustered /
+    * range write shuffle becomes a REBALANCE — small shuffle partitions
+    * coalesce toward the advisory size (no tiny write tasks) and a SKEWED
+    * partition value splits across tasks (more files for that value, no
+    * straggler; every file still has min==max on the partition columns
+    * because each task still receives transform-sorted rows). Upsert
+    * epochs stay STRICT: last-writer-wins requires every version of a key
+    * in ONE task, and a rebalance may split one key's rows mid-partition.
+    * `write.distribution.strictly-required`='true' restores the old
+    * one-task-per-partition-value behavior.
+    */
+  override def distributionStrictlyRequired(): Boolean =
+    upsertKeys.nonEmpty ||
+      table.meta.properties.get("write.distribution.strictly-required").exists(_.toBoolean)
+
+  /** Iceberg's `write.spark.advisory-partition-size-bytes`: the AQE
+    * rebalance target for write partitions (0 = session default) — the
+    * knob that sizes output files independently of
+    * `spark.sql.shuffle.partitions`.
+    */
+  override def advisoryPartitionSizeInBytes(): Long =
+    table.meta.properties.get("write.spark.advisory-partition-size-bytes")
+      .map(_.toLong).getOrElse(0L)
+
   // df.writeTo(t).option("branch", "b").append(): commit onto a named
   // branch — the main pointer stays put, `branch.<b>` advances.
   private def branch: Option[String] = Option(info.options().get("branch"))

@@ -80,6 +80,15 @@ final class StagedLakeTable(
       override def requiredOrdering(): Array[SortOrder] =
         orderOf(pfields.map(LakeTransforms.clusterExpr) ++ sortCols.map(Expressions.column))
 
+      // same AQE-rebalance stance as LakeWrite: non-strict clustering
+      // (skewed CTAS partitions split, small ones coalesce), advisory
+      // size from the Iceberg property
+      override def distributionStrictlyRequired(): Boolean =
+        baseMeta.properties.get("write.distribution.strictly-required").exists(_.toBoolean)
+      override def advisoryPartitionSizeInBytes(): Long =
+        baseMeta.properties.get("write.spark.advisory-partition-size-bytes")
+          .map(_.toLong).getOrElse(0L)
+
       override def toBatch: BatchWrite = new BatchWrite {
         override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
           LakeWriterFactory(info.schema().json, s"${baseMeta.location}/data",

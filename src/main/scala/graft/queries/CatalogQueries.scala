@@ -279,6 +279,65 @@ object CatalogQueries {
     },
 
     QueryDef.df(
+      "q113_merge_full",
+      // FULL-CLAUSE MERGE: conditional MATCHED DELETE + UPDATE, conditional
+      // NOT MATCHED INSERT, and both NOT MATCHED BY SOURCE actions
+      // (UPDATE then DELETE — clause order decides, first match wins).
+      // The oracle replays the final state set-wise: matched rows update
+      // unless the delete condition fires, target-only rows follow the
+      // BY SOURCE clause cascade, source-only rows insert under their
+      // condition. Target = part %3=0, source = part %2=0, so matched
+      // means %6=0 and "by source" means odd multiples of 3.
+      """WITH t AS (
+        |  SELECT p_partkey AS k, p_type AS v, CAST(p_retailprice AS DOUBLE) AS amt
+        |  FROM part WHERE p_partkey % 3 = 0),
+        |s AS (
+        |  SELECT p_partkey AS k, p_type AS v,
+        |    CAST(p_retailprice AS DOUBLE) * CAST(2 AS DOUBLE) AS amt
+        |  FROM part WHERE p_partkey % 2 = 0),
+        |final AS (
+        |  SELECT t.k, 'U:' || s.v AS v, s.amt
+        |  FROM t JOIN s ON t.k = s.k WHERE t.k % 5 <> 0
+        |  UNION ALL
+        |  SELECT k, CASE WHEN k % 7 = 0 THEN 'NMS' ELSE v END AS v,
+        |    CASE WHEN k % 7 = 0 THEN amt / CAST(2 AS DOUBLE) ELSE amt END AS amt
+        |  FROM t WHERE k % 2 <> 0 AND NOT (k % 7 <> 0 AND k % 11 = 0)
+        |  UNION ALL
+        |  SELECT k, 'I:' || v AS v, amt FROM s WHERE k % 3 <> 0 AND k % 5 = 0
+        |)
+        |SELECT substr(v, 1, 2) AS vp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(k) AS BIGINT) AS ksum,
+        |  CAST(sum(CAST(amt AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM final GROUP BY vp ORDER BY vp""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS lake.verify")
+      s.sql("DROP TABLE IF EXISTS lake.verify.mrg_full")
+      s.sql(
+        """CREATE TABLE lake.verify.mrg_full AS
+          |SELECT p_partkey AS k, p_type AS v, CAST(p_retailprice AS DOUBLE) AS amt
+          |FROM part WHERE p_partkey % 3 = 0""".stripMargin)
+      s.sql(
+        """SELECT p_partkey AS k, p_type AS v,
+          |  CAST(p_retailprice AS DOUBLE) * CAST(2 AS DOUBLE) AS amt
+          |FROM part WHERE p_partkey % 2 = 0""".stripMargin)
+        .createOrReplaceTempView("mrgf_src")
+      s.sql(
+        """MERGE INTO lake.verify.mrg_full t USING mrgf_src s ON t.k = s.k
+          |WHEN MATCHED AND s.k % 5 = 0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET v = concat('U:', s.v), amt = s.amt
+          |WHEN NOT MATCHED AND s.k % 5 = 0 THEN
+          |  INSERT (k, v, amt) VALUES (s.k, concat('I:', s.v), s.amt)
+          |WHEN NOT MATCHED BY SOURCE AND t.k % 7 = 0 THEN
+          |  UPDATE SET v = 'NMS', amt = t.amt / CAST(2 AS DOUBLE)
+          |WHEN NOT MATCHED BY SOURCE AND t.k % 11 = 0 THEN DELETE""".stripMargin)
+      s.sql(
+        """SELECT substring(v, 1, 2) AS vp, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(k) AS BIGINT) AS ksum,
+          |  CAST(sum(CAST(amt AS DECIMAL(18,6))) AS DOUBLE) AS total
+          |FROM lake.verify.mrg_full GROUP BY vp ORDER BY vp""".stripMargin)
+    },
+
+    QueryDef.df(
       "q63_upsert_roundtrip",
       // Oracle = the merged state computed from scratch (DuckDB's view of
       // INSERT .. ON CONFLICT DO UPDATE): epoch-2 keys (%16=0 overwrites,
