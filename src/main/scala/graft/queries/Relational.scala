@@ -583,5 +583,50 @@ object Relational {
           "l_linestatus", "qty")
         .where(col("qty").isNotNull) // flags with no rows for a status
         .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ───── q114: RECURSIVE CTE — date-spine gap analysis ─────────────────
+    // Spark 4.1's WITH RECURSIVE (UnionLoop): generate a contiguous date
+    // spine and LEFT JOIN the fact table so ZERO-activity days surface —
+    // the classic gap-filling pattern a GROUP BY alone cannot express
+    // (absent groups produce no row). The anchor is one row, so Spark
+    // converts the loop to a local relation and the join is a broadcast;
+    // at 100 TB the spine stays O(days) regardless of fact size. The
+    // oracle runs DuckDB's own recursive CTE (date + 1 vs date_add — the
+    // only dialect difference).
+    QueryDef.df(
+      "q114_recursive_cte",
+      """WITH RECURSIVE days(d) AS (
+        |  SELECT DATE '1995-01-01' AS d
+        |  UNION ALL
+        |  SELECT d + 1 FROM days WHERE d < DATE '1995-02-28'
+        |),
+        |daily AS (
+        |  SELECT o_orderdate AS d, count(*) AS n,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,6))) AS amt
+        |  FROM orders
+        |  WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-02-28'
+        |  GROUP BY o_orderdate)
+        |SELECT days.d, CAST(coalesce(daily.n, 0) AS BIGINT) AS n,
+        |  CAST(coalesce(daily.amt, 0) AS DOUBLE) AS total
+        |FROM days LEFT JOIN daily ON daily.d = days.d
+        |ORDER BY days.d""".stripMargin) { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      s.sql(
+        """WITH RECURSIVE days(d) AS (
+          |  SELECT DATE '1995-01-01' AS d
+          |  UNION ALL
+          |  SELECT date_add(d, 1) FROM days WHERE d < DATE '1995-02-28'
+          |),
+          |daily AS (
+          |  SELECT o_orderdate AS d, count(*) AS n,
+          |    sum(CAST(o_totalprice AS DECIMAL(18,6))) AS amt
+          |  FROM orders
+          |  WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-02-28'
+          |  GROUP BY o_orderdate)
+          |SELECT days.d, CAST(coalesce(daily.n, 0) AS BIGINT) AS n,
+          |  CAST(coalesce(daily.amt, 0) AS DOUBLE) AS total
+          |FROM days LEFT JOIN daily ON daily.d = days.d
+          |ORDER BY days.d""".stripMargin)
     })
 }

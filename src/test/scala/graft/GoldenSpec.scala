@@ -124,7 +124,9 @@ class GoldenSpec extends AnyFunSuite {
     "q109_dv_roundtrip" -> 2L,
     "q110_column_defaults" -> 7L,
     "q111_row_lineage" -> 2L,
-    "q112_variant_shred" -> 5L)
+    "q112_variant_shred" -> 5L,
+    "q113_merge_full" -> 9L,
+    "q114_recursive_cte" -> 59L)
 
   test("every registered query has a golden count (add one when adding a query)") {
     assert(SparkEntry.queries.keySet == golden.keySet,
