@@ -129,13 +129,52 @@ object LakeMaintenance {
     * value set (so partition pruning keeps working on the rewritten
     * files). The rewrite is a DISTRIBUTED read of only the small files;
     * large files are untouched. Returns (filesBefore, filesAfter).
+    *
+    * PARTIAL PROGRESS (`maxFilesPerCommit`, Iceberg's
+    * partial-progress.enabled): at 100 TB a backlog compaction can touch
+    * tens of thousands of files — one giant commit holds every rewritten
+    * file hostage to a single CAS conflict window, and a failure late in
+    * the job loses ALL the work. With a cap, each round rewrites up to
+    * `maxFilesPerCommit` small files and commits INDEPENDENTLY: a lost
+    * race or crash forfeits one round, committed rounds stand, and
+    * concurrent writers conflict with one bounded batch at a time.
+    * Delete-file folding stays correct across rounds by conservatism:
+    * a delete file folds only once the last file it can apply to is
+    * rewritten (the not-yet-compacted remainder counts as "kept").
     */
   def compact(
       spark: SparkSession,
       table: String,
       smallFileBytes: Long = 32L * 1024 * 1024,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      where: Option[String] = None): (Int, Int) = {
+      where: Option[String] = None,
+      maxFilesPerCommit: Int = Int.MaxValue): (Int, Int) = {
+    require(maxFilesPerCommit >= 2, s"maxFilesPerCommit must be >= 2, got $maxFilesPerCommit")
+    var first = -1
+    var last = -1
+    var more = true
+    // outputs of earlier rounds are DONE — without the exclusion a later
+    // round would re-select a small round-output and churn on its own work
+    var written = Set.empty[String]
+    while (more) {
+      val (b, a, rest, outs) = compactOnce(spark, table, smallFileBytes, targetFileBytes,
+        where, maxFilesPerCommit, written)
+      if (first < 0) first = b
+      last = a
+      more = rest
+      written ++= outs
+    }
+    (first, last)
+  }
+
+  private def compactOnce(
+      spark: SparkSession,
+      table: String,
+      smallFileBytes: Long,
+      targetFileBytes: Long,
+      where: Option[String],
+      maxFilesPerCommit: Int,
+      exclude: Set[String]): (Int, Int, Boolean, Seq[String]) = {
     val (cat, ident, t) = resolve(spark, table)
     val current = t.meta.currentFiles
     val deletes = t.meta.currentDeleteFiles
@@ -154,11 +193,16 @@ object LakeMaintenance {
     // merge-on-read tombstoned files compact regardless of size: folding
     // their tombstones away is what puts them back on the vectorized path;
     // same for files an equality delete applies to (strictly older sequence)
-    val small = current.filter(f => inScope(f) && (f.sizeBytes < smallFileBytes ||
-      TombstoneRewrite.covering(deletes, Seq(f.path)).nonEmpty ||
-      eqDeletes.exists(_.addedAt > f.addedAt)))
-    if (small.size < 2 && !(small.size == 1 && (deletes.nonEmpty || eqDeletes.nonEmpty)))
-      return (current.size, current.size)
+    val allSmall = current.filter(f => inScope(f) && !exclude(f.path) &&
+      (f.sizeBytes < smallFileBytes ||
+        TombstoneRewrite.covering(deletes, Seq(f.path)).nonEmpty ||
+        eqDeletes.exists(_.addedAt > f.addedAt)))
+    if (allSmall.size < 2 && !(allSmall.size == 1 && (deletes.nonEmpty || eqDeletes.nonEmpty)))
+      return (current.size, current.size, false, Nil)
+    // partial progress: this round rewrites a deterministic (path-ordered)
+    // prefix; the remainder compacts in later rounds against the re-read
+    // table, so each commit's conflict window covers only its own batch
+    val small = allSmall.sortBy(_.path).take(maxFilesPerCommit)
     val keep = current.filterNot(small.toSet)
     val hadoopConf = spark.sessionState.newHadoopConf()
     // distributed rewrite of the small files; requesting coalesce to the
@@ -227,7 +271,8 @@ object LakeMaintenance {
       replacedPaths = replaced ++ foldedDeletes ++ foldedEq, newFiles = newFiles,
       scanDeletePaths = (deletes ++ eqDeletes).map(_.path).toSet,
       rewrittenDataPaths = replaced)
-    (current.size, keep.size + newFiles.size)
+    (current.size, keep.size + newFiles.size, allSmall.size > small.size,
+      newFiles.map(_.path))
   }
 
   /** Batch upsert via equality deletes: appends the source rows plus one

@@ -38,11 +38,14 @@ object LakeProcedures {
       case "compact" => Some(proc("compact",
         Seq(in("table", StringType), inDef("small_file_bytes", LongType, (32L * 1024 * 1024).toString),
           inDef("target_file_bytes", LongType, (128L * 1024 * 1024).toString),
-          inDef("where", StringType, "''")), // stats-scoped: compact only files that may match
+          inDef("where", StringType, "''"), // stats-scoped: compact only files that may match
+          // partial progress: rewrite at most this many files per commit
+          inDef("max_files_per_commit", IntegerType, Int.MaxValue.toString)),
         StructType(Seq(StructField("files_before", IntegerType), StructField("files_after", IntegerType))),
         { (spark, args) =>
           val (b, a) = LakeMaintenance.compact(spark, full(args.getString(0)),
-            args.getLong(1), args.getLong(2), Option(args.getString(3)).filter(_.nonEmpty))
+            args.getLong(1), args.getLong(2), Option(args.getString(3)).filter(_.nonEmpty),
+            args.getInt(4))
           row(b, a)
         }))
       case "expire_snapshots" => Some(proc("expire_snapshots",

@@ -144,6 +144,45 @@ class MaintenanceSpec extends AnyFunSuite {
     spark.sql("DROP TABLE lake.mx.scoped")
   }
 
+  test("partial-progress compact: bounded batches, independent commits, deletes fold by the last round") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.mx")
+    spark.sql("DROP TABLE IF EXISTS lake.mx.pp")
+    spark.sql("CREATE TABLE lake.mx.pp (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    // 9 small files + positional tombstones across several of them
+    (0 until 9).foreach(i => spark.sql(
+      s"INSERT INTO lake.mx.pp SELECT /*+ REPARTITION(1) */ id, concat('v', id) " +
+        s"FROM range(${i * 100}, ${i * 100 + 100})"))
+    spark.sql("DELETE FROM lake.mx.pp WHERE k % 17 = 0")
+    val expect = spark.table("lake.mx.pp").orderBy("k").collect().toSeq
+    val snapsBefore = spark.sql("SELECT count(*) FROM lake.mx.`pp$snapshots`").head().getLong(0)
+
+    val r = spark.sql(
+      "CALL lake.system.compact('mx.pp', max_files_per_commit => 4)").head()
+    assert(r.getInt(0) == 9, s"files_before: $r")
+    assert(r.getInt(1) < 9, s"files_after: $r")
+    // 9 small files at <=4 per round = at least 3 INDEPENDENT compact commits
+    val compacts = spark.sql(
+      "SELECT count(*) FROM lake.mx.`pp$snapshots` WHERE operation = 'compact'")
+      .head().getLong(0)
+    assert(compacts >= 3, s"expected >= 3 partial-progress commits, got $compacts")
+    assert(spark.sql("SELECT count(*) FROM lake.mx.`pp$snapshots`").head().getLong(0)
+      > snapsBefore + 2)
+    // all tombstones folded by the end (every dirty file was rewritten)
+    assert(spark.sql("SELECT count(*) FROM lake.mx.`pp$deletes`").head().getLong(0) == 0,
+      "all delete files must fold once their targets are rewritten")
+    // values identical to the pre-compaction state
+    assert(spark.table("lake.mx.pp").orderBy("k").collect().toSeq == expect)
+    // a later call may still merge the (small) round outputs; once one
+    // file remains, compact converges to a no-op — no self-churn loop
+    spark.sql("CALL lake.system.compact('mx.pp', max_files_per_commit => 4)")
+    val r3 = spark.sql(
+      "CALL lake.system.compact('mx.pp', max_files_per_commit => 4)").head()
+    assert(r3.getInt(0) == r3.getInt(1), s"compact must converge to a no-op: $r3")
+    assert(spark.table("lake.mx.pp").orderBy("k").collect().toSeq == expect)
+    spark.sql("DROP TABLE lake.mx.pp")
+  }
+
   test("expire_snapshots older_than_ms: young snapshots survive keep_last counting") {
     import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.mx")
