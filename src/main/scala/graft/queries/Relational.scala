@@ -628,5 +628,41 @@ object Relational {
           |  CAST(coalesce(daily.amt, 0) AS DOUBLE) AS total
           |FROM days LEFT JOIN daily ON daily.d = days.d
           |ORDER BY days.d""".stripMargin)
+    },
+
+    // ───── q115: higher-order array functions ────────────────────────────
+    // collect_list → sort_array → aggregate(lambda) / element_at — the
+    // codegen'd array kernel the embedding operators build on (dot
+    // products via aggregate/zip_with), exercised on relational data and
+    // hash-checked against DuckDB's list functions (list_sort /
+    // list_transform / list_sum). Determinism: the per-group list is
+    // SORTED before any fold, and l_quantity is integer-valued, so every
+    // double operation is exact — no summation-order hazard.
+    QueryDef.df(
+      "q115_higher_order_arrays",
+      """WITH per_o AS (
+        |  SELECT l_orderkey AS k, list_sort(list(l_quantity)) AS qtys
+        |  FROM lineitem GROUP BY 1),
+        |m AS (
+        |  SELECT k, list_sum(list_transform(qtys, x -> x * x)) AS sumsq,
+        |    qtys[-1] AS maxq, len(qtys) AS n FROM per_o)
+        |SELECT CAST(k % 7 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(sumsq) AS DOUBLE) AS ss, CAST(sum(maxq) AS DOUBLE) AS mx,
+        |  CAST(sum(n) AS BIGINT) AS items
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val perO = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("k"))
+        .agg(sort_array(collect_list(col("l_quantity"))).as("qtys"))
+      perO.select(col("k"),
+          aggregate(col("qtys"), lit(0.0), (a, x) => a + x * x).as("sumsq"),
+          element_at(col("qtys"), -1).as("maxq"),
+          size(col("qtys")).as("n"))
+        .groupBy(pmod(col("k"), lit(7)).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum("sumsq").cast("double").as("ss"),
+          sum("maxq").cast("double").as("mx"),
+          sum("n").cast("long").as("items"))
+        .orderBy("bucket")
     })
 }

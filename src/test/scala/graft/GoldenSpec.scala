@@ -126,7 +126,8 @@ class GoldenSpec extends AnyFunSuite {
     "q111_row_lineage" -> 2L,
     "q112_variant_shred" -> 5L,
     "q113_merge_full" -> 9L,
-    "q114_recursive_cte" -> 59L)
+    "q114_recursive_cte" -> 59L,
+    "q115_higher_order_arrays" -> 7L)
 
   test("every registered query has a golden count (add one when adding a query)") {
     assert(SparkEntry.queries.keySet == golden.keySet,
