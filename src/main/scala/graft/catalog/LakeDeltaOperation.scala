@@ -32,12 +32,28 @@ import org.apache.spark.util.SerializableConfiguration
   *
   * Activated per table by `write.delete.mode` / `write.update.mode` /
   * `write.merge.mode` = 'merge-on-read' (Iceberg's property names).
+  *
+  * LINEAGE-PRESERVING COPY-ON-WRITE (`foldOnCommit`, activated by
+  * `write.cow.preserve-lineage=true` in copy-on-write mode): the same delta
+  * plan runs — the writer captures tombstones + replacement rows, with each
+  * updated row's `_row_id` preserved through `update()` — but the COMMIT
+  * folds instead of appending: every tombstoned data file is rewritten
+  * without its dead rows (surviving rows keep their identity via
+  * materialized lineage, the compaction contract), the just-written
+  * tombstones are discarded, and one CAS swap replaces the touched files.
+  * Post-commit the table carries ZERO new delete files — true copy-on-write
+  * — yet updated rows keep their `_row_id`, which Spark's group-based
+  * ReplaceData plan structurally cannot do (it strips metadata attributes
+  * before the write; see the note in [[LakeRowLevelOperation]]). Cost vs
+  * ReplaceData: touched files are read twice (find-matching scan + fold)
+  * instead of once — the price of identity.
   */
 final class LakeDeltaOperation(
     table: LakeTable,
     cmd: RowLevelOperation.Command,
     store: PointerStore,
-    hadoopConf: Configuration)
+    hadoopConf: Configuration,
+    foldOnCommit: Boolean = false)
   extends RowLevelOperation with SupportsDelta {
 
   override def command(): RowLevelOperation.Command = cmd
@@ -80,7 +96,8 @@ final class LakeDeltaOperation(
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
-      override def build(): DeltaWrite = new LakeDeltaWrite(table, cmd, info, store, hadoopConf)
+      override def build(): DeltaWrite =
+        new LakeDeltaWrite(table, cmd, info, store, hadoopConf, foldOnCommit)
     }
 }
 
@@ -96,7 +113,8 @@ final class LakeDeltaWrite(
     cmd: RowLevelOperation.Command,
     info: LogicalWriteInfo,
     store: PointerStore,
-    hadoopConf: Configuration)
+    hadoopConf: Configuration,
+    foldOnCommit: Boolean = false)
   extends DeltaWrite with RequiresDistributionAndOrdering {
 
   override def requiredDistribution(): Distribution = Distributions.unspecified()
@@ -118,7 +136,7 @@ final class LakeDeltaWrite(
   }
 
   override def toBatch: DeltaBatchWrite =
-    new LakeDeltaBatchWrite(table, cmd, info.schema(), store, hadoopConf)
+    new LakeDeltaBatchWrite(table, cmd, info.schema(), store, hadoopConf, foldOnCommit)
 }
 
 final case class LakeDeltaCommitMessage(
@@ -131,7 +149,8 @@ final class LakeDeltaBatchWrite(
     cmd: RowLevelOperation.Command,
     writeSchema: StructType,
     store: PointerStore,
-    hadoopConf: Configuration)
+    hadoopConf: Configuration,
+    foldOnCommit: Boolean = false)
   extends DeltaBatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
@@ -155,6 +174,12 @@ final class LakeDeltaBatchWrite(
     val deleteFiles = ms.flatMap(_.deleteFiles).toSeq
     val targets = ms.flatMap(_.targetPaths).toSet
     if (dataFiles.isEmpty && deleteFiles.isEmpty) return // no-op command: no snapshot
+    if (foldOnCommit && deleteFiles.nonEmpty) {
+      foldCommit(dataFiles, deleteFiles, targets)
+      return
+    }
+    // insert-only commands (pure NOT MATCHED MERGE) have nothing to fold —
+    // the plain append below is already copy-on-write-shaped
     var prevLoc = table.metadataLocation
     var base = table.meta
     var attempts = 0
@@ -173,6 +198,70 @@ final class LakeDeltaBatchWrite(
       base = TableMeta.read(prevLoc, hadoopConf)
     }
     throw new IllegalStateException(s"$cmd on ${table.ident}: CAS lost $attempts times")
+  }
+
+  /** Lineage-preserving copy-on-write: rewrite every tombstoned file
+    * without its dead rows (pre-existing pending tombstones fold in too —
+    * same as compaction), commit {touched files + folded old deletes} →
+    * {rewritten survivors + inserted rows} in ONE snapshot, and discard the
+    * just-written tombstone files — they were bookkeeping between the
+    * writer and this commit, never table state. Survivors keep their
+    * `_row_id`/`_last_updated_seq` (materialized by the rewrite); updated
+    * rows keep their `_row_id` (written by `update()`) and take this
+    * commit's sequence, Iceberg v3's update contract.
+    */
+  private def foldCommit(
+      inserts: Seq[DataFileMeta],
+      newDeletes: Seq[DataFileMeta],
+      targets: Set[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val base0 = table.meta
+    // the find-matching-rows scan applied these; any delete file committed
+    // after it may kill rows this rewrite resurrects — conflict, not merge
+    val scanDeletePaths =
+      (base0.currentDeleteFiles ++ base0.currentEqDeleteFiles).map(_.path).toSet
+    val targetMetas = base0.currentFiles.filter(f => targets(f.path))
+    CasCommit.requireReplacedLive(base0, targets, s"$cmd (cow-fold)", table.ident)
+    val survivors = LakeMaintenance.rewriteLive(spark, base0, targetMetas,
+      base0.currentDeleteFiles ++ newDeletes, base0.currentEqDeleteFiles,
+      base0.targetFileBytes, hadoopConf)
+    // pre-existing tombstones whose last live target died with this rewrite
+    // die with it; eq-deletes fold once no surviving OLD file is strictly
+    // older (rewritten files carry the new sequence — nothing to apply to)
+    val covering = TombstoneRewrite.covering(base0.currentDeleteFiles, targets.toSeq)
+    val folded = TombstoneRewrite.foldable(spark, covering, targets, hadoopConf,
+      allDeletes = base0.currentDeleteFiles)
+    val keep = base0.currentFiles.filterNot(f => targets(f.path))
+    val foldedEq = base0.currentEqDeleteFiles
+      .filter(d => keep.forall(_.addedAt >= d.addedAt)).map(_.path).toSet
+    val replaced = targets ++ folded ++ foldedEq
+    val newFiles = survivors ++ inserts
+    var prevLoc = table.metadataLocation
+    var base = base0
+    var attempts = 0
+    try {
+      while (attempts < CasRetry.maxAttempts) {
+        CasCommit.requireReplacedLive(base, replaced, s"$cmd (cow-fold)", table.ident)
+        CasCommit.requireNoNewDeletes(scanDeletePaths, base, targets,
+          s"$cmd (cow-fold)", table.ident)
+        val next = TableMeta.withRewrite(base, "replace-rows", replaced, newFiles, hadoopConf)
+        val newLoc = TableMeta.write(next, hadoopConf)
+        if (store.casUpdate(table.namespace, table.tableName, newLoc, prevLoc) == 1) {
+          table.commitSucceeded()
+          return
+        }
+        attempts += 1
+        CasRetry.backoff(attempts)
+        prevLoc = store.load(table.namespace, table.tableName).getOrElse(
+          throw new IllegalStateException(s"table ${table.ident} dropped during $cmd"))
+        base = TableMeta.read(prevLoc, hadoopConf)
+      }
+      throw new IllegalStateException(s"$cmd on ${table.ident}: CAS lost $attempts times")
+    } finally {
+      // win or lose, the temp tombstone files never become table state
+      val fs = new Path(table.meta.location).getFileSystem(hadoopConf)
+      newDeletes.foreach(f => fs.delete(new Path(f.path), false))
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

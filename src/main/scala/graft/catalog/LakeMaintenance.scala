@@ -124,6 +124,77 @@ object LakeMaintenance {
     lineaged.drop("__fname", "__fpos")
   }
 
+  /** Distributed identity-preserving rewrite shared by compaction and the
+    * lineage-preserving copy-on-write fold ([[LakeDeltaBatchWrite]]): reads
+    * `files`' LIVE rows (the given positional/equality tombstones
+    * subtracted, each survivor's CURRENT lineage materialized), re-clusters
+    * by the partition spec and re-applies `write.sort-order`, and writes
+    * new data files sized toward `targetFileBytes`. Pure write — the
+    * caller owns the commit (and so the validation + fold bookkeeping).
+    *
+    * The whole rewrite happens under PHYSICAL column names (what the files
+    * carry); no logical relabeling is needed since no user predicate runs.
+    * Cluster keys use the SAME transforms the writer/stats use (bucket =
+    * SQL `pmod(hash(c), n)` == BucketHash by construction — both Spark
+    * murmur3, seed 42), so partition pruning keeps working on the output.
+    */
+  private[catalog] def rewriteLive(
+      spark: SparkSession,
+      meta: TableMeta,
+      files: Seq[DataFileMeta],
+      posDeletes: Seq[DataFileMeta],
+      eqDeletes: Seq[DataFileMeta],
+      targetFileBytes: Long,
+      hadoopConf: org.apache.hadoop.conf.Configuration): Seq[DataFileMeta] = {
+    if (files.isEmpty) return Nil
+    // requesting coalesce to the target count keeps output near the target
+    // (a caller passing the table's unset property — 0 — gets one output
+    // partition per 128 MB, never a degenerate partition count)
+    val target = if (targetFileBytes > 0) targetFileBytes else 128L * 1024 * 1024
+    val totalBytes = files.map(_.sizeBytes).sum
+    val outParts = math.max(1, math.ceil(totalBytes.toDouble / target).toInt)
+    val physCols = meta.physicalPartitionColumns
+    val df = readLive(spark, meta, files, posDeletes, eqDeletes, hadoopConf,
+      lineage = true)
+    val clusterCols = physCols.map(s => PartField.parse(s)).map { pf =>
+      val c = pf.source
+      (pf.buckets, pf.time, pf.trunc) match {
+        case (Some(n), _, _) =>
+          org.apache.spark.sql.functions.expr(s"pmod(hash(`$c`), $n)")
+        case (_, Some(u), _) =>
+          TimeTransform.column(u, df.col(c), meta.physicalSchema(c).dataType)
+        case (_, _, Some(w)) =>
+          TruncateTransform.column(w, df.col(c), meta.physicalSchema(c).dataType)
+        case _ => df.col(c)
+      }
+    }
+    val sortColNames = meta.physicalSortOrder
+    val sortCols = sortColNames.map(df.col)
+    val clustered =
+      if (clusterCols.nonEmpty)
+        df.repartition(outParts, clusterCols: _*)
+          .sortWithinPartitions(clusterCols ++ sortCols: _*)
+      else if (sortCols.nonEmpty)
+        df.repartitionByRange(outParts, sortCols: _*).sortWithinPartitions(sortCols: _*)
+      else df.coalesce(outParts)
+    val factory = LakeWriterFactory(
+      StructType(meta.physicalSchema.fields ++
+        Seq(RowLineage.RidField, RowLineage.RseqField)).json,
+      s"${meta.location}/data",
+      physCols, new SerializableConfiguration(meta.writeConf(hadoopConf)),
+      meta.physicalBloomColumns, meta.targetFileBytes, bloomBits = meta.fileBloomBits,
+      // the sort order is re-applied above, so output files carry the
+      // sorted-by provenance (restores SupportsReportOrdering after
+      // unsorted history is rewritten)
+      sortedBy = sortColNames)
+    clustered.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
+      val w = factory.createWriter(pid, org.apache.spark.TaskContext.get().taskAttemptId())
+      rows.foreach(w.write)
+      Iterator.single(w.commit())
+    }.collect().toSeq.collect { case LakeCommitMessage(fs) => fs }
+      .flatten.map(_.copy(lineageCols = true))
+  }
+
   /** Bin-pack data files smaller than `smallFileBytes` into files of
     * roughly `targetFileBytes`, one compaction group per partition-column
     * value set (so partition pruning keeps working on the rewritten
@@ -205,60 +276,10 @@ object LakeMaintenance {
     val small = allSmall.sortBy(_.path).take(maxFilesPerCommit)
     val keep = current.filterNot(small.toSet)
     val hadoopConf = spark.sessionState.newHadoopConf()
-    // distributed rewrite of the small files; requesting coalesce to the
-    // target count keeps output files near targetFileBytes
-    val totalBytes = small.map(_.sizeBytes).sum
-    val outParts = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    // the whole rewrite happens under PHYSICAL column names (what the files
-    // carry); no logical relabeling is needed since no user predicate runs
-    val physCols = t.meta.physicalPartitionColumns
     val covering = TombstoneRewrite.covering(deletes, small.map(_.path))
     // lineage rides: compaction must never change a row's identity
-    val df = readLive(spark, t.meta, small, deletes, eqDeletes, hadoopConf,
-      lineage = true)
-    // cluster by the partition key: the column itself, or for bucket specs
-    // the SAME murmur3 hash the writer/stats use (SQL pmod(hash(c), n) ==
-    // BucketHash by construction — both are Spark murmur3, seed 42)
-    val clusterCols = physCols.map(s => PartField.parse(s)).map { pf =>
-      val c = pf.source
-      (pf.buckets, pf.time, pf.trunc) match {
-        case (Some(n), _, _) =>
-          org.apache.spark.sql.functions.expr(s"pmod(hash(`$c`), $n)")
-        case (_, Some(u), _) =>
-          TimeTransform.column(u, df.col(c), t.meta.physicalSchema(c).dataType)
-        case (_, _, Some(w)) =>
-          TruncateTransform.column(w, df.col(c), t.meta.physicalSchema(c).dataType)
-        case _ => df.col(c)
-      }
-    }
-    // the table's write.sort-order (if any) is re-applied so compaction
-    // restores/maintains the sorted layout (physical names inside this job)
-    val l2p = t.meta.l2pMap
-    val sortColNames = t.meta.physicalSortOrder
-    val sortCols = sortColNames.map(df.col)
-    val clustered =
-      if (clusterCols.nonEmpty)
-        df.repartition(outParts, clusterCols: _*)
-          .sortWithinPartitions(clusterCols ++ sortCols: _*)
-      else if (sortCols.nonEmpty)
-        df.repartitionByRange(outParts, sortCols: _*).sortWithinPartitions(sortCols: _*)
-      else df.coalesce(outParts)
-    val factory = LakeWriterFactory(
-      StructType(t.meta.physicalSchema.fields ++
-        Seq(RowLineage.RidField, RowLineage.RseqField)).json,
-      s"${t.meta.location}/data",
-      physCols, new SerializableConfiguration(t.meta.writeConf(hadoopConf)),
-      t.meta.physicalBloomColumns, t.meta.targetFileBytes, bloomBits = t.meta.fileBloomBits,
-      // compaction re-applies the sort order above, so its output files
-      // carry the sorted-by provenance (restores SupportsReportOrdering
-      // after unsorted history is rewritten)
-      sortedBy = sortColNames)
-    val newFiles = clustered.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
-      val w = factory.createWriter(pid, org.apache.spark.TaskContext.get().taskAttemptId())
-      rows.foreach(w.write)
-      Iterator.single(w.commit())
-    }.collect().toSeq.collect { case LakeCommitMessage(fs) => fs }
-      .flatten.map(_.copy(lineageCols = true))
+    val newFiles = rewriteLive(spark, t.meta, small, deletes, eqDeletes,
+      targetFileBytes, hadoopConf)
 
     val replaced = small.map(_.path).toSet
     val foldedDeletes = TombstoneRewrite.foldable(spark, covering, replaced,

@@ -252,12 +252,21 @@ final class LakeTable(
     * the cheaper SupportsDelete metadata-pruned rewrite). Merge-on-read:
     * a SupportsDelta operation appends tombstones instead
     * ([[LakeDeltaOperation]]).
+    *
+    * Copy-on-write with `write.cow.preserve-lineage=true` routes through
+    * the delta operation's fold-on-commit path instead of ReplaceData: the
+    * post-commit table is identical in shape (touched files rewritten, no
+    * delete files), but surviving AND updated rows keep their `_row_id` —
+    * ReplaceData structurally cannot carry it (Spark strips metadata
+    * attributes before the group-based write).
     */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     () =>
       if (writeMode(info.command()) == "merge-on-read")
         new LakeDeltaOperation(this, info.command(), store, hadoopConf)
+      else if (meta.properties.get("write.cow.preserve-lineage").contains("true"))
+        new LakeDeltaOperation(this, info.command(), store, hadoopConf, foldOnCommit = true)
       else new LakeRowLevelOperation(this, info.command(), store, hadoopConf)
 
   private[catalog] def commitSucceeded(): Unit = onCommit()
@@ -487,8 +496,11 @@ final class LakeRowLevelOperation(
   // DELETEs whose predicate doesn't translate to deleteWhere) therefore
   // mint fresh row ids for the rewritten files — file-granular CoW
   // identity. The paths that CAN preserve identity do: deleteWhere,
-  // compaction, z-order (materialized [[RowLineage]] columns), and the
-  // merge-on-read delta path (tombstones never move surviving rows).
+  // compaction, z-order (materialized [[RowLineage]] columns), the
+  // merge-on-read delta path (tombstones never move surviving rows), and
+  // copy-on-write itself under `write.cow.preserve-lineage=true`, which
+  // swaps this plan for the delta operation's fold-on-commit path
+  // ([[LakeDeltaOperation]]) — same post-commit file shape, ids kept.
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(table.name(), table.schema(),
