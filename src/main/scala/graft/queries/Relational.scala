@@ -664,5 +664,134 @@ object Relational {
           sum("maxq").cast("double").as("mx"),
           sum("n").cast("long").as("items"))
         .orderBy("bucket")
+    },
+
+    // ───── q116: PIVOT / UNPIVOT round-trip ───────────────────────────────
+    // groupBy().pivot(values) spreads l_linestatus into columns (explicit
+    // value list — no extra distinct-collection job, the 100 TB form), then
+    // Dataset.unpivot melts them back to rows. Oracle: conditional
+    // aggregation + UNION ALL (what both operators desugar to). Counts are
+    // exact longs — no float hazard.
+    QueryDef.df(
+      "q116_pivot_unpivot",
+      """WITH p AS (
+        |  SELECT l_returnflag AS flag,
+        |    sum(CASE WHEN l_linestatus = 'F' THEN 1 END) AS cnt_f,
+        |    sum(CASE WHEN l_linestatus = 'O' THEN 1 END) AS cnt_o
+        |  FROM lineitem GROUP BY 1)
+        |SELECT flag, status, CAST(cnt AS BIGINT) AS cnt FROM (
+        |  SELECT flag, 'F' AS status, cnt_f AS cnt FROM p
+        |  UNION ALL
+        |  SELECT flag, 'O' AS status, cnt_o AS cnt FROM p)
+        |WHERE cnt IS NOT NULL
+        |ORDER BY flag, status""".stripMargin) { (s, dir) =>
+      val pivoted = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        // sum-of-1, not count: an absent (flag, status) cell must be NULL
+        // in both engines (count would make the oracle's 0 a mismatch)
+        .agg(sum(lit(1)))
+        .withColumnRenamed("F", "cnt_f").withColumnRenamed("O", "cnt_o")
+      pivoted.unpivot(Array(col("flag")),
+          Array(col("cnt_f").as("F"), col("cnt_o").as("O")), "status", "cnt")
+        .where(col("cnt").isNotNull)
+        .select(col("flag"), col("status"), col("cnt").cast("long").as("cnt"))
+        .orderBy("flag", "status")
+    },
+
+    // ───── q117: PageRank over the supplier↔customer trade graph ─────────
+    // Iterative distributed graph centrality — the quality-scoring shape a
+    // web-corpus curation pipeline runs (rank sources by link mass). The
+    // graph: an undirected edge per distinct (supplier, customer) pair that
+    // traded. Five unrolled power iterations, damping 17/20.
+    //
+    // DETERMINISM AT SCALE: ranks are integer mass units and each node's
+    // out-contribution uses integer floor division — every per-edge value
+    // is exact and integer sums are order-independent, so Spark and DuckDB
+    // agree bit-for-bit with no float-summation hazard (same trick as the
+    // engine's write-skew-free bucket hashing: make the hot path exact).
+    //
+    // 100 TB posture: edges build once (one distinct over the join) and are
+    // reused by every iteration; per-iteration work is one equi-join of the
+    // small rank table against edges plus a hash aggregation on dst — no
+    // all-pairs, nothing driver-side, iteration count fixed. On a cluster
+    // the edge table would be bucketed by src so every iteration's join is
+    // shuffle-free on the big side.
+    QueryDef.df(
+      "q117_pagerank",
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (
+        |  SELECT 's' || s AS src, 'c' || c AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT 'c' || c AS src, 's' || s AS dst FROM pairs),
+        |deg AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
+        |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank, od FROM deg),
+        |r1 AS (SELECT e.dst AS node, 150000 + sum((17 * r.rank) // (20 * r.od)) AS rank
+        |       FROM r0 r JOIN edges e ON r.node = e.src GROUP BY 1),
+        |r1d AS (SELECT node, rank, od FROM r1 JOIN deg ON node = src),
+        |r2 AS (SELECT e.dst AS node, 150000 + sum((17 * r.rank) // (20 * r.od)) AS rank
+        |       FROM r1d r JOIN edges e ON r.node = e.src GROUP BY 1),
+        |r2d AS (SELECT node, rank, od FROM r2 JOIN deg ON node = src),
+        |r3 AS (SELECT e.dst AS node, 150000 + sum((17 * r.rank) // (20 * r.od)) AS rank
+        |       FROM r2d r JOIN edges e ON r.node = e.src GROUP BY 1),
+        |r3d AS (SELECT node, rank, od FROM r3 JOIN deg ON node = src),
+        |r4 AS (SELECT e.dst AS node, 150000 + sum((17 * r.rank) // (20 * r.od)) AS rank
+        |       FROM r3d r JOIN edges e ON r.node = e.src GROUP BY 1),
+        |r4d AS (SELECT node, rank, od FROM r4 JOIN deg ON node = src),
+        |r5 AS (SELECT e.dst AS node, 150000 + sum((17 * r.rank) // (20 * r.od)) AS rank
+        |       FROM r4d r JOIN edges e ON r.node = e.src GROUP BY 1)
+        |SELECT node, CAST(rank AS BIGINT) AS rank FROM r5
+        |ORDER BY rank DESC, node LIMIT 100""".stripMargin) { (s, dir) =>
+      val pairs = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("s"), col("o_custkey").as("c")).distinct()
+      val edges = pairs.select(concat(lit("s"), col("s")).as("src"),
+          concat(lit("c"), col("c")).as("dst"))
+        .unionAll(pairs.select(concat(lit("c"), col("c")).as("src"),
+          concat(lit("s"), col("s")).as("dst")))
+        // edges drive every iteration: materialize once, never recompute
+        .persist()
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("od"))
+      var ranks = deg.select(col("src").as("node"), lit(1000000L).as("rank"), col("od"))
+      // edges/deg are reused every iteration (self-join): alias per round
+      for (i <- 1 to 5) {
+        val r = ranks.select(col("node"),
+          expr("(17 * rank) div (20 * od)").as("out")).as(s"r$i")
+        val contrib = r.join(edges.as(s"e$i"), col(s"r$i.node") === col(s"e$i.src"))
+          .groupBy(col(s"e$i.dst").as("node"))
+          .agg((lit(150000L) + sum(col(s"r$i.out"))).as("rank")).as(s"c$i")
+        ranks = contrib.join(deg.as(s"d$i"), col(s"c$i.node") === col(s"d$i.src"))
+          .select(col(s"c$i.node").as("node"), col(s"c$i.rank").as("rank"),
+            col(s"d$i.od").as("od"))
+      }
+      val out = ranks.select(col("node"), col("rank").cast("long").as("rank"))
+        .orderBy(col("rank").desc, col("node")).limit(100)
+      out
+    },
+
+    // ───── q118: ordered LISTAGG / string_agg ────────────────────────────
+    // Spark 4.1's listagg WITHIN GROUP vs DuckDB's string_agg ORDER BY —
+    // deterministic because the aggregation order is total (status is
+    // distinct per group after the inner distinct).
+    QueryDef.df(
+      "q118_listagg",
+      """WITH d AS (
+        |  SELECT DISTINCT l_returnflag AS flag,
+        |    l_linestatus || ':' || CAST(month(l_shipdate) AS VARCHAR) AS tag
+        |  FROM lineitem)
+        |SELECT flag, string_agg(tag, ',' ORDER BY tag) AS tags,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          concat(col("l_linestatus"), lit(":"),
+            month(col("l_shipdate")).cast("string")).as("tag"))
+        .distinct()
+        .groupBy("flag")
+        .agg(expr("listagg(tag, ',') WITHIN GROUP (ORDER BY tag)").as("tags"),
+          count(lit(1)).as("n"))
+        .orderBy("flag")
     })
 }
