@@ -666,37 +666,39 @@ object Relational {
         .orderBy("bucket")
     },
 
-    // ───── q116: PIVOT / UNPIVOT round-trip ───────────────────────────────
-    // groupBy().pivot(values) spreads l_linestatus into columns (explicit
-    // value list — no extra distinct-collection job, the 100 TB form), then
-    // Dataset.unpivot melts them back to rows. Oracle: conditional
-    // aggregation + UNION ALL (what both operators desugar to). Counts are
-    // exact longs — no float hazard.
+    // ───── q116: time-INTERVAL RANGE window frames ────────────────────────
+    // Trailing 1-hour sliding aggregates per user — the sessionless "burst"
+    // analysis shape. RANGE frames bound by a calendar interval (not row
+    // counts, not numeric offsets — q24 covers those): frame membership is
+    // value-based, so ts ties are peers in both engines by definition.
+    // Window sums accumulate in DECIMAL(18,6) (exact, so Spark's running
+    // accumulation and DuckDB's segment-tree evaluation cannot diverge);
+    // only the final max is cast to double. Scale: one shuffle on user_id,
+    // sort within partitions — no corpus-wide sort.
     QueryDef.df(
-      "q116_pivot_unpivot",
-      """WITH p AS (
-        |  SELECT l_returnflag AS flag,
-        |    sum(CASE WHEN l_linestatus = 'F' THEN 1 END) AS cnt_f,
-        |    sum(CASE WHEN l_linestatus = 'O' THEN 1 END) AS cnt_o
-        |  FROM lineitem GROUP BY 1)
-        |SELECT flag, status, CAST(cnt AS BIGINT) AS cnt FROM (
-        |  SELECT flag, 'F' AS status, cnt_f AS cnt FROM p
-        |  UNION ALL
-        |  SELECT flag, 'O' AS status, cnt_o AS cnt FROM p)
-        |WHERE cnt IS NOT NULL
-        |ORDER BY flag, status""".stripMargin) { (s, dir) =>
-      val pivoted = t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag").as("flag"))
-        .pivot("l_linestatus", Seq("F", "O"))
-        // sum-of-1, not count: an absent (flag, status) cell must be NULL
-        // in both engines (count would make the oracle's 0 a mismatch)
-        .agg(sum(lit(1)))
-        .withColumnRenamed("F", "cnt_f").withColumnRenamed("O", "cnt_o")
-      pivoted.unpivot(Array(col("flag")),
-          Array(col("cnt_f").as("F"), col("cnt_o").as("O")), "status", "cnt")
-        .where(col("cnt").isNotNull)
-        .select(col("flag"), col("status"), col("cnt").cast("long").as("cnt"))
-        .orderBy("flag", "status")
+      "q116_time_range_frame",
+      """WITH w AS (
+        |  SELECT user_id,
+        |    count(*) OVER (PARTITION BY user_id ORDER BY ts
+        |      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS c1h,
+        |    sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts
+        |      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS v1h
+        |  FROM events)
+        |SELECT user_id, CAST(max(c1h) AS BIGINT) AS peak_1h,
+        |  CAST(count(CASE WHEN c1h >= 3 THEN 1 END) AS BIGINT) AS bursts,
+        |  CAST(max(v1h) AS DOUBLE) AS max_v1h
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .selectExpr("user_id",
+          """count(*) OVER (PARTITION BY user_id ORDER BY ts
+            |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS c1h""".stripMargin,
+          """sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts
+            |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS v1h""".stripMargin)
+        .groupBy("user_id")
+        .agg(max(col("c1h")).cast("long").as("peak_1h"),
+          count(when(col("c1h") >= 3, 1)).cast("long").as("bursts"),
+          max(col("v1h")).cast("double").as("max_v1h"))
+        .orderBy("user_id")
     },
 
     // ───── q117: PageRank over the supplier↔customer trade graph ─────────

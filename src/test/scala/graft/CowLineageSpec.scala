@@ -2,6 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.catalog._
+
 /** Lineage-preserving copy-on-write (`write.cow.preserve-lineage=true`):
   * UPDATE/MERGE/DELETE keep true CoW table shape — touched files rewritten,
   * ZERO delete files post-commit — while updated and surviving rows keep
@@ -117,6 +119,63 @@ class CowLineageSpec extends AnyFunSuite {
       "pending tombstones whose last target was rewritten must fold away")
     spark.sql(s"DROP TABLE $t")
   }
+
+  test("fold works under write.delete.format=dv (temp deletion vectors, same CoW shape)") {
+    val t = tbl("dv")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING) TBLPROPERTIES (" +
+      "'write.cow.preserve-lineage'='true', 'write.delete.format'='dv')")
+    spark.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, concat('a', id) FROM range(0, 100)")
+    val before = lineageOf(t)
+    spark.sql(s"UPDATE $t SET v = 'u' WHERE k % 4 = 0")
+    val after = lineageOf(t)
+    assert(after.keySet == before.keySet)
+    assert(after.forall { case (k, (rid, _)) => before(k)._1 == rid })
+    assert(meta(t, "deletes").count() == 0, "DV-mode fold must leave zero delete files")
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE v = 'u'").head().getLong(0) == 25)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("fold commit fails loudly if its target was concurrently rewritten; temp tombstones are reclaimed") {
+    val t = tbl("race")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('write.cow.preserve-lineage'='true')")
+    spark.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, concat('a', id) FROM range(0, 100)")
+    spark.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, concat('b', id) FROM range(100, 5000)")
+    val Array(cat, ns, name) = t.split('.')
+    val c = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val table = c.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array(ns), name))
+      .asInstanceOf[LakeTable]
+    val store = c.asInstanceOf[LakeCatalog].pointerStore
+    val target = table.meta.currentFiles.head.path
+    // a concurrent compaction rewrites the target between scan and commit
+    LakeMaintenance.compact(spark, t, smallFileBytes = Long.MaxValue)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    // a real on-disk temp tombstone (valid parquet — the stale-handle fold
+    // reads it during the rewrite): the failed fold must reclaim it
+    val tomb = new org.apache.hadoop.fs.Path(s"${table.meta.location}/deletes/race-tomb.parquet")
+    val fs = tomb.getFileSystem(conf)
+    val tmpDir = s"${table.meta.location}/deletes/race-tomb-src"
+    spark.createDataFrame(Seq((target, 0L))).toDF("file_path", "pos")
+      .repartition(1).write.parquet(tmpDir)
+    val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmpDir/part-*.parquet"))(0).getPath
+    fs.rename(part, tomb)
+    val batchWrite = new LakeDeltaBatchWrite(table,
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.UPDATE,
+      table.meta.schema, store, conf, foldOnCommit = true)
+    val snapsBefore = lakeSnapshotCount(t)
+    intercept[CommitConflictException] {
+      batchWrite.commit(Array(LakeDeltaCommitMessage(Nil,
+        Seq(DataFileMeta(tomb.toString, 1, 10,
+          Map("file_path" -> target), Map("file_path" -> target))),
+        Seq(target))))
+    }
+    assert(!fs.exists(tomb), "failed fold must delete its temp tombstone files")
+    assert(lakeSnapshotCount(t) == snapsBefore, "failed fold must not commit")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  private def lakeSnapshotCount(t: String): Long = meta(t, "snapshots").count()
 
   test("partitioned fold keeps partition clustering and prunes like any write") {
     val t = tbl("part")

@@ -251,4 +251,23 @@ class ExplainAuditSpec extends AnyFunSuite {
     assert(exchangeIdx < 0 || exchangeIdx < filterIdx,
       s"candidate filter must precede the shuffle (tree prints top-down):\n$p")
   }
+
+  test("q116 interval range frames: one window pass, no corpus-wide sort") {
+    val p = plan("q116_time_range_frame")
+    assert(p.contains("Window"), s"expected a window operator:\n$p")
+    // exactly one user_id shuffle feeds the window; the final ORDER BY is
+    // on the already-aggregated per-user rows, never the raw events
+    assert("RunningWindowFunction|Window".r.findAllIn(p).size >= 1)
+    assert(!p.contains("CartesianProduct"), s"no cross product:\n$p")
+  }
+
+  test("q117 pagerank: every iteration is an equi-join + hash agg, edges come from cache") {
+    val p = plan("q117_pagerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"iterations must stay equi-joins:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"edges must be computed once and reused from cache:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must not global-sort:\n$p")
+  }
 }
