@@ -753,20 +753,21 @@ object Relational {
           concat(lit("c"), col("c")).as("dst"))
         .unionAll(pairs.select(concat(lit("c"), col("c")).as("src"),
           concat(lit("s"), col("s")).as("dst")))
-        // edges drive every iteration: materialize once, never recompute
-        .persist()
       val deg = edges.groupBy("src").agg(count(lit(1)).as("od"))
-      var ranks = deg.select(col("src").as("node"), lit(1000000L).as("rank"), col("od"))
-      // edges/deg are reused every iteration (self-join): alias per round
+      // the out-degree is denormalized INTO the cached edge table, so every
+      // iteration is exactly one equi-join (ranks ⋈ edges on src — AQE
+      // broadcasts the small rank side) plus one hash agg on dst; deg is
+      // never recomputed or re-joined per round
+      val edgesOd = edges.join(deg, "src").persist()
+      var ranks = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
+      // the cached table is self-joined across rounds: alias per round
       for (i <- 1 to 5) {
-        val r = ranks.select(col("node"),
-          expr("(17 * rank) div (20 * od)").as("out")).as(s"r$i")
-        val contrib = r.join(edges.as(s"e$i"), col(s"r$i.node") === col(s"e$i.src"))
-          .groupBy(col(s"e$i.dst").as("node"))
-          .agg((lit(150000L) + sum(col(s"r$i.out"))).as("rank")).as(s"c$i")
-        ranks = contrib.join(deg.as(s"d$i"), col(s"c$i.node") === col(s"d$i.src"))
-          .select(col(s"c$i.node").as("node"), col(s"c$i.rank").as("rank"),
-            col(s"d$i.od").as("od"))
+        ranks = ranks.as(s"r$i")
+          .join(edgesOd.as(s"e$i"), col(s"r$i.node") === col(s"e$i.src"))
+          .select(col(s"e$i.dst").as("dst"), expr("(17 * rank) div (20 * od)").as("out"))
+          .groupBy(col("dst"))
+          .agg((lit(150000L) + sum(col("out"))).as("rank"))
+          .select(col("dst").as("node"), col("rank"))
       }
       val out = ranks.select(col("node"), col("rank").cast("long").as("rank"))
         .orderBy(col("rank").desc, col("node")).limit(100)
