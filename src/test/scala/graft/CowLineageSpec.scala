@@ -120,6 +120,29 @@ class CowLineageSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("UPDATE that moves rows across partitions: ids ride along, files stay single-valued") {
+    val t = tbl("move")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, p BIGINT) PARTITIONED BY (p) " +
+      "TBLPROPERTIES ('write.cow.preserve-lineage'='true')")
+    spark.sql(s"INSERT INTO $t SELECT id, id % 4 FROM range(0, 400)")
+    val before = spark.sql(s"SELECT k, _row_id FROM $t")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // rows leave partition 1 for partition 7 — tombstoned there, re-inserted
+    // here, identity preserved through update()
+    spark.sql(s"UPDATE $t SET p = 7 WHERE p = 1 AND k < 40")
+    val after = spark.sql(s"SELECT k, _row_id FROM $t")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(after == before, "a partition-moving update must not change any _row_id")
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE p = 7").head().getLong(0) ==
+      (0L until 40L).count(_ % 4 == 1))
+    assert(meta(t, "deletes").count() == 0)
+    val parts = meta(t, "files").select("min_values", "max_values").collect()
+      .map(r => (r.getMap[String, String](0).get("p"), r.getMap[String, String](1).get("p")))
+    assert(parts.forall { case (lo, hi) => lo == hi },
+      s"moved rows must land in single-valued partition files: ${parts.toSeq}")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("fold works under write.delete.format=dv (temp deletion vectors, same CoW shape)") {
     val t = tbl("dv")
     spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING) TBLPROPERTIES (" +
