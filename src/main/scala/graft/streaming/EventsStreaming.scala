@@ -102,4 +102,42 @@ object EventsStreaming {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  /** Streaming per-source token-quota enforcement — the CUSTOM-STATE API
+    * (`KeyValueGroupedDataset.flatMapGroupsWithState`), for semantics no
+    * built-in aggregate expresses: each source's cumulative accepted-token
+    * count lives in managed per-key state across micro-batches, and a
+    * document is emitted only while its source is still under `quotaTokens`.
+    * This is the streaming half of corpus mixture control (batch twin:
+    * q81's quota histogram): cap every domain's contribution AS DOCUMENTS
+    * ARRIVE, no global sort, no second pass.
+    *
+    * Scale posture: state is ONE long per source key, shuffled once on
+    * source; the iterator is consumed lazily per group within a batch, so
+    * nothing buffers beyond a group's accepted rows. State never times out
+    * — a quota is a permanent budget, and the keyspace (domains) is small
+    * by construction; for unbounded keyspaces add a TTL timeout.
+    *
+    * Input columns: (source STRING, doc_id BIGINT, tokens BIGINT); output =
+    * the accepted subset, same columns.
+    */
+  def quotaSampled(docs: DataFrame, quotaTokens: Long): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs.as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(String, Long, Long)], state: GroupState[Long]) =>
+          var used = state.getOption.getOrElse(0L)
+          // materialize the accepted list BEFORE updating state: the output
+          // iterator is consumed after this function returns
+          val accepted = rows.filter { case (_, _, tk) =>
+            if (used + tk <= quotaTokens) { used += tk; true } else false
+          }.toList
+          state.update(used)
+          accepted.iterator
+      }
+      .toDF("source", "doc_id", "tokens")
+  }
 }

@@ -513,4 +513,37 @@ class StreamingSpec extends AnyFunSuite {
         Seq(1L, 2L), "published rows arrive exactly once")
     } finally q.stop()
   }
+
+  test("flatMapGroupsWithState quota sampling: per-source budgets persist across micro-batches") {
+    import spark.implicits._
+    // (source, doc_id, tokens): every doc is 10 tokens so the accepted
+    // count is order-independent within a batch (intra-group iteration
+    // order is not deterministic)
+    val docs = MemoryStream[(String, Long, Long)](spark)
+    val q = EventsStreaming.quotaSampled(
+        docs.toDF().toDF("source", "doc_id", "tokens"), quotaTokens = 100L)
+      .writeStream.format("memory").queryName("quota_out").outputMode("append")
+      .start()
+    try {
+      // batch 1: A uses 50 of 100, B uses 20
+      docs.addData((1L to 5L).map(i => ("A", i, 10L)) ++ Seq(("B", 100L, 10L), ("B", 101L, 10L)): _*)
+      q.processAllAvailable()
+      assert(spark.table("quota_out").groupBy("source").count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap == Map("A" -> 5L, "B" -> 2L))
+      // batch 2: A's budget (50 left) admits exactly 5 of 8 — state carried over
+      docs.addData((6L to 13L).map(i => ("A", i, 10L)): _*)
+      q.processAllAvailable()
+      // batch 3: A is exhausted, B still under budget
+      docs.addData(("A", 20L, 10L), ("B", 102L, 10L))
+      q.processAllAvailable()
+      val counts = spark.table("quota_out").groupBy("source").count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(counts == Map("A" -> 10L, "B" -> 3L),
+        s"quota must cap A at 100 tokens (10 docs) across batches: $counts")
+      val tok = spark.table("quota_out").groupBy("source")
+        .agg(org.apache.spark.sql.functions.sum("tokens")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(tok == Map("A" -> 100L, "B" -> 30L))
+    } finally q.stop()
+  }
 }
