@@ -180,24 +180,11 @@ final class LakeDeltaBatchWrite(
     }
     // insert-only commands (pure NOT MATCHED MERGE) have nothing to fold —
     // the plain append below is already copy-on-write-shaped
-    var prevLoc = table.metadataLocation
-    var base = table.meta
-    var attempts = 0
-    while (attempts < CasRetry.maxAttempts) {
-      CasCommit.requireReplacedLive(base, targets, s"$cmd (merge-on-read)", table.ident)
-      val next = TableMeta.withDelta(base, "delta", dataFiles, deleteFiles, hadoopConf)
-      val newLoc = TableMeta.write(next, hadoopConf)
-      if (store.casUpdate(table.namespace, table.tableName, newLoc, prevLoc) == 1) {
-        table.commitSucceeded()
-        return
-      }
-      attempts += 1
-      CasRetry.backoff(attempts)
-      prevLoc = store.load(table.namespace, table.tableName).getOrElse(
-        throw new IllegalStateException(s"table ${table.ident} dropped during $cmd"))
-      base = TableMeta.read(prevLoc, hadoopConf)
-    }
-    throw new IllegalStateException(s"$cmd on ${table.ident}: CAS lost $attempts times")
+    CasCommit.retryLoop(store, table.namespace, table.tableName,
+      table.metadataLocation, table.meta, s"$cmd", table.ident, hadoopConf)(
+      base => CasCommit.requireReplacedLive(base, targets, s"$cmd (merge-on-read)", table.ident))(
+      base => TableMeta.withDelta(base, "delta", dataFiles, deleteFiles, hadoopConf))(
+      table.commitSucceeded())
   }
 
   /** Lineage-preserving copy-on-write: rewrite every tombstoned file
@@ -217,11 +204,13 @@ final class LakeDeltaBatchWrite(
     val spark = org.apache.spark.sql.SparkSession.active
     val base0 = table.meta
     // the find-matching-rows scan applied these; any delete file committed
-    // after it may kill rows this rewrite resurrects — conflict, not merge
+    // after it may kill rows this rewrite resurrects — conflict, not merge.
+    // (No early liveness check: base0 is the load-time snapshot the scan
+    // enumerated targets from, so targets are live in it by construction —
+    // conflicts only exist against FRESHER snapshots, caught in the loop.)
     val scanDeletePaths =
       (base0.currentDeleteFiles ++ base0.currentEqDeleteFiles).map(_.path).toSet
     val targetMetas = base0.currentFiles.filter(f => targets(f.path))
-    CasCommit.requireReplacedLive(base0, targets, s"$cmd (cow-fold)", table.ident)
     val survivors = LakeMaintenance.rewriteLive(spark, base0, targetMetas,
       base0.currentDeleteFiles ++ newDeletes, base0.currentEqDeleteFiles,
       base0.targetFileBytes, hadoopConf)
@@ -236,31 +225,26 @@ final class LakeDeltaBatchWrite(
       .filter(d => keep.forall(_.addedAt >= d.addedAt)).map(_.path).toSet
     val replaced = targets ++ folded ++ foldedEq
     val newFiles = survivors ++ inserts
-    var prevLoc = table.metadataLocation
-    var base = base0
-    var attempts = 0
     try {
-      while (attempts < CasRetry.maxAttempts) {
-        CasCommit.requireReplacedLive(base, replaced, s"$cmd (cow-fold)", table.ident)
-        CasCommit.requireNoNewDeletes(scanDeletePaths, base, targets,
-          s"$cmd (cow-fold)", table.ident)
-        val next = TableMeta.withRewrite(base, "replace-rows", replaced, newFiles, hadoopConf)
-        val newLoc = TableMeta.write(next, hadoopConf)
-        if (store.casUpdate(table.namespace, table.tableName, newLoc, prevLoc) == 1) {
-          table.commitSucceeded()
-          return
-        }
-        attempts += 1
-        CasRetry.backoff(attempts)
-        prevLoc = store.load(table.namespace, table.tableName).getOrElse(
-          throw new IllegalStateException(s"table ${table.ident} dropped during $cmd"))
-        base = TableMeta.read(prevLoc, hadoopConf)
-      }
-      throw new IllegalStateException(s"$cmd on ${table.ident}: CAS lost $attempts times")
+      CasCommit.retryLoop(store, table.namespace, table.tableName,
+        table.metadataLocation, base0, s"$cmd", table.ident, hadoopConf)(
+        base => {
+          CasCommit.requireReplacedLive(base, replaced, s"$cmd (cow-fold)", table.ident)
+          CasCommit.requireNoNewDeletes(scanDeletePaths, base, targets,
+            s"$cmd (cow-fold)", table.ident)
+        })(
+        base => TableMeta.withRewrite(base, "replace-rows", replaced, newFiles, hadoopConf))(
+        table.commitSucceeded())
     } finally {
-      // win or lose, the temp tombstone files never become table state
-      val fs = new Path(table.meta.location).getFileSystem(hadoopConf)
-      newDeletes.foreach(f => fs.delete(new Path(f.path), false))
+      // win or lose, the temp tombstone files never become table state.
+      // BEST-EFFORT only: after a successful CAS this commit IS committed —
+      // a cleanup IOException must never propagate (Spark would call
+      // abort(), deleting insert files the new snapshot references).
+      // Unreclaimed temp files are plain orphans for remove_orphan_files.
+      try {
+        val fs = new Path(table.meta.location).getFileSystem(hadoopConf)
+        newDeletes.foreach(f => fs.delete(new Path(f.path), false))
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 

@@ -1443,29 +1443,17 @@ object LakeMaintenance {
       newFiles: Seq[DataFileMeta],
       scanDeletePaths: Set[String] = Set.empty,
       rewrittenDataPaths: Set[String] = Set.empty,
-      newContent: String = "data"): Unit = {
-    var prevLoc = t0.metadataLocation
-    var base = t0.meta
-    var attempts = 0
-    while (attempts < CasRetry.maxAttempts) {
-      CasCommit.requireReplacedLive(base, replacedPaths, operation, t0.ident)
-      CasCommit.requireNoNewDeletes(scanDeletePaths, base, rewrittenDataPaths,
-        operation, t0.ident)
-      val next = TableMeta.withRewrite(base, operation, replacedPaths, newFiles,
-        hadoopConf, newContent)
-      val newLoc = TableMeta.write(next, hadoopConf)
-      if (cat.pointerStore.casUpdate(ident.namespace()(0), ident.name(), newLoc, prevLoc) == 1) {
-        cat.invalidateTable(ident)
-        return
-      }
-      attempts += 1
-      CasRetry.backoff(attempts)
-      prevLoc = cat.pointerStore.load(ident.namespace()(0), ident.name()).getOrElse(
-        throw new IllegalStateException(s"table dropped during $operation"))
-      base = TableMeta.read(prevLoc, hadoopConf)
-    }
-    throw new IllegalStateException(s"$operation: CAS lost $attempts times")
-  }
+      newContent: String = "data"): Unit =
+    CasCommit.retryLoop(cat.pointerStore, ident.namespace()(0), ident.name(),
+      t0.metadataLocation, t0.meta, operation, t0.ident, hadoopConf)(
+      base => {
+        CasCommit.requireReplacedLive(base, replacedPaths, operation, t0.ident)
+        CasCommit.requireNoNewDeletes(scanDeletePaths, base, rewrittenDataPaths,
+          operation, t0.ident)
+      })(
+      base => TableMeta.withRewrite(base, operation, replacedPaths, newFiles,
+        hadoopConf, newContent))(
+      cat.invalidateTable(ident))
   // ── table statistics: incremental per-column NDV sketches ────────────────
 
   /** `CALL lake.system.analyze(table[, columns])` — per-column

@@ -550,30 +550,19 @@ final class LakeRowLevelOperation(
           // table would spuriously fail its own validation)
           val scanDeletePaths =
             (scanDeletes ++ table.meta.currentEqDeleteFiles).map(_.path).toSet
-          var prevLoc = table.metadataLocation
-          var base = table.meta
-          var attempts = 0
-          while (attempts < CasRetry.maxAttempts) {
-            // a concurrent rewrite of any scanned file invalidates this CoW,
-            // and so does a concurrent merge-on-read tombstone targeting one
-            CasCommit.requireReplacedLive(base, replacedPaths ++ foldedDeletes,
-              cmd.toString, table.ident)
-            CasCommit.requireNoNewDeletes(scanDeletePaths, base, replacedPaths,
-              cmd.toString, table.ident)
-            val next = TableMeta.withRewrite(base, "replace-rows",
-              replacedPaths ++ foldedDeletes, newFiles, hadoopConf)
-            val newLoc = TableMeta.write(next, hadoopConf)
-            if (store.casUpdate(table.namespace, table.tableName, newLoc, prevLoc) == 1) {
-              table.commitSucceeded()
-              return
-            }
-            attempts += 1
-            CasRetry.backoff(attempts)
-            prevLoc = store.load(table.namespace, table.tableName).getOrElse(
-              throw new IllegalStateException(s"table ${table.ident} dropped during ${cmd}"))
-            base = TableMeta.read(prevLoc, hadoopConf)
-          }
-          throw new IllegalStateException(s"$cmd on ${table.ident}: CAS lost $attempts times")
+          CasCommit.retryLoop(store, table.namespace, table.tableName,
+            table.metadataLocation, table.meta, cmd.toString, table.ident, hadoopConf)(
+            base => {
+              // a concurrent rewrite of any scanned file invalidates this
+              // CoW, and so does a concurrent tombstone targeting one
+              CasCommit.requireReplacedLive(base, replacedPaths ++ foldedDeletes,
+                cmd.toString, table.ident)
+              CasCommit.requireNoNewDeletes(scanDeletePaths, base, replacedPaths,
+                cmd.toString, table.ident)
+            })(
+            base => TableMeta.withRewrite(base, "replace-rows",
+              replacedPaths ++ foldedDeletes, newFiles, hadoopConf))(
+            table.commitSucceeded())
         }
         override def abort(messages: Array[WriterCommitMessage]): Unit = {
           val fs = new Path(table.meta.location).getFileSystem(hadoopConf)

@@ -570,6 +570,45 @@ object CasCommit {
           "a file this commit rewrites; rewrites are serializable-or-fail — retry")
     }
   }
+
+  /** THE commit loop, shared by every committing path (row-level ops, delta
+    * appends, the CoW fold, maintenance rewrites): re-`validate` against the
+    * CURRENT base, `transform` it, write the new metadata document, CAS the
+    * pointer; on a lost race reload the fresh pointer and retry with jittered
+    * backoff, loud after maxAttempts. `validate` throwing (conflict) aborts
+    * the whole commit — validations are re-run on EVERY retry because the
+    * base they guard against moves.
+    */
+  def retryLoop(
+      store: PointerStore,
+      namespace: String,
+      tableName: String,
+      startLoc: String,
+      startMeta: TableMeta,
+      operation: String,
+      ident: String,
+      hadoopConf: org.apache.hadoop.conf.Configuration)(
+      validate: TableMeta => Unit)(
+      transform: TableMeta => TableMeta)(
+      onSuccess: => Unit): Unit = {
+    var prevLoc = startLoc
+    var base = startMeta
+    var attempts = 0
+    while (attempts < CasRetry.maxAttempts) {
+      validate(base)
+      val newLoc = TableMeta.write(transform(base), hadoopConf)
+      if (store.casUpdate(namespace, tableName, newLoc, prevLoc) == 1) {
+        onSuccess
+        return
+      }
+      attempts += 1
+      CasRetry.backoff(attempts)
+      prevLoc = store.load(namespace, tableName).getOrElse(
+        throw new IllegalStateException(s"table $ident dropped during $operation"))
+      base = TableMeta.read(prevLoc, hadoopConf)
+    }
+    throw new IllegalStateException(s"$operation on $ident: CAS lost $attempts times")
+  }
 }
 
 /** One partition-spec field: an identity column (`region`) or a hash
