@@ -788,6 +788,55 @@ object Relational {
       } finally edgesOd.unpersist(blocking = false)
     },
 
+    // ───── q119: statistical aggregates from exact moment sums ───────────
+    // stddev / correlation per group — the data-profiling shape. The
+    // built-in single-pass estimators (Welford merges) are FLOAT-ORDER-
+    // DEPENDENT across partitions, so no two engines (or two runs) agree
+    // bit-for-bit; instead the moments (n, Σx, Σx², Σy, Σy², Σxy) accumulate
+    // in DECIMAL — every input is integer-valued, so the sums are EXACT and
+    // order-free — and the statistics derive in one fixed double expression
+    // both engines evaluate identically. `StatAggSpec` pins Spark's
+    // builtins (stddev_samp/corr/covar_samp) against these exact values.
+    QueryDef.df(
+      "q119_stat_aggregates",
+      """WITH m AS (
+        |  SELECT l_returnflag AS flag, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
+        |    sum(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS sxx,
+        |    sum(CAST(l_linenumber AS DECIMAL(18,6))) AS sy,
+        |    sum(CAST(l_linenumber * l_linenumber AS DECIMAL(18,6))) AS syy,
+        |    sum(CAST(l_quantity * l_linenumber AS DECIMAL(18,6))) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT flag, CAST(n AS BIGINT) AS n,
+        |  CAST(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+        |    / (n - 1)) AS DOUBLE) AS sd_qty,
+        |  CAST((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+        |    / (n - 1) AS DOUBLE) AS cov_ql,
+        |  CAST((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+        |    / (sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+        |       * sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n))
+        |    AS DOUBLE) AS corr_ql
+        |FROM m ORDER BY flag""".stripMargin) { (s, dir) =>
+      val dec = DecimalType(18, 6)
+      val m = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(dec)).as("sx"),
+          sum((col("l_quantity") * col("l_quantity")).cast(dec)).as("sxx"),
+          sum(col("l_linenumber").cast(dec)).as("sy"),
+          sum((col("l_linenumber") * col("l_linenumber")).cast(dec)).as("syy"),
+          sum((col("l_quantity") * col("l_linenumber")).cast(dec)).as("sxy"))
+      val (n, sx, sxx, sy, syy, sxy) = (col("n"), col("sx").cast("double"),
+        col("sxx").cast("double"), col("sy").cast("double"),
+        col("syy").cast("double"), col("sxy").cast("double"))
+      m.select(col("flag"), n.cast("long").as("n"),
+          sqrt((sxx - sx * sx / n) / (n - 1)).cast("double").as("sd_qty"),
+          ((sxy - sx * sy / n) / (n - 1)).cast("double").as("cov_ql"),
+          ((sxy - sx * sy / n) / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)))
+            .cast("double").as("corr_ql"))
+        .orderBy("flag")
+    },
+
     // ───── q118: ordered LISTAGG / string_agg ────────────────────────────
     // Spark 4.1's listagg WITHIN GROUP vs DuckDB's string_agg ORDER BY —
     // deterministic because the aggregation order is total (status is
