@@ -160,7 +160,8 @@ final class LakeDeltaBatchWrite(
       s"${table.meta.location}/deletes",
       table.meta.physicalPartitionColumns,
       new SerializableConfiguration(hadoopConf),
-      dvMode = DeletionVectors.enabled(table.meta.properties))
+      dvMode = DeletionVectors.enabled(table.meta.properties),
+      statTruncateLen = table.meta.statTruncateLen)
 
   /** Commit = append tombstone + insert manifests via the usual CAS swap.
     * Rebase validation: every tombstoned data file must still be live — a
@@ -262,11 +263,12 @@ final case class LakeDeltaWriterFactory(
     deleteDir: String,
     physPartCols: Seq[String],
     conf: SerializableConfiguration,
-    dvMode: Boolean = false)
+    dvMode: Boolean = false,
+    statTruncateLen: Int = StatBounds.DefaultLen)
   extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new LakeDeltaWriter(physDataSchemaJson, dataDir, deleteDir, physPartCols, conf.value,
-      partitionId, taskId, dvMode)
+      partitionId, taskId, dvMode, statTruncateLen)
 }
 
 /** Two lazy sub-writers behind one DeltaWriter: inserted rows stream into
@@ -285,7 +287,8 @@ final class LakeDeltaWriter(
     conf: Configuration,
     partitionId: Int,
     taskId: Long,
-    dvMode: Boolean = false)
+    dvMode: Boolean = false,
+    statTruncateLen: Int = StatBounds.DefaultLen)
   extends DeltaWriter[InternalRow] {
 
   private var insertW: LakeDataWriter = _
@@ -312,7 +315,7 @@ final class LakeDeltaWriter(
       insertW = new LakeDataWriter(
         insertSchema,
         s"$dataDir/part-$partitionId-$taskId-${java.util.UUID.randomUUID()}",
-        physPartCols, conf)
+        physPartCols, conf, statTruncateLen = statTruncateLen)
     insertW
   }
 
@@ -321,7 +324,9 @@ final class LakeDeltaWriter(
       deleteW = new LakeDataWriter(
         DeleteFiles.schema,
         s"$deleteDir/delete-$partitionId-$taskId-${java.util.UUID.randomUUID()}",
-        Nil, conf)
+        // file_path ranges keep full precision: tombstone covering prunes
+        // by these bounds, and table paths share long directory prefixes
+        Nil, conf, statTruncateLen = 0)
     deleteW
   }
 

@@ -186,7 +186,7 @@ object LakeMaintenance {
       // the sort order is re-applied above, so output files carry the
       // sorted-by provenance (restores SupportsReportOrdering after
       // unsorted history is rewritten)
-      sortedBy = sortColNames)
+      sortedBy = sortColNames, statTruncateLen = meta.statTruncateLen)
     clustered.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
       val w = factory.createWriter(pid, org.apache.spark.TaskContext.get().taskAttemptId())
       rows.foreach(w.write)
@@ -348,7 +348,8 @@ object LakeMaintenance {
     val factory = LakeWriterFactory(physSchema.json, s"${t.meta.location}/data",
       physCols, new SerializableConfiguration(t.meta.writeConf(hadoopConf)),
       t.meta.physicalBloomColumns, t.meta.targetFileBytes,
-      bloomBits = t.meta.fileBloomBits)
+      bloomBits = t.meta.fileBloomBits,
+      statTruncateLen = t.meta.statTruncateLen)
     val keyIdx = keys.map(k => physSchema.fieldIndex(l2p.getOrElse(k, k))).toArray
     val keySchemaJson = StructType(keyIdx.map(physSchema.fields)).json
     val schemaJson = physSchema.json
@@ -366,7 +367,8 @@ object LakeMaintenance {
       rows.foreach { r => seen.add(keyProj(r).copy()); w.write(r) }
       val dataFiles = w.commit() match { case LakeCommitMessage(fs) => fs; case _ => Nil }
       val kw = new LakeDataWriter(ks,
-        s"$deleteDir/eq-$pid-${java.util.UUID.randomUUID()}", Nil, sconf.value)
+        s"$deleteDir/eq-$pid-${java.util.UUID.randomUUID()}", Nil, sconf.value,
+        statTruncateLen = 0) // eq keys: full precision
       seen.forEach(k => kw.write(k))
       val eqFiles = kw.commit() match { case LakeCommitMessage(fs) => fs; case _ => Nil }
       Iterator.single((dataFiles, eqFiles))
@@ -474,9 +476,13 @@ object LakeMaintenance {
     // conservative — the file is scanned, never skipped)
     val sconf = new SerializableConfiguration(hadoopConf)
     val schemaJson = physSchema.json
+    val truncLen = t.meta.statTruncateLen
+    val exempt = t.meta.partitionFields.collect {
+      case f if f.isIdentity => t.meta.l2pMap.getOrElse(f.source, f.source)
+    }.toSet
     val entries = spark.sparkContext
       .parallelize(paths, math.max(1, math.min(paths.size, 64)))
-      .map(p => FooterStats.entry(p, schemaJson, sconf.value))
+      .map(p => FooterStats.entry(p, schemaJson, sconf.value, truncLen, exempt))
       .collect().toSeq.sortBy(_.path)
 
     var prevLoc = t.metadataLocation
@@ -585,7 +591,8 @@ object LakeMaintenance {
             flush()
             cur = s
             w = new LakeDataWriter(ks,
-              s"$deleteDir/eqc-$pid-${java.util.UUID.randomUUID()}", Nil, sconf.value)
+              s"$deleteDir/eqc-$pid-${java.util.UUID.randomUUID()}", Nil, sconf.value,
+              statTruncateLen = 0) // eq keys: full precision
           }
           w.write(r)
         }
@@ -683,7 +690,8 @@ object LakeMaintenance {
           w.commit().iterator
         } else {
           val w = new LakeDataWriter(DeleteFiles.schema,
-            s"$deleteDir/posc-$pid-${java.util.UUID.randomUUID()}", Nil, sconf.value)
+            s"$deleteDir/posc-$pid-${java.util.UUID.randomUUID()}", Nil, sconf.value,
+            statTruncateLen = 0) // file_path ranges: full precision
           rows.foreach(w.write)
           w.commit() match {
             case LakeCommitMessage(fs) => fs.iterator
@@ -1151,7 +1159,8 @@ object LakeMaintenance {
       s"${t.meta.location}/data",
       Nil, new SerializableConfiguration(t.meta.writeConf(hadoopConf)),
       t.meta.physicalBloomColumns, t.meta.targetFileBytes,
-      bloomBits = t.meta.fileBloomBits)
+      bloomBits = t.meta.fileBloomBits,
+      statTruncateLen = t.meta.statTruncateLen)
     val newFiles = clustered.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
       val w = factory.createWriter(pid, org.apache.spark.TaskContext.get().taskAttemptId())
       rows.foreach(w.write)
@@ -1627,7 +1636,9 @@ private[catalog] object FooterStats {
   import scala.jdk.CollectionConverters._
 
   def entry(path: String, schemaJson: String,
-      conf: org.apache.hadoop.conf.Configuration): DataFileMeta = {
+      conf: org.apache.hadoop.conf.Configuration,
+      statTruncateLen: Int = StatBounds.DefaultLen,
+      exemptCols: Set[String] = Set.empty): DataFileMeta = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val p = new Path(path)
     val size = p.getFileSystem(conf).getFileStatus(p).getLen
@@ -1666,6 +1677,19 @@ private[catalog] object FooterStats {
       }
       broken.foreach { n => mins.remove(n); maxs.remove(n) }
       nullsBroken.foreach(nulls.remove)
+      // imported string bounds truncate like the writer's ([[StatBounds]]);
+      // identity-partition sources stay exact for attribution
+      if (statTruncateLen > 0) schema.fields.foreach { f =>
+        if (f.dataType == StringType && !exemptCols(f.name)) {
+          mins.get(f.name).foreach(v =>
+            mins(f.name) = StatBounds.truncateMin(v, statTruncateLen))
+          maxs.get(f.name).foreach(v =>
+            StatBounds.truncateMax(v, statTruncateLen) match {
+              case Some(t) => maxs(f.name) = t
+              case None => maxs.remove(f.name)
+            })
+        }
+      }
       DataFileMeta(path, rows, size, mins.toMap, maxs.toMap, nulls.toMap)
     } finally reader.close()
   }

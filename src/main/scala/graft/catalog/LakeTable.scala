@@ -334,7 +334,7 @@ final class LakeTable(
         val factory = LakeWriterFactory(physLineage.json, s"${meta.location}/data",
           meta.physicalPartitionColumns, new SerializableConfiguration(meta.writeConf(hadoopConf)),
           meta.physicalBloomColumns, meta.targetFileBytes,
-          bloomBits = meta.fileBloomBits)
+          bloomBits = meta.fileBloomBits, statTruncateLen = meta.statTruncateLen)
         survivors.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
           val w = factory.createWriter(pid, org.apache.spark.TaskContext.get().taskAttemptId())
           rows.foreach(w.write)
@@ -533,7 +533,8 @@ final class LakeRowLevelOperation(
             s"${table.meta.location}/data",
             table.meta.physicalPartitionColumns, new SerializableConfiguration(table.meta.writeConf(hadoopConf)),
             table.meta.physicalBloomColumns, table.meta.targetFileBytes,
-            bloomBits = table.meta.fileBloomBits)
+            bloomBits = table.meta.fileBloomBits,
+            statTruncateLen = table.meta.statTruncateLen)
         override def commit(messages: Array[WriterCommitMessage]): Unit = {
           val newFiles = messages.collect { case LakeCommitMessage(fs) => fs }.flatten.toSeq
           val replacedPaths = scanned.map(_.path).toSet
@@ -1891,7 +1892,8 @@ final class LakeBatchWrite(
       // by the sort-order columns; stamp that provenance (physical names)
       // for the scan's SupportsReportOrdering
       sortedBy = table.meta.physicalSortOrder,
-      bloomBits = table.meta.fileBloomBits)
+      bloomBits = table.meta.fileBloomBits,
+      statTruncateLen = table.meta.statTruncateLen)
 
   /** Files of the partitions the incoming data touches (dynamic overwrite's
     * replacement set). Partition attribution reads the same per-file stats
@@ -2061,7 +2063,8 @@ final class LakeStreamingWrite(
       s"${table.meta.location}/data",
       table.meta.physicalPartitionColumns, new SerializableConfiguration(table.meta.writeConf(hadoopConf)),
       table.meta.physicalBloomColumns, table.meta.targetFileBytes,
-      bloomBits = table.meta.fileBloomBits)
+      bloomBits = table.meta.fileBloomBits,
+      statTruncateLen = table.meta.statTruncateLen)
     if (upsertKeys.isEmpty) base
     else {
       val keyIdx = upsertKeys.map(writeSchema.fieldIndex).toArray
@@ -2222,7 +2225,7 @@ final case class LakeUpsertWriterFactory(
         }
         val kw = new LakeDataWriter(keySchema,
           s"$deleteDir/eq-$partitionId-$taskId-${java.util.UUID.randomUUID()}",
-          Nil, conf.value)
+          Nil, conf.value, statTruncateLen = 0) // eq keys: full precision
         latest.keySet().forEach(k => kw.write(k))
         val eqFiles = kw.commit() match {
           case LakeCommitMessage(fs) => fs
@@ -2248,13 +2251,15 @@ final case class LakeWriterFactory(
     bloomCols: Seq[String] = Nil,
     targetFileBytes: Long = 0L,
     sortedBy: Seq[String] = Nil,
-    bloomBits: Int = FileBloom.DefaultBits)
+    bloomBits: Int = FileBloom.DefaultBits,
+    statTruncateLen: Int = StatBounds.DefaultLen)
   extends DataWriterFactory with streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new LakeDataWriter(
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
       s"$dataDir/part-$partitionId-$taskId-${java.util.UUID.randomUUID()}",
-      partitionCols, conf.value, bloomCols, targetFileBytes, sortedBy, bloomBits)
+      partitionCols, conf.value, bloomCols, targetFileBytes, sortedBy, bloomBits,
+      statTruncateLen)
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     createWriter(partitionId, taskId)
@@ -2277,7 +2282,11 @@ final class LakeDataWriter(
     bloomCols: Seq[String] = Nil,
     targetFileBytes: Long = 0L,
     sortedBy: Seq[String] = Nil, // provenance: rows arrive sorted by these
-    bloomBits: Int = FileBloom.DefaultBits)
+    bloomBits: Int = FileBloom.DefaultBits,
+    // manifest string-bound prefix length ([[StatBounds]]); 0 disables.
+    // Delete-file and eq-delete-key writers pass 0 — their bounds need
+    // full precision (tombstone covering, key-range short-circuits).
+    statTruncateLen: Int = StatBounds.DefaultLen)
   extends DataWriter[InternalRow] {
 
   private val writeConf: Configuration = {
@@ -2434,9 +2443,22 @@ final class LakeDataWriter(
     val fs = p.getFileSystem(conf)
     if (rows == 0) { fs.delete(p, false); writer = null; return }
     val size = fs.getFileStatus(p).getLen
-    def m(a: Array[Any]): Map[String, String] =
-      schema.fields.indices.collect {
-        case i if a(i) != null => schema.fields(i).name -> a(i).toString
+    // string bounds truncate to a prefix ([[StatBounds]]): min → prefix
+    // (≤ true min), max → prefix with last code point incremented (≥ true
+    // max, None = unbounded → entry omitted, consumers keep the file).
+    // Identity-partition sources are EXEMPT: attribution, SPJ grouping and
+    // dynamic overwrite all need the exact single value (min == max).
+    val exemptCols: Set[String] =
+      partFields.collect { case f if f.isIdentity => f.source }.toSet
+    def bound(name: String, dt: DataType, raw: String, isMin: Boolean): Option[String] =
+      if (statTruncateLen <= 0 || dt != StringType || exemptCols(name)) Some(raw)
+      else if (isMin) Some(StatBounds.truncateMin(raw, statTruncateLen))
+      else StatBounds.truncateMax(raw, statTruncateLen)
+    def m(a: Array[Any], isMin: Boolean): Map[String, String] =
+      schema.fields.indices.flatMap { i =>
+        if (a(i) == null) None
+        else bound(schema.fields(i).name, schema.fields(i).dataType,
+          a(i).toString, isMin).map(schema.fields(i).name -> _)
       }.toMap
     // transform fields (bucket/time/truncate): the file holds exactly
     // one value (we rolled on every key change), recorded under the
@@ -2451,15 +2473,18 @@ final class LakeDataWriter(
       .map(i => schema.fields(i).name -> nullsPerCol(i)).toMap
     val fileBloomStats = fileBloomIdx.indices
       .map(j => schema.fields(fileBloomIdx(j)).name -> fileBlooms(j).encode).toMap
-    def sm(a: Array[Any]): Map[String, String] =
-      shred.indices.collect {
-        case j if a(j) != null && !shredPoisoned(j) =>
-          VariantShred.statKey(schema.fields(shred(j)._1).name,
-            shred(j)._2, shred(j)._3) -> a(j).toString
+    def sm(a: Array[Any], isMin: Boolean): Map[String, String] =
+      shred.indices.flatMap { j =>
+        if (a(j) == null || shredPoisoned(j)) None
+        else {
+          val key = VariantShred.statKey(schema.fields(shred(j)._1).name,
+            shred(j)._2, shred(j)._3)
+          bound(key, shred(j)._3, a(j).toString, isMin).map(key -> _)
+        }
       }.toMap
     done += DataFileMeta(path, rows, size,
-      m(mins) ++ transformStats ++ sm(shredMins),
-      m(maxs) ++ transformStats ++ sm(shredMaxs),
+      m(mins, isMin = true) ++ transformStats ++ sm(shredMins, isMin = true),
+      m(maxs, isMin = false) ++ transformStats ++ sm(shredMaxs, isMin = false),
       nulls, sortedBy = sortedBy, blooms = fileBloomStats)
     writer = null
   }

@@ -94,7 +94,8 @@ final class StagedLakeTable(
           LakeWriterFactory(info.schema().json, s"${baseMeta.location}/data",
             baseMeta.partitionColumns, new SerializableConfiguration(baseMeta.writeConf(hadoopConf)),
             baseMeta.physicalBloomColumns, baseMeta.targetFileBytes,
-            bloomBits = baseMeta.fileBloomBits)
+            bloomBits = baseMeta.fileBloomBits,
+            statTruncateLen = baseMeta.statTruncateLen)
         override def commit(messages: Array[WriterCommitMessage]): Unit =
           // buffer only — visibility is commitStagedChanges' job
           stagedFiles = messages.collect { case LakeCommitMessage(fs) => fs }.flatten.toSeq

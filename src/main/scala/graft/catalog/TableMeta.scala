@@ -341,6 +341,11 @@ final case class TableMeta(
   def targetFileBytes: Long =
     properties.get("write.target-file-bytes").map(_.toLong).getOrElse(0L)
 
+  /** Manifest string-bound prefix length ([[StatBounds]]); 0 disables. */
+  def statTruncateLen: Int =
+    properties.get("write.metadata.truncate-length").map(_.toInt)
+      .getOrElse(StatBounds.DefaultLen)
+
   /** Head snapshot id of a named branch (`branch.<name>` property). */
   def branchHead(name: String): Option[Long] =
     properties.get(s"branch.$name").map(_.toLong)
