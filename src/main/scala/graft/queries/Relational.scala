@@ -41,9 +41,15 @@ object Relational {
         concat(lit("c"), col("c")).as("dst"))
       .unionAll(pairs.select(concat(lit("c"), col("c")).as("src"),
         concat(lit("s"), col("s")).as("dst")))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("od"))
-    val edgesOd = edges.join(deg, "src").persist()
-    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
+    // out-degree via a window over the SAME src shuffle the cache layout
+    // needs anyway — one pass, no second join against a degree table
+    val edgesOd = edges.withColumn("od",
+      count(lit(1)).over(Window.partitionBy("src"))).persist()
+    // node set = both prefixed key sets (disjoint by prefix, so unionAll
+    // of the two distincts is already a set)
+    var ranks = pairs.select(concat(lit("s"), col("s")).as("node")).distinct()
+      .unionAll(pairs.select(concat(lit("c"), col("c")).as("node")).distinct())
+      .select(col("node"), lit(1000000L).as("rank"))
     // the cached table is self-joined across rounds: alias per round
     for (i <- 1 to 5) {
       ranks = ranks.as(s"r$i")
