@@ -379,40 +379,35 @@ object LakeMaintenance {
     // CAS commit with rebase — an append-shaped delta: concurrent appends
     // union cleanly, and the rewrite side's requireNoNewDeletes treats our
     // fresh eq-deletes as conflicting (it retries/aborts, we never do)
-    var prevLoc = t.metadataLocation
-    var base = t.meta
-    var attempts = 0
-    while (attempts < CasRetry.maxAttempts) {
-      base.properties.get("upsert.keys").foreach(prev => require(prev == keyCsv,
-        s"upsert keys '$prev' already fixed for ${t.ident}"))
-      // optimistic-concurrency guard: the caller's precondition properties
-      // must still hold on the REBASED base — two racing MV refreshes both
-      // fold the same delta; without this the loser rebases as a clean
-      // append and double-counts. The loser gets a conflict, retries from
-      // the new watermark, and no-ops.
-      requireProps.foreach { case (k, v) =>
-        val got = base.properties.getOrElse(k, "0")
-        if (got != v) throw new CommitConflictException(
-          s"upsert into ${t.ident}: precondition $k='$v' no longer holds (now '$got') — " +
-            "a concurrent commit changed the state this write was computed from")
-      }
-      val next = TableMeta.withDelta(base, "upsert", dataFiles, eqFiles, hadoopConf,
-        deleteContent = "eq-deletes",
-        // caller-supplied properties ride the SAME commit (atomic with the
-        // rows — the MV refresh watermark's exactly-once guarantee)
-        extraProps = extraProps + ("upsert.keys" -> keyCsv))
-      val newLoc = TableMeta.write(next, hadoopConf)
-      if (cat.pointerStore.casUpdate(ident.namespace()(0), ident.name(), newLoc, prevLoc) == 1) {
-        cat.invalidateTable(ident)
-        return (nRows, next.currentSnapshotId)
-      }
-      attempts += 1
-      CasRetry.backoff(attempts)
-      prevLoc = cat.pointerStore.load(ident.namespace()(0), ident.name()).getOrElse(
-        throw new IllegalStateException(s"table dropped during upsert"))
-      base = TableMeta.read(prevLoc, hadoopConf)
-    }
-    throw new IllegalStateException(s"upsert into ${t.ident}: CAS lost $attempts times")
+    var committedSnap = 0L
+    CasCommit.retryLoop(cat.pointerStore, ident.namespace()(0), ident.name(),
+      t.metadataLocation, t.meta, "upsert", t.ident, hadoopConf)(
+      base => {
+        base.properties.get("upsert.keys").foreach(prev => require(prev == keyCsv,
+          s"upsert keys '$prev' already fixed for ${t.ident}"))
+        // optimistic-concurrency guard: the caller's precondition properties
+        // must still hold on the REBASED base — two racing MV refreshes both
+        // fold the same delta; without this the loser rebases as a clean
+        // append and double-counts. The loser gets a conflict, retries from
+        // the new watermark, and no-ops.
+        requireProps.foreach { case (k, v) =>
+          val got = base.properties.getOrElse(k, "0")
+          if (got != v) throw new CommitConflictException(
+            s"upsert into ${t.ident}: precondition $k='$v' no longer holds (now '$got') — " +
+              "a concurrent commit changed the state this write was computed from")
+        }
+      })(
+      base => {
+        val next = TableMeta.withDelta(base, "upsert", dataFiles, eqFiles, hadoopConf,
+          deleteContent = "eq-deletes",
+          // caller-supplied properties ride the SAME commit (atomic with the
+          // rows — the MV refresh watermark's exactly-once guarantee)
+          extraProps = extraProps + ("upsert.keys" -> keyCsv))
+        committedSnap = next.currentSnapshotId
+        next
+      })(
+      cat.invalidateTable(ident))
+    (nRows, committedSnap)
   }
 
   /** Register existing parquet files into the table BY REFERENCE — a
@@ -485,27 +480,22 @@ object LakeMaintenance {
       .map(p => FooterStats.entry(p, schemaJson, sconf.value, truncLen, exempt))
       .collect().toSeq.sortBy(_.path)
 
-    var prevLoc = t.metadataLocation
-    var base = t.meta
-    var attempts = 0
-    while (attempts < CasRetry.maxAttempts) {
-      val already = base.currentFiles.map(_.path).toSet
-      val clash = entries.map(_.path).filter(already.contains)
-      require(clash.isEmpty, s"add_files into ${t.ident}: already tracked: " +
-        clash.take(3).mkString(", "))
-      val next = TableMeta.withAppend(base, "add_files", entries, hadoopConf)
-      val newLoc = TableMeta.write(next, hadoopConf)
-      if (cat.pointerStore.casUpdate(ident.namespace()(0), ident.name(), newLoc, prevLoc) == 1) {
-        cat.invalidateTable(ident)
-        return (entries.size, next.currentSnapshotId)
-      }
-      attempts += 1
-      CasRetry.backoff(attempts)
-      prevLoc = cat.pointerStore.load(ident.namespace()(0), ident.name()).getOrElse(
-        throw new IllegalStateException(s"table dropped during add_files"))
-      base = TableMeta.read(prevLoc, hadoopConf)
-    }
-    throw new IllegalStateException(s"add_files into ${t.ident}: CAS lost $attempts times")
+    var committedSnap = 0L
+    CasCommit.retryLoop(cat.pointerStore, ident.namespace()(0), ident.name(),
+      t.metadataLocation, t.meta, "add_files", t.ident, hadoopConf)(
+      base => {
+        val already = base.currentFiles.map(_.path).toSet
+        val clash = entries.map(_.path).filter(already.contains)
+        require(clash.isEmpty, s"add_files into ${t.ident}: already tracked: " +
+          clash.take(3).mkString(", "))
+      })(
+      base => {
+        val next = TableMeta.withAppend(base, "add_files", entries, hadoopConf)
+        committedSnap = next.currentSnapshotId
+        next
+      })(
+      cat.invalidateTable(ident))
+    (entries.size, committedSnap)
   }
 
   /** Compact equality-delete files WITHOUT touching data files (the
@@ -1222,42 +1212,38 @@ object LakeMaintenance {
       allowedOps: Set[String], opDescription: String): Long = {
     val (cat, ident, t0) = resolve(spark, table)
     val hadoopConf = spark.sessionState.newHadoopConf()
-    var prevLoc = t0.metadataLocation
-    var base = t0.meta
-    var attempts = 0
-    while (attempts < CasRetry.maxAttempts) {
-      val staged = base.snapshot(snapshotId).getOrElse(
-        throw new IllegalArgumentException(s"no snapshot $snapshotId on $table"))
-      require(allowedOps(staged.operation),
-        s"snapshot $snapshotId is '${staged.operation}', not $opDescription")
-      val next =
-        if (base.currentSnapshotId == staged.parentId) {
-          // fast-forward: the audited snapshot already contains current
-          val n = base.copy(currentSnapshotId = snapshotId)
-          n.ioConf = hadoopConf
-          n
-        } else {
-          // cherry-pick: added = staged manifests not in its parent's list
-          val parentMs = base.snapshot(staged.parentId)
-            .map(s => base.manifestsOf(s).map(_.location).toSet).getOrElse(Set.empty)
-          val added = base.manifestsOf(staged).filterNot(m => parentMs(m.location))
-          val currentMs = base.snapshot(base.currentSnapshotId)
-            .map(base.manifestsOf).getOrElse(Nil)
-          TableMeta.finish(base, base.nextSnapshotId, "publish",
-            currentMs ++ added, Map.empty, hadoopConf)
-        }
-      val newLoc = TableMeta.write(next, hadoopConf)
-      if (cat.pointerStore.casUpdate(ident.namespace()(0), ident.name(), newLoc, prevLoc) == 1) {
-        cat.invalidateTable(ident)
-        return next.currentSnapshotId
-      }
-      attempts += 1
-      CasRetry.backoff(attempts)
-      prevLoc = cat.pointerStore.load(ident.namespace()(0), ident.name()).getOrElse(
-        throw new IllegalStateException(s"table dropped during publish"))
-      base = TableMeta.read(prevLoc, hadoopConf)
-    }
-    throw new IllegalStateException(s"publish: CAS lost $attempts times")
+    var committedSnap = 0L
+    CasCommit.retryLoop(cat.pointerStore, ident.namespace()(0), ident.name(),
+      t0.metadataLocation, t0.meta, "publish", t0.ident, hadoopConf)(
+      base => {
+        val staged = base.snapshot(snapshotId).getOrElse(
+          throw new IllegalArgumentException(s"no snapshot $snapshotId on $table"))
+        require(allowedOps(staged.operation),
+          s"snapshot $snapshotId is '${staged.operation}', not $opDescription")
+      })(
+      base => {
+        val staged = base.snapshot(snapshotId).get
+        val next =
+          if (base.currentSnapshotId == staged.parentId) {
+            // fast-forward: the audited snapshot already contains current
+            val n = base.copy(currentSnapshotId = snapshotId)
+            n.ioConf = hadoopConf
+            n
+          } else {
+            // cherry-pick: added = staged manifests not in its parent's list
+            val parentMs = base.snapshot(staged.parentId)
+              .map(s => base.manifestsOf(s).map(_.location).toSet).getOrElse(Set.empty)
+            val added = base.manifestsOf(staged).filterNot(m => parentMs(m.location))
+            val currentMs = base.snapshot(base.currentSnapshotId)
+              .map(base.manifestsOf).getOrElse(Nil)
+            TableMeta.finish(base, base.nextSnapshotId, "publish",
+              currentMs ++ added, Map.empty, hadoopConf)
+          }
+        committedSnap = next.currentSnapshotId
+        next
+      })(
+      cat.invalidateTable(ident))
+    committedSnap
   }
 
   private def commitProperties(cat: LakeCatalog, ident: Identifier, t0: LakeTable,
@@ -1268,26 +1254,12 @@ object LakeMaintenance {
   /** Metadata-only CAS commit (no new snapshot), with rebase-retry. */
   private def commitMeta(cat: LakeCatalog, ident: Identifier, t0: LakeTable,
       hadoopConf: org.apache.hadoop.conf.Configuration,
-      f: TableMeta => TableMeta): Unit = {
-    var prevLoc = t0.metadataLocation
-    var base = t0.meta
-    var attempts = 0
-    while (attempts < CasRetry.maxAttempts) {
-      val next = f(base)
-      next.ioConf = hadoopConf
-      val newLoc = TableMeta.write(next, hadoopConf)
-      if (cat.pointerStore.casUpdate(ident.namespace()(0), ident.name(), newLoc, prevLoc) == 1) {
-        cat.invalidateTable(ident)
-        return
-      }
-      attempts += 1
-      CasRetry.backoff(attempts)
-      prevLoc = cat.pointerStore.load(ident.namespace()(0), ident.name()).getOrElse(
-        throw new IllegalStateException("table dropped during metadata commit"))
-      base = TableMeta.read(prevLoc, hadoopConf)
-    }
-    throw new IllegalStateException(s"metadata commit: CAS lost $attempts times")
-  }
+      f: TableMeta => TableMeta): Unit =
+    CasCommit.retryLoop(cat.pointerStore, ident.namespace()(0), ident.name(),
+      t0.metadataLocation, t0.meta, "metadata commit", t0.ident, hadoopConf)(
+      _ => ())(
+      base => { val next = f(base); next.ioConf = hadoopConf; next })(
+      cat.invalidateTable(ident))
 
   /** Row-level CDC changelog between two snapshots (exclusive start,
     * inclusive end): every row change as (table columns, `_change_type`

@@ -348,31 +348,20 @@ final class LakeTable(
     val foldedDeletes = TombstoneRewrite.foldable(spark, covering, affectedPaths,
       hadoopConf, allDeletes = scanDeletes)
     val scanDeletePaths = scanDeletes.map(_.path).toSet
-    var prevLoc = metadataLocation
-    var base = meta
-    var attempts = 0
-    while (attempts < CasRetry.maxAttempts) {
-      // rebase against concurrent appends: keep everything currently live
-      // except the files this delete rewrote — but only if those files ARE
-      // still live (a concurrent rewrite must fail this commit) and no
-      // concurrent merge-on-read tombstones target them (this rewrite was
-      // computed without those deletes and would resurrect their rows)
-      CasCommit.requireReplacedLive(base, affectedPaths ++ foldedDeletes, "DELETE", ident)
-      CasCommit.requireNoNewDeletes(scanDeletePaths, base, affectedPaths, "DELETE", ident)
-      val next = TableMeta.withRewrite(base, "delete", affectedPaths ++ foldedDeletes,
-        newFiles, hadoopConf)
-      val newLoc = TableMeta.write(next, hadoopConf)
-      if (store.casUpdate(namespace, tableName, newLoc, prevLoc) == 1) {
-        commitSucceeded()
-        return
-      }
-      attempts += 1
-      CasRetry.backoff(attempts)
-      prevLoc = store.load(namespace, tableName).getOrElse(
-        throw new IllegalStateException(s"table $ident dropped during delete"))
-      base = TableMeta.read(prevLoc, hadoopConf)
-    }
-    throw new IllegalStateException(s"delete on $ident: CAS lost $attempts times")
+    // rebase against concurrent appends: keep everything currently live
+    // except the files this delete rewrote — but only if those files ARE
+    // still live (a concurrent rewrite must fail this commit) and no
+    // concurrent merge-on-read tombstones target them (this rewrite was
+    // computed without those deletes and would resurrect their rows)
+    CasCommit.retryLoop(store, namespace, tableName, metadataLocation, meta,
+      "delete", ident, hadoopConf)(
+      base => {
+        CasCommit.requireReplacedLive(base, affectedPaths ++ foldedDeletes, "DELETE", ident)
+        CasCommit.requireNoNewDeletes(scanDeletePaths, base, affectedPaths, "DELETE", ident)
+      })(
+      base => TableMeta.withRewrite(base, "delete", affectedPaths ++ foldedDeletes,
+        newFiles, hadoopConf))(
+      commitSucceeded())
   }
 }
 
@@ -1417,8 +1406,14 @@ private[catalog] object V2PredicatePruner {
           x >= BigDecimal(mn) && x <= BigDecimal(mx)
         } catch {
           case _: NumberFormatException =>
-            val s = v.toString
-            s >= mn && s <= mx // lexical for strings (UTF8String.toString)
+            // UTF8 BINARY order, not java.lang.String's UTF-16 code-unit
+            // order — they diverge for supplementary characters, and a
+            // truncated max bound ([[StatBounds]]) can legitimately end in
+            // one (U+FFFF increments to U+10000)
+            import org.apache.spark.unsafe.types.UTF8String
+            val s = UTF8String.fromString(v.toString)
+            s.compareTo(UTF8String.fromString(mn)) >= 0 &&
+              s.compareTo(UTF8String.fromString(mx)) <= 0
         }
       case _ => true // no stats: keep
     }
@@ -1987,11 +1982,10 @@ final class LakeBatchWrite(
     // (pointer unchanged) for auditing; LakeMaintenance.publish promotes it
     val stage = !overwrite &&
       table.meta.properties.get("wap.enabled").contains("true")
-    var base = table.meta
-    var prevLoc = table.metadataLocation
-    var attempts = 0
-    while (attempts < CasRetry.maxAttempts) {
-      val next = branch match {
+    CasCommit.retryLoop(store, table.namespace, table.tableName,
+      table.metadataLocation, table.meta, "commit", table.ident, hadoopConf)(
+      _ => ())(
+      base => branch match {
         case Some(b) => TableMeta.withBranchAppend(base, b, newFiles, hadoopConf)
         case None =>
           if (dynamic)
@@ -2007,21 +2001,8 @@ final class LakeBatchWrite(
           else if (overwrite) TableMeta.withOverwrite(base, "overwrite", newFiles, hadoopConf)
           else TableMeta.withAppend(base, if (stage) "stage-append" else "append",
             newFiles, hadoopConf, advance = !stage)
-      }
-      val newLoc = TableMeta.write(next, hadoopConf)
-      if (store.casUpdate(table.namespace, table.tableName, newLoc, prevLoc) == 1) {
-        table.commitSucceeded() // evict catalog cache: readers must see this snapshot
-        return
-      }
-      // lost the race: refresh pointer + metadata and rebase
-      attempts += 1
-      CasRetry.backoff(attempts)
-      prevLoc = store.load(table.namespace, table.tableName).getOrElse(
-        throw new IllegalStateException(s"table ${table.ident} dropped during commit"))
-      base = TableMeta.read(prevLoc, hadoopConf)
-    }
-    throw new IllegalStateException(
-      s"commit conflict on ${table.ident}: CAS lost $attempts times (reference mod.rs:342-343 semantics)")
+      })(
+      table.commitSucceeded()) // evict catalog cache: readers must see this snapshot
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -34,8 +34,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *     carries min/max for `c` or provably holds only NULLs in `c`
   *     (nullCount == rowCount; writer stats skip all-null columns).
   *
-  * Writer stats are exact (full values, never truncated — see
-  * [[LakeDataWriter]]), so the pushed answer is exact, not approximate.
+  * Numeric/temporal writer stats are exact, so the pushed answer is exact,
+  * not approximate. STRING bounds are truncated prefixes since
+  * [[StatBounds]] — string min/max therefore never pushes down (the widened
+  * bound is not a value that exists in the table); string GROUP BY still
+  * qualifies because truncation can never fabricate the min == max
+  * single-valued proof it requires.
   */
 object StatsAggregates {
 
@@ -86,14 +90,18 @@ object StatsAggregates {
               ((fs: Seq[DataFileMeta]) =>
                 countNonNull(f.name, fs).map(java.lang.Long.valueOf(_): Any)): AggEval)
           }
+        // STRING min/max never pushes: manifest string bounds are WIDENED
+        // prefixes ([[StatBounds]]) — serving them as answers would return
+        // values that do not exist in the table. (GROUP BY on strings stays
+        // fine: truncation can never fabricate the min == max it requires.)
         case m: Min =>
-          fieldOf(m.column, tableSchema).map { f =>
+          fieldOf(m.column, tableSchema).filter(_.dataType != StringType).map { f =>
             (s"min(${f.name})", f.dataType, true,
               ((fs: Seq[DataFileMeta]) =>
                 minMax(f, fs, wantMin = true).map(_.orNull: Any)): AggEval)
           }
         case m: Max =>
-          fieldOf(m.column, tableSchema).map { f =>
+          fieldOf(m.column, tableSchema).filter(_.dataType != StringType).map { f =>
             (s"max(${f.name})", f.dataType, true,
               ((fs: Seq[DataFileMeta]) =>
                 minMax(f, fs, wantMin = false).map(_.orNull: Any)): AggEval)

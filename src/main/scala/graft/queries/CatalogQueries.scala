@@ -512,13 +512,15 @@ object CatalogQueries {
       // only aggregate pushdown — the plan is a LocalTableScan, zero data
       // files opened; AggPushdownSpec asserts the plan shape), so a hash
       // match proves the writer's per-file row/null/min/max stats are
-      // EXACT, across bigint/double/string/timestamp and a NULL-bearing
-      // column, over multiple commits.
+      // EXACT, across bigint/double/timestamp and a NULL-bearing (string)
+      // column, over multiple commits. STRING min/max is deliberately
+      // absent: manifest string bounds are truncated prefixes
+      // ([[graft.catalog.StatBounds]]) and must never be served as
+      // answers — AggPushdownSpec pins the fall-back-to-scan contract.
       """SELECT CAST(count(*) AS BIGINT) AS n,
         |  CAST(count(CASE WHEN l_orderkey % 3 = 0 THEN NULL ELSE l_returnflag END) AS BIGINT) AS n_rf,
         |  CAST(min(l_orderkey) AS BIGINT) AS min_ok, CAST(max(l_orderkey) AS BIGINT) AS max_ok,
         |  min(l_shipdate) AS min_sd, max(l_shipdate) AS max_sd,
-        |  min(l_returnflag) AS min_rf, max(l_returnflag) AS max_rf,
         |  CAST(min(l_extendedprice) AS DOUBLE) AS min_ep,
         |  CAST(max(l_extendedprice) AS DOUBLE) AS max_ep
         |FROM lineitem""".stripMargin) { (s, dir) =>
@@ -540,7 +542,6 @@ object CatalogQueries {
         """SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(rf_n) AS BIGINT) AS n_rf,
           |  CAST(min(l_orderkey) AS BIGINT) AS min_ok, CAST(max(l_orderkey) AS BIGINT) AS max_ok,
           |  min(l_shipdate) AS min_sd, max(l_shipdate) AS max_sd,
-          |  min(l_returnflag) AS min_rf, max(l_returnflag) AS max_rf,
           |  CAST(min(l_extendedprice) AS DOUBLE) AS min_ep,
           |  CAST(max(l_extendedprice) AS DOUBLE) AS max_ep
           |FROM lake.verify.li_statsagg""".stripMargin)

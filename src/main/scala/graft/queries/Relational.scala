@@ -789,8 +789,9 @@ object Relational {
         // materialize the top-100 (tiny) so the edge cache can be RELEASED
         // before returning — a lazily-returned plan would pin it for the
         // session (and re-run all five iterations per downstream action)
-        val rows = top.collect().toSeq
-        s.createDataFrame(s.sparkContext.parallelize(rows, 1), top.schema)
+        // LocalRelation (no RDD job on downstream actions of 100 rows)
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(top.collect().toSeq.asJava, top.schema)
       } finally edgesOd.unpersist(blocking = false)
     },
 

@@ -44,7 +44,7 @@ class AggPushdownSpec extends AnyFunSuite {
 
     val q = s"SELECT CAST(count(*) AS BIGINT) AS n, count(dec) AS nd, " +
       s"min(k) AS mk, max(k) AS xk, min(d) AS md, max(d) AS xd, " +
-      s"min(s) AS ms, max(s) AS xs, min(dec) AS mdec, max(dec) AS xdec, " +
+      s"min(dec) AS mdec, max(dec) AS xdec, " +
       s"min(dt) AS mdt, max(dt) AS xdt FROM $t"
     assert(isMetadataOnly(q), s"expected LocalTableScan plan, got:\n${planOf(q)}")
 
@@ -53,23 +53,31 @@ class AggPushdownSpec extends AnyFunSuite {
     assert(r.getLong(1) == 6000L) // every 3rd dec is NULL
     assert(r.getLong(2) == 0L && r.getLong(3) == 8999L)
     assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 8999.0 / 3.0)
-    assert(r.getString(6) == "s00000" && r.getString(7) == "s08999")
-    assert(r.getDecimal(8).compareTo(new java.math.BigDecimal("1.00")) == 0)
-    assert(r.getDecimal(9).compareTo(new java.math.BigDecimal("8999.00")) == 0)
-    assert(r.getDate(10).toString == "2024-01-01" && r.getDate(11).toString == "2024-10-26")
+    assert(r.getDecimal(6).compareTo(new java.math.BigDecimal("1.00")) == 0)
+    assert(r.getDecimal(7).compareTo(new java.math.BigDecimal("8999.00")) == 0)
+    assert(r.getDate(8).toString == "2024-01-01" && r.getDate(9).toString == "2024-10-26")
+
+    // STRING min/max must NOT push: manifest string bounds are truncated
+    // prefixes ([[StatBounds]]) — a pushed answer would be a widened bound
+    // that exists in no row. The scan fallback stays correct.
+    val qs = s"SELECT min(s) AS ms, max(s) AS xs FROM $t"
+    assert(!isMetadataOnly(qs),
+      s"string min/max must fall back to a real scan:\n${planOf(qs)}")
+    val rs = spark.sql(qs).collect()(0)
+    assert(rs.getString(0) == "s00000" && rs.getString(1) == "s08999")
     spark.sql(s"DROP TABLE $t")
   }
 
   test("empty table and all-NULL column: count 0 / NULL min-max, still metadata-only") {
     val t = s"lake.aggpd.${uniq("edge")}"
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS lake.aggpd")
-    spark.sql(s"CREATE TABLE $t (k INT, v STRING)")
+    spark.sql(s"CREATE TABLE $t (k INT, v DOUBLE)")
     val q0 = s"SELECT count(*) AS n, min(k) AS mk, max(v) AS xv FROM $t"
     assert(isMetadataOnly(q0), s"empty table should push:\n${planOf(q0)}")
     val r0 = spark.sql(q0).collect()(0)
     assert(r0.getLong(0) == 0L && r0.isNullAt(1) && r0.isNullAt(2))
 
-    spark.sql(s"INSERT INTO $t SELECT CAST(id AS INT), CAST(NULL AS STRING) FROM range(0, 100)")
+    spark.sql(s"INSERT INTO $t SELECT CAST(id AS INT), CAST(NULL AS DOUBLE) FROM range(0, 100)")
     val q1 = s"SELECT count(*) AS n, count(v) AS nv, min(v) AS mv, max(k) AS xk FROM $t"
     assert(isMetadataOnly(q1), s"all-null column should push:\n${planOf(q1)}")
     val r1 = spark.sql(q1).collect()(0)

@@ -106,6 +106,22 @@ class StatsTruncationSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t2")
   }
 
+  test("LIKE 'prefix%' pruning stays sound when the probe prefix outruns truncated bounds") {
+    val t = tbl("like")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, txt STRING)")
+    // two files with distinct 64+-char value families
+    spark.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, " +
+      s"concat('alpha-', repeat('a', 100), CAST(id AS STRING)) FROM range(0, 50)")
+    spark.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, " +
+      s"concat('omega-', repeat('z', 100), CAST(id AS STRING)) FROM range(50, 100)")
+    // probe prefix LONGER than the 64-cp bound: rows must still be found
+    val p = "alpha-" + "a" * 100
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE txt LIKE '$p%'").head().getLong(0) == 50)
+    // and a short prefix that rules out a family still prunes correctly
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE txt LIKE 'beta%'").head().getLong(0) == 0)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("tombstone file_path ranges keep full precision (covering stays tight)") {
     val t = tbl("mor")
     spark.sql(s"CREATE TABLE $t (k BIGINT) " +
