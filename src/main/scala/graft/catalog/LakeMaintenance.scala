@@ -1116,8 +1116,13 @@ object LakeMaintenance {
     // per-column [min,max] over the whole table, from stats (logical keys)
     val statFiles = t.meta.logicalStatFiles(current)
     val ranges = cols.map { c =>
-      val mins = statFiles.flatMap(_.minValues.get(c)).map(BigDecimal(_))
-      val maxs = statFiles.flatMap(_.maxValues.get(c)).map(BigDecimal(_))
+      // non-finite float/double tokens (NaN/±Infinity) skip the range:
+      // the z-rank projection below clamps out-of-range values anyway,
+      // and BigDecimal cannot represent them
+      val mins = statFiles.flatMap(_.minValues.get(c))
+        .filterNot(StatBounds.isNonFinite).map(BigDecimal(_))
+      val maxs = statFiles.flatMap(_.maxValues.get(c))
+        .filterNot(StatBounds.isNonFinite).map(BigDecimal(_))
       require(mins.nonEmpty && maxs.nonEmpty,
         s"z-order column '$c' has no numeric min/max stats on $table")
       (c, mins.min, maxs.max)

@@ -725,7 +725,10 @@ private[graft] object TopNPrune {
   private def orderingFor(dt: DataType): Option[Ordering[String]] = dt match {
     case IntegerType | LongType | ShortType | DoubleType | FloatType |
          DateType | TimestampType | TimestampNTZType | _: DecimalType =>
-      Some(Ordering.by((s: String) => BigDecimal(s)))
+      // numCmp, not BigDecimal: float/double stats can be "NaN"/±"Infinity"
+      // (NaN greatest — Spark's order), which BigDecimal refuses to parse
+      Some((a: String, b: String) => StatBounds.numCmp(a, b).getOrElse(
+        throw new NumberFormatException(s"non-numeric stat: '$a' / '$b'")))
     case StringType => Some((a: String, b: String) =>
       org.apache.spark.unsafe.types.UTF8String.fromString(a)
         .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)))
@@ -1401,19 +1404,30 @@ private[catalog] object V2PredicatePruner {
   private def inRange(file: DataFileMeta, col: String, v: Any): Boolean = {
     (file.minValues.get(col), file.maxValues.get(col)) match {
       case (Some(mn), Some(mx)) =>
-        try {
-          val x = BigDecimal(v.toString)
-          x >= BigDecimal(mn) && x <= BigDecimal(mx)
-        } catch {
-          case _: NumberFormatException =>
-            // UTF8 BINARY order, not java.lang.String's UTF-16 code-unit
-            // order — they diverge for supplementary characters, and a
-            // truncated max bound ([[StatBounds]]) can legitimately end in
-            // one (U+FFFF increments to U+10000)
-            import org.apache.spark.unsafe.types.UTF8String
-            val s = UTF8String.fromString(v.toString)
-            s.compareTo(UTF8String.fromString(mn)) >= 0 &&
-              s.compareTo(UTF8String.fromString(mx)) <= 0
+        val probe = v.toString
+        // dispatch on the PROBE's runtime type, not on parseability: a
+        // numeric-looking value of a STRING column must compare lexically
+        // (its bounds were recorded in UTF8 order, where "30" > "100")
+        val numeric = v match {
+          case _: java.lang.Number | _: org.apache.spark.sql.types.Decimal => true
+          case _ => false
+        }
+        if (numeric)
+          // numeric probe: compare in Spark's numeric order (NaN greatest,
+          // ±Infinity at the ends — [[StatBounds.numCmp]]); a bound that
+          // STILL doesn't parse means mixed/corrupt stats → keep the file,
+          // never fall through to a lexical compare of numbers
+          (for (lo <- StatBounds.numCmp(probe, mn); hi <- StatBounds.numCmp(probe, mx))
+            yield lo >= 0 && hi <= 0).getOrElse(true)
+        else {
+          // string probe: UTF8 BINARY order, not java.lang.String's UTF-16
+          // code-unit order — they diverge for supplementary characters,
+          // and a truncated max bound ([[StatBounds]]) can legitimately
+          // end in one (U+FFFF increments to U+10000)
+          import org.apache.spark.unsafe.types.UTF8String
+          val s = UTF8String.fromString(probe)
+          s.compareTo(UTF8String.fromString(mn)) >= 0 &&
+            s.compareTo(UTF8String.fromString(mx)) <= 0
         }
       case _ => true // no stats: keep
     }
@@ -1487,9 +1501,12 @@ object FilePruner {
             UTF8String.fromString(mx).compareTo(UTF8String.fromString(s))))
         case other => for {
           b <- num(other)
-          lo <- try Some(BigDecimal(mn)) catch { case _: Throwable => None }
-          hi <- try Some(BigDecimal(mx)) catch { case _: Throwable => None }
-        } yield (lo.compare(b), hi.compare(b))
+          // StatBounds.numCmp: non-finite bounds ("NaN"/±"Infinity" from
+          // float/double files) compare in Spark's order (NaN greatest)
+          // instead of failing the parse and keeping the file
+          lo <- StatBounds.numCmp(mn, b.toString)
+          hi <- StatBounds.numCmp(mx, b.toString)
+        } yield (lo, hi)
       }
     } yield r
 
@@ -1931,8 +1948,9 @@ final class LakeBatchWrite(
     // Numeric stat compare when both sides parse, UTF8-binary otherwise
     // (the order string stats are recorded in); missing stats ⇒ maybe.
     def cmpStat(a: String, b: String): Int =
-      (try Some(BigDecimal(a).compare(BigDecimal(b)))
-       catch { case _: Throwable => None }).getOrElse(a.compareTo(b))
+      // numCmp handles non-finite float/double tokens in Spark's order;
+      // both-non-numeric = a string partition key, compared lexically
+      StatBounds.numCmp(a, b).getOrElse(a.compareTo(b))
     def mayHold(f: DataFileMeta, p: PartField, key: String): Boolean =
       if (key == "n:") !f.nulls.get(p.source).contains(0L)
       else (f.minValues.get(p.statKey), f.maxValues.get(p.statKey)) match {

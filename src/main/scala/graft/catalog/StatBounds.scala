@@ -32,6 +32,31 @@ object StatBounds {
     */
   val DefaultLen = 64
 
+  /** Non-finite double/float stat tokens (java `Double.toString` forms).
+    * The writer records a file's min/max via `Double.compareTo`, which
+    * orders NaN greatest — exactly Spark SQL's NaN semantics — so a file
+    * containing NaN legitimately carries max = "NaN" (and an all-NaN file
+    * min = "NaN"); ±Infinity are ordinary values with unparseable-for-
+    * BigDecimal renderings. Consumers must compare these in Spark's
+    * order, never fall back to lexical comparison (which would prune
+    * wrongly: "10.0" < "9.0" < "Infinity" < "NaN" lexically is nonsense).
+    */
+  def isNonFinite(s: String): Boolean =
+    s == "NaN" || s == "Infinity" || s == "-Infinity"
+
+  /** Numeric stat comparison honoring non-finite tokens with Spark's
+    * ordering (NaN greatest, then +Infinity; -Infinity least — exactly
+    * `java.lang.Double.compare`). Finite×finite compares exactly via
+    * BigDecimal (no double rounding for wide longs/decimals). None when
+    * either side is not numeric at all.
+    */
+  def numCmp(a: String, b: String): Option[Int] =
+    try {
+      if (isNonFinite(a) || isNonFinite(b))
+        Some(java.lang.Double.compare(a.toDouble, b.toDouble))
+      else Some(BigDecimal(a).compare(BigDecimal(b)))
+    } catch { case _: NumberFormatException => None }
+
   private def cpCount(s: String): Int = s.codePointCount(0, s.length)
 
   def truncateMin(s: String, len: Int): String =
