@@ -866,5 +866,254 @@ object Relational {
         .agg(expr("listagg(tag, ',') WITHIN GROUP (ORDER BY tag)").as("tags"),
           count(lit(1)).as("n"))
         .orderBy("flag")
-    })
+    },
+
+    // ───── q120: correlated LATERAL top-k ────────────────────────────────
+    // ANSI lateral join with a correlated ORDER BY + LIMIT subquery — the
+    // per-group top-k idiom written the way an analyst writes it. Catalyst
+    // decorrelates the lateral (DecorrelateInnerQuery rewrites the
+    // correlated LIMIT into a rank over one customer shuffle partitioned
+    // by the join key) — no per-nation re-scan ever runs, so the plan is
+    // one shuffle + one broadcast join regardless of nation count; at
+    // 100 TB the work is O(customers), identical to the hand-written
+    // window form. Determinism: total tiebreak (c_acctbal DESC, c_custkey).
+    QueryDef.df(
+      "q120_lateral_topk",
+      """SELECT n.n_name, s.c_custkey, s.c_name, s.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) s
+        |ORDER BY n.n_name, s.c_acctbal DESC, s.c_custkey""".stripMargin) { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT n.n_name, s.c_custkey, s.c_name, s.c_acctbal
+          |FROM nation n, LATERAL (
+          |  SELECT c_custkey, c_name, c_acctbal FROM customer
+          |  WHERE c_nationkey = n.n_nationkey
+          |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) s
+          |ORDER BY n.n_name, s.c_acctbal DESC, s.c_custkey""".stripMargin)
+    },
+
+    // ───── q121: triangle count + clustering coefficient ─────────────────
+    // Exact triangle enumeration over the co-supply BACKBONE graph: the
+    // top-20k supplier pairs by number of distinct shared parts (weight-
+    // backbone extraction — the raw bipartite projection of uniform keys
+    // saturates into a near-clique, 166M triangles at sf0.1; real graph
+    // analytics runs on the thresholded/backbone graph, and a top-k cut is
+    // deterministic at every data scale where a fixed support is not).
+    // Counting uses the DEGREE-ORDERED orientation [Schank & Wagner 2005]:
+    // every edge points from its (deg, id)-smaller endpoint to the larger,
+    // so the orientation is acyclic, each triangle is counted exactly once
+    // (at its unique out-degree-2 apex), and — the 100 TB bound — every
+    // node's out-degree is O(√m), so the wedge self-join's fan-out is
+    // capped at out-deg² per node no matter how skewed the raw degree
+    // distribution is (a hub of degree d contributes d oriented IN-edges
+    // spread across d partners, not d² wedges at the hub). Everything is
+    // agg + equi-joins shuffled on node keys plus one TakeOrdered of the
+    // fixed-k backbone; nothing all-pairs, nothing driver-side.
+    // Clustering coefficient = 3·triangles / wedges, exact integers
+    // divided once as doubles — bit-equal across engines. Ties at the
+    // cutoff break on the total order (support DESC, u, v).
+    QueryDef.df(
+      "q121_triangles",
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        |e AS (SELECT a.s AS u, b.s AS v
+        |      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+        |      GROUP BY 1, 2
+        |      ORDER BY count(*) DESC, u, v LIMIT 20000),
+        |d AS (SELECT node, count(*) AS deg FROM (
+        |        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) x
+        |      GROUP BY node),
+        |o AS (SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+        |               THEN e.u ELSE e.v END AS a,
+        |             CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+        |               THEN e.v ELSE e.u END AS b
+        |      FROM e JOIN d du ON du.node = e.u JOIN d dv ON dv.node = e.v),
+        |tri AS (SELECT count(*) AS t
+        |        FROM o e1 JOIN o e2 ON e1.a = e2.a AND e1.b <> e2.b
+        |        JOIN o e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |w AS (SELECT sum(deg * (deg - 1) / 2) AS wedges FROM d)
+        |SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+        |  CAST(tri.t AS BIGINT) AS n_triangles,
+        |  CAST(w.wedges AS BIGINT) AS n_wedges,
+        |  CAST(3.0 * tri.t / w.wedges AS DOUBLE) AS clustering
+        |FROM tri, w""".stripMargin) { (s, dir) =>
+      val (out, e, o) = trianglesPlan(t(s, dir, "lineitem"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(out.collect().toSeq.asJava, out.schema)
+      } finally { o.unpersist(blocking = false); e.unpersist(blocking = false) }
+    },
+
+    // ───── q122: NOT IN three-valued logic / null-aware anti join ────────
+    // The classic SQL correctness trap, asserted as data: `x NOT IN (list)`
+    // is FALSE-or-UNKNOWN for every x once the list contains one NULL
+    // (anti_poisoned counts only rows provably not-in — 0 when a NULL is
+    // present), while NOT EXISTS is null-robust. Spark plans the nullable
+    // NOT IN as a NULL-AWARE anti join (broadcast hash, single-key NAAJ) —
+    // the O(n·m) fallback a naive engine uses is the scale hazard this
+    // query pins. Shared SQL: both engines run the identical statement.
+    QueryDef.shared(
+      "q122_not_in_nulls",
+      """SELECT
+        |  CAST((SELECT count(*) FROM orders WHERE o_custkey NOT IN
+        |     (SELECT c_custkey FROM customer
+        |      WHERE c_mktsegment = 'MACHINERY')) AS BIGINT) AS anti_clean,
+        |  CAST((SELECT count(*) FROM orders WHERE o_custkey NOT IN
+        |     (SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END
+        |      FROM customer
+        |      WHERE c_mktsegment = 'MACHINERY')) AS BIGINT) AS anti_poisoned,
+        |  CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |     (SELECT 1 FROM customer c WHERE c.c_mktsegment = 'MACHINERY'
+        |        AND c.c_acctbal >= 0
+        |        AND c.c_custkey = o.o_custkey)) AS BIGINT) AS anti_exists""".stripMargin),
+
+    // ───── q123: generators — array agg round-trip through posexplode ────
+    // collect_list → sort_array → posexplode with ordinality: the
+    // array-column explode path (tokenized text, shredded features) that a
+    // training pipeline uses constantly. The generator runs inside
+    // whole-stage codegen per partition — no shuffle beyond the groupBy
+    // that built the array; output cardinality equals input, so the
+    // round-trip is loss-free by construction. Oracle states the same
+    // relation directly (row_number per order), proving the agg→explode
+    // pair is the identity on this data.
+    QueryDef.df(
+      "q123_generators",
+      """SELECT l_orderkey,
+        |  CAST(row_number() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_quantity) - 1 AS INT) AS pos,
+        |  l_linenumber AS ln, l_quantity AS qty
+        |FROM lineitem WHERE l_orderkey < 1000
+        |ORDER BY l_orderkey, pos""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 1000)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(
+          struct(col("l_linenumber"), col("l_quantity")))).as("items"))
+        .select(col("l_orderkey"), posexplode(col("items")))
+        .select(col("l_orderkey"), col("pos"),
+          col("col.l_linenumber").as("ln"), col("col.l_quantity").as("qty"))
+        .orderBy("l_orderkey", "pos")
+    },
+
+    // ───── q124: map column construction + higher-order map functions ────
+    // map_from_entries → transform_values → map_filter → explode: typed
+    // MapType as a first-class intermediate (feature dictionaries,
+    // per-token scores). Map keys must be unique, so the per-(order, line)
+    // price sums first (the testdata duplicates linenumbers within an
+    // order — map_from_entries would throw DUPLICATE_MAP_KEY). All three
+    // higher-order functions are codegen lambda expressions evaluated in
+    // place — zero extra shuffles; the oracle computes the equivalent
+    // relation directly, so the whole map round-trip is verified
+    // value-exact. The 0.9 rescale is ONE double multiply on an
+    // exact-decimal-summed double (IEEE-identical in both engines).
+    QueryDef.df(
+      "q124_map_functions",
+      """WITH per AS (SELECT l_orderkey, l_linenumber AS ln,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS v
+        |  FROM lineitem WHERE l_orderkey < 1000 GROUP BY 1, 2)
+        |SELECT l_orderkey, ln, v * 0.9 AS discounted FROM per
+        |WHERE v * 0.9 > 2000
+        |ORDER BY l_orderkey, ln""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 1000)
+        .groupBy(col("l_orderkey"), col("l_linenumber").as("k"))
+        .agg(dsum(col("l_extendedprice")).as("v"))
+        .groupBy("l_orderkey")
+        .agg(map_from_entries(sort_array(collect_list(struct(col("k"), col("v")))))
+          .as("m"))
+        .select(col("l_orderkey"),
+          map_filter(transform_values(col("m"), (_, v) => v * lit(0.9)),
+            (_, v) => v > 2000).as("m2"))
+        .select(col("l_orderkey"), explode(col("m2")))
+        .select(col("l_orderkey"), col("key").as("ln"), col("value").as("discounted"))
+        .orderBy("l_orderkey", "ln")
+    },
+
+    // ───── q125: gaps and islands — consecutive-day runs per priority ────
+    // The canonical islands idiom (sessionize a calendar): distinct active
+    // days minus their per-partition row_number is constant within each
+    // consecutive run, so ONE window + ONE hash agg finds every island —
+    // no self-join, no iteration. At 100 TB the distinct compresses the
+    // corpus to (priority, day) first (map-side combine), and the window
+    // partitions by priority — bounded groups, never a global sort. Top-20
+    // longest islands, total tiebreak for determinism.
+    QueryDef.df(
+      "q125_gaps_islands",
+      """WITH d AS (SELECT DISTINCT o_orderpriority AS pri,
+        |                  CAST(o_orderdate AS DATE) AS d FROM orders),
+        |g AS (SELECT pri, d,
+        |        d - CAST(row_number() OVER (PARTITION BY pri ORDER BY d) AS INT) AS anchor
+        |      FROM d)
+        |SELECT pri, min(d) AS start_day, max(d) AS end_day,
+        |  CAST(count(*) AS BIGINT) AS len
+        |FROM g GROUP BY pri, anchor
+        |ORDER BY len DESC, pri, start_day LIMIT 20""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("pri"),
+          to_date(col("o_orderdate")).as("d")).distinct()
+      val w = Window.partitionBy("pri").orderBy("d")
+      d.withColumn("anchor", date_sub(col("d"), row_number().over(w)))
+        .groupBy("pri", "anchor")
+        .agg(min("d").as("start_day"), max("d").as("end_day"),
+          count(lit(1)).as("len"))
+        .select("pri", "start_day", "end_day", "len")
+        .orderBy(col("len").desc, col("pri"), col("start_day")).limit(20)
+    },
+
+    // ───── q126: FILTER-clause + multi-distinct aggregation ──────────────
+    // Conditional aggregation the ANSI way (FILTER clause) combined with
+    // two COUNT(DISTINCT)s in one pass. Spark plans multiple distincts via
+    // Expand — input rows multiply by the number of distinct groups BUT
+    // each (flag, key) pair dedupes map-side before the shuffle, so the
+    // exchange carries distinct pairs, not raw rows; the conditional
+    // distinct rides the same Expand for free as a CASE key. Shared SQL.
+    QueryDef.shared(
+      "q126_filtered_agg",
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT CASE WHEN l_quantity > 25 THEN l_partkey END) AS BIGINT) AS hi_qty_parts,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supps,
+        |  CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS discounted,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  /** q121's plan, exposed for the plan audit: backbone edges and oriented
+    * edges are PERSISTED (the caller must unpersist both). e feeds the
+    * degree table, the orientation, and the edge count; o feeds all three
+    * legs of the wedge join — the self-join behind them is the expensive
+    * part. Each joined row is one distinct shared part (ps is distinct),
+    * so count(*) is the co-supply support; the top-20k backbone cut is a
+    * TakeOrderedAndProject. Returns (result, e, o).
+    */
+  private[graft] def trianglesPlan(
+      lineitem: DataFrame, backboneK: Int = 20000): (DataFrame, DataFrame, DataFrame) = {
+    val ps = lineitem
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+    val e = ps.as("a").join(ps.as("b"),
+        col("a.p") === col("b.p") && col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("u"), col("b.s").as("v"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("u"), col("v")).limit(backboneK)
+      .select("u", "v").persist()
+    val d = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val fwd = col("du.deg") < col("dv.deg") ||
+      (col("du.deg") === col("dv.deg") && col("e.u") < col("e.v"))
+    val o = e.as("e")
+      .join(d.as("du"), col("du.node") === col("e.u"))
+      .join(d.as("dv"), col("dv.node") === col("e.v"))
+      .select(when(fwd, col("e.u")).otherwise(col("e.v")).as("a"),
+        when(fwd, col("e.v")).otherwise(col("e.u")).as("b")).persist()
+    val tri = o.as("e1")
+      .join(o.as("e2"), col("e1.a") === col("e2.a") && col("e1.b") =!= col("e2.b"))
+      .join(o.as("e3"), col("e3.a") === col("e1.b") && col("e3.b") === col("e2.b"))
+      .agg(count(lit(1)).as("t"))
+    val w = d.agg(sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("wedges"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    val out = ne.crossJoin(broadcast(tri)).crossJoin(broadcast(w))
+      .select(col("n_edges").cast("long").as("n_edges"),
+        col("t").cast("long").as("n_triangles"),
+        col("wedges").cast("long").as("n_wedges"),
+        (lit(3.0) * col("t") / col("wedges")).cast("double").as("clustering"))
+    (out, e, o)
+  }
 }

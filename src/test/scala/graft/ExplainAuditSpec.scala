@@ -284,4 +284,60 @@ class ExplainAuditSpec extends AnyFunSuite {
         s"top-100 must not global-sort:\n$p")
     } finally edgesOd.unpersist(blocking = false)
   }
+
+  test("q120 lateral top-k decorrelates: one customer scan, map-side group limit") {
+    val p = plan("q120_lateral_topk")
+    assert("customer\\.parquet".r.findAllIn(p).size == 1,
+      s"correlated lateral must not re-scan customer per nation:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"decorrelated LIMIT should become a group limit, not a full rank:\n$p")
+    assert(p.contains(", Partial"),
+      s"group limit must run map-side before the shuffle (top-2/nation/partition):\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"nation side should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"lateral must not degenerate to a nested loop:\n$p")
+  }
+
+  test("q121 triangles: wedge join stays equi-join over cached backbone, top-k cut") {
+    // the registered query collects eagerly (to release the edge caches), so
+    // audit the LAZY plan the helper exposes
+    val (out, e, o) = graft.queries.Relational.trianglesPlan(
+      graft.Tables.t(spark, sf, "lineitem"))
+    try {
+      val p = out.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
+      // the ONLY nested-loop joins allowed are the two broadcast crosses
+      // assembling the three single-row aggregates into the result row
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 2 &&
+        "BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(p).size == 2,
+        s"wedge enumeration must stay equi-joins:\n$p")
+      assert("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).nonEmpty,
+        s"wedge joins must be hash/merge equi-joins:\n$p")
+      assert(p.contains("InMemoryTableScan"),
+        s"backbone/oriented edges must be computed once and reused from cache:\n$p")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"top-20k backbone cut must not global-sort the support table:\n$p")
+    } finally { o.unpersist(blocking = false); e.unpersist(blocking = false) }
+  }
+
+  test("q122 NOT IN plans null-aware anti joins, NOT EXISTS a plain anti") {
+    val p = plan("q122_not_in_nulls")
+    assert("LeftAnti".r.findAllIn(p).size == 3, s"expected three anti joins:\n$p")
+    // trailing `true` = isNullAwareAntiJoin — the two NOT INs; the NOT
+    // EXISTS needs no null handling (`false`)
+    assert("LeftAnti, BuildRight, true".r.findAllIn(p).size == 2,
+      s"both NOT INs must plan null-aware anti joins:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"NOT IN must never fall back to a nested loop:\n$p")
+  }
+
+  test("q126 multi-distinct expands with map-side dedup below the shuffle") {
+    val p = plan("q126_filtered_agg")
+    assert(p.contains("Expand"), s"multi-distinct should plan via Expand:\n$p")
+    // bottom-most operators print LAST: a partial HashAggregate below the
+    // last Exchange proves (flag, key, gid) pairs dedup map-side — the
+    // shuffle carries distinct pairs, not raw expanded rows
+    assert(p.lastIndexOf("HashAggregate") > p.lastIndexOf("Exchange"),
+      s"expanded rows must partial-aggregate before the shuffle:\n$p")
+  }
 }
