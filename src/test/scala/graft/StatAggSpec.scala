@@ -34,4 +34,27 @@ class StatAggSpec extends AnyFunSuite {
       assert(math.abs(va - esd * esd) <= 1e-9 * math.max(1.0, esd * esd), s"var($flag)")
     }
   }
+
+  test("approx_percentile honors its rank-error bound against the exact percentile") {
+    // accuracy=10000 guarantees rank error <= n/10000 (< 1 at this SF), so
+    // the sketch must return an order statistic adjacent to the true rank;
+    // l_quantity's support is integers spaced 1 apart and the exact
+    // percentile interpolates, so |approx - exact| <= 1.0 is the sound
+    // bound. Certifies the approx surface next to q73's exact (oracled)
+    // percentile path.
+    val li = Tables.t(spark, sf, "lineitem")
+    val rows = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("exact"),
+        expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)").as("approx"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getSeq[Double](1)
+      val approx = r.getSeq[Double](2)
+      exact.zip(approx).zipWithIndex.foreach { case ((e, a), i) =>
+        assert(math.abs(e - a) <= 1.0,
+          s"flag=${r.getString(0)} p[$i]: exact=$e approx=$a")
+      }
+    }
+  }
 }
