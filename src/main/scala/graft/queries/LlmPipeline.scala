@@ -2031,7 +2031,35 @@ object LlmPipeline {
             .select(lit(needle).as("needle"), col("doc_id"))
         }
       results.reduce(_ unionAll _).orderBy("needle", "doc_id")
-    })
+    },
+
+    // ───── q127: blocked edit-distance fuzzy dedup ────────────────────────
+    // The dedup modality the family was missing: EDIT DISTANCE (typo-level
+    // near-identity — author names, source URLs, titles), the classic
+    // record-linkage shape [Fellegi & Sunter 1969]. Never all-pairs: pairs
+    // generate ONLY inside equi-join BLOCKS — same nation, same length,
+    // same name-minus-trailing-3 (suffix-window blocking: lossless for
+    // edits confined to the trailing window, the standard recall/scale
+    // trade of record linkage; coarse nation+length blocks alone left
+    // 4.5M DP evaluations at sf0.1 — 25 s — vs 0.3M with the window key).
+    // At 100 TB the block keys are the table's cluster keys, so the join
+    // is co-partitioned and shuffle-free; the O(len²) levenshtein DP — a
+    // codegen Catalyst expression — runs once per blocked candidate,
+    // filtered to distance ≤ 2. Output is the per-distance pair census.
+    // Shared SQL: both engines run the identical statement (unit-cost
+    // Levenshtein on ASCII is engine-independent).
+    QueryDef.shared(
+      "q127_fuzzy_blocked_dedup",
+      """WITH p AS (
+        |  SELECT levenshtein(a.c_name, b.c_name) AS dist
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey
+        |   AND substring(a.c_name, 1, length(a.c_name) - 3)
+        |     = substring(b.c_name, 1, length(b.c_name) - 3)
+        |   AND length(a.c_name) = length(b.c_name)
+        |   AND a.c_custkey < b.c_custkey)
+        |SELECT dist, CAST(count(*) AS BIGINT) AS n
+        |FROM p WHERE dist <= 2 GROUP BY dist ORDER BY dist""".stripMargin))
 
   /** SemDeDup core: assign each vector to its nearest of `k` md5-seeded
     * centroids, then inside each cluster DROP every vector that has a

@@ -331,6 +331,13 @@ class ExplainAuditSpec extends AnyFunSuite {
       s"NOT IN must never fall back to a nested loop:\n$p")
   }
 
+  test("q127 fuzzy dedup generates pairs only inside equi-join blocks") {
+    val p = plan("q127_fuzzy_blocked_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocked fuzzy join must stay an equi-join on the block keys:\n$p")
+    assert(p.contains("levenshtein"), s"edit distance must run in the plan:\n$p")
+  }
+
   test("q126 multi-distinct expands with map-side dedup below the shuffle") {
     val p = plan("q126_filtered_agg")
     assert(p.contains("Expand"), s"multi-distinct should plan via Expand:\n$p")
