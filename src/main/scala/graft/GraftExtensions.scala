@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType, StringType}
 
-import graft.functions.{BloomBuildAgg, BloomProbe, BpeEncode, CosineSim, DoubleOrderBits, FreqBuildAgg, KllBuildAgg, L2Sq, DecodeAudio, DecodeImage, ExplodeHammingPairs, ExplodeNgrams, ExplodePairs, MinHashSignature, PHash64, PqAdc, PqEncode, SampleFrames, SigMatchCount, SimHash, SortedIntersectSize, SrpBands, ThetaBuildAgg, WinnowFingerprints, WordNgrams}
+import graft.functions.{BloomBuildAgg, BloomProbe, BpeEncode, CosineSim, DoubleOrderBits, FreqBuildAgg, HammingDistance, KllBuildAgg, L2Sq, DecodeAudio, DecodeImage, ExplodeHammingPairs, ExplodeNgrams, ExplodePairs, MinHashSignature, PHash64, PqAdc, PqEncode, SampleFrames, SigMatchCount, SimHash, SortedIntersectSize, SrpBands, ThetaBuildAgg, WinnowFingerprints, WordNgrams}
 
 /** Session extensions registering the engine's custom codegen expressions
   * as SQL functions — the Spark-idiomatic extension point
@@ -326,6 +326,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => children match {
         case Seq(a, b) => SortedIntersectSize(a, b)
         case other => throw new IllegalArgumentException(s"sorted_intersect_size(a, b): bad args $other")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("hamming_distance"),
+      info("hamming_distance",
+        "hamming_distance(a, b) - differing byte positions of two equal-length strings; NULL on length mismatch"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => HammingDistance(a, b)
+        case other => throw new IllegalArgumentException(s"hamming_distance(a, b): bad args $other")
       }))
   }
 }

@@ -60,6 +60,9 @@ object TextHashing {
 
   def sortedIntersectSize(a: Column, b: Column): Column =
     call_function("sorted_intersect_size", a, b)
+
+  def hammingDistance(a: Column, b: Column): Column =
+    call_function("hamming_distance", a, b)
 }
 
 /** `sorted_intersect_size(a, b) -> int`: |A ∩ B| for two SORTED (Spark
@@ -420,4 +423,58 @@ final case class CosineSim(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
     copy(left = newLeft, right = newRight)
+}
+
+/** `hamming_distance(a, b) -> int`: number of differing BYTE positions of
+  * two equal-length strings (≡ differing characters for ASCII, matching
+  * DuckDB's `hamming` on the identifier strings this serves); NULL when
+  * byte lengths differ. Codegen, zero allocation — the verify predicate of
+  * the banded suffix-hamming dedup (q128), where the pigeonhole band join
+  * is lossless for distance ≤ 2 and this expression confirms each
+  * candidate exactly.
+  */
+final case class HammingDistance(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, string), got (${left.dataType}, ${right.dataType})")
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true // also null on length mismatch
+  override def prettyName: String = "hamming_distance"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val d = HammingDistance.compute(
+      l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+    if (d < 0) null else d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |${ev.value} = graft.functions.HammingDistance$$.MODULE$$.compute($a, $b);
+         |if (${ev.value} < 0) { ${ev.isNull} = true; ${ev.value} = -1; }
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): HammingDistance =
+    copy(left = newLeft, right = newRight)
+}
+
+object HammingDistance {
+  /** -1 signals a length mismatch (surfaced as NULL). Shared by
+    * interpreted eval and generated code.
+    */
+  def compute(a: UTF8String, b: UTF8String): Int = {
+    val n = a.numBytes()
+    if (n != b.numBytes()) return -1
+    var i = 0
+    var c = 0
+    while (i < n) {
+      if (a.getByte(i) != b.getByte(i)) c += 1
+      i += 1
+    }
+    c
+  }
 }

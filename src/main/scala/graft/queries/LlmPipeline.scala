@@ -2059,7 +2059,56 @@ object LlmPipeline {
         |   AND length(a.c_name) = length(b.c_name)
         |   AND a.c_custkey < b.c_custkey)
         |SELECT dist, CAST(count(*) AS BIGINT) AS n
-        |FROM p WHERE dist <= 2 GROUP BY dist ORDER BY dist""".stripMargin))
+        |FROM p WHERE dist <= 2 GROUP BY dist ORDER BY dist""".stripMargin),
+
+    // ───── q128: banded suffix-hamming dedup (pigeonhole-lossless) ────────
+    // q127's levenshtein needed a recall-trading block key; HAMMING over a
+    // fixed identifier window admits a LOSSLESS one: partition the 9
+    // tail positions into three disjoint 3-position bands — two mismatches
+    // cannot touch all three, so any pair at tail-distance ≤ 2 agrees on
+    // ≥ 1 band (pigeonhole; same trick as the phash bands of q92, valid
+    // for ANY choice of disjoint covering bands). Two skew defenses, both
+    // found by benching: the bands INTERLEAVE (positions {i, i+3, i+6}) so
+    // each mixes high- and low-entropy character positions — contiguous
+    // bands left one value shared by every row (a quadratic block, 19 s at
+    // sf0.1) — and the exact `hamming_distance` verify (codegen,
+    // TextHashing.scala; DuckDB's built-in `hamming` is its oracle twin)
+    // runs INSIDE the join condition, so skewed-band candidates are probe
+    // iterations, never materialized rows. The oracle brute-forces within
+    // stem blocks — candidate generation never does; at 100 TB the band
+    // join shuffles only (stem, band, id, tail), never the corpus.
+    QueryDef.df(
+      "q128_hamming_banded",
+      """WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+        |p AS (SELECT hamming(right(a.name, 9), right(b.name, 9)) AS dist
+        |      FROM c a JOIN c b
+        |        ON substr(a.name, 1, length(a.name) - 9)
+        |         = substr(b.name, 1, length(b.name) - 9)
+        |       AND length(a.name) = length(b.name)
+        |       AND a.id < b.id)
+        |SELECT dist, CAST(count(*) AS BIGINT) AS n
+        |FROM p WHERE dist <= 2 GROUP BY dist ORDER BY dist""".stripMargin) { (s, dir) =>
+      import graft.functions.TextHashing.hammingDistance
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"))
+        .select(col("id"), col("name"), length(col("name")).as("len"),
+          expr("substring(name, 1, length(name) - 9)").as("stem"),
+          expr("right(name, 9)").as("tail"))
+      val cand = (0 until 3).map { i =>
+        val cb = c.withColumn("bval", concat(
+          substring(col("tail"), i + 1, 1),
+          substring(col("tail"), i + 4, 1),
+          substring(col("tail"), i + 7, 1)))
+        cb.as("a").join(cb.as("b"),
+            col("a.stem") === col("b.stem") && col("a.len") === col("b.len") &&
+              col("a.bval") === col("b.bval") && col("a.id") < col("b.id") &&
+              hammingDistance(col("a.tail"), col("b.tail")) <= 2)
+          .select(col("a.id").as("ida"), col("b.id").as("idb"),
+            hammingDistance(col("a.tail"), col("b.tail")).as("dist"))
+      }.reduce(_ unionAll _).distinct()
+      cand.groupBy("dist").agg(count(lit(1)).as("n"))
+        .orderBy("dist")
+    })
 
   /** SemDeDup core: assign each vector to its nearest of `k` md5-seeded
     * centroids, then inside each cluster DROP every vector that has a

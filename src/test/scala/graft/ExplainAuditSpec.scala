@@ -338,6 +338,17 @@ class ExplainAuditSpec extends AnyFunSuite {
     assert(p.contains("levenshtein"), s"edit distance must run in the plan:\n$p")
   }
 
+  test("q128 banded hamming: equi-join bands, verify inside the join, no candidate blowup") {
+    val p = plan("q128_hamming_banded")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"band joins must stay equi-joins:\n$p")
+    // the exact verify must sit in the JOIN operator (probe-time filter,
+    // candidates never materialize), not in a Filter above it
+    val joinLine = p.linesIterator.find(_.contains("Join")).getOrElse("")
+    assert(joinLine.contains("hamming_distance"),
+      s"hamming verify must run inside the join condition:\n$p")
+  }
+
   test("q126 multi-distinct expands with map-side dedup below the shuffle") {
     val p = plan("q126_filtered_agg")
     assert(p.contains("Expand"), s"multi-distinct should plan via Expand:\n$p")
