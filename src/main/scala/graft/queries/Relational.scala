@@ -1125,6 +1125,45 @@ object Relational {
       }
     },
 
+    // ───── q130: chi-square independence test (drift detection) ──────────
+    // Pearson's χ² between return flag and line status — the
+    // distribution-shift / feature-independence test a data-profiling
+    // pipeline runs per ingest batch. Determinism discipline (q119's
+    // pattern, but for a NONLINEAR statistic): an unordered SUM of
+    // per-cell doubles would be float-order-dependent across engines, so
+    // the fixed 3×2 domain is pivoted into ONE row by conditional
+    // aggregation (exact integer counts, one scan, map-side partials) and
+    // χ² is ONE fixed left-associated expression over the six named
+    // cells — both engines evaluate the identical AST, bit-equal by
+    // construction. sqrt is IEEE-correctly-rounded in both, so Cramér's V
+    // is too. 100 TB: a single conditional-aggregation pass, O(1) result.
+    {
+      val flags = Seq("A", "N", "R"); val stats = Seq("F", "O")
+      val cellDefs = (for (f <- flags; st <- stats) yield
+        s"CAST(count(*) FILTER (WHERE l_returnflag = '$f' AND l_linestatus = '$st') AS DOUBLE) AS o_${f}_$st")
+        .mkString(",\n        ")
+      val margins = (flags.map(f =>
+        s"(${stats.map(st => s"o_${f}_$st").mkString(" + ")}) AS r_$f") ++
+        stats.map(st =>
+          s"(${flags.map(f => s"o_${f}_$st").mkString(" + ")}) AS c_$st"))
+        .mkString(",\n        ")
+      val chi = (for (f <- flags; st <- stats) yield
+        s"(o_${f}_$st - r_$f * c_$st / n) * (o_${f}_$st - r_$f * c_$st / n) / (r_$f * c_$st / n)")
+        .mkString("(", "\n          + ", ")")
+      QueryDef.shared(
+        "q130_chi_square",
+        s"""WITH c AS (SELECT
+        $cellDefs,
+        CAST(count(*) AS DOUBLE) AS n FROM lineitem),
+        |m AS (SELECT *,
+        $margins
+        |  FROM c)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST($chi AS DOUBLE) AS chi2,
+        |  CAST(sqrt($chi / n) AS DOUBLE) AS cramers_v
+        |FROM m""".stripMargin)
+    },
+
     // ───── q126: FILTER-clause + multi-distinct aggregation ──────────────
     // Conditional aggregation the ANSI way (FILTER clause) combined with
     // two COUNT(DISTINCT)s in one pass. Spark plans multiple distincts via

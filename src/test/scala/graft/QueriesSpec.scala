@@ -49,7 +49,7 @@ class QueriesSpec extends AnyFunSuite {
     // global aggregates are exempt (one row is trivially ordered).
     val singleRowAggregates = Set("q06_revenue_delta", "q13_promo_share",
       "q17_small_qty_revenue", "q19_disjunctive", "q43_event_dedup",
-      "q65_stats_agg_pushdown", "q122_not_in_nulls")
+      "q65_stats_agg_pushdown", "q122_not_in_nulls", "q130_chi_square")
     val missing = SparkEntry.oracleSql.collect {
       case (name, sql) if !sql.toUpperCase.contains("ORDER BY")
         && !singleRowAggregates.contains(name) => name
