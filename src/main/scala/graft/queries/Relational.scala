@@ -1164,6 +1164,96 @@ object Relational {
         |FROM m""".stripMargin)
     },
 
+    // ───── q131: strictly-ordered conversion funnel ──────────────────────
+    // Product-analytics funnel with STRICT event ordering (view, then a
+    // click AFTER that view, then a purchase AFTER that click) — the
+    // sequential-pattern shape engines without MATCH_RECOGNIZE express as
+    // cascaded first-occurrence joins: each step is one per-user min-agg
+    // plus one equi-join against the previous step's table, so the work is
+    // O(events) with per-user hash groups — no self-join of the raw event
+    // stream, no window over the corpus. Timestamps compare exactly
+    // (microsecond integers). Shared SQL: both engines run the statement.
+    QueryDef.shared(
+      "q131_ordered_funnel",
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |      JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+        |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |      JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+        |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT step, users FROM (
+        |  SELECT 'step1_view' AS step, CAST(count(*) AS BIGINT) AS users FROM v
+        |  UNION ALL
+        |  SELECT 'step2_click', CAST(count(*) AS BIGINT) FROM c
+        |  UNION ALL
+        |  SELECT 'step3_purchase', CAST(count(*) AS BIGINT) FROM p) f
+        |ORDER BY step""".stripMargin),
+
+    // ───── q132: sliding-window distinct count ────────────────────────────
+    // Trailing-7-day distinct purchasers per active day — the windowed-
+    // cardinality profile every engagement dashboard needs. The SCALABLE
+    // formulation is not a range join (day BETWEEN eday-6 AND eday turns
+    // into a nested loop): each (purchase-day, user) EXPLODES into its 7
+    // target days via sequence() — a generator inside codegen, fan-out
+    // exactly 7 — and the count lands as one distinct-agg over equi-keys.
+    // The oracle states the same relation with the BETWEEN join (fine at
+    // oracle scale), so the rewrite's equivalence is hash-verified.
+    QueryDef.df(
+      "q132_sliding_distinct",
+      """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+        |x AS (SELECT DISTINCT CAST(ts AS DATE) AS eday, user_id FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT d.day, CAST(count(DISTINCT x.user_id) AS BIGINT) AS u7
+        |FROM days d JOIN x ON x.eday BETWEEN d.day - 6 AND d.day
+        |GROUP BY d.day ORDER BY d.day""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val days = ev.select(to_date(col("ts")).as("day")).distinct()
+      val x = ev.filter(col("event_type") === "purchase")
+        .select(to_date(col("ts")).as("eday"), col("user_id")).distinct()
+      x.select(explode(expr("sequence(eday, date_add(eday, 6))")).as("day"),
+          col("user_id"))
+        .join(days, "day") // keep only days that actually occur
+        .groupBy("day").agg(countDistinct(col("user_id")).as("u7"))
+        .orderBy("day")
+    },
+
+    // ───── q133: weekly cohort retention ─────────────────────────────────
+    // Cohort = signup week; retention(cohort, k) = distinct cohort users
+    // with ANY activity k weeks later — the engagement matrix. One min-agg
+    // (first signup), one distinct projection (user-week activity), one
+    // equi-join on user, one hash agg on (cohort, k): O(events) with no
+    // window, no self-join of the raw stream; the week index is exact
+    // integer floor-division of a day difference.
+    QueryDef.df(
+      "q133_cohort_retention",
+      """WITH s AS (SELECT user_id, min(CAST(ts AS DATE)) AS sd FROM events
+        |           WHERE event_type = 'signup' GROUP BY user_id),
+        |sw AS (SELECT user_id,
+        |         CAST((sd - DATE '2024-01-01') // 7 AS INT) AS cw FROM s),
+        |a AS (SELECT DISTINCT user_id,
+        |        CAST((CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS INT) AS aw
+        |      FROM events),
+        |j AS (SELECT sw.cw, a.aw - sw.cw AS k, a.user_id
+        |      FROM sw JOIN a ON a.user_id = sw.user_id WHERE a.aw >= sw.cw)
+        |SELECT cw, k, CAST(count(DISTINCT user_id) AS BIGINT) AS users
+        |FROM j GROUP BY cw, k ORDER BY cw, k""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val anchor = lit("2024-01-01")
+      val sw = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(to_date(col("ts"))).as("sd"))
+        .select(col("user_id"), floor(datediff(col("sd"), anchor) / 7)
+          .cast("int").as("cw"))
+      val a = ev.select(col("user_id"),
+        floor(datediff(to_date(col("ts")), anchor) / 7).cast("int").as("aw"))
+        .distinct()
+      sw.join(a, "user_id").filter(col("aw") >= col("cw"))
+        .select(col("cw"), (col("aw") - col("cw")).as("k"), col("user_id"))
+        .groupBy("cw", "k").agg(countDistinct(col("user_id")).as("users"))
+        .orderBy("cw", "k")
+    },
+
     // ───── q126: FILTER-clause + multi-distinct aggregation ──────────────
     // Conditional aggregation the ANSI way (FILTER clause) combined with
     // two COUNT(DISTINCT)s in one pass. Spark plans multiple distincts via

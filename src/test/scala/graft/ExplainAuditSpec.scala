@@ -349,6 +349,13 @@ class ExplainAuditSpec extends AnyFunSuite {
       s"hamming verify must run inside the join condition:\n$p")
   }
 
+  test("q132 sliding distinct: explode rewrite keeps the window join equi (no nested loop)") {
+    val p = plan("q132_sliding_distinct")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the BETWEEN range join must be rewritten to explode + equi-join:\n$p")
+    assert(p.contains("Generate"), s"expected the sequence() generator:\n$p")
+  }
+
   test("q126 multi-distinct expands with map-side dedup below the shuffle") {
     val p = plan("q126_filtered_agg")
     assert(p.contains("Expand"), s"multi-distinct should plan via Expand:\n$p")
