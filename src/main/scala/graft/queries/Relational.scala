@@ -1095,34 +1095,10 @@ object Relational {
       val edges = pairs.select(concat(lit("s"), col("sk")).as("src"),
           concat(lit("c"), col("ck")).as("dst"))
         .unionAll(pairs.select(concat(lit("c"), col("ck")).as("src"),
-          concat(lit("s"), col("sk")).as("dst"))).persist()
-      var dist = t(s, dir, "supplier").filter(col("s_suppkey") < 10)
-        .select(concat(lit("s"), col("s_suppkey")).as("node"), lit(0).as("d"))
-      // each round's distance table is TINY (≤ |nodes| rows) but its lazy
-      // lineage chains every prior round — and a broadcast materializes its
-      // subtree per use, making uncached rounds quadratic in re-execution
-      // (measured: 12.4 s → 4.7 s at sf0.1). Cache each round, release all
-      // after the census collects.
-      val cached = collection.mutable.ArrayBuffer[DataFrame]()
-      try {
-        for (i <- 1 to 4) {
-          // frontier ≪ edges: broadcast it so the cached edge table is
-          // never shuffled; the min-agg's map-side partial collapses the
-          // relaxed rows before the (tiny) node shuffle
-          val relaxed = broadcast(dist.as(s"w$i"))
-            .join(edges.as(s"e$i"), col(s"w$i.node") === col(s"e$i.src"))
-            .select(col(s"e$i.dst").as("node"), (col(s"w$i.d") + 1).as("d"))
-          dist = dist.unionAll(relaxed).groupBy("node").agg(min("d").as("d"))
-            .persist()
-          cached += dist
-        }
-        val out = dist.groupBy("d").agg(count(lit(1)).as("n")).orderBy("d")
-        import scala.jdk.CollectionConverters._
-        s.createDataFrame(out.collect().toSeq.asJava, out.schema)
-      } finally {
-        cached.foreach(_.unpersist(blocking = false))
-        edges.unpersist(blocking = false)
-      }
+          concat(lit("s"), col("sk")).as("dst")))
+      val seeds = t(s, dir, "supplier").filter(col("s_suppkey") < 10)
+        .select(concat(lit("s"), col("s_suppkey")).as("node"))
+      bfsCensus(s, edges, seeds, hops = 4)
     },
 
     // ───── q130: chi-square independence test (drift detection) ──────────
@@ -1278,6 +1254,42 @@ object Relational {
     * so count(*) is the co-supply support; the top-20k backbone cut is a
     * TakeOrderedAndProject. Returns (result, e, o).
     */
+  /** q129's BFS core, exposed for the property spec: `hops` unrolled
+    * relax-and-min rounds from `seeds` (distance 0) over `edges`
+    * (src, dst — directed; pass both directions for an undirected graph),
+    * returning the (d, n) census as a collected LocalRelation. The edge
+    * table is persisted for the rounds and released before returning, as
+    * is each round's distance table: a round's output is tiny but its lazy
+    * lineage chains every prior round, and every broadcast materializes
+    * its subtree — uncached rounds are quadratic in re-execution
+    * (measured 12.4 s → 4.7 s at sf0.1).
+    */
+  private[graft] def bfsCensus(s: SparkSession, edgesIn: DataFrame,
+      seeds: DataFrame, hops: Int): DataFrame = {
+    val edges = edgesIn.persist()
+    var dist = seeds.select(col("node"), lit(0).as("d"))
+    val cached = collection.mutable.ArrayBuffer[DataFrame]()
+    try {
+      for (i <- 1 to hops) {
+        // frontier ≪ edges: broadcast it so the cached edge table is
+        // never shuffled; the min-agg's map-side partial collapses the
+        // relaxed rows before the (tiny) node shuffle
+        val relaxed = broadcast(dist.as(s"w$i"))
+          .join(edges.as(s"e$i"), col(s"w$i.node") === col(s"e$i.src"))
+          .select(col(s"e$i.dst").as("node"), (col(s"w$i.d") + 1).as("d"))
+        dist = dist.unionAll(relaxed).groupBy("node").agg(min("d").as("d"))
+          .persist()
+        cached += dist
+      }
+      val out = dist.groupBy("d").agg(count(lit(1)).as("n")).orderBy("d")
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(out.collect().toSeq.asJava, out.schema)
+    } finally {
+      cached.foreach(_.unpersist(blocking = false))
+      edges.unpersist(blocking = false)
+    }
+  }
+
   private[graft] def trianglesPlan(
       lineitem: DataFrame, backboneK: Int = 20000): (DataFrame, DataFrame, DataFrame) = {
     val ps = lineitem
