@@ -1230,6 +1230,38 @@ object Relational {
         .orderBy("cw", "k")
     },
 
+    // ───── q134: data-quality expectation suite ──────────────────────────
+    // Constraint validation as a query (the Deequ/expectations shape a
+    // production ingest gate runs per batch): completeness (nulls),
+    // domain-range compliance, duplicate keys, and referential integrity,
+    // each reported as (check, violations). One conditional-aggregation
+    // scan covers the row-local checks (map-side partials, zero extra
+    // passes); uniqueness is one hash agg; the FK check is one ANTI join —
+    // every check is O(rows) with no window and no self-join, so the suite
+    // scales like the scan it rides.
+    QueryDef.df(
+      "q134_quality_checks",
+      """SELECT check_name, violations FROM (
+        |  SELECT 'null_orderkey' AS check_name,
+        |    CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT) AS violations
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'qty_range', CAST(count(*) FILTER (
+        |    WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'discount_range', CAST(count(*) FILTER (
+        |    WHERE l_discount < 0 OR l_discount > 0.1) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'dup_order_line', CAST(count(*) AS BIGINT) FROM (
+        |    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+        |    FROM lineitem GROUP BY 1, 2, 3, 4 HAVING count(*) > 1) dups
+        |  UNION ALL
+        |  SELECT 'orphan_lineitem', CAST(count(*) AS BIGINT) FROM lineitem
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |) checks ORDER BY check_name""".stripMargin) { (s, dir) =>
+      qualityChecks(t(s, dir, "lineitem"), t(s, dir, "orders"))
+    },
+
     // ───── q126: FILTER-clause + multi-distinct aggregation ──────────────
     // Conditional aggregation the ANSI way (FILTER clause) combined with
     // two COUNT(DISTINCT)s in one pass. Spark plans multiple distincts via
@@ -1254,6 +1286,33 @@ object Relational {
     * so count(*) is the co-supply support; the top-20k backbone cut is a
     * TakeOrderedAndProject. Returns (result, e, o).
     */
+  /** q134's expectation suite, exposed for the planted-defect spec (the
+    * testdata is clean — every violation count is 0 there — so the spec
+    * proves each check DETECTS by feeding frames with known defects).
+    */
+  private[graft] def qualityChecks(li: DataFrame, orders: DataFrame): DataFrame = {
+    val rowLocal = li.agg(
+      sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("null_orderkey"),
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+        .otherwise(0L)).as("qty_range"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+        .otherwise(0L)).as("discount_range"))
+    val dups = li.groupBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .agg(count(lit(1)).as("dup_order_line"))
+    val orphans = li.join(orders,
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_lineitem"))
+    rowLocal.crossJoin(broadcast(dups)).crossJoin(broadcast(orphans))
+      .selectExpr("stack(5, " +
+        "'discount_range', discount_range, " +
+        "'dup_order_line', dup_order_line, " +
+        "'null_orderkey', null_orderkey, " +
+        "'orphan_lineitem', orphan_lineitem, " +
+        "'qty_range', qty_range) AS (check_name, violations)")
+      .orderBy("check_name")
+  }
+
   /** q129's BFS core, exposed for the property spec: `hops` unrolled
     * relax-and-min rounds from `seeds` (distance 0) over `edges`
     * (src, dst — directed; pass both directions for an undirected graph),
