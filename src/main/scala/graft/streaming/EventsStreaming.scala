@@ -121,6 +121,50 @@ object EventsStreaming {
     * Input columns: (source STRING, doc_id BIGINT, tokens BIGINT); output =
     * the accepted subset, same columns.
     */
+  /** Streaming sequential-pattern detection — the state-machine shape
+    * engines with MATCH_RECOGNIZE run on streams, here as ONE
+    * `flatMapGroupsWithState` per user: advance view → click → purchase
+    * strictly in event-time order and emit a row at each advance (batch
+    * twin: q131's cascaded first-occurrence joins). Per-batch rows sort
+    * within the group (bounded by a user's events per micro-batch);
+    * across batches the state's last-advance timestamp enforces order, so
+    * a late event that predates the current stage is ignored rather than
+    * rewinding — the same no-retraction discipline as watermarked aggs.
+    *
+    * Scale posture: state is (stage, micros) per user — two longs —
+    * shuffled once on user_id; emission is append-only.
+    *
+    * Input columns: (user_id BIGINT, ts TIMESTAMP, event_type STRING);
+    * output (user_id, step, ts) with step ∈ view|click|purchase.
+    */
+  def funnelStages(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val steps = Vector("view", "click", "purchase")
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L
+    events.selectExpr("user_id", "ts", "event_type")
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Int, Long), (Long, String, java.sql.Timestamp)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, String)],
+         state: GroupState[(Int, Long)]) =>
+          var (stage, lastUs) = state.getOption.getOrElse((0, Long.MinValue))
+          val out = collection.mutable.ArrayBuffer[(Long, String, java.sql.Timestamp)]()
+          for ((_, ts, et) <- rows.toSeq.sortBy(r => micros(r._2))) {
+            if (stage < steps.length && et == steps(stage) && micros(ts) > lastUs) {
+              out += ((uid, steps(stage), ts))
+              stage += 1
+              lastUs = micros(ts)
+            }
+          }
+          state.update((stage, lastUs))
+          out.iterator
+      }
+      .toDF("user_id", "step", "ts")
+  }
+
   def quotaSampled(docs: DataFrame, quotaTokens: Long): DataFrame = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

@@ -24,6 +24,37 @@ class StreamingSpec extends AnyFunSuite {
   private def toDf(s: org.apache.spark.sql.DataFrame) =
     s.toDF("event_id", "ts", "user_id", "event_type", "value")
 
+  test("streaming funnel state machine: strict order across batches, late events ignored") {
+    import spark.implicits._
+    val input = MemoryStream[Ev](spark)
+    val q = EventsStreaming.funnelStages(toDf(input.toDF()))
+      .writeStream.format("memory").queryName("funnel").outputMode("append")
+      .start()
+    // batch 1: u1 view@1 then click@2 (advances twice); u2 click@1 (no
+    // view yet — ignored); u3 view@10
+    input.addData(
+      (1L, ts(1), 1L, "view", 0.0), (2L, ts(2), 1L, "click", 0.0),
+      (3L, ts(1), 2L, "click", 0.0), (4L, ts(10), 3L, "view", 0.0))
+    q.processAllAvailable()
+    // batch 2: u1 purchase@3 completes; u2's batch arrives OUT OF ORDER
+    // (click@3 before view@2 in arrival, sorted by event time inside the
+    // batch → view@2 advances, click@3 advances); u3 click@5 is LATE
+    // (before its view@10) — must not advance
+    input.addData(
+      (5L, ts(3), 1L, "purchase", 0.0),
+      (6L, ts(3), 2L, "click", 0.0), (7L, ts(2), 2L, "view", 0.0),
+      (8L, ts(5), 3L, "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("funnel")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2))).toSet
+    val want = Set(
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)),
+      (2L, "view", ts(2)), (2L, "click", ts(3)),
+      (3L, "view", ts(10)))
+    assert(got == want, s"got $got")
+  }
+
   test("tumbling windows with watermark: windows finalize exactly once, late data within watermark counted") {
     import spark.implicits._
     val input = MemoryStream[Ev](spark)
