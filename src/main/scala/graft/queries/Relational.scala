@@ -1262,6 +1262,60 @@ object Relational {
       qualityChecks(t(s, dir, "lineitem"), t(s, dir, "orders"))
     },
 
+    // ───── q135: aggregate breadth — argmax/argmin, bool aggs, INTERSECT ─
+    // The remaining analyst-essential aggregates in one oracled pass:
+    // max_by/min_by (argmax — "which order had the extreme price", no
+    // self-join back), bool_and/bool_or (predicate rollups), and a
+    // per-group INTERSECT cardinality. Determinism: the by-struct embeds
+    // the returned key, so tied extremes still return one value; booleans
+    // surface as 0/1 ints (cross-engine bool rendering differs). All hash
+    // aggs + one intersect (itself a hash agg pair) — scan-bound at any
+    // scale.
+    QueryDef.df(
+      "q135_agg_breadth",
+      """WITH hi AS (SELECT l_returnflag AS flag, l_orderkey,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey DESC, l_linenumber DESC) AS r
+        |  FROM lineitem),
+        |lo AS (SELECT l_returnflag AS flag, l_orderkey,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC) AS r
+        |  FROM lineitem),
+        |b AS (SELECT l_returnflag AS flag,
+        |    CAST(bool_and(l_shipdate < TIMESTAMP '1999-01-01') AS INT) AS all_pre99,
+        |    CAST(bool_or(l_quantity > 45) AS INT) AS any_big
+        |  FROM lineitem GROUP BY 1),
+        |sh AS (SELECT flag, CAST(count(*) AS BIGINT) AS shared_months FROM (
+        |    SELECT l_returnflag AS flag, month(l_shipdate) AS m
+        |    FROM lineitem WHERE l_linestatus = 'F'
+        |    INTERSECT
+        |    SELECT l_returnflag, month(l_shipdate)
+        |    FROM lineitem WHERE l_linestatus = 'O') i GROUP BY 1)
+        |SELECT b.flag, hi.l_orderkey AS hi_key, lo.l_orderkey AS lo_key,
+        |  b.all_pre99, b.any_big, COALESCE(sh.shared_months, 0) AS shared_months
+        |FROM b JOIN hi ON hi.flag = b.flag AND hi.r = 1
+        |  JOIN lo ON lo.flag = b.flag AND lo.r = 1
+        |  LEFT JOIN sh ON sh.flag = b.flag
+        |ORDER BY b.flag""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val key = struct(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      val aggs = li.groupBy(col("l_returnflag").as("flag")).agg(
+        max_by(col("l_orderkey"), key).as("hi_key"),
+        min_by(col("l_orderkey"), key).as("lo_key"),
+        bool_and(col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+          .cast("int").as("all_pre99"),
+        bool_or(col("l_quantity") > 45).cast("int").as("any_big"))
+      def months(status: String) = li.filter(col("l_linestatus") === status)
+        .select(col("l_returnflag").as("flag"), month(col("l_shipdate")).as("m"))
+      val shared = months("F").intersect(months("O"))
+        .groupBy("flag").agg(count(lit(1)).as("shared_months"))
+      aggs.join(shared, Seq("flag"), "left")
+        .select(col("flag"), col("hi_key"), col("lo_key"),
+          col("all_pre99"), col("any_big"),
+          coalesce(col("shared_months"), lit(0L)).as("shared_months"))
+        .orderBy("flag")
+    },
+
     // ───── q126: FILTER-clause + multi-distinct aggregation ──────────────
     // Conditional aggregation the ANSI way (FILTER clause) combined with
     // two COUNT(DISTINCT)s in one pass. Spark plans multiple distincts via
