@@ -356,6 +356,37 @@ class ExplainAuditSpec extends AnyFunSuite {
     assert(p.contains("Generate"), s"expected the sequence() generator:\n$p")
   }
 
+  test("q125 islands: one window over (pri, day) distinct rows, no self-join") {
+    val p = plan("q125_gaps_islands")
+    assert(p.contains("Window"), s"expected the row_number window:\n$p")
+    assert(!p.contains("Join"), s"islands must need no self-join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$p")
+  }
+
+  test("q131 funnel: cascaded min-aggs + equi-joins, no window, no nested loop") {
+    val p = plan("q131_ordered_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"funnel steps must join on user_id:\n$p")
+    assert(!p.contains("Window"), s"the funnel needs no window operator:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 6, // 3 steps × partial+final
+      s"each step should be a partial+final min-agg:\n$p")
+  }
+
+  test("q133/q134 analytics plans stay equi-keyed") {
+    val p133 = plan("q133_cohort_retention")
+    assert(!p133.contains("CartesianProduct") && !p133.contains("BroadcastNestedLoopJoin"),
+      s"cohort join must be on user_id:\n$p133")
+    // q134: the ONLY nested loops allowed are the two broadcast crosses
+    // assembling three single-row aggregates (q121's pattern); the FK
+    // check itself must be a hash/merge anti join
+    val p134 = plan("q134_quality_checks")
+    assert(!p134.contains("CartesianProduct"), s"no cartesian:\n$p134")
+    assert("BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(p134).size == 2 &&
+      "BroadcastNestedLoopJoin".r.findAllIn(p134).size == 2,
+      s"only the two single-row assembly crosses are allowed:\n$p134")
+    assert(p134.contains("LeftAnti"), s"FK check must be an anti join:\n$p134")
+  }
+
   test("q126 multi-distinct expands with map-side dedup below the shuffle") {
     val p = plan("q126_filtered_agg")
     assert(p.contains("Expand"), s"multi-distinct should plan via Expand:\n$p")
