@@ -378,12 +378,14 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
           if (u.fieldNames().length != 1) throw new UnsupportedOperationException(
             "only top-level ALTER COLUMN SET/DROP DEFAULT is supported")
           val name = u.fieldNames()(0)
-          if (!schema.fieldNames.contains(name))
+          // case-insensitive like the rest of the DDL surface (AddColumn's
+          // duplicate check, the analyzer's resolution)
+          if (!schema.fieldNames.exists(_.equalsIgnoreCase(name)))
             throw new IllegalArgumentException(s"no such column: $name")
           // moves the WRITE default only — the initial default stays pinned
           // (already-written files must never change meaning)
           schema = StructType(schema.fields.map(x =>
-            if (x.name == name) ColumnDefaults.withCurrent(x, u.newCurrentDefault())
+            if (x.name.equalsIgnoreCase(name)) ColumnDefaults.withCurrent(x, u.newCurrentDefault())
             else x))
         case d: TableChange.DeleteColumn =>
           if (d.fieldNames().length != 1) throw new UnsupportedOperationException(

@@ -1635,8 +1635,22 @@ private[catalog] object FooterStats {
         val name = c.getPath.toDotString
         if (!name.contains('.') && schema.fieldNames.contains(name)) {
           val dt = schema.fields(schema.fieldIndex(name)).dataType
+          // a foreign file may annotate its timestamps MILLIS/NANOS while
+          // the table declares TimestampType: raw INT64 bounds would then
+          // be in the wrong unit vs the pruner's micros literals — treat
+          // any non-MICROS annotation as unusable stats (always-scan)
+          val unitOk = dt match {
+            case TimestampType | TimestampNTZType =>
+              c.getPrimitiveType.getLogicalTypeAnnotation match {
+                case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                  t.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS
+                case _ => false
+              }
+            case _ => true
+          }
           val st = c.getStatistics
-          if (st == null || st.isEmpty) { broken += name; nullsBroken += name }
+          if (!unitOk) { broken += name; nullsBroken += name }
+          else if (st == null || st.isEmpty) { broken += name; nullsBroken += name }
           else {
             if (st.isNumNullsSet)
               nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls

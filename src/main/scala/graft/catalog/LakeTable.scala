@@ -899,10 +899,13 @@ final class LakeScan(
     new java.util.concurrent.atomic.AtomicLong(EqDeletes.BloomRefineBudget)
   private def eqBloomMayHit(f: DataFileMeta, d: DataFileMeta): Boolean =
     eqBloomKeyCol match {
-      case Some((logicalKey, dt)) if d.rowCount <= EqDeletes.BloomRefineMaxKeys &&
-          eqBloomBudget.addAndGet(-d.rowCount) >= 0L =>
+      case Some((logicalKey, dt)) if d.rowCount <= EqDeletes.BloomRefineMaxKeys =>
+        // resolve bloom + canonical keys FIRST: (file, delete) pairs that
+        // resolve to "no bloom → keep" must not burn probe budget, or a
+        // bloomless file mix exhausts the refinement long before the
+        // documented 64M probe-step bound is actually spent
         (bloomFor(f.path, logicalKey), eqCanonKeys(d.path, dt)) match {
-          case (Some(b), Some(keys)) =>
+          case (Some(b), Some(keys)) if eqBloomBudget.addAndGet(-d.rowCount) >= 0L =>
             val hit = keys.exists(b.mightContainHashed)
             if (!hit) EqDeletes.bloomRefined.incrementAndGet()
             hit

@@ -213,6 +213,14 @@ object PositionalParquet {
             case (_, _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) => None
             case (INT32 | INT64, l: LogicalTypeAnnotation.IntLogicalTypeAnnotation)
               if !l.isSigned => None
+            // pruner probe literals for timestamps/times are MICROS; a
+            // foreign file annotated MILLIS/NANOS would render bounds in
+            // the wrong unit and wrongly prune (unrecoverable row loss) —
+            // emit only the unit the pruner compares, else conservative keep
+            case (INT32 | INT64, t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation) =>
+              if (t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS) Some(v.toString) else None
+            case (INT32 | INT64, t: LogicalTypeAnnotation.TimeLogicalTypeAnnotation) =>
+              if (t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS) Some(v.toString) else None
             case (INT32 | INT64, _) => Some(v.toString)
             case (FLOAT, _) =>
               Some(v.asInstanceOf[java.lang.Float]).filterNot(_.isNaN).map(_.toString)

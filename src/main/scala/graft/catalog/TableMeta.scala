@@ -713,19 +713,43 @@ object ColumnMapping {
   * type the LAST (paths may contain `:`). Malformed entries are skipped,
   * never fail a write.
   */
-object VariantShred {
+object VariantShred extends org.apache.spark.internal.Logging {
   val Prop = "write.variant.shred-paths"
 
   def parse(spec: String): Seq[(String, String, String)] = {
-    val entries =
-      if (spec.contains(';')) spec.split(';') else spec.split(',')
-    entries.map(_.trim).filter(_.nonEmpty).toSeq.flatMap { e =>
-      val i = e.indexOf(':')
-      val j = e.lastIndexOf(':')
-      if (i <= 0 || j <= i + 1 || j == e.length - 1) None
-      else Some((e.substring(0, i), e.substring(i + 1, j), e.substring(j + 1)))
+    // `;` is authoritative. The legacy `,` fallback mangles parameterized
+    // types (`c:$.p:decimal(10,2)` splits mid-type), so it only applies
+    // when EVERY comma-piece parses to a valid entry+type; otherwise the
+    // whole spec is treated as one entry.
+    def entriesOf(pieces: Array[String]): Seq[(String, String, String)] =
+      pieces.map(_.trim).filter(_.nonEmpty).toSeq.flatMap { e =>
+        val i = e.indexOf(':')
+        val j = e.lastIndexOf(':')
+        if (i <= 0 || j <= i + 1 || j == e.length - 1) {
+          logWarning(s"$Prop: skipping malformed entry '$e' (want col:$$.path:type)")
+          None
+        } else {
+          val (c, p, t) = (e.substring(0, i), e.substring(i + 1, j), e.substring(j + 1))
+          if (typeOk(t)) Some((c, p, t))
+          else { logWarning(s"$Prop: skipping entry '$e' — unparseable type '$t'"); None }
+        }
+      }
+    if (spec.contains(';')) entriesOf(spec.split(';'))
+    else {
+      val commaPieces = spec.split(',')
+      if (commaPieces.forall(e => e.trim.isEmpty || wellFormed(e.trim)))
+        entriesOf(commaPieces)
+      else entriesOf(Array(spec))
     }
   }
+
+  private def wellFormed(e: String): Boolean = {
+    val i = e.indexOf(':'); val j = e.lastIndexOf(':')
+    i > 0 && j > i + 1 && j < e.length - 1 && typeOk(e.substring(j + 1))
+  }
+
+  private def typeOk(t: String): Boolean =
+    try { DataType.fromDDL(t); true } catch { case _: Exception => false }
 
   def render(entries: Seq[(String, String, String)]): String =
     entries.map { case (c, p, t) => s"$c:$p:$t" }.mkString(";")

@@ -41,10 +41,14 @@ object Relational {
         concat(lit("c"), col("c")).as("dst"))
       .unionAll(pairs.select(concat(lit("c"), col("c")).as("src"),
         concat(lit("s"), col("s")).as("dst")))
-    // out-degree via a window over the SAME src shuffle the cache layout
-    // needs anyway — one pass, no second join against a degree table
-    val edgesOd = edges.withColumn("od",
-      count(lit(1)).over(Window.partitionBy("src"))).persist()
+    // out-degree via hash-agg + equi-join, NOT a window over the edges: a
+    // window partitioned by src buffers each node's ENTIRE edge list in one
+    // task, so a power-law hub becomes a spill-straggler at scale. The
+    // hash agg partial-combines map-side (hub rows collapse before the
+    // shuffle) and the join co-partitions with the same src shuffle the
+    // cache layout needs anyway.
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("od"))
+    val edgesOd = edges.join(deg, "src").select("src", "dst", "od").persist()
     // node set = both prefixed key sets (disjoint by prefix, so unionAll
     // of the two distincts is already a set)
     var ranks = pairs.select(concat(lit("s"), col("s")).as("node")).distinct()
@@ -1404,9 +1408,24 @@ object Relational {
   }
 
   private[graft] def trianglesPlan(
-      lineitem: DataFrame, backboneK: Int = 20000): (DataFrame, DataFrame, DataFrame) = {
-    val ps = lineitem
+      lineitem: DataFrame, backboneK: Int = 20000,
+      degCap: Int = 256): (DataFrame, DataFrame, DataFrame) = {
+    val psAll = lineitem
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+    // SKEW GUARD (r8 VERDICT Wrong #1): cap per-part supplier degree BEFORE
+    // the pair self-join — a hot part with d suppliers otherwise fans out
+    // C(d,2) rows in one join key (10⁵ suppliers → 5×10⁹ pairs) regardless
+    // of the downstream backbone cut. Deterministic keep: the degCap
+    // smallest supplier keys per part (row_number < cap compiles to
+    // WindowGroupLimit, applied map-side before the shuffle — q120's
+    // audited shape — so the hot key never materializes its full list in
+    // one task either). The backbone threshold already declares the query
+    // approximate at the cutoff; the default cap (256) is far above this
+    // corpus's max co-supply degree (measured 52 at sf0.1 — uniform-random
+    // keys, not TPC-H's ~4), so the oracle replays unchanged at every SF.
+    val ps = psAll
+      .withColumn("_rn", row_number().over(Window.partitionBy("p").orderBy("s")))
+      .filter(col("_rn") <= degCap).drop("_rn")
     val e = ps.as("a").join(ps.as("b"),
         col("a.p") === col("b.p") && col("a.s") < col("b.s"))
       .groupBy(col("a.s").as("u"), col("b.s").as("v"))

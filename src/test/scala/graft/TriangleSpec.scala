@@ -68,6 +68,37 @@ class TriangleSpec extends AnyFunSuite {
     check(ps, k = 40) // cut well below the edge count — ties at the cutoff
   }
 
+  test("degree cap bounds per-part pair generation on a planted hot key") {
+    import spark.implicits._
+    // planted hot key: one part supplied by 100 suppliers (uncapped it
+    // fans out C(100,2)=4950 pairs on a single join key) + normal parts
+    val hot = (0 until 100).map(sup => (999, sup))
+    val rnd = new scala.util.Random(11)
+    val norm = for (p <- 0 until 20; _ <- 0 until 4) yield (p, rnd.nextInt(25))
+    val all = hot ++ norm
+    val cap = 8
+    val li = all.toDF("l_partkey", "l_suppkey")
+      .select(col("l_partkey").cast("long").as("l_partkey"),
+        col("l_suppkey").cast("long").as("l_suppkey"))
+      .repartition(7)
+    val (out, e, o) = graft.queries.Relational.trianglesPlan(li, 100000, degCap = cap)
+    try {
+      // semantics under the cap = brute force over the CAPPED projection
+      // (deterministic keep: the cap smallest supplier keys per part)
+      val capped = all.distinct.groupBy(_._1).toSeq.flatMap { case (p, grp) =>
+        grp.map(_._2).distinct.sorted.take(cap).map(s => (p, s)) }
+      val (en, tn, wn, cc) = bruteForce(capped, 100000)
+      val r = out.collect().head
+      assert(r.getLong(0) == en, s"edges: got ${r.getLong(0)}, want $en")
+      assert(r.getLong(1) == tn, s"triangles: got ${r.getLong(1)}, want $tn")
+      assert(r.getLong(2) == wn, s"wedges: got ${r.getLong(2)}, want $wn")
+      assert(r.getDouble(3) == cc, s"clustering: got ${r.getDouble(3)}, want $cc")
+      // the bound is real: the hot part contributes C(cap,2)=28 pairs, and
+      // the whole edge set stays far below the uncapped hot-key fan-out
+      assert(en < 4950, s"cap must bound the hot key's pair fan-out, got $en edges")
+    } finally { o.unpersist(blocking = false); e.unpersist(blocking = false) }
+  }
+
   test("triangle-free graph reports zero with sound wedge count") {
     // star topology: parts 0..9 each supplied by {hub=0, leaf=i+1} — every
     // edge touches the hub, so no triangle can close
