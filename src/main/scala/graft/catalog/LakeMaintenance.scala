@@ -751,7 +751,8 @@ object LakeMaintenance {
           // readWithBlooms: the clone's manifests get their own bloom
           // sidecars, so point-lookup pruning survives the copy
           ManifestIO.write(destLoc, s.snapshotId,
-            ManifestIO.readWithBlooms(m.location, hadoopConf), hadoopConf, m.kind)
+            ManifestIO.readWithBlooms(m.location, hadoopConf), hadoopConf, m.kind,
+            statKinds = meta0.physicalStatKinds)
         }
         val listLoc = ManifestIO.writeList(destLoc, s.snapshotId, copied, hadoopConf)
         // the clone speaks the schema AS OF the cloned snapshot (matters
@@ -864,8 +865,9 @@ object LakeMaintenance {
       val ms =
         if (cur.inlineFiles.isEmpty) listed
         else listed :+ ManifestIO.write(base.location, cur.snapshotId,
-          cur.inlineFiles, hadoopConf)
-      TableMeta.packManifests(base.location, snapId, ms, hadoopConf, targetEntries)
+          cur.inlineFiles, hadoopConf, statKinds = base.physicalStatKinds)
+      TableMeta.packManifests(base.location, snapId, ms, hadoopConf, targetEntries,
+        base.physicalStatKinds)
     }
 
     // pre-check on the loaded version: nothing to merge → no commit at all

@@ -150,13 +150,22 @@ final class LakeTable(
         case None => effectiveSnapshot
       }
     }
-    val scanFiles = Option(options.get("start-snapshot-id")) match {
+    // LAZY: a filtered scan resolves its files through the manifest-skip
+    // path below and may never force the full list at all
+    lazy val scanFiles = Option(options.get("start-snapshot-id")) match {
       case Some(start) =>
         val end = Option(options.get("end-snapshot-id")).map(_.toLong)
           .getOrElse(meta.currentSnapshotId)
         incrementalFiles(start.toLong, end)
       case None => snap.map(meta.filesOf).getOrElse(Nil)
     }
+    // manifest-level planning skip for plain (non-incremental) scans: the
+    // builder hands its pushed filters here, and only manifests whose
+    // summary may match are ever opened
+    val skipSource: Option[Seq[Expression] => Seq[DataFileMeta]] =
+      if (options.containsKey("start-snapshot-id")) None
+      else snap.map(sn => (filterExprs: Seq[Expression]) =>
+        meta.logicalStatFiles(meta.filesMatching(sn, filterExprs)))
     // files are handed over with stats re-keyed to logical names so every
     // pruner (metadata, runtime, SPJ keys) speaks the query's column names;
     // the parquet delegate inside the scan uses physical names (l2p)
@@ -187,7 +196,8 @@ final class LakeTable(
       ndv = ndvStats,
       kll = kllStats,
       sortOrder = meta.sortOrderColumns,
-      bloomFor = bloomLookupFor(snap))
+      bloomFor = bloomLookupFor(snap),
+      manifestMatching = skipSource)
   }
 
   /** Lazy, memoizing file-level bloom lookup for a scan: nothing is read
@@ -574,7 +584,7 @@ final class LakeRowLevelOperation(
 final class LakeScanBuilder(
     ident: String,
     tableSchema: StructType,
-    files: Seq[DataFileMeta],
+    files: => Seq[DataFileMeta],
     options: CaseInsensitiveStringMap,
     onFilesSelected: Seq[DataFileMeta] => Unit = _ => (),
     runtimeFilterCols: Seq[String] = Nil,
@@ -587,13 +597,22 @@ final class LakeScanBuilder(
     ndv: Map[String, Long] = Map.empty,
     kll: Map[String, Array[Byte]] = Map.empty,
     sortOrder: Seq[String] = Nil,
-    bloomFor: (String, String) => Option[FileBloom] = FilePruner.NoBloom)
+    bloomFor: (String, String) => Option[FileBloom] = FilePruner.NoBloom,
+    // manifest-level planning skip: when set (plain table scans), build()
+    // resolves the file list THROUGH the per-manifest summaries for the
+    // pushed filters instead of forcing the full `files` list — a
+    // selective scan of a many-manifest table never opens non-matching
+    // manifests ([[TableMeta.filesMatching]])
+    manifestMatching: Option[Seq[Expression] => Seq[DataFileMeta]] = None)
   extends ScanBuilder with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
   with org.apache.spark.sql.connector.read.SupportsPushDownLimit
   with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var exprs: Seq[Expression] = Nil
+  // full file list, forced only by paths that genuinely need every entry
+  // (metadata-only aggregates, filterless scans, limit/top-N pruning)
+  private lazy val allFiles: Seq[DataFileMeta] = files
   private var requiredSchema: StructType = tableSchema
   private var pushedAgg: Option[StatsAggregates.Pushed] = None
   private var limit: Option[Int] = None
@@ -638,7 +657,7 @@ final class LakeScanBuilder(
   // re-checked for safety.
   private def aggFromStats(agg: Aggregation): Option[StatsAggregates.Pushed] =
     if (exprs.nonEmpty || deleteFiles.nonEmpty || eqDeletes.nonEmpty) None
-    else StatsAggregates.compute(agg, tableSchema, files)
+    else StatsAggregates.compute(agg, tableSchema, allFiles)
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     aggFromStats(agg).isDefined
@@ -666,7 +685,11 @@ final class LakeScanBuilder(
       case None =>
     }
     val pf = partitionCols.map(PartField.parse)
-    val survivors = files.filter(f => exprs.forall(e =>
+    val baseFiles = manifestMatching match {
+      case Some(fm) if exprs.nonEmpty => fm(exprs)
+      case _ => allFiles
+    }
+    val survivors = baseFiles.filter(f => exprs.forall(e =>
       FilePruner.mayMatch(e, f, tableSchema, bloomFor) && BucketPruner.mayMatch(e, f, pf)))
     // limit/top-N file pruning (partial pushdown — Spark re-applies the
     // operator above, so dropping provably-unneeded files is free).

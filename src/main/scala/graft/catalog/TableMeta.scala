@@ -77,10 +77,81 @@ final case class ManifestMeta(
     nFiles: Long,
     nRows: Long,
     nBytes: Long,
-    content: String = "data") {
+    content: String = "data",
+    // Per-manifest FOLDED column bounds (Iceberg's manifest-list
+    // `partitions` summaries, generalized to every stat column): min/max
+    // in the writer's stat-string format under PHYSICAL keys, null counts
+    // summed. A key is present only when EVERY entry in the manifest
+    // carries both bounds (resp. a null count), so the summary is a valid
+    // [[DataFileMeta]]-shaped description of the manifest's row union and
+    // [[FilePruner.mayMatch]] can SKIP the whole manifest — a selective
+    // partition predicate on an 800k-file table then opens a handful of
+    // manifests instead of paying ~6.4 µs × every entry in the table.
+    // Legacy documents deserialize these as null → never skipped.
+    mins: Map[String, String] = Map.empty,
+    maxs: Map[String, String] = Map.empty,
+    nullCounts: Map[String, Long] = Map.empty) {
   /** Null-safe content (documents written before merge-on-read). */
   def kind: String = if (content == null) "data" else content
   def isData: Boolean = kind == "data"
+  def boundMins: Map[String, String] = if (mins == null) Map.empty else mins
+  def boundMaxs: Map[String, String] = if (maxs == null) Map.empty else maxs
+  def boundNulls: Map[String, Long] = if (nullCounts == null) Map.empty else nullCounts
+}
+
+/** Folds per-file stats into a per-manifest summary at manifest-write
+  * time. The fold order must match how [[FilePruner]] will COMPARE the
+  * stat strings at planning: numerically (via [[StatBounds.numCmp]],
+  * non-finite tokens in Spark's order) for numeric/temporal keys, UTF8
+  * binary order for strings — so each key carries a comparison KIND
+  * ('n' | 's') derived from the table schema ([[TableMeta.physicalStatKinds]]).
+  * Any file missing a bound, or any unparseable value, drops the key
+  * (absent summary = conservative keep, mirroring every other stat path).
+  * String bounds may be [[StatBounds]]-truncated: widened bounds fold to
+  * widened bounds, which stay sound for pruning.
+  */
+object ManifestSummary {
+  def fold(files: Seq[DataFileMeta], kinds: Map[String, Char])
+      : (Map[String, String], Map[String, String], Map[String, Long]) = {
+    if (files.isEmpty || kinds.isEmpty) return (Map.empty, Map.empty, Map.empty)
+    def lt(a: String, b: String, kind: Char): Option[Boolean] = kind match {
+      case 's' =>
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0)
+      case _ => StatBounds.numCmp(a, b).map(_ < 0)
+    }
+    val mins = Map.newBuilder[String, String]
+    val maxs = Map.newBuilder[String, String]
+    val nulls = Map.newBuilder[String, Long]
+    kinds.foreach { case (k, kind) =>
+      var lo: String = null
+      var hi: String = null
+      var ok = true
+      var i = 0
+      while (ok && i < files.length) {
+        val f = files(i)
+        (f.minValues.get(k), f.maxValues.get(k)) match {
+          case (Some(mn), Some(mx)) =>
+            if (lo == null) { lo = mn; hi = mx }
+            else {
+              (lt(mn, lo, kind), lt(hi, mx, kind)) match {
+                case (Some(mnLt), Some(hiLt)) =>
+                  if (mnLt) lo = mn
+                  if (hiLt) hi = mx
+                case _ => ok = false // unparseable value: drop the key
+              }
+            }
+          case _ => ok = false // a file without bounds poisons the key
+        }
+        i += 1
+      }
+      if (ok && lo != null) { mins += k -> lo; maxs += k -> hi }
+      // null counts: sum, present only when every entry reports the key
+      if (files.forall(_.nulls.contains(k)))
+        nulls += k -> files.map(_.nulls(k)).sum
+    }
+    (mins.result(), maxs.result(), nulls.result())
+  }
 }
 
 /** A committed table version. Its file list lives behind TWO levels of
@@ -249,6 +320,70 @@ final case class TableMeta(
     manifestsOf(s).filter(_.isData).flatMap(m => ManifestIO.read(m.location, ioConf)) ++
       s.inlineFiles
 
+  /** Comparison kind per PHYSICAL stat key for [[ManifestSummary.fold]]:
+    * 'n' = numeric stat strings ([[StatBounds.numCmp]] order), 's' = UTF8
+    * binary order. Covers schema columns, transform stat keys
+    * (`_bucket_N_c` / `_days_c` / `_truncate_W_c`), and shredded variant
+    * keys; anything else (booleans, binary, nested) is omitted — absent
+    * from the summary, conservatively unskippable.
+    */
+  def physicalStatKinds: Map[String, Char] = {
+    import org.apache.spark.sql.types.{NumericType, StringType, DateType,
+      TimestampType, TimestampNTZType}
+    def kindOf(dt: DataType): Option[Char] = dt match {
+      case StringType => Some('s')
+      case _: NumericType | DateType | TimestampType | TimestampNTZType => Some('n')
+      case _ => None
+    }
+    val m = l2pMap
+    val fields = schema.fields.flatMap(f =>
+      kindOf(f.dataType).map(k => m.getOrElse(f.name, f.name) -> k)).toMap
+    val parts = partitionFields.flatMap { pf =>
+      val physKey = pf.copy(source = m.getOrElse(pf.source, pf.source)).statKey
+      if (pf.isIdentity) None // plain column: covered by `fields`
+      else if (pf.buckets.isDefined || pf.time.isDefined) Some(physKey -> 'n')
+      else schema.fields.find(_.name == pf.source) // truncate: source's order
+        .flatMap(f => kindOf(f.dataType)).map(physKey -> _)
+    }.toMap
+    val shreds = properties.get(VariantShred.Prop).toSeq.flatMap { spec =>
+      VariantShred.parse(spec).flatMap { case (c, p, t) =>
+        try {
+          val dt = DataType.fromDDL(t)
+          kindOf(dt).map(k => VariantShred.statKey(m.getOrElse(c, c), p, dt) -> k)
+        } catch { case _: Exception => None }
+      }
+    }.toMap
+    fields ++ parts ++ shreds
+  }
+
+  /** A manifest's summary viewed as ONE [[DataFileMeta]] describing its
+    * whole row union, stat keys re-mapped to logical names — evaluated by
+    * the same pruners as per-file stats.
+    */
+  private def summaryEntry(m: ManifestMeta): DataFileMeta =
+    logicalStatFiles(Seq(DataFileMeta(m.location, m.nRows, m.nBytes,
+      m.boundMins, m.boundMaxs, m.boundNulls))).head
+
+  /** Data files of `s` from manifests that MAY hold rows matching `exprs`
+    * — manifest-LEVEL planning skip via the per-manifest summaries. A
+    * manifest whose folded bounds provably exclude every pushed predicate
+    * is never opened: planning IO/CPU scales with MATCHING manifests, not
+    * table size. Manifests without summaries (legacy docs, poisoned keys)
+    * are always read — sound by refusal, like every stat path.
+    */
+  def filesMatching(s: SnapshotMeta,
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[DataFileMeta] = {
+    val ms = manifestsOf(s).filter(_.isData)
+    val pf = partitionFields
+    val kept = ms.filter { mm =>
+      val pseudo = summaryEntry(mm)
+      exprs.forall(e => FilePruner.mayMatch(e, pseudo, schema) &&
+        BucketPruner.mayMatch(e, pseudo, pf))
+    }
+    ManifestIO.manifestsSkipped.addAndGet((ms.size - kept.size).toLong)
+    kept.flatMap(m => ManifestIO.read(m.location, ioConf)) ++ s.inlineFiles
+  }
+
   /** A snapshot's positional-delete files (merge-on-read tombstones). */
   def deleteFilesOf(s: SnapshotMeta): Seq[DataFileMeta] =
     manifestsOf(s).filter(_.kind == "deletes")
@@ -404,6 +539,16 @@ object ManifestIO {
     */
   val bloomSidecarReads = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Manifest-document resolutions (cached or not) — instrumentation for
+    * the manifest-skip tests: a one-partition scan over a many-manifest
+    * table must resolve only the matching manifests. Counted at [[read]]
+    * entry, BEFORE the cache, so write-time pre-caching can't hide reads.
+    */
+  val manifestReads = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Manifests skipped by summary pruning ([[TableMeta.filesMatching]]). */
+  val manifestsSkipped = new java.util.concurrent.atomic.AtomicLong()
+
   private def writeDoc(loc: String, json: String, conf: Configuration): Unit = {
     val p = new Path(loc)
     val out = p.getFileSystem(conf).create(p, false)
@@ -420,7 +565,8 @@ object ManifestIO {
   }
 
   def write(tableLocation: String, snapshotId: Long, files0: Seq[DataFileMeta],
-      conf: Configuration, content: String = "data"): ManifestMeta = {
+      conf: Configuration, content: String = "data",
+      statKinds: Map[String, Char] = Map.empty): ManifestMeta = {
     // stamp the adding snapshot: the SEQUENCE NUMBER equality deletes
     // compare against (a delete applies only to files added strictly
     // before it). Shared manifests keep their original stamps.
@@ -439,8 +585,13 @@ object ManifestIO {
     if (blooms.nonEmpty) writeDoc(s"$loc.bloom", mapper.writeValueAsString(blooms), conf)
     fileCache.synchronized(fileCache.put(loc, files))
     bloomCache.synchronized(bloomCache.put(loc, blooms))
+    // fold the per-manifest summary bounds so scan planning can skip this
+    // manifest without opening it ([[TableMeta.filesMatching]]); delete
+    // manifests fold too (their file_path bounds could serve covering
+    // checks later, and the cost is one bounded map per commit)
+    val (mins, maxs, nulls) = ManifestSummary.fold(files, statKinds)
     ManifestMeta(loc, files.size.toLong, files.map(_.rowCount).sum, files.map(_.sizeBytes).sum,
-      content)
+      content, mins, maxs, nulls)
   }
 
   /** The bloom sidecar of a manifest: file path → column → encoded bloom.
@@ -472,6 +623,7 @@ object ManifestIO {
   }
 
   def read(location: String, conf: Configuration): Seq[DataFileMeta] = {
+    manifestReads.incrementAndGet()
     val cached = fileCache.synchronized(fileCache.get(location))
     if (cached != null) return cached
     val files = mapper.readValue(readDoc(location, conf),
@@ -900,7 +1052,8 @@ object TableMeta {
       .map(normalized(base, _, conf)).getOrElse(Nil)
     val ms =
       if (newFiles.isEmpty) prev
-      else prev :+ ManifestIO.write(base.location, snapId, newFiles, conf)
+      else prev :+ ManifestIO.write(base.location, snapId, newFiles, conf,
+        statKinds = base.physicalStatKinds)
     finish(base, snapId, operation, ms, extraProps, conf, advance)
   }
 
@@ -911,7 +1064,8 @@ object TableMeta {
     val snapId = base.nextSnapshotId
     val ms =
       if (newFiles.isEmpty) Nil
-      else Seq(ManifestIO.write(base.location, snapId, newFiles, conf))
+      else Seq(ManifestIO.write(base.location, snapId, newFiles, conf,
+        statKinds = base.physicalStatKinds))
     finish(base, snapId, operation, ms, Map.empty, conf)
   }
 
@@ -940,12 +1094,14 @@ object TableMeta {
           val rest = ManifestIO.readWithBlooms(mm.location, conf)
             .filterNot(e => replacedPaths(e.path))
           if (rest.isEmpty) None
-          else Some(ManifestIO.write(base.location, snapId, rest, conf, mm.kind))
+          else Some(ManifestIO.write(base.location, snapId, rest, conf, mm.kind,
+            statKinds = base.physicalStatKinds))
         }
       }
     val ms =
       if (newFiles.isEmpty) kept
-      else kept :+ ManifestIO.write(base.location, snapId, newFiles, conf, newContent)
+      else kept :+ ManifestIO.write(base.location, snapId, newFiles, conf, newContent,
+        statKinds = base.physicalStatKinds)
     finish(base, snapId, operation, ms, Map.empty, conf)
   }
 
@@ -966,11 +1122,12 @@ object TableMeta {
       .map(normalized(base, _, conf)).getOrElse(Nil)
     val withData =
       if (newDataFiles.isEmpty) prev
-      else prev :+ ManifestIO.write(base.location, snapId, newDataFiles, conf)
+      else prev :+ ManifestIO.write(base.location, snapId, newDataFiles, conf,
+        statKinds = base.physicalStatKinds)
     val ms =
       if (newDeleteFiles.isEmpty) withData
       else withData :+ ManifestIO.write(base.location, snapId, newDeleteFiles, conf,
-        deleteContent)
+        deleteContent, statKinds = base.physicalStatKinds)
     finish(base, snapId, operation, ms, extraProps, conf)
   }
 
@@ -981,7 +1138,8 @@ object TableMeta {
       conf: Configuration): Seq[ManifestMeta] = {
     val listed = s.listLocation.map(l => ManifestIO.readList(l, conf)).getOrElse(Nil)
     if (s.inlineFiles.isEmpty) listed
-    else listed :+ ManifestIO.write(base.location, s.snapshotId, s.inlineFiles, conf)
+    else listed :+ ManifestIO.write(base.location, s.snapshotId, s.inlineFiles, conf,
+      statKinds = base.physicalStatKinds)
   }
 
   /** Bin-pack small manifests (fewer than `targetEntries` entries) of each
@@ -993,7 +1151,8 @@ object TableMeta {
     * rewrite would restamp them with this snapshot's id.
     */
   private[catalog] def packManifests(location: String, snapId: Long,
-      ms: Seq[ManifestMeta], conf: Configuration, targetEntries: Int): Seq[ManifestMeta] =
+      ms: Seq[ManifestMeta], conf: Configuration, targetEntries: Int,
+      statKinds: Map[String, Char] = Map.empty): Seq[ManifestMeta] =
     ms.map(_.kind).distinct.flatMap { kind =>
       val ofKind = ms.filter(_.kind == kind)
       val (small, big) = ofKind.partition(_.nFiles < targetEntries)
@@ -1002,7 +1161,7 @@ object TableMeta {
         val entries = small.flatMap(m => ManifestIO.readWithBlooms(m.location, conf))
         if (entries.exists(_.addedAt == 0L)) ofKind
         else big ++ entries.grouped(targetEntries).map(g =>
-          ManifestIO.write(location, snapId, g, conf, kind)).toSeq
+          ManifestIO.write(location, snapId, g, conf, kind, statKinds)).toSeq
       }
     }
 
@@ -1022,7 +1181,8 @@ object TableMeta {
     val minCount = base.properties.getOrElse("commit.manifest-merge.min-count", "100").toInt
     if (ms.size < minCount) return ms
     packManifests(base.location, snapId, ms, conf,
-      base.properties.getOrElse("commit.manifest-merge.target-entries", "4096").toInt)
+      base.properties.getOrElse("commit.manifest-merge.target-entries", "4096").toInt,
+      base.physicalStatKinds)
   }
 
   private[catalog] def finish(base: TableMeta, snapId: Long, operation: String,
@@ -1074,7 +1234,8 @@ object TableMeta {
       .map(normalized(base, _, conf)).getOrElse(Nil)
     val ms =
       if (newFiles.isEmpty) prev
-      else prev :+ ManifestIO.write(base.location, snapId, newFiles, conf)
+      else prev :+ ManifestIO.write(base.location, snapId, newFiles, conf,
+        statKinds = base.physicalStatKinds)
     finish(base, snapId, "branch-append", ms,
       Map(s"branch.$branch" -> snapId.toString), conf,
       advance = false, parentOverride = Some(headId))

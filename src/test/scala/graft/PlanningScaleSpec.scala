@@ -94,6 +94,86 @@ class PlanningScaleSpec extends AnyFunSuite {
     spark.sql("DROP TABLE lake.scale.big")
   }
 
+  test("manifest-level skip: a selective scan opens only matching manifests") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.scale")
+    spark.sql("DROP TABLE IF EXISTS lake.scale.manif")
+    // merge would fold the 50 manifests back together — disable it so the
+    // skip (not the merge) is what bounds the reads
+    spark.sql("CREATE TABLE lake.scale.manif (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('commit.manifest-merge.enabled'='false')")
+    val cat = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[LakeCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("scale"), "manif")
+    val conf = spark.sessionState.newHadoopConf()
+    val nManifests = 50
+    val perManifest = 2000
+    // one commit per manifest, k-disjoint: manifest m covers
+    // [m*2e6, m*2e6 + 2e6)
+    (0 until nManifests).foreach { m =>
+      val table = cat.loadTable(ident).asInstanceOf[LakeTable]
+      val files = (0 until perManifest).map { i =>
+        val lo = m.toLong * 2000000 + i.toLong * 1000
+        DataFileMeta(s"${table.meta.location}/data/m$m-$i.parquet",
+          1000L, 128L * 1024 * 1024,
+          minValues = Map("k" -> lo.toString),
+          maxValues = Map("k" -> (lo + 999).toString),
+          nullCounts = Map("k" -> 0L))
+      }
+      new LakeBatchWrite(table, table.meta.schema, false, cat.pointerStore, conf)
+        .commit(Array(LakeCommitMessage(files)))
+    }
+    // fresh handle; the summaries rode each commit's manifest write
+    val t = cat.loadTable(ident).asInstanceOf[LakeTable]
+    assert(t.meta.currentFiles.size == nManifests * perManifest)
+    // the file the one-file plan below selects must exist on disk (the
+    // parquet delegate stats it); content is irrelevant
+    spark.range(1).selectExpr("id AS k", "'x' AS v").coalesce(1)
+      .write.mode("overwrite").parquet(s"${t.meta.location}/tmp_seed")
+    val seed = new java.io.File(s"${t.meta.location}/tmp_seed").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"${t.meta.location}/data"))
+    java.nio.file.Files.copy(seed.toPath,
+      java.nio.file.Paths.get(s"${t.meta.location}/data/m3-1.parquet"))
+
+    // a one-manifest range: planning must OPEN only that manifest (the
+    // read counter counts resolutions before the cache, so write-time
+    // pre-caching cannot hide reads) and SKIP the other 49
+    val reads0 = ManifestIO.manifestReads.get()
+    val skips0 = ManifestIO.manifestsSkipped.get()
+    val one = spark.table("lake.scale.manif")
+      .where("k >= 6001000 AND k < 6002000") // manifest 3, one file
+    val onePlan = one.queryExecution.executedPlan.toString
+    assert(filesPlanned(onePlan, "manif") == 1, s"plan:\n$onePlan")
+    val openedOne = ManifestIO.manifestReads.get() - reads0
+    val skippedOne = ManifestIO.manifestsSkipped.get() - skips0
+    assert(skippedOne >= nManifests - 1,
+      s"expected >= ${nManifests - 1} manifests skipped, got $skippedOne")
+    assert(openedOne <= 3, // the matching manifest (a couple of plan passes)
+      s"a one-manifest query resolved $openedOne manifests — skip not engaged")
+
+    // a miss-everything predicate opens NOTHING
+    val reads1 = ManifestIO.manifestReads.get()
+    val skips1 = ManifestIO.manifestsSkipped.get()
+    assert(spark.sql("SELECT * FROM lake.scale.manif WHERE k < 0").collect().isEmpty)
+    assert(ManifestIO.manifestReads.get() == reads1,
+      "a provably-empty scan must not open any manifest")
+    assert(ManifestIO.manifestsSkipped.get() - skips1 >= nManifests)
+
+    // a filterless scan still covers every file (the skip never drops
+    // coverage without a predicate) — asserted via scan statistics, since
+    // the synthetic data files don't exist for a real full read
+    val fullScan = t.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of())).build()
+    val fullRows = fullScan
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics().numRows().getAsLong
+    assert(fullRows == nManifests.toLong * perManifest * 1000, s"got $fullRows")
+    println(s"[planning-scale] manifest-skip: 1-manifest query opened " +
+      s"$openedOne/$nManifests manifests, skipped $skippedOne")
+    spark.sql("DROP TABLE lake.scale.manif")
+  }
+
   test("60k deletion-vector entries over 100k files: planning stays hash-indexed, not O(n²)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.scale")
     spark.sql("DROP TABLE IF EXISTS lake.scale.dvbig")
