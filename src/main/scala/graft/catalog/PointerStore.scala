@@ -40,21 +40,8 @@ final class PointerStore(jdbcUrl: String, catalogName: String) extends AutoClose
 
   /** Idempotent bootstrap, the reference's `initialize` (mod.rs:362-391). */
   def initialize(): Unit = synchronized {
-    createIfMissing(
-      """CREATE TABLE iceberg_tables (
-        |  catalog_name VARCHAR(255) NOT NULL,
-        |  table_namespace VARCHAR(255) NOT NULL,
-        |  table_name VARCHAR(255) NOT NULL,
-        |  metadata_location VARCHAR(5500),
-        |  previous_metadata_location VARCHAR(5500),
-        |  PRIMARY KEY (catalog_name, table_namespace, table_name)
-        |)""".stripMargin)
-    createIfMissing(
-      """CREATE TABLE graft_namespaces (
-        |  catalog_name VARCHAR(255) NOT NULL,
-        |  namespace VARCHAR(255) NOT NULL,
-        |  PRIMARY KEY (catalog_name, namespace)
-        |)""".stripMargin)
+    createIfMissing(PointerStore.Sql.CreateIcebergTables)
+    createIfMissing(PointerStore.Sql.CreateNamespacesTable)
   }
 
   private def createIfMissing(ddl: String): Unit = {
@@ -69,7 +56,7 @@ final class PointerStore(jdbcUrl: String, catalogName: String) extends AutoClose
   /** reference list_tables (mod.rs:56-96). */
   def listTables(namespace: String): Seq[String] = synchronized {
     val ps = connection.prepareStatement(
-      "SELECT table_name FROM iceberg_tables WHERE catalog_name = ? AND table_namespace = ?")
+      PointerStore.Sql.ListTables)
     try {
       ps.setString(1, catalogName); ps.setString(2, namespace)
       val rs = ps.executeQuery()
@@ -82,7 +69,7 @@ final class PointerStore(jdbcUrl: String, catalogName: String) extends AutoClose
   /** reference table_exists (mod.rs:107-136). */
   def tableExists(namespace: String, name: String): Boolean = synchronized {
     val ps = connection.prepareStatement(
-      "SELECT 1 FROM iceberg_tables WHERE catalog_name = ? AND table_namespace = ? AND table_name = ?")
+      PointerStore.Sql.TableExists)
     try {
       ps.setString(1, catalogName); ps.setString(2, namespace); ps.setString(3, name)
       ps.executeQuery().next()
@@ -95,9 +82,7 @@ final class PointerStore(jdbcUrl: String, catalogName: String) extends AutoClose
     */
   def register(namespace: String, name: String, metadataLocation: String): Boolean = synchronized {
     val ps = connection.prepareStatement(
-      """INSERT INTO iceberg_tables
-        |  (catalog_name, table_namespace, table_name, metadata_location, previous_metadata_location)
-        |  VALUES (?, ?, ?, ?, NULL)""".stripMargin)
+      PointerStore.Sql.Register)
     try {
       ps.setString(1, catalogName); ps.setString(2, namespace)
       ps.setString(3, name); ps.setString(4, metadataLocation)
@@ -114,7 +99,7 @@ final class PointerStore(jdbcUrl: String, catalogName: String) extends AutoClose
     */
   def load(namespace: String, name: String): Option[String] = synchronized {
     val ps = connection.prepareStatement(
-      "SELECT metadata_location FROM iceberg_tables WHERE catalog_name = ? AND table_namespace = ? AND table_name = ?")
+      PointerStore.Sql.Load)
     try {
       ps.setString(1, catalogName); ps.setString(2, namespace); ps.setString(3, name)
       val rs = ps.executeQuery()
@@ -130,10 +115,7 @@ final class PointerStore(jdbcUrl: String, catalogName: String) extends AutoClose
   def casUpdate(namespace: String, name: String, newLocation: String,
       expectedLocation: String): Int = synchronized {
     val ps = connection.prepareStatement(
-      """UPDATE iceberg_tables
-        |  SET metadata_location = ?, previous_metadata_location = ?
-        |  WHERE catalog_name = ? AND table_namespace = ? AND table_name = ?
-        |    AND metadata_location = ?""".stripMargin)
+      PointerStore.Sql.CasUpdate)
     try {
       ps.setString(1, newLocation); ps.setString(2, expectedLocation)
       ps.setString(3, catalogName); ps.setString(4, namespace); ps.setString(5, name)
@@ -147,7 +129,7 @@ final class PointerStore(jdbcUrl: String, catalogName: String) extends AutoClose
     */
   def drop(namespace: String, name: String): Boolean = synchronized {
     val ps = connection.prepareStatement(
-      "DELETE FROM iceberg_tables WHERE catalog_name = ? AND table_namespace = ? AND table_name = ?")
+      PointerStore.Sql.Drop)
     try {
       ps.setString(1, catalogName); ps.setString(2, namespace); ps.setString(3, name)
       ps.executeUpdate() == 1
@@ -162,8 +144,7 @@ final class PointerStore(jdbcUrl: String, catalogName: String) extends AutoClose
   def rename(fromNs: String, fromName: String, toNs: String, toName: String): PointerStore.RenameResult =
     synchronized {
       val ps = connection.prepareStatement(
-        """UPDATE iceberg_tables SET table_namespace = ?, table_name = ?
-          |  WHERE catalog_name = ? AND table_namespace = ? AND table_name = ?""".stripMargin)
+        PointerStore.Sql.Rename)
       try {
         ps.setString(1, toNs); ps.setString(2, toName)
         ps.setString(3, catalogName); ps.setString(4, fromNs); ps.setString(5, fromName)
@@ -178,7 +159,7 @@ final class PointerStore(jdbcUrl: String, catalogName: String) extends AutoClose
 
   def createNamespace(namespace: String): Boolean = synchronized {
     val ps = connection.prepareStatement(
-      "INSERT INTO graft_namespaces (catalog_name, namespace) VALUES (?, ?)")
+      PointerStore.Sql.CreateNamespace)
     try {
       ps.setString(1, catalogName); ps.setString(2, namespace)
       ps.executeUpdate() == 1
@@ -190,7 +171,7 @@ final class PointerStore(jdbcUrl: String, catalogName: String) extends AutoClose
 
   def dropNamespace(namespace: String): Boolean = synchronized {
     val ps = connection.prepareStatement(
-      "DELETE FROM graft_namespaces WHERE catalog_name = ? AND namespace = ?")
+      PointerStore.Sql.DropNamespace)
     try {
       ps.setString(1, catalogName); ps.setString(2, namespace)
       ps.executeUpdate() == 1
@@ -202,9 +183,7 @@ final class PointerStore(jdbcUrl: String, catalogName: String) extends AutoClose
     */
   def listNamespaces(): Seq[String] = synchronized {
     val ps = connection.prepareStatement(
-      """SELECT namespace FROM graft_namespaces WHERE catalog_name = ?
-        |UNION
-        |SELECT table_namespace FROM iceberg_tables WHERE catalog_name = ?""".stripMargin)
+      PointerStore.Sql.ListNamespaces)
     try {
       ps.setString(1, catalogName); ps.setString(2, catalogName)
       val rs = ps.executeQuery()
@@ -226,4 +205,73 @@ object PointerStore {
   case object Renamed extends RenameResult
   case object SourceMissing extends RenameResult
   case object TargetExists extends RenameResult
+
+  /** EVERY SQL string this store ever sends, as named constants — the
+    * catalog's complete wire contract (reference: src/catalog/mod.rs §2a).
+    * Frozen verbatim in `src/test/resources/pointer_store_sql.golden` and
+    * grammar-linted for Postgres compatibility by `PointerStoreGoldenSpec`,
+    * so the Derby-only test environment cannot silently drift from the
+    * "Postgres in prod" contract. Change a statement ⇒ change the golden
+    * file in the same commit, consciously.
+    */
+  object Sql {
+    val CreateIcebergTables: String =
+      """CREATE TABLE iceberg_tables (
+        |  catalog_name VARCHAR(255) NOT NULL,
+        |  table_namespace VARCHAR(255) NOT NULL,
+        |  table_name VARCHAR(255) NOT NULL,
+        |  metadata_location VARCHAR(5500),
+        |  previous_metadata_location VARCHAR(5500),
+        |  PRIMARY KEY (catalog_name, table_namespace, table_name)
+        |)""".stripMargin
+    val CreateNamespacesTable: String =
+      """CREATE TABLE graft_namespaces (
+        |  catalog_name VARCHAR(255) NOT NULL,
+        |  namespace VARCHAR(255) NOT NULL,
+        |  PRIMARY KEY (catalog_name, namespace)
+        |)""".stripMargin
+    val ListTables: String =
+      "SELECT table_name FROM iceberg_tables WHERE catalog_name = ? AND table_namespace = ?"
+    val TableExists: String =
+      "SELECT 1 FROM iceberg_tables WHERE catalog_name = ? AND table_namespace = ? AND table_name = ?"
+    val Register: String =
+      """INSERT INTO iceberg_tables
+        |  (catalog_name, table_namespace, table_name, metadata_location, previous_metadata_location)
+        |  VALUES (?, ?, ?, ?, NULL)""".stripMargin
+    val Load: String =
+      "SELECT metadata_location FROM iceberg_tables WHERE catalog_name = ? AND table_namespace = ? AND table_name = ?"
+    val CasUpdate: String =
+      """UPDATE iceberg_tables
+        |  SET metadata_location = ?, previous_metadata_location = ?
+        |  WHERE catalog_name = ? AND table_namespace = ? AND table_name = ?
+        |    AND metadata_location = ?""".stripMargin
+    val Drop: String =
+      "DELETE FROM iceberg_tables WHERE catalog_name = ? AND table_namespace = ? AND table_name = ?"
+    val Rename: String =
+      """UPDATE iceberg_tables SET table_namespace = ?, table_name = ?
+        |  WHERE catalog_name = ? AND table_namespace = ? AND table_name = ?""".stripMargin
+    val CreateNamespace: String =
+      "INSERT INTO graft_namespaces (catalog_name, namespace) VALUES (?, ?)"
+    val DropNamespace: String =
+      "DELETE FROM graft_namespaces WHERE catalog_name = ? AND namespace = ?"
+    val ListNamespaces: String =
+      """SELECT namespace FROM graft_namespaces WHERE catalog_name = ?
+        |UNION
+        |SELECT table_namespace FROM iceberg_tables WHERE catalog_name = ?""".stripMargin
+
+    /** Name → statement, the golden file's iteration order. */
+    val All: Seq[(String, String)] = Seq(
+      "create_iceberg_tables" -> CreateIcebergTables,
+      "create_namespaces_table" -> CreateNamespacesTable,
+      "list_tables" -> ListTables,
+      "table_exists" -> TableExists,
+      "register" -> Register,
+      "load" -> Load,
+      "cas_update" -> CasUpdate,
+      "drop" -> Drop,
+      "rename" -> Rename,
+      "create_namespace" -> CreateNamespace,
+      "drop_namespace" -> DropNamespace,
+      "list_namespaces" -> ListNamespaces)
+  }
 }
