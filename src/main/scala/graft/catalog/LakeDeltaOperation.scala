@@ -169,7 +169,11 @@ final class LakeDeltaBatchWrite(
     * point at a dead file and the delete would silently miss; fail instead
     * (serializable-or-fail, same rule as rewrites).
     */
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  // set once the CAS lands or its outcome turns unknown: the written files
+  // may be referenced by the live snapshot and abort() must not delete them
+  @volatile private var filesMayBeCommitted = false
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = try {
     val ms = messages.collect { case m: LakeDeltaCommitMessage => m }
     val dataFiles = ms.flatMap(_.dataFiles).toSeq
     val deleteFiles = ms.flatMap(_.deleteFiles).toSeq
@@ -185,7 +189,9 @@ final class LakeDeltaBatchWrite(
       table.metadataLocation, table.meta, s"$cmd", table.ident, hadoopConf)(
       base => CasCommit.requireReplacedLive(base, targets, s"$cmd (merge-on-read)", table.ident))(
       base => TableMeta.withDelta(base, "delta", dataFiles, deleteFiles, hadoopConf))(
-      table.commitSucceeded())
+      { filesMayBeCommitted = true; table.commitSucceeded() })
+  } catch {
+    case e: CommitStateUnknownException => filesMayBeCommitted = true; throw e
   }
 
   /** Lineage-preserving copy-on-write: rewrite every tombstoned file
@@ -235,7 +241,7 @@ final class LakeDeltaBatchWrite(
             s"$cmd (cow-fold)", table.ident)
         })(
         base => TableMeta.withRewrite(base, "replace-rows", replaced, newFiles, hadoopConf))(
-        table.commitSucceeded())
+        { filesMayBeCommitted = true; table.commitSucceeded() })
     } finally {
       // win or lose, the temp tombstone files never become table state.
       // BEST-EFFORT only: after a successful CAS this commit IS committed —
@@ -250,6 +256,7 @@ final class LakeDeltaBatchWrite(
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    if (filesMayBeCommitted) return // committed-or-unknown: orphans at worst
     val fs = new Path(table.meta.location).getFileSystem(hadoopConf)
     messages.collect { case LakeDeltaCommitMessage(dfs, dels, _) =>
       (dfs ++ dels).foreach(f => fs.delete(new Path(f.path), false))

@@ -534,7 +534,11 @@ final class LakeRowLevelOperation(
             table.meta.physicalBloomColumns, table.meta.targetFileBytes,
             bloomBits = table.meta.fileBloomBits,
             statTruncateLen = table.meta.statTruncateLen)
-        override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        // flipped the moment the CAS lands (or its outcome turns unknown):
+        // from then on the written files may be table state and abort()
+        // must leave them alone — deleting a committed file is data loss
+        @volatile private var filesMayBeCommitted = false
+        override def commit(messages: Array[WriterCommitMessage]): Unit = try {
           val newFiles = messages.collect { case LakeCommitMessage(fs) => fs }.flatten.toSeq
           val replacedPaths = scanned.map(_.path).toSet
           // tombstones applied by the scan are folded into the rewrite;
@@ -562,9 +566,12 @@ final class LakeRowLevelOperation(
             })(
             base => TableMeta.withRewrite(base, "replace-rows",
               replacedPaths ++ foldedDeletes, newFiles, hadoopConf))(
-            table.commitSucceeded())
+            { filesMayBeCommitted = true; table.commitSucceeded() })
+        } catch {
+          case e: CommitStateUnknownException => filesMayBeCommitted = true; throw e
         }
         override def abort(messages: Array[WriterCommitMessage]): Unit = {
+          if (filesMayBeCommitted) return // committed-or-unknown: orphans at worst
           val fs = new Path(table.meta.location).getFileSystem(hadoopConf)
           messages.collect { case LakeCommitMessage(files) =>
             files.foreach(f => fs.delete(new Path(f.path), false))
@@ -2020,7 +2027,11 @@ final class LakeBatchWrite(
     * winner's file list) and retry, bounded. The reference has no retry
     * loop (SURVEY §2a gap) — we add one, as any real engine must.
     */
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  // see the CoW writer above: once the CAS lands or turns unknown, abort()
+  // must not delete — the files may be referenced by the live snapshot
+  @volatile private var filesMayBeCommitted = false
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = try {
     val newFiles = messages.collect { case LakeCommitMessage(fs) => fs }.flatten.toSeq
     // write-audit-publish: with wap.enabled, appends STAGE their snapshot
     // (pointer unchanged) for auditing; LakeMaintenance.publish promotes it
@@ -2046,10 +2057,14 @@ final class LakeBatchWrite(
           else TableMeta.withAppend(base, if (stage) "stage-append" else "append",
             newFiles, hadoopConf, advance = !stage)
       })(
-      table.commitSucceeded()) // evict catalog cache: readers must see this snapshot
+      // evict catalog cache: readers must see this snapshot
+      { filesMayBeCommitted = true; table.commitSucceeded() })
+  } catch {
+    case e: CommitStateUnknownException => filesMayBeCommitted = true; throw e
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    if (filesMayBeCommitted) return // committed-or-unknown: orphans at worst
     val fs = new Path(table.meta.location).getFileSystem(hadoopConf)
     messages.collect { case LakeCommitMessage(files) =>
       files.foreach(f => fs.delete(new Path(f.path), false))
@@ -2099,11 +2114,18 @@ final class LakeStreamingWrite(
     }
   }
 
+  // epochs whose CAS landed (or turned unknown): Spark may still call
+  // abort(epochId) for them — e.g. the process dies between the sink CAS
+  // and the checkpoint's commit marker, or anything after the CAS throws —
+  // and abort MUST NOT delete files the committed snapshot references
+  private val noCleanupEpochs = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val newFiles = messages.collect { case LakeCommitMessage(fs) => fs }.flatten.toSeq
     val eqFiles = messages.collect { case LakeUpsertCommitMessage(_, eq) => eq }.flatten.toSeq
     val dataFiles = newFiles ++
       messages.collect { case LakeUpsertCommitMessage(d, _) => d }.flatten.toSeq
+    StreamingCommitHooks.beforeCas(table.ident, epochId)
     // Always re-resolve the pointer: this handle lives for the whole query,
     // and every prior epoch moved it.
     var attempts = 0
@@ -2132,8 +2154,17 @@ final class LakeStreamingWrite(
               "upsert.keys" -> upsertKeys.mkString(",")))
         }
       val newLoc = TableMeta.write(next, hadoopConf)
-      if (store.casUpdate(table.namespace, table.tableName, newLoc, prevLoc) == 1) {
+      val newHead = next.snapshots.drop(base.snapshots.size).lastOption
+      val won =
+        try CasCommit.guardedCas(store, table.namespace, table.tableName, newLoc,
+          prevLoc, newHead, hadoopConf, s"stream epoch $epochId", table.ident)
+        catch {
+          case e: CommitStateUnknownException => noCleanupEpochs.add(epochId); throw e
+        }
+      if (won == 1) {
+        noCleanupEpochs.add(epochId)
         table.commitSucceeded()
+        StreamingCommitHooks.afterCas(table.ident, epochId)
         return
       }
       attempts += 1
@@ -2144,6 +2175,7 @@ final class LakeStreamingWrite(
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    if (noCleanupEpochs.contains(epochId)) return // committed-or-unknown epoch
     val fs = new Path(table.meta.location).getFileSystem(hadoopConf)
     messages.foreach {
       case LakeCommitMessage(files) =>
@@ -2153,6 +2185,22 @@ final class LakeStreamingWrite(
       case _ => ()
     }
   }
+}
+
+/** Crash-injection seam for streaming exactly-once tests (nothing touches
+  * it in production: both hooks default to no-ops). `beforeCas` fires once
+  * per commit attempt BEFORE the pointer swap — throwing there models a
+  * sink that died after writing its files but before committing.
+  * `afterCas` fires right after a SUCCESSFUL swap (post cache-eviction) —
+  * throwing there models dying in the gap between the table commit and the
+  * checkpoint's commit marker, the window Spark resolves by REPLAYING the
+  * epoch on restart (StreamingWrite javadoc), which the `epochKey`
+  * watermark must then no-op.
+  */
+private[graft] object StreamingCommitHooks {
+  @volatile var beforeCas: (String, Long) => Unit = (_, _) => ()
+  @volatile var afterCas: (String, Long) => Unit = (_, _) => ()
+  def reset(): Unit = { beforeCas = (_, _) => (); afterCas = (_, _) => () }
 }
 
 final case class LakeUpsertCommitMessage(

@@ -22,7 +22,10 @@ import java.sql.{Connection, DriverManager, SQLException, SQLIntegrityConstraint
   * All access is driver-side and serialized on the single connection —
   * executors never touch JDBC.
   */
-final class PointerStore(jdbcUrl: String, catalogName: String) extends AutoCloseable {
+// not `final`: crash-recovery tests subclass it to tear the JDBC call at
+// exact points (apply-then-throw) — the only sanctioned way to exercise
+// CasCommit.guardedCas's ambiguity resolution without a real network
+class PointerStore(jdbcUrl: String, catalogName: String) extends AutoCloseable {
 
   // Not a val: Derby (and real JDBC drivers) close the connection when a
   // thread is INTERRUPTED mid-call — e.g. a streaming query's stop()

@@ -109,7 +109,29 @@ final class StagedLakeTable(
     }
   }
 
-  override def commitStagedChanges(): Unit = {
+  // set once a pointer write lands or its outcome turns unknown: the staged
+  // files may be live table state and abortStagedChanges must keep them
+  @volatile private var filesMayBeCommitted = false
+
+  /** `register` with torn-call resolution: an INSERT whose JDBC call threw
+    * may still have applied server-side. The row is the discriminator —
+    * present with OUR location = landed; present with another = the usual
+    * lost race; absent = undecidable (the insert may still be in flight),
+    * escalate rather than let cleanup delete maybe-registered files.
+    */
+  private def registerResolving(loc: String): Boolean =
+    try store.register(namespace, tableName, loc)
+    catch {
+      case e: java.sql.SQLException =>
+        store.load(namespace, tableName) match {
+          case Some(l) if l == loc => true
+          case Some(_) => false
+          case None => throw new CommitStateUnknownException(
+            s"staged create of $displayName: register outcome unknown", e)
+        }
+    }
+
+  override def commitStagedChanges(): Unit = try {
     // Fresh-create metadata: snapshot 1, no history.
     lazy val newLoc =
       TableMeta.write(TableMeta.withOverwrite(baseMeta, "create", stagedFiles, hadoopConf),
@@ -130,10 +152,11 @@ final class StagedLakeTable(
             // ids that still name rows on the retained timeline
             val carried = baseMeta.copy(snapshots = prevMeta.snapshots,
               nextRowId = prevMeta.nextRowId)
-            val replLoc = TableMeta.write(
-              TableMeta.withOverwrite(carried, "replace", stagedFiles, hadoopConf),
-              hadoopConf)
-            if (store.casUpdate(namespace, tableName, replLoc, prev) == 1) return true
+            val next = TableMeta.withOverwrite(carried, "replace", stagedFiles, hadoopConf)
+            val replLoc = TableMeta.write(next, hadoopConf)
+            val newHead = next.snapshots.drop(carried.snapshots.size).lastOption
+            if (CasCommit.guardedCas(store, namespace, tableName, replLoc, prev,
+                newHead, hadoopConf, "staged replace", displayName) == 1) return true
         }
         attempts += 1
         CasRetry.backoff(attempts)
@@ -144,25 +167,35 @@ final class StagedLakeTable(
 
     mode match {
       case StageMode.Create =>
-        if (!store.register(namespace, tableName, newLoc))
+        if (!registerResolving(newLoc))
           throw new TableAlreadyExistsException(ident)
       case StageMode.Replace =>
         if (!casReplace())
           // table was dropped between stageReplace and commit: land the new
           // version anyway (same outcome as replace-after-concurrent-drop)
-          if (!store.register(namespace, tableName, newLoc))
+          if (!registerResolving(newLoc))
             throw new TableAlreadyExistsException(ident)
       case StageMode.CreateOrReplace =>
-        if (!store.register(namespace, tableName, newLoc))
+        if (!registerResolving(newLoc))
           if (!casReplace())
-            if (!store.register(namespace, tableName, newLoc))
+            if (!registerResolving(newLoc))
               throw new IllegalStateException(
                 s"create-or-replace of $displayName: lost both register and CAS races")
     }
+    filesMayBeCommitted = true // before onCommit: a cache-evict throw is post-commit
     onCommit()
+  } catch {
+    case e: CommitStateUnknownException => filesMayBeCommitted = true; throw e
+    case e: java.sql.SQLException =>
+      // a torn call neither register/CAS path could resolve (e.g. the probe
+      // load itself kept failing): undecidable — keep the files
+      filesMayBeCommitted = true
+      throw new CommitStateUnknownException(
+        s"staged commit of $displayName: outcome unknown (store unreachable)", e)
   }
 
   override def abortStagedChanges(): Unit = {
+    if (filesMayBeCommitted) return // committed-or-unknown: orphans at worst
     val fs = new Path(baseMeta.location).getFileSystem(hadoopConf)
     stagedFiles.foreach(f => fs.delete(new Path(f.path), false))
   }

@@ -680,6 +680,19 @@ object CasRetry {
   */
 final class CommitConflictException(msg: String) extends IllegalStateException(msg)
 
+/** The pointer-swap's outcome could not be determined: the JDBC CAS call
+  * threw (connection died mid-statement — with remote Postgres this is a
+  * fact of life: the UPDATE may have applied server-side with the ack lost
+  * on the wire), and the probes that usually resolve the ambiguity
+  * ([[CasCommit.guardedCas]]) kept failing or the commit shape carries no
+  * discriminating snapshot. The files this commit references MAY be table
+  * state — abort paths MUST NOT delete them (they become plain orphans for
+  * `remove_orphan_files` in the worst case; deleting a committed file is
+  * data loss). Iceberg's CommitStateUnknownException draws the same line.
+  */
+final class CommitStateUnknownException(msg: String, cause: Throwable = null)
+  extends IllegalStateException(msg, cause)
+
 object CasCommit {
   /** Iceberg-style rebase precondition for file-replacing commits: every
     * file this commit replaces (or targets with tombstones) must still be
@@ -734,7 +747,9 @@ object CasCommit {
     * pointer; on a lost race reload the fresh pointer and retry with jittered
     * backoff, loud after maxAttempts. `validate` throwing (conflict) aborts
     * the whole commit — validations are re-run on EVERY retry because the
-    * base they guard against moves.
+    * base they guard against moves. The CAS itself goes through
+    * [[guardedCas]], so a torn JDBC call resolves to a definite outcome (or
+    * a loud [[CommitStateUnknownException]]) instead of a silent maybe.
     */
   def retryLoop(
       store: PointerStore,
@@ -753,8 +768,13 @@ object CasCommit {
     var attempts = 0
     while (attempts < CasRetry.maxAttempts) {
       validate(base)
-      val newLoc = TableMeta.write(transform(base), hadoopConf)
-      if (store.casUpdate(namespace, tableName, newLoc, prevLoc) == 1) {
+      val next = transform(base)
+      val newLoc = TableMeta.write(next, hadoopConf)
+      // the snapshot(s) THIS attempt added — unique manifest-list UUIDs, so
+      // a torn CAS can be resolved by looking for them in the live history
+      val newHead = next.snapshots.drop(base.snapshots.size).lastOption
+      if (guardedCas(store, namespace, tableName, newLoc, prevLoc, newHead,
+          hadoopConf, operation, ident) == 1) {
         onSuccess
         return
       }
@@ -765,6 +785,84 @@ object CasCommit {
       base = TableMeta.read(prevLoc, hadoopConf)
     }
     throw new IllegalStateException(s"$operation on $ident: CAS lost $attempts times")
+  }
+
+  /** CAS with COMMIT-STATE-AMBIGUITY resolution. A clean return from
+    * `casUpdate` is already definite (1 = ours, 0 = lost the race). The
+    * hard case is the call THROWING — with a remote store the statement may
+    * have applied server-side and only the ack was lost. Probing resolves
+    * it, because pointer locations are UUID-unique and never reused:
+    *
+    *   - pointer == newLoc   → our update landed: COMMITTED.
+    *   - pointer == prevLoc  → maybe still in flight: re-issue the SAME
+    *     CAS. Idempotent under the guard — if the torn original lands
+    *     concurrently, the re-issue matches 0 rows and the next probe sees
+    *     newLoc. Either instance applying is the same commit (same doc).
+    *   - pointer == other    → someone CASed prevLoc→other, so our guard
+    *     (`metadata_location = prevLoc`) can NEVER match again: the torn
+    *     call either landed before (then `other` built ON TOP of us and our
+    *     added snapshot — unique manifest-list UUID — is in its history) or
+    *     is dead. Read `other` and look for `newHead`: found = COMMITTED,
+    *     absent = NOT APPLIED (safe to rebase + retry).
+    *
+    * A commit that adds no discriminating snapshot (property-only ALTERs,
+    * or an empty-table overwrite with no manifest list) and keeps failing
+    * its probes escalates to [[CommitStateUnknownException]] — the caller's
+    * abort path must then leave the written files alone.
+    * (Snapshot expiry racing the probe window could in principle erase
+    * `newHead` before we look — that needs a retention-aged expiry inside a
+    * ~seconds-wide window, and the failure mode is a duplicate append, not
+    * loss; accepted.)
+    */
+  def guardedCas(
+      store: PointerStore,
+      namespace: String,
+      tableName: String,
+      newLoc: String,
+      prevLoc: String,
+      newHead: Option[SnapshotMeta],
+      hadoopConf: org.apache.hadoop.conf.Configuration,
+      operation: String,
+      ident: String): Int = {
+    val torn = try return store.casUpdate(namespace, tableName, newLoc, prevLoc)
+    catch { case e: java.sql.SQLException => e }
+    var probes = 0
+    while (probes < CasRetry.maxAttempts) {
+      probes += 1
+      val cur = try store.load(namespace, tableName)
+      catch { case _: java.sql.SQLException => CasRetry.backoff(probes); None }
+      cur match {
+        case Some(l) if l == newLoc => return 1
+        case Some(l) if l == prevLoc =>
+          // NB: a 0 here is NOT a definite loss — the torn original may
+          // have landed between the load and this re-issue (pointer now
+          // newLoc, which fails the guard too). Only a 1 is terminal;
+          // anything else goes back to probing.
+          try { if (store.casUpdate(namespace, tableName, newLoc, prevLoc) == 1) return 1 }
+          catch { case _: java.sql.SQLException => CasRetry.backoff(probes) }
+        case Some(other) =>
+          newHead match {
+            case Some(h) if h.listLocation.isDefined =>
+              val curMeta = TableMeta.read(other, hadoopConf)
+              return if (curMeta.snapshots.exists(s =>
+                s.snapshotId == h.snapshotId && s.listLocation == h.listLocation)) 1
+              else 0
+            case _ =>
+              throw new CommitStateUnknownException(
+                s"$operation on $ident: CAS outcome unknown (store call failed, " +
+                  s"pointer moved to $other, and this commit carries no " +
+                  "discriminating snapshot) — files were NOT cleaned up", torn)
+          }
+        case None => // no row while we probe: load failed or table dropped
+          if (probes >= CasRetry.maxAttempts)
+            throw new CommitStateUnknownException(
+              s"$operation on $ident: CAS outcome unknown (store unreachable " +
+                s"after $probes probes) — files were NOT cleaned up", torn)
+      }
+    }
+    throw new CommitStateUnknownException(
+      s"$operation on $ident: CAS outcome unknown after $probes probes — " +
+        "files were NOT cleaned up", torn)
   }
 }
 

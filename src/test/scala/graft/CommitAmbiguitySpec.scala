@@ -1,0 +1,138 @@
+package graft
+
+import java.sql.SQLException
+
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog._
+
+/** Commit-state ambiguity (VERDICT r9): with a REMOTE pointer store the
+  * CAS UPDATE can throw with the statement already applied server-side
+  * (ack lost on the wire). [[CasCommit.guardedCas]] must resolve every
+  * torn call to a definite outcome — never double-commit, never let an
+  * abort path delete files a landed commit references. Pointer locations
+  * are UUID-unique and never reused, which is what makes each probe
+  * decisive; these tests tear the JDBC call at exact points via a store
+  * subclass.
+  */
+class CommitAmbiguitySpec extends AnyFunSuite {
+
+  private val conf = new org.apache.hadoop.conf.Configuration()
+  private val schema = StructType(Seq(StructField("k", LongType)))
+
+  private def freshUrl(tag: String): String =
+    s"jdbc:derby:memory:ambig$tag${System.nanoTime()};create=true"
+
+  private def baseMetaIn(dir: String): TableMeta =
+    TableMeta(1, dir, schema.json, Nil, Map.empty, 1L,
+      Seq(SnapshotMeta(1L, 1000L, "append", Nil)))
+
+  private def file(dir: String, n: String): DataFileMeta =
+    DataFileMeta(s"$dir/data/$n.parquet", 10L, 100L,
+      Map("k" -> "0"), Map("k" -> "9"), Map("k" -> 0L))
+
+  private def setup(tag: String): (PointerStore, String, TableMeta, String, String) = {
+    val dir = java.nio.file.Files.createTempDirectory(s"ambig$tag").toString
+    val url = freshUrl(tag)
+    val store = new PointerStore(url, "c")
+    store.initialize()
+    val base = baseMetaIn(dir)
+    val prevLoc = TableMeta.write(base, conf)
+    assert(store.register("ns", "t", prevLoc))
+    (store, url, base, prevLoc, dir)
+  }
+
+  /** Our attempt: appended one file on top of `base`. */
+  private def attempt(base: TableMeta, dir: String, n: String)
+      : (String, Option[SnapshotMeta]) = {
+    val next = TableMeta.withAppend(base, "append", Seq(file(dir, n)), conf)
+    (TableMeta.write(next, conf), next.snapshots.drop(base.snapshots.size).lastOption)
+  }
+
+  test("torn CAS that APPLIED resolves to committed (no retry, no double-commit)") {
+    val (store, url, base, prevLoc, dir) = setup("a")
+    val (newLoc, newHead) = attempt(base, dir, "f1")
+    var casCalls = 0
+    val tearing = new PointerStore(url, "c") {
+      override def casUpdate(ns: String, name: String, nl: String, pl: String): Int = {
+        casCalls += 1
+        super.casUpdate(ns, name, nl, pl) // APPLIES
+        throw new SQLException("connection reset by peer (after apply)")
+      }
+    }
+    assert(CasCommit.guardedCas(tearing, "ns", "t", newLoc, prevLoc, newHead,
+      conf, "test", "ns.t") == 1)
+    assert(casCalls == 1, "resolution must come from the probe, not a blind retry")
+    assert(store.load("ns", "t").contains(newLoc))
+  }
+
+  test("torn CAS that did NOT apply is re-issued and lands exactly once") {
+    val (store, url, base, prevLoc, dir) = setup("b")
+    val (newLoc, newHead) = attempt(base, dir, "f1")
+    var first = true
+    val tearing = new PointerStore(url, "c") {
+      override def casUpdate(ns: String, name: String, nl: String, pl: String): Int = {
+        if (first) { first = false; throw new SQLException("write timeout (never applied)") }
+        super.casUpdate(ns, name, nl, pl)
+      }
+    }
+    assert(CasCommit.guardedCas(tearing, "ns", "t", newLoc, prevLoc, newHead,
+      conf, "test", "ns.t") == 1)
+    assert(store.load("ns", "t").contains(newLoc))
+  }
+
+  test("torn CAS overtaken by another writer resolves to a definite loss") {
+    val (store, url, base, prevLoc, dir) = setup("c")
+    val (newLoc, newHead) = attempt(base, dir, "ours")
+    val (interloperLoc, _) = attempt(base, dir, "theirs")
+    val tearing = new PointerStore(url, "c") {
+      override def casUpdate(ns: String, name: String, nl: String, pl: String): Int = {
+        // model: our statement dies on the wire, a concurrent writer's CAS
+        // (built on the same base) lands instead
+        super.casUpdate(ns, name, interloperLoc, pl)
+        throw new SQLException("connection reset (ours never applied)")
+      }
+    }
+    assert(CasCommit.guardedCas(tearing, "ns", "t", newLoc, prevLoc, newHead,
+      conf, "test", "ns.t") == 0,
+      "pointer moved through prevLoc -> other: our guard can never match again")
+    assert(store.load("ns", "t").contains(interloperLoc))
+  }
+
+  test("torn CAS that applied AND was built on by a later commit still resolves to committed") {
+    val (store, url, base, prevLoc, dir) = setup("d")
+    val (newLoc, newHead) = attempt(base, dir, "ours")
+    val tearing = new PointerStore(url, "c") {
+      override def casUpdate(ns: String, name: String, nl: String, pl: String): Int = {
+        super.casUpdate(ns, name, nl, pl) // ours APPLIES...
+        // ...and before our probe runs, a later writer commits on top
+        val buried = TableMeta.read(nl, conf)
+        val (laterLoc, _) = attempt(buried, dir, "later")
+        super.casUpdate(ns, name, laterLoc, nl)
+        throw new SQLException("ack lost after apply")
+      }
+    }
+    assert(CasCommit.guardedCas(tearing, "ns", "t", newLoc, prevLoc, newHead,
+      conf, "test", "ns.t") == 1,
+      "our snapshot (unique manifest-list) is in the live history: committed")
+  }
+
+  test("undecidable torn CAS (no discriminating snapshot) escalates, never guesses") {
+    val (store, url, base, prevLoc, dir) = setup("e")
+    // a property-only commit: same snapshots, nothing to find in history
+    val next = base.copy(properties = Map("k" -> "v"))
+    val newLoc = TableMeta.write(next, conf)
+    val (interloperLoc, _) = attempt(base, dir, "theirs")
+    val tearing = new PointerStore(url, "c") {
+      override def casUpdate(ns: String, name: String, nl: String, pl: String): Int = {
+        super.casUpdate(ns, name, interloperLoc, pl)
+        throw new SQLException("torn")
+      }
+    }
+    intercept[CommitStateUnknownException] {
+      CasCommit.guardedCas(tearing, "ns", "t", newLoc, prevLoc, None,
+        conf, "test", "ns.t")
+    }
+  }
+}
