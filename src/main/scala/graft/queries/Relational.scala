@@ -1334,7 +1334,162 @@ object Relational {
         |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supps,
         |  CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS discounted,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // ───── q136: linear-regression / correlation aggregates ──────────────
+    // Least-squares slope/intercept and Pearson r per group — drift and
+    // feature-correlation profiling (quantity vs discount). Computed from
+    // DECIMAL-exact moment sums (one scan, map-side combinable — the
+    // single-pass shape that scales), cast to DOUBLE only at the end so
+    // both engines do the identical IEEE arithmetic on identical inputs.
+    // TWO cross-engine float traps found at the gate and designed around:
+    // (a) symmetric (19,6)x(19,6) products need precision 39 and Spark
+    // silently truncates scale under allowPrecisionLoss — the asymmetric
+    // (19,6)x(18,6) product is DECIMAL(38,12) exactly, and the 19-width
+    // side forces DuckDB onto int128 arithmetic; (b) a moment whose exact
+    // decimal exceeds ~15 significant digits (sum of price^2) rounds
+    // DIFFERENTLY in each engine's decimal->double cast (1-ulp r drift) —
+    // qty/discount moments stay within double's exact range at every SF.
+    // The builtin corr() is float-summation-order-dependent and can't be
+    // hash-compared across engines, so each engine CHECKS its own builtin
+    // against the exact moments (within 1e-9), surfacing agreement as a
+    // flag: the builtin surface is exercised, the oracle stays exact.
+    QueryDef.shared(
+      "q136_regression_aggs",
+      """WITH m AS (SELECT l_returnflag AS flag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(19,6)) * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+        |    corr(l_discount, l_quantity) AS builtin_r
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT flag,
+        |  CAST(n AS BIGINT) AS n,
+        |  CAST((n * sxy - sx * sy) / (n * sxx - sx * sx) AS DOUBLE) AS slope,
+        |  CAST((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS DOUBLE) AS intercept,
+        |  CAST((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS DOUBLE) AS r,
+        |  CAST(CASE WHEN abs(builtin_r - (n * sxy - sx * sy) /
+        |      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))) < 1e-9
+        |    THEN 1 ELSE 0 END AS INT) AS builtin_corr_agrees
+        |FROM m ORDER BY flag""".stripMargin),
+
+    // ───── q137: PIVOT — long-to-wide reshaping ──────────────────────────
+    // Monthly quantity matrix, one column per return flag: the reshape
+    // every report/feature-matrix pipeline does. Spark's RelationalGroupedDataset
+    // .pivot with EXPLICIT values compiles to one hash aggregate of
+    // conditional sums — no second pass to discover the pivot domain, no
+    // extra shuffle vs a plain groupBy (the implicit-values overload adds a
+    // distinct-scan job; never use it at scale). Oracle states the same
+    // conditional aggregation directly.
+    QueryDef.df(
+      "q137_pivot_matrix",
+      """SELECT month(l_shipdate) AS m,
+        |  CAST(sum(CASE WHEN l_returnflag = 'A'
+        |    THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_a,
+        |  CAST(sum(CASE WHEN l_returnflag = 'N'
+        |    THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_n,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R'
+        |    THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_r
+        |FROM lineitem GROUP BY 1 ORDER BY m""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(month(col("l_shipdate")).as("m"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 6))).cast("double"))
+        .select(col("m"), col("A").as("qty_a"), col("N").as("qty_n"),
+          col("R").as("qty_r"))
+        .orderBy("m")
+    },
+
+    // ───── q138: time-series gap filling (calendar densification) ────────
+    // Orders-per-segment-per-month with EXPLICIT zeros for silent months —
+    // the densification every windowed trend model needs (a groupBy alone
+    // silently drops empty buckets). The calendar derives from the data's
+    // own [min, max] month span via sequence()+explode — a one-row
+    // aggregate broadcast into a generator, O(months) rows — then
+    // cross-joins the segment dimension (≤ 5 rows, broadcast) and
+    // LEFT-joins the real monthly counts. At 100 TB the fact-side
+    // aggregation is the only big shuffle; the densification itself is
+    // dimension-sized.
+    QueryDef.df(
+      "q138_gap_fill",
+      """WITH b AS (SELECT date_trunc('month', min(o_orderdate)) AS lo,
+        |    date_trunc('month', max(o_orderdate)) AS hi FROM orders),
+        |cal AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS m FROM b),
+        |seg AS (SELECT DISTINCT c_mktsegment AS segment FROM customer),
+        |cnt AS (SELECT c_mktsegment AS segment,
+        |    date_trunc('month', o_orderdate) AS m, count(*) AS n
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2)
+        |SELECT s.segment, CAST(c.m AS DATE) AS month,
+        |  CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_orders
+        |FROM seg s CROSS JOIN cal c
+        |LEFT JOIN cnt ON cnt.segment = s.segment AND cnt.m = c.m
+        |ORDER BY s.segment, month""".stripMargin) { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val cal = orders
+        .agg(date_trunc("month", min(col("o_orderdate"))).as("lo"),
+          date_trunc("month", max(col("o_orderdate"))).as("hi"))
+        .select(explode(expr("sequence(lo, hi, interval 1 month)")).as("m"))
+      val seg = t(s, dir, "customer")
+        .select(col("c_mktsegment").as("segment")).distinct()
+      val cnt = orders
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"),
+          date_trunc("month", col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"))
+      seg.crossJoin(cal)
+        .join(cnt, Seq("segment", "m"), "left")
+        .select(col("segment"), col("m").cast("date").as("month"),
+          coalesce(col("n"), lit(0L)).as("n_orders"))
+        .orderBy("segment", "month")
+    },
+
+    // ───── q139: distribution windows — ntile / percent_rank / cume_dist ─
+    // Decile assignment and empirical CDF per segment, the quantile-bucket
+    // features a ranking model trains on. ntile depends on ROW order, not
+    // just peer groups, so the window ORDER BY carries the key tiebreak —
+    // without it two engines legally disagree. percent_rank/cume_dist are
+    // exact small-integer ratios ((rank-1)/(n-1), peers/n) — identical
+    // doubles on both engines. The post-window sample filter keeps the
+    // output bounded while the windows still compute over the full
+    // partition (filter-above-window, not below). Shared SQL.
+    QueryDef.shared(
+      "q139_distribution_windows",
+      """SELECT * FROM (
+        |  SELECT c_mktsegment AS seg, o_orderkey,
+        |    CAST(ntile(10) OVER w AS INT) AS decile,
+        |    CAST(percent_rank() OVER w AS DOUBLE) AS pr,
+        |    CAST(cume_dist() OVER w AS DOUBLE) AS cd
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WINDOW w AS (PARTITION BY c_mktsegment
+        |               ORDER BY o_totalprice, o_orderkey)) x
+        |WHERE o_orderkey % 20 = 0
+        |ORDER BY seg, o_orderkey""".stripMargin),
+
+    // ───── q140: ordered string aggregation (LISTAGG) ────────────────────
+    // Deterministic ordered concatenation per group — label lists, path
+    // rollups, prompt assembly. The DF side builds it from
+    // collect_list(struct) + array_sort + transform + array_join: the
+    // collect is per-group bounded (suppliers per nation), the sort is
+    // in-memory per row, and the whole thing is one hash aggregate — the
+    // struct embeds the (acctbal, name) sort key so ties still produce ONE
+    // canonical string on every engine and partitioning. Oracle: DuckDB's
+    // native string_agg ... ORDER BY.
+    QueryDef.df(
+      "q140_listagg",
+      """SELECT s_nationkey AS nation,
+        |  CAST(count(*) AS BIGINT) AS n_suppliers,
+        |  string_agg(s_name, ';' ORDER BY s_acctbal, s_name) AS names
+        |FROM supplier GROUP BY 1 ORDER BY nation""".stripMargin) { (s, dir) =>
+      t(s, dir, "supplier")
+        .groupBy(col("s_nationkey").cast("int").as("nation"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          array_join(expr(
+            "transform(array_sort(collect_list(struct(s_acctbal, s_name))), x -> x.s_name)"),
+            ";").as("names"))
+        .orderBy("nation")
+    })
 
   /** q121's plan, exposed for the plan audit: backbone edges and oriented
     * edges are PERSISTED (the caller must unpersist both). e feeds the
