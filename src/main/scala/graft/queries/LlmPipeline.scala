@@ -2096,9 +2096,29 @@ object LlmPipeline {
     // Levenshtein on ASCII is engine-independent).
     QueryDef.shared(
       "q127_fuzzy_blocked_dedup",
-      """WITH p AS (
+      // BLOCK-SIZE CAP (r9, found by SkewBench): a hot block — thousands
+      // of records sharing (nation, length, name-stem), the "John Smith"
+      // case — generates C(b,2) DP evaluations with no downstream cut, the
+      // same cliff shape as q121's pre-backbone pair join (3.2x on the
+      // planted skew fixture). The ranked CTE keeps the 512
+      // smallest-custkey rows per block, the standard record-linkage
+      // block-size cap (stated recall trade, like the suffix-window key
+      // itself); row_number+filter compiles to a map-side WindowGroupLimit
+      // in Spark, and the cap lives IN the shared SQL so the oracle
+      // replays it by construction. 512 is far above this corpus's max
+      // block (uniform keys: blocks of ~1-4 at every SF), so gate results
+      // are unchanged; the planted-hot-block test pins the binding case.
+      """WITH ranked AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    row_number() OVER (
+        |      PARTITION BY c_nationkey, length(c_name),
+        |        substring(c_name, 1, length(c_name) - 3)
+        |      ORDER BY c_custkey) AS rn
+        |  FROM customer),
+        |c AS (SELECT * FROM ranked WHERE rn <= 512),
+        |p AS (
         |  SELECT levenshtein(a.c_name, b.c_name) AS dist
-        |  FROM customer a JOIN customer b
+        |  FROM c a JOIN c b
         |    ON a.c_nationkey = b.c_nationkey
         |   AND substring(a.c_name, 1, length(a.c_name) - 3)
         |     = substring(b.c_name, 1, length(b.c_name) - 3)
