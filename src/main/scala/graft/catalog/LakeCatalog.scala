@@ -177,10 +177,29 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
     */
   def registerTable(ident: Identifier, metadataLocation: String): Table = {
     TableMeta.read(metadataLocation, hadoopConf) // validate before registering
-    if (!store.register(ns(ident.namespace()), ident.name(), metadataLocation))
+    if (!registerResolving(ns(ident.namespace()), ident.name(), metadataLocation))
       throw new TableAlreadyExistsException(ident)
     loadTable(ident)
   }
+
+  /** `register` with torn-call resolution (same stance as
+    * [[CasCommit.guardedCas]]): the INSERT's JDBC call may throw with the
+    * row already inserted server-side — the row is the discriminator.
+    * Present with OUR location = landed; with another = the ordinary lost
+    * race; absent = genuinely undecidable, rethrow (metadata-only paths
+    * land here — nothing is cleaned up either way, so a retried CREATE
+    * converges to "already exists" at worst).
+    */
+  private def registerResolving(namespace: String, name: String, loc: String): Boolean =
+    try store.register(namespace, name, loc)
+    catch {
+      case e: java.sql.SQLException =>
+        store.load(namespace, name) match {
+          case Some(l) if l == loc => true
+          case Some(_) => false
+          case None => throw e
+        }
+    }
 
   private def doLoad(ident: Identifier, snapshot: Option[Long]): LakeTable = {
     val loc = store.load(ns(ident.namespace()), ident.name())
@@ -233,7 +252,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
     val loc = TableMeta.write(meta, hadoopConf)
     // INSERT-on-conflict-do-nothing semantics: 0 rows ⇒ already exists
     // (reference register_table, mod.rs:252-294).
-    if (!store.register(ns(ident.namespace()), ident.name(), loc))
+    if (!registerResolving(ns(ident.namespace()), ident.name(), loc))
       throw new TableAlreadyExistsException(ident)
     loadTable(ident)
   }

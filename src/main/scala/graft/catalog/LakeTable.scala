@@ -2114,11 +2114,14 @@ final class LakeStreamingWrite(
     }
   }
 
-  // epochs whose CAS landed (or turned unknown): Spark may still call
-  // abort(epochId) for them — e.g. the process dies between the sink CAS
-  // and the checkpoint's commit marker, or anything after the CAS throws —
-  // and abort MUST NOT delete files the committed snapshot references
-  private val noCleanupEpochs = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+  // high-water mark of epochs whose CAS landed (or turned unknown): Spark
+  // may still call abort(epochId) for them — e.g. the process dies between
+  // the sink CAS and the checkpoint's commit marker, or anything after the
+  // CAS throws — and abort MUST NOT delete files the committed snapshot
+  // references. A watermark (not a set): epochs are monotonic per query,
+  // anything at-or-below the mark is committed-or-replay-handled, and the
+  // state stays O(1) over a stream's lifetime.
+  @volatile private var noCleanupThrough: Long = Long.MinValue
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val newFiles = messages.collect { case LakeCommitMessage(fs) => fs }.flatten.toSeq
@@ -2159,10 +2162,11 @@ final class LakeStreamingWrite(
         try CasCommit.guardedCas(store, table.namespace, table.tableName, newLoc,
           prevLoc, newHead, hadoopConf, s"stream epoch $epochId", table.ident)
         catch {
-          case e: CommitStateUnknownException => noCleanupEpochs.add(epochId); throw e
+          case e: CommitStateUnknownException =>
+            noCleanupThrough = math.max(noCleanupThrough, epochId); throw e
         }
       if (won == 1) {
-        noCleanupEpochs.add(epochId)
+        noCleanupThrough = math.max(noCleanupThrough, epochId)
         table.commitSucceeded()
         StreamingCommitHooks.afterCas(table.ident, epochId)
         return
@@ -2175,7 +2179,7 @@ final class LakeStreamingWrite(
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    if (noCleanupEpochs.contains(epochId)) return // committed-or-unknown epoch
+    if (epochId <= noCleanupThrough) return // committed-or-unknown epoch
     val fs = new Path(table.meta.location).getFileSystem(hadoopConf)
     messages.foreach {
       case LakeCommitMessage(files) =>

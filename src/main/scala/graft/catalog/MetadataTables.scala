@@ -127,9 +127,20 @@ object MetadataTables {
       StructField("content", StringType, nullable = false),
       StructField("n_files", LongType, nullable = false),
       StructField("n_rows", LongType, nullable = false),
-      StructField("n_bytes", LongType, nullable = false)))
+      StructField("n_bytes", LongType, nullable = false),
+      // the folded per-manifest column bounds scan planning skips with
+      // (TableMeta.filesMatching) — surfaced under LOGICAL column names so
+      // an operator can see WHY a manifest is (or isn't) skippable for a
+      // given predicate; empty maps = legacy manifest, never skipped
+      StructField("summary_mins", MapType(StringType, StringType), nullable = false),
+      StructField("summary_maxs", MapType(StringType, StringType), nullable = false),
+      StructField("summary_null_counts", MapType(StringType, LongType), nullable = false)))
+    val p2l = meta.l2pMap.map(_.swap)
+    def toLogical[V](m: Map[String, V]): Map[String, V] =
+      m.map { case (k, v) => p2l.getOrElse(k, k) -> v }
     val rows = meta.snapshot(meta.currentSnapshotId).map(meta.manifestsOf).getOrElse(Nil)
-      .map(m => Row(m.location, m.kind, m.nFiles, m.nRows, m.nBytes))
+      .map(m => Row(m.location, m.kind, m.nFiles, m.nRows, m.nBytes,
+        toLogical(m.boundMins), toLogical(m.boundMaxs), toLogical(m.boundNulls)))
     RowsTable(display, schema, rows)
   }
 

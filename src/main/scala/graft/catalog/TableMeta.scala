@@ -317,7 +317,7 @@ final case class TableMeta(
     * (cached, immutable) plus any legacy inline entries.
     */
   def filesOf(s: SnapshotMeta): Seq[DataFileMeta] =
-    manifestsOf(s).filter(_.isData).flatMap(m => ManifestIO.read(m.location, ioConf)) ++
+    ManifestIO.readAll(manifestsOf(s).filter(_.isData).map(_.location), ioConf) ++
       s.inlineFiles
 
   /** Comparison kind per PHYSICAL stat key for [[ManifestSummary.fold]]:
@@ -381,21 +381,21 @@ final case class TableMeta(
         BucketPruner.mayMatch(e, pseudo, pf))
     }
     ManifestIO.manifestsSkipped.addAndGet((ms.size - kept.size).toLong)
-    kept.flatMap(m => ManifestIO.read(m.location, ioConf)) ++ s.inlineFiles
+    ManifestIO.readAll(kept.map(_.location), ioConf) ++ s.inlineFiles
   }
 
   /** A snapshot's positional-delete files (merge-on-read tombstones). */
   def deleteFilesOf(s: SnapshotMeta): Seq[DataFileMeta] =
-    manifestsOf(s).filter(_.kind == "deletes")
-      .flatMap(m => ManifestIO.read(m.location, ioConf))
+    ManifestIO.readAll(
+      manifestsOf(s).filter(_.kind == "deletes").map(_.location), ioConf)
 
   /** A snapshot's EQUALITY-delete files (streaming-upsert key tombstones):
     * parquet of key tuples; each applies to data files added STRICTLY
     * before it (per-file `addedAt` sequence numbers).
     */
   def eqDeleteFilesOf(s: SnapshotMeta): Seq[DataFileMeta] =
-    manifestsOf(s).filter(_.kind == "eq-deletes")
-      .flatMap(m => ManifestIO.read(m.location, ioConf))
+    ManifestIO.readAll(
+      manifestsOf(s).filter(_.kind == "eq-deletes").map(_.location), ioConf)
 
   def currentEqDeleteFiles: Seq[DataFileMeta] =
     snapshot(currentSnapshotId).map(eqDeleteFilesOf).getOrElse(Nil)
@@ -499,7 +499,7 @@ final case class TableMeta(
 
   /** Data + delete files — liveness accounting (expiration/vacuum). */
   def allFilesOf(s: SnapshotMeta): Seq[DataFileMeta] =
-    manifestsOf(s).flatMap(m => ManifestIO.read(m.location, ioConf)) ++ s.inlineFiles
+    ManifestIO.readAll(manifestsOf(s).map(_.location), ioConf) ++ s.inlineFiles
 
   def currentFiles: Seq[DataFileMeta] =
     snapshot(currentSnapshotId).map(filesOf).getOrElse(Nil)
@@ -621,6 +621,34 @@ object ManifestIO {
     else read(location, conf).map(f =>
       blooms.get(f.path).map(b => f.copy(blooms = b)).getOrElse(f))
   }
+
+  /** Bounded daemon pool for PARALLEL manifest-document reads at planning
+    * time. One manifest read is one small-object GET + JSON parse — pure
+    * latency — and a wide scan of a many-manifest table used to pay them
+    * SERIALLY on the driver. Eight concurrent reads cover the metadata
+    * store's round-trip latency without turning planning into a DoS on it.
+    */
+  private lazy val planningPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(8, (r: Runnable) => {
+        val t = new Thread(r, "graft-manifest-read")
+        t.setDaemon(true)
+        t
+      }))
+
+  /** Read many manifests, cache misses fetched in parallel; the
+    * concatenated result preserves `locations` order, so downstream
+    * file-list ordering (split planning, stats folds) is byte-identical
+    * to the serial path. Any read failure propagates as-is.
+    */
+  def readAll(locations: Seq[String], conf: Configuration): Seq[DataFileMeta] =
+    if (locations.lengthCompare(2) < 0) locations.flatMap(read(_, conf))
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      locations.map(l => Future(read(l, conf))(planningPool))
+        .flatMap(Await.result(_, Duration.Inf))
+    }
 
   def read(location: String, conf: Configuration): Seq[DataFileMeta] = {
     manifestReads.incrementAndGet()

@@ -1055,6 +1055,13 @@ class LakeCatalogSpec extends AnyFunSuite {
     val manifests = spark.sql("SELECT * FROM lake.mx.`md$manifests`").collect()
     assert(manifests.length == 2, "two append manifests shared by reference")
     assert(manifests.map(_.getAs[Long]("n_files")).sum == files.length)
+    // the planning-skip summaries ride along, keyed by logical name
+    assert(manifests.forall(_.getAs[Map[String, String]]("summary_mins").contains("k")))
+    val kRanges = manifests.map(m => (
+      m.getAs[Map[String, String]]("summary_mins")("k").toLong,
+      m.getAs[Map[String, String]]("summary_maxs")("k").toLong)).sorted.toSeq
+    assert(kRanges == Seq((1L, 2L), (3L, 3L)), s"got $kRanges")
+    assert(manifests.forall(_.getAs[Map[String, Long]]("summary_null_counts").get("k").contains(0L)))
     // an aggregation over a metadata table plans like any other relation
     val total = spark.sql("SELECT sum(size_bytes) FROM lake.mx.`md$files`")
       .collect().head.getLong(0)

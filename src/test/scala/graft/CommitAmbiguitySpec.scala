@@ -118,6 +118,34 @@ class CommitAmbiguitySpec extends AnyFunSuite {
       "our snapshot (unique manifest-list) is in the live history: committed")
   }
 
+  test("CREATE TABLE with a torn register resolves to success, not a spurious failure") {
+    // needs an active session for the catalog's hadoopConf
+    TestSpark.spark
+    val wh = java.nio.file.Files.createTempDirectory("ambigcat").toString
+    val url = freshUrl("f")
+    val cat = new LakeCatalog()
+    cat.initialize("ambig", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("warehouse", wh, "jdbc.url", url)))
+    // swap in a store whose register INSERT applies and then throws
+    val tearing = new PointerStore(url, "ambig") {
+      override def register(ns: String, name: String, loc: String): Boolean = {
+        super.register(ns, name, loc)
+        throw new SQLException("ack lost after insert")
+      }
+    }
+    val f = classOf[LakeCatalog].getDeclaredField("store")
+    f.setAccessible(true)
+    f.set(cat, tearing)
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("d"), "t")
+    val cols = Array(org.apache.spark.sql.connector.catalog.Column.create("k",
+      org.apache.spark.sql.types.LongType))
+    val t = cat.createTable(ident, cols,
+      Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+      new java.util.HashMap[String, String]())
+    assert(t != null)
+    assert(cat.tableExists(ident), "the torn-but-applied register IS the table")
+  }
+
   test("undecidable torn CAS (no discriminating snapshot) escalates, never guesses") {
     val (store, url, base, prevLoc, dir) = setup("e")
     // a property-only commit: same snapshots, nothing to find in history

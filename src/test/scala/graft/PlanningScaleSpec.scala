@@ -174,6 +174,23 @@ class PlanningScaleSpec extends AnyFunSuite {
     spark.sql("DROP TABLE lake.scale.manif")
   }
 
+  test("parallel manifest reads: cold readAll is content- and order-identical to serial") {
+    // 300 manifests > the 256-entry LRU, so the first readAll sweep does
+    // REAL concurrent IO for evicted documents, not just cache hits
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = java.nio.file.Files.createTempDirectory("graft-par").toString
+    val ms = (0 until 300).map { i =>
+      ManifestIO.write(dir, 1L, (0 until 20).map(j =>
+        DataFileMeta(s"$dir/f$i-$j.parquet", 10L, 100L,
+          Map("k" -> (i * 100 + j).toString), Map("k" -> (i * 100 + j).toString))),
+        conf)
+    }
+    val par = ManifestIO.readAll(ms.map(_.location), conf)
+    val serial = ms.flatMap(m => ManifestIO.read(m.location, conf))
+    assert(par == serial, "parallel planning reads must be byte-order-identical")
+    assert(par.size == 300 * 20)
+  }
+
   test("60k deletion-vector entries over 100k files: planning stays hash-indexed, not O(n²)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.scale")
     spark.sql("DROP TABLE IF EXISTS lake.scale.dvbig")
