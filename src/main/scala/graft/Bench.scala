@@ -27,7 +27,12 @@ object Bench {
     // that re-measured at 1.4 s). The median is robust to a single outlier;
     // the max-min spread is reported so variance stays visible.
     val runsPer = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional arg: comma-separated query names — bench just those (local
+    // A/B iteration; the driver passes no args and gets the full sweep)
+    val only = args.headOption.map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to runsPer).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -37,10 +37,18 @@ object Relational {
     * or re-joined per round.
     */
   private[graft] def pagerankPlan(pairs: DataFrame): (DataFrame, DataFrame) = {
-    val edges = pairs.select(concat(lit("s"), col("s")).as("src"),
-        concat(lit("c"), col("c")).as("dst"))
-      .unionAll(pairs.select(concat(lit("c"), col("c")).as("src"),
-        concat(lit("s"), col("s")).as("dst")))
+    // Node ids are LONGS internally — suppliers odd (2s+1), customers even
+    // (2c), disjoint by parity exactly as the public 's…'/'c…' strings are
+    // by prefix — and the strings are formatted only on the final 100 rows.
+    // Longs hash/compare cheaper than strings in every per-iteration join
+    // and agg, and the cached edge table shrinks to fixed-width columns
+    // (at 10⁹ edges that's the difference between a RAM-resident and a
+    // spilling cache). The graph is isomorphic, integer rank mass is
+    // unchanged, so results are bit-identical to the string-keyed oracle.
+    val sNode = col("s").cast("long") * 2 + 1
+    val cNode = col("c").cast("long") * 2
+    val edges = pairs.select(sNode.as("src"), cNode.as("dst"))
+      .unionAll(pairs.select(cNode.as("src"), sNode.as("dst")))
     // out-degree via hash-agg + equi-join, NOT a window over the edges: a
     // window partitioned by src buffers each node's ENTIRE edge list in one
     // task, so a power-law hub becomes a spill-straggler at scale. The
@@ -49,10 +57,10 @@ object Relational {
     // cache layout needs anyway.
     val deg = edges.groupBy("src").agg(count(lit(1)).as("od"))
     val edgesOd = edges.join(deg, "src").select("src", "dst", "od").persist()
-    // node set = both prefixed key sets (disjoint by prefix, so unionAll
-    // of the two distincts is already a set)
-    var ranks = pairs.select(concat(lit("s"), col("s")).as("node")).distinct()
-      .unionAll(pairs.select(concat(lit("c"), col("c")).as("node")).distinct())
+    // node set = both key sets (disjoint by parity, so unionAll of the
+    // two distincts is already a set)
+    var ranks = pairs.select(sNode.as("node")).distinct()
+      .unionAll(pairs.select(cNode.as("node")).distinct())
       .select(col("node"), lit(1000000L).as("rank"))
     // the cached table is self-joined across rounds: alias per round
     for (i <- 1 to 5) {
@@ -63,7 +71,12 @@ object Relational {
         .agg((lit(150000L) + sum(col("out"))).as("rank"))
         .select(col("dst").as("node"), col("rank"))
     }
-    (ranks.select(col("node"), col("rank").cast("long").as("rank"))
+    // public node names only now, on node-count rows (top-100 after one
+    // TakeOrderedAndProject): odd → 's'+(id-1)/2, even → 'c'+id/2
+    (ranks.select(
+        concat(when(col("node") % 2 === 1, lit("s")).otherwise(lit("c")),
+          shiftright(col("node"), 1).cast("string")).as("node"),
+        col("rank").cast("long").as("rank"))
       .orderBy(col("rank").desc, col("node")).limit(100), edgesOd)
   }
   private def davg(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double") / count(lit(1))
@@ -1096,12 +1109,16 @@ object Relational {
       val pairs = t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck")).distinct()
-      val edges = pairs.select(concat(lit("s"), col("sk")).as("src"),
-          concat(lit("c"), col("ck")).as("dst"))
-        .unionAll(pairs.select(concat(lit("c"), col("ck")).as("src"),
-          concat(lit("s"), col("sk")).as("dst")))
+      // node ids are internal-only here (the census never names a node),
+      // so the engine walks LONG keys — suppliers odd (2s+1), customers
+      // even (2c), disjoint by parity — while the oracle keeps its string
+      // prefixes: the graphs are isomorphic and only distances surface
+      val sN = col("sk").cast("long") * 2 + 1
+      val cN = col("ck").cast("long") * 2
+      val edges = pairs.select(sN.as("src"), cN.as("dst"))
+        .unionAll(pairs.select(cN.as("src"), sN.as("dst")))
       val seeds = t(s, dir, "supplier").filter(col("s_suppkey") < 10)
-        .select(concat(lit("s"), col("s_suppkey")).as("node"))
+        .select((col("s_suppkey").cast("long") * 2 + 1).as("node"))
       bfsCensus(s, edges, seeds, hops = 4)
     },
 
