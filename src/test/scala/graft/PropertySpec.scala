@@ -113,6 +113,86 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("manifest summary fold is sound: a skipped manifest holds no may-matching file") {
+    // The manifest-skip inductive step ([[TableMeta.filesMatching]]): when
+    // FilePruner prunes the FOLDED pseudo-entry, it must be the case that
+    // it would prune EVERY member file — otherwise skipping the manifest
+    // silently drops live rows at planning time (unrecoverable, unlike a
+    // false keep). Together with the per-file soundness property above,
+    // this makes the whole skip row-sound by transitivity. Covers both
+    // comparison kinds ('n' long, 's' UTF8 string), missing bounds
+    // (all-null files poison the key → conservative), and null counts.
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.catalog.{FilePruner, ManifestSummary}
+    val schema = StructType(Seq(StructField("k", LongType), StructField("s", StringType)))
+    val kinds = Map("k" -> 'n', "s" -> 's')
+    val kAttr = ce.AttributeReference("k", LongType)()
+    val sAttr = ce.AttributeReference("s", StringType)()
+    def u8lt(a: String, b: String) =
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+    val genStr: Gen[String] = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)), Gen.oneOf("", "a", "z", "é", "￿", "m0"))
+    val genOneFile: Gen[DataFileMeta] = for {
+      rows <- Gen.choose(1L, 10000L)
+      lo <- Gen.choose(-1000L, 1000L)
+      span <- Gen.choose(0L, 500L)
+      s1 <- genStr
+      s2 <- genStr
+      kNulls <- Gen.choose(0L, rows)
+      sNulls <- Gen.choose(0L, rows)
+      dropK <- Gen.prob(0.15)
+      dropS <- Gen.prob(0.15)
+    } yield {
+      val (sLo, sHi) = if (u8lt(s2, s1)) (s2, s1) else (s1, s2)
+      val mins = (if (dropK) Map.empty[String, String] else Map("k" -> lo.toString)) ++
+        (if (dropS) Map.empty[String, String] else Map("s" -> sLo))
+      val maxs = (if (dropK) Map.empty[String, String] else Map("k" -> (lo + span).toString)) ++
+        (if (dropS) Map.empty[String, String] else Map("s" -> sHi))
+      DataFileMeta("f", rows, 1L, mins, maxs, Map("k" -> kNulls, "s" -> sNulls))
+    }
+    val genFiles: Gen[List[DataFileMeta]] =
+      Gen.choose(1, 8).flatMap(Gen.listOfN(_, genOneFile))
+    val genLeaf: Gen[ce.Expression] = for {
+      v <- Gen.choose(-1200L, 1200L)
+      sv <- genStr
+      shape <- Gen.choose(0, 9)
+    } yield shape match {
+      case 0 => ce.EqualTo(kAttr, ce.Literal(v))
+      case 1 => ce.GreaterThan(kAttr, ce.Literal(v))
+      case 2 => ce.LessThan(kAttr, ce.Literal(v))
+      case 3 => ce.GreaterThanOrEqual(kAttr, ce.Literal(v))
+      case 4 => ce.LessThanOrEqual(kAttr, ce.Literal(v))
+      case 5 => ce.EqualTo(sAttr, ce.Literal(UTF8String.fromString(sv), StringType))
+      case 6 => ce.GreaterThan(sAttr, ce.Literal(UTF8String.fromString(sv), StringType))
+      case 7 => ce.LessThan(sAttr, ce.Literal(UTF8String.fromString(sv), StringType))
+      case 8 => ce.IsNull(kAttr)
+      case 9 => ce.IsNotNull(sAttr)
+    }
+    val genExpr: Gen[ce.Expression] = for {
+      a <- genLeaf
+      b <- genLeaf
+      shape <- Gen.choose(0, 2)
+    } yield shape match {
+      case 0 => a
+      case 1 => ce.And(a, b)
+      case 2 => ce.Or(a, b)
+    }
+    var skips = 0
+    forAll(genFiles, genExpr) { (files, e) =>
+      val (mins, maxs, nulls) = ManifestSummary.fold(files, kinds)
+      val pseudo = DataFileMeta("m", files.map(_.rowCount).sum, 1L, mins, maxs, nulls)
+      if (!FilePruner.mayMatch(e, pseudo, schema)) {
+        skips += 1
+        files.foreach(f => assert(!FilePruner.mayMatch(e, f, schema),
+          s"manifest skipped by $e but member file may match: " +
+            s"file=[${f.minValues}..${f.maxValues}, nulls=${f.nullCounts}, rows=${f.rowCount}] " +
+            s"summary=[$mins..$maxs, nulls=$nulls]"))
+      }
+    }
+    assert(skips >= 20, s"vacuous run: only $skips of 300 trials skipped the manifest")
+  }
+
   test("bloom pruning is sound end-to-end: a present value's file is never pruned") {
     // the full writer→canonical→pruner path: values inserted through
     // FileBloom.add with the WRITER's rendering, probed through
