@@ -1506,6 +1506,117 @@ object Relational {
             "transform(array_sort(collect_list(struct(s_acctbal, s_name))), x -> x.s_name)"),
             ";").as("names"))
         .orderBy("nation")
+    },
+
+    // ───── q141: relational division (FOR-ALL semantics) ─────────────────
+    // "Customers who ordered at EVERY priority level" — the universal
+    // quantifier every segmentation/compliance query needs ("users active
+    // in all regions", "docs passing every filter stage"). The textbook
+    // double-NOT-EXISTS decorrelates into two nested anti-joins that
+    // re-scan orders; division-by-counting is the scale shape: ONE
+    // distinct-aggregate per customer, one global distinct (a broadcast
+    // scalar), one equality — all hash operators, orders scanned once per
+    // distinct, never correlated. Counting is exact because count(DISTINCT)
+    // compares the customer's coverage to the full domain's.
+    QueryDef.df(
+      "q141_relational_division",
+      """WITH pr AS (SELECT count(DISTINCT o_orderpriority) AS np FROM orders),
+        |per AS (SELECT o_custkey, count(DISTINCT o_orderpriority) AS c
+        |        FROM orders GROUP BY 1)
+        |SELECT c_nationkey AS nation,
+        |  CAST(count(*) AS BIGINT) AS n_full_coverage
+        |FROM customer JOIN per ON c_custkey = o_custkey, pr
+        |WHERE per.c = pr.np
+        |GROUP BY 1 ORDER BY nation""".stripMargin) { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val np = orders.agg(countDistinct(col("o_orderpriority")).as("np"))
+      val per = orders.groupBy("o_custkey")
+        .agg(countDistinct(col("o_orderpriority")).as("c"))
+      val div = per.crossJoin(broadcast(np)).where(col("c") === col("np"))
+      t(s, dir, "customer")
+        .join(div, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_nationkey").cast("int").as("nation"))
+        .agg(count(lit(1)).as("n_full_coverage"))
+        .orderBy("nation")
+    },
+
+    // ───── q142: running DISTINCT count (cumulative unique users) ────────
+    // Distinct-users-to-date per event type per day — the growth-curve /
+    // saturation metric every product and corpus dashboard draws. Spark
+    // has NO windowed DISTINCT aggregate; the scalable identity is
+    // first-occurrence attribution: a user's FIRST event (row_number = 1
+    // over (type, user) by time) adds them to exactly one day, daily
+    // new-user counts hash-aggregate, and the cumulative sum runs over the
+    // tiny (type, day) table — never a per-row distinct state. The
+    // row_number compiles map-side (WindowGroupLimit shape); the only
+    // full-row shuffle is the (type, user) repartition. The oracle runs
+    // the SAME portable ANSI (DuckDB's native windowed DISTINCT would be
+    // an independent path, but first-occurrence is the form both engines
+    // plan well — the identity itself is what this query certifies).
+    QueryDef.df(
+      "q142_running_distinct",
+      """WITH f AS (
+        |  SELECT event_type, user_id, CAST(ts AS DATE) AS day,
+        |    row_number() OVER (PARTITION BY event_type, user_id ORDER BY ts) AS rn
+        |  FROM events),
+        |d AS (SELECT event_type, day,
+        |        CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS new_users
+        |      FROM f GROUP BY 1, 2)
+        |SELECT event_type, day,
+        |  CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT)
+        |    AS cum_distinct_users
+        |FROM d ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val firsts = t(s, dir, "events")
+        .select(col("event_type"), col("user_id"), col("ts").cast("date").as("day"),
+          row_number().over(Window.partitionBy("event_type", "user_id")
+            .orderBy("ts")).as("rn"))
+      val daily = firsts.groupBy("event_type", "day")
+        .agg(sum(when(col("rn") === 1, 1L).otherwise(0L)).as("new_users"))
+      daily.select(col("event_type"), col("day"),
+          sum(col("new_users")).over(Window.partitionBy("event_type")
+            .orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("cum_distinct_users"))
+        .orderBy("event_type", "day")
+    },
+
+    // ───── q143: last-observation-carried-forward (LOCF) attribution ─────
+    // "Most recent purchase amount as of each event" — the imputation /
+    // attribution shape feature pipelines run constantly (carry the last
+    // known label, price, or sensor reading forward onto every row).
+    // last_value(... IGNORE NULLS) over a running frame is the whole
+    // operator: one per-user sort inside the window, no self-join, no
+    // as-of join against the purchases subset (which would re-shuffle
+    // events twice). Aggregated by type with max/count only — both
+    // order-independent, so doubles cross engines bit-exactly (no float
+    // sums). ts is unique per user in this corpus; the event_id tiebreak
+    // keeps the frame total-ordered anyway (two engines may otherwise
+    // legally disagree inside a tie).
+    QueryDef.df(
+      "q143_locf_attribution",
+      """WITH e AS (
+        |  SELECT event_type,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(last_purchase) AS BIGINT) AS n_attributed,
+        |  CAST(max(last_purchase) AS DOUBLE) AS max_attributed
+        |FROM e GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_type"),
+          last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true)
+            .over(w).as("last_purchase"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          count(col("last_purchase")).as("n_attributed"),
+          max(col("last_purchase")).as("max_attributed"))
+        .orderBy("event_type")
     })
 
   /** q121's plan, exposed for the plan audit: backbone edges and oriented

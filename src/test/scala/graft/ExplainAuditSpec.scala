@@ -401,4 +401,26 @@ class ExplainAuditSpec extends AnyFunSuite {
     assert(p.lastIndexOf("HashAggregate") > p.lastIndexOf("Exchange"),
       s"expanded rows must partial-aggregate before the shuffle:\n$p")
   }
+
+  test("q141 relational division: hash aggs + broadcast scalar, no correlated anti-joins") {
+    val p = plan("q141_relational_division")
+    // the division is counting (one distinct-agg per customer vs one
+    // broadcast global distinct) — the double-NOT-EXISTS form would show
+    // two anti/existence joins re-scanning orders
+    assert(!p.contains("LeftAnti") && !p.contains("ExistenceJoin"),
+      s"division must be counting, not nested NOT EXISTS:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"the one-row global-distinct side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cross product:\n$p")
+  }
+
+  test("q142 running distinct: one full-row shuffle, cumulative sum over the tiny daily table") {
+    val p = plan("q142_running_distinct")
+    // first-occurrence window shuffles events once on (type, user); the
+    // daily agg and the running sum add their own small exchanges but
+    // never a second events-wide shuffle or a sort-merge self-join
+    assert(!p.contains("SortMergeJoin") && !p.contains("Join"),
+      s"running distinct must be window+agg, never a self-join:\n$p")
+    assert("Window".r.findAllIn(p).size >= 2, s"expected two windows (rn + cumsum):\n$p")
+  }
 }
