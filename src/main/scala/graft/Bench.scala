@@ -28,8 +28,14 @@ object Bench {
     // the max-min spread is reported so variance stays visible.
     val runsPer = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // optional arg: comma-separated query names — bench just those (local
-    // A/B iteration; the driver passes no args and gets the full sweep)
+    // A/B iteration; the driver passes no args and gets the full sweep).
+    // Unknown names fail loudly: a typo'd filter silently benching
+    // nothing would masquerade as a measurement.
     val only = args.headOption.map(_.split(",").map(_.trim).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown bench queries: ${unknown.mkString(", ")}")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

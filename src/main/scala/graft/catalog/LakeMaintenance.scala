@@ -747,12 +747,13 @@ object LakeMaintenance {
       case None =>
         TableMeta.empty(destLoc, meta0.schema, meta0.partitionColumns, props)
       case Some(s) =>
+        val statKinds = meta0.physicalStatKinds // once, not per manifest
         val copied = meta0.manifestsOf(s).map { m =>
           // readWithBlooms: the clone's manifests get their own bloom
           // sidecars, so point-lookup pruning survives the copy
           ManifestIO.write(destLoc, s.snapshotId,
             ManifestIO.readWithBlooms(m.location, hadoopConf), hadoopConf, m.kind,
-            statKinds = meta0.physicalStatKinds)
+            statKinds = statKinds)
         }
         val listLoc = ManifestIO.writeList(destLoc, s.snapshotId, copied, hadoopConf)
         // the clone speaks the schema AS OF the cloned snapshot (matters

@@ -135,12 +135,17 @@ object MetadataTables {
       StructField("summary_mins", MapType(StringType, StringType), nullable = false),
       StructField("summary_maxs", MapType(StringType, StringType), nullable = false),
       StructField("summary_null_counts", MapType(StringType, LongType), nullable = false)))
-    val p2l = meta.l2pMap.map(_.swap)
-    def toLogical[V](m: Map[String, V]): Map[String, V] =
-      m.map { case (k, v) => p2l.getOrElse(k, k) -> v }
     val rows = meta.snapshot(meta.currentSnapshotId).map(meta.manifestsOf).getOrElse(Nil)
-      .map(m => Row(m.location, m.kind, m.nFiles, m.nRows, m.nBytes,
-        toLogical(m.boundMins), toLogical(m.boundMaxs), toLogical(m.boundNulls)))
+      .map { m =>
+        // the FULL remap (plain columns, transform stat keys, shredded
+        // variant keys) — the same one scan planning applies, so this
+        // view shows exactly the keys a pushed predicate is matched
+        // against, not a half-translated mixture
+        val pseudo = meta.logicalStatFiles(Seq(DataFileMeta(
+          m.location, m.nRows, m.nBytes, m.boundMins, m.boundMaxs, m.boundNulls))).head
+        Row(m.location, m.kind, m.nFiles, m.nRows, m.nBytes,
+          pseudo.minValues, pseudo.maxValues, pseudo.nullCounts)
+      }
     RowsTable(display, schema, rows)
   }
 

@@ -858,7 +858,7 @@ object CasCommit {
     while (probes < CasRetry.maxAttempts) {
       probes += 1
       val cur = try store.load(namespace, tableName)
-      catch { case _: java.sql.SQLException => CasRetry.backoff(probes); None }
+      catch { case _: java.sql.SQLException => None } // None arm backs off
       cur match {
         case Some(l) if l == newLoc => return 1
         case Some(l) if l == prevLoc =>
@@ -871,7 +871,21 @@ object CasCommit {
         case Some(other) =>
           newHead match {
             case Some(h) if h.listLocation.isDefined =>
-              val curMeta = TableMeta.read(other, hadoopConf)
+              // the read of the interloper's metadata doc is itself
+              // fallible (transient object-store error) — while it fails,
+              // the outcome stays AMBIGUOUS, and only
+              // CommitStateUnknownException keeps every abort path's
+              // no-cleanup guard engaged; a bare IOException here would
+              // let abort() delete files a landed commit references
+              val curMeta =
+                try TableMeta.read(other, hadoopConf)
+                catch {
+                  case e: Exception =>
+                    throw new CommitStateUnknownException(
+                      s"$operation on $ident: CAS outcome unknown (probe of " +
+                        s"current pointer $other failed: ${e.getMessage}) — " +
+                        "files were NOT cleaned up", torn)
+                }
               return if (curMeta.snapshots.exists(s =>
                 s.snapshotId == h.snapshotId && s.listLocation == h.listLocation)) 1
               else 0
@@ -881,11 +895,15 @@ object CasCommit {
                   s"pointer moved to $other, and this commit carries no " +
                   "discriminating snapshot) — files were NOT cleaned up", torn)
           }
-        case None => // no row while we probe: load failed or table dropped
+        case None => // no row: load failed (already backed off) or the
+          // table's row is genuinely absent (concurrent DROP) — back off
+          // before re-probing either way, and say which one happened
           if (probes >= CasRetry.maxAttempts)
             throw new CommitStateUnknownException(
-              s"$operation on $ident: CAS outcome unknown (store unreachable " +
-                s"after $probes probes) — files were NOT cleaned up", torn)
+              s"$operation on $ident: CAS outcome unknown (no pointer row " +
+                s"after $probes probes — store unreachable or table " +
+                "concurrently dropped) — files were NOT cleaned up", torn)
+          CasRetry.backoff(probes)
       }
     }
     throw new CommitStateUnknownException(
@@ -1016,8 +1034,13 @@ object VariantShred extends org.apache.spark.internal.Logging {
     else {
       val commaPieces = spec.split(',')
       if (commaPieces.forall(e => e.trim.isEmpty || wellFormed(e.trim)))
+        entriesOf(commaPieces) // clean legacy multi-entry
+      else if (wellFormed(spec.trim))
+        entriesOf(Array(spec)) // ONE entry whose type contains a comma
+      else
+        // degraded legacy: keep every piece that parses, warn per bad
+        // piece — one malformed entry must not silently disable the rest
         entriesOf(commaPieces)
-      else entriesOf(Array(spec))
     }
   }
 
@@ -1209,6 +1232,10 @@ object TableMeta {
     val (base, newFiles) =
       if (newContent == "data") stampRowIds(base0, newFiles0) else (base0, newFiles0)
     val snapId = base.nextSnapshotId
+    // one kinds computation for the whole rewrite — the per-manifest loop
+    // below would otherwise re-derive it (partition parsing + shred-type
+    // DataType.fromDDL) once per kept manifest
+    val statKinds = base.physicalStatKinds
     val kept = base.snapshot(base.currentSnapshotId)
       .map(normalized(base, _, conf)).getOrElse(Nil)
       .flatMap { mm =>
@@ -1221,13 +1248,13 @@ object TableMeta {
             .filterNot(e => replacedPaths(e.path))
           if (rest.isEmpty) None
           else Some(ManifestIO.write(base.location, snapId, rest, conf, mm.kind,
-            statKinds = base.physicalStatKinds))
+            statKinds = statKinds))
         }
       }
     val ms =
       if (newFiles.isEmpty) kept
       else kept :+ ManifestIO.write(base.location, snapId, newFiles, conf, newContent,
-        statKinds = base.physicalStatKinds)
+        statKinds = statKinds)
     finish(base, snapId, operation, ms, Map.empty, conf)
   }
 

@@ -147,4 +147,20 @@ class VariantSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) AS c FROM $t WHERE id < 10").head().getLong(0) == 10)
     spark.sql(s"DROP TABLE $t")
   }
+
+  test("shred-spec parsing: one malformed legacy entry never disables the valid ones") {
+    import graft.catalog.VariantShred.parse
+    // `;` authoritative, commas inside types survive
+    assert(parse("a:$.x:int;b:$.y:decimal(10,2)") ==
+      Seq(("a", "$.x", "int"), ("b", "$.y", "decimal(10,2)")))
+    // single parameterized entry with NO `;`: the comma belongs to the type
+    assert(parse("c:$.p:decimal(10,2)") == Seq(("c", "$.p", "decimal(10,2)")))
+    // clean legacy comma list
+    assert(parse("a:$.x:int,b:$.y:bigint") ==
+      Seq(("a", "$.x", "int"), ("b", "$.y", "bigint")))
+    // degraded legacy: the bad piece is skipped LOUDLY, the good one kept —
+    // it must not poison the whole spec into a silent no-op
+    assert(parse("a:$.x:int,oops") == Seq(("a", "$.x", "int")))
+    assert(parse("garbage") == Nil)
+  }
 }
