@@ -192,6 +192,12 @@ final class LakeTable(
       l2p = meta.l2pMap,
       deleteFiles = snap.map(meta.deleteFilesOf).getOrElse(Nil),
       eqDeletes = snap.map(meta.eqDeleteFilesOf).getOrElse(Nil),
+      eqDeleteMatching =
+        if (options.containsKey("start-snapshot-id")) None
+        else snap.map(sn =>
+          (filterExprs: Seq[Expression]) => meta.eqDeleteFilesMatching(sn, filterExprs)),
+      eqDeletesExist =
+        snap.map(sn => meta.manifestsOf(sn).exists(_.kind == "eq-deletes")),
       eqKeySchema = meta.upsertKeySchema,
       ndv = ndvStats,
       kll = kllStats,
@@ -599,7 +605,7 @@ final class LakeScanBuilder(
     partitionCols: Seq[String] = Nil,
     l2p: Map[String, String] = Map.empty,
     deleteFiles: Seq[DataFileMeta] = Nil,
-    eqDeletes: Seq[DataFileMeta] = Nil,
+    eqDeletes: => Seq[DataFileMeta] = Nil,
     eqKeySchema: Option[StructType] = None,
     ndv: Map[String, Long] = Map.empty,
     kll: Map[String, Array[Byte]] = Map.empty,
@@ -610,7 +616,15 @@ final class LakeScanBuilder(
     // pushed filters instead of forcing the full `files` list — a
     // selective scan of a many-manifest table never opens non-matching
     // manifests ([[TableMeta.filesMatching]])
-    manifestMatching: Option[Seq[Expression] => Seq[DataFileMeta]] = None)
+    manifestMatching: Option[Seq[Expression] => Seq[DataFileMeta]] = None,
+    // the eq-delete twin: a filtered scan resolves its equality deletes
+    // through the per-manifest KEY-bound summaries, skipping epochs whose
+    // keys provably can't satisfy the predicate
+    // ([[TableMeta.eqDeleteFilesMatching]]); `eqDeletesExist` answers the
+    // cheap presence questions (limit/top-N/agg-pushdown gating) from the
+    // manifest list without opening any eq manifest
+    eqDeleteMatching: Option[Seq[Expression] => Seq[DataFileMeta]] = None,
+    eqDeletesExist: Option[Boolean] = None)
   extends ScanBuilder with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
   with org.apache.spark.sql.connector.read.SupportsPushDownLimit
@@ -620,6 +634,9 @@ final class LakeScanBuilder(
   // full file list, forced only by paths that genuinely need every entry
   // (metadata-only aggregates, filterless scans, limit/top-N pruning)
   private lazy val allFiles: Seq[DataFileMeta] = files
+  // full eq-delete list, forced only when no skip source can narrow it
+  private lazy val allEqDeletes: Seq[DataFileMeta] = eqDeletes
+  private def hasEqDeletes: Boolean = eqDeletesExist.getOrElse(allEqDeletes.nonEmpty)
   private var requiredSchema: StructType = tableSchema
   private var pushedAgg: Option[StatsAggregates.Pushed] = None
   private var limit: Option[Int] = None
@@ -637,7 +654,7 @@ final class LakeScanBuilder(
   // (see build()). EQUALITY deletes still refuse: one key's physical kill
   // count is unbounded and not metadata-derivable.
   override def pushLimit(n: Int): Boolean = {
-    if (eqDeletes.isEmpty) limit = Some(n)
+    if (!hasEqDeletes) limit = Some(n)
     false // never fully pushed — Spark re-applies the limit
   }
   override def isPartiallyPushed(): Boolean = true
@@ -645,7 +662,7 @@ final class LakeScanBuilder(
   override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       n: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
-    if (eqDeletes.isEmpty) orders match {
+    if (!hasEqDeletes) orders match {
       case Array(o) => o.expression() match {
         case r: NamedReference if r.fieldNames().length == 1 =>
           topN = Some((r.fieldNames()(0), o.direction() == SortDirection.DESCENDING, n))
@@ -663,7 +680,7 @@ final class LakeScanBuilder(
   // aggregates only when no Filter remains above the relation) but are
   // re-checked for safety.
   private def aggFromStats(agg: Aggregation): Option[StatsAggregates.Pushed] =
-    if (exprs.nonEmpty || deleteFiles.nonEmpty || eqDeletes.nonEmpty) None
+    if (exprs.nonEmpty || deleteFiles.nonEmpty || hasEqDeletes) None
     else StatsAggregates.compute(agg, tableSchema, allFiles)
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
@@ -729,9 +746,18 @@ final class LakeScanBuilder(
       }
     }
     onFilesSelected(pruned)
+    // eq-delete planning skip: a filtered scan resolves its eq deletes
+    // through the per-manifest key-bound summaries; filterless scans (and
+    // builders without a skip source) read the full list as before
+    val eqs =
+      if (!hasEqDeletes) Nil
+      else eqDeleteMatching match {
+        case Some(em) if exprs.nonEmpty => em(exprs)
+        case _ => allEqDeletes
+      }
     new LakeScan(ident, tableSchema, pruned, exprs, requiredSchema, options,
       runtimeFilterCols, onFilesSelected, microBatch, partitionCols, l2p, deleteFiles,
-      eqDeletes, eqKeySchema, ndv, kll, sortOrder, bloomFor)
+      eqs, eqKeySchema, ndv, kll, sortOrder, bloomFor)
   }
 }
 

@@ -397,6 +397,29 @@ final case class TableMeta(
     ManifestIO.readAll(
       manifestsOf(s).filter(_.kind == "eq-deletes").map(_.location), ioConf)
 
+  /** Equality-delete entries that can matter for a scan with pushed
+    * filters `exprs` — the eq-delete twin of [[filesMatching]]: an
+    * eq-delete manifest whose folded KEY bounds provably exclude every
+    * pushed predicate is never opened. Soundness has two independent
+    * legs: (1) a delete whose keys cannot satisfy the predicate only
+    * kills rows that fail the predicate, which the scan would not return
+    * anyway, and (2) the scan's pushdown contract keeps EVERY filter as
+    * a post-scan Filter (LakeScanBuilder.pushFilters returns all), so
+    * even a leaked undeleted row is re-filtered above the scan. On a
+    * streaming-CDC table with many per-epoch eq manifests, a key point
+    * lookup plans O(matching epochs), not O(all epochs).
+    */
+  def eqDeleteFilesMatching(s: SnapshotMeta,
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[DataFileMeta] = {
+    val ms = manifestsOf(s).filter(_.kind == "eq-deletes")
+    val kept = ms.filter { mm =>
+      val pseudo = summaryEntry(mm)
+      exprs.forall(e => FilePruner.mayMatch(e, pseudo, schema))
+    }
+    ManifestIO.manifestsSkipped.addAndGet((ms.size - kept.size).toLong)
+    ManifestIO.readAll(kept.map(_.location), ioConf)
+  }
+
   def currentEqDeleteFiles: Seq[DataFileMeta] =
     snapshot(currentSnapshotId).map(eqDeleteFilesOf).getOrElse(Nil)
 
