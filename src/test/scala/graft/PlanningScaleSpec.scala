@@ -174,6 +174,43 @@ class PlanningScaleSpec extends AnyFunSuite {
     spark.sql("DROP TABLE lake.scale.manif")
   }
 
+  test("eq-delete planning skip at scale: 100 epochs, a key probe opens one manifest") {
+    // a streaming-CDC table between compactions: one eq-delete manifest
+    // per epoch, key ranges disjoint (epoch m upserted keys
+    // [m*1000, m*1000+999]); a key point lookup must open O(matching)
+    // manifests, not O(epochs) — the eq twin of the data-side skip
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = java.nio.file.Files.createTempDirectory("graft-eqskip").toString
+    val schema = StructType(Seq(StructField("k", LongType), StructField("v", StringType)))
+    var meta = TableMeta.empty(dir, schema, Nil,
+      Map("commit.manifest-merge.enabled" -> "false"))
+    val epochs = 100
+    (0 until epochs).foreach { m =>
+      val del = DataFileMeta(s"$dir/data/eq-$m.parquet", 100L, 1024L,
+        minValues = Map("k" -> (m.toLong * 1000).toString),
+        maxValues = Map("k" -> (m.toLong * 1000 + 999).toString),
+        nullCounts = Map("k" -> 0L))
+      meta = TableMeta.withDelta(meta, "upsert", Nil, Seq(del), conf, "eq-deletes")
+    }
+    val sn = meta.snapshot(meta.currentSnapshotId).get
+    assert(meta.eqDeleteFilesOf(sn).size == epochs) // filterless = everything
+    val kAttr = ce.AttributeReference("k", LongType)()
+    val reads0 = ManifestIO.manifestReads.get()
+    val skips0 = ManifestIO.manifestsSkipped.get()
+    val hit = meta.eqDeleteFilesMatching(sn, Seq(ce.EqualTo(kAttr, ce.Literal(42042L))))
+    assert(hit.map(_.minValues("k")) == Seq("42000"),
+      s"expected exactly epoch 42's tombstones, got ${hit.map(_.minValues)}")
+    assert(ManifestIO.manifestsSkipped.get() - skips0 == epochs - 1)
+    assert(ManifestIO.manifestReads.get() - reads0 <= 1,
+      "a key probe must resolve at most the one covering eq manifest")
+    // provably-empty key predicate opens nothing
+    val reads1 = ManifestIO.manifestReads.get()
+    assert(meta.eqDeleteFilesMatching(sn, Seq(ce.LessThan(kAttr, ce.Literal(-1L)))).isEmpty)
+    assert(ManifestIO.manifestReads.get() == reads1)
+  }
+
   test("parallel manifest reads: cold readAll is content- and order-identical to serial") {
     // 300 manifests > the 256-entry LRU, so the first readAll sweep does
     // REAL concurrent IO for evicted documents, not just cache hits
