@@ -135,17 +135,15 @@ object MetadataTables {
       StructField("summary_mins", MapType(StringType, StringType), nullable = false),
       StructField("summary_maxs", MapType(StringType, StringType), nullable = false),
       StructField("summary_null_counts", MapType(StringType, LongType), nullable = false)))
-    val rows = meta.snapshot(meta.currentSnapshotId).map(meta.manifestsOf).getOrElse(Nil)
-      .map { m =>
-        // the FULL remap (plain columns, transform stat keys, shredded
-        // variant keys) — the same one scan planning applies, so this
-        // view shows exactly the keys a pushed predicate is matched
-        // against, not a half-translated mixture
-        val pseudo = meta.logicalStatFiles(Seq(DataFileMeta(
-          m.location, m.nRows, m.nBytes, m.boundMins, m.boundMaxs, m.boundNulls))).head
-        Row(m.location, m.kind, m.nFiles, m.nRows, m.nBytes,
-          pseudo.minValues, pseudo.maxValues, pseudo.nullCounts)
-      }
+    // the FULL remap (plain columns, transform stat keys, shredded variant
+    // keys) — the same one scan planning applies, so this view shows
+    // exactly the keys a pushed predicate is matched against; batched so
+    // the remap table builds once, not once per manifest row
+    val ms = meta.snapshot(meta.currentSnapshotId).map(meta.manifestsOf).getOrElse(Nil)
+    val rows = ms.zip(meta.summaryEntries(ms)).map { case (m, pseudo) =>
+      Row(m.location, m.kind, m.nFiles, m.nRows, m.nBytes,
+        pseudo.minValues, pseudo.maxValues, pseudo.nullCounts)
+    }
     RowsTable(display, schema, rows)
   }
 

@@ -356,13 +356,27 @@ final case class TableMeta(
     fields ++ parts ++ shreds
   }
 
-  /** A manifest's summary viewed as ONE [[DataFileMeta]] describing its
-    * whole row union, stat keys re-mapped to logical names — evaluated by
-    * the same pruners as per-file stats.
+  /** Manifests' summaries viewed as [[DataFileMeta]]s describing each
+    * one's whole row union, stat keys re-mapped to logical names in ONE
+    * batched pass (the remap table builds once, not once per manifest) —
+    * evaluated by the same pruners as per-file stats.
     */
-  private def summaryEntry(m: ManifestMeta): DataFileMeta =
-    logicalStatFiles(Seq(DataFileMeta(m.location, m.nRows, m.nBytes,
-      m.boundMins, m.boundMaxs, m.boundNulls))).head
+  private[catalog] def summaryEntries(ms: Seq[ManifestMeta]): Seq[DataFileMeta] =
+    logicalStatFiles(ms.map(m => DataFileMeta(m.location, m.nRows, m.nBytes,
+      m.boundMins, m.boundMaxs, m.boundNulls)))
+
+  /** The shared manifest-skip core: open only manifests whose summary
+    * pseudo-entry `mayKeep` accepts; both the data-side and the
+    * eq-delete-side skip route through here so the pruning contract
+    * (counter semantics, legacy-summary conservatism, remap) can't drift
+    * between them.
+    */
+  private def matchingEntries(ms: Seq[ManifestMeta],
+      mayKeep: DataFileMeta => Boolean): Seq[DataFileMeta] = {
+    val kept = ms.zip(summaryEntries(ms)).collect { case (m, p) if mayKeep(p) => m }
+    ManifestIO.manifestsSkipped.addAndGet((ms.size - kept.size).toLong)
+    ManifestIO.readAll(kept.map(_.location), ioConf)
+  }
 
   /** Data files of `s` from manifests that MAY hold rows matching `exprs`
     * — manifest-LEVEL planning skip via the per-manifest summaries. A
@@ -373,15 +387,10 @@ final case class TableMeta(
     */
   def filesMatching(s: SnapshotMeta,
       exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[DataFileMeta] = {
-    val ms = manifestsOf(s).filter(_.isData)
     val pf = partitionFields
-    val kept = ms.filter { mm =>
-      val pseudo = summaryEntry(mm)
-      exprs.forall(e => FilePruner.mayMatch(e, pseudo, schema) &&
-        BucketPruner.mayMatch(e, pseudo, pf))
-    }
-    ManifestIO.manifestsSkipped.addAndGet((ms.size - kept.size).toLong)
-    ManifestIO.readAll(kept.map(_.location), ioConf) ++ s.inlineFiles
+    matchingEntries(manifestsOf(s).filter(_.isData),
+      pseudo => exprs.forall(e => FilePruner.mayMatch(e, pseudo, schema) &&
+        BucketPruner.mayMatch(e, pseudo, pf))) ++ s.inlineFiles
   }
 
   /** A snapshot's positional-delete files (merge-on-read tombstones). */
@@ -410,15 +419,9 @@ final case class TableMeta(
     * lookup plans O(matching epochs), not O(all epochs).
     */
   def eqDeleteFilesMatching(s: SnapshotMeta,
-      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[DataFileMeta] = {
-    val ms = manifestsOf(s).filter(_.kind == "eq-deletes")
-    val kept = ms.filter { mm =>
-      val pseudo = summaryEntry(mm)
-      exprs.forall(e => FilePruner.mayMatch(e, pseudo, schema))
-    }
-    ManifestIO.manifestsSkipped.addAndGet((ms.size - kept.size).toLong)
-    ManifestIO.readAll(kept.map(_.location), ioConf)
-  }
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[DataFileMeta] =
+    matchingEntries(manifestsOf(s).filter(_.kind == "eq-deletes"),
+      pseudo => exprs.forall(e => FilePruner.mayMatch(e, pseudo, schema)))
 
   def currentEqDeleteFiles: Seq[DataFileMeta] =
     snapshot(currentSnapshotId).map(eqDeleteFilesOf).getOrElse(Nil)
@@ -896,31 +899,37 @@ object CasCommit {
             case Some(h) if h.listLocation.isDefined =>
               // the read of the interloper's metadata doc is itself
               // fallible (transient object-store error) — while it fails,
-              // the outcome stays AMBIGUOUS, and only
-              // CommitStateUnknownException keeps every abort path's
-              // no-cleanup guard engaged; a bare IOException here would
-              // let abort() delete files a landed commit references
+              // the outcome stays AMBIGUOUS: back off and re-probe within
+              // the remaining budget (the failure may be one throttled
+              // GET), and only when the budget is spent escalate as
+              // CommitStateUnknownException, which keeps every abort
+              // path's no-cleanup guard engaged; a bare IOException here
+              // would let abort() delete files a landed commit references
               val curMeta =
                 try TableMeta.read(other, hadoopConf)
                 catch {
                   case e: Exception =>
-                    throw new CommitStateUnknownException(
-                      s"$operation on $ident: CAS outcome unknown (probe of " +
-                        s"current pointer $other failed: ${e.getMessage}) — " +
-                        "files were NOT cleaned up", torn)
+                    if (probes >= CasRetry.maxAttempts)
+                      throw new CommitStateUnknownException(
+                        s"$operation on $ident: CAS outcome unknown (probe of " +
+                          s"current pointer $other failed: ${e.getMessage}) — " +
+                          "files were NOT cleaned up", torn)
+                    CasRetry.backoff(probes)
+                    null
                 }
-              return if (curMeta.snapshots.exists(s =>
-                s.snapshotId == h.snapshotId && s.listLocation == h.listLocation)) 1
-              else 0
+              if (curMeta != null)
+                return if (curMeta.snapshots.exists(s =>
+                  s.snapshotId == h.snapshotId && s.listLocation == h.listLocation)) 1
+                else 0
             case _ =>
               throw new CommitStateUnknownException(
                 s"$operation on $ident: CAS outcome unknown (store call failed, " +
                   s"pointer moved to $other, and this commit carries no " +
                   "discriminating snapshot) — files were NOT cleaned up", torn)
           }
-        case None => // no row: load failed (already backed off) or the
-          // table's row is genuinely absent (concurrent DROP) — back off
-          // before re-probing either way, and say which one happened
+        case None => // no row: the load failed (its catch defers here) or
+          // the row is genuinely absent (concurrent DROP) — this arm owns
+          // the single backoff for both, then re-probes
           if (probes >= CasRetry.maxAttempts)
             throw new CommitStateUnknownException(
               s"$operation on $ident: CAS outcome unknown (no pointer row " +
@@ -1036,10 +1045,9 @@ object VariantShred extends org.apache.spark.internal.Logging {
   val Prop = "write.variant.shred-paths"
 
   def parse(spec: String): Seq[(String, String, String)] = {
-    // `;` is authoritative. The legacy `,` fallback mangles parameterized
-    // types (`c:$.p:decimal(10,2)` splits mid-type), so it only applies
-    // when EVERY comma-piece parses to a valid entry+type; otherwise the
-    // whole spec is treated as one entry.
+    // `;` is authoritative. The legacy `,` fallback splits at top level
+    // only (never inside a parameterized type's parentheses), and each
+    // piece succeeds or is warned+skipped independently.
     def entriesOf(pieces: Array[String]): Seq[(String, String, String)] =
       pieces.map(_.trim).filter(_.nonEmpty).toSeq.flatMap { e =>
         val i = e.indexOf(':')
@@ -1055,21 +1063,29 @@ object VariantShred extends org.apache.spark.internal.Logging {
       }
     if (spec.contains(';')) entriesOf(spec.split(';'))
     else {
-      val commaPieces = spec.split(',')
-      if (commaPieces.forall(e => e.trim.isEmpty || wellFormed(e.trim)))
-        entriesOf(commaPieces) // clean legacy multi-entry
-      else if (wellFormed(spec.trim))
-        entriesOf(Array(spec)) // ONE entry whose type contains a comma
-      else
-        // degraded legacy: keep every piece that parses, warn per bad
-        // piece — one malformed entry must not silently disable the rest
-        entriesOf(commaPieces)
+      // legacy comma separation, split OUTSIDE parentheses only — so
+      // "a:$.x:int,b:$.y:decimal(10,2)" parses to BOTH entries (the comma
+      // inside the type never separates); a piece that still fails is
+      // warned and skipped individually, never disabling the valid rest
+      entriesOf(splitTopLevel(spec, ',').toArray)
     }
   }
 
-  private def wellFormed(e: String): Boolean = {
-    val i = e.indexOf(':'); val j = e.lastIndexOf(':')
-    i > 0 && j > i + 1 && j < e.length - 1 && typeOk(e.substring(j + 1))
+  /** Split on `sep` ignoring occurrences inside parentheses (the type
+    * grammar's only nesting); unbalanced input degrades to one piece.
+    */
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur.append('(')
+      case ')' => depth = math.max(0, depth - 1); cur.append(')')
+      case c if c == sep && depth == 0 => out += cur.toString; cur.clear()
+      case c => cur.append(c)
+    }
+    out += cur.toString
+    out.result()
   }
 
   private def typeOk(t: String): Boolean =

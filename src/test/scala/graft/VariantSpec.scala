@@ -162,5 +162,11 @@ class VariantSpec extends AnyFunSuite {
     // it must not poison the whole spec into a silent no-op
     assert(parse("a:$.x:int,oops") == Seq(("a", "$.x", "int")))
     assert(parse("garbage") == Nil)
+    // comma list where one type ITSELF contains a comma: the top-level
+    // split never cuts inside parentheses, so both entries survive
+    assert(parse("a:$.x:int,b:$.y:decimal(10,2)") ==
+      Seq(("a", "$.x", "int"), ("b", "$.y", "decimal(10,2)")))
+    assert(parse("b:$.y:decimal(10,2),a:$.x:int") ==
+      Seq(("b", "$.y", "decimal(10,2)"), ("a", "$.x", "int")))
   }
 }
