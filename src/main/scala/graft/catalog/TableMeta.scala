@@ -353,7 +353,31 @@ final case class TableMeta(
         } catch { case _: Exception => None }
       }
     }.toMap
-    fields ++ parts ++ shreds
+    // `write.manifest-summary.columns` bounds the MANIFEST-LIST payload on
+    // wide tables: summaries are per-manifest but cover every stat column
+    // by default, so a 500-column table pays ~O(columns) bytes per
+    // manifest-list entry, read by the driver on every scan. Listing
+    // logical column names here folds only those (plus their transform
+    // keys and shred keys — a shred key's prefix is its column); columns
+    // not listed simply lose manifest-level skip (per-file pruning still
+    // applies once the manifest is open), never correctness. Iceberg's
+    // manifest-list `partitions` field is the restricted-to-partition
+    // special case of this knob; '*' (default) keeps every column.
+    val restrict = properties.getOrElse("write.manifest-summary.columns", "*").trim
+    if (restrict == "*") fields ++ parts ++ shreds
+    else {
+      val keepLogical = restrict.split(',').map(_.trim).filter(_.nonEmpty).toSet
+      val keepPhysical = keepLogical.map(n => m.getOrElse(n, n))
+      (fields.view.filterKeys(keepPhysical) ++
+        parts.view.filter { case (k, _) =>
+          // a transform key folds iff its SOURCE column is listed
+          partitionFields.exists(pf => !pf.isIdentity && keepLogical(pf.source) &&
+            pf.copy(source = m.getOrElse(pf.source, pf.source)).statKey == k)
+        } ++
+        shreds.view.filter { case (k, _) =>
+          keepPhysical.exists(p => k.startsWith(s"$p#"))
+        }).toMap
+    }
   }
 
   /** Manifests' summaries viewed as [[DataFileMeta]]s describing each

@@ -174,6 +174,33 @@ class PlanningScaleSpec extends AnyFunSuite {
     spark.sql("DROP TABLE lake.scale.manif")
   }
 
+  test("write.manifest-summary.columns bounds summaries to the listed columns") {
+    // wide-table posture: summaries are per-manifest but default to EVERY
+    // stat column, so a 500-column table pays O(columns) manifest-list
+    // bytes; the property folds only the listed columns — unlisted ones
+    // lose manifest-level skip (conservative), never correctness
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.scale")
+    spark.sql("DROP TABLE IF EXISTS lake.scale.wide")
+    spark.sql("CREATE TABLE lake.scale.wide (k BIGINT, v STRING) TBLPROPERTIES (" +
+      "'write.manifest-summary.columns'='k', 'commit.manifest-merge.enabled'='false')")
+    spark.sql("INSERT INTO lake.scale.wide SELECT /*+ REPARTITION(1) */ id, concat('a', id) FROM range(0, 100)")
+    spark.sql("INSERT INTO lake.scale.wide SELECT /*+ REPARTITION(1) */ id, concat('b', id) FROM range(100000, 100100)")
+    val sums = spark.sql("SELECT summary_mins FROM lake.scale.`wide$manifests`").collect()
+    assert(sums.length == 2)
+    assert(sums.forall(_.getAs[Map[String, String]]("summary_mins").keySet == Set("k")),
+      s"only 'k' may fold: ${sums.map(_.getAs[Map[String, String]]("summary_mins").keySet).toSeq}")
+    // skip still engages on the listed column...
+    val skips0 = ManifestIO.manifestsSkipped.get()
+    assert(spark.sql("SELECT v FROM lake.scale.wide WHERE k = 100001").collect()
+      .map(_.getString(0)).toSeq == Seq("b100001"))
+    assert(ManifestIO.manifestsSkipped.get() - skips0 >= 1)
+    // ...and an unlisted-column predicate conservatively opens everything
+    // (correct answer, no skip)
+    assert(spark.sql("SELECT k FROM lake.scale.wide WHERE v = 'a42'").collect()
+      .map(_.getLong(0)).toSeq == Seq(42L))
+    spark.sql("DROP TABLE lake.scale.wide")
+  }
+
   test("eq-delete planning skip at scale: 100 epochs, a key probe opens one manifest") {
     // a streaming-CDC table between compactions: one eq-delete manifest
     // per epoch, key ranges disjoint (epoch m upserted keys
