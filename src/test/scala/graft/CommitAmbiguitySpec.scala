@@ -118,6 +118,32 @@ class CommitAmbiguitySpec extends AnyFunSuite {
       "our snapshot (unique manifest-list) is in the live history: committed")
   }
 
+  test("unreadable interloper metadata keeps the outcome AMBIGUOUS, never a bare IO error") {
+    // torn CAS + pointer moved to a location whose metadata doc cannot be
+    // read (modeled as a nonexistent path — persistent store throttling
+    // looks the same to the probe): the probe must retry within the
+    // CasRetry budget and then escalate as CommitStateUnknownException.
+    // A bare IOException here would miss every abort path's
+    // `catch CommitStateUnknown` and let cleanup delete files a possibly
+    // LANDED commit references.
+    val (store, url, base, prevLoc, dir) = setup("g")
+    val (newLoc, newHead) = attempt(base, dir, "ours")
+    val unreadable = s"$dir/metadata/does-not-exist.metadata.json"
+    val tearing = new PointerStore(url, "c") {
+      override def casUpdate(ns: String, name: String, nl: String, pl: String): Int = {
+        super.casUpdate(ns, name, unreadable, pl) // interloper wins...
+        throw new SQLException("connection reset (ours never applied)")
+      }
+    }
+    val e = intercept[CommitStateUnknownException] {
+      CasCommit.guardedCas(tearing, "ns", "t", newLoc, prevLoc, newHead,
+        conf, "test", "ns.t")
+    }
+    assert(e.getMessage.contains("probe of current pointer"),
+      s"escalation must say the probe read failed: ${e.getMessage}")
+    assert(store.load("ns", "t").contains(unreadable))
+  }
+
   test("CREATE TABLE with a torn register resolves to success, not a spurious failure") {
     // needs an active session for the catalog's hadoopConf
     TestSpark.spark
