@@ -176,7 +176,12 @@ final class LakeDeltaBatchWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = try {
     val ms = messages.collect { case m: LakeDeltaCommitMessage => m }
     val dataFiles = ms.flatMap(_.dataFiles).toSeq
-    val deleteFiles = ms.flatMap(_.deleteFiles).toSeq
+    // stamp each task's tombstone files with ITS targets' partition-value
+    // bounds (per task, so a partition-aligned write keeps tight ranges) —
+    // the delete-manifest summary then lets partition-predicated scans
+    // skip these tombstones wholesale ([[TableMeta.deleteFilesMatching]])
+    val deleteFiles = ms.flatMap(m => TableMeta.withTargetPartitionBounds(
+      m.deleteFiles, m.targetPaths.toSet, table.meta)).toSeq
     val targets = ms.flatMap(_.targetPaths).toSet
     if (dataFiles.isEmpty && deleteFiles.isEmpty) return // no-op command: no snapshot
     if (foldOnCommit && deleteFiles.nonEmpty) {

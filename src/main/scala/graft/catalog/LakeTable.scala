@@ -198,6 +198,12 @@ final class LakeTable(
           (filterExprs: Seq[Expression]) => meta.eqDeleteFilesMatching(sn, filterExprs)),
       eqDeletesExist =
         snap.map(sn => meta.manifestsOf(sn).exists(_.kind == "eq-deletes")),
+      posDeleteMatching =
+        if (options.containsKey("start-snapshot-id")) None
+        else snap.map(sn =>
+          (filterExprs: Seq[Expression]) => meta.deleteFilesMatching(sn, filterExprs)),
+      posDeletesExist =
+        snap.map(sn => meta.manifestsOf(sn).exists(_.kind == "deletes")),
       eqKeySchema = meta.upsertKeySchema,
       ndv = ndvStats,
       kll = kllStats,
@@ -604,7 +610,7 @@ final class LakeScanBuilder(
     microBatch: Option[() => LakeMicroBatchStream] = None,
     partitionCols: Seq[String] = Nil,
     l2p: Map[String, String] = Map.empty,
-    deleteFiles: Seq[DataFileMeta] = Nil,
+    deleteFiles: => Seq[DataFileMeta] = Nil,
     eqDeletes: => Seq[DataFileMeta] = Nil,
     eqKeySchema: Option[StructType] = None,
     ndv: Map[String, Long] = Map.empty,
@@ -624,7 +630,13 @@ final class LakeScanBuilder(
     // cheap presence questions (limit/top-N/agg-pushdown gating) from the
     // manifest list without opening any eq manifest
     eqDeleteMatching: Option[Seq[Expression] => Seq[DataFileMeta]] = None,
-    eqDeletesExist: Option[Boolean] = None)
+    eqDeletesExist: Option[Boolean] = None,
+    // the POSITIONAL-delete twin: delta commits stamp tombstone files with
+    // their targets' partition-value bounds, so a partition-predicated
+    // scan skips non-matching delete manifests wholesale
+    // ([[TableMeta.deleteFilesMatching]]); hint semantics as above
+    posDeleteMatching: Option[Seq[Expression] => Seq[DataFileMeta]] = None,
+    posDeletesExist: Option[Boolean] = None)
   extends ScanBuilder with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
   with org.apache.spark.sql.connector.read.SupportsPushDownLimit
@@ -634,9 +646,11 @@ final class LakeScanBuilder(
   // full file list, forced only by paths that genuinely need every entry
   // (metadata-only aggregates, filterless scans, limit/top-N pruning)
   private lazy val allFiles: Seq[DataFileMeta] = files
-  // full eq-delete list, forced only when no skip source can narrow it
+  // full delete lists, forced only when no skip source can narrow them
   private lazy val allEqDeletes: Seq[DataFileMeta] = eqDeletes
+  private lazy val allDeleteFiles: Seq[DataFileMeta] = deleteFiles
   private def hasEqDeletes: Boolean = eqDeletesExist.getOrElse(allEqDeletes.nonEmpty)
+  private def hasPosDeletes: Boolean = posDeletesExist.getOrElse(allDeleteFiles.nonEmpty)
   private var requiredSchema: StructType = tableSchema
   private var pushedAgg: Option[StatsAggregates.Pushed] = None
   private var limit: Option[Int] = None
@@ -680,7 +694,7 @@ final class LakeScanBuilder(
   // aggregates only when no Filter remains above the relation) but are
   // re-checked for safety.
   private def aggFromStats(agg: Aggregation): Option[StatsAggregates.Pushed] =
-    if (exprs.nonEmpty || deleteFiles.nonEmpty || hasEqDeletes) None
+    if (exprs.nonEmpty || hasPosDeletes || hasEqDeletes) None
     else StatsAggregates.compute(agg, tableSchema, allFiles)
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
@@ -730,7 +744,9 @@ final class LakeScanBuilder(
     // the top-(n + slack) physical values — whose files TopNPrune keeps.
     // A heavily-tombstoned table degrades gracefully to planning
     // everything (= the old refusal), never to a wrong prefix.
-    val slack = deleteFiles.map(_.rowCount).sum
+    // slack is only consumed on FILTERLESS limit/top-N paths, where no
+    // skip source narrows the list — the FULL tombstone count is the bound
+    lazy val slack = if (hasPosDeletes) allDeleteFiles.map(_.rowCount).sum else 0L
     val pruned = if (exprs.nonEmpty) survivors else topN match {
       case Some((c, desc, n)) if n + slack <= Int.MaxValue =>
         tableSchema.fields.find(_.name == c) match {
@@ -755,8 +771,15 @@ final class LakeScanBuilder(
         case Some(em) if exprs.nonEmpty => em(exprs)
         case _ => allEqDeletes
       }
+    // same skip for positional tombstones (target-partition bounds)
+    val posDeletes =
+      if (!hasPosDeletes) Nil
+      else posDeleteMatching match {
+        case Some(dm) if exprs.nonEmpty => dm(exprs)
+        case _ => allDeleteFiles
+      }
     new LakeScan(ident, tableSchema, pruned, exprs, requiredSchema, options,
-      runtimeFilterCols, onFilesSelected, microBatch, partitionCols, l2p, deleteFiles,
+      runtimeFilterCols, onFilesSelected, microBatch, partitionCols, l2p, posDeletes,
       eqs, eqKeySchema, ndv, kll, sortOrder, bloomFor)
   }
 }

@@ -422,6 +422,25 @@ final case class TableMeta(
     ManifestIO.readAll(
       manifestsOf(s).filter(_.kind == "deletes").map(_.location), ioConf)
 
+  /** Positional-delete entries that can matter for a scan with pushed
+    * filters `exprs` — possible because delta commits stamp tombstone
+    * files with their TARGETS' partition-value bounds
+    * ([[TableMeta.withTargetPartitionBounds]]): a delete manifest whose
+    * folded target-partition bounds provably exclude the predicate can
+    * only kill rows the scan would filter out anyway (same two soundness
+    * legs as [[eqDeleteFilesMatching]] — excluded rows fail the
+    * predicate, and every pushed filter stays a post-scan Filter).
+    * Legacy/unstamped delete manifests have no partition keys in their
+    * summary and are always read.
+    */
+  def deleteFilesMatching(s: SnapshotMeta,
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[DataFileMeta] = {
+    val pf = partitionFields
+    matchingEntries(manifestsOf(s).filter(_.kind == "deletes"),
+      pseudo => exprs.forall(e => FilePruner.mayMatch(e, pseudo, schema) &&
+        BucketPruner.mayMatch(e, pseudo, pf)))
+  }
+
   /** A snapshot's EQUALITY-delete files (streaming-upsert key tombstones):
     * parquet of key tuples; each applies to data files added STRICTLY
     * before it (per-file `addedAt` sequence numbers).
@@ -1232,6 +1251,39 @@ object TableMeta {
   // and write one new manifest for the new files; rewrites rewrite only the
   // manifests that contain a replaced file. The metadata document itself
   // stays O(snapshots × manifests-per-snapshot) — never O(total files).
+
+  /** Stamp positional-delete entries with the PARTITION-VALUE bounds of
+    * their target files (Iceberg's partition-scoped delete files,
+    * recovered here from stats): the union of the targets' partition
+    * source/transform bounds is a sound description of every row the
+    * tombstones can kill (a killed row lives in a target, so its
+    * partition value sits inside that target's bounds). The folded
+    * bounds ride the delete manifest's summary, letting a
+    * partition-predicated scan SKIP whole delete manifests
+    * ([[TableMeta.deleteFilesMatching]]) — where file-path ranges can't
+    * help (UUID names). Null counts are deliberately NOT stamped: target
+    * stats describe whole files, not the killed subset, so IsNull
+    * pruning stays conservative. Unpartitioned tables stamp nothing.
+    */
+  def withTargetPartitionBounds(deletes: Seq[DataFileMeta],
+      targetPaths: Set[String], meta: TableMeta): Seq[DataFileMeta] = {
+    if (deletes.isEmpty || targetPaths.isEmpty) return deletes
+    val pf = meta.partitionFields
+    if (pf.isEmpty) return deletes
+    val m = meta.l2pMap
+    val physSrc = pf.map(f => m.getOrElse(f.source, f.source)).toSet
+    val transformKeys = pf.filter(!_.isIdentity)
+      .map(f => f.copy(source = m.getOrElse(f.source, f.source)).statKey).toSet
+    val kinds = meta.physicalStatKinds.filter { case (k, _) =>
+      physSrc(k) || transformKeys(k) }
+    if (kinds.isEmpty) return deletes
+    val targets = meta.currentFiles.filter(f => targetPaths(f.path))
+    if (targets.isEmpty) return deletes
+    val (mins, maxs, _) = ManifestSummary.fold(targets, kinds)
+    if (mins.isEmpty) return deletes
+    deletes.map(d => d.copy(minValues = d.minValues ++ mins,
+      maxValues = d.maxValues ++ maxs))
+  }
 
   /** ROW-LINEAGE stamping: reserve a contiguous id range per new DATA
     * file from the table's high-water mark. Runs inside every commit

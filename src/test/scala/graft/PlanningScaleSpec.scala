@@ -201,6 +201,39 @@ class PlanningScaleSpec extends AnyFunSuite {
     spark.sql("DROP TABLE lake.scale.wide")
   }
 
+  test("pos-delete skip: tombstones stamped with target-partition bounds are skippable") {
+    // MoR DELETE in partition 1 stamps its tombstone files with the
+    // targets' partition bounds (p in [1,1]); a scan of partition 2 must
+    // skip the delete manifest at planning, a scan of partition 1 must
+    // still apply the tombstones
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.scale")
+    spark.sql("DROP TABLE IF EXISTS lake.scale.posskip")
+    spark.sql("CREATE TABLE lake.scale.posskip (p BIGINT, k BIGINT) PARTITIONED BY (p) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read', " +
+      "'commit.manifest-merge.enabled'='false')")
+    spark.sql("INSERT INTO lake.scale.posskip SELECT id % 2 + 1, id FROM range(0, 100)")
+    spark.sql("DELETE FROM lake.scale.posskip WHERE p = 1 AND k < 50")
+    // the tombstone entries carry the targets' p-bounds
+    val dels = spark.sql("SELECT summary_mins, summary_maxs FROM " +
+      "lake.scale.`posskip$manifests` WHERE content = 'deletes'").collect()
+    assert(dels.nonEmpty)
+    assert(dels.forall(r => r.getAs[Map[String, String]]("summary_mins").get("p").contains("1")
+      && r.getAs[Map[String, String]]("summary_maxs").get("p").contains("1")),
+      s"tombstones must carry target-partition bounds: ${dels.toSeq}")
+    // partition-2 scan: delete manifests skipped, every p=2 row present
+    val skips0 = ManifestIO.manifestsSkipped.get()
+    assert(spark.sql("SELECT count(*) FROM lake.scale.posskip WHERE p = 2")
+      .head().getLong(0) == 50)
+    assert(ManifestIO.manifestsSkipped.get() - skips0 >= dels.length,
+      "the p=1 tombstone manifest must be skipped for a p=2 scan")
+    // partition-1 scan: tombstones APPLY (k < 50 gone)
+    assert(spark.sql("SELECT count(*), coalesce(min(k), -1) FROM lake.scale.posskip WHERE p = 1")
+      .head() match { case r => r.getLong(0) == 25 && r.getLong(1) >= 50 })
+    // filterless scan: full MoR semantics, nothing skipped silently
+    assert(spark.table("lake.scale.posskip").count() == 75)
+    spark.sql("DROP TABLE lake.scale.posskip")
+  }
+
   test("eq-delete planning skip at scale: 100 epochs, a key probe opens one manifest") {
     // a streaming-CDC table between compactions: one eq-delete manifest
     // per epoch, key ranges disjoint (epoch m upserted keys
