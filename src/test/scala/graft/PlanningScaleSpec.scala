@@ -234,6 +234,30 @@ class PlanningScaleSpec extends AnyFunSuite {
     spark.sql("DROP TABLE lake.scale.posskip")
   }
 
+  test("pos-delete skip holds for DELETION VECTORS too (same stamping path)") {
+    // DV entries ride the same commit message and get the same
+    // target-partition bounds; the skip must engage identically
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.scale")
+    spark.sql("DROP TABLE IF EXISTS lake.scale.dvskip")
+    spark.sql("CREATE TABLE lake.scale.dvskip (p BIGINT, k BIGINT) PARTITIONED BY (p) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read', " +
+      "'write.delete.format'='dv', 'commit.manifest-merge.enabled'='false')")
+    spark.sql("INSERT INTO lake.scale.dvskip SELECT id % 2 + 1, id FROM range(0, 100)")
+    spark.sql("DELETE FROM lake.scale.dvskip WHERE p = 1 AND k < 50")
+    val dels = spark.sql("SELECT summary_mins FROM lake.scale.`dvskip$manifests` " +
+      "WHERE content = 'deletes'").collect()
+    assert(dels.nonEmpty &&
+      dels.forall(_.getAs[Map[String, String]]("summary_mins").get("p").contains("1")))
+    val skips0 = ManifestIO.manifestsSkipped.get()
+    assert(spark.sql("SELECT count(*) FROM lake.scale.dvskip WHERE p = 2")
+      .head().getLong(0) == 50)
+    assert(ManifestIO.manifestsSkipped.get() - skips0 >= dels.length)
+    assert(spark.sql("SELECT count(*) FROM lake.scale.dvskip WHERE p = 1")
+      .head().getLong(0) == 25)
+    assert(spark.table("lake.scale.dvskip").count() == 75)
+    spark.sql("DROP TABLE lake.scale.dvskip")
+  }
+
   test("eq-delete planning skip at scale: 100 epochs, a key probe opens one manifest") {
     // a streaming-CDC table between compactions: one eq-delete manifest
     // per epoch, key ranges disjoint (epoch m upserted keys
