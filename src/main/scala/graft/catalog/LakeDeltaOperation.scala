@@ -179,9 +179,16 @@ final class LakeDeltaBatchWrite(
     // stamp each task's tombstone files with ITS targets' partition-value
     // bounds (per task, so a partition-aligned write keeps tight ranges) —
     // the delete-manifest summary then lets partition-predicated scans
-    // skip these tombstones wholesale ([[TableMeta.deleteFilesMatching]])
-    val deleteFiles = ms.flatMap(m => TableMeta.withTargetPartitionBounds(
-      m.deleteFiles, m.targetPaths.toSet, table.meta)).toSeq
+    // skip these tombstones wholesale ([[TableMeta.deleteFilesMatching]]).
+    // Schema/file-map state resolves once per commit (the stamper), and
+    // the fold-on-commit path skips stamping entirely — it discards the
+    // tombstone files after folding.
+    val deleteFiles =
+      if (foldOnCommit) ms.flatMap(_.deleteFiles).toSeq
+      else {
+        val stamp = TableMeta.targetBoundsStamper(table.meta)
+        ms.flatMap(m => stamp(m.deleteFiles, m.targetPaths.toSet)).toSeq
+      }
     val targets = ms.flatMap(_.targetPaths).toSet
     if (dataFiles.isEmpty && deleteFiles.isEmpty) return // no-op command: no snapshot
     if (foldOnCommit && deleteFiles.nonEmpty) {

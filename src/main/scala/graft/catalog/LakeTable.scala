@@ -159,13 +159,16 @@ final class LakeTable(
         incrementalFiles(start.toLong, end)
       case None => snap.map(meta.filesOf).getOrElse(Nil)
     }
-    // manifest-level planning skip for plain (non-incremental) scans: the
-    // builder hands its pushed filters here, and only manifests whose
-    // summary may match are ever opened
-    val skipSource: Option[Seq[Expression] => Seq[DataFileMeta]] =
+    // manifest-level planning skips apply to plain (non-incremental)
+    // scans only; one gate shared by all three axes (data/eq/pos)
+    def skipFor(resolve: (SnapshotMeta, Seq[Expression]) => Seq[DataFileMeta])
+        : Option[Seq[Expression] => Seq[DataFileMeta]] =
       if (options.containsKey("start-snapshot-id")) None
-      else snap.map(sn => (filterExprs: Seq[Expression]) =>
-        meta.logicalStatFiles(meta.filesMatching(sn, filterExprs)))
+      else snap.map(sn => (filterExprs: Seq[Expression]) => resolve(sn, filterExprs))
+    // the builder hands its pushed filters here, and only manifests whose
+    // summary may match are ever opened
+    val skipSource = skipFor((sn, es) =>
+      meta.logicalStatFiles(meta.filesMatching(sn, es)))
     // files are handed over with stats re-keyed to logical names so every
     // pruner (metadata, runtime, SPJ keys) speaks the query's column names;
     // the parquet delegate inside the scan uses physical names (l2p)
@@ -192,16 +195,10 @@ final class LakeTable(
       l2p = meta.l2pMap,
       deleteFiles = snap.map(meta.deleteFilesOf).getOrElse(Nil),
       eqDeletes = snap.map(meta.eqDeleteFilesOf).getOrElse(Nil),
-      eqDeleteMatching =
-        if (options.containsKey("start-snapshot-id")) None
-        else snap.map(sn =>
-          (filterExprs: Seq[Expression]) => meta.eqDeleteFilesMatching(sn, filterExprs)),
+      eqDeleteMatching = skipFor(meta.eqDeleteFilesMatching),
       eqDeletesExist =
         snap.map(sn => meta.manifestsOf(sn).exists(_.kind == "eq-deletes")),
-      posDeleteMatching =
-        if (options.containsKey("start-snapshot-id")) None
-        else snap.map(sn =>
-          (filterExprs: Seq[Expression]) => meta.deleteFilesMatching(sn, filterExprs)),
+      posDeleteMatching = skipFor(meta.deleteFilesMatching),
       posDeletesExist =
         snap.map(sn => meta.manifestsOf(sn).exists(_.kind == "deletes")),
       eqKeySchema = meta.upsertKeySchema,
@@ -762,22 +759,19 @@ final class LakeScanBuilder(
       }
     }
     onFilesSelected(pruned)
-    // eq-delete planning skip: a filtered scan resolves its eq deletes
-    // through the per-manifest key-bound summaries; filterless scans (and
-    // builders without a skip source) read the full list as before
-    val eqs =
-      if (!hasEqDeletes) Nil
-      else eqDeleteMatching match {
-        case Some(em) if exprs.nonEmpty => em(exprs)
-        case _ => allEqDeletes
+    // delete-side planning skip: a filtered scan resolves its tombstones
+    // through the per-manifest summaries (key bounds for eq deletes,
+    // target-partition bounds for positional ones); filterless scans and
+    // builders without a skip source read the full lists as before
+    def narrow(has: Boolean, matching: Option[Seq[Expression] => Seq[DataFileMeta]],
+        all: => Seq[DataFileMeta]): Seq[DataFileMeta] =
+      if (!has) Nil
+      else matching match {
+        case Some(m) if exprs.nonEmpty => m(exprs)
+        case _ => all
       }
-    // same skip for positional tombstones (target-partition bounds)
-    val posDeletes =
-      if (!hasPosDeletes) Nil
-      else posDeleteMatching match {
-        case Some(dm) if exprs.nonEmpty => dm(exprs)
-        case _ => allDeleteFiles
-      }
+    val eqs = narrow(hasEqDeletes, eqDeleteMatching, allEqDeletes)
+    val posDeletes = narrow(hasPosDeletes, posDeleteMatching, allDeleteFiles)
     new LakeScan(ident, tableSchema, pruned, exprs, requiredSchema, options,
       runtimeFilterCols, onFilesSelected, microBatch, partitionCols, l2p, posDeletes,
       eqs, eqKeySchema, ndv, kll, sortOrder, bloomFor)

@@ -1266,23 +1266,48 @@ object TableMeta {
     * pruning stays conservative. Unpartitioned tables stamp nothing.
     */
   def withTargetPartitionBounds(deletes: Seq[DataFileMeta],
-      targetPaths: Set[String], meta: TableMeta): Seq[DataFileMeta] = {
-    if (deletes.isEmpty || targetPaths.isEmpty) return deletes
+      targetPaths: Set[String], meta: TableMeta): Seq[DataFileMeta] =
+    targetBoundsStamper(meta)(deletes, targetPaths)
+
+  /** Precomputed per-COMMIT stamper for [[withTargetPartitionBounds]]:
+    * schema-derived state (partition fields, stat kinds, the path→file
+    * map over the current snapshot) resolves ONCE; the returned closure
+    * is then applied per task message, so a wide MoR write's commit does
+    * O(messages × its-targets) work, never O(messages × table-files).
+    */
+  def targetBoundsStamper(meta: TableMeta)
+      : (Seq[DataFileMeta], Set[String]) => Seq[DataFileMeta] = {
     val pf = meta.partitionFields
-    if (pf.isEmpty) return deletes
+    if (pf.isEmpty) return (deletes, _) => deletes
     val m = meta.l2pMap
     val physSrc = pf.map(f => m.getOrElse(f.source, f.source)).toSet
     val transformKeys = pf.filter(!_.isIdentity)
       .map(f => f.copy(source = m.getOrElse(f.source, f.source)).statKey).toSet
+    // NEVER stamp over the tombstone schema's own reserved stat keys: a
+    // partition source physically named `file_path`/`pos` would otherwise
+    // overwrite the entry's target-path range — which covering-delete
+    // resolution and DV target lookup key on — and deleted rows would
+    // silently resurrect. Such columns simply don't participate in the
+    // skip (conservative), like every other refused stat.
+    val reserved = Set(DeleteFiles.FilePathCol, DeleteFiles.PosCol)
     val kinds = meta.physicalStatKinds.filter { case (k, _) =>
-      physSrc(k) || transformKeys(k) }
-    if (kinds.isEmpty) return deletes
-    val targets = meta.currentFiles.filter(f => targetPaths(f.path))
-    if (targets.isEmpty) return deletes
-    val (mins, maxs, _) = ManifestSummary.fold(targets, kinds)
-    if (mins.isEmpty) return deletes
-    deletes.map(d => d.copy(minValues = d.minValues ++ mins,
-      maxValues = d.maxValues ++ maxs))
+      (physSrc(k) || transformKeys(k)) && !reserved(k) }
+    if (kinds.isEmpty) return (deletes, _) => deletes
+    lazy val byPath: Map[String, DataFileMeta] =
+      meta.currentFiles.map(f => f.path -> f).toMap
+    (deletes, targetPaths) => {
+      if (deletes.isEmpty || targetPaths.isEmpty) deletes
+      else {
+        val targets = targetPaths.toSeq.flatMap(byPath.get)
+        if (targets.isEmpty) deletes
+        else {
+          val (mins, maxs, _) = ManifestSummary.fold(targets, kinds)
+          if (mins.isEmpty) deletes
+          else deletes.map(d => d.copy(minValues = d.minValues ++ mins,
+            maxValues = d.maxValues ++ maxs))
+        }
+      }
+    }
   }
 
   /** ROW-LINEAGE stamping: reserve a contiguous id range per new DATA
