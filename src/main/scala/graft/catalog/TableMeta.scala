@@ -656,9 +656,19 @@ object ManifestIO {
     bloomCache.synchronized(bloomCache.put(loc, blooms))
     // fold the per-manifest summary bounds so scan planning can skip this
     // manifest without opening it ([[TableMeta.filesMatching]]); delete
-    // manifests fold too (their file_path bounds could serve covering
-    // checks later, and the cost is one bounded map per commit)
-    val (mins, maxs, nulls) = ManifestSummary.fold(files, statKinds)
+    // manifests fold too (their stamped target-partition / eq-key bounds
+    // drive the delete-side skip). NON-data manifests must NOT fold the
+    // tombstone schema's reserved stat keys: a table column physically
+    // named `file_path`/`pos` puts those keys in statKinds, and folding
+    // them here would populate the summary from the tombstones' TARGET
+    // path/position stats — [[TableMeta.deleteFilesMatching]] would then
+    // compare user-column predicates against target-path bounds and
+    // unsoundly skip a manifest whose tombstones kill matching rows
+    // (silent row resurrection). Mirrors targetBoundsStamper's guard.
+    val foldKinds =
+      if (content == "data") statKinds
+      else statKinds - DeleteFiles.FilePathCol - DeleteFiles.PosCol
+    val (mins, maxs, nulls) = ManifestSummary.fold(files, foldKinds)
     ManifestMeta(loc, files.size.toLong, files.map(_.rowCount).sum, files.map(_.sizeBytes).sum,
       content, mins, maxs, nulls)
   }
@@ -705,18 +715,48 @@ object ManifestIO {
         t
       }))
 
+  /** Planning-read deadline for [[readAll]] (seconds; settable via system
+    * property `graft.planning.read-timeout-sec`, default 300). One hung
+    * metadata-store GET must not wedge driver planning forever — an
+    * `Await.result(_, Inf)` against the fixed pool would. The deadline is
+    * per readAll CALL (shared across that call's futures), so a batch of
+    * N reads can't stretch it to N × timeout.
+    */
+  private def planningReadTimeout: scala.concurrent.duration.FiniteDuration =
+    scala.concurrent.duration.Duration(
+      java.lang.Long.getLong("graft.planning.read-timeout-sec", 300L),
+      java.util.concurrent.TimeUnit.SECONDS)
+
   /** Read many manifests, cache misses fetched in parallel; the
     * concatenated result preserves `locations` order, so downstream
     * file-list ordering (split planning, stats folds) is byte-identical
-    * to the serial path. Any read failure propagates as-is.
+    * to the serial path. The FIRST failure propagates as-is (via
+    * `firstCompletedOf` on a failure-watching promise, so a failed read
+    * surfaces immediately instead of after every earlier straggler
+    * drains); a read exceeding the shared planning deadline raises
+    * `TimeoutException` rather than hanging the driver.
     */
   def readAll(locations: Seq[String], conf: Configuration): Seq[DataFileMeta] =
     if (locations.lengthCompare(2) < 0) locations.flatMap(read(_, conf))
     else {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      locations.map(l => Future(read(l, conf))(planningPool))
-        .flatMap(Await.result(_, Duration.Inf))
+      import scala.concurrent.{Await, Future, Promise}
+      implicit val ec: scala.concurrent.ExecutionContext = planningPool
+      val deadline = planningReadTimeout.fromNow
+      // any failure completes this promise immediately — awaiting
+      // (sequence OR firstFailure) turns "wait for each in order" into
+      // "fail as soon as anything fails"; in-flight siblings finish into
+      // the bounded cache and are simply never consumed
+      val firstFailure = Promise[Seq[Seq[DataFileMeta]]]()
+      val futures = locations.map(l => Future(read(l, conf)))
+      futures.foreach(_.failed.foreach(firstFailure.tryFailure))
+      val all = Future.firstCompletedOf(Seq(Future.sequence(futures), firstFailure.future))
+      try Await.result(all, deadline.timeLeft).flatten
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          throw new java.util.concurrent.TimeoutException(
+            s"manifest planning read exceeded ${planningReadTimeout.toSeconds}s " +
+              s"(${locations.size} manifests; set -Dgraft.planning.read-timeout-sec to raise)")
+      }
     }
 
   def read(location: String, conf: Configuration): Seq[DataFileMeta] = {
@@ -1298,10 +1338,18 @@ object TableMeta {
     (deletes, targetPaths) => {
       if (deletes.isEmpty || targetPaths.isEmpty) deletes
       else {
-        val targets = targetPaths.toSeq.flatMap(byPath.get)
-        if (targets.isEmpty) deletes
+        val targets = targetPaths.toSeq.map(byPath.get)
+        // ANY unresolved target => stamp nothing (conservative, same as the
+        // unpartitioned path): bounds folded over a PARTIAL target set
+        // under-cover the tombstones' kill range, and a scan could then
+        // skip a delete manifest whose tombstones kill rows in the
+        // unresolved target — row resurrection. Unreachable today (targets
+        // come from a scan of the same meta), but a future caller passing
+        // targets from another snapshot (branch/WAP/time travel) must fail
+        // safe, not fold what happens to resolve.
+        if (targets.exists(_.isEmpty)) deletes
         else {
-          val (mins, maxs, _) = ManifestSummary.fold(targets, kinds)
+          val (mins, maxs, _) = ManifestSummary.fold(targets.flatten, kinds)
           if (mins.isEmpty) deletes
           else deletes.map(d => d.copy(minValues = d.minValues ++ mins,
             maxValues = d.maxValues ++ maxs))

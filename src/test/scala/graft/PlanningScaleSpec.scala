@@ -312,6 +312,103 @@ class PlanningScaleSpec extends AnyFunSuite {
     assert(par.size == 300 * 20)
   }
 
+  test("reserved tombstone stat keys never reach a delete manifest's summary " +
+      "(columns physically named file_path/pos can't trigger unsound skips)") {
+    // A table column physically named `file_path` (string) or `pos`
+    // (numeric) puts those keys in physicalStatKinds; tombstone ENTRIES
+    // carry their TARGET path/position stats under exactly those keys, so
+    // folding them into the delete manifest's summary would let
+    // deleteFilesMatching compare user-column predicates against
+    // target-path bounds and skip a manifest whose tombstones kill
+    // predicate-matching rows — silent row resurrection. The fold must
+    // strip the reserved keys for every non-data manifest.
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.scale")
+    spark.sql("DROP TABLE IF EXISTS lake.scale.resv")
+    spark.sql("CREATE TABLE lake.scale.resv (file_path STRING, pos BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read', " +
+      "'commit.manifest-merge.enabled'='false')")
+    // user values lexically FAR above real target paths ('/root/...'),
+    // positions far above real tombstone positions (0..99)
+    spark.sql("INSERT INTO lake.scale.resv " +
+      "SELECT concat('zzz-', lpad(cast(id AS string), 3, '0')), id + 1000000, id " +
+      "FROM range(0, 100)")
+    spark.sql("DELETE FROM lake.scale.resv WHERE v < 50")
+    // the delete manifest's summary must NOT carry file_path/pos bounds
+    val dels = spark.sql("SELECT summary_mins, summary_maxs FROM " +
+      "lake.scale.`resv$manifests` WHERE content = 'deletes'").collect()
+    assert(dels.nonEmpty)
+    dels.foreach { r =>
+      val mins = r.getAs[Map[String, String]]("summary_mins")
+      assert(!mins.contains("file_path") && !mins.contains("pos"),
+        s"reserved tombstone stat keys leaked into a delete summary: $mins")
+    }
+    // predicates on the colliding columns: tombstones must still APPLY
+    // (with the bug, the summary's file_path bounds are target paths, the
+    // 'zzz' predicate prunes the manifest, and deleted rows resurrect)
+    assert(spark.sql(
+      "SELECT count(*) FROM lake.scale.resv WHERE file_path >= 'zzz'")
+      .head().getLong(0) == 50)
+    assert(spark.sql(
+      "SELECT count(*) FROM lake.scale.resv WHERE pos >= 1000000")
+      .head().getLong(0) == 50)
+    assert(spark.table("lake.scale.resv").count() == 50)
+    spark.sql("DROP TABLE lake.scale.resv")
+  }
+
+  test("targetBoundsStamper: ANY unresolved target => deletes stay unstamped") {
+    // Bounds folded over a PARTIAL target set under-cover the tombstones'
+    // kill range (a scan could skip a manifest whose tombstones kill rows
+    // in the unresolved target). Unreachable from today's callers, but the
+    // stamper must fail safe for any future cross-snapshot caller.
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.scale")
+    spark.sql("DROP TABLE IF EXISTS lake.scale.stamp")
+    spark.sql("CREATE TABLE lake.scale.stamp (p BIGINT, k BIGINT) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO lake.scale.stamp SELECT id % 2 + 1, id FROM range(0, 20)")
+    val cat = spark.sessionState.catalogManager.catalog("lake").asInstanceOf[LakeCatalog]
+    val meta = cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("scale"), "stamp"))
+      .asInstanceOf[LakeTable].meta
+    val target = meta.currentFiles.head.path
+    val del = Seq(DataFileMeta(s"${meta.location}/data/tomb.parquet", 5L, 100L,
+      minValues = Map(DeleteFiles.FilePathCol -> target),
+      maxValues = Map(DeleteFiles.FilePathCol -> target)))
+    // fully resolved: stamped with the target's partition bounds
+    val stamped = TableMeta.withTargetPartitionBounds(del, Set(target), meta)
+    assert(stamped.head.minValues.contains("p") && stamped.head.maxValues.contains("p"),
+      s"resolved targets must stamp partition bounds: ${stamped.head.minValues}")
+    // one unresolved target: NOTHING stamped (conservative), not a fold
+    // over the partial remainder
+    val partial = TableMeta.withTargetPartitionBounds(
+      del, Set(target, s"${meta.location}/data/not-in-this-snapshot.parquet"), meta)
+    assert(partial == del,
+      s"partial target resolution must leave deletes unstamped: ${partial.head.minValues}")
+    spark.sql("DROP TABLE lake.scale.stamp")
+  }
+
+  test("readAll: a failed manifest read propagates; a hung read hits the planning deadline") {
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = java.nio.file.Files.createTempDirectory("graft-radl").toString
+    val ok = (0 until 3).map(i => ManifestIO.write(dir, 1L,
+      Seq(DataFileMeta(s"$dir/f$i.parquet", 1L, 10L)), conf))
+    // failure propagation through the parallel path (>= 2 locations)
+    intercept[java.io.FileNotFoundException] {
+      ManifestIO.readAll(ok.map(_.location) :+ s"$dir/never-written.json", conf)
+    }
+    // a hung metadata-store GET must raise the bounded planning deadline,
+    // not wedge the driver forever (SlowFs sleeps far past the 1s budget)
+    conf.set("fs.graftslow.impl", classOf[SlowTestFs].getName)
+    System.setProperty("graft.planning.read-timeout-sec", "1")
+    try {
+      val t0 = System.nanoTime()
+      intercept[java.util.concurrent.TimeoutException] {
+        ManifestIO.readAll(
+          Seq("graftslow:/a.json", "graftslow:/b.json"), conf)
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      assert(sec < 5.0, s"deadline must bound the wait (took ${sec}s)")
+    } finally System.clearProperty("graft.planning.read-timeout-sec")
+  }
+
   test("60k deletion-vector entries over 100k files: planning stays hash-indexed, not O(n²)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.scale")
     spark.sql("DROP TABLE IF EXISTS lake.scale.dvbig")
