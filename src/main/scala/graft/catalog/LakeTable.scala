@@ -150,6 +150,19 @@ final class LakeTable(
         case None => effectiveSnapshot
       }
     }
+    // BOUNDED-MEMORY planning: past `read.plan.slim-threshold` manifest
+    // entries (known from the manifest list alone — O(manifests)), the
+    // plan holds SLIM file entries: stat maps cut to the planning keys
+    // (partition/sort/eq-key) plus any pushed-predicate columns, resolved
+    // manifest-by-manifest through a bounded read window. A filterless
+    // scan of an ~1M-file wide table then costs O(window × largest
+    // manifest) full-width driver heap instead of O(all files) — the
+    // trade is losing planning-OPTIONAL stats (metadata-agg pushdown,
+    // CBO min/max, top-N pruning on non-sort columns) at extreme file
+    // counts, never correctness.
+    val slimPlan = snap.exists(sn =>
+      meta.manifestsOf(sn).filter(_.isData).map(_.nFiles).sum >=
+        meta.properties.getOrElse("read.plan.slim-threshold", "200000").toLong)
     // LAZY: a filtered scan resolves its files through the manifest-skip
     // path below and may never force the full list at all
     lazy val scanFiles = Option(options.get("start-snapshot-id")) match {
@@ -157,7 +170,9 @@ final class LakeTable(
         val end = Option(options.get("end-snapshot-id")).map(_.toLong)
           .getOrElse(meta.currentSnapshotId)
         incrementalFiles(start.toLong, end)
-      case None => snap.map(meta.filesOf).getOrElse(Nil)
+      case None =>
+        snap.map(sn => if (slimPlan) meta.filesOfSlim(sn) else meta.filesOf(sn))
+          .getOrElse(Nil)
     }
     // manifest-level planning skips apply to plain (non-incremental)
     // scans only; one gate shared by all three axes (data/eq/pos)
@@ -168,7 +183,7 @@ final class LakeTable(
     // the builder hands its pushed filters here, and only manifests whose
     // summary may match are ever opened
     val skipSource = skipFor((sn, es) =>
-      meta.logicalStatFiles(meta.filesMatching(sn, es)))
+      meta.logicalStatFiles(meta.filesMatching(sn, es, slim = slimPlan)))
     // files are handed over with stats re-keyed to logical names so every
     // pruner (metadata, runtime, SPJ keys) speaks the query's column names;
     // the parquet delegate inside the scan uses physical names (l2p)

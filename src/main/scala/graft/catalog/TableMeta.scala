@@ -320,6 +320,51 @@ final case class TableMeta(
     ManifestIO.readAll(manifestsOf(s).filter(_.isData).map(_.location), ioConf) ++
       s.inlineFiles
 
+  /** PHYSICAL stat keys a SLIM (bounded-memory) scan plan must retain:
+    * partition sources + transform keys (SPJ key groups, bucket/runtime
+    * pruning), sort-order columns (top-N file pruning, ordered-scan
+    * eligibility), and upsert key columns (eq-delete applicability
+    * ranges). Everything else is planning-optional: dropping a stat only
+    * costs an optimization (file pruning on that column, metadata-agg
+    * pushdown, CBO min/max), never correctness — the same contract as a
+    * file that simply didn't record the stat.
+    */
+  def planningStatKeys: Set[String] = {
+    val m = l2pMap
+    val pf = partitionFields
+    val parts = pf.flatMap { f =>
+      val phys = f.copy(source = m.getOrElse(f.source, f.source))
+      Seq(phys.source, phys.statKey)
+    }
+    val sorts = sortOrderColumns.map(c => m.getOrElse(c, c))
+    val eqKeys = upsertKeySchema.toSeq.flatMap(_.fieldNames)
+    (parts ++ sorts ++ eqKeys).toSet
+  }
+
+  /** One entry, stat maps cut to `keep` — the slim projection bounded-
+    * memory planning holds instead of the full-width manifest entry.
+    */
+  private def slimEntry(keep: Set[String])(f: DataFileMeta): DataFileMeta =
+    f.copy(
+      minValues = f.minValues.filter(kv => keep(kv._1)),
+      maxValues = f.maxValues.filter(kv => keep(kv._1)),
+      nullCounts = f.nullCounts.filter(kv => keep(kv._1)),
+      blooms = Map.empty)
+
+  /** [[filesOf]] at SLIM width, streamed manifest-by-manifest: each
+    * manifest's full-width batch is projected down to the planning stat
+    * keys (plus `extraKeys` — e.g. pushed-predicate columns, so file-level
+    * pruning still works on the slim path) and released before the next
+    * manifest is consumed. Driver residency for a filterless scan of an
+    * ~1M-file table is O(read window × largest manifest) full-width +
+    * O(files) slim — not O(files) full-width.
+    */
+  def filesOfSlim(s: SnapshotMeta, extraKeys: Set[String] = Set.empty): Seq[DataFileMeta] = {
+    val slim = slimEntry(planningStatKeys ++ extraKeys) _
+    ManifestIO.readIterator(manifestsOf(s).filter(_.isData).map(_.location), ioConf)
+      .flatMap(_.iterator.map(slim)).toVector ++ s.inlineFiles.map(slim)
+  }
+
   /** Comparison kind per PHYSICAL stat key for [[ManifestSummary.fold]]:
     * 'n' = numeric stat strings ([[StatBounds.numCmp]] order), 's' = UTF8
     * binary order. Covers schema columns, transform stat keys
@@ -396,10 +441,17 @@ final case class TableMeta(
     * between them.
     */
   private def matchingEntries(ms: Seq[ManifestMeta],
-      mayKeep: DataFileMeta => Boolean): Seq[DataFileMeta] = {
+      mayKeep: DataFileMeta => Boolean,
+      xform: Option[DataFileMeta => DataFileMeta] = None): Seq[DataFileMeta] = {
     val kept = ms.zip(summaryEntries(ms)).collect { case (m, p) if mayKeep(p) => m }
     ManifestIO.manifestsSkipped.addAndGet((ms.size - kept.size).toLong)
-    ManifestIO.readAll(kept.map(_.location), ioConf)
+    xform match {
+      case None => ManifestIO.readAll(kept.map(_.location), ioConf)
+      // slim path: stream manifest-by-manifest and project each batch
+      // down before the next is consumed (bounded full-width residency)
+      case Some(f) => ManifestIO.readIterator(kept.map(_.location), ioConf)
+        .flatMap(_.iterator.map(f)).toVector
+    }
   }
 
   /** Data files of `s` from manifests that MAY hold rows matching `exprs`
@@ -410,11 +462,21 @@ final case class TableMeta(
     * are always read — sound by refusal, like every stat path.
     */
   def filesMatching(s: SnapshotMeta,
-      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[DataFileMeta] = {
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      slim: Boolean = false): Seq[DataFileMeta] = {
     val pf = partitionFields
+    // slim planning keeps the PREDICATE columns' stats on top of the
+    // planning keys, so per-file pruning on the pushed filters still runs
+    // at full strength — only stats no pruner will consult are dropped
+    val xform = if (!slim) None else {
+      val m = l2pMap
+      val predCols = exprs.flatMap(_.references.toSeq.map(a => m.getOrElse(a.name, a.name)))
+      Some(slimEntry(planningStatKeys ++ predCols) _)
+    }
     matchingEntries(manifestsOf(s).filter(_.isData),
       pseudo => exprs.forall(e => FilePruner.mayMatch(e, pseudo, schema) &&
-        BucketPruner.mayMatch(e, pseudo, pf))) ++ s.inlineFiles
+        BucketPruner.mayMatch(e, pseudo, pf)), xform) ++
+      s.inlineFiles.map(f => xform.fold(f)(_(f)))
   }
 
   /** A snapshot's positional-delete files (merge-on-read tombstones). */
@@ -597,7 +659,36 @@ object ManifestIO {
       override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean =
         size() > maxCached
     }
-  private val fileCache = lru[Seq[DataFileMeta]]()
+  /** Total FULL-WIDTH entries the manifest cache may hold (settable via
+    * `graft.manifest-cache.max-entries`, default 131072). The manifest-
+    * COUNT LRU alone under-bounds memory: 256 manifests × 4096 entries ×
+    * a wide table's stat maps is gigabytes of driver heap. The entry
+    * bound makes the cache O(bound × entry width); a hot small table
+    * still caches fully.
+    */
+  private val maxCachedEntries: Long =
+    java.lang.Long.getLong("graft.manifest-cache.max-entries", 131072L)
+  private val fileCache = new java.util.LinkedHashMap[String, Seq[DataFileMeta]](64, 0.75f, true)
+  private var fileCacheEntries = 0L
+  /** High-water mark of [[cachedEntryCount]] — residency instrumentation
+    * for the bounded-planning tests (an 800k-entry sweep must never hold
+    * more than the bound in cache).
+    */
+  val cachedEntriesHighWater = new java.util.concurrent.atomic.AtomicLong()
+  def cachedEntryCount: Long = fileCache.synchronized(fileCacheEntries)
+  private def fileCachePut(loc: String, files: Seq[DataFileMeta]): Unit =
+    fileCache.synchronized {
+      val prev = fileCache.put(loc, files)
+      fileCacheEntries += files.size - (if (prev == null) 0 else prev.size)
+      if (prev == null && fileCacheEntries > maxCachedEntries) {
+        val it = fileCache.entrySet().iterator()
+        while (fileCacheEntries > maxCachedEntries && fileCache.size() > 1 && it.hasNext) {
+          val e = it.next()
+          if (e.getKey != loc) { fileCacheEntries -= e.getValue.size; it.remove() }
+        }
+      }
+      cachedEntriesHighWater.getAndAccumulate(fileCacheEntries, math.max(_, _))
+    }
   private val listCache = lru[Seq[ManifestMeta]]()
   private val bloomCache = lru[Map[String, Map[String, String]]]()
 
@@ -652,7 +743,7 @@ object ManifestIO {
       else files1.map(f => if (f.bloomStats.isEmpty) f else f.copy(blooms = Map.empty))
     writeDoc(loc, mapper.writeValueAsString(files), conf)
     if (blooms.nonEmpty) writeDoc(s"$loc.bloom", mapper.writeValueAsString(blooms), conf)
-    fileCache.synchronized(fileCache.put(loc, files))
+    fileCachePut(loc, files)
     bloomCache.synchronized(bloomCache.put(loc, blooms))
     // fold the per-manifest summary bounds so scan planning can skip this
     // manifest without opening it ([[TableMeta.filesMatching]]); delete
@@ -759,13 +850,41 @@ object ManifestIO {
       }
     }
 
+  /** Manifest-by-manifest STREAMED reads for bounded-memory planning: a
+    * window of `window` fetches stays in flight (same pool and deadline
+    * as [[readAll]]), results are yielded strictly in `locations` order,
+    * and each manifest's full-width entry batch is released to GC as soon
+    * as the consumer moves on — peak full-width transit residency is
+    * O(window × largest manifest), never O(all files). The entry-bounded
+    * cache caps the only other full-width holder.
+    */
+  def readIterator(locations: Seq[String], conf: Configuration,
+      window: Int = 8): Iterator[Seq[DataFileMeta]] =
+    new Iterator[Seq[DataFileMeta]] {
+      import scala.concurrent.{Await, Future}
+      private val locs = locations.iterator
+      private val inFlight = scala.collection.mutable.Queue.empty[Future[Seq[DataFileMeta]]]
+      private def fill(): Unit =
+        while (inFlight.size < window && locs.hasNext) {
+          val l = locs.next() // eager: the Future body must not race on the iterator
+          inFlight.enqueue(Future(read(l, conf))(planningPool))
+        }
+      fill()
+      override def hasNext: Boolean = inFlight.nonEmpty
+      override def next(): Seq[DataFileMeta] = {
+        val f = inFlight.dequeue()
+        fill()
+        Await.result(f, planningReadTimeout)
+      }
+    }
+
   def read(location: String, conf: Configuration): Seq[DataFileMeta] = {
     manifestReads.incrementAndGet()
     val cached = fileCache.synchronized(fileCache.get(location))
     if (cached != null) return cached
     val files = mapper.readValue(readDoc(location, conf),
       new com.fasterxml.jackson.core.`type`.TypeReference[Seq[DataFileMeta]] {})
-    fileCache.synchronized(fileCache.put(location, files))
+    fileCachePut(location, files)
     files
   }
 

@@ -409,6 +409,88 @@ class PlanningScaleSpec extends AnyFunSuite {
     } finally System.clearProperty("graft.planning.read-timeout-sec")
   }
 
+  test("800k-entry filterless plan: slim entries, entry-bounded cache, metadata-only count") {
+    // The last O(table) driver cost: a FILTERLESS scan of an ~1M-file
+    // table used to materialize every full-width DataFileMeta on the
+    // driver. Past read.plan.slim-threshold entries the plan now holds
+    // SLIM entries (planning stat keys + predicate columns only),
+    // resolved manifest-by-manifest through a bounded read window, and
+    // the manifest cache is bounded by TOTAL ENTRIES, not manifest count.
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.scale")
+    spark.sql("DROP TABLE IF EXISTS lake.scale.huge")
+    spark.sql("CREATE TABLE lake.scale.huge (p BIGINT, k BIGINT, w1 STRING, w2 STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('commit.manifest-merge.enabled'='false')")
+    val cat = spark.sessionState.catalogManager.catalog("lake").asInstanceOf[LakeCatalog]
+    def load() = cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("scale"), "huge"))
+      .asInstanceOf[LakeTable]
+    val conf = spark.sessionState.newHadoopConf()
+    val loc = load().meta.location
+    val manifests = 200
+    val perManifest = 4000
+    val wide = "x" * 16
+    ManifestIO.cachedEntriesHighWater.set(0)
+    val t0 = System.nanoTime()
+    (0 until manifests).foreach { m =>
+      val tb = load()
+      val files = (0 until perManifest).map { j =>
+        val i = m * perManifest + j
+        DataFileMeta(s"$loc/data/h-$m-$j.parquet", 1000L, 128L * 1024 * 1024,
+          minValues = Map("p" -> m.toString, "k" -> (i.toLong * 1000).toString,
+            "w1" -> wide, "w2" -> wide),
+          maxValues = Map("p" -> m.toString, "k" -> (i.toLong * 1000 + 999).toString,
+            "w1" -> (wide + "z"), "w2" -> (wide + "z")),
+          nullCounts = Map("p" -> 0L, "k" -> 0L, "w1" -> 0L, "w2" -> 0L))
+      }
+      new LakeBatchWrite(tb, tb.meta.schema, false, cat.pointerStore, conf)
+        .commit(Array(LakeCommitMessage(files)))
+    }
+    val commitS = (System.nanoTime() - t0) / 1e9
+    val n = manifests.toLong * perManifest
+
+    // the slim resolution itself: all entries, stat maps cut to the
+    // planning keys (partition source only here — no sort order, no eq keys)
+    val meta = load().meta
+    val sn = meta.snapshot(meta.currentSnapshotId).get
+    val t1 = System.nanoTime()
+    val slim = meta.filesOfSlim(sn)
+    val slimS = (System.nanoTime() - t1) / 1e9
+    assert(slim.size == n)
+    assert(slim.forall(f => f.minValues.keySet == Set("p") &&
+      f.maxValues.keySet == Set("p") && f.nullCounts.keySet == Set("p")),
+      s"slim entries must keep only planning keys: ${slim.head.minValues.keySet}")
+    // full-width residency: the entry-bounded cache held, through 200
+    // manifest writes AND the 200-manifest planning sweep
+    val hw = ManifestIO.cachedEntriesHighWater.get()
+    assert(hw <= 131072L, s"manifest cache exceeded its entry bound: $hw")
+
+    // the slim path engages through SQL too: count(*) answers from
+    // manifest row counts alone (zero data files exist, zero are read)
+    assert(spark.sql("SELECT count(*) FROM lake.scale.huge").head().getLong(0) ==
+      n * 1000L)
+    // ...and GROUP BY the partition column still pushes (p is a planning
+    // key, single-valued per file)
+    assert(spark.sql("SELECT count(*) FROM lake.scale.huge GROUP BY p")
+      .collect().length == manifests)
+
+    // filtered slim resolution keeps the PREDICATE column's stats, so
+    // file pruning still narrows inside the matching manifest
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    val kAttr = ce.AttributeReference("k", org.apache.spark.sql.types.LongType)()
+    val reads0 = ManifestIO.manifestReads.get()
+    val hit = meta.filesMatching(sn, Seq(ce.EqualTo(kAttr, ce.Literal(42000L))), slim = true)
+    assert(ManifestIO.manifestReads.get() - reads0 <= 1,
+      "a point probe must open at most the one covering manifest")
+    assert(hit.forall(_.minValues.keySet == Set("p", "k")),
+      s"slim+predicate entries keep p and k: ${hit.headOption.map(_.minValues.keySet)}")
+    assert(hit.exists(f => f.minValues("k") == "42000"))
+
+    println(f"[planning-scale] slim n=$n commit=$commitS%.1f s slim-plan=$slimS%.2f s " +
+      f"cache-high-water=$hw entries")
+    assert(slimS < 60, f"slim planning sweep took $slimS%.1f s")
+    spark.sql("DROP TABLE lake.scale.huge")
+  }
+
   test("60k deletion-vector entries over 100k files: planning stays hash-indexed, not O(n²)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.scale")
     spark.sql("DROP TABLE IF EXISTS lake.scale.dvbig")
