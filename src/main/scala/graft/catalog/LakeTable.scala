@@ -789,8 +789,19 @@ final class LakeScanBuilder(
     val posDeletes = narrow(hasPosDeletes, posDeleteMatching, allDeleteFiles)
     new LakeScan(ident, tableSchema, pruned, exprs, requiredSchema, options,
       runtimeFilterCols, onFilesSelected, microBatch, partitionCols, l2p, posDeletes,
-      eqs, eqKeySchema, ndv, kll, sortOrder, bloomFor)
+      eqs, eqKeySchema, ndv, kll, sortOrder, bloomFor,
+      // runtime predicates may narrow the delete lists exactly where the
+      // plan-time skip was allowed (plain read scans) — row-level-op
+      // builders pass no skip source, so their scans keep full MoR state
+      runtimeDeleteNarrow = eqDeleteMatching.isDefined || posDeleteMatching.isDefined)
   }
+}
+
+object LakeScan {
+  /** Delete files dropped by RUNTIME predicate re-resolution — test
+    * instrumentation for the DPP delete-side skip.
+    */
+  val runtimeDeletesDropped = new java.util.concurrent.atomic.AtomicLong()
 }
 
 /** Top-N file selection from manifest stats (the SupportsPushDownTopN
@@ -879,7 +890,14 @@ final class LakeScan(
     ndv: Map[String, Long] = Map.empty,
     kll: Map[String, Array[Byte]] = Map.empty,
     sortOrder: Seq[String] = Nil, // table write.sort-order (LOGICAL names)
-    bloomFor: (String, String) => Option[FileBloom] = FilePruner.NoBloom)
+    bloomFor: (String, String) => Option[FileBloom] = FilePruner.NoBloom,
+    // runtime (DPP) predicates may ALSO narrow the delete lists — allowed
+    // only for plain READ scans (the builder sets it when a plan-time
+    // delete skip source exists). Row-level-operation scans must keep the
+    // full delete state: their kept files are REWRITTEN wholesale, so a
+    // tombstone aimed at a predicate-failing row in a kept file still has
+    // to apply or the rewrite resurrects the row in the data itself.
+    runtimeDeleteNarrow: Boolean = false)
   extends Scan with SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -924,15 +942,28 @@ final class LakeScan(
   private val requiredDataSchema: StructType =
     StructType(requiredSchema.fields.filterNot(f => LakeMetaCols.isMeta(f.name)))
 
+  // runtime-narrowable delete state: the plan-time lists, re-narrowed by
+  // runtime (DPP) predicates in [[filter]] when the builder allowed it
+  private var deleteFilesV: Seq[DataFileMeta] = deleteFiles
+  private var eqDeletesV: Seq[DataFileMeta] = eqDeletes
+
   // DV entries are one-per-TARGET, so a heavily deleted table carries
   // O(files) of them — the planning loop must resolve them by hash
   // lookup, not a linear range scan per data file (which would make
   // planning O(files²)); parquet delete FILES stay maintenance-bounded,
-  // so their linear range check is fine
-  @transient private lazy val dvByTarget: Map[String, Seq[DataFileMeta]] =
-    deleteFiles.filter(_.isDv).groupBy(_.minValues(DeleteFiles.FilePathCol))
-  @transient private lazy val pqDeleteFiles: Seq[DataFileMeta] =
-    deleteFiles.filterNot(_.isDv)
+  // so their linear range check is fine. Caches invalidate when [[filter]]
+  // narrows the delete lists.
+  @transient private var dvByTargetC: Map[String, Seq[DataFileMeta]] = _
+  private def dvByTarget: Map[String, Seq[DataFileMeta]] = {
+    if (dvByTargetC == null)
+      dvByTargetC = deleteFilesV.filter(_.isDv).groupBy(_.minValues(DeleteFiles.FilePathCol))
+    dvByTargetC
+  }
+  @transient private var pqDeleteFilesC: Seq[DataFileMeta] = _
+  private def pqDeleteFiles: Seq[DataFileMeta] = {
+    if (pqDeleteFilesC == null) pqDeleteFilesC = deleteFilesV.filterNot(_.isDv)
+    pqDeleteFilesC
+  }
 
   /** Per-file covering delete references (merge-on-read tombstones):
     * parquet files by path range, DV entries by exact-target lookup.
@@ -948,7 +979,7 @@ final class LakeScan(
     * tracking writer).
     */
   private def eqApplicable(f: DataFileMeta): Seq[String] =
-    eqDeletes.filter(d => d.addedAt > f.addedAt &&
+    eqDeletesV.filter(d => d.addedAt > f.addedAt &&
       eqKeySchema.forall(ks => EqDeletes.mayOverlap(f, d, ks)) &&
       eqBloomMayHit(f, d)).map(_.path)
 
@@ -1029,6 +1060,40 @@ final class LakeScan(
       V2PredicatePruner.mayMatch(p, f, bloomFor)
         && BucketPruner.mayMatchV2(p, f, pf, typeOf)))
     onFilesSelected(files)
+    // re-resolve the DELETE-side skip under the runtime predicates: a
+    // DPP-pruned scan also drops delete files whose stamped bounds
+    // (target-partition values for positional tombstones, key ranges for
+    // eq-deletes) provably exclude the predicate. Sound for read scans by
+    // the plan-time skip's own argument: a runtime predicate is implied
+    // by the query, so rows such a tombstone kills fail the predicate and
+    // contribute nothing to the result — leaving them alive is invisible.
+    // Entries keep PHYSICAL stat keys; the view remaps them to the
+    // predicate's logical names and DROPS the reserved tombstone keys
+    // (file_path/pos target stats must never pose as user-column bounds).
+    if (runtimeDeleteNarrow && (deleteFilesV.nonEmpty || eqDeletesV.nonEmpty)) {
+      val p2l = l2p.map(_.swap)
+      val identity = p2l.forall(kv => kv._1 == kv._2)
+      def view(d: DataFileMeta): DataFileMeta = {
+        def clean(m: Map[String, String]): Map[String, String] = {
+          val noRes = m - DeleteFiles.FilePathCol - DeleteFiles.PosCol
+          if (identity) noRes
+          else noRes.map { case (k, v) => (ColumnMapping.logicalStatKey(k, p2l), v) }
+        }
+        d.copy(minValues = clean(d.minValues), maxValues = clean(d.maxValues))
+      }
+      def keep(d: DataFileMeta): Boolean = {
+        val v = view(d)
+        predicates.forall(p => V2PredicatePruner.mayMatch(p, v)
+          && BucketPruner.mayMatchV2(p, v, pf, typeOf))
+      }
+      val nBefore = deleteFilesV.size + eqDeletesV.size
+      deleteFilesV = deleteFilesV.filter(keep)
+      eqDeletesV = eqDeletesV.filter(keep)
+      LakeScan.runtimeDeletesDropped.addAndGet(
+        (nBefore - deleteFilesV.size - eqDeletesV.size).toLong)
+      dvByTargetC = null
+      pqDeleteFilesC = null
+    }
     delegate = null // rebuild the parquet scan over the pruned list
   }
 
@@ -1162,10 +1227,10 @@ final class LakeScan(
         // count scales with files); parquet files: the bounded range scan
         val pathSet = files.map(_.path).toSet
         val paths = files.map(_.path)
-        val covering = deleteFiles.filter(d =>
+        val covering = deleteFilesV.filter(d =>
           if (d.isDv) pathSet.contains(d.minValues(DeleteFiles.FilePathCol))
           else DeleteFiles.coversAny(d, paths))
-        val eqApp = eqDeletes.filter(d => files.exists(_.addedAt < d.addedAt))
+        val eqApp = eqDeletesV.filter(d => files.exists(_.addedAt < d.addedAt))
         java.util.OptionalLong.of(math.max(0L,
           files.map(_.rowCount).sum - covering.map(_.rowCount).sum
             - eqApp.map(_.rowCount).sum))

@@ -282,17 +282,7 @@ final case class TableMeta(
     val p2l = l2pMap.map(_.swap)
     if (p2l.forall(kv => kv._1 == kv._2)) files
     else {
-      def remap(k: String): String = k match {
-        case PartField.BucketKey(n, src) => s"_bucket_${n}_${p2l.getOrElse(src, src)}"
-        case PartField.TimeKey(u, src) => s"_${u}_${p2l.getOrElse(src, src)}"
-        case PartField.TruncKey(w, src) => s"_truncate_${w}_${p2l.getOrElse(src, src)}"
-        // shredded-variant stat keys: "<col>#<path>" — the prefix follows
-        // the column's logical name (rename-safe, like every other stat)
-        case _ if k.contains('#') =>
-          val i = k.indexOf('#')
-          s"${p2l.getOrElse(k.substring(0, i), k.substring(0, i))}${k.substring(i)}"
-        case _ => p2l.getOrElse(k, k)
-      }
+      def remap(k: String): String = ColumnMapping.logicalStatKey(k, p2l)
       files.map(f => f.copy(
         minValues = f.minValues.map { case (k, v) => (remap(k), v) },
         maxValues = f.maxValues.map { case (k, v) => (remap(k), v) },
@@ -1219,6 +1209,23 @@ object ColumnMapping {
   def toLogical(s: StructType, l2p: Map[String, String]): StructType = {
     val p2l = l2p.map(_.swap)
     StructType(s.fields.map(f => f.copy(name = p2l.getOrElse(f.name, f.name))))
+  }
+
+  /** One stat key physical→logical: transform keys rewrite their source
+    * name, shredded-variant keys their column prefix, plain columns map
+    * directly. Shared by [[TableMeta.logicalStatFiles]] and the runtime
+    * delete-narrowing view in the scan.
+    */
+  def logicalStatKey(k: String, p2l: Map[String, String]): String = k match {
+    case PartField.BucketKey(n, src) => s"_bucket_${n}_${p2l.getOrElse(src, src)}"
+    case PartField.TimeKey(u, src) => s"_${u}_${p2l.getOrElse(src, src)}"
+    case PartField.TruncKey(w, src) => s"_truncate_${w}_${p2l.getOrElse(src, src)}"
+    // shredded-variant stat keys: "<col>#<path>" — the prefix follows
+    // the column's logical name (rename-safe, like every other stat)
+    case _ if k.contains('#') =>
+      val i = k.indexOf('#')
+      s"${p2l.getOrElse(k.substring(0, i), k.substring(0, i))}${k.substring(i)}"
+    case _ => p2l.getOrElse(k, k)
   }
 
   /** Rewrite attribute references in pushed-down predicates logical→physical

@@ -91,4 +91,90 @@ class RuntimePruningSpec extends AnyFunSuite {
         s"runtime filter should prune to the single bucket file, got $counts:\n$plan")
     }
   }
+
+  test("runtime filters re-resolve the POSITIONAL delete skip (DPP drops " +
+      "other partitions' tombstones, keeps the matching ones)") {
+    import graft.catalog._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.dpp")
+    spark.sql("DROP TABLE IF EXISTS lake.dpp.mfact")
+    spark.sql("DROP TABLE IF EXISTS lake.dpp.mdim")
+    spark.sql("CREATE TABLE lake.dpp.mfact (k INT, v BIGINT) PARTITIONED BY (k) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read', " +
+      "'commit.manifest-merge.enabled'='false')")
+    spark.sql("INSERT INTO lake.dpp.mfact SELECT CAST(id % 10 AS INT), id FROM range(1000)")
+    // tombstones in TWO partitions, stamped with their targets' k-bounds
+    spark.sql("DELETE FROM lake.dpp.mfact WHERE k = 3 AND v < 330") // 33 rows
+    spark.sql("DELETE FROM lake.dpp.mfact WHERE k = 7 AND v < 100") // 10 rows
+    spark.sql("CREATE TABLE lake.dpp.mdim (k INT, attr STRING)")
+    spark.sql(
+      "INSERT INTO lake.dpp.mdim SELECT CAST(id AS INT), IF(id = 3, 'hit', 'miss') FROM range(10)")
+    val dropped0 = LakeScan.runtimeDeletesDropped.get()
+    val q = spark.sql(
+      """SELECT f.k, count(*) AS n, min(f.v) AS mv
+        |FROM lake.dpp.mfact f JOIN lake.dpp.mdim d ON f.k = d.k
+        |WHERE d.attr = 'hit' GROUP BY f.k""".stripMargin)
+    val rows = q.collect()
+    // correctness first: partition 3's OWN tombstones still apply (v<330
+    // gone → 67 rows, min = 333); a dropped k=3 tombstone would show 100
+    assert(rows.toSeq.map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      == Seq((3, 67L, 333L)), s"got ${rows.toSeq}")
+    assert(q.queryExecution.executedPlan.toString.contains("dynamicpruning"))
+    // ...and partition 7's tombstones were DROPPED by the runtime
+    // re-resolution (stamped k-bounds [7,7] exclude the k=3 DPP keys)
+    assert(LakeScan.runtimeDeletesDropped.get() > dropped0,
+      "the k=7 tombstone files must be dropped under the k=3 runtime filter")
+    spark.sql("DROP TABLE lake.dpp.mfact")
+    spark.sql("DROP TABLE lake.dpp.mdim")
+  }
+
+  test("runtime filters re-resolve the EQUALITY delete skip; row-level scans never narrow") {
+    import graft.catalog._
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.dpp")
+    spark.sql("DROP TABLE IF EXISTS lake.dpp.ups")
+    spark.sql("CREATE TABLE lake.dpp.ups " +
+      "TBLPROPERTIES ('commit.manifest-merge.enabled'='false') " +
+      "AS SELECT id AS k, concat('v', id) AS v FROM range(1, 101)")
+    // three eq-delete epochs over DISJOINT key ranges
+    for ((lo, hi, tag) <- Seq((1L, 10L, "a"), (40L, 50L, "b"), (90L, 95L, "c"))) {
+      spark.range(lo, hi + 1).selectExpr("id AS k", s"concat('$tag', id) AS v")
+        .createOrReplaceTempView("dpp_ups_src")
+      spark.sql("CALL lake.system.upsert('dpp.ups', 'dpp_ups_src', 'k')")
+    }
+    val cat = spark.sessionState.catalogManager.catalog("lake").asInstanceOf[LakeCatalog]
+    val table = cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("dpp"), "ups"))
+      .asInstanceOf[LakeTable]
+    // a PLAIN READ scan narrows its eq-delete list under a runtime k-probe:
+    // epochs a and c's key bounds exclude k=42, only epoch b survives
+    val scan = table.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of()))
+      .build().asInstanceOf[LakeScan]
+    val dropped0 = LakeScan.runtimeDeletesDropped.get()
+    scan.filter(Array(new Predicate("=",
+      Array(Expressions.column("k"), Expressions.literal(42L)))))
+    assert(LakeScan.runtimeDeletesDropped.get() - dropped0 >= 2,
+      "epochs a and c must be dropped under the k=42 runtime predicate")
+    // answers unchanged through SQL (upserted values win, others intact)
+    assert(spark.sql("SELECT v FROM lake.dpp.ups WHERE k = 42")
+      .collect().map(_.getString(0)).toSeq == Seq("b42"))
+    assert(spark.table("lake.dpp.ups").count() == 100)
+    // a ROW-LEVEL operation's scan must KEEP the full delete state even
+    // when runtime group filtering prunes its files: kept files are
+    // rewritten wholesale, so skipped tombstones would resurrect rows in
+    // the DATA. The narrow flag is builder-gated; prove it end-to-end.
+    spark.sql("DROP TABLE IF EXISTS lake.dpp.seldim")
+    spark.sql("CREATE TABLE lake.dpp.seldim (k BIGINT)")
+    spark.sql("INSERT INTO lake.dpp.seldim VALUES (42), (5)")
+    val dropped1 = LakeScan.runtimeDeletesDropped.get()
+    spark.sql("DELETE FROM lake.dpp.ups WHERE k IN (SELECT k FROM lake.dpp.seldim)")
+    assert(LakeScan.runtimeDeletesDropped.get() == dropped1,
+      "row-level-operation scans must never narrow their delete lists")
+    assert(spark.table("lake.dpp.ups").count() == 98)
+    assert(spark.sql("SELECT v FROM lake.dpp.ups WHERE k = 43")
+      .collect().map(_.getString(0)).toSeq == Seq("b43"))
+    spark.sql("DROP TABLE lake.dpp.ups")
+    spark.sql("DROP TABLE lake.dpp.seldim")
+  }
 }
