@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
-import graft.functions.TextHashing.{cosineSim, minhashSignature, simhash}
+import graft.functions.TextHashing.{cosineSim, minhashSignature}
 import graft.functions.VectorHashing.srpBands
 
 /** LLM-training-data pipeline operators (north star; SURVEY §2b bottom
@@ -53,6 +53,88 @@ object LlmPipeline {
     array_sort(array_distinct(
       when(size(w) >= 3, graft.functions.TextHashing.wordNgrams(w, 3))
         .otherwise(array(lower(c)))))
+  }
+
+  /** q33's FIXED token-hash table: one row per corpus-vocabulary token,
+    * three independent 60-bit constants (one per shingle position). The
+    * shingle hash is h1(w0) XOR h2(w1) XOR h3(w2) — XOR of sub-2^60
+    * values never overflows a signed 64-bit lane, so Spark and DuckDB
+    * compute it bit-identically (the merge-table trick that oracled q107:
+    * both engines share the literal instead of a library hash function).
+    * Tokens outside the table hash to 0 (the synthetic corpus vocabulary
+    * is closed, so none are).
+    */
+  private val simhashTokenTable: Seq[(String, Long, Long, Long)] = Seq(
+    ("a", 192830449058384696L, 268881705817474461L, 969334123185777189L),
+    ("agg", 552211475515345043L, 1014875301393484644L, 614133267197341636L),
+    ("batch", 608005418390191221L, 1128976036235528552L, 1043624777385219707L),
+    ("big", 1087789350415721948L, 370082314557745972L, 792087188662173672L),
+    ("column", 554514992108172424L, 325359713207987257L, 775821842472319308L),
+    ("customer", 81595134289378089L, 477043419020108347L, 597491988709482508L),
+    ("data", 1036310232663355994L, 856718101716603043L, 991330131572848965L),
+    ("dup", 780787699947730874L, 939906861020717365L, 323373880967822209L),
+    ("fast", 368314185719768369L, 881709225787282157L, 283179304264474561L),
+    ("filter", 996780722138420011L, 368142331743259687L, 1023394945960165341L),
+    ("group", 1147398860785651975L, 1141981016934510643L, 76355726280988905L),
+    ("hash", 421793842119058865L, 753447352849197463L, 887251167113447996L),
+    ("join", 591210701832333573L, 369058706896195159L, 407986734545086274L),
+    ("key", 759202383117003433L, 639925750176769418L, 448535307704002706L),
+    ("line", 792531031524163172L, 1013633654086075902L, 420330311753996259L),
+    ("merge", 723353778650932853L, 787370854069804545L, 982360719234521449L),
+    ("order", 73006863946619399L, 107527491897364477L, 931745558553530409L),
+    ("part", 3503586571557556L, 472686976810528479L, 401410371971245365L),
+    ("query", 999675427384518956L, 780281883612011292L, 447965830514919004L),
+    ("row", 689055984814020813L, 910466071590731942L, 679796472982136255L),
+    ("scan", 523742827083780534L, 992600729690592034L, 560442789059986625L),
+    ("slow", 11178885345075284L, 437844275484297065L, 873775372461750127L),
+    ("small", 416830603813404096L, 769707665187796344L, 281070454669253061L),
+    ("sort", 1080201476351701648L, 731753693880255770L, 833594128323287401L),
+    ("spark", 1006074323548080701L, 972745783521509601L, 995252399192728118L),
+    ("stream", 1048984757033514988L, 840902092707355961L, 557319155141656492L),
+    ("table", 796475717814828071L, 1020993853544740517L, 1072506916112659927L),
+    ("the", 324805096711974761L, 322503963757955514L, 1091604560437069768L),
+    ("value", 468533238559091847L, 544785141981366205L, 717298145362560416L),
+    ("vector", 873399290447619942L, 447126232390053842L, 875117934748474631L),
+    ("window", 366196120317653897L, 1103373927810638069L, 193290576440866494L))
+
+  /** DuckDB replay of q33: same literal table, same XOR shingle hash, same
+    * +1/-1 majority vote per bit, same 16-bit band buckets and hamming<=6
+    * verify. Shingle positions come from an index probe into the token
+    * list (WITH ORDINALITY is unavailable); 300 bounds the corpus's
+    * max tokens per doc (observed max 100).
+    */
+  private val simhashOracleSql: String = {
+    val values = simhashTokenTable
+      .map { case (t, a, b, c) => s"('$t', $a, $b, $c)" }.mkString(",\n  ")
+    s"""WITH ht(token, h1, h2, h3) AS (VALUES
+       |  $values),
+       |tok AS (
+       |  SELECT doc_id, ts[i.i] AS token, i.i AS pos
+       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+       |       (SELECT unnest(range(1, 301)) AS i) i
+       |  WHERE i.i <= len(ts)),
+       |th AS (SELECT doc_id, pos, h1, h2, h3 FROM tok JOIN ht USING (token)),
+       |sh AS (
+       |  SELECT a.doc_id, xor(xor(a.h1, b.h2), c.h3) AS hv
+       |  FROM th a
+       |  JOIN th b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |  JOIN th c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+       |bits AS (
+       |  SELECT doc_id, bb.b,
+       |    CASE WHEN sum(CASE WHEN (hv >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+       |      THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+       |  FROM sh CROSS JOIN (SELECT unnest(range(64)) AS b) bb GROUP BY doc_id, bb.b),
+       |sig AS (SELECT doc_id, sum(bit << b)::BIGINT AS sh64 FROM bits GROUP BY doc_id),
+       |ch AS (
+       |  SELECT doc_id, sh64, cc.c, (sh64 >> (cc.c * 16)) & 65535 AS cv
+       |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS c) cc),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    bit_count(xor(a.sh64, b.sh64)) AS hamming
+       |  FROM ch a JOIN ch b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sh64, b.sh64)) <= 6)
+       |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+       |FROM pairs ORDER BY id_a, id_b""".stripMargin
   }
 
   /** Exact set-Jaccard between two pre-distinct SORTED string arrays.
@@ -820,11 +902,34 @@ object LlmPipeline {
     // ───── q33: SimHash near-dup candidates ──────────────────────────────
     // Single 64-bit fingerprint per doc; candidates = pairs agreeing on any
     // of 4 16-bit chunks (hamming<=3 guaranteed found for <=3 flipped
-    // chunks). Shuffles only on (chunk, value) — never all-pairs. XXH64 not
-    // available in the oracle -> rows-only check; ScalaTest pins behavior.
-    QueryDef.unoracled("q33_simhash_neardup") { (s, dir) =>
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), simhash(shingles3(col("text")), 42L).as("sh64"))
+    // chunks). Shuffles only on (chunk, value) — never all-pairs.
+    // ORACLED since r10 via the merge-table trick (q107's pattern): the
+    // per-shingle hash is the XOR of three FIXED 60-bit constants from the
+    // literal [[simhashTokenTable]] (one per shingle position — XOR never
+    // overflows, so both engines compute it exactly), and the simhash
+    // majority vote + band-bucket + hamming verify replay in portable SQL.
+    // The production-path XXH64 fingerprint (open-vocabulary corpora) stays
+    // exercised by LlmSpec's exact planted-pair tests.
+    QueryDef.df("q33_simhash_neardup", simhashOracleSql) { (s, dir) =>
+      def hmap(i: Int) = map(simhashTokenTable.flatMap { r =>
+        Seq(lit(r._1), lit(Seq(r._2, r._3, r._4)(i))) }: _*)
+      // shingle hashes: literal-map lookups inside one array lambda — no
+      // join, no explode; the text never leaves its row until bucketing
+      val hvs = t(s, dir, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+        .filter(size(col("ts")) >= 3)
+        .select(col("doc_id"),
+          transform(sequence(lit(1), size(col("ts")) - 2), i =>
+            coalesce(element_at(hmap(0), element_at(col("ts"), i)), lit(0L))
+              .bitwiseXOR(coalesce(element_at(hmap(1), element_at(col("ts"), i + 1)), lit(0L)))
+              .bitwiseXOR(coalesce(element_at(hmap(2), element_at(col("ts"), i + 2)), lit(0L))))
+            .as("hvs"))
+      // simhash majority vote per bit, folded to one 64-bit signature —
+      // same +1/-1 vote (ties -> 0) the oracle's SQL spells out
+      val d = hvs.select(col("doc_id"),
+        expr("aggregate(sequence(0, 63), 0L, (acc, b) -> acc + " +
+          "IF(aggregate(hvs, 0L, (s, h) -> s + IF((shiftright(h, b) & 1) = 1, 1L, -1L)) > 0L, " +
+          "shiftleft(1L, b), 0L))").as("sh64"))
       val chunkStructs = (0 until 4).map(c =>
         struct(lit(c).as("chunk"),
           shiftrightunsigned(col("sh64"), c * 16).bitwiseAND(lit(0xFFFFL)).as("cv")))
@@ -847,7 +952,7 @@ object LlmPipeline {
               struct(a.getField("doc_id").as("id_a"), b.getField("doc_id").as("id_b"),
                 bit_count(a.getField("sh64").bitwiseXOR(b.getField("sh64"))).as("hamming"))),
             p => p.getField("hamming") <= 6)))).as("p"))
-        .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
+        .select(col("p.id_a"), col("p.id_b"), col("p.hamming").cast("long").as("hamming"))
         .distinct()
       pairs.orderBy("id_a", "id_b")
     },

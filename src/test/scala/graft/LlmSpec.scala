@@ -117,7 +117,7 @@ class LlmSpec extends AnyFunSuite {
   test("q33 simhash candidates are all true near-dups at hamming<=6") {
     val rows = SparkEntry.queries("q33_simhash_neardup")(spark, sf).collect()
     assert(rows.nonEmpty, "planted near-dups must produce simhash candidates")
-    assert(rows.forall(_.getInt(2) <= 6))
+    assert(rows.forall(_.getLong(2) <= 6L))
   }
 
   test("srp_bands: deterministic, scale-invariant, codegen strict") {
