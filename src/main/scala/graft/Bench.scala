@@ -47,6 +47,15 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None
         }
       }
+      // CACHE HYGIENE (VERDICT r9 #8): no persisted RDD may survive a
+      // query's run — a leaked cache would hand cross-run (and cross-
+      // QUERY) warmth to later measurements, flattering them against the
+      // baseline. Fail the whole bench loudly: a silent unpersist here
+      // would hide the leak the assertion exists to catch.
+      val leaked = spark.sparkContext.getPersistentRDDs
+      require(leaked.isEmpty,
+        s"[bench] $name leaked ${leaked.size} persisted RDD(s): " +
+          leaked.values.map(_.name).mkString(", "))
       // Any failed run reports -1 so a broken plan can't silently pass as a
       // fast one (ADVICE r1).
       if (times.size < runsPer) name -> (-1.0, 0.0)

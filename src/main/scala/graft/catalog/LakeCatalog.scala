@@ -58,7 +58,9 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
 
   private var catalogName: String = _
   private var warehouse: String = _
-  private var store: PointerStore = _
+  // var + graft visibility: CommitAmbiguitySpec swaps in a call-tearing
+  // subclass to prove ALTER's torn-CAS resolution
+  private[graft] var store: PointerStore = _
   private[graft] def pointerStore: PointerStore = store
   private var hadoopConf: Configuration = _
   // loadTable cache; invalidateTable (unimplemented in the reference,
@@ -542,7 +544,16 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
           if (newSchemaJson == t.meta.schemaJson) t.meta.schemaIdNow
           else t.meta.schemaIdNow + 1)
       val newLoc = TableMeta.write(next, hadoopConf)
-      if (store.casUpdate(ns(ident.namespace()), ident.name(), newLoc, t.metadataLocation) == 1) {
+      // guardedCas, not a raw casUpdate: a torn JDBC call (applied
+      // server-side, ack lost) must resolve to committed — a blind retry
+      // of the reload-and-reapply loop would double-apply (AddColumn then
+      // fails "already exists" against our own landed ALTER), and a bare
+      // SQLException would fail an ALTER that actually landed. No
+      // discriminating snapshot exists for ALTER (newHead = None): if the
+      // pointer moved past us mid-tear the outcome escalates as
+      // CommitStateUnknown instead of guessing.
+      if (CasCommit.guardedCas(store, ns(ident.namespace()), ident.name(), newLoc,
+          t.metadataLocation, None, hadoopConf, "alter", display(ident)) == 1) {
         invalidateTable(ident)
         return loadTable(ident)
       }

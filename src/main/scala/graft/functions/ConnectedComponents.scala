@@ -24,11 +24,33 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Release the RDD a `localCheckpoint()` pinned: Dataset.unpersist
+    * can't reach it (the checkpoint is an internal RDD behind a
+    * LogicalRDD, not a CacheManager entry), so without this every CC
+    * round leaks one MEMORY_AND_DISK RDD for the session's lifetime —
+    * caught by Bench's persistent-RDD assertion.
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** @param nodes one column `node` — every vertex (isolated ones included)
     * @param edges two columns `u`, `v` — undirected, dups/self-loops fine
-    * @return `(node, comp)` where comp = the component's minimum node id
+    * @return `(node, comp)` where comp = the component's minimum node id;
+    *         the plan pins the final round's checkpoint — callers that must
+    *         not leak it use [[runWithRelease]]
     */
-  def run(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def run(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame =
+    runWithRelease(nodes, edges, maxIter)._1
+
+  /** [[run]] plus a release callback freeing the final round's checkpoint
+    * RDD — call it after the returned plan's LAST action (the plan reads
+    * the checkpoint, so release-then-act would recompute or fail).
+    */
+  def runWithRelease(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 50): (DataFrame, () => Unit) = {
     // INVARIANT between rounds: edges are distinct with u > v (enforced on
     // the initial set below, preserved by both stars) — so symmetrization
     // can't create duplicates and small-star needs no re-normalization.
@@ -73,12 +95,18 @@ object ConnectedComponents {
       val nextSig = signature(next)
       converged = nextSig == sig
       sig = nextSig
+      // the superseded round's checkpoint is dead the moment `next`
+      // materialized (localCheckpoint is eager): release it, or a 50-round
+      // run holds 50 edge-set copies in executor memory
+      releaseCheckpoint(e)
       e = next
       i += 1
     }
     require(converged, s"connected components did not converge in $maxIter rounds")
+    val last = e
     // fixpoint = star forest: every non-root points at its component min
-    nodes.join(e.select(col("u").as("node"), col("v").as("comp")), Seq("node"), "left")
-      .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
+    (nodes.join(e.select(col("u").as("node"), col("v").as("comp")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("comp"), col("node")).as("comp")),
+      () => releaseCheckpoint(last))
   }
 }

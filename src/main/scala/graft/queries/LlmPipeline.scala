@@ -1074,11 +1074,17 @@ object LlmPipeline {
             col("a.doc_id") =!= col("b.doc_id") &&
             abs(col("a.n_chars") - col("b.n_chars")) <= 2)
         .select(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
-      val comp = graft.functions.ConnectedComponents.run(
+      val (comp, release) = graft.functions.ConnectedComponents.runWithRelease(
         d.select(col("doc_id").as("node")), edges)
-      comp.groupBy("comp").agg(count(lit(1)).as("n_docs"))
+      val out = comp.groupBy("comp").agg(count(lit(1)).as("n_docs"))
         .where(col("n_docs") > 1)
         .orderBy("comp")
+      try {
+        // materialize the (output-sized) cluster counts so the final CC
+        // round's checkpoint releases — q117's LocalRelation pattern
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(out.collect().toSeq.asJava, out.schema)
+      } finally release()
     },
 
     // ───── q57: deterministic (reproducible) stratified sampling ─────────

@@ -189,4 +189,154 @@ class CommitAmbiguitySpec extends AnyFunSuite {
         conf, "test", "ns.t")
     }
   }
+
+  // ── the three NON-shared retry loops (VERDICT r9 #5) ────────────────────
+  // ALTER's reload-and-reapply, staged CREATE/REPLACE's register-fallback,
+  // and the streaming-epoch replay each run their own protocol around the
+  // pointer swap; tear the JDBC call inside each one.
+
+  test("ALTER: torn CAS that APPLIED resolves to committed — applied exactly once") {
+    TestSpark.spark
+    val wh = java.nio.file.Files.createTempDirectory("ambalter").toString
+    val url = freshUrl("h")
+    val cat = new LakeCatalog()
+    cat.initialize("ambig", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("warehouse", wh, "jdbc.url", url)))
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("d"), "t")
+    val cols = Array(org.apache.spark.sql.connector.catalog.Column.create("k",
+      org.apache.spark.sql.types.LongType))
+    cat.createTable(ident, cols,
+      Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+      new java.util.HashMap[String, String]())
+    var casCalls = 0
+    cat.store = new PointerStore(url, "ambig") {
+      override def casUpdate(ns: String, name: String, nl: String, pl: String): Int = {
+        casCalls += 1
+        super.casUpdate(ns, name, nl, pl) // APPLIES
+        throw new SQLException("connection reset after apply")
+      }
+    }
+    import org.apache.spark.sql.connector.catalog.TableChange
+    // AddColumn is the reapply-hostile change: a blind retry of the
+    // reload-and-reapply loop would see our own landed ALTER and fail
+    // "column already exists"; a bare SQLException would fail an ALTER
+    // that landed. The guarded resolution returns success.
+    val altered = cat.alterTable(ident,
+      TableChange.setProperty("flag", "on"),
+      TableChange.addColumn(Array("extra"), org.apache.spark.sql.types.LongType))
+    assert(casCalls == 1, "resolution must come from the probe, not a blind retry")
+    assert(altered.schema().fieldNames.count(_ == "extra") == 1, "applied exactly once")
+    assert(altered.properties().get("flag") == "on")
+    // overtaken mid-tear: no discriminating snapshot -> explicit unknown,
+    // never a silent reapply
+    val (interloperLoc, _) = {
+      val cur = TableMeta.read(cat.store.load("d", "t").get, conf)
+      attempt(cur, cur.location, "thief")
+    }
+    cat.store = new PointerStore(url, "ambig") {
+      override def casUpdate(ns: String, name: String, nl: String, pl: String): Int = {
+        super.casUpdate(ns, name, interloperLoc, pl)
+        throw new SQLException("torn, interloper landed")
+      }
+    }
+    intercept[CommitStateUnknownException] {
+      cat.alterTable(ident, TableChange.setProperty("x", "y"))
+    }
+  }
+
+  test("staged CREATE: torn register that APPLIED commits; abort never deletes staged files") {
+    val dir = java.nio.file.Files.createTempDirectory("ambstage").toString
+    val url = freshUrl("i")
+    val store = new PointerStore(url, "c")
+    store.initialize()
+    // round-trip through disk so the meta carries its IO conf
+    val base = TableMeta.read(
+      TableMeta.write(TableMeta.empty(dir, schema, Nil, Map.empty), conf), conf)
+    val tearing = new PointerStore(url, "c") {
+      override def register(ns: String, name: String, loc: String): Boolean = {
+        super.register(ns, name, loc) // APPLIES
+        throw new SQLException("ack lost after insert")
+      }
+    }
+    val staged = new StagedLakeTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("ns"), "t"),
+      "c.ns.t", "ns", "t", base, StageMode.Create, tearing, conf, () => ())
+    // stage one real file through the write path
+    val fpath = s"$dir/data/staged.parquet"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/data"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(fpath), Array[Byte](1, 2, 3))
+    val info = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+      override def queryId(): String = "q"
+      override def schema(): StructType = base.schema
+      override def options() = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of())
+    }
+    staged.newWriteBuilder(info).build().toBatch
+      .commit(Array(LakeCommitMessage(Seq(file(dir, "staged")))))
+    staged.commitStagedChanges() // torn register resolves via the row probe
+    assert(store.load("ns", "t").isDefined, "the torn-but-applied register IS the table")
+    staged.abortStagedChanges()
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(fpath)),
+      "abort after a committed-or-unknown outcome must keep the staged files")
+    // undecidable: register AND the probe load both fail -> escalate, keep files
+    val url2 = freshUrl("j")
+    new PointerStore(url2, "c").initialize()
+    val dead = new PointerStore(url2, "c") {
+      override def register(ns: String, name: String, loc: String): Boolean =
+        throw new SQLException("write timeout")
+      override def load(ns: String, name: String): Option[String] =
+        throw new SQLException("store unreachable")
+    }
+    val staged2 = new StagedLakeTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("ns"), "t2"),
+      "c.ns.t2", "ns", "t2", base, StageMode.Create, dead, conf, () => ())
+    staged2.newWriteBuilder(info).build().toBatch
+      .commit(Array(LakeCommitMessage(Seq(file(dir, "staged")))))
+    intercept[CommitStateUnknownException] { staged2.commitStagedChanges() }
+    staged2.abortStagedChanges()
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(fpath)),
+      "an undecidable staged commit must never clean up")
+  }
+
+  test("streaming epoch: torn CAS that APPLIED commits once; replay no-ops; abort keeps files") {
+    val (store, url, base0, prevLoc, dir) = setup("k")
+    val base = TableMeta.read(prevLoc, conf)
+    val table = new LakeTable("c.ns.t", "ns", "t", base, prevLoc, store, conf)
+    var casCalls = 0
+    val tearing = new PointerStore(url, "c") {
+      override def casUpdate(ns: String, name: String, nl: String, pl: String): Int = {
+        casCalls += 1
+        super.casUpdate(ns, name, nl, pl) // APPLIES
+        throw new SQLException("ack lost after apply")
+      }
+    }
+    val f5 = file(dir, "e5")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/data"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(f5.path), Array[Byte](5))
+    val sw = new org.apache.spark.sql.types.StructType(Array(
+      org.apache.spark.sql.types.StructField("k", LongType)))
+    val writer = new LakeStreamingWrite(table, sw, "q1", tearing, conf)
+    writer.commit(5L, Array(LakeCommitMessage(Seq(f5))))
+    assert(casCalls == 1, "resolution must come from the probe, not a blind retry")
+    val committed = TableMeta.read(store.load("ns", "t").get, conf)
+    assert(committed.properties.get("stream.q1.last-epoch").contains("5"))
+    assert(committed.currentFiles.map(_.path).contains(f5.path))
+    // Spark may still abort a committed epoch (death before the checkpoint
+    // marker): the watermark must keep the snapshot's files
+    writer.abort(5L, Array(LakeCommitMessage(Seq(f5))))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(f5.path)),
+      "abort of a committed epoch must not delete the snapshot's files")
+    // restart replays the epoch through a FRESH writer: exactly-once means
+    // the replayed duplicate files are dropped and no snapshot is added
+    val dup = file(dir, "e5dup")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dup.path), Array[Byte](5))
+    val snapCount = committed.snapshots.size
+    new LakeStreamingWrite(table, sw, "q1", store, conf)
+      .commit(5L, Array(LakeCommitMessage(Seq(dup))))
+    val after = TableMeta.read(store.load("ns", "t").get, conf)
+    assert(after.snapshots.size == snapCount, "replayed epoch must not re-append")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dup.path)),
+      "the replay's duplicate files are dropped")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(f5.path)))
+  }
 }

@@ -14,8 +14,15 @@ import json
 
 import duckdb
 
-sfdir, outdir = sys.argv[1], sys.argv[2]
-names = sys.argv[3:]
+argv = sys.argv[1:]
+json_out = None
+if "--json" in argv:
+    i = argv.index("--json")
+    json_out = argv[i + 1]
+    argv = argv[:i] + argv[i + 2:]
+sfdir, outdir = argv[0], argv[1]
+names = argv[2:]
+results = {}
 
 con = duckdb.connect()
 for tname in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -41,8 +48,10 @@ for name in names:
             n = len(con.execute(
                 f"SELECT * FROM '{outdir}/{name}/*.parquet'").fetchdf())
             print(f"{name}: NO ORACLE (rows-only, {n} rows)")
+            results[name] = {"status": "no_oracle", "rows": n}
         except Exception as e:
             print(f"{name}: ERR reading dump: {e}")
+            results[name] = {"status": "err", "error": str(e)}
             fails += 1
         continue
     try:
@@ -51,6 +60,7 @@ for name in names:
         oracle = con.execute(oracles[name]).fetchdf()
     except Exception as e:
         print(f"{name}: ERR {e}")
+        results[name] = {"status": "err", "error": str(e)}
         fails += 1
         continue
     sc, oc = sorted(spark.columns), sorted(oracle.columns)
@@ -72,10 +82,13 @@ for name in names:
         # why this is a warning and not a failure.
         note = "" if a_raw == b_raw else " [order differs from oracle]"
         print(f"{name}: OK ({len(spark)} rows){note}")
+        results[name] = {"status": "ok", "rows": len(spark)}
     else:
         fails += 1
         print(f"{name}: FAIL cols={ok_cols} ({sc} vs {oc}) rows={ok_rows} "
               f"({len(spark)} vs {len(oracle)}) vals={ok_vals}")
+        results[name] = {"status": "fail", "cols_match": ok_cols,
+                         "rows": [len(spark), len(oracle)], "vals_match": ok_vals}
         if ok_cols and ok_rows:
             for i, (x, y) in enumerate(zip(a, b)):
                 if x != y:
@@ -84,4 +97,17 @@ for name in names:
 for name in missing:
     fails += 1
     print(f"{name}: FAIL missing-output (oracled query produced no dump)")
+    results[name] = {"status": "fail", "error": "missing-output"}
+if json_out:
+    summary = {
+        "sfdir": sfdir,
+        "total": len(results),
+        "oracled": sum(1 for r in results.values() if r["status"] in ("ok", "fail")),
+        "ok": sum(1 for r in results.values() if r["status"] == "ok"),
+        "no_oracle": sum(1 for r in results.values() if r["status"] == "no_oracle"),
+        "failed": fails,
+        "queries": results,
+    }
+    with open(json_out, "w") as f:
+        json.dump(summary, f, indent=1, sort_keys=True)
 sys.exit(1 if fails else 0)
