@@ -1479,11 +1479,12 @@ final class LakeMixedBatch(
       }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    // vectorized MoR: when every requested (and eq-key) column is a flat
-    // primitive AND every delegate partition supports columnar, the WHOLE
-    // scan stays vectorized — tombstoned files read through the columnar
-    // positional reader instead of knocking the scan to row mode. Spark
-    // requires scan-wide agreement, so this is decided here, once.
+    // vectorized MoR: when every requested (and eq-key) column is of a
+    // supported type (flat primitives/decimals, and nested arrays/structs/
+    // maps of them since r10) AND every delegate partition supports
+    // columnar, the WHOLE scan stays vectorized — tombstoned files read
+    // through the columnar positional reader instead of knocking the scan
+    // to row mode. Spark requires scan-wide agreement: decided here, once.
     val flatOk = ColumnarSupport.ok(physRequired) &&
       ColumnarSupport.ok(eqKeySchema) && metaColsOk
     def allColumnar(p: Option[(Array[InputPartition], PartitionReaderFactory)]) =

@@ -29,10 +29,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * common case when deletes are sparse — while a dirty batch compacts its
   * survivors into fresh on-heap vectors. `_file`/`_pos` metadata columns
   * ride as a constant vector and a refilled position vector. Eligibility
-  * is decided at planning ([[ColumnarSupport.ok]]): flat schemas only,
-  * where "flat" includes decimals (int/long/bytes-backed) — nested
-  * array/map/struct schemas keep the row reader (identical semantics,
-  * just unvectorized).
+  * is decided at planning ([[ColumnarSupport.ok]]): any schema of
+  * supported types — flat primitives/decimals AND (since r10) nested
+  * arrays/structs/maps of them, compacted by the recursive append-based
+  * [[ColumnarSupport.appendValue]] copy, so an embeddings table
+  * (array<float>) carrying MoR tombstones reads vectorized too.
   */
 object ColumnarSupport {
   /** Types the columnar positional path can pass through AND compact. */
@@ -43,40 +44,90 @@ object ColumnarSupport {
     case _: DecimalType => true
     case _ => false
   }
-  def ok(schema: StructType): Boolean = schema.fields.forall(f => flat(f.dataType))
+  /** r10: NESTED types compact too (arrays/structs/maps of supported
+    * types, recursively) via the append-based [[appendValue]] copy — an
+    * embeddings table (array<float>) taking MoR deletes no longer pays
+    * the row-reader tax. Pass-through batches were always type-agnostic;
+    * this extends the COMPACTION side.
+    */
+  def supported(dt: DataType): Boolean = dt match {
+    case ArrayType(et, _) => supported(et)
+    case st: StructType => st.fields.forall(f => supported(f.dataType))
+    case MapType(k, v, _) => supported(k) && supported(v)
+    case other => flat(other)
+  }
+  def ok(schema: StructType): Boolean = schema.fields.forall(f => supported(f.dataType))
 
-  /** Null-safe single-value copy between vectors (flat types only). */
-  def copyValue(src: ColumnVector, i: Int, dst: WritableColumnVector, o: Int,
-      dt: DataType): Unit =
-    if (src.isNullAt(i)) dst.putNull(o)
+  /** APPEND one value (possibly nested) from a batch row / array / map
+    * entry into a writable vector. Append-based (not put-based) so nested
+    * children grow their offset bookkeeping correctly; callers append
+    * rows strictly in order. A null STRUCT must go through
+    * appendStruct(true) — a bare appendNull would leave the children one
+    * slot short and misalign every later row.
+    */
+  def appendValue(dst: WritableColumnVector, dt: DataType,
+      src: org.apache.spark.sql.catalyst.expressions.SpecializedGetters, ord: Int): Unit =
+    if (src.isNullAt(ord)) dt match {
+      case _: StructType => dst.appendStruct(true)
+      case _ => dst.appendNull(); ()
+    }
     else dt match {
-      case BooleanType => dst.putBoolean(o, src.getBoolean(i))
-      case ByteType => dst.putByte(o, src.getByte(i))
-      case ShortType => dst.putShort(o, src.getShort(i))
-      case IntegerType | DateType => dst.putInt(o, src.getInt(i))
-      case LongType | TimestampType | TimestampNTZType => dst.putLong(o, src.getLong(i))
-      case FloatType => dst.putFloat(o, src.getFloat(i))
-      case DoubleType => dst.putDouble(o, src.getDouble(i))
+      case BooleanType => dst.appendBoolean(src.getBoolean(ord))
+      case ByteType => dst.appendByte(src.getByte(ord))
+      case ShortType => dst.appendShort(src.getShort(ord))
+      case IntegerType | DateType => dst.appendInt(src.getInt(ord))
+      case LongType | TimestampType | TimestampNTZType => dst.appendLong(src.getLong(ord))
+      case FloatType => dst.appendFloat(src.getFloat(ord))
+      case DoubleType => dst.appendDouble(src.getDouble(ord))
       case StringType =>
-        val b = src.getUTF8String(i).getBytes
-        dst.putByteArray(o, b, 0, b.length)
+        val b = src.getUTF8String(ord).getBytes
+        dst.appendByteArray(b, 0, b.length)
       case BinaryType =>
-        val b = src.getBinary(i)
-        dst.putByteArray(o, b, 0, b.length)
-      // decimals live as int/long/unscaled-bytes depending on precision
-      // (the same storage contract Spark's own vector population uses)
-      case dt: DecimalType =>
-        val d = src.getDecimal(i, dt.precision, dt.scale)
-        if (dt.precision <= org.apache.spark.sql.types.Decimal.MAX_INT_DIGITS)
-          dst.putInt(o, d.toUnscaledLong.toInt)
-        else if (dt.precision <= org.apache.spark.sql.types.Decimal.MAX_LONG_DIGITS)
-          dst.putLong(o, d.toUnscaledLong)
+        val b = src.getBinary(ord)
+        dst.appendByteArray(b, 0, b.length)
+      case dec: DecimalType =>
+        val d = src.getDecimal(ord, dec.precision, dec.scale)
+        if (dec.precision <= org.apache.spark.sql.types.Decimal.MAX_INT_DIGITS)
+          dst.appendInt(d.toUnscaledLong.toInt)
+        else if (dec.precision <= org.apache.spark.sql.types.Decimal.MAX_LONG_DIGITS)
+          dst.appendLong(d.toUnscaledLong)
         else {
           val b = d.toJavaBigDecimal.unscaledValue().toByteArray
-          dst.putByteArray(o, b, 0, b.length)
+          dst.appendByteArray(b, 0, b.length)
         }
-      case other => throw new IllegalStateException(s"non-flat columnar copy: $other")
+      case at: ArrayType =>
+        val arr = src.getArray(ord)
+        val n = arr.numElements()
+        dst.appendArray(n)
+        val child = dst.arrayData()
+        var k = 0
+        while (k < n) { appendValue(child, at.elementType, arr, k); k += 1 }
+      case st: StructType =>
+        dst.appendStruct(false)
+        val row = src.getStruct(ord, st.length)
+        var k = 0
+        while (k < st.length) {
+          appendValue(dst.getChild(k).asInstanceOf[WritableColumnVector],
+            st.fields(k).dataType, row, k)
+          k += 1
+        }
+      case mt: MapType =>
+        val m = src.getMap(ord)
+        val n = m.numElements()
+        dst.appendArray(n)
+        val keys = m.keyArray()
+        val vals = m.valueArray()
+        val kv = dst.getChild(0).asInstanceOf[WritableColumnVector]
+        val vv = dst.getChild(1).asInstanceOf[WritableColumnVector]
+        var k = 0
+        while (k < n) {
+          appendValue(kv, mt.keyType, keys, k)
+          appendValue(vv, mt.valueType, vals, k)
+          k += 1
+        }
+      case other => throw new IllegalStateException(s"unsupported columnar copy: $other")
     }
+
 }
 
 final class PositionalColumnarReader(
@@ -287,16 +338,17 @@ final class PositionalColumnarReader(
         }
         if (m > 0) {
           val out = OnHeapColumnVector.allocateColumns(m, outWithMetaSchema)
-          var c2 = 0
-          while (c2 < outSchema.length) {
-            val dt = outSchema.fields(c2).dataType
-            val src = batch.column(c2)
-            var j = 0
-            while (j < m) {
-              ColumnarSupport.copyValue(src, live(j), out(c2), j, dt)
-              j += 1
+          // row-major APPEND copy (handles nested types; flat columns hit
+          // the same primitive append fast paths the old put copy used)
+          var j = 0
+          while (j < m) {
+            val row = batch.getRow(live(j))
+            var c2 = 0
+            while (c2 < outSchema.length) {
+              ColumnarSupport.appendValue(out(c2), outSchema.fields(c2).dataType, row, c2)
+              c2 += 1
             }
-            c2 += 1
+            j += 1
           }
           part.metaCols.zipWithIndex.foreach { case (mc, k) =>
             val v = out(outSchema.length + k)
@@ -421,13 +473,15 @@ final class EqFilteredColumnarReader(
       compacted += 1
       if (m > 0) {
         val out = OnHeapColumnVector.allocateColumns(m, outSchema)
-        var c = 0
-        while (c < part.outLen) {
-          val dt = outSchema.fields(c).dataType
-          val src = batch.column(c)
-          var j = 0
-          while (j < m) { ColumnarSupport.copyValue(src, live(j), out(c), j, dt); j += 1 }
-          c += 1
+        var j = 0
+        while (j < m) {
+          val row = batch.getRow(live(j))
+          var c = 0
+          while (c < part.outLen) {
+            ColumnarSupport.appendValue(out(c), outSchema.fields(c).dataType, row, c)
+            c += 1
+          }
+          j += 1
         }
         copied = new ColumnarBatch(out.toArray[ColumnVector], m)
         current = copied
