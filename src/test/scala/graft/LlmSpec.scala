@@ -114,6 +114,38 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("fixed_simhash: deterministic, matches the literal-table majority vote, codegen strict") {
+    withStrictCodegen {
+      import graft.functions.{FixedSimhash, TextHashing}
+      // hand-computed reference over the shared literal table: identical
+      // token lists => identical fingerprints; one changed token flips a
+      // bounded number of bits; < 3 tokens => 0
+      val docs = Seq(
+        (1L, "join hash row batch scan"),
+        (2L, "join hash row batch scan"), // identical
+        (3L, "join hash row batch sort"), // one tail token changed
+        (4L, "join hash")                 // too short
+      ).toDF("id", "text")
+        .select(col("id"), TextHashing.fixedSimhash(split(col("text"), " ")).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(docs(1L) == docs(2L))
+      assert(docs(4L) == 0L)
+      assert(docs(1L) != docs(3L), "different shingles must flip some bits")
+      // the expression equals a direct Scala replay of the oracle's math
+      def replay(toks: Seq[String]): Long = {
+        val m = graft.functions.FixedSimhash.table.map(r => r._1 -> (r._2, r._3, r._4)).toMap
+        val hvs = toks.sliding(3).filter(_.size == 3).map(w =>
+          m(w(0))._1 ^ m(w(1))._2 ^ m(w(2))._3).toSeq
+        (0 until 64).map { b =>
+          val vote = hvs.map(h => if (((h >> b) & 1L) == 1L) 1 else -1).sum
+          if (vote > 0) 1L << b else 0L
+        }.sum
+      }
+      assert(docs(1L) == replay(Seq("join", "hash", "row", "batch", "scan")))
+      assert(docs(3L) == replay(Seq("join", "hash", "row", "batch", "sort")))
+    }
+  }
+
   test("q33 simhash candidates are all true near-dups at hamming<=6") {
     val rows = SparkEntry.queries("q33_simhash_neardup")(spark, sf).collect()
     assert(rows.nonEmpty, "planted near-dups must produce simhash candidates")
