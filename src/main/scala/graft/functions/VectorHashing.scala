@@ -43,6 +43,24 @@ object VectorHashing {
     */
   def srpBands(vec: Column, numBands: Int, bitsPerBand: Int, seed: Long = 7L): Column =
     call_function("srp_bands", vec, lit(numBands), lit(bitsPerBand), lit(seed))
+
+  /** Per-dim bit stride of the packed plane pool (upper bound on supported
+    * vector dimensionality; [[SrpBands]] sizes its pool with it).
+    */
+  final val MaxDim = 4096
+
+  /** Hyperplane h's sign mask restricted to dims 0..63, as ONE 64-bit word:
+    * the pool's bit stride per hyperplane is MaxDim = 4096 (64-aligned), so
+    * bits (h·4096 .. h·4096+63) are exactly word h·64. This is what lets a
+    * SQL oracle replay the banding — for dim ≤ 64 embeddings each
+    * hyperplane is a single BIGINT literal and `(mask >> d) & 1` recovers
+    * the sign, bit-identical to [[SrpBands]] by construction (same
+    * SplitMix64 pool, same indexing).
+    */
+  def planeMasks64(numPlanes: Int, seed: Long = 7L): Array[Long] = {
+    val pool = hyperplanes(numPlanes, MaxDim, seed)
+    Array.tabulate(numPlanes)(h => pool(h * (MaxDim / 64)))
+  }
 }
 
 /** `srp_bands(embedding, numBands, bitsPerBand, seed) -> array<int>`: band
@@ -61,7 +79,7 @@ final case class SrpBands(child: Expression, numBands: Int, bitsPerBand: Int, se
     * allocated once for this bound so the same expression serves any
     * embedding column <= maxDim wide.
     */
-  private val maxDim = 4096
+  private val maxDim = VectorHashing.MaxDim
   private lazy val planes: Array[Long] =
     VectorHashing.hyperplanes(numBands * bitsPerBand, maxDim, seed)
 

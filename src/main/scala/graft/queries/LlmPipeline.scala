@@ -37,6 +37,14 @@ object LlmPipeline {
     "v a", "va l", "val u", "valu e",
     "r o", "ro w", "a n", "s c", "sc an", "e r", "o r")
 
+  /** q150's fixed phrase list — literal in BOTH engines (the probe input a
+    * user supplies; chosen from the corpus vocabulary so matches exist,
+    * with a repeated-term phrase to exercise the count(DISTINCT off)
+    * correctness leg).
+    */
+  private[graft] val Q150Phrases: Array[String] =
+    Array("key agg row", "scan slow fast", "table value part", "query query")
+
   /** Distinct 3-word shingles — the discriminating unit for near-dup
     * detection (word UNIgrams are useless on a small shared vocabulary:
     * nearly everything looks similar; 3-grams separate the planted
@@ -93,6 +101,99 @@ object LlmPipeline {
        |  WHERE bit_count(xor(a.sh64, b.sh64)) <= 6)
        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
        |FROM pairs ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** DuckDB replay of q38/q52 SRP-LSH banding: the hyperplane sign masks
+    * come from the SAME SplitMix64 pool [[graft.functions.SrpBands]] uses
+    * (via `planeMasks64` — for dim-64 embeddings each hyperplane is one
+    * 64-bit word), interpolated as BIGINT literals, so both engines compute
+    * the identical signature: per-hyperplane signed dot accumulated in
+    * array order as doubles (list_sum matches the expression's sequential
+    * loop), `> 0` sign bit, 16 bands x 4 bits. Candidates = vectors sharing
+    * any band with the query; cosine re-rank replays through DuckDB's
+    * list_cosine_similarity (same order-sequential double accumulation as
+    * CosineSim — the q26 precedent). q52 probes the MATERIALIZED index with
+    * the same banding, so one oracle covers both.
+    */
+  private val srpOracleSql: String = {
+    val masks = graft.functions.VectorHashing.planeMasks64(numPlanes = 64, seed = 7L)
+    val mvals = masks.zipWithIndex
+      .map { case (m, h) => s"($h, CAST($m AS BIGINT))" }.mkString(",\n  ")
+    s"""WITH masks(h, m) AS (VALUES
+       |  $mvals),
+       |sig AS (
+       |  SELECT vec_id, label, embedding, h // 4 AS band,
+       |    CASE WHEN list_sum([CASE WHEN (m >> d) & 1 = 1
+       |           THEN CAST(embedding[d + 1] AS DOUBLE)
+       |           ELSE -CAST(embedding[d + 1] AS DOUBLE) END
+       |         for d in range(0, len(embedding))]) > 0
+       |      THEN (1 << (h % 4)) ELSE 0 END AS bit
+       |  FROM embeddings, masks),
+       |bands AS (
+       |  SELECT vec_id, label, embedding, band, CAST(sum(bit) AS INT) AS bv
+       |  FROM sig GROUP BY 1, 2, 3, 4),
+       |q AS (SELECT band, bv, embedding AS qe FROM bands WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT DISTINCT c.vec_id, c.label, c.embedding, q.qe
+       |  FROM bands c JOIN q USING (band, bv) WHERE c.vec_id <> 0)
+       |SELECT vec_id, CAST(label AS INT) AS label,
+       |       list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]) AS sim
+       |FROM cand ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** DuckDB replay of q45 winnowing — the full 64-bit PRODUCTION hash, no
+    * portable-variant compromise, because (a) the polynomial rolling hash
+    * mod 2^64 replays exactly in HUGEINT (window hash = Σ byte·B^(k-1-j)
+    * mod 2^64; Long wraparound IS mod 2^64), and (b) q45 never exposes
+    * fingerprint VALUES, only pair counts — and the set of winnowed prints
+    * per doc is exactly the distinct FULL-WINDOW MINIMA (the rightmost-min
+    * tie-break picks a position, never changes the selected value, and the
+    * selected-position sequence is non-decreasing, so consecutive-dedup
+    * can't drop a distinct value). Comparisons happen on the SIGNED
+    * reinterpretation, matching Winnowing.compute's Long compares. The
+    * HAVING<=w-1 branch covers k<=len<k+w-1 docs (single global-min print;
+    * unreachable on this corpus, min doc length 44).
+    */
+  private val winnowOracleSql: String = {
+    val B = 1000003L
+    val k = 20
+    val w = 8
+    // B^(k-1-j) mod 2^64 == Long wraparound, rendered unsigned for HUGEINT
+    val pows = Array.iterate(1L, k)(_ * B).reverse
+      .map(p => s"CAST(${java.lang.Long.toUnsignedString(p)} AS HUGEINT)")
+      .mkString(", ")
+    s"""WITH docs AS (SELECT doc_id, lower(text) AS s FROM documents),
+       |posn AS (
+       |  SELECT doc_id, s, CAST(i AS INT) AS i
+       |  FROM docs, unnest(range(1, len(s) - $k + 2)) AS u(i)),
+       |h AS (
+       |  SELECT doc_id, i,
+       |    CAST(CASE WHEN hu >= 9223372036854775808 THEN hu - 18446744073709551616
+       |         ELSE hu END AS BIGINT) AS hs
+       |  FROM (
+       |    SELECT doc_id, i,
+       |      list_sum([CAST(ord(s[i + j]) AS HUGEINT) * ([$pows])[j + 1]
+       |                for j in range(0, $k)])
+       |        % CAST(18446744073709551616 AS HUGEINT) AS hu
+       |    FROM posn)),
+       |mins AS (
+       |  SELECT doc_id,
+       |    min(hs) OVER (PARTITION BY doc_id ORDER BY i
+       |                  ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp,
+       |    count(*) OVER (PARTITION BY doc_id ORDER BY i
+       |                   ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wn
+       |  FROM h),
+       |fps AS (
+       |  SELECT DISTINCT doc_id, fp FROM mins WHERE wn = $w
+       |  UNION
+       |  SELECT doc_id, min(hs) AS fp FROM h GROUP BY doc_id HAVING count(*) <= ${w - 1}),
+       |buckets AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) BETWEEN 2 AND 8),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM fps a JOIN fps b USING (fp) JOIN buckets USING (fp)
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS shared_fps
+       |FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5 ORDER BY id_a, id_b""".stripMargin
   }
 
   /** Exact set-Jaccard between two pre-distinct SORTED string arrays.
@@ -350,8 +451,10 @@ object LlmPipeline {
     // top-k. The band join touches a small fraction of the corpus (the
     // LlmSpec pins candidate count and recall vs q26 on this data). At scale
     // the banded table is precomputed once and bucketed by (band, value), so
-    // a probe is a partition-pruned lookup, not a scan.
-    QueryDef.unoracled("q38_ann_lsh") { (s, dir) =>
+    // a probe is a partition-pruned lookup, not a scan. ORACLED (r10): the
+    // SplitMix64 hyperplane masks interpolate into the SQL as literals, so
+    // DuckDB replays the signature bit-for-bit (see srpOracleSql).
+    QueryDef.df("q38_ann_lsh", srpOracleSql) { (s, dir) =>
       val bands = 16
       val bits = 4
       val emb = t(s, dir, "embeddings")
@@ -426,7 +529,11 @@ object LlmPipeline {
     // read that the manifest prunes to exactly the query's bucket files —
     // I/O proportional to bucket size, independent of corpus size
     // (AnnIndexSpec asserts the pruned file set and result parity with q38).
-    QueryDef.unoracled("q52_ann_index_probe") { (s, dir) =>
+    // ORACLED (r10): identical semantics to q38 — same banding, same
+    // candidate set, same re-rank — so q38's mask-literal oracle covers the
+    // materialized-index path too (a probe through the catalog must answer
+    // exactly what the inline pipeline answers).
+    QueryDef.df("q52_ann_index_probe", srpOracleSql) { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       AnnIndex.buildSrpIndex(s, emb, "lake.idx.emb_bands")
       AnnIndex.probeSrpIndex(s, "lake.idx.emb_bands", emb, queryVecId = 0L)
@@ -673,9 +780,12 @@ object LlmPipeline {
     // phrases) and are dropped BEFORE pair expansion — the standard MOSS
     // move that keeps buckets bounded and the shuffle O(prints), never
     // quadratic in a hot phrase's document count. Docs sharing >= 5
-    // surviving prints are copy candidates. Custom hash -> rows-only
-    // driver check; exact semantics pinned in LlmSpec.
-    QueryDef.unoracled("q45_winnow_copydetect") { (s, dir) =>
+    // surviving prints are copy candidates. ORACLED (r10) with the FULL
+    // production 64-bit hash — mod-2^64 polynomial hashing replays in
+    // HUGEINT, and the winnowed print SET per doc equals the distinct
+    // full-window minima (see winnowOracleSql); exact positional
+    // semantics additionally pinned in LlmSpec.
+    QueryDef.df("q45_winnow_copydetect", winnowOracleSql) { (s, dir) =>
       val fps = t(s, dir, "documents")
         .select(col("doc_id"),
           explode(array_distinct(
@@ -2317,6 +2427,181 @@ object LlmPipeline {
         .select(col("source"), col("n_grams"), col("n_novel"),
           round(col("n_novel") / col("n_grams").cast("double"), 6).as("novelty"))
         .orderBy("source")
+    },
+
+    // ───── q147: deterministic stratified train/val/test split ────────────
+    // Every training pipeline's first cut: assign each doc to a split by a
+    // SALTED CONTENT-INDEPENDENT hash (md5 of "doc_id:source" — stable
+    // across reshards, no RNG state, reproducible on any engine), 80/10/10,
+    // then report per-(lang, split) doc and token counts so strata can be
+    // checked for balance. One scan, one hash-agg on (lang, split) — the
+    // assignment is a pure projection, so at 100 TB this is a single
+    // map-side pass; no shuffle carries text.
+    QueryDef.df(
+      "q147_stratified_split",
+      """WITH d AS (
+        |  SELECT lang,
+        |    CAST(concat('0x', substr(md5(doc_id || ':' || source), 1, 8)) AS BIGINT) % 100 AS bucket,
+        |    len(string_split(lower(text), ' ')) AS n_toks
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        |FROM d GROUP BY 1, 2 ORDER BY lang, split""".stripMargin) { (s, dir) =>
+      val bucket = conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit(":"), col("source"))), 1, 8),
+        16, 10).cast("long") % 100
+      t(s, dir, "documents")
+        .select(col("lang"),
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"),
+          size(words(col("text"))).cast("long").as("n_toks"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+        .orderBy("lang", "split")
+    },
+
+    // ───── q148: temperature-tempered source mixture weights ──────────────
+    // The pretraining-mix allocator: per-source sampling weight ∝
+    // n_tokens^0.5 (square-root tempering — α=0.5 because sqrt is
+    // IEEE-correctly-rounded, so BOTH engines compute the identical double
+    // where pow(x, 0.7) would not be reproducible). Normalization follows
+    // the QueryDef decimal discipline: tempered weights pass through
+    // DECIMAL(18,6) so the denominator sum is exact and order-independent,
+    // then one double division. `oversample` = weight / natural token
+    // share — the epochs-over-corpus factor a sampler applies. The per-
+    // source aggregate is corpus-wide but its OUTPUT is O(sources), so the
+    // window normalization runs over a handful of rows at any scale.
+    QueryDef.df(
+      "q148_mixture_weights",
+      """WITH src AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sum(len(string_split(lower(text), ' '))) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT *, CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,6)) AS sq
+        |      FROM src)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(sq AS DOUBLE) / CAST(sum(sq) OVER () AS DOUBLE) AS weight,
+        |  CAST(sq AS DOUBLE) / CAST(sum(sq) OVER () AS DOUBLE)
+        |    * CAST(sum(n_tokens) OVER () AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |    AS oversample
+        |FROM t ORDER BY source""".stripMargin) { (s, dir) =>
+      val all = Window.partitionBy()
+      val src = t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(words(col("text"))).cast("long")).as("n_tokens"))
+        .withColumn("sq", sqrt(col("n_tokens").cast("double")).cast("decimal(18,6)"))
+      src
+        .withColumn("weight",
+          col("sq").cast("double") / sum(col("sq")).over(all).cast("double"))
+        .withColumn("oversample",
+          col("weight") * sum(col("n_tokens")).over(all).cast("double")
+            / col("n_tokens").cast("double"))
+        .select("source", "n_docs", "n_tokens", "weight", "oversample")
+        .orderBy("source")
+    },
+
+    // ───── q149: bigram collocations by lift (PMI without the log) ───────
+    // Which word pairs co-occur far above chance — the collocation signal
+    // feeding tokenizer vocab curation and boilerplate detection. lift =
+    // P(w1w2) / (P(w1)·P(w2)) = n12·U/T·U/(n1·n2), computed WITHOUT ln so
+    // the value is a fixed sequence of IEEE double ops (exact integer
+    // inputs, left-to-right — bit-identical across engines; log is not
+    // correctly-rounded and would need the rounding crutch). Scale: bigram
+    // and unigram counts are two hash-aggs; the unigram side is vocab-sized
+    // and BROADCAST back onto the bigram counts; totals are single-row
+    // cross joins. Nothing shuffles but (gram, count) pairs.
+    QueryDef.df(
+      "q149_collocation_lift",
+      """WITH toks AS (SELECT string_split(lower(text), ' ') AS w FROM documents),
+        |big AS (
+        |  SELECT w[i] || ' ' || w[i + 1] AS bg
+        |  FROM toks, unnest(range(1, len(w))) AS t(i)),
+        |bgc AS (SELECT bg, count(*) AS n12 FROM big GROUP BY bg),
+        |uc AS (SELECT u, count(*) AS n FROM (SELECT unnest(w) AS u FROM toks) GROUP BY u),
+        |tot AS (
+        |  SELECT (SELECT count(*) FROM big) AS tbig,
+        |         (SELECT sum(len(w)) FROM toks) AS tuni)
+        |SELECT bg AS bigram, CAST(n12 AS BIGINT) AS n_pair,
+        |  CAST(a.n AS BIGINT) AS n_left, CAST(b.n AS BIGINT) AS n_right,
+        |  CAST(n12 AS DOUBLE) * tuni / tbig * tuni / CAST(a.n * b.n AS DOUBLE) AS lift
+        |FROM bgc, tot
+        |JOIN uc a ON a.u = string_split(bg, ' ')[1]
+        |JOIN uc b ON b.u = string_split(bg, ' ')[2]
+        |WHERE n12 >= 20
+        |ORDER BY lift DESC, bigram LIMIT 20""".stripMargin) { (s, dir) =>
+      val toks = t(s, dir, "documents").select(words(col("text")).as("w"))
+      val big = toks.select(expr("explode_ngrams(w, 2)").as("bg"))
+      val bgc = big.groupBy("bg").agg(count(lit(1)).as("n12"))
+      val uc = toks.select(explode(col("w")).as("u"))
+        .groupBy("u").agg(count(lit(1)).as("n"))
+      val tot = big.agg(count(lit(1)).as("tbig"))
+        .crossJoin(toks.agg(sum(size(col("w")).cast("long")).as("tuni")))
+      bgc.filter(col("n12") >= 20)
+        .crossJoin(broadcast(tot))
+        .join(broadcast(uc.select(col("u").as("ul"), col("n").as("n_left"))),
+          element_at(split(col("bg"), " "), 1) === col("ul"))
+        .join(broadcast(uc.select(col("u").as("ur"), col("n").as("n_right"))),
+          element_at(split(col("bg"), " "), 2) === col("ur"))
+        .select(col("bg").as("bigram"), col("n12").as("n_pair"),
+          col("n_left"), col("n_right"),
+          (col("n12").cast("double") * col("tuni") / col("tbig") * col("tuni")
+            / (col("n_left") * col("n_right")).cast("double")).as("lift"))
+        .orderBy(col("lift").desc, col("bigram"))
+        .limit(20)
+    },
+
+    // ───── q150: positional phrase search via an inverted index ──────────
+    // Exact multi-word PHRASE matching (q104 finds substrings; this finds
+    // token-aligned phrases): tokens become an (doc, pos, term) positional
+    // index, the phrase list explodes to a TINY (phrase, offset, term)
+    // table that BROADCASTS onto the index — the corpus never shuffles —
+    // and a candidate start position is a hit when it covers every offset
+    // of the phrase (count(DISTINCT offset) = phrase length, which is
+    // repeated-term-safe). Per phrase: matching docs and total
+    // occurrences. At 100 TB the index is the materialized artifact and a
+    // probe is this same broadcast join.
+    QueryDef.df(
+      "q150_phrase_search",
+      s"""WITH ph(phrase) AS (VALUES ${Q150Phrases.map(p => s"('$p')").mkString(", ")}),
+        |pt AS (
+        |  SELECT phrase, string_split(phrase, ' ')[i] AS term, i - 1 AS off,
+        |    len(string_split(phrase, ' ')) AS plen
+        |  FROM ph, unnest(range(1, len(string_split(phrase, ' ')) + 1)) AS u(i)),
+        |tok AS (
+        |  SELECT doc_id, i.i AS pos, ts[i.i] AS term
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+        |       (SELECT unnest(range(1, 1001)) AS i) i
+        |  WHERE i.i <= len(ts)),
+        |hits AS (
+        |  SELECT p.phrase, p.plen, k.doc_id, k.pos - p.off AS start, p.off
+        |  FROM tok k JOIN pt p USING (term)),
+        |m AS (
+        |  SELECT phrase, doc_id, start
+        |  FROM hits GROUP BY phrase, plen, doc_id, start
+        |  HAVING count(DISTINCT off) = plen)
+        |SELECT phrase, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_matches
+        |FROM m GROUP BY phrase ORDER BY phrase""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val pt = Q150Phrases.toSeq.flatMap { p =>
+        val terms = p.split(' ')
+        terms.zipWithIndex.map { case (term, off) => (p, term, off, terms.length) }
+      }.toDF("phrase", "term", "off", "plen")
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos0", "term")))
+      tok.join(broadcast(pt), "term") // corpus never shuffles; phrases broadcast
+        .select(col("phrase"), col("plen"), col("doc_id"),
+          (col("pos0") + 1 - col("off")).as("start"), col("off"))
+        .groupBy("phrase", "plen", "doc_id", "start")
+        .agg(countDistinct(col("off")).as("cov"))
+        .filter(col("cov") === col("plen"))
+        .groupBy("phrase")
+        .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_matches"))
+        .orderBy("phrase")
     })
 
   /** q56/q144's SQL-expressible near-dup candidate edges: same lang,

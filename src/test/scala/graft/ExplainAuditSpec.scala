@@ -450,4 +450,39 @@ class ExplainAuditSpec extends AnyFunSuite {
     assert(p.contains("LocalTableScan") || p.contains("LocalRelation"),
       s"q144 must return a materialized (cache-released) result:\n$p")
   }
+
+  test("q147 split: assignment is a projection; one hash-agg, no join, no window") {
+    val p = plan("q147_stratified_split")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"split assignment must stay a map-side projection:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final agg on (lang, split):\n$p")
+  }
+
+  test("q148 mixture: corpus reduces to O(sources) BEFORE the normalizing window") {
+    val p = plan("q148_mixture_weights")
+    // the window runs over the per-source aggregate's output (tiny), so it
+    // must sit ABOVE the hash aggregation in the plan, never over raw docs
+    val aggIdx = p.indexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0 && winIdx < p.lastIndexOf("HashAggregate"),
+      s"normalization window must consume the aggregated sources:\n$p")
+  }
+
+  test("q149 collocations: unigram side broadcasts; totals are single-row") {
+    val p = plan("q149_collocation_lift")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab-sized unigram counts must broadcast onto bigram counts:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in q149 should sort-merge:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$p")
+  }
+
+  test("q150 phrase search: phrase terms broadcast, the corpus never shuffles into a join") {
+    val p = plan("q150_phrase_search")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the (phrase, offset, term) table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the positional index must never shuffle into a join:\n$p")
+  }
 }
