@@ -2602,6 +2602,114 @@ object LlmPipeline {
         .groupBy("phrase")
         .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_matches"))
         .orderBy("phrase")
+    },
+
+    // ───── q151: embedding outliers vs label centroid ─────────────────────
+    // The embedding-space quality filter: per label, the 5 vectors least
+    // like their class (lowest cosine to the label centroid) — mislabeled
+    // or junk points a curation pass reviews first. Each engine computes
+    // its own centroid (float sums in partition order differ at ~1e-16),
+    // so the comparable surface rounds sim to 4 decimals — the q41
+    // discipline — and RANKS ON THE ROUNDED value with a vec_id tiebreak,
+    // keeping the ordering engine-independent. Spark side: one UDAF
+    // hash-agg to O(labels) centroids, broadcast back, per-row double
+    // arithmetic, rank<=5 per label compiles to a map-side
+    // WindowGroupLimit — no corpus-wide sort.
+    QueryDef.df(
+      "q151_embedding_outliers",
+      """WITH d AS (
+        |  SELECT label, vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |c AS (SELECT label, i, avg(v) AS m FROM d GROUP BY 1, 2),
+        |cl AS (SELECT label, list(m ORDER BY i) AS cent FROM c GROUP BY label),
+        |scored AS (
+        |  SELECT e.label, e.vec_id,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], cl.cent), 4) AS sim
+        |  FROM embeddings e JOIN cl ON cl.label = e.label),
+        |rk AS (
+        |  SELECT label, vec_id, sim,
+        |    row_number() OVER (PARTITION BY label ORDER BY sim, vec_id) AS rn
+        |  FROM scored)
+        |SELECT CAST(label AS INT) AS label, vec_id, sim
+        |FROM rk WHERE rn <= 5 ORDER BY label, sim, vec_id""".stripMargin) { (s, dir) =>
+      val vavg = udaf(graft.functions.VectorAvg)
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("int").as("label"), col("embedding"))
+      val cents = emb.groupBy("label").agg(vavg(col("embedding")).as("cent"))
+      val dot = aggregate(
+        zip_with(col("embedding"), col("cent"), (x, y) => x.cast("double") * y),
+        lit(0.0d), (a, v) => a + v)
+      val na = aggregate(col("embedding"), lit(0.0d),
+        (a, x) => a + x.cast("double") * x.cast("double"))
+      val nb = aggregate(col("cent"), lit(0.0d), (a, x) => a + x * x)
+      emb.join(broadcast(cents), "label")
+        .withColumn("sim", round(dot / (sqrt(na) * sqrt(nb)), 4))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("label").orderBy(col("sim"), col("vec_id"))))
+        .filter(col("rn") <= 5)
+        .select(col("label"), col("vec_id"), col("sim"))
+        .orderBy("label", "sim", "vec_id")
+    },
+
+    // ───── q152: near-CONTAINMENT dedup (quote-expansion detection) ───────
+    // Jaccard (q53) misses the doc that quotes most of a shorter one and
+    // adds new text — containment |A∩B|/min(|A|,|B|)... here
+    // max(inter/|A|, inter/|B|) >= 0.8 catches it symmetrically. Candidate
+    // generation is the MOSS move: inverted index on distinct 3-gram
+    // shingles, buckets capped at 2..16 docs (hot boilerplate shingles
+    // dropped BEFORE pair expansion — identical logic in the oracle, so
+    // the cap is part of the operator's contract, not a fudge), then the
+    // TRUE intersection verifies each candidate pair with the codegen
+    // sorted-merge — counts exact, the containment division is two exact
+    // ints, deterministic with no rounding. Text never shuffles; pairs
+    // stay inside capped buckets.
+    QueryDef.df(
+      "q152_containment_dedup",
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |d AS (
+        |  SELECT doc_id, list_sort(list_distinct(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS sh
+        |  FROM toks WHERE len(w) >= 3),
+        |dd AS (SELECT * FROM d WHERE len(sh) >= 5),
+        |inv AS (SELECT doc_id, unnest(sh) AS g FROM dd),
+        |b AS (SELECT g FROM inv GROUP BY g HAVING count(*) BETWEEN 2 AND 16),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM inv x JOIN b USING (g) JOIN inv y USING (g)
+        |  WHERE x.doc_id < y.doc_id),
+        |j AS (
+        |  SELECT id_a, id_b, len(list_intersect(a.sh, b.sh)) AS inter,
+        |         len(a.sh) AS na, len(b.sh) AS nb
+        |  FROM cand JOIN dd a ON a.doc_id = cand.id_a
+        |            JOIN dd b ON b.doc_id = cand.id_b)
+        |SELECT id_a, id_b, CAST(inter AS BIGINT) AS n_shared,
+        |  greatest(inter / CAST(na AS DOUBLE), inter / CAST(nb AS DOUBLE)) AS containment
+        |FROM j
+        |WHERE greatest(inter / CAST(na AS DOUBLE), inter / CAST(nb AS DOUBLE)) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), shingles3(col("text")).as("sh"))
+        .filter(size(col("sh")) >= 5)
+      val inv = d.select(col("doc_id"), explode(col("sh")).as("g"))
+      val buckets = inv.groupBy("g")
+        .agg(sort_array(collect_list("doc_id")).as("ids"))
+        .filter(size(col("ids")).between(2, 16)) // drop singletons AND hot shingles
+      val cands = buckets
+        .select(expr("explode_pairs(ids)").as(Seq("id_a", "id_b")))
+        .distinct()
+      val inter = graft.functions.TextHashing
+        .sortedIntersectSize(col("sha"), col("shb")).cast("long")
+      cands
+        .join(d.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
+        .join(d.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
+        .select(col("id_a"), col("id_b"), inter.as("n_shared"),
+          size(col("sha")).as("na"), size(col("shb")).as("nb"))
+        .withColumn("containment", greatest(
+          col("n_shared").cast("double") / col("na").cast("double"),
+          col("n_shared").cast("double") / col("nb").cast("double")))
+        .filter(col("containment") >= 0.8)
+        .select("id_a", "id_b", "n_shared", "containment")
+        .orderBy("id_a", "id_b")
     })
 
   /** q56/q144's SQL-expressible near-dup candidate edges: same lang,

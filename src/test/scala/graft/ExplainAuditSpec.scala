@@ -485,4 +485,20 @@ class ExplainAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"the positional index must never shuffle into a join:\n$p")
   }
+
+  test("q151 outliers: O(labels) centroids broadcast; rank<=5 is a map-side group limit") {
+    val p = plan("q151_embedding_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      s"centroids must broadcast back onto the corpus:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-label bottom-5 must push a group limit below the shuffle:\n$p")
+  }
+
+  test("q152 containment: candidates from capped buckets, verify inside the pair join") {
+    val p = plan("q152_containment_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment must never degenerate to all-pairs:\n$p")
+    assert(p.contains("sorted_intersect_size"),
+      s"the exact verify must be the codegen sorted merge:\n$p")
+  }
 }
