@@ -464,4 +464,63 @@ class LlmSpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).max
     assert(realMax <= 4096, s"default cap must not trigger on testdata: $realMax")
   }
+
+  test("q45 oracle reduction: winnowed print SET == distinct full-window minima") {
+    // the theorem the DuckDB oracle rests on: rightmost-min selection picks
+    // POSITIONS, but every selected print VALUE is its window's minimum and
+    // the selected-position sequence is non-decreasing, so the distinct
+    // print set equals the distinct window-min set. Pin it against an
+    // INDEPENDENT formulation (direct per-window polynomial hash, no
+    // rolling update, plain window scans) over deterministic pseudo-random
+    // strings covering all three length regimes.
+    val B = 1000003L
+    def windowHash(s: Array[Byte], from: Int, len: Int): Long = {
+      var h = 0L
+      var i = 0
+      while (i < len) { h = h * B + (s(from + i) & 0xffL); i += 1 }
+      h
+    }
+    val rnd = new scala.util.Random(42)
+    for (k <- Seq(4, 20); w <- Seq(3, 8); trial <- 0 until 60) {
+      val n = rnd.nextInt(90) // 0..89 covers n<k, k<=n<k+w-1, and full
+      // a 4-char alphabet forces hash ties, exercising the tie-break leg
+      val bytes = Array.fill(n)(('a' + rnd.nextInt(4)).toByte)
+      val got = graft.functions.Winnowing
+        .compute(org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes), k, w)
+        .toLongArray().toSet
+      val expected: Set[Long] =
+        if (n == 0) Set.empty
+        else if (n < k) Set(windowHash(bytes, 0, n))
+        else {
+          val m = n - k + 1
+          val hs = Array.tabulate(m)(i => windowHash(bytes, i, k))
+          if (m <= w) Set(hs.min)
+          else (0 to m - w).map(st => (st until st + w).map(hs).min).toSet
+        }
+      assert(got == expected,
+        s"k=$k w=$w n=$n: prints $got != window minima $expected")
+    }
+  }
+
+  test("q38 oracle alignment: planeMasks64 bits == SrpBands signs (one-hot probe)") {
+    // the oracle assumes hyperplane h's dim-0..63 signs live in ONE word of
+    // the packed pool. Probe the PUBLIC expression with one-hot vectors:
+    // for e_d, the dot with hyperplane h is +1 or -1 exactly per the mask
+    // bit, so band b's bit i must equal mask(h=b*4+i) bit d.
+    import spark.implicits._
+    val masks = graft.functions.VectorHashing.planeMasks64(numPlanes = 64, seed = 7L)
+    val oneHots = (0 until 64).map { d =>
+      (d, Array.tabulate(64)(i => if (i == d) 1.0f else 0.0f))
+    }.toDF("d", "embedding")
+    val got = oneHots.select(col("d"),
+        graft.functions.VectorHashing.srpBands(col("embedding"), 16, 4).as("bands"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Int](1))).toMap
+    for (d <- 0 until 64; b <- 0 until 16; i <- 0 until 4) {
+      val h = b * 4 + i
+      val expectedBit = (masks(h) >>> d) & 1L
+      val gotBit = (got(d)(b) >> i) & 1
+      assert(gotBit.toLong == expectedBit,
+        s"dim=$d band=$b bit=$i (plane $h): expression=$gotBit mask=$expectedBit")
+    }
+  }
 }
