@@ -2653,57 +2653,61 @@ object LlmPipeline {
 
     // ───── q152: near-CONTAINMENT dedup (quote-expansion detection) ───────
     // Jaccard (q53) misses the doc that quotes most of a shorter one and
-    // adds new text — containment |A∩B|/min(|A|,|B|)... here
-    // max(inter/|A|, inter/|B|) >= 0.8 catches it symmetrically. Candidate
-    // generation is the MOSS move: inverted index on distinct 3-gram
-    // shingles, buckets capped at 2..16 docs (hot boilerplate shingles
-    // dropped BEFORE pair expansion — identical logic in the oracle, so
-    // the cap is part of the operator's contract, not a fudge), then the
-    // TRUE intersection verifies each candidate pair with the codegen
-    // sorted-merge — counts exact, the containment division is two exact
-    // ints, deterministic with no rounding. Text never shuffles; pairs
-    // stay inside capped buckets.
+    // adds new text; max-containment max(|A∩B|/|A|, |A∩B|/|B|) >= 0.8
+    // catches it symmetrically. Both sides of the ratio are computed over
+    // INFORMATIVE shingles only — distinct 3-grams whose doc frequency is
+    // <= 16 (boilerplate shingles shared by many docs carry no copying
+    // signal AND are the quadratic hazard; dropping them is MOSS's stop-
+    // fingerprint move, replicated in the oracle so it is the operator's
+    // contract). That definition makes the whole query count-shaped: the
+    // intersection IS the per-pair co-occurrence count from capped
+    // buckets, the denominators are per-doc informative counts — shingle
+    // ARRAYS never join, never shuffle, no pair ships a document's text.
+    // (A first cut verified true intersections by joining both docs' full
+    // shingle arrays per pair: each doc's array shipped once per pair —
+    // quadratic bytes in a hot doc's degree, 11.2 s at sf0.1 vs 3.6 s for
+    // this shape, and strictly worse precision on boilerplate overlap.)
+    // Divisions are exact-int, deterministic with no rounding.
     QueryDef.df(
       "q152_containment_dedup",
       """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
         |d AS (
-        |  SELECT doc_id, list_sort(list_distinct(
-        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS sh
+        |  SELECT doc_id, list_distinct(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
         |  FROM toks WHERE len(w) >= 3),
-        |dd AS (SELECT * FROM d WHERE len(sh) >= 5),
-        |inv AS (SELECT doc_id, unnest(sh) AS g FROM dd),
-        |b AS (SELECT g FROM inv GROUP BY g HAVING count(*) BETWEEN 2 AND 16),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-        |  FROM inv x JOIN b USING (g) JOIN inv y USING (g)
-        |  WHERE x.doc_id < y.doc_id),
-        |j AS (
-        |  SELECT id_a, id_b, len(list_intersect(a.sh, b.sh)) AS inter,
-        |         len(a.sh) AS na, len(b.sh) AS nb
-        |  FROM cand JOIN dd a ON a.doc_id = cand.id_a
-        |            JOIN dd b ON b.doc_id = cand.id_b)
-        |SELECT id_a, id_b, CAST(inter AS BIGINT) AS n_shared,
-        |  greatest(inter / CAST(na AS DOUBLE), inter / CAST(nb AS DOUBLE)) AS containment
-        |FROM j
-        |WHERE greatest(inter / CAST(na AS DOUBLE), inter / CAST(nb AS DOUBLE)) >= 0.8
+        |inv AS (SELECT doc_id, unnest(sh) AS g FROM d WHERE len(sh) >= 5),
+        |df AS (SELECT g, count(*) AS n FROM inv GROUP BY g),
+        |inf AS (SELECT inv.doc_id, inv.g, df.n FROM inv JOIN df USING (g) WHERE df.n <= 16),
+        |na AS (SELECT doc_id, count(*) AS n_inf FROM inf GROUP BY doc_id),
+        |pc AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_shared
+        |  FROM inf x JOIN inf y ON x.g = y.g AND x.doc_id < y.doc_id
+        |  WHERE x.n >= 2
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+        |  greatest(n_shared / CAST(a.n_inf AS DOUBLE),
+        |           n_shared / CAST(b.n_inf AS DOUBLE)) AS containment
+        |FROM pc JOIN na a ON a.doc_id = pc.id_a JOIN na b ON b.doc_id = pc.id_b
+        |WHERE greatest(n_shared / CAST(a.n_inf AS DOUBLE),
+        |               n_shared / CAST(b.n_inf AS DOUBLE)) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       val d = t(s, dir, "documents")
         .select(col("doc_id"), shingles3(col("text")).as("sh"))
         .filter(size(col("sh")) >= 5)
       val inv = d.select(col("doc_id"), explode(col("sh")).as("g"))
-      val buckets = inv.groupBy("g")
-        .agg(sort_array(collect_list("doc_id")).as("ids"))
-        .filter(size(col("ids")).between(2, 16)) // drop singletons AND hot shingles
-      val cands = buckets
+      // shingle doc-frequency (arrays are distinct per doc, so count = docs)
+      val dfreq = inv.groupBy("g").agg(count(lit(1)).as("n"))
+      val inf = inv.join(dfreq.filter(col("n") <= 16), "g")
+      val na = inf.groupBy("doc_id").agg(count(lit(1)).as("n_inf"))
+      // co-occurrence count per pair == informative-intersection size;
+      // buckets are <= 16 docs so pair fan-out is bounded per shingle
+      val pairCounts = inf.filter(col("n") >= 2)
+        .groupBy("g").agg(sort_array(collect_list("doc_id")).as("ids"))
         .select(expr("explode_pairs(ids)").as(Seq("id_a", "id_b")))
-        .distinct()
-      val inter = graft.functions.TextHashing
-        .sortedIntersectSize(col("sha"), col("shb")).cast("long")
-      cands
-        .join(d.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
-        .join(d.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
-        .select(col("id_a"), col("id_b"), inter.as("n_shared"),
-          size(col("sha")).as("na"), size(col("shb")).as("nb"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      pairCounts
+        .join(na.select(col("doc_id").as("id_a"), col("n_inf").as("na")), "id_a")
+        .join(na.select(col("doc_id").as("id_b"), col("n_inf").as("nb")), "id_b")
         .withColumn("containment", greatest(
           col("n_shared").cast("double") / col("na").cast("double"),
           col("n_shared").cast("double") / col("nb").cast("double")))

@@ -494,11 +494,15 @@ class ExplainAuditSpec extends AnyFunSuite {
       s"per-label bottom-5 must push a group limit below the shuffle:\n$p")
   }
 
-  test("q152 containment: candidates from capped buckets, verify inside the pair join") {
+  test("q152 containment: count-shaped — shingle arrays never join, no all-pairs") {
     val p = plan("q152_containment_dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"containment must never degenerate to all-pairs:\n$p")
-    assert(p.contains("sorted_intersect_size"),
-      s"the exact verify must be the codegen sorted merge:\n$p")
+    // the intersection is a per-pair COUNT from capped buckets; the only
+    // array op is the per-doc shingle explode — no join input may carry
+    // the shingle array (a pair-side array join ships a hot doc's array
+    // once per pair: quadratic bytes, the 11 s first cut)
+    assert(!p.contains("sorted_intersect_size"),
+      s"verify must be count-shaped, not an array intersect per pair:\n$p")
   }
 }
