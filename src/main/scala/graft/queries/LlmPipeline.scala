@@ -2714,6 +2714,208 @@ object LlmPipeline {
         .filter(col("containment") >= 0.8)
         .select("id_a", "id_b", "n_shared", "containment")
         .orderBy("id_a", "id_b")
+    },
+
+    // ───── q153: int8 scalar-quantized ANN (integer-dot top-k) ───────────
+    // The memory-bound retrieval path: per-vector symmetric int8
+    // quantization (scale = max|x|; the max element always maps to ±127),
+    // then top-20 neighbors of a probe by INTEGER dot product. The whole
+    // comparable surface is exact: scale is a comparison-only max
+    // (order-free), x*127.0/s+0.5 is three correctly-rounded IEEE ops on
+    // identical inputs so BOTH engines floor the identical double, and the
+    // ranking dot is int arithmetic — no rounding crutch anywhere. n_sat
+    // (dims at ±127) audits clipping. Scale shape: quantization is a pure
+    // projection (4 bytes/dim → 1), the single probe broadcasts, top-k is
+    // TakeOrderedAndProject — per-partition heads + one 20-row merge, no
+    // global sort, nothing quadratic.
+    QueryDef.df(
+      "q153_quantized_ann",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max([abs(x) for x in v]) AS s FROM e),
+        |q AS (SELECT vec_id, [CAST(floor(x * 127.0 / s + 0.5) AS INT) for x in v] AS qv
+        |      FROM m WHERE s > 0),
+        |p AS (SELECT qv AS pq FROM q WHERE vec_id = 0)
+        |SELECT q.vec_id,
+        |  CAST(list_sum([q.qv[i] * p.pq[i] for i in range(1, len(q.qv) + 1)]) AS BIGINT) AS qdot,
+        |  CAST(len([x for x in q.qv if abs(x) = 127]) AS BIGINT) AS n_sat
+        |FROM q, p
+        |WHERE q.vec_id <> 0
+        |ORDER BY qdot DESC, vec_id
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      val q = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("s", array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+        .filter(col("s") > 0)
+        .withColumn("qv", transform(col("embedding"),
+          x => floor(x.cast("double") * lit(127.0) / col("s") + lit(0.5)).cast("int")))
+        .select(col("vec_id"), col("qv"))
+      val probe = q.filter(col("vec_id") === 0).select(col("qv").as("pq"))
+      q.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .withColumn("qdot", aggregate(
+          zip_with(col("qv"), col("pq"), (a, b) => (a * b).cast("long")),
+          lit(0L), (acc, v) => acc + v))
+        .withColumn("n_sat",
+          size(filter(col("qv"), x => abs(x) === 127)).cast("long"))
+        .select(col("vec_id"), col("qdot"), col("n_sat"))
+        .orderBy(col("qdot").desc, col("vec_id"))
+        .limit(20)
+    },
+
+    // ───── q154: Gopher-style rule-based document filter ──────────────────
+    // The composite heuristic gate every pretraining pipeline runs before
+    // anything expensive: five rules (length bounds, distinct-word ratio,
+    // mean word length band, stopword floor, top-word-fraction cap), with
+    // per-source per-rule violation counts plus the all-rules pass count.
+    // EVERY threshold compares via integer cross-multiplication (nd*100 >=
+    // nw*35, not nd/nw >= 0.35) — zero float hazard in the contract. The
+    // Spark side computes ALL five stats within the row (the top-word count
+    // is a max-run fold over the sorted token array), so the plan is one
+    // map pass + one hash-agg on source: no token ever shuffles, output is
+    // O(sources). The oracle replays the top-word stat by unnest+count —
+    // max run over a sorted multiset ≡ max multiplicity.
+    QueryDef.df(
+      "q154_gopher_rules",
+      """WITH d AS (SELECT doc_id, source, string_split(lower(text), ' ') AS w FROM documents),
+        |tw AS (SELECT doc_id, max(cnt) AS mx FROM (
+        |    SELECT doc_id, count(*) AS cnt
+        |    FROM (SELECT doc_id, unnest(w) AS word FROM d) GROUP BY doc_id, word)
+        |  GROUP BY doc_id),
+        |m AS (SELECT d.source, len(w) AS nw, len(list_distinct(w)) AS nd,
+        |    list_sum([len(x) for x in w]) AS sumlen,
+        |    len([x for x in w if x IN ('the', 'a')]) AS nstop,
+        |    tw.mx
+        |  FROM d JOIN tw USING (doc_id))
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) FILTER (WHERE NOT (nw BETWEEN 20 AND 90)) AS BIGINT) AS v_len,
+        |  CAST(count(*) FILTER (WHERE nd * 100 < nw * 35) AS BIGINT) AS v_distinct,
+        |  CAST(count(*) FILTER (WHERE NOT (sumlen * 100 BETWEEN nw * 425 AND nw * 500)) AS BIGINT) AS v_meanlen,
+        |  CAST(count(*) FILTER (WHERE nstop * 50 < nw) AS BIGINT) AS v_stop,
+        |  CAST(count(*) FILTER (WHERE mx * 8 > nw) AS BIGINT) AS v_topword,
+        |  CAST(count(*) FILTER (WHERE nw BETWEEN 20 AND 90 AND nd * 100 >= nw * 35
+        |    AND sumlen * 100 BETWEEN nw * 425 AND nw * 500
+        |    AND nstop * 50 >= nw AND mx * 8 <= nw) AS BIGINT) AS n_pass
+        |FROM m GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val w = words(col("text"))
+      val maxRun = aggregate(
+        sort_array(w),
+        struct(lit("").as("p"), lit(0).as("r"), lit(0).as("b")),
+        (acc, x) => {
+          val run = when(x === acc.getField("p"), acc.getField("r") + 1).otherwise(lit(1))
+          struct(x.as("p"), run.as("r"), greatest(acc.getField("b"), run).as("b"))
+        },
+        acc => acc.getField("b"))
+      val d = t(s, dir, "documents").select(col("source"),
+        size(w).as("nw"),
+        size(array_distinct(w)).as("nd"),
+        aggregate(w, lit(0), (a, x) => a + length(x)).as("sumlen"),
+        size(filter(w, x => x === "the" || x === "a")).as("nstop"),
+        maxRun.as("mx"))
+      def v(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+      d.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          v(!col("nw").between(20, 90)).as("v_len"),
+          v(col("nd") * 100 < col("nw") * 35).as("v_distinct"),
+          v(!(col("sumlen") * 100).between(col("nw") * 425, col("nw") * 500)).as("v_meanlen"),
+          v(col("nstop") * 50 < col("nw")).as("v_stop"),
+          v(col("mx") * 8 > col("nw")).as("v_topword"),
+          v(col("nw").between(20, 90) && col("nd") * 100 >= col("nw") * 35 &&
+            (col("sumlen") * 100).between(col("nw") * 425, col("nw") * 500) &&
+            col("nstop") * 50 >= col("nw") && col("mx") * 8 <= col("nw")).as("n_pass"))
+        .orderBy("source")
+    },
+
+    // ───── q155: per-stratum source caps (domain quota sampling) ──────────
+    // The over-represented-domain guard: cap every (source, lang) stratum
+    // at 8 docs, chosen by a SALTED deterministic hash rank (md5 of the
+    // doc id — reproducible across reshards, no RNG state), and report per
+    // source what survives. Scale shape: the window input is projected to
+    // (ids, lang, n_toks, hash) BEFORE the shuffle — text never moves —
+    // and the per-stratum rank feeds a hash-agg back to O(sources) rows.
+    QueryDef.df(
+      "q155_source_caps",
+      """WITH r AS (
+        |  SELECT source, lang, doc_id,
+        |    len(string_split(lower(text), ' ')) AS n_toks,
+        |    row_number() OVER (PARTITION BY source, lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) FILTER (WHERE rn <= 8) AS BIGINT) AS kept_docs,
+        |  CAST(coalesce(sum(n_toks) FILTER (WHERE rn <= 8), 0) AS BIGINT) AS kept_tokens,
+        |  CAST(count(*) FILTER (WHERE rn > 8) AS BIGINT) AS dropped_docs
+        |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("source"), col("lang"), col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_toks"),
+        md5(col("doc_id").cast("string")).as("h"))
+      d.withColumn("rn", row_number().over(
+          Window.partitionBy("source", "lang").orderBy(col("h"), col("doc_id"))))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rn") <= 8, 1L).otherwise(0L)).as("kept_docs"),
+          sum(when(col("rn") <= 8, col("n_toks")).otherwise(0L)).as("kept_tokens"),
+          sum(when(col("rn") > 8, 1L).otherwise(0L)).as("dropped_docs"))
+        .orderBy("source")
+    },
+
+    // ───── q156: k-NN label audit (mislabel detection) ────────────────────
+    // Confident-learning-style label QA: for the 20 lowest-id vectors,
+    // find the 10 nearest neighbors by cosine and majority-vote a label;
+    // a vote that disagrees with the stored label flags a candidate
+    // mislabel. Determinism follows q151's discipline: each engine's
+    // cosine is bit-identical on identical inputs (q26/q151 precedent),
+    // the RANKING key is the 4-decimal rounding with vec_id tiebreak, and
+    // the vote argmax tiebreaks on label. Scale shape: P probes broadcast
+    // (a BroadcastNestedLoopJoin by construction — O(P·n) work is the
+    // operator's definition), per-probe top-k compiles to a map-side
+    // WindowGroupLimit, the vote runs on ≤ P·10 rows.
+    QueryDef.df(
+      "q156_knn_label_audit",
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT vec_id AS pid, label AS plabel, v AS pv FROM e WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT p.pid, p.plabel, e.vec_id, e.label,
+        |    round(list_cosine_similarity(e.v, p.pv), 4) AS sim
+        |  FROM p JOIN e ON e.vec_id <> p.pid),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY pid ORDER BY sim DESC, vec_id) AS rn
+        |       FROM scored),
+        |nn AS (SELECT pid, plabel, label, count(*) AS votes FROM rk WHERE rn <= 10
+        |       GROUP BY 1, 2, 3),
+        |best AS (SELECT pid, plabel, label AS pred, votes,
+        |    row_number() OVER (PARTITION BY pid ORDER BY votes DESC, label) AS r2 FROM nn)
+        |SELECT pid AS vec_id, CAST(plabel AS INT) AS true_label,
+        |  CAST(pred AS INT) AS pred_label, CAST(votes AS BIGINT) AS votes,
+        |  CAST(CASE WHEN pred <> plabel THEN 1 ELSE 0 END AS INT) AS mismatch
+        |FROM best WHERE r2 = 1 ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("int").as("label"), col("embedding"))
+      val probes = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("pid"), col("label").as("plabel"),
+          col("embedding").as("pv"))
+      val dot = aggregate(
+        zip_with(col("embedding"), col("pv"), (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0d), (a, v) => a + v)
+      val na = aggregate(col("embedding"), lit(0.0d),
+        (a, x) => a + x.cast("double") * x.cast("double"))
+      val nb = aggregate(col("pv"), lit(0.0d),
+        (a, x) => a + x.cast("double") * x.cast("double"))
+      val scored = e.join(broadcast(probes), col("vec_id") =!= col("pid"))
+        .withColumn("sim", round(dot / (sqrt(na) * sqrt(nb)), 4))
+      val rk = scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("pid").orderBy(col("sim").desc, col("vec_id"))))
+        .filter(col("rn") <= 10)
+      val votes = rk.groupBy("pid", "plabel", "label").agg(count(lit(1)).as("votes"))
+      votes
+        .withColumn("r2", row_number().over(
+          Window.partitionBy("pid").orderBy(col("votes").desc, col("label"))))
+        .filter(col("r2") === 1)
+        .select(col("pid").as("vec_id"), col("plabel").as("true_label"),
+          col("label").as("pred_label"), col("votes"),
+          when(col("label") =!= col("plabel"), 1).otherwise(0).cast("int").as("mismatch"))
+        .orderBy("vec_id")
     })
 
   /** q56/q144's SQL-expressible near-dup candidate edges: same lang,

@@ -505,4 +505,41 @@ class ExplainAuditSpec extends AnyFunSuite {
     assert(!p.contains("sorted_intersect_size"),
       s"verify must be count-shaped, not an array intersect per pair:\n$p")
   }
+
+  test("q153 quantized ANN: single probe broadcasts, top-20 is per-partition heads") {
+    val p = plan("q153_quantized_ann")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 by integer dot must not global-sort:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the one-row probe must broadcast, never shuffle:\n$p")
+  }
+
+  test("q154 gopher rules: one map pass + one hash-agg, no token shuffle") {
+    val p = plan("q154_gopher_rules")
+    assert(!p.contains("Generate") && !p.contains("SortMergeJoin"),
+      s"all five stats must be computed within the row (no explode/join):\n$p")
+    val aggs = "HashAggregate".r.findAllIn(p).length
+    assert(aggs >= 2 && aggs <= 4, // partial + final on source, nothing else
+      s"expected exactly the partial+final agg pair on source, saw $aggs:\n$p")
+  }
+
+  test("q155 source caps: text never enters the stratum shuffle") {
+    val p = plan("q155_source_caps")
+    // the window's exchange must carry only (source, lang, doc_id, n_toks,
+    // hash) — the n_toks projection happens below the shuffle, so `text`
+    // cannot appear above the scan's immediate project
+    val exchangeIdx = p.indexOf("Exchange")
+    assert(exchangeIdx > 0, s"stratum window needs one shuffle:\n$p")
+    assert(!p.substring(0, exchangeIdx).contains("text#") ||
+      p.indexOf("Project") < exchangeIdx,
+      s"text must be projected away before the stratum shuffle:\n$p")
+  }
+
+  test("q156 knn audit: probes broadcast; per-probe top-k is a map-side group limit") {
+    val p = plan("q156_knn_label_audit")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 20 probes must broadcast (O(P·n) is the operator):\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=10 per probe must push a group limit below the shuffle:\n$p")
+  }
 }

@@ -523,4 +523,50 @@ class LlmSpec extends AnyFunSuite {
         s"dim=$d band=$b bit=$i (plane $h): expression=$gotBit mask=$expectedBit")
     }
   }
+
+  test("q153 top hit's integer dot matches an independent Scala re-quantization") {
+    val rows = SparkEntry.queries("q153_quantized_ann")(spark, TestSpark.sf).collect()
+    assert(rows.length == 20)
+    // scale = max|x| maps at least one dim to exactly ±127 in every vector
+    assert(rows.forall(_.getLong(2) >= 1L))
+    val dots = rows.map(_.getLong(1))
+    assert(dots.sameElements(dots.sorted(Ordering[Long].reverse)), "ordered by qdot desc")
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def quant(v: Array[Float]): Array[Int] = {
+      val s = v.map(x => math.abs(x.toDouble)).max
+      v.map(x => math.floor(x.toDouble * 127.0 / s + 0.5).toInt)
+    }
+    val q0 = quant(emb(0L))
+    val top = rows.head
+    val expect = quant(emb(top.getLong(0))).zip(q0).map { case (a, b) => (a * b).toLong }.sum
+    assert(top.getLong(1) == expect,
+      s"vec ${top.getLong(0)}: query qdot ${top.getLong(1)} != independent $expect")
+  }
+
+  test("q154 pass counts are consistent with every per-rule violation count") {
+    val rows = SparkEntry.queries("q154_gopher_rules")(spark, TestSpark.sf).collect()
+    assert(rows.map(_.getLong(1)).sum == 500L)
+    for (r <- rows; i <- 2 to 6)
+      assert(r.getLong(7) <= r.getLong(1) - r.getLong(i),
+        s"${r.getString(0)}: n_pass ${r.getLong(7)} > n_docs - violations (col $i)")
+    assert(rows.map(_.getLong(7)).sum > 0, "some docs must pass all rules")
+    assert(rows.exists(r => (2 to 6).exists(r.getLong(_) > 0)), "some rule must fire")
+  }
+
+  test("q155 caps bind: kept+dropped = total, kept <= 8 per stratum") {
+    val rows = SparkEntry.queries("q155_source_caps")(spark, TestSpark.sf).collect()
+    assert(rows.forall(r => r.getLong(2) + r.getLong(4) == r.getLong(1)))
+    // 5 langs x cap 8 = at most 40 kept per source
+    assert(rows.forall(_.getLong(2) <= 40L))
+    assert(rows.map(_.getLong(4)).sum > 0, "the cap must actually drop docs at sf0.001")
+  }
+
+  test("q156 vote bounds and mismatch-flag consistency") {
+    val rows = SparkEntry.queries("q156_knn_label_audit")(spark, TestSpark.sf).collect()
+    assert(rows.length == 20)
+    assert(rows.forall(r => r.getLong(3) >= 1L && r.getLong(3) <= 10L))
+    assert(rows.forall(r => (r.getInt(4) == 1) == (r.getInt(1) != r.getInt(2))))
+  }
 }
