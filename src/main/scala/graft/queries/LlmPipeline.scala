@@ -2916,6 +2916,113 @@ object LlmPipeline {
           col("label").as("pred_label"), col("votes"),
           when(col("label") =!= col("plabel"), 1).otherwise(0).cast("int").as("mismatch"))
         .orderBy("vec_id")
+    },
+
+    // ───── q157: ENGINE-REPRODUCIBLE IVF (integer-space Lloyd's) ──────────
+    // The float IVF family (q51/q68/q69/q72) cannot be oracled: float
+    // centroid sums are partition-order-dependent and a 1e-16 flip reroutes
+    // the argmin assignment discretely. This variant removes the float from
+    // the TRAINING LOOP entirely, making k-means itself engine-exact:
+    //   1. GLOBAL int8 quantization (scale = corpus max|x| — a comparison-
+    //      only max, order-free; one global scale preserves geometry where
+    //      q153's per-vector scale would not);
+    //   2. centroids live on a 1/256 grid — recompute is floor(CAST(256*sum
+    //      AS DOUBLE)/n): integer sum (exact, order-free), ONE correctly-
+    //      rounded int→double conversion + division, floor — bit-identical
+    //      in any IEEE engine;
+    //   3. assignment argmin is a pure-BIGINT distance sum((256·q-c)²),
+    //      ≤ 64·(2·256·127)² ≈ 2.7e11 per pair — no overflow, no rounding,
+    //      ties broken by cell id.
+    // Two unrolled Lloyd's iterations, then an IVF probe: vector 42's cell
+    // only is searched by exact integer distance. Scale shape: centroids
+    // are k rows broadcast everywhere (assignment is the intrinsic O(k·n)
+    // map pass + a map-side WindowGroupLimit argmin); the recompute
+    // shuffles (cell, dim) partial sums — k·d groups, corpus never moves;
+    // at scale the cell id becomes a partition column and the probe prunes
+    // to one cell's files (the q52 materialized-index path).
+    QueryDef.df(
+      "q157_ivf_int8",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |gs AS (SELECT max(list_max([abs(x) for x in v])) AS s FROM e),
+        |q AS (SELECT vec_id, [CAST(floor(x * 127.0 / s + 0.5) AS INT) for x in v] AS qv FROM e, gs),
+        |c0 AS (SELECT vec_id AS cell, [CAST(x * 256 AS BIGINT) for x in qv] AS c FROM q WHERE vec_id < 8),
+        |a1 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT q.vec_id, c0.cell,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum([(256 * q.qv[i] - c0.c[i]) * (256 * q.qv[i] - c0.c[i]) for i in range(1, len(q.qv) + 1)]),
+        |        c0.cell) AS rn
+        |    FROM q, c0) WHERE rn = 1),
+        |d1 AS (SELECT a1.cell, t.i, q.qv[t.i] AS val
+        |       FROM a1 JOIN q USING (vec_id), unnest(range(1, len(q.qv) + 1)) AS t(i)),
+        |c1 AS (SELECT cell, list(CAST(floor(CAST(256 * s AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS c
+        |       FROM (SELECT cell, i, sum(val) AS s, count(*) AS n FROM d1 GROUP BY 1, 2) GROUP BY cell),
+        |a2 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT q.vec_id, c1.cell,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum([(256 * q.qv[i] - c1.c[i]) * (256 * q.qv[i] - c1.c[i]) for i in range(1, len(q.qv) + 1)]),
+        |        c1.cell) AS rn
+        |    FROM q, c1) WHERE rn = 1),
+        |pc AS (SELECT cell FROM a2 WHERE vec_id = 42),
+        |cn AS (SELECT count(*) AS cell_n FROM a2 JOIN pc USING (cell)),
+        |pq AS (SELECT qv AS pv FROM q WHERE vec_id = 42)
+        |SELECT m.vec_id,
+        |  CAST(list_sum([(m.qv[i] - pq.pv[i]) * (m.qv[i] - pq.pv[i]) for i in range(1, len(m.qv) + 1)]) AS BIGINT) AS dist,
+        |  CAST(pc.cell AS BIGINT) AS cell,
+        |  CAST(cn.cell_n AS BIGINT) AS cell_n
+        |FROM a2 JOIN q m USING (vec_id), pc, cn, pq
+        |WHERE a2.cell = pc.cell AND m.vec_id <> 42
+        |ORDER BY dist, m.vec_id
+        |LIMIT 5""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val gs = e.agg(max(array_max(transform(col("embedding"),
+        x => abs(x.cast("double"))))).as("s"))
+      val q = e.crossJoin(broadcast(gs))
+        .select(col("vec_id"), transform(col("embedding"),
+          x => floor(x.cast("double") * lit(127.0) / col("s") + lit(0.5)).cast("int")).as("qv"))
+      // exact BIGINT distance of a quantized vector to a 1/256-grid centroid
+      def cdist(qc: Column, cc: Column): Column = aggregate(
+        zip_with(qc, cc, (a, b) => {
+          val d = a.cast("long") * 256L - b
+          d * d
+        }), lit(0L), (acc, v) => acc + v)
+      def assign(cents: DataFrame): DataFrame =
+        q.crossJoin(broadcast(cents))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id").orderBy(cdist(col("qv"), col("c")), col("cell"))))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("qv"), col("cell"))
+      val c0 = q.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell"),
+          transform(col("qv"), x => (x * 256).cast("long")).as("c"))
+      val a1 = assign(c0)
+      // centroid recompute: exact integer (cell, dim) sums, then the one
+      // correctly-rounded grid division — mirrors the oracle op-for-op
+      val c1 = a1.select(col("cell"), posexplode(col("qv")).as(Seq("i", "val")))
+        .groupBy("cell", "i").agg(sum(col("val")).as("s"), count(lit(1)).as("n"))
+        .withColumn("cv",
+          floor((col("s") * 256).cast("double") / col("n").cast("double")).cast("long"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("cv")))),
+          st => st.getField("cv")).as("c"))
+      val a2 = assign(c1)
+      val pc = a2.filter(col("vec_id") === 42).select(col("cell"))
+      val cn = a2.join(broadcast(pc), "cell").agg(count(lit(1)).as("cell_n"))
+      val pq = q.filter(col("vec_id") === 42).select(col("qv").as("pv"))
+      a2.join(broadcast(pc), "cell")
+        .filter(col("vec_id") =!= 42)
+        .crossJoin(broadcast(pq))
+        .crossJoin(broadcast(cn))
+        .withColumn("dist", aggregate(
+          zip_with(col("qv"), col("pv"), (a, b) => {
+            val d = (a - b).cast("long")
+            d * d
+          }), lit(0L), (acc, v) => acc + v))
+        .select(col("vec_id"), col("dist"), col("cell").cast("long").as("cell"),
+          col("cell_n"))
+        .orderBy("dist", "vec_id")
+        .limit(5)
     })
 
   /** q56/q144's SQL-expressible near-dup candidate edges: same lang,

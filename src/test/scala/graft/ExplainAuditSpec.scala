@@ -542,4 +542,13 @@ class ExplainAuditSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"),
       s"rank<=10 per probe must push a group limit below the shuffle:\n$p")
   }
+
+  test("q157 integer IVF: centroids broadcast, argmin is a map-side group limit, no SMJ") {
+    val p = plan("q157_ivf_int8")
+    assert(p.contains("WindowGroupLimit"),
+      s"the Lloyd's assignment argmin must push a group limit below the shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"k centroids / 1-row probe sides must all broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-5 must not global-sort:\n$p")
+  }
 }

@@ -569,4 +569,44 @@ class LlmSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(3) >= 1L && r.getLong(3) <= 10L))
     assert(rows.forall(r => (r.getInt(4) == 1) == (r.getInt(1) != r.getInt(2))))
   }
+
+  test("q157 integer IVF matches an independent Scala Lloyd's reimplementation") {
+    val rows = SparkEntry.queries("q157_ivf_int8")(spark, TestSpark.sf).collect()
+    assert(rows.length == 5)
+    val dists = rows.map(_.getLong(1))
+    assert(dists.sameElements(dists.sorted), "ordered by exact distance")
+    assert(rows.map(_.getLong(2)).distinct.length == 1, "probe searches ONE cell")
+    // independent replay of the whole integer pipeline in plain Scala:
+    // global scale, quantize, 2 Lloyd's rounds on the 1/256 grid, probe
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val s = emb.values.flatMap(_.map(x => math.abs(x.toDouble))).max
+    val q = emb.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 127.0 / s + 0.5).toInt)
+    }
+    def d2(qv: Array[Int], c: Array[Long]): Long =
+      qv.zip(c).map { case (a, b) => val d = a.toLong * 256L - b; d * d }.sum
+    def assign(cents: Map[Long, Array[Long]]): Map[Long, Long] =
+      q.map { case (id, qv) =>
+        id -> cents.toSeq.map { case (cell, c) => (d2(qv, c), cell) }.min._2
+      }
+    val c0 = (0L until 8L).map(i => i -> q(i).map(_.toLong * 256L)).toMap
+    val a1 = assign(c0)
+    val c1 = a1.groupBy(_._2).map { case (cell, members) =>
+      val qs = members.keys.map(q).toSeq
+      cell -> Array.tabulate(64) { i =>
+        val sum = qs.map(_(i).toLong).sum
+        math.floor((sum * 256L).toDouble / qs.size.toDouble).toLong
+      }
+    }
+    val a2 = assign(c1)
+    val probeCell = a2(42L)
+    val expected = a2.collect { case (id, c) if c == probeCell && id != 42L =>
+      (q(id).zip(q(42L)).map { case (a, b) => val d = (a - b).toLong; d * d }.sum, id)
+    }.toSeq.sorted.take(5)
+    val got = rows.map(r => (r.getLong(1), r.getLong(0))).toSeq
+    assert(got == expected, s"query $got != independent $expected")
+    assert(rows.forall(_.getLong(3) == a2.values.count(_ == probeCell).toLong))
+  }
 }
