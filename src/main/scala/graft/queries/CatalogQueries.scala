@@ -1144,5 +1144,62 @@ object CatalogQueries {
           |  CAST(sum(id) AS BIGINT) AS idsum,
           |  CAST(sum(CAST(coalesce(score, 0) AS DECIMAL(18,6))) AS DOUBLE) AS total
           |FROM lake.verify.se_t GROUP BY prio_renamed ORDER BY prio_renamed""".stripMargin)
+    },
+
+    QueryDef.df(
+      "q159_snapshot_diff",
+      // Semantic diff between ARBITRARY snapshots — q90's changelog needs
+      // the CDC log; this one needs only two readable versions: FULL OUTER
+      // join current against VERSION AS OF 1 on the key and classify every
+      // key as added / removed / changed / unchanged. The table is
+      // merge-on-read, so the v1 read must NOT apply the later tombstones
+      // and the current read must (time-travel × MoR interaction is the
+      // stress). Oracle = both versions derived from scratch from orders.
+      // At scale: one equi-join keyed on the table key — and identical
+      // clustered writes make it an SPJ candidate; kind counts are a
+      // hash-agg to 4 rows.
+      """WITH v1 AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS v
+        |  FROM orders WHERE o_orderkey % 4 = 0),
+        |cur AS (
+        |  SELECT k, CASE WHEN k % 10 = 6 THEN v * CAST(2 AS DOUBLE) ELSE v END AS v
+        |  FROM v1 WHERE k % 20 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 4 = 1 AND o_orderkey % 5 = 0)
+        |SELECT kind, CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS key_sum
+        |FROM (
+        |  SELECT CASE WHEN b.k IS NULL THEN 'removed'
+        |              WHEN a.k IS NULL THEN 'added'
+        |              WHEN a.v <> b.v THEN 'changed' ELSE 'unchanged' END AS kind,
+        |    coalesce(a.k, b.k) AS k
+        |  FROM cur a FULL OUTER JOIN v1 b ON a.k = b.k) d
+        |GROUP BY kind ORDER BY kind""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS lake.verify")
+      s.sql("DROP TABLE IF EXISTS lake.verify.sd_t")
+      s.sql(
+        """CREATE TABLE lake.verify.sd_t
+          |TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+          |               'write.update.mode'='merge-on-read')
+          |AS SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS v
+          |FROM orders WHERE o_orderkey % 4 = 0""".stripMargin)
+      s.sql("DELETE FROM lake.verify.sd_t WHERE k % 20 = 0")
+      s.sql("UPDATE lake.verify.sd_t SET v = v * 2 WHERE k % 10 = 6")
+      s.sql(
+        """INSERT INTO lake.verify.sd_t
+          |SELECT o_orderkey, CAST(o_totalprice AS DOUBLE)
+          |FROM orders WHERE o_orderkey % 4 = 1 AND o_orderkey % 5 = 0""".stripMargin)
+      s.sql(
+        """SELECT kind, CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS key_sum
+          |FROM (
+          |  SELECT CASE WHEN b.k IS NULL THEN 'removed'
+          |              WHEN a.k IS NULL THEN 'added'
+          |              WHEN a.v <> b.v THEN 'changed' ELSE 'unchanged' END AS kind,
+          |    coalesce(a.k, b.k) AS k
+          |  FROM lake.verify.sd_t a
+          |  FULL OUTER JOIN (SELECT * FROM lake.verify.sd_t VERSION AS OF 1) b
+          |  ON a.k = b.k) d
+          |GROUP BY kind ORDER BY kind""".stripMargin)
     })
 }

@@ -1640,7 +1640,43 @@ object Relational {
         |      ORDER BY ts DESC, event_id DESC) AS rk
         |  FROM ops)
         |SELECT user_id, value AS final_value
-        |FROM last WHERE rk = 1 AND op = 'U' ORDER BY user_id""".stripMargin))
+        |FROM last WHERE rk = 1 AND op = 'U' ORDER BY user_id""".stripMargin),
+
+    // ───── q158: consecutive event-pattern matching (MATCH_RECOGNIZE) ────
+    // Pattern detection over ordered streams — the per-user count of
+    // STRICTLY-CONSECUTIVE view→click→purchase runs (q131's funnel asks
+    // "did each step EVER happen after the previous"; this asks for the
+    // adjacent occurrence, the MATCH_RECOGNIZE PATTERN (A B C) semantics
+    // engines ship as a dedicated operator). Compiled to two lead()s over
+    // one per-user window — ONE shuffle on user_id, rows are (type, ts,
+    // id) triples, match spans summed as exact microsecond integers.
+    QueryDef.df(
+      "q158_event_patterns",
+      """WITH s AS (
+        |  SELECT user_id, event_type, ts,
+        |    lead(event_type, 1) OVER w AS t1,
+        |    lead(event_type, 2) OVER w AS t2,
+        |    lead(ts, 2) OVER w AS ts2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches,
+        |  CAST(sum(epoch_us(ts2) - epoch_us(ts)) AS BIGINT) AS total_span_us
+        |FROM s
+        |WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("t1", lead(col("event_type"), 1).over(w))
+        .withColumn("t2", lead(col("event_type"), 2).over(w))
+        .withColumn("ts2", lead(col("ts"), 2).over(w))
+        .filter(col("event_type") === "view" && col("t1") === "click" &&
+          col("t2") === "purchase")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_matches"),
+          sum(unix_micros(col("ts2")) - unix_micros(col("ts"))).as("total_span_us"))
+        .orderBy("user_id")
+    })
 
   /** q121's plan, exposed for the plan audit: backbone edges and oriented
     * edges are PERSISTED (the caller must unpersist both). e feeds the

@@ -551,4 +551,12 @@ class ExplainAuditSpec extends AnyFunSuite {
       s"k centroids / 1-row probe sides must all broadcast:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-5 must not global-sort:\n$p")
   }
+
+  test("q158 pattern matching: one per-user window, no join anywhere") {
+    val p = plan("q158_event_patterns")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"MATCH_RECOGNIZE-style adjacency compiles to lead()s, never a self-join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      s"one shuffle for the window, one for the user agg, nothing more:\n$p")
+  }
 }
