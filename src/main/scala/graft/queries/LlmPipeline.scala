@@ -2942,7 +2942,18 @@ object LlmPipeline {
     // to one cell's files (the q52 materialized-index path).
     QueryDef.df(
       "q157_ivf_int8",
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q157OracleSql) { (s, dir) =>
+      val (out, release) = ivfInt8WithRelease(s, dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(out.collect().toSeq.asJava, out.schema)
+      } finally release()
+    })
+
+  // def, not val: `defs` above references this during object init — a val
+  // declared below it would still be null at that point
+  private def q157OracleSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |gs AS (SELECT max(list_max([abs(x) for x in v])) AS s FROM e),
         |q AS (SELECT vec_id, [CAST(floor(x * 127.0 / s + 0.5) AS INT) for x in v] AS qv FROM e, gs),
         |c0 AS (SELECT vec_id AS cell, [CAST(x * 256 AS BIGINT) for x in qv] AS c FROM q WHERE vec_id < 8),
@@ -2974,13 +2985,26 @@ object LlmPipeline {
         |FROM a2 JOIN q m USING (vec_id), pc, cn, pq
         |WHERE a2.cell = pc.cell AND m.vec_id <> 42
         |ORDER BY dist, m.vec_id
-        |LIMIT 5""".stripMargin) { (s, dir) =>
+        |LIMIT 5""".stripMargin
+
+  /** q157's lazy plan plus the release callback freeing the persisted
+    * quantized working set — the plan-audit spec reads the plan without
+    * executing it; the QueryDef materializes the 5-row output then
+    * releases (the q144 bounded-output pattern).
+    */
+  private[graft] def ivfInt8WithRelease(s: SparkSession, dir: String): (DataFrame, () => Unit) = {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val gs = e.agg(max(array_max(transform(col("embedding"),
         x => abs(x.cast("double"))))).as("s"))
+      // the quantized corpus is the k-means WORKING SET — persisted once
+      // (one scan + quantize) instead of recomputed by each of the ~6
+      // consumers (both assignment rounds, the recompute, c0, probe,
+      // members); released after the 5-row output materializes, the q144
+      // bounded-output pattern, so no cache survives the query
       val q = e.crossJoin(broadcast(gs))
         .select(col("vec_id"), transform(col("embedding"),
           x => floor(x.cast("double") * lit(127.0) / col("s") + lit(0.5)).cast("int")).as("qv"))
+        .persist()
       // exact BIGINT distance of a quantized vector to a 1/256-grid centroid
       def cdist(qc: Column, cc: Column): Column = aggregate(
         zip_with(qc, cc, (a, b) => {
@@ -3010,7 +3034,7 @@ object LlmPipeline {
       val pc = a2.filter(col("vec_id") === 42).select(col("cell"))
       val cn = a2.join(broadcast(pc), "cell").agg(count(lit(1)).as("cell_n"))
       val pq = q.filter(col("vec_id") === 42).select(col("qv").as("pv"))
-      a2.join(broadcast(pc), "cell")
+      val out = a2.join(broadcast(pc), "cell")
         .filter(col("vec_id") =!= 42)
         .crossJoin(broadcast(pq))
         .crossJoin(broadcast(cn))
@@ -3023,7 +3047,8 @@ object LlmPipeline {
           col("cell_n"))
         .orderBy("dist", "vec_id")
         .limit(5)
-    })
+      (out, () => { q.unpersist(); () })
+  }
 
   /** q56/q144's SQL-expressible near-dup candidate edges: same lang,
     * |n_chars diff| <= 2 — banded so candidate generation is a pure

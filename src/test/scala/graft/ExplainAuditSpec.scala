@@ -544,7 +544,10 @@ class ExplainAuditSpec extends AnyFunSuite {
   }
 
   test("q157 integer IVF: centroids broadcast, argmin is a map-side group limit, no SMJ") {
-    val p = plan("q157_ivf_int8")
+    // the QueryDef returns the materialized (cache-released) 5-row result;
+    // audit the UNDERLYING lazy plan through the exposed helper
+    val (out, release) = graft.queries.LlmPipeline.ivfInt8WithRelease(spark, sf)
+    val p = try out.queryExecution.executedPlan.toString finally release()
     assert(p.contains("WindowGroupLimit"),
       s"the Lloyd's assignment argmin must push a group limit below the shuffle:\n$p")
     assert(!p.contains("SortMergeJoin"),
