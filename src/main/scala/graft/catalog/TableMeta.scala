@@ -658,6 +658,13 @@ object ManifestIO {
     */
   private val maxCachedEntries: Long =
     java.lang.Long.getLong("graft.manifest-cache.max-entries", 131072L)
+  /** Key-count bound alongside the entry bound: entries alone don't bound
+    * the cache when manifests are tiny (a delete-churn table can
+    * accumulate thousands of near-empty manifests whose Seq sizes sum
+    * below the entry bound while the key strings grow without limit).
+    */
+  private def maxCachedManifests: Int = // def: tests lower it at runtime
+    Integer.getInteger("graft.manifest-cache.max-manifests", 16384)
   private val fileCache = new java.util.LinkedHashMap[String, Seq[DataFileMeta]](64, 0.75f, true)
   private var fileCacheEntries = 0L
   /** High-water mark of [[cachedEntryCount]] — residency instrumentation
@@ -666,13 +673,16 @@ object ManifestIO {
     */
   val cachedEntriesHighWater = new java.util.concurrent.atomic.AtomicLong()
   def cachedEntryCount: Long = fileCache.synchronized(fileCacheEntries)
+  def cachedManifestCount: Int = fileCache.synchronized(fileCache.size())
   private def fileCachePut(loc: String, files: Seq[DataFileMeta]): Unit =
     fileCache.synchronized {
       val prev = fileCache.put(loc, files)
       fileCacheEntries += files.size - (if (prev == null) 0 else prev.size)
-      if (prev == null && fileCacheEntries > maxCachedEntries) {
+      if (prev == null &&
+          (fileCacheEntries > maxCachedEntries || fileCache.size() > maxCachedManifests)) {
         val it = fileCache.entrySet().iterator()
-        while (fileCacheEntries > maxCachedEntries && fileCache.size() > 1 && it.hasNext) {
+        while ((fileCacheEntries > maxCachedEntries || fileCache.size() > maxCachedManifests)
+            && fileCache.size() > 1 && it.hasNext) {
           val e = it.next()
           if (e.getKey != loc) { fileCacheEntries -= e.getValue.size; it.remove() }
         }
@@ -864,7 +874,13 @@ object ManifestIO {
       override def next(): Seq[DataFileMeta] = {
         val f = inFlight.dequeue()
         fill()
-        Await.result(f, planningReadTimeout)
+        try Await.result(f, planningReadTimeout)
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            throw new java.util.concurrent.TimeoutException(
+              s"manifest planning read exceeded ${planningReadTimeout.toSeconds}s " +
+                "(set -Dgraft.planning.read-timeout-sec to raise)")
+        }
       }
     }
 

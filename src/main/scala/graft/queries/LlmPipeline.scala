@@ -2948,6 +2948,34 @@ object LlmPipeline {
         import scala.jdk.CollectionConverters._
         s.createDataFrame(out.collect().toSeq.asJava, out.schema)
       } finally release()
+    },
+
+    // ───── q160: ENGINE-REPRODUCIBLE PQ (integer-space codebooks + ADC) ───
+    // q157's integer-Lloyd's trick applied to PRODUCT quantization — the
+    // other unoracleable ANN family member. M=8 subspaces × 8 dims, k=4
+    // centroids per subspace trained by one integer Lloyd's round on the
+    // 1/256 grid, every vector encoded to its per-subspace argmin code,
+    // then ADC (asymmetric distance computation): the probe's exact
+    // integer distance to every (subspace, cell) centroid forms a 32-row
+    // lookup table and a vector's approximate distance is the sum of its
+    // codes' table entries. Every comparison is BIGINT; the one division
+    // per centroid coordinate is the same single correctly-rounded op as
+    // q157 — bit-identical across engines. exact_dist rides along (same
+    // 256 scale) so the ADC approximation quality is visible in the
+    // output. Scale shape: codebooks are M·k = 32 rows broadcast
+    // everywhere; encoding is the intrinsic O(M·k·n) map pass with a
+    // map-side WindowGroupLimit argmin; ADC probes join a BROADCAST
+    // 32-row table and hash-agg per vector — at serving scale the codes
+    // table (8 bytes/vector) is the only thing scanned, 32× smaller than
+    // the float vectors.
+    QueryDef.df(
+      "q160_pq_int8",
+      q160OracleSql) { (s, dir) =>
+      val (out, release) = pqInt8WithRelease(s, dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(out.collect().toSeq.asJava, out.schema)
+      } finally release()
     })
 
   // def, not val: `defs` above references this during object init — a val
@@ -3048,6 +3076,109 @@ object LlmPipeline {
         .orderBy("dist", "vec_id")
         .limit(5)
       (out, () => { q.unpersist(); () })
+  }
+
+  private def q160OracleSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |gs AS (SELECT max(list_max([abs(x) for x in v])) AS s FROM e),
+      |q AS (SELECT vec_id, [CAST(floor(x * 127.0 / s + 0.5) AS INT) for x in v] AS qv FROM e, gs),
+      |sub AS (
+      |  SELECT vec_id, t.m, [q.qv[t.m * 8 + j] for j in range(1, 9)] AS sv
+      |  FROM q, unnest(range(0, 8)) AS t(m)),
+      |c0 AS (SELECT m, vec_id AS cell, [CAST(x * 256 AS BIGINT) for x in sv] AS c
+      |       FROM sub WHERE vec_id < 4),
+      |a1 AS (
+      |  SELECT vec_id, m, cell FROM (
+      |    SELECT sub.vec_id, sub.m, c0.cell,
+      |      row_number() OVER (PARTITION BY sub.vec_id, sub.m ORDER BY
+      |        list_sum([(256 * sub.sv[i] - c0.c[i]) * (256 * sub.sv[i] - c0.c[i]) for i in range(1, 9)]),
+      |        c0.cell) AS rn
+      |    FROM sub JOIN c0 ON c0.m = sub.m) WHERE rn = 1),
+      |d1 AS (SELECT a1.m, a1.cell, t.i, sub.sv[t.i] AS val
+      |       FROM a1 JOIN sub ON sub.vec_id = a1.vec_id AND sub.m = a1.m,
+      |       unnest(range(1, 9)) AS t(i)),
+      |c1 AS (SELECT m, cell, list(CAST(floor(CAST(256 * s AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS c
+      |       FROM (SELECT m, cell, i, sum(val) AS s, count(*) AS n FROM d1 GROUP BY 1, 2, 3)
+      |       GROUP BY m, cell),
+      |codes AS (
+      |  SELECT vec_id, m, cell FROM (
+      |    SELECT sub.vec_id, sub.m, c1.cell,
+      |      row_number() OVER (PARTITION BY sub.vec_id, sub.m ORDER BY
+      |        list_sum([(256 * sub.sv[i] - c1.c[i]) * (256 * sub.sv[i] - c1.c[i]) for i in range(1, 9)]),
+      |        c1.cell) AS rn
+      |    FROM sub JOIN c1 ON c1.m = sub.m) WHERE rn = 1),
+      |dtab AS (
+      |  SELECT c1.m, c1.cell,
+      |    list_sum([(256 * p.sv[i] - c1.c[i]) * (256 * p.sv[i] - c1.c[i]) for i in range(1, 9)]) AS d
+      |  FROM c1 JOIN (SELECT m, sv FROM sub WHERE vec_id = 42) p ON p.m = c1.m),
+      |adc AS (
+      |  SELECT codes.vec_id, sum(dtab.d) AS adc_dist
+      |  FROM codes JOIN dtab ON dtab.m = codes.m AND dtab.cell = codes.cell
+      |  WHERE codes.vec_id <> 42
+      |  GROUP BY codes.vec_id)
+      |SELECT adc.vec_id, CAST(adc.adc_dist AS BIGINT) AS adc_dist,
+      |  CAST(list_sum([65536::BIGINT * (m.qv[i] - p.qv[i]) * (m.qv[i] - p.qv[i]) for i in range(1, len(m.qv) + 1)]) AS BIGINT) AS exact_dist
+      |FROM adc JOIN q m USING (vec_id), (SELECT qv FROM q WHERE vec_id = 42) p
+      |ORDER BY adc_dist, adc.vec_id
+      |LIMIT 10""".stripMargin
+
+  /** q160's lazy plan + release (same contract as [[ivfInt8WithRelease]]).
+    */
+  private[graft] def pqInt8WithRelease(s: SparkSession, dir: String): (DataFrame, () => Unit) = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val gs = e.agg(max(array_max(transform(col("embedding"),
+      x => abs(x.cast("double"))))).as("s"))
+    val q = e.crossJoin(broadcast(gs))
+      .select(col("vec_id"), transform(col("embedding"),
+        x => floor(x.cast("double") * lit(127.0) / col("s") + lit(0.5)).cast("int")).as("qv"))
+    // the per-subspace working set — persisted once, released after the
+    // 10-row output materializes (bounded-output pattern, as q157)
+    val sub = q.select(col("vec_id"), col("qv"),
+        explode(sequence(lit(0), lit(7))).as("m"))
+      .select(col("vec_id"), col("m"),
+        slice(col("qv"), col("m") * 8 + 1, lit(8)).as("sv"))
+      .persist()
+    def cdist(svc: Column, cc: Column): Column = aggregate(
+      zip_with(svc, cc, (a, b) => {
+        val d = a.cast("long") * 256L - b
+        d * d
+      }), lit(0L), (acc, v) => acc + v)
+    def assign(cents: DataFrame): DataFrame =
+      sub.join(broadcast(cents), "m")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id", "m").orderBy(cdist(col("sv"), col("c")), col("cell"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("sv"), col("cell"))
+    val c0 = sub.filter(col("vec_id") < 4)
+      .select(col("m"), col("vec_id").as("cell"),
+        transform(col("sv"), x => (x * 256).cast("long")).as("c"))
+    val a1 = assign(c0)
+    val c1 = a1.select(col("m"), col("cell"), posexplode(col("sv")).as(Seq("i", "val")))
+      .groupBy("m", "cell", "i").agg(sum(col("val")).as("s"), count(lit(1)).as("n"))
+      .withColumn("cv",
+        floor((col("s") * 256).cast("double") / col("n").cast("double")).cast("long"))
+      .groupBy("m", "cell")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("cv")))),
+        st => st.getField("cv")).as("c"))
+    val codes = assign(c1).select(col("vec_id"), col("m"), col("cell"))
+    val probeSub = sub.filter(col("vec_id") === 42).select(col("m").as("pm"), col("sv").as("psv"))
+    val dtab = c1.join(broadcast(probeSub), col("m") === col("pm"))
+      .select(col("m"), col("cell"), cdist(col("psv"), col("c")).as("d"))
+    val adc = codes.filter(col("vec_id") =!= 42)
+      .join(broadcast(dtab), Seq("m", "cell"))
+      .groupBy("vec_id").agg(sum(col("d")).as("adc_dist"))
+    val pq = q.filter(col("vec_id") === 42).select(col("qv").as("pv"))
+    val out = adc.join(q, "vec_id")
+      .crossJoin(broadcast(pq))
+      .withColumn("exact_dist", aggregate(
+        zip_with(col("qv"), col("pv"), (a, b) => {
+          val d = (a - b).cast("long") * 256L
+          d * d
+        }), lit(0L), (acc, v) => acc + v))
+      .select(col("vec_id"), col("adc_dist"), col("exact_dist"))
+      .orderBy("adc_dist", "vec_id")
+      .limit(10)
+    (out, () => { sub.unpersist(); () })
   }
 
   /** q56/q144's SQL-expressible near-dup candidate edges: same lang,

@@ -555,6 +555,16 @@ class ExplainAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-5 must not global-sort:\n$p")
   }
 
+  test("q160 integer PQ: codebooks and ADC table broadcast; encode argmin is map-side") {
+    val (out, release) = graft.queries.LlmPipeline.pqInt8WithRelease(spark, sf)
+    val p = try out.queryExecution.executedPlan.toString finally release()
+    assert(p.contains("WindowGroupLimit"),
+      s"per-(vector, subspace) argmin must push a group limit below the shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"codebooks (32 rows) and the ADC table must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 must not global-sort:\n$p")
+  }
+
   test("q158 pattern matching: one per-user window, no join anywhere") {
     val p = plan("q158_event_patterns")
     assert(!p.contains("Join") && !p.contains("CartesianProduct"),

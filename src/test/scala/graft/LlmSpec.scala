@@ -609,4 +609,45 @@ class LlmSpec extends AnyFunSuite {
     assert(got == expected, s"query $got != independent $expected")
     assert(rows.forall(_.getLong(3) == a2.values.count(_ == probeCell).toLong))
   }
+
+  test("q160 integer PQ matches an independent Scala codebook + ADC replay") {
+    val rows = SparkEntry.queries("q160_pq_int8")(spark, TestSpark.sf).collect()
+    assert(rows.length == 10)
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val s = emb.values.flatMap(_.map(x => math.abs(x.toDouble))).max
+    val q = emb.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 127.0 / s + 0.5).toInt)
+    }
+    def sv(id: Long, m: Int): Array[Int] = q(id).slice(m * 8, m * 8 + 8)
+    def d2(a: Array[Int], c: Array[Long]): Long =
+      a.zip(c).map { case (x, b) => val d = x.toLong * 256L - b; d * d }.sum
+    val c0 = (for (m <- 0 until 8; i <- 0L until 4L)
+      yield (m, i) -> sv(i, m).map(_.toLong * 256L)).toMap
+    def assign(cb: Map[(Int, Long), Array[Long]]): Map[(Long, Int), Long] =
+      (for (id <- q.keys; m <- 0 until 8) yield (id, m) ->
+        cb.collect { case ((mm, cell), c) if mm == m => (d2(sv(id, m), c), cell) }
+          .min._2).toMap
+    val a1 = assign(c0)
+    val c1 = a1.toSeq.groupBy { case ((_, m), cell) => (m, cell) }.map {
+      case ((m, cell), members) =>
+        val svs = members.map { case ((id, mm), _) => sv(id, mm) }
+        (m, cell) -> Array.tabulate(8) { i =>
+          val sum = svs.map(_(i).toLong).sum
+          math.floor((sum * 256L).toDouble / svs.size.toDouble).toLong
+        }
+    }
+    val codes = assign(c1)
+    val dtab = c1.map { case ((m, cell), c) => (m, cell) -> d2(sv(42L, m), c) }
+    val adc = q.keys.filter(_ != 42L).map { id =>
+      id -> (0 until 8).map(m => dtab((m, codes((id, m))))).sum
+    }.toMap
+    def exact(id: Long): Long =
+      q(id).zip(q(42L)).map { case (a, b) => val d = (a - b).toLong * 256L; d * d }.sum
+    val expected = adc.toSeq.map { case (id, d) => (d, id) }.sorted.take(10)
+      .map { case (d, id) => (id, d, exact(id)) }
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, s"query $got != independent $expected")
+  }
 }

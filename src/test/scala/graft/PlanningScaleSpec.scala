@@ -409,6 +409,24 @@ class PlanningScaleSpec extends AnyFunSuite {
     } finally System.clearProperty("graft.planning.read-timeout-sec")
   }
 
+  test("manifest cache bounds KEY COUNT too: many tiny manifests cannot grow it unboundedly") {
+    // the entry bound alone doesn't bound the cache when manifests are
+    // near-empty (delete-churn tables): 1-entry manifests sum far below
+    // the entry bound while key strings accumulate without limit
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = java.nio.file.Files.createTempDirectory("graft-keycap").toString
+    System.setProperty("graft.manifest-cache.max-manifests", "32")
+    try {
+      val ms = (0 until 100).map(i => ManifestIO.write(dir, 1L,
+        Seq(DataFileMeta(s"$dir/f$i.parquet", 1L, 10L)), conf))
+      // every manifest still reads back correctly through the capped cache
+      val all = ms.flatMap(m => ManifestIO.read(m.location, conf))
+      assert(all.size == 100)
+      assert(ManifestIO.cachedManifestCount <= 33, // cap + the just-put key
+        s"key count must stay bounded, saw ${ManifestIO.cachedManifestCount}")
+    } finally System.clearProperty("graft.manifest-cache.max-manifests")
+  }
+
   test("800k-entry filterless plan: slim entries, entry-bounded cache, metadata-only count") {
     // The last O(table) driver cost: a FILTERLESS scan of an ~1M-file
     // table used to materialize every full-width DataFileMeta on the
