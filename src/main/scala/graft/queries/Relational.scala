@@ -1676,6 +1676,32 @@ object Relational {
         .agg(count(lit(1)).as("n_matches"),
           sum(unix_micros(col("ts2")) - unix_micros(col("ts"))).as("total_span_us"))
         .orderBy("user_id")
+    },
+
+    // ───── q161: cross-engine table checksum (migration validation) ──────
+    // THE tool for this library's own premise — a user switching engines
+    // needs to prove "same table, same rows" without sorting or moving
+    // either copy: an ORDER-INDEPENDENT group-wise fingerprint. Row hash =
+    // 60 bits of md5 over a canonical int/string rendering (doubles and
+    // timestamps are deliberately excluded from the hash input — their
+    // string renderings are engine-specific; integers and strings render
+    // identically everywhere). XOR is the combiner (commutative,
+    // associative, self-inverse), so the checksum is partition-order-free
+    // and computes as one map pass + one hash-agg — no shuffle carries
+    // more than 5 group rows per map task, no sort at any scale.
+    QueryDef.df(
+      "q161_table_checksum",
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(bit_xor(CAST(concat('0x', substr(md5(o_orderkey || '|' || o_custkey || '|' || o_orderstatus), 1, 15)) AS BIGINT)) AS BIGINT) AS checksum
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val rowHash = conv(substring(md5(concat_ws("|",
+          col("o_orderkey").cast("string"), col("o_custkey").cast("string"),
+          col("o_orderstatus"))), 1, 15), 16, 10).cast("long")
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), bit_xor(rowHash).as("checksum"))
+        .orderBy("o_orderpriority")
     })
 
   /** q121's plan, exposed for the plan audit: backbone edges and oriented
