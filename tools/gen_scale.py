@@ -30,7 +30,7 @@ VOCAB = ['a', 'agg', 'batch', 'big', 'column', 'customer', 'data', 'dup',
          'fast', 'filter', 'group', 'hash', 'join', 'key', 'line', 'merge',
          'order', 'part', 'query', 'row', 'scan', 'slow', 'small', 'sort',
          'spark', 'stream', 'table', 'the', 'value', 'vector', 'window']
-PASSTHROUGH = ["region", "nation", "supplier", "part", "events", "embeddings"]
+PASSTHROUGH = ["region", "nation", "supplier", "part", "events"]
 
 
 def gen(out, reps):
@@ -80,6 +80,21 @@ def gen(out, reps):
                  b.lang, b.source
           FROM '{BASE}/documents.parquet' b, reps r, v) ORDER BY 1
       ) TO '{out}/documents.parquet' (FORMAT parquet)""")
+
+    # embeddings: vec_id offset + a per-replica ROTATION of the dims —
+    # norms (and the global quantization scale) are preserved verbatim,
+    # neighbor structure diverges across replicas, so the ANN working set
+    # grows linearly while per-replica geometry stays identical
+    nvec = con.execute(
+        f"SELECT max(vec_id) + 1 FROM '{BASE}/embeddings.parquet'").fetchone()[0]
+    con.execute(f"""
+      COPY (
+        SELECT (r.r * {nvec} + b.vec_id) AS vec_id,
+               (b.embedding[(r.r % len(b.embedding)) + 1:] ||
+                b.embedding[:(r.r % len(b.embedding))]) AS embedding,
+               b.label
+        FROM '{BASE}/embeddings.parquet' b, reps r ORDER BY 1
+      ) TO '{out}/embeddings.parquet' (FORMAT parquet)""")
 
     for t in PASSTHROUGH:
         dst = f"{out}/{t}.parquet"
