@@ -1695,8 +1695,12 @@ object Relational {
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(bit_xor(CAST(concat('0x', substr(md5(o_orderkey || '|' || o_custkey || '|' || o_orderstatus), 1, 15)) AS BIGINT)) AS BIGINT) AS checksum
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
-      val rowHash = conv(substring(md5(concat_ws("|",
-          col("o_orderkey").cast("string"), col("o_custkey").cast("string"),
+      // concat (not concat_ws): a NULL column must NULL the row hash —
+      // matching the oracle's `||`, which propagates NULL — so both
+      // engines' bit_xor then skip the same rows
+      val rowHash = conv(substring(md5(concat(
+          col("o_orderkey").cast("string"), lit("|"),
+          col("o_custkey").cast("string"), lit("|"),
           col("o_orderstatus"))), 1, 15), 16, 10).cast("long")
       t(s, dir, "orders")
         .groupBy("o_orderpriority")
