@@ -2798,14 +2798,7 @@ object LlmPipeline {
         |    AND nstop * 50 >= nw AND mx * 8 <= nw) AS BIGINT) AS n_pass
         |FROM m GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
       val w = words(col("text"))
-      val maxRun = aggregate(
-        sort_array(w),
-        struct(lit("").as("p"), lit(0).as("r"), lit(0).as("b")),
-        (acc, x) => {
-          val run = when(x === acc.getField("p"), acc.getField("r") + 1).otherwise(lit(1))
-          struct(x.as("p"), run.as("r"), greatest(acc.getField("b"), run).as("b"))
-        },
-        acc => acc.getField("b"))
+      val maxRun = maxTokenMultiplicity(w)
       val d = t(s, dir, "documents").select(col("source"),
         size(w).as("nw"),
         size(array_distinct(w)).as("nd"),
@@ -3180,6 +3173,20 @@ object LlmPipeline {
       .limit(10)
     (out, () => { sub.unpersist(); () })
   }
+
+  /** q154's top-word statistic, computed WITHIN the row (no token
+    * shuffle): max run length over the sorted token array ≡ the max word
+    * multiplicity the oracle computes by unnest+count. Exposed for the
+    * randomized equivalence test in LlmSpec.
+    */
+  private[graft] def maxTokenMultiplicity(w: Column): Column = aggregate(
+    sort_array(w),
+    struct(lit("").as("p"), lit(0).as("r"), lit(0).as("b")),
+    (acc, x) => {
+      val run = when(x === acc.getField("p"), acc.getField("r") + 1).otherwise(lit(1))
+      struct(x.as("p"), run.as("r"), greatest(acc.getField("b"), run).as("b"))
+    },
+    acc => acc.getField("b"))
 
   /** q56/q144's SQL-expressible near-dup candidate edges: same lang,
     * |n_chars diff| <= 2 — banded so candidate generation is a pure

@@ -610,6 +610,27 @@ class LlmSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(3) == a2.values.count(_ == probeCell).toLong))
   }
 
+  test("q154's max-run fold == max word multiplicity on 300 randomized token arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "dd", "eee", "f")
+    // adversarial shapes deliberately present: single-token docs, all-same
+    // docs, and ties between several words at the same multiplicity
+    val docs = (0 until 300).map { i =>
+      val n = 1 + rnd.nextInt(60)
+      val toks =
+        if (i % 17 == 0) Seq.fill(n)("a")
+        else Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      (i, toks.mkString(" "), toks.groupBy(identity).values.map(_.size).max)
+    }
+    val got = docs.map(d => (d._1, d._2)).toDF("id", "text")
+      .select(col("id"), graft.queries.LlmPipeline.maxTokenMultiplicity(
+        split(col("text"), " ")).as("mx"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    for ((id, _, expected) <- docs)
+      assert(got(id) == expected, s"doc $id: fold ${got(id)} != multiplicity $expected")
+  }
+
   test("q160 integer PQ matches an independent Scala codebook + ADC replay") {
     val rows = SparkEntry.queries("q160_pq_int8")(spark, TestSpark.sf).collect()
     assert(rows.length == 10)
