@@ -2943,6 +2943,48 @@ object LlmPipeline {
       } finally release()
     },
 
+    // ───── q162: deterministic weighted sampling (priority sampling) ─────
+    // Duffield–Lund–Thorup priority sampling with SALTED-HASH randomness:
+    // priority = w / u with u = (60-bit md5 of the doc id + 1) — higher
+    // weight → higher expected priority, inclusion ∝ weight, reproducible
+    // on any engine and across reshards (no RNG state). The one float op
+    // is a single correctly-rounded double division of exact integers, so
+    // both engines rank identically; ties at the boundary break on
+    // doc_id. The ORACLE states the sample via a corpus-wide row_number
+    // (fine at oracle scale); the Spark plan is the SCALABLE shape — the
+    // top-200 sample set is a TakeOrderedAndProject (per-partition heads,
+    // never a global sort), broadcast back as a membership flag, then one
+    // hash-agg per source. Weighted corpus subsampling is the pretraining
+    // step between quality scoring and tokenization.
+    QueryDef.df(
+      "q162_weighted_sample",
+      """WITH d AS (SELECT doc_id, source, n_chars AS w,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1 AS h
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (ORDER BY CAST(w AS DOUBLE) / CAST(h AS DOUBLE) DESC, doc_id) AS rk FROM d)
+        |SELECT source,
+        |  CAST(count(*) FILTER (WHERE rk <= 200) AS BIGINT) AS n_sampled,
+        |  CAST(coalesce(sum(w) FILTER (WHERE rk <= 200), 0) AS BIGINT) AS w_sampled,
+        |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(w) AS BIGINT) AS w_total
+        |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("n_chars").as("w"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") + 1).as("h"))
+      val pri = col("w").cast("double") / col("h").cast("double")
+      val top = d.select(col("doc_id"), pri.as("p"))
+        .orderBy(col("p").desc, col("doc_id")).limit(200)
+        .select(col("doc_id").as("sid"))
+      d.join(broadcast(top), col("doc_id") === col("sid"), "left")
+        .groupBy("source")
+        .agg(
+          sum(when(col("sid").isNotNull, 1L).otherwise(0L)).as("n_sampled"),
+          sum(when(col("sid").isNotNull, col("w")).otherwise(0L)).as("w_sampled"),
+          count(lit(1)).as("n_docs"),
+          sum(col("w")).as("w_total"))
+        .orderBy("source")
+    },
+
     // ───── q160: ENGINE-REPRODUCIBLE PQ (integer-space codebooks + ADC) ───
     // q157's integer-Lloyd's trick applied to PRODUCT quantization — the
     // other unoracleable ANN family member. M=8 subspaces × 8 dims, k=4

@@ -565,6 +565,15 @@ class ExplainAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-10 must not global-sort:\n$p")
   }
 
+  test("q162 weighted sample: top-k heads + broadcast membership, never a global sort") {
+    val p = plan("q162_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the sample set must come from per-partition heads:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"membership must broadcast back onto the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"nothing here may shuffle-sort:\n$p")
+  }
+
   test("q158 pattern matching: one per-user window, no join anywhere") {
     val p = plan("q158_event_patterns")
     assert(!p.contains("Join") && !p.contains("CartesianProduct"),
