@@ -1706,6 +1706,67 @@ object Relational {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), bit_xor(rowHash).as("checksum"))
         .orderBy("o_orderpriority")
+    },
+
+    // ───── q163: CSV source/sink roundtrip (format fidelity) ─────────────
+    // The interchange path every lake still has at its edges: write a
+    // slice out as HEADERED CSV, read it back through the CSV source with
+    // an explicit schema (never inference — at 100 TB schema inference is
+    // a full extra scan), and prove the roundtrip is VALUE-EXACT by
+    // aggregating against the parquet ground truth in DuckDB. Doubles
+    // survive because Spark writes the shortest round-trippable
+    // representation; the DECIMAL(18,6) sum discipline makes the compare
+    // order-free. Splittable at scale: plain (uncompressed) CSV reads
+    // split-parallel like any text source.
+    QueryDef.df(
+      "q163_csv_roundtrip",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val tmp = "target/tmp/graft_q163_csv"
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read
+        .schema("o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING")
+        .option("header", "true").csv(tmp)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ───── q164: JSON-lines source/sink roundtrip ─────────────────────────
+    // Same fidelity proof for the other edge format (event feeds, API
+    // dumps): newline-delimited JSON out, explicit-schema JSON source
+    // back, aggregate hash-matched against parquet ground truth. The
+    // nested struct leg matters: the writer emits a real object, the
+    // reader projects a field out of it — the path an events-with-props
+    // pipeline exercises.
+    QueryDef.df(
+      "q164_jsonl_roundtrip",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(user_id) AS BIGINT) AS user_sum,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events WHERE event_id % 2 = 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val tmp = "target/tmp/graft_q164_jsonl"
+      t(s, dir, "events")
+        .filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("event_type"),
+          struct(col("user_id"), col("value")).as("payload"))
+        .write.mode("overwrite").json(tmp)
+      s.read
+        .schema("event_id BIGINT, event_type STRING, payload STRUCT<user_id: BIGINT, value: DOUBLE>")
+        .json(tmp)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("payload.user_id")).as("user_sum"),
+          sum(col("payload.value").cast("decimal(18,6)")).cast("double").as("total"))
+        .orderBy("event_type")
     })
 
   /** q121's plan, exposed for the plan audit: backbone edges and oriented
