@@ -1767,6 +1767,31 @@ object Relational {
           sum(col("payload.user_id")).as("user_sum"),
           sum(col("payload.value").cast("decimal(18,6)")).cast("double").as("total"))
         .orderBy("event_type")
+    },
+
+    // ───── q165: ORC source/sink roundtrip (the columnar alternate) ──────
+    // Completes the format surface (parquet native + CSV + JSONL + ORC):
+    // ORC is Spark-bundled and vectorized, and its TIMESTAMP leg is the
+    // part worth proving — micros must survive the roundtrip exactly for
+    // the month() bucketing to hash-match the parquet ground truth.
+    QueryDef.df(
+      "q165_orc_roundtrip",
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 5 = 0
+        |GROUP BY 1 ORDER BY month""".stripMargin) { (s, dir) =>
+      val tmp = "target/tmp/graft_q165_orc"
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+        .orderBy("month")
     })
 
   /** q121's plan, exposed for the plan audit: backbone edges and oriented
