@@ -1792,6 +1792,31 @@ object Relational {
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"),
           sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
         .orderBy("month")
+    },
+
+    // ───── q166: event-type transition matrix (Markov counts) ────────────
+    // The behavioral profile feeding synthetic-trajectory generation and
+    // anomaly baselines: per (state, next-state) transition counts over
+    // each user's time-ordered stream. One lead() over the per-user
+    // window (same single shuffle as q158), then a hash-agg to the
+    // |types|² matrix — the corpus collapses to ≤ 25 rows.
+    QueryDef.df(
+      "q166_event_transitions",
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events)
+        |SELECT event_type, nxt, CAST(count(*) AS BIGINT) AS n
+        |FROM s WHERE nxt IS NOT NULL
+        |GROUP BY event_type, nxt ORDER BY event_type, nxt""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy("event_type", "nxt")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "nxt")
     })
 
   /** q121's plan, exposed for the plan audit: backbone edges and oriented
