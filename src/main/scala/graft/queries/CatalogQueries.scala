@@ -1201,5 +1201,51 @@ object CatalogQueries {
           |  FULL OUTER JOIN (SELECT * FROM lake.verify.sd_t VERSION AS OF 1) b
           |  ON a.k = b.k) d
           |GROUP BY kind ORDER BY kind""".stripMargin)
+    },
+
+    QueryDef.df(
+      "q168_ts_travel_rollback",
+      // TIMESTAMP AS OF + rollback, both under the hash gate: leg 1 reads
+      // the table AS OF snapshot 1's commit timestamp (resolved from the
+      // $snapshots metadata table, at-or-before semantics) AFTER a second
+      // append moved the pointer; leg 2 rolls the table back and reads
+      // current. Both legs must equal the FIRST slice exactly — the
+      // oracle states that slice twice from scratch. The 50 ms pause
+      // between the commits keeps the two snapshots' millisecond
+      // timestamps distinct, so the at-or-before boundary is unambiguous.
+      """SELECT leg, p, n, ksum FROM (
+        |  SELECT 'as_of_ts' AS leg, o_orderpriority AS p,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(o_orderkey) AS BIGINT) AS ksum
+        |  FROM orders WHERE o_orderkey % 7 = 0 GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'after_rollback', o_orderpriority,
+        |    CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 7 = 0 GROUP BY 2) x
+        |ORDER BY leg, p""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS lake.verify")
+      s.sql("DROP TABLE IF EXISTS lake.verify.ttr")
+      s.sql(
+        """CREATE TABLE lake.verify.ttr AS
+          |SELECT o_orderkey AS k, o_orderpriority AS p
+          |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin)
+      Thread.sleep(50)
+      s.sql(
+        """INSERT INTO lake.verify.ttr
+          |SELECT o_orderkey, o_orderpriority
+          |FROM orders WHERE o_orderkey % 7 = 1""".stripMargin)
+      val ts = s.sql(
+        "SELECT committed_at FROM lake.verify.`ttr$snapshots` WHERE snapshot_id = 1")
+        .collect()(0).getTimestamp(0)
+      val asOf = s.sql(
+        s"""SELECT 'as_of_ts' AS leg, p, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(k) AS BIGINT) AS ksum
+           |FROM lake.verify.ttr TIMESTAMP AS OF '$ts' GROUP BY p""".stripMargin)
+      s.sql("CALL lake.system.rollback(table => 'verify.ttr', snapshot_id => 1)")
+      val after = s.sql(
+        """SELECT 'after_rollback' AS leg, p, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(k) AS BIGINT) AS ksum
+          |FROM lake.verify.ttr GROUP BY p""".stripMargin)
+      asOf.union(after).orderBy("leg", "p")
     })
 }
