@@ -213,5 +213,28 @@ object StreamingQueries {
         .select(col("user_id"), col("hour").cast("timestamp_ntz").as("hour"),
           last(col("v"), ignoreNulls = true).over(w).as("v_fill"))
         .orderBy("user_id", "hour")
+    },
+
+    // ───── q169: streaming-state transition counts (fMGWS path) ──────────
+    // q166 states the Markov transition matrix with lead() — not
+    // streamable. This runs the SAME semantics through the custom
+    // streaming-state operator ([[EventsStreaming.transitions]],
+    // flatMapGroupsWithState carrying each user's last event), batch-mode
+    // here so q166's own oracle SQL hash-gates the custom-state path;
+    // StreamingSpec drives the identical transform through readStream
+    // with cross-batch boundary stitching.
+    QueryDef.df(
+      "q169_stream_transitions",
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events)
+        |SELECT event_type, nxt, CAST(count(*) AS BIGINT) AS n
+        |FROM s WHERE nxt IS NOT NULL
+        |GROUP BY event_type, nxt ORDER BY event_type, nxt""".stripMargin) { (s, dir) =>
+      EventsStreaming.transitions(t(s, dir, "events"))
+        .groupBy("event_type", "nxt")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "nxt")
     })
 }

@@ -165,6 +165,45 @@ object EventsStreaming {
       .toDF("user_id", "step", "ts")
   }
 
+  /** Streaming Markov-transition extraction — q166's lead() window shape
+    * is not streamable (lead needs the whole partition); the streaming
+    * form carries each user's LAST event (type, micros, event_id) in
+    * state and emits one (prev, next) pair per consecutive step. Rows
+    * sort in event-time order within each micro-batch; across batches
+    * the carried state stitches the boundary pair, so the lifetime
+    * output equals the batch lead() exactly when event time is
+    * monotone per batch (the same per-batch-order discipline as
+    * [[funnelStages]]). Batch mode (one "batch" = the whole table)
+    * reproduces q166 verbatim — the q169 QueryDef gates that against
+    * q166's own oracle SQL.
+    *
+    * Scale posture: state is three scalars per user, one shuffle on
+    * user_id, append-only emission.
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L
+    events.selectExpr("user_id", "ts", "event_id", "event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(String, Long, Long), (String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
+         state: GroupState[(String, Long, Long)]) =>
+          var prev = state.getOption.orNull
+          val out = collection.mutable.ArrayBuffer[(String, String)]()
+          for ((_, ts, eid, et) <- rows.toSeq.sortBy(r => (micros(r._2), r._3))) {
+            if (prev != null) out += ((prev._1, et))
+            prev = (et, micros(ts), eid)
+          }
+          if (prev != null) state.update(prev)
+          out.iterator
+      }
+      .toDF("event_type", "nxt")
+  }
+
   def quotaSampled(docs: DataFrame, quotaTokens: Long): DataFrame = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

@@ -24,6 +24,30 @@ class StreamingSpec extends AnyFunSuite {
   private def toDf(s: org.apache.spark.sql.DataFrame) =
     s.toDF("event_id", "ts", "user_id", "event_type", "value")
 
+  test("streaming transitions: cross-batch boundary pair stitched from carried state") {
+    import spark.implicits._
+    val input = MemoryStream[Ev](spark)
+    val q = EventsStreaming.transitions(toDf(input.toDF()))
+      .writeStream.format("memory").queryName("trans").outputMode("append")
+      .start()
+    // batch 1: u1 view@1 then click@2 (emits view→click, state holds
+    // click); u2 view@4 (no pair yet, state holds view)
+    input.addData(
+      (1L, ts(1), 1L, "view", 0.0), (2L, ts(2), 1L, "click", 0.0),
+      (3L, ts(4), 2L, "view", 0.0))
+    q.processAllAvailable()
+    // batch 2: u1 purchase@3 — the click→purchase pair crosses the batch
+    // boundary and must come from the carried state; u2 error@5
+    input.addData(
+      (4L, ts(3), 1L, "purchase", 0.0), (5L, ts(5), 2L, "error", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("trans")
+      .collect().map(r => (r.getString(0), r.getString(1))).toList.sorted
+    assert(got == List(("click", "purchase"), ("view", "click"), ("view", "error")),
+      s"got $got")
+  }
+
   test("streaming funnel state machine: strict order across batches, late events ignored") {
     import spark.implicits._
     val input = MemoryStream[Ev](spark)
