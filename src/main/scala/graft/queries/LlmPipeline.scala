@@ -2821,8 +2821,8 @@ object LlmPipeline {
 
     // ───── q155: per-stratum source caps (domain quota sampling) ──────────
     // The over-represented-domain guard: cap every (source, lang) stratum
-    // at 8 docs, chosen by a SALTED deterministic hash rank (md5 of the
-    // doc id — reproducible across reshards, no RNG state), and report per
+    // at 8 docs, chosen by a deterministic hash rank (md5 of the doc id —
+    // content-independent, reproducible across reshards, no RNG state), and report per
     // source what survives. Scale shape: the window input is projected to
     // (ids, lang, n_toks, hash) BEFORE the shuffle — text never moves —
     // and the per-stratum rank feeds a hash-agg back to O(sources) rows.
@@ -2944,7 +2944,7 @@ object LlmPipeline {
     },
 
     // ───── q162: deterministic weighted sampling (priority sampling) ─────
-    // Duffield–Lund–Thorup priority sampling with SALTED-HASH randomness:
+    // Duffield–Lund–Thorup priority sampling with DETERMINISTIC-HASH randomness:
     // priority = w / u with u = (60-bit md5 of the doc id + 1) — higher
     // weight → higher expected priority, inclusion ∝ weight, reproducible
     // on any engine and across reshards (no RNG state). The one float op
@@ -3043,6 +3043,83 @@ object LlmPipeline {
         import scala.jdk.CollectionConverters._
         s.createDataFrame(out.collect().toSeq.asJava, out.schema)
       } finally cc.unpersist()
+    },
+
+    // ───── q170: token-budget curriculum fill (greedy mix building) ──────
+    // "Fill the budget from the best source down": rank sources by a
+    // per-mille quality score (share of docs in the target length band —
+    // FLOORED, because Spark's double→int CAST truncates while DuckDB's
+    // rounds; floor() is identical in both), then a running token total
+    // in rank order marks which sources fit a 15k-token budget. The
+    // corpus reduces to O(sources) BEFORE the window, so the cumulative
+    // sum runs over a handful of rows at any scale.
+    QueryDef.df(
+      "q170_token_budget_fill",
+      """WITH src AS (
+        |  SELECT source,
+        |    sum(len(string_split(lower(text), ' '))) AS toks,
+        |    CAST(floor(count(*) FILTER (WHERE n_chars BETWEEN 120 AND 2000) * 1000.0
+        |      / count(*)) AS BIGINT) AS q
+        |  FROM documents GROUP BY source),
+        |r AS (SELECT *, sum(toks) OVER (ORDER BY q DESC, source) AS cum FROM src)
+        |SELECT source, CAST(toks AS BIGINT) AS n_tokens, q AS quality_pm,
+        |  CAST(cum AS BIGINT) AS cum_tokens,
+        |  CAST(CASE WHEN cum <= 15000 THEN 1 ELSE 0 END AS INT) AS included
+        |FROM r ORDER BY quality_pm DESC, source""".stripMargin) { (s, dir) =>
+      val src = t(s, dir, "documents")
+        .groupBy("source")
+        .agg(sum(size(words(col("text"))).cast("long")).as("toks"),
+          floor(sum(when(col("n_chars").between(120, 2000), 1).otherwise(0)) * 1000.0
+            / count(lit(1))).cast("long").as("q"))
+      src
+        .withColumn("cum", sum(col("toks")).over(
+          Window.orderBy(col("q").desc, col("source"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("source"), col("toks").as("n_tokens"), col("q").as("quality_pm"),
+          col("cum").as("cum_tokens"),
+          when(col("cum") <= 15000, 1).otherwise(0).cast("int").as("included"))
+        .orderBy(col("quality_pm").desc, col("source"))
+    },
+
+    // ───── q171: hard-negative mining for contrastive training ───────────
+    // For each probe, the most-similar vectors with a DIFFERENT label —
+    // the hard negatives a retrieval/contrastive trainer pairs with each
+    // anchor. Same determinism discipline as q156 (rank on 4-dp cosine,
+    // vec_id tiebreak) and the same scale shape: probes broadcast,
+    // per-probe top-k is a map-side WindowGroupLimit.
+    QueryDef.df(
+      "q171_hard_negatives",
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT vec_id AS pid, label AS plabel, v AS pv FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT p.pid, e.vec_id, e.label,
+        |    round(list_cosine_similarity(e.v, p.pv), 4) AS sim
+        |  FROM p JOIN e ON e.vec_id <> p.pid AND e.label <> p.plabel),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY pid ORDER BY sim DESC, vec_id) AS rn
+        |       FROM scored)
+        |SELECT pid AS probe_id, vec_id AS negative_id, CAST(label AS INT) AS neg_label, sim
+        |FROM rk WHERE rn <= 3 ORDER BY probe_id, sim DESC, negative_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("int").as("label"), col("embedding"))
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("pid"), col("label").as("plabel"),
+          col("embedding").as("pv"))
+      val dot = aggregate(
+        zip_with(col("embedding"), col("pv"), (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0d), (a, v) => a + v)
+      val na = aggregate(col("embedding"), lit(0.0d),
+        (a, x) => a + x.cast("double") * x.cast("double"))
+      val nb = aggregate(col("pv"), lit(0.0d),
+        (a, x) => a + x.cast("double") * x.cast("double"))
+      e.join(broadcast(probes),
+          col("vec_id") =!= col("pid") && col("label") =!= col("plabel"))
+        .withColumn("sim", round(dot / (sqrt(na) * sqrt(nb)), 4))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("pid").orderBy(col("sim").desc, col("vec_id"))))
+        .filter(col("rn") <= 3)
+        .select(col("pid").as("probe_id"), col("vec_id").as("negative_id"),
+          col("label").as("neg_label"), col("sim"))
+        .orderBy(col("probe_id"), col("sim").desc, col("negative_id"))
     },
 
     // ───── q160: ENGINE-REPRODUCIBLE PQ (integer-space codebooks + ADC) ───
