@@ -1794,6 +1794,83 @@ object Relational {
         .orderBy("month")
     },
 
+    // ───── q173: referential-integrity audit (orphan foreign keys) ───────
+    // The FK leg q134's rule checks don't cover: per relationship, how
+    // many child rows point at a missing parent. Each leg is one LEFT
+    // join + one agg — the parent side projects to DISTINCT keys first,
+    // so the join input is O(parent keys), and nation broadcasts. Clean
+    // data audits to zero orphans; the detection leg is pinned with
+    // planted orphans in QualityChecksSpec-style tests via golden counts.
+    QueryDef.df(
+      "q173_fk_audit",
+      """SELECT rel, CAST(n_child AS BIGINT) AS n_child,
+        |  CAST(n_orphan AS BIGINT) AS n_orphan FROM (
+        |  SELECT 'customer->nation' AS rel, count(*) AS n_child,
+        |    count(*) FILTER (WHERE n.n_nationkey IS NULL) AS n_orphan
+        |  FROM customer cu LEFT JOIN nation n ON cu.c_nationkey = n.n_nationkey
+        |  UNION ALL
+        |  SELECT 'lineitem->orders', count(*),
+        |    count(*) FILTER (WHERE o.o_orderkey IS NULL)
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  UNION ALL
+        |  SELECT 'orders->customer', count(*),
+        |    count(*) FILTER (WHERE c.c_custkey IS NULL)
+        |  FROM orders ord LEFT JOIN customer c ON ord.o_custkey = c.c_custkey) x
+        |ORDER BY rel""".stripMargin) { (s, dir) =>
+      def leg(rel: String, child: DataFrame, parent: DataFrame): DataFrame =
+        child.join(parent, col("k") === col("pk"), "left")
+          .agg(count(lit(1)).as("n_child"),
+            sum(when(col("pk").isNull, 1L).otherwise(0L)).as("n_orphan"))
+          .select(lit(rel).as("rel"), col("n_child"), col("n_orphan"))
+      val a = leg("customer->nation",
+        t(s, dir, "customer").select(col("c_nationkey").as("k")),
+        t(s, dir, "nation").select(col("n_nationkey").as("pk")).distinct())
+      val b = leg("lineitem->orders",
+        t(s, dir, "lineitem").select(col("l_orderkey").as("k")),
+        t(s, dir, "orders").select(col("o_orderkey").as("pk")).distinct())
+      val c = leg("orders->customer",
+        t(s, dir, "orders").select(col("o_custkey").as("k")),
+        t(s, dir, "customer").select(col("c_custkey").as("pk")).distinct())
+      a.union(b).union(c).orderBy("rel")
+    },
+
+    // ───── q174: SCD2 build (validity intervals from a change stream) ────
+    // The warehouse staple: turn each user's event stream into
+    // slowly-changing-dimension rows — one row per attribute CHANGE with
+    // [valid_from, valid_to) and an open (NULL) end on the current state.
+    // Change points come from lag() over the per-user order; valid_to is
+    // the lead() of the change points — two windows over ONE shuffle on
+    // user_id (same partitioning reused, no second exchange). The
+    // event_id tiebreak keeps the interval chain total even under equal
+    // timestamps.
+    QueryDef.df(
+      "q174_scd2_intervals",
+      """WITH o AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER w AS prev
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (SELECT user_id, event_type, ts AS valid_from, event_id FROM o
+        |      WHERE prev IS NULL OR prev <> event_type),
+        |v AS (SELECT user_id, event_type, valid_from,
+        |        lead(valid_from) OVER (PARTITION BY user_id
+        |          ORDER BY valid_from, event_id) AS valid_to
+        |      FROM c)
+        |SELECT user_id, event_type, valid_from, valid_to
+        |FROM v ORDER BY user_id, valid_from""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val w2 = Window.partitionBy("user_id").orderBy(col("valid_from"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("valid_from", col("ts"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+        .select(col("user_id"), col("event_type"),
+          col("valid_from").cast("timestamp_ntz").as("valid_from"),
+          col("valid_to").cast("timestamp_ntz").as("valid_to"))
+        .orderBy("user_id", "valid_from")
+    },
+
     // ───── q166: event-type transition matrix (Markov counts) ────────────
     // The behavioral profile feeding synthetic-trajectory generation and
     // anomaly baselines: per (state, next-state) transition counts over
