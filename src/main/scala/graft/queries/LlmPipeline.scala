@@ -3122,6 +3122,130 @@ object LlmPipeline {
         .orderBy(col("probe_id"), col("sim").desc, col("negative_id"))
     },
 
+    // ───── q175: per-user value anomalies (3σ outlier detection) ─────────
+    // The streaming-adjacent QA op every metrics pipeline runs: per user,
+    // events whose value deviates more than 3σ from that user's own mean.
+    // Moments follow the QueryDef decimal discipline (each square is ONE
+    // correctly-rounded double, decimal-cast, summed exactly), so μ and σ
+    // are bit-identical across engines and the 3σ predicate can't flip.
+    // Two passes over events, both one hash-agg on user_id; output only
+    // users with anomalies.
+    QueryDef.df(
+      "q175_value_anomalies",
+      """WITH m AS (
+        |  SELECT user_id, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+        |  FROM events GROUP BY user_id),
+        |s AS (SELECT user_id, n, sx / n AS mu,
+        |        sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0.0)) AS sigma
+        |      FROM m WHERE n >= 20),
+        |a AS (
+        |  SELECT e.user_id, count(*) FILTER (
+        |    WHERE abs(CAST(e.value AS DOUBLE) - s.mu) > 3.0 * s.sigma) AS n_anom
+        |  FROM events e JOIN s ON s.user_id = e.user_id GROUP BY e.user_id)
+        |SELECT a.user_id, CAST(s.n AS BIGINT) AS n_events,
+        |  CAST(a.n_anom AS BIGINT) AS n_anomalies
+        |FROM a JOIN s USING (user_id)
+        |WHERE a.n_anom > 0
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("user_id"), col("value"))
+      val m = ev.groupBy("user_id").agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sx"),
+        sum((col("value") * col("value")).cast("decimal(18,6)")).cast("double").as("sxx"))
+      val st = m.filter(col("n") >= 20)
+        .withColumn("mu", col("sx") / col("n"))
+        .withColumn("sigma", sqrt(greatest(
+          col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n")),
+          lit(0.0))))
+      ev.join(st, "user_id")
+        .groupBy("user_id")
+        .agg(first(col("n")).as("n_events"),
+          sum(when(abs(col("value").cast("double") - col("mu")) > lit(3.0) * col("sigma"),
+            1L).otherwise(0L)).as("n_anomalies"))
+        .filter(col("n_anomalies") > 0)
+        .select(col("user_id"), col("n_events").cast("long"), col("n_anomalies"))
+        .orderBy("user_id")
+    },
+
+    // ───── q176: cross-modal correlation (text quality × embedding) ──────
+    // Does embedding-space oddness track text quality? Per label, the
+    // Pearson correlation between q35's text-quality score and q151's
+    // cosine-to-centroid — the multimodal join a curation pass runs
+    // before trusting either signal alone. Both inputs round to 4dp (the
+    // q151/q41 discipline covers the engines' 1e-16 centroid variance),
+    // then EVERY moment is an exact decimal sum and the final value is
+    // one double expression — deterministic end to end. Scale shape: the
+    // doc↔vector join is a plain equi-join on id; centroids broadcast;
+    // moments are one hash-agg on label.
+    QueryDef.df(
+      "q176_quality_embedding_corr",
+      """WITH d AS (
+        |  SELECT label, vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |c AS (SELECT label, i, avg(v) AS m FROM d GROUP BY 1, 2),
+        |cl AS (SELECT label, list(m ORDER BY i) AS cent FROM c GROUP BY label),
+        |y AS (SELECT e.label, e.vec_id,
+        |        round(list_cosine_similarity(e.embedding::DOUBLE[], cl.cent), 4) AS sim
+        |      FROM embeddings e JOIN cl ON cl.label = e.label),
+        |x AS (SELECT doc_id,
+        |        round((CASE WHEN n_chars BETWEEN 120 AND 2000 THEN 0.4 ELSE 0.1 END)
+        |        + 0.4 * (CAST(len(list_distinct(string_split(lower(text),' '))) AS DOUBLE)
+        |                 / len(string_split(lower(text),' ')))
+        |        + (CASE WHEN CAST(n_chars AS DOUBLE) / len(string_split(lower(text),' ')) BETWEEN 3 AND 9 THEN 0.2 ELSE 0.0 END), 4) AS q
+        |      FROM documents),
+        |j AS (SELECT y.label, CAST(x.q AS DECIMAL(18,6)) AS xq, CAST(y.sim AS DECIMAL(18,6)) AS ys
+        |      FROM y JOIN x ON x.doc_id = y.vec_id),
+        |mo AS (SELECT label, count(*) AS n,
+        |         sum(xq) AS sx, sum(ys) AS sy, sum(xq * ys) AS sxy,
+        |         sum(xq * xq) AS sxx, sum(ys * ys) AS syy
+        |       FROM j GROUP BY label)
+        |SELECT CAST(label AS INT) AS label, CAST(n AS BIGINT) AS n,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qs
+        |FROM mo ORDER BY label""".stripMargin) { (s, dir) =>
+      val vavg = udaf(graft.functions.VectorAvg)
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("int").as("label"), col("embedding"))
+      val cents = emb.groupBy("label").agg(vavg(col("embedding")).as("cent"))
+      val dot = aggregate(
+        zip_with(col("embedding"), col("cent"), (p, q) => p.cast("double") * q),
+        lit(0.0d), (a, v) => a + v)
+      val na = aggregate(col("embedding"), lit(0.0d),
+        (a, p) => a + p.cast("double") * p.cast("double"))
+      val nb = aggregate(col("cent"), lit(0.0d), (a, p) => a + p * p)
+      val y = emb.join(broadcast(cents), "label")
+        .withColumn("sim", round(dot / (sqrt(na) * sqrt(nb)), 4))
+        .select(col("label"), col("vec_id"), col("sim"))
+      val w = words(col("text"))
+      val x = t(s, dir, "documents").select(col("doc_id"),
+        round(when(col("n_chars").between(120, 2000), 0.4).otherwise(0.1)
+          + lit(0.4) * (size(array_distinct(w)).cast("double") / size(w))
+          + when((col("n_chars").cast("double") / size(w)).between(3, 9), 0.2)
+            .otherwise(0.0), 4).as("q"))
+      val j = y.join(x, col("doc_id") === col("vec_id"))
+        .select(col("label"), col("q").cast("decimal(18,6)").as("xq"),
+          col("sim").cast("decimal(18,6)").as("ys"))
+      val mo = j.groupBy("label").agg(count(lit(1)).as("n"),
+        sum(col("xq")).as("sx"), sum(col("ys")).as("sy"),
+        sum(col("xq") * col("ys")).as("sxy"),
+        sum(col("xq") * col("xq")).as("sxx"),
+        sum(col("ys") * col("ys")).as("syy"))
+      // moments leave the exact-decimal domain through ONE double cast
+      // each, THEN combine — in-decimal products would trip Spark's
+      // precision-loss scale reduction and diverge from DuckDB's exact
+      // decimals in the 7th digit (observed; the gate caught it)
+      def d(c: Column): Column = c.cast("double")
+      mo.select(col("label"), col("n"),
+          ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
+            / (sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+              * sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))))
+            .as("corr_qs"))
+        .orderBy("label")
+    },
+
     // ───── q160: ENGINE-REPRODUCIBLE PQ (integer-space codebooks + ADC) ───
     // q157's integer-Lloyd's trick applied to PRODUCT quantization — the
     // other unoracleable ANN family member. M=8 subspaces × 8 dims, k=4
