@@ -574,6 +574,38 @@ class ExplainAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"nothing here may shuffle-sort:\n$p")
   }
 
+  test("q173 FK audit: parent sides join on DISTINCT keys, nation broadcasts") {
+    val p = plan("q173_fk_audit")
+    assert(p.contains("BroadcastHashJoin"),
+      s"at least the nation parent must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"every leg must stay an equi-join:\n$p")
+  }
+
+  test("q174 SCD2: both windows share ONE user_id shuffle") {
+    val p = plan("q174_scd2_intervals")
+    assert(!p.contains("Join"), s"interval build needs no join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1,
+      s"lag and lead must reuse the same user_id partitioning:\n$p")
+  }
+
+  test("q175 anomalies: two hash-aggs on user_id, stats side broadcasts back") {
+    val p = plan("q175_value_anomalies")
+    assert(!p.contains("CartesianProduct"),
+      s"the per-user stats join must stay keyed:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"moments and anomaly counts are both hash-aggs:\n$p")
+  }
+
+  test("q176 cross-modal corr: centroids broadcast, moments one hash-agg on label") {
+    val p = plan("q176_quality_embedding_corr")
+    assert(p.contains("BroadcastHashJoin"),
+      s"O(labels) centroids must broadcast back onto the vectors:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"the doc-vector join must not degenerate:\n$p")
+  }
+
   test("q158 pattern matching: one per-user window, no join anywhere") {
     val p = plan("q158_event_patterns")
     assert(!p.contains("Join") && !p.contains("CartesianProduct"),
