@@ -1871,6 +1871,61 @@ object Relational {
         .orderBy("user_id", "valid_from")
     },
 
+    // ───── q177: data-freshness profile (pipeline ops monitoring) ────────
+    // The operational query every ingest dashboard runs: per event type,
+    // volume, latest arrival, staleness vs the corpus high-water mark
+    // (exact microseconds — timestamps never touch floats), and volume
+    // inside the trailing day. One scalar subquery (the high-water mark)
+    // + one hash-agg on event_type.
+    QueryDef.df(
+      "q177_data_freshness",
+      """WITH mx AS (SELECT max(ts) AS tmax FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  max(ts) AS latest,
+        |  CAST(epoch_us((SELECT tmax FROM mx)) - epoch_us(max(ts)) AS BIGINT) AS staleness_us,
+        |  CAST(count(*) FILTER (WHERE ts >= (SELECT tmax FROM mx) - INTERVAL 1 DAY) AS BIGINT) AS n_last_day
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("event_type"), col("ts"))
+      val mx = ev.agg(max(col("ts")).as("tmax"))
+      ev.crossJoin(broadcast(mx))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          max(col("ts")).cast("timestamp_ntz").as("latest"),
+          (first(unix_micros(col("tmax"))) - unix_micros(max(col("ts"))))
+            .as("staleness_us"),
+          sum(when(col("ts") >= col("tmax") - expr("INTERVAL 1 DAY"), 1L)
+            .otherwise(0L)).as("n_last_day"))
+        .orderBy("event_type")
+    },
+
+    // ───── q178: template/boilerplate detection by prefix fingerprint ────
+    // Docs sharing an 8-token PREFIX are template suspects (boilerplate
+    // headers survive near-dup thresholds that full-text Jaccard sets) —
+    // per source, how many docs sit in a shared-prefix block and how many
+    // a keep-min-id dedup would drop. Only (fingerprint, ids) ever
+    // shuffle; text never moves; the keeper choice is a hash-agg min.
+    QueryDef.df(
+      "q178_prefix_dedup",
+      """WITH d AS (SELECT doc_id, source,
+        |    md5(array_to_string(string_split(lower(text), ' ')[1:8], ' ')) AS h
+        |  FROM documents),
+        |k AS (SELECT h, count(*) AS n, min(doc_id) AS keeper FROM d GROUP BY h)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) FILTER (WHERE k.n > 1) AS BIGINT) AS n_template_suspect,
+        |  CAST(count(*) FILTER (WHERE k.n > 1 AND d.doc_id <> k.keeper) AS BIGINT) AS n_dropped
+        |FROM d JOIN k USING (h) GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        md5(array_join(slice(split(lower(col("text")), " "), 1, 8), " ")).as("h"))
+      val k = d.groupBy("h").agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+      d.join(k, "h")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_template_suspect"),
+          sum(when(col("n") > 1 && col("doc_id") =!= col("keeper"), 1L).otherwise(0L))
+            .as("n_dropped"))
+        .orderBy("source")
+    },
+
     // ───── q166: event-type transition matrix (Markov counts) ────────────
     // The behavioral profile feeding synthetic-trajectory generation and
     // anomaly baselines: per (state, next-state) transition counts over
