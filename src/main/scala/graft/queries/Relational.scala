@@ -1926,6 +1926,54 @@ object Relational {
         .orderBy("source")
     },
 
+    // ───── q179: join-fanout profile (cardinality histogram) ─────────────
+    // The profiling query a join planner sanity-check runs: how many
+    // orders have 1, 2, … lineitems — the fan-out histogram that predicts
+    // join blow-up. Two hash-aggs, output O(max fanout) rows.
+    QueryDef.shared(
+      "q179_fanout_profile",
+      """WITH f AS (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1)
+        |SELECT n AS lines_per_order, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(n) AS BIGINT) AS n_lineitems
+        |FROM f GROUP BY n ORDER BY n""".stripMargin),
+
+    // ───── q180: malformed-input accounting (PERMISSIVE JSON ingest) ─────
+    // Error-tolerant ingest is a first-class surface: write a JSONL file
+    // with 7 DELIBERATELY-malformed lines interleaved among good rows,
+    // read it back in PERMISSIVE mode with a declared _corrupt_record
+    // column, and account for both populations exactly. The oracle states
+    // the good-row aggregate from the parquet ground truth and the
+    // planted bad count as a literal — a hash match proves the source
+    // neither drops good rows nor silently swallows bad ones.
+    QueryDef.df(
+      "q180_corrupt_ingest",
+      """SELECT CAST(count(*) AS BIGINT) AS n_good,
+        |  CAST(7 AS BIGINT) AS n_bad,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS k_sum
+        |FROM orders WHERE o_orderkey % 11 = 0""".stripMargin) { (s, dir) =>
+      val tmp = "target/tmp/graft_q180_jsonl"
+      val good = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 11 === 0)
+        .select(to_json(struct(col("o_orderkey").as("k"),
+          col("o_orderpriority").as("p"))).as("value"))
+      val bad = s.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row("{not json"), org.apache.spark.sql.Row("[1,2"),
+          org.apache.spark.sql.Row("{\"k\": }"), org.apache.spark.sql.Row("plain text"),
+          org.apache.spark.sql.Row("{\"k\":1,"), org.apache.spark.sql.Row("}{"),
+          org.apache.spark.sql.Row("\"")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.StringType))))
+      good.union(bad).write.mode("overwrite").text(tmp)
+      s.read
+        .schema("k BIGINT, p STRING, _corrupt_record STRING")
+        .json(tmp)
+        .agg(sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_good"),
+          sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_bad"),
+          sum(when(col("_corrupt_record").isNull, col("k"))).as("k_sum"))
+    },
+
     // ───── q166: event-type transition matrix (Markov counts) ────────────
     // The behavioral profile feeding synthetic-trajectory generation and
     // anomaly baselines: per (state, next-state) transition counts over
