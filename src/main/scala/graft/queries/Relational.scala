@@ -1950,7 +1950,8 @@ object Relational {
       """SELECT CAST(count(*) AS BIGINT) AS n_good,
         |  CAST(7 AS BIGINT) AS n_bad,
         |  CAST(sum(o_orderkey) AS BIGINT) AS k_sum
-        |FROM orders WHERE o_orderkey % 11 = 0""".stripMargin) { (s, dir) =>
+        |FROM orders WHERE o_orderkey % 11 = 0
+        |ORDER BY n_good""".stripMargin) { (s, dir) =>
       val tmp = "target/tmp/graft_q180_jsonl"
       val good = t(s, dir, "orders")
         .filter(col("o_orderkey") % 11 === 0)
