@@ -1975,6 +1975,58 @@ object Relational {
           sum(when(col("_corrupt_record").isNull, col("k"))).as("k_sum"))
     },
 
+    // ───── q181: month-over-month growth (reporting windows) ─────────────
+    // The reporting staple q21 stops short of: monthly revenue plus the
+    // MoM delta and growth percentage. Revenue is the exact decimal sum
+    // surfaced as double; lag/subtract/divide/round are identical IEEE
+    // ops in both engines. The window is over O(months) rows — the
+    // corpus reduces first.
+    QueryDef.df(
+      "q181_mom_growth",
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT month, rev,
+        |  CAST(rev - lag(rev) OVER (ORDER BY month) AS DOUBLE) AS delta,
+        |  round(100.0 * (rev - lag(rev) OVER (ORDER BY month))
+        |    / lag(rev) OVER (ORDER BY month), 4) AS pct
+        |FROM m ORDER BY month""".stripMargin) { (s, dir) =>
+      val m = t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("rev"))
+      val w = Window.orderBy("month")
+      m.withColumn("delta", col("rev") - lag(col("rev"), 1).over(w))
+        .withColumn("pct",
+          round(lit(100.0) * (col("rev") - lag(col("rev"), 1).over(w))
+            / lag(col("rev"), 1).over(w), 4))
+        .orderBy("month")
+    },
+
+    // ───── q182: behavioral dominance (per-user modal event type) ────────
+    // Which event type DOMINATES each user's behavior, and how users
+    // distribute over dominant types — the segmentation cut behavioral
+    // cohorts start from. The per-user mode is a WindowGroupLimit argmax
+    // (count desc, type tiebreak); output is O(types).
+    QueryDef.df(
+      "q182_dominant_type",
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, event_type, n,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rk
+        |      FROM c)
+        |SELECT event_type AS dominant_type, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(n) AS BIGINT) AS n_dominant_events
+        |FROM r WHERE rk = 1 GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "events")
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      c.withColumn("rk", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("n").desc, col("event_type"))))
+        .filter(col("rk") === 1)
+        .groupBy(col("event_type").as("dominant_type"))
+        .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_dominant_events"))
+        .orderBy("dominant_type")
+    },
+
     // ───── q166: event-type transition matrix (Markov counts) ────────────
     // The behavioral profile feeding synthetic-trajectory generation and
     // anomaly baselines: per (state, next-state) transition counts over
