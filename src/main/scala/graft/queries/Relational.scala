@@ -2027,6 +2027,36 @@ object Relational {
         .orderBy("dominant_type")
     },
 
+    // ───── q183: conversion-lag distribution (time-to-convert) ───────────
+    // q131 counts who converts; this measures HOW LONG — hours from first
+    // view to first subsequent purchase, bucketed into an hour histogram.
+    // Lags are exact microsecond differences floored into hour buckets
+    // (no quantile-semantics divergence between engines); two min-aggs
+    // and one histogram agg, all keyed on user_id.
+    QueryDef.df(
+      "q183_conversion_lag",
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > v.t1 GROUP BY 1),
+        |g AS (SELECT v.user_id,
+        |        CAST(floor((epoch_us(p.t2) - epoch_us(v.t1)) / 3600000000.0) AS BIGINT) AS lag_hours
+        |      FROM v JOIN p USING (user_id))
+        |SELECT lag_hours, CAST(count(*) AS BIGINT) AS n_users
+        |FROM g GROUP BY lag_hours ORDER BY lag_hours""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(v, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      v.join(p, "user_id")
+        .select(floor((unix_micros(col("t2")) - unix_micros(col("t1")))
+          / lit(3600000000.0)).cast("long").as("lag_hours"))
+        .groupBy("lag_hours").agg(count(lit(1)).as("n_users"))
+        .orderBy("lag_hours")
+    },
+
     // ───── q166: event-type transition matrix (Markov counts) ────────────
     // The behavioral profile feeding synthetic-trajectory generation and
     // anomaly baselines: per (state, next-state) transition counts over
