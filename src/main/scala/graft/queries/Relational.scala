@@ -2057,6 +2057,24 @@ object Relational {
         .orderBy("lag_hours")
     },
 
+    // ───── q184: day-of-week seasonality (date-part parity) ──────────────
+    // Weekly seasonality of order volume and revenue — and a deliberate
+    // date-part parity exercise: DuckDB's isodow (1=Mon..7=Sun) maps to
+    // Spark's weekday()+1 (Spark's dayofweek() is 1=Sun and would be off
+    // by one in both directions). One hash-agg, 7 output rows.
+    QueryDef.df(
+      "q184_dow_seasonality",
+      """SELECT CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY iso_dow""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy((weekday(col("o_orderdate")) + 1).cast("int").as("iso_dow"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("revenue"))
+        .orderBy("iso_dow")
+    },
+
     // ───── q166: event-type transition matrix (Markov counts) ────────────
     // The behavioral profile feeding synthetic-trajectory generation and
     // anomaly baselines: per (state, next-state) transition counts over
