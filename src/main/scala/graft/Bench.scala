@@ -71,7 +71,15 @@ object Bench {
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val nFailed = results.count(_._2._1 < 0)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"runs":$runsPer,"failed":$nFailed,"sf":"$sfDir"}"""
-    println(line)
+    // STDOUT gets a SLIM variant: the driver's artifact keeps only a byte-
+    // bounded tail of stdout, and r10's full line (queries + spreads, ~11 KB
+    // at 183 queries) truncated mid-JSON, leaving 68 of 183 per-query times
+    // in the committed artifact. 3-decimal medians without the spread map
+    // keep the whole line under ~4 KB so every query's number survives the
+    // tail; the 4-decimal + spread line still lands in the file below.
+    val slimQs = results.map { case (k, (m, _)) => "\"" + k + "\":" + f"$m%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slimQs,"runs":$runsPer,"failed":$nFailed,"sf":"$sfDir"}""")
     // the driver's artifact truncates long stdout tails — also persist the
     // full per-query medians+spreads so every round's numbers stay auditable
     // (SPARK_GRAFT_BENCH_OUT overrides; committed per round as BENCH_LOCAL_r*)

@@ -1229,18 +1229,33 @@ object CatalogQueries {
         """CREATE TABLE lake.verify.ttr AS
           |SELECT o_orderkey AS k, o_orderpriority AS p
           |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin)
-      Thread.sleep(50)
+      // resolve the snapshot-1 commit time NUMERICALLY (epoch millis) —
+      // Timestamp.toString renders in the JVM default timezone and the
+      // re-parse happens under the session timezone, so the string round
+      // trip is wrong whenever the two differ; timestamp_millis() is
+      // timezone-free in both directions
+      val snap1Ms = s.sql(
+        "SELECT committed_at FROM lake.verify.`ttr$snapshots` WHERE snapshot_id = 1")
+        .collect()(0).getTimestamp(0).getTime
+      // commit times come from System.currentTimeMillis and AS-OF ties
+      // break toward the HIGHER snapshot — busy-wait past snapshot 1's
+      // millisecond so snapshot 2 is guaranteed strictly later (the old
+      // sleep(50) was merely probabilistic on a stalled CI box)
+      while (System.currentTimeMillis() <= snap1Ms) Thread.sleep(1)
       s.sql(
         """INSERT INTO lake.verify.ttr
           |SELECT o_orderkey, o_orderpriority
           |FROM orders WHERE o_orderkey % 7 = 1""".stripMargin)
-      val ts = s.sql(
-        "SELECT committed_at FROM lake.verify.`ttr$snapshots` WHERE snapshot_id = 1")
-        .collect()(0).getTimestamp(0)
+      val snap2Ms = s.sql(
+        "SELECT committed_at FROM lake.verify.`ttr$snapshots` WHERE snapshot_id = 2")
+        .collect()(0).getTimestamp(0).getTime
+      require(snap2Ms > snap1Ms,
+        s"snapshot commit millis not distinct: $snap1Ms vs $snap2Ms")
       val asOf = s.sql(
         s"""SELECT 'as_of_ts' AS leg, p, CAST(count(*) AS BIGINT) AS n,
            |  CAST(sum(k) AS BIGINT) AS ksum
-           |FROM lake.verify.ttr TIMESTAMP AS OF '$ts' GROUP BY p""".stripMargin)
+           |FROM lake.verify.ttr TIMESTAMP AS OF timestamp_millis(${snap1Ms}L)
+           |GROUP BY p""".stripMargin)
       s.sql("CALL lake.system.rollback(table => 'verify.ttr', snapshot_id => 1)")
       val after = s.sql(
         """SELECT 'after_rollback' AS leg, p, CAST(count(*) AS BIGINT) AS n,

@@ -3019,7 +3019,12 @@ object LlmPipeline {
       // (5.2 s vs 4.4 s median: the cache write stalls pipelining), and
       // a 100 TB deployment that wants one text pass persists sc too —
       // the profile is O(sources × grams), nowhere near corpus-sized
+      // length guard: DuckDB's generate_series(1, len-2) is EMPTY when
+      // len < 3, but Spark's sequence(1, len-2) would count DOWN (step -1)
+      // and inject spurious grams for 0–2-char docs — filter first so both
+      // engines agree on the empty range
       val sc = t(s, dir, "documents")
+        .where(length(lt) >= 3)
         .select(col("source"), explode(transform(
           sequence(lit(1), length(lt) - 2),
           i => substr(lt, i, lit(3)))).as("g3"))

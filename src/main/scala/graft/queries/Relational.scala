@@ -28,6 +28,15 @@ object Relational {
     */
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double")
 
+  /** Unique scratch dir for the format-roundtrip queries (q163/164/165/180).
+    * A FIXED relative path would depend on the process working directory
+    * and let concurrent runs of the same query clobber each other's files
+    * mid-read; a per-invocation dir under java.io.tmpdir cannot collide,
+    * and the returned DataFrame stays readable for the caller's lifetime.
+    */
+  private def scratchDir(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$name").toString
+
   /** q117's iteration plan, exposed for the plan audit: builds the
     * symmetric edge table (out-degree denormalized in, PERSISTED — the
     * caller must unpersist), runs five integer power iterations, and
@@ -1725,7 +1734,7 @@ object Relational {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderkey % 3 = 0
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
-      val tmp = "target/tmp/graft_q163_csv"
+      val tmp = scratchDir("q163_csv")
       t(s, dir, "orders")
         .filter(col("o_orderkey") % 3 === 0)
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
@@ -1753,7 +1762,7 @@ object Relational {
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM events WHERE event_id % 2 = 0
         |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
-      val tmp = "target/tmp/graft_q164_jsonl"
+      val tmp = scratchDir("q164_jsonl")
       t(s, dir, "events")
         .filter(col("event_id") % 2 === 0)
         .select(col("event_id"), col("event_type"),
@@ -1782,7 +1791,7 @@ object Relational {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderkey % 5 = 0
         |GROUP BY 1 ORDER BY month""".stripMargin) { (s, dir) =>
-      val tmp = "target/tmp/graft_q165_orc"
+      val tmp = scratchDir("q165_orc")
       t(s, dir, "orders")
         .filter(col("o_orderkey") % 5 === 0)
         .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
@@ -1952,7 +1961,7 @@ object Relational {
         |  CAST(sum(o_orderkey) AS BIGINT) AS k_sum
         |FROM orders WHERE o_orderkey % 11 = 0
         |ORDER BY n_good""".stripMargin) { (s, dir) =>
-      val tmp = "target/tmp/graft_q180_jsonl"
+      val tmp = scratchDir("q180_jsonl")
       val good = t(s, dir, "orders")
         .filter(col("o_orderkey") % 11 === 0)
         .select(to_json(struct(col("o_orderkey").as("k"),

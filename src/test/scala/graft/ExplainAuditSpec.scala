@@ -524,15 +524,21 @@ class ExplainAuditSpec extends AnyFunSuite {
   }
 
   test("q155 source caps: text never enters the stratum shuffle") {
-    val p = plan("q155_source_caps")
-    // the window's exchange must carry only (source, lang, doc_id, n_toks,
-    // hash) — the n_toks projection happens below the shuffle, so `text`
-    // cannot appear above the scan's immediate project
-    val exchangeIdx = p.indexOf("Exchange")
-    assert(exchangeIdx > 0, s"stratum window needs one shuffle:\n$p")
-    assert(!p.substring(0, exchangeIdx).contains("text#") ||
-      p.indexOf("Project") < exchangeIdx,
-      s"text must be projected away before the stratum shuffle:\n$p")
+    // read each Exchange node's OWN carried attributes out of the formatted
+    // explain (its `Input [...]` line IS the shuffled schema) — the
+    // string-prefix check this replaces was vacuously true whenever any
+    // Project preceded the first Exchange, i.e. always
+    val p = SparkEntry.queries("q155_source_caps")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val exchangeInputs = raw"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchangeInputs.nonEmpty, s"stratum window needs one shuffle:\n$p")
+    exchangeInputs.foreach { attrs =>
+      assert(!attrs.contains("text#"),
+        s"text must be projected away before the stratum shuffle; " +
+          s"exchange carries: $attrs\n$p")
+    }
   }
 
   test("q156 knn audit: probes broadcast; per-probe top-k is a map-side group limit") {
