@@ -2316,26 +2316,47 @@ object LlmPipeline {
         |       AND a.id < b.id)
         |SELECT dist, CAST(count(*) AS BIGINT) AS n
         |FROM p WHERE dist <= 2 GROUP BY dist ORDER BY dist""".stripMargin) { (s, dir) =>
-      import graft.functions.TextHashing.hammingDistance
-      val c = t(s, dir, "customer")
-        .select(col("c_custkey").as("id"), col("c_name").as("name"))
-        .select(col("id"), col("name"), length(col("name")).as("len"),
-          expr("substring(name, 1, length(name) - 9)").as("stem"),
-          expr("right(name, 9)").as("tail"))
-      val cand = (0 until 3).map { i =>
-        val cb = c.withColumn("bval", concat(
-          substring(col("tail"), i + 1, 1),
-          substring(col("tail"), i + 4, 1),
-          substring(col("tail"), i + 7, 1)))
-        cb.as("a").join(cb.as("b"),
-            col("a.stem") === col("b.stem") && col("a.len") === col("b.len") &&
-              col("a.bval") === col("b.bval") && col("a.id") < col("b.id") &&
-              hammingDistance(col("a.tail"), col("b.tail")) <= 2)
-          .select(col("a.id").as("ida"), col("b.id").as("idb"),
-            hammingDistance(col("a.tail"), col("b.tail")).as("dist"))
-      }.reduce(_ unionAll _).distinct()
-      cand.groupBy("dist").agg(count(lit(1)).as("n"))
-        .orderBy("dist")
+      hammingBandedCensus(s, t(s, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name")))
+    },
+
+    // ───── q185: band block-size profile (q128's saturation audit) ────────
+    // The guardrail r10's scale curve demanded: q128's lossless banding is
+    // Ω(pairs-sharing-a-band), and a LOW-ENTROPY key space (dense sequential
+    // ids — ≤10³ values per 3-char band) saturates the band alphabet, so
+    // blocks grow ~n/const and probe pairs ~n² (measured 27.4× for 10× data
+    // on the dense-id fixture). This query IS the audit a 100 TB deployment
+    // runs before the join: per-band block count, max block, and the exact
+    // candidate-pair bill Σ C(block,2). One skinny hash-agg — names never
+    // shuffle with their text, output is O(bands). The same profile runs
+    // INSIDE q128 as a guardrail (warn / opt-in cap / fail-fast; see
+    // hammingBandedCensus).
+    QueryDef.df(
+      "q185_hamming_block_profile",
+      """WITH c AS (
+        |  SELECT substr(c_name, 1, length(c_name) - 9) AS stem,
+        |         length(c_name) AS len, right(c_name, 9) AS tail
+        |  FROM customer),
+        |bands AS (
+        |  SELECT 0 AS band, stem, len,
+        |    substr(tail,1,1) || substr(tail,4,1) || substr(tail,7,1) AS bval FROM c
+        |  UNION ALL
+        |  SELECT 1, stem, len,
+        |    substr(tail,2,1) || substr(tail,5,1) || substr(tail,8,1) FROM c
+        |  UNION ALL
+        |  SELECT 2, stem, len,
+        |    substr(tail,3,1) || substr(tail,6,1) || substr(tail,9,1) FROM c),
+        |blocks AS (
+        |  SELECT band, stem, len, bval, count(*) AS n
+        |  FROM bands GROUP BY 1, 2, 3, 4)
+        |SELECT band, CAST(count(*) AS BIGINT) AS n_blocks,
+        |  CAST(max(n) AS BIGINT) AS max_block,
+        |  CAST(sum(n * (n - 1) // 2) AS BIGINT) AS pairs_upper
+        |FROM blocks GROUP BY band ORDER BY band""".stripMargin) { (s, dir) =>
+      hammingBandProfile(hammingKeyed(t(s, dir, "customer")
+          .select(col("c_custkey").as("id"), col("c_name").as("name"))), None)
+        .select(col("band"), col("n_blocks"), col("max_block"), col("pairs_upper"))
+        .orderBy("band")
     },
 
     // ───── q144: dedup cluster CANONICAL selection (keep-best) ────────────
@@ -3495,6 +3516,108 @@ object LlmPipeline {
       struct(x.as("p"), run.as("r"), greatest(acc.getField("b"), run).as("b"))
     },
     acc => acc.getField("b"))
+
+  /** q128's banded-key projection: stem/len plus the 9-char tail the three
+    * interleaved bands are cut from. One definition shared by the census
+    * join, the profile (q185), and the guardrail, so all three agree on the
+    * key construction by construction.
+    */
+  private[graft] def hammingKeyed(c0: DataFrame): DataFrame =
+    c0.select(col("id"), col("name"), length(col("name")).as("len"),
+      expr("substring(name, 1, length(name) - 9)").as("stem"),
+      expr("right(name, 9)").as("tail"))
+
+  private def bandVal(i: Int): Column = concat(
+    substring(col("tail"), i + 1, 1),
+    substring(col("tail"), i + 4, 1),
+    substring(col("tail"), i + 7, 1))
+
+  /** Per-band block-size profile of the banded-hamming key space: block
+    * count, max block, exact candidate-pair bill Σ C(n,2), and (when a cap
+    * is supplied) the upper bound of pairs the cap would drop,
+    * Σ C(n,2) − C(min(n,cap),2). One skinny hash-agg — O(bands) output.
+    */
+  private[graft] def hammingBandProfile(c: DataFrame, cap: Option[Int]): DataFrame = {
+    val blocks = (0 until 3).map(i =>
+        c.select(lit(i).as("band"), col("stem"), col("len"), bandVal(i).as("bval")))
+      .reduce(_ unionAll _)
+      .groupBy("band", "stem", "len", "bval").agg(count(lit(1)).as("n"))
+    // integral C(n,2): Column./ is DOUBLE division, and doubles lose
+    // exactness past 2^53 — shiftright keeps the pair bill a long
+    def pairs(n: Column): Column = shiftright(n * (n - 1), 1)
+    val kept = cap.map(k => least(col("n"), lit(k.toLong))).getOrElse(col("n"))
+    blocks.groupBy("band").agg(
+        count(lit(1)).as("n_blocks"),
+        max(col("n")).as("max_block"),
+        sum(pairs(col("n"))).as("pairs_upper"),
+        sum(pairs(col("n")) - pairs(kept)).as("dropped_pairs_upper"))
+      .orderBy("band")
+  }
+
+  /** q128's pair census with the r11 SATURATION GUARDRAIL. Default is the
+    * lossless pigeonhole banding (unchanged gate semantics), but the band
+    * profile now runs first and
+    *   - WARNS loudly when any band's max block exceeds
+    *     `graft.hamming.saturation-bound` (default 4096) — the measured
+    *     ~n² cliff of a saturated band alphabet (r10 scale curve: 27.4×
+    *     for 10× data on dense sequential ids);
+    *   - with `graft.hamming.fail-on-saturation=true`, FAILS FAST instead
+    *     (the posture for an unattended 100 TB run);
+    *   - with `graft.hamming.block-cap=K` (opt-in), keeps only the K
+    *     smallest-id rows per band block — q127's row_number pattern, a
+    *     map-side WindowGroupLimit — and prints the exact dropped-pair
+    *     upper bound, so the recall trade is explicit, never silent.
+    * The profile pass is one skinny hash-agg + 3-row collect; that is the
+    * guardrail's documented cost.
+    */
+  private[graft] def hammingBandedCensus(s: SparkSession, c0: DataFrame): DataFrame = {
+    import graft.functions.TextHashing.hammingDistance
+    // session conf first, env-var fallback (GRAFT_HAMMING_BLOCK_CAP etc.) so
+    // bench/submit wrappers can set the knobs without touching session code
+    def gconf(key: String, default: String): String = {
+      val v = s.conf.get(key, "")
+      if (v.nonEmpty) v
+      else sys.env.getOrElse(key.toUpperCase.replace('.', '_').replace('-', '_'), default)
+    }
+    val cap = Option(gconf("graft.hamming.block-cap", "")).filter(_.nonEmpty).map(_.toInt)
+    val bound = gconf("graft.hamming.saturation-bound", "4096").toLong
+    val failFast = gconf("graft.hamming.fail-on-saturation", "false").toBoolean
+    val c = hammingKeyed(c0)
+    val prof = hammingBandProfile(c, cap).collect()
+    prof.filter(_.getAs[Long]("max_block") > bound).foreach { r =>
+      val msg = s"[graft][q128] band-alphabet SATURATION: band ${r.getAs[Int]("band")} " +
+        s"max block ${r.getAs[Long]("max_block")} > bound $bound " +
+        s"(candidate-pair bill ${r.getAs[Long]("pairs_upper")}); probe pairs grow ~n² " +
+        "on this key space — set graft.hamming.block-cap to trade recall for " +
+        "boundedness, or raise graft.hamming.saturation-bound deliberately"
+      if (failFast && cap.isEmpty) throw new IllegalStateException(msg)
+      System.err.println(msg)
+    }
+    cap.foreach { k =>
+      val dropped = prof.map(_.getAs[Long]("dropped_pairs_upper")).sum
+      System.err.println(s"[graft][q128] block cap $k ACTIVE: dropping at most " +
+        s"$dropped candidate pairs (Σ C(n,2)−C(min(n,$k),2) over all band blocks) — " +
+        "recall trade is explicit")
+    }
+    val cand = (0 until 3).map { i =>
+      val cb0 = c.withColumn("bval", bandVal(i))
+      val cb = cap match {
+        case Some(k) => cb0
+          .withColumn("rn", row_number().over(Window
+            .partitionBy("stem", "len", "bval").orderBy("id")))
+          .where(col("rn") <= k).drop("rn")
+        case None => cb0
+      }
+      cb.as("a").join(cb.as("b"),
+          col("a.stem") === col("b.stem") && col("a.len") === col("b.len") &&
+            col("a.bval") === col("b.bval") && col("a.id") < col("b.id") &&
+            hammingDistance(col("a.tail"), col("b.tail")) <= 2)
+        .select(col("a.id").as("ida"), col("b.id").as("idb"),
+          hammingDistance(col("a.tail"), col("b.tail")).as("dist"))
+    }.reduce(_ unionAll _).distinct()
+    cand.groupBy("dist").agg(count(lit(1)).as("n"))
+      .orderBy("dist")
+  }
 
   /** q56/q144's SQL-expressible near-dup candidate edges: same lang,
     * |n_chars diff| <= 2 — banded so candidate generation is a pure
