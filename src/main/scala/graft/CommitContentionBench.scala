@@ -1,0 +1,283 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.catalog._
+
+/** Multi-writer commit-contention bench on the CAS protocol (VERDICT r10
+  * #1): the reference's core primitive — the guarded pointer CAS
+  * (mod.rs:296-347 → PointerStore.casUpdate) plus the bounded rebase-retry
+  * (CasCommit.retryLoop) — has racing-writer and torn-call CORRECTNESS
+  * proofs but until now no THROUGHPUT number. A 100 TB deployment puts a
+  * streaming epoch, a compactor, and ad-hoc writers on one pointer row;
+  * this measures what that row sustains and whether the jittered backoff
+  * starves anyone.
+  *
+  * Harness: N ∈ {2, 8, 16} writer THREADS (each with its OWN PointerStore
+  * connection — the N-processes-on-one-Postgres shape; the store
+  * synchronizes per instance, so sharing one would serialize in the JVM
+  * and measure nothing) × 50 commits each against ONE table row in a
+  * shared Derby database, through the production retryLoop with real
+  * metadata documents + manifests on disk. Mixed workload per writer,
+  * deterministic by (writer, i): 60% plain append, 20% equality-delete
+  * delta, 20% compaction. Compactions re-plan from the fresh base on
+  * CommitConflictException (requireReplacedLive / requireNoNewDeletes —
+  * eq-deletes conservatively conflict, so sustained delete traffic is
+  * exactly the compactor-starvation pressure worth measuring), bounded at
+  * 20 op-level attempts.
+  *
+  * Reports per N: commits/s, the CAS-retry histogram (attempts beyond the
+  * first CAS per commit), max attempts by any single commit (vs the
+  * retryLoop's 32 bound), commit-latency p50/p99/max, compaction re-plan
+  * counts, and per-writer wall-clock spread (fairness). Asserts protocol
+  * invariants at the end of each round: every commit landed exactly once
+  * (snapshot count), no snapshot-id duplicates, and live-file conservation
+  * (appends − net-compaction-merges).
+  *
+  * Prints one JSON line per N plus a `summary` line; mirrors the full
+  * output to COMMIT_CONTENTION.json (SPARK_GRAFT_CONTENTION_OUT overrides).
+  */
+object CommitContentionBench {
+
+  private val conf = new org.apache.hadoop.conf.Configuration()
+  private val schema = StructType(Seq(StructField("k", LongType)))
+
+  /** Counting store: one per writer thread (thread-confined counter), so
+    * the retry histogram is casUpdate calls per commit with zero sync.
+    */
+  private final class CountingStore(url: String) extends PointerStore(url, "c") {
+    var casCalls = 0L
+    private val debug = sys.env.contains("SPARK_GRAFT_CONTENTION_DEBUG")
+    override def casUpdate(ns: String, name: String, nl: String, pl: String): Int = {
+      casCalls += 1
+      val t0 = System.nanoTime()
+      val r = super.casUpdate(ns, name, nl, pl)
+      if (debug) System.err.println(
+        f"[cas] t=${System.nanoTime() / 1000000L}%d thr=${Thread.currentThread().getName}%s res=$r%d cas_ms=${(System.nanoTime() - t0) / 1e6}%.1f")
+      r
+    }
+    override def load(ns: String, name: String): Option[String] = {
+      val t0 = System.nanoTime()
+      val r = super.load(ns, name)
+      if (debug) System.err.println(
+        f"[load] t=${System.nanoTime() / 1000000L}%d thr=${Thread.currentThread().getName}%s load_ms=${(System.nanoTime() - t0) / 1e6}%.1f")
+      r
+    }
+  }
+
+  private def dataFile(dir: String, tag: String): DataFileMeta =
+    DataFileMeta(s"$dir/data/$tag.parquet", 100L, 1000L,
+      Map("k" -> "0"), Map("k" -> "999"), Map("k" -> 0L))
+
+  private def eqDeleteFile(dir: String, tag: String): DataFileMeta =
+    DataFileMeta(s"$dir/data/$tag-eqdel.parquet", 10L, 100L)
+
+  private final case class CommitRec(attempts: Long, nanos: Long, op: String)
+
+  def main(args: Array[String]): Unit = {
+    val writersList = if (args.nonEmpty) args(0).split(",").map(_.toInt).toSeq
+      else Seq(2, 8, 16)
+    val commitsPer = if (args.length > 1) args(1).toInt else 50
+    val out = new StringBuilder("[\n")
+    writersList.zipWithIndex.foreach { case (n, i) =>
+      val j = runRound(n, commitsPer)
+      println(j)
+      out.append("  ").append(j).append(if (i < writersList.size - 1) ",\n" else "\n")
+    }
+    out.append("]\n")
+    val path = sys.env.getOrElse("SPARK_GRAFT_CONTENTION_OUT", "COMMIT_CONTENTION.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      out.toString.getBytes("UTF-8"))
+  }
+
+  private def runRound(writers: Int, commitsPer: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"contention$writers").toString
+    val url = s"jdbc:derby:memory:contention$writers${System.nanoTime()};create=true"
+    val boot = new PointerStore(url, "c")
+    boot.initialize()
+    val base = TableMeta(1, dir, schema.json, Nil, Map.empty, 1L,
+      Seq(SnapshotMeta(1L, 1000L, "append", Nil)))
+    val loc0 = TableMeta.write(base, conf)
+    require(boot.register("ns", "t", loc0))
+
+    val records = new java.util.concurrent.ConcurrentLinkedQueue[CommitRec]()
+    val opConflicts = new AtomicLong(0) // compaction re-plans after a conflict
+    val compactSkipped = new AtomicInteger(0) // <2 live files at plan time
+    val compactStarved = new AtomicInteger(0) // gave up after 20 re-plans
+    val compactDone = new AtomicInteger(0)
+    val appends = new AtomicInteger(0)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(writers)
+    val writerWall = new Array[Long](writers)
+
+    (0 until writers).foreach { w =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          val store = new CountingStore(url)
+          start.await()
+          val t0 = System.nanoTime()
+          try {
+            (0 until commitsPer).foreach { i =>
+              val op = (w + i) % 5 match {
+                case 0 | 1 | 2 => "append"
+                case 3 => "eq-delta"
+                case _ => "compact"
+              }
+              val before = store.casCalls
+              val c0 = System.nanoTime()
+              commitOne(store, dir, w, i, op,
+                opConflicts, compactSkipped, compactStarved, compactDone, appends)
+              records.add(CommitRec(store.casCalls - before - 1,
+                System.nanoTime() - c0, op))
+            }
+          } catch {
+            case e: Throwable => failures.add(s"writer $w: ${e.getMessage}")
+          } finally {
+            writerWall(w) = System.nanoTime() - t0
+            store.close()
+          }
+        }
+      })
+    }
+    val wall0 = System.nanoTime()
+    start.countDown()
+    pool.shutdown()
+    pool.awaitTermination(20, TimeUnit.MINUTES)
+    val elapsed = (System.nanoTime() - wall0) / 1e9
+
+    // ── protocol invariants: the throughput number is only meaningful if
+    // every commit landed exactly once and the history is consistent ──────
+    val finalLoc = boot.load("ns", "t").get
+    val finalMeta = TableMeta.read(finalLoc, conf)
+    val total = writers * commitsPer
+    require(failures.isEmpty, s"writer failures: ${failures.toArray.mkString("; ")}")
+    require(finalMeta.snapshots.size == total + 1,
+      s"expected ${total + 1} snapshots (1 base + $total commits), " +
+        s"got ${finalMeta.snapshots.size} — a commit was lost or doubled")
+    require(finalMeta.snapshots.map(_.snapshotId).distinct.size == finalMeta.snapshots.size,
+      "duplicate snapshot ids in the final history")
+    val liveFiles = finalMeta.currentFiles.size
+    val expectedLive = appends.get() - compactDone.get() // each compact: 2 out, 1 in
+    require(liveFiles == expectedLive,
+      s"live-file conservation broken: $liveFiles live vs expected $expectedLive " +
+        s"(${appends.get()} appended, ${compactDone.get()} compactions of 2→1)")
+    boot.close()
+
+    val recs = records.toArray(Array.empty[CommitRec])
+    val hist = recs.groupBy(_.attempts).map { case (k, v) => k -> v.length }
+    val latMs = recs.map(_.nanos / 1e6).sorted
+    def pct(p: Double) = latMs(math.min(latMs.length - 1, (latMs.length * p).toInt))
+    val maxAttempts = recs.map(_.attempts).max
+    val wallSec = writerWall.map(_ / 1e9)
+    val histJson = hist.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    f"""{"writers":$writers,"commits":$total,"elapsed_sec":$elapsed%.2f,""" +
+      f""""commits_per_sec":${total / elapsed}%.1f,"retry_histogram":$histJson,""" +
+      f""""max_cas_attempts":$maxAttempts,"retry_bound":${CasRetry.maxAttempts},""" +
+      f""""latency_ms":{"p50":${pct(0.5)}%.1f,"p99":${pct(0.99)}%.1f,"max":${latMs.last}%.1f},""" +
+      f""""compact_replans":${opConflicts.get()},"compact_done":${compactDone.get()},""" +
+      f""""compact_skipped":${compactSkipped.get()},"compact_starved":${compactStarved.get()},""" +
+      f""""writer_wall_sec":{"min":${wallSec.min}%.2f,"max":${wallSec.max}%.2f}}"""
+  }
+
+  /** One logical commit through the production loop. Compactions re-plan on
+    * conflict (the real compactor's behavior), bounded at 20 attempts.
+    */
+  private def commitOne(store: PointerStore, dir: String, w: Int, i: Int,
+      op: String, opConflicts: AtomicLong, compactSkipped: AtomicInteger,
+      compactStarved: AtomicInteger, compactDone: AtomicInteger,
+      appends: AtomicInteger): Unit = {
+    var opAttempts = 0
+    // op-level lease escalation for rewrites: after 5 conflicted re-plans,
+    // claim the commit lease BEFORE planning — every other writer yields
+    // pre-commit, so no delete can land inside the plan->commit window and
+    // the validations pass deterministically (a bounded, TTL'd serialize-
+    // then-commit, the Hive-lock shape, engaged only under starvation)
+    var opLease: Option[String] = None
+    try {
+    while (true) {
+      opAttempts += 1
+      if (op == "compact" && opAttempts > 5 && opLease.isEmpty) {
+        val id = java.util.UUID.randomUUID().toString
+        val deadline = System.currentTimeMillis() + 10000L
+        while (opLease.isEmpty && System.currentTimeMillis() < deadline) {
+          if (store.tryAcquireLease("ns", "t", id, System.currentTimeMillis(), 10000L))
+            opLease = Some(id)
+          else Thread.sleep(20)
+        }
+      }
+      val loc = store.load("ns", "t").get
+      val base = TableMeta.read(loc, conf)
+      try {
+        op match {
+          case "append" =>
+            CasCommit.retryLoop(store, "ns", "t", loc, base, "append", "ns.t", conf)(
+              _ => ())(
+              b => TableMeta.withAppend(b, "append", Seq(dataFile(dir, s"w$w-c$i")), conf))(
+              ())
+            appends.incrementAndGet()
+          case "eq-delta" =>
+            CasCommit.retryLoop(store, "ns", "t", loc, base, "delete-delta", "ns.t", conf)(
+              _ => ())(
+              b => TableMeta.withDelta(b, "delete-delta", Nil,
+                Seq(eqDeleteFile(dir, s"w$w-c$i")), conf, "eq-deletes"))(
+              ())
+          case "compact" =>
+            val victims = base.currentFiles.sortBy(_.path).take(2)
+            if (victims.size < 2) {
+              // nothing to compact yet: fall back to an append so the
+              // commit count stays exact
+              CasCommit.retryLoop(store, "ns", "t", loc, base, "append", "ns.t", conf)(
+                _ => ())(
+                b => TableMeta.withAppend(b, "append",
+                  Seq(dataFile(dir, s"w$w-c$i-fb")), conf))(
+                ())
+              appends.incrementAndGet()
+              compactSkipped.incrementAndGet()
+            } else {
+              val replaced = victims.map(_.path).toSet
+              val scanDeletes = (base.currentDeleteFiles ++ base.currentEqDeleteFiles)
+                .map(_.path).toSet
+              CasCommit.retryLoop(store, "ns", "t", loc, base, "compact", "ns.t",
+                conf, heldLease = opLease)(
+                b => {
+                  CasCommit.requireReplacedLive(b, replaced, "compact", "ns.t")
+                  CasCommit.requireNoNewDeletes(scanDeletes, b, replaced, "compact", "ns.t")
+                })(
+                b => TableMeta.withRewrite(b, "compact", replaced,
+                  Seq(dataFile(dir, s"w$w-c$i-merged")), conf))(
+                ())
+              compactDone.incrementAndGet() // 2 victims out, 1 merged in: net −1
+            }
+        }
+        return
+      } catch {
+        case _: CommitConflictException if op == "compact" =>
+          if (opAttempts < 20) opConflicts.incrementAndGet() // re-plan, fresh base
+          else {
+            // STARVED: under sustained eq-delete traffic every re-plan finds
+            // a fresh delete that conservatively conflicts with the rewrite
+            // (eq-deletes carry no file_path bounds). A real compactor backs
+            // off to a quieter window; here the commit falls back to an
+            // append so the round's commit-count invariants stay exact, and
+            // the starvation is REPORTED — it is the finding, not a bug.
+            compactStarved.incrementAndGet()
+            val loc = store.load("ns", "t").get
+            val base = TableMeta.read(loc, conf)
+            CasCommit.retryLoop(store, "ns", "t", loc, base, "append", "ns.t", conf)(
+              _ => ())(
+              b => TableMeta.withAppend(b, "append",
+                Seq(dataFile(dir, s"w$w-c$i-starved")), conf))(
+              ())
+            appends.incrementAndGet()
+            return
+          }
+      }
+    }
+    } finally opLease.foreach(id => store.releaseLease("ns", "t", id))
+  }
+}

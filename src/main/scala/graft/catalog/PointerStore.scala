@@ -45,6 +45,7 @@ class PointerStore(jdbcUrl: String, catalogName: String) extends AutoCloseable {
   def initialize(): Unit = synchronized {
     createIfMissing(PointerStore.Sql.CreateIcebergTables)
     createIfMissing(PointerStore.Sql.CreateNamespacesTable)
+    createIfMissing(PointerStore.Sql.CreateLeasesTable)
   }
 
   private def createIfMissing(ddl: String): Unit = {
@@ -199,6 +200,64 @@ class PointerStore(jdbcUrl: String, catalogName: String) extends AutoCloseable {
   def namespaceExists(namespace: String): Boolean =
     listNamespaces().contains(namespace)
 
+  // ── starvation-escape commit lease (r11; advisory, see CasCommit) ──────
+  // The optimistic CAS livelocks once a writer's rebase cycle (reload +
+  // metadata rewrite + CAS) exceeds the mean gap between competitors'
+  // commits — measured by CommitContentionBench: at 8 sustained writers,
+  // commits exhausted all 32 retry attempts. The escape is a TTL'd lease
+  // row a starving writer claims; OTHER LOSING writers yield while it is
+  // held (winners on their first attempt never look, so the uncontended
+  // fast path pays nothing). The lease is ADVISORY — it is never required
+  // for the CAS, so every correctness property of the pure-CAS protocol is
+  // untouched, and all three methods degrade to a no-op on SQLException
+  // (e.g. a store bootstrapped before the lease table existed).
+
+  /** Claim the table's commit lease: fresh INSERT, else steal one whose
+    * `acquired_at_ms` is older than the TTL (crashed holder). True = ours.
+    */
+  def tryAcquireLease(namespace: String, name: String, holder: String,
+      nowMs: Long, ttlMs: Long): Boolean = synchronized {
+    val ins = connection.prepareStatement(PointerStore.Sql.LeaseInsert)
+    try {
+      ins.setString(1, catalogName); ins.setString(2, namespace); ins.setString(3, name)
+      ins.setString(4, holder); ins.setLong(5, nowMs)
+      if (ins.executeUpdate() == 1) return true
+    } catch {
+      case _: SQLIntegrityConstraintViolationException => ()
+      case e: SQLException if e.getSQLState == "23505" => ()
+    } finally ins.close()
+    val upd = connection.prepareStatement(PointerStore.Sql.LeaseSteal)
+    try {
+      upd.setString(1, holder); upd.setLong(2, nowMs)
+      upd.setString(3, catalogName); upd.setString(4, namespace); upd.setString(5, name)
+      upd.setLong(6, nowMs - ttlMs)
+      upd.executeUpdate() == 1
+    } finally upd.close()
+  }
+
+  /** The current UNEXPIRED lease holder, if any. */
+  def peekLease(namespace: String, name: String,
+      nowMs: Long, ttlMs: Long): Option[String] = synchronized {
+    val ps = connection.prepareStatement(PointerStore.Sql.LeasePeek)
+    try {
+      ps.setString(1, catalogName); ps.setString(2, namespace); ps.setString(3, name)
+      val rs = ps.executeQuery()
+      if (rs.next() && rs.getLong(2) >= nowMs - ttlMs) Some(rs.getString(1)) else None
+    } finally ps.close()
+  }
+
+  /** Release — guarded by holder id, so a stolen lease is never deleted by
+    * the crashed original when it comes back.
+    */
+  def releaseLease(namespace: String, name: String, holder: String): Unit = synchronized {
+    val ps = connection.prepareStatement(PointerStore.Sql.LeaseRelease)
+    try {
+      ps.setString(1, catalogName); ps.setString(2, namespace); ps.setString(3, name)
+      ps.setString(4, holder)
+      ps.executeUpdate()
+    } finally ps.close()
+  }
+
   override def close(): Unit = synchronized { if (conn != null) conn.close() }
 }
 
@@ -261,6 +320,32 @@ object PointerStore {
       """SELECT namespace FROM graft_namespaces WHERE catalog_name = ?
         |UNION
         |SELECT table_namespace FROM iceberg_tables WHERE catalog_name = ?""".stripMargin
+    // advisory starvation-escape lease (r11) — BIGINT is deliberate: ANSI,
+    // identical semantics in Derby and Postgres, needed for the numeric
+    // TTL-expiry guard in lease_steal
+    val CreateLeasesTable: String =
+      """CREATE TABLE graft_commit_leases (
+        |  catalog_name VARCHAR(255) NOT NULL,
+        |  table_namespace VARCHAR(255) NOT NULL,
+        |  table_name VARCHAR(255) NOT NULL,
+        |  holder VARCHAR(255) NOT NULL,
+        |  acquired_at_ms BIGINT NOT NULL,
+        |  PRIMARY KEY (catalog_name, table_namespace, table_name)
+        |)""".stripMargin
+    val LeaseInsert: String =
+      """INSERT INTO graft_commit_leases
+        |  (catalog_name, table_namespace, table_name, holder, acquired_at_ms)
+        |  VALUES (?, ?, ?, ?, ?)""".stripMargin
+    val LeaseSteal: String =
+      """UPDATE graft_commit_leases SET holder = ?, acquired_at_ms = ?
+        |  WHERE catalog_name = ? AND table_namespace = ? AND table_name = ?
+        |    AND acquired_at_ms < ?""".stripMargin
+    val LeasePeek: String =
+      """SELECT holder, acquired_at_ms FROM graft_commit_leases
+        |  WHERE catalog_name = ? AND table_namespace = ? AND table_name = ?""".stripMargin
+    val LeaseRelease: String =
+      """DELETE FROM graft_commit_leases
+        |  WHERE catalog_name = ? AND table_namespace = ? AND table_name = ? AND holder = ?""".stripMargin
 
     /** Name → statement, the golden file's iteration order. */
     val All: Seq[(String, String)] = Seq(
@@ -275,6 +360,11 @@ object PointerStore {
       "rename" -> Rename,
       "create_namespace" -> CreateNamespace,
       "drop_namespace" -> DropNamespace,
-      "list_namespaces" -> ListNamespaces)
+      "list_namespaces" -> ListNamespaces,
+      "create_leases_table" -> CreateLeasesTable,
+      "lease_insert" -> LeaseInsert,
+      "lease_steal" -> LeaseSteal,
+      "lease_peek" -> LeasePeek,
+      "lease_release" -> LeaseRelease)
   }
 }

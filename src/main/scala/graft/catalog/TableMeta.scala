@@ -928,11 +928,22 @@ object ManifestIO {
   */
 object CasRetry {
   val maxAttempts = 32
+  /** Lost this many CASes in one commit → claim the starvation lease
+    * (sysprop-tunable like `graft.manifest-cache.max-entries`).
+    */
+  def starveLeaseAfter: Int =
+    Integer.getInteger("graft.commit.starve-lease-after", 8)
+  /** A lease older than this is a crashed holder — stealable. */
+  def leaseTtlMs: Long = java.lang.Long.getLong("graft.commit.lease-ttl-ms", 10000L)
   private val rnd = new java.util.Random()
   def backoff(attempt: Int): Unit = {
     val window = math.min(250L, 4L << math.min(attempt, 6)) // 8,16,...,256 -> cap 250ms
     Thread.sleep(1L + rnd.nextInt(window.toInt))
   }
+  /** A losing writer saw someone else's starvation lease: wait out roughly
+    * one of the holder's rebase cycles before competing again.
+    */
+  def yieldToLease(): Unit = Thread.sleep(40L + rnd.nextInt(40))
 }
 
 /** Two concurrent commits rewrote the same data file (DELETE ∥ compact,
@@ -1021,32 +1032,82 @@ object CasCommit {
       startMeta: TableMeta,
       operation: String,
       ident: String,
-      hadoopConf: org.apache.hadoop.conf.Configuration)(
+      hadoopConf: org.apache.hadoop.conf.Configuration,
+      // a commit lease the CALLER already holds (an op-starving compactor
+      // claims one before re-planning so no conflicting delete can land in
+      // its plan→commit window) — the loop then neither yields to it nor
+      // releases it; ownership stays with the caller
+      heldLease: Option[String] = None)(
       validate: TableMeta => Unit)(
       transform: TableMeta => TableMeta)(
       onSuccess: => Unit): Unit = {
     var prevLoc = startLoc
     var base = startMeta
     var attempts = 0
-    while (attempts < CasRetry.maxAttempts) {
-      validate(base)
-      val next = transform(base)
-      val newLoc = TableMeta.write(next, hadoopConf)
-      // the snapshot(s) THIS attempt added — unique manifest-list UUIDs, so
-      // a torn CAS can be resolved by looking for them in the live history
-      val newHead = next.snapshots.drop(base.snapshots.size).lastOption
-      if (guardedCas(store, namespace, tableName, newLoc, prevLoc, newHead,
-          hadoopConf, operation, ident) == 1) {
-        onSuccess
-        return
+    // STARVATION ESCAPE (r11, found by CommitContentionBench): a challenger
+    // that rebases after losing runs in LOCKSTEP with the incumbent — its
+    // reload+rewrite cycle is the same length as the incumbent's commit
+    // cycle, so its CAS lands a few ms after every one of the incumbent's
+    // commits and the 1-8 ms jitter never breaks phase (measured: 33
+    // consecutive losses at TWO writers; full 32-attempt exhaustion at 8).
+    // A writer that has lost `starveLeaseAfter` CASes claims an ADVISORY
+    // TTL'd lease, and EVERY writer peeks the lease before each commit
+    // attempt (one indexed-PK SELECT on a path that already does several
+    // round trips plus file IO), yielding while a foreign lease is live —
+    // that includes current winners, which is what actually breaks the
+    // lockstep. The lease is never REQUIRED for the CAS — every
+    // correctness property of the pure optimistic protocol is unchanged,
+    // and all lease traffic degrades to plain backoff on SQLException.
+    var lease: Option[String] = heldLease
+    val leaseIsCallers = heldLease.isDefined
+    def leaseSafe[T](default: T)(f: => T): T =
+      try f catch { case _: java.sql.SQLException => default }
+    try {
+      while (attempts < CasRetry.maxAttempts) {
+        if (lease.isEmpty) {
+          var waitedMs = 0L
+          while (waitedMs < CasRetry.leaseTtlMs && leaseSafe(Option.empty[String])(
+              store.peekLease(namespace, tableName, System.currentTimeMillis(),
+                CasRetry.leaseTtlMs)).isDefined) {
+            CasRetry.yieldToLease() // a starving writer goes first
+            waitedMs += 60
+          }
+          if (waitedMs > 0) { // the holder landed: rebase on its result
+            prevLoc = store.load(namespace, tableName).getOrElse(
+              throw new IllegalStateException(s"table $ident dropped during $operation"))
+            base = TableMeta.read(prevLoc, hadoopConf)
+          }
+        }
+        validate(base)
+        val next = transform(base)
+        val newLoc = TableMeta.write(next, hadoopConf)
+        // the snapshot(s) THIS attempt added — unique manifest-list UUIDs, so
+        // a torn CAS can be resolved by looking for them in the live history
+        val newHead = next.snapshots.drop(base.snapshots.size).lastOption
+        if (guardedCas(store, namespace, tableName, newLoc, prevLoc, newHead,
+            hadoopConf, operation, ident) == 1) {
+          onSuccess
+          return
+        }
+        attempts += 1
+        if (attempts >= CasRetry.starveLeaseAfter && lease.isEmpty) {
+          val id = java.util.UUID.randomUUID().toString
+          if (leaseSafe(false)(store.tryAcquireLease(namespace, tableName, id,
+              System.currentTimeMillis(), CasRetry.leaseTtlMs)))
+            lease = Some(id)
+        }
+        if (lease.isDefined) CasRetry.backoff(1) // the row is ours to win now
+        else if (leaseSafe(Option.empty[String])(store.peekLease(namespace,
+            tableName, System.currentTimeMillis(), CasRetry.leaseTtlMs)).isDefined)
+          CasRetry.yieldToLease() // someone else is starving: let them land
+        else CasRetry.backoff(attempts)
+        prevLoc = store.load(namespace, tableName).getOrElse(
+          throw new IllegalStateException(s"table $ident dropped during $operation"))
+        base = TableMeta.read(prevLoc, hadoopConf)
       }
-      attempts += 1
-      CasRetry.backoff(attempts)
-      prevLoc = store.load(namespace, tableName).getOrElse(
-        throw new IllegalStateException(s"table $ident dropped during $operation"))
-      base = TableMeta.read(prevLoc, hadoopConf)
-    }
-    throw new IllegalStateException(s"$operation on $ident: CAS lost $attempts times")
+      throw new IllegalStateException(s"$operation on $ident: CAS lost $attempts times")
+    } finally if (!leaseIsCallers) lease.foreach(id =>
+      leaseSafe(())(store.releaseLease(namespace, tableName, id)))
   }
 
   /** CAS with COMMIT-STATE-AMBIGUITY resolution. A clean return from

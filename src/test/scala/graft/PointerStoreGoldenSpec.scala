@@ -63,14 +63,17 @@ class PointerStoreGoldenSpec extends AnyFunSuite {
     for ((name, sql) <- PointerStore.Sql.All) {
       val tables = "(?i)(?:FROM|INTO|UPDATE|TABLE)\\s+([a-z_]+)".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
-      assert(tables.subsetOf(Set("iceberg_tables", "graft_namespaces")),
+      assert(tables.subsetOf(Set("iceberg_tables", "graft_namespaces",
+        "graft_commit_leases")),
         s"$name touches unexpected tables $tables:\n$sql")
     }
-    // types: VARCHAR only (both engines agree on semantics and padding)
+    // types: VARCHAR plus BIGINT (r11, the lease expiry stamp) — both are
+    // ANSI with identical Derby/Postgres semantics
     for ((name, sql) <- PointerStore.Sql.All if sql.startsWith("CREATE TABLE")) {
       val colTypes = "(?m)^\\s{2}[a-z_]+\\s+([A-Z]+)".r
         .findAllMatchIn(sql).map(_.group(1)).toSet
-      assert(colTypes == Set("VARCHAR"), s"$name uses non-VARCHAR types $colTypes")
+      assert(colTypes.subsetOf(Set("VARCHAR", "BIGINT")),
+        s"$name uses types outside the VARCHAR/BIGINT contract: $colTypes")
     }
   }
 
@@ -84,7 +87,10 @@ class PointerStoreGoldenSpec extends AnyFunSuite {
       "cas_update" -> 6, // mod.rs:296-347 — the CAS guard re-binds expected
       "drop" -> 3, // mod.rs:138-175
       "rename" -> 5,
-      "create_namespace" -> 2, "drop_namespace" -> 2, "list_namespaces" -> 2)
+      "create_namespace" -> 2, "drop_namespace" -> 2, "list_namespaces" -> 2,
+      // r11 starvation-escape lease (advisory; see CasCommit.retryLoop)
+      "create_leases_table" -> 0, "lease_insert" -> 5, "lease_steal" -> 6,
+      "lease_peek" -> 3, "lease_release" -> 4)
     val actual = PointerStore.Sql.All.map { case (n, s) => n -> s.count(_ == '?') }.toMap
     assert(actual == expected, s"placeholder drift: $actual")
     assert(PointerStore.Sql.All.map(_._1).toSet == expected.keySet)
