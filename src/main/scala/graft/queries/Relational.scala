@@ -28,6 +28,28 @@ object Relational {
     */
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double")
 
+  /** q161's canonical DOUBLE rendering: the exact IEEE-754 bit pattern as a
+    * C-style hex-float, normalized so Java's `%a` (Spark) and DuckDB's
+    * `printf('%a')` agree byte for byte. Java prints `p0` where C prints
+    * `p+0` (the oracle strips the '+'), and Java keeps at least one
+    * mantissa digit (`0x1.0p1` vs C's `0x1p1`) — the lone `.0` is removed
+    * here; a minimal mantissa can never otherwise end in '0', so the
+    * rewrite is unambiguous. NaN payloads all canonicalize to 'nan';
+    * −0.0 stays distinct from 0.0 (a real migration difference). NULL
+    * propagates through every branch, nulling the row hash in both
+    * engines identically.
+    */
+  private[graft] def canonicalDoubleHex(c: Column): Column =
+    // the explicit NULL arm matters: format_string renders a SQL NULL as
+    // the STRING "null" (Java Formatter semantics) while DuckDB's printf
+    // propagates NULL — without the guard a null double would hash on one
+    // engine and null the row hash on the other (caught by ChecksumSpec)
+    when(c.isNull, lit(null).cast("string"))
+      .when(isnan(c), lit("nan"))
+      .when(c === Double.PositiveInfinity, lit("inf"))
+      .when(c === Double.NegativeInfinity, lit("-inf"))
+      .otherwise(regexp_replace(format_string("%a", c), "\\.0p", "p"))
+
   /** Unique scratch dir for the format-roundtrip queries (q163/164/165/180).
     * A FIXED relative path would depend on the process working directory
     * and let concurrent runs of the same query clobber each other's files
@@ -1691,18 +1713,31 @@ object Relational {
     // THE tool for this library's own premise — a user switching engines
     // needs to prove "same table, same rows" without sorting or moving
     // either copy: an ORDER-INDEPENDENT group-wise fingerprint. Row hash =
-    // 60 bits of md5 over a canonical int/string rendering (doubles and
-    // timestamps are deliberately excluded from the hash input — their
-    // string renderings are engine-specific; integers and strings render
-    // identically everywhere). XOR is the combiner (commutative,
-    // associative, self-inverse), so the checksum is partition-order-free
-    // and computes as one map pass + one hash-agg — no shuffle carries
-    // more than 5 group rows per map task, no sort at any scale.
+    // 60 bits of md5 over a canonical rendering of EVERY column type (r11;
+    // r10 excluded doubles/timestamps as engine-specific):
+    //   - ints/strings render identically everywhere;
+    //   - DOUBLE → the IEEE-754 bit pattern via C-style hex-float: Java's
+    //     %a and DuckDB's printf('%a') print the same minimal mantissa,
+    //     differing only in 'p+'→'p', a kept '.0', and nan/inf tokens —
+    //     all normalized below. −0.0 stays distinct from 0.0 (a real
+    //     migration difference); every NaN payload canonicalizes to 'nan'.
+    //     Pinned against an independent bits-level model in ChecksumSpec.
+    //   - TIMESTAMP → epoch microseconds (unix_micros ≡ epoch_us).
+    // XOR is the combiner (commutative, associative, self-inverse), so the
+    // checksum is partition-order-free and computes as one map pass + one
+    // hash-agg — no shuffle carries more than 5 group rows per map task,
+    // no sort at any scale.
     QueryDef.df(
       "q161_table_checksum",
       """SELECT o_orderpriority,
         |  CAST(count(*) AS BIGINT) AS n,
-        |  CAST(bit_xor(CAST(concat('0x', substr(md5(o_orderkey || '|' || o_custkey || '|' || o_orderstatus), 1, 15)) AS BIGINT)) AS BIGINT) AS checksum
+        |  CAST(bit_xor(CAST(concat('0x', substr(md5(
+        |    o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' ||
+        |    (CASE WHEN isnan(o_totalprice) THEN 'nan'
+        |          WHEN o_totalprice = 'infinity'::DOUBLE THEN 'inf'
+        |          WHEN o_totalprice = '-infinity'::DOUBLE THEN '-inf'
+        |          ELSE replace(printf('%a', o_totalprice), 'p+', 'p') END) || '|' ||
+        |    epoch_us(o_orderdate)), 1, 15)) AS BIGINT)) AS BIGINT) AS checksum
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
       // concat (not concat_ws): a NULL column must NULL the row hash —
       // matching the oracle's `||`, which propagates NULL — so both
@@ -1710,7 +1745,12 @@ object Relational {
       val rowHash = conv(substring(md5(concat(
           col("o_orderkey").cast("string"), lit("|"),
           col("o_custkey").cast("string"), lit("|"),
-          col("o_orderstatus"))), 1, 15), 16, 10).cast("long")
+          col("o_orderstatus"), lit("|"),
+          canonicalDoubleHex(col("o_totalprice")), lit("|"),
+          // o_orderdate reads as TIMESTAMP_NTZ; the UTC session makes the
+          // cast a pure reinterpretation, micros ≡ DuckDB's epoch_us
+          unix_micros(col("o_orderdate").cast("timestamp")).cast("string"))), 1, 15), 16, 10)
+        .cast("long")
       t(s, dir, "orders")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), bit_xor(rowHash).as("checksum"))
