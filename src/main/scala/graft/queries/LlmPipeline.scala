@@ -890,7 +890,19 @@ object LlmPipeline {
     // decode correctly yields NULL (n_decodable = 0) — the decoder being
     // REAL is pinned in MultimodalSpec against generated PNG/BMP/JPEG
     // fixtures with exact gray-grid values.
-    QueryDef.unoracled("q54_image_decode") { (s, dir) =>
+    // ORACLED in r11 (VERDICT #3): only the decode itself has no DuckDB
+    // analog; the frame COUNT is a pure function of byte length
+    // (sample_frames yields min(n, max(1, len/frameBytes)) slices, none
+    // for the empty payload), so the oracle replays the whole aggregate
+    // and additionally asserts the real JDK decoder rejects every text
+    // frame — n_decodable = 0 is a claim the gate now checks, not a stub.
+    QueryDef.df(
+      "q54_image_decode",
+      """SELECT source,
+        |  CAST(sum(least(4, greatest(1, octet_length(encode(text)) // 4096))) AS BIGINT) AS n_frames,
+        |  CAST(0 AS BIGINT) AS n_decodable
+        |FROM documents WHERE octet_length(encode(text)) > 0
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
       val payload = encode(col("text"), "UTF-8")
       t(s, dir, "documents")
         .select(col("source"),
@@ -909,7 +921,23 @@ object LlmPipeline {
     // path end-to-end — per-source decodability counts plus exact duration
     // and near-exact sine RMS for the decodable group. decode_audio is the
     // JDK sampled-audio codec (WAV/AIFF/AU), pinned in MultimodalSpec.
-    QueryDef.unoracled("q67_audio_decode") { (s, dir) =>
+    // ORACLED in r11 (VERDICT #3, the q33 fixed-literal precedent): the
+    // three planted WAVs are deterministic JDK-encoded fixtures, so their
+    // decoded stats are CONSTANTS the oracle replays as literals — 1000 +
+    // 250 + 1000 ms, max peak 0.8 after the 2-dp round — while the Spark
+    // side computes them through the REAL decode at query time. If the
+    // decoder drifts, the hash gate fails; the corpus legs (every text
+    // payload undecodable) are plain counts over documents.
+    QueryDef.df(
+      "q67_audio_decode",
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_payloads,
+        |  CAST(0 AS BIGINT) AS n_decodable,
+        |  CAST(0.0 AS DOUBLE) AS total_ms, CAST(0.0 AS DOUBLE) AS max_peak
+        |FROM documents GROUP BY source
+        |UNION ALL
+        |SELECT 'audio_fixture', CAST(3 AS BIGINT), CAST(3 AS BIGINT),
+        |  CAST(2250.0 AS DOUBLE), CAST(0.8 AS DOUBLE)
+        |ORDER BY source""".stripMargin) { (s, dir) =>
       import graft.functions.Multimodal
       val planted = s.createDataFrame(Seq(
         ("audio_fixture", Multimodal.syntheticWav(8000f, 1, 0.5, 440.0, 8000)),
@@ -1647,13 +1675,35 @@ object LlmPipeline {
     // text payloads ride along and die at the NULL filter. Rows-only at
     // the driver (DuckDB cannot decode PNG); the exact pair set is pinned
     // in PerceptualHashSpec.
-    QueryDef.unoracled("q92_image_phash_neardup") { (s, dir) =>
+    // ORACLED in r11 (VERDICT #3): DuckDB still cannot decode PNG, but the
+    // fixtures are deterministic, so their REAL phash64 values are frozen
+    // literals ([[phashFixtureLiterals]]) and the oracle replays the ENTIRE
+    // downstream pipeline — 8×8-bit banding, bucket join, pairwise XOR
+    // popcount verify, distinct, census ordering — over those BIGINTs. The
+    // Spark side recomputes the hashes through the real JDK decode at query
+    // time: decoder drift, banding drift, or verify drift each fail the
+    // gate. (`(ph >> (band*8)) & 255` matches shiftrightunsigned because
+    // the mask discards the sign extension.)
+    QueryDef.df(
+      "q92_image_phash_neardup",
+      s"""WITH p(img_id, ph) AS (
+        |  SELECT * FROM (VALUES
+        |${phashFixtureLiterals.map { case (id, ph) =>
+            s"    (CAST($id AS BIGINT), CAST($ph AS BIGINT))"
+          }.mkString(",\n")}) AS v(img_id, ph)),
+        |b AS (
+        |  SELECT img_id, ph, band, (ph >> (CAST(band AS INTEGER) * 8)) & 255 AS bv
+        |  FROM p, LATERAL unnest(generate_series(0, 7)) AS t(band)),
+        |cand AS (
+        |  SELECT DISTINCT a.img_id AS id_a, b2.img_id AS id_b,
+        |    CAST(bit_count(xor(a.ph, b2.ph)) AS INTEGER) AS hamming
+        |  FROM b a JOIN b b2
+        |    ON a.band = b2.band AND a.bv = b2.bv AND a.img_id < b2.img_id
+        |  WHERE bit_count(xor(a.ph, b2.ph)) <= 7)
+        |SELECT id_a, id_b, hamming FROM cand ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       import graft.functions.Multimodal
       val planted = s.createDataFrame(
-        (0 until 12).map(i => (i.toLong, Multimodal.syntheticPng(i))) ++
-        (0 until 6).map(i => (100L + i,
-          Multimodal.syntheticPng(i, brightness = 6, noisePixels = 12))) ++
-        Seq((106L, Multimodal.syntheticPng(6))))
+        phashFixtureIds.map(id => (id, phashFixturePayload(id))))
         .toDF("img_id", "payload")
       val corpus = t(s, dir, "documents")
         .select((col("doc_id") + 1000000L).as("img_id"),
@@ -3618,6 +3668,44 @@ object LlmPipeline {
     cand.groupBy("dist").agg(count(lit(1)).as("n"))
       .orderBy("dist")
   }
+
+  /** q92's planted phash corpus: 12 base sinusoid PNGs, brightness+noise
+    * re-encodes of the first 6 (ids 100–105), and an exact re-render of #6
+    * (id 106). ONE authority for the id → payload mapping, used by the
+    * query and by the PerceptualHashSpec pin of [[phashFixtureLiterals]].
+    */
+  // defs, not vals: `val defs` above initializes FIRST (the q157 r10
+  // object-init-order lesson) — a val here would be null during its build
+  private[graft] def phashFixtureIds: Seq[Long] =
+    (0L until 12L) ++ (100L until 106L) :+ 106L
+
+  private[graft] def phashFixturePayload(id: Long): Array[Byte] = {
+    import graft.functions.Multimodal
+    if (id >= 100L && id < 106L)
+      Multimodal.syntheticPng((id - 100L).toInt, brightness = 6, noisePixels = 12)
+    else if (id == 106L) Multimodal.syntheticPng(6)
+    else Multimodal.syntheticPng(id.toInt)
+  }
+
+  /** The REAL `phash64` of every fixture payload, frozen as literals (the
+    * q33/q38 fixed-literal oracle precedent): the DuckDB oracle replays
+    * q92's banding + hamming verify over these BIGINTs while the Spark
+    * side recomputes them through the JDK decode + DCT at query time — a
+    * decoder drift fails the hash gate. Regenerate by printing
+    * `phash64(phashFixturePayload(id))` for each id; PerceptualHashSpec
+    * pins table ≡ decode.
+    */
+  private[graft] def phashFixtureLiterals: Seq[(Long, Long)] = Seq(
+    0L -> 2099307902868769662L, 1L -> 242496775838989042L,
+    2L -> 4587867128339646690L, 3L -> 541774663966194478L,
+    4L -> 4497068913828547424L, 5L -> 182664812415217298L,
+    6L -> 1604299329096672154L, 7L -> 4976434332464822320L,
+    8L -> 5076834248432601560L, 9L -> 8080985320069697296L,
+    10L -> 1531121266042961410L, 11L -> 8670461516213237784L,
+    100L -> 2099307902868769662L, 101L -> 242496775838989042L,
+    102L -> 4587867128339646690L, 103L -> 541774663966194478L,
+    104L -> 4497068913828547424L, 105L -> 182664812415217298L,
+    106L -> 1604299329096672154L)
 
   /** q56/q144's SQL-expressible near-dup candidate edges: same lang,
     * |n_chars diff| <= 2 — banded so candidate generation is a pure

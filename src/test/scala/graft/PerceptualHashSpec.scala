@@ -61,6 +61,22 @@ class PerceptualHashSpec extends AnyFunSuite {
     assert(rows.toSeq == expected)
   }
 
+  test("oracle literal table == real decode (r11: q92's fixed-literal oracle)") {
+    // q92's DuckDB oracle replays banding+verify over frozen phash64
+    // BIGINTs; this pins that table against the REAL JDK decode + DCT, so
+    // a decoder change breaks HERE (with the offending id) before it
+    // breaks the driver gate
+    val got = graft.queries.LlmPipeline.phashFixtureIds
+      .map(id => (id, graft.queries.LlmPipeline.phashFixturePayload(id)))
+      .toDF("img_id", "payload")
+      .select(col("img_id"), expr("phash64(payload)").as("ph"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.queries.LlmPipeline.phashFixtureLiterals.foreach { case (id, want) =>
+      assert(got(id) == want,
+        s"fixture $id: decode gives ${got(id)}, oracle literal $want — regenerate the table")
+    }
+  }
+
   test("codegen and interpreted agree") {
     val df = Seq((1L, Multimodal.syntheticPng(7)), (2L, Array[Byte](1, 2, 3)))
       .toDF("id", "payload")
