@@ -594,8 +594,10 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
       else to
     invalidateTable(from)
     // one atomic UPDATE: the PK violation (not a racy exists-check) decides
-    // "target exists", so two renames to the same target can't both win
-    store.rename(ns(from.namespace()), from.name(), ns(toNorm.namespace()), toNorm.name()) match {
+    // "target exists", so two renames to the same target can't both win;
+    // torn JDBC calls resolve by probing the UUID-unique pointer (r11)
+    store.renameResolving(ns(from.namespace()), from.name(),
+        ns(toNorm.namespace()), toNorm.name()) match {
       case PointerStore.Renamed => ()
       case PointerStore.SourceMissing => throw new NoSuchTableException(from)
       case PointerStore.TargetExists => throw new TableAlreadyExistsException(toNorm)
@@ -621,7 +623,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
 
   override def createNamespace(namespace: Array[String],
       metadata: util.Map[String, String]): Unit =
-    if (!store.createNamespace(ns(namespace)))
+    if (!store.createNamespaceResolving(ns(namespace)))
       throw new NamespaceAlreadyExistsException(namespace)
 
   override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
@@ -632,7 +634,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
     if (tables.nonEmpty && !cascade)
       throw new IllegalStateException(s"namespace ${ns(namespace)} is not empty")
     tables.foreach(t => dropTable(Identifier.of(namespace, t)))
-    store.dropNamespace(ns(namespace))
+    store.dropNamespaceResolving(ns(namespace))
   }
 }
 

@@ -200,6 +200,91 @@ class PointerStore(jdbcUrl: String, catalogName: String) extends AutoCloseable {
   def namespaceExists(namespace: String): Boolean =
     listNamespaces().contains(namespace)
 
+  // ── torn-call resolution for rename + namespace CRUD (r11) ─────────────
+  // The same ambiguity guardedCas resolves for the pointer CAS exists for
+  // every other mutating statement: the JDBC call can throw with the
+  // statement already applied server-side. Each resolver probes current
+  // state to a DEFINITE outcome within the CasRetry budget. Pointer
+  // locations are UUID-unique and never reused, which makes the rename
+  // probe decisive: target pointing at the SOURCE's pre-call location can
+  // only mean our rename landed.
+
+  /** [[rename]] with torn-call resolution. Probe ladder on a thrown CAS:
+    * target holds the source's old pointer → ours LANDED; target holds
+    * anything else → a real conflict (TargetExists — a concurrent ALTER on
+    * the just-renamed table inside the probe window would misread as this,
+    * accepted: the failure mode is a spurious already-exists error, never
+    * state corruption); target absent + source present → not applied,
+    * re-issue (the PK guard makes the re-issue exactly-once); both absent
+    * → the source went away some other way (SourceMissing).
+    */
+  def renameResolving(fromNs: String, fromName: String,
+      toNs: String, toName: String): PointerStore.RenameResult = {
+    val srcLoc = load(fromNs, fromName)
+    val torn = try return rename(fromNs, fromName, toNs, toName)
+    catch { case e: SQLException => e }
+    var probes = 0
+    while (probes < CasRetry.maxAttempts) {
+      probes += 1
+      try {
+        load(toNs, toName) match {
+          case Some(l) if srcLoc.contains(l) => return PointerStore.Renamed
+          case Some(_) => return PointerStore.TargetExists
+          case None => load(fromNs, fromName) match {
+            case Some(_) => return rename(fromNs, fromName, toNs, toName)
+            case None => return PointerStore.SourceMissing
+          }
+        }
+      } catch { case _: SQLException => CasRetry.backoff(probes) }
+    }
+    throw new CommitStateUnknownException(
+      s"rename $fromNs.$fromName -> $toNs.$toName: outcome unknown after $probes probes", torn)
+  }
+
+  /** [[createNamespace]] with torn-call resolution: if the namespace exists
+    * when probed, the create is treated as SUCCEEDED — the torn INSERT may
+    * well be the row we see, the post-state is identical either way, and
+    * erroring "already exists" on one logical create would be wrong more
+    * often than this is (documented optimistic resolution). Absent → the
+    * INSERT never applied → re-issue (PK-guarded, exactly-once).
+    */
+  def createNamespaceResolving(namespace: String): Boolean = {
+    val torn = try return createNamespace(namespace)
+    catch { case e: SQLException => e }
+    var probes = 0
+    while (probes < CasRetry.maxAttempts) {
+      probes += 1
+      try {
+        return if (namespaceExists(namespace)) true else createNamespace(namespace)
+      } catch { case _: SQLException => CasRetry.backoff(probes) }
+    }
+    throw new CommitStateUnknownException(
+      s"create namespace $namespace: outcome unknown after $probes probes", torn)
+  }
+
+  /** [[dropNamespace]] with torn-call resolution: gone when probed →
+    * dropped (ours or equivalent), still there → the DELETE never applied,
+    * re-issue.
+    */
+  def dropNamespaceResolving(namespace: String): Boolean = {
+    // pre-capture: "gone when probed" only means OUR delete landed if it
+    // existed at call start (callers have already emptied the namespace,
+    // so the implied-by-tables arm of listNamespaces is quiet here)
+    val existedBefore = listNamespaces().contains(namespace)
+    val torn = try return dropNamespace(namespace)
+    catch { case e: SQLException => e }
+    var probes = 0
+    while (probes < CasRetry.maxAttempts) {
+      probes += 1
+      try {
+        return if (!listNamespaces().contains(namespace)) existedBefore
+        else dropNamespace(namespace)
+      } catch { case _: SQLException => CasRetry.backoff(probes) }
+    }
+    throw new CommitStateUnknownException(
+      s"drop namespace $namespace: outcome unknown after $probes probes", torn)
+  }
+
   // ── starvation-escape commit lease (r11; advisory, see CasCommit) ──────
   // The optimistic CAS livelocks once a writer's rebase cycle (reload +
   // metadata rewrite + CAS) exceeds the mean gap between competitors'
