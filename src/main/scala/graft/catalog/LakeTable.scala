@@ -1216,13 +1216,6 @@ final class LakeScan(
         // each POSITIONAL tombstone kills exactly one live row; only delete
         // files whose range covers a SELECTED file count (a pruned scan
         // must not subtract tombstones aimed at files it no longer reads).
-        // EQUALITY deletes are an APPROXIMATION: one row per key — a
-        // re-upserted key that lives in several older files kills one per
-        // file (undercount), a first-insert key kills none (overcount).
-        // Exactness would need per-key file containment, which metadata
-        // can't know; the estimate only feeds join-side sizing, where
-        // being off by the churn rate is harmless, and compaction
-        // re-trues it.
         // DV entries: exact-target set membership (O(1) each — their
         // count scales with files); parquet files: the bounded range scan
         val pathSet = files.map(_.path).toSet
@@ -1230,10 +1223,37 @@ final class LakeScan(
         val covering = deleteFilesV.filter(d =>
           if (d.isDv) pathSet.contains(d.minValues(DeleteFiles.FilePathCol))
           else DeleteFiles.coversAny(d, paths))
-        val eqApp = eqDeletesV.filter(d => files.exists(_.addedAt < d.addedAt))
+        // EQUALITY-delete kills (r11, VERDICT #6): the r10 estimate charged
+        // one kill per delete ROW, which drove a blind-upsert stream
+        // (insert + delete per key per epoch) to ~zero estimated rows —
+        // and an underestimated fact table is a broadcast OOM at scale.
+        // Now kills are bounded by what was KILLABLE: walking delete files
+        // in commit order, each can kill at most the not-yet-killed rows
+        // of OLDER, key-range-OVERLAPPING selected files (overlap via the
+        // shared min/max stat columns, numeric-aware compare). The blind
+        // upsert shape now estimates ~|keys| live. Still an estimate —
+        // metadata cannot know per-key multiplicity — but it only feeds
+        // join sizing, and compaction re-trues it.
+        def cmpLe(a: Option[String], b: Option[String]): Boolean = (a, b) match {
+          case (Some(x), Some(y)) =>
+            StatBounds.numCmp(x, y).getOrElse(x.compareTo(y)) <= 0
+          case _ => true // a missing bound is unbounded: conservative overlap
+        }
+        def overlaps(d: DataFileMeta, f: DataFileMeta): Boolean = {
+          val shared = d.minValues.keySet.intersect(f.minValues.keySet)
+          shared.forall(c => cmpLe(d.minValues.get(c), f.maxValues.get(c)) &&
+            cmpLe(f.minValues.get(c), d.maxValues.get(c)))
+        }
+        var eqKilled = 0L
+        eqDeletesV.filter(d => files.exists(_.addedAt < d.addedAt))
+          .sortBy(d => (d.addedAt, d.path)).foreach { d =>
+            val killable = files.iterator
+              .filter(f => f.addedAt < d.addedAt && overlaps(d, f))
+              .map(_.rowCount).sum
+            eqKilled += math.max(0L, math.min(d.rowCount, killable - eqKilled))
+          }
         java.util.OptionalLong.of(math.max(0L,
-          files.map(_.rowCount).sum - covering.map(_.rowCount).sum
-            - eqApp.map(_.rowCount).sum))
+          files.map(_.rowCount).sum - covering.map(_.rowCount).sum - eqKilled))
       }
       // Per-column stats for CBO (converted by transformV2Stats into
       // per-attribute ColumnStat): distinctCount from the analyze-
