@@ -866,20 +866,46 @@ object LlmPipeline {
     // sample_frames (stubbed decode, see graft.functions.Multimodal) ->
     // explode to one row per frame -> per-frame feature (xxhash64 as the
     // fake embedding) -> per-source aggregate. One scan, one shuffle on
-    // source; frames never materialize outside their partition. Custom
-    // hash output -> rows-only driver check; LlmSpec pins exact frames.
-    QueryDef.unoracled("q50_frame_sample") { (s, dir) =>
+    // source; frames never materialize outside their partition.
+    // ORACLED in r11: the frame slicer is pure integer arithmetic over
+    // byte offsets, and this corpus is ASCII (byte == char — the
+    // distinct-frame compare itself would catch a drift), so DuckDB
+    // replays the exact slices with substr over the text. The HLL
+    // estimate — engine-specific by construction — gates through the q32
+    // 5%-flag pattern; the exact distinct count hash-compares. LlmSpec
+    // still pins exact frame bytes.
+    QueryDef.df(
+      "q50_frame_sample",
+      """WITH d AS (
+        |  SELECT source, text, length(text) AS L,
+        |    least(4, greatest(1, length(text) // 64)) AS cnt
+        |  FROM documents WHERE length(text) > 0),
+        |o AS (
+        |  SELECT source, text, L,
+        |    (L - least(64, L)) * i // greatest(cnt - 1, 1) AS off
+        |  FROM d, LATERAL unnest(generate_series(0, cnt - 1)) AS t(i)),
+        |f AS (
+        |  SELECT source, substr(text, off + 1, least(64, L - off)) AS frame,
+        |    least(64, L - off) AS fb FROM o)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(sum(fb) AS BIGINT) AS total_frame_bytes,
+        |  CAST(count(DISTINCT frame) AS BIGINT) AS n_distinct_frames,
+        |  TRUE AS approx_within_5pct
+        |FROM f GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
       val payload = encode(col("text"), "UTF-8")
+      def within(est: Column, exact: Column): Column =
+        abs(est - exact) <= greatest(lit(5L), ceil(exact * 0.05))
       t(s, dir, "documents")
-        .select(col("source"), col("doc_id"),
+        .select(col("source"),
           explode(graft.functions.Multimodal.sampleFrames(payload, 64, 4)).as("frame"))
-        .select(col("source"), col("doc_id"),
-          octet_length(col("frame")).as("frame_bytes"),
-          xxhash64(col("frame")).as("frame_fp"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_frames"),
-          sum(col("frame_bytes").cast("long")).as("total_frame_bytes"),
-          approx_count_distinct(col("frame_fp"), 0.02).as("approx_distinct_frames"))
+          sum(octet_length(col("frame")).cast("long")).as("total_frame_bytes"),
+          countDistinct(col("frame")).as("n_distinct_frames"),
+          approx_count_distinct(col("frame"), 0.02).as("est"))
+        .select(col("source"), col("n_frames"), col("total_frame_bytes"),
+          col("n_distinct_frames"),
+          within(col("est"), col("n_distinct_frames")).as("approx_within_5pct"))
         .orderBy("source")
     },
 
