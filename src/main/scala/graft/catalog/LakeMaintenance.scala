@@ -29,7 +29,7 @@ object StatsKeys {
 
 object LakeMaintenance {
 
-  private[catalog] def resolve(spark: SparkSession, table: String): (LakeCatalog, Identifier, LakeTable) = {
+  private[graft] def resolve(spark: SparkSession, table: String): (LakeCatalog, Identifier, LakeTable) = {
     val parts = table.split('.')
     require(parts.length == 3, s"expected catalog.namespace.table, got $table")
     val cat = spark.sessionState.catalogManager.catalog(parts(0))
@@ -227,15 +227,53 @@ object LakeMaintenance {
     // outputs of earlier rounds are DONE — without the exclusion a later
     // round would re-select a small round-output and churn on its own work
     var written = Set.empty[String]
-    while (more) {
-      val (b, a, rest, outs) = compactOnce(spark, table, smallFileBytes, targetFileBytes,
-        where, maxFilesPerCommit, written)
-      if (first < 0) first = b
-      last = a
-      more = rest
-      written ++= outs
-    }
-    (first, last)
+    // RE-PLAN UNDER TRAFFIC (r11, validated by CommitContentionBench): a
+    // delete landing between this round's scan and its commit fails the
+    // rewrite validations (serializable-or-fail — committing would
+    // resurrect the concurrently-deleted rows), which previously surfaced
+    // as a user-visible CommitConflictException on the FIRST conflict.
+    // Now each conflicted round re-plans from the fresh base, bounded; and
+    // when conflicts persist AND the round's rewrite is fast enough for
+    // the lease TTL to cover rewrite+commit, the compactor claims the
+    // advisory commit lease BEFORE re-planning — every writer yields
+    // pre-commit, so nothing can land inside the plan→commit window. Slow
+    // rewrites never take the lease (holding it past the TTL guards
+    // nothing and stalls writers for nothing).
+    var conflicts = 0
+    var lease: Option[String] = None
+    var lastRoundMs = Long.MaxValue
+    val (cat0, ident0, _) = resolve(spark, table)
+    try {
+      while (more) {
+        val t0 = System.currentTimeMillis()
+        try {
+          val (b, a, rest, outs) = compactOnce(spark, table, smallFileBytes,
+            targetFileBytes, where, maxFilesPerCommit, written, lease)
+          if (first < 0) first = b
+          last = a
+          more = rest
+          written ++= outs
+        } catch {
+          case e: CommitConflictException =>
+            conflicts += 1
+            if (conflicts >= 20) throw e // persistent conflict: surface it
+            lastRoundMs = System.currentTimeMillis() - t0
+            if (conflicts >= 3 && lease.isEmpty &&
+                lastRoundMs < CasRetry.leaseTtlMs / 2) {
+              val id = java.util.UUID.randomUUID().toString
+              val deadline = System.currentTimeMillis() + CasRetry.leaseTtlMs
+              while (lease.isEmpty && System.currentTimeMillis() < deadline) {
+                if (cat0.pointerStore.tryAcquireLease(ident0.namespace()(0),
+                    ident0.name(), id, System.currentTimeMillis(),
+                    CasRetry.leaseTtlMs)) lease = Some(id)
+                else Thread.sleep(20)
+              }
+            }
+        }
+      }
+      (first, last)
+    } finally lease.foreach(id =>
+      cat0.pointerStore.releaseLease(ident0.namespace()(0), ident0.name(), id))
   }
 
   private def compactOnce(
@@ -245,7 +283,8 @@ object LakeMaintenance {
       targetFileBytes: Long,
       where: Option[String],
       maxFilesPerCommit: Int,
-      exclude: Set[String]): (Int, Int, Boolean, Seq[String]) = {
+      exclude: Set[String],
+      heldLease: Option[String] = None): (Int, Int, Boolean, Seq[String]) = {
     val (cat, ident, t) = resolve(spark, table)
     val current = t.meta.currentFiles
     val deletes = t.meta.currentDeleteFiles
@@ -291,7 +330,7 @@ object LakeMaintenance {
     commitManifest(cat, ident, t, hadoopConf, "compact",
       replacedPaths = replaced ++ foldedDeletes ++ foldedEq, newFiles = newFiles,
       scanDeletePaths = (deletes ++ eqDeletes).map(_.path).toSet,
-      rewrittenDataPaths = replaced)
+      rewrittenDataPaths = replaced, heldLease = heldLease)
     (current.size, keep.size + newFiles.size, allSmall.size > small.size,
       newFiles.map(_.path))
   }
@@ -1432,9 +1471,11 @@ object LakeMaintenance {
       newFiles: Seq[DataFileMeta],
       scanDeletePaths: Set[String] = Set.empty,
       rewrittenDataPaths: Set[String] = Set.empty,
-      newContent: String = "data"): Unit =
+      newContent: String = "data",
+      heldLease: Option[String] = None): Unit =
     CasCommit.retryLoop(cat.pointerStore, ident.namespace()(0), ident.name(),
-      t0.metadataLocation, t0.meta, operation, t0.ident, hadoopConf)(
+      t0.metadataLocation, t0.meta, operation, t0.ident, hadoopConf,
+      heldLease = heldLease)(
       base => {
         CasCommit.requireReplacedLive(base, replacedPaths, operation, t0.ident)
         CasCommit.requireNoNewDeletes(scanDeletePaths, base, rewrittenDataPaths,
