@@ -3374,6 +3374,139 @@ object LlmPipeline {
         import scala.jdk.CollectionConverters._
         s.createDataFrame(out.collect().toSeq.asJava, out.schema)
       } finally release()
+    },
+
+    // ───── q186: contamination SPAN (longest shared n-gram run) ──────────
+    // q76 counts shared 4-grams; real decontamination decisions key on the
+    // longest CONTIGUOUS overlap (the "13-gram span" rule): a doc sharing
+    // 40 scattered grams is thematic overlap, one sharing a 40-token RUN
+    // is a copy. Shared gram POSITIONS per doc → gaps-and-islands (p −
+    // row_number inside the doc) → max island. Only (doc_id, md5(gram),
+    // position) triples shuffle; the benchmark set broadcasts; the window
+    // partitions by doc over the SHARED positions only (output-sized, not
+    // corpus-sized). max_span_tokens = longest run + 3 (a run of k
+    // consecutive 4-gram starts covers k+3 tokens).
+    QueryDef.df(
+      "q186_contamination_span",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i AS p, array_to_string(w[i:i+3], ' ') AS g
+        |  FROM toks, unnest(range(1, len(w) - 2)) AS t(i)),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 5),
+        |shared AS (
+        |  SELECT c.doc_id, c.p,
+        |    row_number() OVER (PARTITION BY c.doc_id ORDER BY c.p) AS rn
+        |  FROM grams c JOIN bench USING (g) WHERE c.doc_id >= 5),
+        |runs AS (
+        |  SELECT doc_id, p - rn AS isl, count(*) AS run
+        |  FROM shared GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_shared_pos,
+        |  CAST(max(run) AS BIGINT) AS max_run,
+        |  CAST(max(run) + 3 AS BIGINT) AS max_span_tokens
+        |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val w = split(lower(col("text")), " ")
+      // size guard: sequence(1, size-3) counts DOWN for <4-token docs (the
+      // q167 lesson); DuckDB's range is empty there
+      def posGrams(df: DataFrame) = df
+        .filter(size(w) >= 4)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(1), size(w) - 3),
+          i => md5(array_join(slice(w, i, lit(4)), " ")))).as(Seq("p0", "g")))
+        .select(col("doc_id"), (col("p0") + 1).as("p"), col("g"))
+      val bench = posGrams(docs.filter(col("doc_id") < 5)).select("g").distinct()
+      val shared = posGrams(docs.filter(col("doc_id") >= 5))
+        .join(broadcast(bench), "g")
+      val byDoc = Window.partitionBy("doc_id").orderBy("p")
+      shared
+        .withColumn("isl", col("p") - row_number().over(byDoc))
+        .groupBy("doc_id", "isl").agg(count(lit(1)).as("run"))
+        .groupBy("doc_id").agg(sum(col("run")).as("n_shared_pos"),
+          max(col("run")).as("max_run"))
+        .select(col("doc_id"), col("n_shared_pos"), col("max_run"),
+          (col("max_run") + 3).as("max_span_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // ───── q187: dedup IMPACT report (cluster-size histogram) ────────────
+    // The number a curation review actually reads: how many clusters of
+    // each size, how many docs and chars keep-best would drop. Composes
+    // q56's connected components with two hash-aggs — per-cluster
+    // (size, chars, kept-chars), then the histogram over clusters. The
+    // corpus reduces to O(clusters) before anything global; output is
+    // O(distinct sizes). Oracle replays the closure with q144's recursive
+    // CTE. chars_dropped = cluster chars − max(n_chars) is tie-break-free:
+    // whichever max-chars doc keep-best keeps, the dropped total is equal.
+    QueryDef.df(
+      "q187_dedup_impact",
+      """WITH RECURSIVE edges AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v FROM documents a JOIN documents b
+        |  ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 2 AND a.doc_id <> b.doc_id
+        |),
+        |reach(node, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+        |),
+        |comp AS (SELECT node, min(lbl) AS comp FROM reach GROUP BY node),
+        |cl AS (
+        |  SELECT c.comp, count(*) AS sz, sum(d.n_chars) AS chars,
+        |    max(d.n_chars) AS mx
+        |  FROM comp c JOIN documents d ON d.doc_id = c.node GROUP BY c.comp)
+        |SELECT CAST(sz AS BIGINT) AS cluster_size,
+        |  CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(sum(sz - 1) AS BIGINT) AS docs_dropped,
+        |  CAST(sum(chars - mx) AS BIGINT) AS chars_dropped
+        |FROM cl WHERE sz > 1 GROUP BY sz ORDER BY sz""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      val (comp, release) = graft.functions.ConnectedComponents.runWithRelease(
+        d.select(col("doc_id").as("node")), docNearDupEdges(d))
+      val out = comp.join(d, col("node") === col("doc_id"))
+        .groupBy("comp")
+        .agg(count(lit(1)).as("sz"), sum(col("n_chars")).as("chars"),
+          max(col("n_chars")).as("mx"))
+        .where(col("sz") > 1)
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz") - 1).as("docs_dropped"),
+          sum(col("chars") - col("mx")).as("chars_dropped"))
+        .orderBy("cluster_size")
+      try {
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(out.collect().toSeq.asJava, out.schema)
+      } finally release()
+    },
+
+    // ───── q188: per-source length QUANTILES (exact percentiles) ─────────
+    // The distribution profile behind every curation length rule: exact
+    // interpolated p50/p95/p99 of per-doc token counts, per source. Token
+    // counts reduce to one integer per doc in the scan projection (text
+    // never shuffles); percentile_cont and DuckDB's quantile_cont share
+    // the SQL-standard (N−1)·p interpolation, and the 4-dp round absorbs
+    // any final-ulp divergence of the lerp. Exact (sort-based) percentiles
+    // are fine at any scale HERE because the aggregation runs per source
+    // over integers — a 100 TB corpus with few sources sorts a few
+    // integer columns, not text.
+    QueryDef.df(
+      "q188_length_quantiles",
+      """WITH toks AS (
+        |  SELECT source, len(string_split(lower(text), ' ')) AS n_toks
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(round(quantile_cont(n_toks, 0.5), 4) AS DOUBLE) AS p50,
+        |  CAST(round(quantile_cont(n_toks, 0.95), 4) AS DOUBLE) AS p95,
+        |  CAST(round(quantile_cont(n_toks, 0.99), 4) AS DOUBLE) AS p99
+        |FROM toks GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"),
+          size(split(lower(col("text")), " ")).cast("long").as("n_toks"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(expr("percentile(n_toks, 0.5)"), 4).as("p50"),
+          round(expr("percentile(n_toks, 0.95)"), 4).as("p95"),
+          round(expr("percentile(n_toks, 0.99)"), 4).as("p99"))
+        .orderBy("source")
     })
 
   // def, not val: `defs` above references this during object init — a val
