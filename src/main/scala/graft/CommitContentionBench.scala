@@ -81,11 +81,17 @@ object CommitContentionBench {
     val writersList = if (args.nonEmpty) args(0).split(",").map(_.toInt).toSeq
       else Seq(2, 8, 16)
     val commitsPer = if (args.length > 1) args(1).toInt else 50
+    // rounds: each N on ONE table, plus a 2-table round at the largest N —
+    // the pointer row is the contention unit, so splitting writers across
+    // tables should recover throughput (and the per-table leases must not
+    // interfere); the artifact records whether it does
+    val rounds: Seq[(Int, Int)] =
+      writersList.map(_ -> 1) :+ (writersList.max -> 2)
     val out = new StringBuilder("[\n")
-    writersList.zipWithIndex.foreach { case (n, i) =>
-      val j = runRound(n, commitsPer)
+    rounds.zipWithIndex.foreach { case ((n, tables), i) =>
+      val j = runRound(n, commitsPer, tables)
       println(j)
-      out.append("  ").append(j).append(if (i < writersList.size - 1) ",\n" else "\n")
+      out.append("  ").append(j).append(if (i < rounds.size - 1) ",\n" else "\n")
     }
     out.append("]\n")
     val path = sys.env.getOrElse("SPARK_GRAFT_CONTENTION_OUT", "COMMIT_CONTENTION.json")
@@ -93,15 +99,19 @@ object CommitContentionBench {
       out.toString.getBytes("UTF-8"))
   }
 
-  private def runRound(writers: Int, commitsPer: Int): String = {
+  private def runRound(writers: Int, commitsPer: Int, tables: Int = 1): String = {
     val dir = java.nio.file.Files.createTempDirectory(s"contention$writers").toString
     val url = s"jdbc:derby:memory:contention$writers${System.nanoTime()};create=true"
     val boot = new PointerStore(url, "c")
     boot.initialize()
-    val base = TableMeta(1, dir, schema.json, Nil, Map.empty, 1L,
-      Seq(SnapshotMeta(1L, 1000L, "append", Nil)))
-    val loc0 = TableMeta.write(base, conf)
-    require(boot.register("ns", "t", loc0))
+    val tableNames = (0 until tables).map(i => s"t$i")
+    tableNames.foreach { tn =>
+      val tdir = s"$dir/$tn"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tdir))
+      val base = TableMeta(1, tdir, schema.json, Nil, Map.empty, 1L,
+        Seq(SnapshotMeta(1L, 1000L, "append", Nil)))
+      require(boot.register("ns", tn, TableMeta.write(base, conf)))
+    }
 
     val records = new java.util.concurrent.ConcurrentLinkedQueue[CommitRec]()
     val opConflicts = new AtomicLong(0) // compaction re-plans after a conflict
@@ -129,7 +139,7 @@ object CommitContentionBench {
               }
               val before = store.casCalls
               val c0 = System.nanoTime()
-              commitOne(store, dir, w, i, op,
+              commitOne(store, dir, tableNames(w % tables), w, i, op,
                 opConflicts, compactSkipped, compactStarved, compactDone, appends)
               records.add(CommitRec(store.casCalls - before - 1,
                 System.nanoTime() - c0, op))
@@ -151,16 +161,16 @@ object CommitContentionBench {
 
     // ── protocol invariants: the throughput number is only meaningful if
     // every commit landed exactly once and the history is consistent ──────
-    val finalLoc = boot.load("ns", "t").get
-    val finalMeta = TableMeta.read(finalLoc, conf)
     val total = writers * commitsPer
     require(failures.isEmpty, s"writer failures: ${failures.toArray.mkString("; ")}")
-    require(finalMeta.snapshots.size == total + 1,
-      s"expected ${total + 1} snapshots (1 base + $total commits), " +
-        s"got ${finalMeta.snapshots.size} — a commit was lost or doubled")
-    require(finalMeta.snapshots.map(_.snapshotId).distinct.size == finalMeta.snapshots.size,
-      "duplicate snapshot ids in the final history")
-    val liveFiles = finalMeta.currentFiles.size
+    val metas = tableNames.map(tn => TableMeta.read(boot.load("ns", tn).get, conf))
+    require(metas.map(_.snapshots.size).sum == total + tables,
+      s"expected ${total + tables} snapshots ($tables bases + $total commits), " +
+        s"got ${metas.map(_.snapshots.size).sum} — a commit was lost or doubled")
+    metas.foreach(m => require(
+      m.snapshots.map(_.snapshotId).distinct.size == m.snapshots.size,
+      "duplicate snapshot ids in a final history"))
+    val liveFiles = metas.map(_.currentFiles.size).sum
     val expectedLive = appends.get() - compactDone.get() // each compact: 2 out, 1 in
     require(liveFiles == expectedLive,
       s"live-file conservation broken: $liveFiles live vs expected $expectedLive " +
@@ -175,7 +185,7 @@ object CommitContentionBench {
     val wallSec = writerWall.map(_ / 1e9)
     val histJson = hist.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    f"""{"writers":$writers,"commits":$total,"elapsed_sec":$elapsed%.2f,""" +
+    f"""{"writers":$writers,"tables":$tables,"commits":$total,"elapsed_sec":$elapsed%.2f,""" +
       f""""commits_per_sec":${total / elapsed}%.1f,"retry_histogram":$histJson,""" +
       f""""max_cas_attempts":$maxAttempts,"retry_bound":${CasRetry.maxAttempts},""" +
       f""""latency_ms":{"p50":${pct(0.5)}%.1f,"p99":${pct(0.99)}%.1f,"max":${latMs.last}%.1f},""" +
@@ -187,7 +197,8 @@ object CommitContentionBench {
   /** One logical commit through the production loop. Compactions re-plan on
     * conflict (the real compactor's behavior), bounded at 20 attempts.
     */
-  private def commitOne(store: PointerStore, dir: String, w: Int, i: Int,
+  private def commitOne(store: PointerStore, dir: String, tn: String,
+      w: Int, i: Int,
       op: String, opConflicts: AtomicLong, compactSkipped: AtomicInteger,
       compactStarved: AtomicInteger, compactDone: AtomicInteger,
       appends: AtomicInteger): Unit = {
@@ -205,36 +216,36 @@ object CommitContentionBench {
         val id = java.util.UUID.randomUUID().toString
         val deadline = System.currentTimeMillis() + 10000L
         while (opLease.isEmpty && System.currentTimeMillis() < deadline) {
-          if (store.tryAcquireLease("ns", "t", id, System.currentTimeMillis(), 10000L))
+          if (store.tryAcquireLease("ns", tn, id, System.currentTimeMillis(), 10000L))
             opLease = Some(id)
           else Thread.sleep(20)
         }
       }
-      val loc = store.load("ns", "t").get
+      val loc = store.load("ns", tn).get
       val base = TableMeta.read(loc, conf)
       try {
         op match {
           case "append" =>
-            CasCommit.retryLoop(store, "ns", "t", loc, base, "append", "ns.t", conf)(
+            CasCommit.retryLoop(store, "ns", tn, loc, base, "append", s"ns.$tn", conf)(
               _ => ())(
-              b => TableMeta.withAppend(b, "append", Seq(dataFile(dir, s"w$w-c$i")), conf))(
+              b => TableMeta.withAppend(b, "append", Seq(dataFile(s"$dir/$tn", s"w$w-c$i")), conf))(
               ())
             appends.incrementAndGet()
           case "eq-delta" =>
-            CasCommit.retryLoop(store, "ns", "t", loc, base, "delete-delta", "ns.t", conf)(
+            CasCommit.retryLoop(store, "ns", tn, loc, base, "delete-delta", s"ns.$tn", conf)(
               _ => ())(
               b => TableMeta.withDelta(b, "delete-delta", Nil,
-                Seq(eqDeleteFile(dir, s"w$w-c$i")), conf, "eq-deletes"))(
+                Seq(eqDeleteFile(s"$dir/$tn", s"w$w-c$i")), conf, "eq-deletes"))(
               ())
           case "compact" =>
             val victims = base.currentFiles.sortBy(_.path).take(2)
             if (victims.size < 2) {
               // nothing to compact yet: fall back to an append so the
               // commit count stays exact
-              CasCommit.retryLoop(store, "ns", "t", loc, base, "append", "ns.t", conf)(
+              CasCommit.retryLoop(store, "ns", tn, loc, base, "append", s"ns.$tn", conf)(
                 _ => ())(
                 b => TableMeta.withAppend(b, "append",
-                  Seq(dataFile(dir, s"w$w-c$i-fb")), conf))(
+                  Seq(dataFile(s"$dir/$tn", s"w$w-c$i-fb")), conf))(
                 ())
               appends.incrementAndGet()
               compactSkipped.incrementAndGet()
@@ -242,14 +253,14 @@ object CommitContentionBench {
               val replaced = victims.map(_.path).toSet
               val scanDeletes = (base.currentDeleteFiles ++ base.currentEqDeleteFiles)
                 .map(_.path).toSet
-              CasCommit.retryLoop(store, "ns", "t", loc, base, "compact", "ns.t",
+              CasCommit.retryLoop(store, "ns", tn, loc, base, "compact", s"ns.$tn",
                 conf, heldLease = opLease)(
                 b => {
-                  CasCommit.requireReplacedLive(b, replaced, "compact", "ns.t")
-                  CasCommit.requireNoNewDeletes(scanDeletes, b, replaced, "compact", "ns.t")
+                  CasCommit.requireReplacedLive(b, replaced, "compact", s"ns.$tn")
+                  CasCommit.requireNoNewDeletes(scanDeletes, b, replaced, "compact", s"ns.$tn")
                 })(
                 b => TableMeta.withRewrite(b, "compact", replaced,
-                  Seq(dataFile(dir, s"w$w-c$i-merged")), conf))(
+                  Seq(dataFile(s"$dir/$tn", s"w$w-c$i-merged")), conf))(
                 ())
               compactDone.incrementAndGet() // 2 victims out, 1 merged in: net −1
             }
@@ -266,18 +277,18 @@ object CommitContentionBench {
             // append so the round's commit-count invariants stay exact, and
             // the starvation is REPORTED — it is the finding, not a bug.
             compactStarved.incrementAndGet()
-            val loc = store.load("ns", "t").get
+            val loc = store.load("ns", tn).get
             val base = TableMeta.read(loc, conf)
-            CasCommit.retryLoop(store, "ns", "t", loc, base, "append", "ns.t", conf)(
+            CasCommit.retryLoop(store, "ns", tn, loc, base, "append", s"ns.$tn", conf)(
               _ => ())(
               b => TableMeta.withAppend(b, "append",
-                Seq(dataFile(dir, s"w$w-c$i-starved")), conf))(
+                Seq(dataFile(s"$dir/$tn", s"w$w-c$i-starved")), conf))(
               ())
             appends.incrementAndGet()
             return
           }
       }
     }
-    } finally opLease.foreach(id => store.releaseLease("ns", "t", id))
+    } finally opLease.foreach(id => store.releaseLease("ns", tn, id))
   }
 }
