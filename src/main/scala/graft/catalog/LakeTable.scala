@@ -1212,7 +1212,16 @@ final class LakeScan(
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(files.map(_.sizeBytes).sum)
-      override def numRows(): java.util.OptionalLong = {
+      // Catalyst asks for stats repeatedly during planning; the eq-delete
+      // accounting below is the one non-trivial part, so compute the row
+      // estimate once per scan instance
+      override def numRows(): java.util.OptionalLong = cachedNumRows
+      override def columnStats(): java.util.Map[NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        cachedColumnStats
+    }
+
+  private lazy val cachedNumRows: java.util.OptionalLong = {
         // each POSITIONAL tombstone kills exactly one live row; only delete
         // files whose range covers a SELECTED file count (a pruned scan
         // must not subtract tombstones aimed at files it no longer reads).
@@ -1244,24 +1253,49 @@ final class LakeScan(
           shared.forall(c => cmpLe(d.minValues.get(c), f.maxValues.get(c)) &&
             cmpLe(f.minValues.get(c), d.maxValues.get(c)))
         }
+        // planning-cost bound: the overlap REFINEMENT is O(deletes × files)
+        // with per-file stat-map intersections — measured +0.7 s on a
+        // metadata-heavy query when run unconditionally, and unacceptable
+        // at real file counts. Past the budget, kills fall back to the
+        // commit-order prefix bound alone (O((D+F) log F)) — that is the
+        // part that fixes the blind-upsert underestimate; range overlap
+        // only sharpens disjoint-key cases.
+        val eqApplicable = eqDeletesV.filter(d => files.exists(_.addedAt < d.addedAt))
+          .sortBy(d => (d.addedAt, d.path))
+        val refine = eqApplicable.size.toLong * files.size <= 1000000L
+        val byAdded = files.sortBy(_.addedAt)
+        val addedAts = byAdded.map(_.addedAt).toArray
+        val prefixRows = byAdded.scanLeft(0L)(_ + _.rowCount).toArray
+        def olderRows(addedAt: Long): Long = {
+          var lo = 0; var hi = addedAts.length
+          while (lo < hi) { // first index with addedAt >= delete's
+            val mid = (lo + hi) >>> 1
+            if (addedAts(mid) < addedAt) lo = mid + 1 else hi = mid
+          }
+          prefixRows(lo)
+        }
         var eqKilled = 0L
-        eqDeletesV.filter(d => files.exists(_.addedAt < d.addedAt))
-          .sortBy(d => (d.addedAt, d.path)).foreach { d =>
-            val killable = files.iterator
+        eqApplicable.foreach { d =>
+          val killable =
+            if (refine) files.iterator
               .filter(f => f.addedAt < d.addedAt && overlaps(d, f))
               .map(_.rowCount).sum
-            eqKilled += math.max(0L, math.min(d.rowCount, killable - eqKilled))
-          }
+            else olderRows(d.addedAt)
+          eqKilled += math.max(0L, math.min(d.rowCount, killable - eqKilled))
+        }
         java.util.OptionalLong.of(math.max(0L,
           files.map(_.rowCount).sum - covering.map(_.rowCount).sum - eqKilled))
-      }
-      // Per-column stats for CBO (converted by transformV2Stats into
-      // per-attribute ColumnStat): distinctCount from the analyze-
-      // maintained HLL sketches (table-level estimates), nullCount summed
-      // EXACTLY from the manifests over the SELECTED files — join
-      // reordering and sizing read these once spark.sql.cbo.enabled is on.
-      override def columnStats(): java.util.Map[NamedReference,
-          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+  }
+
+  // Per-column stats for CBO (converted by transformV2Stats into
+  // per-attribute ColumnStat): distinctCount from the analyze-
+  // maintained HLL sketches (table-level estimates), nullCount summed
+  // EXACTLY from the manifests over the SELECTED files — join
+  // reordering and sizing read these once spark.sql.cbo.enabled is on.
+  // Cached like the row estimate: the per-column min/max fold parses
+  // BigDecimals over every selected file and Catalyst asks repeatedly.
+  private lazy val cachedColumnStats: java.util.Map[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
         import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
         // typed min/max over the SELECTED files (exact — the writer tracks
         // full values), for the types Catalyst's estimation consumes as
@@ -1317,8 +1351,7 @@ final class LakeScan(
           }
         }
         m
-      }
-    }
+  }
 
   // Spark consumes rows positionally against this schema: report LOGICAL
   // names (the delegate read physical ones; layout is identical), plus any
