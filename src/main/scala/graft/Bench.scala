@@ -74,12 +74,14 @@ object Bench {
     // STDOUT gets a SLIM variant: the driver's artifact keeps only a byte-
     // bounded tail of stdout, and r10's full line (queries + spreads, ~11 KB
     // at 183 queries) truncated mid-JSON, leaving 68 of 183 per-query times
-    // in the committed artifact. 3-decimal medians without the spread map
-    // keep the whole line under ~4 KB so every query's number survives the
-    // tail; the 4-decimal + spread line still lands in the file below.
-    val slimQs = results.map { case (k, (m, _)) => "\"" + k + "\":" + f"$m%.3f" }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slimQs,"runs":$runsPer,"failed":$nFailed,"sf":"$sfDir"}""")
+    // in the committed artifact. Keys compress to the unambiguous qNNN
+    // prefix and the map goes LAST in the line (an archived tail keeps the
+    // END of stdout), so every per-query number survives ~2.8 KB of tail;
+    // the full-name 4-decimal + spread line still lands in the file below.
+    val slimQs = results.map { case (k, (m, _)) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + f"$m%.3f"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runsPer,"failed":$nFailed,"sf":"$sfDir","queries":$slimQs}""")
     // the driver's artifact truncates long stdout tails — also persist the
     // full per-query medians+spreads so every round's numbers stay auditable
     // (SPARK_GRAFT_BENCH_OUT overrides; committed per round as BENCH_LOCAL_r*)
