@@ -619,4 +619,32 @@ class ExplainAuditSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
       s"one shuffle for the window, one for the user agg, nothing more:\n$p")
   }
+
+  test("q186 contamination span: benchmark broadcasts; text never enters a shuffle") {
+    val p = plan("q186_contamination_span")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the fixed benchmark gram set must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"membership must never shuffle the corpus side on the join key:\n$p")
+    // every shuffled schema must carry (doc_id, p)-shaped rows, never text
+    val fp = SparkEntry.queries("q186_contamination_span")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    raw"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]".r
+      .findAllMatchIn(fp).map(_.group(1)).foreach { attrs =>
+        assert(!attrs.contains("text#"),
+          s"text crossed a shuffle; exchange carries: $attrs")
+      }
+  }
+
+  test("q188 length quantiles: token counts reduce in the scan projection") {
+    val fp = SparkEntry.queries("q188_length_quantiles")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    raw"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]".r
+      .findAllMatchIn(fp).map(_.group(1)).foreach { attrs =>
+        assert(!attrs.contains("text#"),
+          s"the percentile shuffle must carry one integer per doc, not text: $attrs")
+      }
+  }
 }
