@@ -92,6 +92,33 @@ class CommitLeaseSpec extends AnyFunSuite {
     store.close()
   }
 
+  test("a crashed holder's stale lease never wedges the table") {
+    // plant a lease whose holder died long ago (acquired_at past the TTL),
+    // then commit through the production loop: the peek must read it as
+    // free (no yielding), and the commit lands without anyone releasing it
+    val (store, _) = freshStore("stale")
+    val dir = java.nio.file.Files.createTempDirectory("stale").toString
+    val base = TableMeta(1, dir, schema.json, Nil, Map.empty, 1L,
+      Seq(SnapshotMeta(1L, 1000L, "append", Nil)))
+    val loc = TableMeta.write(base, conf)
+    assert(store.register("ns", "t", loc))
+    assert(store.tryAcquireLease("ns", "t", "dead-holder",
+      System.currentTimeMillis() - CasRetry.leaseTtlMs - 60000L, CasRetry.leaseTtlMs))
+    val f = DataFileMeta(s"$dir/data/f.parquet", 10L, 100L,
+      Map("k" -> "0"), Map("k" -> "9"), Map("k" -> 0L))
+    val t0 = System.nanoTime()
+    CasCommit.retryLoop(store, "ns", "t", loc, base, "append", "ns.t", conf)(
+      _ => ())(b => TableMeta.withAppend(b, "append", Seq(f), conf))(())
+    assert((System.nanoTime() - t0) / 1e9 < 5.0,
+      "a stale lease must not gate anyone (no TTL-length wait)")
+    assert(TableMeta.read(store.load("ns", "t").get, conf).snapshots.size == 2)
+    // and a live starver can STEAL the dead row in place
+    assert(store.tryAcquireLease("ns", "t", "successor",
+      System.currentTimeMillis(), CasRetry.leaseTtlMs))
+    store.releaseLease("ns", "t", "successor")
+    store.close()
+  }
+
   test("concurrent smoke: every commit lands exactly once under 4 racing writers") {
     val dir = java.nio.file.Files.createTempDirectory("leasesmoke").toString
     val url = s"jdbc:derby:memory:leasesmoke${System.nanoTime()};create=true"
