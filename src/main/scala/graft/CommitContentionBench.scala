@@ -79,7 +79,7 @@ object CommitContentionBench {
 
   def main(args: Array[String]): Unit = {
     val writersList = if (args.nonEmpty) args(0).split(",").map(_.toInt).toSeq
-      else Seq(2, 8, 16)
+      else Seq(2, 8, 16, 32)
     val commitsPer = if (args.length > 1) args(1).toInt else 50
     // rounds: each N on ONE table, plus a 2-table round at the largest N —
     // the pointer row is the contention unit, so splitting writers across

@@ -935,6 +935,13 @@ object CasRetry {
     Integer.getInteger("graft.commit.starve-lease-after", 8)
   /** A lease older than this is a crashed holder — stealable. */
   def leaseTtlMs: Long = java.lang.Long.getLong("graft.commit.lease-ttl-ms", 10000L)
+  /** A commit that has YIELDED to lease holders is queued, not livelocked:
+    * it is bounded by this wall-clock deadline instead of the attempt
+    * count (each holder rotation costs every waiter one CAS loss, so deep
+    * queues exhaust any reasonable attempt budget while progressing).
+    */
+  def queueDeadlineMs: Long =
+    java.lang.Long.getLong("graft.commit.queue-deadline-ms", 120000L)
   private val rnd = new java.util.Random()
   def backoff(attempt: Int): Unit = {
     val window = math.min(250L, 4L << math.min(attempt, 6)) // 8,16,...,256 -> cap 250ms
@@ -1060,16 +1067,29 @@ object CasCommit {
     // and all lease traffic degrades to plain backoff on SQLException.
     var lease: Option[String] = heldLease
     val leaseIsCallers = heldLease.isDefined
+    // QUEUE accounting (r11, found at 32 writers): the attempt bound
+    // exists to detect LIVELOCK, but under deep contention the lease
+    // serializes starving writers into a queue, and every holder rotation
+    // costs each waiter one real CAS loss — 31 writers ahead exhausts a
+    // 32-attempt budget while the system is making steady progress. So:
+    // yielding to a foreign lease marks the loop QUEUED, queued loops are
+    // bounded by TIME (deadline below) instead of attempts, and acquiring
+    // the lease resets the attempt budget (the holder now has priority —
+    // its losses are bounded by the in-flight stragglers, not the queue).
+    val deadlineAt = System.currentTimeMillis() + CasRetry.queueDeadlineMs
+    var queued = false
     def leaseSafe[T](default: T)(f: => T): T =
       try f catch { case _: java.sql.SQLException => default }
     try {
-      while (attempts < CasRetry.maxAttempts) {
+      while (attempts < CasRetry.maxAttempts ||
+          (queued && System.currentTimeMillis() < deadlineAt)) {
         if (lease.isEmpty) {
           var waitedMs = 0L
           while (waitedMs < CasRetry.leaseTtlMs && leaseSafe(Option.empty[String])(
               store.peekLease(namespace, tableName, System.currentTimeMillis(),
                 CasRetry.leaseTtlMs)).isDefined) {
             CasRetry.yieldToLease() // a starving writer goes first
+            queued = true
             waitedMs += 60
           }
           if (waitedMs > 0) { // the holder landed: rebase on its result
@@ -1093,19 +1113,24 @@ object CasCommit {
         if (attempts >= CasRetry.starveLeaseAfter && lease.isEmpty) {
           val id = java.util.UUID.randomUUID().toString
           if (leaseSafe(false)(store.tryAcquireLease(namespace, tableName, id,
-              System.currentTimeMillis(), CasRetry.leaseTtlMs)))
+              System.currentTimeMillis(), CasRetry.leaseTtlMs))) {
             lease = Some(id)
+            attempts = 0 // priority window: the queue is behind us now
+          }
         }
         if (lease.isDefined) CasRetry.backoff(1) // the row is ours to win now
         else if (leaseSafe(Option.empty[String])(store.peekLease(namespace,
-            tableName, System.currentTimeMillis(), CasRetry.leaseTtlMs)).isDefined)
+            tableName, System.currentTimeMillis(), CasRetry.leaseTtlMs)).isDefined) {
           CasRetry.yieldToLease() // someone else is starving: let them land
-        else CasRetry.backoff(attempts)
+          queued = true
+        } else CasRetry.backoff(attempts)
         prevLoc = store.load(namespace, tableName).getOrElse(
           throw new IllegalStateException(s"table $ident dropped during $operation"))
         base = TableMeta.read(prevLoc, hadoopConf)
       }
-      throw new IllegalStateException(s"$operation on $ident: CAS lost $attempts times")
+      throw new IllegalStateException(s"$operation on $ident: CAS lost $attempts times" +
+        (if (queued) s" (lease-queued past the ${CasRetry.queueDeadlineMs} ms deadline)"
+         else ""))
     } finally if (!leaseIsCallers) lease.foreach(id =>
       leaseSafe(())(store.releaseLease(namespace, tableName, id)))
   }
