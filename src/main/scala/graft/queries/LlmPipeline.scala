@@ -909,6 +909,45 @@ object LlmPipeline {
         .orderBy("source")
     },
 
+    // ───── q189: ingest CADENCE profile (inter-arrival gaps) ──────────────
+    // The pipeline-health number behind freshness SLOs and burst sizing:
+    // per event type, the distribution of microsecond gaps between
+    // consecutive events. The lag() window partitions by (type, DAY) — the
+    // 100 TB shape: a day's partition is bounded by the event rate, corpus
+    // growth adds partitions (more days), never partition depth; the one
+    // boundary gap dropped per (type, day) is deterministic in both
+    // engines. Gaps are integers, so the exact p95 sorts (type, long)
+    // pairs — the q188 discipline; text/props never shuffle.
+    QueryDef.df(
+      "q189_ingest_cadence",
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY event_type, date_trunc('day', ts)
+        |      ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT event_type, CAST(count(gap_us) AS BIGINT) AS n_gaps,
+        |  CAST(round(avg(gap_us), 4) AS DOUBLE) AS mean_us,
+        |  CAST(round(quantile_cont(gap_us, 0.95), 4) AS DOUBLE) AS p95_us,
+        |  CAST(max(gap_us) AS BIGINT) AS max_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val byDay = Window
+        .partitionBy(col("event_type"), date_trunc("day", col("ts")))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_type"), col("ts"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("gap_us", col("us") - lag(col("us"), 1).over(byDay))
+        .where(col("gap_us").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          round(avg(col("gap_us")), 4).as("mean_us"),
+          round(expr("percentile(gap_us, 0.95)"), 4).as("p95_us"),
+          max(col("gap_us")).as("max_us"))
+        .orderBy("event_type")
+    },
+
     // ───── q54: REAL image decode over sampled frames ────────────────────
     // The composed multimodal pipeline: frame-sample each binary payload,
     // run the JDK-ImageIO `decode_image` on every frame, aggregate decode
