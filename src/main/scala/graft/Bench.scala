@@ -64,9 +64,13 @@ object Bench {
         name -> (sorted(sorted.size / 2), sorted.last - sorted.head)
       }
     }
-    val qs = results.map { case (k, (m, _)) => "\"" + k + "\":" + f"$m%.4f" }
+    // explicit ROOT locale: the default-locale f"" interpolator renders
+    // 0,123 under comma-decimal locales (e.g. de_DE) — invalid JSON
+    def num(v: Double, dp: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+    val qs = results.map { case (k, (m, _)) => "\"" + k + "\":" + num(m, 4) }
       .mkString("{", ",", "}")
-    val spreads = results.map { case (k, (_, s)) => "\"" + k + "\":" + f"$s%.4f" }
+    val spreads = results.map { case (k, (_, s)) => "\"" + k + "\":" + num(s, 4) }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val nFailed = results.count(_._2._1 < 0)
@@ -79,7 +83,7 @@ object Bench {
     // END of stdout), so every per-query number survives ~2.8 KB of tail;
     // the full-name 4-decimal + spread line still lands in the file below.
     val slimQs = results.map { case (k, (m, _)) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f"$m%.3f"
+      "\"" + k.takeWhile(_ != '_') + "\":" + num(m, 3)
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runsPer,"failed":$nFailed,"sf":"$sfDir","queries":$slimQs}""")
     // the driver's artifact truncates long stdout tails — also persist the

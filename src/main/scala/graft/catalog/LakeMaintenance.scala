@@ -262,18 +262,30 @@ object LakeMaintenance {
                 lastRoundMs < CasRetry.leaseTtlMs / 2) {
               val id = java.util.UUID.randomUUID().toString
               val deadline = System.currentTimeMillis() + CasRetry.leaseTtlMs
-              while (lease.isEmpty && System.currentTimeMillis() < deadline) {
-                if (cat0.pointerStore.tryAcquireLease(ident0.namespace()(0),
-                    ident0.name(), id, System.currentTimeMillis(),
-                    CasRetry.leaseTtlMs)) lease = Some(id)
-                else Thread.sleep(20)
+              // the lease is ADVISORY (see PointerStore): a lease-table
+              // SQLException degrades to "no lease acquired" and the
+              // compaction keeps retrying unleased — it must never fail
+              // the rewrite itself
+              var leaseBroken = false
+              while (lease.isEmpty && !leaseBroken &&
+                  System.currentTimeMillis() < deadline) {
+                try {
+                  if (cat0.pointerStore.tryAcquireLease(ident0.namespace()(0),
+                      ident0.name(), id, System.currentTimeMillis(),
+                      CasRetry.leaseTtlMs)) lease = Some(id)
+                  else Thread.sleep(20)
+                } catch { case _: java.sql.SQLException => leaseBroken = true }
               }
             }
         }
       }
       (first, last)
-    } finally lease.foreach(id =>
-      cat0.pointerStore.releaseLease(ident0.namespace()(0), ident0.name(), id))
+    } finally lease.foreach { id =>
+      // swallow lease-table failures: an advisory release that throws in a
+      // finally would mask the real exception (the lease expires by TTL)
+      try cat0.pointerStore.releaseLease(ident0.namespace()(0), ident0.name(), id)
+      catch { case _: java.sql.SQLException => () }
+    }
   }
 
   private def compactOnce(

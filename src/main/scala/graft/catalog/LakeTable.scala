@@ -1095,6 +1095,11 @@ final class LakeScan(
       pqDeleteFilesC = null
     }
     delegate = null // rebuild the parquet scan over the pruned list
+    // the row estimate and column stats fold over files/deleteFilesV/
+    // eqDeletesV — a stale cache here would report pre-pruning rows next
+    // to post-pruning sizeInBytes (internally inconsistent stats)
+    cachedNumRowsV = null
+    cachedColumnStatsV = null
   }
 
   // ── storage-partitioned join support ─────────────────────────────────────
@@ -1221,7 +1226,15 @@ final class LakeScan(
         cachedColumnStats
     }
 
-  private lazy val cachedNumRows: java.util.OptionalLong = {
+  // cached-until-invalidated (NOT lazy val): filter() mutates the file and
+  // delete lists, and a frozen pre-pruning estimate next to the recomputed
+  // sizeInBytes would hand Catalyst inconsistent stats
+  @transient private var cachedNumRowsV: java.util.OptionalLong = null
+  private def cachedNumRows: java.util.OptionalLong = {
+    if (cachedNumRowsV == null) cachedNumRowsV = computeNumRows
+    cachedNumRowsV
+  }
+  private def computeNumRows: java.util.OptionalLong = {
         // each POSITIONAL tombstone kills exactly one live row; only delete
         // files whose range covers a SELECTED file count (a pruned scan
         // must not subtract tombstones aimed at files it no longer reads).
@@ -1294,7 +1307,14 @@ final class LakeScan(
   // reordering and sizing read these once spark.sql.cbo.enabled is on.
   // Cached like the row estimate: the per-column min/max fold parses
   // BigDecimals over every selected file and Catalyst asks repeatedly.
-  private lazy val cachedColumnStats: java.util.Map[NamedReference,
+  @transient private var cachedColumnStatsV: java.util.Map[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = null
+  private def cachedColumnStats: java.util.Map[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    if (cachedColumnStatsV == null) cachedColumnStatsV = computeColumnStats
+    cachedColumnStatsV
+  }
+  private def computeColumnStats: java.util.Map[NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
         import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
         // typed min/max over the SELECTED files (exact — the writer tracks

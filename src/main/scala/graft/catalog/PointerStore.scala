@@ -212,9 +212,13 @@ class PointerStore(jdbcUrl: String, catalogName: String) extends AutoCloseable {
   /** [[rename]] with torn-call resolution. Probe ladder on a thrown CAS:
     * target holds the source's old pointer → ours LANDED; target holds
     * anything else → a real conflict (TargetExists — a concurrent ALTER on
-    * the just-renamed table inside the probe window would misread as this,
-    * accepted: the failure mode is a spurious already-exists error, never
-    * state corruption); target absent + source present → not applied,
+    * the just-renamed table inside the probe window, OR an ALTER on the
+    * SOURCE between the srcLoc capture and the rename landing, would
+    * misread as this, accepted: the failure mode in both windows is a
+    * spurious already-exists error after a rename that actually applied,
+    * never state corruption; a rename-intent journal row would close both
+    * if spurious errors show up in practice); target absent + source
+    * present → not applied,
     * re-issue (the PK guard makes the re-issue exactly-once); both absent
     * → the source went away some other way (SourceMissing).
     */

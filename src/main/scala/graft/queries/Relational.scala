@@ -56,8 +56,25 @@ object Relational {
     * mid-read; a per-invocation dir under java.io.tmpdir cannot collide,
     * and the returned DataFrame stays readable for the caller's lifetime.
     */
-  private def scratchDir(name: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft_$name").toString
+  private def scratchDir(name: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_$name")
+    // the returned DataFrame must stay readable for the caller's lifetime,
+    // so deletion is deferred to JVM exit — without it, repeated bench runs
+    // accumulate orphaned CSV/JSONL/ORC scratch dirs indefinitely
+    scratchDirs.add(dir)
+    dir.toString
+  }
+  private val scratchDirs =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[java.nio.file.Path]())
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    scratchDirs.forEach { d =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverseIterator
+          .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+                        catch { case _: Exception => () })
+      } catch { case _: Exception => () }
+    }))
 
   /** q117's iteration plan, exposed for the plan audit: builds the
     * symmetric edge table (out-degree denormalized in, PERSISTED — the
