@@ -44,6 +44,7 @@ object CommitContentionBench {
 
   private val conf = new org.apache.hadoop.conf.Configuration()
   private val schema = StructType(Seq(StructField("k", LongType)))
+  private var baseFiles: Int = 0
 
   /** Counting store: one per writer thread (thread-confined counter), so
     * the retry histogram is casUpdate calls per commit with zero sync.
@@ -81,6 +82,11 @@ object CommitContentionBench {
     val writersList = if (args.nonEmpty) args(0).split(",").map(_.toInt).toSeq
       else Seq(2, 8, 16, 32)
     val commitsPer = if (args.length > 1) args(1).toInt else 50
+    // arg 3 (r12, VERDICT r11 #6): pre-seed each table with N live files so
+    // every rebase reads + rewrites an sf-SCALE metadata document — the
+    // lease/queue math must hold when the rebase cycle itself is heavy,
+    // not just when the doc is a toy
+    baseFiles = if (args.length > 2) args(2).toInt else 0
     // rounds: each N on ONE table, plus a 2-table round at the largest N —
     // the pointer row is the contention unit, so splitting writers across
     // tables should recover throughput (and the per-table leases must not
@@ -108,9 +114,11 @@ object CommitContentionBench {
     tableNames.foreach { tn =>
       val tdir = s"$dir/$tn"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tdir))
+      val seed = (0 until baseFiles).map(i => dataFile(tdir, s"seed-$i"))
       val base = TableMeta(1, tdir, schema.json, Nil, Map.empty, 1L,
         Seq(SnapshotMeta(1L, 1000L, "append", Nil)))
-      require(boot.register("ns", tn, TableMeta.write(base, conf)))
+      val seeded = if (seed.isEmpty) base else TableMeta.withAppend(base, "append", seed, conf)
+      require(boot.register("ns", tn, TableMeta.write(seeded, conf)))
     }
 
     val records = new java.util.concurrent.ConcurrentLinkedQueue[CommitRec]()
@@ -164,17 +172,20 @@ object CommitContentionBench {
     val total = writers * commitsPer
     require(failures.isEmpty, s"writer failures: ${failures.toArray.mkString("; ")}")
     val metas = tableNames.map(tn => TableMeta.read(boot.load("ns", tn).get, conf))
-    require(metas.map(_.snapshots.size).sum == total + tables,
-      s"expected ${total + tables} snapshots ($tables bases + $total commits), " +
+    val baseSnaps = tables * (if (baseFiles > 0) 2 else 1) // base + optional seed append
+    require(metas.map(_.snapshots.size).sum == total + baseSnaps,
+      s"expected ${total + baseSnaps} snapshots ($baseSnaps base + $total commits), " +
         s"got ${metas.map(_.snapshots.size).sum} — a commit was lost or doubled")
     metas.foreach(m => require(
       m.snapshots.map(_.snapshotId).distinct.size == m.snapshots.size,
       "duplicate snapshot ids in a final history"))
     val liveFiles = metas.map(_.currentFiles.size).sum
-    val expectedLive = appends.get() - compactDone.get() // each compact: 2 out, 1 in
+    // each compact: 2 out, 1 in; seeded base files count as live
+    val expectedLive = tables * baseFiles + appends.get() - compactDone.get()
     require(liveFiles == expectedLive,
       s"live-file conservation broken: $liveFiles live vs expected $expectedLive " +
-        s"(${appends.get()} appended, ${compactDone.get()} compactions of 2→1)")
+        s"(${tables * baseFiles} seeded, ${appends.get()} appended, " +
+        s"${compactDone.get()} compactions of 2→1)")
     boot.close()
 
     val recs = records.toArray(Array.empty[CommitRec])
@@ -185,11 +196,12 @@ object CommitContentionBench {
     val wallSec = writerWall.map(_ / 1e9)
     val histJson = hist.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    f"""{"writers":$writers,"tables":$tables,"commits":$total,"elapsed_sec":$elapsed%.2f,""" +
+    f"""{"writers":$writers,"tables":$tables,"commits":$total,""" +
+      f""""injected_latency_ms":${PointerStore.injectedLatencyMs.get()},"elapsed_sec":$elapsed%.2f,""" +
       f""""commits_per_sec":${total / elapsed}%.1f,"retry_histogram":$histJson,""" +
       f""""max_cas_attempts":$maxAttempts,"retry_bound":${CasRetry.maxAttempts},""" +
       f""""latency_ms":{"p50":${pct(0.5)}%.1f,"p99":${pct(0.99)}%.1f,"max":${latMs.last}%.1f},""" +
-      f""""compact_replans":${opConflicts.get()},"compact_done":${compactDone.get()},""" +
+      f""""base_files":$baseFiles,"compact_replans":${opConflicts.get()},"compact_done":${compactDone.get()},""" +
       f""""compact_skipped":${compactSkipped.get()},"compact_starved":${compactStarved.get()},""" +
       f""""writer_wall_sec":{"min":${wallSec.min}%.2f,"max":${wallSec.max}%.2f}}"""
   }

@@ -30,6 +30,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTableCatalog
   with FunctionCatalog
+  with ViewCatalog
   with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   /** `CALL lake.system.<proc>(...)` — SQL-native maintenance
@@ -73,7 +74,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
       throw new IllegalArgumentException(s"catalog $name: missing option 'warehouse'"))
     val url = Option(options.get("jdbc.url")).getOrElse(
       throw new IllegalArgumentException(s"catalog $name: missing option 'jdbc.url'"))
-    store = new PointerStore(url, name)
+    store = new PointerStore(url, name, LakeCatalog.jdbcProperties(options))
     store.initialize() // reference initialize: idempotent DDL bootstrap (mod.rs:362-391)
     hadoopConf = SparkSession.active.sessionState.newHadoopConf()
   }
@@ -629,12 +630,141 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
   override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("alterNamespace not supported")
 
+
+  // ── V2 views (ViewCatalog, r12) ────────────────────────────────────────
+  // Spark 4.1 ships the API with no SQL path; the surface is complete and
+  // programmatic (ViewCatalogSpec) — storage is the table pointer pattern
+  // on iceberg_views + immutable JSON docs (LakeViews).
+
+  private def viewDocOf(v: ViewInfo): LakeViews.ViewDoc =
+    LakeViews.ViewDoc(
+      sql = v.sql,
+      currentCatalog = v.currentCatalog,
+      currentNamespace = Option(v.currentNamespace).map(_.toSeq).getOrElse(Nil),
+      schemaJson = v.schema.json,
+      queryColumnNames = Option(v.queryColumnNames).map(_.toSeq).getOrElse(Nil),
+      columnAliases = Option(v.columnAliases).map(_.toSeq).getOrElse(Nil),
+      columnComments = Option(v.columnComments).map(_.toSeq).getOrElse(Nil),
+      properties = Option(v.properties).map(_.asScala.toMap).getOrElse(Map.empty))
+
+  private def viewOf(ident: Identifier, doc: LakeViews.ViewDoc): View = new View {
+    override def name(): String = display(ident)
+    override def query(): String = doc.sql
+    override def currentCatalog(): String = doc.currentCatalog
+    override def currentNamespace(): Array[String] = doc.currentNamespace.toArray
+    override def schema(): StructType =
+      org.apache.spark.sql.types.DataType.fromJson(doc.schemaJson).asInstanceOf[StructType]
+    override def queryColumnNames(): Array[String] = doc.queryColumnNames.toArray
+    override def columnAliases(): Array[String] = doc.columnAliases.toArray
+    override def columnComments(): Array[String] = doc.columnComments.toArray
+    override def properties(): util.Map[String, String] = doc.properties.asJava
+  }
+
+  override def listViews(namespace: String*): Array[Identifier] =
+    store.viewList(namespace.mkString("."))
+      .map(n => Identifier.of(namespace.toArray, n)).toArray
+
+  override def loadView(ident: Identifier): View = {
+    val loc = store.viewLoad(ns(ident.namespace()), ident.name())
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+    viewOf(ident, LakeViews.read(loc, hadoopConf))
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    store.viewLoad(ns(ident.namespace()), ident.name()).isDefined
+
+  override def createView(info: ViewInfo): View = {
+    val doc = viewDocOf(info)
+    val loc = LakeViews.write(warehouse, ns(info.ident.namespace()), info.ident.name(),
+      doc, hadoopConf)
+    if (!store.viewRegister(ns(info.ident.namespace()), info.ident.name(), loc))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(info.ident)
+    viewOf(info.ident, doc)
+  }
+
+  /** Property-level ALTER via the views CAS — the same commit discipline as
+    * tables: read the current doc, apply changes, write a NEW immutable doc,
+    * move the pointer only if it still points at what we read.
+    */
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val nsStr = ns(ident.namespace())
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val loc = store.viewLoad(nsStr, ident.name())
+        .getOrElse(throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+      val doc = LakeViews.read(loc, hadoopConf)
+      val props = changes.foldLeft(doc.properties) { (p, c) => c match {
+        case s: ViewChange.SetProperty => p + (s.property() -> s.value())
+        case r: ViewChange.RemoveProperty => p - r.property()
+        case other => throw new IllegalArgumentException(s"unsupported view change $other")
+      }}
+      val next = doc.copy(properties = props)
+      val newLoc = LakeViews.write(warehouse, nsStr, ident.name(), next, hadoopConf)
+      if (store.viewCasUpdate(nsStr, ident.name(), newLoc, loc) == 1)
+        return viewOf(ident, next)
+      if (attempts >= CasRetry.maxAttempts)
+        throw new CommitConflictException(
+          s"alterView ${display(ident)}: lost the views CAS $attempts times")
+      CasRetry.backoff(attempts)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    store.viewDrop(ns(ident.namespace()), ident.name())
+
+  override def renameView(from: Identifier, to: Identifier): Unit =
+    store.viewRename(ns(from.namespace()), from.name(), ns(to.namespace()), to.name()) match {
+      case PointerStore.Renamed => ()
+      case PointerStore.SourceMissing =>
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(from)
+      case PointerStore.TargetExists =>
+        throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(to)
+    }
+
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val tables = store.listTables(ns(namespace))
     if (tables.nonEmpty && !cascade)
       throw new IllegalStateException(s"namespace ${ns(namespace)} is not empty")
     tables.foreach(t => dropTable(Identifier.of(namespace, t)))
     store.dropNamespaceResolving(ns(namespace))
+  }
+}
+
+object LakeCatalog {
+  /** Connection properties from catalog options (VERDICT r11 #7 — the
+    * reference hardcodes `NoTls`, mod.rs:39; a prod Postgres catalog needs
+    * credentials + TLS): every `jdbc.<prop>` option except `jdbc.url`
+    * forwards as a JDBC connection property (`jdbc.user`, `jdbc.password`,
+    * `jdbc.ssl`, `jdbc.sslmode`, `jdbc.sslrootcert`, ...). Values of the
+    * form `env:VAR` resolve from the environment at initialize time, so
+    * spark-defaults files never carry the secret itself:
+    *
+    * {{{
+    *   spark.sql.catalog.lake.jdbc.url       jdbc:postgresql://db:5432/catalog
+    *   spark.sql.catalog.lake.jdbc.user      iceberg
+    *   spark.sql.catalog.lake.jdbc.password  env:LAKE_PG_PASSWORD
+    *   spark.sql.catalog.lake.jdbc.sslmode   verify-full
+    * }}}
+    */
+  private[graft] def jdbcProperties(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): java.util.Properties = {
+    val props = new java.util.Properties()
+    options.entrySet().forEach { e =>
+      val k = e.getKey
+      if (k.startsWith("jdbc.") && k != "jdbc.url") {
+        val v = e.getValue
+        val resolved =
+          if (v != null && v.startsWith("env:")) {
+            val name = v.stripPrefix("env:")
+            sys.env.getOrElse(name, throw new IllegalArgumentException(
+              s"catalog option $k points at unset environment variable $name"))
+          } else v
+        props.setProperty(k.stripPrefix("jdbc."), resolved)
+      }
+    }
+    props
   }
 }
 

@@ -111,8 +111,12 @@ final case class PqEncode(child: Expression, codebook: Array[Float], m: Int, ksu
         var dist = 0d
         var d = 0
         while (d < subDim) {
-          val diff = v.getFloat(s * subDim + d) - codebook((s * ksub + c) * subDim + d)
-          dist += diff.toDouble * diff
+          // widen BEFORE subtracting — the codegen path subtracts in double,
+          // and a float-precision diff here could flip an argmin tie between
+          // the interpreted and compiled paths
+          val diff = v.getFloat(s * subDim + d).toDouble -
+            codebook((s * ksub + c) * subDim + d).toDouble
+          dist += diff * diff
           d += 1
         }
         if (dist < bestDist) { bestDist = dist; best = c }

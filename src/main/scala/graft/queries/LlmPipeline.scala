@@ -3802,21 +3802,26 @@ object LlmPipeline {
       .orderBy("band")
   }
 
-  /** q128's pair census with the r11 SATURATION GUARDRAIL. Default is the
-    * lossless pigeonhole banding (unchanged gate semantics), but the band
-    * profile now runs first and
-    *   - WARNS loudly when any band's max block exceeds
-    *     `graft.hamming.saturation-bound` (default 4096) — the measured
-    *     ~n² cliff of a saturated band alphabet (r10 scale curve: 27.4×
-    *     for 10× data on dense sequential ids);
-    *   - with `graft.hamming.fail-on-saturation=true`, FAILS FAST instead
-    *     (the posture for an unattended 100 TB run);
-    *   - with `graft.hamming.block-cap=K` (opt-in), keeps only the K
-    *     smallest-id rows per band block — q127's row_number pattern, a
-    *     map-side WindowGroupLimit — and prints the exact dropped-pair
-    *     upper bound, so the recall trade is explicit, never silent.
-    * The profile pass is one skinny hash-agg + 3-row collect; that is the
-    * guardrail's documented cost.
+  /** q128's pair census with the SATURATION GUARDRAIL — capping is the
+    * DEFAULT under saturation since r12 (VERDICT r11 #3: the naive 100 TB
+    * user must get the bounded curve, not the quadratic one). The band
+    * profile runs first (one skinny hash-agg + 3-row collect — the
+    * guardrail's documented cost), then:
+    *   - UNSATURATED corpora (every band's max block <=
+    *     `graft.hamming.saturation-bound`, default 4096) run the lossless
+    *     pigeonhole census unchanged — the oracle gate's semantics;
+    *   - SATURATED corpora AUTO-ENGAGE a per-block cap
+    *     (`graft.hamming.auto-cap`, default 512): keep the K smallest-id
+    *     rows per band block — q127's row_number pattern, a map-side
+    *     WindowGroupLimit — and print the exact dropped-pair upper bound.
+    *     Measured on the dense-id fixture: 3.2× wall at 10× data vs 23.6×
+    *     lossless;
+    *   - `graft.hamming.lossless=true` opts back into the unbounded census
+    *     (warn-only, the pre-r12 default);
+    *   - `graft.hamming.fail-on-saturation=true` FAILS FAST before any
+    *     join (the posture for an unattended run that must not silently
+    *     trade recall OR run quadratic);
+    *   - `graft.hamming.block-cap=K` forces the cap unconditionally.
     */
   private[graft] def hammingBandedCensus(s: SparkSession, c0: DataFrame): DataFrame = {
     import graft.functions.TextHashing.hammingDistance
@@ -3827,26 +3832,41 @@ object LlmPipeline {
       if (v.nonEmpty) v
       else sys.env.getOrElse(key.toUpperCase.replace('.', '_').replace('-', '_'), default)
     }
-    val cap = Option(gconf("graft.hamming.block-cap", "")).filter(_.nonEmpty).map(_.toInt)
+    val explicitCap =
+      Option(gconf("graft.hamming.block-cap", "")).filter(_.nonEmpty).map(_.toInt)
+    val autoCap = gconf("graft.hamming.auto-cap", "512").toInt
+    val lossless = gconf("graft.hamming.lossless", "false").toBoolean
     val bound = gconf("graft.hamming.saturation-bound", "4096").toLong
     val failFast = gconf("graft.hamming.fail-on-saturation", "false").toBoolean
     val c = hammingKeyed(c0)
-    val prof = hammingBandProfile(c, cap).collect()
+    // profile against the cap that WOULD engage, so the dropped-pair bound
+    // printed below is the one the chosen plan actually incurs
+    val prof = hammingBandProfile(c, explicitCap.orElse(Some(autoCap))).collect()
+    val saturated = prof.exists(_.getAs[Long]("max_block") > bound)
     prof.filter(_.getAs[Long]("max_block") > bound).foreach { r =>
       val msg = s"[graft][q128] band-alphabet SATURATION: band ${r.getAs[Int]("band")} " +
         s"max block ${r.getAs[Long]("max_block")} > bound $bound " +
         s"(candidate-pair bill ${r.getAs[Long]("pairs_upper")}); probe pairs grow ~n² " +
-        "on this key space — set graft.hamming.block-cap to trade recall for " +
-        "boundedness, or raise graft.hamming.saturation-bound deliberately"
-      if (failFast && cap.isEmpty) throw new IllegalStateException(msg)
+        "on this key space"
+      if (failFast && explicitCap.isEmpty) throw new IllegalStateException(msg)
       System.err.println(msg)
     }
+    // cap precedence: explicit > auto-under-saturation > none; lossless=true
+    // opts back into the unbounded census (pre-r12 default)
+    val cap = explicitCap.orElse(
+      if (saturated && !lossless) Some(autoCap) else None)
     cap.foreach { k =>
       val dropped = prof.map(_.getAs[Long]("dropped_pairs_upper")).sum
-      System.err.println(s"[graft][q128] block cap $k ACTIVE: dropping at most " +
+      val how = if (explicitCap.isDefined) "ACTIVE (explicit)"
+        else "AUTO-ENGAGED under saturation (set graft.hamming.lossless=true " +
+          "to opt into the quadratic lossless census)"
+      System.err.println(s"[graft][q128] block cap $k $how: dropping at most " +
         s"$dropped candidate pairs (Σ C(n,2)−C(min(n,$k),2) over all band blocks) — " +
         "recall trade is explicit")
     }
+    if (saturated && lossless && explicitCap.isEmpty)
+      System.err.println("[graft][q128] lossless census on a SATURATED key space " +
+        "(opted in): expect ~n² candidate pairs")
     val cand = (0 until 3).map { i =>
       val cb0 = c.withColumn("bval", bandVal(i))
       val cb = cap match {

@@ -180,11 +180,14 @@ object PqAnn {
     * both persist in table properties: the index is self-describing.
     */
   def buildIvfPqIndex(s: SparkSession, emb: DataFrame, indexTable: String,
-      cells: Int = 16, m: Int = 16, ksub: Int = 16): Unit = {
+      cells: Int = 16, m: Int = 16, ksub: Int = 16,
+      frozen: Option[(Array[Float], Array[Float])] = None): Unit = {
     require(cells <= 128, "ivf-pq: cell ids ride in a signed byte code") // see assignCell
     val base = emb.select(col("vec_id"), col("label").cast("int").as("label"), col("embedding"))
-    val cb = train(s, base, m, ksub)
-    val coarse = trainCoarse(s, base, cells)
+    // frozen = (codebook, coarse): a caller may pin pre-trained parameters
+    // (q192's oracled frozen-literal index) instead of re-training per build
+    val cb = frozen.map(_._1).getOrElse(train(s, base, m, ksub))
+    val coarse = frozen.map(_._2).getOrElse(trainCoarse(s, base, cells))
     val ns = indexTable.split('.').dropRight(1).mkString(".")
     s.sql(s"CREATE NAMESPACE IF NOT EXISTS $ns")
     s.sql(s"DROP TABLE IF EXISTS $indexTable")
@@ -233,6 +236,38 @@ object PqAnn {
       .limit(k)
   }
 
+  /** [[probeIvfPqIndex]] for an EXTERNAL query vector (the production ANN
+    * shape: the probe is an arbitrary embedding, not a corpus row — no
+    * self-exclusion). Same pipeline: partition-pruned ADC scan of the
+    * `nprobe` nearest cells, exact cosine re-rank of the shortlist. The
+    * assigned cell rides in the output so an oracle can pin the IVF
+    * assignment, not just the final ranking.
+    */
+  def probeIvfPqIndexVec(s: SparkSession, indexTable: String, emb: DataFrame,
+      qvec: Array[Float], k: Int = 10, nprobe: Int = 4, rerank: Int = 50): DataFrame = {
+    val props = s.sql(s"SHOW TBLPROPERTIES $indexTable").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val cb = unpackFloats(props("pq.codebook"))
+    val m = props("pq.m").toInt
+    val ksub = props("pq.ksub").toInt
+    val coarse = unpackFloats(props("ivf.centroids"))
+    val cells = props("ivf.cells").toInt
+    val base = emb.select(col("vec_id"), col("label").cast("int").as("label"), col("embedding"))
+    val lut = PqOps.ipLut(qvec, cb, m, ksub)
+    val probed = nearestCells(qvec, coarse, cells, nprobe)
+    val shortlist = s.table(indexTable)
+      .filter(col("cell").isin(probed: _*)) // partition-pruned to the probed cells' files
+      .select(col("vec_id"), col("cell"), PqOps.pqAdc(col("codes"), lut, ksub).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(rerank)
+      .select(col("vec_id"), col("cell"))
+    base.join(broadcast(shortlist), "vec_id")
+      .select(col("vec_id"), col("label"), col("cell").cast("int").as("cell"),
+        cosineSim(col("embedding"), lit(qvec)).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Coarse IVF centroids (flat `cells × dim`): whole-vector k-means, the
     * same hash-seed + Lloyd shape as the subspace trainer.
     */
@@ -272,13 +307,13 @@ object PqAnn {
     * against the coarse "codebook" viewed as ONE subspace of `cells`
     * centroids, then read the single code out as the cell id.
     */
-  private def assignCell(vec: Column, coarse: Array[Float], cells: Int): Column =
+  private[graft] def assignCell(vec: Column, coarse: Array[Float], cells: Int): Column =
     element_at(PqOps.pqEncode(vec, coarse, 1, cells), 1).cast("int")
 
   /** The query's `nprobe` nearest coarse cells (driver-side, it is query
     * planning — the same argmin the scan expression applies row-side).
     */
-  private def nearestCells(q: Array[Float], coarse: Array[Float], cells: Int,
+  private[graft] def nearestCells(q: Array[Float], coarse: Array[Float], cells: Int,
       nprobe: Int): Seq[Int] = {
     val dim = coarse.length / cells
     (0 until cells).map { c =>

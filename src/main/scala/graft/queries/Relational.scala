@@ -48,7 +48,9 @@ object Relational {
       .when(isnan(c), lit("nan"))
       .when(c === Double.PositiveInfinity, lit("inf"))
       .when(c === Double.NegativeInfinity, lit("-inf"))
-      .otherwise(regexp_replace(format_string("%a", c), "\\.0p", "p"))
+      // literal pattern: plain replace (no per-row regex engine — q161
+      // runs this on every row of the table being checksummed)
+      .otherwise(replace(format_string("%a", c), lit(".0p"), lit("p")))
 
   /** Unique scratch dir for the format-roundtrip queries (q163/164/165/180).
     * A FIXED relative path would depend on the process working directory

@@ -110,10 +110,57 @@ class HammingGuardrailSpec extends AnyFunSuite {
     }
   }
 
-  test("default path stays lossless on the saturated fixture (pigeonhole unchanged)") {
-    val got = runCensus() // no conf: warns to stderr, truncates nothing
+  test("default path stays lossless on an UNSATURATED fixture (pigeonhole unchanged)") {
+    // the planted fixture's max band block (~300) sits under the default
+    // 4096 bound, so no saturation trips and the census is lossless
+    val got = runCensus() // no conf: nothing engages
     val want = localCensus(plantedNames, None)
     assert(want.nonEmpty && got == want, s"lossless census $got != brute force $want")
+  }
+
+  test("r12 default: saturation AUTO-ENGAGES the cap (the naive user gets the bounded plan)") {
+    spark.conf.set("graft.hamming.saturation-bound", "100") // planted max block ~300 trips it
+    spark.conf.set("graft.hamming.auto-cap", "50")
+    try {
+      val got = runCensus() // no block-cap, no lossless: auto-cap must engage
+      val want = localCensus(plantedNames, Some(50))
+      assert(want.nonEmpty && got == want, s"auto-capped census $got != local model $want")
+      assert(localCensus(plantedNames, None).values.sum > want.values.sum,
+        "fixture must make the auto-cap bind, or this test pins nothing")
+    } finally {
+      spark.conf.unset("graft.hamming.saturation-bound")
+      spark.conf.unset("graft.hamming.auto-cap")
+    }
+  }
+
+  test("graft.hamming.lossless=true opts back into the unbounded census under saturation") {
+    spark.conf.set("graft.hamming.saturation-bound", "100")
+    spark.conf.set("graft.hamming.auto-cap", "50")
+    spark.conf.set("graft.hamming.lossless", "true")
+    try {
+      val got = runCensus()
+      val want = localCensus(plantedNames, None)
+      assert(got == want, s"opted-in lossless census $got != brute force $want")
+    } finally {
+      spark.conf.unset("graft.hamming.saturation-bound")
+      spark.conf.unset("graft.hamming.auto-cap")
+      spark.conf.unset("graft.hamming.lossless")
+    }
+  }
+
+  test("explicit block-cap still wins over the auto-cap") {
+    spark.conf.set("graft.hamming.saturation-bound", "100")
+    spark.conf.set("graft.hamming.auto-cap", "200")
+    spark.conf.set("graft.hamming.block-cap", "50")
+    try {
+      val got = runCensus()
+      assert(got == localCensus(plantedNames, Some(50)),
+        "explicit cap must take precedence over the saturation auto-cap")
+    } finally {
+      spark.conf.unset("graft.hamming.saturation-bound")
+      spark.conf.unset("graft.hamming.auto-cap")
+      spark.conf.unset("graft.hamming.block-cap")
+    }
   }
 
   test("real corpus is far below the default bound: the gate never warns or truncates") {

@@ -26,19 +26,65 @@ import graft.catalog.PointerStore
   */
 class PointerStoreGoldenSpec extends AnyFunSuite {
 
-  private def render: String =
-    PointerStore.Sql.All.map { case (name, sql) =>
+  private def render(d: PointerStore.Dialect): String =
+    d.All.map { case (name, sql) =>
       s"-- statement: $name\n$sql\n"
     }.mkString("\n")
 
-  test("golden: the emitted SQL text is frozen, byte for byte") {
-    val in = getClass.getClassLoader.getResourceAsStream("pointer_store_sql.golden")
-    assert(in != null, "missing src/test/resources/pointer_store_sql.golden")
+  private def assertGolden(d: PointerStore.Dialect, resource: String): Unit = {
+    val actual = render(d)
+    if (sys.env.contains("GRAFT_REGEN_GOLDEN")) {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"src/test/resources/$resource"),
+        actual.getBytes("UTF-8"))
+      fail(s"regenerated $resource — rerun without GRAFT_REGEN_GOLDEN")
+    }
+    val in = getClass.getClassLoader.getResourceAsStream(resource)
+    assert(in != null, s"missing src/test/resources/$resource")
     val golden = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    val actual = render
     assert(actual == golden,
-      s"PointerStore SQL drifted from the golden contract.\n--- actual ---\n$actual\n--- golden ---\n$golden")
+      s"PointerStore SQL drifted from the golden contract ($resource).\n--- actual ---\n$actual\n--- golden ---\n$golden")
+  }
+
+  test("golden: the emitted ANSI SQL text is frozen, byte for byte") {
+    assertGolden(PointerStore.Sql, "pointer_store_sql.golden")
+  }
+
+  test("golden: the native-Postgres SQL text is frozen, byte for byte (r12)") {
+    assertGolden(PointerStore.PgSql, "pointer_store_sql_pg.golden")
+  }
+
+  test("pg dialect: differs from ANSI in EXACTLY the native-primitive statements") {
+    val ansi = PointerStore.Sql.All.toMap
+    val pg = PointerStore.PgSql.All.toMap
+    val diff = ansi.keySet.filter(k => ansi(k) != pg(k))
+    assert(diff == Set("create_iceberg_tables", "create_namespaces_table",
+      "create_leases_table", "create_views_table", "register",
+      "create_namespace", "lease_insert", "view_register"),
+      s"unexpected dialect divergence: $diff")
+    // the divergences are exactly IF NOT EXISTS / ON CONFLICT DO NOTHING
+    for (k <- diff) {
+      val stripped = pg(k)
+        .replace("CREATE TABLE IF NOT EXISTS", "CREATE TABLE")
+        .replace(" ON CONFLICT DO NOTHING", "")
+      assert(stripped == ansi(k),
+        s"$k: the PG statement must be the ANSI one plus a native primitive:\n${pg(k)}")
+    }
+    // and the CAS — the contract's heart — is byte-identical
+    assert(ansi("cas_update") == pg("cas_update"))
+  }
+
+  test("pg grammar: no Derby-isms, still single-statement, still ?-placeholders only") {
+    val forbidden = Seq("`", "[", "]", "\"", "ON DUPLICATE", "RETURNING",
+      "LIMIT", "OFFSET", "FETCH FIRST", "SERIAL", "AUTO_INCREMENT",
+      "IDENTITY", "ILIKE", "::", "NOW()", "CURRENT_TIMESTAMP", ";")
+    for ((name, sql) <- PointerStore.PgSql.All; bad <- forbidden)
+      assert(!sql.toUpperCase.contains(bad.toUpperCase),
+        s"$name contains dialect-unsafe token '$bad':\n$sql")
+    for ((name, sql) <- PointerStore.PgSql.All)
+      assert(sql.matches("(?s)^(SELECT|INSERT INTO|UPDATE|DELETE FROM|CREATE TABLE)\\b.*"),
+        s"$name does not start with an allowed verb:\n$sql")
   }
 
   test("grammar: every statement stays inside the Derby∩Postgres ANSI subset") {
@@ -64,7 +110,7 @@ class PointerStoreGoldenSpec extends AnyFunSuite {
       val tables = "(?i)(?:FROM|INTO|UPDATE|TABLE)\\s+([a-z_]+)".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       assert(tables.subsetOf(Set("iceberg_tables", "graft_namespaces",
-        "graft_commit_leases")),
+        "graft_commit_leases", "iceberg_views")),
         s"$name touches unexpected tables $tables:\n$sql")
     }
     // types: VARCHAR plus BIGINT (r11, the lease expiry stamp) — both are
@@ -90,7 +136,11 @@ class PointerStoreGoldenSpec extends AnyFunSuite {
       "create_namespace" -> 2, "drop_namespace" -> 2, "list_namespaces" -> 2,
       // r11 starvation-escape lease (advisory; see CasCommit.retryLoop)
       "create_leases_table" -> 0, "lease_insert" -> 5, "lease_steal" -> 6,
-      "lease_peek" -> 3, "lease_release" -> 4)
+      "lease_peek" -> 3, "lease_release" -> 4,
+      // r12 V2 views — the table pointer contract, verbatim, on iceberg_views
+      "create_views_table" -> 0, "view_list" -> 2, "view_load" -> 3,
+      "view_register" -> 4, "view_cas_update" -> 6, "view_drop" -> 3,
+      "view_rename" -> 5)
     val actual = PointerStore.Sql.All.map { case (n, s) => n -> s.count(_ == '?') }.toMap
     assert(actual == expected, s"placeholder drift: $actual")
     assert(PointerStore.Sql.All.map(_._1).toSet == expected.keySet)
