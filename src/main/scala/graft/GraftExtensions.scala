@@ -275,6 +275,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("video_frames"),
+      info("video_frames",
+        "video_frames(payload, n) - n evenly-spaced DECODED frames (PNG payloads) of a multi-frame image container (animated GIF); NULL for non-images"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, Literal(n: Int, IntegerType)) => graft.functions.VideoFrames(c, n)
+        case other => throw new IllegalArgumentException(
+          s"video_frames(payload, n): bad args $other")
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("decode_image"),
       info("decode_image",
         "decode_image(payload, grid) - real JDK ImageIO decode to struct(width, height, format, gray grid); NULL for non-images"),

@@ -9,7 +9,8 @@ object SparkEntry {
   /** Full registry of implemented operators (SURVEY §2 inventory). */
   def registry: Seq[QueryDef] =
     queries_relational ++ queries_catalog ++ queries_llm ++
-      graft.queries.FrozenAnn.defs ++ queries_streaming
+      graft.queries.FrozenAnn.defs ++ graft.queries.VideoQueries.defs ++
+      queries_streaming
 
   private def queries_relational: Seq[QueryDef] = graft.queries.Relational.defs
   private def queries_catalog: Seq[QueryDef] = graft.queries.CatalogQueries.defs

@@ -105,3 +105,54 @@ final class TopKByCount(k: Int) extends Aggregator[(String, Long), TopKBuf, Seq[
   override def outputEncoder: Encoder[Seq[(String, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
 }
+
+final case class KnnBuf(dists: Seq[Long], ids: Seq[Long])
+
+/** `bottom_k_by_dist(id, dist, k)`: the k (id, dist) pairs with the
+  * SMALLEST dist (ties by id ascending) — the KNN-join reducer. Same
+  * bounded-buffer discipline as [[TopKByCount]]: each map task ships at
+  * most Q·k entries per query group, so a batched nearest-neighbor join
+  * over 100 TB of candidates never window-sorts the scored table under a
+  * low-cardinality query key.
+  */
+final class BottomKByDist(k: Int)
+  extends Aggregator[(Long, Long), KnnBuf, Seq[(Long, Long)]] {
+
+  override def zero: KnnBuf = KnnBuf(Nil, Nil)
+
+  private def before(d1: Long, i1: Long, d2: Long, i2: Long): Boolean =
+    d1 < d2 || (d1 == d2 && i1 < i2)
+
+  override def reduce(b: KnnBuf, in: (Long, Long)): KnnBuf = {
+    val (id, d) = in
+    val size = b.dists.length
+    if (size >= k && !before(d, id, b.dists(size - 1), b.ids(size - 1))) return b
+    var pos = 0
+    while (pos < size && before(b.dists(pos), b.ids(pos), d, id)) pos += 1
+    val ds = (b.dists.take(pos) :+ d) ++ b.dists.drop(pos)
+    val ids = (b.ids.take(pos) :+ id) ++ b.ids.drop(pos)
+    KnnBuf(ds.take(k), ids.take(k))
+  }
+
+  override def merge(a: KnnBuf, b: KnnBuf): KnnBuf = {
+    if (b.dists.isEmpty) return a
+    if (a.dists.isEmpty) return b
+    val ds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    var j = 0
+    while (ds.length < k && (i < a.dists.length || j < b.dists.length)) {
+      val takeA = j >= b.dists.length ||
+        (i < a.dists.length && before(a.dists(i), a.ids(i), b.dists(j), b.ids(j)))
+      if (takeA) { ds += a.dists(i); ids += a.ids(i); i += 1 }
+      else { ds += b.dists(j); ids += b.ids(j); j += 1 }
+    }
+    KnnBuf(ds.toSeq, ids.toSeq)
+  }
+
+  override def finish(r: KnnBuf): Seq[(Long, Long)] = r.ids.zip(r.dists)
+
+  override def bufferEncoder: Encoder[KnnBuf] = Encoders.product[KnnBuf]
+  override def outputEncoder: Encoder[Seq[(Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+}

@@ -20,17 +20,27 @@ import org.apache.spark.sql.types._
   * payloads yield NULL, so the expression composes safely over mixed
   * corpora.
   *
-  * VIDEO-FRAME NOTE — no video codecs exist in the JDK, so `sample_frames`
-  * remains a deterministic fake for that one modality: it extracts `n`
-  * fixed-size byte slices at evenly spaced offsets, the exact data-flow
-  * shape of real frame sampling (seek to evenly spaced timestamps, decode
-  * one frame each). Swapping the slice for a video decoder changes ONLY
-  * the loop body; composing `decode_image` over each sampled frame is the
-  * real pipeline shape and is what q54 runs.
+  * VIDEO-FRAME NOTE — the JDK ships exactly one multi-frame video
+  * container codec (animated GIF), and since r12 `video_frames` is a REAL
+  * decoder for it: seek to evenly spaced frame ordinals, decode each,
+  * re-encode as a standalone PNG so the whole image toolchain
+  * (`decode_image`, `phash64`) composes per frame (q193). `sample_frames`
+  * remains alongside it as the deterministic byte-slicer for codec-less
+  * payload formats (q50) — extracting `n` fixed-size slices at evenly
+  * spaced offsets, the same data-flow shape with the decode stubbed.
   */
 object Multimodal {
   def sampleFrames(payload: Column, frameBytes: Int, n: Int): Column =
     call_function("sample_frames", payload, lit(frameBytes), lit(n))
+
+  /** REAL video-frame decode (r12): `n` evenly spaced frames of a
+    * multi-frame container the JDK can read (animated GIF), each
+    * re-encoded as a standalone PNG payload — so the whole image toolchain
+    * (`decode_image`, `phash64`) composes per frame. NULL for payloads no
+    * ImageIO reader accepts; a single-frame image is a 1-frame video.
+    */
+  def videoFrames(payload: Column, n: Int): Column =
+    call_function("video_frames", payload, lit(n))
 
   /** struct(width, height, format, gray: array<double>) or NULL. */
   def decodeImage(payload: Column, grid: Int): Column =
@@ -53,8 +63,32 @@ object Multimodal {
     */
   def syntheticPng(seed: Int, w: Int = 64, h: Int = 64,
       brightness: Int = 0, noisePixels: Int = 0): Array[Byte] = {
+    val luma = renderLuma(seed, 0, w, h, brightness, noisePixels)
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val l = luma(y * w + x)
+        img.setRGB(x, y, (l << 16) | (l << 8) | l)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** The fixture raster, factored out so the PNG (q92) and animated-GIF
+    * (q193) fixtures share one authority. `frameShift = 0` reproduces the
+    * original single-image math EXACTLY (q92's frozen phash literals must
+    * not move); a video frame shifts every component's phase — smooth
+    * temporal motion, distinct per-frame pHashes.
+    */
+  private def renderLuma(seed: Int, frameShift: Int, w: Int, h: Int,
+      brightness: Int, noisePixels: Int): Array[Int] = {
     // dense spectrum (5 components, decaying amplitudes, seed-unique
     // frequency pairs) — keeps the 8×8 DCT block's coefficients well away
     // from the median so the hash is stable under small edits, like a
@@ -65,7 +99,9 @@ object Multimodal {
     val amp = Array(36.0, 22.0, 13.0, 8.0, 5.0)
     val kfx = Array.tabulate(5)(k => 1 + (seed + k * 5) % 4 + k)
     val kfy = Array.tabulate(5)(k => 1 + (seed / 4 + k * 3) % 3 + k)
-    val kph = Array.tabulate(5)(k => 1.3 * seed + 2.1 * k + 0.37 * seed * k)
+    val kph = Array.tabulate(5)(k =>
+      1.3 * seed + 2.1 * k + 0.37 * seed * k + 0.77 * frameShift * (k + 1))
+    val luma = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
@@ -84,8 +120,7 @@ object Multimodal {
         val th = (seed * 73856093) ^ ((x >> 2) * 19349663) ^ ((y >> 2) * 83492791)
         val tex = (((th * 2654435761L) >>> 24) % 41L - 20L).toInt
         val l0 = 120 + s.toInt + tex + (20 * x) / w + brightness
-        val l = math.max(0, math.min(255, l0))
-        img.setRGB(x, y, (l << 16) | (l << 8) | l)
+        luma(y * w + x) = math.max(0, math.min(255, l0))
         x += 1
       }
       y += 1
@@ -99,12 +134,48 @@ object Multimodal {
       val px = ((lcg >>> 33) % w).toInt
       val py = ((lcg >>> 17) % h).toInt
       val delta = (((lcg >>> 45) % 49L) - 24L).toInt
-      val l = math.max(0, math.min(255, (img.getRGB(px, py) & 0xff) + delta))
-      img.setRGB(px, py, (l << 16) | (l << 8) | l)
+      luma(py * w + px) =
+        math.max(0, math.min(255, luma(py * w + px) + delta))
       i += 1
     }
+    luma
+  }
+
+  /** Deterministic ANIMATED-GIF fixture: `nFrames` phase-shifted sinusoid
+    * frames written through the JDK's own GIF sequence writer — a REAL
+    * multi-frame video container the JDK can also decode, which upgrades
+    * the video path from the byte-slicer stub to an actual
+    * decode-frames-then-hash pipeline (q193). Frames are 8-bit indexed on
+    * an exact 256-gray palette, so the GIF round-trips pixels losslessly.
+    */
+  def syntheticGif(seed: Int, nFrames: Int, w: Int = 64, h: Int = 64,
+      brightness: Int = 0, noisePixels: Int = 0): Array[Byte] = {
+    val grays = Array.tabulate(256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      val param = writer.getDefaultWriteParam
+      writer.prepareWriteSequence(writer.getDefaultStreamMetadata(param))
+      var f = 0
+      while (f < nFrames) {
+        val luma = renderLuma(seed, f, w, h, brightness, noisePixels)
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, luma(y * w + x)); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
     bos.toByteArray
   }
 
@@ -388,6 +459,76 @@ object DecodeAudio {
         } finally pcm.close()
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => null }
+  }
+}
+
+/** `video_frames(payload, n) -> array<binary>`: n evenly spaced DECODED
+  * frames (PNG-re-encoded) of a multi-frame image container — the real
+  * upgrade over `sample_frames`' byte slicer for the one video format the
+  * JDK ships a codec for (animated GIF). Evaluation is one shared static
+  * helper (interpreted ≡ generated); NULL when no ImageIO reader accepts
+  * the payload.
+  */
+final case class VideoFrames(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n > 0, "video_frames: n>0")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"$prettyName requires binary, got $dt")
+  }
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "video_frames"
+
+  override def nullSafeEval(input: Any): Any =
+    VideoFrames.compute(input.asInstanceOf[Array[Byte]], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""
+         |${ev.value} = graft.functions.VideoFrames$$.MODULE$$.compute($b, $n);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): VideoFrames =
+    copy(child = newChild)
+}
+
+object VideoFrames {
+  /** Shared by interpreted and generated code — identical by construction.
+    * Decodes up to `n` evenly spaced frame indices over [0, total-1]
+    * (deduplicated when total < n, order kept) and re-encodes each as PNG.
+    */
+  def compute(payload: Array[Byte], n: Int): GenericArrayData = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return null
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val total = reader.getNumImages(true)
+        if (total <= 0) return null
+        val count = math.min(n, total)
+        val frames = new Array[Any](count)
+        var i = 0
+        while (i < count) {
+          // "seek to timestamp i/n": the same even spacing sample_frames
+          // applies to byte offsets, applied to frame ordinals
+          val idx = ((total - 1).toLong * i / math.max(count - 1, 1)).toInt
+          val img = reader.read(idx)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          frames(i) = bos.toByteArray
+          i += 1
+        }
+        new GenericArrayData(frames)
+      } finally reader.dispose()
+    } catch {
+      case _: Exception => null // torn/corrupt container: NULL, never throw
+    } finally iis.close()
   }
 }
 

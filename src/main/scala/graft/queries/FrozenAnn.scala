@@ -366,6 +366,54 @@ object FrozenAnn {
     // scan of the 4 nearest cells, exact re-rank. DuckDB replays coarse
     // assignment, candidate pruning, encoding, the ADC shortlist, and the
     // re-rank from the raw parquet.
+    // ───── q194: batched exact KNN JOIN on int8-quantized vectors ────────
+    // The hard-negative-mining / seed-set-dedup shape: EVERY seed vector
+    // (vec_id < 5, the in-data query batch) gets its 5 nearest corpus
+    // neighbors in ONE pass. Scale plan: the quantized seed batch
+    // broadcasts (Q x 64 ints), one scan scores Q integer distances per
+    // corpus row map-side, and the per-seed top-5 reduces through the
+    // BOUNDED BottomKByDist aggregate — at most Q·5 entries ship per map
+    // task, never a window sort of the Q·N scored table. All arithmetic is
+    // exact integers after the one correctly-rounded quantize division
+    // (the q157/q160 int8 oracle discipline), so DuckDB replays the join
+    // bit-for-bit.
+    QueryDef.df("q194_knn_join_int8",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |gs AS (SELECT max(list_max([abs(x) for x in v])) AS s FROM e),
+        |q AS (SELECT vec_id, [CAST(floor(x * 127.0 / s + 0.5) AS BIGINT) for x in v] AS qv FROM e, gs),
+        |p AS (
+        |  SELECT s.vec_id AS qid, c.vec_id,
+        |    list_sum([(c.qv[i] - s.qv[i]) * (c.qv[i] - s.qv[i])
+        |              for i in range(1, len(c.qv) + 1)]) AS dist
+        |  FROM q s JOIN q c ON s.vec_id < 5 AND c.vec_id >= 5),
+        |r AS (SELECT qid, vec_id, dist,
+        |        row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rk FROM p)
+        |SELECT qid, CAST(rk AS INT) AS rk, vec_id, CAST(dist AS BIGINT) AS dist
+        |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val gs = e.agg(max(array_max(transform(col("embedding"),
+        x => abs(x.cast("double"))))).as("s"))
+      val q = e.crossJoin(broadcast(gs))
+        .select(col("vec_id"), transform(col("embedding"),
+          x => floor(x.cast("double") * lit(127.0) / col("s") + lit(0.5))
+            .cast("long")).as("qv"))
+      val seeds = q.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("qv").as("sv"))
+      val knn = udaf(new graft.functions.BottomKByDist(5))
+      val dist = aggregate(
+        zip_with(col("qv"), col("sv"), (a, b) => { val d = a - b; d * d }),
+        lit(0L), (acc, v) => acc + v)
+      q.filter(col("vec_id") >= 5)
+        .crossJoin(broadcast(seeds)) // Q seed rows: broadcast fan-out, map-side scoring
+        .select(col("qid"), col("vec_id"), dist.as("dist"))
+        .groupBy("qid")
+        .agg(knn(col("vec_id"), col("dist")).as("nn"))
+        .select(col("qid"), posexplode(col("nn")))
+        .select(col("qid"), (col("pos") + 1).cast("int").as("rk"),
+          col("col._1").as("vec_id"), col("col._2").as("dist"))
+        .orderBy("qid", "rk")
+    },
+
     QueryDef.df("q192_ivfpq_frozen", q192OracleSql) { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       PqAnn.buildIvfPqIndex(s, emb, "lake.idx.emb_ivfpq_frozen",

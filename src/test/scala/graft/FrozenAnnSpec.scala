@@ -66,6 +66,35 @@ class FrozenAnnSpec extends AnyFunSuite {
       "the catalog-materialized probe must answer exactly what the inline pipeline answers")
   }
 
+  test("BottomKByDist: bounded buffer, exact (dist, id) order, merge == global sort") {
+    val agg = new graft.functions.BottomKByDist(3)
+    val items = Seq((10L, 5L), (11L, 2L), (12L, 5L), (13L, 1L), (14L, 2L), (15L, 9L))
+    // reduce one by one
+    val b = items.foldLeft(agg.zero)((b, x) => agg.reduce(b, x))
+    assert(agg.finish(b) == Seq((13L, 1L), (11L, 2L), (14L, 2L)),
+      "bottom-3 by (dist asc, id asc)")
+    assert(b.dists.length == 3, "buffer stays bounded at k")
+    // split reduce + merge equals the single-pass result (shuffle safety)
+    val (l, r) = items.splitAt(3)
+    val merged = agg.merge(
+      l.foldLeft(agg.zero)((b, x) => agg.reduce(b, x)),
+      r.foldLeft(agg.zero)((b, x) => agg.reduce(b, x)))
+    assert(agg.finish(merged) == agg.finish(b))
+  }
+
+  test("q194: every seed gets exactly 5 neighbors, none of them a seed, dists nondecreasing") {
+    val rows = run("q194_knn_join_int8").collect()
+    assert(rows.length == 25)
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { g =>
+      assert(g.length == 5)
+      assert(g.forall(_.getAs[Long]("vec_id") >= 5L), "seeds never match themselves")
+      val ds = g.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("dist"))
+      assert(ds.sorted.sameElements(ds), "ranks follow distance")
+    }
+  }
+
   test("frozen parameters decode to the documented shapes") {
     val (cb, coarse, qv) = graft.queries.FrozenAnn.frozenParams
     assert(cb.length == 16 * 16 * 4, "codebook: m=16 x ksub=16 x subDim=4")
