@@ -83,6 +83,7 @@ final class LakeDeltaOperation(
     new LakeScanBuilder(table.name(), table.schema(),
       table.meta.logicalStatFiles(table.meta.currentFiles), options,
       partitionCols = table.meta.partitionColumns,
+      allPartitionCols = table.meta.allPartitionColumns,
       l2p = table.meta.l2pMap,
       // existing tombstones apply during the scan: a second DELETE can't
       // re-tombstone (or resurrect) rows a first one already removed

@@ -1137,7 +1137,10 @@ object LakeMaintenance {
     }
     require(fields.map(_.source).distinct.size == fields.size,
       "duplicate partition source columns")
-    commitMeta(cat, ident, t, hadoopConf, m => m.copy(partitionColumns = spec))
+    // evolveSpec archives the outgoing spec under its id: pruning keeps
+    // running under the UNION of historical specs, so pre-evolution files
+    // still skip on their own transform keys (TableMeta.allPartitionFields)
+    commitMeta(cat, ident, t, hadoopConf, m => m.evolveSpec(spec))
   }
 
   /** Z-ORDER compaction: rewrite the table clustered along a space-filling

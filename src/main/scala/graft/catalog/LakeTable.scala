@@ -199,7 +199,7 @@ final class LakeTable(
       // on a high-NDV bloom column hands its surviving keys to the scan,
       // and file-level blooms drop every file provably holding none.
       runtimeFilterCols =
-        (meta.partitionFields.map(_.source) ++ meta.bloomColumns).distinct,
+        (meta.allPartitionFields.map(_.source) ++ meta.bloomColumns).distinct,
       microBatch = Some(() => new LakeMicroBatchStream(ident, meta.physicalSchema,
         () => {
           val loc = store.load(namespace, tableName).getOrElse(
@@ -207,6 +207,7 @@ final class LakeTable(
           TableMeta.read(loc, hadoopConf)
         }, options, hadoopConf)),
       partitionCols = meta.partitionColumns,
+      allPartitionCols = meta.allPartitionColumns,
       l2p = meta.l2pMap,
       deleteFiles = snap.map(meta.deleteFilesOf).getOrElse(Nil),
       eqDeletes = snap.map(meta.eqDeleteFilesOf).getOrElse(Nil),
@@ -537,8 +538,9 @@ final class LakeRowLevelOperation(
       // keyed on a bloom-indexed id rewrites only the files whose blooms
       // may hold a matched key, even with no partitioning at all.
       runtimeFilterCols =
-        (table.meta.partitionFields.map(_.source) ++ table.meta.bloomColumns).distinct,
+        (table.meta.allPartitionFields.map(_.source) ++ table.meta.bloomColumns).distinct,
       partitionCols = table.meta.partitionColumns,
+      allPartitionCols = table.meta.allPartitionColumns,
       l2p = table.meta.l2pMap,
       // pending merge-on-read tombstones apply during the CoW scan, so the
       // rewritten files exclude the deleted rows
@@ -621,6 +623,9 @@ final class LakeScanBuilder(
     runtimeFilterCols: Seq[String] = Nil,
     microBatch: Option[() => LakeMicroBatchStream] = None,
     partitionCols: Seq[String] = Nil,
+    // the UNION of historical specs (TableMeta.allPartitionColumns) for
+    // bucket pruning under partition evolution; empty = partitionCols
+    allPartitionCols: Seq[String] = Nil,
     l2p: Map[String, String] = Map.empty,
     deleteFiles: => Seq[DataFileMeta] = Nil,
     eqDeletes: => Seq[DataFileMeta] = Nil,
@@ -734,7 +739,8 @@ final class LakeScanBuilder(
       case Some(p) => return LakeStatsScan(ident, p)
       case None =>
     }
-    val pf = partitionCols.map(PartField.parse)
+    val pf = (if (allPartitionCols.nonEmpty) allPartitionCols
+              else partitionCols).map(PartField.parse)
     val baseFiles = manifestMatching match {
       case Some(fm) if exprs.nonEmpty => fm(exprs)
       case _ => allFiles
@@ -790,6 +796,7 @@ final class LakeScanBuilder(
     new LakeScan(ident, tableSchema, pruned, exprs, requiredSchema, options,
       runtimeFilterCols, onFilesSelected, microBatch, partitionCols, l2p, posDeletes,
       eqs, eqKeySchema, ndv, kll, sortOrder, bloomFor,
+      allPartitionCols = allPartitionCols,
       // runtime predicates may narrow the delete lists exactly where the
       // plan-time skip was allowed (plain read scans) — row-level-op
       // builders pass no skip source, so their scans keep full MoR state
@@ -897,7 +904,9 @@ final class LakeScan(
     // full delete state: their kept files are REWRITTEN wholesale, so a
     // tombstone aimed at a predicate-failing row in a kept file still has
     // to apply or the rewrite resurrects the row in the data itself.
-    runtimeDeleteNarrow: Boolean = false)
+    runtimeDeleteNarrow: Boolean = false,
+    // union-of-specs for runtime bucket pruning (see LakeScanBuilder)
+    allPartitionCols: Seq[String] = Nil)
   extends Scan with SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -1053,7 +1062,8 @@ final class LakeScan(
     runtimeFilterCols.map(Expressions.column).toArray
 
   override def filter(predicates: Array[Predicate]): Unit = {
-    val pf = partitionCols.map(PartField.parse)
+    val pf = (if (allPartitionCols.nonEmpty) allPartitionCols
+              else partitionCols).map(PartField.parse)
     def typeOf(c: String): Option[DataType] =
       tableSchema.fields.find(_.name == c).map(_.dataType)
     files = files.filter(f => predicates.forall(p =>
@@ -1865,8 +1875,15 @@ object FilePruner {
 object BucketPruner {
   import org.apache.spark.sql.catalyst.{expressions => ce}
 
-  private def bucketOf(pfields: Seq[PartField], colName: String): Option[PartField] =
-    pfields.find(pf => pf.buckets.isDefined && pf.source == colName)
+  // ALL bucket fields on the column, not the first: under partition-spec
+  // evolution callers pass the UNION of historical specs
+  // ([[TableMeta.allPartitionFields]]), so a column can carry several
+  // bucket widths. Each file has stats for the ONE spec it was written
+  // under; `statMatches` keeps a file whose key a field lacks, so the
+  // forall over every width lets each file be judged by exactly its own
+  // spec — old files keep their old-spec skipping, new files theirs.
+  private def bucketsOf(pfields: Seq[PartField], colName: String): Seq[PartField] =
+    pfields.filter(pf => pf.buckets.isDefined && pf.source == colName)
 
   private def statMatches(f: DataFileMeta, pf: PartField, v: Any, dt: DataType): Boolean =
     (f.minValues.get(pf.statKey), f.maxValues.get(pf.statKey)) match {
@@ -1880,12 +1897,12 @@ object BucketPruner {
     case ce.And(a, b) => mayMatch(a, f, pfields) && mayMatch(b, f, pfields)
     case ce.Or(a, b) => mayMatch(a, f, pfields) || mayMatch(b, f, pfields)
     case ce.EqualTo(a: ce.Attribute, ce.Literal(v, dt)) if v != null =>
-      bucketOf(pfields, a.name).forall(statMatches(f, _, v, dt))
+      bucketsOf(pfields, a.name).forall(statMatches(f, _, v, dt))
     case ce.EqualTo(ce.Literal(v, dt), a: ce.Attribute) if v != null =>
-      bucketOf(pfields, a.name).forall(statMatches(f, _, v, dt))
+      bucketsOf(pfields, a.name).forall(statMatches(f, _, v, dt))
     case ce.In(a: ce.Attribute, elems) if elems.nonEmpty && elems.forall {
         case ce.Literal(v, _) => v != null; case _ => false } =>
-      bucketOf(pfields, a.name).forall(pf =>
+      bucketsOf(pfields, a.name).forall(pf =>
         elems.exists { case ce.Literal(v, dt) => statMatches(f, pf, v, dt) })
     case _ => true
   }
@@ -1905,12 +1922,11 @@ object BucketPruner {
         val kids = p.children()
         (for {
           c <- colOf(kids.head)
-          pf <- bucketOf(pfields, c)
           dt <- resolveType(c)
-        } yield kids.tail.exists {
+        } yield bucketsOf(pfields, c).forall(pf => kids.tail.exists {
           case l: V2Literal[_] if l.value() != null => statMatches(f, pf, l.value(), dt)
           case _ => true
-        }).getOrElse(true)
+        })).getOrElse(true)
       case "AND" =>
         val and = p.asInstanceOf[org.apache.spark.sql.connector.expressions.filter.And]
         mayMatchV2(and.left(), f, pfields, resolveType) &&

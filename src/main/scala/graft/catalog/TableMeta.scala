@@ -213,7 +213,20 @@ final case class TableMeta(
     // commit that adds data files reserves contiguous per-file ranges
     // from here (CAS rebase re-stamps against the fresh base, so racing
     // writers can never overlap). 0 = pre-lineage doc; ids start at 1.
-    nextRowId: Long = 0L) {
+    nextRowId: Long = 0L,
+    // PARTITION-SPEC EVOLUTION history, deduplicated like `schemas`:
+    // id -> spec strings, one entry per distinct spec ever set
+    // (set_partition_spec bumps the id; `partitionColumns` stays the
+    // CURRENT spec so every current-spec consumer — writer clustering,
+    // SPJ key parsing — is untouched). The history's one planning job is
+    // [[allPartitionFields]]: pruning under the UNION of specs, so files
+    // written before an evolution keep pruning under THEIR OWN transform
+    // keys (a `bucket(8,k)` file still skips on `_bucket_8_k` after the
+    // table moved to bucket(16)) — at 100 TB the difference between a
+    // point lookup reading 1/8 of the history and reading all of it
+    // until compaction catches up. O(evolutions), never O(snapshots).
+    specs: Map[String, Seq[String]] = Map.empty,
+    currentSpecId: Int = 0) { // 0 = legacy doc (treated as id 1)
 
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 
@@ -246,6 +259,42 @@ final case class TableMeta(
 
   /** Parsed partition spec: identity columns and bucket(n, col) transforms. */
   def partitionFields: Seq[PartField] = partitionColumns.map(PartField.parse)
+
+  // ── partition-spec evolution ────────────────────────────────────────────
+
+  /** Current spec id, normalizing legacy docs (0) to 1. */
+  def specIdNow: Int = if (currentSpecId <= 0) 1 else currentSpecId
+
+  /** Spec history incl. the current spec (legacy docs synthesize it). */
+  def specTable: Map[String, Seq[String]] =
+    if (specs == null || specs.isEmpty) Map(specIdNow.toString -> partitionColumns)
+    else specs
+
+  /** The UNION of every spec's strings, current first, deduplicated —
+    * what pruning runs under (each file self-describes via its own
+    * transform stat keys; a field whose key a file lacks keeps it).
+    */
+  def allPartitionColumns: Seq[String] =
+    (partitionColumns ++ specTable.toSeq.sortBy(-_._1.toInt).flatMap(_._2)).distinct
+
+  def allPartitionFields: Seq[PartField] = allPartitionColumns.map(PartField.parse)
+
+  /** Metadata-only partition evolution: `partitionColumns` becomes the
+    * new spec (new writes cluster and stamp keys under it), the old spec
+    * is archived under its id. Existing files are untouched — they keep
+    * pruning by their own stat keys via [[allPartitionFields]], and SPJ
+    * self-disables on mixed tables until compaction re-clusters
+    * (the key parser finds no current-spec key on old files).
+    */
+  def evolveSpec(spec: Seq[String]): TableMeta =
+    if (spec == partitionColumns) this
+    else {
+      val base = specTable
+      val nextId = base.keys.map(_.toInt).max + 1
+      copy(partitionColumns = spec,
+        specs = base + (nextId.toString -> spec),
+        currentSpecId = nextId)
+    }
 
   /** Partition spec strings with PHYSICAL source column names (what the
     * writer clusters/stats by).
@@ -321,7 +370,7 @@ final case class TableMeta(
     */
   def planningStatKeys: Set[String] = {
     val m = l2pMap
-    val pf = partitionFields
+    val pf = allPartitionFields
     val parts = pf.flatMap { f =>
       val phys = f.copy(source = m.getOrElse(f.source, f.source))
       Seq(phys.source, phys.statKey)
@@ -373,7 +422,7 @@ final case class TableMeta(
     val m = l2pMap
     val fields = schema.fields.flatMap(f =>
       kindOf(f.dataType).map(k => m.getOrElse(f.name, f.name) -> k)).toMap
-    val parts = partitionFields.flatMap { pf =>
+    val parts = allPartitionFields.flatMap { pf =>
       val physKey = pf.copy(source = m.getOrElse(pf.source, pf.source)).statKey
       if (pf.isIdentity) None // plain column: covered by `fields`
       else if (pf.buckets.isDefined || pf.time.isDefined) Some(physKey -> 'n')
@@ -406,7 +455,7 @@ final case class TableMeta(
       (fields.view.filterKeys(keepPhysical) ++
         parts.view.filter { case (k, _) =>
           // a transform key folds iff its SOURCE column is listed
-          partitionFields.exists(pf => !pf.isIdentity && keepLogical(pf.source) &&
+          allPartitionFields.exists(pf => !pf.isIdentity && keepLogical(pf.source) &&
             pf.copy(source = m.getOrElse(pf.source, pf.source)).statKey == k)
         } ++
         shreds.view.filter { case (k, _) =>
@@ -454,7 +503,7 @@ final case class TableMeta(
   def filesMatching(s: SnapshotMeta,
       exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
       slim: Boolean = false): Seq[DataFileMeta] = {
-    val pf = partitionFields
+    val pf = allPartitionFields
     // slim planning keeps the PREDICATE columns' stats on top of the
     // planning keys, so per-file pruning on the pushed filters still runs
     // at full strength — only stats no pruner will consult are dropped
@@ -487,7 +536,7 @@ final case class TableMeta(
     */
   def deleteFilesMatching(s: SnapshotMeta,
       exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[DataFileMeta] = {
-    val pf = partitionFields
+    val pf = allPartitionFields
     matchingEntries(manifestsOf(s).filter(_.kind == "deletes"),
       pseudo => exprs.forall(e => FilePruner.mayMatch(e, pseudo, schema) &&
         BucketPruner.mayMatch(e, pseudo, pf)))

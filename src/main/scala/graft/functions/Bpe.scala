@@ -33,11 +33,20 @@ object Bpe {
     * "left right" strings, index = rank. Stops early when no pair
     * repeats.
     */
-  def trainMerges(histogram: Seq[(String, Long)], numMerges: Int): Array[String] = {
+  def trainMerges(histogram: Seq[(String, Long)], numMerges: Int): Array[String] =
+    trainMergesDetailed(histogram, numMerges).map { case (l, r, _) => s"$l $r" }
+
+  /** [[trainMerges]] plus each merge's weighted pair count at selection
+    * time — the value the q195 oracle hash-gates, so a drift anywhere in
+    * the counting/tie-break/rewrite loop changes the output.
+    */
+  def trainMergesDetailed(
+      histogram: Seq[(String, Long)],
+      numMerges: Int): Array[(String, String, Long)] = {
     val words = histogram.map { case (w, c) =>
       (scala.collection.mutable.ArrayBuffer.from(w.map(_.toString)), c)
     }
-    val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var round = 0
     var done = false
     while (round < numMerges && !done) {
@@ -54,8 +63,8 @@ object Bpe {
       if (repeats.isEmpty) done = true
       else {
         // highest count; ties -> lexicographically smallest pair
-        val (_, l, r) = repeats.iterator.map { case ((pl, pr), c) => (-c, pl, pr) }.min
-        merges += s"$l $r"
+        val (negC, l, r) = repeats.iterator.map { case ((pl, pr), c) => (-c, pl, pr) }.min
+        merges += ((l, r, -negC))
         words.foreach { case (parts, _) =>
           var i = 0
           while (i < parts.length - 1) {

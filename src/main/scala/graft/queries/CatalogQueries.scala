@@ -29,6 +29,41 @@ object CatalogQueries {
     },
 
     QueryDef.df(
+      "q198_partition_evolution",
+      // Oracle = the same point lookup straight off the source parquet: a
+      // hash match proves a table whose partition spec EVOLVED mid-life
+      // (bucket(4) generation + bucket(8) generation, never rewritten)
+      // returns exactly the rows a single-spec table would. The lookup key
+      // set crosses both generations; each generation prunes under its own
+      // spec via TableMeta.allPartitionFields (PartitionEvolutionSpec pins
+      // the planned-file counts; this query pins the VALUES).
+      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price
+        |FROM orders WHERE o_custkey IN (1, 7, 25)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS lake.verify")
+      s.sql("DROP TABLE IF EXISTS lake.verify.orders_pe")
+      s.sql(
+        """CREATE TABLE lake.verify.orders_pe
+          |  (o_orderkey BIGINT, o_custkey BIGINT, price DOUBLE)
+          |PARTITIONED BY (bucket(4, o_custkey))""".stripMargin)
+      s.sql(
+        """INSERT INTO lake.verify.orders_pe
+          |SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE)
+          |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin)
+      graft.catalog.LakeMaintenance.setPartitionSpec(
+        s, "lake.verify.orders_pe", Seq("bucket(8,o_custkey)"))
+      s.sql(
+        """INSERT INTO lake.verify.orders_pe
+          |SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE)
+          |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin)
+      s.sql(
+        """SELECT o_orderkey, o_custkey, price
+          |FROM lake.verify.orders_pe WHERE o_custkey IN (1, 7, 25)
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    QueryDef.df(
       "q31_catalog_snapshot_isolation",
       // Oracle = first half of the data only: the query reads VERSION AS OF
       // the first append, proving time travel returns the old snapshot even

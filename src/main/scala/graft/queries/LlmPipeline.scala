@@ -37,6 +37,93 @@ object LlmPipeline {
     "v a", "va l", "val u", "valu e",
     "r o", "ro w", "a n", "s c", "sc an", "e r", "o r")
 
+  /** q196/q197's BM25 scorer (k1=1.2, b=0.75) over the fixed query-term
+    * list. Every arithmetic step mirrors the oracle SQL's association
+    * exactly; the per-term score rides DECIMAL(18,6) into the per-doc sum
+    * (order-independent, engine-exact). The tiny df/stats sides broadcast;
+    * the only corpus-sized shuffles are the token hash-aggs and the
+    * doc_id-keyed tf⋈len join.
+    */
+  private val Q196Terms = Seq("join", "hash", "window", "dup")
+  private def bm25Scores(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val st = dl.agg(count(lit(1)).cast("double").as("n"),
+      (sum("len").cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks.filter(col("tok").isin(Q196Terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfc), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .withColumn("term_score", (
+        log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("len") / col("avgdl")))
+        ).cast("decimal(18,6)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        sum("term_score").cast("double").as("score"))
+      .select(col("doc_id"), col("n_terms"), col("score"))
+  }
+
+  /** q195's oracle: the BPE merge loop UNROLLED as `n` chained CTE steps.
+    * Each step is one training round over the evolving word histogram —
+    * pairs_i counts every adjacent token pair weighted by word count
+    * (overlapping occurrences counted, exactly the driver loop's pass),
+    * best_i is the argmax under the driver's tie-break (count desc, then
+    * lexicographically smallest pair), hist_{i+1} applies the merge via
+    * left-to-right non-overlapping `replace` over the whole-token chr(31)
+    * delimitation proven by q107. Aggregation-per-round makes this
+    * inexpressible as ONE recursive CTE (SQL forbids aggregates over the
+    * recursive reference), hence generated unrolling. Cost per step is
+    * O(types x word length) over the bounded top-20k histogram — constant
+    * in corpus size, matching the trainer's 100 TB split.
+    */
+  private def q195TrainSql(n: Int): String = {
+    val steps = (0 until n).map { i =>
+      s"""pairs_$i AS (
+         |  SELECT toks[i] AS l, toks[i + 1] AS r, wc
+         |  FROM (SELECT toks, wc,
+         |               unnest(generate_series(1, len(toks) - 1)) AS i
+         |        FROM (SELECT list_filter(string_split(s, chr(31)),
+         |                                 x -> x <> '') AS toks, wc
+         |              FROM hist_$i))
+         |),
+         |best_$i AS (
+         |  SELECT l, r, c
+         |  FROM (SELECT l, r, SUM(wc)::BIGINT AS c
+         |        FROM pairs_$i GROUP BY l, r HAVING SUM(wc) > 1)
+         |  ORDER BY c DESC, l, r LIMIT 1
+         |),
+         |hist_${i + 1} AS (
+         |  SELECT h.word, h.wc,
+         |         replace(h.s, chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
+         |                 chr(31) || b.l || b.r || chr(31)) AS s
+         |  FROM hist_$i h, best_$i b
+         |)""".stripMargin
+    }
+    val union = (0 until n)
+      .map(i => s"SELECT $i::INT AS rank, l AS lft, r AS rgt, c AS cnt FROM best_$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH
+       |hist_0 AS (
+       |  SELECT word, wc,
+       |         regexp_replace(word, '(.)', chr(31) || '\\1' || chr(31), 'g') AS s
+       |  FROM (SELECT word, wc,
+       |               row_number() OVER (ORDER BY wc DESC, word) AS rn
+       |        FROM (SELECT word, count(*)::BIGINT AS wc
+       |              FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word
+       |                    FROM documents)
+       |              WHERE word <> '' GROUP BY word))
+       |  WHERE rn <= 20000
+       |),
+       |${steps.mkString(",\n")}
+       |SELECT * FROM (
+       |  $union
+       |) ORDER BY rank""".stripMargin
+  }
+
   /** q150's fixed phrase list — literal in BOTH engines (the probe input a
     * user supplies; chosen from the corpus vocabulary so matches exist,
     * with a repeated-term phrase to exercise the count(DISTINCT off)
@@ -676,9 +763,10 @@ object LlmPipeline {
     // delimitation, left-to-right non-overlapping `replace` is exactly
     // the codegen loop's merge pass (each match consumes both tokens'
     // own wrappers — adjacent occurrences never share a separator).
-    // Training stays value-pinned in BpeSpec (tie-break order has no SQL
-    // equivalent, SURVEY §no-oracle), so the merge table here is a FIXED
-    // literal shared by both engines.
+    // The merge table here is a FIXED literal shared by both engines so
+    // the encoder is gated in isolation; the TRAINER is oracled separately
+    // by q195 (unrolled merge rounds), and q71's full 200-merge training
+    // run stays value-pinned in BpeSpec.
     QueryDef.df(
       "q107_bpe_encode",
       s"""WITH RECURSIVE
@@ -725,6 +813,143 @@ object LlmPipeline {
           graft.functions.Bpe.bpeEncode(col("text"), Q107Merges)).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token"))
+    },
+
+    // ───── q195: BPE TRAINING under the oracle (unrolled merge rounds) ───
+    // q107 oracles the encoder against a fixed merge table; this oracles
+    // the TRAINER: both engines learn the first 12 merges from the corpus
+    // itself. Spark runs the production shape (one distributed histogram
+    // pass, driver merge loop over the bounded top-20k types); DuckDB
+    // replays the loop as 12 generated CTE steps — weighted overlapping
+    // pair counts, the count-desc/lexicographic-pair argmax (ORDER BY
+    // c DESC, l, r LIMIT 1 IS the driver's tie-break), and the histogram
+    // rewrite via q107's whole-token chr(31) delimitation. Output is
+    // (rank, pair, selection-time count), so a drift anywhere in counting,
+    // tie-break, or rewrite fails the hash gate. Early stop matches by
+    // construction: an empty best_i empties every later hist/best, so both
+    // engines truncate at the same round. Training on >12 merges stays
+    // driver-side (q71); 12 rounds is the gate, not the vocabulary.
+    QueryDef.df("q195_bpe_train_merges", q195TrainSql(12)) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val hist = docs.select(explode(split(col("text"), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w"))
+        .limit(20000)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val merges = graft.functions.Bpe.trainMergesDetailed(hist, numMerges = 12)
+      import s.implicits._
+      merges.toSeq.zipWithIndex
+        .map { case ((l, r, c), i) => (i, l, r, c) }
+        .toDF("rank", "lft", "rgt", "cnt")
+        .orderBy("rank")
+    },
+
+    // ───── q196: BM25 lexical top-k (Robertson/Spärck Jones) ─────────────
+    // The retrieval half a curation pipeline needs next to ANN: score docs
+    // against a term query with BM25 (k1=1.2, b=0.75). Shape at 100 TB:
+    // the query-term list is a broadcast literal, so the token stream
+    // filters BEFORE any shuffle (only matching (doc_id, term) pairs
+    // move); df is one tiny agg broadcast back; doc lengths co-shuffle on
+    // doc_id; the corpus stats are a 1-row broadcast; top-k compiles to
+    // TakeOrderedAndProject. Numeric discipline: each per-term score goes
+    // through DECIMAL(18,6) before the per-doc sum (q82's ln treatment) so
+    // the sum is order-independent and engine-exact.
+    QueryDef.df(
+      "q196_bm25_topk",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |dl AS (SELECT doc_id, count(*)::BIGINT AS len FROM toks GROUP BY doc_id),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |              CAST(sum(len) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |q AS (SELECT * FROM (VALUES ('join'), ('hash'), ('window'), ('dup')) v(tok)),
+        |tf AS (SELECT t.doc_id, t.tok, count(*)::BIGINT AS tf
+        |       FROM toks t JOIN q USING (tok) GROUP BY t.doc_id, t.tok),
+        |idf AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok)
+        |SELECT tf.doc_id, count(*)::BIGINT AS n_terms,
+        |  CAST(sum(CAST(
+        |    ln((st.n - idf.df + 0.5e0) / (idf.df + 0.5e0) + 1.0e0) *
+        |    (tf.tf * 2.2e0) /
+        |    (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.len / st.avgdl))
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS score
+        |FROM tf JOIN idf USING (tok) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+        |GROUP BY tf.doc_id
+        |ORDER BY score DESC, tf.doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      bm25Scores(t(s, dir, "documents"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+    },
+
+    // ───── q197: hybrid retrieval — RRF fusion of BM25 and cosine ────────
+    // Reciprocal-rank fusion (Cormack et al. 2009): fuse the BM25 top-50
+    // (q196's scorer) with the embedding-cosine top-50 (q26's scorer,
+    // query = vec 0) as sum(1/(60+rank)). Ranks are assigned AFTER the
+    // top-k truncation, so the global-order window runs over 50 rows, not
+    // the corpus — the corpus-sized work stays in the two
+    // TakeOrderedAndProject top-ks. The fused score is a sum of two exact
+    // integer-denominator divisions in a fixed order — engine-exact with
+    // no decimal detour. COALESCE(rank, 0) spells "absent from that list"
+    // without a nullable-int rendering hazard in the gate.
+    QueryDef.df(
+      "q197_hybrid_rrf",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |dl AS (SELECT doc_id, count(*)::BIGINT AS len FROM toks GROUP BY doc_id),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |              CAST(sum(len) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |q AS (SELECT * FROM (VALUES ('join'), ('hash'), ('window'), ('dup')) v(tok)),
+        |tf AS (SELECT t.doc_id, t.tok, count(*)::BIGINT AS tf
+        |       FROM toks t JOIN q USING (tok) GROUP BY t.doc_id, t.tok),
+        |idf AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+        |bm25 AS (
+        |  SELECT tf.doc_id,
+        |    CAST(sum(CAST(
+        |      ln((st.n - idf.df + 0.5e0) / (idf.df + 0.5e0) + 1.0e0) *
+        |      (tf.tf * 2.2e0) /
+        |      (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.len / st.avgdl))
+        |      AS DECIMAL(18,6))) AS DOUBLE) AS score
+        |  FROM tf JOIN idf USING (tok) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+        |  GROUP BY tf.doc_id),
+        |ta AS (SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id LIMIT 50),
+        |ra AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+        |       FROM ta),
+        |qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+        |cos AS (SELECT vec_id,
+        |               list_cosine_similarity(embedding::DOUBLE[], qe) AS sim
+        |        FROM embeddings, qv WHERE vec_id <> 0),
+        |tb AS (SELECT vec_id, sim FROM cos ORDER BY sim DESC, vec_id LIMIT 50),
+        |rb AS (SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS r
+        |       FROM tb)
+        |SELECT COALESCE(ra.doc_id, rb.vec_id) AS doc_id,
+        |  COALESCE(ra.r, 0)::INT AS r_text,
+        |  COALESCE(rb.r, 0)::INT AS r_vec,
+        |  COALESCE(1.0e0 / (60 + ra.r), 0.0e0) + COALESCE(1.0e0 / (60 + rb.r), 0.0e0) AS rrf
+        |FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.vec_id
+        |ORDER BY rrf DESC, doc_id LIMIT 25""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val topA = bm25Scores(t(s, dir, "documents"))
+        .orderBy(col("score").desc, col("doc_id")).limit(50)
+      // rank windows run over the ALREADY-TRUNCATED 50-row lists (a global
+      // window over the corpus would single-partition at scale)
+      val ra = topA.withColumn(
+        "r", row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("r"))
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val topB = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), cosineSim(col("embedding"), col("qe")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(50)
+      val rb = topB.withColumn(
+        "r", row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))))
+        .select(col("vec_id"), col("r").as("rv"))
+      ra.join(rb, ra("doc_id") === rb("vec_id"), "full_outer")
+        .select(
+          coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+          coalesce(col("r"), lit(0)).cast("int").as("r_text"),
+          coalesce(col("rv"), lit(0)).cast("int").as("r_vec"),
+          (coalesce(lit(1.0) / (lit(60) + col("r")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0))).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(25)
     },
 
     // ───── q40: embedding-cosine near-dup pairs (dedup family) ───────────

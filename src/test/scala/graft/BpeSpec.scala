@@ -23,6 +23,15 @@ class BpeSpec extends AnyFunSuite {
     assert(merges.toSeq == Seq("a a", "a b", "aa ab"))
   }
 
+  test("trainMergesDetailed: selection-time counts (the q195 gate values)") {
+    // same histogram as above; counts at selection: (a,a)=5 (overlapping
+    // occurrences in "aaab" both counted), then the (aa,a)=2/(a,b)=2 tie
+    // resolves to the lexicographically smaller pair at count 2, then
+    // (aa,ab)=2; round 4 has only (aa,b)=1 -> early stop.
+    val detailed = Bpe.trainMergesDetailed(Seq(("aaab", 2L), ("aab", 1L)), numMerges = 10)
+    assert(detailed.toSeq == Seq(("a", "a", 5L), ("a", "b", 2L), ("aa", "ab", 2L)))
+  }
+
   test("encodeWord follows merge ranks greedily, lowest rank first") {
     val ranks = Bpe.ranksOf(Array("a a", "a b", "aa ab"))
     assert(Bpe.encodeWord("aaab", ranks).toSeq == Seq("aaab"))

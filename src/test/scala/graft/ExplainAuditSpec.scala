@@ -647,4 +647,29 @@ class ExplainAuditSpec extends AnyFunSuite {
           s"the percentile shuffle must carry one integer per doc, not text: $attrs")
       }
   }
+
+  test("q196 BM25: df/stats broadcast, top-k never global-sorts, no text in a shuffle") {
+    val p = plan("q196_bm25_topk")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"df and corpus stats should broadcast into the tf stream:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+    val fp = SparkEntry.queries("q196_bm25_topk")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    raw"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]".r
+      .findAllMatchIn(fp).map(_.group(1)).foreach { attrs =>
+        assert(!attrs.contains("text#"),
+          s"BM25 shuffles must carry (doc_id, tok/len) only, not text: $attrs")
+      }
+  }
+
+  test("q197 RRF: rank windows run post-truncation, fusion join stays tiny") {
+    val p = plan("q197_hybrid_rrf")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"both top-50 lists must be TakeOrderedAndProject, not global sorts:\n$p")
+    // the two Window operators rank 50-row lists; each must sit ABOVE a
+    // TakeOrderedAndProject, so no corpus-sized single-partition window
+    val sorts = "Sort ".r.findAllIn(p).size
+    assert(sorts <= 4, s"unexpected corpus-sized sorts in the fusion path:\n$p")
+  }
 }
