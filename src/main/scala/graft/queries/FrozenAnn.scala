@@ -420,6 +420,26 @@ object FrozenAnn {
         cells = Cells, m = M, ksub = Ksub, frozen = Some((codebook, coarse)))
       PqAnn.probeIvfPqIndexVec(s, "lake.idx.emb_ivfpq_frozen", emb, qvec,
         k = K, nprobe = NprobeIvfPq, rerank = Rerank)
+    },
+
+    // ───── q199: INCREMENTAL index refresh == full rebuild (oracled) ─────
+    // The ingest workflow a 100 TB vector corpus actually runs: the index
+    // is built once (parameters pinned in TBLPROPERTIES), then daily
+    // embedding batches are ENCODED ONLY and appended — O(new vectors)
+    // work, partition-clustered by cell so probes keep pruning. The oracle
+    // is q192's verbatim: DuckDB recomputes the probe from the RAW corpus,
+    // so a refreshed index that dropped, duplicated, or mis-assigned any
+    // appended vector fails the hash gate — "refresh ≡ rebuild" proven,
+    // not assumed. Build over the even half, refresh with the odd half.
+    QueryDef.df("q199_ann_index_refresh", q192OracleSql) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      PqAnn.buildIvfPqIndex(s, emb.filter(col("vec_id") % 2 === 0),
+        "lake.idx.emb_ivfpq_refresh",
+        cells = Cells, m = M, ksub = Ksub, frozen = Some((codebook, coarse)))
+      PqAnn.refreshIvfPqIndex(s, "lake.idx.emb_ivfpq_refresh",
+        emb.filter(col("vec_id") % 2 === 1))
+      PqAnn.probeIvfPqIndexVec(s, "lake.idx.emb_ivfpq_refresh", emb, qvec,
+        k = K, nprobe = NprobeIvfPq, rerank = Rerank)
     }
   )
 }

@@ -202,6 +202,32 @@ object PqAnn {
       .writeTo(indexTable).append()
   }
 
+  /** Incremental index maintenance: encode ONLY `newVecs` under the
+    * parameters PINNED at build time (TBLPROPERTIES) and append their
+    * (cell, codes) rows — the daily-ingest path at 100 TB: O(new vectors)
+    * work, no rebuild, no retraining (parameters are frozen at build, so
+    * a refreshed index answers IDENTICALLY to a full rebuild — q199
+    * hash-gates exactly that equivalence against the from-scratch DuckDB
+    * replay). Each appended file lands partition-clustered by cell, so
+    * probes keep pruning to the probed cells' files after any number of
+    * refreshes. Assumes new vec_ids (the ingest contract); replacing
+    * existing vectors would route through the eq-delete MERGE instead.
+    */
+  def refreshIvfPqIndex(s: SparkSession, indexTable: String, newVecs: DataFrame): Unit = {
+    val props = s.sql(s"SHOW TBLPROPERTIES $indexTable").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val cb = unpackFloats(props("pq.codebook"))
+    val m = props("pq.m").toInt
+    val ksub = props("pq.ksub").toInt
+    val coarse = unpackFloats(props("ivf.centroids"))
+    val cells = props("ivf.cells").toInt
+    newVecs.select(col("vec_id"), col("label").cast("int").as("label"), col("embedding"))
+      .select(assignCell(col("embedding"), coarse, cells).as("cell"),
+        col("vec_id"), col("label"),
+        PqOps.pqEncode(col("embedding"), cb, m, ksub).as("codes"))
+      .writeTo(indexTable).append()
+  }
+
   /** Top-k IVF-PQ probe: nearest `nprobe` cells chosen driver-side from
     * the persisted coarse centroids, a partition-pruned ADC scan of those
     * cells' code files, exact re-rank of the shortlist.

@@ -147,6 +147,50 @@ object StreamingQueries {
         .orderBy("user_id", "session_start")
     },
 
+    // ───── q200: session profiles — transformWithState's batch replay ───
+    // The Spark-4-native arbitrary-state API (`transformWithState`:
+    // typed ValueState + EVENT-TIME TIMERS, the successor to
+    // flatMapGroupsWithState) runs these exact semantics as a stream in
+    // graft.streaming.SessionTws — an idle session closes when the
+    // watermark passes last+gap, state evicts on the timer, so state
+    // tracks ACTIVE users only. StreamingSpec proves the streaming path
+    // emits exactly these rows; here the batch gaps-and-islands replay
+    // (one shuffle on user_id for the windows, then the per-(user,
+    // session) agg) rides the DuckDB hash gate. vs q44: all users, plus
+    // the distinct-type census the TWS state tracks.
+    QueryDef.df(
+      "q200_session_profiles",
+      """WITH m AS (SELECT user_id, ts, event_type, value,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |             OR ts - lag(ts) OVER w >= INTERVAL 15 MINUTE THEN 1 ELSE 0 END AS brk
+        |      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, event_type, value,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m)
+        |SELECT user_id, min(ts) AS session_start,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("brk", when(lag("ts", 1).over(w).isNull ||
+          col("ts") >= lag("ts", 1).over(w) + expr("INTERVAL 15 MINUTES"), 1).otherwise(0))
+        .withColumn("sid", sum("brk").over(
+          Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(min("ts").cast("timestamp_ntz").as("session_start"),
+          count(lit(1)).as("n_events"),
+          countDistinct("event_type").as("n_types"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .select("user_id", "session_start", "n_events", "n_types", "sum_value")
+        .orderBy("user_id", "session_start")
+    },
+
     // ───── q78: stream-stream interval join (click attribution) ─────────
     // The batch replay of EventsStreaming.attributedClicks — the
     // watermarked stream-stream join whose true-streaming semantics

@@ -601,4 +601,59 @@ class StreamingSpec extends AnyFunSuite {
       assert(tok == Map("A" -> 100L, "B" -> 30L))
     } finally q.stop()
   }
+
+  test("transformWithState sessions: event-time timers close idle sessions, state evicts") {
+    import spark.implicits._
+    // transformWithState is backed by the RocksDB state store
+    val prevProv = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Ev](spark)
+    val q = graft.streaming.SessionTws.sessionProfiles(
+        toDf(input.toDF()), gapMinutes = 15, watermarkDelay = "30 minutes")
+      .toDF()
+      .writeStream.format("memory").queryName("tws_sessions").outputMode("append")
+      .start()
+    try {
+      // batch 1: u1 two events 10m apart (one session, 2 types), u2 one event
+      input.addData(
+        (1L, ts(1), 1L, "view", 1.5), (2L, ts(11), 1L, "click", 2.5),
+        (3L, ts(3), 2L, "view", 4.0))
+      q.processAllAvailable()
+      // nothing closed yet: watermark is far behind every last+gap
+      assert(spark.table("tws_sessions").isEmpty)
+
+      // batch 2: u1 event at minute 40 — 40 >= 11 + 15, so the FIRST u1
+      // session closes IN-BATCH (emitted from handleInputRows, not a timer)
+      input.addData((4L, ts(40), 1L, "purchase", 8.0))
+      q.processAllAvailable()
+      val inBatch = spark.table("tws_sessions").collect()
+      assert(inBatch.length == 1 &&
+        inBatch(0).getAs[Long]("user_id") == 1L &&
+        inBatch(0).getAs[Long]("n_events") == 2L &&
+        inBatch(0).getAs[Long]("n_types") == 2L &&
+        inBatch(0).getAs[Double]("sum_value") == 4.0,
+        s"in-batch gap split must emit u1's first session: ${inBatch.toSeq}")
+
+      // batch 3: a far-future event advances the watermark past every open
+      // session's last+gap — the EVENT-TIME TIMERS fire and close u1's
+      // second session and u2's only session, evicting their state
+      input.addData((5L, ts(600), 9L, "view", 0.0))
+      q.processAllAvailable()
+      input.addData((6L, ts(601), 9L, "view", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("tws_sessions")
+        .orderBy("user_id", "session_start").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("n_types"), r.getAs[Double]("sum_value")))
+      assert(rows.toSeq == Seq((1L, 2L, 2L, 4.0), (1L, 1L, 1L, 8.0), (2L, 1L, 1L, 4.0)),
+        s"timer-closed sessions must match the batch islands replay: ${rows.toSeq}")
+    } finally {
+      q.stop()
+      prevProv match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
