@@ -26,7 +26,26 @@ object MetadataTables {
     case "partitions" => Some(partitions(display, meta))
     case "refs" => Some(refs(display, meta))
     case "history" => Some(history(display, meta))
+    case "specs" => Some(specs(display, meta))
     case _ => None
+  }
+
+  /** Partition-spec history (Iceberg's `partitions`-spec metadata shape):
+    * one row per spec ever set on the table, with the current one flagged
+    * — the operational view of partition EVOLUTION (which transform keys
+    * files may carry; see TableMeta.allPartitionFields for how pruning
+    * uses the union).
+    */
+  private def specs(display: String, meta: TableMeta): Table = {
+    val schema = StructType(Seq(
+      StructField("spec_id", IntegerType, nullable = false),
+      StructField("spec", StringType, nullable = false),
+      StructField("is_current", BooleanType, nullable = false)))
+    val rows = meta.specTable.toSeq
+      .map { case (id, cols) => (id.toInt, cols.mkString(", ")) }
+      .sortBy(_._1)
+      .map { case (id, spec) => Row(id, spec, id == meta.specIdNow) }
+    RowsTable(display, schema, rows)
   }
 
   /** Snapshot lineage (Iceberg's `history` table shape): every snapshot

@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialized inverted index for BM25 retrieval (q201) — the lexical
+  * twin of the ANN index tables (AnnIndex/PqAnn): postings live in a
+  * catalog table `(tok, doc_id, tf)` PARTITIONED BY bucket(16, tok), doc
+  * lengths in a companion table, and the corpus statistics (N, Σlen) are
+  * pinned in TBLPROPERTIES at build time.
+  *
+  * Scale shape: a probe reads only the query terms' posting BUCKETS
+  * (BucketPruner projects the `tok IN (...)` filter onto the bucket stat,
+  * so non-matching files are never opened), computes df from just those
+  * postings, and joins lengths on doc_id — probe cost tracks matching
+  * postings, never corpus size. Refresh follows the q199 discipline: new
+  * documents' postings append (disjoint doc_ids), stats re-pin in the
+  * same commit.
+  */
+object Bm25Index {
+
+  /** One pass over the corpus: postings + doc lengths + pinned stats. */
+  def build(s: SparkSession, docs: DataFrame, postingsTable: String,
+      lenTable: String): Unit = {
+    val ns = postingsTable.split('.').dropRight(1).mkString(".")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $ns")
+    s.sql(s"DROP TABLE IF EXISTS $postingsTable")
+    s.sql(s"DROP TABLE IF EXISTS $lenTable")
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    s.sql(s"CREATE TABLE $postingsTable (tok STRING, doc_id BIGINT, tf BIGINT)" +
+      " PARTITIONED BY (bucket(16, tok))")
+    toks.groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+      .writeTo(postingsTable).append()
+    s.sql(s"CREATE TABLE $lenTable (doc_id BIGINT, len BIGINT)")
+    toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      .writeTo(lenTable).append()
+    // corpus stats pinned as PLAIN LONGS; the probe re-derives avgdl with
+    // the same double division the scan-side scorer runs, so the two
+    // paths compute identical IEEE values
+    val st = s.table(lenTable)
+      .agg(count(lit(1)).as("n"), sum("len").as("sum_len")).head()
+    s.sql(s"ALTER TABLE $postingsTable SET TBLPROPERTIES (" +
+      s"'bm25.n_docs'='${st.getLong(0)}', 'bm25.sum_len'='${st.getLong(1)}')")
+  }
+
+  /** Top-k BM25 over the index — bit-identical to the corpus-scan scorer
+    * (LlmPipeline.bm25Scores): same term-score expression, same
+    * DECIMAL(18,6) summation, same tie-break.
+    */
+  def probe(s: SparkSession, postingsTable: String, lenTable: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    val props = s.sql(s"SHOW TBLPROPERTIES $postingsTable").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val nDocs = props("bm25.n_docs").toLong
+    val sumLen = props("bm25.sum_len").toLong
+    // the same arithmetic shape as the scan side's st aggregate:
+    // CAST(count AS DOUBLE) and CAST(sum AS DOUBLE) / count
+    val n = nDocs.toDouble
+    val avgdl = sumLen.toDouble / nDocs.toDouble
+    val tf = s.table(postingsTable).filter(col("tok").isin(terms: _*))
+    val dfc = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfc), "tok")
+      .join(s.table(lenTable), "doc_id")
+      .withColumn("term_score", LlmPipeline.bm25TermScore(
+        col("tf"), col("df"), col("len"), lit(n), lit(avgdl)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        sum("term_score").cast("double").as("score"))
+      .select(col("doc_id"), col("n_terms"), col("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+}

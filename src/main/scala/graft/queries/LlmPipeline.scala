@@ -45,6 +45,43 @@ object LlmPipeline {
     * doc_id-keyed tf⋈len join.
     */
   private val Q196Terms = Seq("join", "hash", "window", "dup")
+
+  /** q196's oracle, shared VERBATIM by q201: a probe of the materialized
+    * inverted index must equal the from-scratch corpus scan bit-for-bit.
+    */
+  private[graft] val Bm25OracleSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |              FROM documents),
+      |dl AS (SELECT doc_id, count(*)::BIGINT AS len FROM toks GROUP BY doc_id),
+      |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+      |              CAST(sum(len) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |q AS (SELECT * FROM (VALUES ('join'), ('hash'), ('window'), ('dup')) v(tok)),
+      |tf AS (SELECT t.doc_id, t.tok, count(*)::BIGINT AS tf
+      |       FROM toks t JOIN q USING (tok) GROUP BY t.doc_id, t.tok),
+      |idf AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok)
+      |SELECT tf.doc_id, count(*)::BIGINT AS n_terms,
+      |  CAST(sum(CAST(
+      |    ln((st.n - idf.df + 0.5e0) / (idf.df + 0.5e0) + 1.0e0) *
+      |    (tf.tf * 2.2e0) /
+      |    (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.len / st.avgdl))
+      |    AS DECIMAL(18,6))) AS DOUBLE) AS score
+      |FROM tf JOIN idf USING (tok) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+      |GROUP BY tf.doc_id
+      |ORDER BY score DESC, tf.doc_id LIMIT 20""".stripMargin
+
+  /** One BM25 term score (k1=1.2, b=0.75) — the association mirrors
+    * [[Bm25OracleSql]] token for token; shared by the corpus-scan scorer
+    * and the index probe so the two can never drift.
+    */
+  private[graft] def bm25TermScore(tf: Column, df: Column, len: Column,
+      n: Column, avgdl: Column): Column =
+    (log((n - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0)) *
+      (tf * lit(2.2)) /
+      (tf + lit(1.2) * (lit(0.25) + lit(0.75) * len / avgdl))
+      ).cast("decimal(18,6)")
+
+  /** Fixed probe terms exposed for the q201 index probe. */
+  private[graft] def bm25Terms: Seq[String] = Q196Terms
   private def bm25Scores(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
@@ -56,11 +93,8 @@ object LlmPipeline {
     tf.join(broadcast(dfc), "tok")
       .join(dl, "doc_id")
       .crossJoin(broadcast(st))
-      .withColumn("term_score", (
-        log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
-          (col("tf") * lit(2.2)) /
-          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("len") / col("avgdl")))
-        ).cast("decimal(18,6)"))
+      .withColumn("term_score", bm25TermScore(
+        col("tf"), col("df"), col("len"), col("n"), col("avgdl")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"),
         sum("term_score").cast("double").as("score"))
@@ -855,28 +889,26 @@ object LlmPipeline {
     // TakeOrderedAndProject. Numeric discipline: each per-term score goes
     // through DECIMAL(18,6) before the per-doc sum (q82's ln treatment) so
     // the sum is order-independent and engine-exact.
-    QueryDef.df(
-      "q196_bm25_topk",
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        |              FROM documents),
-        |dl AS (SELECT doc_id, count(*)::BIGINT AS len FROM toks GROUP BY doc_id),
-        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-        |              CAST(sum(len) AS DOUBLE) / count(*) AS avgdl FROM dl),
-        |q AS (SELECT * FROM (VALUES ('join'), ('hash'), ('window'), ('dup')) v(tok)),
-        |tf AS (SELECT t.doc_id, t.tok, count(*)::BIGINT AS tf
-        |       FROM toks t JOIN q USING (tok) GROUP BY t.doc_id, t.tok),
-        |idf AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok)
-        |SELECT tf.doc_id, count(*)::BIGINT AS n_terms,
-        |  CAST(sum(CAST(
-        |    ln((st.n - idf.df + 0.5e0) / (idf.df + 0.5e0) + 1.0e0) *
-        |    (tf.tf * 2.2e0) /
-        |    (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.len / st.avgdl))
-        |    AS DECIMAL(18,6))) AS DOUBLE) AS score
-        |FROM tf JOIN idf USING (tok) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
-        |GROUP BY tf.doc_id
-        |ORDER BY score DESC, tf.doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+    QueryDef.df("q196_bm25_topk", Bm25OracleSql) { (s, dir) =>
       bm25Scores(t(s, dir, "documents"))
         .orderBy(col("score").desc, col("doc_id")).limit(20)
+    },
+
+    // ───── q201: BM25 through a MATERIALIZED inverted index ──────────────
+    // q196's scorer, production-shaped: the postings list (tok, doc_id,
+    // tf) is a catalog table PARTITIONED BY bucket(16, tok), doc lengths a
+    // second table, corpus stats pinned in TBLPROPERTIES at build — a
+    // probe never touches the corpus: the term IN-filter partition-prunes
+    // to the query terms' posting buckets (BucketPruner), df is a tiny agg
+    // over just those postings, and the score join shuffles O(matching
+    // postings), never O(corpus tokens). The oracle is q196's VERBATIM
+    // from-scratch scan, so a stale, duplicated, or mis-bucketed index
+    // entry fails the hash gate: probe == scan, proven per run.
+    QueryDef.df("q201_bm25_index_probe", Bm25OracleSql) { (s, dir) =>
+      Bm25Index.build(s, t(s, dir, "documents"),
+        "lake.idx.bm25_postings", "lake.idx.bm25_doclen")
+      Bm25Index.probe(s, "lake.idx.bm25_postings", "lake.idx.bm25_doclen",
+        Q196Terms, k = 20)
     },
 
     // ───── q197: hybrid retrieval — RRF fusion of BM25 and cosine ────────

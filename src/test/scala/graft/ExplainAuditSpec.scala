@@ -663,6 +663,18 @@ class ExplainAuditSpec extends AnyFunSuite {
       }
   }
 
+  test("q201 index probe partition-prunes to the query terms' buckets, never scans the corpus") {
+    val df = SparkEntry.queries("q201_bm25_index_probe")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("documents"), s"probe must never touch the corpus:\n$p")
+    val total = spark.sql("SELECT count(*) FROM lake.idx.`bm25_postings$files`")
+      .head.getLong(0)
+    val m = """LakeScan\(lake\.idx\.bm25_postings, (\d+) files\)""".r.findFirstMatchIn(p)
+    assert(m.isDefined, s"expected a postings LakeScan:\n$p")
+    assert(m.get.group(1).toLong < total,
+      s"4-term probe must prune posting buckets: ${m.get.group(1)} of $total files")
+  }
+
   test("q197 RRF: rank windows run post-truncation, fusion join stays tiny") {
     val p = plan("q197_hybrid_rrf")
     assert(p.contains("TakeOrderedAndProject"),

@@ -135,4 +135,30 @@ class PartitionEvolutionSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     }
   }
+
+  test("$specs metadata table and time travel across an evolution") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.pev")
+    spark.sql("DROP TABLE IF EXISTS lake.pev.tt")
+    spark.sql("CREATE TABLE lake.pev.tt (k BIGINT, v BIGINT) PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO lake.pev.tt SELECT id, id FROM range(100)") // snapshot 1
+    graft.catalog.LakeMaintenance.setPartitionSpec(spark, "lake.pev.tt", Seq("k"))
+    spark.sql("INSERT INTO lake.pev.tt SELECT id, id FROM range(100, 200)") // snapshot 2
+    val specs = spark.sql(
+      "SELECT spec_id, spec, is_current FROM lake.pev.`tt$specs` ORDER BY spec_id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getBoolean(2))).toSeq
+    assert(specs == Seq((1, "bucket(4,k)", false), (2, "k", true)), s"got $specs")
+    // time travel to the pre-evolution snapshot reads exactly gen1, pruning
+    // under the OLD spec's keys (they stay in the planning union)
+    assert(spark.sql("SELECT count(*) FROM lake.pev.tt VERSION AS OF 1")
+      .head.getLong(0) == 100)
+    assert(spark.sql("SELECT sum(v) FROM lake.pev.tt VERSION AS OF 1 WHERE k = 7")
+      .head.getLong(0) == 7)
+    assert(spark.table("lake.pev.tt").count() == 200)
+    // a never-evolved table shows exactly one current spec
+    spark.sql("DROP TABLE IF EXISTS lake.pev.one")
+    spark.sql("CREATE TABLE lake.pev.one (k BIGINT) PARTITIONED BY (bucket(2, k))")
+    val one = spark.sql("SELECT spec_id, spec, is_current FROM lake.pev.`one$specs`")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getBoolean(2))).toSeq
+    assert(one == Seq((1, "bucket(2,k)", true)), s"got $one")
+  }
 }
