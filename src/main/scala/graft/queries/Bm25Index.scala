@@ -43,6 +43,30 @@ object Bm25Index {
       s"'bm25.n_docs'='${st.getLong(0)}', 'bm25.sum_len'='${st.getLong(1)}')")
   }
 
+  /** Incremental refresh (q202, the q199 discipline on the lexical side):
+    * tokenize ONLY the new documents, append their postings and lengths,
+    * and re-pin the corpus stats in the SAME pass — O(new docs) work, no
+    * rebuild. New postings land bucket-clustered like the originals, so
+    * probe pruning is unchanged. BM25's global stats (N, Σlen, df) shift
+    * with every refresh BY DESIGN — scores are corpus-relative — and
+    * because df is computed at probe time from the postings themselves,
+    * a refreshed index answers exactly like a from-scratch build over the
+    * union (q202 hash-gates that against the full-corpus oracle).
+    * Assumes new doc_ids (the ingest contract).
+    */
+  def refresh(s: SparkSession, postingsTable: String, lenTable: String,
+      newDocs: DataFrame): Unit = {
+    val toks = newDocs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    toks.groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+      .writeTo(postingsTable).append()
+    toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      .writeTo(lenTable).append()
+    val st = s.table(lenTable)
+      .agg(count(lit(1)).as("n"), sum("len").as("sum_len")).head()
+    s.sql(s"ALTER TABLE $postingsTable SET TBLPROPERTIES (" +
+      s"'bm25.n_docs'='${st.getLong(0)}', 'bm25.sum_len'='${st.getLong(1)}')")
+  }
+
   /** Top-k BM25 over the index — bit-identical to the corpus-scan scorer
     * (LlmPipeline.bm25Scores): same term-score expression, same
     * DECIMAL(18,6) summation, same tie-break.

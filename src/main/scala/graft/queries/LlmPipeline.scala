@@ -911,6 +911,26 @@ object LlmPipeline {
         Q196Terms, k = 20)
     },
 
+    // ───── q202: BM25 index REFRESH ≡ rebuild (oracled) ──────────────────
+    // q199's refresh-equals-rebuild discipline on the lexical side: build
+    // the index over the even doc_ids, refresh with the odd half (appends
+    // + stats re-pin, O(new docs)), probe. BM25 scores are
+    // corpus-relative — N, avgdl, and df all shift with the refresh — and
+    // the probe recomputes df from the postings themselves, so the
+    // refreshed index must answer exactly like a from-scratch build over
+    // the union. Oracle: the same full-corpus scan as q196/q201 — a
+    // dropped or double-counted posting, a stale pinned stat, or a
+    // mis-bucketed append all fail the hash gate.
+    QueryDef.df("q202_bm25_index_refresh", Bm25OracleSql) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Bm25Index.build(s, docs.filter(col("doc_id") % 2 === 0),
+        "lake.idx.bm25_postings_r", "lake.idx.bm25_doclen_r")
+      Bm25Index.refresh(s, "lake.idx.bm25_postings_r", "lake.idx.bm25_doclen_r",
+        docs.filter(col("doc_id") % 2 === 1))
+      Bm25Index.probe(s, "lake.idx.bm25_postings_r", "lake.idx.bm25_doclen_r",
+        Q196Terms, k = 20)
+    },
+
     // ───── q197: hybrid retrieval — RRF fusion of BM25 and cosine ────────
     // Reciprocal-rank fusion (Cormack et al. 2009): fuse the BM25 top-50
     // (q196's scorer) with the embedding-cosine top-50 (q26's scorer,
