@@ -5,15 +5,17 @@ import org.apache.spark.sql.functions._
 
 /** Materialized inverted index for BM25 retrieval (q201) — the lexical
   * twin of the ANN index tables (AnnIndex/PqAnn): postings live in a
-  * catalog table `(tok, doc_id, tf)` PARTITIONED BY bucket(16, tok), doc
-  * lengths in a companion table, and the corpus statistics (N, Σlen) are
-  * pinned in TBLPROPERTIES at build time.
+  * catalog table `(tok, doc_id, tf, len)` PARTITIONED BY bucket(16, tok)
+  * — doc length DENORMALIZED into each posting — with a companion length
+  * table and the corpus statistics (N, Σlen) pinned in TBLPROPERTIES at
+  * build time.
   *
   * Scale shape: a probe reads only the query terms' posting BUCKETS
-  * (BucketPruner projects the `tok IN (...)` filter onto the bucket stat,
-  * so non-matching files are never opened), computes df from just those
-  * postings, and joins lengths on doc_id — probe cost tracks matching
-  * postings, never corpus size. Refresh follows the q199 discipline: new
+  * (BucketPruner projects the `tok IN (...)` filter onto the bucket
+  * stat, so non-matching files are never opened), computes df from just
+  * those postings, and scores with NO join at all — pruned postings
+  * carry everything BM25 needs, so probe cost tracks matching postings,
+  * never corpus size. Refresh follows the q199 discipline: new
   * documents' postings append (disjoint doc_ids), stats re-pin in the
   * same commit.
   */
@@ -27,13 +29,19 @@ object Bm25Index {
     s.sql(s"DROP TABLE IF EXISTS $postingsTable")
     s.sql(s"DROP TABLE IF EXISTS $lenTable")
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    s.sql(s"CREATE TABLE $postingsTable (tok STRING, doc_id BIGINT, tf BIGINT)" +
-      " PARTITIONED BY (bucket(16, tok))")
-    toks.groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
-      .writeTo(postingsTable).append()
     s.sql(s"CREATE TABLE $lenTable (doc_id BIGINT, len BIGINT)")
     toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
       .writeTo(lenTable).append()
+    // doc length DENORMALIZED into every posting (the impact-ordering
+    // trick minus the ordering): the probe then needs NO corpus-sized
+    // join at all — pruned postings alone carry everything BM25 needs.
+    // Build pays the one-time join; probes are join-free forever.
+    s.sql(s"CREATE TABLE $postingsTable (tok STRING, doc_id BIGINT, tf BIGINT, len BIGINT)" +
+      " PARTITIONED BY (bucket(16, tok))")
+    toks.groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+      .join(s.table(lenTable), "doc_id")
+      .select(col("tok"), col("doc_id"), col("tf"), col("len"))
+      .writeTo(postingsTable).append()
     // corpus stats pinned as PLAIN LONGS; the probe re-derives avgdl with
     // the same double division the scan-side scorer runs, so the two
     // paths compute identical IEEE values
@@ -57,10 +65,12 @@ object Bm25Index {
   def refresh(s: SparkSession, postingsTable: String, lenTable: String,
       newDocs: DataFrame): Unit = {
     val toks = newDocs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val newLens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    newLens.writeTo(lenTable).append()
     toks.groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+      .join(newLens, "doc_id")
+      .select(col("tok"), col("doc_id"), col("tf"), col("len"))
       .writeTo(postingsTable).append()
-    toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
-      .writeTo(lenTable).append()
     val st = s.table(lenTable)
       .agg(count(lit(1)).as("n"), sum("len").as("sum_len")).head()
     s.sql(s"ALTER TABLE $postingsTable SET TBLPROPERTIES (" +
@@ -84,7 +94,6 @@ object Bm25Index {
     val tf = s.table(postingsTable).filter(col("tok").isin(terms: _*))
     val dfc = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
     tf.join(broadcast(dfc), "tok")
-      .join(s.table(lenTable), "doc_id")
       .withColumn("term_score", LlmPipeline.bm25TermScore(
         col("tf"), col("df"), col("len"), lit(n), lit(avgdl)))
       .groupBy("doc_id")
