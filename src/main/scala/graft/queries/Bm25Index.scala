@@ -64,17 +64,29 @@ object Bm25Index {
     */
   def refresh(s: SparkSession, postingsTable: String, lenTable: String,
       newDocs: DataFrame): Unit = {
+    // stats advance by the NEW batch's delta over the previously pinned
+    // values (pure addition) — O(new docs), never a rescan of history
+    val pinned = stats(s, postingsTable)
     val toks = newDocs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val newLens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val delta = newLens.agg(count(lit(1)).as("n"), sum("len").as("sum_len")).head()
     newLens.writeTo(lenTable).append()
     toks.groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
       .join(newLens, "doc_id")
       .select(col("tok"), col("doc_id"), col("tf"), col("len"))
       .writeTo(postingsTable).append()
-    val st = s.table(lenTable)
-      .agg(count(lit(1)).as("n"), sum("len").as("sum_len")).head()
+    // three commits, not one (appends + property pin) — a crash in the
+    // window leaves pinned stats behind the data, which probe() detects
+    // (metadata-only doc count vs pinned N) and self-heals around
     s.sql(s"ALTER TABLE $postingsTable SET TBLPROPERTIES (" +
-      s"'bm25.n_docs'='${st.getLong(0)}', 'bm25.sum_len'='${st.getLong(1)}')")
+      s"'bm25.n_docs'='${pinned._1 + delta.getLong(0)}'," +
+      s" 'bm25.sum_len'='${pinned._2 + delta.getLong(1)}')")
+  }
+
+  private def stats(s: SparkSession, postingsTable: String): (Long, Long) = {
+    val props = s.sql(s"SHOW TBLPROPERTIES $postingsTable").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    (props("bm25.n_docs").toLong, props("bm25.sum_len").toLong)
   }
 
   /** Top-k BM25 over the index — bit-identical to the corpus-scan scorer
@@ -83,10 +95,19 @@ object Bm25Index {
     */
   def probe(s: SparkSession, postingsTable: String, lenTable: String,
       terms: Seq[String], k: Int): DataFrame = {
-    val props = s.sql(s"SHOW TBLPROPERTIES $postingsTable").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
-    val nDocs = props("bm25.n_docs").toLong
-    val sumLen = props("bm25.sum_len").toLong
+    val (pinnedN, pinnedSum) = stats(s, postingsTable)
+    // freshness check against a TORN refresh (appends landed, property pin
+    // didn't): the doc count is a metadata-only aggregate (one manifest
+    // read, q65's pushdown), so this costs ~nothing; on mismatch the probe
+    // self-heals by re-aggregating the length table once
+    val lenCount = s.table(lenTable).count()
+    val (nDocs, sumLen) =
+      if (lenCount == pinnedN) (pinnedN, pinnedSum)
+      else {
+        val st = s.table(lenTable)
+          .agg(count(lit(1)).as("n"), sum("len").as("sum_len")).head()
+        (st.getLong(0), st.getLong(1))
+      }
     // the same arithmetic shape as the scan side's st aggregate:
     // CAST(count AS DOUBLE) and CAST(sum AS DOUBLE) / count
     val n = nDocs.toDouble

@@ -149,7 +149,7 @@ object LlmPipeline {
        |        FROM (SELECT word, count(*)::BIGINT AS wc
        |              FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word
        |                    FROM documents)
-       |              WHERE word <> '' GROUP BY word))
+       |              WHERE word ~ '^[ -~]+$$' GROUP BY word))
        |  WHERE rn <= 20000
        |),
        |${steps.mkString(",\n")}
@@ -865,8 +865,14 @@ object LlmPipeline {
     // driver-side (q71); 12 rounds is the gate, not the vocabulary.
     QueryDef.df("q195_bpe_train_merges", q195TrainSql(12)) { (s, dir) =>
       val docs = t(s, dir, "documents")
+      // histogram restricted to printable-ASCII words IN BOTH ENGINES: the
+      // gate's tie-break compares pairs lexicographically, and for ASCII
+      // Java's UTF-16 order == DuckDB's UTF-8 binary order; beyond ASCII
+      // the two collations (and surrogate-pair char splitting) diverge, so
+      // the restriction keeps the trainer oracle sound on ANY corpus
+      // (q71's production trainer stays unrestricted)
       val hist = docs.select(explode(split(col("text"), "\\s+")).as("w"))
-        .filter(length(col("w")) > 0)
+        .filter(col("w").rlike("^[ -~]+$"))
         .groupBy("w").agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("w"))
         .limit(20000)

@@ -160,12 +160,12 @@ object StreamingQueries {
     // the distinct-type census the TWS state tracks.
     QueryDef.df(
       "q200_session_profiles",
-      """WITH m AS (SELECT user_id, ts, event_type, value,
+      """WITH m AS (SELECT user_id, ts, event_id, event_type, value,
         |        CASE WHEN lag(ts) OVER w IS NULL
         |             OR ts - lag(ts) OVER w >= INTERVAL 15 MINUTE THEN 1 ELSE 0 END AS brk
         |      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (SELECT user_id, ts, event_type, value,
-        |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                       ROWS UNBOUNDED PRECEDING) AS sid
         |      FROM m)
         |SELECT user_id, min(ts) AS session_start,

@@ -623,30 +623,34 @@ class StreamingSpec extends AnyFunSuite {
       // nothing closed yet: watermark is far behind every last+gap
       assert(spark.table("tws_sessions").isEmpty)
 
-      // batch 2: u1 event at minute 40 — 40 >= 11 + 15, so the FIRST u1
-      // session closes IN-BATCH (emitted from handleInputRows, not a timer)
+      // batch 2: u1 event at minute 40 opens a SECOND session (40 >= 11+15)
+      // but closes NOTHING — sessions emit only when the watermark passes
+      // last+gap, never at input time, so a late-but-admissible row can
+      // still merge into the first session
       input.addData((4L, ts(40), 1L, "purchase", 8.0))
       q.processAllAvailable()
-      val inBatch = spark.table("tws_sessions").collect()
-      assert(inBatch.length == 1 &&
-        inBatch(0).getAs[Long]("user_id") == 1L &&
-        inBatch(0).getAs[Long]("n_events") == 2L &&
-        inBatch(0).getAs[Long]("n_types") == 2L &&
-        inBatch(0).getAs[Double]("sum_value") == 4.0,
-        s"in-batch gap split must emit u1's first session: ${inBatch.toSeq}")
+      assert(spark.table("tws_sessions").isEmpty,
+        "sessions must close by WATERMARK, not at input time")
 
-      // batch 3: a far-future event advances the watermark past every open
-      // session's last+gap — the EVENT-TIME TIMERS fire and close u1's
-      // second session and u2's only session, evicting their state
-      input.addData((5L, ts(600), 9L, "view", 0.0))
+      // batch 3: the late-but-admissible row the watermark still admits
+      // (wm = 40m - 30m = 10m; the row is at 12m) — it must merge into
+      // u1's still-open FIRST session exactly as the batch replay would
+      input.addData((5L, ts(12), 1L, "error", 0.5))
       q.processAllAvailable()
-      input.addData((6L, ts(601), 9L, "view", 0.0))
+      assert(spark.table("tws_sessions").isEmpty)
+
+      // batch 4: a far-future event advances the watermark past every open
+      // session's last+gap — the EVENT-TIME TIMERS fire, close all three
+      // sessions, and evict their state
+      input.addData((6L, ts(600), 9L, "view", 0.0))
+      q.processAllAvailable()
+      input.addData((7L, ts(601), 9L, "view", 0.0))
       q.processAllAvailable()
       val rows = spark.table("tws_sessions")
         .orderBy("user_id", "session_start").collect()
         .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
           r.getAs[Long]("n_types"), r.getAs[Double]("sum_value")))
-      assert(rows.toSeq == Seq((1L, 2L, 2L, 4.0), (1L, 1L, 1L, 8.0), (2L, 1L, 1L, 4.0)),
+      assert(rows.toSeq == Seq((1L, 3L, 3L, 4.5), (1L, 1L, 1L, 8.0), (2L, 1L, 1L, 4.0)),
         s"timer-closed sessions must match the batch islands replay: ${rows.toSeq}")
     } finally {
       q.stop()
