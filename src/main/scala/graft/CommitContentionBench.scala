@@ -196,14 +196,18 @@ object CommitContentionBench {
     val wallSec = writerWall.map(_ / 1e9)
     val histJson = hist.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    f"""{"writers":$writers,"tables":$tables,"commits":$total,""" +
-      f""""injected_latency_ms":${PointerStore.injectedLatencyMs.get()},"elapsed_sec":$elapsed%.2f,""" +
-      f""""commits_per_sec":${total / elapsed}%.1f,"retry_histogram":$histJson,""" +
-      f""""max_cas_attempts":$maxAttempts,"retry_bound":${CasRetry.maxAttempts},""" +
-      f""""latency_ms":{"p50":${pct(0.5)}%.1f,"p99":${pct(0.99)}%.1f,"max":${latMs.last}%.1f},""" +
-      f""""base_files":$baseFiles,"compact_replans":${opConflicts.get()},"compact_done":${compactDone.get()},""" +
-      f""""compact_skipped":${compactSkipped.get()},"compact_starved":${compactStarved.get()},""" +
-      f""""writer_wall_sec":{"min":${wallSec.min}%.2f,"max":${wallSec.max}%.2f}}"""
+    // Locale.ROOT rendering (the Bench.scala locale fix applies here too:
+    // comma-decimal default locales would emit invalid JSON)
+    def num(v: Double, dp: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+    s"""{"writers":$writers,"tables":$tables,"commits":$total,""" +
+      s""""injected_latency_ms":${PointerStore.injectedLatencyMs.get()},"elapsed_sec":${num(elapsed, 2)},""" +
+      s""""commits_per_sec":${num(total / elapsed, 1)},"retry_histogram":$histJson,""" +
+      s""""max_cas_attempts":$maxAttempts,"retry_bound":${CasRetry.maxAttempts},""" +
+      s""""latency_ms":{"p50":${num(pct(0.5), 1)},"p99":${num(pct(0.99), 1)},"max":${num(latMs.last, 1)}},""" +
+      s""""base_files":$baseFiles,"compact_replans":${opConflicts.get()},"compact_done":${compactDone.get()},""" +
+      s""""compact_skipped":${compactSkipped.get()},"compact_starved":${compactStarved.get()},""" +
+      s""""writer_wall_sec":{"min":${num(wallSec.min, 2)},"max":${num(wallSec.max, 2)}}}"""
   }
 
   /** One logical commit through the production loop. Compactions re-plan on

@@ -677,8 +677,12 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
     val doc = viewDocOf(info)
     val loc = LakeViews.write(warehouse, ns(info.ident.namespace()), info.ident.name(),
       doc, hadoopConf)
-    if (!store.viewRegister(ns(info.ident.namespace()), info.ident.name(), loc))
+    if (!store.viewRegister(ns(info.ident.namespace()), info.ident.name(), loc)) {
+      // the doc was written before the pointer insert (the table-commit
+      // order); a lost race must not orphan it — delete best-effort
+      LakeViews.delete(loc, hadoopConf)
       throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(info.ident)
+    }
     viewOf(info.ident, doc)
   }
 
@@ -703,6 +707,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with StagingTable
       val newLoc = LakeViews.write(warehouse, nsStr, ident.name(), next, hadoopConf)
       if (store.viewCasUpdate(nsStr, ident.name(), newLoc, loc) == 1)
         return viewOf(ident, next)
+      LakeViews.delete(newLoc, hadoopConf) // lost round: reclaim the doc
       if (attempts >= CasRetry.maxAttempts)
         throw new CommitConflictException(
           s"alterView ${display(ident)}: lost the views CAS $attempts times")

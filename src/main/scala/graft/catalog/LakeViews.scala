@@ -48,6 +48,16 @@ object LakeViews {
     loc
   }
 
+  /** Best-effort reclaim of a doc whose pointer insert/CAS lost its race —
+    * the doc is written BEFORE the pointer moves (the table-commit order),
+    * so losers must clean up or contended view churn orphans files.
+    */
+  def delete(location: String, conf: Configuration): Unit =
+    try {
+      val p = new Path(location)
+      p.getFileSystem(conf).delete(p, false)
+    } catch { case _: Exception => () } // never mask the caller's outcome
+
   def read(location: String, conf: Configuration): ViewDoc = {
     val p = new Path(location)
     val in = p.getFileSystem(conf).open(p)

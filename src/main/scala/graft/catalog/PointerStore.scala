@@ -474,7 +474,16 @@ object PointerStore {
     * Postgres where every statement costs a network round trip.
     */
   val injectedLatencyMs = new java.util.concurrent.atomic.AtomicLong(
-    sys.env.getOrElse("GRAFT_JDBC_LATENCY_MS", "0").toLong)
+    // lenient parse: a malformed value in a static initializer would
+    // surface as ExceptionInInitializerError far from the env var — warn
+    // and run without injection instead
+    sys.env.get("GRAFT_JDBC_LATENCY_MS").map { v =>
+      scala.util.Try(v.toLong).getOrElse {
+        System.err.println(
+          s"[graft] ignoring non-numeric GRAFT_JDBC_LATENCY_MS='$v'")
+        0L
+      }
+    }.getOrElse(0L))
 
   /** A complete statement set for one SQL dialect — see [[Sql]] (ANSI
     * Derby∩Postgres subset) and [[PgSql]] (native Postgres).

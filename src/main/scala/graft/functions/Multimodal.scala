@@ -496,11 +496,38 @@ final case class VideoFrames(child: Expression, n: Int) extends UnaryExpression 
 }
 
 object VideoFrames {
+
+  /** (left, top, disposal) of GIF frame `i`; defaults when the reader
+    * exposes no GIF image metadata.
+    */
+  private def gifFrameMeta(reader: javax.imageio.ImageReader, i: Int): (Int, Int, String) =
+    try {
+      val tree = reader.getImageMetadata(i)
+        .getAsTree("javax_imageio_gif_image_1.0").asInstanceOf[org.w3c.dom.Element]
+      def attr(tag: String, name: String, dflt: String): String = {
+        val nodes = tree.getElementsByTagName(tag)
+        if (nodes.getLength == 0) dflt
+        else Option(nodes.item(0).getAttributes.getNamedItem(name))
+          .map(_.getNodeValue).getOrElse(dflt)
+      }
+      (attr("ImageDescriptor", "imageLeftPosition", "0").toInt,
+        attr("ImageDescriptor", "imageTopPosition", "0").toInt,
+        attr("GraphicControlExtension", "disposalMethod", "none"))
+    } catch { case _: Exception => (0, 0, "none") }
+
   /** Shared by interpreted and generated code — identical by construction.
-    * Decodes up to `n` evenly spaced frame indices over [0, total-1]
-    * (deduplicated when total < n, order kept) and re-encodes each as PNG.
+    * Decodes up to `n` evenly spaced frame ordinals over [0, total-1] and
+    * re-encodes each as PNG. GIF frames are COMPOSITED: real-world
+    * animated GIFs store optimized delta frames (a sub-rectangle at an
+    * offset, disposal "do not dispose"), so each raster is drawn onto a
+    * running logical-screen canvas at its recorded position, honoring the
+    * disposal method, and the SAMPLED output is the composed canvas —
+    * never a raw patch. Sampling the k-th ordinal therefore decodes
+    * frames 0..k sequentially (the price of delta encoding; GIF has no
+    * keyframe index to seek to).
     */
   def compute(payload: Array[Byte], n: Int): GenericArrayData = {
+    import java.awt.image.BufferedImage
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(payload))
     try {
@@ -512,17 +539,61 @@ object VideoFrames {
         val total = reader.getNumImages(true)
         if (total <= 0) return null
         val count = math.min(n, total)
+        // "seek to timestamp i/n": even spacing over frame ordinals
+        val targets = Array.tabulate(count)(i =>
+          ((total - 1).toLong * i / math.max(count - 1, 1)).toInt)
         val frames = new Array[Any](count)
-        var i = 0
-        while (i < count) {
-          // "seek to timestamp i/n": the same even spacing sample_frames
-          // applies to byte offsets, applied to frame ordinals
-          val idx = ((total - 1).toLong * i / math.max(count - 1, 1)).toInt
-          val img = reader.read(idx)
+        def png(img: BufferedImage): Array[Byte] = {
           val bos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(img, "png", bos)
-          frames(i) = bos.toByteArray
-          i += 1
+          bos.toByteArray
+        }
+        if (!"gif".equalsIgnoreCase(reader.getFormatName)) {
+          // single-raster-per-frame containers: direct reads
+          var i = 0
+          while (i < count) { frames(i) = png(reader.read(targets(i))); i += 1 }
+        } else {
+          val first = reader.read(0)
+          var canvas = new BufferedImage(
+            first.getWidth, first.getHeight, BufferedImage.TYPE_INT_ARGB)
+          var out = 0
+          var i = 0
+          val maxIdx = targets(count - 1)
+          while (i <= maxIdx) {
+            val img = if (i == 0) first else reader.read(i)
+            val (x, y, disposal) = gifFrameMeta(reader, i)
+            // frames can extend the logical screen (defensive: malformed
+            // descriptors) — grow the canvas rather than clip
+            if (x + img.getWidth > canvas.getWidth || y + img.getHeight > canvas.getHeight) {
+              val grown = new BufferedImage(
+                math.max(canvas.getWidth, x + img.getWidth),
+                math.max(canvas.getHeight, y + img.getHeight),
+                BufferedImage.TYPE_INT_ARGB)
+              val gg = grown.createGraphics(); gg.drawImage(canvas, 0, 0, null); gg.dispose()
+              canvas = grown
+            }
+            val prev =
+              if (disposal == "restoreToPrevious") {
+                val c = new BufferedImage(canvas.getWidth, canvas.getHeight,
+                  BufferedImage.TYPE_INT_ARGB)
+                val gc = c.createGraphics(); gc.drawImage(canvas, 0, 0, null); gc.dispose()
+                c
+              } else null
+            val g = canvas.createGraphics()
+            g.drawImage(img, x, y, null)
+            g.dispose()
+            while (out < count && targets(out) == i) { frames(out) = png(canvas); out += 1 }
+            disposal match {
+              case "restoreToBackgroundColor" =>
+                val g2 = canvas.createGraphics()
+                g2.setComposite(java.awt.AlphaComposite.Clear)
+                g2.fillRect(x, y, img.getWidth, img.getHeight)
+                g2.dispose()
+              case "restoreToPrevious" if prev != null => canvas = prev
+              case _ => ()
+            }
+            i += 1
+          }
         }
         new GenericArrayData(frames)
       } finally reader.dispose()

@@ -43,42 +43,42 @@ object VideoQueries {
     * literals. Regenerate: `runMain graft.queries.VideoFixtureFreeze`.
     */
   private[graft] def videoPhashLiterals: Seq[(Long, Int, Long)] = Seq(
-    (0L, 0, 4549257295475362686L),
-    (0L, 1, 5990422022227730046L),
-    (0L, 2, 6302531940093674554L),
-    (0L, 3, 6230184964611222394L),
-    (1L, 0, 251502875582134514L),
-    (1L, 1, 150243724949467890L),
-    (1L, 2, 1386458369102063602L),
-    (1L, 3, 6276036116643551474L),
-    (2L, 0, 4587867265778600034L),
-    (2L, 1, 6897092993027676130L),
-    (2L, 2, 5369161398512599018L),
-    (2L, 3, 5375949578907708130L),
-    (3L, 0, 541774663966718776L),
-    (3L, 1, 6558534566969603880L),
-    (3L, 2, 5140160988677900328L),
-    (3L, 3, 6040892976375435050L),
-    (4L, 0, 4496928176349104960L),
-    (4L, 1, 5196517403058742880L),
-    (4L, 2, 4569125429845412960L),
-    (4L, 3, 2179159841966106944L),
-    (5L, 0, 180412471502764690L),
-    (5L, 1, 6871803834481537552L),
-    (5L, 2, 2236315360576202512L),
-    (5L, 3, 6307484953474805648L),
-    (100L, 0, 4549257295475362686L),
-    (100L, 1, 5990422022227730046L),
-    (100L, 2, 6302531940093674554L),
-    (100L, 3, 6230184964611222394L),
-    (101L, 0, 251502875582134514L),
-    (101L, 1, 150243724949467890L),
-    (101L, 2, 1386458369102063602L),
-    (101L, 3, 6276317589472778482L),
-    (102L, 0, 4587867265778600034L),
-    (102L, 1, 6897092993027676130L),
-    (102L, 2, 5369161398512599018L),
-    (102L, 3, 5375949578907708130L)
+    (0L, 0, 2099307902868769662L),
+    (0L, 1, 4837500509033053822L),
+    (0L, 2, 6293524706479721530L),
+    (0L, 3, 6230167363835767678L),
+    (1L, 0, 242496775838989042L),
+    (1L, 1, 222301310380815090L),
+    (1L, 2, 1386440776916051954L),
+    (1L, 3, 6276282405100665586L),
+    (2L, 0, 4587867128339646690L),
+    (2L, 1, 6897093265758100962L),
+    (2L, 2, 5371406738695471082L),
+    (2L, 3, 5375949439455488746L),
+    (3L, 0, 541774663966194478L),
+    (3L, 1, 6558534575559530280L),
+    (3L, 2, 5140159891311659560L),
+    (3L, 3, 6040892975301701418L),
+    (4L, 0, 4497068913828547424L),
+    (4L, 1, 5196517403054550624L),
+    (4L, 2, 4568984692358106208L),
+    (4L, 3, 2179019139910445408L),
+    (5L, 0, 182664812415217298L),
+    (5L, 1, 6148967298204498448L),
+    (5L, 2, 2234028926147557008L),
+    (5L, 3, 6305233703416672146L),
+    (100L, 0, 2099307902868769662L),
+    (100L, 1, 4837500509033053822L),
+    (100L, 2, 6293524706479721530L),
+    (100L, 3, 6230167363835767678L),
+    (101L, 0, 242496775838989042L),
+    (101L, 1, 222301310380815090L),
+    (101L, 2, 1386440776916051954L),
+    (101L, 3, 6276282405100665586L),
+    (102L, 0, 4587867128339646690L),
+    (102L, 1, 6897093265758100962L),
+    (102L, 2, 5371406738695471082L),
+    (102L, 3, 5375949439455488746L)
   )
 
   private def q193OracleSql: String = {

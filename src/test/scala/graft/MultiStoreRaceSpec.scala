@@ -39,7 +39,7 @@ class MultiStoreRaceSpec extends AnyFunSuite {
     require(boot.register("ns", "t", "loc0"))
     val s1 = new PointerStore(url, "c")
     val s2 = new PointerStore(url, "c")
-    PointerStore.injectedLatencyMs.set(150L)
+    PointerStore.injectedLatencyMs.set(400L)
     try {
       val barrier = new CyclicBarrier(2)
       val pool = Executors.newFixedThreadPool(2)
@@ -51,10 +51,11 @@ class MultiStoreRaceSpec extends AnyFunSuite {
       f1.get(); f2.get()
       val elapsedMs = (System.nanoTime() - t0) / 1e6
       pool.shutdown()
-      // serialized through a shared lock the two 150 ms sleeps would cost
-      // >=300 ms; disjoint monitors overlap them
-      assert(elapsedMs < 280.0,
-        f"two store instances serialized ($elapsedMs%.0f ms for two 150 ms RTTs) — " +
+      // serialized through a shared lock the two 400 ms sleeps would cost
+      // >= 800 ms; disjoint monitors overlap them. The 300 ms slack keeps
+      // the assertion robust under CI scheduler noise.
+      assert(elapsedMs < 700.0,
+        f"two store instances serialized ($elapsedMs%.0f ms for two 400 ms RTTs) — " +
           "a shared JVM lock is load-bearing")
     } finally {
       PointerStore.injectedLatencyMs.set(0L)

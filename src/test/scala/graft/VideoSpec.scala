@@ -67,4 +67,63 @@ class VideoSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Int]("min_hamming") == 0))
     assert(rows.forall(_.getAs[Long]("n_close_frames") >= 4L))
   }
+
+  test("optimized delta GIFs composite: offset patches land on the running canvas") {
+    // hand-write a 2-frame GIF whose second frame is a 4x4 patch at (6,6)
+    // (disposal none) — the common optimized-encoder output. video_frames
+    // must emit the COMPOSED 16x16 canvas, not the raw 4x4 patch.
+    val grays = Array.tabulate(256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    def frame(w: Int, h: Int, v: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      val r = img.getRaster
+      for (y <- 0 until h; x <- 0 until w) r.setSample(x, y, 0, v)
+      img
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val param = writer.getDefaultWriteParam
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(writer.getDefaultStreamMetadata(param))
+    writer.writeToSequence(new javax.imageio.IIOImage(frame(16, 16, 40), null, null), param)
+    // second frame: patch with an ImageDescriptor offset of (6,6)
+    val patch = frame(4, 4, 200)
+    val spec = javax.imageio.ImageTypeSpecifier.createFromRenderedImage(patch)
+    val md = writer.getDefaultImageMetadata(spec, param)
+    val fmt = "javax_imageio_gif_image_1.0"
+    val tree = md.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+    val kids = tree.getElementsByTagName("ImageDescriptor")
+    val desc = kids.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+    desc.setAttribute("imageLeftPosition", "6")
+    desc.setAttribute("imageTopPosition", "6")
+    md.setFromTree(fmt, tree)
+    writer.writeToSequence(new javax.imageio.IIOImage(patch, null, md), param)
+    writer.endWriteSequence()
+    writer.dispose(); ios.close()
+
+    val payload = bos.toByteArray
+    // ground truth straight from the container (the JDK writer may remap
+    // palettes; composition correctness is about PLACEMENT, not palette)
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+    reader.setInput(iis)
+    val bgRgb = reader.read(0).getRGB(0, 0)
+    val patchRgb = reader.read(1).getRGB(0, 0)
+    reader.dispose(); iis.close()
+    assert(bgRgb != patchRgb, "fixture must be distinguishable")
+
+    val frames = VideoFrames.compute(payload, 2)
+    assert(frames.numElements() == 2)
+    val second = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(frames.getBinary(1)))
+    assert(second.getWidth == 16 && second.getHeight == 16,
+      s"must be the composed canvas, not the raw patch: ${second.getWidth}x${second.getHeight}")
+    assert(second.getRGB(7, 7) == patchRgb,
+      s"patch pixel at its offset: ${Integer.toHexString(second.getRGB(7, 7))}")
+    assert(second.getRGB(0, 0) == bgRgb,
+      s"background pixel must survive from frame 0: ${Integer.toHexString(second.getRGB(0, 0))}")
+  }
 }
