@@ -2703,6 +2703,16 @@ object LlmPipeline {
     // iterations, never materialized rows. The oracle brute-forces within
     // stem blocks — candidate generation never does; at 100 TB the band
     // join shuffles only (stem, band, id, tail), never the corpus.
+    //
+    // SATURATION vs THIS GATE: the oracle below is the LOSSLESS census.
+    // Under the r12 defaults, a corpus whose band blocks saturate (q185's
+    // pre-flight audit; the in-query profile) AUTO-ENGAGES the block cap —
+    // an approximation with a printed dropped-pair bound — so a saturated
+    // run fails this hash gate LOUDLY by design rather than burning the
+    // quadratic census silently. To re-green the gate at such scale, opt
+    // into graft.hamming.lossless=true (and pay the documented 23.6×-at-
+    // 10× curve) or dedup the key column first. Unsaturated corpora (this
+    // testdata at every SF) match bit-for-bit under the defaults.
     QueryDef.df(
       "q128_hamming_banded",
       """WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer),
